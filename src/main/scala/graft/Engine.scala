@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions.{chunk_text, cosine_similarity, hash_embed}
+import graft.functions.{ChunkText, HashEmbed}
+
+/** The engine façade — the reference's five API verbs re-expressed as
+  * DataFrame transformations (SURVEY §3, §7.0):
+  *
+  *   ingest  = documents → chunk → embed → index table   (main.py:255-312)
+  *   search  = index → cosine score → top-k              (main.py:314-333)
+  *   stats   = aggregations over the index               (main.py:340-360)
+  *   upsert  = replace-by-id merge                       (main.py:172)
+  *   context = rank-ordered string aggregation           (main.py:324)
+  *
+  * All plans are declarative: scoring is a projection, top-k is
+  * `orderBy(desc).limit(k)` (physical `TakeOrderedAndProject` — per-partition
+  * partial top-k, only k rows cross to the driver, no full sort/shuffle), and
+  * the embedded query is a foldable expression evaluated once at plan time.
+  */
+object Engine {
+
+  /** Chunk documents into the canonical `chunks` table (SURVEY §1.3):
+    * (id, source, doc_id, chunk_idx, text). Chunk id is
+    * `{source}_{doc_id}_{chunk_idx}` — the reference's `{pdf_title}_{i}`
+    * (main.py:163) with the document identity added, because the driver's
+    * corpus reuses `source` across documents (the reference's basename
+    * collision quirk, SURVEY §1.4.2, is a bug we do not reproduce).
+    */
+  def chunks(docs: DataFrame,
+             size: Int = ChunkText.DefaultSize,
+             overlap: Int = ChunkText.DefaultOverlap): DataFrame =
+    docs.select(col("doc_id"), col("source"), chunk_text(col("text"), size, overlap))
+      .select(
+        concat_ws("_", col("source"), col("doc_id"), col("chunk_idx")).as("id"),
+        col("source"), col("doc_id"), col("chunk_idx"),
+        col("chunk").as("text"))
+
+  /** Add the deterministic hash embedding (main.py:159-170 record build). */
+  def embedChunks(chunksDf: DataFrame, dim: Int = HashEmbed.DefaultDim): DataFrame =
+    chunksDf.withColumn("embedding", hash_embed(col("text"), dim))
+
+  /** Full ingest pipeline: documents → embedded chunk index. Map-only — no
+    * shuffle; scales linearly with input splits. */
+  def ingest(docs: DataFrame,
+             size: Int = ChunkText.DefaultSize,
+             overlap: Int = ChunkText.DefaultOverlap,
+             dim: Int = HashEmbed.DefaultDim): DataFrame =
+    embedChunks(chunks(docs, size, overlap), dim)
+
+  /** Replace-by-id upsert (main.py:172): rows of `incoming` win over rows of
+    * `existing` with the same id. `new UNION ALL (old ANTI JOIN new)`.
+    * At scale both sides shuffle on id once; with a bucketed index table the
+    * anti-join co-locates and the shuffle disappears.
+    */
+  def upsert(existing: DataFrame, incoming: DataFrame): DataFrame =
+    incoming.unionByName(
+      existing.join(incoming.select("id"), Seq("id"), "left_anti"))
+
+  /** Score every chunk against an already-embedded query vector. */
+  def score(index: DataFrame, queryVec: Column): DataFrame =
+    index.withColumn("score", cosine_similarity(col("embedding"), queryVec))
+
+  /** Flagship search (main.py:176-216): embed the query (foldable — computed
+    * once at plan time), cosine-score all chunks, deterministic top-k with
+    * total order (score desc, id asc) — SURVEY §2.5 Q2/Q3. Empty-text chunks
+    * are dropped post-scoring (main.py:208).
+    */
+  def search(index: DataFrame, query: String, k: Int = 5,
+             dim: Int = HashEmbed.DefaultDim): DataFrame = {
+    require(query.trim.nonEmpty, "Query cannot be empty") // main.py:317-318
+    score(index, hash_embed(lit(query), dim))
+      .filter(length(col("text")) > 0)
+      .orderBy(desc("score"), asc("id"))
+      .limit(k)
+      .select(col("text"), col("source"), col("score"), col("id"))
+  }
+
+  /** Context string (main.py:324): `[Source: {s}]\n{t}` blocks joined by
+    * `\n\n---\n\n` in rank order. k is small (≤~100), so the deterministic
+    * plan-level form — sort_array over collected structs — is cheap; the sort
+    * key (negated score, id) reproduces (score desc, id asc).
+    */
+  def contextColumn: Column =
+    array_join(
+      transform(
+        sort_array(collect_list(struct(
+          (-col("score")).as("neg_score"), col("id"), col("source"), col("text")))),
+        m => format_string("[Source: %s]\n%s", m.getField("source"), m.getField("text"))),
+      "\n\n---\n\n")
+
+  /** QueryResponse shape (main.py:326-331): one row
+    * (query, total_results, context). */
+  def searchResponse(index: DataFrame, query: String, k: Int = 5): DataFrame =
+    search(index, query, k)
+      .agg(count(lit(1)).as("total_results"), contextColumn.as("context"))
+      .select(lit(query).as("query"), col("total_results"), col("context"))
+
+  /** Index stats (main.py:240, main.py:350): per-source vector counts. */
+  def statsBySource(index: DataFrame): DataFrame =
+    index.groupBy("source").agg(count(lit(1)).as("vector_count"))
+
+  /** Index stats: one-row total (vector count + dimension). */
+  def statsTotal(index: DataFrame, dim: Int = HashEmbed.DefaultDim): DataFrame =
+    index.agg(count(lit(1)).as("total_vector_count"))
+      .select(col("total_vector_count"), lit(dim).as("dimension"))
+}

@@ -1,0 +1,56 @@
+package graft
+
+import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+
+import graft.functions.{ChunkText, CosineSimilarity, HashEmbed}
+
+/** Column-API + SQL-registry surface for the custom Catalyst expressions.
+  *
+  * Everything else in the engine is stock `org.apache.spark.sql.functions` —
+  * these three are the only operators the reference computes that Spark's
+  * built-ins can't express efficiently (SURVEY §2.12, §7.3).
+  */
+object GraftFunctions {
+
+  private def col(e: Expression): Column = GraftSqlBridge.column(e)
+  private def ex(c: Column): Expression = GraftSqlBridge.expression(c)
+
+  /** SHA-256-derived deterministic embedding (reference main.py:129-147). */
+  def hash_embed(text: Column, dim: Int = HashEmbed.DefaultDim): Column =
+    col(HashEmbed(ex(text), dim))
+
+  /** Cosine similarity of two vectors (reference index metric, main.py:34). */
+  def cosine_similarity(a: Column, b: Column): Column =
+    col(CosineSimilarity(ex(a), ex(b)))
+
+  /** Overlapping window chunker generator → (chunk_idx, chunk) rows
+    * (reference main.py:118-126). Use inside `select`. */
+  def chunk_text(text: Column,
+                 size: Int = ChunkText.DefaultSize,
+                 overlap: Int = ChunkText.DefaultOverlap): Column =
+    col(ChunkText(ex(text), Literal(size), Literal(overlap)))
+
+  /** Register `hash_embed`, `cosine_similarity`, `chunk_text` for SQL use.
+    * Idempotent per session. */
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction("hash_embed", {
+      case Seq(t)    => HashEmbed(t)
+      case Seq(t, d) => HashEmbed(t, d.eval().asInstanceOf[Number].intValue())
+      case other => throw new IllegalArgumentException(
+        s"hash_embed takes 1-2 arguments, got ${other.size}")
+    }, "built-in")
+    reg.createOrReplaceTempFunction("cosine_similarity", {
+      case Seq(a, b) => CosineSimilarity(a, b)
+      case other => throw new IllegalArgumentException(
+        s"cosine_similarity takes 2 arguments, got ${other.size}")
+    }, "built-in")
+    reg.createOrReplaceTempFunction("chunk_text", {
+      case Seq(t)       => ChunkText(t, Literal(ChunkText.DefaultSize), Literal(ChunkText.DefaultOverlap))
+      case Seq(t, s, o) => ChunkText(t, s, o)
+      case other => throw new IllegalArgumentException(
+        s"chunk_text takes 1 or 3 arguments, got ${other.size}")
+    }, "built-in")
+  }
+}

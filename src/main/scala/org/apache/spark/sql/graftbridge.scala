@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+
+/** Bridge into the `private[sql]` Column <-> Catalyst Expression converters
+  * (Spark 4.x moved `Column.expr` / `new Column(expr)` behind
+  * `org.apache.spark.sql.classic.ExpressionUtils`). Lives in the
+  * `org.apache.spark.sql` package solely to satisfy the access modifier; the
+  * rest of the engine uses only these two calls.
+  */
+object GraftSqlBridge {
+  def column(e: Expression): Column = classic.ExpressionUtils.column(e)
+  def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{ChunkText, CosineSimilarity, HashEmbed}
+
+class EngineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val index = Engine.ingest(Tables.documents(spark, TestSpark.sf0001)).cache()
+
+  test("ingest: chunk count per doc = ceil(n_chars/800); ids unique") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val perDoc = index.groupBy("doc_id").count()
+      .as[(Long, Long)].collect().toMap
+    val expected = docs.select($"doc_id", $"n_chars").as[(Long, Long)].collect()
+      .map { case (id, n) => id -> (if (n == 0) 0L else (n + 799) / 800) }.toMap
+    for ((id, n) <- expected if n > 0) assert(perDoc(id) == n, s"doc $id")
+    assert(index.select("id").distinct().count() == index.count())
+  }
+
+  test("search: top-k deterministic, exact-duplicate text scores 1.0 first") {
+    // Take a real chunk's text as the query => its own chunk must rank #1 with score 1.0
+    val probe = index.orderBy("id").select($"id", $"text").as[(String, String)].head()
+    val hits = Engine.search(index, probe._2, k = 5).collect()
+    assert(hits.length == 5)
+    val top = hits.head
+    assert(math.abs(top.getAs[Double]("score") - 1.0) < 1e-12)
+    // all chunks with identical text score 1.0 and sort by id asc among ties
+    val ties = hits.takeWhile(r => math.abs(r.getAs[Double]("score") - 1.0) < 1e-12)
+    assert(ties.map(_.getAs[String]("id")).contains(probe._1))
+    assert(ties.map(_.getAs[String]("id")).toSeq ==
+      ties.map(_.getAs[String]("id")).toSeq.sorted)
+  }
+
+  test("search plan uses TakeOrderedAndProject (partial top-k, no full sort)") {
+    val plan = Engine.search(index, "transfer credits", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+  }
+
+  test("searchResponse: context format byte-exact per main.py:324") {
+    val hits = Engine.search(index, "transfer credits", 3)
+      .orderBy(desc("score"), asc("id"))
+      .select("source", "text", "score", "id").collect()
+    val expected = hits.map(r =>
+      s"[Source: ${r.getAs[String]("source")}]\n${r.getAs[String]("text")}")
+      .mkString("\n\n---\n\n")
+    val resp = Engine.searchResponse(index, "transfer credits", 3).collect()(0)
+    assert(resp.getAs[String]("query") == "transfer credits")
+    assert(resp.getAs[Long]("total_results") == 3L)
+    assert(resp.getAs[String]("context") == expected)
+  }
+
+  test("upsert: replace-by-id, no stale survivors for replaced ids") {
+    val old = index.limit(0).sparkSession.emptyDataFrame // placeholder to avoid unused warn
+    val existing = Seq(
+      ("a_0", "srcA", 0L, 0, "old0"), ("a_1", "srcA", 0L, 1, "old1"),
+      ("b_0", "srcB", 1L, 0, "keep")).toDF("id", "source", "doc_id", "chunk_idx", "text")
+    val incoming = Seq(
+      ("a_0", "srcA", 0L, 0, "new0")).toDF("id", "source", "doc_id", "chunk_idx", "text")
+    val merged = Engine.upsert(existing, incoming)
+      .select($"id", $"text").as[(String, String)].collect().toMap
+    assert(merged == Map("a_0" -> "new0", "a_1" -> "old1", "b_0" -> "keep"))
+  }
+
+  test("stats: per-source counts sum to total; dimension constant") {
+    val bySource = Engine.statsBySource(index).as[(String, Long)].collect().toMap
+    val total = Engine.statsTotal(index).collect()(0)
+    assert(bySource.values.sum == total.getAs[Long]("total_vector_count"))
+    assert(total.getAs[Int]("dimension") == 1024)
+    assert(bySource.size == 20)
+  }
+
+  test("empty query / empty index edge behavior") {
+    val empty = index.filter(lit(false))
+    assert(Engine.search(empty, "q", 5).count() == 0)
+    val resp = Engine.searchResponse(empty, "q", 5).collect()(0)
+    assert(resp.getAs[Long]("total_results") == 0L)
+    assert(resp.getAs[String]("context") == "")
+  }
+
+  test("embedding column is not carried past the projection (column pruning)") {
+    val plan = Engine.search(index, "q", 5).queryExecution.optimizedPlan.toString
+    // final output has no embedding column
+    assert(!Engine.search(index, "q", 5).columns.contains("embedding"))
+    assert(plan.nonEmpty)
+  }
+}
