@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.expr
 
 /** Loaders for the driver testdata tables (TESTDATA.md / FIXTURES.md §B).
   * All reads go through here so filters/projections written downstream get
@@ -12,7 +13,15 @@ object Tables {
 
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
-  def events(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "events")
+
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by default;
+    * read it as nanos-since-epoch and truncate to microseconds (matching a
+    * `CAST(ts AS TIMESTAMP)` of the same data in engines that keep the ns). */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts", expr("timestamp_micros(cast(ts div 1000 AS bigint))"))
+  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")

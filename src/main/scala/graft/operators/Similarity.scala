@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
+import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.GraftFunctions.cosine_similarity
+
+/** Similarity-search operators over an embedding column (`array<float>`):
+  *
+  *  - brute-force cosine top-k: exact, the verifiable semantics. A small
+  *    query set broadcasts against the corpus (no shuffle of the big side);
+  *    per-query rank via window. This is the "batch multi-query" form of the
+  *    reference's single-query search (SURVEY §2.7).
+  *  - cosine pair join: all pairs above a threshold (exact; quadratic —
+  *    correctness baseline for the LSH path).
+  *  - LSH approximate top-k: MLlib BucketedRandomProjectionLSH on normalized
+  *    vectors (L2 ordering == cosine ordering after normalization). The
+  *    100 TB path: candidates per query ~ bucket size, not corpus size.
+  */
+object Similarity {
+
+  /** Exact cosine scores of every (query, item) pair. `queries` must be small
+    * (it is broadcast); the corpus side never shuffles. */
+  def cosineScores(items: DataFrame, queries: DataFrame): DataFrame =
+    items.crossJoin(broadcast(queries))
+      .withColumn("score", cosine_similarity(col("embedding"), col("query_embedding")))
+
+  /** Exact top-k per query, deterministic order (score desc, vec_id asc). */
+  def bruteForceTopK(items: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    cosineScores(items, queries)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Exact all-pairs cosine >= threshold (a < b). Quadratic — use only as
+    * correctness baseline or on bounded partitions; the scale path is
+    * `lshSimilarityJoin`. */
+  def cosinePairs(items: DataFrame, threshold: Double): DataFrame =
+    items.as("a").join(items.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("score", cosine_similarity(col("a.embedding"), col("b.embedding")))
+      .filter(col("score") >= threshold)
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(col("score"), 4).as("score"))
+
+  private def normalized(items: DataFrame, inCol: String): DataFrame = {
+    val withVec = items.withColumn("vec",
+      array_to_vector(col(inCol).cast("array<double>")))
+    new Normalizer().setInputCol("vec").setOutputCol("nvec").setP(2.0)
+      .transform(withVec)
+  }
+
+  /** Approximate nearest neighbours via LSH: normalize (cosine == L2 on the
+    * unit sphere), bucket with random hyperplane projections, join on bucket.
+    * Deterministic under the fixed seed. Returns (query_id, vec_id, score)
+    * with exact cosine re-scored on the candidates. */
+  def lshTopK(items: DataFrame, queries: DataFrame, k: Int,
+              bucketLength: Double = 2.0, numTables: Int = 3): DataFrame = {
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("nvec").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(42L)
+    val ni = normalized(items, "embedding")
+    val nq = normalized(queries, "query_embedding")
+    val model = lsh.fit(ni)
+    val joined = model.approxSimilarityJoin(ni, nq, 2.0, "l2dist")
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    joined.select(
+        col("datasetB.query_id").as("query_id"),
+        col("datasetA.vec_id").as("vec_id"),
+        col("datasetA.embedding").as("e"),
+        col("datasetB.query_embedding").as("q"))
+      .withColumn("score", cosine_similarity(col("e"), col("q")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"),
+        round(col("score"), 4).as("score"))
+  }
+}

@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline:
+  * tokenization stats, quality scoring, heuristic language ID, and document
+  * fingerprinting. All are pure projections over `documents` — map-only, no
+  * shuffle, codegen'd built-ins — so they scale linearly with input splits.
+  *
+  * Every formula is also expressible in ANSI/DuckDB SQL (integer or
+  * single-division arithmetic), which is what makes them oracle-checkable.
+  */
+object TextAnalysis {
+
+  /** Non-empty whitespace tokens. Defined once so Spark and the oracle agree
+    * on the edge case: `split('', ' ')` yields `['']`, filtered to `[]`. */
+  val tokensExpr = "filter(split(text, ' '), t -> t <> '')"
+
+  /** Language-ID stopword profiles, alphabetical by language code. Tiny,
+    * deterministic n-gram-free heuristic: most stopword hits wins, ties break
+    * alphabetically. */
+  val stopwords: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "mit", "von", "zu", "den"),
+    "en" -> Seq("the", "a", "of", "and", "to", "is", "in", "it", "for", "on"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "por", "con", "se"),
+    "fr" -> Seq("le", "la", "de", "et", "un", "pour", "que", "dans", "ce", "il"),
+    "zh" -> Seq("的", "是", "在", "了", "和", "有", "我", "不", "人", "这"))
+
+  private def sqlList(ws: Seq[String]): String = ws.map(w => s"'$w'").mkString(", ")
+
+  private def hitsExpr(ws: Seq[String]): String =
+    s"size(filter(toks, t -> t IN (${sqlList(ws)})))"
+
+  /** Token counting: total / distinct tokens and total token length (all
+    * integers — exactly comparable across engines). */
+  def tokenStats(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", expr(tokensExpr)).selectExpr(
+      "doc_id",
+      "size(toks) AS n_tokens",
+      "size(array_distinct(toks)) AS n_uniq_tokens",
+      "aggregate(toks, 0, (acc, t) -> acc + length(t)) AS sum_token_len")
+
+  /** Quality scoring: stopword ratio, punctuation ratio, and a bounded
+    * composite score — the length/punct/stopword heuristics a pretraining
+    * pipeline uses for corpus filtering. */
+  def qualityScore(docs: DataFrame): DataFrame = {
+    val en = stopwords.toMap.apply("en")
+    docs.withColumn("toks", expr(tokensExpr))
+      .withColumn("n_tokens", expr("size(toks)"))
+      .withColumn("stop_hits", expr(hitsExpr(en)))
+      .withColumn("n_punct",
+        expr("length(text) - length(regexp_replace(text, '[^a-z0-9 ]', ''))"))
+      .selectExpr(
+        "doc_id", "n_tokens", "stop_hits", "n_punct",
+        "round(IF(n_tokens = 0, 0.0, stop_hits / n_tokens), 6) AS stop_ratio",
+        "round(n_punct / greatest(length(text), 1), 6) AS punct_ratio",
+        """round(0.4 * IF(n_tokens = 0, 0.0, stop_hits / n_tokens)
+               + 0.4 * least(n_tokens / 100.0, 1.0)
+               + 0.2 * (1.0 - n_punct / greatest(length(text), 1)), 6) AS quality""")
+  }
+
+  /** Heuristic language ID: stopword-profile voting with deterministic
+    * alphabetical tie-break (first language whose score >= all later ones). */
+  def langId(docs: DataFrame): DataFrame = {
+    val withScores = stopwords.foldLeft(docs.withColumn("toks", expr(tokensExpr))) {
+      case (df, (lang, ws)) => df.withColumn(s"s_$lang", expr(hitsExpr(ws)))
+    }
+    val langs = stopwords.map(_._1)
+    val caseExpr = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"s_$r")
+      val bound = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+      s"WHEN s_$l >= $bound THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    withScores.selectExpr(
+      "doc_id" +: langs.map(l => s"s_$l") :+ s"$caseExpr AS predicted_lang": _*)
+  }
+
+  /** Document fingerprint: minimum SHA-256 over all 8-char grams — an
+    * order-invariant rolling-window fingerprint (winnowing with window = whole
+    * doc). Identical prefix-shifted texts collide; unrelated texts don't. */
+  def fingerprint(docs: DataFrame): DataFrame =
+    docs.selectExpr(
+      "doc_id",
+      """array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
+           i -> sha2(substring(text, i, 8), 256))) AS fingerprint""")
+}

@@ -1,0 +1,62 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+import graft.Engine
+
+/** Streaming extension (SURVEY §2.11): the reference's request-driven batch
+  * ingest lifted to Structured Streaming, plus event-time analytics over the
+  * `events` table shape.
+  *
+  * The chunk+embed pipeline is stateless (flatMap + project), so it lifts to
+  * streaming unchanged — `Engine.ingest` is applied verbatim to a streaming
+  * DataFrame. Aggregations carry watermarks so state is bounded.
+  */
+object Streams {
+
+  val eventsSchema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
+    "event_type STRING, value DOUBLE, props STRING"
+
+  val documentsSchema = "doc_id BIGINT, text STRING, lang STRING, " +
+    "source STRING, n_chars BIGINT"
+
+  /** Streaming ingest: watch a landing directory of document parquet files,
+    * chunk + embed each micro-batch, append to the index table. */
+  def streamingIngest(spark: SparkSession, landingDir: String,
+                      indexDir: String, checkpointDir: String): StreamingQuery = {
+    val docs = spark.readStream.schema(documentsSchema).parquet(landingDir)
+    Engine.ingest(docs).writeStream
+      .format("parquet")
+      .option("path", indexDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** Tumbling event-time window aggregation with a watermark (late data
+    * beyond 30 minutes dropped; state bounded by watermark horizon). */
+  def tumblingCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), width).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** Sliding window: 10-minute windows every 5 minutes. */
+  def slidingCounts(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("w.start").as("window_start"), col("event_type"), col("n"))
+
+  /** Per-user session windows with a 30-minute gap. */
+  def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", "30 minutes")
+      .groupBy(session_window(col("ts"), gap).as("w"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
+        col("user_id"), col("n_events"), col("session_value"))
+}
