@@ -10,6 +10,14 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    SparkEntry.tune(spark)
+    // Untimed warmup: JIT + codegen + parquet reader paths, so the first
+    // timed query doesn't absorb JVM startup cost.
+    try {
+      spark.range(100000).selectExpr("sum(id)").collect()
+      SparkEntry.queries("q01_chunk")(spark, sfDir).count()
+      SparkEntry.queries("q12_tpch_agg")(spark, sfDir).count()
+    } catch { case _: Throwable => }
     val results = SparkEntry.queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

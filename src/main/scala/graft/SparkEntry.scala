@@ -29,8 +29,18 @@ object SparkEntry {
     Engine.search(index, Q, 5)
   }
 
-  private def docs(s: SparkSession, dir: String) = Tables.documents(s, dir)
-  private def emb(s: SparkSession, dir: String) = Tables.embeddings(s, dir)
+  /** Session tuning applied before every query. InferFiltersFromGenerate
+    * duplicates the generator-input expression into a pre-Generate filter;
+    * with higher-order functions (CodegenFallback, interpreted) that
+    * triples the cost of every shingle/chunk pipeline — excluded. */
+  def tune(s: SparkSession): SparkSession = {
+    s.conf.set("spark.sql.optimizer.excludedRules",
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+    s
+  }
+
+  private def docs(s: SparkSession, dir: String) = Tables.documents(tune(s), dir)
+  private def emb(s: SparkSession, dir: String) = Tables.embeddings(tune(s), dir)
 
   private def searchRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
     val hits = Engine.search(Engine.ingest(docs(s, dir)), Q, k)
@@ -153,9 +163,7 @@ object SparkEntry {
     "q24_knn_pairs" -> ((s, dir) =>
       Similarity.cosinePairs(emb(s, dir).select("vec_id", "embedding"), 0.3)),
     // extension: MinHash signatures + LSH bands
-    "q25_minhash_bands" -> ((s, dir) =>
-      Dedup.minhashBands(docs(s, dir)).selectExpr("doc_id",
-        "bands[0] AS band0", "bands[1] AS band1", "bands[2] AS band2", "bands[3] AS band3")),
+    "q25_minhash_bands" -> ((s, dir) => Dedup.minhashBands(docs(s, dir))),
     // extension: MinHash-LSH candidate pairs + exact verification
     "q26_minhash_pairs" -> ((s, dir) => Dedup.minhashPairs(docs(s, dir), 0.5)),
     // extension: SimHash signatures
@@ -227,6 +235,20 @@ object SparkEntry {
             p.common / (ca.n_sh + cb.n_sh - p.common) AS jaccard
           FROM pairs p JOIN counts ca ON p.doc_a = ca.doc_id
                        JOIN counts cb ON p.doc_b = cb.doc_id)"""
+
+  /** DuckDB: MinHash signature CTE (mirrors Dedup.minhashSig) — expects the
+    * shingle table `shu` in scope. */
+  private val dkSig: String = {
+    val mins =
+      (0 until 8).map(j => s"min(substr(h1, ${j * 8 + 1}, 8)) AS m$j") ++
+        (0 until 8).map(j => s"min(substr(h2, ${j * 8 + 1}, 8)) AS m${8 + j}")
+    s"""mh AS (SELECT doc_id, sha256(shingle) AS h1, sha256('x:' || shingle) AS h2 FROM shu),
+  sig AS (SELECT doc_id, ${mins.mkString(", ")} FROM mh GROUP BY doc_id)"""
+  }
+  private def dkBandKey(b: Int): String =
+    s"sha256(${(0 until 4).map(j => s"m${4 * b + j}").mkString(" || ")})"
+  private val dkBandCols: Seq[String] =
+    (0 until 4).map(b => s"${dkBandKey(b)} AS band$b")
 
   private val centsE = "CAST(round(l_extendedprice * 100) AS BIGINT)"
   private val centsD = "CAST(round(l_discount * 100) AS BIGINT)"
@@ -390,22 +412,14 @@ SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3""",
     CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END AS score FROM s)
 SELECT vec_a, vec_b, round(score, 4) AS score FROM sc WHERE score >= 0.3""",
     "q25_minhash_bands" ->
-      s"""WITH $dkTok, $dkShl,
-  sig AS (SELECT doc_id, list_transform(range(0, 16),
-    k -> list_min(list_transform(sh, s -> sha256(CAST(k AS VARCHAR) || ':' || s)))) AS sig FROM shl)
-SELECT doc_id,
-  sha256(sig[1] || sig[2] || sig[3] || sig[4]) AS band0,
-  sha256(sig[5] || sig[6] || sig[7] || sig[8]) AS band1,
-  sha256(sig[9] || sig[10] || sig[11] || sig[12]) AS band2,
-  sha256(sig[13] || sig[14] || sig[15] || sig[16]) AS band3
-FROM sig""",
+      s"""WITH $dkTok, $dkShl, $dkShu, $dkSig
+SELECT doc_id, ${dkBandCols.mkString(", ")} FROM sig""",
     "q26_minhash_pairs" ->
       s"""$dkJaccard,
-  sig AS (SELECT doc_id, list_transform(range(0, 16),
-    k -> list_min(list_transform(sh, s -> sha256(CAST(k AS VARCHAR) || ':' || s)))) AS sig FROM shl),
-  bands AS (SELECT doc_id, b AS band_idx,
-      sha256(sig[4*b+1] || sig[4*b+2] || sig[4*b+3] || sig[4*b+4]) AS band_key
-    FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+  $dkSig,
+  bands AS (${(0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band_idx, ${dkBandKey(b)} AS band_key FROM sig")
+        .mkString("\n    UNION ALL ")}),
   cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
     FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
       AND x.doc_id < y.doc_id)

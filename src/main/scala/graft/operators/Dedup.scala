@@ -1,24 +1,28 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, functions => F}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline, from exact to
   * approximate:
   *
   *  - exact:   hash-groupBy on a content key (one shuffle on the hash)
-  *  - n-gram:  exact Jaccard over word-shingle sets via a shingle-inverted
-  *             index self-join (shuffle on shingle — the classic
-  *             "suffix-array-free" near-dup join)
-  *  - MinHash: 16-hash signature, banded 4x4, LSH bucket join for candidates,
-  *             exact Jaccard verification (at 100 TB this is the only shape
-  *             that avoids the quadratic pair space: candidates ~ linear)
-  *  - SimHash: 32-bit sign-of-sum signature per document (map-only; pairs
-  *             within Hamming distance follow from a band join on the
-  *             signature, same pattern as MinHash)
+  *  - n-gram:  exact Jaccard over word-shingle sets. Pairs are generated
+  *             per shingle bucket (groupBy shingle -> doc list -> in-bucket
+  *             pairs), not via a row-level self-join: one scan, one shuffle
+  *             on shingle, one shuffle on the pair key.
+  *  - MinHash: 16 signature hashes taken as the 8 32-bit hex words of two
+  *             SHA-256 digests per shingle — a single groupBy with 16 `min`
+  *             aggregates (map-side combinable, per-doc state is constant).
+  *             Banded 4x4 into LSH bucket keys; candidate pairs from bucket
+  *             lists; exact-Jaccard verification on candidates only. At
+  *             100 TB this is the only shape that works: cost ~ candidates,
+  *             never ~ pairs.
+  *  - SimHash: 32-bit sign-of-sum signature per document (map-only).
   *
-  * All hash functions are SHA-256-derived so every stage is reproducible in
-  * the DuckDB oracle (string min over fixed-width hex = numeric min).
+  * All hashes are SHA-256-derived: bit-identical across engines, and
+  * string-min over fixed-width hex is order-isomorphic to numeric min — so
+  * every stage is reproducible in the DuckDB oracle.
   */
 object Dedup {
 
@@ -28,76 +32,91 @@ object Dedup {
     docs.groupBy(expr(s"sha2($keyExpr, 256)").as("content_hash"))
       .agg(min("doc_id").as("canonical_doc"), count(lit(1)).as("n_docs"))
 
-  /** Distinct word-3-gram shingles per document; documents with < 3 tokens
-    * fall back to a single whole-text shingle. */
-  def shingles(docs: DataFrame): DataFrame =
+  /** Distinct word-3-gram shingles per document, as an array column;
+    * documents with < 3 tokens fall back to a single whole-text shingle. */
+  def shingleArrays(docs: DataFrame): DataFrame =
     docs.withColumn("toks", expr(TextAnalysis.tokensExpr))
       .withColumn("sh", expr(
         """CASE WHEN size(toks) >= 3
              THEN array_distinct(transform(sequence(0, size(toks) - 3),
                     i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
              ELSE array(text) END"""))
-      .select(col("doc_id"), explode(col("sh")).as("shingle"))
+      .select(col("doc_id"), col("sh"))
 
-  /** Exact n-gram Jaccard near-duplicate pairs via inverted-index self-join.
-    * Output: (doc_a, doc_b, common, jaccard) for jaccard >= threshold.
-    * Scale shape: one shuffle on shingle (pairs generated per-bucket), one
-    * shuffle on the pair key; per-doc shingle counts broadcast. */
+  /** One row per (doc, shingle). */
+  def shingles(docs: DataFrame): DataFrame =
+    shingleArrays(docs).select(col("doc_id"), explode(col("sh")).as("shingle"))
+
+  /** In-bucket pair generation: explode each bucket's sorted doc list into
+    * (a < b) pairs. `ds` is an aggregate attribute, so the nested transform
+    * reads a materialized array (no re-evaluation). */
+  private def bucketPairs(buckets: DataFrame): DataFrame =
+    buckets.filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+             i -> transform(sequence(i + 1, size(ds) - 1),
+                    j -> struct(ds[i] AS a, ds[j] AS b))))""")).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+
+  /** Exact n-gram Jaccard near-duplicate pairs.
+    * Output: (doc_a, doc_b, common, jaccard) for jaccard >= threshold. */
   def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val sh = shingles(docs)
     val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val pairs = sh.as("a").join(sh.as("b"),
-        col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("common"))
+    val buckets = sh.groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val pairs = bucketPairs(buckets)
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
     pairs
-      .join(broadcast(counts.withColumnRenamed("doc_id", "doc_a")
-        .withColumnRenamed("n_sh", "na")), Seq("doc_a"))
-      .join(broadcast(counts.withColumnRenamed("doc_id", "doc_b")
-        .withColumnRenamed("n_sh", "nb")), Seq("doc_b"))
+      .join(broadcast(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
+      .join(broadcast(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
       .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("common"),
         round(col("jaccard"), 6).as("jaccard"))
   }
 
-  /** MinHash signatures: sig(k) = min over shingles of sha256(k || ':' || s),
-    * k = 0..15, banded into 4 band keys of 4 signatures each. String-min over
-    * fixed-width hex is order-isomorphic to numeric min — and portable to any
-    * SQL engine. */
+  /** MinHash signature columns m0..m15: the 8 32-bit hex words of
+    * sha256(shingle) and of sha256('x:' || shingle), min'd per doc. One
+    * groupBy, 16 partial-aggregable mins. */
+  def minhashSig(docs: DataFrame): DataFrame = {
+    val hashed = shingles(docs).select(col("doc_id"),
+      sha2(col("shingle"), 256).as("h1"),
+      sha2(concat(lit("x:"), col("shingle")), 256).as("h2"))
+    val mins =
+      (0 until 8).map(j => min(expr(s"substr(h1, ${j * 8 + 1}, 8)")).as(s"m$j")) ++
+        (0 until 8).map(j => min(expr(s"substr(h2, ${j * 8 + 1}, 8)")).as(s"m${8 + j}"))
+    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+  }
+
+  /** Banded signatures: 4 band keys, each hashing 4 signature words. */
   def minhashBands(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", expr(TextAnalysis.tokensExpr))
-      .withColumn("sh", expr(
-        """CASE WHEN size(toks) >= 3
-             THEN array_distinct(transform(sequence(0, size(toks) - 3),
-                    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
-             ELSE array(text) END"""))
-      .withColumn("sig", expr(
-        """transform(sequence(0, 15),
-             k -> array_min(transform(sh, s -> sha2(concat(cast(k AS string), ':', s), 256))))"""))
-      .withColumn("bands", expr(
-        """transform(sequence(0, 3),
-             b -> sha2(concat(sig[4*b], sig[4*b+1], sig[4*b+2], sig[4*b+3]), 256))"""))
-      .select(col("doc_id"), col("bands"))
+    minhashSig(docs).select(
+      col("doc_id") +: (0 until 4).map(b =>
+        sha2(concat((0 until 4).map(j => col(s"m${4 * b + j}")): _*), 256).as(s"band$b")): _*)
 
   /** One row per (doc, band): the LSH bucket table. */
   def minhashBuckets(docs: DataFrame): DataFrame =
-    minhashBands(docs).select(col("doc_id"),
-      posexplode(col("bands")).as(Seq("band_idx", "band_key")))
+    minhashBands(docs).select(col("doc_id"), posexplode(
+      array((0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_key")))
 
-  /** MinHash-LSH near-duplicate pairs: candidates = documents sharing any
-    * band bucket; verification = exact Jaccard >= threshold. At scale the
-    * bucket join replaces the quadratic pair space with per-bucket pairs. */
+  /** MinHash-LSH near-duplicate pairs: candidates = docs sharing any band
+    * bucket; verification = exact Jaccard via array_intersect on the
+    * candidates only (cost ~ candidates, not ~ all pairs). */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val b = minhashBuckets(docs)
-    val candidates = b.as("x").join(b.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .distinct()
-    jaccardPairs(docs, threshold).join(candidates, Seq("doc_a", "doc_b"))
-      .select("doc_a", "doc_b", "common", "jaccard")
+    val candidates = bucketPairs(
+      minhashBuckets(docs).groupBy("band_idx", "band_key")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))).distinct()
+    val sets = shingleArrays(docs)
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        round(col("jaccard"), 6).as("jaccard"))
   }
 
   /** 32-bit SimHash over whitespace tokens (token hash bits from SHA-256 hex;

@@ -60,14 +60,17 @@ object Similarity {
     * Deterministic under the fixed seed. Returns (query_id, vec_id, score)
     * with exact cosine re-scored on the candidates. */
   def lshTopK(items: DataFrame, queries: DataFrame, k: Int,
-              bucketLength: Double = 2.0, numTables: Int = 3): DataFrame = {
+              bucketLength: Double = 0.15, numTables: Int = 3,
+              radius: Double = 1.2): DataFrame = {
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("nvec").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(42L)
     val ni = normalized(items, "embedding")
     val nq = normalized(queries, "query_embedding")
     val model = lsh.fit(ni)
-    val joined = model.approxSimilarityJoin(ni, nq, 2.0, "l2dist")
+    // On unit vectors L2² = 2 - 2cos, so radius 1.2 keeps candidates with
+    // cos >= 0.28; radius 2.0 would degenerate to a full cross join.
+    val joined = model.approxSimilarityJoin(ni, nq, radius, "l2dist")
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
     joined.select(
         col("datasetB.query_id").as("query_id"),

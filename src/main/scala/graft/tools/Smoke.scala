@@ -2,7 +2,7 @@ package graft.tools
 
 import org.apache.spark.sql.SparkSession
 
-import graft.{Engine, GraftFunctions, Tables}
+import graft.{Engine, GraftFunctions, SparkEntry, Tables}
 
 /** End-to-end smoke drive of the engine through its public API — the runtime
   * surface for verification. Mirrors the reference's own smoke script
@@ -22,6 +22,7 @@ object Smoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     GraftFunctions.register(spark)
+    SparkEntry.tune(spark)
 
     // POST /ingest equivalent (main.py:255-312)
     val index = Engine.ingest(Tables.documents(spark, sfDir)).cache()
