@@ -1,0 +1,85 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Dedup
+
+class DedupSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  // crafted corpus: 1&2 exact dups, 3 near-dup of 1 (one word changed), 4 unrelated
+  lazy val crafted = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (2L, "the quick brown fox jumps over the lazy dog again and again today"),
+    (3L, "the quick brown fox jumps over the lazy cat again and again today"),
+    (4L, "completely different content with nothing shared at all here now then")
+  ).toDF("doc_id", "text")
+
+  test("exactGroups: identical texts collapse to one group") {
+    val g = Dedup.exactGroups(crafted).as[(String, Long, Long)].collect()
+    assert(g.length == 3)
+    val dup = g.find(_._3 == 2L).get
+    assert(dup._2 == 1L) // canonical = min doc_id
+  }
+
+  test("jaccardPairs: exact dup pair scores 1.0; near-dup high; unrelated absent") {
+    val pairs = Dedup.jaccardPairs(crafted, 0.3)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 1.0)
+    assert(pairs.contains((1L, 3L)) && pairs((1L, 3L)) > 0.3 && pairs((1L, 3L)) < 1.0)
+    assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L))
+  }
+
+  test("jaccard matches a driver-side set computation on real docs") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = Dedup.jaccardPairs(docs, 0.5)
+      .select($"doc_a", $"doc_b", $"jaccard").as[(Long, Long, Double)].collect()
+      .map(p => (p._1, p._2) -> p._3).toMap
+    def sh(t: String): Set[String] = {
+      val w = t.split(" ").filter(_.nonEmpty)
+      if (w.length >= 3) w.sliding(3).map(_.mkString(" ")).toSet else Set(t)
+    }
+    val local = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> sh(t) }
+    val expected = (for {
+      (a, sa) <- local; (b, sb) <- local if a < b
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter) if j >= 0.5
+    } yield (a, b) -> j).toMap
+    assert(got.keySet == expected.keySet)
+    for ((k, j) <- expected)
+      assert(math.abs(got(k) - j) < 1e-6, s"pair $k")
+  }
+
+  test("minhash: exact dups share all bands; LSH pairs recover high-jaccard pairs") {
+    val bands = Dedup.minhashBands(crafted).collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        (0 until 4).map(b => r.getAs[String](s"band$b"))).toMap
+    assert(bands(1L) == bands(2L))
+    assert(bands(1L) != bands(4L))
+    val pairs = Dedup.minhashPairs(crafted, 0.3)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((1L, 2L)))
+  }
+
+  test("minhashPairs subset-of jaccardPairs and finds the planted near-dups on real docs") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val exact = Dedup.jaccardPairs(docs, 0.5).select($"doc_a", $"doc_b")
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashPairs(docs, 0.5).select($"doc_a", $"doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact))
+    if (exact.nonEmpty) assert(lsh.nonEmpty) // high-sim pairs should collide in >=1 band
+  }
+
+  test("simhash: identical text -> identical signature; near-dup closer than unrelated") {
+    val sig = Dedup.simhash(crafted).as[(Long, Long)].collect().toMap
+    assert(sig(1L) == sig(2L))
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sig(1L), sig(3L)) <= ham(sig(1L), sig(4L)))
+    assert(sig(1L) >= 0 && sig(1L) < (1L << 32))
+  }
+}

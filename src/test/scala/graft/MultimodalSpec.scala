@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.multimodal.Multimodal
+
+class MultimodalSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("binary plumbing: encode -> features, deterministic and distributed") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val media = Multimodal.asMedia(docs, "doc_id", "encode(text, 'utf-8')")
+    val feats = Multimodal.extractFeatures(media)
+    val rows = feats.collect()
+    assert(rows.length == docs.count())
+    val byId = rows.map(f => f.media_id -> f).toMap
+    val local = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    for ((id, text) <- local.take(50)) {
+      val f = byId(id)
+      val bytes = text.getBytes("UTF-8")
+      assert(f.n_bytes == bytes.length)
+      assert(f.width == 64 + (bytes.length % 512))
+      assert(f.channels == 3)
+      if (bytes.nonEmpty)
+        assert(math.abs(f.mean_byte - bytes.map(_ & 0xff).sum.toDouble / bytes.length) < 1e-9)
+      assert(f.byte_entropy >= 0.0 && f.byte_entropy <= 8.0)
+    }
+    // determinism: run twice, identical
+    val again = Multimodal.extractFeatures(media).collect().map(f => f.media_id -> f).toMap
+    assert(again == byId)
+  }
+
+  test("frame sampling emits strided fixed-size blocks") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "a" * 1000)).toDF("doc_id", "text"), "doc_id", "encode(text, 'utf-8')")
+    val frames = Multimodal.sampleFrames(media, frameSize = 100, stride = 2)
+      .as[(Long, Int, Array[Byte])].collect().sortBy(_._2)
+    assert(frames.length == 5) // offsets 0,200,400,600,800
+    assert(frames.forall(_._3.length == 100))
+  }
+}

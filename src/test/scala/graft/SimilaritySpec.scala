@@ -1,0 +1,67 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CosineSimilarity
+import graft.operators.Similarity
+
+class SimilaritySpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val emb = Tables.embeddings(spark, TestSpark.sf0001)
+    .select("vec_id", "embedding").cache()
+  lazy val queries = Tables.embeddings(spark, TestSpark.sf0001)
+    .filter($"vec_id" < 5)
+    .select($"vec_id".as("query_id"), $"embedding".as("query_embedding")).cache()
+
+  test("bruteForceTopK: rank-1 is the query itself with score 1; ranks contiguous") {
+    val top = Similarity.bruteForceTopK(emb, queries, 3)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(top.length == 15)
+    for (qid <- 0L until 5L) {
+      val mine = top.filter(_._1 == qid).sortBy(_._3)
+      assert(mine.map(_._3).toSeq == Seq(1, 2, 3))
+      assert(mine.head._2 == qid) // self at rank 1
+      assert(mine.head._4 == 1.0)
+      assert(mine(0)._4 >= mine(1)._4 && mine(1)._4 >= mine(2)._4)
+    }
+  }
+
+  test("bruteForceTopK matches driver-side exhaustive ranking") {
+    val all = emb.as[(Long, Array[Float])].collect()
+    val qs = queries.as[(Long, Array[Float])].collect()
+    val got = Similarity.bruteForceTopK(emb, queries, 3)
+      .as[(Long, Long, Int, Double)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._3).map(_._2).toSeq).toMap
+    for ((qid, qv) <- qs) {
+      val expected = all.map { case (id, e) => (id, CosineSimilarity.cosine(e, qv)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSeq
+      assert(got(qid) == expected, s"query $qid")
+    }
+  }
+
+  test("broadcast hint present: corpus side does not shuffle") {
+    val plan = Similarity.cosineScores(emb, queries).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
+  }
+
+  test("cosinePairs: symmetric-free (a<b), respects threshold") {
+    val pairs = Similarity.cosinePairs(emb, 0.3).as[(Long, Long, Double)].collect()
+    assert(pairs.forall(p => p._1 < p._2))
+    assert(pairs.forall(_._3 >= 0.3))
+  }
+
+  test("lshTopK: recovers the exact top-1 (self) and plausible neighbours") {
+    val lsh = Similarity.lshTopK(emb, queries, 3)
+      .as[(Long, Long, Int, Double)].collect()
+    val byQ = lsh.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet)
+    for ((qid, rows) <- byQ) {
+      val r1 = rows.minBy(_._3)
+      assert(r1._2 == qid, s"query $qid should retrieve itself")
+      assert(r1._4 == 1.0)
+    }
+  }
+}

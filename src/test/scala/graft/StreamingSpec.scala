@@ -1,0 +1,75 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.Streams
+
+class StreamingSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("streaming ingest: landing dir -> chunk+embed index, matches batch ingest") {
+    val tmp = Files.createTempDirectory("graft-stream").toString
+    val landing = s"$tmp/landing"
+    val indexDir = s"$tmp/index"
+    val ckpt = s"$tmp/ckpt"
+    // stage the documents as the landing batch
+    Tables.documents(spark, TestSpark.sf0001).write.parquet(landing)
+    val q = Streams.streamingIngest(spark, landing, indexDir, ckpt)
+    q.awaitTermination(120000)
+    val streamed = spark.read.parquet(indexDir)
+    val batch = Engine.ingest(Tables.documents(spark, TestSpark.sf0001))
+    assert(streamed.count() == batch.count())
+    // spot-check content equality on ids + embedding head
+    val a = streamed.select($"id", element_at($"embedding", 1)).as[(String, Float)]
+      .collect().toMap
+    val b = batch.select($"id", element_at($"embedding", 1)).as[(String, Float)]
+      .collect().toMap
+    assert(a == b)
+  }
+
+  test("tumbling window agg over a streamed events table matches batch groupBy") {
+    val tmp = Files.createTempDirectory("graft-events").toString
+    val src = s"$tmp/events"
+    Tables.events(spark, TestSpark.sf0001).write.parquet(src)
+    val stream = spark.readStream.schema(Streams.eventsSchema).parquet(src)
+    val agg = Streams.tumblingCounts(stream)
+    val q = agg.writeStream.format("memory").queryName("tumbling_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // with AvailableNow + append mode, only windows below the final watermark
+    // emit; compare those against the batch computation
+    val streamed = spark.table("tumbling_out")
+      .select($"window_start", $"event_type", $"n").as[(java.sql.Timestamp, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .groupBy(window($"ts", "10 minutes").as("w"), $"event_type")
+      .agg(count(lit(1)).as("n"))
+      .select($"w.start", $"event_type", $"n").as[(java.sql.Timestamp, String, Long)]
+      .collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(streamed.nonEmpty)
+    for ((k, n) <- streamed) assert(batch(k) == n, s"window $k")
+  }
+
+  test("session windows produce bounded per-user sessions") {
+    val tmp = Files.createTempDirectory("graft-sess").toString
+    val src = s"$tmp/events"
+    Tables.events(spark, TestSpark.sf0001).write.parquet(src)
+    val stream = spark.readStream.schema(Streams.eventsSchema).parquet(src)
+    val q = Streams.sessionCounts(stream).writeStream
+      .format("memory").queryName("sessions_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val sessions = spark.table("sessions_out").collect()
+    assert(sessions.nonEmpty)
+    for (r <- sessions) {
+      assert(r.getAs[Long]("n_events") >= 1)
+      assert(!r.getAs[java.sql.Timestamp]("session_start")
+        .after(r.getAs[java.sql.Timestamp]("session_end")))
+    }
+  }
+}

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TextAnalysis
+
+class TextAnalysisSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  lazy val docs = Tables.documents(spark, TestSpark.sf0001).cache()
+
+  test("tokenStats: counts match a driver-side split") {
+    val got = TextAnalysis.tokenStats(docs)
+      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+    val local = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    for ((id, text) <- local) {
+      val toks = text.split(" ").filter(_.nonEmpty)
+      val (_, n, uniq, sumLen) = got(id)
+      assert(n == toks.length, s"doc $id n_tokens")
+      assert(uniq == toks.distinct.length, s"doc $id uniq")
+      assert(sumLen == toks.map(_.length).sum, s"doc $id sumlen")
+    }
+  }
+
+  test("quality: ratios bounded, zero-token docs score without NaN") {
+    val rows = TextAnalysis.qualityScore(docs).collect()
+    assert(rows.length == docs.count())
+    for (r <- rows) {
+      val q = r.getAs[Double]("quality")
+      val sr = r.getAs[Double]("stop_ratio")
+      assert(!q.isNaN && q >= 0.0 && q <= 1.0)
+      assert(sr >= 0.0 && sr <= 1.0)
+    }
+    // synthetic check on a crafted frame incl. empty text
+    val crafted = Seq((1L, "the the xx"), (2L, "")).toDF("doc_id", "text")
+    val out = TextAnalysis.qualityScore(crafted).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r).toMap
+    assert(out(1L).getAs[Int]("n_tokens") == 3)
+    assert(out(1L).getAs[Int]("stop_hits") == 2)
+    assert(out(2L).getAs[Double]("stop_ratio") == 0.0)
+  }
+
+  test("langId: deterministic, word-salad docs classify as en") {
+    val out = TextAnalysis.langId(docs)
+    val langs = out.groupBy("predicted_lang").count().as[(String, Long)].collect().toMap
+    // the corpus vocabulary contains 'the'/'a' -> en dominates
+    assert(langs.keySet.contains("en"))
+    assert(langs("en") > docs.count() / 2)
+    // crafted per-language fixtures
+    val crafted = Seq(
+      (1L, "der hund und die katze ist ein tier"),
+      (2L, "el perro y la casa de que un por"),
+      (3L, "le chien et la maison pour que dans"),
+      (4L, "的 是 在 了 和")).toDF("doc_id", "text")
+    val got = TextAnalysis.langId(crafted).select($"doc_id", $"predicted_lang")
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "de", 2L -> "es", 3L -> "fr", 4L -> "zh"))
+  }
+
+  test("fingerprint: equal for identical text, stable under prefix padding semantics") {
+    val crafted = Seq(
+      (1L, "abcdefgh12345678"), (2L, "abcdefgh12345678"), (3L, "completely other")
+    ).toDF("doc_id", "text")
+    val fp = TextAnalysis.fingerprint(crafted).as[(Long, String)].collect().toMap
+    assert(fp(1L) == fp(2L))
+    assert(fp(1L) != fp(3L))
+    // empty text still yields a fingerprint (sha of empty substring)
+    val e = TextAnalysis.fingerprint(Seq((9L, "")).toDF("doc_id", "text"))
+      .as[(Long, String)].collect().toMap
+    assert(e(9L).nonEmpty)
+  }
+}
