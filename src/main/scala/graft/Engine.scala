@@ -59,6 +59,42 @@ object Engine {
     incoming.unionByName(
       existing.join(incoming.select("id"), Seq("id"), "left_anti"))
 
+  /** S4 (main.py:26-62): idempotent index bootstrap — create the partitioned
+    * parquet index table iff absent. mode("ignore") is the CREATE TABLE IF
+    * NOT EXISTS of the path-based world. */
+  /** Canonical index-table schema (SURVEY §1.3). */
+  val indexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("id", StringType, nullable = false),
+      StructField("doc_id", LongType, nullable = false),
+      StructField("chunk_idx", IntegerType, nullable = false),
+      StructField("text", StringType, nullable = false),
+      StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("source", StringType, nullable = false)))
+  }
+
+  def createIndexIfMissing(spark: SparkSession, path: String): Unit =
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], indexSchema)
+      .write.mode("ignore").partitionBy("source").parquet(path)
+
+  /** S5 physical write (main.py:172): re-ingesting a document set replaces
+    * exactly the `source` partitions present in the batch (dynamic partition
+    * overwrite) — the reference's replace-by-id for whole-document re-ingest,
+    * without rewriting untouched partitions. Partitioning by `source` also
+    * gives partition pruning for per-source search (SURVEY §4). */
+  def writeIndex(index: DataFrame, path: String): Unit = {
+    val spark = index.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    index.write.mode("overwrite").partitionBy("source").parquet(path)
+  }
+
+  /** Load the index table back (partition-pruned on source filters). The
+    * schema is supplied explicitly so a freshly-bootstrapped (empty) index
+    * reads cleanly. */
+  def readIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.schema(indexSchema).parquet(path)
+
   /** Score every chunk against an already-embedded query vector. */
   def score(index: DataFrame, queryVec: Column): DataFrame =
     index.withColumn("score", cosine_similarity(col("embedding"), queryVec))

@@ -1,0 +1,90 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-corpus sources mirroring the reference's ingest source resolution
+  * (SURVEY §2.1 S1-S3, §3.2):
+  *
+  *  - S2: directory glob (`*.pdf` under the corpus dir) via `binaryFile` with
+  *    `pathGlobFilter`; an empty match set raises (the reference's 404,
+  *    /root/reference/main.py:267-279)
+  *  - S3: single named file with an existence predicate (404 if missing,
+  *    main.py:260-265)
+  *  - S1: per-file text extraction behind a pluggable extractor boundary.
+  *    PDF parsing libraries aren't available in this environment, so the
+  *    default extractor is a clearly-marked stub (UTF-8 passthrough); the
+  *    real one would be an Apache-PDFBox call with the same signature. Per
+  *    the reference (main.py:106-115) a real extractor must join pages with
+  *    a trailing "\n" per page.
+  *
+  * Extraction is error-tolerant per file (A2, main.py:281-302): failures
+  * land in an `error` column instead of failing the job, and
+  * `ingestReport` reproduces the reference's fold — total chunks, processed
+  * titles, per-file errors, and the "all failed" signal.
+  */
+object PdfCorpusSource {
+
+  /** S1 extraction boundary: bytes -> text. Swap for PDFBox in production. */
+  type TextExtractor = Array[Byte] => String
+
+  /** STUB extractor: UTF-8 passthrough (??? real PDF decode unavailable in
+    * this container). Contract and wiring are the real thing. */
+  val utf8Passthrough: TextExtractor = bytes => new String(bytes, "UTF-8")
+
+  /** S2: glob a corpus directory. Raises IllegalArgumentException("No PDF
+    * files found...") on an empty match, mirroring main.py:271-279. */
+  def corpusDir(spark: SparkSession, dir: String, glob: String = "*.pdf"): DataFrame = {
+    val df = spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob).load(dir)
+      .select(col("path"), col("content"))
+    if (df.isEmpty)
+      throw new IllegalArgumentException(s"No PDF files found in $dir")
+    df
+  }
+
+  /** S3: a single named file; IllegalArgumentException if absent
+    * (main.py:262-263). */
+  def singleFile(spark: SparkSession, path: String): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p))
+      throw new IllegalArgumentException(s"PDF file not found: $path")
+    spark.read.format("binaryFile").load(path).select(col("path"), col("content"))
+  }
+
+  /** S1 + P1: extract text per file (error-tolerant) and derive the title
+    * from the basename with replace-all ".pdf" semantics (main.py:287).
+    * Output: (path, source, text, error) — error null on success. */
+  def extract(files: DataFrame, extractor: TextExtractor = utf8Passthrough): DataFrame = {
+    val ex = udf((bytes: Array[Byte]) =>
+      try (extractor(bytes), null: String)
+      catch { case e: Throwable =>
+        (null: String, s"${e.getClass.getSimpleName}: ${e.getMessage}")
+      })
+    files
+      .withColumn("source",
+        expr("replace(element_at(split(path, '/'), -1), '.pdf', '')"))
+      .withColumn("x", ex(col("content")))
+      .select(col("path"), col("source"),
+        col("x._1").as("text"), col("x._2").as("error"))
+  }
+
+  /** A2: the reference's ingest fold — continue on per-file failure, error
+    * out only if nothing succeeded (main.py:281-302). Returns one row:
+    * (ingested_count, pdfs_processed, n_failed, failed_sources). */
+  def ingestReport(extracted: DataFrame): DataFrame = {
+    val chunked = graft.Engine.chunks(
+      extracted.filter(col("error").isNull)
+        .withColumn("doc_id", monotonically_increasing_id())
+        .select(col("doc_id"), col("source"), col("text")))
+    val ok = chunked.groupBy("source").agg(count(lit(1)).as("n_chunks"))
+    val okAgg = ok.agg(
+      coalesce(sum("n_chunks"), lit(0L)).as("ingested_count"),
+      sort_array(collect_list(col("source"))).as("pdfs_processed"))
+    val failed = extracted.filter(col("error").isNotNull)
+      .agg(count(lit(1)).as("n_failed"),
+        sort_array(collect_list(col("source"))).as("failed_sources"))
+    okAgg.crossJoin(failed)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.PdfCorpusSource
+
+class SourcesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  def mkCorpus(): String = {
+    val dir = Files.createTempDirectory("graft-corpus")
+    Files.write(dir.resolve("AA_UF.pdf"), "university of florida transfer credits agreement".getBytes)
+    Files.write(dir.resolve("AA_GaTech.pdf"), "georgia tech articulation agreement details".getBytes)
+    Files.write(dir.resolve("notes.txt"), "not a pdf".getBytes)
+    dir.toString
+  }
+
+  test("S2 glob source: only *.pdf files, titles from basename") {
+    val dir = mkCorpus()
+    val files = PdfCorpusSource.corpusDir(spark, dir)
+    assert(files.count() == 2)
+    val ex = PdfCorpusSource.extract(files)
+    val sources = ex.select("source").as[String].collect().sorted
+    assert(sources.toSeq == Seq("AA_GaTech", "AA_UF"))
+    assert(ex.filter($"error".isNotNull).count() == 0)
+  }
+
+  test("S2: empty corpus dir raises (404 semantics)") {
+    val empty = Files.createTempDirectory("graft-empty").toString
+    intercept[IllegalArgumentException] {
+      PdfCorpusSource.corpusDir(spark, empty)
+    }
+  }
+
+  test("S3: single file; missing file raises") {
+    val dir = mkCorpus()
+    val one = PdfCorpusSource.singleFile(spark, s"$dir/AA_UF.pdf")
+    assert(one.count() == 1)
+    intercept[IllegalArgumentException] {
+      PdfCorpusSource.singleFile(spark, s"$dir/nope.pdf")
+    }
+  }
+
+  test("A2 fold: per-file failure tolerated, report aggregates both sides") {
+    val dir = mkCorpus()
+    val failing: PdfCorpusSource.TextExtractor = bytes => {
+      val s = new String(bytes, "UTF-8")
+      if (s.startsWith("georgia")) throw new RuntimeException("corrupt PDF")
+      s
+    }
+    val ex = PdfCorpusSource.extract(PdfCorpusSource.corpusDir(spark, dir), failing)
+    assert(ex.filter($"error".isNotNull).count() == 1)
+    val report = PdfCorpusSource.ingestReport(ex).collect()(0)
+    assert(report.getAs[Long]("ingested_count") == 1L) // one short doc -> one chunk
+    assert(report.getAs[scala.collection.Seq[String]]("pdfs_processed").toSeq == Seq("AA_UF"))
+    assert(report.getAs[Long]("n_failed") == 1L)
+    assert(report.getAs[scala.collection.Seq[String]]("failed_sources").toSeq == Seq("AA_GaTech"))
+  }
+
+  test("S4/S5: create-if-missing idempotent; dynamic overwrite replaces only re-ingested sources") {
+    val path = Files.createTempDirectory("graft-index").toString + "/index"
+    Engine.createIndexIfMissing(spark, path)
+    Engine.createIndexIfMissing(spark, path) // idempotent
+    assert(Engine.readIndex(spark, path).count() == 0)
+
+    val v1 = Engine.ingest(Seq(
+      (0L, "alpha " * 10, "srcA"), (1L, "beta " * 10, "srcB")
+    ).toDF("doc_id", "text", "source"))
+    Engine.writeIndex(v1, path)
+    assert(Engine.readIndex(spark, path).count() == 2)
+
+    // re-ingest only srcA with different content: srcB rows must survive
+    val v2 = Engine.ingest(Seq((0L, "gamma " * 10, "srcA")).toDF("doc_id", "text", "source"))
+    Engine.writeIndex(v2, path)
+    val after = Engine.readIndex(spark, path)
+    assert(after.count() == 2)
+    val texts = after.select($"source", $"text").as[(String, String)].collect().toMap
+    assert(texts("srcA").startsWith("gamma"))
+    assert(texts("srcB").startsWith("beta"))
+    // partition pruning: source filter reads one partition directory
+    val pruned = after.filter($"source" === "srcA")
+    assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(source"))
+  }
+
+  test("end-to-end: corpus dir -> extract -> ingest -> search finds the right doc") {
+    val dir = mkCorpus()
+    val ex = PdfCorpusSource.extract(PdfCorpusSource.corpusDir(spark, dir))
+      .filter($"error".isNull)
+      .withColumn("doc_id", monotonically_increasing_id())
+      .select($"doc_id", $"source", $"text")
+    val index = Engine.ingest(ex)
+    val exact = "university of florida transfer credits agreement"
+    val hits = Engine.search(index, exact, 1).collect()
+    assert(hits.length == 1)
+    assert(hits(0).getAs[String]("source") == "AA_UF")
+    assert(math.abs(hits(0).getAs[Double]("score") - 1.0) < 1e-12)
+  }
+}
