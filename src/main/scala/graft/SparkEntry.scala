@@ -180,6 +180,13 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       Similarity.lshTopK(e, q, 3)
+    }),
+    // extension: IVF (KMeans-cell) approximate top-k (rows-only check)
+    "q30_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      Similarity.ivfTopK(e, q, 3)
     }))
 
   // ---------------------------------------------------------------- oracle —
@@ -347,7 +354,8 @@ FROM events GROUP BY event_type""",
       s"""WITH $dkTok
 SELECT doc_id, CAST(len(toks) AS INTEGER) AS n_tokens,
   CAST(len(list_distinct(toks)) AS INTEGER) AS n_uniq_tokens,
-  CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS INTEGER) AS sum_token_len
+  CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS INTEGER) AS sum_token_len,
+  CAST(len(regexp_extract_all(text, '${TextAnalysis.subtokenRegex}')) AS INTEGER) AS n_subtokens
 FROM tok""",
     "q18_quality" ->
       s"""WITH $dkTok,

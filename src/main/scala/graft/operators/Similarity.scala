@@ -1,5 +1,6 @@
 package graft.operators
 
+import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
@@ -53,6 +54,45 @@ object Similarity {
       array_to_vector(col(inCol).cast("array<double>")))
     new Normalizer().setInputCol("vec").setOutputCol("nvec").setP(2.0)
       .transform(withVec)
+  }
+
+  /** IVF (inverted-file) approximate top-k: KMeans-partition the corpus into
+    * `nLists` cells on normalized vectors, probe only the `nProbe` cells
+    * whose centroids are closest to each query, exact cosine inside probed
+    * cells. The classic vector-DB scale path: per-query work is
+    * corpus/nLists * nProbe, and the cell assignment is a one-off batch job
+    * whose output can be written as a `cell`-partitioned table for partition
+    * pruning. Deterministic under the fixed seed. */
+  def ivfTopK(items: DataFrame, queries: DataFrame, k: Int,
+              nLists: Int = 16, nProbe: Int = 4): DataFrame = {
+    val ni = normalized(items, "embedding")
+    val km = new KMeans().setK(nLists).setSeed(42L)
+      .setFeaturesCol("nvec").setPredictionCol("cell")
+    val model = km.fit(ni)
+    val assigned = model.transform(ni).select(
+      col("vec_id"), col("embedding"), col("cell"))
+    // centroid table is tiny: broadcast-join queries x centroids, keep nProbe
+    val spark = items.sparkSession
+    import spark.implicits._
+    val centroids = model.clusterCenters.zipWithIndex.map { case (c, i) =>
+      (i, c.toArray.map(_.toFloat))
+    }.toSeq.toDF("cell", "centroid")
+    val nq = normalized(queries, "query_embedding")
+      .select(col("query_id"), col("query_embedding"),
+        vector_to_array(col("nvec")).cast("array<float>").as("nvec_arr"))
+    val probeW = Window.partitionBy("query_id").orderBy(desc("cscore"), asc("cell"))
+    val probes = nq.crossJoin(broadcast(centroids))
+      .withColumn("cscore", cosine_similarity(col("nvec_arr"), col("centroid")))
+      .withColumn("crnk", row_number().over(probeW))
+      .filter(col("crnk") <= nProbe)
+      .select(col("query_id"), col("query_embedding"), col("cell"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    assigned.join(broadcast(probes), Seq("cell"))
+      .withColumn("score", cosine_similarity(col("embedding"), col("query_embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"),
+        round(col("score"), 4).as("score"))
   }
 
   /** Approximate nearest neighbours via LSH: normalize (cosine == L2 on the

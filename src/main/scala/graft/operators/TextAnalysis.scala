@@ -32,14 +32,21 @@ object TextAnalysis {
   private def hitsExpr(ws: Seq[String]): String =
     s"size(filter(toks, t -> t IN (${sqlList(ws)})))"
 
-  /** Token counting: total / distinct tokens and total token length (all
-    * integers — exactly comparable across engines). */
+  /** BPE-ish subword tokenizer regex: runs of letters, runs of digits, or a
+    * single other non-space char — the pre-tokenization split GPT-style BPE
+    * vocabularies assume. */
+  val subtokenRegex = "[a-z]+|[0-9]+|[^a-z0-9 ]"
+
+  /** Token counting: whitespace tokens (total / distinct / total length) and
+    * BPE-ish subword count (all integers — exactly comparable across
+    * engines). */
   def tokenStats(docs: DataFrame): DataFrame =
     docs.withColumn("toks", expr(tokensExpr)).selectExpr(
       "doc_id",
       "size(toks) AS n_tokens",
       "size(array_distinct(toks)) AS n_uniq_tokens",
-      "aggregate(toks, 0, (acc, t) -> acc + length(t)) AS sum_token_len")
+      "aggregate(toks, 0, (acc, t) -> acc + length(t)) AS sum_token_len",
+      s"size(regexp_extract_all(text, '$subtokenRegex', 0)) AS n_subtokens")
 
   /** Quality scoring: stopword ratio, punctuation ratio, and a bounded
     * composite score — the length/punct/stopword heuristics a pretraining

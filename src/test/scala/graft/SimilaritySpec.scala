@@ -53,6 +53,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(pairs.forall(_._3 >= 0.3))
   }
 
+  test("ivfTopK: self retrieved at rank 1; results subset of probed-cell scoring") {
+    val ivf = Similarity.ivfTopK(emb, queries, 3)
+      .as[(Long, Long, Int, Double)].collect()
+    val byQ = ivf.groupBy(_._1)
+    assert(byQ.keySet == (0L until 5L).toSet)
+    for ((qid, rows) <- byQ) {
+      val r1 = rows.minBy(_._3)
+      assert(r1._2 == qid, s"query $qid should retrieve itself from its own cell")
+      assert(r1._4 == 1.0)
+      assert(rows.map(_._3).sorted.toSeq == (1 to rows.length).toSeq)
+    }
+    // deterministic across runs (fixed seed)
+    val again = Similarity.ivfTopK(emb, queries, 3)
+      .as[(Long, Long, Int, Double)].collect()
+    assert(again.toSet == ivf.toSet)
+  }
+
   test("lshTopK: recovers the exact top-1 (self) and plausible neighbours") {
     val lsh = Similarity.lshTopK(emb, queries, 3)
       .as[(Long, Long, Int, Double)].collect()

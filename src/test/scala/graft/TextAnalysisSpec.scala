@@ -13,15 +13,21 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   test("tokenStats: counts match a driver-side split") {
     val got = TextAnalysis.tokenStats(docs)
-      .as[(Long, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
+      .as[(Long, Int, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
     val local = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+    val subRe = TextAnalysis.subtokenRegex.r
     for ((id, text) <- local) {
       val toks = text.split(" ").filter(_.nonEmpty)
-      val (_, n, uniq, sumLen) = got(id)
+      val (_, n, uniq, sumLen, nSub) = got(id)
       assert(n == toks.length, s"doc $id n_tokens")
       assert(uniq == toks.distinct.length, s"doc $id uniq")
       assert(sumLen == toks.map(_.length).sum, s"doc $id sumlen")
+      assert(nSub == subRe.findAllIn(text).length, s"doc $id subtokens")
     }
+    // BPE-ish split: mixed content
+    val crafted = Seq((1L, "abc123 de-f 9")).toDF("doc_id", "text")
+    val r = TextAnalysis.tokenStats(crafted).as[(Long, Int, Int, Int, Int)].head()
+    assert(r._5 == 6) // abc,123,de,-,f,9
   }
 
   test("quality: ratios bounded, zero-token docs score without NaN") {
