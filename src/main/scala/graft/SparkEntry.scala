@@ -187,6 +187,18 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       Similarity.ivfTopK(e, q, 3)
+    }),
+    // custom physical operator: grouped top-k via bounded per-group heaps
+    // (partial/final phases around one exchange) — same semantics as q23
+    "q31_ann_topk_custom" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      val scored = Similarity.cosineScores(e, q).select("query_id", "vec_id", "score")
+      graft.plans.GroupedTopK(scored,
+          Seq(col("query_id")), Seq(desc("score"), asc("vec_id")), 3)
+        .select(col("query_id"), col("vec_id"), col("rank").as("rnk"),
+          round(col("score"), 4).as("score"))
     }))
 
   // ---------------------------------------------------------------- oracle —
@@ -256,6 +268,22 @@ object SparkEntry {
     s"sha256(${(0 until 4).map(j => s"m${4 * b + j}").mkString(" || ")})"
   private val dkBandCols: Seq[String] =
     (0 until 4).map(b => s"${dkBandKey(b)} AS band$b")
+
+  /** DuckDB: exact per-query cosine top-3 (shared by q23 and q31 — the
+    * Window and custom-GroupedTopK plans must both match it). */
+  private val annTopKOracle: String =
+    """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+  s AS (SELECT q.qid AS query_id, e.vec_id,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))) AS dot,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) AS na,
+    list_sum(list_transform(range(1, 65), i -> CAST(q.qe[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))) AS nb
+  FROM embeddings e CROSS JOIN q),
+  sc AS (SELECT query_id, vec_id,
+    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END AS score FROM s),
+  r AS (SELECT query_id, vec_id,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
+    score FROM sc)
+SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
 
   private val centsE = "CAST(round(l_extendedprice * 100) AS BIGINT)"
   private val centsD = "CAST(round(l_discount * 100) AS BIGINT)"
@@ -397,19 +425,8 @@ FROM documents GROUP BY 1""",
     "q22_jaccard_pairs" ->
       s"""$dkJaccard
 SELECT doc_a, doc_b, common, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.5""",
-    "q23_ann_topk" ->
-      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
-  s AS (SELECT q.qid AS query_id, e.vec_id,
-    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))) AS dot,
-    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) AS na,
-    list_sum(list_transform(range(1, 65), i -> CAST(q.qe[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))) AS nb
-  FROM embeddings e CROSS JOIN q),
-  sc AS (SELECT query_id, vec_id,
-    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END AS score FROM s),
-  r AS (SELECT query_id, vec_id,
-    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
-    score FROM sc)
-SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3""",
+    "q23_ann_topk" -> annTopKOracle,
+    "q31_ann_topk_custom" -> annTopKOracle,
     "q24_knn_pairs" ->
       """WITH s AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
     list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) AS dot,
