@@ -134,6 +134,28 @@ object Engine {
       .agg(count(lit(1)).as("total_results"), contextColumn.as("context"))
       .select(lit(query).as("query"), col("total_results"), col("context"))
 
+  /** Batch multi-query search (SURVEY §2.7): the flagship search over a SET
+    * of queries at once. Queries embed once each on their own (tiny) side,
+    * broadcast against the index — the corpus never shuffles — and per-query
+    * top-k runs through the custom GroupedTopK operator (bounded heaps, no
+    * full sort). Output: (query, rank, id, source, text, score). */
+  def searchMany(index: DataFrame, queries: Seq[String], k: Int = 5,
+                 dim: Int = HashEmbed.DefaultDim): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_.trim.nonEmpty))
+    val spark = index.sparkSession
+    import spark.implicits._
+    val q = queries.toDF("query")
+      .withColumn("qvec", hash_embed(col("query"), dim))
+    val scored = index.crossJoin(broadcast(q))
+      .withColumn("score", cosine_similarity(col("embedding"), col("qvec")))
+      .filter(length(col("text")) > 0)
+      .select(col("query"), col("id"), col("source"), col("text"), col("score"))
+    graft.plans.GroupedTopK(scored,
+        Seq(col("query")), Seq(desc("score"), asc("id")), k)
+      .select(col("query"), col("rank"), col("id"), col("source"),
+        col("text"), col("score"))
+  }
+
   /** Index stats (main.py:240, main.py:350): per-source vector counts. */
   def statsBySource(index: DataFrame): DataFrame =
     index.groupBy("source").agg(count(lit(1)).as("vector_count"))

@@ -22,6 +22,13 @@ object SparkEntry {
 
   private val Q = "transfer credits" // test_api.sh:52-56 fixture query
 
+  /** Batch-search fixture set: both smoke-script queries + extras. */
+  private val QBatch = Seq(
+    "transfer credits",
+    "What are the articulation agreements for University of Florida?",
+    "spark window agg",
+    "customer order batch")
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     GraftFunctions.register(spark)
@@ -199,7 +206,13 @@ object SparkEntry {
           Seq(col("query_id")), Seq(desc("score"), asc("vec_id")), 3)
         .select(col("query_id"), col("vec_id"), col("rank").as("rnk"),
           round(col("score"), 4).as("score"))
-    }))
+    }),
+    // extension: batch multi-query flagship search (broadcast query set +
+    // GroupedTopK; the corpus side never shuffles)
+    "q32_search_batch" -> ((s, dir) =>
+      Engine.searchMany(Engine.ingest(docs(s, dir)), QBatch, 5)
+        .select(col("query"), col("rank"), col("id"), col("source"),
+          round(col("score"), 4).as("score"))))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -450,6 +463,21 @@ SELECT doc_id, ${dkBandCols.mkString(", ")} FROM sig""",
       AND x.doc_id < y.doc_id)
 SELECT j.doc_a, j.doc_b, j.common, round(j.jaccard, 6) AS jaccard
 FROM jac j JOIN cand USING (doc_a, doc_b) WHERE j.jaccard >= 0.5""",
+    "q32_search_batch" -> {
+      val valuesList = QBatch.map(q => s"('$q')").mkString(", ")
+      s"""WITH $dkChunks,
+  chex AS (SELECT id, source, text, sha256(text) AS hx FROM chunks),
+  cvec AS (SELECT id, source, text, ${dkVec("hx")} AS emb FROM chex),
+  qs AS (SELECT query FROM (VALUES $valuesList) AS t(query)),
+  qv AS (SELECT query, ${dkVec("sha256(query)")} AS qv FROM qs),
+  scored AS (SELECT q.query, c.id, c.source,
+      ${dkDot("c.emb", "q.qv")} / (sqrt(${dkDot("c.emb", "c.emb")}) * sqrt(${dkDot("q.qv", "q.qv")})) AS score
+    FROM cvec c CROSS JOIN qv q WHERE length(c.text) > 0),
+  r AS (SELECT query, id, source,
+    CAST(row_number() OVER (PARTITION BY query ORDER BY score DESC, id ASC) AS INTEGER) AS "rank",
+    score FROM scored)
+SELECT query, "rank", id, source, round(score, 4) AS score FROM r WHERE "rank" <= 5"""
+    },
     "q27_simhash" ->
       s"""WITH $dkTok,
   hs AS (SELECT doc_id, list_transform(toks, t -> sha256(t)) AS hashes FROM tok)

@@ -66,6 +66,18 @@ class EngineSpec extends AnyFunSuite {
     assert(merged == Map("a_0" -> "new0", "a_1" -> "old1", "b_0" -> "keep"))
   }
 
+  test("searchMany: per-query results equal single-query search") {
+    val qs = Seq("transfer credits", "spark window agg")
+    val batch = Engine.searchMany(index, qs, 3)
+      .select($"query", $"rank", $"id").as[(String, Int, String)].collect()
+      .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+    for (q <- qs) {
+      val single = Engine.search(index, q, 3).orderBy(desc("score"), asc("id"))
+        .select($"id").as[String].collect().toSeq
+      assert(batch(q) == single, s"query '$q'")
+    }
+  }
+
   test("stats: per-source counts sum to total; dimension constant") {
     val bySource = Engine.statsBySource(index).as[(String, Long)].collect().toMap
     val total = Engine.statsTotal(index).collect()(0)
