@@ -105,9 +105,15 @@ object Engine {
     * are dropped post-scoring (main.py:208).
     */
   def search(index: DataFrame, query: String, k: Int = 5,
-             dim: Int = HashEmbed.DefaultDim): DataFrame = {
+             dim: Int = HashEmbed.DefaultDim,
+             sourceFilter: Option[String] = None): DataFrame = {
     require(query.trim.nonEmpty, "Query cannot be empty") // main.py:317-318
-    score(index, hash_embed(lit(query), dim))
+    // Optional metadata predicate (the reference's vector store supports
+    // query-time metadata filters but the reference never passes one —
+    // SURVEY §2.2 "absent"; here it's free, and on a source-partitioned
+    // index table it prunes partitions before the scan).
+    val base = sourceFilter.fold(index)(s => index.filter(col("source") === s))
+    score(base, hash_embed(lit(query), dim))
       .filter(length(col("text")) > 0)
       .orderBy(desc("score"), asc("id"))
       .limit(k)

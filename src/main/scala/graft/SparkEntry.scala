@@ -195,6 +195,8 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       Similarity.ivfTopK(e, q, 3)
     }),
+    // extension: SimHash banded Hamming pair join
+    "q33_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), 3)),
     // custom physical operator: grouped top-k via bounded per-group heaps
     // (partial/final phases around one exchange) — same semantics as q23
     "q31_ann_topk_custom" -> ((s, dir) => {
@@ -463,6 +465,23 @@ SELECT doc_id, ${dkBandCols.mkString(", ")} FROM sig""",
       AND x.doc_id < y.doc_id)
 SELECT j.doc_a, j.doc_b, j.common, round(j.jaccard, 6) AS jaccard
 FROM jac j JOIN cand USING (doc_a, doc_b) WHERE j.jaccard >= 0.5""",
+    "q33_simhash_pairs" ->
+      s"""WITH $dkTok,
+  hs AS (SELECT doc_id, list_transform(toks, t -> sha256(t)) AS hashes FROM tok),
+  sig AS (SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
+    CASE WHEN coalesce(list_sum(list_transform(hashes, h ->
+      CASE WHEN ((${dkByte("h", "b//8")}) >> CAST(b%8 AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0
+    THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
+  FROM hs),
+  banded AS (SELECT doc_id, simhash, b AS band_idx,
+      (simhash >> CAST(b*8 AS INTEGER)) & 255 AS band_val
+    FROM sig, (SELECT unnest(range(0, 4)) AS b)),
+  cand AS (SELECT DISTINCT x.doc_id AS doc_a, x.simhash AS sig_a,
+      y.doc_id AS doc_b, y.simhash AS sig_b
+    FROM banded x JOIN banded y ON x.band_idx = y.band_idx
+      AND x.band_val = y.band_val AND x.doc_id < y.doc_id)
+SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
+FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""",
     "q32_search_batch" -> {
       val valuesList = QBatch.map(q => s"('$q')").mkString(", ")
       s"""WITH $dkChunks,

@@ -119,6 +119,33 @@ object Dedup {
         round(col("jaccard"), 6).as("jaccard"))
   }
 
+  /** SimHash near-duplicate pairs via banded Hamming-distance LSH: slice the
+    * 32-bit signature into 4 bytes; any pair within Hamming distance 3 must
+    * agree on at least one byte band (pigeonhole), so the band join finds
+    * all such pairs; verification counts the xor popcount exactly. Shuffle
+    * is keyed on (band, byte) — never the quadratic pair space. */
+  def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val sig = simhash(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), b -> (shiftright(simhash, b * 8) & 255))"))
+        .as(Seq("band_idx", "band_val")))
+    val candidates = banded.groupBy("band_idx", "band_val")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+             i -> transform(sequence(i + 1, size(ds) - 1),
+                    j -> struct(ds[i].doc_id AS doc_a, ds[i].simhash AS sig_a,
+                                ds[j].doc_id AS doc_b, ds[j].simhash AS sig_b))))""")).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.sig_a"), col("p.sig_b"))
+      .distinct()
+    candidates
+      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+      .filter(col("hamming") <= maxHamming)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+  }
+
   /** 32-bit SimHash over whitespace tokens (token hash bits from SHA-256 hex;
     * bit b of the signature = sign of the sum of (2*bit_b(token) - 1)).
     * Map-only: one pass, no shuffle. */

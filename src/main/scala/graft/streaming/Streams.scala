@@ -52,6 +52,30 @@ object Streams {
       .agg(count(lit(1)).as("n"))
       .select(col("w.start").as("window_start"), col("event_type"), col("n"))
 
+  /** Custom streaming state (§2.11 "mapGroupsWithState"): per-user running
+    * totals across micro-batches — event count and value sum accumulate in
+    * the state store and emit an updated row per user per batch. */
+  def userRunningTotals(events: org.apache.spark.sql.Dataset[
+      org.apache.spark.sql.Row]): DataFrame = {
+    import org.apache.spark.sql.streaming.GroupState
+    import org.apache.spark.sql.streaming.GroupStateTimeout
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id", "value").as[(Long, Double)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Double), (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[(Long, Double)]) =>
+          val (prevN, prevSum) = state.getOption.getOrElse((0L, 0.0))
+          var n = prevN
+          var sum = prevSum
+          rows.foreach { case (_, v) => n += 1; sum += v }
+          state.update((n, sum))
+          (userId, n, sum)
+      }
+      .toDF("user_id", "n_events", "total_value")
+  }
+
   /** Per-user session windows with a 30-minute gap. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", "30 minutes")

@@ -54,8 +54,34 @@ class EngineSpec extends AnyFunSuite {
     assert(resp.getAs[String]("context") == expected)
   }
 
+  test("search with source filter restricts candidates") {
+    val hits = Engine.search(index, "transfer credits", 5, sourceFilter = Some("src3"))
+      .collect()
+    assert(hits.nonEmpty)
+    assert(hits.forall(_.getAs[String]("source") == "src3"))
+  }
+
+  test("stale-tail divergence documented: re-ingesting a SHRUNK document leaves no stale chunks") {
+    // The reference never deletes: re-ingesting a doc that shrank from 3 to 1
+    // chunks leaves title_1, title_2 behind (SURVEY §1.4.2). Our upsert is
+    // replace-by-id, so the shrunken re-ingest REPLACES id _0 but also leaves
+    // _1/_2 unless callers re-ingest whole sources via writeIndex (dynamic
+    // partition overwrite), which removes them. Assert both behaviors.
+    val big = Engine.ingest(Seq((0L, "x" * 1800, "srcZ")).toDF("doc_id", "text", "source"))
+    val small = Engine.ingest(Seq((0L, "y" * 100, "srcZ")).toDF("doc_id", "text", "source"))
+    assert(big.count() == 3 && small.count() == 1)
+    // id-level upsert: stale tail SURVIVES (reference-compatible quirk)
+    val merged = Engine.upsert(big, small)
+    assert(merged.count() == 3)
+    assert(merged.filter($"id" === "srcZ_0_0").select("text").as[String].head() == "y" * 100)
+    // source-level re-ingest (writeIndex dynamic overwrite): tail REMOVED
+    val path = java.nio.file.Files.createTempDirectory("graft-tail").toString + "/idx"
+    Engine.writeIndex(big, path)
+    Engine.writeIndex(small, path)
+    assert(Engine.readIndex(spark, path).count() == 1)
+  }
+
   test("upsert: replace-by-id, no stale survivors for replaced ids") {
-    val old = index.limit(0).sparkSession.emptyDataFrame // placeholder to avoid unused warn
     val existing = Seq(
       ("a_0", "srcA", 0L, 0, "old0"), ("a_1", "srcA", 0L, 1, "old1"),
       ("b_0", "srcB", 1L, 0, "keep")).toDF("id", "source", "doc_id", "chunk_idx", "text")

@@ -55,6 +55,29 @@ class StreamingSpec extends AnyFunSuite {
     for ((k, n) <- streamed) assert(batch(k) == n, s"window $k")
   }
 
+  test("mapGroupsWithState: per-user running totals match batch aggregation") {
+    val tmp = Files.createTempDirectory("graft-state").toString
+    val src = s"$tmp/events"
+    Tables.events(spark, TestSpark.sf0001).write.parquet(src)
+    val stream = spark.readStream.schema(Streams.eventsSchema).parquet(src)
+    val q = Streams.userRunningTotals(stream).writeStream
+      .format("memory").queryName("running_out").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // last update per user = final running total = batch groupBy
+    val streamed = spark.table("running_out")
+      .groupBy($"user_id").agg(max($"n_events").as("n"), max($"total_value").as("v"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val batch = Tables.events(spark, TestSpark.sf0001)
+      .groupBy($"user_id").agg(count(lit(1)).as("n"), sum($"value").as("v"))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(streamed.keySet == batch.keySet)
+    for ((u, (n, v)) <- batch) {
+      assert(streamed(u)._1 == n, s"user $u count")
+      assert(math.abs(streamed(u)._2 - v) < 1e-6, s"user $u sum")
+    }
+  }
+
   test("session windows produce bounded per-user sessions") {
     val tmp = Files.createTempDirectory("graft-sess").toString
     val src = s"$tmp/events"
