@@ -130,20 +130,19 @@ object Dedup {
       posexplode(expr(
         "transform(sequence(0, 3), b -> (shiftright(simhash, b * 8) & 255))"))
         .as(Seq("band_idx", "band_val")))
-    val candidates = banded.groupBy("band_idx", "band_val")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("simhash")))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(expr(
-        """flatten(transform(sequence(0, size(ds) - 2),
-             i -> transform(sequence(i + 1, size(ds) - 1),
-                    j -> struct(ds[i].doc_id AS doc_a, ds[i].simhash AS sig_a,
-                                ds[j].doc_id AS doc_b, ds[j].simhash AS sig_b))))""")).as("p"))
-      .select(col("p.doc_a"), col("p.doc_b"), col("p.sig_a"), col("p.sig_b"))
-      .distinct()
-    candidates
-      .withColumn("hamming", expr("bit_count(sig_a ^ sig_b)"))
+    // Signatures cluster on real corpora (shared vocabulary), so band
+    // buckets are skewed and the candidate space is large. Stream candidates
+    // through an equi-join (no per-bucket array materialization) and verify
+    // the Hamming distance BEFORE the distinct, so the dedup shuffle only
+    // carries surviving pairs.
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_val") === col("y.band_val") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        expr("bit_count(x.simhash ^ y.simhash)").as("hamming"))
       .filter(col("hamming") <= maxHamming)
-      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .distinct()
   }
 
   /** 32-bit SimHash over whitespace tokens (token hash bits from SHA-256 hex;

@@ -75,6 +75,22 @@ class DedupSpec extends AnyFunSuite {
     if (exact.nonEmpty) assert(lsh.nonEmpty) // high-sim pairs should collide in >=1 band
   }
 
+  test("simhashPairs: exact dups found with hamming 0; complete for d<=3 (vs exhaustive)") {
+    val pairs = Dedup.simhashPairs(crafted, 3)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(pairs((1L, 2L)) == 0)
+    // banded-LSH completeness: compare against exhaustive hamming on real docs
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val sigs = Dedup.simhash(docs).as[(Long, Long)].collect()
+    val exhaustive = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 3
+    } yield (a, b) -> h).toMap
+    val lsh = Dedup.simhashPairs(docs, 3)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(lsh == exhaustive)
+  }
+
   test("simhash: identical text -> identical signature; near-dup closer than unrelated") {
     val sig = Dedup.simhash(crafted).as[(Long, Long)].collect().toMap
     assert(sig(1L) == sig(2L))
