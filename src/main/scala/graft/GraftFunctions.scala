@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{ChunkText, CosineSimilarity, HashEmbed}
+import graft.functions.{ChunkText, CosineSimilarity, HashEmbed, SimHash}
 
 /** Column-API + SQL-registry surface for the custom Catalyst expressions.
   *
@@ -30,6 +30,10 @@ object GraftFunctions {
                  size: Int = ChunkText.DefaultSize,
                  overlap: Int = ChunkText.DefaultOverlap): Column =
     col(ChunkText(ex(text), Literal(size), Literal(overlap)))
+
+  /** 32-bit SimHash signature of a token array (Dedup extension). */
+  def simhash_sig(tokens: Column, bits: Int = 32): Column =
+    col(SimHash(ex(tokens), bits))
 
   /** Register `hash_embed`, `cosine_similarity`, `chunk_text` for SQL use.
     * Idempotent per session. */

@@ -36,13 +36,18 @@ object SparkEntry {
     Engine.search(index, Q, 5)
   }
 
-  /** Session tuning applied before every query. InferFiltersFromGenerate
-    * duplicates the generator-input expression into a pre-Generate filter;
-    * with higher-order functions (CodegenFallback, interpreted) that
-    * triples the cost of every shingle/chunk pipeline — excluded. */
+  /** Session tuning applied before every query. The two filter-inference
+    * rules duplicate expensive expressions wholesale: FromGenerate copies
+    * the generator input into a pre-Generate filter, FromConstraints infers
+    * `isnotnull(<whole expression>)` from join keys and pushes it through
+    * projections into the scan. Higher-order-function expressions are
+    * CodegenFallback (interpreted), so each duplication multiplies the cost
+    * of every shingle/minhash/simhash pipeline ~3x; the engine's tables are
+    * non-null, so the rules buy nothing here — excluded. */
   def tune(s: SparkSession): SparkSession = {
     s.conf.set("spark.sql.optimizer.excludedRules",
-      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate")
+      "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate," +
+        "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
     s
   }
 

@@ -125,7 +125,11 @@ object Dedup {
     * all such pairs; verification counts the xor popcount exactly. Shuffle
     * is keyed on (band, byte) — never the quadratic pair space. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
-    val sig = simhash(docs)
+    // repartition = a hard materialization barrier: the signature (16 bytes
+    // per doc) crosses one exchange ONCE; without it the interpreted
+    // aggregate expression is re-inlined into the Generate/join and
+    // re-evaluated tens of times per row.
+    val sig = simhash(docs).repartition(col("doc_id"))
     val banded = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), b -> (shiftright(simhash, b * 8) & 255))"))
@@ -145,19 +149,13 @@ object Dedup {
       .distinct()
   }
 
-  /** 32-bit SimHash over whitespace tokens (token hash bits from SHA-256 hex;
+  /** 32-bit SimHash over whitespace tokens (token hash bits from SHA-256;
     * bit b of the signature = sign of the sum of (2*bit_b(token) - 1)).
-    * Map-only: one pass, no shuffle. */
+    * Map-only, one pass, no shuffle; the custom codegen'd `SimHash`
+    * expression replaces a ~50x-slower interpreted HOF formulation (the
+    * DuckDB oracle keeps the equivalent pure-SQL form). */
   def simhash(docs: DataFrame): DataFrame =
     docs.withColumn("toks", expr(TextAnalysis.tokensExpr))
-      .withColumn("hashes", expr("transform(toks, t -> sha2(t, 256))"))
-      .selectExpr(
-        "doc_id",
-        """aggregate(
-             transform(sequence(0, 31), b ->
-               IF(aggregate(hashes, 0, (acc, h) ->
-                    acc + IF((shiftright(cast(conv(substr(h, (b div 8) * 2 + 1, 2), 16, 10) AS int),
-                                         b % 8) % 2) = 1, 1, -1)) > 0,
-                  shiftleft(cast(1 AS bigint), b), cast(0 AS bigint))),
-             cast(0 AS bigint), (acc, x) -> acc + x) AS simhash""")
+      .select(col("doc_id"),
+        graft.GraftFunctions.simhash_sig(col("toks")).as("simhash"))
 }
