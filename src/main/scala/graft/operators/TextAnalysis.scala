@@ -85,10 +85,11 @@ object TextAnalysis {
 
   /** Document fingerprint: minimum SHA-256 over all 8-char grams — an
     * order-invariant rolling-window fingerprint (winnowing with window = whole
-    * doc). Identical prefix-shifted texts collide; unrelated texts don't. */
+    * doc). Identical prefix-shifted texts collide; unrelated texts don't.
+    * Codegen'd custom expression; the SQL twin
+    * `array_min(transform(sequence(...), i -> sha2(substring(text,i,8),256)))`
+    * is what the DuckDB oracle runs. */
   def fingerprint(docs: DataFrame): DataFrame =
-    docs.selectExpr(
-      "doc_id",
-      """array_min(transform(sequence(1, greatest(length(text) - 7, 1)),
-           i -> sha2(substring(text, i, 8), 256))) AS fingerprint""")
+    docs.select(col("doc_id"),
+      graft.GraftFunctions.min_gram_hash(col("text"), 8).as("fingerprint"))
 }
