@@ -11,6 +11,20 @@ class EngineSpec extends AnyFunSuite {
 
   lazy val index = Engine.ingest(Tables.documents(spark, TestSpark.sf0001)).cache()
 
+  test("driver entry: flagship query returns k rows on sf0.001") {
+    val rows = SparkEntry.entry(spark).collect()
+    assert(rows.length == 5)
+    assert(rows.forall(_.getAs[Double]("score") > 0))
+  }
+
+  test("chunker scales linearly: 2MB document chunks in one pass") {
+    val big = Seq((0L, "z" * 2000000, "bulk")).toDF("doc_id", "text", "source")
+    val chunks = Engine.chunks(big)
+    assert(chunks.count() == 2500) // ceil(2e6 / 800)
+    val lens = chunks.selectExpr("min(length(text))", "max(length(text))").collect()(0)
+    assert(lens.getInt(1) == 1000)
+  }
+
   test("ingest: chunk count per doc = ceil(n_chars/800); ids unique") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val perDoc = index.groupBy("doc_id").count()
