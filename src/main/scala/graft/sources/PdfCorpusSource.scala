@@ -16,7 +16,10 @@ import org.apache.spark.sql.functions._
   *    default extractor is a clearly-marked stub (UTF-8 passthrough); the
   *    real one would be an Apache-PDFBox call with the same signature. Per
   *    the reference (main.py:106-115) a real extractor must join pages with
-  *    a trailing "\n" per page.
+  *    a trailing "\n" per page. (Empirically 39 of the reference's 40 PDFs
+  *    are scanned images — JPEG/CCITT streams, no text fonts — so even the
+  *    reference's own pypdf extraction yields ~nothing for them; the
+  *    extraction boundary, not the codec, is the part worth engineering.)
   *
   * Extraction is error-tolerant per file (A2, main.py:281-302): failures
   * land in an `error` column instead of failing the job, and

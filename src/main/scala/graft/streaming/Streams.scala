@@ -36,6 +36,23 @@ object Streams {
       .start()
   }
 
+  /** Streaming UPSERT ingest: like `streamingIngest` but each micro-batch
+    * replaces the `source` partitions it touches (dynamic partition
+    * overwrite via Engine.writeIndex) — the reference's replace-by-id
+    * semantics (main.py:172) lifted to a stream through `foreachBatch`,
+    * which is the hook for sinks whose write semantics exceed append. */
+  def streamingUpsertIngest(spark: SparkSession, landingDir: String,
+                            indexDir: String, checkpointDir: String): StreamingQuery = {
+    val docs = spark.readStream.schema(documentsSchema).parquet(landingDir)
+    Engine.ingest(docs).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!batch.isEmpty) Engine.writeIndex(batch.toDF(), indexDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Tumbling event-time window aggregation with a watermark (late data
     * beyond 30 minutes dropped; state bounded by watermark horizon). */
   def tumblingCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =

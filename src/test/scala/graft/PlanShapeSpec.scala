@@ -1,0 +1,61 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Regression net for physical plan shapes — the properties that make these
+  * pipelines scale are plan properties, so assert them directly. */
+class PlanShapeSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+
+  def planOf(q: String): String =
+    SparkEntry.queries(q)(spark, TestSpark.sf0001)
+      .queryExecution.executedPlan.toString
+
+  test("q12: shipdate filter pushed into the parquet scan") {
+    val p = planOf("q12_tpch_agg")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
+  }
+
+  test("q12: partial + final hash aggregation (map-side combine)") {
+    val p = planOf("q12_tpch_agg")
+    assert("HashAggregate".r.findAllIn(p).size >= 2, p)
+    assert("Exchange".r.findAllIn(p).size == 1, p)
+  }
+
+  test("q13: every dimension join broadcasts; fact side never shuffles pre-agg") {
+    val p = planOf("q13_join_revenue")
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("flagship search: TakeOrderedAndProject and pruned scan") {
+    val df = Engine.search(
+      Engine.ingest(Tables.documents(spark, TestSpark.sf0001)), "transfer credits", 5)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
+  }
+
+  test("ingest is map-only: no exchange anywhere") {
+    val p = Engine.ingest(Tables.documents(spark, TestSpark.sf0001))
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), p)
+  }
+
+  test("searchMany: corpus side reaches scoring without an exchange; one grouped-topk exchange total") {
+    val df = Engine.searchMany(
+      Engine.ingest(Tables.documents(spark, TestSpark.sf0001)), Seq("a q", "b q"), 3)
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1, s"expected exactly the GroupedTopK exchange, got $shuffles:\n$p")
+  }
+
+  test("custom expressions run inside codegen (no fallback markers in hot projections)") {
+    val df = Engine.ingest(Tables.documents(spark, TestSpark.sf0001))
+    val p = df.queryExecution.executedPlan.toString
+    // hash_embed sits in a codegen'd Project (stage marker '*')
+    assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("hash_embed")
+      && l.trim.startsWith("*")), p)
+  }
+}

@@ -31,6 +31,30 @@ class StreamingSpec extends AnyFunSuite {
     assert(a == b)
   }
 
+  test("foreachBatch upsert ingest: re-streamed source replaces its partitions") {
+    val tmp = Files.createTempDirectory("graft-upsert-stream").toString
+    val landing = s"$tmp/landing"
+    val indexDir = s"$tmp/index"
+    // batch 1: two sources
+    Seq((0L, "alpha " * 5, "en", "srcA", 30L), (1L, "beta " * 5, "en", "srcB", 25L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(landing)
+    val q1 = Streams.streamingUpsertIngest(spark, landing, indexDir, s"$tmp/ck")
+    q1.awaitTermination(120000)
+    assert(Engine.readIndex(spark, indexDir).count() == 2)
+    // batch 2: srcA re-ingested with new content -> replaces srcA partition only
+    Seq((0L, "gamma " * 5, "en", "srcA", 30L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("append").parquet(landing)
+    // same checkpoint -> only the newly-landed file is processed
+    val q2 = Streams.streamingUpsertIngest(spark, landing, indexDir, s"$tmp/ck")
+    q2.awaitTermination(120000)
+    val after = Engine.readIndex(spark, indexDir)
+      .select($"source", $"text").as[(String, String)].collect().toMap
+    assert(after("srcA").startsWith("gamma"))
+    assert(after("srcB").startsWith("beta"))
+  }
+
   test("tumbling window agg over a streamed events table matches batch groupBy") {
     val tmp = Files.createTempDirectory("graft-events").toString
     val src = s"$tmp/events"
