@@ -11,6 +11,12 @@ class PlanShapeSpec extends AnyFunSuite {
     SparkEntry.queries(q)(spark, TestSpark.sf0001)
       .queryExecution.executedPlan.toString
 
+  /** Distinct from any plan other suites may have cached (CacheManager
+    * substitutes InMemoryRelation for canonically-equal plans, hiding the
+    * projections these tests assert on). */
+  def freshDocs = Tables.documents(spark, TestSpark.sf0001)
+    .filter(org.apache.spark.sql.functions.col("doc_id") >= -1)
+
   test("q12: shipdate filter pushed into the parquet scan") {
     val p = planOf("q12_tpch_agg")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate"), p)
@@ -29,22 +35,19 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("flagship search: TakeOrderedAndProject and pruned scan") {
-    val df = Engine.search(
-      Engine.ingest(Tables.documents(spark, TestSpark.sf0001)), "transfer credits", 5)
+    val df = Engine.search(Engine.ingest(freshDocs), "transfer credits", 5)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("TakeOrderedAndProject"), p)
     assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string,source:string>"), p)
   }
 
   test("ingest is map-only: no exchange anywhere") {
-    val p = Engine.ingest(Tables.documents(spark, TestSpark.sf0001))
-      .queryExecution.executedPlan.toString
+    val p = Engine.ingest(freshDocs).queryExecution.executedPlan.toString
     assert(!p.contains("Exchange"), p)
   }
 
   test("searchMany: corpus side reaches scoring without an exchange; one grouped-topk exchange total") {
-    val df = Engine.searchMany(
-      Engine.ingest(Tables.documents(spark, TestSpark.sf0001)), Seq("a q", "b q"), 3)
+    val df = Engine.searchMany(Engine.ingest(freshDocs), Seq("a q", "b q"), 3)
     val p = df.queryExecution.executedPlan.toString
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
@@ -52,7 +55,7 @@ class PlanShapeSpec extends AnyFunSuite {
   }
 
   test("custom expressions run inside codegen (no fallback markers in hot projections)") {
-    val df = Engine.ingest(Tables.documents(spark, TestSpark.sf0001))
+    val df = Engine.ingest(freshDocs)
     val p = df.queryExecution.executedPlan.toString
     // hash_embed sits in a codegen'd Project (stage marker '*')
     assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("hash_embed")
