@@ -117,7 +117,14 @@ object Engine {
       .filter(length(col("text")) > 0)
       .orderBy(desc("score"), asc("id"))
       .limit(k)
-      .select(col("text"), col("source"), col("score"), col("id"))
+      // P3 defensive defaults (main.py:195-206): the reference's store can
+      // return matches with missing metadata; our schema is non-null by
+      // construction, but the projection preserves the contract.
+      .select(
+        coalesce(col("text"), lit("")).as("text"),
+        coalesce(col("source"), lit("Unknown")).as("source"),
+        coalesce(col("score"), lit(0.0)).as("score"),
+        coalesce(col("id"), lit("")).as("id"))
   }
 
   /** Context string (main.py:324): `[Source: {s}]\n{t}` blocks joined by

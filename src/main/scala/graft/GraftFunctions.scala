@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{ChunkText, CosineSimilarity, HashEmbed, MinGramHash, SimHash}
+import graft.functions.{ChunkText, CosineSimilarity, HashEmbed, MinGramHash, SimHash, WordShingles}
 
 /** Column-API + SQL-registry surface for the custom Catalyst expressions.
   *
@@ -38,6 +38,10 @@ object GraftFunctions {
   /** Min-SHA-256-over-grams document fingerprint (TextAnalysis extension). */
   def min_gram_hash(text: Column, gram: Int = 8): Column =
     col(MinGramHash(ex(text), gram))
+
+  /** Distinct word n-gram shingles (Dedup extension). */
+  def word_shingles(text: Column, n: Int = 3): Column =
+    col(WordShingles(ex(text), n))
 
   /** Register `hash_embed`, `cosine_similarity`, `chunk_text` for SQL use.
     * Idempotent per session. */

@@ -33,15 +33,12 @@ object Dedup {
       .agg(min("doc_id").as("canonical_doc"), count(lit(1)).as("n_docs"))
 
   /** Distinct word-3-gram shingles per document, as an array column;
-    * documents with < 3 tokens fall back to a single whole-text shingle. */
+    * documents with < 3 tokens fall back to a single whole-text shingle.
+    * Codegen'd custom expression (one pass); the DuckDB oracle runs the
+    * equivalent list_filter/list_transform/list_distinct SQL. */
   def shingleArrays(docs: DataFrame): DataFrame =
-    docs.withColumn("toks", expr(TextAnalysis.tokensExpr))
-      .withColumn("sh", expr(
-        """CASE WHEN size(toks) >= 3
-             THEN array_distinct(transform(sequence(0, size(toks) - 3),
-                    i -> concat_ws(' ', toks[i], toks[i + 1], toks[i + 2])))
-             ELSE array(text) END"""))
-      .select(col("doc_id"), col("sh"))
+    docs.select(col("doc_id"),
+      graft.GraftFunctions.word_shingles(col("text"), 3).as("sh"))
 
   /** One row per (doc, shingle). */
   def shingles(docs: DataFrame): DataFrame =
