@@ -169,6 +169,22 @@ object Engine {
         col("text"), col("score"))
   }
 
+  /** GET /health equivalent (main.py:228-253): "healthy" with index stats
+    * when the index table is readable, "degraded" with the error otherwise
+    * (the reference's missing-index / stats-failure path). */
+  def health(spark: SparkSession, indexPath: String): DataFrame = {
+    import spark.implicits._
+    try {
+      val n = readIndex(spark, indexPath).count()
+      Seq(("healthy", indexPath, n, null: String))
+        .toDF("status", "index", "total_vector_count", "error")
+    } catch {
+      case e: Exception =>
+        Seq(("degraded", indexPath, 0L, s"${e.getClass.getSimpleName}: ${e.getMessage}"))
+          .toDF("status", "index", "total_vector_count", "error")
+    }
+  }
+
   /** Index stats (main.py:240, main.py:350): per-source vector counts. */
   def statsBySource(index: DataFrame): DataFrame =
     index.groupBy("source").agg(count(lit(1)).as("vector_count"))

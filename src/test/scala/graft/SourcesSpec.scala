@@ -86,6 +86,18 @@ class SourcesSpec extends AnyFunSuite {
     assert(pruned.queryExecution.executedPlan.toString.contains("PartitionFilters: [isnotnull(source"))
   }
 
+  test("health: healthy with a readable index, degraded when missing") {
+    val path = Files.createTempDirectory("graft-health").toString + "/idx"
+    Engine.writeIndex(Engine.ingest(
+      Seq((0L, "alpha " * 10, "srcA")).toDF("doc_id", "text", "source")), path)
+    val ok = Engine.health(spark, path).collect()(0)
+    assert(ok.getAs[String]("status") == "healthy")
+    assert(ok.getAs[Long]("total_vector_count") == 1L)
+    val bad = Engine.health(spark, "/nonexistent/graft/index").collect()(0)
+    assert(bad.getAs[String]("status") == "degraded")
+    assert(bad.getAs[String]("error") != null)
+  }
+
   test("end-to-end: corpus dir -> extract -> ingest -> search finds the right doc") {
     val dir = mkCorpus()
     val ex = PdfCorpusSource.extract(PdfCorpusSource.corpusDir(spark, dir))
