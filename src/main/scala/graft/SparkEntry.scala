@@ -200,6 +200,9 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       Similarity.ivfTopK(e, q, 3)
     }),
+    // extension: LSH approximate near-dup pair join (rows-only check)
+    "q34_knn_pairs_lsh" -> ((s, dir) =>
+      Similarity.lshNearDupPairs(emb(s, dir).select("vec_id", "embedding"), 0.3)),
     // extension: SimHash banded Hamming pair join
     "q33_simhash_pairs" -> ((s, dir) => Dedup.simhashPairs(docs(s, dir), 3)),
     // custom physical operator: grouped top-k via bounded per-group heaps

@@ -56,6 +56,31 @@ object Similarity {
       .transform(withVec)
   }
 
+  /** Approximate near-duplicate pair join via LSH: normalize, bucket with
+    * random hyperplane projections, `approxSimilarityJoin` the corpus with
+    * itself inside the L2 radius implied by the cosine threshold
+    * (`d^2 = 2 - 2cos` on unit vectors), re-score candidates with exact
+    * cosine. Every returned pair truly satisfies the threshold (exact
+    * verification); recall depends on bucket collisions — the quadratic
+    * `cosinePairs` is the exactness baseline, this is the 100 TB path. */
+  def lshNearDupPairs(items: DataFrame, threshold: Double,
+                      bucketLength: Double = 0.15, numTables: Int = 3): DataFrame = {
+    val radius = math.sqrt(math.max(2.0 - 2.0 * threshold, 0.0)) + 1e-9
+    val ni = normalized(items, "embedding")
+    val lsh = new BucketedRandomProjectionLSH()
+      .setInputCol("nvec").setOutputCol("hashes")
+      .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(42L)
+    val model = lsh.fit(ni)
+    model.approxSimilarityJoin(ni, ni, radius, "l2dist")
+      .filter(col("datasetA.vec_id") < col("datasetB.vec_id"))
+      .select(col("datasetA.vec_id").as("vec_a"), col("datasetB.vec_id").as("vec_b"),
+        col("datasetA.embedding").as("ea"), col("datasetB.embedding").as("eb"))
+      .withColumn("score", cosine_similarity(col("ea"), col("eb")))
+      .filter(col("score") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("score"))
+      .distinct()
+  }
+
   /** IVF (inverted-file) approximate top-k: KMeans-partition the corpus into
     * `nLists` cells on normalized vectors, probe only the `nProbe` cells
     * whose centroids are closest to each query, exact cosine inside probed

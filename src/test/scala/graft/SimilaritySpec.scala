@@ -70,6 +70,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(again.toSet == ivf.toSet)
   }
 
+  test("lshNearDupPairs: subset of exact pairs, every pair satisfies threshold") {
+    val exact = Similarity.cosinePairs(emb, 0.3)
+      .as[(Long, Long, Double)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    val lsh = Similarity.lshNearDupPairs(emb, 0.3)
+      .as[(Long, Long, Double)].collect()
+    assert(lsh.nonEmpty)
+    for ((a, b, s) <- lsh) {
+      assert(exact.contains((a, b)), s"($a,$b) not in exact set")
+      assert(s >= 0.3 && math.abs(exact((a, b)) - s) < 1e-9)
+    }
+  }
+
   test("lshTopK: recovers the exact top-1 (self) and plausible neighbours") {
     val lsh = Similarity.lshTopK(emb, queries, 3)
       .as[(Long, Long, Int, Double)].collect()
