@@ -91,7 +91,7 @@ object Similarity {
   def ivfTopK(items: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 4): DataFrame = {
     val ni = normalized(items, "embedding")
-    val km = new KMeans().setK(nLists).setSeed(42L)
+    val km = new KMeans().setK(nLists).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("nvec").setPredictionCol("cell")
     val model = km.fit(ni)
     val assigned = model.transform(ni).select(
