@@ -83,11 +83,12 @@ object Engine {
     * overwrite) — the reference's replace-by-id for whole-document re-ingest,
     * without rewriting untouched partitions. Partitioning by `source` also
     * gives partition pruning for per-source search (SURVEY §4). */
-  def writeIndex(index: DataFrame, path: String): Unit = {
-    val spark = index.sparkSession
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    index.write.mode("overwrite").partitionBy("source").parquet(path)
-  }
+  def writeIndex(index: DataFrame, path: String): Unit =
+    index.write.mode("overwrite")
+      // writer-scoped (NOT session conf): only this write replaces
+      // partitions dynamically; other writes keep Spark's static default
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("source").parquet(path)
 
   /** Load the index table back (partition-pruned on source filters). The
     * schema is supplied explicitly so a freshly-bootstrapped (empty) index

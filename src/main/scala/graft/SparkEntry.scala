@@ -148,7 +148,8 @@ object SparkEntry {
     // extension: semi-structured props extraction (events.props JSON-ish)
     "q16_events_props" -> ((s, dir) =>
       Tables.events(s, dir)
-        .withColumn("k", expr("""cast(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS bigint)"""))
+        .withColumn("k", expr(
+          """cast(nullif(regexp_extract(props, '"k":\\s*(\\d+)', 1), '') AS bigint)"""))
         .groupBy("event_type").agg(count(lit(1)).as("n"), sum("k").as("sum_k"),
           min("k").as("min_k"), max("k").as("max_k"))),
     // extension: token counting (text analysis)

@@ -38,8 +38,9 @@ case class ChunkText(text: Expression, size: Expression, overlap: Expression)
         s"chunk_text requires a string argument, got ${text.dataType.sql}")
     else if (!size.foldable || !overlap.foldable ||
       !Seq(ByteType, ShortType, IntegerType, LongType).contains(size.dataType) ||
-      !Seq(ByteType, ShortType, IntegerType, LongType).contains(overlap.dataType))
-      TypeCheckResult.TypeCheckFailure("chunk_text size/overlap must be integer literals")
+      !Seq(ByteType, ShortType, IntegerType, LongType).contains(overlap.dataType) ||
+      size.eval() == null || overlap.eval() == null)
+      TypeCheckResult.TypeCheckFailure("chunk_text size/overlap must be non-null integer literals")
     else if (sizeVal <= 0 || overlapVal < 0 || overlapVal >= sizeVal)
       TypeCheckResult.TypeCheckFailure(
         s"chunk_text requires 0 <= overlap < size, got size=$sizeVal overlap=$overlapVal")

@@ -16,7 +16,10 @@ import org.apache.spark.sql.types._
   * zero vector because hash bytes can't all map to 0).
   *
   * Accepts `array<float>` or `array<double>` on either side; mismatched
-  * lengths raise. Elements must be non-null (parquet vectors are dense).
+  * lengths raise. Dense vectors assumed: a null element is read as 0.0 (no
+  * per-element null check in the hot loop — embeddings are non-null by
+  * construction in this engine; callers with nullable arrays must
+  * pre-clean).
   */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends BinaryExpression {

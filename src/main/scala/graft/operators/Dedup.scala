@@ -64,9 +64,11 @@ object Dedup {
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
     val pairs = bucketPairs(buckets)
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
+    // No broadcast hint: counts grows O(n_docs) — let Catalyst/AQE pick
+    // broadcast when it fits and a shuffle join when it doesn't.
     pairs
-      .join(broadcast(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na"))), Seq("doc_a"))
-      .join(broadcast(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb"))), Seq("doc_b"))
+      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
       .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("common"),
@@ -117,19 +119,28 @@ object Dedup {
   }
 
   /** SimHash near-duplicate pairs via banded Hamming-distance LSH: slice the
-    * 32-bit signature into 4 bytes; any pair within Hamming distance 3 must
-    * agree on at least one byte band (pigeonhole), so the band join finds
-    * all such pairs; verification counts the xor popcount exactly. Shuffle
-    * is keyed on (band, byte) — never the quadratic pair space. */
+    * 32-bit signature into `maxHamming + 1` bit bands; any pair within
+    * Hamming distance `maxHamming` must agree on at least one band
+    * (pigeonhole), so the band join finds ALL such pairs — complete for any
+    * threshold; verification counts the xor popcount exactly. Shuffle is
+    * keyed on (band, value) — never the quadratic pair space. */
   def simhashPairs(docs: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 32, s"maxHamming out of range: $maxHamming")
+    val nBands = maxHamming + 1
+    // band b covers bits [32*b/nBands, 32*(b+1)/nBands)
+    val bandExprs = (0 until nBands).map { b =>
+      val lo = 32 * b / nBands
+      val hi = 32 * (b + 1) / nBands
+      val mask = (1L << (hi - lo)) - 1
+      s"(shiftright(simhash, $lo) & $mask)"
+    }
     // repartition = a hard materialization barrier: the signature (16 bytes
     // per doc) crosses one exchange ONCE; without it the interpreted
     // aggregate expression is re-inlined into the Generate/join and
     // re-evaluated tens of times per row.
     val sig = simhash(docs).repartition(col("doc_id"))
     val banded = sig.select(col("doc_id"), col("simhash"),
-      posexplode(expr(
-        "transform(sequence(0, 3), b -> (shiftright(simhash, b * 8) & 255))"))
+      posexplode(expr(s"array(${bandExprs.mkString(", ")})"))
         .as(Seq("band_idx", "band_val")))
     // Signatures cluster on real corpora (shared vocabulary), so band
     // buckets are skewed and the candidate space is large. Stream candidates

@@ -32,6 +32,12 @@ import org.apache.spark.sql.types.IntegerType
   * This is the batch multi-query ANN search shape (SURVEY §2.7-2.8) at
   * cluster scale: "top-k chunks per query" over a corpus too large to sort.
   * Registered via `spark.experimental.extraStrategies` (GroupedTopK.install).
+  *
+  * Memory model: per-partition state is O(groups x k) rows with no spill
+  * integration — sized for the many-rows-few-groups regime (query batches,
+  * segments). For group cardinality approaching row count, prefer the
+  * window plan (UnsafeExternalSorter spills); wiring TaskMemoryManager
+  * spilling into the partial phase is the planned extension.
   */
 case class GroupedTopKNode(
     groupExprs: Seq[Expression],

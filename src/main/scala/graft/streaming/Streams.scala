@@ -40,7 +40,14 @@ object Streams {
     * replaces the `source` partitions it touches (dynamic partition
     * overwrite via Engine.writeIndex) — the reference's replace-by-id
     * semantics (main.py:172) lifted to a stream through `foreachBatch`,
-    * which is the hook for sinks whose write semantics exceed append. */
+    * which is the hook for sinks whose write semantics exceed append.
+    *
+    * CONTRACT: a micro-batch must contain every current document of each
+    * source it touches (the reference's unit of ingest is a complete PDF).
+    * If one source's documents straddle two micro-batches, the second
+    * batch's overwrite replaces the first's rows — size triggers
+    * (`maxFilesPerTrigger`) that can split a source violate this; landing
+    * whole-source files per trigger satisfies it. */
   def streamingUpsertIngest(spark: SparkSession, landingDir: String,
                             indexDir: String, checkpointDir: String): StreamingQuery = {
     val docs = spark.readStream.schema(documentsSchema).parquet(landingDir)

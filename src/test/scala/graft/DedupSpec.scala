@@ -89,6 +89,14 @@ class DedupSpec extends AnyFunSuite {
     val lsh = Dedup.simhashPairs(docs, 3)
       .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
     assert(lsh == exhaustive)
+    // generalized banding stays complete for a larger threshold (6 bands)
+    val ex5 = (for {
+      (a, sa) <- sigs; (b, sb) <- sigs if a < b
+      h = java.lang.Long.bitCount(sa ^ sb) if h <= 5
+    } yield (a, b) -> h).toMap
+    val lsh5 = Dedup.simhashPairs(docs, 5)
+      .as[(Long, Long, Int)].collect().map(p => (p._1, p._2) -> p._3).toMap
+    assert(lsh5 == ex5)
   }
 
   test("simhash: identical text -> identical signature; near-dup closer than unrelated") {
