@@ -201,6 +201,25 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       Similarity.ivfTopK(e, q, 3)
     }),
+    // G1 multi-chunk path in the gate: synthesize long texts (the driver
+    // corpus is single-chunk), chunk them, verify ids/overlap windows
+    "q35_chunk_long" -> ((s, dir) =>
+      Engine.chunks(docs(s, dir)
+          .withColumn("text", expr("repeat(text || ' ', 6)")))
+        .select(col("id"), col("doc_id"), col("chunk_idx"),
+          length(col("text")).as("chunk_len"), sha2(col("text"), 256).as("chunk_sha"))),
+    // extension: sliding event-time windows (batch form)
+    "q36_events_sliding" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(window(col("ts"), "10 minutes", "5 minutes").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("w.start").as("window_start"), col("event_type"), col("n"))),
+    // extension: session windows (batch form; 30-minute gap)
+    "q37_sessions" -> ((s, dir) =>
+      Tables.events(s, dir)
+        .groupBy(session_window(col("ts"), "30 minutes").as("w"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("w.start").as("session_start"), col("user_id"), col("n_events"))),
     // extension: LSH approximate near-dup pair join (rows-only check)
     "q34_knn_pairs_lsh" -> ((s, dir) =>
       Similarity.lshNearDupPairs(emb(s, dir).select("vec_id", "embedding"), 0.3)),
