@@ -338,8 +338,11 @@ SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
     }
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
-    * same parquet tables. q28 (stubbed multimodal decode) and q29 (MLlib LSH)
-    * are intentionally omitted → rows-only check per the contract. */
+    * same parquet tables. Only the legitimately non-SQL queries are omitted
+    * (→ rows-only check per the contract): q28 (stubbed multimodal decode)
+    * and the approximate-ANN family q29/q30/q34 (MLlib LSH buckets / KMeans
+    * cells have no SQL equivalent; their quality is gated by the recall
+    * assertions in SimilaritySpec instead). */
   def oracleSql: Map[String, String] = Map(
     "q01_chunk" ->
       s"WITH $dkChunks SELECT id, source, doc_id, chunk_idx, text FROM chunks",
@@ -465,9 +468,23 @@ FROM documents""",
       """SELECT sha256(substring(text, 1, 64)) AS content_hash,
   min(doc_id) AS canonical_doc, count(*) AS n_docs
 FROM documents GROUP BY 1""",
+    // Mirrors Dedup.jaccardPairs: df-capped candidate generation (shingles in
+    // more than 1000 docs are dropped before pairing) + exact verification on
+    // the full shingle lists. At the gate's corpus size the cap never
+    // triggers, so values equal the uncapped computation.
     "q22_jaccard_pairs" ->
-      s"""$dkJaccard
-SELECT doc_a, doc_b, common, round(jaccard, 6) AS jaccard FROM jac WHERE jaccard >= 0.5""",
+      s"""WITH $dkTok, $dkShl, $dkShu,
+  keep AS (SELECT shingle FROM shu GROUP BY shingle HAVING count(*) <= 1000),
+  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM shu a JOIN shu b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           WHERE a.shingle IN (SELECT shingle FROM keep)),
+  ver AS (SELECT c.doc_a, c.doc_b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS common,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+          FROM cand c JOIN shl sa ON c.doc_a = sa.doc_id
+                      JOIN shl sb ON c.doc_b = sb.doc_id)
+SELECT doc_a, doc_b, common, round(jaccard, 6) AS jaccard FROM ver WHERE jaccard >= 0.5""",
     "q23_ann_topk" -> annTopKOracle,
     "q31_ann_topk_custom" -> annTopKOracle,
     "q24_knn_pairs" ->
@@ -525,6 +542,36 @@ FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""",
     score FROM scored)
 SELECT query, "rank", id, source, round(score, 4) AS score FROM r WHERE "rank" <= 5"""
     },
+    // Mirrors q35: the 1000/200 overlapping chunker over 6x-repeated text
+    // (stride 800 = size - overlap; chunk i covers [i*800, i*800+1000)).
+    "q35_chunk_long" ->
+      """WITH d AS (SELECT doc_id, source, repeat(text || ' ', 6) AS doc_text FROM documents),
+  g AS (SELECT doc_id, source, doc_text,
+        unnest(range(0, CAST(ceil(length(doc_text)/800.0) AS BIGINT))) AS i FROM d),
+  chunks AS (SELECT source || '_' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR) AS id,
+        doc_id, CAST(i AS INTEGER) AS chunk_idx,
+        substring(doc_text, CAST(i*800+1 AS INTEGER), 1000) AS text FROM g)
+SELECT id, doc_id, chunk_idx, CAST(length(text) AS INTEGER) AS chunk_len,
+  sha256(text) AS chunk_sha FROM chunks""",
+    // Mirrors q36: a 10-minute window sliding by 5 minutes puts every event
+    // in exactly two windows, starting at floor5(ts) and floor5(ts) - 5min.
+    "q36_events_sliding" ->
+      """WITH e AS (SELECT CAST(ts AS TIMESTAMP) AS t, event_type FROM events),
+  x AS (SELECT t, event_type,
+          time_bucket(INTERVAL '5 minutes', t) - u * INTERVAL '5 minutes' AS window_start
+        FROM e CROSS JOIN (SELECT unnest([0, 1]) AS u))
+SELECT window_start, event_type, count(*) AS n FROM x GROUP BY 1, 2""",
+    // Mirrors q37: Spark session windows are [first_ts, last_ts + gap) with
+    // half-open merging, so a gap of exactly 30 minutes starts a NEW session
+    // (merge iff next_ts < prev_ts + gap). lag/flag/running-sum session ids.
+    "q37_sessions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+  l AS (SELECT user_id, t, lag(t) OVER (PARTITION BY user_id ORDER BY t) AS pt FROM e),
+  f AS (SELECT user_id, t,
+          CASE WHEN pt IS NULL OR t - pt >= INTERVAL '30 minutes' THEN 1 ELSE 0 END AS ns FROM l),
+  s AS (SELECT user_id, t,
+          sum(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM f)
+SELECT min(t) AS session_start, user_id, count(*) AS n_events FROM s GROUP BY user_id, sid""",
     "q27_simhash" ->
       s"""WITH $dkTok,
   hs AS (SELECT doc_id, list_transform(toks, t -> sha256(t)) AS hashes FROM tok)

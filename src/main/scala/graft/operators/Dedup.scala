@@ -55,25 +55,46 @@ object Dedup {
                     j -> struct(ds[i] AS a, ds[j] AS b))))""")).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
 
-  /** Exact n-gram Jaccard near-duplicate pairs.
-    * Output: (doc_a, doc_b, common, jaccard) for jaccard >= threshold. */
-  def jaccardPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val sh = shingles(docs)
-    val counts = sh.groupBy("doc_id").agg(count(lit(1)).as("n_sh"))
-    val buckets = sh.groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-    val pairs = bucketPairs(buckets)
-      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common"))
-    // No broadcast hint: counts grows O(n_docs) — let Catalyst/AQE pick
-    // broadcast when it fits and a shuffle join when it doesn't.
-    pairs
-      .join(counts.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(counts.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
-      .withColumn("jaccard", col("common") / (col("na") + col("nb") - col("common")))
+  /** Candidate pairs from the inverted shingle index, with a document-
+    * frequency cap: shingles appearing in more than `maxShingleDf` documents
+    * are dropped BEFORE bucket-pair generation. Without the cap, one
+    * boilerplate shingle shared by m documents materializes an O(m) bucket
+    * array and an O(m^2) pair explosion — the one all-pairs-shaped cost in
+    * this pipeline at corpus scale. A shingle that frequent carries no
+    * near-duplicate signal (it cannot discriminate pairs at any useful
+    * threshold), so dropping it loses only pairs whose ENTIRE overlap is
+    * boilerplate. Capped buckets are bounded (<= maxShingleDf elements), so
+    * the in-bucket pair explode is safe by construction. */
+  def jaccardCandidates(docs: DataFrame, maxShingleDf: Int): DataFrame =
+    bucketPairs(
+      shingles(docs).groupBy("shingle")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+        .filter(size(col("ds")) <= maxShingleDf)).distinct()
+
+  /** Exact-Jaccard verification of candidate (doc_a, doc_b) pairs against the
+    * full shingle sets: `common` and `jaccard` are computed on the complete
+    * arrays (array_intersect), independent of how candidates were generated.
+    * Cost ~ candidates, never ~ all pairs. */
+  private def verifiedJaccard(candidates: DataFrame, sets: DataFrame,
+                              threshold: Double): DataFrame =
+    candidates
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("common"),
         round(col("jaccard"), 6).as("jaccard"))
-  }
+
+  /** Exact n-gram Jaccard near-duplicate pairs: df-capped candidate
+    * generation (see `jaccardCandidates`) + exact verification on the full
+    * shingle sets — surviving pairs carry true `common`/`jaccard` values.
+    * Output: (doc_a, doc_b, common, jaccard) for jaccard >= threshold. */
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   maxShingleDf: Int = 1000): DataFrame =
+    verifiedJaccard(jaccardCandidates(docs, maxShingleDf), shingleArrays(docs),
+      threshold)
 
   /** MinHash signature columns m0..m15: the 8 32-bit hex words of
     * sha256(shingle) and of sha256('x:' || shingle), min'd per doc. One
@@ -100,22 +121,20 @@ object Dedup {
       array((0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_key")))
 
   /** MinHash-LSH near-duplicate pairs: candidates = docs sharing any band
-    * bucket; verification = exact Jaccard via array_intersect on the
-    * candidates only (cost ~ candidates, not ~ all pairs). */
+    * bucket, generated by a streamed self-equi-join on (band_idx, band_key)
+    * — no per-bucket array materialization, so a massive duplicate cluster
+    * costs its pair count but never buffers a bucket in memory (the
+    * `simhashPairs` shape). Verification = exact Jaccard via array_intersect
+    * on the candidates only (cost ~ candidates, not ~ all pairs). */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val candidates = bucketPairs(
-      minhashBuckets(docs).groupBy("band_idx", "band_key")
-        .agg(sort_array(collect_list(col("doc_id"))).as("ds"))).distinct()
-    val sets = shingleArrays(docs)
-    candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-      .withColumn("jaccard",
-        col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("common"),
-        round(col("jaccard"), 6).as("jaccard"))
+    val bk = minhashBuckets(docs)
+    val candidates = bk.as("x").join(bk.as("y"),
+        col("x.band_idx") === col("y.band_idx") &&
+          col("x.band_key") === col("y.band_key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    verifiedJaccard(candidates, shingleArrays(docs), threshold)
   }
 
   /** SimHash near-duplicate pairs via banded Hamming-distance LSH: slice the

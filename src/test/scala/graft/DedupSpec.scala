@@ -54,6 +54,26 @@ class DedupSpec extends AnyFunSuite {
       assert(math.abs(got(k) - j) < 1e-6, s"pair $k")
   }
 
+  test("jaccardPairs df cap: planted stop-shingle no longer explodes candidates") {
+    // 60 docs all share a boilerplate prefix (the stop-shingle source); docs
+    // 0 and 1 additionally share distinctive content (a true near-dup).
+    val docs = (0 until 60).map { i =>
+      val tail =
+        if (i <= 1) "identical distinctive payload content here"
+        else s"unique tail t$i alpha$i beta$i gamma$i delta$i"
+      (i.toLong, s"shared boiler plate prefix $tail")
+    }.toDF("doc_id", "text")
+    // Uncapped: the boilerplate buckets pair every doc with every other.
+    assert(Dedup.jaccardCandidates(docs, Int.MaxValue).count() == 60L * 59 / 2)
+    // Capped: frequent buckets are dropped before pair generation; only the
+    // docs sharing distinctive (low-df) shingles remain candidates.
+    assert(Dedup.jaccardCandidates(docs, 5).count() < 60)
+    // The true near-dup still surfaces, verified on its FULL shingle sets.
+    val pairs = Dedup.jaccardPairs(docs, 0.5, maxShingleDf = 5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 1L)))
+  }
+
   test("minhash: exact dups share all bands; LSH pairs recover high-jaccard pairs") {
     val bands = Dedup.minhashBands(crafted).collect()
       .map(r => r.getAs[Long]("doc_id") ->
