@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{ChunkText, CosineSimilarity, HashEmbed, MinGramHash, SimHash, WordShingles}
+import graft.functions.{ChunkText, CosineSimilarity, HashEmbed, MinGramHash, MinHashSig, SimHash, WordShingles}
 
 /** Column-API + SQL-registry surface for the custom Catalyst expressions.
   *
@@ -34,6 +34,10 @@ object GraftFunctions {
   /** 32-bit SimHash signature of a token array (Dedup extension). */
   def simhash_sig(tokens: Column, bits: Int = 32): Column =
     col(SimHash(ex(tokens), bits))
+
+  /** 16-word MinHash signature of a shingle array (Dedup extension). */
+  def minhash_sig(shingles: Column): Column =
+    col(MinHashSig(ex(shingles)))
 
   /** Min-SHA-256-over-grams document fingerprint (TextAnalysis extension). */
   def min_gram_hash(text: Column, gram: Int = 8): Column =

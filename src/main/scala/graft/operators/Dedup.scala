@@ -11,11 +11,12 @@ import org.apache.spark.sql.functions._
   *             per shingle bucket (groupBy shingle -> doc list -> in-bucket
   *             pairs), not via a row-level self-join: one scan, one shuffle
   *             on shingle, one shuffle on the pair key.
-  *  - MinHash: 16 signature hashes taken as the 8 32-bit hex words of two
-  *             SHA-256 digests per shingle — a single groupBy with 16 `min`
-  *             aggregates (map-side combinable, per-doc state is constant).
-  *             Banded 4x4 into LSH bucket keys; candidate pairs from bucket
-  *             lists; exact-Jaccard verification on candidates only. At
+  *  - MinHash: 16 signature words taken as the 8 32-bit hex words of two
+  *             SHA-256 digests per shingle, min'd per doc — computed by the
+  *             codegen'd `MinHashSig` expression as a map-only projection
+  *             over the shingle arrays (no explode, no shuffle). Banded 4x4
+  *             into LSH bucket keys; candidate pairs from a streamed band
+  *             equi-join; exact-Jaccard verification on candidates only. At
   *             100 TB this is the only shape that works: cost ~ candidates,
   *             never ~ pairs.
   *  - SimHash: 32-bit sign-of-sum signature per document (map-only).
@@ -87,26 +88,58 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("common"),
         round(col("jaccard"), 6).as("jaccard"))
 
-  /** Exact n-gram Jaccard near-duplicate pairs: df-capped candidate
-    * generation (see `jaccardCandidates`) + exact verification on the full
-    * shingle sets — surviving pairs carry true `common`/`jaccard` values.
-    * Output: (doc_a, doc_b, common, jaccard) for jaccard >= threshold. */
+  /** Exact n-gram Jaccard near-duplicate pairs, in three bounded stages:
+    *
+    *  1. df-capped candidate counting: in-bucket pairs over KEPT (df <=
+    *     maxShingleDf) shingles, aggregated to a per-pair `common_kept` —
+    *     a lower bound on the true intersection that is exact whenever the
+    *     cap never triggered.
+    *  2. upper-bound prefilter: true common <= common_kept + min(fa, fb),
+    *     where f* counts a doc's dropped (frequent) shingles; pairs whose
+    *     Jaccard upper bound misses the threshold are discarded WITHOUT
+    *     touching the shingle arrays. Since upper >= true, no qualifying
+    *     pair is lost.
+    *  3. exact verification (array_intersect on the full shingle sets) on
+    *     the near-threshold survivors only — so the expensive set
+    *     intersection runs on ~|result| pairs, not ~|candidates|.
+    *
+    * Output: (doc_a, doc_b, common, jaccard) for true jaccard >= threshold,
+    * among pairs sharing at least one non-frequent shingle. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
-                   maxShingleDf: Int = 1000): DataFrame =
-    verifiedJaccard(jaccardCandidates(docs, maxShingleDf), shingleArrays(docs),
-      threshold)
+                   maxShingleDf: Int = 1000): DataFrame = {
+    val sets = shingleArrays(docs)
+    val buckets = shingles(docs).groupBy("shingle")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+    val partial = bucketPairs(buckets.filter(size(col("ds")) <= maxShingleDf))
+      .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common_kept"))
+    val totals = sets.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+    // Per-doc count of dropped shingles — empty unless the cap triggered.
+    val nFreq = buckets.filter(size(col("ds")) > maxShingleDf)
+      .select(explode(col("ds")).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_freq"))
+    val survivors = partial
+      .join(totals.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
+      .join(totals.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
+      .join(nFreq.select(col("doc_id").as("doc_a"), col("n_freq").as("fa")), Seq("doc_a"), "left")
+      .join(nFreq.select(col("doc_id").as("doc_b"), col("n_freq").as("fb")), Seq("doc_b"), "left")
+      .withColumn("upper", col("common_kept") +
+        least(coalesce(col("fa"), lit(0L)), coalesce(col("fb"), lit(0L))))
+      .filter(col("upper") / (col("na") + col("nb") - col("upper")) >= threshold)
+    verifiedJaccard(survivors.select("doc_a", "doc_b"), sets, threshold)
+  }
 
   /** MinHash signature columns m0..m15: the 8 32-bit hex words of
-    * sha256(shingle) and of sha256('x:' || shingle), min'd per doc. One
-    * groupBy, 16 partial-aggregable mins. */
+    * sha256(shingle) and of sha256('x:' || shingle), min'd per doc.
+    * Computed by the codegen'd `MinHashSig` expression as a map-only
+    * PROJECTION over the per-doc shingle arrays — no shingle explosion and
+    * no aggregation shuffle (the previous groupBy/16-min formulation, which
+    * the DuckDB oracle still runs, cost one exchange plus 16 interpreted
+    * substr-min aggregates). Values are bit-identical to that formulation. */
   def minhashSig(docs: DataFrame): DataFrame = {
-    val hashed = shingles(docs).select(col("doc_id"),
-      sha2(col("shingle"), 256).as("h1"),
-      sha2(concat(lit("x:"), col("shingle")), 256).as("h2"))
-    val mins =
-      (0 until 8).map(j => min(expr(s"substr(h1, ${j * 8 + 1}, 8)")).as(s"m$j")) ++
-        (0 until 8).map(j => min(expr(s"substr(h2, ${j * 8 + 1}, 8)")).as(s"m${8 + j}"))
-    hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    val sig = shingleArrays(docs).select(col("doc_id"),
+      graft.GraftFunctions.minhash_sig(col("sh")).as("sig"))
+    sig.select(col("doc_id") +:
+      (0 until 16).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
   }
 
   /** Banded signatures: 4 band keys, each hashing 4 signature words. */

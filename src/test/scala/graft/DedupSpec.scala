@@ -74,6 +74,22 @@ class DedupSpec extends AnyFunSuite {
     assert(pairs == Set((0L, 1L)))
   }
 
+  test("MinHashSig expression is bit-identical to the SQL groupBy/min formulation") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    // The legacy formulation — still what the DuckDB oracle runs for q25/q26.
+    val hashed = Dedup.shingles(docs).select($"doc_id",
+      sha2($"shingle", 256).as("h1"),
+      sha2(concat(lit("x:"), $"shingle"), 256).as("h2"))
+    val mins =
+      (0 until 8).map(j => min(expr(s"substr(h1, ${j * 8 + 1}, 8)")).as(s"m$j")) ++
+        (0 until 8).map(j => min(expr(s"substr(h2, ${j * 8 + 1}, 8)")).as(s"m${8 + j}"))
+    val legacy = hashed.groupBy("doc_id").agg(mins.head, mins.tail: _*)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (0 to 16).map(i => r.get(i)).mkString("|"))
+    assert(rows(Dedup.minhashSig(docs)).sameElements(rows(legacy)))
+  }
+
   test("minhash: exact dups share all bands; LSH pairs recover high-jaccard pairs") {
     val bands = Dedup.minhashBands(crafted).collect()
       .map(r => r.getAs[Long]("doc_id") ->
