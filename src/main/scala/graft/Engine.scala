@@ -31,12 +31,22 @@ object Engine {
     */
   def chunks(docs: DataFrame,
              size: Int = ChunkText.DefaultSize,
-             overlap: Int = ChunkText.DefaultOverlap): DataFrame =
-    docs.select(col("doc_id"), col("source"), chunk_text(col("text"), size, overlap))
+             overlap: Int = ChunkText.DefaultOverlap): DataFrame = {
+    // pdf_path metadata (main.py:167): kept verbatim when the corpus carries
+    // a real path (PdfCorpusSource.extract); synthesized `pdfs/<source>.pdf`
+    // for path-less document tables so the metadata contract always holds.
+    val withPath =
+      if (docs.columns.contains("pdf_path")) docs
+      else if (docs.columns.contains("path")) docs.withColumn("pdf_path", col("path"))
+      else docs.withColumn("pdf_path", concat(lit("pdfs/"), col("source"), lit(".pdf")))
+    withPath
+      .select(col("doc_id"), col("source"), col("pdf_path"),
+        chunk_text(col("text"), size, overlap))
       .select(
         concat_ws("_", col("source"), col("doc_id"), col("chunk_idx")).as("id"),
-        col("source"), col("doc_id"), col("chunk_idx"),
+        col("source"), col("pdf_path"), col("doc_id"), col("chunk_idx"),
         col("chunk").as("text"))
+  }
 
   /** Add the deterministic hash embedding (main.py:159-170 record build). */
   def embedChunks(chunksDf: DataFrame, dim: Int = HashEmbed.DefaultDim): DataFrame =
@@ -71,6 +81,7 @@ object Engine {
       StructField("chunk_idx", IntegerType, nullable = false),
       StructField("text", StringType, nullable = false),
       StructField("embedding", ArrayType(FloatType, containsNull = false), nullable = false),
+      StructField("pdf_path", StringType, nullable = false),
       StructField("source", StringType, nullable = false)))
   }
 
@@ -141,12 +152,29 @@ object Engine {
         m => format_string("[Source: %s]\n%s", m.getField("source"), m.getField("text"))),
       "\n\n---\n\n")
 
+  /** Per-chunk result list (main.py:328 `chunks=chunks`): the ranked matches
+    * as an array of SearchResult structs (text, source, score, id), in the
+    * same (score desc, id asc) order as the context blocks. Scores round to
+    * 4 digits like every surfaced score. */
+  def chunksColumn: Column =
+    transform(
+      sort_array(collect_list(struct(
+        (-col("score")).as("neg_score"), col("id"), col("source"),
+        col("text"), col("score")))),
+      m => struct(
+        m.getField("text").as("text"),
+        m.getField("source").as("source"),
+        round(m.getField("score"), 4).as("score"),
+        m.getField("id").as("id")))
+
   /** QueryResponse shape (main.py:326-331): one row
-    * (query, total_results, context). */
+    * (query, chunks, total_results, context). */
   def searchResponse(index: DataFrame, query: String, k: Int = 5): DataFrame =
     search(index, query, k)
-      .agg(count(lit(1)).as("total_results"), contextColumn.as("context"))
-      .select(lit(query).as("query"), col("total_results"), col("context"))
+      .agg(count(lit(1)).as("total_results"), chunksColumn.as("chunks"),
+        contextColumn.as("context"))
+      .select(lit(query).as("query"), col("chunks"), col("total_results"),
+        col("context"))
 
   /** Batch multi-query search (SURVEY §2.7): the flagship search over a SET
     * of queries at once. Queries embed once each on their own (tiny) side,

@@ -66,7 +66,8 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // G1/F4/P2 — overlapping chunker + id projection (main.py:118-126, 158-170)
     "q01_chunk" -> ((s, dir) =>
-      Engine.chunks(docs(s, dir)).select("id", "source", "doc_id", "chunk_idx", "text")),
+      Engine.chunks(docs(s, dir))
+        .select("id", "source", "pdf_path", "doc_id", "chunk_idx", "text")),
     // A1 — per-document chunk count (main.py:173)
     "q02_chunk_stats" -> ((s, dir) =>
       Engine.chunks(docs(s, dir)).groupBy("doc_id").agg(count(lit(1)).as("n_chunks"))),
@@ -266,7 +267,7 @@ object SparkEntry {
     """g AS (SELECT doc_id, source, text AS doc_text,
        unnest(range(0, CAST(ceil(length(text)/800.0) AS BIGINT))) AS i FROM documents),
   chunks AS (SELECT source || '_' || CAST(doc_id AS VARCHAR) || '_' || CAST(i AS VARCHAR) AS id,
-       source, doc_id, CAST(i AS INTEGER) AS chunk_idx,
+       source, 'pdfs/' || source || '.pdf' AS pdf_path, doc_id, CAST(i AS INTEGER) AS chunk_idx,
        substring(doc_text, CAST(i*800+1 AS INTEGER), 1000) AS text FROM g)"""
 
   /** DuckDB: scored chunks for the fixture query (mirrors Engine.search). */
@@ -345,7 +346,7 @@ SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
     * assertions in SimilaritySpec instead). */
   def oracleSql: Map[String, String] = Map(
     "q01_chunk" ->
-      s"WITH $dkChunks SELECT id, source, doc_id, chunk_idx, text FROM chunks",
+      s"WITH $dkChunks SELECT id, source, pdf_path, doc_id, chunk_idx, text FROM chunks",
     "q02_chunk_stats" ->
       s"WITH $dkChunks SELECT doc_id, count(*) AS n_chunks FROM chunks GROUP BY doc_id",
     "q03_digest" ->
@@ -372,7 +373,10 @@ FROM scored ORDER BY score DESC, id ASC LIMIT 5""",
     "q07_response" ->
       s"""$dkScored,
   top AS (SELECT * FROM scored ORDER BY score DESC, id ASC LIMIT 5)
-SELECT 'transfer credits' AS query, count(*) AS total_results,
+SELECT 'transfer credits' AS query,
+  list(struct_pack(text := text, source := source, score := round(score, 4), id := id)
+    ORDER BY score DESC, id ASC) AS chunks,
+  count(*) AS total_results,
   coalesce(string_agg('[Source: ' || source || ']' || chr(10) || text,
     chr(10) || chr(10) || '---' || chr(10) || chr(10) ORDER BY score DESC, id ASC), '') AS context
 FROM top""",

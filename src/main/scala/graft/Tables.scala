@@ -14,14 +14,18 @@ object Tables {
   def documents(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "documents")
   def embeddings(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "embeddings")
 
-  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark rejects by default;
-    * read it as nanos-since-epoch and truncate to microseconds (matching a
-    * `CAST(ts AS TIMESTAMP)` of the same data in engines that keep the ns). */
-  def events(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
+  /** `events.ts` is parquet TIMESTAMP(NANOS), which Spark's schema inference
+    * rejects by default. Supplying the schema explicitly (ts as BIGINT
+    * nanos-since-epoch) sidesteps inference entirely — no session-conf
+    * mutation (`nanosAsLong` stays untouched) and no side effect outside this
+    * read. The nanos then truncate to microseconds, matching a
+    * `CAST(ts AS TIMESTAMP)` of the same data in engines that keep the ns. */
+  def events(spark: SparkSession, sfDir: String): DataFrame =
+    spark.read
+      .schema("event_id BIGINT, ts BIGINT, user_id BIGINT, event_type STRING, " +
+        "value DOUBLE, props STRING")
+      .parquet(s"$sfDir/events.parquet")
       .withColumn("ts", expr("timestamp_micros(cast(ts div 1000 AS bigint))"))
-  }
   def lineitem(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "lineitem")
   def orders(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "orders")
   def customer(spark: SparkSession, sfDir: String): DataFrame = table(spark, sfDir, "customer")

@@ -36,14 +36,19 @@ object PdfCorpusSource {
   val utf8Passthrough: TextExtractor = bytes => new String(bytes, "UTF-8")
 
   /** S2: glob a corpus directory. Raises IllegalArgumentException("No PDF
-    * files found...") on an empty match, mirroring main.py:271-279. */
+    * files found...") on an empty match, mirroring main.py:271-279. The
+    * emptiness probe is a driver-side filesystem glob (the same metadata
+    * listing the reference's `Path.glob` does) — constructing the DataFrame
+    * never runs a Spark job. */
   def corpusDir(spark: SparkSession, dir: String, glob: String = "*.pdf"): DataFrame = {
-    val df = spark.read.format("binaryFile")
+    val p = new org.apache.hadoop.fs.Path(dir, glob)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val matched = fs.globStatus(p)
+    if (matched == null || matched.isEmpty)
+      throw new IllegalArgumentException(s"No PDF files found in $dir")
+    spark.read.format("binaryFile")
       .option("pathGlobFilter", glob).load(dir)
       .select(col("path"), col("content"))
-    if (df.isEmpty)
-      throw new IllegalArgumentException(s"No PDF files found in $dir")
-    df
   }
 
   /** S3: a single named file; IllegalArgumentException if absent
@@ -80,7 +85,7 @@ object PdfCorpusSource {
     val chunked = graft.Engine.chunks(
       extracted.filter(col("error").isNull)
         .withColumn("doc_id", monotonically_increasing_id())
-        .select(col("doc_id"), col("source"), col("text")))
+        .select(col("doc_id"), col("source"), col("path"), col("text")))
     val ok = chunked.groupBy("source").agg(count(lit(1)).as("n_chunks"))
     val okAgg = ok.agg(
       coalesce(sum("n_chunks"), lit(0L)).as("ingested_count"),
