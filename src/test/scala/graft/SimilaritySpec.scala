@@ -82,6 +82,57 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  // ---- quantitative recall gates: approximate paths vs the exact baseline —
+  // a recall regression (bad bucket width, broken banding, degenerate cells)
+  // fails red here instead of silently degrading result quality.
+
+  private def embAt(sf: String) = Tables.embeddings(spark, sf)
+    .select("vec_id", "embedding")
+  private def queriesAt(sf: String) = Tables.embeddings(spark, sf)
+    .filter($"vec_id" < 5)
+    .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+
+  private def topkIds(rows: Array[(Long, Long, Int, Double)]): Map[Long, Set[Long]] =
+    rows.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+
+  private def meanRecall(approx: Map[Long, Set[Long]],
+                         exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, ex) =>
+      approx.getOrElse(q, Set.empty).intersect(ex).size.toDouble / ex.size }
+    per.sum / per.size
+  }
+
+  for (sf <- Seq(TestSpark.sf0001, TestSpark.sf001)) {
+    val tag = sf.split('/').last
+    test(s"recall@3 gate [$tag]: lshTopK and ivfTopK >= 0.9 vs bruteForceTopK") {
+      val e = embAt(sf).cache()
+      val q = queriesAt(sf).cache()
+      val exact = topkIds(Similarity.bruteForceTopK(e, q, 3)
+        .as[(Long, Long, Int, Double)].collect())
+      val lsh = topkIds(Similarity.lshTopK(e, q, 3)
+        .as[(Long, Long, Int, Double)].collect())
+      val ivf = topkIds(Similarity.ivfTopK(e, q, 3)
+        .as[(Long, Long, Int, Double)].collect())
+      val lshR = meanRecall(lsh, exact)
+      val ivfR = meanRecall(ivf, exact)
+      assert(lshR >= 0.9, s"lshTopK recall@3 = $lshR < 0.9")
+      assert(ivfR >= 0.9, s"ivfTopK recall@3 = $ivfR < 0.9")
+      e.unpersist(); q.unpersist()
+    }
+
+    test(s"pair-recall gate [$tag]: lshNearDupPairs >= 0.9 vs cosinePairs") {
+      val e = embAt(sf).cache()
+      val exact = Similarity.cosinePairs(e, 0.3)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      val lsh = Similarity.lshNearDupPairs(e, 0.3)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      assert(exact.nonEmpty, "baseline produced no pairs — gate vacuous")
+      val recall = lsh.intersect(exact).size.toDouble / exact.size
+      assert(recall >= 0.9, s"lshNearDupPairs pair-recall = $recall < 0.9")
+      e.unpersist()
+    }
+  }
+
   test("lshTopK: recovers the exact top-1 (self) and plausible neighbours") {
     val lsh = Similarity.lshTopK(emb, queries, 3)
       .as[(Long, Long, Int, Double)].collect()
