@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.expressions.codegen.GenerateOrdering
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode}
 import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.execution.metric.{SQLMetric, SQLMetrics}
 import org.apache.spark.sql.types.IntegerType
 
 /** Grouped top-k as a first-class operator: for each group, the k best rows
@@ -19,25 +20,27 @@ import org.apache.spark.sql.types.IntegerType
   * Spark's stock plan for this shape — `row_number().over(Window.partitionBy
   * (...).orderBy(...))` + `filter(rank <= k)` — shuffles EVERY input row to
   * its group's partition and fully sorts each partition before discarding
-  * all but k rows per group. This operator instead keeps a bounded heap of k
-  * rows per group:
+  * all but k rows per group. This operator instead:
   *
   *  - partial phase (map side, before the exchange): each input partition
-  *    retains at most k rows per group, so shuffle volume drops from N rows
-  *    to at most (partitions x groups x k);
-  *  - final phase (after the ClusteredDistribution-induced exchange): heaps
-  *    merge per group and ranks are assigned. No full sort ever happens and
-  *    per-group state is O(k).
+  *    retains at most k rows per group in bounded heaps, so shuffle volume
+  *    drops from N rows to at most (partitions x groups x k);
+  *  - final phase (after the ClusteredDistribution-induced exchange and a
+  *    planner-inserted sort on group ++ order): a streaming rank-limiter —
+  *    emit the first k rows of each group run with ranks 1..k. O(1) state.
   *
   * This is the batch multi-query ANN search shape (SURVEY §2.7-2.8) at
   * cluster scale: "top-k chunks per query" over a corpus too large to sort.
   * Registered via `spark.experimental.extraStrategies` (GroupedTopK.install).
   *
-  * Memory model: per-partition state is O(groups x k) rows with no spill
-  * integration — sized for the many-rows-few-groups regime (query batches,
-  * segments). For group cardinality approaching row count, prefer the
-  * window plan (UnsafeExternalSorter spills); wiring TaskMemoryManager
-  * spilling into the partial phase is the planned extension.
+  * Memory model (100 TB-safe): the partial phase caps held rows at
+  * `spark.graft.groupedTopK.maxPartialRows` (default 2^20); exceeding the
+  * cap flushes every held heap downstream and restarts — always correct,
+  * because the final phase re-selects top-k per group after the exchange,
+  * so a flush only costs shuffle volume, never rows. The final phase holds
+  * one group run at a time; the partition-wide sort it relies on is Spark's
+  * own SortExec, which spills via UnsafeExternalSorter. No phase can OOM on
+  * group cardinality.
   */
 case class GroupedTopKNode(
     groupExprs: Seq[Expression],
@@ -66,6 +69,13 @@ object GroupedTopKStrategy extends SparkStrategy {
   }
 }
 
+object GroupedTopKExec {
+  /** Partial-phase held-row cap (groups x k rows per input partition);
+    * exceeding it flushes the heaps downstream and restarts. */
+  val MaxPartialRowsKey = "spark.graft.groupedTopK.maxPartialRows"
+  val MaxPartialRowsDefault: Long = 1L << 20
+}
+
 case class GroupedTopKExec(
     groupExprs: Seq[Expression],
     order: Seq[SortOrder],
@@ -80,6 +90,10 @@ case class GroupedTopKExec(
   override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
     org.apache.spark.sql.catalyst.expressions.AttributeSet(rankAttr.toSeq)
 
+  override lazy val metrics: Map[String, SQLMetric] = Map(
+    "partialFlushes" -> SQLMetrics.createMetric(sparkContext,
+      "partial-phase heap flushes (held-row cap hits)"))
+
   override def outputPartitioning: Partitioning =
     if (requiresClustering) child.outputPartitioning
     else UnknownPartitioning(0)
@@ -88,51 +102,114 @@ case class GroupedTopKExec(
     if (requiresClustering) Seq(ClusteredDistribution(groupExprs))
     else super.requiredChildDistribution
 
-  override protected def doExecute(): RDD[InternalRow] = {
+  /** The rank-assigning phase streams over group runs, so it needs rows
+    * clustered AND sorted by (group, order). The sort is Spark's SortExec —
+    * spill-capable — inserted by EnsureRequirements. */
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] =
+    if (assignRank) Seq(groupExprs.map(SortOrder(_, Ascending)) ++ order)
+    else Seq(Nil)
+
+  override protected def doExecute(): RDD[InternalRow] =
+    if (assignRank) executeFinal() else executePartial()
+
+  /** Map-side bounded heaps with a flush-on-cap escape hatch: at most k rows
+    * per group are held; if total held rows exceed the cap (group-cardinality
+    * ~ row-count regime), everything held is emitted downstream and the map
+    * restarts. Emitting extra rows is always safe here — the final phase
+    * re-selects top-k per group — so memory stays bounded at ~2x the cap
+    * (held map + the detached snapshot being drained) at a worst-case cost
+    * of extra shuffle volume. */
+  private def executePartial(): RDD[InternalRow] = {
     val childOutput = child.output
     val groupExprsL = groupExprs
     val orderL = order
     val kL = k
-    val doRank = assignRank
-    val outTypes = output.map(_.dataType).toArray
+    val maxHeldL = org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(GroupedTopKExec.MaxPartialRowsKey,
+        GroupedTopKExec.MaxPartialRowsDefault.toString).toLong
+    val flushMetric = longMetric("partialFlushes")
     child.execute().mapPartitions { iter =>
       val gp = UnsafeProjection.create(groupExprsL, childOutput)
       val ord = GenerateOrdering.generate(orderL, childOutput)
         .asInstanceOf[Ordering[InternalRow]]
-      // Scala PQ dequeues the LARGEST under `ord`; ascending-`ord` "largest"
-      // = worst of the kept k, which is exactly what we evict.
-      val heaps = mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
-      iter.foreach { row =>
-        val u = row.asInstanceOf[UnsafeRow]
-        val key = gp(u)
-        heaps.get(key) match {
-          case Some(heap) =>
-            if (heap.size < kL) heap.enqueue(u.copy())
-            else if (ord.compare(u, heap.head) < 0) { heap.dequeue(); heap.enqueue(u.copy()) }
-          case None =>
-            val heap = mutable.PriorityQueue.empty[UnsafeRow](
-              ord.asInstanceOf[Ordering[UnsafeRow]])
-            heap.enqueue(u.copy())
-            heaps.put(key.copy(), heap)
+      new Iterator[InternalRow] {
+        // Scala PQ dequeues the LARGEST under `ord`; ascending-`ord`
+        // "largest" = worst of the kept k, which is exactly what we evict.
+        private val heaps =
+          mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[UnsafeRow]]
+        private var held = 0L
+        private var out: Iterator[InternalRow] = Iterator.empty
+        private var inputDone = false
+
+        private def drain(): Unit = {
+          val snapshot = heaps.values.toArray
+          heaps.clear()
+          held = 0
+          out = snapshot.iterator.flatMap(_.iterator)
+            .map(_.asInstanceOf[InternalRow])
         }
-      }
-      if (!doRank) {
-        heaps.valuesIterator.flatMap(_.iterator).map(_.asInstanceOf[InternalRow])
-      } else {
-        val toUnsafe = UnsafeProjection.create(outTypes)
-        heaps.valuesIterator.flatMap { heap =>
-          val ranked = heap.dequeueAll.reverseIterator.zipWithIndex
-          ranked.map { case (row, i) =>
-            val joined = new GenericInternalRow(childOutput.size + 1)
-            var c = 0
-            while (c < childOutput.size) {
-              joined.update(c, row.get(c, childOutput(c).dataType))
-              c += 1
+
+        private def advance(): Unit = {
+          while (!out.hasNext && !inputDone) {
+            if (!iter.hasNext) { inputDone = true; drain() }
+            else {
+              val u = iter.next().asInstanceOf[UnsafeRow]
+              val key = gp(u)
+              heaps.get(key) match {
+                case Some(heap) =>
+                  if (heap.size < kL) { heap.enqueue(u.copy()); held += 1 }
+                  else if (ord.compare(u, heap.head) < 0) {
+                    heap.dequeue(); heap.enqueue(u.copy())
+                  }
+                case None =>
+                  val heap = mutable.PriorityQueue.empty[UnsafeRow](
+                    ord.asInstanceOf[Ordering[UnsafeRow]])
+                  heap.enqueue(u.copy())
+                  heaps.put(key.copy(), heap)
+                  held += 1
+              }
+              if (held > maxHeldL) { flushMetric += 1; drain() }
             }
-            joined.update(childOutput.size, i + 1)
-            toUnsafe(joined).copy().asInstanceOf[InternalRow]
           }
         }
+
+        override def hasNext: Boolean = { advance(); out.hasNext }
+        override def next(): InternalRow = { advance(); out.next() }
+      }
+    }
+  }
+
+  /** Reduce-side streaming rank-limiter over (group, order)-sorted input:
+    * emit the first k rows of each group run with ranks 1..k. Holds one
+    * group key — O(1) memory regardless of group cardinality. */
+  private def executeFinal(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val groupExprsL = groupExprs
+    val kL = k
+    val outTypes = output.map(_.dataType).toArray
+    child.execute().mapPartitions { iter =>
+      val gp = UnsafeProjection.create(groupExprsL, childOutput)
+      val toUnsafe = UnsafeProjection.create(outTypes)
+      var currentKey: UnsafeRow = null
+      var rank = 0
+      iter.flatMap { row =>
+        val u = row.asInstanceOf[UnsafeRow]
+        val key = gp(u)
+        if (currentKey == null || key != currentKey) {
+          currentKey = key.copy()
+          rank = 0
+        }
+        rank += 1
+        if (rank <= kL) {
+          val joined = new GenericInternalRow(childOutput.size + 1)
+          var c = 0
+          while (c < childOutput.size) {
+            joined.update(c, u.get(c, childOutput(c).dataType))
+            c += 1
+          }
+          joined.update(childOutput.size, rank)
+          Iterator.single(toUnsafe(joined).copy().asInstanceOf[InternalRow])
+        } else Iterator.empty
       }
     }
   }

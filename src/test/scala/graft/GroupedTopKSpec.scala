@@ -59,6 +59,42 @@ class GroupedTopKSpec extends AnyFunSuite {
     assert(lines.drop(exchangeIdx).exists(_.contains("GroupedTopK")))
   }
 
+  test("group-cardinality ~ row-count: partial phase flushes at the cap, result exact") {
+    spark.conf.set(graft.plans.GroupedTopKExec.MaxPartialRowsKey, "100")
+    // AQE wraps the partial exec in a query-stage leaf, hiding its metrics
+    // from plan.collect — disable it so the flush counter is inspectable.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      // 5000 rows, 2500 groups — per-partition group count far exceeds the
+      // 100-row cap, so the bounded partial phase MUST flush to finish.
+      val df = spark.range(0, 5000).selectExpr("id % 2500 AS g", "id AS v").toDF()
+      val out = GroupedTopK(df, Seq(col("g")), Seq(asc("v")), 2)
+        .select(col("g"), col("v"), col("rank"))
+      // collect() on `out` itself: .as[T] would wrap a fresh QueryExecution,
+      // and the flush metric below must be read from the plan that ran.
+      val got = out.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+      val viaWindow = df
+        .withColumn("rank", row_number().over(Window.partitionBy("g").orderBy(asc("v"))))
+        .filter(col("rank") <= 2)
+        .select($"g", $"v", $"rank").as[(Long, Long, Int)].collect().toSet
+      assert(got == viaWindow)
+      val plan = out.queryExecution.executedPlan match {
+        case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+          a.executedPlan
+        case p => p
+      }
+      val flushes = plan.collect {
+        case g: graft.plans.GroupedTopKExec if !g.assignRank =>
+          g.metrics("partialFlushes").value
+      }.sum
+      assert(flushes > 0, "expected the held-row cap to trigger partial flushes")
+    } finally {
+      spark.conf.unset(graft.plans.GroupedTopKExec.MaxPartialRowsKey)
+      spark.conf.unset("spark.sql.adaptive.enabled")
+    }
+  }
+
   test("duplicate order values tie-break stably via secondary key") {
     val df = Seq(("a", 1, "x"), ("a", 1, "y"), ("a", 1, "z")).toDF("g", "v", "id")
     val out = GroupedTopK(df, Seq(col("g")), Seq(asc("v"), asc("id")), 2)
