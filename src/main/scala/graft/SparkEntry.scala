@@ -56,8 +56,11 @@ object SparkEntry {
 
   private def searchRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
     val hits = Engine.search(Engine.ingest(docs(s, dir)), Q, k)
+    // Ranking k already-limited rows: the literal partition key keeps
+    // WindowExec off its "No Partition Defined" global-sort path (harmless at
+    // k rows, but it spams every run's log with a scale warning).
     hits.withColumn("rnk",
-        row_number().over(Window.orderBy(desc("score"), asc("id"))))
+        row_number().over(Window.partitionBy(lit(1)).orderBy(desc("score"), asc("id"))))
       .select(col("rnk"), col("id"), col("source"), col("text"),
         round(col("score"), 4).as("score"))
   }

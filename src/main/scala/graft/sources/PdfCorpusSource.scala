@@ -12,14 +12,14 @@ import org.apache.spark.sql.functions._
   *  - S3: single named file with an existence predicate (404 if missing,
   *    main.py:260-265)
   *  - S1: per-file text extraction behind a pluggable extractor boundary.
-  *    PDF parsing libraries aren't available in this environment, so the
-  *    default extractor is a clearly-marked stub (UTF-8 passthrough); the
-  *    real one would be an Apache-PDFBox call with the same signature. Per
-  *    the reference (main.py:106-115) a real extractor must join pages with
-  *    a trailing "\n" per page. (Empirically 39 of the reference's 40 PDFs
-  *    are scanned images — JPEG/CCITT streams, no text fonts — so even the
-  *    reference's own pypdf extraction yields ~nothing for them; the
-  *    extraction boundary, not the codec, is the part worth engineering.)
+  *    The default extractor is a real, JDK-only PDF text extractor
+  *    (`PdfTextExtractor`: FlateDecode via Inflater + Tj/TJ text-operator
+  *    scraping, pages joined with a trailing "\n" per main.py:106-115),
+  *    with UTF-8 passthrough for non-PDF files; swap in PDFBox via the
+  *    same signature for CID-font corpora. (Empirically 39 of the
+  *    reference's 40 PDFs are scanned images — JPEG/CCITT streams, no text
+  *    fonts — so even the reference's own pypdf extraction yields ~nothing
+  *    for them; text-based PDFs extract for real here.)
   *
   * Extraction is error-tolerant per file (A2, main.py:281-302): failures
   * land in an `error` column instead of failing the job, and
@@ -31,9 +31,18 @@ object PdfCorpusSource {
   /** S1 extraction boundary: bytes -> text. Swap for PDFBox in production. */
   type TextExtractor = Array[Byte] => String
 
-  /** STUB extractor: UTF-8 passthrough (??? real PDF decode unavailable in
-    * this container). Contract and wiring are the real thing. */
+  /** Plain-text fallback: UTF-8 passthrough for non-PDF corpus files. */
   val utf8Passthrough: TextExtractor = bytes => new String(bytes, "UTF-8")
+
+  /** Default S1 extractor: real (JDK-only) PDF text extraction for files
+    * with a %PDF- header — FlateDecode content streams + Tj/TJ/'/" scraping,
+    * see `PdfTextExtractor` — and UTF-8 passthrough for anything else, so
+    * plain-text corpora keep working through the same boundary. */
+  val pdfOrPassthrough: TextExtractor = bytes =>
+    if (bytes.length >= 5 && bytes(0) == '%' && bytes(1) == 'P' &&
+        bytes(2) == 'D' && bytes(3) == 'F' && bytes(4) == '-')
+      PdfTextExtractor.extract(bytes)
+    else utf8Passthrough(bytes)
 
   /** S2: glob a corpus directory. Raises IllegalArgumentException("No PDF
     * files found...") on an empty match, mirroring main.py:271-279. The
@@ -64,7 +73,7 @@ object PdfCorpusSource {
   /** S1 + P1: extract text per file (error-tolerant) and derive the title
     * from the basename with replace-all ".pdf" semantics (main.py:287).
     * Output: (path, source, text, error) — error null on success. */
-  def extract(files: DataFrame, extractor: TextExtractor = utf8Passthrough): DataFrame = {
+  def extract(files: DataFrame, extractor: TextExtractor = pdfOrPassthrough): DataFrame = {
     val ex = udf((bytes: Array[Byte]) =>
       try (extractor(bytes), null: String)
       catch { case e: Throwable =>

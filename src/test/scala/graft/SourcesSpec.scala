@@ -61,6 +61,70 @@ class SourcesSpec extends AnyFunSuite {
     assert(report.getAs[scala.collection.Seq[String]]("failed_sources").toSeq == Seq("AA_GaTech"))
   }
 
+  /** Assemble a minimal two-page text PDF: page 1's content stream is
+    * FlateDecode-compressed, page 2's is raw. Exercises Tj, a TJ kerning
+    * array, escaped parens/octal, a hex string, and Td line positioning. */
+  def mkTextPdf(): Array[Byte] = {
+    import java.util.zip.Deflater
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new Deflater(); d.setInput(b); d.finish()
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](1024)
+      while (!d.finished()) out.write(buf, 0, d.deflate(buf))
+      d.end(); out.toByteArray
+    }
+    val content1 =
+      """BT /F1 12 Tf 72 720 Td (Transfer credit agreement) Tj
+        |0 -14 Td [(between )(the )(institutions)] TJ
+        |0 -14 Td (Appendix \(A\) \110ere) Tj ET""".stripMargin
+    val content2 = "BT /F1 12 Tf 72 720 Td <48656C6C6F> Tj 0 -14 Td (page two) Tj ET"
+    val c1 = deflate(content1.getBytes("ISO-8859-1"))
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = sb.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R 4 0 R] /Count 2 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 5 0 R >> endobj\n")
+    w("4 0 obj << /Type /Page /Parent 2 0 R /Contents 6 0 R >> endobj\n")
+    w(s"5 0 obj << /Length ${c1.length} /Filter /FlateDecode >> stream\n")
+    sb.write(c1)
+    w("\nendstream endobj\n")
+    w(s"6 0 obj << /Length ${content2.length} >> stream\n")
+    w(content2)
+    w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    sb.toByteArray
+  }
+
+  test("S1 golden: JDK-only extractor reads a real two-page text PDF") {
+    val expected =
+      "Transfer credit agreement\nbetween the institutions\nAppendix (A) Here\n" + // page 1 + \n
+        "Hello\npage two\n" // page 2 + \n
+    val got = graft.sources.PdfTextExtractor.extract(mkTextPdf())
+    assert(got == expected, s"got: ${got.replace("\n", "\\n")}")
+  }
+
+  test("S1 default extractor: PDF header routes to the PDF parser, other bytes pass through") {
+    assert(PdfCorpusSource.pdfOrPassthrough(mkTextPdf()).startsWith("Transfer credit"))
+    assert(PdfCorpusSource.pdfOrPassthrough("plain text".getBytes) == "plain text")
+    // a page stripped of text operators (image-only shape) yields no text
+    // (page 2's stream is raw, so cleartext replacement reaches it)
+    val imgOnly = new String(mkTextPdf(), "ISO-8859-1")
+      .replace("<48656C6C6F> Tj", "").replace("(page two) Tj", "")
+    assert(!graft.sources.PdfTextExtractor.extract(imgOnly.getBytes("ISO-8859-1"))
+      .contains("page two"))
+  }
+
+  test("S1 end-to-end: a PDF corpus file ingests its extracted text") {
+    val dir = Files.createTempDirectory("graft-pdfcorpus")
+    Files.write(dir.resolve("AA_State.pdf"), mkTextPdf())
+    val ex = PdfCorpusSource.extract(PdfCorpusSource.corpusDir(spark, dir.toString))
+    val row = ex.collect()(0)
+    assert(row.getAs[String]("error") == null)
+    assert(row.getAs[String]("source") == "AA_State")
+    assert(row.getAs[String]("text").contains("between the institutions"))
+  }
+
   test("S4/S5: create-if-missing idempotent; dynamic overwrite replaces only re-ingested sources") {
     val path = Files.createTempDirectory("graft-index").toString + "/index"
     Engine.createIndexIfMissing(spark, path)
