@@ -106,9 +106,19 @@ object Similarity {
     * under the fixed seed. */
   def ivfIndex(items: DataFrame, nLists: Int = 16): IvfIndex = {
     val ni = normalized(items, "embedding").cache()
+    // Fit on a bounded sample: centroid quality saturates far below full
+    // corpus size, while MLlib KMeans cost is per-iteration over ALL fit
+    // rows — at 100 TB fitting on the corpus itself is a non-starter. Every
+    // vector is still assigned to its cell below; the recall@3 gate in
+    // SimilaritySpec holds the sampled fit to the same quality bar.
+    val n = ni.count()
+    val fitRows = math.max(4096L, nLists * 256L)
+    val fitInput =
+      if (n <= fitRows * 2) ni
+      else ni.sample(withReplacement = false, fitRows.toDouble / n, seed = 42L)
     val km = new KMeans().setK(nLists).setSeed(42L).setMaxIter(8)
       .setFeaturesCol("nvec").setPredictionCol("cell")
-    val model = km.fit(ni)
+    val model = km.fit(fitInput)
     val assigned = model.transform(ni)
       .select(col("vec_id"), col("embedding"), col("cell")).cache()
     assigned.count() // materialize so the normalized input can be released
