@@ -88,28 +88,31 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("common"),
         round(col("jaccard"), 6).as("jaccard"))
 
-  /** Exact n-gram Jaccard near-duplicate pairs, in three bounded stages:
+  /** Exact n-gram Jaccard near-duplicate pairs, in bounded stages:
     *
     *  1. df-capped candidate counting: in-bucket pairs over KEPT (df <=
-    *     maxShingleDf) shingles, aggregated to a per-pair `common_kept` —
-    *     a lower bound on the true intersection that is exact whenever the
-    *     cap never triggered.
-    *  2. upper-bound prefilter: true common <= common_kept + min(fa, fb),
-    *     where f* counts a doc's dropped (frequent) shingles; pairs whose
-    *     Jaccard upper bound misses the threshold are discarded WITHOUT
-    *     touching the shingle arrays. Since upper >= true, no qualifying
-    *     pair is lost.
-    *  3. exact verification (array_intersect on the full shingle sets) on
-    *     the near-threshold survivors only — so the expensive set
-    *     intersection runs on ~|result| pairs, not ~|candidates|.
+    *     maxShingleDf) shingles, aggregated to a per-pair `common_kept`.
+    *     Shingle sets are distinct per doc, so common_kept IS the exact
+    *     intersection size whenever neither doc dropped a frequent shingle.
+    *  2. per-doc stats broadcast join: set size `n_sh` and dropped-shingle
+    *     count `n_freq` (zero unless the cap triggered) — one tiny table,
+    *     two broadcast joins.
+    *  3. split on `least(fa, fb)`:
+    *     - == 0 (the whole corpus when no shingle exceeds the cap): the pair
+    *       needs NO set intersection — jaccard computes from counts alone;
+    *     - > 0: true common <= common_kept + min(fa, fb); pairs whose upper
+    *       bound misses the threshold are discarded, the near-threshold
+    *       rest get exact array_intersect verification. Since upper >= true,
+    *       no qualifying pair is lost.
     *
-    * Output: (doc_a, doc_b, common, jaccard) for true jaccard >= threshold,
-    * among pairs sharing at least one non-frequent shingle. */
+    * The expensive set-array join therefore runs only on pairs where BOTH
+    * docs dropped boilerplate shingles — typically none. Output:
+    * (doc_a, doc_b, common, jaccard) for true jaccard >= threshold, among
+    * pairs sharing at least one non-frequent shingle. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxShingleDf: Int = 1000): DataFrame = {
-    // `sets` is referenced 5x downstream (bucket build, 2x totals, 2x
-    // verification sides) and deliberately NOT cached: re-running the
-    // codegen'd shingling per reference measures ~35% faster end-to-end
+    // `sets` is re-derived where needed and deliberately NOT cached:
+    // re-running the codegen'd shingling measures ~35% faster end-to-end
     // than materializing the large array column through the block manager.
     val sets = shingleArrays(docs)
     val buckets = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
@@ -117,20 +120,32 @@ object Dedup {
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
     val partial = bucketPairs(buckets.filter(size(col("ds")) <= maxShingleDf))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common_kept"))
-    val totals = sets.select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
-    // Per-doc count of dropped shingles — empty unless the cap triggered.
+    // Per-doc stats: set size + dropped-shingle count (empty unless the cap
+    // triggered). One row per doc — broadcasts.
     val nFreq = buckets.filter(size(col("ds")) > maxShingleDf)
       .select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_freq"))
-    val survivors = partial
-      .join(totals.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), Seq("doc_a"))
-      .join(totals.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), Seq("doc_b"))
-      .join(nFreq.select(col("doc_id").as("doc_a"), col("n_freq").as("fa")), Seq("doc_a"), "left")
-      .join(nFreq.select(col("doc_id").as("doc_b"), col("n_freq").as("fb")), Seq("doc_b"), "left")
-      .withColumn("upper", col("common_kept") +
-        least(coalesce(col("fa"), lit(0L)), coalesce(col("fb"), lit(0L))))
+    val docStats = sets
+      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
+      .join(nFreq, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_sh"),
+        coalesce(col("n_freq"), lit(0L)).as("n_freq"))
+    val stats = partial
+      .join(broadcast(docStats.select(col("doc_id").as("doc_a"),
+        col("n_sh").as("na"), col("n_freq").as("fa"))), Seq("doc_a"))
+      .join(broadcast(docStats.select(col("doc_id").as("doc_b"),
+        col("n_sh").as("nb"), col("n_freq").as("fb"))), Seq("doc_b"))
+    val exact = stats.filter(least(col("fa"), col("fb")) === 0)
+      .withColumn("jaccard",
+        col("common_kept") / (col("na") + col("nb") - col("common_kept")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("common_kept").as("common"),
+        round(col("jaccard"), 6).as("jaccard"))
+    val fuzzy = stats.filter(least(col("fa"), col("fb")) > 0)
+      .withColumn("upper", col("common_kept") + least(col("fa"), col("fb")))
       .filter(col("upper") / (col("na") + col("nb") - col("upper")) >= threshold)
-    verifiedJaccard(survivors.select("doc_a", "doc_b"), sets, threshold)
+      .select("doc_a", "doc_b")
+    exact.unionByName(verifiedJaccard(fuzzy, sets, threshold))
   }
 
   /** MinHash signature columns m0..m15: the 8 32-bit hex words of

@@ -133,6 +133,22 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("IvfIndex save/load roundtrip: persisted index probes identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
+    val built = Similarity.ivfIndex(emb, 8)
+    built.save(dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val a = Similarity.ivfProbe(built, queries, 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    val b = Similarity.ivfProbe(loaded, queries, 3)
+      .as[(Long, Long, Int, Double)].collect().toSet
+    assert(a == b && a.nonEmpty)
+    // cell-partitioned layout: a per-cell read prunes partitions
+    val pruned = loaded.assignments.filter($"cell" === 0)
+    assert(pruned.queryExecution.executedPlan.toString
+      .contains("PartitionFilters: [isnotnull(cell"))
+  }
+
   test("lshTopK: recovers the exact top-1 (self) and plausible neighbours") {
     val lsh = Similarity.lshTopK(emb, queries, 3)
       .as[(Long, Long, Int, Double)].collect()
