@@ -246,7 +246,15 @@ object SparkEntry {
     "q32_search_batch" -> ((s, dir) =>
       Engine.searchMany(Engine.ingest(docs(s, dir)), QBatch, 5)
         .select(col("query"), col("rank"), col("id"), col("source"),
-          round(col("score"), 4).as("score"))))
+          round(col("score"), 4).as("score"))),
+    // extension: duplicate clustering (connected components over near-dup
+    // pairs — the keep-one-per-cluster step after any pair join)
+    "q38_dup_clusters" -> ((s, dir) =>
+      Dedup.duplicateClusters(Dedup.jaccardPairs(docs(s, dir), 0.5))),
+    // extension: corpus text normalization
+    "q39_normalize" -> ((s, dir) => TextAnalysis.normalizeText(docs(s, dir))),
+    // extension: PII redaction with hit counts
+    "q40_redact_pii" -> ((s, dir) => TextAnalysis.redactPii(docs(s, dir))))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -579,6 +587,38 @@ SELECT window_start, event_type, count(*) AS n FROM x GROUP BY 1, 2""",
   s AS (SELECT user_id, t,
           sum(ns) OVER (PARTITION BY user_id ORDER BY t ROWS UNBOUNDED PRECEDING) AS sid FROM f)
 SELECT min(t) AS session_start, user_id, count(*) AS n_events FROM s GROUP BY user_id, sid""",
+    // Mirrors q38: q22's verified-pair pipeline at 0.5, then connected
+    // components via a recursive reachability CTE (min reachable doc_id).
+    "q38_dup_clusters" ->
+      s"""WITH RECURSIVE $dkTok, $dkShl, $dkShu,
+  keep AS (SELECT shingle FROM shu GROUP BY shingle HAVING count(*) <= 1000),
+  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM shu a JOIN shu b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           WHERE a.shingle IN (SELECT shingle FROM keep)),
+  ver AS (SELECT c.doc_a, c.doc_b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+          FROM cand c JOIN shl sa ON c.doc_a = sa.doc_id
+                      JOIN shl sb ON c.doc_b = sb.doc_id),
+  p AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.5),
+  edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+            UNION ALL SELECT doc_b, doc_a FROM p),
+  nodes AS (SELECT DISTINCT a AS n FROM edges),
+  reach(n, r) AS (SELECT n, n FROM nodes
+    UNION SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.n)
+SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n""",
+    "q39_normalize" ->
+      """SELECT doc_id,
+  trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS norm_text,
+  CAST(length(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS INTEGER) AS n_chars
+FROM documents""",
+    "q40_redact_pii" ->
+      """SELECT doc_id,
+  CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
+  CAST(len(regexp_extract_all(text, '\+?[0-9][0-9()\- ]{6,}[0-9]')) AS INTEGER) AS n_phones,
+  regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+    '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
+FROM documents""",
     "q27_simhash" ->
       s"""WITH $dkTok,
   hs AS (SELECT doc_id, list_transform(toks, t -> sha256(t)) AS hashes FROM tok)

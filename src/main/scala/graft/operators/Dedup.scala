@@ -190,6 +190,57 @@ object Dedup {
     verifiedJaccard(candidates, shingleArrays(docs), threshold)
   }
 
+  /** Connected components over a near-duplicate pair graph: every document
+    * that appears in `pairs` gets a `cluster` id = the minimum doc_id
+    * reachable through shared pairs. This is the step every dedup pipeline
+    * needs after ANY pair join (jaccardPairs / minhashPairs / simhashPairs /
+    * lshNearDupPairs): pairs say "these two match", clusters say "keep one
+    * of these n".
+    *
+    * Algorithm: iterative min-label propagation — labels start as doc_id,
+    * each round every node takes min(own, neighbours') label, until a
+    * fixpoint. Rounds ~ cluster diameter (near-dup clusters are shallow;
+    * a star around the true original is the common shape). Each round is
+    * one equi-join + one groupBy keyed on doc id — no quadratic step — and
+    * `localCheckpoint` truncates lineage so plans don't grow with rounds.
+    * Deterministic: the fixpoint is unique regardless of join order. */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
+    val edges = pairs
+      .select(col("doc_a").as("src"), col("doc_b").as("dst"))
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
+      .localCheckpoint()
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id"))
+      .localCheckpoint()
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      val nbrMin = edges
+        .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min("cluster").as("nbr_min"))
+      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+        .localCheckpoint()
+      converged = updated
+        .join(labels.withColumnRenamed("cluster", "prev"), Seq("doc_id"))
+        .filter(col("cluster") < col("prev")).isEmpty
+      labels = updated
+      round += 1
+    }
+    labels
+  }
+
+  /** Apply clustering: keep one canonical document (the minimum doc_id) per
+    * duplicate cluster, plus every document that was in no pair. The
+    * materialization step of dedup — `docs` minus the non-canonical cluster
+    * members. */
+  def dedupByCluster(docs: DataFrame, clusters: DataFrame): DataFrame =
+    docs.join(clusters, Seq("doc_id"), "left")
+      .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
+      .drop("cluster")
+
   /** SimHash near-duplicate pairs via banded Hamming-distance LSH: slice the
     * 32-bit signature into `maxHamming + 1` bit bands; any pair within
     * Hamming distance `maxHamming` must agree on at least one band

@@ -83,6 +83,30 @@ object TextAnalysis {
       "doc_id" +: langs.map(l => s"s_$l") :+ s"$caseExpr AS predicted_lang": _*)
   }
 
+  /** Email shape: local@domain.tld (no lookarounds — portable across Java
+    * regex and RE2, so the oracle runs the identical pattern). */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+
+  /** Phone shape: optional +, then >= 8 digits with ()/-/space separators. */
+  val PhoneRe = "\\+?[0-9][0-9()\\- ]{6,}[0-9]"
+
+  /** Text normalization for training corpora: lowercase, collapse runs of
+    * whitespace to single spaces, trim. Map-only projection. */
+  def normalizeText(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+        trim(regexp_replace(lower(col("text")), "[ \\t\\n\\r]+", " ")).as("norm_text"))
+      .withColumn("n_chars", length(col("norm_text")))
+
+  /** PII scrubbing: redact email addresses and phone numbers with typed
+    * placeholders, and count the hits (counts run against the ORIGINAL text,
+    * so n_emails/n_phones survive the rewrite). Map-only projection. */
+  def redactPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(regexp_extract_all(col("text"), lit(EmailRe), lit(0))).as("n_emails"),
+      size(regexp_extract_all(col("text"), lit(PhoneRe), lit(0))).as("n_phones"),
+      regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>").as("redacted"))
+
   /** Document fingerprint: minimum SHA-256 over all 8-char grams — an
     * order-invariant rolling-window fingerprint (winnowing with window = whole
     * doc). Identical prefix-shifted texts collide; unrelated texts don't.

@@ -135,6 +135,30 @@ class DedupSpec extends AnyFunSuite {
     assert(lsh5 == ex5)
   }
 
+  test("duplicateClusters: transitive chains collapse to min-id components") {
+    // components: {1,2,3,4} via chain, {7,9}, pair order irrelevant
+    val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+  }
+
+  test("dedupByCluster keeps one canonical doc per cluster plus unpaired docs") {
+    val pairs = Dedup.jaccardPairs(crafted, 0.5)
+    val clusters = Dedup.duplicateClusters(pairs)
+    val kept = Dedup.dedupByCluster(crafted, clusters)
+      .select($"doc_id").as[Long].collect().toSet
+    // crafted at 0.5: {1,2,3} one cluster (near-dup 3 joins via jaccard
+    // 8/14), 4 unpaired -> keep the canonical 1 and the unpaired 4
+    assert(kept == Set(1L, 4L))
+    // idempotent: dedup of the deduped set removes nothing
+    val again = Dedup.dedupByCluster(
+      crafted.filter($"doc_id".isin(kept.toSeq: _*)),
+      Dedup.duplicateClusters(Dedup.jaccardPairs(
+        crafted.filter($"doc_id".isin(kept.toSeq: _*)), 0.5)))
+    assert(again.count() == kept.size)
+  }
+
   test("simhash: identical text -> identical signature; near-dup closer than unrelated") {
     val sig = Dedup.simhash(crafted).as[(Long, Long)].collect().toMap
     assert(sig(1L) == sig(2L))

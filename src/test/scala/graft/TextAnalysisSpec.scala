@@ -65,6 +65,30 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == Map(1L -> "de", 2L -> "es", 3L -> "fr", 4L -> "zh"))
   }
 
+  test("normalizeText: lowercases, collapses whitespace runs, trims") {
+    val crafted = Seq(
+      (1L, "  Hello\t\tWorld \n NEXT  line  "),
+      (2L, "already clean")).toDF("doc_id", "text")
+    val got = TextAnalysis.normalizeText(crafted)
+      .select($"doc_id", $"norm_text", $"n_chars")
+      .as[(Long, String, Int)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(got(1L) == ("hello world next line", 21))
+    assert(got(2L) == ("already clean", 13))
+  }
+
+  test("redactPii: emails and phones replaced with typed placeholders, counted") {
+    val crafted = Seq(
+      (1L, "contact bob.smith+x@example.co.uk or call +1 (555) 123-4567 now"),
+      (2L, "no pii here at all")).toDF("doc_id", "text")
+    val got = TextAnalysis.redactPii(crafted)
+      .select($"doc_id", $"n_emails", $"n_phones", $"redacted")
+      .as[(Long, Int, Int, String)].collect().map(r => r._1 -> (r._2, r._3, r._4)).toMap
+    assert(got(1L)._1 == 1 && got(1L)._2 == 1)
+    assert(got(1L)._3.contains("<EMAIL>") && got(1L)._3.contains("<PHONE>"))
+    assert(!got(1L)._3.contains("example.co.uk") && !got(1L)._3.contains("555"))
+    assert(got(2L) == (0, 0, "no pii here at all"))
+  }
+
   test("fingerprint: equal for identical text, stable under prefix padding semantics") {
     val crafted = Seq(
       (1L, "abcdefgh12345678"), (2L, "abcdefgh12345678"), (3L, "completely other")
