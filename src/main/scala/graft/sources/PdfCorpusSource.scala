@@ -89,7 +89,8 @@ object PdfCorpusSource {
 
   /** A2: the reference's ingest fold — continue on per-file failure, error
     * out only if nothing succeeded (main.py:281-302). Returns one row:
-    * (ingested_count, pdfs_processed, n_failed, failed_sources). */
+    * (message, ingested_count, pdfs_processed, n_failed, failed_sources),
+    * with `message` formatted per main.py:304-306. */
   def ingestReport(extracted: DataFrame): DataFrame = {
     val chunked = graft.Engine.chunks(
       extracted.filter(col("error").isNull)
@@ -103,5 +104,13 @@ object PdfCorpusSource {
       .agg(count(lit(1)).as("n_failed"),
         sort_array(collect_list(col("source"))).as("failed_sources"))
     okAgg.crossJoin(failed)
+      .withColumn("message", concat(
+        format_string("Successfully ingested %d PDF(s) with %d total chunks",
+          size(col("pdfs_processed")), col("ingested_count")),
+        when(col("n_failed") > 0,
+          format_string(". %d PDF(s) failed to ingest.", col("n_failed")))
+          .otherwise(lit(""))))
+      .select(col("message"), col("ingested_count"), col("pdfs_processed"),
+        col("n_failed"), col("failed_sources"))
   }
 }

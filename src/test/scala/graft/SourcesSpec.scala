@@ -59,6 +59,9 @@ class SourcesSpec extends AnyFunSuite {
     assert(report.getAs[scala.collection.Seq[String]]("pdfs_processed").toSeq == Seq("AA_UF"))
     assert(report.getAs[Long]("n_failed") == 1L)
     assert(report.getAs[scala.collection.Seq[String]]("failed_sources").toSeq == Seq("AA_GaTech"))
+    // main.py:304-306 message format, including the failure suffix
+    assert(report.getAs[String]("message") ==
+      "Successfully ingested 1 PDF(s) with 1 total chunks. 1 PDF(s) failed to ingest.")
   }
 
   /** Assemble a minimal two-page text PDF: page 1's content stream is
