@@ -80,6 +80,44 @@ object Multimodal {
     }
   }
 
+  /** Nearest-neighbour resize plumbing: the index arithmetic (row-major
+    * nearest-neighbour source-pixel mapping) is the real algorithm; the
+    * pixel source is the payload bytes reinterpreted as a width x height x
+    * channels image at the stub-decoded dimensions, since real decode is
+    * unavailable here. Swapping in a real decoder changes only where the
+    * source pixels come from — shape, batching and plan stay identical
+    * (map-only, no shuffle). */
+  def resize(media: Dataset[Media], outW: Int, outH: Int): DataFrame = {
+    require(outW > 0 && outH > 0)
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val (w, h, c) = decodeStub(m.content)
+        val src = m.content
+        val out = new Array[Byte](outW * outH * c)
+        var y = 0
+        while (y < outH) {
+          val sy = y * h / outH
+          var x = 0
+          while (x < outW) {
+            val sx = x * w / outW
+            var ch = 0
+            while (ch < c) {
+              val si = (sy * w + sx) * c + ch
+              out((y * outW + x) * c + ch) =
+                if (src.isEmpty) 0 else src(si % src.length)
+              ch += 1
+            }
+            x += 1
+          }
+          y += 1
+        }
+        (m.media_id, outW, outH, c, out)
+      }
+    }.toDF("media_id", "width", "height", "channels", "pixels")
+  }
+
   /** Frame-sampling plumbing for video-like payloads: emit every `stride`-th
     * fixed-size block as a "frame" (stub for codec frame extraction; the
     * explode/streaming shape is the real thing). */

@@ -31,6 +31,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(again == byId)
   }
 
+  test("resize: output buffer sized outW*outH*c, nearest-neighbour mapping, deterministic") {
+    val media = Multimodal.asMedia(
+      Seq((1L, "abcdefgh" * 40)).toDF("doc_id", "text"), "doc_id", "encode(text, 'utf-8')")
+    val rows = Multimodal.resize(media, 8, 6)
+      .as[(Long, Int, Int, Int, Array[Byte])].collect()
+    assert(rows.length == 1)
+    val (_, w, h, c, px) = rows(0)
+    assert((w, h) == ((8, 6)) && c == 3 && px.length == 8 * 6 * 3)
+    // deterministic across runs
+    val again = Multimodal.resize(media, 8, 6)
+      .as[(Long, Int, Int, Int, Array[Byte])].collect()(0)._5
+    assert(px.sameElements(again))
+    // replicate the nearest-neighbour index math for one pixel driver-side
+    val bytes = ("abcdefgh" * 40).getBytes("UTF-8")
+    val (sw, sh, sc) = (64 + (bytes.length % 512),
+      64 + ((bytes(0) & 0xff) * 256 + (bytes(1) & 0xff)) % 512, 3)
+    val (x, y, ch) = (3, 2, 1)
+    val si = ((y * sh / 6) * sw + (x * sw / 8)) * sc + ch
+    assert(px((y * 8 + x) * 3 + ch) == bytes(si % bytes.length))
+  }
+
   test("frame sampling emits strided fixed-size blocks") {
     val media = Multimodal.asMedia(
       Seq((1L, "a" * 1000)).toDF("doc_id", "text"), "doc_id", "encode(text, 'utf-8')")
