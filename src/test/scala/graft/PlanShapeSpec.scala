@@ -60,6 +60,20 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(shuffles == 1, s"expected exactly the GroupedTopK exchange, got $shuffles:\n$p")
   }
 
+  test("q39/q40 text transforms are map-only with a pruned scan") {
+    for (q <- Seq("q39_normalize", "q40_redact_pii")) {
+      val p = planOf(q)
+      assert(!p.contains("Exchange"), s"$q should not shuffle:\n$p")
+      assert(p.contains("ReadSchema: struct<doc_id:bigint,text:string>"),
+        s"$q should scan only doc_id+text:\n$p")
+    }
+  }
+
+  test("q22 prefilter stats join broadcasts (no sort-merge join of per-doc stats)") {
+    val p = planOf("q22_jaccard_pairs")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("custom expressions run inside codegen (no fallback markers in hot projections)") {
     val df = Engine.ingest(freshDocs)
     val p = df.queryExecution.executedPlan.toString
