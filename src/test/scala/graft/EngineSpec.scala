@@ -66,6 +66,16 @@ class EngineSpec extends AnyFunSuite {
     assert(resp.getAs[String]("query") == "transfer credits")
     assert(resp.getAs[Long]("total_results") == 3L)
     assert(resp.getAs[String]("context") == expected)
+    // chunks array (main.py:328): same hits, rank order, 4-digit scores
+    val chunks = resp.getAs[scala.collection.Seq[org.apache.spark.sql.Row]]("chunks")
+    assert(chunks.length == 3)
+    assert(chunks.map(_.getAs[String]("id")) == hits.map(_.getAs[String]("id")).toSeq)
+    chunks.zip(hits).foreach { case (c, h) =>
+      assert(c.getAs[String]("text") == h.getAs[String]("text"))
+      assert(c.getAs[String]("source") == h.getAs[String]("source"))
+      assert(c.getAs[Double]("score") ==
+        math.round(h.getAs[Double]("score") * 1e4) / 1e4)
+    }
   }
 
   test("search with source filter restricts candidates") {
