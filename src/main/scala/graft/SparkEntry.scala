@@ -254,7 +254,11 @@ object SparkEntry {
     // extension: corpus text normalization
     "q39_normalize" -> ((s, dir) => TextAnalysis.normalizeText(docs(s, dir))),
     // extension: PII redaction with hit counts
-    "q40_redact_pii" -> ((s, dir) => TextAnalysis.redactPii(docs(s, dir))))
+    "q40_redact_pii" -> ((s, dir) => TextAnalysis.redactPii(docs(s, dir))),
+    // extension: deterministic hash-bucketed train/val/test split
+    "q41_split_hash" -> ((s, dir) => operators.Sampling.splitByHash(docs(s, dir))),
+    // extension: sequence packing (per-shard token offsets -> sequence bins)
+    "q42_pack_sequences" -> ((s, dir) => operators.Sampling.packSequences(docs(s, dir))))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -612,6 +616,26 @@ SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n""",
   trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS norm_text,
   CAST(length(trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g'))) AS INTEGER) AS n_chars
 FROM documents""",
+    // Mirrors Sampling.splitByHash: first 4 bytes of sha256(doc_id) mod 1e4
+    // against cumulative 98/1/1 thresholds.
+    "q41_split_hash" -> {
+      val h = "sha256(CAST(doc_id AS VARCHAR))"
+      val b = s"(((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) * 256 + " +
+        s"${dkByte(h, "2")}) * 256 + ${dkByte(h, "3")}) % 10000"
+      s"""SELECT doc_id, CAST($b AS BIGINT) AS bucket,
+  CASE WHEN $b < 9800 THEN 'train' WHEN $b < 9900 THEN 'val' ELSE 'test' END AS split
+FROM documents"""
+    },
+    // Mirrors Sampling.packSequences: per-shard running token offsets.
+    "q42_pack_sequences" ->
+      """WITH t AS (SELECT doc_id, doc_id % 32 AS shard,
+    CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS INTEGER) AS n_tokens
+  FROM documents),
+  o AS (SELECT doc_id, shard, n_tokens,
+    CAST(coalesce(sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+      ROWS UNBOUNDED PRECEDING) - n_tokens, 0) AS BIGINT) AS start_offset FROM t)
+SELECT doc_id, shard, n_tokens, start_offset,
+  CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin FROM o""",
     "q40_redact_pii" ->
       """SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,
