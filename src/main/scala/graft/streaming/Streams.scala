@@ -100,6 +100,15 @@ object Streams {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Streaming exact dedup: suppress re-deliveries of the same `event_id`
+    * arriving within the watermark horizon. State is bounded — an id's
+    * dedup record is dropped once the watermark passes its event time
+    * (ids re-arriving later than the horizon are treated as new, the
+    * standard at-least-once ingest contract). */
+  def dedupEvents(events: DataFrame, horizon: String = "30 minutes"): DataFrame =
+    events.withWatermark("ts", horizon)
+      .dropDuplicatesWithinWatermark("event_id")
+
   /** Per-user session windows with a 30-minute gap. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", "30 minutes")

@@ -79,6 +79,22 @@ class StreamingSpec extends AnyFunSuite {
     for ((k, n) <- streamed) assert(batch(k) == n, s"window $k")
   }
 
+  test("streaming dedup suppresses re-delivered event ids within the watermark") {
+    val tmp = Files.createTempDirectory("graft-dedup").toString
+    val src = s"$tmp/events"
+    val base = Tables.events(spark, TestSpark.sf0001).limit(200)
+    // re-deliver every event twice (the at-least-once ingest shape)
+    base.unionByName(base).write.parquet(src)
+    val stream = spark.readStream.schema(Streams.eventsSchema).parquet(src)
+    val q = Streams.dedupEvents(stream).writeStream
+      .format("memory").queryName("dedup_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val out = spark.table("dedup_out").select($"event_id").as[Long].collect()
+    assert(out.length == 200)
+    assert(out.toSet.size == 200)
+  }
+
   test("mapGroupsWithState: per-user running totals match batch aggregation") {
     val tmp = Files.createTempDirectory("graft-state").toString
     val src = s"$tmp/events"
