@@ -219,17 +219,18 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster").as("nbr_min"))
+      // carry the changed flag through the checkpoint so the convergence
+      // probe scans materialized blocks instead of re-running the join
       val updated = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
+          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("chg"))
         .localCheckpoint()
-      converged = updated
-        .join(labels.withColumnRenamed("cluster", "prev"), Seq("doc_id"))
-        .filter(col("cluster") < col("prev")).isEmpty
-      labels = updated
+      converged = updated.filter(col("chg")).isEmpty
+      labels = updated.drop("chg")
       round += 1
     }
-    labels
+    labels.select("doc_id", "cluster")
   }
 
   /** Apply clustering: keep one canonical document (the minimum doc_id) per
