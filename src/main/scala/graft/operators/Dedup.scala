@@ -125,11 +125,16 @@ object Dedup {
     val nFreq = buckets.filter(size(col("ds")) > maxShingleDf)
       .select(explode(col("ds")).as("doc_id"))
       .groupBy("doc_id").agg(count(lit(1)).as("n_freq"))
+    // One row per doc — tiny, but referenced for BOTH broadcast sides, and
+    // each uncached reference would re-run the full shingle shuffle
+    // upstream. Caching this table costs one small materialization and
+    // halves the heavy lineage.
     val docStats = sets
       .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
       .join(nFreq, Seq("doc_id"), "left")
       .select(col("doc_id"), col("n_sh"),
         coalesce(col("n_freq"), lit(0L)).as("n_freq"))
+      .cache()
     val stats = partial
       .join(broadcast(docStats.select(col("doc_id").as("doc_a"),
         col("n_sh").as("na"), col("n_freq").as("fa"))), Seq("doc_a"))
