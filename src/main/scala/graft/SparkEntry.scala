@@ -258,7 +258,9 @@ object SparkEntry {
     // extension: deterministic hash-bucketed train/val/test split
     "q41_split_hash" -> ((s, dir) => operators.Sampling.splitByHash(docs(s, dir))),
     // extension: sequence packing (per-shard token offsets -> sequence bins)
-    "q42_pack_sequences" -> ((s, dir) => operators.Sampling.packSequences(docs(s, dir))))
+    "q42_pack_sequences" -> ((s, dir) => operators.Sampling.packSequences(docs(s, dir))),
+    // extension: end-to-end corpus prep (normalize -> quality -> dedup -> split)
+    "q43_prepare_corpus" -> ((s, dir) => operators.Pipeline.prepareCorpus(docs(s, dir))))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -636,6 +638,31 @@ FROM documents"""
       ROWS UNBOUNDED PRECEDING) - n_tokens, 0) AS BIGINT) AS start_offset FROM t)
 SELECT doc_id, shard, n_tokens, start_offset,
   CAST(floor(start_offset / 2048.0) AS BIGINT) AS bin FROM o""",
+    // Mirrors Pipeline.prepareCorpus: q39's normalization, q18's quality
+    // formula over the normalized text, exact dedup by normalized-text hash,
+    // q41's split buckets.
+    "q43_prepare_corpus" -> {
+      val h = "sha256(CAST(doc_id AS VARCHAR))"
+      val hB = (j: String) => dkByte("hx", j)
+      val bucket = s"(((${hB("0")} * 256 + ${hB("1")}) * 256 + ${hB("2")}) * 256 + ${hB("3")}) % 10000"
+      s"""WITH norm AS (SELECT doc_id, trim(regexp_replace(lower(text), '[ \t\n\r]+', ' ', 'g')) AS text FROM documents),
+  tok AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM norm),
+  b AS (SELECT doc_id, text, CAST(len(toks) AS INTEGER) AS n_tokens,
+          CAST(len(list_filter(toks, t -> t IN ${stopIn("en")})) AS INTEGER) AS stop_hits,
+          CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS INTEGER) AS n_punct
+        FROM tok),
+  q AS (SELECT doc_id, text,
+          round(0.4 * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_hits / n_tokens END)
+              + 0.4 * least(n_tokens / 100.0, 1.0)
+              + 0.2 * (1.0 - n_punct / greatest(length(text), 1)), 6) AS quality FROM b),
+  filt AS (SELECT * FROM q WHERE quality >= 0.3),
+  ded AS (SELECT min(doc_id) AS doc_id FROM filt GROUP BY sha256(text)),
+  kept AS (SELECT f.doc_id, f.text, f.quality FROM filt f JOIN ded USING (doc_id)),
+  hh AS (SELECT doc_id, text, quality, $h AS hx FROM kept)
+SELECT doc_id, text, quality,
+  CASE WHEN $bucket < 9800 THEN 'train' WHEN $bucket < 9900 THEN 'val' ELSE 'test' END AS split
+FROM hh"""
+    },
     "q40_redact_pii" ->
       """SELECT doc_id,
   CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INTEGER) AS n_emails,

@@ -1,0 +1,30 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Pipeline
+
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("prepareCorpus: normalizes, drops low-quality and duplicate docs, assigns splits") {
+    val docs = Seq(
+      (1L, "The  quick brown fox is in the yard and it is a good day for all of us"),
+      (2L, "the quick brown fox is in the yard and it is a good day for all of us"),
+      (3L, "!!!! ????"), // punctuation-only: quality below the floor
+      (4L, "A different document about the training of models and the data it needs")
+    ).toDF("doc_id", "text")
+    val out = Pipeline.prepareCorpus(docs)
+      .as[(Long, String, Double, String)].collect().map(r => r._1 -> r).toMap
+    // 1 and 2 normalize to identical text -> exact dedup keeps canonical 1
+    assert(out.contains(1L) && !out.contains(2L))
+    assert(!out.contains(3L)) // filtered by quality floor
+    assert(out.contains(4L))
+    // normalized: lowercased, collapsed whitespace
+    assert(out(1L)._2.startsWith("the quick brown fox"))
+    assert(!out(1L)._2.contains("  "))
+    assert(out.values.forall(r => Set("train", "val", "test").contains(r._4)))
+    assert(out.values.forall(_._3 >= 0.3))
+  }
+}
