@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{ChunkText, CosineSimilarity, HashEmbed, MinGramHash, MinHashSig, SimHash, WordShingles}
+import graft.functions.{ChunkText, CosineSimilarity, HashEmbed, MinGramHash, MinHashSig, RandProjBuckets, SimHash, WordShingles}
 
 /** Column-API + SQL-registry surface for the custom Catalyst expressions.
   *
@@ -38,6 +38,11 @@ object GraftFunctions {
   /** 16-word MinHash signature of a shingle array (Dedup extension). */
   def minhash_sig(shingles: Column): Column =
     col(MinHashSig(ex(shingles)))
+
+  /** Deterministic random-projection LSH bucket ids (Similarity extension). */
+  def rand_proj_buckets(embedding: Column, numTables: Int = 6,
+                        bucketLength: Double = 1.0): Column =
+    col(RandProjBuckets(ex(embedding), numTables, bucketLength))
 
   /** Min-SHA-256-over-grams document fingerprint (TextAnalysis extension). */
   def min_gram_hash(text: Column, gram: Int = 8): Column =

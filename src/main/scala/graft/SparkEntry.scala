@@ -260,7 +260,18 @@ object SparkEntry {
     // extension: sequence packing (per-shard token offsets -> sequence bins)
     "q42_pack_sequences" -> ((s, dir) => operators.Sampling.packSequences(docs(s, dir))),
     // extension: end-to-end corpus prep (normalize -> quality -> dedup -> split)
-    "q43_prepare_corpus" -> ((s, dir) => operators.Pipeline.prepareCorpus(docs(s, dir))))
+    "q43_prepare_corpus" -> ((s, dir) => operators.Pipeline.prepareCorpus(docs(s, dir))),
+    // extension: deterministic random-projection LSH top-k — approximate ANN
+    // with a FULL oracle (hash-derived hyperplanes reproduce in SQL)
+    "q44_ann_rp" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      Similarity.rpTopK(e, q, 3)
+    }),
+    // extension: deterministic random-projection LSH near-dup pair join
+    "q45_rp_pairs" -> ((s, dir) =>
+      Similarity.rpNearDupPairs(emb(s, dir).select("vec_id", "embedding"), 0.3)))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -345,6 +356,29 @@ object SparkEntry {
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
     score FROM sc)
 SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
+
+  /** DuckDB: deterministic random-projection weights (mirrors
+    * `RandProjBuckets.weights`): w[t][i] from sha256("rp:t:i") first 4
+    * bytes, mapped to [-1, 1); aggregated to one ordered list per table. */
+  private val dkRpW: String = {
+    val b = (j: Int) => dkByte("h", j.toString)
+    s"""rpw0 AS (SELECT tt.t AS t, ii.i AS i,
+       sha256('rp:' || CAST(tt.t AS VARCHAR) || ':' || CAST(ii.i AS VARCHAR)) AS h
+       FROM (SELECT unnest(range(0, 6)) AS t) tt, (SELECT unnest(range(0, 64)) AS i) ii),
+  rpw AS (SELECT t, list((((${b(0)} * 256 + ${b(1)}) * 256 + ${b(2)}) * 256 + ${b(3)})
+       / 4294967296.0 * 2.0 - 1.0 ORDER BY i) AS wv FROM rpw0 GROUP BY t)"""
+  }
+
+  /** DuckDB: per-(id, table) rp bucket ids for a vector table CTE `src` with
+    * id column `id` and embedding column `emb` (mirrors the expression's
+    * normalize -> sequential dot -> floor, bucketLength 1.0). */
+  private def dkRpBuckets(alias: String, src: String, id: String, emb: String): String =
+    s"""${alias}n AS (SELECT $id, $emb AS e,
+       sqrt(list_sum(list_transform(range(1, 65), i -> CAST($emb[i] AS DOUBLE) * CAST($emb[i] AS DOUBLE)))) AS nrm
+       FROM $src),
+  $alias AS (SELECT $id, w.t,
+       CAST(floor(list_sum(list_transform(range(1, 65), i -> (CAST(e[i] AS DOUBLE) / nrm) * w.wv[i]))) AS BIGINT) AS bk
+       FROM ${alias}n CROSS JOIN rpw w WHERE nrm <> 0)"""
 
   private val centsE = "CAST(round(l_extendedprice * 100) AS BIGINT)"
   private val centsD = "CAST(round(l_discount * 100) AS BIGINT)"
@@ -670,6 +704,43 @@ FROM hh"""
   regexp_replace(regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
     '\+?[0-9][0-9()\- ]{6,}[0-9]', '<PHONE>', 'g') AS redacted
 FROM documents""",
+    // Mirrors Similarity.rpTopK: deterministic rp buckets for corpus and
+    // query set, candidates on shared (t, bk), exact cosine re-score, top-3.
+    "q44_ann_rp" ->
+      s"""WITH $dkRpW,
+  qset AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+  ${dkRpBuckets("ib", "embeddings", "vec_id", "embedding")},
+  ${dkRpBuckets("qb", "qset", "query_id", "embedding")},
+  cand AS (SELECT DISTINCT qb.query_id, ib.vec_id FROM ib JOIN qb
+    ON ib.t = qb.t AND ib.bk = qb.bk),
+  s AS (SELECT c.query_id, c.vec_id,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))) AS dot,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) AS na,
+    list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))) AS nb
+    FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+                JOIN qset q ON c.query_id = q.query_id),
+  sc AS (SELECT query_id, vec_id,
+    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END AS score FROM s),
+  r AS (SELECT query_id, vec_id,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
+    score FROM sc)
+SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3""",
+    // Mirrors Similarity.rpNearDupPairs: self-join on shared (t, bk),
+    // exact cosine verification at 0.3.
+    "q45_rp_pairs" ->
+      s"""WITH $dkRpW,
+  ${dkRpBuckets("ib", "embeddings", "vec_id", "embedding")},
+  cand AS (SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+    FROM ib x JOIN ib y ON x.t = y.t AND x.bk = y.bk AND x.vec_id < y.vec_id),
+  s AS (SELECT c.vec_a, c.vec_b,
+    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) AS dot,
+    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))) AS na,
+    list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) AS nb
+    FROM cand c JOIN embeddings a ON c.vec_a = a.vec_id
+                JOIN embeddings b ON c.vec_b = b.vec_id),
+  sc AS (SELECT vec_a, vec_b,
+    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END AS score FROM s)
+SELECT vec_a, vec_b, round(score, 4) AS score FROM sc WHERE score >= 0.3""",
     "q27_simhash" ->
       s"""WITH $dkTok,
   hs AS (SELECT doc_id, list_transform(toks, t -> sha256(t)) AS hashes FROM tok)

@@ -169,6 +169,57 @@ object Similarity {
   // cells silently drops true neighbours. Strongly-clustered real-world
   // embeddings can lower it (cost ~ corpus/nLists * nProbe per query).
 
+  /** Bucket table for the deterministic random-projection LSH: one row per
+    * (id, table, bucket), zero-vector sentinel rows excluded. Map-only
+    * (codegen'd `RandProjBuckets`), plain (int, long) join keys. */
+  private def rpBucketTable(df: DataFrame, idCol: String, embCol: String,
+                            numTables: Int, bucketLength: Double): DataFrame =
+    df.select(col(idCol), posexplode(
+        graft.GraftFunctions.rand_proj_buckets(col(embCol), numTables, bucketLength))
+        .as(Seq("t", "bk")))
+      .filter(col("bk") =!= graft.functions.RandProjBuckets.ZeroVectorBucket)
+
+  /** Approximate top-k via the deterministic random-projection LSH:
+    * candidates = vectors sharing any (table, bucket) with the query, exact
+    * cosine re-score, per-query rank. Unlike the MLlib path the bucketing
+    * is a pure function of the input (hash-derived hyperplanes), so the
+    * whole result is reproducible in the DuckDB oracle — the approximate
+    * path stops being a rows-only check. */
+  def rpTopK(items: DataFrame, queries: DataFrame, k: Int,
+             numTables: Int = 6, bucketLength: Double = 1.0): DataFrame = {
+    val ib = rpBucketTable(items, "vec_id", "embedding", numTables, bucketLength)
+    val qb = rpBucketTable(queries, "query_id", "query_embedding", numTables, bucketLength)
+    val cand = ib.join(broadcast(qb), Seq("t", "bk"))
+      .select("query_id", "vec_id").distinct()
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    cand.join(items, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+      .withColumn("score", cosine_similarity(col("embedding"), col("query_embedding")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"),
+        round(col("score"), 4).as("score"))
+  }
+
+  /** Near-duplicate pair join via the deterministic random-projection LSH:
+    * streamed self-equi-join on (table, bucket) — the `simhashPairs` shape,
+    * no per-bucket arrays — with exact cosine verification on candidates.
+    * Reproducible in SQL end-to-end (see rpTopK). */
+  def rpNearDupPairs(items: DataFrame, threshold: Double,
+                     numTables: Int = 6, bucketLength: Double = 1.0): DataFrame = {
+    val b = rpBucketTable(items, "vec_id", "embedding", numTables, bucketLength)
+    val cand = b.as("x").join(b.as("y"),
+        col("x.t") === col("y.t") && col("x.bk") === col("y.bk") &&
+          col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cand
+      .join(items.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
+      .join(items.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
+      .withColumn("score", cosine_similarity(col("ea"), col("eb")))
+      .filter(col("score") >= threshold)
+      .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("score"))
+  }
+
   /** Approximate nearest neighbours via LSH: normalize (cosine == L2 on the
     * unit sphere), bucket with random hyperplane projections, join on bucket.
     * Deterministic under the fixed seed. Returns (query_id, vec_id, score)

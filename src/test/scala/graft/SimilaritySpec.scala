@@ -113,22 +113,31 @@ class SimilaritySpec extends AnyFunSuite {
         .as[(Long, Long, Int, Double)].collect())
       val ivf = topkIds(Similarity.ivfTopK(e, q, 3)
         .as[(Long, Long, Int, Double)].collect())
+      val rp = topkIds(Similarity.rpTopK(e, q, 3)
+        .as[(Long, Long, Int, Double)].collect())
       val lshR = meanRecall(lsh, exact)
       val ivfR = meanRecall(ivf, exact)
+      val rpR = meanRecall(rp, exact)
       assert(lshR >= 0.9, s"lshTopK recall@3 = $lshR < 0.9")
       assert(ivfR >= 0.9, s"ivfTopK recall@3 = $ivfR < 0.9")
+      assert(rpR >= 0.9, s"rpTopK recall@3 = $rpR < 0.9")
       e.unpersist(); q.unpersist()
     }
 
-    test(s"pair-recall gate [$tag]: lshNearDupPairs >= 0.9 vs cosinePairs") {
+    test(s"pair-recall gate [$tag]: lshNearDupPairs and rpNearDupPairs >= 0.9 vs cosinePairs") {
       val e = embAt(sf).cache()
       val exact = Similarity.cosinePairs(e, 0.3)
         .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
       val lsh = Similarity.lshNearDupPairs(e, 0.3)
         .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+      val rp = Similarity.rpNearDupPairs(e, 0.3)
+        .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
       assert(exact.nonEmpty, "baseline produced no pairs — gate vacuous")
       val recall = lsh.intersect(exact).size.toDouble / exact.size
       assert(recall >= 0.9, s"lshNearDupPairs pair-recall = $recall < 0.9")
+      assert(rp.subsetOf(exact), "rp pairs must be exactly verified")
+      val rpRecall = rp.intersect(exact).size.toDouble / exact.size
+      assert(rpRecall >= 0.9, s"rpNearDupPairs pair-recall = $rpRecall < 0.9")
       e.unpersist()
     }
   }
