@@ -111,29 +111,29 @@ object Dedup {
     * pairs sharing at least one non-frequent shingle. */
   def jaccardPairs(docs: DataFrame, threshold: Double,
                    maxShingleDf: Int = 1000): DataFrame = {
-    // `sets` is re-derived where needed and deliberately NOT cached:
-    // re-running the codegen'd shingling measures ~35% faster end-to-end
-    // than materializing the large array column through the block manager.
+    // `sets` (the raw shingle arrays) is deliberately NOT cached: re-running
+    // the codegen'd shingling measures ~35% faster than materializing the
+    // large array column through the block manager. The BUCKET table is the
+    // opposite case: post-aggregation it is small (one row per distinct
+    // shingle), it feeds both the pair counting and the per-doc stats, and
+    // caching it means the corpus is shingled exactly once on the hot path.
     val sets = shingleArrays(docs)
     val buckets = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .groupBy("shingle")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
+      .cache()
     val partial = bucketPairs(buckets.filter(size(col("ds")) <= maxShingleDf))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common_kept"))
-    // Per-doc stats: set size + dropped-shingle count (empty unless the cap
-    // triggered). One row per doc — broadcasts.
-    val nFreq = buckets.filter(size(col("ds")) > maxShingleDf)
-      .select(explode(col("ds")).as("doc_id"))
-      .groupBy("doc_id").agg(count(lit(1)).as("n_freq"))
-    // One row per doc — tiny, but referenced for BOTH broadcast sides, and
-    // each uncached reference would re-run the full shingle shuffle
-    // upstream. Caching this table costs one small materialization and
-    // halves the heavy lineage.
-    val docStats = sets
-      .select(col("doc_id"), size(col("sh")).cast("long").as("n_sh"))
-      .join(nFreq, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_sh"),
-        coalesce(col("n_freq"), lit(0L)).as("n_freq"))
+    // Per-doc stats straight from the bucket table: a doc's distinct-shingle
+    // count = how many buckets contain it; its dropped count = how many of
+    // those buckets are over-cap. One row per doc — tiny, cached, and
+    // broadcast to both join sides.
+    val docStats = buckets
+      .select(explode(col("ds")).as("doc_id"),
+        (size(col("ds")) > maxShingleDf).as("freq"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_sh"),
+        sum(when(col("freq"), 1L).otherwise(0L)).as("n_freq"))
       .cache()
     val stats = partial
       .join(broadcast(docStats.select(col("doc_id").as("doc_a"),
