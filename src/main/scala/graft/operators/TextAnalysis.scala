@@ -107,6 +107,22 @@ object TextAnalysis {
       regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>").as("redacted"))
 
+  /** Sketch-based corpus statistics for the 100 TB regime: HyperLogLog++
+    * distinct counts (`approx_count_distinct`, mergeable, constant state)
+    * and t-digest-style quantiles (`percentile_approx`) instead of exact
+    * DISTINCT / sort-based percentiles, whose state grows with cardinality.
+    * Rows-only vs an oracle (sketches are engine-specific); accuracy is
+    * gated in TextAnalysisSpec against exact computations. */
+  def corpusSketch(docs: DataFrame, relativeSD: Double = 0.02): DataFrame =
+    docs.withColumn("toks", expr(tokensExpr))
+      .select(col("doc_id"), explode(col("toks")).as("token"),
+        length(col("token")).as("token_len"))
+      .agg(
+        approx_count_distinct(col("token"), relativeSD).as("approx_distinct_tokens"),
+        count(lit(1)).as("n_tokens"),
+        percentile_approx(col("token_len"), lit(0.5), lit(10000)).as("p50_token_len"),
+        percentile_approx(col("token_len"), lit(0.99), lit(10000)).as("p99_token_len"))
+
   /** Document fingerprint: minimum SHA-256 over all 8-char grams — an
     * order-invariant rolling-window fingerprint (winnowing with window = whole
     * doc). Identical prefix-shifted texts collide; unrelated texts don't.
