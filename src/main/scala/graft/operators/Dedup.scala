@@ -208,7 +208,11 @@ object Dedup {
     * a star around the true original is the common shape). Each round is
     * one equi-join + one groupBy keyed on doc id — no quadratic step — and
     * `localCheckpoint` truncates lineage so plans don't grow with rounds.
-    * Deterministic: the fixpoint is unique regardless of join order. */
+    * Deterministic: the fixpoint is unique regardless of join order.
+    * Caveat: rounds scale with component DIAMETER, so a pathological
+    * chain-shaped graph (rare for near-dup clusters, which are stars/cliques
+    * around an original) pays one join per chain hop up to `maxRounds`;
+    * pointer-jumping would make that logarithmic if such graphs matter. */
   def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))

@@ -1,0 +1,66 @@
+package graft.tools
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Scale rehearsal (dev harness, not part of the library API): replicate the
+  * sf0.1 tables k-fold with shifted ids — every source doc gains k exact
+  * copies, yielding a duplicate-dense corpus (the crawl-dedup regime) — and
+  * time the shuffle-heavy operators at 1x vs kx. The point is the growth
+  * EXPONENT: bucketed/banded operators should scale near-linearly in rows
+  * plus true-duplicate work, never quadratically in corpus size.
+  */
+object ScaleRehearsal {
+  def main(args: Array[String]): Unit = {
+    val k = if (args.nonEmpty) args(0).toInt else 8
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.SparkEntry.tune(spark)
+
+    val docs1 = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select("doc_id", "text")
+    val emb1 = graft.Tables.embeddings(spark, "/root/testdata/sf0.1")
+      .select("vec_id", "embedding")
+    val n1 = docs1.count()
+    def replicate(df: DataFrame, idCol: String): DataFrame =
+      (0 until k).map(i => df.withColumn(idCol, col(idCol) + lit(i * 1000000L)))
+        .reduce(_ unionByName _)
+    val docsK = replicate(docs1, "doc_id").cache()
+    val embK = replicate(emb1, "vec_id").cache()
+    println(s"REHEARSE corpus 1x=$n1 ${k}x=${docsK.count()} vecs=${embK.count()}")
+
+    def time(name: String)(f: => Long): Unit = {
+      val t0 = System.nanoTime()
+      val n = f
+      println(f"REHEARSE $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.1f")
+    }
+    def run(tag: String, docs: DataFrame, emb: DataFrame): Unit = {
+      time(s"$tag exactGroups") {
+        Dedup.exactGroups(docs).queryExecution.toRdd.count() }
+      time(s"$tag minhashPairs") {
+        Dedup.minhashPairs(docs, 0.5).queryExecution.toRdd.count() }
+      time(s"$tag simhashPairs") {
+        Dedup.simhashPairs(docs, 3).queryExecution.toRdd.count() }
+      time(s"$tag jaccardPairs") {
+        Dedup.jaccardPairs(docs, 0.5).queryExecution.toRdd.count() }
+      time(s"$tag dupClusters") {
+        Dedup.duplicateClusters(Dedup.exactGroups(docs)
+          .filter(col("n_docs") > 1)
+          .select(col("canonical_doc").as("doc_a"),
+            (col("canonical_doc") + 1).as("doc_b"))).queryExecution.toRdd.count() }
+      time(s"$tag rpPairs") {
+        Similarity.rpNearDupPairs(emb, 0.3).queryExecution.toRdd.count() }
+      val q = emb.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      time(s"$tag rpTopK") {
+        Similarity.rpTopK(emb, q, 3).queryExecution.toRdd.count() }
+    }
+    run("1x", docs1, emb1)
+    run(s"${k}x", docsK, embK)
+    spark.stop()
+  }
+}
