@@ -208,11 +208,11 @@ object Dedup {
     * a star around the true original is the common shape). Each round is
     * one equi-join + one groupBy keyed on doc id — no quadratic step — and
     * `localCheckpoint` truncates lineage so plans don't grow with rounds.
-    * Deterministic: the fixpoint is unique regardless of join order.
-    * Caveat: rounds scale with component DIAMETER, so a pathological
-    * chain-shaped graph (rare for near-dup clusters, which are stars/cliques
-    * around an original) pays one join per chain hop up to `maxRounds`;
-    * pointer-jumping would make that logarithmic if such graphs matter. */
+    * Each round also pointer-jumps (adopts the label of its label), which
+    * halves chain height per round, so rounds are O(log diameter) even for
+    * pathological chain-shaped graphs — near-dup clusters themselves are
+    * usually shallow stars/cliques around an original. Deterministic: the
+    * fixpoint (min doc_id per component) is unique regardless of order. */
   def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
     val edges = pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
@@ -228,12 +228,21 @@ object Dedup {
         .join(labels.withColumnRenamed("doc_id", "dst"), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min("cluster").as("nbr_min"))
-      // carry the changed flag through the checkpoint so the convergence
-      // probe scans materialized blocks instead of re-running the join
-      val updated = labels.join(nbrMin, Seq("doc_id"), "left")
+      val afterNbr = labels.join(nbrMin, Seq("doc_id"), "left")
         .select(col("doc_id"),
-          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"),
-          (coalesce(col("nbr_min"), col("cluster")) < col("cluster")).as("chg"))
+          least(col("cluster"), coalesce(col("nbr_min"), col("cluster"))).as("cluster"))
+      // pointer jump: adopt the label of my label (labels always point at
+      // doc ids <= their own, so one hop only ever improves)
+      val jumped = afterNbr
+        .join(afterNbr.select(col("doc_id").as("cluster"), col("cluster").as("cc")),
+          Seq("cluster"), "left")
+        .select(col("doc_id"), coalesce(col("cc"), col("cluster")).as("cluster"))
+      // carry the changed flag through the checkpoint so the convergence
+      // probe scans materialized blocks instead of re-running the joins
+      val updated = jumped
+        .join(labels.withColumnRenamed("cluster", "prev"), Seq("doc_id"))
+        .select(col("doc_id"), col("cluster"),
+          (col("cluster") < col("prev")).as("chg"))
         .localCheckpoint()
       converged = updated.filter(col("chg")).isEmpty
       labels = updated.drop("chg")

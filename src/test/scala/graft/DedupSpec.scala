@@ -143,6 +143,15 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
   }
 
+  test("duplicateClusters: 200-node chain collapses via pointer jumping (O(log) rounds)") {
+    // a pure chain is the diameter worst case: plain propagation needs 200
+    // rounds (> maxRounds), pointer jumping ~log2(200)
+    val pairs = (0L until 199L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.duplicateClusters(pairs).as[(Long, Long)].collect()
+    assert(got.length == 200)
+    assert(got.forall(_._2 == 0L), "every chain node must resolve to the min id")
+  }
+
   test("dedupByCluster keeps one canonical doc per cluster plus unpaired docs") {
     val pairs = Dedup.jaccardPairs(crafted, 0.5)
     val clusters = Dedup.duplicateClusters(pairs)
