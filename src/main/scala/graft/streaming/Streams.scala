@@ -109,6 +109,42 @@ object Streams {
     events.withWatermark("ts", horizon)
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** The flagship search lifted to streaming: as chunks append to the
+    * index stream, maintain the running top-k per query in the state store
+    * and emit each query's refreshed result list per micro-batch. Scoring
+    * is the same map-only projection as batch search (queries broadcast via
+    * the crossJoin literal set); state per query is a bounded k-list —
+    * O(queries x k), watermark-free. After any prefix of the stream, the
+    * emitted top-k equals batch search over the chunks seen so far. */
+  def streamingTopK(index: DataFrame, queries: Seq[String], k: Int = 5):
+      DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    import graft.GraftFunctions.{cosine_similarity, hash_embed}
+    val spark = index.sparkSession
+    import spark.implicits._
+    require(queries.nonEmpty && queries.forall(_.trim.nonEmpty))
+    val q = queries.toDF("query").withColumn("qvec", hash_embed(col("query")))
+    val scored = index.crossJoin(broadcast(q))
+      .withColumn("score", cosine_similarity(col("embedding"), col("qvec")))
+      .filter(length(col("text")) > 0)
+      .select(col("query"), col("id"), col("score"))
+      .as[(String, String, Double)]
+    scored.groupByKey(_._1)
+      .flatMapGroupsWithState[List[(String, Double)], (String, Int, String, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (query, rows, state: GroupState[List[(String, Double)]]) =>
+          val merged = (state.getOption.getOrElse(Nil) ++
+              rows.map { case (_, id, s) => (id, s) })
+            .sortBy { case (id, s) => (-s, id) } // score desc, id asc
+            .take(k)
+          state.update(merged)
+          merged.iterator.zipWithIndex.map { case ((id, s), i) =>
+            (query, i + 1, id, s)
+          }
+      }
+      .toDF("query", "rank", "id", "score")
+  }
+
   /** Per-user session windows with a 30-minute gap. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", "30 minutes")

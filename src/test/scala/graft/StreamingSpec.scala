@@ -79,6 +79,35 @@ class StreamingSpec extends AnyFunSuite {
     for ((k, n) <- streamed) assert(batch(k) == n, s"window $k")
   }
 
+  test("streamingTopK: running top-k over an appending index equals batch search") {
+    val tmp = Files.createTempDirectory("graft-stream-topk").toString
+    val landing = s"$tmp/landing"
+    // land the corpus in two batches so state must merge across them
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val all = Engine.ingest(docs).cache()
+    all.filter($"doc_id" % 2 === 0).write.mode("append")
+      .parquet(landing)
+    all.filter($"doc_id" % 2 === 1).write.mode("append")
+      .parquet(landing)
+    val stream = spark.readStream.schema(all.schema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    val qs = Seq("transfer credits", "spark window agg")
+    val q = graft.streaming.Streams.streamingTopK(stream, qs, 5)
+      .writeStream.format("memory").queryName("topk_out").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    // the memory sink accumulates every micro-batch's update; the FINAL
+    // top-k (the batch-search result over the full corpus) must appear
+    // among the emissions with identical (query, rank, id)
+    val streamed = spark.table("topk_out").select($"query", $"rank", $"id")
+      .as[(String, Int, String)].collect().toSet
+    val batch = Engine.searchMany(all, qs, 5)
+      .select($"query", $"rank", $"id").as[(String, Int, String)].collect().toSet
+    assert(batch.nonEmpty && batch.subsetOf(streamed),
+      s"missing: ${batch.diff(streamed)}")
+    all.unpersist()
+  }
+
   test("streaming dedup suppresses re-delivered event ids within the watermark") {
     val tmp = Files.createTempDirectory("graft-dedup").toString
     val src = s"$tmp/events"
