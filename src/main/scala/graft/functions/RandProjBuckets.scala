@@ -96,7 +96,10 @@ object RandProjBuckets {
       i += 1
     }
     val out = new Array[Any](numTables)
-    if (sumSq == 0.0) {
+    // non-finite (NaN/Inf component) would otherwise floor to bucket 0 in
+    // every table and near-cross-join with half the corpus — sentinel it
+    // like the zero vector (undefined direction either way)
+    if (sumSq == 0.0 || !java.lang.Double.isFinite(sumSq)) {
       java.util.Arrays.fill(out.asInstanceOf[Array[AnyRef]],
         Long.box(ZeroVectorBucket))
       return new GenericArrayData(out)

@@ -89,6 +89,10 @@ object Multimodal {
     * (map-only, no shuffle). */
   def resize(media: Dataset[Media], outW: Int, outH: Int): DataFrame = {
     require(outW > 0 && outH > 0)
+    // 4 channels is the ceiling any decoder here returns; guard the
+    // outW*outH*c buffer against Int overflow
+    require(outW.toLong * outH * 4 <= Int.MaxValue,
+      s"output buffer ${outW}x$outH exceeds a JVM array")
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>

@@ -118,10 +118,12 @@ object Dedup {
     // shingle), it feeds both the pair counting and the per-doc stats, and
     // caching it means the corpus is shingled exactly once on the hot path.
     val sets = shingleArrays(docs)
+    // MEMORY_ONLY: eviction falls back to recompute instead of accreting
+    // disk blocks the caller can never unpersist (plan-builder contract)
     val buckets = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
       .groupBy("shingle")
       .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val partial = bucketPairs(buckets.filter(size(col("ds")) <= maxShingleDf))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common_kept"))
     // Per-doc stats straight from the bucket table: a doc's distinct-shingle
@@ -134,12 +136,14 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("freq"), 1L).otherwise(0L)).as("n_freq"))
-      .cache()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // no broadcast hint: docStats is one row per doc, so at corpus scale it
+    // outgrows the broadcast limit — AQE picks broadcast when it fits
     val stats = partial
-      .join(broadcast(docStats.select(col("doc_id").as("doc_a"),
-        col("n_sh").as("na"), col("n_freq").as("fa"))), Seq("doc_a"))
-      .join(broadcast(docStats.select(col("doc_id").as("doc_b"),
-        col("n_sh").as("nb"), col("n_freq").as("fb"))), Seq("doc_b"))
+      .join(docStats.select(col("doc_id").as("doc_a"),
+        col("n_sh").as("na"), col("n_freq").as("fa")), Seq("doc_a"))
+      .join(docStats.select(col("doc_id").as("doc_b"),
+        col("n_sh").as("nb"), col("n_freq").as("fb")), Seq("doc_b"))
     val exact = stats.filter(least(col("fa"), col("fb")) === 0)
       .withColumn("jaccard",
         col("common_kept") / (col("na") + col("nb") - col("common_kept")))

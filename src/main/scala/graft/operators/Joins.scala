@@ -24,6 +24,12 @@ object Joins {
                      salt: Int = 16, joinType: String = "inner",
                      bigSaltExpr: Option[Column] = None): DataFrame = {
     require(salt > 0, s"salt must be positive: $salt")
+    // right/full outer would emit each unmatched SMALL row once per salt
+    // replica — only big-side-preserving join types keep exact parity
+    val allowed = Set("inner", "cross", "left", "leftouter", "left_outer",
+      "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti")
+    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedEquiJoin supports big-side-preserving join types only, got $joinType")
     // deterministic per-row salt: hash of the whole row unless given
     val saltCol = bigSaltExpr.getOrElse(
       pmod(hash(big.columns.map(col).toIndexedSeq: _*), lit(salt)))

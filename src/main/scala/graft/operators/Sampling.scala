@@ -30,12 +30,13 @@ object Sampling {
     val bucket = "cast(conv(substr(sha2(" + keyExpr + ", 256), 1, 8), 16, 10) AS bigint) % 10000"
     val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
       .map(c => math.round(c * 10000))
-    val cases = weights.init.zip(cuts.init)
-      .map { case ((name, _), cut) => s"WHEN b < $cut THEN '$name'" }
-      .mkString(" ")
+    val splitExpr =
+      if (weights.size == 1) s"'${weights.head._1}'" // CASE needs >= 1 WHEN
+      else weights.init.zip(cuts.init)
+        .map { case ((name, _), cut) => s"WHEN b < $cut THEN '$name'" }
+        .mkString("CASE ", " ", s" ELSE '${weights.last._1}' END")
     docs.selectExpr("doc_id", s"$bucket AS b")
-      .selectExpr("doc_id", "b AS bucket",
-        s"CASE $cases ELSE '${weights.last._1}' END AS split")
+      .selectExpr("doc_id", "b AS bucket", s"$splitExpr AS split")
   }
 
   /** Sequence packing: per-shard running token offsets and the index of the

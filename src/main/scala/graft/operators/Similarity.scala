@@ -66,8 +66,11 @@ object Similarity {
   def lshNearDupPairs(items: DataFrame, threshold: Double,
                       bucketLength: Double = 0.5, numTables: Int = 6): DataFrame = {
     val radius = math.sqrt(math.max(2.0 - 2.0 * threshold, 0.0)) + 1e-9
-    // evaluated 3x downstream (fit + both sides of the self-join) — cache
-    val ni = normalized(items, "embedding").cache()
+    // evaluated 3x downstream (fit + both sides of the self-join);
+    // MEMORY_ONLY so eviction recomputes instead of accreting disk blocks
+    // the caller can never unpersist
+    val ni = normalized(items, "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("nvec").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(42L)
@@ -230,8 +233,9 @@ object Similarity {
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("nvec").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(42L)
-    // evaluated twice (fit + join left side) — cache
-    val ni = normalized(items, "embedding").cache()
+    // evaluated twice (fit + join left side); MEMORY_ONLY as above
+    val ni = normalized(items, "embedding")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
     val nq = normalized(queries, "query_embedding")
     val model = lsh.fit(ni)
     // On unit vectors L2² = 2 - 2cos, so radius 1.3 keeps candidates with

@@ -50,7 +50,9 @@ object PdfTextExtractor {
         o.dict.contains("/Type"))
     val pageContents: Seq[Seq[PdfObject]] =
       if (pages.nonEmpty) pages.map(p => contentRefs(p.dict).flatMap(byNum.get))
-      else Seq(objects.filter(_.isStream)) // no page tree: every stream, one "page"
+      else if (objects.exists(_.isStream))
+        Seq(objects.filter(_.isStream)) // no page tree: every stream, one "page"
+      else Nil // no pages, no streams: nothing to extract -> ""
     val out = new StringBuilder
     for (content <- pageContents) {
       val pageText = content.filter(_.isStream)

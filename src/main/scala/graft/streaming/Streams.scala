@@ -133,8 +133,13 @@ object Streams {
       .flatMapGroupsWithState[List[(String, Double)], (String, Int, String, Double)](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         case (query, rows, state: GroupState[List[(String, Double)]]) =>
-          val merged = (state.getOption.getOrElse(Nil) ++
-              rows.map { case (_, id, s) => (id, s) })
+          // dedup by chunk id, newest score winning: a re-delivered chunk
+          // (the at-least-once contract) or a re-ingested chunk with new
+          // text must occupy ONE rank, like batch search over distinct ids
+          val incoming = rows.map { case (_, id, s) => (id, s) }.toMap
+          val merged =
+            (state.getOption.getOrElse(Nil).filterNot(e => incoming.contains(e._1))
+              ++ incoming)
             .sortBy { case (id, s) => (-s, id) } // score desc, id asc
             .take(k)
           state.update(merged)
