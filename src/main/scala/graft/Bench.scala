@@ -18,19 +18,26 @@ object Bench {
       SparkEntry.queries("q01_chunk")(spark, sfDir).count()
       SparkEntry.queries("q12_tpch_agg")(spark, sfDir).count()
     } catch { case _: Throwable => }
+    // Two timed reps per query, keep the min: single-JVM local[n] timings
+    // carry 10-20% run-to-run noise (GC/JIT/page-cache), and the min is the
+    // standard noise-floor estimator of steady-state throughput.
+    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // toRdd forces evaluation of every output column — a bare
-      // DataFrame.count() lets Catalyst prune computed columns away and
-      // under-measures projection-heavy queries.
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // toRdd forces evaluation of every output column — a bare
+        // DataFrame.count() lets Catalyst prune computed columns away and
+        // under-measures projection-heavy queries.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
+        (System.nanoTime() - t0) / 1e9
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min"}""")
     spark.stop()
   }
 }
