@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{ChunkText, CosineSimilarity, HashEmbed, MinGramHash, MinHashSig, RandProjBuckets, SimHash, WordShingles}
+import graft.functions.{ByteDot, ChunkText, CosineSimilarity, HashEmbed, MinGramHash, MinHashSig, RandProjBuckets, SimHash, WordShingles}
 
 /** Column-API + SQL-registry surface for the custom Catalyst expressions.
   *
@@ -43,6 +43,10 @@ object GraftFunctions {
   def rand_proj_buckets(embedding: Column, numTables: Int = 6,
                         bucketLength: Double = 1.0): Column =
     col(RandProjBuckets(ex(embedding), numTables, bucketLength))
+
+  /** Integer dot product of int8 code arrays (quantized ANN extension). */
+  def byte_dot(a: Column, b: Column): Column =
+    col(ByteDot(ex(a), ex(b)))
 
   /** Min-SHA-256-over-grams document fingerprint (TextAnalysis extension). */
   def min_gram_hash(text: Column, gram: Int = 8): Column =

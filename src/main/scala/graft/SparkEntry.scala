@@ -271,7 +271,15 @@ object SparkEntry {
     }),
     // extension: deterministic random-projection LSH near-dup pair join
     "q45_rp_pairs" -> ((s, dir) =>
-      Similarity.rpNearDupPairs(emb(s, dir).select("vec_id", "embedding"), 0.3)))
+      Similarity.rpNearDupPairs(emb(s, dir).select("vec_id", "embedding"), 0.3)),
+    // extension: int8 scalar-quantized top-k (4x smaller index, integer
+    // scoring — fully oracle-checked)
+    "q46_ann_sq8" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      Similarity.sqTopK(e, q, 3)
+    }))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -725,6 +733,32 @@ FROM documents""",
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
     score FROM sc)
 SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3""",
+    // Mirrors Similarity.sqTopK: per-vector symmetric int8 quantization
+    // (scale = max|v|/127, half-even rounding) + integer-dot cosine.
+    "q46_ann_sq8" -> {
+      val codes = (e: String) =>
+        s"""list_transform($e, x -> CASE WHEN sc = 0.0 THEN CAST(0 AS TINYINT)
+            ELSE CAST(round_even(CAST(x AS DOUBLE) / sc, 0) AS TINYINT) END)"""
+      val idot = (a: String, b: String) =>
+        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT)))"
+      s"""WITH qz AS (SELECT vec_id,
+      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc,
+      embedding FROM embeddings),
+  ic AS (SELECT vec_id, ${codes("embedding")} AS codes FROM qz),
+  qc AS (SELECT vec_id AS query_id, codes AS qcodes FROM ic WHERE vec_id < 5),
+  s AS (SELECT q.query_id, e.vec_id,
+      ${idot("e.codes", "q.qcodes")} AS dot,
+      ${idot("e.codes", "e.codes")} AS na,
+      ${idot("q.qcodes", "q.qcodes")} AS nb
+    FROM ic e CROSS JOIN qc q),
+  sc2 AS (SELECT query_id, vec_id,
+      CASE WHEN na = 0 OR nb = 0 THEN 0.0
+           ELSE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END AS score FROM s),
+  r AS (SELECT query_id, vec_id,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
+      score FROM sc2)
+SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
+    },
     // Mirrors Similarity.rpNearDupPairs: self-join on shared (t, bk),
     // exact cosine verification at 0.3.
     "q45_rp_pairs" ->

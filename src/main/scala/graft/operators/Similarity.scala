@@ -172,6 +172,48 @@ object Similarity {
   // cells silently drops true neighbours. Strongly-clustered real-world
   // embeddings can lower it (cost ~ corpus/nLists * nProbe per query).
 
+  /** Symmetric per-vector int8 scalar quantization: scale = max|v|/127,
+    * codes = rint(v/scale) (half-even — `round_even` in the oracle). The
+    * quantized index is 4x smaller than f32 and scores in pure integer
+    * arithmetic (`ByteDot`): with symmetric scales, cosine similarity over
+    * dequantized vectors reduces to dot(ca,cb)/(sqrt(dot(ca,ca))*
+    * sqrt(dot(cb,cb))) — the scales cancel — so quantized scoring is exact
+    * integer math, associative and bit-identical across engines. Zero
+    * vectors quantize to all-zero codes. Map-only. */
+  def quantize(items: DataFrame, embCol: String = "embedding",
+               codesCol: String = "codes"): DataFrame =
+    items
+      .withColumn("__scale", expr(
+        s"aggregate($embCol, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / 127.0"))
+      .withColumn(codesCol, expr(
+        s"""transform($embCol, x -> IF(__scale = 0.0, CAST(0 AS TINYINT),
+              CAST(rint(CAST(x AS DOUBLE) / __scale) AS TINYINT)))"""))
+      .drop("__scale")
+
+  /** Top-k search over the int8-quantized index: integer-dot cosine on the
+    * codes (see `quantize`), per-query rank. ~4x less data scanned than
+    * f32 brute force with near-identical ranking (recall-gated >= 0.9 in
+    * SimilaritySpec); the quantized corpus never shuffles (queries
+    * broadcast). */
+  def sqTopK(items: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    import graft.GraftFunctions.byte_dot
+    val qi = quantize(items).select(col("vec_id"), col("codes"))
+    val qq = quantize(queries, "query_embedding", "qcodes")
+      .select(col("query_id"), col("qcodes"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
+    qi.crossJoin(broadcast(qq))
+      .withColumn("dot", byte_dot(col("codes"), col("qcodes")))
+      .withColumn("na", byte_dot(col("codes"), col("codes")))
+      .withColumn("nb", byte_dot(col("qcodes"), col("qcodes")))
+      .withColumn("score",
+        when(col("na") === 0 || col("nb") === 0, lit(0.0))
+          .otherwise(col("dot") / (sqrt(col("na")) * sqrt(col("nb")))))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("query_id"), col("vec_id"), col("rnk"),
+        round(col("score"), 4).as("score"))
+  }
+
   /** Bucket table for the deterministic random-projection LSH: one row per
     * (id, table, bucket), zero-vector sentinel rows excluded. Map-only
     * (codegen'd `RandProjBuckets`), plain (int, long) join keys. */

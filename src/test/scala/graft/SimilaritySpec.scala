@@ -115,12 +115,16 @@ class SimilaritySpec extends AnyFunSuite {
         .as[(Long, Long, Int, Double)].collect())
       val rp = topkIds(Similarity.rpTopK(e, q, 3)
         .as[(Long, Long, Int, Double)].collect())
+      val sq = topkIds(Similarity.sqTopK(e, q, 3)
+        .as[(Long, Long, Int, Double)].collect())
       val lshR = meanRecall(lsh, exact)
       val ivfR = meanRecall(ivf, exact)
       val rpR = meanRecall(rp, exact)
+      val sqR = meanRecall(sq, exact)
       assert(lshR >= 0.9, s"lshTopK recall@3 = $lshR < 0.9")
       assert(ivfR >= 0.9, s"ivfTopK recall@3 = $ivfR < 0.9")
       assert(rpR >= 0.9, s"rpTopK recall@3 = $rpR < 0.9")
+      assert(sqR >= 0.9, s"sqTopK recall@3 = $sqR < 0.9")
       e.unpersist(); q.unpersist()
     }
 
