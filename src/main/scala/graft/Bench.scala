@@ -21,18 +21,23 @@ object Bench {
     // Two timed reps per query, keep the min: single-JVM local[n] timings
     // carry 10-20% run-to-run noise (GC/JIT/page-cache), and the min is the
     // standard noise-floor estimator of steady-state throughput.
-    val reps = sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").toInt
+    val reps = math.max(1,
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").trim.toInt)
+        .getOrElse(2))
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+      val attempts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // toRdd forces evaluation of every output column — a bare
         // DataFrame.count() lets Catalyst prune computed columns away and
         // under-measures projection-heavy queries.
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
-        (System.nanoTime() - t0) / 1e9
+        val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch { case _: Throwable => false }
+        (ok, (System.nanoTime() - t0) / 1e9)
       }
-      name -> times.min
+      // a fast FAILED rep must not mask a slow successful one: min over
+      // successes; only if every rep failed, report the failures' min
+      val succeeded = attempts.filter(_._1).map(_._2)
+      name -> (if (succeeded.nonEmpty) succeeded.min else attempts.map(_._2).min)
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -737,7 +737,8 @@ SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3""",
     // (scale = max|v|/127, half-even rounding) + integer-dot cosine.
     "q46_ann_sq8" -> {
       val codes = (e: String) =>
-        s"""list_transform($e, x -> CASE WHEN sc = 0.0 THEN CAST(0 AS TINYINT)
+        s"""list_transform($e, x -> CASE WHEN sc <= 0.0 OR isnan(sc) OR isinf(sc)
+            THEN CAST(0 AS TINYINT)
             ELSE CAST(round_even(CAST(x AS DOUBLE) / sc, 0) AS TINYINT) END)"""
       val idot = (a: String, b: String) =>
         s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT)))"

@@ -15,8 +15,8 @@ import org.apache.spark.sql.types._
   * is computed entirely in integer arithmetic — associative, overflow-free
   * for any realistic dim (127^2 * dim << 2^63), and bit-identical across
   * engines (the DuckDB oracle reproduces it with list arithmetic).
-  * Codegen'd; returns 0 for length-mismatched inputs (caller bug) rather
-  * than throwing mid-pipeline.
+  * Codegen'd; length-mismatched inputs (codes quantized from different
+  * embedding dims — a caller bug) throw rather than silently scoring 0.
   */
 case class ByteDot(left: Expression, right: Expression) extends BinaryExpression {
 
@@ -46,7 +46,9 @@ case class ByteDot(left: Expression, right: Expression) extends BinaryExpression
 object ByteDot {
   def compute(a: ArrayData, b: ArrayData): Long = {
     val n = a.numElements()
-    if (n != b.numElements()) return 0L
+    if (n != b.numElements())
+      throw new IllegalArgumentException(
+        s"byte_dot: code arrays of different dims (${n} vs ${b.numElements()})")
     var acc = 0L
     var i = 0
     while (i < n) {

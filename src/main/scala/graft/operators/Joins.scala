@@ -28,7 +28,8 @@ object Joins {
     // replica — only big-side-preserving join types keep exact parity
     val allowed = Set("inner", "cross", "left", "leftouter", "left_outer",
       "leftsemi", "left_semi", "semi", "leftanti", "left_anti", "anti")
-    require(allowed.contains(joinType.toLowerCase.replace(" ", "")),
+    require(allowed.contains(
+      joinType.toLowerCase(java.util.Locale.ROOT).replace(" ", "")),
       s"saltedEquiJoin supports big-side-preserving join types only, got $joinType")
     // deterministic per-row salt: hash of the whole row unless given
     val saltCol = bigSaltExpr.getOrElse(

@@ -186,7 +186,10 @@ object Similarity {
       .withColumn("__scale", expr(
         s"aggregate($embCol, CAST(0.0 AS DOUBLE), (a, x) -> greatest(a, abs(CAST(x AS DOUBLE)))) / 127.0"))
       .withColumn(codesCol, expr(
-        s"""transform($embCol, x -> IF(__scale = 0.0, CAST(0 AS TINYINT),
+        // non-finite scale (a NaN/Inf component) quantizes to zero codes,
+        // like the zero vector — mirrored in the q46 oracle's guard
+        s"""transform($embCol, x -> IF(__scale <= 0.0 OR isnan(__scale)
+                OR __scale = CAST('Infinity' AS DOUBLE), CAST(0 AS TINYINT),
               CAST(rint(CAST(x AS DOUBLE) / __scale) AS TINYINT)))"""))
       .drop("__scale")
 
@@ -197,14 +200,16 @@ object Similarity {
     * broadcast). */
   def sqTopK(items: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     import graft.GraftFunctions.byte_dot
+    // self-norms computed once per side BEFORE the cross join (they ride
+    // the broadcast), not once per (item, query) pair
     val qi = quantize(items).select(col("vec_id"), col("codes"))
+      .withColumn("na", byte_dot(col("codes"), col("codes")))
     val qq = quantize(queries, "query_embedding", "qcodes")
       .select(col("query_id"), col("qcodes"))
+      .withColumn("nb", byte_dot(col("qcodes"), col("qcodes")))
     val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
     qi.crossJoin(broadcast(qq))
       .withColumn("dot", byte_dot(col("codes"), col("qcodes")))
-      .withColumn("na", byte_dot(col("codes"), col("codes")))
-      .withColumn("nb", byte_dot(col("qcodes"), col("qcodes")))
       .withColumn("score",
         when(col("na") === 0 || col("nb") === 0, lit(0.0))
           .otherwise(col("dot") / (sqrt(col("na")) * sqrt(col("nb")))))

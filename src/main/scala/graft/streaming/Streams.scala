@@ -114,8 +114,11 @@ object Streams {
     * and emit each query's refreshed result list per micro-batch. Scoring
     * is the same map-only projection as batch search (queries broadcast via
     * the crossJoin literal set); state per query is a bounded k-list —
-    * O(queries x k), watermark-free. After any prefix of the stream, the
-    * emitted top-k equals batch search over the chunks seen so far. */
+    * O(queries x k), watermark-free. Contract: on an append-only index
+    * (chunks immutable; re-deliveries allowed), the emitted top-k after any
+    * prefix equals batch search over the distinct chunks seen so far.
+    * Re-ingesting a chunk with changed text needs the batch rebuild path —
+    * k-bounded state cannot demote below rank k. */
   def streamingTopK(index: DataFrame, queries: Seq[String], k: Int = 5):
       DataFrame = {
     import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
@@ -133,13 +136,18 @@ object Streams {
       .flatMapGroupsWithState[List[(String, Double)], (String, Int, String, Double)](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         case (query, rows, state: GroupState[List[(String, Double)]]) =>
-          // dedup by chunk id, newest score winning: a re-delivered chunk
-          // (the at-least-once contract) or a re-ingested chunk with new
-          // text must occupy ONE rank, like batch search over distinct ids
-          val incoming = rows.map { case (_, id, s) => (id, s) }.toMap
+          // dedup by chunk id, MAX score winning — deterministic regardless
+          // of iterator order. On an append-only index (re-deliveries carry
+          // identical scores) this makes a re-delivered chunk occupy ONE
+          // rank, like batch search over distinct ids. Re-ingesting a chunk
+          // with CHANGED text is out of contract for k-bounded state (a
+          // demoted score cannot resurrect the truncated k+1-th entry) —
+          // that path is the batch rebuild.
+          val incoming = rows.map { case (_, id, s) => (id, s) }.toSeq
           val merged =
-            (state.getOption.getOrElse(Nil).filterNot(e => incoming.contains(e._1))
-              ++ incoming)
+            (state.getOption.getOrElse(Nil) ++ incoming)
+            .groupMapReduce(_._1)(_._2)(math.max)
+            .toList
             .sortBy { case (id, s) => (-s, id) } // score desc, id asc
             .take(k)
           state.update(merged)
