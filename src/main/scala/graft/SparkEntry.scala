@@ -399,10 +399,11 @@ SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
 
   /** For each key in `queries`, equivalent ANSI SQL runnable by DuckDB on the
     * same parquet tables. Only the legitimately non-SQL queries are omitted
-    * (→ rows-only check per the contract): q28 (stubbed multimodal decode)
-    * and the approximate-ANN family q29/q30/q34 (MLlib LSH buckets / KMeans
-    * cells have no SQL equivalent; their quality is gated by the recall
-    * assertions in SimilaritySpec instead). */
+    * (→ rows-only check per the contract): the MLlib-backed approximate-ANN
+    * family q29/q30/q34 (MLlib LSH buckets / KMeans cells have no SQL
+    * equivalent; their quality is gated by the recall assertions in
+    * SimilaritySpec instead — and the deterministic q44/q45/q46 variants of
+    * the same capabilities are fully hash-checked). */
   def oracleSql: Map[String, String] = Map(
     "q01_chunk" ->
       s"WITH $dkChunks SELECT id, source, pdf_path, doc_id, chunk_idx, text FROM chunks",
@@ -733,6 +734,16 @@ FROM documents""",
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
     score FROM sc)
 SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3""",
+    // Mirrors q28's stub decode arithmetic (Multimodal.decodeStub over the
+    // UTF-8 bytes of text): deterministic byte math, SQL-expressible for
+    // the ASCII corpus (char length == byte length, ord == byte value).
+    "q28_mm_features" ->
+      """SELECT doc_id AS media_id, 'raw' AS format,
+  CAST(length(text) AS INTEGER) AS n_bytes,
+  CAST(64 + (length(text) % 512) AS INTEGER) AS width,
+  CAST(64 + ((ord(substr(text, 1, 1)) * 256 + ord(substr(text, 2, 1))) % 512) AS INTEGER) AS height,
+  3 AS channels
+FROM documents""",
     // Mirrors Similarity.sqTopK: per-vector symmetric int8 quantization
     // (scale = max|v|/127, half-even rounding) + integer-dot cosine.
     "q46_ann_sq8" -> {
