@@ -92,9 +92,22 @@ object SparkEntry {
         element_at(col("e"), 1024).as("v1023"))),
     // Q1/Q2/Q3 — flagship cosine top-k search (main.py:176-216)
     "q06_search" -> ((s, dir) => searchRanked(s, dir, 5)),
-    // Q4/Q5 — QueryResponse with rank-ordered context string (main.py:324-331)
+    // Q4/Q5 — QueryResponse with rank-ordered context string (main.py:324-331).
+    // The API shape keeps `chunks` as an array of structs
+    // (Engine.searchResponse); for the oracle compare the array is
+    // serialized to a canonical delimited string — the driver's pandas
+    // hash-compare cannot hash an array-of-struct column, and float-to-text
+    // rendering differs between engines, so the score renders through a
+    // DECIMAL(10,4) cast (fixed 4-digit text in both Spark and DuckDB).
     "q07_response" -> ((s, dir) =>
-      Engine.searchResponse(Engine.ingest(docs(s, dir)), Q, 5)),
+      Engine.searchResponse(Engine.ingest(docs(s, dir)), Q, 5)
+        .withColumn("chunks",
+          array_join(
+            transform(col("chunks"), c => concat_ws("\u0001",
+              c.getField("id"), c.getField("source"),
+              c.getField("score").cast("decimal(10,4)").cast("string"),
+              c.getField("text"))),
+            "\u0002"))),
     // A3/S6 — per-source index stats (main.py:240, 350)
     "q08_stats_source" -> ((s, dir) =>
       Engine.statsBySource(Engine.chunks(docs(s, dir)))),
@@ -434,8 +447,10 @@ FROM scored ORDER BY score DESC, id ASC LIMIT 5""",
       s"""$dkScored,
   top AS (SELECT * FROM scored ORDER BY score DESC, id ASC LIMIT 5)
 SELECT 'transfer credits' AS query,
-  list(struct_pack(text := text, source := source, score := round(score, 4), id := id)
-    ORDER BY score DESC, id ASC) AS chunks,
+  coalesce(string_agg(
+    id || chr(1) || source || chr(1) ||
+      CAST(CAST(round(score, 4) AS DECIMAL(10,4)) AS VARCHAR) || chr(1) || text,
+    chr(2) ORDER BY score DESC, id ASC), '') AS chunks,
   count(*) AS total_results,
   coalesce(string_agg('[Source: ' || source || ']' || chr(10) || text,
     chr(10) || chr(10) || '---' || chr(10) || chr(10) ORDER BY score DESC, id ASC), '') AS context

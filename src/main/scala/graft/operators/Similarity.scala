@@ -4,7 +4,6 @@ import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions.cosine_similarity
@@ -29,15 +28,24 @@ object Similarity {
     items.crossJoin(broadcast(queries))
       .withColumn("score", cosine_similarity(col("embedding"), col("query_embedding")))
 
-  /** Exact top-k per query, deterministic order (score desc, vec_id asc). */
-  def bruteForceTopK(items: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
-    cosineScores(items, queries)
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id"), col("rnk"),
+  /** The one per-query ranker for every top-k path in this file: the custom
+    * `GroupedTopK` operator (map-side bounded heaps cap shuffle volume at
+    * partitions x queries x k) instead of `row_number().over(Window
+    * .partitionBy("query_id"))`, which shuffles and fully sorts EVERY scored
+    * candidate row — the difference between "passes at sf0.1" and "survives
+    * 100x". Equivalence is oracle-proven: q23 (this path) and q31 (GroupedTopK
+    * direct) share the same DuckDB oracle. Expects `scored` to carry
+    * (query_id, vec_id, score); emits (query_id, vec_id, rnk, score-rounded). */
+  private def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    graft.plans.GroupedTopK(
+        scored.select(col("query_id"), col("vec_id"), col("score")),
+        Seq(col("query_id")), Seq(desc("score"), asc("vec_id")), k)
+      .select(col("query_id"), col("vec_id"), col("rank").as("rnk"),
         round(col("score"), 4).as("score"))
-  }
+
+  /** Exact top-k per query, deterministic order (score desc, vec_id asc). */
+  def bruteForceTopK(items: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    topKPerQuery(cosineScores(items, queries), k)
 
   /** Exact all-pairs cosine >= threshold (a < b). Quadratic — use only as
     * correctness baseline or on bounded partitions; the scale path is
@@ -146,19 +154,16 @@ object Similarity {
     val nq = normalized(queries, "query_embedding")
       .select(col("query_id"), col("query_embedding"),
         vector_to_array(col("nvec")).cast("array<float>").as("nvec_arr"))
-    val probeW = Window.partitionBy("query_id").orderBy(desc("cscore"), asc("cell"))
-    val probes = nq.crossJoin(broadcast(index.centroids))
-      .withColumn("cscore", cosine_similarity(col("nvec_arr"), col("centroid")))
-      .withColumn("crnk", row_number().over(probeW))
-      .filter(col("crnk") <= nProbe)
+    val probes = graft.plans.GroupedTopK(
+        nq.crossJoin(broadcast(index.centroids))
+          .withColumn("cscore", cosine_similarity(col("nvec_arr"), col("centroid")))
+          .select(col("query_id"), col("query_embedding"), col("cell"), col("cscore")),
+        Seq(col("query_id")), Seq(desc("cscore"), asc("cell")), nProbe)
       .select(col("query_id"), col("query_embedding"), col("cell"))
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
-    index.assignments.join(broadcast(probes), Seq("cell"))
-      .withColumn("score", cosine_similarity(col("embedding"), col("query_embedding")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id"), col("rnk"),
-        round(col("score"), 4).as("score"))
+    topKPerQuery(
+      index.assignments.join(broadcast(probes), Seq("cell"))
+        .withColumn("score", cosine_similarity(col("embedding"), col("query_embedding"))),
+      k)
   }
 
   /** IVF (inverted-file) approximate top-k: the classic vector-DB scale
@@ -207,16 +212,13 @@ object Similarity {
     val qq = quantize(queries, "query_embedding", "qcodes")
       .select(col("query_id"), col("qcodes"))
       .withColumn("nb", byte_dot(col("qcodes"), col("qcodes")))
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
-    qi.crossJoin(broadcast(qq))
-      .withColumn("dot", byte_dot(col("codes"), col("qcodes")))
-      .withColumn("score",
-        when(col("na") === 0 || col("nb") === 0, lit(0.0))
-          .otherwise(col("dot") / (sqrt(col("na")) * sqrt(col("nb")))))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id"), col("rnk"),
-        round(col("score"), 4).as("score"))
+    topKPerQuery(
+      qi.crossJoin(broadcast(qq))
+        .withColumn("dot", byte_dot(col("codes"), col("qcodes")))
+        .withColumn("score",
+          when(col("na") === 0 || col("nb") === 0, lit(0.0))
+            .otherwise(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))),
+      k)
   }
 
   /** Bucket table for the deterministic random-projection LSH: one row per
@@ -241,13 +243,10 @@ object Similarity {
     val qb = rpBucketTable(queries, "query_id", "query_embedding", numTables, bucketLength)
     val cand = ib.join(broadcast(qb), Seq("t", "bk"))
       .select("query_id", "vec_id").distinct()
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
-    cand.join(items, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
-      .withColumn("score", cosine_similarity(col("embedding"), col("query_embedding")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id"), col("rnk"),
-        round(col("score"), 4).as("score"))
+    topKPerQuery(
+      cand.join(items, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+        .withColumn("score", cosine_similarity(col("embedding"), col("query_embedding"))),
+      k)
   }
 
   /** Near-duplicate pair join via the deterministic random-projection LSH:
@@ -292,16 +291,13 @@ object Similarity {
     // neighbour-score floor, with bucketLength/numTables tuned to the
     // recall@3 >= 0.9 gate in SimilaritySpec.
     val joined = model.approxSimilarityJoin(ni, nq, radius, "l2dist")
-    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("vec_id"))
-    joined.select(
-        col("datasetB.query_id").as("query_id"),
-        col("datasetA.vec_id").as("vec_id"),
-        col("datasetA.embedding").as("e"),
-        col("datasetB.query_embedding").as("q"))
-      .withColumn("score", cosine_similarity(col("e"), col("q")))
-      .withColumn("rnk", row_number().over(w))
-      .filter(col("rnk") <= k)
-      .select(col("query_id"), col("vec_id"), col("rnk"),
-        round(col("score"), 4).as("score"))
+    topKPerQuery(
+      joined.select(
+          col("datasetB.query_id").as("query_id"),
+          col("datasetA.vec_id").as("vec_id"),
+          col("datasetA.embedding").as("e"),
+          col("datasetB.query_embedding").as("q"))
+        .withColumn("score", cosine_similarity(col("e"), col("q"))),
+      k)
   }
 }

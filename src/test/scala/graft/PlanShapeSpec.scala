@@ -78,6 +78,19 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("similarity top-k family ranks via GroupedTopK, never a window sort") {
+    // At 100x scale row_number().over(Window.partitionBy("query_id")) shuffles
+    // and fully sorts every scored candidate; GroupedTopK's partial heaps cap
+    // shuffle volume at partitions x queries x k. q23/q44/q46 are the
+    // oracle-checked members of the family (q29/q30 carry MLlib stages whose
+    // plans are noisier to assert on, but they rank through the same helper).
+    for (q <- Seq("q23_ann_topk", "q44_ann_rp", "q46_ann_sq8")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q should not rank via WindowExec:\n$p")
+      assert(p.contains("GroupedTopK"), s"$q should rank via GroupedTopKExec:\n$p")
+    }
+  }
+
   test("custom expressions run inside codegen (no fallback markers in hot projections)") {
     val df = Engine.ingest(freshDocs)
     val p = df.queryExecution.executedPlan.toString
