@@ -4,14 +4,17 @@ import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video payloads as opaque `binary`
-  * columns with a typed metadata struct, plus per-partition batch "decode"
-  * and feature extraction.
+  * columns with a typed metadata struct, plus per-partition batch decode and
+  * feature extraction.
   *
-  * The Spark-side plumbing (schema, partition-batched iteration, typed
-  * encoders, feature schema) is real and tested; the codec itself is a
-  * clearly-marked deterministic STUB because no image/audio libraries exist
-  * in this environment. Swapping `decodeStub` for a real decoder (e.g. javax
-  * imageio / ffmpeg bindings) changes no plan shape: decode stays a map-only
+  * Decode dispatches on `format`: image formats (png/jpeg/bmp/gif/wbmp) go
+  * through `javax.imageio.ImageIO` — part of JDK 17's `java.desktop`, no new
+  * dependency — so width/height/channels are the real container values and
+  * `resize` samples real decoded pixels. Non-image formats (`raw`, and
+  * audio/video containers no JDK codec exists for) fall back to a
+  * clearly-marked deterministic STUB that derives pseudo-dimensions from the
+  * payload bytes, keeping the pipeline total and the q28 oracle exact.
+  * Either way the plan shape is identical: decode is a map-only
   * `mapPartitions` over binary batches — the same execution shape a Pandas
   * `mapInPandas` decode has in PySpark.
   */
@@ -33,14 +36,51 @@ object Multimodal {
         s"'$format' AS format", s"$payloadExpr AS content").as[Media]
   }
 
-  /** STUB decoder: deterministic pseudo-dimensions derived from the payload
-    * bytes. A real implementation would parse the container header; the
-    * return contract (width/height/channels) is the real one. */
+  /** STUB decoder for non-image payloads: deterministic pseudo-dimensions
+    * derived from the payload bytes (mirrored exactly in the q28 oracle SQL).
+    * The return contract (width/height/channels) is the real one. */
   private[multimodal] def decodeStub(bytes: Array[Byte]): (Int, Int, Int) = {
-    // ??? real decode unavailable in this container — deterministic fake:
+    // ??? no JDK codec for this format — deterministic fake:
     val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
     val b1 = if (bytes.length > 1) bytes(1) & 0xff else 0
     (64 + (bytes.length % 512), 64 + (b0 * 256 + b1) % 512, 3)
+  }
+
+  /** Formats JDK 17's ImageIO decodes out of the box. */
+  private val ImageFormats = Set("png", "jpeg", "jpg", "bmp", "gif", "wbmp")
+
+  /** A decoded payload: real dimensions plus (for real images) the raster.
+    * `pixel` is the nearest-neighbour source accessor `resize` samples. */
+  private[multimodal] final case class Decoded(
+      width: Int, height: Int, channels: Int,
+      raster: Option[java.awt.image.Raster]) {
+    def pixel(bytes: Array[Byte], x: Int, y: Int, ch: Int): Byte = raster match {
+      case Some(r) => r.getSample(x, y, ch).toByte
+      case None =>
+        // stub pixel source: payload bytes reinterpreted row-major
+        val si = (y * width + x) * channels + ch
+        if (bytes.isEmpty) 0 else bytes(si % bytes.length)
+    }
+  }
+
+  /** Format-dispatched decode: ImageIO for image formats (real container
+    * dimensions + raster), stub for everything else. A corrupt image payload
+    * also falls back to the stub — decode is total, the error-tolerance
+    * contract every large-scale ingest needs (a poison row must not kill the
+    * partition). */
+  private[multimodal] def decode(format: String, bytes: Array[Byte]): Decoded = {
+    val img =
+      if (ImageFormats.contains(format.toLowerCase(java.util.Locale.ROOT)))
+        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
+        catch { case _: Exception => None }
+      else None
+    img match {
+      case Some(bi) =>
+        Decoded(bi.getWidth, bi.getHeight, bi.getRaster.getNumBands, Some(bi.getRaster))
+      case None =>
+        val (w, h, c) = decodeStub(bytes)
+        Decoded(w, h, c, None)
+    }
   }
 
   /** Per-partition batched feature extraction — the Scala analogue of a
@@ -52,7 +92,8 @@ object Multimodal {
     media.mapPartitions { it =>
       it.map { m =>
         val bytes = m.content
-        val (w, h, c) = decodeStub(bytes)
+        val d = decode(m.format, bytes)
+        val (w, h, c) = (d.width, d.height, d.channels)
         val counts = new Array[Long](256)
         var sum = 0L
         var i = 0
@@ -80,13 +121,10 @@ object Multimodal {
     }
   }
 
-  /** Nearest-neighbour resize plumbing: the index arithmetic (row-major
-    * nearest-neighbour source-pixel mapping) is the real algorithm; the
-    * pixel source is the payload bytes reinterpreted as a width x height x
-    * channels image at the stub-decoded dimensions, since real decode is
-    * unavailable here. Swapping in a real decoder changes only where the
-    * source pixels come from — shape, batching and plan stay identical
-    * (map-only, no shuffle). */
+  /** Nearest-neighbour resize: row-major nearest source-pixel mapping over
+    * the decoded pixels — the real raster for image formats, the payload
+    * bytes reinterpreted at the stub dimensions otherwise. Map-only, no
+    * shuffle; batching and plan shape are identical either way. */
   def resize(media: Dataset[Media], outW: Int, outH: Int): DataFrame = {
     require(outW > 0 && outH > 0)
     // 4 channels is the ceiling any decoder here returns; guard the
@@ -97,8 +135,8 @@ object Multimodal {
     import spark.implicits._
     media.mapPartitions { it =>
       it.map { m =>
-        val (w, h, c) = decodeStub(m.content)
-        val src = m.content
+        val d = decode(m.format, m.content)
+        val (w, h, c) = (d.width, d.height, d.channels)
         val out = new Array[Byte](outW * outH * c)
         var y = 0
         while (y < outH) {
@@ -108,9 +146,7 @@ object Multimodal {
             val sx = x * w / outW
             var ch = 0
             while (ch < c) {
-              val si = (sy * w + sx) * c + ch
-              out((y * outW + x) * c + ch) =
-                if (src.isEmpty) 0 else src(si % src.length)
+              out((y * outW + x) * c + ch) = d.pixel(m.content, sx, sy, ch)
               ch += 1
             }
             x += 1

@@ -52,6 +52,38 @@ class MultimodalSpec extends AnyFunSuite {
     assert(px((y * 8 + x) * 3 + ch) == bytes(si % bytes.length))
   }
 
+  test("image formats decode through JDK ImageIO: real dimensions and pixels") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(7, 5, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 5; x <- 0 until 7)
+      img.setRGB(x, y, ((x * 36) << 16) | ((y * 50) << 8) | (x + y))
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", baos)
+    val bytes = baos.toByteArray
+    val media = Seq((1L, "png", bytes))
+      .toDF("media_id", "format", "content").as[Multimodal.Media]
+    val f = Multimodal.extractFeatures(media).collect()(0)
+    assert(f.width == 7 && f.height == 5 && f.channels == 3)
+    assert(f.n_bytes == bytes.length)
+    // nearest-neighbour upscale 2x: output (2,2) samples source (1,1) —
+    // compared against the raster, not the payload bytes
+    val px = Multimodal.resize(media, 14, 10)
+      .as[(Long, Int, Int, Int, Array[Byte])].collect()(0)._5
+    val r = img.getRaster
+    for (ch <- 0 until 3)
+      assert(px((2 * 14 + 2) * 3 + ch) == r.getSample(1, 1, ch).toByte)
+    // the same bytes declared `raw` keep the deterministic stub dimensions
+    val raw = Seq((2L, "raw", bytes))
+      .toDF("media_id", "format", "content").as[Multimodal.Media]
+    val g = Multimodal.extractFeatures(raw).collect()(0)
+    assert(g.width == 64 + (bytes.length % 512))
+    // a corrupt image payload falls back to the stub: decode is total
+    val bad = Seq((3L, "png", Array[Byte](1, 2, 3)))
+      .toDF("media_id", "format", "content").as[Multimodal.Media]
+    val b = Multimodal.extractFeatures(bad).collect()(0)
+    assert(b.width == 64 + 3 && b.channels == 3)
+  }
+
   test("frame sampling emits strided fixed-size blocks") {
     val media = Multimodal.asMedia(
       Seq((1L, "a" * 1000)).toDF("doc_id", "text"), "doc_id", "encode(text, 'utf-8')")
