@@ -118,25 +118,25 @@ object Dedup {
     // shingle), it feeds both the pair counting and the per-doc stats, and
     // caching it means the corpus is shingled exactly once on the hot path.
     val sets = shingleArrays(docs)
-    // MEMORY_ONLY: eviction falls back to recompute instead of accreting
-    // disk blocks the caller can never unpersist (plan-builder contract)
-    val buckets = sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
-      .groupBy("shingle")
-      .agg(sort_array(collect_list(col("doc_id"))).as("ds"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // MEMORY_ONLY via PlanCache.memo: eviction falls back to recompute, and
+    // repeat builds over the same input reuse one CacheManager entry
+    // (release with PlanCache.releaseAll when done with the operators)
+    val buckets = PlanCache.memo(
+      sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+        .groupBy("shingle")
+        .agg(sort_array(collect_list(col("doc_id"))).as("ds")))
     val partial = bucketPairs(buckets.filter(size(col("ds")) <= maxShingleDf))
       .groupBy("doc_a", "doc_b").agg(count(lit(1)).as("common_kept"))
     // Per-doc stats straight from the bucket table: a doc's distinct-shingle
     // count = how many buckets contain it; its dropped count = how many of
     // those buckets are over-cap. One row per doc — tiny, cached, and
     // broadcast to both join sides.
-    val docStats = buckets
+    val docStats = PlanCache.memo(buckets
       .select(explode(col("ds")).as("doc_id"),
         (size(col("ds")) > maxShingleDf).as("freq"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
-        sum(when(col("freq"), 1L).otherwise(0L)).as("n_freq"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        sum(when(col("freq"), 1L).otherwise(0L)).as("n_freq")))
     // no broadcast hint: docStats is one row per doc, so at corpus scale it
     // outgrows the broadcast limit — AQE picks broadcast when it fits
     val stats = partial
@@ -144,17 +144,29 @@ object Dedup {
         col("n_sh").as("na"), col("n_freq").as("fa")), Seq("doc_a"))
       .join(docStats.select(col("doc_id").as("doc_b"),
         col("n_sh").as("nb"), col("n_freq").as("fb")), Seq("doc_b"))
-    val exact = stats.filter(least(col("fa"), col("fb")) === 0)
+    // Cap probe: one tiny agg over the cached per-doc stats tells whether ANY
+    // shingle exceeded the df cap. The common case is no — and then every
+    // pair is counts-exact, so the plan is the single `exact` branch below.
+    // Without the probe, `exact union fuzzy` evaluates the whole pair-count
+    // pipeline TWICE (once per branch) just to find the fuzzy side empty —
+    // the r2 bench paid exactly that (q22 2.5 s -> 5.2 s).
+    val capRow = docStats.agg(max(col("n_freq"))).head()
+    val capHit = !capRow.isNullAt(0) && capRow.getLong(0) > 0
+    val exactBase = if (capHit) stats.filter(least(col("fa"), col("fb")) === 0) else stats
+    val exact = exactBase
       .withColumn("jaccard",
         col("common_kept") / (col("na") + col("nb") - col("common_kept")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("common_kept").as("common"),
         round(col("jaccard"), 6).as("jaccard"))
-    val fuzzy = stats.filter(least(col("fa"), col("fb")) > 0)
-      .withColumn("upper", col("common_kept") + least(col("fa"), col("fb")))
-      .filter(col("upper") / (col("na") + col("nb") - col("upper")) >= threshold)
-      .select("doc_a", "doc_b")
-    exact.unionByName(verifiedJaccard(fuzzy, sets, threshold))
+    if (!capHit) exact
+    else {
+      val fuzzy = stats.filter(least(col("fa"), col("fb")) > 0)
+        .withColumn("upper", col("common_kept") + least(col("fa"), col("fb")))
+        .filter(col("upper") / (col("na") + col("nb") - col("upper")) >= threshold)
+        .select("doc_a", "doc_b")
+      exact.unionByName(verifiedJaccard(fuzzy, sets, threshold))
+    }
   }
 
   /** MinHash signature columns m0..m15: the 8 32-bit hex words of
@@ -216,15 +228,25 @@ object Dedup {
     * halves chain height per round, so rounds are O(log diameter) even for
     * pathological chain-shaped graphs — near-dup clusters themselves are
     * usually shallow stars/cliques around an original. Deterministic: the
-    * fixpoint (min doc_id per component) is unique regardless of order. */
-  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50): DataFrame = {
-    val edges = pairs
+    * fixpoint (min doc_id per component) is unique regardless of order.
+    *
+    * Checkpoint mode: by default each round truncates lineage with
+    * `localCheckpoint` — blocks live on executors, fast, but they die with
+    * an executor, which on a real cluster means a lost-executor event
+    * mid-iteration fails the job. Passing `checkpointDir` switches every
+    * round barrier to a reliable `checkpoint` into that (HDFS/S3) directory
+    * — the robust form for long iterative jobs at cluster scale, at the cost
+    * of a filesystem write per round. */
+  def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50,
+                        checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    def barrier(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
+    val edges = barrier(pairs
       .select(col("doc_a").as("src"), col("doc_b").as("dst"))
-      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst")))
-      .localCheckpoint()
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("cluster", col("doc_id"))
-      .localCheckpoint()
+      .unionByName(pairs.select(col("doc_b").as("src"), col("doc_a").as("dst"))))
+    var labels = barrier(edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("cluster", col("doc_id")))
     var round = 0
     var converged = false
     while (!converged && round < maxRounds) {
@@ -243,11 +265,10 @@ object Dedup {
         .select(col("doc_id"), coalesce(col("cc"), col("cluster")).as("cluster"))
       // carry the changed flag through the checkpoint so the convergence
       // probe scans materialized blocks instead of re-running the joins
-      val updated = jumped
+      val updated = barrier(jumped
         .join(labels.withColumnRenamed("cluster", "prev"), Seq("doc_id"))
         .select(col("doc_id"), col("cluster"),
-          (col("cluster") < col("prev")).as("chg"))
-        .localCheckpoint()
+          (col("cluster") < col("prev")).as("chg")))
       converged = updated.filter(col("chg")).isEmpty
       labels = updated.drop("chg")
       round += 1

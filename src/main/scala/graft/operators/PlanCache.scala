@@ -1,0 +1,49 @@
+package graft.operators
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, GraftSqlBridge, SparkSession}
+import org.apache.spark.storage.StorageLevel
+
+/** Cache lifecycle for plan-builder persists.
+  *
+  * Operators like `Dedup.jaccardPairs` return LAZY DataFrames whose plans
+  * reference an intermediate evaluated more than once downstream (a bucket
+  * table, a normalized corpus). Those intermediates are persisted MEMORY_ONLY
+  * — eviction falls back to recompute, never accreting disk blocks — but a
+  * plain `persist()` has two lifecycle problems in a long-lived session:
+  *
+  *  1. building the same operator twice over the same input re-registers the
+  *     identical plan with the CacheManager ("Asked to cache already cached
+  *     data" warnings, e.g. a benchmark running a query for two reps);
+  *  2. the entries accrete forever — the caller got a lazy plan back, so the
+  *     builder itself can never safely unpersist.
+  *
+  * `memo` fixes (1): persist only if the (normalized) plan has no existing
+  * CacheManager entry, so repeat builds silently share the first entry.
+  * `release`/`releaseAll` fix (2): every memoized frame is tracked per
+  * session, and a caller done with graft operators (or a test harness
+  * between suites) drops them all in one call. Entries are MEMORY_ONLY, so
+  * releasing is always safe — any still-running plan recomputes.
+  */
+object PlanCache {
+
+  private val tracked =
+    mutable.Map.empty[SparkSession, mutable.ArrayBuffer[DataFrame]]
+
+  /** Persist MEMORY_ONLY unless this exact (canonicalized) plan is already
+    * cached; track the frame for `releaseAll`. */
+  def memo(df: DataFrame): DataFrame = synchronized {
+    if (!GraftSqlBridge.isCached(df)) {
+      df.persist(StorageLevel.MEMORY_ONLY)
+      tracked.getOrElseUpdate(df.sparkSession, mutable.ArrayBuffer.empty) += df
+    }
+    df
+  }
+
+  /** Unpersist every plan-builder cache entry this session accreted.
+    * Non-blocking; MEMORY_ONLY entries recompute if still referenced. */
+  def releaseAll(spark: SparkSession): Unit = synchronized {
+    tracked.remove(spark).foreach(_.foreach(_.unpersist(blocking = false)))
+  }
+}

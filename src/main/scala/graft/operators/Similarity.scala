@@ -75,10 +75,9 @@ object Similarity {
                       bucketLength: Double = 0.5, numTables: Int = 6): DataFrame = {
     val radius = math.sqrt(math.max(2.0 - 2.0 * threshold, 0.0)) + 1e-9
     // evaluated 3x downstream (fit + both sides of the self-join);
-    // MEMORY_ONLY so eviction recomputes instead of accreting disk blocks
-    // the caller can never unpersist
-    val ni = normalized(items, "embedding")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    // MEMORY_ONLY via PlanCache.memo (recompute on eviction, one entry
+    // across repeat builds, released by PlanCache.releaseAll)
+    val ni = PlanCache.memo(normalized(items, "embedding"))
     val lsh = new BucketedRandomProjectionLSH()
       .setInputCol("nvec").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(42L)
@@ -134,8 +133,11 @@ object Similarity {
       .setInitMode("random")
       .setFeaturesCol("nvec").setPredictionCol("cell")
     val model = km.fit(fitInput)
-    val assigned = model.transform(ni)
-      .select(col("vec_id"), col("embedding"), col("cell")).cache()
+    // an index exists to be probed repeatedly: memoized like every
+    // plan-builder persist (repeat builds share one entry; release with
+    // PlanCache.releaseAll)
+    val assigned = PlanCache.memo(model.transform(ni)
+      .select(col("vec_id"), col("embedding"), col("cell")))
     assigned.count() // materialize so the normalized input can be released
     ni.unpersist()
     val spark = items.sparkSession
@@ -280,8 +282,7 @@ object Similarity {
       .setInputCol("nvec").setOutputCol("hashes")
       .setBucketLength(bucketLength).setNumHashTables(numTables).setSeed(42L)
     // evaluated twice (fit + join left side); MEMORY_ONLY as above
-    val ni = normalized(items, "embedding")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val ni = PlanCache.memo(normalized(items, "embedding"))
     val nq = normalized(queries, "query_embedding")
     val model = lsh.fit(ni)
     // On unit vectors L2² = 2 - 2cos, so radius 1.3 keeps candidates with

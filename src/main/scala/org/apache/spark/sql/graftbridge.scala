@@ -23,4 +23,13 @@ object GraftSqlBridge {
 
   def ofRows(spark: SparkSession, plan: catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
+
+  /** True iff this dataset's (normalized) plan already has a CacheManager
+    * entry. Plan-builder persists check this before `persist()` so that
+    * building the same operator twice over the same input reuses the
+    * existing entry instead of re-registering it (the "Asked to cache
+    * already cached data" warning). */
+  def isCached(df: Dataset[_]): Boolean =
+    df.sparkSession.asInstanceOf[classic.SparkSession].sharedState.cacheManager
+      .lookupCachedData(df.asInstanceOf[classic.Dataset[_]]).isDefined
 }

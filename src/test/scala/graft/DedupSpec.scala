@@ -152,6 +152,21 @@ class DedupSpec extends AnyFunSuite {
     assert(got.forall(_._2 == 0L), "every chain node must resolve to the min id")
   }
 
+  test("duplicateClusters: reliable checkpoint mode matches the default") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    try {
+      val pairs = Seq((1L, 2L), (3L, 4L), (2L, 3L), (7L, 9L)).toDF("doc_a", "doc_b")
+      val got = Dedup.duplicateClusters(pairs, checkpointDir = Some(dir))
+        .as[(Long, Long)].collect().toMap
+      assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L, 7L -> 7L, 9L -> 7L))
+      // the reliable barrier actually wrote RDD checkpoints into the dir
+      assert(new java.io.File(dir).listFiles() != null &&
+        new java.io.File(dir).listFiles().nonEmpty)
+    } finally {
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("dedupByCluster keeps one canonical doc per cluster plus unpaired docs") {
     val pairs = Dedup.jaccardPairs(crafted, 0.5)
     val clusters = Dedup.duplicateClusters(pairs)
