@@ -107,6 +107,68 @@ class SourcesSpec extends AnyFunSuite {
     assert(got == expected, s"got: ${got.replace("\n", "\\n")}")
   }
 
+  /** A one-page PDF whose text uses a CID (Identity-H) font: 2-byte hex
+    * codes that are meaningless in Latin-1 and only decode through the
+    * /ToUnicode CMap (bfchar singles + both bfrange forms, including a
+    * non-BMP-trivial accented char). Resources ride an indirect ref and the
+    * font dict is inline — the resolution paths mkTextPdf doesn't cover. */
+  def mkCidPdf(): Array[Byte] = {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |begincmap
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |2 beginbfchar
+        |<0001> <0048>
+        |<0002> <00E9>
+        |endbfchar
+        |2 beginbfrange
+        |<0003> <0005> <006C>
+        |<0010> <0011> [<0057 006F> <0072 006C 0064>]
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end end""".stripMargin
+    // codes: 0001 0002 0003 0004 0005 -> H e' l m n ... wait: bfrange
+    // <0003>-<0005> base 006C increments: 0003->l 0004->m 0005->n;
+    // 0010 -> "Wo", 0011 -> "rld"
+    val content = "BT /F7 11 Tf <00010002000300040005> Tj 0 -14 Td <00100011> Tj ET"
+    val sb = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = sb.write(s.getBytes("ISO-8859-1"))
+    w("%PDF-1.4\n")
+    w("1 0 obj << /Type /Catalog /Pages 2 0 R >> endobj\n")
+    w("2 0 obj << /Type /Pages /Kids [3 0 R] /Count 1 >> endobj\n")
+    w("3 0 obj << /Type /Page /Parent 2 0 R /Contents 4 0 R /Resources 7 0 R >> endobj\n")
+    w(s"4 0 obj << /Length ${content.length} >> stream\n")
+    w(content)
+    w("\nendstream endobj\n")
+    w("7 0 obj << /Font << /F7 5 0 R >> >> endobj\n")
+    w("5 0 obj << /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >> endobj\n")
+    w(s"6 0 obj << /Length ${cmap.length} >> stream\n")
+    w(cmap)
+    w("\nendstream endobj\n")
+    w("trailer << /Root 1 0 R >>\n%%EOF\n")
+    sb.toByteArray
+  }
+
+  test("S1 golden: CID/Identity-H font text decodes through its ToUnicode CMap") {
+    val got = graft.sources.PdfTextExtractor.extract(mkCidPdf())
+    assert(got == "Hélmn\nWorld\n", s"got: ${got.replace("\n", "\\n")}")
+  }
+
+  test("ToUnicode CMap parser: codespace widths, bfchar, both bfrange forms") {
+    val cm = graft.sources.PdfTextExtractor.parseToUnicode(
+      """1 begincodespacerange <00> <FF> endcodespacerange
+        |1 beginbfchar <41> <0058 0059> endbfchar
+        |1 beginbfrange <61> <63> <007A> endbfrange""".stripMargin)
+    // 1-byte codespace: 'A' -> "XY", 'a'..'c' -> 'z','{','|', others identity
+    assert(cm.mapString("A") == "XY")
+    assert(cm.mapString("abc") == "z{|")
+    assert(cm.mapString("Q") == "Q")
+  }
+
   test("S1 default extractor: PDF header routes to the PDF parser, other bytes pass through") {
     assert(PdfCorpusSource.pdfOrPassthrough(mkTextPdf()).startsWith("Transfer credit"))
     assert(PdfCorpusSource.pdfOrPassthrough("plain text".getBytes) == "plain text")
