@@ -292,7 +292,28 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       Similarity.sqTopK(e, q, 3)
-    }))
+    }),
+    // extension: distributed as-of join (event -> latest prior state) —
+    // union + one clustered window, never a per-row range probe
+    "q47_asof_join" -> ((s, dir) => {
+      val ev = Tables.events(s, dir)
+      val clicks = ev.filter(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      // right side unique per (key, ts) — the as-of contract
+      val views = ev.filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+      operators.Joins.asOfJoin(clicks, views, "user_id", "ts", "event_id", "view_value")
+    }),
+    // extension: BM25 keyword scoring (lexical retrieval leg of hybrid search)
+    "q48_bm25" -> ((s, dir) =>
+      TextAnalysis.bm25(docs(s, dir), Seq("transfer", "credit", "university"))),
+    // extension: Gopher-style repetition/boilerplate signals
+    "q49_repetition" -> ((s, dir) => TextAnalysis.repetitionStats(docs(s, dir))),
+    // extension: banded interval self-join (same-user event pairs within 5
+    // minutes) — time-bucket equi-join, never the quadratic pair space
+    "q50_interval_pairs" -> ((s, dir) =>
+      operators.Joins.intervalSelfJoin(Tables.events(s, dir),
+        "user_id", "ts", "event_id", 300)))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -809,5 +830,64 @@ SELECT doc_id, CAST(list_sum(list_transform(range(0, 32), b ->
   CASE WHEN coalesce(list_sum(list_transform(hashes, h ->
     CASE WHEN ((${dkByte("h", "b//8")}) >> CAST(b%8 AS INTEGER)) % 2 = 1 THEN 1 ELSE -1 END)), 0) > 0
   THEN CAST(1 AS BIGINT) << CAST(b AS INTEGER) ELSE CAST(0 AS BIGINT) END)) AS BIGINT) AS simhash
-FROM hs""")
+FROM hs""",
+    // Mirrors Joins.asOfJoin via DuckDB's native ASOF LEFT JOIN — the right
+    // side pre-aggregated unique per (user_id, ts) like the Spark query.
+    "q47_asof_join" ->
+      """WITH clicks AS (SELECT user_id, ts, event_id FROM events WHERE event_type = 'click'),
+  views AS (SELECT user_id, ts, max(value) AS view_value
+            FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+SELECT c.user_id, c.event_id, c.ts, v.ts AS asof_ts, v.view_value AS asof_value
+FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts""",
+    // Mirrors TextAnalysis.bm25 term-for-term: identical fixed-order f64
+    // arithmetic (avgdl = exact integer sum / count in both engines).
+    "q48_bm25" -> {
+      val terms = Seq("transfer", "credit", "university")
+      val dfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+      }.mkString(", ")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+      }.mkString(", ")
+      val score = terms.indices.map { i =>
+        s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+          * (tf_$i * 2.2) / (tf_$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"""
+      }.mkString(" + ")
+      s"""WITH $dkTok,
+  t AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+  stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM t),
+  tf AS (SELECT doc_id, dl, $tfCols FROM t)
+SELECT doc_id, dl AS n_tokens,
+  ${terms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i").mkString(", ")},
+  round($score, 6) AS bm25
+FROM tf CROSS JOIN stats"""
+    },
+    // Mirrors TextAnalysis.repetitionStats (1-based DuckDB lists).
+    "q49_repetition" ->
+      s"""WITH $dkTok,
+  l AS (SELECT doc_id, toks,
+    list_filter(list_transform(string_split(text, chr(10)), x -> trim(x)), x -> x <> '') AS lines
+    FROM tok),
+  g AS (SELECT doc_id, lines,
+    CASE WHEN len(toks) < 2 THEN [] ELSE
+      list_transform(range(2, len(toks) + 1), i -> toks[i-1] || ' ' || toks[i]) END AS g2,
+    CASE WHEN len(toks) < 3 THEN [] ELSE
+      list_transform(range(3, len(toks) + 1), i -> toks[i-2] || ' ' || toks[i-1] || ' ' || toks[i]) END AS g3
+    FROM l)
+SELECT doc_id, len(lines) AS n_lines, len(g2) AS n_2grams,
+  round(CASE WHEN len(lines) = 0 THEN 0.0
+    ELSE 1.0 - CAST(len(list_distinct(lines)) AS DOUBLE) / len(lines) END, 6) AS dup_line_frac,
+  round(CASE WHEN len(g2) = 0 THEN 0.0
+    ELSE 1.0 - CAST(len(list_distinct(g2)) AS DOUBLE) / len(g2) END, 6) AS dup_2gram_frac,
+  round(CASE WHEN len(g3) = 0 THEN 0.0
+    ELSE 1.0 - CAST(len(list_distinct(g3)) AS DOUBLE) / len(g3) END, 6) AS dup_3gram_frac
+FROM g""",
+    // Mirrors Joins.intervalSelfJoin semantics with the naive (oracle-scale)
+    // range join; the Spark plan is the banded equi-join.
+    "q50_interval_pairs" ->
+      """SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+  date_diff('microsecond', a.ts, b.ts) AS gap_us
+FROM events a JOIN events b ON a.user_id = b.user_id
+  AND b.ts >= a.ts AND date_diff('microsecond', a.ts, b.ts) < 300000000
+  AND (b.ts > a.ts OR b.event_id > a.event_id)""")
 }

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Skew-handling join utilities for the 100 TB regime.
@@ -38,5 +39,72 @@ object Joins {
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
     b.join(s, Seq(key, "__salt"), joinType).drop("__salt")
+  }
+
+  /** Distributed as-of join (the trades-to-quotes / event-to-latest-state
+    * operator Spark has no built-in for): for every `left` row, attach the
+    * `right` row with the greatest `right.ts <= left.ts` for the same `key`
+    * (left-join semantics — no prior right row yields nulls).
+    *
+    * Not a join at all physically: both sides union into one stream tagged
+    * 0 (right) / 1 (left), ONE exchange clusters it by `key`, one
+    * partition-local sort orders it by (ts, tag), and a running
+    * `last(value, ignoreNulls)` over the unbounded-preceding frame carries
+    * the latest right value forward onto each left row. Cost = one shuffle
+    * + sort of |L|+|R| — the MPP-standard as-of shape; a per-row range join
+    * would be quadratic per key, and a naive `max(ts) <= ts` subquery is a
+    * shuffle per probe. Ties: a right row AT the left ts matches (tag 0
+    * sorts first); `right` must be unique per (key, ts) — pre-aggregate it
+    * (the extra `valueCol` in the sort makes even that case deterministic
+    * in-engine: max value wins).
+    *
+    * `left` needs (key, ts, idCol); output = (key, idCol, ts, asof_ts,
+    * asof_value), types preserved. */
+  def asOfJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+               idCol: String, valueCol: String): DataFrame = {
+    val valueType = right.schema(valueCol).dataType
+    val idType = left.schema(idCol).dataType
+    val lU = left.select(col(key), col(ts).as("__ts"), lit(1).as("__tag"),
+      col(idCol).as("__id"), lit(null).cast(valueType).as("__rv"))
+    val rU = right.select(col(key), col(ts).as("__ts"), lit(0).as("__tag"),
+      lit(null).cast(idType).as("__id"), col(valueCol).as("__rv"))
+    val w = Window.partitionBy(key)
+      .orderBy(col("__ts").asc, col("__tag").asc, col("__rv").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    lU.unionByName(rU)
+      .withColumn("asof_value", last(col("__rv"), ignoreNulls = true).over(w))
+      .withColumn("asof_ts",
+        last(when(col("__tag") === 0, col("__ts")), ignoreNulls = true).over(w))
+      .filter(col("__tag") === 1)
+      .select(col(key), col("__id").as(idCol), col("__ts").as(ts),
+        col("asof_ts"), col("asof_value"))
+  }
+
+  /** Banded interval self-join: all ordered pairs of rows with the same
+    * `key` whose timestamps are within `[0, windowSec)` of each other —
+    * "events of one user within 5 minutes". The scale shape: band each row
+    * into a `windowSec`-wide time bucket, equi-join on (key, bucket) and on
+    * (key, bucket+1) — a half-open window never spans more than two buckets,
+    * and the two branches are key-disjoint so each qualifying pair matches
+    * EXACTLY once (no distinct) — then verify the exact time predicate.
+    * Shuffle is keyed on (key, bucket), never the quadratic pair space;
+    * per-bucket cost is bounded by per-key event rate x window. Pairs order
+    * (a before b) with `id_b > id_a` breaking equal-timestamp ties. */
+  def intervalSelfJoin(events: DataFrame, key: String, ts: String,
+                       idCol: String, windowSec: Int): DataFrame = {
+    require(windowSec > 0, s"windowSec must be positive: $windowSec")
+    val micros = windowSec * 1000000L
+    val e = events.select(col(key), col(idCol).as("__id"),
+        unix_micros(col(ts).cast("timestamp")).as("__us"))
+      .withColumn("__b", floor(col("__us") / micros))
+    def bSide(off: Int) = e.select(col(key), col("__id").as("id_b"),
+      col("__us").as("us_b"), (col("__b") - off).as("__b"))
+    val cand = e.join(bSide(0), Seq(key, "__b"))
+      .unionByName(e.join(bSide(1), Seq(key, "__b")))
+    cand
+      .filter(col("us_b") >= col("__us") && col("us_b") - col("__us") < micros &&
+        (col("us_b") > col("__us") || col("id_b") > col("__id")))
+      .select(col(key), col("__id").as("id_a"), col("id_b"),
+        (col("us_b") - col("__us")).as("gap_us"))
   }
 }

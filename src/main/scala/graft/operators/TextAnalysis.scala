@@ -123,6 +123,68 @@ object TextAnalysis {
         percentile_approx(col("token_len"), lit(0.5), lit(10000)).as("p50_token_len"),
         percentile_approx(col("token_len"), lit(0.99), lit(10000)).as("p99_token_len"))
 
+  /** BM25 keyword scoring over the corpus for a fixed (small) term set — the
+    * lexical retrieval twin of the embedding search, and the hybrid-search
+    * second leg every production vector store grows. One pass computes the
+    * corpus stats (N, avgdl — exact integer sum / count, so the double is
+    * bit-identical across engines — and per-term document frequencies via
+    * conditional aggregates pivoted into ONE row); that row broadcasts onto
+    * the corpus and the score is a fixed-order per-row expression — no
+    * per-doc aggregation, so double addition order is deterministic and the
+    * result oracle-checkable. Map-side cost ~ |terms| x tokens/doc. */
+  def bm25(docs: DataFrame, terms: Seq[String],
+           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      "terms must be plain lowercase words (SQL-literal safe)")
+    val toksed = docs.withColumn("toks", expr(tokensExpr))
+      .withColumn("dl", expr("size(toks)"))
+    val statAggs =
+      count(lit(1)).cast("double").as("n_docs") +:
+        avg(col("dl")).as("avgdl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+            .cast("double").as(s"df_$i")
+        }
+    val stats = toksed.agg(statAggs.head, statAggs.tail: _*)
+    val withTf = terms.zipWithIndex.foldLeft(toksed.crossJoin(broadcast(stats))) {
+      case (df, (t, i)) =>
+        df.withColumn(s"tf_$i", expr(s"CAST(size(filter(toks, x -> x = '$t')) AS DOUBLE)"))
+    }
+    // fixed term order — never a sum aggregate — keeps f64 addition
+    // deterministic and engine-portable
+    val score = terms.indices.map { i =>
+      s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+          * (tf_$i * ${k1 + 1.0}) / (tf_$i + $k1 * (${1.0 - b} + $b * dl / avgdl)))"""
+    }.mkString(" + ")
+    withTf.selectExpr(
+      "doc_id" +: "dl AS n_tokens" +:
+        terms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i") :+
+        s"round($score, 6) AS bm25": _*)
+  }
+
+  /** Gopher-style repetition signals per document: the fraction of duplicate
+    * lines and of duplicate word 2-/3-grams — the boilerplate/looping-text
+    * filters a pretraining pipeline applies after exact dedup. Map-only
+    * projection (array_distinct is O(n) per doc); every ratio is a single
+    * int/int division, exactly comparable across engines. */
+  def repetitionStats(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", expr(tokensExpr))
+      .withColumn("lines", expr(
+        "filter(transform(split(text, '\n'), l -> trim(l)), l -> l <> '')"))
+      .withColumn("g2", expr(
+        """IF(size(toks) < 2, array(),
+             transform(sequence(1, size(toks) - 1), i -> concat(toks[i-1], ' ', toks[i])))"""))
+      .withColumn("g3", expr(
+        """IF(size(toks) < 3, array(),
+             transform(sequence(2, size(toks) - 1), i -> concat(toks[i-2], ' ', toks[i-1], ' ', toks[i])))"""))
+      .selectExpr(
+        "doc_id",
+        "size(lines) AS n_lines",
+        "size(g2) AS n_2grams",
+        "round(IF(size(lines) = 0, 0.0, 1.0 - size(array_distinct(lines)) / size(lines)), 6) AS dup_line_frac",
+        "round(IF(size(g2) = 0, 0.0, 1.0 - size(array_distinct(g2)) / size(g2)), 6) AS dup_2gram_frac",
+        "round(IF(size(g3) = 0, 0.0, 1.0 - size(array_distinct(g3)) / size(g3)), 6) AS dup_3gram_frac")
+
   /** Document fingerprint: minimum SHA-256 over all 8-char grams — an
     * order-invariant rolling-window fingerprint (winnowing with window = whole
     * doc). Identical prefix-shifted texts collide; unrelated texts don't.

@@ -37,4 +37,61 @@ class JoinsSpec extends AnyFunSuite {
     assert(counts.length == 8) // every sub-key used
     assert(counts.map(_._2).max < 1000 * 0.3) // no sub-key dominates
   }
+
+  test("asOfJoin matches a driver-side naive as-of on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = (0 until 300).map(i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+    val right = (0 until 200).map { i =>
+      (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, rnd.nextInt(100) * 1.0)
+    }.groupBy(r => (r._1, r._2)) // unique per (key, ts): max value wins
+      .map { case ((k, t), rs) => (k, t, rs.map(_._3).max) }.toSeq
+    val l = left.toDF("k", "t", "id")
+    val r = right.toDF("k", "t", "v")
+    val got = Joins.asOfJoin(l, r, "k", "t", "id", "v")
+      .select($"id", $"asof_ts", $"asof_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    for ((k, t, id) <- left) {
+      val prior = right.filter(q => q._1 == k && q._2 <= t)
+      val expect =
+        if (prior.isEmpty) (None, None)
+        else { val b = prior.maxBy(_._2); (Some(b._2), Some(b._3)) }
+      assert(got(id) == expect, s"left row id=$id key=$k ts=$t")
+    }
+  }
+
+  test("asOfJoin plan: one hash exchange, no join operator") {
+    val l = spark.range(100).selectExpr("id % 5 AS k", "id AS t", "id")
+    val r = spark.range(50).selectExpr("id % 5 AS k", "id * 2 AS t", "id * 1.0 AS v")
+    val p = Joins.asOfJoin(l, r, "k", "t", "id", "v")
+      .queryExecution.executedPlan.toString
+    assert("Exchange hashpartitioning".r.findAllIn(p).size == 1, p)
+    assert(!p.contains("Join"), s"as-of should be a window scan, not a join:\n$p")
+  }
+
+  test("intervalSelfJoin matches the naive quadratic range join") {
+    val rnd = new scala.util.Random(11)
+    val ev = (0 until 400).map(i =>
+      (rnd.nextInt(4).toLong, new java.sql.Timestamp(1700000000000L + rnd.nextInt(7200) * 1000L), i.toLong))
+    val df = ev.toDF("u", "ts", "eid")
+    val got = Joins.intervalSelfJoin(df, "u", "ts", "eid", 300)
+      .select($"id_a", $"id_b", $"gap_us").as[(Long, Long, Long)].collect().toSet
+    val naive = (for {
+      (ua, ta, ia) <- ev; (ub, tb, ib) <- ev
+      if ua == ub
+      gap = (tb.getTime - ta.getTime) * 1000L
+      if gap >= 0 && gap < 300000000L && (gap > 0 || ib > ia)
+    } yield (ia, ib, gap)).toSet
+    assert(got == naive)
+    assert(naive.nonEmpty, "fixture should generate in-window pairs")
+  }
+
+  test("intervalSelfJoin plan: banded equi-joins only, no cartesian/range join") {
+    val df = spark.range(1000).selectExpr("id % 7 AS u",
+      "timestamp_micros(cast(id * 1e7 AS long)) AS ts", "id AS eid")
+    val p = Joins.intervalSelfJoin(df, "u", "ts", "eid", 300)
+      .queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
 }

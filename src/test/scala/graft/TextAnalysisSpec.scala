@@ -105,6 +105,49 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got(2L) == (0, 0, "no pii here at all"))
   }
 
+  test("bm25: tf/idf behave; rarer term dominates equal tf; empty doc scores 0") {
+    val crafted = Seq(
+      (1L, "transfer credit transfer policy"),
+      (2L, "credit policy notes"),
+      (3L, "unrelated words entirely here"),
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.bm25(crafted, Seq("transfer", "credit"))
+      .select($"doc_id", $"tf_0", $"tf_1", $"bm25")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L)._2 == 2 && got(1L)._3 == 1) // tf counts
+    assert(got(3L)._4 == 0.0 && got(4L)._4 == 0.0)
+    assert(got(1L)._4 > got(2L)._4) // more matches, higher score
+    // 'transfer' (df=1) carries more idf weight than 'credit' (df=2):
+    // a doc with only the rare term outscores one with only the common term
+    val single = TextAnalysis.bm25(Seq(
+        (1L, "transfer x"), (2L, "credit x"), (3L, "credit y")
+      ).toDF("doc_id", "text"), Seq("transfer", "credit"))
+      .select($"doc_id", $"bm25").as[(Long, Double)].collect().toMap
+    assert(single(1L) > single(2L))
+  }
+
+  test("repetitionStats: crafted duplicate lines and n-grams") {
+    val crafted = Seq(
+      (1L, "a b a b"),            // g2 = [a b, b a, a b] -> dup 1/3
+      (2L, "x\ny\nx\n"),          // lines [x, y, x] -> dup 1/3
+      (3L, "all distinct words"), // no repetition
+      (4L, "")).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(crafted)
+      .select($"doc_id", $"n_lines", $"n_2grams",
+        $"dup_line_frac", $"dup_2gram_frac", $"dup_3gram_frac")
+      .as[(Long, Int, Int, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L)._3 == 3 && math.abs(got(1L)._5 - 1.0 / 3).abs < 1e-6)
+    assert(got(2L)._2 == 3 && math.abs(got(2L)._4 - 1.0 / 3) < 1e-6)
+    assert(got(3L)._4 == 0.0 && got(3L)._5 == 0.0 && got(3L)._6 == 0.0)
+    assert(got(4L) == ((4L, 0, 0, 0.0, 0.0, 0.0)))
+    // g3 duplicate: "a b c a b c a b c" -> g3 x7, distinct 3 -> 4/7
+    val g3 = TextAnalysis.repetitionStats(
+        Seq((1L, "a b c a b c a b c")).toDF("doc_id", "text"))
+      .select($"dup_3gram_frac").as[Double].collect()(0)
+    assert(math.abs(g3 - 4.0 / 7) < 1e-6)
+  }
+
   test("fingerprint: equal for identical text, stable under prefix padding semantics") {
     val crafted = Seq(
       (1L, "abcdefgh12345678"), (2L, "abcdefgh12345678"), (3L, "completely other")
