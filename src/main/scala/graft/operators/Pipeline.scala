@@ -9,10 +9,12 @@ import org.apache.spark.sql.functions._
   *   normalize -> quality filter -> exact dedup (keep canonical) -> split
   *
   * Every stage is an oracle-checked operator (q39, q18, q21, q41); the
-  * composition itself is oracle-checked as q43. All stages are map-only or
-  * doc_id-keyed joins (broadcast/AQE-eligible); the only wide operations
-  * are the dedup groupBy and the final joins — no stage is quadratic.
-  */
+  * composition itself is oracle-checked as q43. Quality and split are
+  * PROJECTIONS of the row (composed column-wise — joining the corpus back
+  * to a projection of itself, the obvious composition, costs a large-large
+  * self-join per stage at 100 TB); dedup keeps the canonical min doc_id per
+  * content hash with ONE window shuffle. Total: one wide operation, zero
+  * joins, nothing quadratic. */
 object Pipeline {
 
   /** Output: (doc_id, text, quality, split) for documents that survive the
@@ -22,14 +24,13 @@ object Pipeline {
                       Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01)): DataFrame = {
     val normed = TextAnalysis.normalizeText(docs)
       .select(col("doc_id"), col("norm_text").as("text"))
-    val withQ = normed
-      .join(TextAnalysis.qualityScore(normed).select("doc_id", "quality"), Seq("doc_id"))
+    val withQ = TextAnalysis.qualityScore(normed, passthrough = Seq("text"))
       .filter(col("quality") >= minQuality)
-    val canonical = Dedup.exactGroups(withQ, "text")
-      .select(col("canonical_doc").as("doc_id"))
-    val kept = withQ.join(canonical, Seq("doc_id"))
-    kept
-      .join(Sampling.splitByHash(kept, weights).select("doc_id", "split"), Seq("doc_id"))
+    val kept = withQ
+      .withColumn("__cmin", min("doc_id").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(sha2(col("text"), 256))))
+      .filter(col("doc_id") === col("__cmin"))
+    Sampling.withSplit(kept, weights)
       .select(col("doc_id"), col("text"), round(col("quality"), 6).as("quality"),
         col("split"))
   }

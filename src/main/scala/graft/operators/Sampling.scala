@@ -20,24 +20,38 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
+  private def bucketExpr(keyExpr: String): String =
+    s"cast(conv(substr(sha2($keyExpr, 256), 1, 8), 16, 10) AS bigint) % 10000"
+
+  private def splitCase(weights: Seq[(String, Double)], bucketCol: String): String = {
+    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
+    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
+      .map(c => math.round(c * 10000))
+    if (weights.size == 1) s"'${weights.head._1}'" // CASE needs >= 1 WHEN
+    else weights.init.zip(cuts.init)
+      .map { case ((name, _), cut) => s"WHEN $bucketCol < $cut THEN '$name'" }
+      .mkString("CASE ", " ", s" ELSE '${weights.last._1}' END")
+  }
+
+  /** Append (bucket, split) columns in place — the column-wise form for
+    * composition inside a pipeline: a split is a projection of the key, so
+    * joining a corpus to `splitByHash` of itself would be a needless
+    * large-large self-join at scale. */
+  def withSplit(docs: DataFrame,
+                weights: Seq[(String, Double)] =
+                  Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
+                keyExpr: String = "cast(doc_id AS string)"): DataFrame =
+    docs.withColumn("bucket", expr(bucketExpr(keyExpr)))
+      .withColumn("split", expr(splitCase(weights, "bucket")))
+
   /** Deterministic split column from cumulative weights. `weights` must sum
     * to 1 and iterate in declaration order (train/val/test by default). */
   def splitByHash(docs: DataFrame,
                   weights: Seq[(String, Double)] =
                     Seq("train" -> 0.98, "val" -> 0.01, "test" -> 0.01),
-                  keyExpr: String = "cast(doc_id AS string)"): DataFrame = {
-    require(math.abs(weights.map(_._2).sum - 1.0) < 1e-9, "weights must sum to 1")
-    val bucket = "cast(conv(substr(sha2(" + keyExpr + ", 256), 1, 8), 16, 10) AS bigint) % 10000"
-    val cuts = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w }.tail
-      .map(c => math.round(c * 10000))
-    val splitExpr =
-      if (weights.size == 1) s"'${weights.head._1}'" // CASE needs >= 1 WHEN
-      else weights.init.zip(cuts.init)
-        .map { case ((name, _), cut) => s"WHEN b < $cut THEN '$name'" }
-        .mkString("CASE ", " ", s" ELSE '${weights.last._1}' END")
-    docs.selectExpr("doc_id", s"$bucket AS b")
-      .selectExpr("doc_id", "b AS bucket", s"$splitExpr AS split")
-  }
+                  keyExpr: String = "cast(doc_id AS string)"): DataFrame =
+    withSplit(docs.selectExpr("doc_id"), weights, keyExpr)
+      .select("doc_id", "bucket", "split")
 
   /** Sequence packing: per-shard running token offsets and the index of the
     * fixed-`budget` training sequence each document starts in. Output:

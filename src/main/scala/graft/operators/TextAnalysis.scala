@@ -50,8 +50,10 @@ object TextAnalysis {
 
   /** Quality scoring: stopword ratio, punctuation ratio, and a bounded
     * composite score — the length/punct/stopword heuristics a pretraining
-    * pipeline uses for corpus filtering. */
-  def qualityScore(docs: DataFrame): DataFrame = {
+    * pipeline uses for corpus filtering. `passthrough` columns ride along
+    * unchanged so pipelines can compose column-wise instead of self-joining
+    * the corpus back to its own scores. */
+  def qualityScore(docs: DataFrame, passthrough: Seq[String] = Nil): DataFrame = {
     val en = stopwords.toMap.apply("en")
     docs.withColumn("toks", expr(tokensExpr))
       .withColumn("n_tokens", expr("size(toks)"))
@@ -59,12 +61,13 @@ object TextAnalysis {
       .withColumn("n_punct",
         expr("length(text) - length(regexp_replace(text, '[^a-z0-9 ]', ''))"))
       .selectExpr(
-        "doc_id", "n_tokens", "stop_hits", "n_punct",
-        "round(IF(n_tokens = 0, 0.0, stop_hits / n_tokens), 6) AS stop_ratio",
-        "round(n_punct / greatest(length(text), 1), 6) AS punct_ratio",
-        """round(0.4 * IF(n_tokens = 0, 0.0, stop_hits / n_tokens)
+        Seq("doc_id", "n_tokens", "stop_hits", "n_punct",
+          "round(IF(n_tokens = 0, 0.0, stop_hits / n_tokens), 6) AS stop_ratio",
+          "round(n_punct / greatest(length(text), 1), 6) AS punct_ratio",
+          """round(0.4 * IF(n_tokens = 0, 0.0, stop_hits / n_tokens)
                + 0.4 * least(n_tokens / 100.0, 1.0)
                + 0.2 * (1.0 - n_punct / greatest(length(text), 1)), 6) AS quality""")
+          ++ passthrough: _*)
   }
 
   /** Heuristic language ID: stopword-profile voting with deterministic

@@ -24,8 +24,11 @@ object ProbeBench {
     spark.range(100000).selectExpr("sum(id)").collect()
     graft.SparkEntry.queries("q01_chunk")(spark, sfDir).count()
     graft.SparkEntry.queries("q12_tpch_agg")(spark, sfDir).count()
+    val explain = sys.env.contains("SPARK_GRAFT_EXPLAIN")
     for (name <- args) {
       val fn = graft.SparkEntry.queries(name)
+      if (explain)
+        println(s"== $name ==\n" + fn(spark, sfDir).queryExecution.executedPlan)
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         fn(spark, sfDir).queryExecution.toRdd.count()
