@@ -198,6 +198,44 @@ object Engine {
         col("text"), col("score"))
   }
 
+  /** Hybrid search: reciprocal-rank fusion of the vector leg (flagship
+    * cosine top-k) and a BM25 lexical leg over the same index — the hybrid
+    * retrieval mode production vector stores pair with pure ANN (keyword
+    * precision + semantic recall). Each leg ranks its top `nLeg`
+    * independently (TakeOrderedAndProject / GroupedTopK shapes — only
+    * 2 x nLeg rows survive to the fusion join, which is trivially
+    * broadcastable at any corpus size), then
+    * `rrf = 1/(kRrf + rank_vec) + 1/(kRrf + rank_lex)` with a missing leg
+    * contributing 0 — fixed-order f64, fully oracle-checkable.
+    * Output: (id, rnk_vec, rnk_lex, rrf) top-k by (rrf desc, id). */
+  def hybridSearch(index: DataFrame, query: String, k: Int = 5, nLeg: Int = 20,
+                   kRrf: Int = 60, dim: Int = HashEmbed.DefaultDim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = query.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+      .filter(_.matches("[a-z0-9]+")).distinct
+    require(terms.nonEmpty, "query must contain at least one plain keyword")
+    // ranking k already-limited rows: literal partition key as in searchRanked
+    val w1 = Window.partitionBy(lit(1))
+    val vec = search(index, query, nLeg, dim)
+      .withColumn("rnk_vec",
+        row_number().over(w1.orderBy(desc("score"), asc("id"))))
+      .select(col("id"), col("rnk_vec"))
+    val lex = graft.operators.TextAnalysis.bm25(
+        index.select(col("id"), col("text")), terms, idCol = "id")
+      .filter(col("bm25") > 0)
+      .orderBy(desc("bm25"), asc("id")).limit(nLeg)
+      .withColumn("rnk_lex",
+        row_number().over(w1.orderBy(desc("bm25"), asc("id"))))
+      .select(col("id"), col("rnk_lex"))
+    vec.join(lex, Seq("id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf) + col("rnk_vec")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rnk_lex")), lit(0.0)))
+      .orderBy(desc("rrf"), asc("id")).limit(k)
+      .select(col("id"), col("rnk_vec"), col("rnk_lex"),
+        round(col("rrf"), 6).as("rrf"))
+  }
+
   /** GET /health equivalent (main.py:228-253): "healthy" with index stats
     * when the index table is readable, "degraded" with the error otherwise
     * (the reference's missing-index / stats-failure path). */

@@ -313,7 +313,10 @@ object SparkEntry {
     // minutes) — time-bucket equi-join, never the quadratic pair space
     "q50_interval_pairs" -> ((s, dir) =>
       operators.Joins.intervalSelfJoin(Tables.events(s, dir),
-        "user_id", "ts", "event_id", 300)))
+        "user_id", "ts", "event_id", 300)),
+    // extension: hybrid search — RRF fusion of the vector and BM25 legs
+    "q51_hybrid_rrf" -> ((s, dir) =>
+      Engine.hybridSearch(Engine.ingest(docs(s, dir)), Q, 5)))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -889,5 +892,34 @@ FROM g""",
   date_diff('microsecond', a.ts, b.ts) AS gap_us
 FROM events a JOIN events b ON a.user_id = b.user_id
   AND b.ts >= a.ts AND date_diff('microsecond', a.ts, b.ts) < 300000000
-  AND (b.ts > a.ts OR b.event_id > a.event_id)""")
+  AND (b.ts > a.ts OR b.event_id > a.event_id)""",
+    // Mirrors Engine.hybridSearch: vector leg = the flagship scored CTE,
+    // lexical leg = BM25 over the same chunks, fused by reciprocal rank.
+    "q51_hybrid_rrf" -> {
+      val terms = Seq("transfer", "credits")
+      val dfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+      }.mkString(", ")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+      }.mkString(", ")
+      val score = terms.indices.map { i =>
+        s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+          * (tf_$i * 2.2) / (tf_$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"""
+      }.mkString(" + ")
+      s"""$dkScored,
+  vec0 AS (SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 20),
+  vec AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS rnk_vec FROM vec0),
+  ctok AS (SELECT id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM chunks),
+  ct AS (SELECT id, toks, len(toks) AS dl FROM ctok),
+  cstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM ct),
+  ctf AS (SELECT id, dl, $tfCols FROM ct),
+  lex0 AS (SELECT id, round($score, 6) AS bm25 FROM ctf CROSS JOIN cstats),
+  lex1 AS (SELECT id, bm25 FROM lex0 WHERE bm25 > 0 ORDER BY bm25 DESC, id LIMIT 20),
+  lex AS (SELECT id, CAST(row_number() OVER (ORDER BY bm25 DESC, id) AS INTEGER) AS rnk_lex FROM lex1),
+  fused AS (SELECT coalesce(v.id, l.id) AS id, v.rnk_vec, l.rnk_lex,
+    coalesce(1.0 / (60 + v.rnk_vec), 0.0) + coalesce(1.0 / (60 + l.rnk_lex), 0.0) AS rrf
+    FROM vec v FULL OUTER JOIN lex l ON v.id = l.id)
+SELECT id, rnk_vec, rnk_lex, round(rrf, 6) AS rrf FROM fused ORDER BY rrf DESC, id LIMIT 5"""
+    })
 }

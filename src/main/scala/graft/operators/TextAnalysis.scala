@@ -136,7 +136,8 @@ object TextAnalysis {
     * per-doc aggregation, so double addition order is deterministic and the
     * result oracle-checkable. Map-side cost ~ |terms| x tokens/doc. */
   def bm25(docs: DataFrame, terms: Seq[String],
-           k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+           k1: Double = 1.2, b: Double = 0.75,
+           idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
       "terms must be plain lowercase words (SQL-literal safe)")
     val toksed = docs.withColumn("toks", expr(tokensExpr))
@@ -160,7 +161,7 @@ object TextAnalysis {
           * (tf_$i * ${k1 + 1.0}) / (tf_$i + $k1 * (${1.0 - b} + $b * dl / avgdl)))"""
     }.mkString(" + ")
     withTf.selectExpr(
-      "doc_id" +: "dl AS n_tokens" +:
+      idCol +: "dl AS n_tokens" +:
         terms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i") :+
         s"round($score, 6) AS bm25": _*)
   }

@@ -144,6 +144,31 @@ class EngineSpec extends AnyFunSuite {
     assert(resp.getAs[String]("context") == "")
   }
 
+  test("hybridSearch: RRF fuses both legs; single-leg hits carry one term") {
+    val hits = Engine.hybridSearch(index, "transfer credits", k = 10, nLeg = 20)
+      .collect()
+    assert(hits.nonEmpty && hits.length <= 10)
+    // rrf descends and matches the fused formula for every returned row
+    val rrfs = hits.map(_.getAs[Double]("rrf"))
+    assert(rrfs.sameElements(rrfs.sortBy(-_)))
+    for (r <- hits) {
+      val rv = Option(r.getAs[Integer]("rnk_vec")).map(_.toInt)
+      val rl = Option(r.getAs[Integer]("rnk_lex")).map(_.toInt)
+      assert(rv.nonEmpty || rl.nonEmpty)
+      val expect = rv.map(x => 1.0 / (60 + x)).getOrElse(0.0) +
+        rl.map(x => 1.0 / (60 + x)).getOrElse(0.0)
+      assert(math.abs(r.getAs[Double]("rrf") - expect) < 1e-6)
+    }
+    // a doc in BOTH legs outranks the same ranks taken singly: both-leg rrf
+    // 1/(60+a)+1/(60+b) > max single-leg 1/(60+min(a,b))
+    val both = hits.filter(r => r.get(1) != null && r.get(2) != null)
+    if (both.nonEmpty) assert(hits.head.get(1) != null || hits.head.get(2) != null)
+    // determinism
+    val again = Engine.hybridSearch(index, "transfer credits", k = 10, nLeg = 20)
+      .collect().map(_.toString)
+    assert(again.sameElements(hits.map(_.toString)))
+  }
+
   test("embedding column is not carried past the projection (column pruning)") {
     val plan = Engine.search(index, "q", 5).queryExecution.optimizedPlan.toString
     // final output has no embedding column
