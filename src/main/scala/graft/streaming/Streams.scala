@@ -165,4 +165,29 @@ object Streams {
       .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
       .select(col("w.start").as("session_start"), col("w.end").as("session_end"),
         col("user_id"), col("n_events"), col("session_value"))
+
+  /** Stream-stream interval join — the streaming form of
+    * `Joins.intervalSelfJoin`: pairs of same-user events within
+    * `[0, windowSec)` across two event streams. Structured Streaming's
+    * stream-stream inner join requires watermarks on BOTH sides plus a
+    * time-range join condition; from those it bounds each side's state-store
+    * retention at (watermark horizon + windowSec), so state never grows with
+    * stream length. Same output contract as the batch operator:
+    * (user_id, id_a, id_b, gap_us), `id_b > id_a` breaking equal-ts ties. */
+  def intervalJoin(a: DataFrame, b: DataFrame, windowSec: Int = 300,
+                   horizon: String = "30 minutes"): DataFrame = {
+    val l = a.select(col("user_id"), col("event_id").as("id_a"),
+        col("ts").as("ts_a"))
+      .withWatermark("ts_a", horizon)
+    val r = b.select(col("user_id").as("user_b"), col("event_id").as("id_b"),
+        col("ts").as("ts_b"))
+      .withWatermark("ts_b", horizon)
+    l.join(r,
+        col("user_id") === col("user_b") &&
+          col("ts_b") >= col("ts_a") &&
+          col("ts_b") < col("ts_a") + expr(s"interval $windowSec seconds") &&
+          (col("ts_b") > col("ts_a") || col("id_b") > col("id_a")))
+      .select(col("user_id"), col("id_a"), col("id_b"),
+        (unix_micros(col("ts_b")) - unix_micros(col("ts_a"))).as("gap_us"))
+  }
 }

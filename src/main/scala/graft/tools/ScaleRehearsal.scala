@@ -58,9 +58,37 @@ object ScaleRehearsal {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       time(s"$tag rpTopK") {
         Similarity.rpTopK(emb, q, 3).queryExecution.toRdd.count() }
+      time(s"$tag bm25") {
+        graft.operators.TextAnalysis.bm25(docs,
+          Seq("transfer", "credit", "university")).queryExecution.toRdd.count() }
+      time(s"$tag repetition") {
+        graft.operators.TextAnalysis.repetitionStats(docs)
+          .queryExecution.toRdd.count() }
     }
     run("1x", docs1, emb1)
     run(s"${k}x", docsK, embK)
+
+    // event-shaped operators replicate on event_id with shifted timestamps
+    // (same per-user rate, k-fold longer horizon — the steady-state regime)
+    val ev1 = graft.Tables.events(spark, "/root/testdata/sf0.1")
+    val evK = (0 until k).map(i => ev1
+        .withColumn("event_id", col("event_id") + lit(i * 10000000L))
+        .withColumn("ts", col("ts") + expr(s"interval ${i * 40} days")))
+      .reduce(_ unionByName _).cache()
+    def runEv(tag: String, ev: DataFrame): Unit = {
+      time(s"$tag asOfJoin") {
+        val clicks = ev.filter(col("event_type") === "click")
+          .select(col("user_id"), col("ts"), col("event_id"))
+        val views = ev.filter(col("event_type") === "view")
+          .groupBy("user_id", "ts").agg(max("value").as("view_value"))
+        graft.operators.Joins.asOfJoin(clicks, views, "user_id", "ts",
+          "event_id", "view_value").queryExecution.toRdd.count() }
+      time(s"$tag intervalSelfJoin") {
+        graft.operators.Joins.intervalSelfJoin(ev, "user_id", "ts",
+          "event_id", 300).queryExecution.toRdd.count() }
+    }
+    runEv("1x", ev1)
+    runEv(s"${k}x", evK)
     spark.stop()
   }
 }

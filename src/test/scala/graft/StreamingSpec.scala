@@ -147,6 +147,32 @@ class StreamingSpec extends AnyFunSuite {
     }
   }
 
+  test("stream-stream interval join matches the batch banded interval join") {
+    val tmp = Files.createTempDirectory("graft-ssjoin").toString
+    val src = s"$tmp/events"
+    // a dense fixture so in-window pairs actually exist
+    val events = (0 until 300).map { i =>
+      (i.toLong, new java.sql.Timestamp(1700000000000L + (i % 60) * 60000L + i),
+        (i % 4).toLong, "click", 1.0, "{}")
+    }.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    events.write.parquet(src)
+    def stream() = spark.readStream.schema(Streams.eventsSchema).parquet(src)
+    val joined = Streams.intervalJoin(stream(), stream(), windowSec = 300)
+    val q = joined.writeStream.format("memory").queryName("ssjoin_out")
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ssjoin_out")
+      .select($"id_a", $"id_b", $"gap_us").as[(Long, Long, Long)]
+      .collect().toSet
+    val batch = graft.operators.Joins
+      .intervalSelfJoin(events, "user_id", "ts", "event_id", 300)
+      .select($"id_a", $"id_b", $"gap_us").as[(Long, Long, Long)]
+      .collect().toSet
+    assert(batch.nonEmpty)
+    assert(streamed == batch)
+  }
+
   test("session windows produce bounded per-user sessions") {
     val tmp = Files.createTempDirectory("graft-sess").toString
     val src = s"$tmp/events"
