@@ -316,7 +316,14 @@ object SparkEntry {
         "user_id", "ts", "event_id", 300)),
     // extension: hybrid search — RRF fusion of the vector and BM25 legs
     "q51_hybrid_rrf" -> ((s, dir) =>
-      Engine.hybridSearch(Engine.ingest(docs(s, dir)), Q, 5)))
+      Engine.hybridSearch(Engine.ingest(docs(s, dir)), Q, 5)),
+    // extension: deterministic random-projection dimensionality reduction
+    // (JL shrink; flattened to scalar columns for the comparator)
+    "q52_reduce_dim" -> ((s, dir) => {
+      val r = Similarity.reduceDim(emb(s, dir).select("vec_id", "embedding"), outDim = 8)
+      r.select(col("vec_id") +:
+        (0 until 8).map(j => element_at(col("reduced"), j + 1).as(s"r$j")): _*)
+    }))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -921,5 +928,21 @@ FROM events a JOIN events b ON a.user_id = b.user_id
     coalesce(1.0 / (60 + v.rnk_vec), 0.0) + coalesce(1.0 / (60 + l.rnk_lex), 0.0) AS rrf
     FROM vec v FULL OUTER JOIN lex l ON v.id = l.id)
 SELECT id, rnk_vec, rnk_lex, round(rrf, 6) AS rrf FROM fused ORDER BY rrf DESC, id LIMIT 5"""
+    },
+    // Mirrors Similarity.reduceDim: identical sha256("rp:j:i")-derived
+    // weights, sequential f64 dot per output dim, pivoted to scalar columns.
+    "q52_reduce_dim" -> {
+      val b = (j: Int) => dkByte("h", j.toString)
+      s"""WITH rw0 AS (SELECT tt.t AS j, ii.i AS i,
+    sha256('rp:' || CAST(tt.t AS VARCHAR) || ':' || CAST(ii.i AS VARCHAR)) AS h
+    FROM (SELECT unnest(range(0, 8)) AS t) tt, (SELECT unnest(range(0, 64)) AS i) ii),
+  rw AS (SELECT j, list((((${b(0)} * 256 + ${b(1)}) * 256 + ${b(2)}) * 256 + ${b(3)})
+    / 4294967296.0 * 2.0 - 1.0 ORDER BY i) AS wv FROM rw0 GROUP BY j),
+  d AS (SELECT e.vec_id, r.j,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * r.wv[i])) AS v
+    FROM embeddings e CROSS JOIN rw r)
+SELECT vec_id,
+  ${(0 until 8).map(j => s"max(CASE WHEN j = $j THEN v END) AS r$j").mkString(", ")}
+FROM d GROUP BY vec_id"""
     })
 }

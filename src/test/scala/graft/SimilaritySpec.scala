@@ -162,6 +162,37 @@ class SimilaritySpec extends AnyFunSuite {
       .contains("PartitionFilters: [isnotnull(cell"))
   }
 
+  test("sq index roundtrip: saved+loaded index probes identically to direct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_sq").toString
+    val idx = Similarity.sqIndex(emb)
+    Similarity.saveSqIndex(idx, dir)
+    val loaded = Similarity.loadSqIndex(spark, dir)
+    val a = Similarity.sqProbe(idx, queries, 3)
+      .collect().map(_.toString).sorted
+    val b = Similarity.sqProbe(loaded, queries, 3)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("reduceDim: exact dot against driver-side weights; map-only plan") {
+    val reduced = Similarity.reduceDim(emb, outDim = 8)
+    val w = graft.functions.RandProjBuckets.weights(8, 64)
+    val rows = reduced.select($"vec_id", $"embedding", $"reduced")
+      .as[(Long, Array[Float], Array[Double])].collect()
+    for ((_, e, r) <- rows.take(20)) {
+      assert(r.length == 8)
+      for (j <- 0 until 8) {
+        var dot = 0.0
+        for (i <- 0 until 64) dot += e(i).toDouble * w(j)(i)
+        assert(r(j) == dot, s"dim $j expected $dot got ${r(j)}")
+      }
+    }
+    val p = reduced.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"reduceDim must be map-only:\n$p")
+  }
+
   test("lshTopK: recovers the exact top-1 (self) and plausible neighbours") {
     val lsh = Similarity.lshTopK(emb, queries, 3)
       .as[(Long, Long, Int, Double)].collect()
