@@ -56,26 +56,14 @@ object GraftFunctions {
   def word_shingles(text: Column, n: Int = 3): Column =
     col(WordShingles(ex(text), n))
 
-  /** Register `hash_embed`, `cosine_similarity`, `chunk_text` for SQL use.
-    * Idempotent per session. */
+  /** Register every custom expression as a temp SQL function in an existing
+    * session. Idempotent. (Sessions created from config should prefer
+    * `spark.sql.extensions=graft.GraftExtensions`, which injects the same
+    * builders plus the GroupedTopK planner strategy.) */
   def register(spark: SparkSession): Unit = {
     val reg = spark.sessionState.functionRegistry
-    reg.createOrReplaceTempFunction("hash_embed", {
-      case Seq(t)    => HashEmbed(t)
-      case Seq(t, d) => HashEmbed(t, d.eval().asInstanceOf[Number].intValue())
-      case other => throw new IllegalArgumentException(
-        s"hash_embed takes 1-2 arguments, got ${other.size}")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("cosine_similarity", {
-      case Seq(a, b) => CosineSimilarity(a, b)
-      case other => throw new IllegalArgumentException(
-        s"cosine_similarity takes 2 arguments, got ${other.size}")
-    }, "built-in")
-    reg.createOrReplaceTempFunction("chunk_text", {
-      case Seq(t)       => ChunkText(t, Literal(ChunkText.DefaultSize), Literal(ChunkText.DefaultOverlap))
-      case Seq(t, s, o) => ChunkText(t, s, o)
-      case other => throw new IllegalArgumentException(
-        s"chunk_text takes 1 or 3 arguments, got ${other.size}")
-    }, "built-in")
+    GraftExtensions.functionSpecs.foreach { case (name, builder) =>
+      reg.createOrReplaceTempFunction(name, builder, "built-in")
+    }
   }
 }
