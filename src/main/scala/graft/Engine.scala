@@ -227,7 +227,13 @@ object Engine {
       .withColumn("rnk_lex",
         row_number().over(w1.orderBy(desc("bm25"), asc("id"))))
       .select(col("id"), col("rnk_lex"))
-    vec.join(lex, Seq("id"), "full_outer")
+    // fuse by union + tiny groupBy rather than a FULL OUTER join (the only
+    // full-outer physical strategy is a sort-merge join; the union aggregates
+    // the same <= 2 x nLeg rows with no join at all)
+    vec.withColumn("rnk_lex", lit(null).cast("int"))
+      .unionByName(lex.withColumn("rnk_vec", lit(null).cast("int")))
+      .groupBy("id")
+      .agg(min("rnk_vec").as("rnk_vec"), min("rnk_lex").as("rnk_lex"))
       .withColumn("rrf",
         coalesce(lit(1.0) / (lit(kRrf) + col("rnk_vec")), lit(0.0)) +
           coalesce(lit(1.0) / (lit(kRrf) + col("rnk_lex")), lit(0.0)))

@@ -167,6 +167,12 @@ class EngineSpec extends AnyFunSuite {
     val again = Engine.hybridSearch(index, "transfer credits", k = 10, nLeg = 20)
       .collect().map(_.toString)
     assert(again.sameElements(hits.map(_.toString)))
+    // a query whose keywords match nothing still returns the vector leg
+    // (lexical leg empty; rnk_lex all null)
+    val noLex = Engine.hybridSearch(index, "zzzqqqxxx", k = 5).collect()
+    assert(noLex.nonEmpty)
+    assert(noLex.forall(_.get(2) == null))
+    assert(noLex.forall(_.get(1) != null))
   }
 
   test("embedding column is not carried past the projection (column pruning)") {

@@ -91,6 +91,21 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("join-bearing queries: no SortMergeJoin or CartesianProduct in final plans") {
+    // the in-suite pin of tools/PlanAudit for the queries that carry joins;
+    // plans are judged AFTER execution (AQE's initial plan may show a
+    // static-estimate SMJ it then converts to broadcast)
+    for (q <- Seq("q13_join_revenue", "q22_jaccard_pairs", "q26_minhash_pairs",
+        "q33_simhash_pairs", "q43_prepare_corpus", "q45_rp_pairs",
+        "q47_asof_join", "q50_interval_pairs", "q51_hybrid_rrf")) {
+      val qe = SparkEntry.queries(q)(spark, TestSpark.sf0001).queryExecution
+      qe.toRdd.count()
+      val p = qe.executedPlan.toString
+      assert(!p.contains("SortMergeJoin"), s"$q plans a SortMergeJoin:\n$p")
+      assert(!p.contains("CartesianProduct"), s"$q plans a CartesianProduct:\n$p")
+    }
+  }
+
   test("custom expressions run inside codegen (no fallback markers in hot projections)") {
     val df = Engine.ingest(freshDocs)
     val p = df.queryExecution.executedPlan.toString
