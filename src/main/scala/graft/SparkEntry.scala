@@ -323,6 +323,21 @@ object SparkEntry {
       val r = Similarity.reduceDim(emb(s, dir).select("vec_id", "embedding"), outDim = 8)
       r.select(col("vec_id") +:
         (0 until 8).map(j => element_at(col("reduced"), j + 1).as(s"r$j")): _*)
+    }),
+    // extension: deterministic stratified (per-language) downsampling
+    "q53_stratified_sample" -> ((s, dir) =>
+      operators.Sampling.stratifiedSampleByHash(docs(s, dir), "lang",
+          Map("en" -> 0.3, "de" -> 0.8), default = 0.6)
+        .select("doc_id", "lang")),
+    // extension: data selection under a global token budget (distributed
+    // prefix sum over the quality order)
+    "q54_token_budget" -> ((s, dir) =>
+      operators.Sampling.selectByTokenBudget(docs(s, dir), budgetTokens = 20000L)),
+    // extension: eval-set decontamination (shared 5-gram inverted-index join)
+    "q55_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.contaminated(d.filter(col("doc_id") % 97 =!= 0),
+        d.filter(col("doc_id") % 97 === 0), n = 5)
     }))
 
   // ---------------------------------------------------------------- oracle —
@@ -944,5 +959,49 @@ SELECT id, rnk_vec, rnk_lex, round(rrf, 6) AS rrf FROM fused ORDER BY rrf DESC, 
 SELECT vec_id,
   ${(0 until 8).map(j => s"max(CASE WHEN j = $j THEN v END) AS r$j").mkString(", ")}
 FROM d GROUP BY vec_id"""
-    })
+    },
+    // Mirrors Sampling.stratifiedSampleByHash: 'strat:'-prefixed hash bucket
+    // vs per-language fraction thresholds (en 3000, de 8000, else 6000).
+    "q53_stratified_sample" -> {
+      val h = "sha256('strat:' || CAST(doc_id AS VARCHAR))"
+      val b = s"(((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) * 256 + " +
+        s"${dkByte(h, "2")}) * 256 + ${dkByte(h, "3")}) % 10000"
+      s"""SELECT doc_id, lang FROM documents
+WHERE $b < (CASE WHEN lang = 'de' THEN 8000 WHEN lang = 'en' THEN 3000 ELSE 6000 END)"""
+    },
+    // Mirrors Sampling.selectByTokenBudget: the global (quality desc,
+    // doc_id) prefix sum — DuckDB computes it in one window; the Spark plan
+    // is the distributed range-partitioned form, values identical.
+    "q54_token_budget" ->
+      s"""WITH $dkTok,
+  b AS (SELECT doc_id, text, CAST(len(toks) AS INTEGER) AS n_tokens,
+          CAST(len(list_filter(toks, t -> t IN ${stopIn("en")})) AS INTEGER) AS stop_hits,
+          CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS INTEGER) AS n_punct
+        FROM tok),
+  q AS (SELECT doc_id,
+          round(0.4 * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_hits / n_tokens END)
+              + 0.4 * least(n_tokens / 100.0, 1.0)
+              + 0.2 * (1.0 - n_punct / greatest(length(text), 1)), 6) AS quality,
+          CAST(n_tokens AS BIGINT) AS n_tokens
+        FROM b),
+  o AS (SELECT doc_id, quality, n_tokens,
+          coalesce(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS start_offset
+        FROM q)
+SELECT doc_id, quality, n_tokens, CAST(start_offset AS BIGINT) AS start_offset
+FROM o WHERE start_offset < 20000""",
+    // Mirrors Dedup.contaminated: shared distinct 5-gram shingles between
+    // the held-out eval slice and the training slice.
+    "q55_decontaminate" ->
+      s"""WITH $dkTok,
+  shl AS (SELECT doc_id, CASE WHEN len(toks) >= 5
+       THEN list_distinct(list_transform(range(0, len(toks)-4),
+              i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]))
+       ELSE [text] END AS sh FROM tok),
+  shu AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+  ev AS (SELECT DISTINCT shingle FROM shu WHERE doc_id % 97 = 0),
+  tr AS (SELECT doc_id, shingle FROM shu WHERE doc_id % 97 <> 0)
+SELECT t.doc_id, count(*) AS n_shared
+FROM tr t JOIN ev e ON t.shingle = e.shingle
+GROUP BY t.doc_id""")
 }

@@ -324,6 +324,23 @@ object Dedup {
       .distinct()
   }
 
+  /** Eval-set decontamination: training documents sharing at least one word
+    * `n`-gram shingle with ANY eval document — the contamination check every
+    * pretraining pipeline runs before training on scraped data (eval
+    * answers leaking into the corpus). The join is keyed on shingle (the
+    * inverted-index shape): eval shingles are DISTINCT (the eval set is
+    * small — typically broadcastable), so cost ~ train shingles x hit rate,
+    * never doc x doc. Shingles are per-doc distinct (WordShingles), so the
+    * per-doc count needs no distinct aggregation. Output: (doc_id,
+    * n_shared) for contaminated training docs. */
+  def contaminated(train: DataFrame, eval: DataFrame, n: Int = 5): DataFrame = {
+    def sh(df: DataFrame) = df.select(col("doc_id"),
+      explode(graft.GraftFunctions.word_shingles(col("text"), n)).as("shingle"))
+    val evalSh = sh(eval).select("shingle").distinct()
+    sh(train).join(evalSh, Seq("shingle"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_shared"))
+  }
+
   /** 32-bit SimHash over whitespace tokens (token hash bits from SHA-256;
     * bit b of the signature = sign of the sum of (2*bit_b(token) - 1)).
     * Map-only, one pass, no shuffle; the custom codegen'd `SimHash`

@@ -53,6 +53,60 @@ object Sampling {
     withSplit(docs.selectExpr("doc_id"), weights, keyExpr)
       .select("doc_id", "bucket", "split")
 
+  /** Deterministic per-stratum downsampling (domain/language rebalancing):
+    * keep a document iff its hash bucket falls below its stratum's fraction
+    * x 10000. The hash key carries a `strat:` prefix so sampling decisions
+    * are INDEPENDENT of `splitByHash`'s buckets (same key would correlate
+    * the sample with the train split). Map-only, growth-stable: a document's
+    * keep/drop never changes as the corpus grows. Strata absent from
+    * `fractions` keep `default`. */
+  def stratifiedSampleByHash(docs: DataFrame, stratumCol: String,
+                             fractions: Map[String, Double],
+                             default: Double = 1.0,
+                             keyExpr: String = "concat('strat:', cast(doc_id AS string))"): DataFrame = {
+    require((fractions.values ++ Seq(default)).forall(f => f >= 0.0 && f <= 1.0),
+      "fractions must be in [0, 1]")
+    val caseExpr = fractions.toSeq.sortBy(_._1).map { case (k, f) =>
+      s"WHEN $stratumCol = '$k' THEN ${math.round(f * 10000)}"
+    }.mkString("CASE ", " ", s" ELSE ${math.round(default * 10000)} END")
+    docs.withColumn("__b", expr(bucketExpr(keyExpr)))
+      .filter(expr(s"__b < $caseExpr")).drop("__b")
+  }
+
+  /** Data selection under a global token budget: keep the highest-quality
+    * documents until `budgetTokens` (a document is kept iff its sequence
+    * STARTS inside the budget — the packing convention). The global order
+    * (quality desc, doc_id) needs a global running sum, computed as a
+    * DISTRIBUTED prefix sum: range-repartition on the order keys (global
+    * order across partitions), a partition-local running-sum window, and a
+    * broadcast join of the tiny per-partition offsets — never a
+    * single-partition global window. doc_id uniqueness makes the order
+    * total, so results are identical whatever range boundaries the
+    * partitioner samples. Output: (doc_id, quality, n_tokens,
+    * start_offset). */
+  def selectByTokenBudget(docs: DataFrame, budgetTokens: Long,
+                          nPartitions: Int = 32): DataFrame = {
+    require(budgetTokens > 0 && nPartitions > 0)
+    val scored = TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"), col("n_tokens").cast("long").as("n_tokens"))
+    val ranged = scored
+      .repartitionByRange(nPartitions, col("quality").desc, col("doc_id").asc)
+      .withColumn("__pid", spark_partition_id())
+    val wLocal = Window.partitionBy("__pid").orderBy(desc("quality"), asc("doc_id"))
+    val local = ranged.withColumn("__run", sum("n_tokens").over(wLocal))
+    // per-partition totals -> exclusive prefix offsets; nPartitions rows, so
+    // the single-partition window and the broadcast are both trivial
+    val offsets = local.groupBy("__pid").agg(max("__run").as("__total"))
+      .withColumn("__offset", coalesce(
+        sum("__total").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__offset")
+    local.join(broadcast(offsets), Seq("__pid"))
+      .withColumn("start_offset", col("__run") - col("n_tokens") + col("__offset"))
+      .filter(col("start_offset") < budgetTokens)
+      .select("doc_id", "quality", "n_tokens", "start_offset")
+  }
+
   /** Sequence packing: per-shard running token offsets and the index of the
     * fixed-`budget` training sequence each document starts in. Output:
     * (doc_id, shard, n_tokens, start_offset, bin). */

@@ -183,6 +183,22 @@ class DedupSpec extends AnyFunSuite {
     assert(again.count() == kept.size)
   }
 
+  test("contaminated: flags train docs sharing a 5-gram with eval, counts shared shingles") {
+    val train = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog"), // shares 5-grams with eval 100
+      (2L, "completely unrelated training content lives here today"),
+      (3L, "the quick brown fox jumps high")               // shares exactly one 5-gram
+    ).toDF("doc_id", "text")
+    val eval = Seq(
+      (100L, "prefix words the quick brown fox jumps over the lazy dog suffix")
+    ).toDF("doc_id", "text")
+    val got = Dedup.contaminated(train, eval, n = 5)
+      .as[(Long, Long)].collect().toMap
+    assert(!got.contains(2L))
+    assert(got(3L) == 1L) // "the quick brown fox jumps"
+    assert(got(1L) == 5L) // 9 tokens -> 5 shingles, all inside eval's text
+  }
+
   test("simhash: identical text -> identical signature; near-dup closer than unrelated") {
     val sig = Dedup.simhash(crafted).as[(Long, Long)].collect().toMap
     assert(sig(1L) == sig(2L))

@@ -34,6 +34,42 @@ class SamplingSpec extends AnyFunSuite {
     assert(s.forall(r => if (r._2 < 5000) r._3 == "a" else r._3 == "b"))
   }
 
+  test("stratifiedSampleByHash: per-stratum rates near fractions, decisions growth-stable") {
+    val fr = Map("en" -> 0.2, "de" -> 0.9)
+    val sampled = Sampling.stratifiedSampleByHash(docs, "lang", fr, default = 0.5)
+      .select($"doc_id", $"lang").as[(Long, String)].collect()
+    val total = docs.groupBy("lang").count().as[(String, Long)].collect().toMap
+    val kept = sampled.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    for ((lang, n) <- total if n >= 50) {
+      val f = fr.getOrElse(lang, 0.5)
+      val rate = kept.getOrElse(lang, 0L).toDouble / n
+      assert(math.abs(rate - f) < 0.15, s"$lang rate $rate vs fraction $f")
+    }
+    // growth-stable: sampling a SUBSET keeps exactly the intersection
+    val half = docs.filter($"doc_id" % 2 === 0)
+    val halfKept = Sampling.stratifiedSampleByHash(half, "lang", fr, default = 0.5)
+      .select($"doc_id").as[Long].collect().toSet
+    assert(halfKept == sampled.map(_._1).filter(_ % 2 == 0).toSet)
+  }
+
+  test("selectByTokenBudget: equals the driver-side global prefix sum; budget respected") {
+    val got = Sampling.selectByTokenBudget(docs, budgetTokens = 5000L, nPartitions = 7)
+      .select($"doc_id", $"n_tokens", $"start_offset")
+      .as[(Long, Long, Long)].collect().sortBy(_._1)
+    val all = graft.operators.TextAnalysis.qualityScore(docs)
+      .select($"doc_id", $"quality", $"n_tokens")
+      .as[(Long, Double, Int)].collect()
+      .sortBy { case (id, q, _) => (-q, id) }
+    var off = 0L
+    val expect = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Long)]
+    for ((id, _, n) <- all) {
+      if (off < 5000L) expect += ((id, n.toLong, off))
+      off += n
+    }
+    assert(got.sameElements(expect.sortBy(_._1)))
+    assert(got.nonEmpty && got.length < all.length, "budget must actually select")
+  }
+
   test("packSequences: offsets are per-shard running sums; bins cover budget windows") {
     val packed = Sampling.packSequences(docs, budget = 100, nShards = 4)
       .as[(Long, Long, Int, Long, Long)].collect()
