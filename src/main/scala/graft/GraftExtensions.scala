@@ -29,14 +29,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
 object GraftExtensions {
 
-  private def intArg(e: Expression, what: String): Int = e match {
-    case Literal(v: Number, _) => v.intValue()
-    case other => throw new IllegalArgumentException(s"$what must be an integer literal, got $other")
+  /** Evaluate a foldable numeric argument. SQL decimal literals parse as
+    * `Decimal` (not `java.lang.Number`), and expressions like `512 + 512`
+    * are foldable but not `Literal`s — both must work, as the temp-function
+    * path always accepted them. */
+  private def numArg(e: Expression, what: String): Double = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(s"$what must be a constant, got $e")
+    e.eval() match {
+      case n: Number => n.doubleValue()
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case other => throw new IllegalArgumentException(
+        s"$what must be numeric, got $other")
+    }
   }
-  private def dblArg(e: Expression, what: String): Double = e match {
-    case Literal(v: Number, _) => v.doubleValue()
-    case other => throw new IllegalArgumentException(s"$what must be a numeric literal, got $other")
-  }
+  private def intArg(e: Expression, what: String): Int = numArg(e, what).toInt
+  private def dblArg(e: Expression, what: String): Double = numArg(e, what)
   private def arity(name: String, expected: String): Nothing =
     throw new IllegalArgumentException(s"$name takes $expected arguments")
 

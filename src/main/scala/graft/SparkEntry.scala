@@ -447,6 +447,24 @@ SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
        CAST(floor(list_sum(list_transform(range(1, 65), i -> (CAST(e[i] AS DOUBLE) / nrm) * w.wv[i]))) AS BIGINT) AS bk
        FROM ${alias}n CROSS JOIN rpw w WHERE nrm <> 0)"""
 
+  /** DuckDB: the BM25 building blocks (df aggregates, tf projections, the
+    * fixed-order score expression with k1=1.2, b=0.75) over a CTE exposing
+    * `toks` and `dl` — one source of truth for the q48 and q51 oracles;
+    * must mirror `TextAnalysis.bm25` term-for-term. */
+  private def dkBm25Parts(terms: Seq[String]): (String, String, String) = {
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+    }.mkString(", ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+    }.mkString(", ")
+    val score = terms.indices.map { i =>
+      s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+          * (tf_$i * 2.2) / (tf_$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"""
+    }.mkString(" + ")
+    (dfCols, tfCols, score)
+  }
+
   private val centsE = "CAST(round(l_extendedprice * 100) AS BIGINT)"
   private val centsD = "CAST(round(l_discount * 100) AS BIGINT)"
   private val centsT = "CAST(round(l_tax * 100) AS BIGINT)"
@@ -868,16 +886,7 @@ FROM clicks c ASOF LEFT JOIN views v ON c.user_id = v.user_id AND c.ts >= v.ts""
     // arithmetic (avgdl = exact integer sum / count in both engines).
     "q48_bm25" -> {
       val terms = Seq("transfer", "credit", "university")
-      val dfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
-      }.mkString(", ")
-      val tfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
-      }.mkString(", ")
-      val score = terms.indices.map { i =>
-        s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
-          * (tf_$i * 2.2) / (tf_$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"""
-      }.mkString(" + ")
+      val (dfCols, tfCols, score) = dkBm25Parts(terms)
       s"""WITH $dkTok,
   t AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
   stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM t),
@@ -919,16 +928,7 @@ FROM events a JOIN events b ON a.user_id = b.user_id
     // lexical leg = BM25 over the same chunks, fused by reciprocal rank.
     "q51_hybrid_rrf" -> {
       val terms = Seq("transfer", "credits")
-      val dfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
-      }.mkString(", ")
-      val tfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
-      }.mkString(", ")
-      val score = terms.indices.map { i =>
-        s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
-          * (tf_$i * 2.2) / (tf_$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"""
-      }.mkString(" + ")
+      val (dfCols, tfCols, score) = dkBm25Parts(terms)
       s"""$dkScored,
   vec0 AS (SELECT id, score FROM scored ORDER BY score DESC, id LIMIT 20),
   vec AS (SELECT id, CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS rnk_vec FROM vec0),

@@ -71,8 +71,22 @@ object Multimodal {
   private[multimodal] def decode(format: String, bytes: Array[Byte]): Decoded = {
     val img =
       if (ImageFormats.contains(format.toLowerCase(java.util.Locale.ROOT)))
-        try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes)))
-        catch { case _: Exception => None }
+        // MemoryCacheImageInputStream: ImageIO.read(InputStream) would
+        // otherwise spill through a disk-backed scratch file PER ROW
+        // (ImageIO.getUseCache defaults to true) — per-row filesystem I/O
+        // on the hot mapPartitions path
+        try {
+          val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+            new java.io.ByteArrayInputStream(bytes))
+          // ImageIO.read(ImageInputStream) closes the stream itself; a
+          // second close() throws IOException("closed"), so only clean up
+          // on the exception path (where read never reached its close)
+          try Option(javax.imageio.ImageIO.read(iis))
+          catch { case e: Exception =>
+            try iis.close() catch { case _: java.io.IOException => () }
+            throw e
+          }
+        } catch { case _: Exception => None }
       else None
     img match {
       case Some(bi) =>

@@ -138,35 +138,29 @@ object Dedup {
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("freq"), 1L).otherwise(0L)).as("n_freq")))
     // no broadcast hint: docStats is one row per doc, so at corpus scale it
-    // outgrows the broadcast limit — AQE picks broadcast when it fits
-    val stats = partial
+    // outgrows the broadcast limit — AQE picks broadcast when it fits.
+    // `stats` itself is memoized: the exact and fuzzy branches below BOTH
+    // read it, and without the cache the whole pair-count pipeline runs
+    // twice just for the fuzzy side to (typically) come up empty — the r2
+    // bench paid exactly that (q22 2.5 s -> 5.2 s). A cached one-pass plan
+    // keeps the builder fully lazy (no plan-time probe job, no branch
+    // frozen against a snapshot of the input).
+    val stats = PlanCache.memo(partial
       .join(docStats.select(col("doc_id").as("doc_a"),
         col("n_sh").as("na"), col("n_freq").as("fa")), Seq("doc_a"))
       .join(docStats.select(col("doc_id").as("doc_b"),
-        col("n_sh").as("nb"), col("n_freq").as("fb")), Seq("doc_b"))
-    // Cap probe: one tiny agg over the cached per-doc stats tells whether ANY
-    // shingle exceeded the df cap. The common case is no — and then every
-    // pair is counts-exact, so the plan is the single `exact` branch below.
-    // Without the probe, `exact union fuzzy` evaluates the whole pair-count
-    // pipeline TWICE (once per branch) just to find the fuzzy side empty —
-    // the r2 bench paid exactly that (q22 2.5 s -> 5.2 s).
-    val capRow = docStats.agg(max(col("n_freq"))).head()
-    val capHit = !capRow.isNullAt(0) && capRow.getLong(0) > 0
-    val exactBase = if (capHit) stats.filter(least(col("fa"), col("fb")) === 0) else stats
-    val exact = exactBase
+        col("n_sh").as("nb"), col("n_freq").as("fb")), Seq("doc_b")))
+    val exact = stats.filter(least(col("fa"), col("fb")) === 0)
       .withColumn("jaccard",
         col("common_kept") / (col("na") + col("nb") - col("common_kept")))
       .filter(col("jaccard") >= threshold)
       .select(col("doc_a"), col("doc_b"), col("common_kept").as("common"),
         round(col("jaccard"), 6).as("jaccard"))
-    if (!capHit) exact
-    else {
-      val fuzzy = stats.filter(least(col("fa"), col("fb")) > 0)
-        .withColumn("upper", col("common_kept") + least(col("fa"), col("fb")))
-        .filter(col("upper") / (col("na") + col("nb") - col("upper")) >= threshold)
-        .select("doc_a", "doc_b")
-      exact.unionByName(verifiedJaccard(fuzzy, sets, threshold))
-    }
+    val fuzzy = stats.filter(least(col("fa"), col("fb")) > 0)
+      .withColumn("upper", col("common_kept") + least(col("fa"), col("fb")))
+      .filter(col("upper") / (col("na") + col("nb") - col("upper")) >= threshold)
+      .select("doc_a", "doc_b")
+    exact.unionByName(verifiedJaccard(fuzzy, sets, threshold))
   }
 
   /** MinHash signature columns m0..m15: the 8 32-bit hex words of
@@ -236,10 +230,16 @@ object Dedup {
     * mid-iteration fails the job. Passing `checkpointDir` switches every
     * round barrier to a reliable `checkpoint` into that (HDFS/S3) directory
     * — the robust form for long iterative jobs at cluster scale, at the cost
-    * of a filesystem write per round. */
+    * of a filesystem write per round. Storage contract: per-round checkpoint
+    * files persist until the caller deletes the directory (the returned
+    * frame reads the LAST of them; set
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true` for GC-driven
+    * cleanup of the earlier rounds). An application-level checkpoint dir, if
+    * already configured on the context, is left untouched. */
   def duplicateClusters(pairs: DataFrame, maxRounds: Int = 50,
                         checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val sc = pairs.sparkSession.sparkContext
+    checkpointDir.foreach(d => if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(d))
     def barrier(df: DataFrame): DataFrame =
       if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val edges = barrier(pairs

@@ -64,20 +64,28 @@ object Joins {
                idCol: String, valueCol: String): DataFrame = {
     val valueType = right.schema(valueCol).dataType
     val idType = left.schema(idCol).dataType
+    // equi-join semantics: a NULL key never matches, so null-key right rows
+    // are dropped (null-key left rows then see no right rows -> nulls out)
     val lU = left.select(col(key), col(ts).as("__ts"), lit(1).as("__tag"),
       col(idCol).as("__id"), lit(null).cast(valueType).as("__rv"))
-    val rU = right.select(col(key), col(ts).as("__ts"), lit(0).as("__tag"),
-      lit(null).cast(idType).as("__id"), col(valueCol).as("__rv"))
+    val rU = right.filter(col(key).isNotNull)
+      .select(col(key), col(ts).as("__ts"), lit(0).as("__tag"),
+        lit(null).cast(idType).as("__id"), col(valueCol).as("__rv"))
     val w = Window.partitionBy(key)
       .orderBy(col("__ts").asc, col("__tag").asc, col("__rv").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // carry the latest right ROW as one struct (non-null whenever the row is
+    // a right row, even if its value is null) — pairing ts and value from
+    // different right rows, as separate last(ignoreNulls) columns would when
+    // a right value is null, is not as-of semantics
     lU.unionByName(rU)
-      .withColumn("asof_value", last(col("__rv"), ignoreNulls = true).over(w))
-      .withColumn("asof_ts",
-        last(when(col("__tag") === 0, col("__ts")), ignoreNulls = true).over(w))
+      .withColumn("__asof",
+        last(when(col("__tag") === 0,
+          struct(col("__ts").as("ts"), col("__rv").as("value"))),
+          ignoreNulls = true).over(w))
       .filter(col("__tag") === 1)
       .select(col(key), col("__id").as(idCol), col("__ts").as(ts),
-        col("asof_ts"), col("asof_value"))
+        col("__asof.ts").as("asof_ts"), col("__asof.value").as("asof_value"))
   }
 
   /** Banded interval self-join: all ordered pairs of rows with the same

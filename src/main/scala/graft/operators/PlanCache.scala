@@ -32,8 +32,13 @@ object PlanCache {
     mutable.Map.empty[SparkSession, mutable.ArrayBuffer[DataFrame]]
 
   /** Persist MEMORY_ONLY unless this exact (canonicalized) plan is already
-    * cached; track the frame for `releaseAll`. */
+    * cached; track the frame for `releaseAll`. Entries whose SparkContext
+    * has stopped are swept on every call (bounding this process-wide map
+    * across application restarts in one JVM); sessions sharing a LIVE
+    * context have no public closed-flag, so per-session churn should call
+    * `releaseAll(session)` on close. */
   def memo(df: DataFrame): DataFrame = synchronized {
+    tracked.filterInPlace((s, _) => !s.sparkContext.isStopped)
     if (!GraftSqlBridge.isCached(df)) {
       df.persist(StorageLevel.MEMORY_ONLY)
       tracked.getOrElseUpdate(df.sparkSession, mutable.ArrayBuffer.empty) += df

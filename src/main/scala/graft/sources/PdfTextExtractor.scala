@@ -209,9 +209,11 @@ object PdfTextExtractor {
     }
   }
 
-  /** UTF-16BE hex (4 digits per code unit, surrogates allowed) -> String. */
+  /** UTF-16BE hex (4 digits per code unit, surrogates allowed) -> String.
+    * Short destinations (a malformed-but-common `<41>` for 'A') are VALUES —
+    * zero-extend on the LEFT; right-padding would read <41> as U+4100. */
   private def utf16Hex(hex: String): String = {
-    val padded = if (hex.length % 4 == 0) hex else hex + "0" * (4 - hex.length % 4)
+    val padded = if (hex.length % 4 == 0) hex else "0" * (4 - hex.length % 4) + hex
     val sb = new StringBuilder
     var i = 0
     while (i + 4 <= padded.length) {

@@ -61,6 +61,23 @@ class JoinsSpec extends AnyFunSuite {
     }
   }
 
+  test("asOfJoin: null right values stay paired with their row; null keys never match") {
+    // right rows: (k=1, ts=1, v=2.0), (k=1, ts=5, v=null) — the as-of at
+    // ts=10 is the ts=5 ROW, whose value is null (not ts=5 paired with 2.0)
+    val l = Seq((1L, 10L, 100L), (2L, 10L, 200L)).toDF("k", "t", "id")
+    val r = Seq((Some(1L), 1L, Some(2.0)), (Some(1L), 5L, None),
+        (None: Option[Long], 3L, Some(9.0))) // null key: must match nothing
+      .toDF("k", "t", "v")
+    val lNullKey = Seq((Option.empty[Long], 10L, 300L)).toDF("k", "t", "id")
+    val got = Joins.asOfJoin(l.unionByName(lNullKey), r, "k", "t", "id", "v")
+      .select($"id", $"asof_ts", $"asof_value")
+      .as[(Long, Option[Long], Option[Double])].collect()
+      .map(x => x._1 -> ((x._2, x._3))).toMap
+    assert(got(100L) == ((Some(5L), None)), "latest prior ROW wins, value null")
+    assert(got(200L) == ((None, None)), "no right rows for key 2")
+    assert(got(300L) == ((None, None)), "null left key matches no right row")
+  }
+
   test("asOfJoin plan: one hash exchange, no join operator") {
     val l = spark.range(100).selectExpr("id % 5 AS k", "id AS t", "id")
     val r = spark.range(50).selectExpr("id % 5 AS k", "id * 2 AS t", "id * 1.0 AS v")

@@ -161,12 +161,15 @@ class SourcesSpec extends AnyFunSuite {
   test("ToUnicode CMap parser: codespace widths, bfchar, both bfrange forms") {
     val cm = graft.sources.PdfTextExtractor.parseToUnicode(
       """1 begincodespacerange <00> <FF> endcodespacerange
-        |1 beginbfchar <41> <0058 0059> endbfchar
+        |2 beginbfchar <41> <0058 0059> <42> <58> endbfchar
         |1 beginbfrange <61> <63> <007A> endbfrange""".stripMargin)
     // 1-byte codespace: 'A' -> "XY", 'a'..'c' -> 'z','{','|', others identity
     assert(cm.mapString("A") == "XY")
     assert(cm.mapString("abc") == "z{|")
     assert(cm.mapString("Q") == "Q")
+    // short (malformed-but-common) destination <58>: a VALUE, zero-extended
+    // on the left -> U+0058 'X', never U+5800
+    assert(cm.mapString("B") == "X")
   }
 
   test("S1 default extractor: PDF header routes to the PDF parser, other bytes pass through") {
