@@ -299,13 +299,17 @@ object Similarity {
         col("x.t") === col("y.t") && col("x.bk") === col("y.bk") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-      .distinct()
+    // verify BEFORE distinct (the simhashPairs shape): a pair colliding in
+    // several tables re-scores once per collision — a cheap map-side dot —
+    // while the dedup shuffle carries only THRESHOLD SURVIVORS instead of
+    // the whole candidate space
     cand
       .join(items.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
       .join(items.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
       .withColumn("score", cosine_similarity(col("ea"), col("eb")))
       .filter(col("score") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("score"))
+      .distinct()
   }
 
   /** Approximate nearest neighbours via LSH: normalize (cosine == L2 on the
