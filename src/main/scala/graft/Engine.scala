@@ -211,8 +211,11 @@ object Engine {
   def hybridSearch(index: DataFrame, query: String, k: Int = 5, nLeg: Int = 20,
                    kRrf: Int = 60, dim: Int = HashEmbed.DefaultDim): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // keyword normalization: strip punctuation from each token ("credits!"
+    // becomes the keyword credits, not a dropped term), drop what's left
+    // empty, dedupe
     val terms = query.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
-      .filter(_.matches("[a-z0-9]+")).distinct
+      .map(_.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty).distinct
     require(terms.nonEmpty, "query must contain at least one plain keyword")
     // ranking k already-limited rows: literal partition key as in searchRanked
     val w1 = Window.partitionBy(lit(1))

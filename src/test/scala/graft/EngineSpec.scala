@@ -173,6 +173,12 @@ class EngineSpec extends AnyFunSuite {
     assert(noLex.nonEmpty)
     assert(noLex.forall(_.get(2) == null))
     assert(noLex.forall(_.get(1) != null))
+    // punctuation strips from keywords rather than dropping the term: the
+    // lexical leg of "table!?" still matches docs containing table
+    // (the raw query embeds differently, so only the lex leg is comparable)
+    val punct = Engine.hybridSearch(index, "table!?", k = 10).collect()
+    assert(punct.exists(_.get(2) != null),
+      "punctuated keyword must still drive the lexical leg")
   }
 
   test("embedding column is not carried past the projection (column pruning)") {
