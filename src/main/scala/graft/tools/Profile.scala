@@ -45,6 +45,15 @@ object Profile {
     time("minhashPairs")(Dedup.minhashPairs(docs, 0.5).count())
     time("events window")(SparkEntry.queries("q15_events_window")(spark, sfDir).count())
     time("ann lsh")(SparkEntry.queries("q29_ann_lsh")(spark, sfDir).count())
+    time("bm25")(TextAnalysis.bm25(docs,
+      Seq("transfer", "credit", "university")).count())
+    time("repetition")(TextAnalysis.repetitionStats(docs).count())
+    time("asOfJoin")(SparkEntry.queries("q47_asof_join")(spark, sfDir).count())
+    time("intervalSelfJoin")(SparkEntry.queries("q50_interval_pairs")(spark, sfDir).count())
+    time("hybrid rrf")(SparkEntry.queries("q51_hybrid_rrf")(spark, sfDir).count())
+    time("token budget")(SparkEntry.queries("q54_token_budget")(spark, sfDir).count())
+    time("decontaminate")(SparkEntry.queries("q55_decontaminate")(spark, sfDir).count())
+    graft.operators.PlanCache.releaseAll(spark)
     spark.stop()
   }
 }
