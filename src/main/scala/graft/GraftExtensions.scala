@@ -92,5 +92,10 @@ object GraftExtensions {
       case Seq(t)    => WordShingles(t, 3)
       case Seq(t, n) => WordShingles(t, intArg(n, "n"))
       case _         => arity("word_shingles", "1-2")
+    },
+    "sign_sketch" -> {
+      case Seq(e)    => SignSketch(e, 63)
+      case Seq(e, b) => SignSketch(e, intArg(b, "numBits"))
+      case _         => arity("sign_sketch", "1-2")
     })
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{ByteDot, ChunkText, CosineSimilarity, HashEmbed, MinGramHash, MinHashSig, RandProjBuckets, SimHash, WordShingles}
+import graft.functions.{ByteDot, ChunkText, CosineSimilarity, HashEmbed, MinGramHash, MinHashSig, RandProjBuckets, SignSketch, SimHash, WordShingles}
 
 /** Column-API + SQL-registry surface for the custom Catalyst expressions.
   *
@@ -47,6 +47,11 @@ object GraftFunctions {
   /** Integer dot product of int8 code arrays (quantized ANN extension). */
   def byte_dot(a: Column, b: Column): Column =
     col(ByteDot(ex(a), ex(b)))
+
+  /** Packed sign bits of hash-derived random projections — the 8-byte
+    * binary-quantization sketch (Similarity extension). */
+  def sign_sketch(embedding: Column, numBits: Int = 63): Column =
+    col(SignSketch(ex(embedding), numBits))
 
   /** Min-SHA-256-over-grams document fingerprint (TextAnalysis extension). */
   def min_gram_hash(text: Column, gram: Int = 8): Column =

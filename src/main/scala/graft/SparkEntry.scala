@@ -338,6 +338,15 @@ object SparkEntry {
       val d = docs(s, dir)
       Dedup.contaminated(d.filter(col("doc_id") % 97 =!= 0),
         d.filter(col("doc_id") % 97 === 0), n = 5)
+    }),
+    // extension: binary-quantization ANN (63-bit sign sketches, 8 bytes per
+    // vector; Hamming shortlist via XOR+popcount, exact re-rank) — like
+    // q44/q46, approximate ANN with a FULL oracle
+    "q56_ann_bq" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      Similarity.bqTopK(e, q, 3)
     }))
 
   // ---------------------------------------------------------------- oracle —
@@ -427,14 +436,15 @@ SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
   /** DuckDB: deterministic random-projection weights (mirrors
     * `RandProjBuckets.weights`): w[t][i] from sha256("rp:t:i") first 4
     * bytes, mapped to [-1, 1); aggregated to one ordered list per table. */
-  private val dkRpW: String = {
+  private def dkRpWn(nTables: Int): String = {
     val b = (j: Int) => dkByte("h", j.toString)
     s"""rpw0 AS (SELECT tt.t AS t, ii.i AS i,
        sha256('rp:' || CAST(tt.t AS VARCHAR) || ':' || CAST(ii.i AS VARCHAR)) AS h
-       FROM (SELECT unnest(range(0, 6)) AS t) tt, (SELECT unnest(range(0, 64)) AS i) ii),
+       FROM (SELECT unnest(range(0, $nTables)) AS t) tt, (SELECT unnest(range(0, 64)) AS i) ii),
   rpw AS (SELECT t, list((((${b(0)} * 256 + ${b(1)}) * 256 + ${b(2)}) * 256 + ${b(3)})
        / 4294967296.0 * 2.0 - 1.0 ORDER BY i) AS wv FROM rpw0 GROUP BY t)"""
   }
+  private val dkRpW: String = dkRpWn(6)
 
   /** DuckDB: per-(id, table) rp bucket ids for a vector table CTE `src` with
     * id column `id` and embedding column `emb` (mirrors the expression's
