@@ -1013,5 +1013,41 @@ FROM o WHERE start_offset < 20000""",
   tr AS (SELECT doc_id, shingle FROM shu WHERE doc_id % 97 <> 0)
 SELECT t.doc_id, count(*) AS n_shared
 FROM tr t JOIN ev e ON t.shingle = e.shingle
-GROUP BY t.doc_id""")
+GROUP BY t.doc_id""",
+    // Mirrors Similarity.bqTopK end-to-end: 63-bit sign sketches over the
+    // shared sha256("rp:t:i") hyperplanes (dkRpWn(63)), Hamming shortlist of
+    // 256 via bit_count(xor) with (hd asc, vec_id asc) tie order, exact
+    // cosine re-rank of the shortlist. The JVM decides each bit with
+    // `dot >= 0.0` (false for NaN); DuckDB orders NaN above all values, so
+    // NaN is guarded explicitly to keep the twins bit-identical.
+    "q56_ann_bq" ->
+      s"""WITH ${dkRpWn(63)},
+  dots AS (SELECT e.vec_id, w.t,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * w.wv[i])) AS v
+    FROM embeddings e CROSS JOIN rpw w),
+  codes AS (SELECT vec_id, CAST(coalesce(sum(
+        CASE WHEN isnan(v) THEN CAST(0 AS BIGINT)
+             WHEN v >= 0 THEN CAST(1 AS BIGINT) << CAST(t AS INTEGER)
+             ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS code
+    FROM dots GROUP BY vec_id),
+  qc AS (SELECT vec_id AS query_id, code AS qcode FROM codes WHERE vec_id < 5),
+  hd AS (SELECT q.query_id, c.vec_id,
+      CAST(bit_count(xor(c.code, q.qcode)) AS INTEGER) AS hd
+    FROM codes c CROSS JOIN qc q),
+  short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, vec_id ASC) AS sr
+    FROM hd) WHERE sr <= 256),
+  qset AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+  s AS (SELECT c.query_id, c.vec_id,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))) AS dot,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) AS na,
+    list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))) AS nb
+    FROM short c JOIN embeddings e ON c.vec_id = e.vec_id
+                 JOIN qset q ON c.query_id = q.query_id),
+  sc AS (SELECT query_id, vec_id,
+    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END AS score FROM s),
+  r AS (SELECT query_id, vec_id,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
+    score FROM sc)
+SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3""")
 }

@@ -269,9 +269,13 @@ object Similarity {
     * sketches and the (hd asc, vec_id asc) / (score desc, vec_id asc) tie
     * orders are pure functions of the input, so the whole path reproduces
     * in the DuckDB oracle — approximate ANN with a full hash check, like
-    * rp-LSH and int8-SQ. Recall-gated (>= 0.9) in SimilaritySpec. */
+    * rp-LSH and int8-SQ. Recall-gated (>= 0.9) in SimilaritySpec; the
+    * default shortlist is sized from that gate on the hash-random test
+    * corpus (a worst case — no cluster structure, so Hamming margins are
+    * thin: 64 gave 0.78, 256 gives 0.98 at sf0.01). Re-rank cost stays
+    * shortlist x queries rows — negligible next to the code scan. */
   def bqProbe(index: DataFrame, items: DataFrame, queries: DataFrame, k: Int,
-              shortlist: Int = 64, numBits: Int = 63): DataFrame = {
+              shortlist: Int = 256, numBits: Int = 63): DataFrame = {
     import graft.GraftFunctions.sign_sketch
     val qc = queries.select(col("query_id"),
       sign_sketch(col("query_embedding"), numBits).as("qcode"))
@@ -290,7 +294,7 @@ object Similarity {
   /** Build + probe in one call (binary quantization, Hamming shortlist,
     * exact re-rank). */
   def bqTopK(items: DataFrame, queries: DataFrame, k: Int,
-             shortlist: Int = 64, numBits: Int = 63): DataFrame =
+             shortlist: Int = 256, numBits: Int = 63): DataFrame =
     bqProbe(bqIndex(items, numBits), items, queries, k, shortlist, numBits)
 
   // popcount of a long column (SQL bit_count); named helper because the

@@ -20,10 +20,10 @@ object BqProbe {
       .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
     val k = 3
     val exact = Similarity.bruteForceTopK(items, queries, k)
-      .select("query_id", "vec_id").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
-    for (shortlist <- Seq(16, 32, 64, 128)) {
+      .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (shortlist <- Seq(16, 32, 64, 128, 256, 512)) {
       val approx = Similarity.bqTopK(items, queries, k, shortlist)
-        .select("query_id", "vec_id").collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+        .select("query_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
       val recall = (exact & approx).size.toDouble / exact.size
       println(s"RESULT shortlist=$shortlist recall@$k=$recall")
     }

@@ -58,6 +58,8 @@ object ScaleRehearsal {
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       time(s"$tag rpTopK") {
         Similarity.rpTopK(emb, q, 3).queryExecution.toRdd.count() }
+      time(s"$tag bqTopK") {
+        Similarity.bqTopK(emb, q, 3).queryExecution.toRdd.count() }
       time(s"$tag bm25") {
         graft.operators.TextAnalysis.bm25(docs,
           Seq("transfer", "credit", "university")).queryExecution.toRdd.count() }

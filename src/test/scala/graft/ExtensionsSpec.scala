@@ -43,7 +43,9 @@ class ExtensionsSpec extends AnyFunSuite {
           |  size(word_shingles('a b c d')) AS n_sh,
           |  byte_dot(array(CAST(1 AS TINYINT), CAST(2 AS TINYINT)),
           |           array(CAST(3 AS TINYINT), CAST(4 AS TINYINT))) AS dot,
-          |  simhash_sig(array('a', 'b')) AS sh
+          |  simhash_sig(array('a', 'b')) AS sh,
+          |  sign_sketch(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT))) AS ss63,
+          |  sign_sketch(array(CAST(0.0 AS FLOAT), CAST(0.0 AS FLOAT)), 5) AS ss5
           |""".stripMargin).collect()(0)
       assert(row.getAs[Int]("dim") == 1024)
       assert(row.getAs[Double]("self") == 1.0)
@@ -51,6 +53,9 @@ class ExtensionsSpec extends AnyFunSuite {
       assert(row.getAs[Long]("dot") == 11L)
       val sig = row.getAs[Long]("sh")
       assert(sig >= 0 && sig < (1L << 32))
+      // zero vector -> every `dot >= 0` bit set (SignSketch edge contract)
+      assert(row.getAs[Long]("ss63") == Long.MaxValue)
+      assert(row.getAs[Long]("ss5") == 31L)
       // generator function works in a generator position (2-column output)
       val chunks = s.sql(
         "SELECT chunk_text(repeat('ab', 700), 1000, 200) AS (chunk_idx, chunk)")

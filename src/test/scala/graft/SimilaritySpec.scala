@@ -117,14 +117,18 @@ class SimilaritySpec extends AnyFunSuite {
         .as[(Long, Long, Int, Double)].collect())
       val sq = topkIds(Similarity.sqTopK(e, q, 3)
         .as[(Long, Long, Int, Double)].collect())
+      val bq = topkIds(Similarity.bqTopK(e, q, 3)
+        .as[(Long, Long, Int, Double)].collect())
       val lshR = meanRecall(lsh, exact)
       val ivfR = meanRecall(ivf, exact)
       val rpR = meanRecall(rp, exact)
       val sqR = meanRecall(sq, exact)
+      val bqR = meanRecall(bq, exact)
       assert(lshR >= 0.9, s"lshTopK recall@3 = $lshR < 0.9")
       assert(ivfR >= 0.9, s"ivfTopK recall@3 = $ivfR < 0.9")
       assert(rpR >= 0.9, s"rpTopK recall@3 = $rpR < 0.9")
       assert(sqR >= 0.9, s"sqTopK recall@3 = $sqR < 0.9")
+      assert(bqR >= 0.9, s"bqTopK recall@3 = $bqR < 0.9")
       e.unpersist(); q.unpersist()
     }
 
@@ -170,6 +174,20 @@ class SimilaritySpec extends AnyFunSuite {
     val a = Similarity.sqProbe(idx, queries, 3)
       .collect().map(_.toString).sorted
     val b = Similarity.sqProbe(loaded, queries, 3)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b))
+    assert(a.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("bq index roundtrip: saved+loaded index probes identically to direct") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_bq").toString
+    val idx = Similarity.bqIndex(emb)
+    Similarity.saveBqIndex(idx, dir)
+    val loaded = Similarity.loadBqIndex(spark, dir)
+    val a = Similarity.bqProbe(idx, emb, queries, 3)
+      .collect().map(_.toString).sorted
+    val b = Similarity.bqProbe(loaded, emb, queries, 3)
       .collect().map(_.toString).sorted
     assert(a.sameElements(b))
     assert(a.nonEmpty)
