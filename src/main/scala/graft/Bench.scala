@@ -1,9 +1,18 @@
 package graft
 import org.apache.spark.sql.SparkSession
 object Bench {
+  /** 1-minute system load average from /proc/loadavg ("-1" if unreadable).
+    * Recorded at start and end so a run taken under co-load (compiles, a
+    * second Spark JVM) is self-evident from the artifact alone — per-query
+    * timings on a loaded machine are not comparable across rounds. */
+  private def loadavg: String =
+    try scala.io.Source.fromFile("/proc/loadavg").mkString.trim.split("\\s+")(0)
+    catch { case _: Throwable => "-1" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val loadStart = loadavg
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -37,12 +46,19 @@ object Bench {
       // a fast FAILED rep must not mask a slow successful one: min over
       // successes; only if every rep failed, report the failures' min
       val succeeded = attempts.filter(_._1).map(_._2)
-      name -> (if (succeeded.nonEmpty) succeeded.min else attempts.map(_._2).min)
+      val best = if (succeeded.nonEmpty) succeeded.min else attempts.map(_._2).min
+      name -> (best, attempts.map(_._2))
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min"}""")
+    // per-rep times per query: a contaminated run shows as wide rep spreads
+    // (healthy: < 30% per query) without needing a rerun to diagnose
+    val repsJson = results.map { case (k, (_, ts)) =>
+      s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
+    val avail = Runtime.getRuntime.availableProcessors
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","rep_times":$repsJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"avail_cpus":$avail,"spark_cpus":"$cpus"}""")
     graft.operators.PlanCache.releaseAll(spark)
     spark.stop()
   }
