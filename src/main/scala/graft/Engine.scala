@@ -213,28 +213,35 @@ object Engine {
     import org.apache.spark.sql.expressions.Window
     // keyword normalization: strip punctuation from each token ("credits!"
     // becomes the keyword credits, not a dropped term), drop what's left
-    // empty, dedupe
+    // empty, dedupe. A query with NO plain keyword (e.g. "!!!") degrades to
+    // the vector leg alone — the reference accepts any non-empty query
+    // (main.py:317-318) and serves it from the vector store, so hybrid must
+    // not be stricter than search.
     val terms = query.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
       .map(_.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty).distinct
-    require(terms.nonEmpty, "query must contain at least one plain keyword")
     // ranking k already-limited rows: literal partition key as in searchRanked
     val w1 = Window.partitionBy(lit(1))
     val vec = search(index, query, nLeg, dim)
       .withColumn("rnk_vec",
         row_number().over(w1.orderBy(desc("score"), asc("id"))))
       .select(col("id"), col("rnk_vec"))
-    val lex = graft.operators.TextAnalysis.bm25(
-        index.select(col("id"), col("text")), terms, idCol = "id")
-      .filter(col("bm25") > 0)
-      .orderBy(desc("bm25"), asc("id")).limit(nLeg)
-      .withColumn("rnk_lex",
-        row_number().over(w1.orderBy(desc("bm25"), asc("id"))))
-      .select(col("id"), col("rnk_lex"))
-    // fuse by union + tiny groupBy rather than a FULL OUTER join (the only
-    // full-outer physical strategy is a sort-merge join; the union aggregates
-    // the same <= 2 x nLeg rows with no join at all)
-    vec.withColumn("rnk_lex", lit(null).cast("int"))
-      .unionByName(lex.withColumn("rnk_vec", lit(null).cast("int")))
+      .withColumn("rnk_lex", lit(null).cast("int"))
+    val legs =
+      if (terms.isEmpty) vec
+      else {
+        val lex = graft.operators.TextAnalysis.bm25(
+            index.select(col("id"), col("text")), terms, idCol = "id")
+          .filter(col("bm25") > 0)
+          .orderBy(desc("bm25"), asc("id")).limit(nLeg)
+          .withColumn("rnk_lex",
+            row_number().over(w1.orderBy(desc("bm25"), asc("id"))))
+          .select(col("id"), col("rnk_lex"))
+        // fuse by union + tiny groupBy rather than a FULL OUTER join (the
+        // only full-outer physical strategy is a sort-merge join; the union
+        // aggregates the same <= 2 x nLeg rows with no join at all)
+        vec.unionByName(lex.withColumn("rnk_vec", lit(null).cast("int")))
+      }
+    legs
       .groupBy("id")
       .agg(min("rnk_vec").as("rnk_vec"), min("rnk_lex").as("rnk_lex"))
       .withColumn("rrf",

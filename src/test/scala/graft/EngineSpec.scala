@@ -181,6 +181,21 @@ class EngineSpec extends AnyFunSuite {
       "punctuated keyword must still drive the lexical leg")
   }
 
+  test("hybridSearch: keyword-less query degrades to the vector leg") {
+    // the reference accepts any non-empty query (main.py:317-318) — "!!!"
+    // has no alphanumeric keyword, so hybrid serves the vector leg alone
+    // instead of failing
+    val hits = Engine.hybridSearch(index, "!!!", k = 5).collect()
+    assert(hits.length == 5)
+    assert(hits.forall(_.get(2) == null), "no lexical ranks for a keyword-less query")
+    assert(hits.forall(_.get(1) != null), "every hit must come from the vector leg")
+    // ranking equals the pure vector search's ranking for the same query
+    val vec = Engine.search(index, "!!!", 5).collect().map(_.getAs[String]("id"))
+    assert(hits.map(_.getAs[String]("id")).sameElements(vec))
+    // the truly-empty query still rejects, as in the reference
+    intercept[IllegalArgumentException](Engine.hybridSearch(index, "  ", 5).collect())
+  }
+
   test("embedding column is not carried past the projection (column pruning)") {
     val plan = Engine.search(index, "q", 5).queryExecution.optimizedPlan.toString
     // final output has no embedding column
