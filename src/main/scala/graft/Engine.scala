@@ -252,6 +252,87 @@ object Engine {
         round(col("rrf"), 6).as("rrf"))
   }
 
+  /** Batch hybrid search: `hybridSearch` over a SET of queries in one plan —
+    * the production shape (RRF over a query batch) without a driver loop.
+    *
+    * Vector leg: `searchMany` (queries embed once, broadcast; the corpus
+    * never shuffles; GroupedTopK ranks). Lexical leg: ONE BM25 stats pass
+    * over the UNION of every query's keywords (exact-integer avgdl +
+    * per-term dfs pivoted into a single broadcast row — corpus passes stay
+    * O(1) in the number of queries), per-query scores as fixed-order f64
+    * expressions over the shared tf columns, exploded map-side to
+    * (query, id, bm25) rows and ranked per query through GroupedTopK.
+    * Fusion: union + groupBy keyed on (query, id) — never a full-outer
+    * join — over <= 2 x nLeg x |queries| rows. Keyword-less queries keep
+    * their vector leg only, like `hybridSearch`. Per-query results are
+    * IDENTICAL to single-query `hybridSearch` (EngineSpec pins this).
+    * Output: (query, rank, id, rnk_vec, rnk_lex, rrf), top-k per query by
+    * (rrf desc, id asc). */
+  def hybridSearchMany(index: DataFrame, queries: Seq[String], k: Int = 5,
+                       nLeg: Int = 20, kRrf: Int = 60,
+                       dim: Int = HashEmbed.DefaultDim): DataFrame = {
+    require(queries.nonEmpty && queries.forall(_.trim.nonEmpty))
+    val norm = queries.map { q =>
+      q -> q.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+        .map(_.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty).distinct
+    }
+    val allTerms = norm.flatMap(_._2).distinct
+    val vec = searchMany(index, queries, nLeg, dim)
+      .select(col("query"), col("id"), col("rank").as("rnk_vec"))
+      .withColumn("rnk_lex", lit(null).cast("int"))
+    val legs =
+      if (allTerms.isEmpty) vec
+      else {
+        val toksed = index.select(col("id"), col("text"))
+          .withColumn("toks", expr(graft.operators.TextAnalysis.tokensExpr))
+          .withColumn("dl", expr("size(toks)"))
+        val statAggs =
+          count(lit(1)).cast("double").as("n_docs") +:
+            avg(col("dl")).as("avgdl") +:
+            allTerms.zipWithIndex.map { case (t, i) =>
+              sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+                .cast("double").as(s"df_$i")
+            }
+        val stats = toksed.agg(statAggs.head, statAggs.tail: _*)
+        val idx = allTerms.zipWithIndex.toMap
+        val withTf = allTerms.zipWithIndex
+          .foldLeft(toksed.crossJoin(broadcast(stats))) { case (df, (t, i)) =>
+            df.withColumn(s"tf_$i",
+              expr(s"CAST(size(filter(toks, x -> x = '$t')) AS DOUBLE)"))
+          }
+        // per-query score: the SAME fixed term order (the query's own,
+        // first-appearance) and constants as TextAnalysis.bm25, referencing
+        // the union-indexed shared df/tf columns — f64 addition order stays
+        // deterministic per query, so the oracle reproduces it
+        val (k1, b) = (1.2, 0.75)
+        val scored = withTf.select(col("id"),
+            explode(array(norm.filter(_._2.nonEmpty).map { case (q, ts) =>
+              val score = ts.map { t =>
+                val i = idx(t)
+                s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+                    * (tf_$i * ${k1 + 1.0}) / (tf_$i + $k1 * (${1.0 - b} + $b * dl / avgdl)))"""
+              }.mkString(" + ")
+              struct(lit(q).as("query"), expr(s"round($score, 6)").as("bm25"))
+            }: _*)).as("qs"))
+          .select(col("id"), col("qs.query").as("query"), col("qs.bm25").as("bm25"))
+          .filter(col("bm25") > 0)
+        val lex = graft.plans.GroupedTopK(scored,
+            Seq(col("query")), Seq(desc("bm25"), asc("id")), nLeg)
+          .select(col("query"), col("id"), col("rank").as("rnk_lex"))
+          .withColumn("rnk_vec", lit(null).cast("int"))
+        vec.unionByName(lex.select("query", "id", "rnk_vec", "rnk_lex"))
+      }
+    val fused = legs.groupBy("query", "id")
+      .agg(min("rnk_vec").as("rnk_vec"), min("rnk_lex").as("rnk_lex"))
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf) + col("rnk_vec")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rnk_lex")), lit(0.0)))
+    graft.plans.GroupedTopK(fused,
+        Seq(col("query")), Seq(desc("rrf"), asc("id")), k)
+      .select(col("query"), col("rank"), col("id"), col("rnk_vec"),
+        col("rnk_lex"), round(col("rrf"), 6).as("rrf"))
+  }
+
   /** GET /health equivalent (main.py:228-253): "healthy" with index stats
     * when the index table is readable, "degraded" with the error otherwise
     * (the reference's missing-index / stats-failure path). */

@@ -347,7 +347,12 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       Similarity.bqTopK(e, q, 3)
-    }))
+    }),
+    // extension: batch hybrid search — RRF fusion over a query SET in one
+    // plan (one BM25 stats pass for the union of keywords; both legs ranked
+    // through GroupedTopK; union+groupBy fusion)
+    "q57_hybrid_batch" -> ((s, dir) =>
+      Engine.hybridSearchMany(Engine.ingest(docs(s, dir)), QBatch, 5)))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -1049,5 +1054,62 @@ GROUP BY t.doc_id""",
   r AS (SELECT query_id, vec_id,
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
     score FROM sc)
-SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3""")
+SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3""",
+    // Mirrors Engine.hybridSearchMany: q32's vector-leg machinery, ONE
+    // BM25 stats/tf pass over the union of every query's keywords, per-query
+    // scores in each query's own term order (the f64 addition order both
+    // engines share), RRF fusion keyed on (query, id).
+    "q57_hybrid_batch" -> {
+      val qTerms = QBatch.map { q =>
+        q -> q.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+          .map(_.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty).distinct
+      }
+      val allTerms = qTerms.flatMap(_._2).distinct
+      val idx = allTerms.zipWithIndex.toMap
+      val dfCols = allTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+      }.mkString(", ")
+      val tfCols = allTerms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+      }.mkString(", ")
+      val lexSelects = qTerms.filter(_._2.nonEmpty).map { case (q, ts) =>
+        val score = ts.map { t =>
+          val i = idx(t)
+          s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+              * (tf_$i * 2.2) / (tf_$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"""
+        }.mkString(" + ")
+        s"SELECT '$q' AS query, id, round($score, 6) AS bm25 FROM ctf CROSS JOIN cstats"
+      }.mkString("\n    UNION ALL ")
+      val valuesList = QBatch.map(q => s"('$q')").mkString(", ")
+      s"""WITH $dkChunks,
+  chex AS (SELECT id, source, text, sha256(text) AS hx FROM chunks),
+  cvec AS (SELECT id, source, text, ${dkVec("hx")} AS emb FROM chex),
+  qset AS (SELECT query FROM (VALUES $valuesList) AS t(query)),
+  qv AS (SELECT query, ${dkVec("sha256(query)")} AS qv FROM qset),
+  vscored AS (SELECT q.query, c.id,
+      ${dkDot("c.emb", "q.qv")} / (sqrt(${dkDot("c.emb", "c.emb")}) * sqrt(${dkDot("q.qv", "q.qv")})) AS score
+    FROM cvec c CROSS JOIN qv q WHERE length(c.text) > 0),
+  vr AS (SELECT query, id,
+      CAST(row_number() OVER (PARTITION BY query ORDER BY score DESC, id ASC) AS INTEGER) AS rnk_vec
+    FROM vscored),
+  vec AS (SELECT query, id, rnk_vec FROM vr WHERE rnk_vec <= 20),
+  ctok AS (SELECT id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM chunks),
+  ct AS (SELECT id, toks, len(toks) AS dl FROM ctok),
+  cstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM ct),
+  ctf AS (SELECT id, dl, $tfCols FROM ct),
+  lex0 AS ($lexSelects),
+  lexr AS (SELECT query, id,
+      CAST(row_number() OVER (PARTITION BY query ORDER BY bm25 DESC, id ASC) AS INTEGER) AS rnk_lex
+    FROM lex0 WHERE bm25 > 0),
+  lex AS (SELECT query, id, rnk_lex FROM lexr WHERE rnk_lex <= 20),
+  legs AS (SELECT query, id, rnk_vec, CAST(NULL AS INTEGER) AS rnk_lex FROM vec
+           UNION ALL SELECT query, id, CAST(NULL AS INTEGER) AS rnk_vec, rnk_lex FROM lex),
+  fused AS (SELECT query, id, min(rnk_vec) AS rnk_vec, min(rnk_lex) AS rnk_lex,
+      coalesce(1.0 / (60 + min(rnk_vec)), 0.0) + coalesce(1.0 / (60 + min(rnk_lex)), 0.0) AS rrf
+    FROM legs GROUP BY query, id),
+  r AS (SELECT query, id, rnk_vec, rnk_lex, rrf,
+      CAST(row_number() OVER (PARTITION BY query ORDER BY rrf DESC, id ASC) AS INTEGER) AS "rank"
+    FROM fused)
+SELECT query, "rank", id, rnk_vec, rnk_lex, round(rrf, 6) AS rrf FROM r WHERE "rank" <= 5"""
+    })
 }

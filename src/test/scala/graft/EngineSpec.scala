@@ -196,6 +196,27 @@ class EngineSpec extends AnyFunSuite {
     intercept[IllegalArgumentException](Engine.hybridSearch(index, "  ", 5).collect())
   }
 
+  test("hybridSearchMany: per-query results equal single-query hybridSearch") {
+    val batch = Seq("transfer credits", "customer order batch", "!!!")
+    val many = Engine.hybridSearchMany(index, batch, k = 5)
+      .collect().groupBy(_.getAs[String]("query"))
+    assert(many.keySet == batch.toSet)
+    for (q <- batch) {
+      val got = many(q).sortBy(_.getAs[Int]("rank"))
+        .map(r => (r.getAs[String]("id"), r.get(3), r.get(4), r.getAs[Double]("rrf")))
+      val single = Engine.hybridSearch(index, q, k = 5).collect()
+        .map(r => (r.getAs[String]("id"), r.get(1), r.get(2), r.getAs[Double]("rrf")))
+      assert(got.sameElements(single), s"batch result for '$q' diverges from hybridSearch")
+    }
+    // the keyword-less member rides the vector leg only
+    assert(many("!!!").forall(_.get(4) == null))
+    // no WindowExec in the ranking path — GroupedTopK ranks both legs
+    val plan = Engine.hybridSearchMany(index, batch, 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("WindowExec") || !plan.contains("No Partition Defined"),
+      "batch ranking must not global-sort")
+  }
+
   test("embedding column is not carried past the projection (column pruning)") {
     val plan = Engine.search(index, "q", 5).queryExecution.optimizedPlan.toString
     // final output has no embedding column
