@@ -148,6 +148,92 @@ object Similarity {
     IvfIndex(assigned, centroids)
   }
 
+  /** Assign vectors to the nearest centroid of an EXISTING index — squared
+    * Euclidean on the L2-normalized vector, the KMeans assignment rule
+    * (centroids are cell means, NOT unit vectors, so argmax-cosine would
+    * mis-assign; the |c|^2 term matters) — without refitting. The centroid
+    * table is tiny by construction (nLists rows): it collects into one
+    * literal expression, so assignment is map-only — no join, no shuffle,
+    * no MLlib model object needed (a loaded index carries only the table).
+    * Ties break to the lowest cell id; a zero vector passes through
+    * un-normalized (the Normalizer's behavior at build time). */
+  def assignCells(vectors: DataFrame, centroids: DataFrame,
+                  embCol: String = "embedding"): DataFrame = {
+    val cents = centroids.select("cell", "centroid").collect()
+      .map(r => (r.getInt(0), r.getSeq[Float](1)))
+      .sortBy(_._1)
+    require(cents.nonEmpty, "empty centroid table")
+    val centsSql = cents.map { case (_, c) =>
+      c.map(v => v.toDouble.toString).mkString("array(", ", ", ")")
+    }.mkString("array(", ", ", ")")
+    val cellIds = cents.map(_._1).mkString("array(", ", ", ")")
+    vectors
+      .withColumn("__nrm", expr(
+        s"sqrt(aggregate($embCol, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("__nv", expr(
+        s"IF(__nrm = 0.0, CAST($embCol AS array<double>), transform($embCol, x -> CAST(x AS DOUBLE) / __nrm))"))
+      .withColumn("__d2", expr(
+        s"transform($centsSql, c -> aggregate(zip_with(__nv, c, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (a, x) -> a + x))"))
+      .withColumn("cell", expr(
+        s"""element_at($cellIds, aggregate(sequence(1, size(__d2)),
+              named_struct('bd', CAST('Infinity' AS DOUBLE), 'bi', 1),
+              (acc, i) -> IF(__d2[i-1] < acc.bd, named_struct('bd', __d2[i-1], 'bi', i), acc),
+              acc -> acc.bi))"""))
+      .select(col("vec_id"), col(embCol), col("cell"))
+  }
+
+  /** Incremental IVF maintenance: replace-by-id upsert of a delta without a
+    * full rebuild — delta vectors re-assign against the EXISTING (frozen)
+    * centroids, everything else is untouched. Work ~ |delta| x nLists map
+    * cost + one anti-join on vec_id; at 100 TB a re-ingest touches the
+    * delta, not the corpus. (Centroids drift only under a full `ivfIndex`
+    * rebuild — the classic IVF maintenance contract: cheap upserts between
+    * periodic refits.) */
+  def upsertIvf(index: IvfIndex, delta: DataFrame): IvfIndex = {
+    val assigned = assignCells(delta, index.centroids)
+    val kept = index.assignments
+      .join(delta.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding", "cell")
+    IvfIndex(assigned.unionByName(kept), index.centroids)
+  }
+
+  /** Persisted-index form of `upsertIvf`: rewrite ONLY the cell partitions
+    * the delta touches (dynamic partition overwrite — the `Engine.writeIndex`
+    * machinery), leaving every untouched cell's files in place. The merged
+    * rows materialize (MEMORY_AND_DISK) before the write because the write
+    * overwrites partitions it is also reading. */
+  def upsertIvfAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                  delta: DataFrame): Unit = {
+    val idx = loadIvfIndex(spark, path)
+    val assigned = assignCells(delta, idx.centroids)
+    val touched = assigned.select("cell").distinct()
+    val kept = idx.assignments.join(broadcast(touched), Seq("cell"))
+      .join(delta.select("vec_id"), Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding", "cell")
+    val merged = assigned.unionByName(kept)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    merged.count() // materialize: the write replaces files this plan reads
+    merged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$path/assignments")
+    merged.unpersist()
+  }
+
+  /** Incremental int8-SQ maintenance: per-vector quantization means a delta
+    * re-encodes independently — new codes for delta ids, replace-by-id
+    * against the index. Exactly equals a full rebuild on the merged corpus
+    * (SimilaritySpec pins probe equality). */
+  def upsertSq(index: DataFrame, delta: DataFrame): DataFrame =
+    sqIndex(delta).unionByName(
+      index.join(delta.select("vec_id"), Seq("vec_id"), "left_anti"))
+
+  /** Incremental binary-quantization maintenance: sign sketches are
+    * per-vector too — same replace-by-id contract, exactly equal to a full
+    * rebuild on the merged corpus. */
+  def upsertBq(index: DataFrame, delta: DataFrame, numBits: Int = 63): DataFrame =
+    bqIndex(delta, numBits).unionByName(
+      index.join(delta.select("vec_id"), Seq("vec_id"), "left_anti"))
+
   /** Probe an IVF index: broadcast-join queries against the centroid table,
     * keep each query's `nProbe` closest cells, exact cosine inside probed
     * cells only. Per-query work ~ corpus/nLists * nProbe. */

@@ -180,6 +180,70 @@ class SimilaritySpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("upsertIvf: assignCells reproduces the fitted model's cells; removed-then-upserted delta probes identically") {
+    val full = Similarity.ivfIndex(emb, 8)
+    // the frozen-centroid assignment rule must reproduce what the fitted
+    // KMeans model itself assigned (same centroids, same argmin-Euclidean)
+    val re = Similarity.assignCells(emb, full.centroids)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val orig = full.assignments.select($"vec_id", $"cell")
+      .as[(Long, Int)].collect().toMap
+    assert(re == orig, "assignCells diverges from the model's own assignment")
+    // remove a slice, upsert it back with frozen centroids: the index is
+    // bit-for-bit restored, so any probe is identical
+    val delta = emb.filter($"vec_id" % 5 === 0)
+    val partial = Similarity.IvfIndex(
+      full.assignments.join(delta.select("vec_id"), Seq("vec_id"), "left_anti"),
+      full.centroids)
+    val upserted = Similarity.upsertIvf(partial, delta)
+    val a = Similarity.ivfProbe(full, queries, 3).collect().map(_.toString).sorted
+    val b = Similarity.ivfProbe(upserted, queries, 3).collect().map(_.toString).sorted
+    assert(a.sameElements(b) && a.nonEmpty)
+  }
+
+  test("upsertSq / upsertBq: upserting a delta equals a full rebuild") {
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val delta = emb.filter($"vec_id" % 5 === 0)
+    val sqUp = Similarity.upsertSq(Similarity.sqIndex(base), delta)
+    val sqFull = Similarity.sqIndex(emb)
+    assert(Similarity.sqProbe(sqUp, queries, 3).collect().map(_.toString).sorted
+      .sameElements(Similarity.sqProbe(sqFull, queries, 3).collect().map(_.toString).sorted))
+    val bqUp = Similarity.upsertBq(Similarity.bqIndex(base), delta)
+    val bqFull = Similarity.bqIndex(emb)
+    // per-vector encodings: the upserted index equals the rebuild row-for-row
+    assert(bqUp.collect().map(_.toString).sorted
+      .sameElements(bqFull.collect().map(_.toString).sorted))
+    assert(bqUp.count() == emb.count())
+  }
+
+  test("upsertIvfAt: persisted upsert rewrites only the touched cell partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-up").toString + "/idx"
+    val built = Similarity.ivfIndex(emb, 8)
+    built.save(dir)
+    def partFiles(): Map[String, Set[String]] = {
+      val base = new java.io.File(s"$dir/assignments")
+      base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("cell="))
+        .map(d => d.getName -> d.listFiles().map(_.getName).toSet).toMap
+    }
+    val before = partFiles()
+    // a 2-vector replace-by-id delta: same ids, same embeddings — probe
+    // must be unchanged, and only its cells' partitions may be rewritten
+    val delta = emb.filter($"vec_id".isin(1L, 2L))
+    val touched = Similarity.assignCells(delta, built.centroids)
+      .select($"cell").as[Int].collect().toSet.map((c: Int) => s"cell=$c")
+    assert(touched.size < before.size, "fixture must leave untouched cells")
+    Similarity.upsertIvfAt(spark, dir, delta)
+    val after = partFiles()
+    for ((cell, files) <- before if !touched.contains(cell))
+      assert(after(cell) == files, s"untouched partition $cell was rewritten")
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.assignments.count() == emb.count(), "replace-by-id must not duplicate ids")
+    val a = Similarity.ivfProbe(built, queries, 3).collect().map(_.toString).sorted
+    val b = Similarity.ivfProbe(loaded, queries, 3).collect().map(_.toString).sorted
+    assert(a.sameElements(b) && a.nonEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("bq index roundtrip: saved+loaded index probes identically to direct") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bq").toString
     val idx = Similarity.bqIndex(emb)
