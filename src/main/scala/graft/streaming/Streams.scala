@@ -158,6 +158,39 @@ object Streams {
       .toDF("query", "rank", "id", "score")
   }
 
+  /** Hybrid (vector + BM25) search lifted to streaming — the stats-refresh-
+    * per-batch form, which is the honest contract: BM25's corpus statistics
+    * (per-term df, avgdl, N) are GLOBAL aggregates that drift with every
+    * appended chunk, so unlike the vector leg (per-row scoring of immutable
+    * chunks — `streamingTopK`'s bounded per-query state suffices) the
+    * lexical leg cannot be maintained incrementally in bounded state: one
+    * new document shifts every document's score. Each micro-batch therefore
+    * upserts into the persisted index table (replace-by-id via
+    * `Engine.writeIndex`, same contract as `streamingUpsertIngest`), then
+    * batch `hybridSearchMany` re-runs over the full table with freshly
+    * derived stats, and the refreshed fused top-k per query is emitted
+    * through `onResult`. Per-batch cost is one stats pass + two ranked legs
+    * over the index — the price of exact stats; an approximate
+    * incremental-df variant would change scores, not just staleness. */
+  def streamingHybridSearch(spark: SparkSession, landingDir: String,
+                            indexDir: String, checkpointDir: String,
+                            queries: Seq[String], k: Int = 5)
+                           (onResult: (DataFrame, Long) => Unit): StreamingQuery = {
+    val docs = spark.readStream.schema(documentsSchema).parquet(landingDir)
+    Engine.ingest(docs).writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epoch: Long) =>
+        if (!batch.isEmpty) {
+          Engine.writeIndex(batch.toDF(), indexDir)
+          val index = Engine.readIndex(spark, indexDir)
+          onResult(Engine.hybridSearchMany(index, queries, k), epoch)
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Per-user session windows with a 30-minute gap. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", "30 minutes")

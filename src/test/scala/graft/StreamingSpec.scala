@@ -55,6 +55,41 @@ class StreamingSpec extends AnyFunSuite {
     assert(after("srcB").startsWith("beta"))
   }
 
+  test("streamingHybridSearch: per-batch results carry freshly-derived BM25 stats") {
+    val tmp = Files.createTempDirectory("graft-hybrid-stream").toString
+    val landing = s"$tmp/landing"
+    val indexDir = s"$tmp/index"
+    val queries = Seq("transfer credits", "!!!")
+    val emitted = scala.collection.mutable.ArrayBuffer.empty[Array[String]]
+    def runOnce(ck: String): Unit = {
+      val q = Streams.streamingHybridSearch(spark, landing, indexDir, ck,
+        queries, k = 5) { (df, _) => emitted += df.collect().map(_.toString).sorted }
+      q.awaitTermination(120000)
+    }
+    // batch 1: half the corpus
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    docs.filter($"doc_id" % 2 === 0).write.mode("append").parquet(landing)
+    runOnce(s"$tmp/ck")
+    assert(emitted.size == 1)
+    // the emitted result equals batch hybridSearchMany over the index so far
+    val expect1 = Engine.hybridSearchMany(
+        Engine.readIndex(spark, indexDir), queries, 5)
+      .collect().map(_.toString).sorted
+    assert(emitted(0).sameElements(expect1))
+    // batch 2: the other half lands; stats (df, avgdl, N) must be derived
+    // over the ENLARGED corpus, i.e. equal the batch run on the full index
+    docs.filter($"doc_id" % 2 === 1).write.mode("append").parquet(landing)
+    runOnce(s"$tmp/ck")
+    assert(emitted.size == 2)
+    val expect2 = Engine.hybridSearchMany(
+        Engine.readIndex(spark, indexDir), queries, 5)
+      .collect().map(_.toString).sorted
+    assert(emitted(1).sameElements(expect2))
+    // and the refreshed result genuinely differs from the stale one (the
+    // corpus doubled; ranks and rrf shift) — stats are not frozen
+    assert(!emitted(1).sameElements(emitted(0)))
+  }
+
   test("tumbling window agg over a streamed events table matches batch groupBy") {
     val tmp = Files.createTempDirectory("graft-events").toString
     val src = s"$tmp/events"
