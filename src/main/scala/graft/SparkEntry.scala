@@ -352,7 +352,33 @@ object SparkEntry {
     // plan (one BM25 stats pass for the union of keywords; both legs ranked
     // through GroupedTopK; union+groupBy fusion)
     "q57_hybrid_batch" -> ((s, dir) =>
-      Engine.hybridSearchMany(Engine.ingest(docs(s, dir)), QBatch, 5)))
+      Engine.hybridSearchMany(Engine.ingest(docs(s, dir)), QBatch, 5)),
+    // extension: incremental int8-SQ index maintenance — build on 80% of the
+    // corpus, upsert the rest, probe. The oracle is q46's full-rebuild SQL:
+    // per-vector quantization makes upsert EXACTLY equal a rebuild, and this
+    // query proves it cross-engine.
+    "q58_sq8_upsert" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      Similarity.sqProbe(
+        Similarity.upsertSq(
+          Similarity.sqIndex(e.filter(col("vec_id") % 5 =!= 0)),
+          e.filter(col("vec_id") % 5 === 0)),
+        q, 3)
+    }),
+    // extension: incremental binary-quantization maintenance — same contract
+    // as q58 against q56's full-rebuild oracle.
+    "q59_bq_upsert" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      Similarity.bqProbe(
+        Similarity.upsertBq(
+          Similarity.bqIndex(e.filter(col("vec_id") % 5 =!= 0)),
+          e.filter(col("vec_id") % 5 === 0)),
+        e, q, 3)
+    }))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -431,6 +457,75 @@ object SparkEntry {
     list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) AS na,
     list_sum(list_transform(range(1, 65), i -> CAST(q.qe[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))) AS nb
   FROM embeddings e CROSS JOIN q),
+  sc AS (SELECT query_id, vec_id,
+    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END AS score FROM s),
+  r AS (SELECT query_id, vec_id,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
+    score FROM sc)
+SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
+
+  /** DuckDB: per-query int8-SQ top-3 (mirrors Similarity.sqTopK — per-vector
+    * symmetric quantization, scale = max|v|/127, half-even rounding,
+    * integer-dot cosine). Shared by q46 (build+probe) and q58 (incremental
+    * upsert): per-vector codes make upsert EXACTLY equal a full rebuild, so
+    * both queries must match this one full-corpus computation. */
+  private val sqTopKOracle: String = {
+    val codes = (e: String) =>
+      s"""list_transform($e, x -> CASE WHEN sc <= 0.0 OR isnan(sc) OR isinf(sc)
+          THEN CAST(0 AS TINYINT)
+          ELSE CAST(round_even(CAST(x AS DOUBLE) / sc, 0) AS TINYINT) END)"""
+    val idot = (a: String, b: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT)))"
+    s"""WITH qz AS (SELECT vec_id,
+      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc,
+      embedding FROM embeddings),
+  ic AS (SELECT vec_id, ${codes("embedding")} AS codes FROM qz),
+  qc AS (SELECT vec_id AS query_id, codes AS qcodes FROM ic WHERE vec_id < 5),
+  s AS (SELECT q.query_id, e.vec_id,
+      ${idot("e.codes", "q.qcodes")} AS dot,
+      ${idot("e.codes", "e.codes")} AS na,
+      ${idot("q.qcodes", "q.qcodes")} AS nb
+    FROM ic e CROSS JOIN qc q),
+  sc2 AS (SELECT query_id, vec_id,
+      CASE WHEN na = 0 OR nb = 0 THEN 0.0
+           ELSE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END AS score FROM s),
+  r AS (SELECT query_id, vec_id,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
+      score FROM sc2)
+SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
+  }
+
+  /** DuckDB: per-query binary-quantization top-3 (mirrors Similarity.bqTopK
+    * end-to-end — 63-bit sign sketches over the shared sha256("rp:t:i")
+    * hyperplanes, Hamming shortlist of 256 via bit_count(xor) with
+    * (hd asc, vec_id asc) tie order, exact cosine re-rank). The JVM decides
+    * each bit with `dot >= 0.0` (false for NaN); DuckDB orders NaN above all
+    * values, so NaN is guarded explicitly. Shared by q56 (build+probe) and
+    * q59 (incremental upsert — per-vector sketches make upsert == rebuild). */
+  private lazy val bqTopKOracle: String =
+    s"""WITH ${dkRpWn(63)},
+  dots AS (SELECT e.vec_id, w.t,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * w.wv[i])) AS v
+    FROM embeddings e CROSS JOIN rpw w),
+  codes AS (SELECT vec_id, CAST(coalesce(sum(
+        CASE WHEN isnan(v) THEN CAST(0 AS BIGINT)
+             WHEN v >= 0 THEN CAST(1 AS BIGINT) << CAST(t AS INTEGER)
+             ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS code
+    FROM dots GROUP BY vec_id),
+  qc AS (SELECT vec_id AS query_id, code AS qcode FROM codes WHERE vec_id < 5),
+  hd AS (SELECT q.query_id, c.vec_id,
+      CAST(bit_count(xor(c.code, q.qcode)) AS INTEGER) AS hd
+    FROM codes c CROSS JOIN qc q),
+  short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, vec_id ASC) AS sr
+    FROM hd) WHERE sr <= 256),
+  qset AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+  s AS (SELECT c.query_id, c.vec_id,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))) AS dot,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) AS na,
+    list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))) AS nb
+    FROM short c JOIN embeddings e ON c.vec_id = e.vec_id
+                 JOIN qset q ON c.query_id = q.query_id),
   sc AS (SELECT query_id, vec_id,
     CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END AS score FROM s),
   r AS (SELECT query_id, vec_id,
@@ -839,32 +934,10 @@ SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3""",
   3 AS channels
 FROM documents""",
     // Mirrors Similarity.sqTopK: per-vector symmetric int8 quantization
-    // (scale = max|v|/127, half-even rounding) + integer-dot cosine.
-    "q46_ann_sq8" -> {
-      val codes = (e: String) =>
-        s"""list_transform($e, x -> CASE WHEN sc <= 0.0 OR isnan(sc) OR isinf(sc)
-            THEN CAST(0 AS TINYINT)
-            ELSE CAST(round_even(CAST(x AS DOUBLE) / sc, 0) AS TINYINT) END)"""
-      val idot = (a: String, b: String) =>
-        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT)))"
-      s"""WITH qz AS (SELECT vec_id,
-      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc,
-      embedding FROM embeddings),
-  ic AS (SELECT vec_id, ${codes("embedding")} AS codes FROM qz),
-  qc AS (SELECT vec_id AS query_id, codes AS qcodes FROM ic WHERE vec_id < 5),
-  s AS (SELECT q.query_id, e.vec_id,
-      ${idot("e.codes", "q.qcodes")} AS dot,
-      ${idot("e.codes", "e.codes")} AS na,
-      ${idot("q.qcodes", "q.qcodes")} AS nb
-    FROM ic e CROSS JOIN qc q),
-  sc2 AS (SELECT query_id, vec_id,
-      CASE WHEN na = 0 OR nb = 0 THEN 0.0
-           ELSE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END AS score FROM s),
-  r AS (SELECT query_id, vec_id,
-      CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
-      score FROM sc2)
-SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
-    },
+    // (scale = max|v|/127, half-even rounding) + integer-dot cosine. Shared
+    // by q58 (incremental upsert): per-vector codes make upsert == rebuild.
+    "q46_ann_sq8" -> sqTopKOracle,
+    "q58_sq8_upsert" -> sqTopKOracle,
     // Mirrors Similarity.rpNearDupPairs: self-join on shared (t, bk),
     // exact cosine verification at 0.3.
     "q45_rp_pairs" ->
@@ -1024,37 +1097,10 @@ GROUP BY t.doc_id""",
     // 256 via bit_count(xor) with (hd asc, vec_id asc) tie order, exact
     // cosine re-rank of the shortlist. The JVM decides each bit with
     // `dot >= 0.0` (false for NaN); DuckDB orders NaN above all values, so
-    // NaN is guarded explicitly to keep the twins bit-identical.
-    "q56_ann_bq" ->
-      s"""WITH ${dkRpWn(63)},
-  dots AS (SELECT e.vec_id, w.t,
-      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * w.wv[i])) AS v
-    FROM embeddings e CROSS JOIN rpw w),
-  codes AS (SELECT vec_id, CAST(coalesce(sum(
-        CASE WHEN isnan(v) THEN CAST(0 AS BIGINT)
-             WHEN v >= 0 THEN CAST(1 AS BIGINT) << CAST(t AS INTEGER)
-             ELSE CAST(0 AS BIGINT) END), 0) AS BIGINT) AS code
-    FROM dots GROUP BY vec_id),
-  qc AS (SELECT vec_id AS query_id, code AS qcode FROM codes WHERE vec_id < 5),
-  hd AS (SELECT q.query_id, c.vec_id,
-      CAST(bit_count(xor(c.code, q.qcode)) AS INTEGER) AS hd
-    FROM codes c CROSS JOIN qc q),
-  short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
-      row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, vec_id ASC) AS sr
-    FROM hd) WHERE sr <= 256),
-  qset AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
-  s AS (SELECT c.query_id, c.vec_id,
-    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))) AS dot,
-    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) AS na,
-    list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))) AS nb
-    FROM short c JOIN embeddings e ON c.vec_id = e.vec_id
-                 JOIN qset q ON c.query_id = q.query_id),
-  sc AS (SELECT query_id, vec_id,
-    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END AS score FROM s),
-  r AS (SELECT query_id, vec_id,
-    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
-    score FROM sc)
-SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3""",
+    // NaN is guarded explicitly to keep the twins bit-identical. Shared by
+    // q59 (incremental upsert): per-vector sketches make upsert == rebuild.
+    "q56_ann_bq" -> bqTopKOracle,
+    "q59_bq_upsert" -> bqTopKOracle,
     // Mirrors Engine.hybridSearchMany: q32's vector-leg machinery, ONE
     // BM25 stats/tf pass over the union of every query's keywords, per-query
     // scores in each query's own term order (the f64 addition order both
