@@ -49,17 +49,26 @@ object Bench {
       val best = if (succeeded.nonEmpty) succeeded.min else attempts.map(_._2).min
       name -> (best, attempts.map(_._2))
     }
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + v }
+    // 3-decimal values: the driver's artifact keeps only the final ~2000
+    // output characters, and full-precision doubles over 59 queries pushed
+    // the JSON line past that window (BENCH_r03/r04 recorded parsed:null)
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + f"$v%.3f" }
       .mkString("{", ",", "}")
     // per-rep times per query: a contaminated run shows as wide rep spreads
-    // (healthy: < 30% per query) without needing a rerun to diagnose
+    // (healthy: < 30% per query) without needing a rerun to diagnose.
+    // Diagnostics go on their OWN line (and scroll out of the driver's tail
+    // window) so the machine-readable line below stays parseable.
     val repsJson = results.map { case (k, (_, ts)) =>
       s"\"" + k + "\":" + ts.map(t => f"$t%.3f").mkString("[", ",", "]")
     }.mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val avail = Runtime.getRuntime.availableProcessors
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","rep_times":$repsJson,"loadavg_start":$loadStart,"loadavg_end":$loadavg,"avail_cpus":$avail,"spark_cpus":"$cpus"}""")
+    val loadEnd = loadavg
+    println(s"""{"diag":"bench","rep_times":$repsJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"avail_cpus":$avail,"spark_cpus":"$cpus"}""")
     graft.operators.PlanCache.releaseAll(spark)
     spark.stop()
+    // printed LAST, after spark.stop(), so nothing lands between this line
+    // and the end of the program's stdout
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
   }
 }

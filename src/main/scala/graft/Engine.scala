@@ -186,7 +186,9 @@ object Engine {
     require(queries.nonEmpty && queries.forall(_.trim.nonEmpty))
     val spark = index.sparkSession
     import spark.implicits._
-    val q = queries.toDF("query")
+    // duplicates would double their rows into GroupedTopK and interleave
+    // ranks; results are keyed by query string, so dedup is result-neutral
+    val q = queries.distinct.toDF("query")
       .withColumn("qvec", hash_embed(col("query"), dim))
     val scored = index.crossJoin(broadcast(q))
       .withColumn("score", cosine_similarity(col("embedding"), col("qvec")))
@@ -272,7 +274,9 @@ object Engine {
                        nLeg: Int = 20, kRrf: Int = 60,
                        dim: Int = HashEmbed.DefaultDim): DataFrame = {
     require(queries.nonEmpty && queries.forall(_.trim.nonEmpty))
-    val norm = queries.map { q =>
+    // dedup for the same reason as searchMany: a repeated query string would
+    // feed duplicated leg rows into the per-query rankers
+    val norm = queries.distinct.map { q =>
       q -> q.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
         .map(_.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty).distinct
     }

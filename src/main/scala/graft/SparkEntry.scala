@@ -22,6 +22,11 @@ object SparkEntry {
 
   private val Q = "transfer credits" // test_api.sh:52-56 fixture query
 
+  /** Single-quote-escape a string for interpolation into a SQL literal —
+    * the current fixtures are apostrophe-free, but a future fixture query
+    * containing one would otherwise silently break the oracle SQL. */
+  private def sqlLit(s: String): String = s.replace("'", "''")
+
   /** Batch-search fixture set: both smoke-script queries + extras. */
   private val QBatch = Seq(
     "transfer credits",
@@ -781,7 +786,7 @@ FROM jac j JOIN cand USING (doc_a, doc_b) WHERE j.jaccard >= 0.5""",
 SELECT doc_a, doc_b, CAST(bit_count(xor(sig_a, sig_b)) AS INTEGER) AS hamming
 FROM cand WHERE bit_count(xor(sig_a, sig_b)) <= 3""",
     "q32_search_batch" -> {
-      val valuesList = QBatch.map(q => s"('$q')").mkString(", ")
+      val valuesList = QBatch.map(q => s"('${sqlLit(q)}')").mkString(", ")
       s"""WITH $dkChunks,
   chex AS (SELECT id, source, text, sha256(text) AS hx FROM chunks),
   cvec AS (SELECT id, source, text, ${dkVec("hx")} AS emb FROM chex),
@@ -1124,9 +1129,9 @@ GROUP BY t.doc_id""",
           s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
               * (tf_$i * 2.2) / (tf_$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"""
         }.mkString(" + ")
-        s"SELECT '$q' AS query, id, round($score, 6) AS bm25 FROM ctf CROSS JOIN cstats"
+        s"SELECT '${sqlLit(q)}' AS query, id, round($score, 6) AS bm25 FROM ctf CROSS JOIN cstats"
       }.mkString("\n    UNION ALL ")
-      val valuesList = QBatch.map(q => s"('$q')").mkString(", ")
+      val valuesList = QBatch.map(q => s"('${sqlLit(q)}')").mkString(", ")
       s"""WITH $dkChunks,
   chex AS (SELECT id, source, text, sha256(text) AS hx FROM chunks),
   cvec AS (SELECT id, source, text, ${dkVec("hx")} AS emb FROM chex),

@@ -199,24 +199,37 @@ object Similarity {
 
   /** Persisted-index form of `upsertIvf`: rewrite ONLY the cell partitions
     * the delta touches (dynamic partition overwrite — the `Engine.writeIndex`
-    * machinery), leaving every untouched cell's files in place. The merged
-    * rows materialize (MEMORY_AND_DISK) before the write because the write
-    * overwrites partitions it is also reading. */
+    * machinery), leaving every untouched cell's files in place.
+    *
+    * "Touched" must include BOTH the delta ids' NEW cells (where re-assigned
+    * rows land) and their OLD cells (where the stale rows being replaced
+    * live) — a delta whose updated embedding moves a vector to a different
+    * cell would otherwise leave the stale row in an unrewritten partition,
+    * and the index would answer probes with both versions of the id.
+    *
+    * The merged rows are staged to a temp directory and the overwrite runs
+    * from that materialized copy: a cache (persist+count) is NOT durable —
+    * lost blocks would recompute the lineage against partially-overwritten
+    * files mid-write and corrupt the index. */
   def upsertIvfAt(spark: org.apache.spark.sql.SparkSession, path: String,
                   delta: DataFrame): Unit = {
     val idx = loadIvfIndex(spark, path)
     val assigned = assignCells(delta, idx.centroids)
-    val touched = assigned.select("cell").distinct()
+    val oldCells = idx.assignments
+      .join(broadcast(delta.select("vec_id")), Seq("vec_id"))
+      .select("cell")
+    val touched = assigned.select("cell").unionByName(oldCells).distinct()
     val kept = idx.assignments.join(broadcast(touched), Seq("cell"))
-      .join(delta.select("vec_id"), Seq("vec_id"), "left_anti")
+      .join(broadcast(delta.select("vec_id")), Seq("vec_id"), "left_anti")
       .select("vec_id", "embedding", "cell")
-    val merged = assigned.unionByName(kept)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    merged.count() // materialize: the write replaces files this plan reads
-    merged.write.mode("overwrite")
+    val tmp = s"$path/assignments__staging"
+    assigned.unionByName(kept).write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(s"$path/assignments")
-    merged.unpersist()
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
   /** Incremental int8-SQ maintenance: per-vector quantization means a delta

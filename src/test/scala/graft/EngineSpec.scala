@@ -128,6 +128,16 @@ class EngineSpec extends AnyFunSuite {
     }
   }
 
+  test("searchMany / hybridSearchMany: duplicate query strings do not corrupt ranks") {
+    val qs = Seq("transfer credits", "transfer credits", "spark window agg")
+    val dup = Engine.searchMany(index, qs, 3).collect().map(_.toString).sorted
+    val uniq = Engine.searchMany(index, qs.distinct, 3).collect().map(_.toString).sorted
+    assert(dup.sameElements(uniq))
+    val hDup = Engine.hybridSearchMany(index, qs, 3).collect().map(_.toString).sorted
+    val hUniq = Engine.hybridSearchMany(index, qs.distinct, 3).collect().map(_.toString).sorted
+    assert(hDup.sameElements(hUniq))
+  }
+
   test("stats: per-source counts sum to total; dimension constant") {
     val bySource = Engine.statsBySource(index).as[(String, Long)].collect().toMap
     val total = Engine.statsTotal(index).collect()(0)

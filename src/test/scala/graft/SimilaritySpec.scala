@@ -244,6 +244,35 @@ class SimilaritySpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("upsertIvfAt: a delta whose new embedding moves to a DIFFERENT cell replaces the stale row") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf-mv").toString + "/idx"
+    val built = Similarity.ivfIndex(emb, 8)
+    built.save(dir)
+    val cellOf = built.assignments.select($"vec_id", $"cell")
+      .as[(Long, Int)].collect().toMap
+    // pick a donor id living in a different cell than vec 1, and give vec 1
+    // the donor's embedding — the re-assigned delta lands in the donor's
+    // cell, while vec 1's stale row sits in its OLD cell's partition
+    val donor = cellOf.find { case (id, c) => id != 1L && c != cellOf(1L) }.get._1
+    val donorEmb = emb.filter($"vec_id" === donor)
+      .select($"embedding").as[Array[Float]].head()
+    val delta = Seq((1L, donorEmb)).toDF("vec_id", "embedding")
+    Similarity.upsertIvfAt(spark, dir, delta)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    // replace-by-id: total count constant, exactly ONE row for the id, and
+    // it lives in the donor's cell — the old cell holds no stale duplicate
+    assert(loaded.assignments.count() == emb.count(), "stale row left in the old cell")
+    val rows = loaded.assignments.filter($"vec_id" === 1L)
+      .select($"cell").as[Int].collect()
+    assert(rows.toSeq == Seq(cellOf(donor)), s"expected one row in cell ${cellOf(donor)}, got ${rows.toSeq}")
+    // and the persisted result equals the (globally anti-joining) in-memory form
+    val mem = Similarity.upsertIvf(built, delta)
+    val a = mem.assignments.select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    val b = loaded.assignments.select($"vec_id", $"cell").as[(Long, Int)].collect().toMap
+    assert(a == b)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("bq index roundtrip: saved+loaded index probes identically to direct") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bq").toString
     val idx = Similarity.bqIndex(emb)
