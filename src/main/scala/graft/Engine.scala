@@ -200,6 +200,88 @@ object Engine {
         col("text"), col("score"))
   }
 
+  /** Metadata-filtered search: the flagship search with an arbitrary
+    * query-time predicate applied BELOW scoring — the filter sits between
+    * the scan and the per-partition top-k, so Catalyst pushes it into the
+    * parquet scan (partition pruning for `source` predicates on a persisted
+    * index, PushedFilters for data columns) and only surviving rows are
+    * ever embedded-scored. The reference's vector store accepts query-time
+    * metadata filters that the service layer never exercises (SURVEY §2.2
+    * "absent"); this is that contract made real. */
+  def searchWhere(index: DataFrame, query: String, predicate: Column,
+                  k: Int = 5, dim: Int = HashEmbed.DefaultDim): DataFrame =
+    search(index.filter(predicate), query, k, dim)
+
+  /** Diversified search: at most `perSource` chunks per source may appear in
+    * the final ranking — the "don't return five chunks of the same document"
+    * result mode. Per-source winners come from the GroupedTopK physical
+    * operator (bounded per-source heaps — no global window, no full sort);
+    * the cross-source final top-k is TakeOrderedAndProject. Total order:
+    * (score desc, id asc) at both levels. */
+  def searchDiverse(index: DataFrame, query: String, k: Int = 5,
+                    perSource: Int = 1,
+                    dim: Int = HashEmbed.DefaultDim): DataFrame = {
+    require(query.trim.nonEmpty, "Query cannot be empty")
+    val scored = score(index, hash_embed(lit(query), dim))
+      .filter(length(col("text")) > 0)
+      .select(col("id"), col("source"), col("text"), col("score"))
+    graft.plans.GroupedTopK(scored, Seq(col("source")),
+        Seq(desc("score"), asc("id")), perSource)
+      .orderBy(desc("score"), asc("id")).limit(k)
+      .select(col("id"), col("source"), col("text"), col("score"))
+  }
+
+  /** Range (radius) search: every chunk scoring at least `minScore` against
+    * the query — the thresholded twin of top-k (vector stores expose both;
+    * "give me all matches above 0.8", unbounded k). The plan is scan →
+    * score → filter: no sort, no shuffle, output size is the matches
+    * themselves. Callers needing ranks compose a top-k on the result. */
+  def searchRadius(index: DataFrame, query: String, minScore: Double,
+                   dim: Int = HashEmbed.DefaultDim): DataFrame = {
+    require(query.trim.nonEmpty, "Query cannot be empty")
+    score(index, hash_embed(lit(query), dim))
+      .filter(length(col("text")) > 0 && col("score") >= minScore)
+      .select(col("id"), col("source"), col("score"))
+  }
+
+  /** Facet counts over the candidate set: per-source hit count and best
+    * score among the query's top `n` candidates — the "group results by
+    * document" sidebar of a search UI. Top-n is TakeOrderedAndProject (only
+    * n rows cross the exchange at any corpus size); the facet aggregation
+    * then runs over those n rows alone. */
+  def searchFacets(index: DataFrame, query: String, n: Int = 100,
+                   dim: Int = HashEmbed.DefaultDim): DataFrame = {
+    require(query.trim.nonEmpty, "Query cannot be empty")
+    score(index, hash_embed(lit(query), dim))
+      .filter(length(col("text")) > 0)
+      .orderBy(desc("score"), asc("id")).limit(n)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_hits"), round(max(col("score")), 4).as("best_score"))
+  }
+
+  /** Delete every chunk of the given sources — the document-removal half of
+    * the index lifecycle (ingest/upsert put rows in; this takes them out).
+    * In-memory form: a partition-prunable NOT-IN filter. */
+  def deleteBySource(index: DataFrame, sources: Seq[String]): DataFrame = {
+    require(sources.nonEmpty, "no sources to delete")
+    index.filter(!col("source").isin(sources: _*))
+  }
+
+  /** Delete-by-id: broadcast anti-join against the id set — replace-by-id
+    * upsert's other half, for chunk-granular removal. */
+  def deleteByIds(index: DataFrame, ids: DataFrame): DataFrame =
+    index.join(broadcast(ids.select("id")), Seq("id"), "left_anti")
+
+  /** Persisted delete: drop a source's partition directory from the
+    * source-partitioned index table — O(1) file-system metadata work, no
+    * rewrite of surviving rows (the same reason `writeIndex` partitions by
+    * source in the first place). */
+  def deleteSourceAt(spark: SparkSession, path: String, source: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/source=$source")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(p, true)
+  }
+
   /** Hybrid search: reciprocal-rank fusion of the vector leg (flagship
     * cosine top-k) and a BM25 lexical leg over the same index — the hybrid
     * retrieval mode production vector stores pair with pure ANN (keyword

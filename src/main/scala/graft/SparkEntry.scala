@@ -383,7 +383,41 @@ object SparkEntry {
           Similarity.bqIndex(e.filter(col("vec_id") % 5 =!= 0)),
           e.filter(col("vec_id") % 5 === 0)),
         e, q, 3)
-    }))
+    }),
+    // extension: metadata-filtered search — the query-time predicate the
+    // reference's store supports but never exercises, pushed below scoring
+    "q60_filtered_search" -> ((s, dir) => {
+      val hits = Engine.searchWhere(Engine.ingest(docs(s, dir)), Q,
+        col("doc_id") % 3 === 0, 5)
+      hits.withColumn("rnk",
+          row_number().over(Window.partitionBy(lit(1)).orderBy(desc("score"), asc("id"))))
+        .select(col("rnk"), col("id"), col("source"), col("text"),
+          round(col("score"), 4).as("score"))
+    }),
+    // extension: diversified search — best chunk per source, then top-k
+    // across sources (GroupedTopK + TakeOrderedAndProject)
+    "q61_diverse_search" -> ((s, dir) =>
+      Engine.searchDiverse(Engine.ingest(docs(s, dir)), Q, 5)
+        .select(col("id"), col("source"), round(col("score"), 4).as("score"))),
+    // extension: range (radius) search — all chunks above a score
+    // threshold; a filter, not a top-k: no sort anywhere in the plan
+    "q62_range_search" -> ((s, dir) =>
+      Engine.searchRadius(Engine.ingest(docs(s, dir)), Q, 0.3)
+        .select(col("id"), col("source"), round(col("score"), 4).as("score"))),
+    // extension: facet counts over the top-100 candidate set
+    "q63_facet_counts" -> ((s, dir) =>
+      Engine.searchFacets(Engine.ingest(docs(s, dir)), Q, 100)),
+    // extension: document deletion — the index lifecycle's removal half;
+    // delete two sources, then the stats aggregation proves what remains
+    "q64_delete_source" -> ((s, dir) =>
+      Engine.statsBySource(
+        Engine.deleteBySource(Engine.chunks(docs(s, dir)), Seq("src3", "src7")))),
+    // extension: MMR re-rank — greedy relevance-vs-redundancy selection over
+    // the top-20 shortlist; deterministic end-to-end, oracle unrolls the
+    // five selection steps in SQL
+    "q65_mmr_rerank" -> ((s, dir) =>
+      graft.operators.Rerank.mmrRerank(Engine.ingest(docs(s, dir)), Q,
+        k = 5, m = 20, lambda = 0.7)))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -1162,5 +1196,76 @@ GROUP BY t.doc_id""",
       CAST(row_number() OVER (PARTITION BY query ORDER BY rrf DESC, id ASC) AS INTEGER) AS "rank"
     FROM fused)
 SELECT query, "rank", id, rnk_vec, rnk_lex, round(rrf, 6) AS rrf FROM r WHERE "rank" <= 5"""
+    },
+    // q06's pipeline with the metadata predicate applied pre-scoring
+    "q60_filtered_search" ->
+      s"""WITH $dkChunks,
+  chex AS (SELECT id, source, text, sha256(text) AS hx FROM chunks WHERE doc_id % 3 = 0),
+  cvec AS (SELECT id, source, text, ${dkVec("hx")} AS emb FROM chex),
+  q AS (SELECT ${dkVec("sha256('transfer credits')")} AS qv),
+  scored AS (SELECT c.id, c.source, c.text,
+      ${dkDot("c.emb", "q.qv")} / (sqrt(${dkDot("c.emb", "c.emb")}) * sqrt(${dkDot("q.qv", "q.qv")})) AS score
+    FROM cvec c CROSS JOIN q WHERE length(c.text) > 0)
+SELECT CAST(row_number() OVER (ORDER BY score DESC, id ASC) AS INTEGER) AS rnk,
+       id, source, text, round(score, 4) AS score
+FROM scored ORDER BY score DESC, id ASC LIMIT 5""",
+    "q61_diverse_search" ->
+      s"""$dkScored,
+  best AS (SELECT id, source, score,
+      row_number() OVER (PARTITION BY source ORDER BY score DESC, id ASC) AS rn
+    FROM scored)
+SELECT id, source, round(score, 4) AS score
+FROM best WHERE rn = 1 ORDER BY score DESC, id ASC LIMIT 5""",
+    "q62_range_search" ->
+      s"""$dkScored
+SELECT id, source, round(score, 4) AS score FROM scored WHERE score >= 0.3""",
+    "q63_facet_counts" ->
+      s"""$dkScored,
+  top AS (SELECT * FROM scored ORDER BY score DESC, id ASC LIMIT 100)
+SELECT source, count(*) AS n_hits, round(max(score), 4) AS best_score
+FROM top GROUP BY source""",
+    "q64_delete_source" ->
+      s"""WITH $dkChunks
+SELECT source, count(*) AS vector_count FROM chunks
+WHERE source NOT IN ('src3', 'src7') GROUP BY source""",
+    // MMR: the five greedy selection steps unrolled — each step picks the
+    // argmax of lambda*rel - (1-lambda)*max(0, max sim to selected) over the
+    // not-yet-selected shortlist, ties to the lower id; the float constants
+    // interpolate from the SAME Scala doubles the operator computes with
+    // (1.0 - 0.7 is 0.30000000000000004 in binary, not 0.3)
+    "q65_mmr_rerank" -> {
+      val lam = 0.7
+      val om = 1.0 - lam
+      // pairwise sims as a plain join table: DuckDB cannot capture
+      // correlated outer columns inside list-lambda expressions, so the
+      // greedy steps look sims up by id instead of recomputing dots inline
+      val simAB = s"${dkDot("a.emb", "b.emb")} / (sqrt(${dkDot("a.emb", "a.emb")}) * sqrt(${dkDot("b.emb", "b.emb")}))"
+      val steps = (2 to 5).map { i =>
+        val prev = (1 until i).map(j => s"SELECT id FROM s$j").mkString(" UNION ALL ")
+        s"""  s$i AS (SELECT c.id, c.source, c.score,
+      $lam * c.score - $om * greatest(0.0,
+        (SELECT max(sim) FROM sims WHERE sims.ia = c.id AND sims.ib IN ($prev))) AS mmr
+    FROM short c WHERE c.id NOT IN ($prev)
+    ORDER BY mmr DESC, id ASC LIMIT 1)"""
+      }.mkString(",\n")
+      val sel = (1 to 5).map(i =>
+        s"""SELECT $i AS "rank", id, source, score, mmr FROM s$i""")
+        .mkString("\n  UNION ALL ")
+      s"""WITH $dkChunks,
+  chex AS (SELECT id, source, text, sha256(text) AS hx FROM chunks),
+  cvec AS (SELECT id, source, text, ${dkVec("hx")} AS emb FROM chex),
+  qq AS (SELECT ${dkVec("sha256('transfer credits')")} AS qv),
+  scored AS (SELECT c.id, c.source, c.emb,
+      ${dkDot("c.emb", "qq.qv")} / (sqrt(${dkDot("c.emb", "c.emb")}) * sqrt(${dkDot("qq.qv", "qq.qv")})) AS score
+    FROM cvec c CROSS JOIN qq WHERE length(c.text) > 0),
+  short AS (SELECT * FROM scored ORDER BY score DESC, id ASC LIMIT 20),
+  sims AS (SELECT a.id AS ia, b.id AS ib, $simAB AS sim
+    FROM short a JOIN short b ON a.id <> b.id),
+  s1 AS (SELECT id, source, score, $lam * score AS mmr FROM short
+    ORDER BY mmr DESC, id ASC LIMIT 1),
+$steps,
+  all_sel AS ($sel)
+SELECT CAST("rank" AS INTEGER) AS "rank", id, source,
+       round(score, 4) AS relevance, round(mmr, 6) AS mmr FROM all_sel"""
     })
 }

@@ -138,6 +138,84 @@ class EngineSpec extends AnyFunSuite {
     assert(hDup.sameElements(hUniq))
   }
 
+  test("searchWhere: equals search over the pre-filtered index; never returns filtered-out rows") {
+    val pred = col("doc_id") % 3 === 0
+    val got = Engine.searchWhere(index, "transfer credits", pred, 5)
+      .collect().map(_.toString)
+    val ref = Engine.search(index.filter(pred), "transfer credits", 5)
+      .collect().map(_.toString)
+    assert(got.sameElements(ref) && got.length == 5)
+    val okIds = index.filter(pred).select("id").as[String].collect().toSet
+    val gotRows = Engine.searchWhere(index, "transfer credits", pred, 5)
+      .select("id").as[String].collect()
+    assert(gotRows.forall(okIds.contains))
+  }
+
+  test("searchDiverse: at most one chunk per source; equals window-based reference") {
+    val got = Engine.searchDiverse(index, "transfer credits", 5)
+      .select($"id", $"source", $"score").as[(String, String, Double)].collect()
+    assert(got.map(_._2).distinct.length == got.length, "duplicate source in diversified top-k")
+    import org.apache.spark.sql.expressions.Window
+    val scored = Engine.score(index, GraftFunctions.hash_embed(lit("transfer credits"), 1024))
+      .filter(length($"text") > 0)
+    val ref = scored
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"source").orderBy(desc("score"), asc("id"))))
+      .filter($"rn" === 1)
+      .orderBy(desc("score"), asc("id")).limit(5)
+      .select($"id", $"source", $"score").as[(String, String, Double)].collect()
+    assert(got.toSeq == ref.toSeq)
+  }
+
+  test("searchRadius: exactly the rows at or above the threshold; no sort in the plan") {
+    val t = 0.2
+    val got = Engine.searchRadius(index, "transfer credits", t)
+    val rows = got.select($"id", $"score").as[(String, Double)].collect()
+    assert(rows.nonEmpty && rows.forall(_._2 >= t))
+    val full = Engine.score(index, GraftFunctions.hash_embed(lit("transfer credits"), 1024))
+      .filter(length($"text") > 0)
+      .select($"id", $"score").as[(String, Double)].collect()
+    assert(rows.map(_._1).toSet == full.filter(_._2 >= t).map(_._1).toSet)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Sort") && !plan.contains("Exchange"), plan)
+  }
+
+  test("searchFacets: per-source counts over top-n sum to n; best_score matches top hit") {
+    val n = 50
+    val facets = Engine.searchFacets(index, "transfer credits", n)
+      .as[(String, Long, Double)].collect()
+    assert(facets.map(_._2).sum == n)
+    val top1 = Engine.search(index, "transfer credits", 1).collect()(0)
+    val bestSrc = top1.getAs[String]("source")
+    val bestScore = BigDecimal(top1.getAs[Double]("score"))
+      .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(facets.find(_._1 == bestSrc).get._3 == bestScore)
+  }
+
+  test("deleteBySource / deleteByIds: removal halves of the lifecycle") {
+    val deleted = Engine.deleteBySource(index, Seq("src3"))
+    assert(deleted.filter($"source" === "src3").count() == 0)
+    assert(deleted.count() == index.count() - index.filter($"source" === "src3").count())
+    val ids = index.filter($"doc_id" === 0L).select("id")
+    val byId = Engine.deleteByIds(index, ids)
+    assert(byId.count() == index.count() - ids.count())
+    assert(byId.join(ids, Seq("id")).count() == 0)
+  }
+
+  test("deleteSourceAt: drops exactly one partition directory from a persisted index") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-del").toString + "/idx"
+    Engine.writeIndex(index, dir)
+    val before = Engine.readIndex(spark, dir).count()
+    val srcCount = Engine.readIndex(spark, dir).filter($"source" === "src5").count()
+    assert(srcCount > 0)
+    Engine.deleteSourceAt(spark, dir, "src5")
+    val after = Engine.readIndex(spark, dir)
+    assert(after.count() == before - srcCount)
+    assert(after.filter($"source" === "src5").count() == 0)
+    assert(!new java.io.File(s"$dir/source=src5").exists())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("stats: per-source counts sum to total; dimension constant") {
     val bySource = Engine.statsBySource(index).as[(String, Long)].collect().toMap
     val total = Engine.statsTotal(index).collect()(0)
