@@ -91,6 +91,37 @@ object ScaleRehearsal {
     }
     runEv("1x", ev1)
     runEv(s"${k}x", evK)
+
+    // search-surface operators over an ingested index: per-query work must
+    // stay flat (shortlists / top-k are corpus-size-independent in OUTPUT),
+    // with only the one scan+score pass growing linearly in the corpus
+    val docsSrc1 = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select("doc_id", "text", "source")
+    val docsSrcK = replicate(docsSrc1, "doc_id").cache()
+    val qs = Seq("transfer credits", "spark window agg", "customer order batch")
+    def runSearch(tag: String, docs: DataFrame): Unit = {
+      val index = graft.Engine.ingest(docs).cache()
+      index.count()
+      time(s"$tag searchMany") {
+        graft.Engine.searchMany(index, qs, 5).queryExecution.toRdd.count() }
+      time(s"$tag hybridMany") {
+        graft.Engine.hybridSearchMany(index, qs, 5).queryExecution.toRdd.count() }
+      time(s"$tag mmrMany") {
+        graft.operators.Rerank.mmrRerankMany(index, qs, 5, 20)
+          .queryExecution.toRdd.count() }
+      time(s"$tag radius") {
+        graft.Engine.searchRadius(index, "transfer credits", 0.3)
+          .queryExecution.toRdd.count() }
+      time(s"$tag facets") {
+        graft.Engine.searchFacets(index, "transfer credits", 100)
+          .queryExecution.toRdd.count() }
+      time(s"$tag diverse") {
+        graft.Engine.searchDiverse(index, "transfer credits", 5)
+          .queryExecution.toRdd.count() }
+      index.unpersist()
+    }
+    runSearch("1x", docsSrc1)
+    runSearch(s"${k}x", docsSrcK)
     spark.stop()
   }
 }
