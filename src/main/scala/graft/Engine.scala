@@ -107,6 +107,39 @@ object Engine {
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(indexSchema).parquet(path)
 
+  /** Compact the index's small files: every `source=` partition holding more
+    * than `maxFiles` data files is rewritten as ONE file (a source partition
+    * is one document's chunks — always small; the file count grows by one
+    * per upsert batch, and reader overhead at 100 TB is per-FILE, not
+    * per-byte). Only oversized partitions are touched. The rewrite stages
+    * through a temp dir (same durability argument as `upsertIvfAt`), and
+    * `repartition(col("source"))` hash-routes each source's rows to a single
+    * task, so dynamic overwrite emits exactly one file per source.
+    * Returns the compacted source names. */
+  def compactIndexAt(spark: SparkSession, path: String,
+                     maxFiles: Int = 1): Seq[String] = {
+    val root = new org.apache.hadoop.fs.Path(path)
+    val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val oversized = fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("source="))
+      .filter(s => fs.listStatus(s.getPath)
+        .count(f => f.getPath.getName.endsWith(".parquet")) > maxFiles)
+      .map(_.getPath.getName.stripPrefix("source="))
+    if (oversized.nonEmpty) {
+      val rows = readIndex(spark, path)
+        .filter(col("source").isin(oversized: _*))
+      val tmp = s"$path/__compact_staging"
+      rows.write.mode("overwrite").parquet(tmp)
+      spark.read.parquet(tmp)
+        .repartition(col("source"))
+        .write.mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .partitionBy("source").parquet(path)
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    oversized
+  }
+
   /** Score every chunk against an already-embedded query vector. */
   def score(index: DataFrame, queryVec: Column): DataFrame =
     index.withColumn("score", cosine_similarity(col("embedding"), queryVec))
@@ -211,6 +244,22 @@ object Engine {
   def searchWhere(index: DataFrame, query: String, predicate: Column,
                   k: Int = 5, dim: Int = HashEmbed.DefaultDim): DataFrame =
     search(index.filter(predicate), query, k, dim)
+
+  /** Paginated search: page `page` (0-based) of the ranking, `pageSize` rows
+    * per page — the scroll-through-results API shape. offset+limit compile
+    * into one TakeOrderedAndProject (each partition keeps only
+    * offset+pageSize candidate rows; only that many cross to the driver), so
+    * deep pages cost O(offset+pageSize), never a full sort. */
+  def searchPage(index: DataFrame, query: String, page: Int, pageSize: Int = 5,
+                 dim: Int = HashEmbed.DefaultDim): DataFrame = {
+    require(query.trim.nonEmpty, "Query cannot be empty")
+    require(page >= 0 && pageSize > 0, s"bad page spec: page=$page size=$pageSize")
+    score(index, hash_embed(lit(query), dim))
+      .filter(length(col("text")) > 0)
+      .orderBy(desc("score"), asc("id"))
+      .offset(page * pageSize).limit(pageSize)
+      .select(col("id"), col("source"), col("text"), col("score"))
+  }
 
   /** Diversified search: at most `perSource` chunks per source may appear in
     * the final ranking — the "don't return five chunks of the same document"

@@ -417,7 +417,12 @@ object SparkEntry {
     // five selection steps in SQL
     "q65_mmr_rerank" -> ((s, dir) =>
       graft.operators.Rerank.mmrRerank(Engine.ingest(docs(s, dir)), Q,
-        k = 5, m = 20, lambda = 0.7)))
+        k = 5, m = 20, lambda = 0.7)),
+    // extension: paginated search — page 2 (rows 11-15) of the ranking;
+    // offset+limit fold into one TakeOrderedAndProject
+    "q66_search_page" -> ((s, dir) =>
+      Engine.searchPage(Engine.ingest(docs(s, dir)), Q, page = 2, pageSize = 5)
+        .select(col("id"), col("source"), round(col("score"), 4).as("score"))))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -1267,5 +1272,11 @@ $steps,
   all_sel AS ($sel)
 SELECT CAST("rank" AS INTEGER) AS "rank", id, source,
        round(score, 4) AS relevance, round(mmr, 6) AS mmr FROM all_sel"""
-    })
+    },
+    "q66_search_page" ->
+      s"""$dkScored,
+  r AS (SELECT id, source, score,
+      row_number() OVER (ORDER BY score DESC, id ASC) AS rn FROM scored)
+SELECT id, source, round(score, 4) AS score
+FROM r WHERE rn BETWEEN 11 AND 15""")
 }

@@ -216,6 +216,48 @@ class EngineSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("searchPage: pages tile the ranking exactly; offset folds into TakeOrderedAndProject") {
+    val all = Engine.search(index, "transfer credits", 15)
+      .select($"id").as[String].collect().toSeq
+    val paged = (0 until 3).flatMap { p =>
+      Engine.searchPage(index, "transfer credits", p, 5)
+        .select($"id").as[String].collect()
+    }
+    assert(paged == all, "pages must tile the top-15 ranking")
+    val plan = Engine.searchPage(index, "transfer credits", 2, 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
+  test("compactIndexAt: oversized partitions collapse to one file; rows identical; small ones untouched") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/idx"
+    // a many-shuffle-partition write scatters each source across files
+    Engine.writeIndex(index.repartition(8), dir)
+    def files(src: String): Set[String] = {
+      val d = new java.io.File(s"$dir/source=$src")
+      d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet
+    }
+    assert(files("src1").size > 1, "fixture must start fragmented")
+    val before = Engine.readIndex(spark, dir).collect().map(_.toString).sorted
+    // one source is pre-compacted to a single file and must not be rewritten
+    Engine.compactIndexAt(spark, dir)
+    val onceFiles = files("src2")
+    assert(onceFiles.size == 1)
+    // re-fragment every OTHER source by upserting them back fragmented
+    val refrag = Engine.readIndex(spark, dir).filter($"source" =!= "src2").repartition(8)
+    refrag.write.mode("overwrite").option("partitionOverwriteMode", "dynamic")
+      .partitionBy("source").parquet(dir)
+    assert(files("src1").size > 1)
+    val compacted = Engine.compactIndexAt(spark, dir)
+    assert(!compacted.contains("src2"), "already-compact partition rewritten")
+    assert(files("src2") == onceFiles, "untouched partition's files changed")
+    assert(files("src1").size == 1)
+    val after = Engine.readIndex(spark, dir).collect().map(_.toString).sorted
+    assert(after.sameElements(before), "compaction altered the data")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("stats: per-source counts sum to total; dimension constant") {
     val bySource = Engine.statsBySource(index).as[(String, Long)].collect().toMap
     val total = Engine.statsTotal(index).collect()(0)
