@@ -107,6 +107,67 @@ object Engine {
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(indexSchema).parquet(path)
 
+  /** Latest committed index version under a versioned root, from the
+    * `_LATEST` pointer file; None before the first commit. */
+  def latestVersion(spark: SparkSession, root: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_LATEST")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** Zero-downtime reindex: write the new index as the NEXT `v=<n>`
+    * directory while readers keep serving the current one, then flip the
+    * tiny `_LATEST` pointer (staged + rename — the cheap-to-make-atomic
+    * step; on HDFS/object stores with atomic rename the flip is atomic,
+    * and a failed build never corrupts the serving version because it
+    * never touched it). Returns the committed version number. */
+  def writeIndexVersioned(index: DataFrame, root: String): Int = {
+    val spark = index.sparkSession
+    val next = latestVersion(spark, root).getOrElse(0) + 1
+    writeIndex(index, s"$root/v=$next")
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_LATEST.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/_LATEST")
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    fs.rename(tmp, ptr)
+    next
+  }
+
+  /** Read the latest committed version of a versioned index (a specific
+    * older version stays readable as `readIndex(spark, s"$root/v=$n")` —
+    * pinning for reproducible reruns). */
+  def readIndexLatest(spark: SparkSession, root: String): DataFrame = {
+    val v = latestVersion(spark, root).getOrElse(
+      throw new IllegalStateException(s"no committed index version under $root"))
+    readIndex(spark, s"$root/v=$v")
+  }
+
+  /** Drop all but the newest `keep` committed versions (reclaim space after
+    * reindexes); never touches the serving version. Returns dropped ones. */
+  def pruneIndexVersions(spark: SparkSession, root: String,
+                         keep: Int = 2): Seq[Int] = {
+    require(keep >= 1, "must keep at least the serving version")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val versions = fs.listStatus(rootP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("v="))
+      .map(_.getPath.getName.stripPrefix("v=").toInt).sorted
+    val drop = versions.dropRight(keep)
+    drop.foreach(v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/v=$v"), true))
+    drop
+  }
+
   /** Compact the index's small files: every `source=` partition holding more
     * than `maxFiles` data files is rewritten as ONE file (a source partition
     * is one document's chunks — always small; the file count grows by one

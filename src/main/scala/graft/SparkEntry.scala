@@ -422,7 +422,15 @@ object SparkEntry {
     // offset+limit fold into one TakeOrderedAndProject
     "q66_search_page" -> ((s, dir) =>
       Engine.searchPage(Engine.ingest(docs(s, dir)), Q, page = 2, pageSize = 5)
-        .select(col("id"), col("source"), round(col("score"), 4).as("score"))))
+        .select(col("id"), col("source"), round(col("score"), 4).as("score"))),
+    // extension: composite ANN — deterministic rp-LSH coarse stage + int8
+    // fine stage (the IVF-SQ composition with both halves hash-checkable)
+    "q67_ann_rp_sq8" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      Similarity.rpSqTopK(e, q, 3)
+    }))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -1278,5 +1286,40 @@ SELECT CAST("rank" AS INTEGER) AS "rank", id, source,
   r AS (SELECT id, source, score,
       row_number() OVER (ORDER BY score DESC, id ASC) AS rn FROM scored)
 SELECT id, source, round(score, 4) AS score
-FROM r WHERE rn BETWEEN 11 AND 15""")
+FROM r WHERE rn BETWEEN 11 AND 15""",
+    // q44's candidate CTEs composed with q46's int8 scoring: the coarse
+    // stage's (table, bucket) equi-join prunes, the fine stage scores the
+    // survivors with quantized codes only
+    "q67_ann_rp_sq8" -> {
+      val codes = (e: String) =>
+        s"""list_transform($e, x -> CASE WHEN sc <= 0.0 OR isnan(sc) OR isinf(sc)
+            THEN CAST(0 AS TINYINT)
+            ELSE CAST(round_even(CAST(x AS DOUBLE) / sc, 0) AS TINYINT) END)"""
+      val idot = (a: String, b: String) =>
+        s"list_sum(list_transform(range(1, 65), i -> CAST($a[i] AS BIGINT) * CAST($b[i] AS BIGINT)))"
+      s"""WITH $dkRpW,
+  qset AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+  ${dkRpBuckets("ib", "embeddings", "vec_id", "embedding")},
+  ${dkRpBuckets("qb", "qset", "query_id", "embedding")},
+  cand AS (SELECT DISTINCT qb.query_id, ib.vec_id FROM ib JOIN qb
+    ON ib.t = qb.t AND ib.bk = qb.bk),
+  qz AS (SELECT vec_id,
+      list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0 AS sc,
+      embedding FROM embeddings),
+  ic AS (SELECT vec_id, ${codes("embedding")} AS codes FROM qz),
+  qc AS (SELECT vec_id AS query_id, codes AS qcodes FROM ic WHERE vec_id < 5),
+  s AS (SELECT c.query_id, c.vec_id,
+      ${idot("e.codes", "q.qcodes")} AS dot,
+      ${idot("e.codes", "e.codes")} AS na,
+      ${idot("q.qcodes", "q.qcodes")} AS nb
+    FROM cand c JOIN ic e ON c.vec_id = e.vec_id
+                JOIN qc q ON c.query_id = q.query_id),
+  sc2 AS (SELECT query_id, vec_id,
+      CASE WHEN na = 0 OR nb = 0 THEN 0.0
+           ELSE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END AS score FROM s),
+  r AS (SELECT query_id, vec_id,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
+      score FROM sc2)
+SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
+    })
 }

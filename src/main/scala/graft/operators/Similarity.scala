@@ -429,6 +429,37 @@ object Similarity {
         .as(Seq("t", "bk")))
       .filter(col("bk") =!= graft.functions.RandProjBuckets.ZeroVectorBucket)
 
+  /** Composite ANN: deterministic rp-LSH coarse stage + int8 scalar-
+    * quantized fine stage — the classic IVF-SQ index composition (coarse
+    * partition prunes the corpus, quantized codes shrink what the fine
+    * stage reads 4x), built from this engine's two deterministic halves so
+    * the WHOLE pipeline stays hash-checkable in SQL (q67), where the
+    * KMeans-based IVF twin (`ivfTopK`) can only be rows-only + recall-gated.
+    * Candidates = vectors sharing any (table, bucket) with the query;
+    * scoring = integer-dot cosine over the int8 codes — the fine stage
+    * never touches the f32 vectors at all. At 100 TB: bucket join bounds
+    * candidate work, GroupedTopK bounds the rank shuffle, and the scored
+    * index is a quarter the bytes of the corpus. */
+  def rpSqTopK(items: DataFrame, queries: DataFrame, k: Int,
+               numTables: Int = 6, bucketLength: Double = 1.0): DataFrame = {
+    import graft.GraftFunctions.byte_dot
+    val ib = rpBucketTable(items, "vec_id", "embedding", numTables, bucketLength)
+    val qb = rpBucketTable(queries, "query_id", "query_embedding", numTables, bucketLength)
+    val cand = ib.join(broadcast(qb), Seq("t", "bk"))
+      .select("query_id", "vec_id").distinct()
+    val qq = quantize(queries, "query_embedding", "qcodes")
+      .select(col("query_id"), col("qcodes"))
+      .withColumn("nb", byte_dot(col("qcodes"), col("qcodes")))
+    topKPerQuery(
+      cand.join(sqIndex(items), Seq("vec_id"))
+        .join(broadcast(qq), Seq("query_id"))
+        .withColumn("dot", byte_dot(col("codes"), col("qcodes")))
+        .withColumn("score",
+          when(col("na") === 0 || col("nb") === 0, lit(0.0))
+            .otherwise(col("dot") / (sqrt(col("na")) * sqrt(col("nb"))))),
+      k)
+  }
+
   /** Approximate top-k via the deterministic random-projection LSH:
     * candidates = vectors sharing any (table, bucket) with the query, exact
     * cosine re-score, per-query rank. Unlike the MLlib path the bucketing

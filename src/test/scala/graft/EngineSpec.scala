@@ -258,6 +258,28 @@ class EngineSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("versioned index: commit/flip/prune — readers pin or follow _LATEST") {
+    val root = java.nio.file.Files.createTempDirectory("graft-ver").toString + "/idx"
+    assert(Engine.latestVersion(spark, root).isEmpty)
+    val v1 = Engine.writeIndexVersioned(index, root)
+    assert(v1 == 1 && Engine.latestVersion(spark, root).contains(1))
+    assert(Engine.readIndexLatest(spark, root).count() == index.count())
+    // reindex with fewer rows: v2 becomes latest, v1 stays pinned-readable
+    val v2 = Engine.writeIndexVersioned(index.filter($"source" =!= "src1"), root)
+    assert(v2 == 2 && Engine.latestVersion(spark, root).contains(2))
+    val latest = Engine.readIndexLatest(spark, root)
+    assert(latest.filter($"source" === "src1").count() == 0)
+    assert(Engine.readIndex(spark, s"$root/v=1").count() == index.count())
+    // a third commit, then prune to 2 versions: only v1 drops
+    Engine.writeIndexVersioned(index, root)
+    val dropped = Engine.pruneIndexVersions(spark, root, keep = 2)
+    assert(dropped == Seq(1))
+    assert(!new java.io.File(s"$root/v=1").exists())
+    assert(Engine.latestVersion(spark, root).contains(3))
+    assert(Engine.readIndexLatest(spark, root).count() == index.count())
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+  }
+
   test("stats: per-source counts sum to total; dimension constant") {
     val bySource = Engine.statsBySource(index).as[(String, Long)].collect().toMap
     val total = Engine.statsTotal(index).collect()(0)

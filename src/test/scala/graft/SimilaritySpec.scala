@@ -119,16 +119,40 @@ class SimilaritySpec extends AnyFunSuite {
         .as[(Long, Long, Int, Double)].collect())
       val bq = topkIds(Similarity.bqTopK(e, q, 3)
         .as[(Long, Long, Int, Double)].collect())
+      val rpsq = topkIds(Similarity.rpSqTopK(e, q, 3)
+        .as[(Long, Long, Int, Double)].collect())
       val lshR = meanRecall(lsh, exact)
       val ivfR = meanRecall(ivf, exact)
       val rpR = meanRecall(rp, exact)
       val sqR = meanRecall(sq, exact)
       val bqR = meanRecall(bq, exact)
+      val rpsqR = meanRecall(rpsq, exact)
       assert(lshR >= 0.9, s"lshTopK recall@3 = $lshR < 0.9")
       assert(ivfR >= 0.9, s"ivfTopK recall@3 = $ivfR < 0.9")
       assert(rpR >= 0.9, s"rpTopK recall@3 = $rpR < 0.9")
       assert(sqR >= 0.9, s"sqTopK recall@3 = $sqR < 0.9")
       assert(bqR >= 0.9, s"bqTopK recall@3 = $bqR < 0.9")
+      assert(rpsqR >= 0.9, s"rpSqTopK recall@3 = $rpsqR < 0.9")
+      e.unpersist(); q.unpersist()
+    }
+
+    test(s"composite rp+sq [$tag]: candidates from the coarse stage, scores from the int8 stage") {
+      val e = embAt(sf).cache()
+      val q = queriesAt(sf).cache()
+      // every composite hit must also be an rp candidate (same coarse
+      // stage as rpTopK at a much larger k bound)...
+      val rpAll = topkIds(Similarity.rpTopK(e, q, 1000)
+        .as[(Long, Long, Int, Double)].collect())
+      val got = Similarity.rpSqTopK(e, q, 3)
+        .as[(Long, Long, Int, Double)].collect()
+      for ((qid, vid, _, _) <- got)
+        assert(rpAll(qid).contains(vid), s"($qid,$vid) not an rp candidate")
+      // ...and carry the int8 score sqTopK computes for the same pair
+      val sqScores = Similarity.sqTopK(e, q, 1000)
+        .as[(Long, Long, Int, Double)].collect()
+        .map(r => (r._1, r._2) -> r._4).toMap
+      for ((qid, vid, _, s) <- got)
+        assert(sqScores((qid, vid)) == s, s"score mismatch at ($qid,$vid)")
       e.unpersist(); q.unpersist()
     }
 
