@@ -430,6 +430,18 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       Similarity.rpSqTopK(e, q, 3)
+    }),
+    // extension: deterministic KMeans — Lloyd with fixed-point means, no
+    // RNG anywhere, so the full clustering trajectory is hash-checkable
+    "q68_det_kmeans" -> ((s, dir) =>
+      Similarity.detKMeans(emb(s, dir).select("vec_id", "embedding"), 8, 3)._2),
+    // extension: fully-oracled IVF — detKMeans cells + nProbe probe + exact
+    // cosine; the hash-checked twin of the rows-only q30
+    "q69_det_ivf" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      Similarity.detIvfTopK(e, q, 3)
     }))
 
   // ---------------------------------------------------------------- oracle —
@@ -1321,5 +1333,76 @@ FROM r WHERE rn BETWEEN 11 AND 15""",
       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
       score FROM sc2)
 SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
-    })
+    },
+    // Deterministic KMeans unrolled: the 3 Lloyd iterations as CTE pairs
+    // (assign a_t vs cents_{t-1}; fixed-point means -> cents_t), then a
+    // final assignment. Integer sums make the per-dim means order-free, so
+    // the SQL reproduces the Scala trajectory bit-for-bit.
+    "q68_det_kmeans" -> detKmeansOracle(finalSelect =
+      "SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a_fin"),
+    "q69_det_ivf" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
+  WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
+  cs AS (SELECT q.query_id, cc.cell,
+      CASE WHEN cc.nc = 0.0 THEN 0.0
+           ELSE list_sum(list_transform(range(1, 65), i -> q.nv[i] * cc.c[i])) / cc.nc END AS cscore
+    FROM qn q CROSS JOIN (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nc FROM cents3) cc),
+  probes AS (SELECT query_id, cell FROM (SELECT query_id, cell,
+      row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, cell ASC) AS pr FROM cs) WHERE pr <= 3),
+  cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN a_fin a ON a.cell = p.cell),
+  s AS (SELECT c.query_id, c.vec_id,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS dot,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS na,
+      list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS nb
+    FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+                JOIN qn q ON c.query_id = q.query_id),
+  sc AS (SELECT query_id, vec_id,
+      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS score FROM s),
+  r AS (SELECT query_id, vec_id,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
+      score FROM sc)
+  SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3)"""))
+
+  /** The deterministic-KMeans CTE chain (shared by q68/q69): nv, cents0
+    * (first-8-by-id init), 3x (assign, fixed-point-mean update), final
+    * assignment `a_fin`; `nv_q` is the normalized query subset. The caller
+    * appends its own final SELECT over these CTEs. */
+  private def detKmeansOracle(finalSelect: String): String = {
+    val iters = 3
+    val d2 = (nvExpr: String, cExpr: String) =>
+      s"list_sum(list_transform(range(1, 65), i -> ($nvExpr[i] - $cExpr[i]) * ($nvExpr[i] - $cExpr[i])))"
+    val iterCtes = (1 to iters).map { t =>
+      s"""  d$t AS (SELECT n.vec_id, cc.cell, ${d2("n.nv", "cc.c")} AS d2
+    FROM nv n CROSS JOIN cents${t - 1} cc),
+  a$t AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM d$t) WHERE rn = 1),
+  s$t AS (SELECT a.cell, di.i AS dim,
+      sum(CAST(floor(n.nv[di.i] * 1048576.0 + 0.5) AS BIGINT)) AS sfx,
+      count(*) AS cnt
+    FROM a$t a JOIN nv n USING (vec_id) CROSS JOIN range(1, 65) di(i)
+    GROUP BY a.cell, di.i),
+  cents$t AS (SELECT p.cell, list(
+      CASE WHEN s.sfx IS NULL THEN p.c[di.i]
+           ELSE (CAST(s.sfx AS DOUBLE) / CAST(s.cnt AS DOUBLE)) / 1048576.0 END
+      ORDER BY di.i) AS c
+    FROM cents${t - 1} p CROSS JOIN range(1, 65) di(i)
+    LEFT JOIN s$t s ON s.cell = p.cell AND s.dim = di.i
+    GROUP BY p.cell)"""
+    }.mkString(",\n")
+    s"""WITH nvz AS (SELECT vec_id, embedding,
+      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings),
+  nv AS (SELECT vec_id,
+      CASE WHEN nrm = 0.0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+           ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS nv
+    FROM nvz),
+  nv_q AS (SELECT z.vec_id, z.embedding, n.nv FROM nvz z JOIN nv n USING (vec_id) WHERE z.vec_id < 5),
+  cents0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, nv AS c
+    FROM nv ORDER BY vec_id ASC LIMIT 8),
+$iterCtes,
+  d_fin AS (SELECT n.vec_id, cc.cell, ${d2("n.nv", "cc.c")} AS d2
+    FROM nv n CROSS JOIN cents$iters cc),
+  a_fin AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM d_fin) WHERE rn = 1)
+$finalSelect"""
+  }
 }

@@ -247,6 +247,135 @@ object Similarity {
     bqIndex(delta, numBits).unionByName(
       index.join(delta.select("vec_id"), Seq("vec_id"), "left_anti"))
 
+  // ------------------------------------------------- deterministic KMeans —
+
+  /** f64-normalize `embCol` into "__nv" (a zero vector passes through as
+    * the raw f32 cast — the Normalizer convention `assignCells` follows). */
+  private def withNv(df: DataFrame, embCol: String): DataFrame =
+    df.withColumn("__nrm", expr(
+        s"sqrt(aggregate($embCol, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))"))
+      .withColumn("__nv", expr(
+        s"IF(__nrm = 0.0, CAST($embCol AS array<double>), transform($embCol, x -> CAST(x AS DOUBLE) / __nrm))"))
+
+  /** argmin-squared-distance assignment of "__nv" rows against a tiny
+    * driver-side f64 centroid table (ties to the lowest cell id) — the
+    * `assignCells` rule, parameterized on exact doubles. Map-only. */
+  private def assignNv(nv: DataFrame, cents: Seq[(Int, Array[Double])]): DataFrame = {
+    val sorted = cents.sortBy(_._1)
+    val centsSql = sorted.map(_._2.map(_.toString).mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    val cellIds = sorted.map(_._1).mkString("array(", ", ", ")")
+    nv.withColumn("__d2", expr(
+        s"transform($centsSql, c -> aggregate(zip_with(__nv, c, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (a, x) -> a + x))"))
+      .withColumn("cell", expr(
+        s"""element_at($cellIds, aggregate(sequence(1, size(__d2)),
+              named_struct('bd', CAST('Infinity' AS DOUBLE), 'bi', 1),
+              (acc, i) -> IF(__d2[i-1] < acc.bd, named_struct('bd', __d2[i-1], 'bi', i), acc),
+              acc -> acc.bi))"""))
+      .drop("__d2")
+  }
+
+  /** Fixed-point scale for deterministic centroid means: 2^20 keeps ~6
+    * decimal digits of each coordinate, far beyond what cell assignment
+    * needs, while per-dim contributions stay small enough that a cell of
+    * 2^43 vectors cannot overflow a signed 64-bit sum. */
+  private val DetKmFx = 1048576.0
+
+  /** Deterministic distributed KMeans — same Lloyd structure as the MLlib
+    * build behind `ivfIndex`, but every source of run-to-run and
+    * engine-to-engine variance removed, so an index build is exactly
+    * reproducible (and hash-checkable in SQL — q68/q69):
+    *
+    *   - init: the `k` lowest-vec_id vectors' normalized embeddings
+    *     (cells 0..k-1 in that order) — no RNG;
+    *   - assignment: exact f64 argmin squared distance, ties to the lowest
+    *     cell (the `assignCells` rule);
+    *   - update: FIXED-POINT means — each coordinate contributes
+    *     `floor(x * 2^20 + 0.5)` as a LONG, cells sum longs (integer
+    *     addition commutes, so partitioning/aggregation order cannot flip
+    *     result bits the way f64 summation order can), and the mean
+    *     converts back as `(sum / n) / 2^20` in f64;
+    *   - an empty cell keeps its previous centroid.
+    *
+    * Scale shape per iteration: one map-only assignment pass + one
+    * (cell, dim)-keyed aggregation whose shuffle is partitions x k x dim
+    * partial rows (map-side combined), never corpus-sized. The centroid
+    * table (k x dim doubles) is driver-side by design — same tiny-table
+    * contract as `assignCells`. Returns (final centroids, assignments
+    * against them). */
+  def detKMeans(items: DataFrame, k: Int, iters: Int = 3,
+                embCol: String = "embedding")
+      : (Seq[(Int, Array[Double])], DataFrame) = {
+    require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1; got k=$k iters=$iters")
+    val nv = withNv(items, embCol).select(col("vec_id"), col("__nv")).cache()
+    var cents: Seq[(Int, Array[Double])] = nv.orderBy("vec_id").limit(k)
+      .select("__nv").collect()
+      .map(_.getSeq[Double](0).toArray).zipWithIndex
+      .map { case (c, i) => (i, c) }.toSeq
+    require(cents.size == k, s"corpus has fewer than k=$k vectors")
+    for (_ <- 1 to iters) {
+      val sums = assignNv(nv, cents)
+        .select(col("cell"), posexplode(col("__nv")).as(Seq("dim", "x")))
+        .withColumn("fx", expr(s"CAST(floor(x * $DetKmFx + 0.5) AS BIGINT)"))
+        .groupBy("cell", "dim")
+        .agg(sum("fx").as("sfx"), count(lit(1)).as("n"))
+        .collect()
+      val byCell = sums.groupBy(_.getInt(0))
+      cents = cents.map { case (cell, old) =>
+        byCell.get(cell) match {
+          case Some(rows) =>
+            val arr = new Array[Double](old.length)
+            rows.foreach { r =>
+              arr(r.getInt(1)) =
+                (r.getLong(2).toDouble / r.getLong(3).toDouble) / DetKmFx
+            }
+            (cell, arr)
+          case None => (cell, old)
+        }
+      }
+    }
+    val assigned = assignNv(nv, cents).select("vec_id", "cell")
+    nv.unpersist()
+    (cents, assigned)
+  }
+
+  /** Fully-deterministic IVF top-k: `detKMeans` cells + the standard
+    * nProbe probe, with the per-cell query scores computed against the
+    * exact f64 centroids. Unlike `ivfTopK` (MLlib KMeans — rows-only +
+    * recall-gated), every stage here is a pure function of the input, so
+    * the whole path is hash-checked by the q69 oracle. */
+  def detIvfTopK(items: DataFrame, queries: DataFrame, k: Int,
+                 nLists: Int = 8, iters: Int = 3, nProbe: Int = 3): DataFrame = {
+    val (cents, assigned) = detKMeans(items, nLists, iters)
+    val sorted = cents.sortBy(_._1)
+    val centsSql = sorted.map(_._2.map(_.toString).mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    val cellIds = sorted.map(_._1).mkString("array(", ", ", ")")
+    val cnorms = sorted.map { case (_, c) =>
+      math.sqrt(c.map(x => x * x).sum).toString
+    }.mkString("array(", ", ", ")")
+    // per-query cell scores: cosine(normalized query, centroid) as a pair
+    // of literal-array expressions — map-only, no join against centroids
+    val qscored = withNv(queries, "query_embedding")
+      .withColumn("__cs", expr(
+        s"""zip_with(
+              transform($centsSql, c -> aggregate(zip_with(__nv, c, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)),
+              $cnorms,
+              (d, nc) -> IF(nc = 0.0D, CAST(0.0 AS DOUBLE), d / nc))"""))
+      .select(col("query_id"), col("query_embedding"),
+        posexplode(col("__cs")).as(Seq("__i", "cscore")))
+      .withColumn("cell", expr(s"element_at($cellIds, __i + 1)"))
+      .select(col("query_id"), col("query_embedding"), col("cell"), col("cscore"))
+    val probes = graft.plans.GroupedTopK(qscored,
+        Seq(col("query_id")), Seq(desc("cscore"), asc("cell")), nProbe)
+      .select(col("query_id"), col("query_embedding"), col("cell"))
+    topKPerQuery(
+      assigned.join(items, Seq("vec_id")).join(broadcast(probes), Seq("cell"))
+        .withColumn("score",
+          cosine_similarity(col("embedding"), col("query_embedding"))),
+      k)
+  }
+
   /** Probe an IVF index: broadcast-join queries against the centroid table,
     * keep each query's `nProbe` closest cells, exact cosine inside probed
     * cells only. Per-query work ~ corpus/nLists * nProbe. */

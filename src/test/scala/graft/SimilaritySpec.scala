@@ -121,6 +121,8 @@ class SimilaritySpec extends AnyFunSuite {
         .as[(Long, Long, Int, Double)].collect())
       val rpsq = topkIds(Similarity.rpSqTopK(e, q, 3)
         .as[(Long, Long, Int, Double)].collect())
+      val divf = topkIds(Similarity.detIvfTopK(e, q, 3)
+        .as[(Long, Long, Int, Double)].collect())
       val lshR = meanRecall(lsh, exact)
       val ivfR = meanRecall(ivf, exact)
       val rpR = meanRecall(rp, exact)
@@ -133,7 +135,34 @@ class SimilaritySpec extends AnyFunSuite {
       assert(sqR >= 0.9, s"sqTopK recall@3 = $sqR < 0.9")
       assert(bqR >= 0.9, s"bqTopK recall@3 = $bqR < 0.9")
       assert(rpsqR >= 0.9, s"rpSqTopK recall@3 = $rpsqR < 0.9")
+      val divfR = meanRecall(divf, exact)
+      assert(divfR >= 0.9, s"detIvfTopK recall@3 = $divfR < 0.9")
       e.unpersist(); q.unpersist()
+    }
+
+    test(s"detKMeans [$tag]: run-to-run identical; assignments are the argmin of the final centroids") {
+      val e = embAt(sf).cache()
+      val (c1, a1) = Similarity.detKMeans(e, 8, 3)
+      val (c2, a2) = Similarity.detKMeans(e, 8, 3)
+      // no RNG, fixed-point means: two builds are bit-identical
+      assert(c1.map { case (i, c) => (i, c.toSeq) } ==
+             c2.map { case (i, c) => (i, c.toSeq) })
+      val m1 = a1.as[(Long, Int)].collect().toMap
+      assert(m1 == a2.as[(Long, Int)].collect().toMap)
+      assert(m1.size == e.count())
+      assert(m1.values.toSet.subsetOf((0 until 8).toSet))
+      // driver-side argmin over the final centroids reproduces every cell
+      val vecs = e.as[(Long, Array[Float])].collect()
+      for ((vid, emb0) <- vecs.take(50)) {
+        val nrm = math.sqrt(emb0.map(x => x.toDouble * x.toDouble).sum)
+        val nv = if (nrm == 0.0) emb0.map(_.toDouble)
+                 else emb0.map(_.toDouble / nrm)
+        val best = c1.sortBy(_._1).minBy { case (_, c) =>
+          nv.zip(c).map { case (x, y) => (x - y) * (x - y) }.sum
+        }._1
+        assert(m1(vid) == best, s"vec $vid assigned ${m1(vid)}, argmin $best")
+      }
+      e.unpersist()
     }
 
     test(s"composite rp+sq [$tag]: candidates from the coarse stage, scores from the int8 stage") {
