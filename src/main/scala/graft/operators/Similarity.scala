@@ -303,10 +303,37 @@ object Similarity {
     * table (k x dim doubles) is driver-side by design — same tiny-table
     * contract as `assignCells`. Returns (final centroids, assignments
     * against them). */
+  /** Driver-side memo for `detKMeans` builds: an index exists to be probed
+    * repeatedly (the `ivfIndex`/`PlanCache` contract), and the centroid
+    * table is plain Scala data PlanCache cannot hold. Keyed by the
+    * canonicalized input plan + params; sessions whose context stopped are
+    * swept on each build. */
+  private val detKmMemo = scala.collection.mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession, String),
+    (Seq[(Int, Array[Double])], DataFrame)]
+
   def detKMeans(items: DataFrame, k: Int, iters: Int = 3,
                 embCol: String = "embedding")
       : (Seq[(Int, Array[Double])], DataFrame) = {
     require(k >= 1 && iters >= 1, s"need k >= 1, iters >= 1; got k=$k iters=$iters")
+    // the canonicalized plan string alone is NOT a safe key: it elides the
+    // scan location, so two reads of different parquet paths canonicalize
+    // identically. The sorted input-file list disambiguates; plans with no
+    // file inputs (in-memory test frames) skip the memo entirely rather
+    // than risk a same-schema collision.
+    val inputs = items.inputFiles.sorted.mkString(",")
+    val memoKey = (items.sparkSession,
+      inputs + "||" + items.queryExecution.analyzed.canonicalized.toString +
+        s"|$k|$iters|$embCol")
+    if (inputs.nonEmpty) {
+      detKmMemo.synchronized {
+        detKmMemo.filterInPlace((key, _) => !key._1.sparkContext.isStopped)
+        detKmMemo.get(memoKey)
+      } match {
+        case Some(hit) => return hit
+        case None =>
+      }
+    }
     val nv = withNv(items, embCol).select(col("vec_id"), col("__nv")).cache()
     var cents: Seq[(Int, Array[Double])] = nv.orderBy("vec_id").limit(k)
       .select("__nv").collect()
@@ -334,9 +361,13 @@ object Similarity {
         }
       }
     }
-    val assigned = assignNv(nv, cents).select("vec_id", "cell")
+    val assigned = PlanCache.memo(assignNv(nv, cents).select("vec_id", "cell"))
+    assigned.count() // materialize so the normalized input can be released
     nv.unpersist()
-    (cents, assigned)
+    val out = (cents, assigned)
+    if (inputs.nonEmpty)
+      detKmMemo.synchronized { detKmMemo.update(memoKey, out) }
+    out
   }
 
   /** Fully-deterministic IVF top-k: `detKMeans` cells + the standard
