@@ -370,6 +370,26 @@ object Similarity {
     out
   }
 
+  /** Deterministic, persistable IVF index: `detKMeans` cells packaged as
+    * the standard `IvfIndex`, so save/load (`IvfIndex.save` /
+    * `loadIvfIndex`), probing (`ivfProbe`) and incremental maintenance
+    * (`upsertIvf`/`upsertIvfAt`) all reuse the existing machinery — but two
+    * builds over the same corpus are bit-identical (no MLlib RNG). The
+    * centroid table stores f32 like every persisted index; the f64-exact
+    * path for oracle checks is `detIvfTopK`. */
+  def detIvfIndex(items: DataFrame, nLists: Int = 8, iters: Int = 3): IvfIndex = {
+    val (cents, assigned) = detKMeans(items, nLists, iters)
+    val spark = items.sparkSession
+    import spark.implicits._
+    val centroids = cents.sortBy(_._1)
+      .map { case (cell, c) => (cell, c.map(_.toFloat).toSeq) }
+      .toDF("cell", "centroid")
+    IvfIndex(
+      assigned.join(items.select("vec_id", "embedding"), Seq("vec_id"))
+        .select("vec_id", "embedding", "cell"),
+      centroids)
+  }
+
   /** Fully-deterministic IVF top-k: `detKMeans` cells + the standard
     * nProbe probe, with the per-cell query scores computed against the
     * exact f64 centroids. Unlike `ivfTopK` (MLlib KMeans — rows-only +

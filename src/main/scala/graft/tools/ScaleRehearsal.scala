@@ -60,6 +60,8 @@ object ScaleRehearsal {
         Similarity.rpTopK(emb, q, 3).queryExecution.toRdd.count() }
       time(s"$tag bqTopK") {
         Similarity.bqTopK(emb, q, 3).queryExecution.toRdd.count() }
+      time(s"$tag detKMeans") {
+        Similarity.detKMeans(emb, 8, 3)._2.queryExecution.toRdd.count() }
       time(s"$tag bm25") {
         graft.operators.TextAnalysis.bm25(docs,
           Seq("transfer", "credit", "university")).queryExecution.toRdd.count() }

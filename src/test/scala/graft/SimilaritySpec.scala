@@ -326,6 +326,29 @@ class SimilaritySpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("detIvfIndex: bit-identical rebuilds; save/load/probe/upsert reuse the IVF machinery") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-divf").toString + "/idx"
+    val built = Similarity.detIvfIndex(emb, 8)
+    built.save(dir)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val a = Similarity.ivfProbe(built, queries, 3).collect().map(_.toString).sorted
+    val b = Similarity.ivfProbe(loaded, queries, 3).collect().map(_.toString).sorted
+    assert(a.sameElements(b) && a.nonEmpty)
+    // two independent builds are bit-identical (assignments AND centroids)
+    val again = Similarity.detIvfIndex(emb, 8)
+    assert(again.centroids.collect().map(_.toString).sorted
+      .sameElements(built.centroids.collect().map(_.toString).sorted))
+    // incremental maintenance applies unchanged: remove + upsert restores
+    val delta = emb.filter($"vec_id" % 7 === 0)
+    val partial = Similarity.IvfIndex(
+      built.assignments.join(delta.select("vec_id"), Seq("vec_id"), "left_anti"),
+      built.centroids)
+    val upserted = Similarity.upsertIvf(partial, delta)
+    val c = Similarity.ivfProbe(upserted, queries, 3).collect().map(_.toString).sorted
+    assert(c.sameElements(a))
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("bq index roundtrip: saved+loaded index probes identically to direct") {
     val dir = java.nio.file.Files.createTempDirectory("graft_bq").toString
     val idx = Similarity.bqIndex(emb)
