@@ -158,6 +158,33 @@ object Streams {
       .toDF("query", "rank", "id", "score")
   }
 
+  /** Embedding-stream schema for ANN-index maintenance. */
+  val embeddingsSchema = "vec_id BIGINT, embedding ARRAY<FLOAT>"
+
+  /** Streaming ANN-index maintenance — the online-vector-DB write path:
+    * each micro-batch of (vec_id, embedding) rows upserts into the
+    * PERSISTED IVF index via `Similarity.upsertIvfAt` (frozen centroids
+    * re-assign only the delta; dynamic partition overwrite rewrites only
+    * the touched cells, including the delta ids' OLD cells for moved
+    * vectors). Cheap streaming upserts between periodic full refits — the
+    * classic IVF maintenance contract, now fed by a stream. Exactly-once
+    * per batch comes from the checkpointed epoch + replace-by-id
+    * idempotence (re-running a batch rewrites the same rows). */
+  def streamingIvfUpsert(spark: SparkSession, landingDir: String,
+                         indexPath: String,
+                         checkpointDir: String): StreamingQuery = {
+    val vecs = spark.readStream.schema(embeddingsSchema).parquet(landingDir)
+    vecs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       _: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Similarity.upsertIvfAt(spark, indexPath, batch.toDF())
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Hybrid (vector + BM25) search lifted to streaming — the stats-refresh-
     * per-batch form, which is the honest contract: BM25's corpus statistics
     * (per-term df, avgdl, N) are GLOBAL aggregates that drift with every

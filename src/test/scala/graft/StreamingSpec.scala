@@ -55,6 +55,35 @@ class StreamingSpec extends AnyFunSuite {
     assert(after("srcB").startsWith("beta"))
   }
 
+  test("streamingIvfUpsert: streamed deltas converge to the in-memory upsert; probe parity") {
+    import graft.operators.Similarity
+    val tmp = Files.createTempDirectory("graft-ivf-stream").toString
+    val landing = s"$tmp/landing"
+    val indexDir = s"$tmp/ivf"
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding").cache()
+    val base = emb.filter($"vec_id" % 5 =!= 0)
+    val built = Similarity.ivfIndex(base, 8)
+    built.save(indexDir)
+    // two delta batches land separately; the same checkpoint carries over
+    val delta = emb.filter($"vec_id" % 5 === 0)
+    delta.filter($"vec_id" % 10 === 0).write.mode("append").parquet(landing)
+    Streams.streamingIvfUpsert(spark, landing, indexDir, s"$tmp/ck")
+      .awaitTermination(120000)
+    delta.filter($"vec_id" % 10 =!= 0).write.mode("append").parquet(landing)
+    Streams.streamingIvfUpsert(spark, landing, indexDir, s"$tmp/ck")
+      .awaitTermination(120000)
+    val loaded = Similarity.loadIvfIndex(spark, indexDir)
+    assert(loaded.assignments.count() == emb.count())
+    val queries = emb.filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"))
+    val got = Similarity.ivfProbe(loaded, queries, 3).collect().map(_.toString).sorted
+    val want = Similarity.ivfProbe(Similarity.upsertIvf(built, delta), queries, 3)
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(want) && got.nonEmpty)
+    emb.unpersist()
+  }
+
   test("streamingHybridSearch: per-batch results carry freshly-derived BM25 stats") {
     val tmp = Files.createTempDirectory("graft-hybrid-stream").toString
     val landing = s"$tmp/landing"
