@@ -446,6 +446,92 @@ object Engine {
         round(col("rrf"), 6).as("rrf"))
   }
 
+  /** Weighted-blend hybrid search — the other standard fusion, beside
+    * rank-based RRF (`hybridSearch`): each leg's kept scores are min-max
+    * normalized within the leg, then combined as
+    * `alpha * nvec + (1 - alpha) * nlex` (relative-score fusion). A doc
+    * missing from a leg contributes 0 for it; a leg whose kept scores are
+    * all equal normalizes to 1.0. Everything after the two ranked legs
+    * (TakeOrderedAndProject shapes) touches <= 2 x nLeg rows, so the fusion
+    * is corpus-size-independent. Deterministic f64 end-to-end — the q70
+    * oracle reproduces the normalization and blend exactly. */
+  def hybridSearchBlend(index: DataFrame, query: String, k: Int = 5,
+                        nLeg: Int = 20, alpha: Double = 0.5,
+                        dim: Int = HashEmbed.DefaultDim): DataFrame = {
+    require(query.trim.nonEmpty, "Query cannot be empty")
+    require(alpha >= 0.0 && alpha <= 1.0, s"alpha in [0,1], got $alpha")
+    val terms = query.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+      .map(_.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty).distinct
+    val vec0 = score(index, hash_embed(lit(query), dim))
+      .filter(length(col("text")) > 0)
+      .orderBy(desc("score"), asc("id")).limit(nLeg)
+      .select(col("id"), col("score").as("s"))
+    val vstat = vec0.agg(min("s").as("mn"), max("s").as("mx"))
+    val vec = vec0.crossJoin(broadcast(vstat))
+      .withColumn("nvec", when(col("mx") > col("mn"),
+        (col("s") - col("mn")) / (col("mx") - col("mn"))).otherwise(lit(1.0)))
+      .select(col("id"), col("nvec"))
+      .withColumn("nlex", lit(null).cast("double"))
+    val legs =
+      if (terms.isEmpty) vec
+      else {
+        val lex0 = graft.operators.TextAnalysis.bm25(
+            index.select(col("id"), col("text")), terms, idCol = "id")
+          .filter(col("bm25") > 0)
+          .orderBy(desc("bm25"), asc("id")).limit(nLeg)
+          .select(col("id"), col("bm25"))
+        val lstat = lex0.agg(min("bm25").as("lmn"), max("bm25").as("lmx"))
+        val lex = lex0.crossJoin(broadcast(lstat))
+          .withColumn("nlex", when(col("lmx") > col("lmn"),
+            (col("bm25") - col("lmn")) / (col("lmx") - col("lmn"))).otherwise(lit(1.0)))
+          .select(col("id"), col("nlex"))
+          .withColumn("nvec", lit(null).cast("double"))
+        vec.unionByName(lex.select("id", "nvec", "nlex"))
+      }
+    legs.groupBy("id")
+      .agg(max("nvec").as("nvec"), max("nlex").as("nlex"))
+      .withColumn("blend",
+        lit(alpha) * coalesce(col("nvec"), lit(0.0)) +
+          lit(1.0 - alpha) * coalesce(col("nlex"), lit(0.0)))
+      .orderBy(desc("blend"), asc("id")).limit(k)
+      .select(col("id"), round(col("nvec"), 6).as("nvec"),
+        round(col("nlex"), 6).as("nlex"), round(col("blend"), 6).as("blend"))
+  }
+
+  /** Keyword snippets for the top-k hits: each result carries the first
+    * matching query keyword (in query order), its 1-based position, and a
+    * fixed-length text window starting `before` characters earlier — the
+    * highlight payload a search UI renders. Map-only over k rows; the CASE
+    * chain unrolls the (small, sanitized) keyword list. A hit matching no
+    * keyword — or a keyword-less query — carries a null term and an empty
+    * snippet. */
+  def searchSnippets(index: DataFrame, query: String, k: Int = 5,
+                     before: Int = 40, len: Int = 120,
+                     dim: Int = HashEmbed.DefaultDim): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val terms = query.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+      .map(_.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty).distinct
+    val hits = search(index, query, k)
+      .withColumn("rnk", row_number().over(
+        Window.partitionBy(lit(1)).orderBy(desc("score"), asc("id"))))
+    val withMatch =
+      if (terms.isEmpty)
+        hits.withColumn("term", lit(null).cast("string"))
+          .withColumn("pos", lit(null).cast("int"))
+      else {
+        val termCase = terms.map(t =>
+          s"WHEN locate('$t', lower(text)) > 0 THEN '$t'").mkString(" ")
+        val posCase = terms.map(t =>
+          s"WHEN locate('$t', lower(text)) > 0 THEN locate('$t', lower(text))").mkString(" ")
+        hits.withColumn("term", expr(s"CASE $termCase ELSE NULL END"))
+          .withColumn("pos", expr(s"CAST(CASE $posCase ELSE NULL END AS INT)"))
+      }
+    withMatch
+      .withColumn("snippet", expr(
+        s"IF(pos IS NULL, '', substring(text, greatest(1, pos - $before), $len))"))
+      .select(col("rnk"), col("id"), col("term"), col("pos"), col("snippet"))
+  }
+
   /** Batch hybrid search: `hybridSearch` over a SET of queries in one plan —
     * the production shape (RRF over a query batch) without a driver loop.
     *

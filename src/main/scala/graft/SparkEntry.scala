@@ -442,7 +442,17 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       Similarity.detIvfTopK(e, q, 3)
-    }))
+    }),
+    // extension: weighted-blend hybrid (min-max normalized relative-score
+    // fusion — the other standard fusion beside q51's RRF)
+    "q70_hybrid_blend" -> ((s, dir) =>
+      Engine.hybridSearchBlend(Engine.ingest(docs(s, dir)), Q, 5)),
+    // extension: keyword snippets/highlights for the top-k hits
+    "q71_snippets" -> ((s, dir) =>
+      Engine.searchSnippets(Engine.ingest(docs(s, dir)), Q, 5)),
+    // extension: corpus vocabulary heavy hitters
+    "q72_top_tokens" -> ((s, dir) =>
+      graft.operators.TextAnalysis.topTokens(docs(s, dir), 20)))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -1334,6 +1344,58 @@ FROM r WHERE rn BETWEEN 11 AND 15""",
       score FROM sc2)
 SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
     },
+    // Weighted-blend fusion: q51's two-leg machinery with per-leg min-max
+    // normalization instead of ranks; 0.5 blend constants mirror the Scala
+    // doubles exactly
+    "q70_hybrid_blend" -> {
+      val terms = Seq("transfer", "credits")
+      val (dfCols, tfCols, score) = dkBm25Parts(terms)
+      s"""$dkScored,
+  vec0 AS (SELECT id, score AS s FROM scored ORDER BY score DESC, id LIMIT 20),
+  vstat AS (SELECT min(s) AS mn, max(s) AS mx FROM vec0),
+  vec AS (SELECT id, CASE WHEN v.mx > v.mn THEN (s - v.mn) / (v.mx - v.mn) ELSE 1.0 END AS nvec
+    FROM vec0 CROSS JOIN vstat v),
+  ctok AS (SELECT id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM chunks),
+  ct AS (SELECT id, toks, len(toks) AS dl FROM ctok),
+  cstats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM ct),
+  ctf AS (SELECT id, dl, $tfCols FROM ct),
+  lex0 AS (SELECT id, round($score, 6) AS bm25 FROM ctf CROSS JOIN cstats),
+  lex1 AS (SELECT id, bm25 FROM lex0 WHERE bm25 > 0 ORDER BY bm25 DESC, id LIMIT 20),
+  lstat AS (SELECT min(bm25) AS lmn, max(bm25) AS lmx FROM lex1),
+  lex AS (SELECT id, CASE WHEN l.lmx > l.lmn THEN (bm25 - l.lmn) / (l.lmx - l.lmn) ELSE 1.0 END AS nlex
+    FROM lex1 CROSS JOIN lstat l),
+  legs AS (SELECT id, nvec, CAST(NULL AS DOUBLE) AS nlex FROM vec
+           UNION ALL SELECT id, CAST(NULL AS DOUBLE) AS nvec, nlex FROM lex),
+  fused AS (SELECT id, max(nvec) AS nvec, max(nlex) AS nlex,
+      0.5 * coalesce(max(nvec), 0.0) + 0.5 * coalesce(max(nlex), 0.0) AS blend
+    FROM legs GROUP BY id)
+SELECT id, round(nvec, 6) AS nvec, round(nlex, 6) AS nlex, round(blend, 6) AS blend
+FROM fused ORDER BY blend DESC, id LIMIT 5"""
+    },
+    "q71_snippets" -> {
+      val terms = Seq("transfer", "credits")
+      val termCase = terms.map(t =>
+        s"WHEN strpos(lower(text), '$t') > 0 THEN '$t'").mkString(" ")
+      val posCase = terms.map(t =>
+        s"WHEN strpos(lower(text), '$t') > 0 THEN strpos(lower(text), '$t')").mkString(" ")
+      s"""$dkScored,
+  top AS (SELECT id, text, score FROM scored ORDER BY score DESC, id LIMIT 5),
+  r AS (SELECT CAST(row_number() OVER (ORDER BY score DESC, id) AS INTEGER) AS rnk, id, text FROM top),
+  m AS (SELECT rnk, id, text,
+      CASE $termCase ELSE NULL END AS term,
+      CASE $posCase ELSE NULL END AS pos FROM r)
+SELECT rnk, id, term, CAST(pos AS INTEGER) AS pos,
+  CASE WHEN pos IS NULL THEN '' ELSE substring(text, CAST(greatest(1, pos - 40) AS INTEGER), 120) END AS snippet
+FROM m"""
+    },
+    "q72_top_tokens" ->
+      """WITH tok AS (SELECT doc_id,
+      unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+    FROM documents),
+  agg AS (SELECT token, count(*) AS n_occurrences,
+      count(DISTINCT doc_id) AS n_docs FROM tok GROUP BY token)
+SELECT token, n_occurrences, n_docs FROM agg
+ORDER BY n_occurrences DESC, token ASC LIMIT 20""",
     // Deterministic KMeans unrolled: the 3 Lloyd iterations as CTE pairs
     // (assign a_t vs cents_{t-1}; fixed-point means -> cents_t), then a
     // final assignment. Integer sums make the per-dim means order-free, so

@@ -110,6 +110,19 @@ object TextAnalysis {
       regexp_replace(regexp_replace(col("text"), EmailRe, "<EMAIL>"),
         PhoneRe, "<PHONE>").as("redacted"))
 
+  /** Corpus vocabulary report: the `k` most frequent tokens with occurrence
+    * and document frequencies — the heavy-hitters view every corpus audit
+    * starts from. One token-keyed aggregation (map-side partial sums; the
+    * distinct-doc count shuffles (token, doc) pairs once), then the global
+    * top-k is TakeOrderedAndProject: only k rows cross to the driver.
+    * Deterministic total order (count desc, token asc). */
+  def topTokens(docs: DataFrame, k: Int = 20): DataFrame =
+    docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n_occurrences"),
+        countDistinct(col("doc_id")).as("n_docs"))
+      .orderBy(desc("n_occurrences"), asc("token")).limit(k)
+
   /** Sketch-based corpus statistics for the 100 TB regime: HyperLogLog++
     * distinct counts (`approx_count_distinct`, mergeable, constant state)
     * and t-digest-style quantiles (`percentile_approx`) instead of exact

@@ -258,6 +258,43 @@ class EngineSpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("hybridSearchBlend: normalized scores in [0,1]; alpha=1 reduces to the vector ranking") {
+    val got = Engine.hybridSearchBlend(index, "transfer credits", 5)
+      .as[(String, Option[Double], Option[Double], Double)].collect()
+    assert(got.length == 5)
+    for ((_, nv, nl, b) <- got) {
+      nv.foreach(v => assert(v >= 0.0 && v <= 1.0))
+      nl.foreach(v => assert(v >= 0.0 && v <= 1.0))
+      assert(b >= 0.0 && b <= 1.0)
+    }
+    val alphaOne = Engine.hybridSearchBlend(index, "transfer credits", 5, alpha = 1.0)
+      .select($"id").as[String].collect().toSeq
+    val vecOnly = Engine.search(index, "transfer credits", 5)
+      .select($"id").as[String].collect().toSeq
+    assert(alphaOne == vecOnly, "alpha=1 must rank exactly like the vector leg")
+  }
+
+  test("searchSnippets: snippet window contains the matched term at the right offset") {
+    val rows = Engine.searchSnippets(index, "transfer credits", 5)
+      .as[(Int, String, Option[String], Option[Int], String)].collect()
+    assert(rows.length == 5)
+    val texts = index.select($"id", $"text").as[(String, String)].collect().toMap
+    for ((_, id, term, pos, snippet) <- rows) {
+      (term, pos) match {
+        case (Some(t), Some(p)) =>
+          assert(texts(id).toLowerCase.indexOf(t) == p - 1, s"pos off for $id")
+          assert(snippet.toLowerCase.contains(t), s"snippet for $id misses '$t'")
+          assert(snippet.length <= 120)
+        case (None, None) => assert(snippet.isEmpty)
+        case other => fail(s"inconsistent match fields: $other")
+      }
+    }
+    // keyword-less query: hits still come back, with empty highlight fields
+    val bare = Engine.searchSnippets(index, "!!!", 3)
+      .as[(Int, String, Option[String], Option[Int], String)].collect()
+    assert(bare.length == 3 && bare.forall(r => r._3.isEmpty && r._5.isEmpty))
+  }
+
   test("versioned index: commit/flip/prune — readers pin or follow _LATEST") {
     val root = java.nio.file.Files.createTempDirectory("graft-ver").toString + "/idx"
     assert(Engine.latestVersion(spark, root).isEmpty)

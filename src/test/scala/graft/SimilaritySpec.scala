@@ -326,6 +326,17 @@ class SimilaritySpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("detKMeans: invariant to input partitioning and row order (fixed-point means)") {
+    val (c1, a1) = Similarity.detKMeans(emb, 8, 3)
+    // different partition count AND reversed within-partition order: f64
+    // summation order would flip low bits here; integer fixed-point cannot
+    val shuffled = emb.repartition(7).sortWithinPartitions(desc("vec_id"))
+    val (c2, a2) = Similarity.detKMeans(shuffled, 8, 3)
+    assert(c1.map { case (i, c) => (i, c.toSeq) } ==
+           c2.map { case (i, c) => (i, c.toSeq) })
+    assert(a1.as[(Long, Int)].collect().toMap == a2.as[(Long, Int)].collect().toMap)
+  }
+
   test("detIvfIndex: bit-identical rebuilds; save/load/probe/upsert reuse the IVF machinery") {
     val dir = java.nio.file.Files.createTempDirectory("graft-divf").toString + "/idx"
     val built = Similarity.detIvfIndex(emb, 8)

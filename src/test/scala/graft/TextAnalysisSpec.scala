@@ -11,6 +11,19 @@ class TextAnalysisSpec extends AnyFunSuite {
 
   lazy val docs = Tables.documents(spark, TestSpark.sf0001).cache()
 
+  test("topTokens: heavy hitters match a driver-side count; deterministic tie order") {
+    val k = 15
+    val got = TextAnalysis.topTokens(docs, k)
+      .as[(String, Long, Long)].collect().toSeq
+    val local = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .flatMap { case (id, t) => t.split(" ").filter(_.nonEmpty).map(id -> _) }
+    val byTok = local.groupBy(_._2).view
+      .mapValues(ps => (ps.length.toLong, ps.map(_._1).distinct.length.toLong))
+    val want = byTok.toSeq.map { case (t, (n, d)) => (t, n, d) }
+      .sortBy { case (t, n, _) => (-n, t) }.take(k)
+    assert(got == want)
+  }
+
   test("tokenStats: counts match a driver-side split") {
     val got = TextAnalysis.tokenStats(docs)
       .as[(Long, Int, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
