@@ -446,6 +446,36 @@ object Engine {
         round(col("rrf"), 6).as("rrf"))
   }
 
+  /** Batch QueryResponse: `searchResponse` over a query SET — one row per
+    * query (query, chunks, total_results, context), aggregated from
+    * `searchMany`'s ranked hits with one tiny groupBy over <= k x |queries|
+    * rows. A query whose every candidate was filtered out produces no row
+    * (the single-query form returns a 0-count row instead) — with a
+    * non-empty index the shapes agree, and EngineSpec pins the parity. */
+  def searchResponseMany(index: DataFrame, queries: Seq[String], k: Int = 5,
+                         dim: Int = HashEmbed.DefaultDim): DataFrame =
+    searchMany(index, queries, k, dim)
+      .groupBy(col("query"))
+      .agg(count(lit(1)).as("total_results"), chunksColumn.as("chunks"),
+        contextColumn.as("context"))
+      .select(col("query"), col("chunks"), col("total_results"), col("context"))
+
+  /** Index consistency report (fsck): one row of integrity counters —
+    * duplicate ids (replace-by-id upserts must keep ids unique), missing or
+    * wrong-dimension embeddings, empty text, null sources. One map-side-
+    * combined aggregation pass; run it after bulk loads or before flipping
+    * `_LATEST` to a freshly-built version. */
+  def indexFsck(index: DataFrame, dim: Int = HashEmbed.DefaultDim): DataFrame =
+    index.agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("id")).as("n_distinct_ids"),
+      (count(lit(1)) - countDistinct(col("id"))).as("n_duplicate_ids"),
+      sum(when(col("embedding").isNull || expr(s"size(embedding) != $dim"), 1L)
+        .otherwise(0L)).as("n_bad_embeddings"),
+      sum(when(col("text").isNull || length(col("text")) === 0, 1L)
+        .otherwise(0L)).as("n_empty_text"),
+      sum(when(col("source").isNull, 1L).otherwise(0L)).as("n_null_source"))
+
   /** Weighted-blend hybrid search — the other standard fusion, beside
     * rank-based RRF (`hybridSearch`): each leg's kept scores are min-max
     * normalized within the leg, then combined as

@@ -452,7 +452,30 @@ object SparkEntry {
       Engine.searchSnippets(Engine.ingest(docs(s, dir)), Q, 5)),
     // extension: corpus vocabulary heavy hitters
     "q72_top_tokens" -> ((s, dir) =>
-      graft.operators.TextAnalysis.topTokens(docs(s, dir), 20)))
+      graft.operators.TextAnalysis.topTokens(docs(s, dir), 20)),
+    // extension: batch QueryResponse — q07's canonical serialization per
+    // query over the whole fixture batch
+    "q73_response_batch" -> ((s, dir) =>
+      Engine.searchResponseMany(Engine.ingest(docs(s, dir)), QBatch, 5)
+        .withColumn("chunks",
+          array_join(
+            transform(col("chunks"), c => concat_ws("",
+              c.getField("id"), c.getField("source"),
+              c.getField("score").cast("decimal(10,4)").cast("string"),
+              c.getField("text"))),
+            ""))),
+    // extension: index consistency report over an index with two planted
+    // defects (a duplicate-id empty-text row and a wrong-dimension row)
+    "q74_index_fsck" -> ((s, dir) => {
+      import s.implicits._
+      val idx = Engine.ingest(docs(s, dir))
+        .select("id", "source", "text", "embedding")
+      val bad = Seq(
+        ("src0_0_0", "src0", "", Array.fill(1024)(0.0f)),
+        ("zz_bad_dim", "srcZ", "x", Array.fill(10)(0.1f)))
+        .toDF("id", "source", "text", "embedding")
+      Engine.indexFsck(idx.unionByName(bad))
+    }))
 
   // ---------------------------------------------------------------- oracle —
 
@@ -1344,6 +1367,45 @@ FROM r WHERE rn BETWEEN 11 AND 15""",
       score FROM sc2)
 SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
     },
+    // q32's batch scoring + q07's canonical per-query serialization
+    "q73_response_batch" -> {
+      val valuesList = QBatch.map(q => s"('${sqlLit(q)}')").mkString(", ")
+      s"""WITH $dkChunks,
+  chex AS (SELECT id, source, text, sha256(text) AS hx FROM chunks),
+  cvec AS (SELECT id, source, text, ${dkVec("hx")} AS emb FROM chex),
+  qs AS (SELECT query FROM (VALUES $valuesList) AS t(query)),
+  qv AS (SELECT query, ${dkVec("sha256(query)")} AS qv FROM qs),
+  scored AS (SELECT q.query, c.id, c.source, c.text,
+      ${dkDot("c.emb", "q.qv")} / (sqrt(${dkDot("c.emb", "c.emb")}) * sqrt(${dkDot("q.qv", "q.qv")})) AS score
+    FROM cvec c CROSS JOIN qv q WHERE length(c.text) > 0),
+  r AS (SELECT query, id, source, text, score,
+      row_number() OVER (PARTITION BY query ORDER BY score DESC, id ASC) AS rn FROM scored),
+  top AS (SELECT * FROM r WHERE rn <= 5)
+SELECT query,
+  coalesce(string_agg(
+    id || chr(1) || source || chr(1) ||
+      CAST(CAST(round(score, 4) AS DECIMAL(10,4)) AS VARCHAR) || chr(1) || text,
+    chr(2) ORDER BY score DESC, id ASC), '') AS chunks,
+  count(*) AS total_results,
+  coalesce(string_agg('[Source: ' || source || ']' || chr(10) || text,
+    chr(10) || chr(10) || '---' || chr(10) || chr(10) ORDER BY score DESC, id ASC), '') AS context
+FROM top GROUP BY query"""
+    },
+    // chunk rows are well-formed by construction (dim 1024, non-empty text,
+    // unique ids), so the expected counters are the two planted defects
+    "q74_index_fsck" ->
+      s"""WITH $dkChunks,
+  all_rows AS (SELECT id, source, text, 1024 AS edim FROM chunks
+    UNION ALL SELECT * FROM (VALUES
+      ('src0_0_0', 'src0', '', 1024),
+      ('zz_bad_dim', 'srcZ', 'x', 10)) AS t(id, source, text, edim))
+SELECT count(*) AS n_rows,
+  count(DISTINCT id) AS n_distinct_ids,
+  count(*) - count(DISTINCT id) AS n_duplicate_ids,
+  CAST(sum(CASE WHEN edim != 1024 THEN 1 ELSE 0 END) AS BIGINT) AS n_bad_embeddings,
+  CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
+  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_source
+FROM all_rows""",
     // Weighted-blend fusion: q51's two-leg machinery with per-leg min-max
     // normalization instead of ranks; 0.5 blend constants mirror the Scala
     // doubles exactly

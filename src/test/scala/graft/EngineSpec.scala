@@ -295,6 +295,36 @@ class EngineSpec extends AnyFunSuite {
     assert(bare.length == 3 && bare.forall(r => r._3.isEmpty && r._5.isEmpty))
   }
 
+  test("searchResponseMany: per-query rows equal single-query searchResponse") {
+    val qs = Seq("transfer credits", "spark window agg")
+    val many = Engine.searchResponseMany(index, qs, 3)
+      .collect().map(r => r.getAs[String]("query") -> r.toString).toMap
+    for (q <- qs) {
+      val single = Engine.searchResponse(index, q, 3).collect()(0).toString
+      assert(many(q) == single, s"query '$q'")
+    }
+  }
+
+  test("indexFsck: clean index reports zeros; planted defects are counted") {
+    val clean = Engine.indexFsck(index).collect()(0)
+    assert(clean.getAs[Long]("n_duplicate_ids") == 0)
+    assert(clean.getAs[Long]("n_bad_embeddings") == 0)
+    assert(clean.getAs[Long]("n_empty_text") == 0)
+    assert(clean.getAs[Long]("n_null_source") == 0)
+    assert(clean.getAs[Long]("n_rows") == index.count())
+    val someId = index.orderBy("id").select($"id").as[String].head()
+    val bad = Seq(
+      (someId, null: String, "", Array.fill(1024)(0.0f)),
+      ("odd_dim", "srcZ", "x", Array.fill(3)(0.5f)))
+      .toDF("id", "source", "text", "embedding")
+    val report = Engine.indexFsck(
+      index.select("id", "source", "text", "embedding").unionByName(bad)).collect()(0)
+    assert(report.getAs[Long]("n_duplicate_ids") == 1)
+    assert(report.getAs[Long]("n_bad_embeddings") == 1)
+    assert(report.getAs[Long]("n_empty_text") == 1)
+    assert(report.getAs[Long]("n_null_source") == 1)
+  }
+
   test("versioned index: commit/flip/prune — readers pin or follow _LATEST") {
     val root = java.nio.file.Files.createTempDirectory("graft-ver").toString + "/idx"
     assert(Engine.latestVersion(spark, root).isEmpty)
