@@ -151,6 +151,16 @@ class EngineSpec extends AnyFunSuite {
     assert(gotRows.forall(okIds.contains))
   }
 
+  test("searchWhere on a persisted index: source predicate prunes partitions") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-sw").toString + "/idx"
+    Engine.writeIndex(index, dir)
+    val plan = Engine.searchWhere(Engine.readIndex(spark, dir),
+        "transfer credits", col("source") === "src3", 5)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(source"), plan)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
   test("searchDiverse: at most one chunk per source; equals window-based reference") {
     val got = Engine.searchDiverse(index, "transfer credits", 5)
       .select($"id", $"source", $"score").as[(String, String, Double)].collect()
