@@ -49,10 +49,11 @@ object Bench {
       val best = if (succeeded.nonEmpty) succeeded.min else attempts.map(_._2).min
       name -> (best, attempts.map(_._2))
     }
-    // 3-decimal values: the driver's artifact keeps only the final ~2000
+    // 2-decimal values: the driver's artifact keeps only the final ~2000
     // output characters, and full-precision doubles over 59 queries pushed
-    // the JSON line past that window (BENCH_r03/r04 recorded parsed:null)
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + f"$v%.3f" }
+    // the JSON line past that window (BENCH_r03/r04 recorded parsed:null);
+    // at 74 queries even 3-decimal values leave <130 chars of headroom
+    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     // per-rep times per query: a contaminated run shows as wide rep spreads
     // (healthy: < 30% per query) without needing a rerun to diagnose.
@@ -68,7 +69,9 @@ object Bench {
     graft.operators.PlanCache.releaseAll(spark)
     spark.stop()
     // printed LAST, after spark.stop(), so nothing lands between this line
-    // and the end of the program's stdout
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfDir","reps":$reps,"agg":"min","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
+    // and the end of the program's stdout; sf is the short label, the full
+    // dir is in the diag line
+    val sfLabel = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfLabel","reps":$reps,"agg":"min","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
   }
 }
