@@ -446,6 +446,48 @@ object Engine {
         round(col("rrf"), 6).as("rrf"))
   }
 
+  /** Recommendation search — query by example instead of by text: the
+    * query vector is `mean(positive embeddings) - mean(negative
+    * embeddings)`, the classic collaborative "more like these, less like
+    * those" vector-store API. The example set is a handful of ids, so the
+    * vector assembles driver-side (sorted-id sequential f64 sums —
+    * deterministic and tiny); scoring then runs the standard corpus-scan
+    * cosine with the example ids excluded from results. Output:
+    * (id, source, score) top-k by (score desc, id asc). */
+  def recommend(index: DataFrame, positiveIds: Seq[String],
+                negativeIds: Seq[String] = Nil, k: Int = 5): DataFrame = {
+    require(positiveIds.nonEmpty, "need at least one positive example id")
+    val ids = (positiveIds ++ negativeIds).distinct
+    val embs = index.filter(col("id").isin(ids: _*))
+      .select(col("id"), col("embedding")).collect()
+      .map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+    require(positiveIds.forall(embs.contains),
+      s"positive ids missing from index: ${positiveIds.filterNot(embs.contains)}")
+    val dim = embs(positiveIds.head).length
+    def mean(of: Seq[String]): Array[Double] = {
+      val arr = new Array[Double](dim)
+      val present = of.distinct.sorted.filter(embs.contains)
+      for (id <- present) {
+        val e = embs(id)
+        var i = 0
+        while (i < dim) { arr(i) += e(i).toDouble; i += 1 }
+      }
+      if (present.nonEmpty) { var i = 0; while (i < dim) { arr(i) /= present.size; i += 1 } }
+      arr
+    }
+    val p = mean(positiveIds)
+    val n = mean(negativeIds)
+    // CAST each element: a bare numeric literal parses as DECIMAL in Spark
+    // SQL, and cosine_similarity requires float/double arrays
+    val qvSql = p.indices.map(i => s"CAST(${p(i) - n(i)} AS DOUBLE)")
+      .mkString("array(", ", ", ")")
+    index.filter(!col("id").isin(ids: _*))
+      .filter(length(col("text")) > 0)
+      .withColumn("score", cosine_similarity(col("embedding"), expr(qvSql)))
+      .orderBy(desc("score"), asc("id")).limit(k)
+      .select(col("id"), col("source"), round(col("score"), 4).as("score"))
+  }
+
   /** Batch QueryResponse: `searchResponse` over a query SET — one row per
     * query (query, chunks, total_results, context), aggregated from
     * `searchMany`'s ranked hits with one tiny groupBy over <= k x |queries|

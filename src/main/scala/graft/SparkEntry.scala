@@ -475,6 +475,17 @@ object SparkEntry {
         ("zz_bad_dim", "srcZ", "x", Array.fill(10)(0.1f)))
         .toDF("id", "source", "text", "embedding")
       Engine.indexFsck(idx.unionByName(bad))
+    }),
+    // extension: recommendation search — query by example ids (mean of two
+    // positives minus one negative; 2-element sums commute in f64, so the
+    // driver-side assembly is engine-portable); the examples themselves are
+    // excluded from the results
+    "q75_recommend" -> ((s, dir) => {
+      import s.implicits._
+      val idx = Engine.ingest(docs(s, dir))
+      val pos = idx.select("id").orderBy("id").limit(2).as[String].collect().toSeq
+      val neg = idx.select("id").orderBy(col("id").desc).limit(1).as[String].collect().toSeq
+      Engine.recommend(idx, pos, neg, 5)
     }))
 
   // ---------------------------------------------------------------- oracle —
@@ -1406,6 +1417,27 @@ SELECT count(*) AS n_rows,
   CAST(sum(CASE WHEN text IS NULL OR length(text) = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_empty_text,
   CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_source
 FROM all_rows""",
+    // mean(2 smallest-id chunks) - mean(largest-id chunk) as the query
+    // vector; per-dim sums over 2 rows are order-free in f64 (addition
+    // commutes), so the oracle's grouped sums match the driver-side loop
+    "q75_recommend" ->
+      s"""WITH $dkChunks,
+  chex AS (SELECT id, source, text, sha256(text) AS hx FROM chunks),
+  cvec AS (SELECT id, source, text, ${dkVec("hx")} AS emb FROM chex),
+  pos AS (SELECT id, emb FROM cvec ORDER BY id ASC LIMIT 2),
+  neg AS (SELECT id, emb FROM cvec ORDER BY id DESC LIMIT 1),
+  ex AS (SELECT id FROM pos UNION ALL SELECT id FROM neg),
+  pm AS (SELECT i.i AS i, sum(CAST(p.emb[i.i] AS DOUBLE)) / 2.0 AS v
+    FROM pos p CROSS JOIN range(1, 1025) i(i) GROUP BY i.i),
+  nm AS (SELECT i.i AS i, sum(CAST(n.emb[i.i] AS DOUBLE)) / 1.0 AS v
+    FROM neg n CROSS JOIN range(1, 1025) i(i) GROUP BY i.i),
+  qv AS (SELECT list(pm.v - nm.v ORDER BY pm.i) AS q FROM pm JOIN nm ON pm.i = nm.i),
+  scored AS (SELECT c.id, c.source,
+      ${dkDot("c.emb", "qv.q")} / (sqrt(${dkDot("c.emb", "c.emb")}) * sqrt(${dkDot("qv.q", "qv.q")})) AS score
+    FROM cvec c CROSS JOIN qv
+    WHERE length(c.text) > 0 AND c.id NOT IN (SELECT id FROM ex))
+SELECT id, source, round(score, 4) AS score
+FROM scored ORDER BY score DESC, id ASC LIMIT 5""",
     // Weighted-blend fusion: q51's two-leg machinery with per-leg min-max
     // normalization instead of ranks; 0.5 blend constants mirror the Scala
     // doubles exactly

@@ -305,6 +305,34 @@ class EngineSpec extends AnyFunSuite {
     assert(bare.length == 3 && bare.forall(r => r._3.isEmpty && r._5.isEmpty))
   }
 
+  test("recommend: examples excluded; single-positive case matches driver-side cosine ranking") {
+    val all = index.select($"id", $"embedding").as[(String, Array[Float])]
+      .collect().toMap
+    val seed = all.keys.min
+    val got = Engine.recommend(index, Seq(seed), Nil, 5)
+      .as[(String, String, Double)].collect()
+    assert(got.length == 5 && !got.exists(_._1 == seed), "seed id must be excluded")
+    // with one positive and no negatives the query vector IS the seed's
+    // embedding (as f64), so ranking must equal plain cosine-to-seed
+    val qv = all(seed).map(_.toDouble)
+    val want = all.toSeq.filter(_._1 != seed)
+      .map { case (id, e) =>
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        while (i < e.length) {
+          dot += e(i).toDouble * qv(i); na += e(i).toDouble * e(i).toDouble
+          nb += qv(i) * qv(i); i += 1
+        }
+        (id, if (na == 0.0 || nb == 0.0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb)))
+      }
+      .sortBy { case (id, s) => (-s, id) }.take(5).map(_._1)
+    assert(got.map(_._1).toSeq == want)
+    // a negative example must also be excluded and must shift the ranking
+    val neg = all.keys.max
+    val withNeg = Engine.recommend(index, Seq(seed), Seq(neg), 5)
+      .as[(String, String, Double)].collect()
+    assert(!withNeg.exists(r => r._1 == seed || r._1 == neg))
+  }
+
   test("searchResponseMany: per-query rows equal single-query searchResponse") {
     val qs = Seq("transfer credits", "spark window agg")
     val many = Engine.searchResponseMany(index, qs, 3)
