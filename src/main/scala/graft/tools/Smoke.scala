@@ -60,6 +60,35 @@ object Smoke {
     try { Engine.search(index, "   ", 5); println("!! empty query accepted") }
     catch { case e: IllegalArgumentException => println(s"== empty query rejected: ${e.getMessage}") }
 
+    // retrieval-mode tour: hybrid (RRF + blend), filtered, diversified,
+    // paginated, faceted, MMR, recommend — one line each
+    val q = "transfer credits"
+    def firstIds(df: org.apache.spark.sql.DataFrame, n: Int = 3): String =
+      df.select("id").collect().take(n).map(_.getString(0)).mkString(",")
+    println(s"== hybrid rrf top:   ${firstIds(Engine.hybridSearch(index, q, 3))}")
+    println(s"== hybrid blend top: ${firstIds(Engine.hybridSearchBlend(index, q, 3))}")
+    println(s"== filtered (doc_id%3=0): ${firstIds(Engine.searchWhere(index, q, org.apache.spark.sql.functions.expr("doc_id % 3 = 0"), 3))}")
+    println(s"== diverse per-source:    ${firstIds(Engine.searchDiverse(index, q, 3))}")
+    println(s"== page 1 (rows 6-10):    ${firstIds(Engine.searchPage(index, q, 1, 5))}")
+    println(s"== facets: ${Engine.searchFacets(index, q, 50).count()} sources in top-50")
+    println(s"== mmr:    ${firstIds(graft.operators.Rerank.mmrRerank(index, q, 3))}")
+    val seed = index.orderBy("id").select("id").collect()(0).getString(0)
+    println(s"== recommend(seed=$seed): ${firstIds(Engine.recommend(index, Seq(seed), Nil, 3))}")
+
+    // index lifecycle tour on a temp copy: versioned write -> fsck ->
+    // delete a source -> compact -> read back
+    val root = java.nio.file.Files.createTempDirectory("graft-smoke-idx").toString
+    val v1 = Engine.writeIndexVersioned(index, s"$root/idx")
+    val fsck = Engine.indexFsck(Engine.readIndexLatest(spark, s"$root/idx")).collect()(0)
+    println(s"== lifecycle: committed v$v1, fsck dup_ids=${fsck.getAs[Long]("n_duplicate_ids")} " +
+      s"bad_emb=${fsck.getAs[Long]("n_bad_embeddings")}")
+    Engine.deleteSourceAt(spark, s"$root/idx/v=$v1", "src0")
+    val afterDelete = Engine.readIndexLatest(spark, s"$root/idx")
+    println(s"== lifecycle: dropped src0 partition -> ${afterDelete.count()} rows remain")
+    val compacted = Engine.compactIndexAt(spark, s"$root/idx/v=$v1")
+    println(s"== lifecycle: compacted ${compacted.size} fragmented partitions")
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
+
     spark.stop()
   }
 }
