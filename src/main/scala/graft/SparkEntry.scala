@@ -486,6 +486,16 @@ object SparkEntry {
       val pos = idx.select("id").orderBy("id").limit(2).as[String].collect().toSeq
       val neg = idx.select("id").orderBy(col("id").desc).limit(1).as[String].collect().toSeq
       Engine.recommend(idx, pos, neg, 5)
+    }),
+    // extension: product quantization — per-subspace deterministic
+    // codebooks (fixed-point Lloyd, the q68 recipe per 4-dim slice), ADC
+    // lookup scoring over 16-byte codes, shortlist + exact re-rank; the
+    // memory-bound ANN index, fully hash-checkable like q44/q46/q56/q69
+    "q76_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      Similarity.pqTopK(e, q, 3)
     }))
 
   // ---------------------------------------------------------------- oracle —
@@ -1496,6 +1506,11 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 20""",
     // the SQL reproduces the Scala trajectory bit-for-bit.
     "q68_det_kmeans" -> detKmeansOracle(finalSelect =
       "SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a_fin"),
+    // Product quantization unrolled: 16 independent 4-dim Lloyd chains (the
+    // q68 recipe per subspace slice), codes + per-query ADC lookup tables
+    // assembled as ordered lists so the ADC sum folds in the same subspace
+    // order as the Spark aggregate, then shortlist + exact-cosine re-rank.
+    "q76_ann_pq" -> pqOracle,
     "q69_det_ivf" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
   WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,
@@ -1517,6 +1532,87 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 20""",
       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
       score FROM sc)
   SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3)"""))
+
+  /** The product-quantization CTE chain (q76, mirrors Similarity.pqTopK
+    * defaults m=16 ksub=16 iters=2 shortlist=64): per-subspace deterministic
+    * Lloyd over the 4-dim `nv` slices — first-16-by-id init, strict argmin
+    * (ties to the lowest cell), fixed-point integer-sum means, empty cells
+    * keep their centroid — then codes and per-query ADC lookup tables as
+    * ORDERED lists, so the ADC total folds subspace-ascending exactly like
+    * the Spark `aggregate(sequence(1, m), ...)`, an (adc desc, vec_id)
+    * shortlist, and an exact-cosine re-rank. */
+  private def pqOracle: String = {
+    val m = 16; val ksub = 16; val iters = 2; val dsub = 4
+    val shortlist = 64; val k = 3
+    val d2 = (nvE: String, cE: String) =>
+      s"list_sum(list_transform(range(1, ${dsub + 1}), i -> ($nvE[i] - $cE[i]) * ($nvE[i] - $cE[i])))"
+    val subChains = (0 until m).map { s =>
+      val off = s * dsub
+      val sv = s"list_transform(range(${off + 1}, ${off + dsub + 1}), i -> nv[i])"
+      val iterCtes = (1 to iters).map { t =>
+        s"""  d_${s}_$t AS (SELECT n.vec_id, cc.cell, ${d2("n.sv", "cc.c")} AS d2
+    FROM sv_$s n CROSS JOIN cents_${s}_${t - 1} cc),
+  a_${s}_$t AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM d_${s}_$t) WHERE rn = 1),
+  s_${s}_$t AS (SELECT a.cell, di.i AS dim,
+      sum(CAST(floor(n.sv[di.i] * 1048576.0 + 0.5) AS BIGINT)) AS sfx, count(*) AS cnt
+    FROM a_${s}_$t a JOIN sv_$s n USING (vec_id) CROSS JOIN range(1, ${dsub + 1}) di(i)
+    GROUP BY a.cell, di.i),
+  cents_${s}_$t AS (SELECT p.cell, list(
+      CASE WHEN s.sfx IS NULL THEN p.c[di.i]
+           ELSE (CAST(s.sfx AS DOUBLE) / CAST(s.cnt AS DOUBLE)) / 1048576.0 END
+      ORDER BY di.i) AS c
+    FROM cents_${s}_${t - 1} p CROSS JOIN range(1, ${dsub + 1}) di(i)
+    LEFT JOIN s_${s}_$t s ON s.cell = p.cell AND s.dim = di.i
+    GROUP BY p.cell)"""
+      }.mkString(",\n")
+      s"""  sv_$s AS (SELECT vec_id, $sv AS sv FROM nv),
+  cents_${s}_0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, sv AS c
+    FROM sv_$s ORDER BY vec_id ASC LIMIT $ksub),
+$iterCtes,
+  af_$s AS (SELECT vec_id, cell FROM (SELECT n.vec_id, cc.cell,
+      row_number() OVER (PARTITION BY n.vec_id ORDER BY ${d2("n.sv", "cc.c")} ASC, cc.cell ASC) AS rn
+    FROM sv_$s n CROSS JOIN cents_${s}_$iters cc) WHERE rn = 1),
+  sv_q_$s AS (SELECT vec_id, sv FROM sv_$s WHERE vec_id < 5),
+  lt_$s AS (SELECT q.vec_id AS query_id, cc.cell,
+      list_sum(list_transform(range(1, ${dsub + 1}), i -> q.sv[i] * cc.c[i])) AS val
+    FROM sv_q_$s q CROSS JOIN cents_${s}_$iters cc)"""
+    }
+    val unionAf = (0 until m)
+      .map(s => s"SELECT $s AS sub, vec_id, cell FROM af_$s").mkString(" UNION ALL ")
+    val unionLt = (0 until m)
+      .map(s => s"SELECT $s AS sub, query_id, cell, val FROM lt_$s").mkString(" UNION ALL ")
+    s"""WITH nvz AS (SELECT vec_id, embedding,
+      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+    FROM embeddings),
+  nv AS (SELECT vec_id,
+      CASE WHEN nrm = 0.0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+           ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS nv
+    FROM nvz),
+${subChains.mkString(",\n")},
+  af AS ($unionAf),
+  lt AS ($unionLt),
+  codes AS (SELECT vec_id, list(cell ORDER BY sub) AS codes FROM af GROUP BY vec_id),
+  qlt0 AS (SELECT query_id, sub, list(val ORDER BY cell) AS lrow FROM lt GROUP BY query_id, sub),
+  qlt AS (SELECT query_id, list(lrow ORDER BY sub) AS lt FROM qlt0 GROUP BY query_id),
+  adc AS (SELECT q.query_id, c.vec_id,
+      list_sum(list_transform(range(1, ${m + 1}), s -> q.lt[s][c.codes[s] + 1])) AS adc
+    FROM codes c CROSS JOIN qlt q),
+  short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) AS srn FROM adc) WHERE srn <= $shortlist),
+  s2 AS (SELECT sh.query_id, sh.vec_id,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS dot,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS na,
+      list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS nb
+    FROM short sh JOIN embeddings e ON sh.vec_id = e.vec_id
+                  JOIN embeddings q ON sh.query_id = q.vec_id),
+  sc2 AS (SELECT query_id, vec_id,
+      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS score FROM s2),
+  r AS (SELECT query_id, vec_id,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
+      score FROM sc2)
+SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= $k"""
+  }
 
   /** The deterministic-KMeans CTE chain (shared by q68/q69): nv, cents0
     * (first-8-by-id init), 3x (assign, fixed-point-mean update), final

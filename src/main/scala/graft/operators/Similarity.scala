@@ -610,6 +610,211 @@ object Similarity {
   private def bitmap_count(c: org.apache.spark.sql.Column) =
     call_function("bit_count", c)
 
+  // ------------------------------------------------- product quantization —
+
+  /** A built product-quantization index: per-vector subspace codes (one
+    * small int per subspace — `m` bytes of signal per vector vs `4 x dim`
+    * for f32) plus the per-subspace codebooks (`codebooks(sub)(cell)` = a
+    * `dsub`-dim f64 centroid; tiny: m x ksub x dsub doubles, driver-side by
+    * the same contract as `assignCells`' centroid table). Build with
+    * `pqIndex`, probe with `pqProbe` (ADC lookup scoring), persist with
+    * `save` / recover with `loadPqIndex`, maintain incrementally with
+    * `upsertPq` — the IvfIndex/sqIndex lifecycle. */
+  final case class PqIndex(codes: DataFrame,
+                           codebooks: Seq[Seq[Array[Double]]], dsub: Int) {
+    def m: Int = codebooks.size
+    def save(path: String): Unit = {
+      codes.write.mode("overwrite").parquet(s"$path/codes")
+      val spark = codes.sparkSession
+      import spark.implicits._
+      codebooks.zipWithIndex.flatMap { case (cb, s) =>
+        cb.zipWithIndex.map { case (c, cell) => (s, cell, c.toSeq) }
+      }.toDF("sub", "cell", "centroid")
+        .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
+    }
+  }
+
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+    val rows = spark.read.parquet(s"$path/codebooks").collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
+    require(rows.nonEmpty, s"empty codebook table at $path/codebooks")
+    val m = rows.map(_._1).max + 1
+    val codebooks = (0 until m).map { s =>
+      rows.filter(_._1 == s).sortBy(_._2).map(_._3).toSeq
+    }
+    PqIndex(spark.read.parquet(s"$path/codes"), codebooks,
+      codebooks.head.head.length)
+  }
+
+  private def centsSqlOf(cb: Seq[Array[Double]]): String =
+    cb.map(_.map(_.toString).mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+
+  /** Append 0-based code columns `__c_0..__c_{m-1}` to a "__nv" frame: per
+    * subspace, argmin squared distance of the `dsub`-wide `__nv` slice
+    * against that subspace's codebook (strict-< scan with ties to the
+    * lowest cell — the `assignCells` rule). Map-only; the codebooks unroll
+    * into literal expressions inside whole-stage codegen. */
+  private def withSubCodes(nv: DataFrame, cbs: Seq[Seq[Array[Double]]],
+                           dsub: Int): DataFrame =
+    cbs.zipWithIndex.foldLeft(nv) { case (d, (cb, s)) =>
+      val off = s * dsub
+      d.withColumn(s"__d2_$s", expr(
+          s"transform(${centsSqlOf(cb)}, c -> aggregate(zip_with(slice(__nv, ${off + 1}, $dsub), c, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (a, x) -> a + x))"))
+        .withColumn(s"__c_$s", expr(
+          s"""aggregate(sequence(1, size(__d2_$s)),
+                named_struct('bd', CAST('Infinity' AS DOUBLE), 'bi', 1),
+                (acc, i) -> IF(__d2_$s[i-1] < acc.bd, named_struct('bd', __d2_$s[i-1], 'bi', i), acc),
+                acc -> acc.bi) - 1"""))
+        .drop(s"__d2_$s")
+    }
+
+  private def codesArrayExpr(m: Int): String =
+    (0 until m).map(s => s"__c_$s").mkString("array(", ", ", ")")
+
+  /** Driver-side memo for PQ builds — the detKMeans/ivfIndex contract. */
+  private val pqMemo = scala.collection.mutable.Map.empty[
+    (org.apache.spark.sql.SparkSession, String), PqIndex]
+
+  /** Product quantization — the classic memory-bound ANN index (Jégou et
+    * al., "Product Quantization for Nearest Neighbor Search", TPAMI 2011):
+    * split the normalized vector into `m` subspaces of `dsub = inDim / m`
+    * dims, run KMeans per subspace (`ksub` cells), and store each vector as
+    * `m` small codes — here 16 bytes/vector vs 256 for 64-dim f32.
+    *
+    * The per-subspace Lloyd build reuses `detKMeans`' determinism recipe —
+    * first-`ksub`-by-vec_id init, strict-argmin assignment, FIXED-POINT
+    * integer-sum means (summation order cannot flip bits), empty cells keep
+    * their centroid — so two builds are bit-identical and the whole
+    * codebook trajectory reproduces in SQL (the q76 oracle). All `m`
+    * subspaces train in ONE pass per iteration: a single map-only
+    * assignment projection (the m argmins unroll into codegen) + one
+    * (sub, cell, dim)-keyed aggregation whose shuffle is
+    * partitions x m x ksub x dsub partial rows — corpus-size-independent,
+    * same shape as one full-dim detKMeans iteration. */
+  def pqIndex(items: DataFrame, m: Int = 16, ksub: Int = 16, iters: Int = 2,
+              inDim: Int = 64, embCol: String = "embedding"): PqIndex = {
+    require(m >= 1 && inDim % m == 0, s"inDim=$inDim must split into m=$m subspaces")
+    require(ksub >= 1 && iters >= 1, s"need ksub >= 1, iters >= 1")
+    val key = memoKey(items, s"pq|$m|$ksub|$iters|$inDim|$embCol")
+      .map(s => (items.sparkSession, s))
+    key.foreach { mk =>
+      pqMemo.synchronized {
+        pqMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+        pqMemo.get(mk)
+      } match {
+        case Some(hit) => return hit
+        case None =>
+      }
+    }
+    val built = buildPqIndex(items, m, ksub, iters, inDim / m, embCol)
+    key.foreach(mk => pqMemo.synchronized { pqMemo.update(mk, built) })
+    built
+  }
+
+  private def buildPqIndex(items: DataFrame, m: Int, ksub: Int, iters: Int,
+                           dsub: Int, embCol: String): PqIndex = {
+    val nv = withNv(items, embCol).select(col("vec_id"), col("__nv")).cache()
+    val initRows = nv.orderBy("vec_id").limit(ksub).select("__nv").collect()
+      .map(_.getSeq[Double](0).toArray)
+    require(initRows.length == ksub, s"corpus has fewer than ksub=$ksub vectors")
+    var cbs: Seq[Seq[Array[Double]]] = (0 until m).map { s =>
+      initRows.map(r => r.slice(s * dsub, (s + 1) * dsub)).toSeq
+    }
+    for (_ <- 1 to iters) {
+      val scArr = (0 until m).map(s => s"named_struct('sub', $s, 'cell', __c_$s)")
+        .mkString("array(", ", ", ")")
+      val sums = withSubCodes(nv, cbs, dsub)
+        .select(col("__nv"), explode(expr(scArr)).as("sc"))
+        .select(col("sc.sub").as("sub"), col("sc.cell").as("cell"), col("__nv"))
+        .select(col("sub"), col("cell"),
+          posexplode(expr(s"slice(__nv, sub * $dsub + 1, $dsub)")).as(Seq("dim", "x")))
+        .withColumn("fx", expr(s"CAST(floor(x * $DetKmFx + 0.5) AS BIGINT)"))
+        .groupBy("sub", "cell", "dim")
+        .agg(sum("fx").as("sfx"), count(lit(1)).as("n"))
+        .collect()
+      val byKey = sums.map(r =>
+        ((r.getInt(0), r.getInt(1), r.getInt(2)), (r.getLong(3), r.getLong(4)))).toMap
+      cbs = cbs.zipWithIndex.map { case (cb, s) =>
+        cb.zipWithIndex.map { case (old, cell) =>
+          if (byKey.contains((s, cell, 0)))
+            Array.tabulate(dsub) { d =>
+              val (sfx, n) = byKey((s, cell, d))
+              (sfx.toDouble / n.toDouble) / DetKmFx
+            }
+          else old // empty cell keeps its previous centroid
+        }
+      }
+    }
+    val codes = PlanCache.memo(withSubCodes(nv, cbs, dsub)
+      .select(col("vec_id"), expr(codesArrayExpr(m)).as("codes")))
+    codes.count() // materialize so the normalized input can be released
+    nv.unpersist()
+    PqIndex(codes, cbs, dsub)
+  }
+
+  /** Top-k probe over a PQ index via ADC (asymmetric distance computation):
+    * each query precomputes ONE lookup table — `lt(sub)(cell)` = dot of its
+    * normalized subvector with that cell's centroid, m x ksub doubles,
+    * map-only over the tiny query set — and scoring a corpus vector is then
+    * `m` table lookups (sum over subs of `lt(sub)(codes(sub))`), never
+    * touching the f32 embedding: the full-corpus scan reads 16-byte code
+    * rows, ~16x less than f32 brute force. The `shortlist` ADC-closest
+    * vectors per query (GroupedTopK caps that shuffle) are then re-ranked
+    * with exact cosine, so returned scores are true cosines. Every stage is
+    * a pure function of the input — deterministic codebooks, sequential f64
+    * ADC sums, (adc desc, vec_id) / (score desc, vec_id) tie orders — so
+    * the whole path is hash-checked by the q76 oracle; recall-gated
+    * (>= 0.9) in SimilaritySpec beside rp/SQ8/BQ. */
+  def pqProbe(index: PqIndex, items: DataFrame, queries: DataFrame, k: Int,
+              shortlist: Int = 64): DataFrame = {
+    val m = index.m
+    val dsub = index.dsub
+    val ltArr = index.codebooks.zipWithIndex.map { case (cb, s) =>
+      val off = s * dsub
+      s"transform(${centsSqlOf(cb)}, c -> aggregate(zip_with(slice(__nv, ${off + 1}, $dsub), c, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+    }.mkString("array(", ", ", ")")
+    val qlt = withNv(queries, "query_embedding")
+      .select(col("query_id"), expr(ltArr).as("lt"))
+    val short = graft.plans.GroupedTopK(
+        index.codes.crossJoin(broadcast(qlt))
+          .select(col("query_id"), col("vec_id"), expr(
+            s"""aggregate(sequence(1, $m), CAST(0.0 AS DOUBLE),
+                  (a, s) -> a + element_at(element_at(lt, s), element_at(codes, s) + 1))""")
+            .as("adc")),
+        Seq(col("query_id")), Seq(desc("adc"), asc("vec_id")), shortlist)
+      .select("query_id", "vec_id")
+    topKPerQuery(
+      short.join(items, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+        .withColumn("score",
+          cosine_similarity(col("embedding"), col("query_embedding"))),
+      k)
+  }
+
+  /** Build + probe in one call (product quantization, ADC shortlist, exact
+    * re-rank). */
+  def pqTopK(items: DataFrame, queries: DataFrame, k: Int,
+             m: Int = 16, ksub: Int = 16, iters: Int = 2,
+             shortlist: Int = 64, inDim: Int = 64): DataFrame =
+    pqProbe(pqIndex(items, m, ksub, iters, inDim), items, queries, k, shortlist)
+
+  /** Incremental PQ maintenance: codebooks stay FROZEN (the IVF contract —
+    * cheap upserts between periodic retrains), so a delta re-encodes
+    * map-only against them and replaces by id. Encoding depends only on the
+    * codebooks, so an upsert's codes exactly equal a fresh encode of the
+    * merged corpus under the same codebooks (SimilaritySpec pins probe
+    * equality). */
+  def upsertPq(index: PqIndex, delta: DataFrame,
+               embCol: String = "embedding"): PqIndex = {
+    val nv = withNv(delta, embCol).select(col("vec_id"), col("__nv"))
+    val newCodes = withSubCodes(nv, index.codebooks, index.dsub)
+      .select(col("vec_id"), expr(codesArrayExpr(index.m)).as("codes"))
+    PqIndex(
+      newCodes.unionByName(
+        index.codes.join(delta.select("vec_id"), Seq("vec_id"), "left_anti")),
+      index.codebooks, index.dsub)
+  }
+
   /** Deterministic random-projection dimensionality reduction (the
     * Johnson-Lindenstrauss shrink step before an expensive pair join or
     * index build): out[j] = dot(e, w_j) over hash-derived hyperplanes

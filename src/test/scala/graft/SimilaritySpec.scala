@@ -123,6 +123,8 @@ class SimilaritySpec extends AnyFunSuite {
         .as[(Long, Long, Int, Double)].collect())
       val divf = topkIds(Similarity.detIvfTopK(e, q, 3)
         .as[(Long, Long, Int, Double)].collect())
+      val pq = topkIds(Similarity.pqTopK(e, q, 3)
+        .as[(Long, Long, Int, Double)].collect())
       val lshR = meanRecall(lsh, exact)
       val ivfR = meanRecall(ivf, exact)
       val rpR = meanRecall(rp, exact)
@@ -137,6 +139,8 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rpsqR >= 0.9, s"rpSqTopK recall@3 = $rpsqR < 0.9")
       val divfR = meanRecall(divf, exact)
       assert(divfR >= 0.9, s"detIvfTopK recall@3 = $divfR < 0.9")
+      val pqR = meanRecall(pq, exact)
+      assert(pqR >= 0.9, s"pqTopK recall@3 = $pqR < 0.9")
       e.unpersist(); q.unpersist()
     }
 
@@ -358,6 +362,52 @@ class SimilaritySpec extends AnyFunSuite {
     val c = Similarity.ivfProbe(upserted, queries, 3).collect().map(_.toString).sorted
     assert(c.sameElements(a))
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("pq index: partition-invariant bit-identical rebuilds; save/load roundtrip; self at rank 1") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/idx"
+    val idx = Similarity.pqIndex(emb)
+    // different partition count AND reversed within-partition order (also a
+    // different plan, so the build memo cannot serve the second call): the
+    // fixed-point subspace means make the codebooks AND codes bit-identical
+    val shuffled = emb.repartition(7).sortWithinPartitions(desc("vec_id"))
+    val again = Similarity.pqIndex(shuffled)
+    assert(idx.codebooks.map(_.map(_.toSeq)) == again.codebooks.map(_.map(_.toSeq)))
+    assert(idx.codes.as[(Long, Array[Int])].collect().map(p => (p._1, p._2.toSeq)).toMap ==
+      again.codes.as[(Long, Array[Int])].collect().map(p => (p._1, p._2.toSeq)).toMap)
+    // save/load roundtrip probes identically
+    idx.save(dir)
+    val loaded = Similarity.loadPqIndex(spark, dir)
+    assert(loaded.m == idx.m && loaded.dsub == idx.dsub)
+    val a = Similarity.pqProbe(idx, emb, queries, 3).collect().map(_.toString).sorted
+    val b = Similarity.pqProbe(loaded, emb, queries, 3).collect().map(_.toString).sorted
+    assert(a.sameElements(b) && a.nonEmpty)
+    // exact re-rank over a shortlist that covers this corpus: self at rank 1
+    val byQ = Similarity.pqProbe(idx, emb, queries, 3)
+      .as[(Long, Long, Int, Double)].collect().groupBy(_._1)
+    for ((qid, rows) <- byQ) {
+      val r1 = rows.minBy(_._3)
+      assert(r1._2 == qid && r1._4 == 1.0, s"query $qid should retrieve itself at rank 1")
+    }
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+  }
+
+  test("upsertPq: frozen-codebook upsert equals a fresh encode of the merged corpus") {
+    val full = Similarity.pqIndex(emb)
+    val delta = emb.filter($"vec_id" % 5 === 0)
+    val partial = Similarity.PqIndex(
+      full.codes.join(delta.select("vec_id"), Seq("vec_id"), "left_anti"),
+      full.codebooks, full.dsub)
+    val upserted = Similarity.upsertPq(partial, delta)
+    assert(upserted.codes.as[(Long, Array[Int])].collect()
+      .map(p => (p._1, p._2.toSeq)).toMap ==
+      full.codes.as[(Long, Array[Int])].collect()
+        .map(p => (p._1, p._2.toSeq)).toMap)
+    assert(upserted.codes.count() == emb.count())
+    // and therefore probes identically
+    val a = Similarity.pqProbe(full, emb, queries, 3).collect().map(_.toString).sorted
+    val b = Similarity.pqProbe(upserted, emb, queries, 3).collect().map(_.toString).sorted
+    assert(a.sameElements(b) && a.nonEmpty)
   }
 
   test("bq index roundtrip: saved+loaded index probes identically to direct") {
