@@ -496,7 +496,28 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       Similarity.pqTopK(e, q, 3)
-    }))
+    }),
+    // extension: SemDeDup-style semantic dedup — detKMeans cells, intra-cell
+    // cosine pairs only, lowest id kept; deterministic end-to-end
+    "q77_semantic_dedup" -> ((s, dir) =>
+      graft.operators.Dedup.semanticDedup(
+        emb(s, dir).select("vec_id", "embedding"), 0.35)),
+    // extension: mixture-weighted downsampling — per-source keep fractions
+    // derived from target weights + a row budget, hash-rule selection
+    "q78_mixture_sample" -> ((s, dir) =>
+      graft.operators.Sampling.sampleToMixture(
+          docs(s, dir), "source", MixWeights, 60)
+        .select("doc_id", "source")),
+    // extension: cross-document boilerplate fractions — share of a doc's
+    // distinct word 5-grams occurring in >= 2 documents
+    "q79_boilerplate" -> ((s, dir) =>
+      graft.operators.TextAnalysis.boilerplateStats(docs(s, dir))))
+
+  /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
+    * keep-everything cap) and asymmetric below it. Shared with the oracle
+    * generator so both sides inline identical double literals. */
+  private val MixWeights = Seq(
+    "src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0, "src3" -> 0.5, "src4" -> 0.5)
 
   // ---------------------------------------------------------------- oracle —
 
@@ -1511,6 +1532,51 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 20""",
     // assembled as ordered lists so the ADC sum folds in the same subspace
     // order as the Spark aggregate, then shortlist + exact-cosine re-rank.
     "q76_ann_pq" -> pqOracle,
+    // SemDeDup: the q68 Lloyd chain, then drop any vector with a lower-id
+    // same-cell neighbour at cosine >= 0.35 (exact f64 cosines, so the
+    // threshold cut reproduces bit-for-bit)
+    "q77_semantic_dedup" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
+  WITH ce AS (SELECT a.vec_id, a.cell, e.embedding FROM a_fin a JOIN embeddings e USING (vec_id)),
+  pr AS (SELECT b.vec_id FROM ce a JOIN ce b ON a.cell = b.cell AND a.vec_id < b.vec_id
+    WHERE (CASE WHEN list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))) = 0
+                  OR list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))) = 0 THEN 0.0
+           ELSE list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE)))
+                / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE) * CAST(a.embedding[i] AS DOUBLE))))
+                 * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE) * CAST(b.embedding[i] AS DOUBLE))))) END) >= 0.35)
+  SELECT vec_id, CAST(cell AS INTEGER) AS cell FROM a_fin
+  WHERE vec_id NOT IN (SELECT vec_id FROM pr))"""),
+    // Mixture sampling: per-source counts -> keep thresholds (same double
+    // literals and operation order as Sampling.sampleToMixture), q53's hash
+    // bucket rule with the 'mix:' prefix
+    "q78_mixture_sample" -> {
+      val sumW = MixWeights.map(_._2).sum
+      val wCase = MixWeights.map { case (st, w) => s"WHEN '$st' THEN $w" }
+        .mkString("CASE source ", " ", " ELSE NULL END")
+      val h = "sha256('mix:' || CAST(doc_id AS VARCHAR))"
+      val b = s"(((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) * 256 + " +
+        s"${dkByte(h, "2")}) * 256 + ${dkByte(h, "3")}) % 10000"
+      s"""WITH cnt AS (SELECT source, count(*) AS n FROM documents GROUP BY source),
+  th AS (SELECT source, n, $wCase AS w FROM cnt),
+  th2 AS (SELECT source, CAST(floor(least(1.0, ((w / $sumW) * 60) / n) * 10000 + 0.5) AS BIGINT) AS t
+    FROM th WHERE w IS NOT NULL)
+SELECT d.doc_id, d.source FROM documents d JOIN th2 USING (source)
+WHERE $b < th2.t"""
+    },
+    // Boilerplate fractions: q55's distinct word-5-gram machinery, plain
+    // count(*) as document frequency, one long/long division (exact IEEE on
+    // both engines — no rounding)
+    "q79_boilerplate" ->
+      s"""WITH $dkTok,
+  shl AS (SELECT doc_id, CASE WHEN len(toks) >= 5
+       THEN list_distinct(list_transform(range(0, len(toks)-4),
+              i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]))
+       ELSE [text] END AS sh FROM tok),
+  shu AS (SELECT doc_id, unnest(sh) AS shingle FROM shl),
+  dfs AS (SELECT shingle, count(*) AS df FROM shu GROUP BY shingle),
+  per AS (SELECT s.doc_id, count(*) AS n_grams,
+      CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
+    FROM shu s JOIN dfs d USING (shingle) GROUP BY s.doc_id)
+SELECT doc_id, n_grams, n_boiler, n_boiler / n_grams AS boiler_frac FROM per""",
     "q69_det_ivf" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
   WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,

@@ -350,4 +350,32 @@ object Dedup {
     docs.withColumn("toks", expr(TextAnalysis.tokensExpr))
       .select(col("doc_id"),
         graft.GraftFunctions.simhash_sig(col("toks")).as("simhash"))
+
+  /** SemDeDup-style semantic deduplication over an embedding column
+    * (cluster first, then compare only WITHIN clusters — the embedding-
+    * space analogue of the shingle-bucket trick): deterministic KMeans
+    * cells (`Similarity.detKMeans`, so the whole pipeline is reproducible
+    * and hash-checkable — q77), then an intra-cell cosine pair scan; a
+    * vector is dropped iff some LOWER-id vector in its cell scores
+    * >= `threshold` against it (lowest id is the kept canonical, the
+    * exact-dedup convention). Returns the KEPT rows (vec_id, cell).
+    *
+    * Scale shape: the pair join is a cell-keyed self-equi-join — shuffle
+    * on `cell`, per-cell work quadratic in CELL size (that bound is the
+    * SemDeDup contract: k is chosen so corpus/k stays bounded, e.g. tens
+    * of thousands of cells at 100 TB), never corpus-quadratic. Cross-cell
+    * near-dups are deliberately out of model — the recall/cost trade the
+    * method is defined by. */
+  def semanticDedup(items: DataFrame, threshold: Double, k: Int = 8,
+                    iters: Int = 3): DataFrame = {
+    val (_, assigned) = Similarity.detKMeans(items, k, iters)
+    val cells = assigned.join(items.select("vec_id", "embedding"), Seq("vec_id"))
+    val dropped = cells.as("a").join(cells.as("b"),
+        col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
+      .filter(graft.GraftFunctions.cosine_similarity(
+        col("a.embedding"), col("b.embedding")) >= threshold)
+      .select(col("b.vec_id").as("vec_id")).distinct()
+    assigned.join(dropped, Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("cell"))
+  }
 }

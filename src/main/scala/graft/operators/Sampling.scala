@@ -107,6 +107,41 @@ object Sampling {
       .select("doc_id", "quality", "n_tokens", "start_offset")
   }
 
+  /** Mixture-weighted downsampling (the domain-reweighting step of a
+    * pretraining data recipe): given target mixture `weights` per stratum
+    * and a total row `budget`, each stratum keeps
+    * `min(1, ((w / sumW) * budget) / n)` of its rows — strata over their
+    * target share are thinned toward it, strata under it keep everything
+    * (the cap; hash sampling cannot invent rows). Selection is the same
+    * deterministic SHA-256 bucket rule as `stratifiedSampleByHash` (its own
+    * `mix:` key prefix, so decisions are independent of split/strat
+    * sampling), making the sample growth-stable and engine-reproducible.
+    *
+    * Stratum counts are a driver-side collect by design: strata are
+    * domains/languages — small by definition (the `assignCells` tiny-table
+    * contract). One map-side-combined count agg + a map-only filter; strata
+    * absent from `weights` are dropped (weight 0). */
+  def sampleToMixture(docs: DataFrame, stratumCol: String,
+                      weights: Seq[(String, Double)], budget: Long,
+                      keyExpr: String = "concat('mix:', cast(doc_id AS string))"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 >= 0.0) && budget > 0,
+      "need non-negative weights and a positive budget")
+    val sumW = weights.map(_._2).sum
+    require(sumW > 0.0, "weights must not all be zero")
+    val counts = docs.groupBy(stratumCol).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val thresholds = weights.map { case (st, w) =>
+      val n = counts.getOrElse(st, 0L)
+      val frac = if (n == 0L) 0.0 else math.min(1.0, ((w / sumW) * budget) / n)
+      st -> math.floor(frac * 10000 + 0.5).toLong
+    }
+    val caseExpr = thresholds.map { case (st, t) =>
+      s"WHEN $stratumCol = '$st' THEN ${t}L"
+    }.mkString("CASE ", " ", " ELSE 0L END")
+    docs.withColumn("__b", expr(bucketExpr(keyExpr)))
+      .filter(expr(s"__b < $caseExpr")).drop("__b")
+  }
+
   /** Sequence packing: per-shard running token offsets and the index of the
     * fixed-`budget` training sequence each document starts in. Output:
     * (doc_id, shard, n_tokens, start_offset, bin). */

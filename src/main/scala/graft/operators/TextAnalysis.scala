@@ -211,4 +211,29 @@ object TextAnalysis {
   def fingerprint(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"),
       graft.GraftFunctions.min_gram_hash(col("text"), 8).as("fingerprint"))
+
+  /** Cross-document boilerplate fractions: the share of each document's
+    * DISTINCT word `n`-grams that occur in >= `minDocs` distinct documents
+    * (headers, footers, licence blocks, templated spans — the inter-document
+    * complement of `repetitionStats`' intra-document filters; C4/RefinedWeb
+    * drop or strip high-boilerplate docs). Grams are `word_shingles` (one
+    * codegen'd pass, distinct per doc, whole-text fallback for short docs,
+    * so every doc appears in the output and the fraction is never 0/0).
+    *
+    * Shape: one gram-keyed count (distinct-per-doc grams make plain
+    * `count(*)` the document frequency — no distinct aggregation), one
+    * gram-keyed join back, one doc-keyed count. Cost ~ total grams ~ corpus
+    * tokens; no pair space anywhere. `boiler_frac` is a single long/long
+    * division — exact IEEE on both engines, so no rounding is needed. */
+  def boilerplateStats(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
+    require(n >= 1 && minDocs >= 1)
+    val grams = docs.select(col("doc_id"),
+      explode(graft.GraftFunctions.word_shingles(col("text"), n)).as("gram"))
+    val dfs = grams.groupBy("gram").agg(count(lit(1)).as("df"))
+    grams.join(dfs, Seq("gram"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac", col("n_boiler") / col("n_grams"))
+  }
 }

@@ -199,6 +199,45 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L) == 5L) // 9 tokens -> 5 shingles, all inside eval's text
   }
 
+  test("semanticDedup: exact-duplicate embeddings collapse to the lowest id") {
+    // 1&2&3 identical embeddings (cos = 1 in any cell assignment: identical
+    // vectors always share a cell), the rest mutually near-orthogonal
+    val vecs = Seq(
+      1L -> Array(1f, 0f, 0f, 0f), 2L -> Array(1f, 0f, 0f, 0f),
+      3L -> Array(1f, 0f, 0f, 0f), 4L -> Array(0f, 1f, 0f, 0f),
+      5L -> Array(0f, 0f, 1f, 0f), 6L -> Array(0f, 0f, 0f, 1f),
+      7L -> Array(0f, 0.8f, 0f, 0.6f), 8L -> Array(0.6f, 0f, 0.8f, 0f))
+    val kept = Dedup.semanticDedup(vecs.toDF("vec_id", "embedding"), 0.95, k = 4, iters = 2)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept.contains(1L) && !kept.contains(2L) && !kept.contains(3L))
+    assert(Set(4L, 5L, 6L).subsetOf(kept))
+  }
+
+  test("semanticDedup: drops EXACTLY the vectors with a lower-id same-cell neighbour above threshold") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
+    val thr = 0.3
+    val kept = Dedup.semanticDedup(e, thr).select("vec_id").as[Long].collect().toSet
+    val cellOf = graft.operators.Similarity.detKMeans(e, 8, 3)._2
+      .as[(Long, Int)].collect().toMap
+    val vecs = e.as[(Long, Array[Float])].collect().sortBy(_._1)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) {
+        dot += a(i).toDouble * b(i).toDouble
+        na += a(i).toDouble * a(i).toDouble
+        nb += b(i).toDouble * b(i).toDouble
+      }
+      if (na == 0 || nb == 0) 0.0 else dot / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expectedDropped = vecs.filter { case (id, v) =>
+      vecs.exists { case (jd, u) =>
+        jd < id && cellOf(jd) == cellOf(id) && cos(u, v) >= thr
+      }
+    }.map(_._1).toSet
+    assert(expectedDropped.nonEmpty, "fixture must actually drop something")
+    assert(kept == vecs.map(_._1).toSet -- expectedDropped)
+  }
+
   test("simhash: identical text -> identical signature; near-dup closer than unrelated") {
     val sig = Dedup.simhash(crafted).as[(Long, Long)].collect().toMap
     assert(sig(1L) == sig(2L))

@@ -70,6 +70,29 @@ class SamplingSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.length < all.length, "budget must actually select")
   }
 
+  test("sampleToMixture: deterministic, unlisted strata dropped, caps at the full stratum, thins toward target") {
+    val big = Tables.documents(spark, TestSpark.sf001) // 25 docs per source
+    val weights = Seq("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0)
+    val got = Sampling.sampleToMixture(big, "source", weights, 30)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    // only listed strata survive
+    assert(got.map(_._2).toSet.subsetOf(weights.map(_._1).toSet))
+    // deterministic: a second run is identical
+    val again = Sampling.sampleToMixture(big, "source", weights, 30)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    assert(got.sortBy(_._1).sameElements(again.sortBy(_._1)))
+    // per-stratum counts near their targets (src0: 18 of 25, src1/2: 6 of
+    // 25); the hash rule is binomial, so allow generous slack
+    val bySrc = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(math.abs(bySrc("src0") - 18) <= 8, s"src0 kept ${bySrc.get("src0")}")
+    assert(math.abs(bySrc.getOrElse("src1", 0) - 6) <= 6)
+    assert(math.abs(bySrc.getOrElse("src2", 0) - 6) <= 6)
+    // a stratum under its target share keeps EVERYTHING (the cap)
+    val capped = Sampling.sampleToMixture(big, "source", Seq("src0" -> 1.0), 1000)
+      .filter($"source" === "src0").count()
+    assert(capped == 25L)
+  }
+
   test("packSequences: offsets are per-shard running sums; bins cover budget windows") {
     val packed = Sampling.packSequences(docs, budget = 100, nShards = 4)
       .as[(Long, Long, Int, Long, Long)].collect()

@@ -161,6 +161,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(g3 - 4.0 / 7) < 1e-6)
   }
 
+  test("boilerplateStats: shared-gram fractions, unique docs at zero, short-doc fallback") {
+    val d = Seq(
+      (1L, "a b c d e f"),  // grams "a b c d e" (shared with 2), "b c d e f"
+      (2L, "a b c d e x"),
+      (3L, "p q r s t u"),  // all grams unique
+      (4L, "short one"),    // < 5 tokens -> whole-text fallback gram
+      (5L, "short one")     // same fallback gram -> boilerplate
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateStats(d)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 2L, 1L, 0.5)))
+    assert(got(2L) == ((2L, 2L, 1L, 0.5)))
+    assert(got(3L) == ((3L, 2L, 0L, 0.0)))
+    assert(got(4L) == ((4L, 1L, 1L, 1.0)))
+    assert(got(5L) == ((5L, 1L, 1L, 1.0)))
+    // higher minDocs bar: the 2-doc gram stops counting
+    val strict = TextAnalysis.boilerplateStats(d, minDocs = 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(strict(1L) == 0L && strict(4L) == 0L)
+  }
+
   test("fingerprint: equal for identical text, stable under prefix padding semantics") {
     val crafted = Seq(
       (1L, "abcdefgh12345678"), (2L, "abcdefgh12345678"), (3L, "completely other")
