@@ -511,7 +511,17 @@ object SparkEntry {
     // extension: cross-document boilerplate fractions — share of a doc's
     // distinct word 5-grams occurring in >= 2 documents
     "q79_boilerplate" -> ((s, dir) =>
-      graft.operators.TextAnalysis.boilerplateStats(docs(s, dir))))
+      graft.operators.TextAnalysis.boilerplateStats(docs(s, dir))),
+    // extension: IVF-PQ composite — detKMeans coarse cells bound WHICH
+    // vectors a query touches, PQ codes bound the BYTES per vector; both
+    // halves deterministic, so the canonical billion-scale layout is
+    // hash-checked end-to-end
+    "q80_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      Similarity.ivfPqTopK(e, q, 3)
+    }))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -1532,6 +1542,9 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 20""",
     // assembled as ordered lists so the ADC sum folds in the same subspace
     // order as the Spark aggregate, then shortlist + exact-cosine re-rank.
     "q76_ann_pq" -> pqOracle,
+    // IVF-PQ: the q69 probe chain composed with the q76 ADC chain over
+    // candidate cells only
+    "q80_ann_ivfpq" -> ivfPqOracle,
     // SemDeDup: the q68 Lloyd chain, then drop any vector with a lower-id
     // same-cell neighbour at cosine >= 0.35 (exact f64 cosines, so the
     // threshold cut reproduces bit-for-bit)
@@ -1607,9 +1620,17 @@ SELECT doc_id, n_grams, n_boiler, n_boiler / n_grams AS boiler_frac FROM per""",
     * ORDERED lists, so the ADC total folds subspace-ascending exactly like
     * the Spark `aggregate(sequence(1, m), ...)`, an (adc desc, vec_id)
     * shortlist, and an exact-cosine re-rank. */
-  private def pqOracle: String = {
-    val m = 16; val ksub = 16; val iters = 2; val dsub = 4
-    val shortlist = 64; val k = 3
+  private val PqM = 16; private val PqKsub = 16
+  private val PqIters = 2; private val PqDsub = 4
+  private val PqShortlist = 64
+
+  /** The PQ CTE chain (everything after `nv`): 16 per-subspace Lloyd
+    * chains, final assignments, per-query lookup values, and the assembled
+    * ordered `codes` / `qlt` lists. Expects an `nv` CTE (vec_id, nv) in
+    * scope; shared by q76 (standalone WITH) and q80 (nested inside the
+    * detKMeans chain). */
+  private def pqChainCtes: String = {
+    val m = PqM; val ksub = PqKsub; val iters = PqIters; val dsub = PqDsub
     val d2 = (nvE: String, cE: String) =>
       s"list_sum(list_transform(range(1, ${dsub + 1}), i -> ($nvE[i] - $cE[i]) * ($nvE[i] - $cE[i])))"
     val subChains = (0 until m).map { s =>
@@ -1648,6 +1669,34 @@ $iterCtes,
       .map(s => s"SELECT $s AS sub, vec_id, cell FROM af_$s").mkString(" UNION ALL ")
     val unionLt = (0 until m)
       .map(s => s"SELECT $s AS sub, query_id, cell, val FROM lt_$s").mkString(" UNION ALL ")
+    s"""${subChains.mkString(",\n")},
+  af AS ($unionAf),
+  lt AS ($unionLt),
+  codes AS (SELECT vec_id, list(cell ORDER BY sub) AS codes FROM af GROUP BY vec_id),
+  qlt0 AS (SELECT query_id, sub, list(val ORDER BY cell) AS lrow FROM lt GROUP BY query_id, sub),
+  qlt AS (SELECT query_id, list(lrow ORDER BY sub) AS lt FROM qlt0 GROUP BY query_id)"""
+  }
+
+  /** ADC shortlist + exact-cosine re-rank tail (shared by q76/q80): rank
+    * `adcsrc` (query_id, vec_id, adc) per query, keep the top `PqShortlist`,
+    * re-rank with exact cosine, emit top-3. */
+  private def pqRerankTail: String =
+    s"""  short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) AS srn FROM adc) WHERE srn <= $PqShortlist),
+  xs AS (SELECT sh.query_id, sh.vec_id,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS dot,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS na,
+      list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS nb
+    FROM short sh JOIN embeddings e ON sh.vec_id = e.vec_id
+                  JOIN embeddings q ON sh.query_id = q.vec_id),
+  xsc AS (SELECT query_id, vec_id,
+      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS score FROM xs),
+  xr AS (SELECT query_id, vec_id,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
+      score FROM xsc)
+SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM xr WHERE rnk <= 3"""
+
+  private def pqOracle: String =
     s"""WITH nvz AS (SELECT vec_id, embedding,
       sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
     FROM embeddings),
@@ -1655,30 +1704,31 @@ $iterCtes,
       CASE WHEN nrm = 0.0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
            ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS nv
     FROM nvz),
-${subChains.mkString(",\n")},
-  af AS ($unionAf),
-  lt AS ($unionLt),
-  codes AS (SELECT vec_id, list(cell ORDER BY sub) AS codes FROM af GROUP BY vec_id),
-  qlt0 AS (SELECT query_id, sub, list(val ORDER BY cell) AS lrow FROM lt GROUP BY query_id, sub),
-  qlt AS (SELECT query_id, list(lrow ORDER BY sub) AS lt FROM qlt0 GROUP BY query_id),
+$pqChainCtes,
   adc AS (SELECT q.query_id, c.vec_id,
-      list_sum(list_transform(range(1, ${m + 1}), s -> q.lt[s][c.codes[s] + 1])) AS adc
+      list_sum(list_transform(range(1, ${PqM + 1}), s -> q.lt[s][c.codes[s] + 1])) AS adc
     FROM codes c CROSS JOIN qlt q),
-  short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
-      row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) AS srn FROM adc) WHERE srn <= $shortlist),
-  s2 AS (SELECT sh.query_id, sh.vec_id,
-      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS dot,
-      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS na,
-      list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS nb
-    FROM short sh JOIN embeddings e ON sh.vec_id = e.vec_id
-                  JOIN embeddings q ON sh.query_id = q.vec_id),
-  sc2 AS (SELECT query_id, vec_id,
-      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS score FROM s2),
-  r AS (SELECT query_id, vec_id,
-      CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
-      score FROM sc2)
-SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= $k"""
-  }
+$pqRerankTail"""
+
+  /** q80: the q69 probe chain (nProbe=3 cells against the exact detKMeans
+    * centroids) composed with the q76 ADC chain, restricted to candidate
+    * cells — IVF-PQ. */
+  private def ivfPqOracle: String = detKmeansOracle(finalSelect =
+    s"""SELECT * FROM (
+  WITH $pqChainCtes,
+  qn AS (SELECT vec_id AS query_id, nv FROM nv_q),
+  pcs AS (SELECT q.query_id, cc.cell,
+      CASE WHEN cc.nc = 0.0 THEN 0.0
+           ELSE list_sum(list_transform(range(1, 65), i -> q.nv[i] * cc.c[i])) / cc.nc END AS cscore
+    FROM qn q CROSS JOIN (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nc FROM cents3) cc),
+  probes AS (SELECT query_id, cell FROM (SELECT query_id, cell,
+      row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, cell ASC) AS pr FROM pcs) WHERE pr <= 3),
+  cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN a_fin a ON a.cell = p.cell),
+  adc AS (SELECT x.query_id, x.vec_id,
+      list_sum(list_transform(range(1, ${PqM + 1}), s -> q.lt[s][c.codes[s] + 1])) AS adc
+    FROM cand x JOIN codes c ON x.vec_id = c.vec_id
+                JOIN qlt q ON x.query_id = q.query_id),
+$pqRerankTail)""")
 
   /** The deterministic-KMeans CTE chain (shared by q68/q69): nv, cents0
     * (first-8-by-id init), 3x (assign, fixed-point-mean update), final

@@ -766,22 +766,31 @@ object Similarity {
     * ADC sums, (adc desc, vec_id) / (score desc, vec_id) tie orders — so
     * the whole path is hash-checked by the q76 oracle; recall-gated
     * (>= 0.9) in SimilaritySpec beside rp/SQ8/BQ. */
-  def pqProbe(index: PqIndex, items: DataFrame, queries: DataFrame, k: Int,
-              shortlist: Int = 64): DataFrame = {
-    val m = index.m
+  /** Per-query ADC lookup tables for a PQ index: `lt(sub)(cell)` = dot of
+    * the normalized query subvector with that cell's centroid. Map-only
+    * over the (tiny, broadcastable) query set. */
+  private def pqLookupTables(index: PqIndex, queries: DataFrame): DataFrame = {
     val dsub = index.dsub
     val ltArr = index.codebooks.zipWithIndex.map { case (cb, s) =>
       val off = s * dsub
       s"transform(${centsSqlOf(cb)}, c -> aggregate(zip_with(slice(__nv, ${off + 1}, $dsub), c, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
     }.mkString("array(", ", ", ")")
-    val qlt = withNv(queries, "query_embedding")
+    withNv(queries, "query_embedding")
       .select(col("query_id"), expr(ltArr).as("lt"))
+  }
+
+  /** The ADC total: m table lookups folded subspace-ascending (the exact
+    * order the DuckDB oracles reproduce). Expects `lt` and `codes` cols. */
+  private def adcExpr(m: Int): org.apache.spark.sql.Column = expr(
+    s"""aggregate(sequence(1, $m), CAST(0.0 AS DOUBLE),
+          (a, s) -> a + element_at(element_at(lt, s), element_at(codes, s) + 1))""")
+
+  def pqProbe(index: PqIndex, items: DataFrame, queries: DataFrame, k: Int,
+              shortlist: Int = 64): DataFrame = {
+    val qlt = pqLookupTables(index, queries)
     val short = graft.plans.GroupedTopK(
         index.codes.crossJoin(broadcast(qlt))
-          .select(col("query_id"), col("vec_id"), expr(
-            s"""aggregate(sequence(1, $m), CAST(0.0 AS DOUBLE),
-                  (a, s) -> a + element_at(element_at(lt, s), element_at(codes, s) + 1))""")
-            .as("adc")),
+          .select(col("query_id"), col("vec_id"), adcExpr(index.m).as("adc")),
         Seq(col("query_id")), Seq(desc("adc"), asc("vec_id")), shortlist)
       .select("query_id", "vec_id")
     topKPerQuery(
@@ -797,6 +806,64 @@ object Similarity {
              m: Int = 16, ksub: Int = 16, iters: Int = 2,
              shortlist: Int = 64, inDim: Int = 64): DataFrame =
     pqProbe(pqIndex(items, m, ksub, iters, inDim), items, queries, k, shortlist)
+
+  /** IVF-PQ composite ANN — the canonical billion-scale index layout
+    * (coarse inverted lists bound WHICH vectors a query touches; product
+    * codes bound the BYTES per touched vector): `detKMeans` cells probed at
+    * `nProbe` (the q69 machinery) with ADC scoring over the PQ codes of
+    * candidate cells only, then an exact-cosine re-rank of the ADC
+    * shortlist. Per-query cost ~ (corpus/nLists x nProbe) 16-byte code
+    * rows + shortlist f32 rows — at 100 TB the scan reads neither the whole
+    * corpus (IVF prunes) nor full vectors (PQ shrinks). Codes here are
+    * GLOBAL-codebook PQ over the normalized vectors (residual-free — the
+    * IVF-Flat-PQ simplification; residual encoding would buy accuracy at
+    * the cost of per-cell codebook state), so both halves reuse the
+    * deterministic builds and the whole path is hash-checked by the q80
+    * oracle (q69's probe chain composed with q76's ADC chain). Recall-gated
+    * in SimilaritySpec. */
+  def ivfPqTopK(items: DataFrame, queries: DataFrame, k: Int,
+                nLists: Int = 8, kmIters: Int = 3, nProbe: Int = 3,
+                m: Int = 16, ksub: Int = 16, pqIters: Int = 2,
+                shortlist: Int = 64): DataFrame = {
+    val (cents, assigned) = detKMeans(items, nLists, kmIters)
+    val pq = pqIndex(items, m, ksub, pqIters)
+    // per-query nProbe closest cells by cosine against the exact f64
+    // centroids — identical to detIvfTopK's probe stage
+    val sorted = cents.sortBy(_._1)
+    val centsSql = sorted.map(_._2.map(_.toString).mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    val cellIds = sorted.map(_._1).mkString("array(", ", ", ")")
+    val cnorms = sorted.map { case (_, c) =>
+      math.sqrt(c.map(x => x * x).sum).toString
+    }.mkString("array(", ", ", ")")
+    val qscored = withNv(queries, "query_embedding")
+      .withColumn("__cs", expr(
+        s"""zip_with(
+              transform($centsSql, c -> aggregate(zip_with(__nv, c, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x)),
+              $cnorms,
+              (d, nc) -> IF(nc = 0.0D, CAST(0.0 AS DOUBLE), d / nc))"""))
+      .select(col("query_id"), posexplode(col("__cs")).as(Seq("__i", "cscore")))
+      .withColumn("cell", expr(s"element_at($cellIds, __i + 1)"))
+      .select(col("query_id"), col("cell"), col("cscore"))
+    val probes = graft.plans.GroupedTopK(qscored,
+        Seq(col("query_id")), Seq(desc("cscore"), asc("cell")), nProbe)
+      .select(col("query_id"), col("cell"))
+    // ADC over candidate cells only: codes join the (tiny) probe set on
+    // cell, lookup tables ride the broadcast
+    val qlt = pqLookupTables(pq, queries)
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .select("query_id", "vec_id")
+    val short = graft.plans.GroupedTopK(
+        cand.join(pq.codes, Seq("vec_id")).join(broadcast(qlt), Seq("query_id"))
+          .select(col("query_id"), col("vec_id"), adcExpr(m).as("adc")),
+        Seq(col("query_id")), Seq(desc("adc"), asc("vec_id")), shortlist)
+      .select("query_id", "vec_id")
+    topKPerQuery(
+      short.join(items, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+        .withColumn("score",
+          cosine_similarity(col("embedding"), col("query_embedding"))),
+      k)
+  }
 
   /** Incremental PQ maintenance: codebooks stay FROZEN (the IVF contract —
     * cheap upserts between periodic retrains), so a delta re-encodes

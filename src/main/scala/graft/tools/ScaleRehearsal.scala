@@ -62,6 +62,16 @@ object ScaleRehearsal {
         Similarity.bqTopK(emb, q, 3).queryExecution.toRdd.count() }
       time(s"$tag detKMeans") {
         Similarity.detKMeans(emb, 8, 3)._2.queryExecution.toRdd.count() }
+      time(s"$tag pqTopK") {
+        Similarity.pqTopK(emb, q, 3).queryExecution.toRdd.count() }
+      // k chosen so cells stay bounded as the corpus grows — the SemDeDup
+      // operating rule; duplicate-dense replication makes output (and thus
+      // intra-cell pair work) grow quadratically in CLUSTER size by design
+      time(s"$tag semanticDedup") {
+        Dedup.semanticDedup(emb, 0.35, k = 32).queryExecution.toRdd.count() }
+      time(s"$tag boilerplate") {
+        graft.operators.TextAnalysis.boilerplateStats(docs)
+          .queryExecution.toRdd.count() }
       time(s"$tag bm25") {
         graft.operators.TextAnalysis.bm25(docs,
           Seq("transfer", "credit", "university")).queryExecution.toRdd.count() }
@@ -119,6 +129,10 @@ object ScaleRehearsal {
           .queryExecution.toRdd.count() }
       time(s"$tag diverse") {
         graft.Engine.searchDiverse(index, "transfer credits", 5)
+          .queryExecution.toRdd.count() }
+      time(s"$tag mixture") {
+        graft.operators.Sampling.sampleToMixture(docs, "source",
+          Seq("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0), 2000)
           .queryExecution.toRdd.count() }
       index.unpersist()
     }

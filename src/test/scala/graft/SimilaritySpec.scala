@@ -125,6 +125,8 @@ class SimilaritySpec extends AnyFunSuite {
         .as[(Long, Long, Int, Double)].collect())
       val pq = topkIds(Similarity.pqTopK(e, q, 3)
         .as[(Long, Long, Int, Double)].collect())
+      val ivfpq = topkIds(Similarity.ivfPqTopK(e, q, 3)
+        .as[(Long, Long, Int, Double)].collect())
       val lshR = meanRecall(lsh, exact)
       val ivfR = meanRecall(ivf, exact)
       val rpR = meanRecall(rp, exact)
@@ -141,6 +143,8 @@ class SimilaritySpec extends AnyFunSuite {
       assert(divfR >= 0.9, s"detIvfTopK recall@3 = $divfR < 0.9")
       val pqR = meanRecall(pq, exact)
       assert(pqR >= 0.9, s"pqTopK recall@3 = $pqR < 0.9")
+      val ivfpqR = meanRecall(ivfpq, exact)
+      assert(ivfpqR >= 0.9, s"ivfPqTopK recall@3 = $ivfpqR < 0.9")
       e.unpersist(); q.unpersist()
     }
 
