@@ -521,7 +521,23 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       Similarity.ivfPqTopK(e, q, 3)
-    }))
+    }),
+    // extension: cross-corpus near-dup join — dedup an incoming batch (10%
+    // slice) against the existing corpus via rp-LSH buckets + exact verify
+    "q81_cross_dedup" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      Similarity.rpCrossNearDupPairs(
+        e.filter(col("vec_id") % 10 === 0),
+        e.filter(col("vec_id") % 10 =!= 0), 0.3)
+    }),
+    // extension: unigram-LM surprisal quality score (fixed-point sums make
+    // the transcendental pass order-free and hash-checkable)
+    "q82_surprisal" -> ((s, dir) =>
+      graft.operators.TextAnalysis.surprisalScore(docs(s, dir))),
+    // extension: per-stratum quality-quantile selection — best 40% of every
+    // source by quality, ranked distributed (no global window)
+    "q83_quality_quantile" -> ((s, dir) =>
+      graft.operators.Sampling.topQualityByStratum(docs(s, dir), "source", 0.4)))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -1545,6 +1561,56 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 20""",
     // IVF-PQ: the q69 probe chain composed with the q76 ADC chain over
     // candidate cells only
     "q80_ann_ivfpq" -> ivfPqOracle,
+    // Cross-corpus near-dup: q45's bucket machinery with two sides (the 10%
+    // "incoming" slice vs the rest), exact verification, no a<b constraint
+    "q81_cross_dedup" ->
+      s"""WITH $dkRpW,
+  ${dkRpBuckets("nb", "(SELECT * FROM embeddings WHERE vec_id % 10 = 0)", "vec_id", "embedding")},
+  ${dkRpBuckets("cb", "(SELECT * FROM embeddings WHERE vec_id % 10 <> 0)", "vec_id", "embedding")},
+  cand AS (SELECT DISTINCT x.vec_id AS vec_new, y.vec_id AS vec_old
+    FROM nb x JOIN cb y ON x.t = y.t AND x.bk = y.bk),
+  s AS (SELECT c.vec_new, c.vec_old,
+    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) AS dot,
+    list_sum(list_transform(range(1, 65), i -> CAST(a.embedding[i] AS DOUBLE)*CAST(a.embedding[i] AS DOUBLE))) AS na,
+    list_sum(list_transform(range(1, 65), i -> CAST(b.embedding[i] AS DOUBLE)*CAST(b.embedding[i] AS DOUBLE))) AS nb2
+    FROM cand c JOIN embeddings a ON c.vec_new = a.vec_id
+                JOIN embeddings b ON c.vec_old = b.vec_id),
+  sc AS (SELECT vec_new, vec_old,
+    CASE WHEN na = 0 OR nb2 = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb2)) END AS score FROM s)
+SELECT vec_new, vec_old, round(score, 4) AS score FROM sc WHERE score >= 0.3""",
+    // Unigram surprisal: corpus token counts as the LM, -ln(p) per
+    // occurrence summed fixed-point (the detKMeans integer-mean trick)
+    "q82_surprisal" ->
+      s"""WITH $dkTok,
+  occ AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+  lm AS (SELECT token, count(*) AS cnt FROM occ GROUP BY token),
+  tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM lm),
+  fx AS (SELECT token,
+      CAST(floor(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1073741824.0 + 0.5) AS BIGINT) AS sfx
+    FROM lm CROSS JOIN tot),
+  per AS (SELECT o.doc_id, count(*) AS n_tokens, CAST(sum(f.sfx) AS BIGINT) AS ssfx
+    FROM occ o JOIN fx f USING (token) GROUP BY o.doc_id)
+SELECT doc_id, n_tokens, (CAST(ssfx AS DOUBLE) / n_tokens) / 1073741824.0 AS surprisal
+FROM per""",
+    // Per-stratum quality quantile: q54's quality formula + a per-source
+    // rank window; keep rank <= floor(n * 0.4 + 0.5)
+    "q83_quality_quantile" ->
+      s"""WITH $dkTok,
+  b AS (SELECT doc_id, text, CAST(len(toks) AS INTEGER) AS n_tokens,
+          CAST(len(list_filter(toks, t -> t IN ${stopIn("en")})) AS INTEGER) AS stop_hits,
+          CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS INTEGER) AS n_punct
+        FROM tok),
+  q AS (SELECT doc_id,
+          round(0.4 * (CASE WHEN n_tokens = 0 THEN 0.0 ELSE stop_hits / n_tokens END)
+              + 0.4 * least(n_tokens / 100.0, 1.0)
+              + 0.2 * (1.0 - n_punct / greatest(length(text), 1)), 6) AS quality
+        FROM b),
+  r AS (SELECT q.doc_id, d.source, q.quality,
+          CAST(row_number() OVER (PARTITION BY d.source ORDER BY q.quality DESC, q.doc_id ASC) AS BIGINT) AS rnk,
+          count(*) OVER (PARTITION BY d.source) AS n
+        FROM q JOIN documents d USING (doc_id))
+SELECT doc_id, source, quality, rnk
+FROM r WHERE rnk <= CAST(floor(CAST(n AS DOUBLE) * 0.4 + 0.5) AS BIGINT)""",
     // SemDeDup: the q68 Lloyd chain, then drop any vector with a lower-id
     // same-cell neighbour at cosine >= 0.35 (exact f64 cosines, so the
     // threshold cut reproduces bit-for-bit)

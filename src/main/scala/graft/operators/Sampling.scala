@@ -142,6 +142,45 @@ object Sampling {
       .filter(expr(s"__b < $caseExpr")).drop("__b")
   }
 
+  /** Per-stratum quality-quantile selection: keep the top `frac` of each
+    * stratum's documents by quality — "best 40% of every domain", the
+    * percentile-filter form of quality selection (a global cut would let
+    * one clean domain crowd out every other).
+    *
+    * Ranking within each stratum is the `selectByTokenBudget` distributed
+    * shape generalized to per-stratum ranks: range-repartition on
+    * (stratum, quality desc, doc_id) — a total order, so every stratum's
+    * rows are globally ordered across partitions — then a partition-LOCAL
+    * row_number per stratum, turned global by broadcasting the tiny
+    * (partition, stratum) count table as exclusive prefix offsets. No
+    * single-partition global window, no per-stratum full sort on one node.
+    * The keep bound is `floor(n_s * frac + 0.5)` in f64 (mirrored by the
+    * oracle). Output: (doc_id, stratum, quality, rnk). */
+  def topQualityByStratum(docs: DataFrame, stratumCol: String, frac: Double,
+                          nPartitions: Int = 32): DataFrame = {
+    require(frac > 0.0 && frac <= 1.0 && nPartitions > 0)
+    val scored = TextAnalysis.qualityScore(docs, passthrough = Seq(stratumCol))
+      .select(col("doc_id"), col(stratumCol), col("quality"))
+    val ranged = scored
+      .repartitionByRange(nPartitions, col(stratumCol), desc("quality"), asc("doc_id"))
+      .withColumn("__pid", spark_partition_id())
+    val w = Window.partitionBy("__pid", stratumCol)
+      .orderBy(desc("quality"), asc("doc_id"))
+    val local = ranged.withColumn("__rn", row_number().over(w).cast("long"))
+    val counts = local.groupBy("__pid", stratumCol).agg(count(lit(1)).as("__c"))
+    val offsets = counts.withColumn("__off", coalesce(
+        sum("__c").over(Window.partitionBy(stratumCol).orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col(stratumCol), col("__off"))
+    val totals = counts.groupBy(stratumCol).agg(sum("__c").as("__n"))
+    local.join(broadcast(offsets), Seq("__pid", stratumCol))
+      .join(broadcast(totals), Seq(stratumCol))
+      .withColumn("rnk", col("__rn") + col("__off"))
+      .filter(col("rnk") <=
+        expr(s"CAST(floor(CAST(__n AS DOUBLE) * $frac + 0.5) AS BIGINT)"))
+      .select(col("doc_id"), col(stratumCol), col("quality"), col("rnk"))
+  }
+
   /** Sequence packing: per-shard running token offsets and the index of the
     * fixed-`budget` training sequence each document starts in. Output:
     * (doc_id, shard, n_tokens, start_offset, bin). */

@@ -983,6 +983,34 @@ object Similarity {
       .distinct()
   }
 
+  /** Cross-corpus near-duplicate join — dedup an INCOMING batch against an
+    * EXISTING corpus (the incremental-crawl regime: re-ingesting the whole
+    * corpus per delivery is exactly what doesn't scale): deterministic
+    * rp-LSH buckets on both sides, a (table, bucket) equi-join of the small
+    * new side against the big corpus side, exact-cosine verification on
+    * candidates. Work ~ new-side buckets x collision rate, never
+    * |new| x |corpus|; the corpus bucket table is a pure projection of the
+    * corpus, so at scale it is computed once and persisted alongside the
+    * index. Verify-before-distinct keeps the dedup shuffle at threshold
+    * survivors (the `rpNearDupPairs` shape). Fully hash-checkable (q81). */
+  def rpCrossNearDupPairs(newItems: DataFrame, corpus: DataFrame,
+                          threshold: Double, numTables: Int = 6,
+                          bucketLength: Double = 1.0): DataFrame = {
+    val nb = rpBucketTable(newItems, "vec_id", "embedding", numTables, bucketLength)
+    val cb = rpBucketTable(corpus, "vec_id", "embedding", numTables, bucketLength)
+    nb.as("x").join(cb.as("y"),
+        col("x.t") === col("y.t") && col("x.bk") === col("y.bk"))
+      .select(col("x.vec_id").as("vec_new"), col("y.vec_id").as("vec_old"))
+      .join(newItems.select(col("vec_id").as("vec_new"), col("embedding").as("ea")),
+        Seq("vec_new"))
+      .join(corpus.select(col("vec_id").as("vec_old"), col("embedding").as("eb")),
+        Seq("vec_old"))
+      .withColumn("score", cosine_similarity(col("ea"), col("eb")))
+      .filter(col("score") >= threshold)
+      .select(col("vec_new"), col("vec_old"), round(col("score"), 4).as("score"))
+      .distinct()
+  }
+
   /** Approximate nearest neighbours via LSH: normalize (cosine == L2 on the
     * unit sphere), bucket with random hyperplane projections, join on bucket.
     * Deterministic under the fixed seed. Returns (query_id, vec_id, score)

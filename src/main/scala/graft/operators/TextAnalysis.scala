@@ -225,6 +225,39 @@ object TextAnalysis {
     * gram-keyed join back, one doc-keyed count. Cost ~ total grams ~ corpus
     * tokens; no pair space anywhere. `boiler_frac` is a single long/long
     * division — exact IEEE on both engines, so no rounding is needed. */
+  /** Unigram-LM surprisal scoring (the CCNet/perplexity-filter heuristic
+    * without an external model: the corpus IS the language model): train a
+    * unigram LM over the corpus's own token frequencies, then score each
+    * document by its mean token surprisal `-ln(cnt_t / total)`. Low = made
+    * of common words (boilerplate-ish), high = rare-token soup (noise);
+    * both tails are the usual filter targets.
+    *
+    * Summation uses the fixed-point trick (`floor(s * 2^30 + 0.5)` as LONG
+    * per token occurrence, integer sums commute) so the per-doc mean is
+    * identical under any partitioning/aggregation order — what makes a
+    * transcendental-scoring pass hash-checkable at all (ln itself matches
+    * the oracle engine bit-for-bit on these inputs, as q48's BM25 idf
+    * established). Shape: one token-keyed count (the corpus LM), a
+    * broadcast 1-row total, one token-keyed join back, one doc-keyed
+    * integer agg — cost ~ corpus tokens, the `boilerplateStats` shape.
+    * Docs with zero tokens have no defined mean and are omitted (both
+    * engines agree). */
+  def surprisalScore(docs: DataFrame): DataFrame = {
+    val occ = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+    val lm = occ.groupBy("token").agg(count(lit(1)).as("cnt"))
+    val total = lm.agg(sum("cnt").as("total"))
+    val fx = lm.crossJoin(broadcast(total))
+      .withColumn("sfx", expr(
+        "CAST(floor(-ln(CAST(cnt AS DOUBLE) / CAST(total AS DOUBLE)) * 1073741824.0 + 0.5) AS BIGINT)"))
+      .select("token", "sfx")
+    occ.join(fx, Seq("token"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("sfx").as("ssfx"))
+      .withColumn("surprisal",
+        expr("(CAST(ssfx AS DOUBLE) / n_tokens) / 1073741824.0"))
+      .select("doc_id", "n_tokens", "surprisal")
+  }
+
   def boilerplateStats(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 1)
     val grams = docs.select(col("doc_id"),

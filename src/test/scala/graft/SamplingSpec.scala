@@ -93,6 +93,28 @@ class SamplingSpec extends AnyFunSuite {
     assert(capped == 25L)
   }
 
+  test("topQualityByStratum: equals the naive per-stratum window ranking; per-stratum keep counts exact") {
+    val big = Tables.documents(spark, TestSpark.sf001)
+    val frac = 0.4
+    val got = Sampling.topQualityByStratum(big, "source", frac)
+      .as[(Long, String, Double, Long)].collect()
+    // naive reference: full window rank per source, driver-side
+    val scored = graft.operators.TextAnalysis
+      .qualityScore(big, passthrough = Seq("source"))
+      .select($"doc_id", $"source", $"quality")
+      .as[(Long, String, Double)].collect()
+    val expected = scored.toSeq.groupBy(_._2).flatMap { case (src, rows) =>
+      val keep = math.floor(rows.length.toDouble * frac + 0.5).toLong
+      rows.sortBy(r => (-r._3, r._1)).zipWithIndex
+        .filter(_._2 < keep)
+        .map { case ((id, s, q), i) => (id, s, q, i + 1L) }
+    }.toSet
+    assert(got.toSet == expected)
+    // distributed ranks match the dense 1..keep range per stratum
+    for ((src, rows) <- got.groupBy(_._2))
+      assert(rows.map(_._4).sorted.toSeq == (1L to rows.length).toSeq, s"ranks not dense for $src")
+  }
+
   test("packSequences: offsets are per-shard running sums; bins cover budget windows") {
     val packed = Sampling.packSequences(docs, budget = 100, nShards = 4)
       .as[(Long, Long, Int, Long, Long)].collect()

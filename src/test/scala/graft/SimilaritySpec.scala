@@ -211,6 +211,26 @@ class SimilaritySpec extends AnyFunSuite {
     }
   }
 
+  test("rpCrossNearDupPairs: subset of the exact cross pairs, recall >= 0.9, no intra-side pairs") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001).select("vec_id", "embedding")
+    val newSide = e.filter($"vec_id" % 10 === 0)
+    val oldSide = e.filter($"vec_id" % 10 =!= 0)
+    // exact cross baseline, driver-side
+    val nv = newSide.as[(Long, Array[Float])].collect()
+    val ov = oldSide.as[(Long, Array[Float])].collect()
+    def cos(a: Array[Float], b: Array[Float]): Double =
+      CosineSimilarity.cosine(a, b)
+    val exact = (for ((ni, nvv) <- nv; (oi, ovv) <- ov if cos(nvv, ovv) >= 0.3)
+      yield (ni, oi)).toSet
+    val got = Similarity.rpCrossNearDupPairs(newSide, oldSide, 0.3)
+      .select("vec_new", "vec_old").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "baseline produced no pairs — gate vacuous")
+    assert(got.subsetOf(exact), "every returned pair must be exactly verified")
+    assert(got.forall { case (n, o) => n % 10 == 0 && o % 10 != 0 })
+    val recall = got.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.9, s"cross pair-recall = $recall < 0.9")
+  }
+
   test("IvfIndex save/load roundtrip: persisted index probes identically") {
     val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/idx"
     val built = Similarity.ivfIndex(emb, 8)

@@ -161,6 +161,28 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(math.abs(g3 - 4.0 / 7) < 1e-6)
   }
 
+  test("surprisalScore: matches a driver-side unigram LM; rare-token docs score higher") {
+    val d = Seq(
+      (1L, "a a a a"),      // all common tokens
+      (2L, "a a a rare"),   // one rare token
+      (3L, "a b b a")
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.surprisalScore(d)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    // driver-side: counts a=9, b=2, rare=1, total=12
+    val cnt = Map("a" -> 9L, "b" -> 2L, "rare" -> 1L)
+    val total = 12.0
+    def fx(t: String): Long =
+      math.floor(-math.log(cnt(t) / total) * 1073741824.0 + 0.5).toLong
+    def score(toks: Seq[String]): Double =
+      (toks.map(fx).sum.toDouble / toks.size) / 1073741824.0
+    assert(got(1L)._2 == 4L)
+    assert(math.abs(got(1L)._3 - score(Seq("a", "a", "a", "a"))) == 0.0)
+    assert(math.abs(got(2L)._3 - score(Seq("a", "a", "a", "rare"))) == 0.0)
+    assert(math.abs(got(3L)._3 - score(Seq("a", "b", "b", "a"))) == 0.0)
+    assert(got(2L)._3 > got(1L)._3, "rare token must raise surprisal")
+  }
+
   test("boilerplateStats: shared-gram fractions, unique docs at zero, short-doc fallback") {
     val d = Seq(
       (1L, "a b c d e f"),  // grams "a b c d e" (shared with 2), "b c d e f"
