@@ -370,12 +370,17 @@ object Dedup {
                     iters: Int = 3): DataFrame = {
     val (_, assigned) = Similarity.detKMeans(items, k, iters)
     val cells = assigned.join(items.select("vec_id", "embedding"), Seq("vec_id"))
-    val dropped = cells.as("a").join(cells.as("b"),
+    // SHUFFLE_HASH, not sort-merge: the join key is `cell`, whose per-key
+    // row count is exactly what SemDeDup bounds (corpus/k), so the hash
+    // build is bounded and the corpus-wide sort SMJ would pay buys nothing
+    val dropped = cells.as("a").join(cells.hint("SHUFFLE_HASH").as("b"),
         col("a.cell") === col("b.cell") && col("a.vec_id") < col("b.vec_id"))
       .filter(graft.GraftFunctions.cosine_similarity(
         col("a.embedding"), col("b.embedding")) >= threshold)
       .select(col("b.vec_id").as("vec_id")).distinct()
-    assigned.join(dropped, Seq("vec_id"), "left_anti")
+    // anti-join builds its hash from the dropped-id side — bounded by the
+    // near-dup count, so SHUFFLE_HASH again beats a corpus-wide sort
+    assigned.join(dropped.hint("SHUFFLE_HASH"), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
   }
 }
