@@ -185,6 +185,51 @@ object Streams {
       .start()
   }
 
+  /** Streaming incremental dedup — the admission-control form of
+    * `Similarity.rpCrossNearDupPairs`: each arriving micro-batch of
+    * (vec_id, embedding) rows is near-dup-checked AGAINST THE PERSISTED
+    * CORPUS before admission; duplicate pairs are reported through
+    * `onDupes` (epoch-tagged), and only novel vectors append to the
+    * corpus, so the corpus stays deduplicated as it grows. Per-batch work
+    * ~ batch-side bucket collisions, never batch x corpus.
+    *
+    * The novel rows are STAGED through a temp directory and appended from
+    * the materialized copy — the batch's plan reads the same corpus path
+    * it is about to append to, and a lazy self-referential write could
+    * otherwise re-list the directory mid-write (the `upsertIvfAt`
+    * durability rule). Duplicate pairs are locally checkpointed before the
+    * append for the same reason. */
+  def streamingCrossDedup(spark: SparkSession, landingDir: String,
+                          corpusPath: String, checkpointDir: String,
+                          threshold: Double = 0.3)
+                         (onDupes: (DataFrame, Long) => Unit): StreamingQuery = {
+    val vecs = spark.readStream.schema(embeddingsSchema).parquet(landingDir)
+    vecs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epoch: Long) =>
+        if (!batch.isEmpty) {
+          val corpus = spark.read.parquet(corpusPath)
+          val dupes = graft.operators.Similarity
+            .rpCrossNearDupPairs(batch.toDF(), corpus, threshold)
+            .localCheckpoint()
+          onDupes(dupes, epoch)
+          val novel = batch.toDF().join(
+            dupes.select(col("vec_new").as("vec_id")).distinct(),
+            Seq("vec_id"), "left_anti")
+          val tmp = s"$corpusPath/__staging_$epoch"
+          novel.write.mode("overwrite").parquet(tmp)
+          spark.read.parquet(tmp).write.mode("append").parquet(corpusPath)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
   /** Hybrid (vector + BM25) search lifted to streaming — the stats-refresh-
     * per-batch form, which is the honest contract: BM25's corpus statistics
     * (per-term df, avgdl, N) are GLOBAL aggregates that drift with every

@@ -84,6 +84,49 @@ class StreamingSpec extends AnyFunSuite {
     emb.unpersist()
   }
 
+  test("streamingCrossDedup: duplicates reported against the live corpus, only novel rows admitted") {
+    import graft.operators.Similarity
+    val tmp = Files.createTempDirectory("graft-xdedup-stream").toString
+    val landing = s"$tmp/landing"
+    val corpusDir = s"$tmp/corpus"
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding").cache()
+    // seed corpus: vec_id % 10 != 0
+    val seed = emb.filter($"vec_id" % 10 =!= 0)
+    seed.write.mode("overwrite").parquet(corpusDir)
+    val seedCount = seed.count()
+    // batch 1: the % 10 == 0 slice — near-dups of the corpus are rejected,
+    // the rest admitted; must match the batch operator's verdict exactly
+    val b1 = emb.filter($"vec_id" % 10 === 0)
+    val expectDupIds = Similarity.rpCrossNearDupPairs(b1, seed, 0.3)
+      .select("vec_new").distinct().as[Long].collect().toSet
+    val gotPairs = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    b1.write.mode("append").parquet(landing)
+    Streams.streamingCrossDedup(spark, landing, corpusDir, s"$tmp/ck") {
+      (d, _) => gotPairs ++= d.select($"vec_new", $"vec_old").as[(Long, Long)].collect()
+    }.awaitTermination(120000)
+    assert(gotPairs.map(_._1).toSet == expectDupIds)
+    assert(expectDupIds.nonEmpty, "fixture must reject something")
+    val afterB1 = spark.read.parquet(corpusDir)
+    assert(afterB1.count() == seedCount + b1.count() - expectDupIds.size)
+    // batch 2: re-deliver an ADMITTED batch-1 vector (now a corpus dup —
+    // the corpus the check runs against has grown) plus nothing novel
+    val admitted = b1.join(afterB1.select("vec_id"), Seq("vec_id"))
+      .orderBy("vec_id").limit(1)
+    val readmitId = admitted.select("vec_id").as[Long].head()
+    gotPairs.clear()
+    admitted.withColumn("vec_id", $"vec_id" + 1000000L)
+      .write.mode("append").parquet(landing)
+    Streams.streamingCrossDedup(spark, landing, corpusDir, s"$tmp/ck") {
+      (d, _) => gotPairs ++= d.select($"vec_new", $"vec_old").as[(Long, Long)].collect()
+    }.awaitTermination(120000)
+    // the re-delivered copy collides with its original (cosine 1.0)
+    assert(gotPairs.exists { case (n, o) => n == readmitId + 1000000L && o == readmitId })
+    assert(spark.read.parquet(corpusDir).count() == afterB1.count(),
+      "an exact duplicate must not be admitted")
+    emb.unpersist()
+  }
+
   test("streamingHybridSearch: per-batch results carry freshly-derived BM25 stats") {
     val tmp = Files.createTempDirectory("graft-hybrid-stream").toString
     val landing = s"$tmp/landing"
