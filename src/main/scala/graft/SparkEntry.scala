@@ -537,7 +537,36 @@ object SparkEntry {
     // extension: per-stratum quality-quantile selection — best 40% of every
     // source by quality, ranked distributed (no global window)
     "q83_quality_quantile" -> ((s, dir) =>
-      graft.operators.Sampling.topQualityByStratum(docs(s, dir), "source", 0.4)))
+      graft.operators.Sampling.topQualityByStratum(docs(s, dir), "source", 0.4)),
+    // extension: table profiling (ANALYZE-style audit) — one aggregation
+    // job, one output row per profiled column
+    "q84_profile" -> ((s, dir) =>
+      graft.operators.TableStats.profileTable(
+        Tables.lineitem(s, dir),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))),
+    // extension: frame-window aggregation — per-user trailing-4-event moving
+    // average; fixed-point longs keep the sliding sum order-free (engines
+    // disagree on f64 window-sum association, integers cannot)
+    "q85_moving_avg" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("ts"), col("event_id")).rowsBetween(-3, 0)
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"),
+          col("ts"), expr("CAST(floor(value * 1048576.0 + 0.5) AS BIGINT)").as("fx"))
+        .withColumn("s", sum("fx").over(w))
+        .withColumn("n", count(lit(1)).over(w))
+        .select(col("event_id"), col("user_id"),
+          expr("(CAST(s AS DOUBLE) / n) / 1048576.0").as("mov_avg"))
+    }),
+    // extension: hierarchical aggregation — ROLLUP over (source, lang)
+    "q86_rollup" -> ((s, dir) =>
+      docs(s, dir).rollup("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))),
+    // extension: pivot — per-source document counts by language
+    "q87_pivot" -> ((s, dir) =>
+      docs(s, dir).groupBy("source")
+        .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
+        .agg(count(lit(1))).na.fill(0L)))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -1592,6 +1621,38 @@ SELECT vec_new, vec_old, round(score, 4) AS score FROM sc WHERE score >= 0.3""",
     FROM occ o JOIN fx f USING (token) GROUP BY o.doc_id)
 SELECT doc_id, n_tokens, (CAST(ssfx AS DOUBLE) / n_tokens) / 1073741824.0 AS surprisal
 FROM per""",
+    // Table profile: one aggregate row, unpivoted per column via UNION ALL
+    "q84_profile" -> {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+      val aggs = cols.zipWithIndex.map { case (c, i) =>
+        s"count($c) AS n$i, count(DISTINCT $c) AS d$i, " +
+          s"CAST(min($c) AS VARCHAR) AS mn$i, CAST(max($c) AS VARCHAR) AS mx$i"
+      }.mkString(", ")
+      val unions = cols.zipWithIndex.map { case (c, i) =>
+        s"""SELECT '$c' AS "column", total - n$i AS n_nulls, d$i AS n_distinct,
+        mn$i AS min_value, mx$i AS max_value FROM a"""
+      }.mkString(" UNION ALL ")
+      s"""WITH a AS (SELECT count(*) AS total, $aggs FROM lineitem)
+$unions"""
+    },
+    // Moving average: integer fixed-point content makes the frame sum
+    // association-free; identical (ts, event_id) frame order on both sides
+    "q85_moving_avg" ->
+      """SELECT event_id, user_id, (CAST(s AS DOUBLE) / n) / 1048576.0 AS mov_avg
+FROM (SELECT event_id, user_id,
+    sum(CAST(floor(value * 1048576.0 + 0.5) AS BIGINT)) OVER w AS s,
+    count(*) OVER w AS n
+  FROM events
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 3 PRECEDING AND CURRENT ROW))""",
+    "q86_rollup" ->
+      """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY ROLLUP (source, lang)""",
+    "q87_pivot" -> {
+      val langs = Seq("de", "en", "es", "fr", "zh")
+      val cells = langs.map(l => s"count(*) FILTER (lang = '$l') AS $l").mkString(", ")
+      s"SELECT source, $cells FROM documents GROUP BY source"
+    },
     // Per-stratum quality quantile: q54's quality formula + a per-source
     // rank window; keep rank <= floor(n * 0.4 + 0.5)
     "q83_quality_quantile" ->

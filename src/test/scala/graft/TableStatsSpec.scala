@@ -1,0 +1,32 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.TableStats
+
+class TableStatsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("profileTable: nulls, exact distincts, min/max per column; one row per column") {
+    val df = Seq(
+      (Some(1L), Some("a")), (Some(2L), Some("b")),
+      (Some(2L), None), (None, Some("a"))
+    ).toDF("k", "s")
+    val got = TableStats.profileTable(df, Seq("k", "s"))
+      .as[(String, Long, Long, String, String)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("k", "s"))
+    assert(got("k") == (("k", 1L, 2L, "1", "2")))
+    assert(got("s") == (("s", 1L, 2L, "a", "b")))
+  }
+
+  test("profileTable: single aggregation job (no per-column passes)") {
+    val df = Tables.lineitem(spark, TestSpark.sf0001)
+    val prof = TableStats.profileTable(df, Seq("l_orderkey", "l_returnflag"))
+    // one scan: the plan reads the table once (Expand handles the distincts)
+    val scans = prof.queryExecution.optimizedPlan.collectLeaves().size
+    assert(scans == 1, s"expected one table scan, got $scans")
+    assert(prof.count() == 2)
+  }
+}
