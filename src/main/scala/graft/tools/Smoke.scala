@@ -89,6 +89,34 @@ object Smoke {
     println(s"== lifecycle: compacted ${compacted.size} fragmented partitions")
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(root))
 
+    // ANN-index family + data-pipeline tour over the embeddings table:
+    // every compressed index answers the same queries, then the corpus ops
+    import graft.operators.{Dedup, Sampling, Similarity, TextAnalysis}
+    val emb = graft.Tables.embeddings(spark, sfDir).select("vec_id", "embedding")
+    val qv = graft.Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 2)
+      .select(org.apache.spark.sql.functions.col("vec_id").as("query_id"),
+        org.apache.spark.sql.functions.col("embedding").as("query_embedding"))
+    def topIds(df: org.apache.spark.sql.DataFrame): String =
+      df.filter("query_id = 0").orderBy("rnk").collect()
+        .map(_.getAs[Long]("vec_id")).mkString(",")
+    println(s"== ann pq:     ${topIds(Similarity.pqTopK(emb, qv, 3))}")
+    println(s"== ann ivf-pq: ${topIds(Similarity.ivfPqTopK(emb, qv, 3))}")
+    val docsAll = graft.Tables.documents(spark, sfDir)
+    println(s"== semantic dedup: ${Dedup.semanticDedup(emb, 0.35).count()} of ${emb.count()} kept")
+    println(s"== cross dedup vs corpus: ${Similarity.rpCrossNearDupPairs(
+      emb.filter("vec_id % 10 = 0"), emb.filter("vec_id % 10 <> 0"), 0.3).count()} incoming near-dups")
+    println(s"== mixture(src0:3,src1:1): ${Sampling.sampleToMixture(docsAll, "source",
+      Seq("src0" -> 3.0, "src1" -> 1.0), 30).count()} rows kept")
+    println(s"== quality quantile (top 40%/source): ${Sampling.topQualityByStratum(
+      docsAll, "source", 0.4).count()} rows")
+    val sup = TextAnalysis.surprisalScore(docsAll)
+      .agg(org.apache.spark.sql.functions.min("surprisal"),
+        org.apache.spark.sql.functions.max("surprisal")).collect()(0)
+    println(f"== surprisal range: ${sup.getDouble(0)}%.3f .. ${sup.getDouble(1)}%.3f")
+    println(s"== boilerplate docs (frac>=0.5): ${TextAnalysis.boilerplateStats(docsAll)
+      .filter("boiler_frac >= 0.5").count()}")
+
     spark.stop()
   }
 }

@@ -416,6 +416,35 @@ class SimilaritySpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("pq degenerate inputs: zero vectors code to the lowest cell; tiny corpus still probes") {
+    // ksub = corpus size (the minimum legal); a zero vector's distances tie
+    // across every cell -> strict-< argmin keeps the lowest (the assignCells
+    // rule), and the whole path still returns ranked results
+    val vecs = Seq(
+      0L -> Array.fill(8)(0f),
+      1L -> Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f),
+      2L -> Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f),
+      3L -> Array(0f, 0f, 1f, 0f, 0f, 0f, 0f, 0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val idx = Similarity.pqIndex(df, m = 2, ksub = 4, iters = 1, inDim = 8)
+    val codes = idx.codes.as[(Long, Array[Int])].collect()
+      .map(p => (p._1, p._2.toSeq)).toMap
+    assert(codes.size == 4 && codes.values.forall(_.length == 2))
+    // the zero vector's subvectors are zero in every subspace: its cell is
+    // the argmin over centroids by |c|^2 alone — ties to the LOWEST cell id
+    val zeroCells = codes(0L)
+    val cb = idx.codebooks
+    for (s <- 0 until 2) {
+      val d2 = cb(s).map(c => c.map(x => x * x).sum)
+      val expect = d2.zipWithIndex.reduceLeft((a, b) => if (b._1 < a._1) b else a)._2
+      assert(zeroCells(s) == expect, s"sub $s: got ${zeroCells(s)}, argmin $expect")
+    }
+    val q = Seq(1L -> Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f))
+      .toDF("query_id", "query_embedding")
+    val hits = Similarity.pqProbe(idx, df, q, 2, shortlist = 4).collect()
+    assert(hits.length == 2)
+  }
+
   test("upsertPq: frozen-codebook upsert equals a fresh encode of the merged corpus") {
     val full = Similarity.pqIndex(emb)
     val delta = emb.filter($"vec_id" % 5 === 0)
