@@ -1751,11 +1751,12 @@ SELECT doc_id, n_grams, n_boiler, n_boiler / n_grams AS boiler_frac FROM per""",
   private val PqIters = 2; private val PqDsub = 4
   private val PqShortlist = 64
 
-  /** The PQ CTE chain (everything after `nv`): 16 per-subspace Lloyd
-    * chains, final assignments, per-query lookup values, and the assembled
-    * ordered `codes` / `qlt` lists. Expects an `nv` CTE (vec_id, nv) in
-    * scope; shared by q76 (standalone WITH) and q80 (nested inside the
-    * detKMeans chain). */
+  /** The PQ CTE chain (everything after `nv`): the hash-ordered fit sample
+    * (mirrors `Similarity.PqFitRows` — Lloyd trains on the sample, the
+    * final assignment encodes the full corpus), 16 per-subspace Lloyd
+    * chains, per-query lookup values, and the assembled ordered `codes` /
+    * `qlt` lists. Expects an `nv` CTE (vec_id, nv) in scope; shared by q76
+    * (standalone WITH) and q80 (nested inside the detKMeans chain). */
   private def pqChainCtes: String = {
     val m = PqM; val ksub = PqKsub; val iters = PqIters; val dsub = PqDsub
     val d2 = (nvE: String, cE: String) =>
@@ -1765,12 +1766,12 @@ SELECT doc_id, n_grams, n_boiler, n_boiler / n_grams AS boiler_frac FROM per""",
       val sv = s"list_transform(range(${off + 1}, ${off + dsub + 1}), i -> nv[i])"
       val iterCtes = (1 to iters).map { t =>
         s"""  d_${s}_$t AS (SELECT n.vec_id, cc.cell, ${d2("n.sv", "cc.c")} AS d2
-    FROM sv_$s n CROSS JOIN cents_${s}_${t - 1} cc),
+    FROM svf_$s n CROSS JOIN cents_${s}_${t - 1} cc),
   a_${s}_$t AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM d_${s}_$t) WHERE rn = 1),
   s_${s}_$t AS (SELECT a.cell, di.i AS dim,
       sum(CAST(floor(n.sv[di.i] * 1048576.0 + 0.5) AS BIGINT)) AS sfx, count(*) AS cnt
-    FROM a_${s}_$t a JOIN sv_$s n USING (vec_id) CROSS JOIN range(1, ${dsub + 1}) di(i)
+    FROM a_${s}_$t a JOIN svf_$s n USING (vec_id) CROSS JOIN range(1, ${dsub + 1}) di(i)
     GROUP BY a.cell, di.i),
   cents_${s}_$t AS (SELECT p.cell, list(
       CASE WHEN s.sfx IS NULL THEN p.c[di.i]
@@ -1781,8 +1782,9 @@ SELECT doc_id, n_grams, n_boiler, n_boiler / n_grams AS boiler_frac FROM per""",
     GROUP BY p.cell)"""
       }.mkString(",\n")
       s"""  sv_$s AS (SELECT vec_id, $sv AS sv FROM nv),
+  svf_$s AS (SELECT f.vec_id, v.sv FROM pqfit f JOIN sv_$s v USING (vec_id)),
   cents_${s}_0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, sv AS c
-    FROM sv_$s ORDER BY vec_id ASC LIMIT $ksub),
+    FROM svf_$s ORDER BY vec_id ASC LIMIT $ksub),
 $iterCtes,
   af_$s AS (SELECT vec_id, cell FROM (SELECT n.vec_id, cc.cell,
       row_number() OVER (PARTITION BY n.vec_id ORDER BY ${d2("n.sv", "cc.c")} ASC, cc.cell ASC) AS rn
@@ -1796,7 +1798,9 @@ $iterCtes,
       .map(s => s"SELECT $s AS sub, vec_id, cell FROM af_$s").mkString(" UNION ALL ")
     val unionLt = (0 until m)
       .map(s => s"SELECT $s AS sub, query_id, cell, val FROM lt_$s").mkString(" UNION ALL ")
-    s"""${subChains.mkString(",\n")},
+    s"""  pqfit AS (SELECT vec_id FROM nv
+    ORDER BY sha256(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 4096),
+${subChains.mkString(",\n")},
   af AS ($unionAf),
   lt AS ($unionLt),
   codes AS (SELECT vec_id, list(cell ORDER BY sub) AS codes FROM af GROUP BY vec_id),

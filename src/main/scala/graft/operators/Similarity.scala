@@ -692,6 +692,17 @@ object Similarity {
     * (sub, cell, dim)-keyed aggregation whose shuffle is
     * partitions x m x ksub x dsub partial rows — corpus-size-independent,
     * same shape as one full-dim detKMeans iteration. */
+  /** Training-sample bound for the PQ codebook fit: Lloyd iterates over the
+    * sample, NOT the corpus — at 100 TB `iters` extra full-corpus passes
+    * would dominate the build, while codebook quality saturates far below
+    * full corpus size (the `buildIvfIndex` sample-fit argument; FAISS
+    * trains the same way). The sample is the `PqFitRows` first vectors in
+    * SHA-256-of-vec_id order — deterministic, id-bias-free, and a
+    * TakeOrderedAndProject at scale (k rows per partition, no global sort
+    * materialization) — so the q76/q80 oracles reproduce it in SQL. Below
+    * the bound the sample is the whole corpus and the fit is exact. */
+  val PqFitRows = 4096
+
   def pqIndex(items: DataFrame, m: Int = 16, ksub: Int = 16, iters: Int = 2,
               inDim: Int = 64, embCol: String = "embedding"): PqIndex = {
     require(m >= 1 && inDim % m == 0, s"inDim=$inDim must split into m=$m subspaces")
@@ -715,7 +726,13 @@ object Similarity {
   private def buildPqIndex(items: DataFrame, m: Int, ksub: Int, iters: Int,
                            dsub: Int, embCol: String): PqIndex = {
     val nv = withNv(items, embCol).select(col("vec_id"), col("__nv")).cache()
-    val initRows = nv.orderBy("vec_id").limit(ksub).select("__nv").collect()
+    // deterministic hash-ordered training sample (ties impossible: sha256
+    // of distinct ids); the Lloyd loop never touches the full corpus
+    val fit = nv
+      .withColumn("__h", expr("sha2(CAST(vec_id AS STRING), 256)"))
+      .orderBy(col("__h"), col("vec_id")).limit(PqFitRows)
+      .select(col("vec_id"), col("__nv")).cache()
+    val initRows = fit.orderBy("vec_id").limit(ksub).select("__nv").collect()
       .map(_.getSeq[Double](0).toArray)
     require(initRows.length == ksub, s"corpus has fewer than ksub=$ksub vectors")
     var cbs: Seq[Seq[Array[Double]]] = (0 until m).map { s =>
@@ -724,7 +741,7 @@ object Similarity {
     for (_ <- 1 to iters) {
       val scArr = (0 until m).map(s => s"named_struct('sub', $s, 'cell', __c_$s)")
         .mkString("array(", ", ", ")")
-      val sums = withSubCodes(nv, cbs, dsub)
+      val sums = withSubCodes(fit, cbs, dsub)
         .select(col("__nv"), explode(expr(scArr)).as("sc"))
         .select(col("sc.sub").as("sub"), col("sc.cell").as("cell"), col("__nv"))
         .select(col("sub"), col("cell"),
@@ -746,6 +763,8 @@ object Similarity {
         }
       }
     }
+    fit.unpersist()
+    // the ONE full-corpus pass: encode everything against the fitted books
     val codes = PlanCache.memo(withSubCodes(nv, cbs, dsub)
       .select(col("vec_id"), expr(codesArrayExpr(m)).as("codes")))
     codes.count() // materialize so the normalized input can be released
