@@ -566,7 +566,27 @@ object SparkEntry {
     "q87_pivot" -> ((s, dir) =>
       docs(s, dir).groupBy("source")
         .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
-        .agg(count(lit(1))).na.fill(0L)))
+        .agg(count(lit(1))).na.fill(0L)),
+    // extension: TPC-H Q5 shape — six-table join (local-supplier revenue by
+    // nation in one region/year); dims broadcast, fact tables never shuffle
+    // before the co-keyed joins, date range + region filters push into the
+    // scans, money as integer cents
+    "q88_tpch_q5" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .join(Tables.orders(s, dir)
+          .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, dir).filter(col("r_name") === "ASIA")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy("n_name")
+        .agg(
+          sum(expr("cast(round(l_extendedprice * 100) AS bigint) * (100 - cast(round(l_discount * 100) AS bigint))")).as("revenue_e4"),
+          count(lit(1)).as("n_lineitems"))))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -1653,6 +1673,18 @@ FROM documents GROUP BY ROLLUP (source, lang)""",
       val cells = langs.map(l => s"count(*) FILTER (lang = '$l') AS $l").mkString(", ")
       s"SELECT source, $cells FROM documents GROUP BY source"
     },
+    "q88_tpch_q5" ->
+      s"""SELECT n_name,
+  CAST(sum($centsE * (100 - $centsD)) AS BIGINT) AS revenue_e4,
+  count(*) AS n_lineitems
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+  AND o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
+GROUP BY n_name""",
     // Per-stratum quality quantile: q54's quality formula + a per-source
     // rank window; keep rank <= floor(n * 0.4 + 0.5)
     "q83_quality_quantile" ->
