@@ -567,6 +567,10 @@ object SparkEntry {
       docs(s, dir).groupBy("source")
         .pivot("lang", Seq("de", "en", "es", "fr", "zh"))
         .agg(count(lit(1))).na.fill(0L)),
+    // extension: exact shared-span pairs — the windowed-token form of
+    // exact-substring dedup; 20-token spans, df-capped
+    "q89_shared_spans" -> ((s, dir) =>
+      graft.operators.Dedup.sharedSpanPairs(docs(s, dir))),
     // extension: TPC-H Q5 shape — six-table join (local-supplier revenue by
     // nation in one region/year); dims broadcast, fact tables never shuffle
     // before the co-keyed joins, date range + region filters push into the
@@ -1673,6 +1677,22 @@ FROM documents GROUP BY ROLLUP (source, lang)""",
       val cells = langs.map(l => s"count(*) FILTER (lang = '$l') AS $l").mkString(", ")
       s"SELECT source, $cells FROM documents GROUP BY source"
     },
+    // Shared spans: q55's gram machinery at n=20 with a df cap, self-join,
+    // pair counts
+    "q89_shared_spans" ->
+      s"""WITH $dkTok,
+  shl AS (SELECT doc_id, CASE WHEN len(toks) >= 20
+       THEN list_distinct(list_transform(range(0, len(toks)-19),
+              i -> ${(1 to 20).map(j => s"toks[i+$j]").mkString(" || ' ' || ")}))
+       ELSE [text] END AS sh FROM tok),
+  shu AS (SELECT doc_id, unnest(sh) AS span FROM shl),
+  ok AS (SELECT span FROM (SELECT span, count(*) AS df FROM shu GROUP BY span) WHERE df <= 100),
+  kept AS (SELECT s.doc_id, s.span FROM shu s JOIN ok USING (span)),
+  pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared_spans
+    FROM kept a JOIN kept b ON a.span = b.span AND a.doc_id < b.doc_id
+    GROUP BY 1, 2)
+SELECT doc_a, doc_b, CAST(n_shared_spans AS BIGINT) AS n_shared_spans
+FROM pairs WHERE n_shared_spans >= 1""",
     "q88_tpch_q5" ->
       s"""SELECT n_name,
   CAST(sum($centsE * (100 - $centsD)) AS BIGINT) AS revenue_e4,

@@ -351,6 +351,33 @@ object Dedup {
       .select(col("doc_id"),
         graft.GraftFunctions.simhash_sig(col("toks")).as("simhash"))
 
+  /** Exact shared-span pair detection — the tractable Spark form of
+    * exact-substring dedup (suffix-array pipelines find char-level repeats;
+    * sharded corpora use exactly this windowed-token form): two documents
+    * pair iff they share at least `minShared` DISTINCT word `n`-grams at a
+    * long window (default 20 tokens — long enough that sharing one is
+    * essentially never chance). Spans with document frequency above
+    * `dfCap` are excluded: they are corpus boilerplate (the
+    * `boilerplateStats` signal), carry no copy evidence, and their pair
+    * fan-out is df² — the cap is what keeps the join linear-ish at 100 TB
+    * (the `jaccardPairs` df-cap argument). One span-keyed count, one
+    * span-keyed self-equi-join over surviving spans, one pair-keyed count.
+    * Output: (doc_a, doc_b, n_shared_spans). */
+  def sharedSpanPairs(docs: DataFrame, n: Int = 20, minShared: Int = 1,
+                      dfCap: Int = 100): DataFrame = {
+    require(n >= 1 && minShared >= 1 && dfCap >= 2)
+    val sh = docs.select(col("doc_id"),
+      explode(graft.GraftFunctions.word_shingles(col("text"), n)).as("span"))
+    val ok = sh.groupBy("span").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap).select("span")
+    val kept = sh.join(ok, Seq("span"))
+    kept.as("a").join(kept.as("b"),
+        col("a.span") === col("b.span") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared_spans"))
+      .filter(col("n_shared_spans") >= minShared)
+  }
+
   /** SemDeDup-style semantic deduplication over an embedding column
     * (cluster first, then compare only WITHIN clusters — the embedding-
     * space analogue of the shingle-bucket trick): deterministic KMeans

@@ -199,6 +199,28 @@ class DedupSpec extends AnyFunSuite {
     assert(got(1L) == 5L) // 9 tokens -> 5 shingles, all inside eval's text
   }
 
+  test("sharedSpanPairs: exact 20-token overlaps found; df cap silences boilerplate spans") {
+    val w = (1 to 25).map(i => s"w$i")
+    val doc1 = w.mkString(" ")                                  // w1..w25
+    val doc3 = (w.drop(5) ++ (1 to 5).map(i => s"x$i")).mkString(" ") // w6..w25 x1..x5
+    val d = Seq(
+      (1L, doc1), (2L, doc1),                                   // full dup: 6 shared spans
+      (3L, doc3),                                               // shares exactly w6..w25
+      (4L, (1 to 25).map(i => s"z$i").mkString(" "))            // unrelated
+    ).toDF("doc_id", "text")
+    val got = Dedup.sharedSpanPairs(d)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(got((1L, 2L)) == 6L)
+    assert(got((1L, 3L)) == 1L && got((2L, 3L)) == 1L)
+    assert(!got.keySet.exists { case (a, b) => a == 4L || b == 4L })
+    // the w6..w25 span has df=3: capping at 2 removes it everywhere — the
+    // doc3 pairs vanish and the dup pair keeps its other 5 spans
+    val capped = Dedup.sharedSpanPairs(d, dfCap = 2)
+      .as[(Long, Long, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped((1L, 2L)) == 5L)
+    assert(!capped.contains((1L, 3L)) && !capped.contains((2L, 3L)))
+  }
+
   test("semanticDedup: exact-duplicate embeddings collapse to the lowest id") {
     // 1&2&3 identical embeddings (cos = 1 in any cell assignment: identical
     // vectors always share a cell), the rest mutually near-orthogonal
