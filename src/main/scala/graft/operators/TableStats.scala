@@ -5,30 +5,37 @@ import org.apache.spark.sql.functions._
 
 /** Table-profiling operator — the `ANALYZE TABLE`-style audit pass every
   * warehouse ships: per-column null counts, exact distinct counts, and
-  * min/max, computed in ONE aggregation job over the table and emitted in
-  * long format (one row per column).
+  * min/max, emitted in long format (one row per column).
   *
-  * Shape: a single `agg` carrying all columns' statistics — Spark plans the
-  * exact-distinct aggregates via one Expand (input multiplied by the number
-  * of profiled columns, map-side partial-aggregated); there is no
-  * per-column pass over the table. Profile a bounded column LIST, not "all
-  * 2000 columns" — the Expand factor is the profiled-column count, a
-  * deliberate, visible cost knob. min/max surface as strings so one long
-  * schema covers heterogeneous column types (the usual profiling-output
-  * convention). */
+  * Shape: nulls/min/max come from ONE narrow scan (column-pruned to the
+  * profiled list, map-side combined). Each exact distinct count is its own
+  * single-COLUMN scan + partial-distinct aggregation — the shuffle carries
+  * only per-partition distinct values (bounded by column cardinality),
+  * where the one-pass `Expand` rewrite Spark uses for multi-distinct
+  * aggregates would shuffle rows x (columns + 1) regardless of
+  * cardinality. Profiling is the distinct-heavy extreme, so the
+  * per-column form wins at scale; the cost knob is the profiled-column
+  * COUNT (one narrow columnar scan each), visible and deliberate. min/max
+  * surface as strings so one long schema covers heterogeneous column
+  * types (the usual profiling-output convention). */
 object TableStats {
 
   def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile at least one column")
-    val aggs = cols.flatMap(c => Seq(
+    val baseAggs = cols.flatMap(c => Seq(
       count(col(c)).as(s"__n_$c"),
-      countDistinct(col(c)).as(s"__d_$c"),
       min(col(c)).cast("string").as(s"__min_$c"),
       max(col(c)).cast("string").as(s"__max_$c"))) :+ count(lit(1)).as("__total")
-    val row = df.agg(aggs.head, aggs.tail: _*)
     val stackArgs = cols.map(c =>
-      s"'$c', __total - __n_$c, __d_$c, __min_$c, __max_$c").mkString(", ")
-    row.selectExpr(
-      s"stack(${cols.size}, $stackArgs) AS (column, n_nulls, n_distinct, min_value, max_value)")
+      s"'$c', __total - __n_$c, __min_$c, __max_$c").mkString(", ")
+    val base = df.agg(baseAggs.head, baseAggs.tail: _*).selectExpr(
+      s"stack(${cols.size}, $stackArgs) AS (column, n_nulls, min_value, max_value)")
+    val distincts = cols.map { c =>
+      df.select(col(c)).filter(col(c).isNotNull).distinct()
+        .agg(count(lit(1)).as("n_distinct"))
+        .select(lit(c).as("column"), col("n_distinct"))
+    }.reduce(_ unionByName _)
+    base.join(distincts, Seq("column"))
+      .select("column", "n_nulls", "n_distinct", "min_value", "max_value")
   }
 }

@@ -21,12 +21,15 @@ class TableStatsSpec extends AnyFunSuite {
     assert(got("s") == (("s", 1L, 2L, "a", "b")))
   }
 
-  test("profileTable: single aggregation job (no per-column passes)") {
+  test("profileTable: no Expand — distincts are per-column narrow scans") {
     val df = Tables.lineitem(spark, TestSpark.sf0001)
     val prof = TableStats.profileTable(df, Seq("l_orderkey", "l_returnflag"))
-    // one scan: the plan reads the table once (Expand handles the distincts)
+    // base pass + one narrow scan per profiled column; crucially NO Expand
+    // (the rows x (cols+1) shuffle the multi-distinct rewrite would plan)
+    val plan = prof.queryExecution.executedPlan.toString
+    assert(!plan.contains("Expand"), s"profile must not Expand:\n$plan")
     val scans = prof.queryExecution.optimizedPlan.collectLeaves().size
-    assert(scans == 1, s"expected one table scan, got $scans")
+    assert(scans == 3, s"expected base + 2 distinct scans, got $scans")
     assert(prof.count() == 2)
   }
 }
