@@ -571,6 +571,14 @@ object SparkEntry {
     // exact-substring dedup; 20-token spans, df-capped
     "q89_shared_spans" -> ((s, dir) =>
       graft.operators.Dedup.sharedSpanPairs(docs(s, dir))),
+    // extension: residual IVF-PQ (true IVFADC) — PQ codebooks model the
+    // cell residuals; ADC = per-cell base dot + residual lookups
+    "q90_ann_ivfpq_res" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      Similarity.ivfPqResidualTopK(e, q, 3)
+    }),
     // extension: TPC-H Q5 shape — six-table join (local-supplier revenue by
     // nation in one region/year); dims broadcast, fact tables never shuffle
     // before the co-keyed joins, date range + region filters push into the
@@ -1614,6 +1622,8 @@ ORDER BY n_occurrences DESC, token ASC LIMIT 20""",
     // IVF-PQ: the q69 probe chain composed with the q76 ADC chain over
     // candidate cells only
     "q80_ann_ivfpq" -> ivfPqOracle,
+    // Residual IVF-PQ (IVFADC): PQ chains over rv = nv - cents3(cell)
+    "q90_ann_ivfpq_res" -> ivfPqResidualOracle,
     // Cross-corpus near-dup: q45's bucket machinery with two sides (the 10%
     // "incoming" slice vs the rest), exact verification, no a<b constraint
     "q81_cross_dedup" ->
@@ -1809,7 +1819,13 @@ SELECT doc_id, n_grams, n_boiler, n_boiler / n_grams AS boiler_frac FROM per""",
     * chains, per-query lookup values, and the assembled ordered `codes` /
     * `qlt` lists. Expects an `nv` CTE (vec_id, nv) in scope; shared by q76
     * (standalone WITH) and q80 (nested inside the detKMeans chain). */
-  private def pqChainCtes: String = {
+  private def pqChainCtes: String = pqChainCtes("nv", "nv")
+
+  /** `src` is the table the codebooks model and encode (the normalized
+    * corpus for plain PQ, the residual frame for IVFADC); `qsrc` is where
+    * query subvectors come from — ALWAYS the raw normalized vectors (an
+    * ADC query is never residual-encoded). Both expose (vec_id, nv). */
+  private def pqChainCtes(src: String, qsrc: String): String = {
     val m = PqM; val ksub = PqKsub; val iters = PqIters; val dsub = PqDsub
     val d2 = (nvE: String, cE: String) =>
       s"list_sum(list_transform(range(1, ${dsub + 1}), i -> ($nvE[i] - $cE[i]) * ($nvE[i] - $cE[i])))"
@@ -1833,7 +1849,7 @@ SELECT doc_id, n_grams, n_boiler, n_boiler / n_grams AS boiler_frac FROM per""",
     LEFT JOIN s_${s}_$t s ON s.cell = p.cell AND s.dim = di.i
     GROUP BY p.cell)"""
       }.mkString(",\n")
-      s"""  sv_$s AS (SELECT vec_id, $sv AS sv FROM nv),
+      s"""  sv_$s AS (SELECT vec_id, $sv AS sv FROM $src),
   svf_$s AS (SELECT f.vec_id, v.sv FROM pqfit f JOIN sv_$s v USING (vec_id)),
   cents_${s}_0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, sv AS c
     FROM svf_$s ORDER BY vec_id ASC LIMIT $ksub),
@@ -1841,7 +1857,7 @@ $iterCtes,
   af_$s AS (SELECT vec_id, cell FROM (SELECT n.vec_id, cc.cell,
       row_number() OVER (PARTITION BY n.vec_id ORDER BY ${d2("n.sv", "cc.c")} ASC, cc.cell ASC) AS rn
     FROM sv_$s n CROSS JOIN cents_${s}_$iters cc) WHERE rn = 1),
-  sv_q_$s AS (SELECT vec_id, sv FROM sv_$s WHERE vec_id < 5),
+  sv_q_$s AS (SELECT vec_id, $sv AS sv FROM $qsrc WHERE vec_id < 5),
   lt_$s AS (SELECT q.vec_id AS query_id, cc.cell,
       list_sum(list_transform(range(1, ${dsub + 1}), i -> q.sv[i] * cc.c[i])) AS val
     FROM sv_q_$s q CROSS JOIN cents_${s}_$iters cc)"""
@@ -1892,6 +1908,35 @@ $pqChainCtes,
       list_sum(list_transform(range(1, ${PqM + 1}), s -> q.lt[s][c.codes[s] + 1])) AS adc
     FROM codes c CROSS JOIN qlt q),
 $pqRerankTail"""
+
+  /** q90: residual IVF-PQ (IVFADC) — the q69 probe chain, PQ chains over
+    * the RESIDUAL frame `rv = nv - cents3(cell)`, ADC = per-cell base dot
+    * + residual lookups, exact re-rank. */
+  private def ivfPqResidualOracle: String = detKmeansOracle(finalSelect =
+    s"""SELECT * FROM (
+  -- MATERIALIZED: DuckDB inlines CTEs by default, and rv is referenced by
+  -- every per-subspace chain — each inline would re-run the entire outer
+  -- Lloyd chain (a_fin/cents3), turning seconds into hours
+  WITH rv AS MATERIALIZED (SELECT n.vec_id, list_transform(range(1, 65), i -> n.nv[i] - c.c[i]) AS nv
+    FROM nv n JOIN a_fin a USING (vec_id) JOIN cents3 c ON c.cell = a.cell),
+  ${pqChainCtes("rv", "nv")},
+  qn AS (SELECT vec_id AS query_id, nv FROM nv_q),
+  pcs AS (SELECT q.query_id, cc.cell,
+      CASE WHEN cc.nc = 0.0 THEN 0.0
+           ELSE list_sum(list_transform(range(1, 65), i -> q.nv[i] * cc.c[i])) / cc.nc END AS cscore
+    FROM qn q CROSS JOIN (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nc FROM cents3) cc),
+  probes AS (SELECT query_id, cell FROM (SELECT query_id, cell,
+      row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, cell ASC) AS pr FROM pcs) WHERE pr <= 3),
+  bs AS (SELECT q.query_id, cc.cell,
+      list_sum(list_transform(range(1, 65), i -> q.nv[i] * cc.c[i])) AS bdot
+    FROM qn q CROSS JOIN cents3 cc),
+  cand AS (SELECT p.query_id, a.vec_id, a.cell FROM probes p JOIN a_fin a ON a.cell = p.cell),
+  adc AS (SELECT x.query_id, x.vec_id,
+      b.bdot + list_sum(list_transform(range(1, ${PqM + 1}), s -> q.lt[s][c.codes[s] + 1])) AS adc
+    FROM cand x JOIN codes c ON x.vec_id = c.vec_id
+                JOIN qlt q ON x.query_id = q.query_id
+                JOIN bs b ON b.query_id = x.query_id AND b.cell = x.cell),
+$pqRerankTail)""")
 
   /** q80: the q69 probe chain (nProbe=3 cells against the exact detKMeans
     * centroids) composed with the q76 ADC chain, restricted to candidate

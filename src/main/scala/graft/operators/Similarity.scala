@@ -724,8 +724,16 @@ object Similarity {
   }
 
   private def buildPqIndex(items: DataFrame, m: Int, ksub: Int, iters: Int,
-                           dsub: Int, embCol: String): PqIndex = {
-    val nv = withNv(items, embCol).select(col("vec_id"), col("__nv")).cache()
+                           dsub: Int, embCol: String): PqIndex =
+    buildPqFromNv(
+      withNv(items, embCol).select(col("vec_id"), col("__nv")), m, ksub, iters, dsub)
+
+  /** The PQ build over a prepared (vec_id, __nv) frame — `__nv` is
+    * whatever vector the codebooks should model: the normalized embedding
+    * (plain PQ) or the cell residual (IVFADC). */
+  private def buildPqFromNv(nvIn: DataFrame, m: Int, ksub: Int, iters: Int,
+                            dsub: Int): PqIndex = {
+    val nv = nvIn.cache()
     // deterministic hash-ordered training sample (ties impossible: sha256
     // of distinct ids); the Lloyd loop never touches the full corpus
     val fit = nv
@@ -875,6 +883,86 @@ object Similarity {
     val short = graft.plans.GroupedTopK(
         cand.join(pq.codes, Seq("vec_id")).join(broadcast(qlt), Seq("query_id"))
           .select(col("query_id"), col("vec_id"), adcExpr(m).as("adc")),
+        Seq(col("query_id")), Seq(desc("adc"), asc("vec_id")), shortlist)
+      .select("query_id", "vec_id")
+    topKPerQuery(
+      short.join(items, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+        .withColumn("score",
+          cosine_similarity(col("embedding"), col("query_embedding"))),
+      k)
+  }
+
+  /** Residual IVF-PQ — true IVFADC (Jégou et al. 2011, §IV): PQ codebooks
+    * model the RESIDUAL `nv - centroid(cell)` instead of the vector itself.
+    * Residuals concentrate near the origin once the coarse quantizer has
+    * explained the cell structure, so the same code budget buys a finer
+    * reconstruction than `ivfPqTopK`'s global-codebook form (that one keeps
+    * residual-free as its documented trade-off; this is the full-fidelity
+    * sibling — both hash-oracled, q80/q90).
+    *
+    * ADC with residuals: score(q, x) ~ dot(qn, c_cell) + dot(qn, recon(r))
+    * — per query ONE base dot per probed cell (nLists doubles, rides the
+    * broadcast) plus the usual m lookups per candidate. Same scale shape as
+    * `ivfPqTopK`: candidates ~ corpus/nLists x nProbe 16-byte code rows,
+    * exact re-rank on the shortlist only. Deterministic end-to-end (the
+    * detKMeans cells, the hash-ordered fit sample over the residual frame,
+    * fixed-point Lloyd, sequential ADC folds). */
+  def ivfPqResidualTopK(items: DataFrame, queries: DataFrame, k: Int,
+                        nLists: Int = 8, kmIters: Int = 3, nProbe: Int = 3,
+                        m: Int = 16, ksub: Int = 16, pqIters: Int = 2,
+                        shortlist: Int = 64): DataFrame = {
+    val (cents, assigned) = detKMeans(items, nLists, kmIters)
+    val sorted = cents.sortBy(_._1)
+    val centsSql = sorted.map(_._2.map(_.toString).mkString("array(", ", ", ")"))
+      .mkString("array(", ", ", ")")
+    val cellIds = sorted.map(_._1).mkString("array(", ", ", ")")
+    val cnorms = sorted.map { case (_, c) =>
+      math.sqrt(c.map(x => x * x).sum).toString
+    }.mkString("array(", ", ", ")")
+    // residual frame: __nv := nv - centroid(cell); cells are 0..k-1 by
+    // construction (first-k-by-id init), so element_at(cell+1) is exact
+    val resid = withNv(items, "embedding")
+      .select(col("vec_id"), col("__nv"))
+      .join(assigned, Seq("vec_id"))
+      .withColumn("__nv", expr(
+        s"zip_with(__nv, element_at($centsSql, cell + 1), (x, y) -> x - y)"))
+    val residNv = resid.select(col("vec_id"), col("__nv"))
+    val dsub = 64 / m
+    val key = memoKey(residNv, s"ivfpqr|$nLists|$kmIters|$m|$ksub|$pqIters")
+      .map(s => (items.sparkSession, s))
+    val pq = key.flatMap(mk => pqMemo.synchronized(pqMemo.get(mk)))
+      .getOrElse {
+        val built = buildPqFromNv(residNv, m, ksub, pqIters, dsub)
+        key.foreach(mk => pqMemo.synchronized { pqMemo.update(mk, built) })
+        built
+      }
+    // query side: nProbe cells by centroid cosine (the q69 probe rule),
+    // plus per-cell base dots and the residual lookup tables — all riding
+    // the query broadcast
+    val ltArr = pq.codebooks.zipWithIndex.map { case (cb, s) =>
+      val off = s * dsub
+      s"transform(${centsSqlOf(cb)}, c -> aggregate(zip_with(slice(__nv, ${off + 1}, $dsub), c, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x))"
+    }.mkString("array(", ", ", ")")
+    val qn = withNv(queries, "query_embedding")
+      .withColumn("__bs", expr(
+        s"transform($centsSql, c -> aggregate(zip_with(__nv, c, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (a, x) -> a + x))"))
+      .withColumn("__cs", expr(
+        s"""zip_with(__bs, $cnorms,
+              (d, nc) -> IF(nc = 0.0D, CAST(0.0 AS DOUBLE), d / nc))"""))
+    val qscored = qn
+      .select(col("query_id"), posexplode(col("__cs")).as(Seq("__i", "cscore")))
+      .withColumn("cell", expr(s"element_at($cellIds, __i + 1)"))
+      .select(col("query_id"), col("cell"), col("cscore"))
+    val probes = graft.plans.GroupedTopK(qscored,
+        Seq(col("query_id")), Seq(desc("cscore"), asc("cell")), nProbe)
+      .select(col("query_id"), col("cell"))
+    val qlt = qn.select(col("query_id"), expr(ltArr).as("lt"), col("__bs").as("bs"))
+    val cand = assigned.join(broadcast(probes), Seq("cell"))
+      .select("query_id", "vec_id", "cell")
+    val short = graft.plans.GroupedTopK(
+        cand.join(pq.codes, Seq("vec_id")).join(broadcast(qlt), Seq("query_id"))
+          .select(col("query_id"), col("vec_id"),
+            (expr("element_at(bs, cell + 1)") + adcExpr(m)).as("adc")),
         Seq(col("query_id")), Seq(desc("adc"), asc("vec_id")), shortlist)
       .select("query_id", "vec_id")
     topKPerQuery(

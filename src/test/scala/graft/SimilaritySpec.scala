@@ -127,6 +127,8 @@ class SimilaritySpec extends AnyFunSuite {
         .as[(Long, Long, Int, Double)].collect())
       val ivfpq = topkIds(Similarity.ivfPqTopK(e, q, 3)
         .as[(Long, Long, Int, Double)].collect())
+      val ivfpqr = topkIds(Similarity.ivfPqResidualTopK(e, q, 3)
+        .as[(Long, Long, Int, Double)].collect())
       val lshR = meanRecall(lsh, exact)
       val ivfR = meanRecall(ivf, exact)
       val rpR = meanRecall(rp, exact)
@@ -145,6 +147,8 @@ class SimilaritySpec extends AnyFunSuite {
       assert(pqR >= 0.9, s"pqTopK recall@3 = $pqR < 0.9")
       val ivfpqR = meanRecall(ivfpq, exact)
       assert(ivfpqR >= 0.9, s"ivfPqTopK recall@3 = $ivfpqR < 0.9")
+      val ivfpqrR = meanRecall(ivfpqr, exact)
+      assert(ivfpqrR >= 0.9, s"ivfPqResidualTopK recall@3 = $ivfpqrR < 0.9")
       e.unpersist(); q.unpersist()
     }
 
