@@ -49,11 +49,14 @@ object Bench {
       val best = if (succeeded.nonEmpty) succeeded.min else attempts.map(_._2).min
       name -> (best, attempts.map(_._2))
     }
-    // 2-decimal values: the driver's artifact keeps only the final ~2000
-    // output characters, and full-precision doubles over 59 queries pushed
-    // the JSON line past that window (BENCH_r03/r04 recorded parsed:null);
-    // at 74 queries even 3-decimal values leave <130 chars of headroom
-    val qs = results.map { case (k, (v, _)) => s"\"" + k + "\":" + f"$v%.2f" }
+    // The driver's artifact keeps only the final ~2000 output characters;
+    // full query names over 90 queries are ~2300 chars of JSON on their own
+    // (BENCH_r03/r04 recorded parsed:null from exactly this overflow). The
+    // machine-readable line therefore keys on the qNN prefix (~12 chars per
+    // entry, <1300 chars at 100 queries); the qNN->full-name mapping is
+    // unambiguous and the diag line above carries full names per rep.
+    val shortKey = (k: String) => k.split("_")(0)
+    val qs = results.map { case (k, (v, _)) => s"\"" + shortKey(k) + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     // per-rep times per query: a contaminated run shows as wide rep spreads
     // (healthy: < 30% per query) without needing a rerun to diagnose.
