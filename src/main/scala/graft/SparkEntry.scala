@@ -598,7 +598,30 @@ object SparkEntry {
         .groupBy("n_name")
         .agg(
           sum(expr("cast(round(l_extendedprice * 100) AS bigint) * (100 - cast(round(l_discount * 100) AS bigint))")).as("revenue_e4"),
-          count(lit(1)).as("n_lineitems"))))
+          count(lit(1)).as("n_lineitems"))),
+    // extension: CUBE — all 2^2 grouping sets over (source, lang); completes
+    // the rollup (q86) / pivot (q87) hierarchical-agg family
+    "q91_cube" -> ((s, dir) =>
+      docs(s, dir).cube("source", "lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))),
+    // extension: ordered-step product funnel over events (view -> click ->
+    // purchase), per-user earliest completion times, long form
+    "q92_funnel" -> ((s, dir) =>
+      graft.operators.EventAnalytics.funnel(
+        Tables.events(s, dir), Seq("view", "click", "purchase"))),
+    // extension: weekly retention cohorts (first-seen week x week offset)
+    "q93_retention" -> ((s, dir) =>
+      graft.operators.EventAnalytics.retentionCohorts(Tables.events(s, dir))),
+    // extension: per-user daily gap-fill/resample with explicit zero rows
+    "q94_gap_fill" -> ((s, dir) =>
+      graft.operators.EventAnalytics.gapFillDaily(Tables.events(s, dir))),
+    // extension: SCD-2 state history — consecutive same-type runs collapsed
+    // to validity intervals (gaps-and-islands)
+    "q95_state_history" -> ((s, dir) =>
+      graft.operators.EventAnalytics.stateHistory(Tables.events(s, dir))),
+    // extension: per-type z-score outliers from exact fixed-point moments
+    "q96_zscore" -> ((s, dir) =>
+      graft.operators.EventAnalytics.zscoreOutliers(Tables.events(s, dir), 2.0)))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -1715,6 +1738,65 @@ JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
 JOIN nation ON s_nationkey = n_nationkey
 JOIN region ON n_regionkey = r_regionkey AND r_name = 'ASIA'
 GROUP BY n_name""",
+    "q91_cube" ->
+      """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY CUBE (source, lang)""",
+    // Funnel: min time per step, strictly after the previous step's time
+    "q92_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+  s1 AS (SELECT user_id, min(t) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+  s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
+         WHERE e.event_type = 'click' AND e.t > s1.t GROUP BY e.user_id),
+  s3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s2 USING (user_id)
+         WHERE e.event_type = 'purchase' AND e.t > s2.t GROUP BY e.user_id)
+SELECT user_id, 1 AS step, t AS step_ts FROM s1
+UNION ALL SELECT user_id, 2, t FROM s2
+UNION ALL SELECT user_id, 3, t FROM s3""",
+    // Retention: cohort = week index of a user's min event time (mirrors the
+    // Spark side exactly rather than relying on week-of-min = min-of-week)
+    "q93_retention" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t FROM events),
+  w AS (SELECT user_id,
+          CAST(floor(date_diff('day', DATE '2024-01-01', CAST(t AS DATE)) / 7.0) AS BIGINT) AS w FROM e),
+  f AS (SELECT user_id,
+          CAST(floor(date_diff('day', DATE '2024-01-01', CAST(min(t) AS DATE)) / 7.0) AS BIGINT) AS cohort_week
+        FROM e GROUP BY user_id)
+SELECT f.cohort_week, w.w - f.cohort_week AS week_offset, count(DISTINCT w.user_id) AS n_users
+FROM w JOIN f USING (user_id) GROUP BY 1, 2""",
+    "q94_gap_fill" ->
+      """WITH e AS (SELECT user_id,
+          CAST(date_diff('day', DATE '2024-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day_idx
+        FROM events),
+  c AS (SELECT user_id, day_idx, count(*) AS n FROM e GROUP BY 1, 2),
+  s AS (SELECT user_id, min(day_idx) AS d0, max(day_idx) AS d1 FROM c GROUP BY user_id),
+  d AS (SELECT user_id, unnest(range(d0, d1 + 1)) AS day_idx FROM s)
+SELECT d.user_id, d.day_idx, COALESCE(c.n, 0) AS n_events
+FROM d LEFT JOIN c ON d.user_id = c.user_id AND d.day_idx = c.day_idx""",
+    // Gaps-and-islands: run id = difference of the two row_numbers; runs
+    // collapse to intervals; lead() closes them. eid0 is the deterministic
+    // tie-break for equal valid_from values (see EventAnalytics.stateHistory)
+    "q95_state_history" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t, event_id FROM events),
+  r AS (SELECT user_id, event_type, t, event_id,
+          row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+        - row_number() OVER (PARTITION BY user_id, event_type ORDER BY t, event_id) AS run_id FROM e),
+  g AS (SELECT user_id, event_type, run_id, min(t) AS valid_from, min(event_id) AS eid0
+        FROM r GROUP BY 1, 2, 3)
+SELECT user_id, event_type, valid_from,
+  lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, eid0) AS valid_to
+FROM g""",
+    // Z-scores from exact integer moments; one shared double expression tree
+    "q96_zscore" ->
+      """WITH f AS (SELECT event_id, event_type, CAST(floor(value * 1024.0 + 0.5) AS BIGINT) AS fx FROM events),
+  m AS (SELECT event_type, count(*) AS n, sum(fx) AS s, sum(fx * fx) AS ssq FROM f GROUP BY event_type),
+  sd AS (SELECT f.event_id, f.event_type, fx, n, s,
+          sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n) AS sd
+        FROM f JOIN m USING (event_type)),
+  z AS (SELECT event_id, event_type,
+          CASE WHEN sd <= 0.0 OR isnan(sd) THEN CAST(NULL AS DOUBLE)
+               ELSE round((CAST(fx AS DOUBLE) - CAST(s AS DOUBLE) / n) / sd, 6) END AS z
+        FROM sd)
+SELECT event_id, event_type, z FROM z WHERE abs(z) > 2.0""",
     // Per-stratum quality quantile: q54's quality formula + a per-source
     // rank window; keep rank <= floor(n * 0.4 + 0.5)
     "q83_quality_quantile" ->

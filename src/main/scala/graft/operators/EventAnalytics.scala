@@ -1,0 +1,154 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics operators (product-analytics / warehouse shapes
+  * over the `events` fixture: event_id, ts, user_id, event_type, value).
+  * The reference has no event model at all (its only table is the chunk
+  * collection, `/root/reference/main.py:158-170`); these are the extension
+  * surface a general analytics engine needs, each designed around one
+  * user-keyed shuffle that a 1000-executor cluster can scale out.
+  *
+  * Determinism rules shared with the rest of the repo: every output value is
+  * either an integer, a timestamp (micros on both engines), or a DOUBLE
+  * computed by one explicit expression tree over exact integer inputs — so
+  * DuckDB and Spark agree bit-for-bit and the driver's hash compare holds.
+  */
+object EventAnalytics {
+
+  /** Ordered-step funnel: for each user, the earliest time they completed
+    * step i strictly after completing step i-1 (the classic product-funnel
+    * semantics — re-orderings don't count). Long-form output: one row per
+    * user per reached step `(user_id, step, step_ts)`.
+    *
+    * Shape at scale: step 1 is one user-keyed partial-aggregate shuffle;
+    * each later step joins the (shrinking) frontier back to that step's
+    * filtered events on user_id — every shuffle in the chain is keyed the
+    * same way, so AQE coalesces and the frontier side gets broadcast as
+    * soon as it fits. Never a global sort or a per-user collect.
+    */
+  def funnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    var frontier = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    var out = frontier.select(col("user_id"), lit(1).as("step"), col("t"))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      frontier = e.filter(col("event_type") === st)
+        .join(frontier.select("user_id", "t"), Seq("user_id"))
+        .filter(col("ts") > col("t"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+      out = out.unionByName(
+        frontier.select(col("user_id"), lit(i + 2).as("step"), col("t")))
+    }
+    out.select(col("user_id"), col("step"), col("t").as("step_ts"))
+  }
+
+  /** Weekly retention cohorts: cohort = integer week (from `anchor`) of a
+    * user's first event; one output row per (cohort_week, week_offset) with
+    * the distinct-user count active that many weeks after joining.
+    *
+    * Two user-keyed shuffles (first-seen aggregate, then the join back) and
+    * one tiny final aggregate over at most weeks^2 groups. The first-seen
+    * side is one row per user — broadcast-able long before the events side
+    * would need a sort-merge.
+    */
+  def retentionCohorts(events: DataFrame, anchor: String = "2024-01-01"): DataFrame = {
+    val week = (c: String) =>
+      expr(s"CAST(floor(datediff(CAST($c AS DATE), DATE '$anchor') / 7.0) AS BIGINT)")
+    val firstSeen = events.groupBy("user_id").agg(min("ts").as("first_ts"))
+      .select(col("user_id"), week("first_ts").as("cohort_week"))
+    events.select(col("user_id"), week("ts").as("w"))
+      .join(firstSeen, Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
+      .agg(countDistinct("user_id").as("n_users"))
+  }
+
+  /** Daily gap-fill/resample: per-user calendar-day event counts with
+    * explicit zero rows for the silent days between a user's first and last
+    * event. Output `(user_id, day_idx, n_events)` with day_idx = days since
+    * `anchor` (integer — engine-neutral, no date rendering).
+    *
+    * The dense day series is generated per user with `sequence` + `explode`
+    * (distributed — each user's span explodes where that user's row lives,
+    * no driver loop), then left-joins the per-(user, day) counts. Both
+    * sides hash-partition on user_id. Span growth is bounded by the
+    * calendar, not the event count: a year of days per user is 365 rows —
+    * the join stays user-keyed and skew-free even when one user has
+    * millions of events, because counts were pre-aggregated first.
+    */
+  def gapFillDaily(events: DataFrame, anchor: String = "2024-01-01"): DataFrame = {
+    val dayIdx = (c: String) =>
+      expr(s"CAST(datediff(CAST($c AS DATE), DATE '$anchor') AS BIGINT)")
+    val counts = events
+      .select(col("user_id"), dayIdx("ts").as("day_idx"))
+      .groupBy("user_id", "day_idx").agg(count(lit(1)).as("n"))
+    val spans = counts.groupBy("user_id")
+      .agg(min("day_idx").as("d0"), max("day_idx").as("d1"))
+      .select(col("user_id"), explode(expr("sequence(d0, d1)")).as("day_idx"))
+    spans.join(counts, Seq("user_id", "day_idx"), "left")
+      .select(col("user_id"), col("day_idx"),
+        coalesce(col("n"), lit(0L)).as("n_events"))
+  }
+
+  /** SCD-2-style state history: collapse each user's consecutive runs of
+    * the same event_type into validity intervals
+    * `(user_id, event_type, valid_from, valid_to)` — valid_to is the start
+    * of the next run, null for the current (open) state. The classic
+    * gaps-and-islands shape: two row_numbers per user assign a run id, one
+    * aggregate collapses runs, one lead() closes the intervals.
+    *
+    * All three windows partition by user_id — one shuffle, reused across
+    * the window stack; no global window anywhere. Ties broken by
+    * (ts, event_id) so the history is total-ordered and reproducible.
+    */
+  def stateHistory(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val byUserType = Window.partitionBy("user_id", "event_type")
+      .orderBy(col("ts"), col("event_id"))
+    val runs = events
+      .select(col("user_id"), col("event_type"), col("ts"), col("event_id"))
+      .withColumn("run_id",
+        row_number().over(byUser) - row_number().over(byUserType))
+      .groupBy("user_id", "event_type", "run_id")
+      // tie-break key for equal valid_from values (possible only under
+      // same-user ts collisions): the run's min event_id — unique per run
+      // and engine-neutral, unlike min_by/arg_min whose tie behavior isn't
+      .agg(min("ts").as("valid_from"), min("event_id").as("eid0"))
+    val order = Window.partitionBy("user_id").orderBy(col("valid_from"), col("eid0"))
+    runs
+      .withColumn("valid_to", lead(col("valid_from"), 1).over(order))
+      .select(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
+  }
+
+  /** Per-group z-score outliers: events whose value sits more than
+    * `threshold` population standard deviations from their event_type's
+    * mean. Moments are exact integer sums of 2^10-fixed-point values (value
+    * <= ~1e3 and 100k rows/group keeps sumsq < 2^55 — no overflow), so the
+    * one double expression computing z sees identical inputs on every
+    * engine and partitioning; z is rounded to 6 dp at the boundary.
+    *
+    * One partial-aggregated shuffle over event_type for the moments (a
+    * handful of rows — broadcast back), then a map-only flagging pass.
+    */
+  def zscoreOutliers(events: DataFrame, threshold: Double = 2.0): DataFrame = {
+    val fixed = events.select(col("event_id"), col("event_type"),
+      expr("CAST(floor(value * 1024.0 + 0.5) AS BIGINT)").as("fx"))
+    val moments = fixed.groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("fx").as("s"),
+        sum(expr("fx * fx")).as("ssq"))
+    fixed.join(broadcast(moments), Seq("event_type"))
+      // zero-variance groups have no outliers by definition; the explicit
+      // guard also keeps ANSI mode from raising DIVIDE_BY_ZERO on them
+      .withColumn("sd", expr(
+        "sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)"))
+      .withColumn("z", expr(
+        """CASE WHEN sd <= 0.0 OR isnan(sd) THEN CAST(NULL AS DOUBLE)
+          | ELSE round((CAST(fx AS DOUBLE) - CAST(s AS DOUBLE) / n) / sd, 6) END""".stripMargin))
+      .filter(abs(col("z")) > threshold)
+      .select(col("event_id"), col("event_type"), col("z"))
+  }
+}

@@ -1,0 +1,103 @@
+package graft
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.EventAnalytics
+
+class EventAnalyticsSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def ts(min: Int) = new Timestamp(1704067200000L + min * 60000L) // 2024-01-01 + min
+
+  /** (event_id, ts, user_id, event_type, value) rows as an events-shaped DF. */
+  private def ev(rows: (Long, Int, Long, String, Double)*) =
+    rows.map { case (id, m, u, t, v) => (id, ts(m), u, t, v) }
+      .toDF("event_id", "ts", "user_id", "event_type", "value")
+
+  test("funnel: strictly-after semantics — same-timestamp next step does not count") {
+    val e = ev(
+      (1, 0, 1, "view", 0), (2, 0, 1, "click", 0),  // click NOT after view
+      (3, 5, 1, "click", 0),                         // this one is
+      (4, 0, 2, "click", 0), (5, 5, 2, "view", 0))   // wrong order: no step 2
+    val f = EventAnalytics.funnel(e, Seq("view", "click"))
+      .select("user_id", "step").as[(Long, Int)].collect().toSet
+    assert(f == Set((1L, 1), (1L, 2), (2L, 1)))
+  }
+
+  test("funnel: min times chain — earliest completion after previous step") {
+    val e = ev(
+      (1, 10, 1, "view", 0), (2, 2, 1, "view", 0),     // first view at t=2
+      (3, 5, 1, "click", 0), (4, 20, 1, "click", 0),   // first click after 2 is 5
+      (5, 3, 1, "purchase", 0), (6, 30, 1, "purchase", 0)) // purchase at 3 is before click: use 30
+    val f = EventAnalytics.funnel(e, Seq("view", "click", "purchase"))
+      .select($"step", $"step_ts").as[(Int, Timestamp)].collect().toMap
+    assert(f(1) == ts(2) && f(2) == ts(5) && f(3) == ts(30))
+  }
+
+  test("retentionCohorts: offset-0 row counts every cohort user once") {
+    val e = ev(
+      (1, 0, 1, "view", 0), (2, 60 * 24 * 8, 1, "view", 0),  // week 0, active week 1
+      (3, 0, 2, "view", 0),                                    // week 0 only
+      (4, 60 * 24 * 8, 3, "view", 0))                          // joins in week 1
+    val r = EventAnalytics.retentionCohorts(e)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(r == Set((0L, 0L, 2L), (0L, 1L, 1L), (1L, 0L, 1L)))
+  }
+
+  test("gapFillDaily: silent days appear as zero rows, span is first..last day") {
+    val e = ev((1, 0, 1, "view", 0), (2, 60 * 24 * 3, 1, "view", 0),
+      (3, 60 * 24 * 3 + 5, 1, "click", 0))
+    val g = EventAnalytics.gapFillDaily(e)
+      .as[(Long, Long, Long)].collect().sortBy(_._2)
+    assert(g.toSeq == Seq((1L, 0L, 1L), (1L, 1L, 0L), (1L, 2L, 0L), (1L, 3L, 2L)))
+  }
+
+  test("stateHistory: consecutive same-type runs collapse; intervals chain; last is open") {
+    val e = ev(
+      (1, 0, 1, "a", 0), (2, 1, 1, "a", 0),   // run a [0, 2)
+      (3, 2, 1, "b", 0),                       // run b [2, 4)
+      (4, 4, 1, "a", 0))                       // run a [4, null)
+    val h = EventAnalytics.stateHistory(e)
+      .select($"event_type", $"valid_from", $"valid_to")
+      .as[(String, Timestamp, Option[Timestamp])].collect().sortBy(_._2.getTime)
+    assert(h.toSeq == Seq(
+      ("a", ts(0), Some(ts(2))), ("b", ts(2), Some(ts(4))), ("a", ts(4), None)))
+  }
+
+  test("zscoreOutliers: constant group yields none; a clear outlier is flagged") {
+    val e = ev(
+      (1, 0, 1, "flat", 5), (2, 1, 1, "flat", 5), (3, 2, 1, "flat", 5),
+      (4, 0, 1, "spiky", 0), (5, 1, 1, "spiky", 0), (6, 2, 1, "spiky", 0),
+      (7, 3, 1, "spiky", 0), (8, 4, 1, "spiky", 0), (9, 5, 1, "spiky", 0),
+      (10, 6, 1, "spiky", 0), (11, 7, 1, "spiky", 0), (12, 8, 1, "spiky", 0),
+      (13, 9, 1, "spiky", 100))
+    val z = EventAnalytics.zscoreOutliers(e, 2.0)
+      .select("event_id", "event_type").as[(Long, String)].collect()
+    assert(z.toSeq == Seq((13L, "spiky"))) // flat: variance 0 -> NaN filtered
+  }
+
+  test("zscoreOutliers parity with the full fixture at sf0.001") {
+    // cross-check the distributed moments against a driver-side computation
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val got = EventAnalytics.zscoreOutliers(events, 2.0)
+      .select("event_id").as[Long].collect().toSet
+    val rows = events.select($"event_id", $"event_type",
+        expr("CAST(floor(value * 1024.0 + 0.5) AS BIGINT)").as("fx"))
+      .as[(Long, String, Long)].collect()
+    val expect = rows.groupBy(_._2).flatMap { case (_, g) =>
+      val n = g.length.toDouble
+      val s = g.map(_._3).sum.toDouble
+      val ssq = g.map(r => r._3 * r._3).sum.toDouble
+      g.filter { r =>
+        val z = BigDecimal((r._3 - s / n) / math.sqrt((ssq - s * s / n) / n))
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        !z.isNaN && math.abs(z) > 2.0
+      }.map(_._1).toSeq
+    }.toSet
+    assert(got == expect)
+  }
+}
