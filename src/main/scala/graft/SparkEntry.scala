@@ -621,7 +621,17 @@ object SparkEntry {
       graft.operators.EventAnalytics.stateHistory(Tables.events(s, dir))),
     // extension: per-type z-score outliers from exact fixed-point moments
     "q96_zscore" -> ((s, dir) =>
-      graft.operators.EventAnalytics.zscoreOutliers(Tables.events(s, dir), 2.0)))
+      graft.operators.EventAnalytics.zscoreOutliers(Tables.events(s, dir), 2.0)),
+    // extension: edit-distance near-dup pairs — lossless length-band
+    // blocking, thresholded banded-DP levenshtein verified before distinct
+    "q97_lev_pairs" -> ((s, dir) => Dedup.levenshteinPairs(docs(s, dir))),
+    // extension: TF-IDF keyword scoring (vector-space twin of q48's BM25)
+    "q98_tfidf" -> ((s, dir) =>
+      TextAnalysis.tfidf(docs(s, dir), Seq("transfer", "credit", "university"))),
+    // extension: bigram-LM surprisal — second-order q82, add-one smoothing
+    "q99_bigram_lm" -> ((s, dir) => TextAnalysis.bigramSurprisal(docs(s, dir))),
+    // extension: c-TF-IDF topic terms per class, ranked via GroupedTopK
+    "q100_class_topics" -> ((s, dir) => TextAnalysis.classTopTerms(docs(s, dir))))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -1797,6 +1807,70 @@ FROM g""",
                ELSE round((CAST(fx AS DOUBLE) - CAST(s AS DOUBLE) / n) / sd, 6) END AS z
         FROM sd)
 SELECT event_id, event_type, z FROM z WHERE abs(z) > 2.0""",
+    // Blocking is Spark-side machinery; the oracle states the declarative
+    // contract directly: all pairs with similar length AND a close prefix
+    "q97_lev_pairs" ->
+      """WITH d AS (SELECT doc_id, length(text) AS len, substr(text, 1, 60) AS pfx FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+  CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS lev
+FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 20
+WHERE levenshtein(a.pfx, b.pfx) <= 20""",
+    "q98_tfidf" -> {
+      val terms = Seq("transfer", "credit", "university")
+      val dfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+      }.mkString(", ")
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+      }.mkString(", ")
+      val score = terms.indices
+        .map(i => s"(tf_$i * ln((n_docs + 1.0) / (df_$i + 1.0)))").mkString(" + ")
+      s"""WITH $dkTok,
+  t AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+  stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, $dfCols FROM t),
+  tf AS (SELECT doc_id, dl, $tfCols FROM t)
+SELECT doc_id, dl AS n_tokens,
+  ${terms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i").mkString(", ")},
+  round($score, 6) AS tfidf
+FROM tf CROSS JOIN stats"""
+    },
+    // Bigram LM: c12/c1 exact integer counts, one fixed-point ln per
+    // DISTINCT bigram (mirrors TextAnalysis.bigramSurprisal)
+    "q99_bigram_lm" ->
+      s"""WITH $dkTok,
+  o AS (SELECT doc_id, bg.w1 AS w1, bg.w2 AS w2 FROM (
+      SELECT doc_id, unnest(CASE WHEN len(toks) < 2 THEN []
+        ELSE list_transform(range(2, len(toks) + 1),
+               i -> struct_pack(w1 := toks[i-1], w2 := toks[i])) END) AS bg
+      FROM tok)),
+  b2 AS (SELECT w1, w2, count(*) AS c12 FROM o GROUP BY 1, 2),
+  b1 AS (SELECT w1, sum(c12) AS c1 FROM b2 GROUP BY 1),
+  vv AS (SELECT count(DISTINCT u.t) AS v FROM (SELECT unnest(toks) AS t FROM tok) u),
+  fx AS (SELECT b2.w1, b2.w2,
+      CAST(floor(-ln((CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v))
+        * 1073741824.0 + 0.5) AS BIGINT) AS sfx
+    FROM b2 JOIN b1 USING (w1) CROSS JOIN vv)
+SELECT o.doc_id, count(*) AS n_bigrams,
+  (CAST(sum(sfx) AS DOUBLE) / count(*)) / 1073741824.0 AS bigram_surprisal
+FROM o JOIN fx USING (w1, w2) GROUP BY o.doc_id""",
+    // c-TF-IDF: per-class token counts x smoothed inverse class frequency;
+    // the row_number window is the oracle twin of GroupedTopK's ranks
+    "q100_class_topics" ->
+      s"""WITH $dkTok,
+  occ AS (SELECT d.lang AS cls, unnest(toks) AS token
+          FROM tok JOIN documents d USING (doc_id)),
+  tfc AS (SELECT cls, token, count(*) AS tf FROM occ GROUP BY 1, 2),
+  dfc AS (SELECT token, count(*) AS n_cls FROM tfc GROUP BY 1),
+  nc AS (SELECT count(DISTINCT lang) AS total_cls FROM documents),
+  scored AS (SELECT cls, token, tf,
+      round(CAST(tf AS DOUBLE)
+        * ln((CAST(total_cls AS DOUBLE) + 1.0) / (CAST(n_cls AS DOUBLE) + 1.0) + 1.0),
+        6) AS score
+    FROM tfc JOIN dfc USING (token) CROSS JOIN nc),
+  r AS (SELECT cls, token, tf, score,
+      CAST(row_number() OVER (PARTITION BY cls ORDER BY score DESC, token ASC) AS INTEGER) AS "rank"
+    FROM scored)
+SELECT cls AS lang, token, tf, score, "rank" FROM r WHERE "rank" <= 5""",
     // Per-stratum quality quantile: q54's quality formula + a per-source
     // rank window; keep rank <= floor(n * 0.4 + 0.5)
     "q83_quality_quantile" ->

@@ -410,4 +410,38 @@ object Dedup {
     assigned.join(dropped.hint("SHUFFLE_HASH"), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("cell"))
   }
+
+  /** Edit-distance near-duplicate pairs: documents of similar length whose
+    * opening `prefixLen` chars are within `maxDist` Levenshtein edits — the
+    * fuzzy-key dedup (typo'd titles, re-OCR'd openings) that shingle/hash
+    * methods miss because a single in-window edit changes every overlapping
+    * shingle.
+    *
+    * Lossless blocking: lev(a,b) >= |len(a)-len(b)|, so any qualifying pair
+    * has |len diff| <= maxDist and its floor(len/maxDist) bands differ by
+    * at most 1. Each doc emits its band and band+1; the band-keyed
+    * self-equi-join therefore sees every qualifying pair (no recall loss —
+    * this is blocking, not LSH), at most twice. The banded-DP `levenshtein`
+    * with a threshold (O(len*maxDist), early -1 exit) verifies BEFORE the
+    * `distinct`, so the dedup shuffle carries only true pairs (q45's
+    * verify-before-distinct move).
+    *
+    * Scale: shuffle is band-keyed; band population is corpus/|length range|
+    * per width-maxDist slice — skew from a popular length band is AQE's
+    * skew-join case, and the per-pair cost is capped by prefixLen*maxDist. */
+  def levenshteinPairs(docs: DataFrame, maxDist: Int = 20,
+                       prefixLen: Int = 60): DataFrame = {
+    require(maxDist >= 1 && prefixLen >= 1)
+    val d = docs.select(col("doc_id"), length(col("text")).as("len"),
+      expr(s"substring(text, 1, $prefixLen)").as("pfx"))
+    val keyed = d.select(col("doc_id"), col("len"), col("pfx"),
+      explode(expr(s"array(len DIV $maxDist, len DIV $maxDist + 1)")).as("band"))
+    keyed.as("a").join(keyed.as("b"),
+        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
+      .filter(abs(col("a.len") - col("b.len")) <= maxDist)
+      .withColumn("lev", expr(s"levenshtein(a.pfx, b.pfx, $maxDist)"))
+      .filter(col("lev") >= 0) // threshold form returns -1 past maxDist
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("lev"))
+      .distinct()
+  }
 }

@@ -258,6 +258,101 @@ object TextAnalysis {
       .select("doc_id", "n_tokens", "surprisal")
   }
 
+  /** TF-IDF keyword scoring for a fixed (small) term set — the vector-space
+    * ancestor of `bm25`, kept alongside it because downstream rankers often
+    * want the raw tf*idf weights rather than BM25's saturated form. Same
+    * scale shape as bm25: ONE stats pass pivoted into one broadcast row
+    * (exact integer document frequencies), then a map-only fixed-term-order
+    * score expression — f64 addition order is fixed, so the result is
+    * engine-exact. idf is add-1-smoothed: ln((N + 1) / (df + 1)). */
+  def tfidf(docs: DataFrame, terms: Seq[String], idCol: String = "doc_id"): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      "terms must be plain lowercase words (SQL-literal safe)")
+    val toksed = docs.withColumn("toks", expr(tokensExpr))
+    val statAggs =
+      count(lit(1)).cast("double").as("n_docs") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(array_contains(col("toks"), t), 1L).otherwise(0L))
+            .cast("double").as(s"df_$i")
+        }
+    val stats = toksed.agg(statAggs.head, statAggs.tail: _*)
+    val withTf = terms.zipWithIndex.foldLeft(toksed.crossJoin(broadcast(stats))) {
+      case (df, (t, i)) =>
+        df.withColumn(s"tf_$i", expr(s"CAST(size(filter(toks, x -> x = '$t')) AS DOUBLE)"))
+    }
+    val score = terms.indices
+      .map(i => s"(tf_$i * ln((n_docs + 1.0) / (df_$i + 1.0)))").mkString(" + ")
+    withTf.selectExpr(
+      idCol +: "size(toks) AS n_tokens" +:
+        terms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i") :+
+        s"round($score, 6) AS tfidf": _*)
+  }
+
+  /** Bigram-LM surprisal: `surprisalScore`'s second-order form — the corpus
+    * trains an add-one-smoothed bigram model P(w2|w1) = (c12+1)/(c1+V), and
+    * each document is scored by its mean bigram surprisal -ln P. The
+    * KenLM-style perplexity filter a pretraining pipeline runs, without an
+    * external model. Same determinism recipe as `surprisalScore`: the one
+    * transcendental is evaluated per DISTINCT bigram and the per-doc mean
+    * sums 2^30-fixed-point longs, so partitioning cannot flip bits.
+    *
+    * Shape: bigram occurrences (~tokens) are aggregated once (c12), rolled
+    * up once (c1 — the count of bigrams starting with w1), and joined back
+    * on the bigram key; the vocab size V is one broadcast row. Documents
+    * with fewer than two tokens have no bigrams and are omitted (both
+    * engines agree). */
+  def bigramSurprisal(docs: DataFrame): DataFrame = {
+    val toksed = docs.select(col("doc_id"), expr(tokensExpr).as("toks"))
+    val occ = toksed.select(col("doc_id"), explode(expr(
+        """IF(size(toks) < 2, array(),
+             transform(sequence(1, size(toks) - 1),
+               i -> struct(toks[i-1] AS w1, toks[i] AS w2)))""")).as("bg"))
+      .select(col("doc_id"), col("bg.w1").as("w1"), col("bg.w2").as("w2"))
+    val c12 = occ.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
+    val vocab = toksed.select(explode(col("toks")).as("t"))
+      .agg(countDistinct("t").as("v"))
+    val fx = c12.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+      .withColumn("sfx", expr(
+        """CAST(floor(-ln((CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v))
+          | * 1073741824.0 + 0.5) AS BIGINT)""".stripMargin))
+      .select("w1", "w2", "sfx")
+    occ.join(fx, Seq("w1", "w2"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_bigrams"), sum("sfx").as("s"))
+      .withColumn("bigram_surprisal",
+        expr("(CAST(s AS DOUBLE) / n_bigrams) / 1073741824.0"))
+      .select("doc_id", "n_bigrams", "bigram_surprisal")
+  }
+
+  /** c-TF-IDF topic terms: the top-k most characteristic tokens per class
+    * (BERTopic's cluster-labelling step — run it on `lang`, a source tag, or
+    * a detKMeans cell id to name clusters). score = tf_class *
+    * ln((C+1)/(df_class+1) + 1) with C = total classes, df_class = classes
+    * containing the token; ties break token-ascending.
+    *
+    * Shape: one (class, token) aggregate (~distinct tokens per class), one
+    * token-keyed rollup for df_class, one broadcast class count, and the
+    * top-k ranks through GroupedTopK's bounded heaps — never a
+    * row_number window, so a million-cluster run holds k rows per class. */
+  def classTopTerms(docs: DataFrame, classCol: String = "lang", k: Int = 5): DataFrame = {
+    require(k >= 1)
+    val occ = docs.select(col(classCol).as("cls"), explode(expr(tokensExpr)).as("token"))
+    val tfc = occ.groupBy("cls", "token").agg(count(lit(1)).as("tf"))
+    val dfc = tfc.groupBy("token").agg(count(lit(1)).as("n_cls"))
+    val ncls = docs.agg(countDistinct(col(classCol)).as("total_cls"))
+    val scored = tfc.join(dfc, Seq("token")).crossJoin(broadcast(ncls))
+      .withColumn("score", expr(
+        """round(CAST(tf AS DOUBLE)
+          | * ln((CAST(total_cls AS DOUBLE) + 1.0) / (CAST(n_cls AS DOUBLE) + 1.0) + 1.0),
+          | 6)""".stripMargin))
+    graft.plans.GroupedTopK(
+        scored.select(col("cls"), col("token"), col("tf"), col("score")),
+        Seq(col("cls")), Seq(desc("score"), asc("token")), k)
+      .select(col("cls").as(classCol), col("token"), col("tf"), col("score"),
+        col("rank"))
+  }
+
   def boilerplateStats(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 1)
     val grams = docs.select(col("doc_id"),

