@@ -631,7 +631,23 @@ object SparkEntry {
     // extension: bigram-LM surprisal — second-order q82, add-one smoothing
     "q99_bigram_lm" -> ((s, dir) => TextAnalysis.bigramSurprisal(docs(s, dir))),
     // extension: c-TF-IDF topic terms per class, ranked via GroupedTopK
-    "q100_class_topics" -> ((s, dir) => TextAnalysis.classTopTerms(docs(s, dir))))
+    "q100_class_topics" -> ((s, dir) => TextAnalysis.classTopTerms(docs(s, dir))),
+    // extension: Z-order layout — deterministic zone-map audit of the
+    // Morton-bucketed lineitem (l_partkey, l_suppkey) space; the skipping
+    // statistics a planner consults for 2-D box predicates
+    "q101_zorder_zonemap" -> ((s, dir) =>
+      graft.operators.Layout.zZoneMap(
+        Tables.lineitem(s, dir).select("l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", bits = 16, bucketBits = 12)),
+    // extension: bloom-filter decontamination — corpus minus eval
+    // fingerprints with the 100 TB side never shuffling; exact anti-join
+    // semantics (the oracle IS the plain anti-join)
+    "q102_bloom_decon" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("fp", expr("substring(text, 1, 60)"))
+      Dedup.bloomAntiJoin(d.filter(col("doc_id") % 7 =!= 0),
+          d.filter(col("doc_id") % 7 === 0).select("fp"), "fp")
+        .select("doc_id", "source")
+    }))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -1871,6 +1887,24 @@ FROM o JOIN fx USING (w1, w2) GROUP BY o.doc_id""",
       CAST(row_number() OVER (PARTITION BY cls ORDER BY score DESC, token ASC) AS INTEGER) AS "rank"
     FROM scored)
 SELECT cls AS lang, token, tf, score, "rank" FROM r WHERE "rank" <= 5""",
+    "q101_zorder_zonemap" -> {
+      val terms = (0 until 16).flatMap(i => Seq(
+        s"((l_partkey >> $i) & 1) * ${1L << (2 * i)}",
+        s"((l_suppkey >> $i) & 1) * ${1L << (2 * i + 1)}"))
+      s"""WITH z AS (SELECT l_partkey, l_suppkey,
+    ${terms.mkString("(", " + ", ")")} AS zval FROM lineitem)
+SELECT zval // 4096 AS bucket, count(*) AS n_rows,
+  min(l_partkey) AS min_l_partkey, max(l_partkey) AS max_l_partkey,
+  min(l_suppkey) AS min_l_suppkey, max(l_suppkey) AS max_l_suppkey
+FROM z GROUP BY 1"""
+    },
+    // The bloom pre-filter is exact-verified Spark-side machinery; the
+    // declarative contract is the plain anti-join
+    "q102_bloom_decon" ->
+      """SELECT doc_id, source FROM documents
+WHERE doc_id % 7 <> 0
+  AND substr(text, 1, 60) NOT IN
+      (SELECT substr(text, 1, 60) FROM documents WHERE doc_id % 7 = 0)""",
     // Per-stratum quality quantile: q54's quality formula + a per-source
     // rank window; keep rank <= floor(n * 0.4 + 0.5)
     "q83_quality_quantile" ->

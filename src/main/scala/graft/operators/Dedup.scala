@@ -411,6 +411,46 @@ object Dedup {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** Bloom-filter anti-join: corpus rows whose `keyCol` does NOT appear in
+    * `exclude` — the decontamination / already-ingested-skip membership
+    * check, done so the 100 TB side never shuffles. A Bloom filter built
+    * from the exclude side (one aggregate into a 2^mBits-bit array held as
+    * a word-index->bits map, ~mBits/8 bytes) broadcasts to every corpus
+    * partition; rows failing any of the k probes are DEFINITE non-members
+    * (Bloom filters have no false negatives) and pass through map-only.
+    * Only the maybe-hits — |exclude| x fp-rate of the corpus — reach the
+    * exact anti-join that removes false positives, so the result is
+    * EXACTLY the plain anti-join (which is what the oracle declares), at a
+    * fraction of its shuffle.
+    *
+    * Spark's AQE injects a similar runtime bloom under a shuffle join on
+    * its own; the explicit operator exists because the filter is REUSABLE
+    * (build once per eval set / ingest ledger, apply to every batch) and
+    * its result feeds non-join consumers. Hash family: xxhash64(key, i)
+    * for probe i — same literal on build and probe side by construction. */
+  def bloomAntiJoin(corpus: DataFrame, exclude: DataFrame, keyCol: String,
+                    mBits: Int = 1 << 20, k: Int = 3): DataFrame = {
+    require(mBits >= 64 && Integer.bitCount(mBits) == 1, "mBits must be a power of two >= 64")
+    require(k >= 1 && k <= 16)
+    val posSql = (1 to k).map(i => s"pmod(xxhash64($keyCol, $i), $mBits)")
+    val bloomRow = exclude
+      .select(explode(array(posSql.map(expr): _*)).as("pos"))
+      .select(expr("pos DIV 64").as("w"),
+        expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").as("m"))
+      .groupBy("w").agg(expr("bit_or(m)").as("bm"))
+      .agg(map_from_entries(collect_list(struct(col("w"), col("bm")))).as("bloom"))
+    val probe = posSql.map { p =>
+      s"(coalesce(try_element_at(bloom, $p DIV 64), 0L)" +
+        s" & shiftleft(CAST(1 AS BIGINT), CAST($p % 64 AS INT))) <> 0"
+    }.mkString(" AND ")
+    val tagged = corpus.crossJoin(broadcast(bloomRow))
+      .withColumn("__maybe", expr(probe))
+    val definite = tagged.filter(!col("__maybe")).drop("__maybe", "bloom")
+    val verified = tagged.filter(col("__maybe")).drop("__maybe", "bloom")
+      .join(exclude.select(col(keyCol)).distinct(), Seq(keyCol), "left_anti")
+    definite.unionByName(verified)
+  }
+
   /** Edit-distance near-duplicate pairs: documents of similar length whose
     * opening `prefixLen` chars are within `maxDist` Levenshtein edits — the
     * fuzzy-key dedup (typo'd titles, re-OCR'd openings) that shingle/hash

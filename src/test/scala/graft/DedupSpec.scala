@@ -297,6 +297,21 @@ class DedupSpec extends AnyFunSuite {
     assert(want.nonEmpty) // fixture plants near-dup prefixes
   }
 
+  test("bloomAntiJoin: exactly the plain anti-join, tiny filter to force false positives") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .withColumn("fp", expr("substring(text, 1, 60)"))
+    val corpus = docs.filter($"doc_id" % 7 =!= 0)
+    val eval_ = docs.filter($"doc_id" % 7 === 0).select("fp")
+    // mBits=1024 over ~70 keys -> real false-positive traffic through the
+    // verify join; result must STILL equal the exact anti-join
+    val got = Dedup.bloomAntiJoin(corpus, eval_, "fp", mBits = 1024, k = 3)
+      .select("doc_id").as[Long].collect().toSet
+    val want = corpus.join(eval_.distinct(), Seq("fp"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    assert(want.size < corpus.count()) // fixture has real removals
+  }
+
   test("levenshteinPairs: identical short docs pair at distance 0; unrelated lengths blocked") {
     val crafted = Seq(
       (1L, "the same exact text"), (2L, "the same exact text"),

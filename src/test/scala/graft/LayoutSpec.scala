@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Layout
+
+class LayoutSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  private def morton(a: Long, b: Long, bits: Int): Long =
+    (0 until bits).foldLeft(0L) { (acc, i) =>
+      acc | (((a >> i) & 1L) << (2 * i)) | (((b >> i) & 1L) << (2 * i + 1))
+    }
+
+  test("zValue: matches a driver-side Morton encode and round-trips to (a, b)") {
+    val rows = Seq((0L, 0L), (1L, 0L), (0L, 1L), (65535L, 65535L),
+      (12345L, 54321L), (40000L, 7L)).toDF("a", "b")
+    val got = Layout.withZValue(rows, "a", "b", 16)
+      .as[(Long, Long, Long)].collect()
+    got.foreach { case (a, b, z) =>
+      assert(z == morton(a, b, 16), s"($a, $b)")
+      // decode: even bits -> a, odd bits -> b
+      val da = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val db = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert(da == a && db == b)
+    }
+  }
+
+  test("clusterByZ: content-preserving relayout; partitions are z-contiguous") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_partkey", "l_suppkey")
+    val laid = Layout.clusterByZ(li, "l_partkey", "l_suppkey", 4)
+    assert(laid.count() == li.count())
+    // per-partition z ranges must not overlap (range partition + local sort)
+    val ranges = laid.select(col("zval"), spark_partition_id().as("p"))
+      .groupBy("p").agg(min("zval").as("lo"), max("zval").as("hi"))
+      .as[(Int, Long, Long)].collect().sortBy(_._2)
+    ranges.sliding(2).foreach {
+      case Array((_, _, hi1), (_, lo2, _)) => assert(hi1 <= lo2)
+      case _ =>
+    }
+  }
+
+  test("zZoneMap: envelopes cover all rows; box predicate skips most buckets") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_partkey", "l_suppkey")
+    val zones = Layout.zZoneMap(li, "l_partkey", "l_suppkey", 16, 12)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(zones.map(_._2).sum == li.count())
+    zones.foreach { case (_, _, mnA, mxA, mnB, mxB) =>
+      assert(mnA <= mxA && mnB <= mxB)
+    }
+    // the point of z-order: a small 2-D box overlaps few bucket envelopes
+    val (a0, a1, b0, b1) = (10L, 30L, 2L, 5L)
+    val touched = zones.count { case (_, _, mnA, mxA, mnB, mxB) =>
+      mxA >= a0 && mnA <= a1 && mxB >= b0 && mnB <= b1
+    }
+    assert(touched < zones.length / 2,
+      s"box touched $touched of ${zones.length} buckets — no skipping win")
+  }
+}
