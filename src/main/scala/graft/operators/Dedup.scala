@@ -370,8 +370,12 @@ object Dedup {
       explode(graft.GraftFunctions.word_shingles(col("text"), n)).as("span"))
     val ok = sh.groupBy("span").agg(count(lit(1)).as("df"))
       .filter(col("df") <= dfCap).select("span")
-    val kept = sh.join(ok, Seq("span"))
-    kept.as("a").join(kept.as("b"),
+    // SHUFFLE_HASH on both joins: the keys are span-valued with per-key
+    // population bounded (<= dfCap after the filter), so the hash builds
+    // are bounded and the corpus-wide sorts an SMJ would pay buy nothing
+    // (the semanticDedup argument; PlanAudit pins no-SMJ)
+    val kept = sh.join(ok.hint("SHUFFLE_HASH"), Seq("span"))
+    kept.as("a").join(kept.hint("SHUFFLE_HASH").as("b"),
         col("a.span") === col("b.span") && col("a.doc_id") < col("b.doc_id"))
       .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
       .agg(count(lit(1)).as("n_shared_spans"))
