@@ -647,7 +647,38 @@ object SparkEntry {
       Dedup.bloomAntiJoin(d.filter(col("doc_id") % 7 =!= 0),
           d.filter(col("doc_id") % 7 === 0).select("fp"), "fp")
         .select("doc_id", "source")
-    }))
+    }),
+    // extension: deterministic weighted sampling without replacement
+    // (Efraimidis-Spirakis keys from hash uniforms, per-source top-5)
+    "q103_weighted_sample" -> ((s, dir) =>
+      graft.operators.Sampling.weightedSample(docs(s, dir), "n_chars", 5)),
+    // extension: fixed-point PageRank over the part-supplier bipartite
+    // graph — integer-exact iterations, fully hash-checkable
+    "q104_pagerank" -> ((s, dir) => {
+      val e = Tables.lineitem(s, dir).select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      graft.operators.Graph.pageRank(e, 3)
+    }),
+    // extension: declarative data-quality audit — one row per rule
+    "q105_dq_audit" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir); val o = Tables.orders(s, dir)
+      graft.operators.TableStats.dqAudit(Seq(
+        "lineitem_orphan_orderkey" ->
+          graft.operators.TableStats.orphans(li, "l_orderkey", o, "o_orderkey"),
+        "orders_orphan_custkey" ->
+          graft.operators.TableStats.orphans(o, "o_custkey",
+            Tables.customer(s, dir), "c_custkey"),
+        "lineitem_nonpositive_qty" -> li.filter(col("l_quantity") <= 0),
+        "lineitem_discount_range" ->
+          li.filter(col("l_discount") < 0 || col("l_discount") > 1),
+        "part_duplicate_pk" ->
+          graft.operators.TableStats.duplicateKeys(Tables.part(s, dir), "p_partkey"),
+        "orders_null_custkey" -> o.filter(col("o_custkey").isNull)))
+    }),
+    // extension: daily active/new/cumulative users dashboard rollup
+    "q106_daily_active" -> ((s, dir) =>
+      graft.operators.EventAnalytics.dailyActiveUsers(Tables.events(s, dir))))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -1905,6 +1936,62 @@ FROM z GROUP BY 1"""
 WHERE doc_id % 7 <> 0
   AND substr(text, 1, 60) NOT IN
       (SELECT substr(text, 1, 60) FROM documents WHERE doc_id % 7 = 0)""",
+    // A-ES keys: u from the first 3 bytes of sha256('ws:' || doc_id),
+    // identical double expression on both sides; ranks mirror GroupedTopK
+    "q103_weighted_sample" -> {
+      val h = "sha256('ws:' || CAST(doc_id AS VARCHAR))"
+      val v = s"((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) * 256 + ${dkByte(h, "2")})"
+      s"""WITH b AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS w,
+    (CAST($v AS BIGINT) + 0.5) / 16777216.0 AS u
+  FROM documents WHERE n_chars > 0),
+  s AS (SELECT source, doc_id, -ln(u) / w AS es_key FROM b),
+  r AS (SELECT source, doc_id, es_key,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY es_key ASC, doc_id ASC) AS INTEGER) AS "rank"
+  FROM s)
+SELECT source, doc_id, round(es_key, 6) AS es_key, "rank" FROM r WHERE "rank" <= 5"""
+    },
+    // PageRank unrolled 3 iterations, pure integer ops (// is floor-div on
+    // the positive fixed-point values, matching Spark's DIV)
+    "q104_pagerank" -> {
+      val S = "CAST(1073741824 AS BIGINT)"
+      def iter(i: Int, prev: String) =
+        s"""c$i AS (SELECT u.dst AS node, r.r // r.deg AS c FROM und u JOIN $prev r ON u.src = r.node),
+  s$i AS (SELECT node, sum(c) AS sc FROM c$i GROUP BY 1),
+  r$i AS (SELECT d.node, d.deg,
+      (15 * $S) // 100 + (85 * COALESCE(s.sc, 0)) // 100 AS r
+    FROM deg d LEFT JOIN s$i s ON d.node = s.node)"""
+      s"""WITH e0 AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+      's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+  und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+  deg AS (SELECT src AS node, count(*) AS deg FROM und GROUP BY 1),
+  r0 AS (SELECT node, deg, $S AS r FROM deg),
+  ${iter(1, "r0")},
+  ${iter(2, "r1")},
+  ${iter(3, "r2")}
+SELECT node, deg, CAST(r AS BIGINT) AS rank_fx FROM r3"""
+    },
+    "q105_dq_audit" ->
+      """SELECT 'lineitem_orphan_orderkey' AS rule, count(*) AS n_violations
+  FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders)
+UNION ALL SELECT 'orders_orphan_custkey', count(*)
+  FROM orders WHERE o_custkey NOT IN (SELECT c_custkey FROM customer)
+UNION ALL SELECT 'lineitem_nonpositive_qty', count(*)
+  FROM lineitem WHERE l_quantity <= 0
+UNION ALL SELECT 'lineitem_discount_range', count(*)
+  FROM lineitem WHERE l_discount < 0 OR l_discount > 1
+UNION ALL SELECT 'part_duplicate_pk', count(*)
+  FROM (SELECT p_partkey FROM part GROUP BY 1 HAVING count(*) > 1)
+UNION ALL SELECT 'orders_null_custkey', count(*)
+  FROM orders WHERE o_custkey IS NULL""",
+    "q106_daily_active" ->
+      """WITH e AS (SELECT user_id,
+      CAST(date_diff('day', DATE '2024-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS d
+    FROM events),
+  daily AS (SELECT d, count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM e GROUP BY 1),
+  nu AS (SELECT d, count(*) AS n_new FROM (SELECT user_id, min(d) AS d FROM e GROUP BY 1) GROUP BY 1)
+SELECT daily.d AS day_idx, n_events, n_users, COALESCE(n_new, 0) AS n_new_users,
+  sum(COALESCE(n_new, 0)) OVER (ORDER BY daily.d ROWS UNBOUNDED PRECEDING) AS cum_users
+FROM daily LEFT JOIN nu ON daily.d = nu.d""",
     // Per-stratum quality quantile: q54's quality formula + a per-source
     // rank window; keep rank <= floor(n * 0.4 + 0.5)
     "q83_quality_quantile" ->

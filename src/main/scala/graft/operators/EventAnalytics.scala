@@ -124,6 +124,32 @@ object EventAnalytics {
       .select(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
   }
 
+  /** Daily activity rollup: per calendar day, the event count, distinct
+    * active users, users first seen that day, and the running total of
+    * users acquired — the product-analytics daily dashboard in one query.
+    *
+    * Two user/day-keyed aggregates and one left join; the only window runs
+    * over the PER-DAY rollup, whose cardinality is calendar-bounded (36.5k
+    * rows per century regardless of event volume), so the single-partition
+    * cumulative sum is a constant-size tail, not a scale risk (the
+    * `Sampling.selectByTokenBudget` bounded-window argument; partitionBy
+    * (lit) keeps WindowExec off its warning path). */
+  def dailyActiveUsers(events: DataFrame, anchor: String = "2024-01-01"): DataFrame = {
+    val e = events.select(col("user_id"),
+      expr(s"CAST(datediff(CAST(ts AS DATE), DATE '$anchor') AS BIGINT)").as("d"))
+    val daily = e.groupBy("d")
+      .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
+    val nu = e.groupBy("user_id").agg(min("d").as("d"))
+      .groupBy("d").agg(count(lit(1)).as("n_new"))
+    val w = Window.partitionBy(lit(1)).orderBy("d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    daily.join(nu, Seq("d"), "left")
+      .withColumn("n_new_users", coalesce(col("n_new"), lit(0L)))
+      .withColumn("cum_users", sum("n_new_users").over(w))
+      .select(col("d").as("day_idx"), col("n_events"), col("n_users"),
+        col("n_new_users"), col("cum_users"))
+  }
+
   /** Per-group z-score outliers: events whose value sits more than
     * `threshold` population standard deviations from their event_type's
     * mean. Moments are exact integer sums of 2^10-fixed-point values (value

@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph operators over edge DataFrames. The duplicate-cluster machinery
+  * (connected components via min-label propagation) lives in `Dedup`; this
+  * file holds the ranking side.
+  *
+  * Determinism: PageRank is usually float-iterative and therefore
+  * association-order-dependent; this implementation is PURE INTEGER — ranks
+  * are 2^30-fixed-point longs, per-edge contributions use integer division,
+  * and the damping mix is (15*S) DIV 100 + (85*sum) DIV 100 — so every
+  * iteration is exactly reproducible on any engine or partitioning and the
+  * whole trajectory is SQL-oracle-checkable (the detKMeans argument applied
+  * to graph ranking). The truncation the integer ops introduce is < 1 ulp
+  * of the fixed-point grid per term — irrelevant to ranking, essential to
+  * reproducibility.
+  */
+object Graph {
+
+  val Scale: Long = 1L << 30
+
+  /** Undirected fixed-point PageRank: symmetrize + dedupe the edge list,
+    * then `iters` rounds of r' = 0.15 + 0.85 * sum(r_neighbor / deg).
+    * Returns (node, deg, rank_fx) with rank_fx in 2^30 fixed point.
+    *
+    * Shape per iteration: one node-keyed join (rank onto edges), one
+    * node-keyed aggregate — both shuffle on the same key, so a real
+    * cluster re-uses the exchange; degrees are computed once. Long
+    * arithmetic holds to ~2^26 nodes at this scale (85 * n * 2^30 < 2^63);
+    * larger graphs drop Scale, not correctness. */
+  def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 20)
+    val und = edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+    var r = deg.select(col("node"), col("deg"), lit(Scale).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = und
+        .join(r.select(col("node").as("src"), col("deg"), col("r")), Seq("src"))
+        .select(col("dst").as("node"), expr("r DIV deg").as("c"))
+      val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
+      r = deg.join(sums, Seq("node"), "left")
+        .select(col("node"), col("deg"),
+          expr(s"(15 * ${Scale}L) DIV 100 + (85 * coalesce(sc, 0L)) DIV 100").as("r"))
+    }
+    r.select(col("node"), col("deg"), col("r").as("rank_fx"))
+  }
+}

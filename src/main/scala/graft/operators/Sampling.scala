@@ -195,4 +195,33 @@ object Sampling {
         coalesce(sum(col("n_tokens")).over(w) - col("n_tokens"), lit(0L)))
       .withColumn("bin", floor(col("start_offset") / budget))
   }
+
+  /** Deterministic weighted sampling without replacement (Efraimidis-
+    * Spirakis A-ES): each row gets key -ln(u)/w with u a hash-derived
+    * uniform in (0,1) — keeping the n SMALLEST keys per stratum is an exact
+    * weighted sample without replacement, with zero RNG state: the same row
+    * draws the same u on any engine, run, or cluster size (the split-by-hash
+    * stability argument, extended to weighted selection). u uses 24 hash
+    * bits offset by half an ulp-of-grid so it is never 0 (ln is finite) and
+    * both engines compute the identical double.
+    *
+    * Selection ranks through GroupedTopK's bounded heaps — per-stratum
+    * top-n over a corpus-sized input with (partitions x strata x n) shuffle
+    * volume, never a window sort. */
+  def weightedSample(docs: DataFrame, weightExpr: String, n: Int,
+                     stratumCol: String = "source",
+                     keyExpr: String = "CAST(doc_id AS STRING)"): DataFrame = {
+    require(n >= 1)
+    val u = s"(cast(conv(substr(sha2(concat('ws:', $keyExpr), 256), 1, 6), 16, 10) AS bigint)" +
+      " + 0.5) / 16777216.0"
+    val scored = docs
+      .withColumn("w", expr(s"CAST($weightExpr AS DOUBLE)"))
+      .filter(col("w") > 0) // zero/negative weight = never sampled
+      .withColumn("es_key", expr(s"-ln($u) / w"))
+    graft.plans.GroupedTopK(
+        scored.select(col(stratumCol), col("doc_id"), col("es_key")),
+        Seq(col(stratumCol)), Seq(asc("es_key"), asc("doc_id")), n)
+      .select(col(stratumCol), col("doc_id"),
+        round(col("es_key"), 6).as("es_key"), col("rank"))
+  }
 }

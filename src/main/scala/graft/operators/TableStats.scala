@@ -38,4 +38,34 @@ object TableStats {
     base.join(distincts, Seq("column"))
       .select("column", "n_nulls", "n_distinct", "min_value", "max_value")
   }
+
+  // ------------------------------------------------------ data-quality audit
+
+  /** Rows of `child` whose `childKey` has no match in `parent.parentKey` —
+    * the referential-integrity violation set. Anti-join against the
+    * distinct key list: the build side is bounded by parent-key
+    * cardinality, so Spark broadcasts it long before size forces a
+    * shuffle. */
+  def orphans(child: DataFrame, childKey: String,
+              parent: DataFrame, parentKey: String): DataFrame =
+    child.join(parent.select(col(parentKey).as(childKey)).distinct(),
+      Seq(childKey), "left_anti")
+
+  /** Key values appearing more than once — primary-key violations. */
+  def duplicateKeys(df: DataFrame, key: String): DataFrame =
+    df.groupBy(key).agg(count(lit(1)).as("n")).filter(col("n") > 1)
+
+  /** Declarative data-quality audit (the dbt-test / expectations shape):
+    * each named rule contributes its violation count as one output row, so
+    * the audit of a whole warehouse is a single union of tiny aggregates —
+    * each rule plans independently (anti-joins broadcast, predicates push
+    * into scans) and the result is a fixed-size report regardless of data
+    * volume. Zero counts are emitted (a clean audit must SAY it checked). */
+  def dqAudit(rules: Seq[(String, DataFrame)]): DataFrame = {
+    require(rules.nonEmpty, "audit at least one rule")
+    rules.map { case (name, violations) =>
+      violations.agg(count(lit(1)).as("n_violations"))
+        .select(lit(name).as("rule"), col("n_violations"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -80,6 +80,17 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(z.toSeq == Seq((13L, "spiky"))) // flat: variance 0 -> NaN filtered
   }
 
+  test("dailyActiveUsers: new/active/cumulative counts on a crafted timeline") {
+    val e = ev(
+      (1, 0, 1, "view", 0), (2, 5, 2, "view", 0),            // day 0: users 1,2 new
+      (3, 60 * 24, 1, "view", 0), (4, 60 * 24 + 1, 1, "click", 0), // day 1: user 1 only
+      (5, 60 * 24 * 2, 3, "view", 0))                         // day 2: user 3 new
+    val r = EventAnalytics.dailyActiveUsers(e)
+      .as[(Long, Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(r.toSeq == Seq(
+      (0L, 2L, 2L, 2L, 2L), (1L, 2L, 1L, 0L, 2L), (2L, 1L, 1L, 1L, 3L)))
+  }
+
   test("zscoreOutliers parity with the full fixture at sf0.001") {
     // cross-check the distributed moments against a driver-side computation
     val events = Tables.events(spark, TestSpark.sf0001)

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Graph
+
+class GraphSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  test("pageRank: star center outranks leaves; leaves tie exactly") {
+    val edges = Seq(("hub", "a"), ("hub", "b"), ("hub", "c"), ("hub", "d"))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(edges, 3)
+      .select($"node", $"deg", $"rank_fx").as[(String, Long, Long)].collect()
+      .map(x => x._1 -> (x._2, x._3)).toMap
+    assert(r("hub")._1 == 4L && r("a")._1 == 1L)
+    assert(r("hub")._2 > r("a")._2)
+    assert(Set("a", "b", "c", "d").map(r(_)._2).size == 1) // exact tie
+  }
+
+  test("pageRank: bit-identical across partitionings and symmetric edge input") {
+    val e = Tables.lineitem(spark, TestSpark.sf0001).select(
+      concat(lit("p"), $"l_partkey").as("src"),
+      concat(lit("s"), $"l_suppkey").as("dst")).distinct()
+    val a = Graph.pageRank(e, 3).as[(String, Long, Long)].collect().sorted.toSeq
+    val b = Graph.pageRank(e.repartition(13), 3)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    // reversed edges describe the same undirected graph
+    val c = Graph.pageRank(e.select($"dst".as("src"), $"src".as("dst")), 3)
+      .as[(String, Long, Long)].collect().sorted.toSeq
+    assert(a == b && a == c)
+    assert(a.nonEmpty)
+    // damping floor: no node can fall below 0.15 (minus integer truncation)
+    assert(a.forall(_._3 >= (15L * Graph.Scale) / 100 - 1))
+  }
+}

@@ -129,4 +129,28 @@ class SamplingSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("weightedSample: matches a driver-side A-ES computation; stable across runs") {
+    val n = 5
+    val got = Sampling.weightedSample(docs, "n_chars", n)
+      .select($"source", $"doc_id", $"rank").as[(String, Long, Int)].collect().toSet
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    val local = docs.select($"source", $"doc_id", $"n_chars")
+      .as[(String, Long, Long)].collect()
+      .filter(_._3 > 0)
+      .map { case (src, id, w) =>
+        val h = sha.digest(s"ws:$id".getBytes("UTF-8"))
+        val v = ((h(0) & 0xffL) * 256 + (h(1) & 0xffL)) * 256 + (h(2) & 0xffL)
+        val u = (v + 0.5) / 16777216.0
+        (src, id, -math.log(u) / w.toDouble)
+      }
+    val want = local.groupBy(_._1).flatMap { case (src, rows) =>
+      rows.sortBy(r => (r._3, r._2)).take(n).zipWithIndex
+        .map { case ((_, id, _), i) => (src, id, i + 1) }.toSeq
+    }.toSet
+    assert(got == want)
+    val again = Sampling.weightedSample(docs, "n_chars", n)
+      .select($"source", $"doc_id", $"rank").as[(String, Long, Int)].collect().toSet
+    assert(again == got)
+  }
 }

@@ -32,4 +32,18 @@ class TableStatsSpec extends AnyFunSuite {
     assert(scans == 3, s"expected base + 2 distinct scans, got $scans")
     assert(prof.count() == 2)
   }
+
+  test("dqAudit: crafted violations counted per rule; clean rules report zero") {
+    val parent = Seq((1L, "x"), (2L, "y")).toDF("id", "v")
+    val child = Seq((10L, 1L), (11L, 1L), (12L, 3L), (13L, 99L))
+      .toDF("cid", "parent_id") // 3 and 99 are orphans
+    val dups = Seq((1L, "a"), (1L, "b"), (2L, "c")).toDF("k", "v")
+    val report = TableStats.dqAudit(Seq(
+      "child_orphans" -> TableStats.orphans(child, "parent_id", parent, "id"),
+      "dup_keys" -> TableStats.duplicateKeys(dups, "k"),
+      "clean_rule" -> parent.filter($"id" < 0)))
+      .as[(String, Long)].collect().toMap
+    assert(report == Map(
+      "child_orphans" -> 2L, "dup_keys" -> 1L, "clean_rule" -> 0L))
+  }
 }
