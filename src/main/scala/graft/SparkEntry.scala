@@ -1860,8 +1860,8 @@ SELECT event_id, event_type, z FROM z WHERE abs(z) > 2.0""",
       """WITH d AS (SELECT doc_id, length(text) AS len, substr(text, 1, 60) AS pfx FROM documents)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS lev
-FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 20
-WHERE levenshtein(a.pfx, b.pfx) <= 20""",
+FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5
+WHERE levenshtein(a.pfx, b.pfx) <= 5""",
     "q98_tfidf" -> {
       val terms = Seq("transfer", "credit", "university")
       val dfCols = terms.zipWithIndex.map { case (t, i) =>

@@ -473,19 +473,38 @@ object Dedup {
     * Scale: shuffle is band-keyed; band population is corpus/|length range|
     * per width-maxDist slice — skew from a popular length band is AQE's
     * skew-join case, and the per-pair cost is capped by prefixLen*maxDist. */
-  def levenshteinPairs(docs: DataFrame, maxDist: Int = 20,
-                       prefixLen: Int = 60): DataFrame = {
-    require(maxDist >= 1 && prefixLen >= 1)
+  def levenshteinPairs(docs: DataFrame, maxDist: Int = 5,
+                       prefixLen: Int = 60, saltParts: Int = 16): DataFrame = {
+    require(maxDist >= 1 && prefixLen >= 1 && saltParts >= 1)
     val d = docs.select(col("doc_id"), length(col("text")).as("len"),
       expr(s"substring(text, 1, $prefixLen)").as("pfx"))
-    val keyed = d.select(col("doc_id"), col("len"), col("pfx"),
-      explode(expr(s"array(len DIV $maxDist, len DIV $maxDist + 1)")).as("band"))
-    keyed.as("a").join(keyed.as("b"),
-        col("a.band") === col("b.band") && col("a.doc_id") < col("b.doc_id"))
-      .filter(abs(col("a.len") - col("b.len")) <= maxDist)
-      .withColumn("lev", expr(s"levenshtein(a.pfx, b.pfx, $maxDist)"))
-      .filter(col("lev") >= 0) // threshold form returns -1 past maxDist
-      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"), col("lev"))
+    val bands = expr(s"array(len DIV $maxDist, len DIV $maxDist + 1)")
+    // Band cardinality is |length range| / maxDist — few enough keys that a
+    // bare band-keyed self-join serializes onto that many tasks while each
+    // does quadratic work. Salting restores parallelism losslessly: the
+    // LEFT row keeps one sub-block (doc_id mod saltParts), the RIGHT side
+    // replicates to all of them, so pair (a, b) with a.doc_id < b.doc_id
+    // meets exactly at (band, a.sub) and the key space grows by saltParts
+    // at a bounded (skinny-projection) duplication cost.
+    val left = d.select(col("doc_id"), col("len"), col("pfx"),
+      explode(bands).as("band"), pmod(col("doc_id"), lit(saltParts)).as("sub"))
+    val right = d.select(col("doc_id"), col("len"), col("pfx"),
+        explode(bands).as("band"))
+      .select(col("doc_id"), col("len"), col("pfx"), col("band"),
+        explode(expr(s"sequence(0, ${saltParts - 1})")).as("sub"))
+    // The DP predicate goes LAST in one inline conjunct chain: a separate
+    // .filter(lev >= 0) gets pushed into the join condition AHEAD of the
+    // cheap length/id checks (measured: every hash-matched candidate paid
+    // the full DP — 36 s at sf0.1; cheap-first ordering + the O(len*d)
+    // banded threshold DP cuts it to ~2 s). The tiny survivor set recomputes
+    // lev once more in the output projection — noise.
+    left.as("a").join(right.as("b"),
+        col("a.band") === col("b.band") && col("a.sub") === col("b.sub") &&
+          col("a.doc_id") < col("b.doc_id") &&
+          abs(col("a.len") - col("b.len")) <= maxDist &&
+          expr(s"levenshtein(a.pfx, b.pfx, $maxDist)") >= 0) // -1 past maxDist
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        expr(s"levenshtein(a.pfx, b.pfx, $maxDist)").as("lev"))
       .distinct()
   }
 }
