@@ -32,11 +32,14 @@ object Graph {
     * larger graphs drop Scale, not correctness. */
   def pageRank(edges: DataFrame, iters: Int = 3): DataFrame = {
     require(iters >= 1 && iters <= 20)
-    val und = edges.select(col("src"), col("dst"))
+    // memoized (MEMORY_ONLY, PlanCache lifecycle): every iteration's lineage
+    // references the symmetrized edge list and the degree table — without
+    // the persist, iteration i re-derives both i times from the raw input
+    val und = PlanCache.memo(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct()
-    val deg = und.groupBy("src").agg(count(lit(1)).as("deg"))
-      .select(col("src").as("node"), col("deg"))
+      .distinct())
+    val deg = PlanCache.memo(und.groupBy("src").agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg")))
     var r = deg.select(col("node"), col("deg"), lit(Scale).as("r"))
     for (_ <- 1 to iters) {
       val contrib = und
