@@ -678,7 +678,18 @@ object SparkEntry {
     }),
     // extension: daily active/new/cumulative users dashboard rollup
     "q106_daily_active" -> ((s, dir) =>
-      graft.operators.EventAnalytics.dailyActiveUsers(Tables.events(s, dir))))
+      graft.operators.EventAnalytics.dailyActiveUsers(Tables.events(s, dir))),
+    // extension: fixed-width histogram of event values
+    "q107_histogram" -> ((s, dir) =>
+      graft.operators.TableStats.histogram(Tables.events(s, dir), "value", 0.0, 25.0)),
+    // extension: Pearson correlation matrix from exact integer moments
+    // (order-invariant, unlike running-moment corr())
+    "q108_corr" -> ((s, dir) =>
+      graft.operators.TableStats.corrMatrix(Tables.lineitem(s, dir), Seq(
+        "qty" -> "CAST(round(l_quantity) AS BIGINT)",
+        "price" -> "CAST(round(l_extendedprice) AS BIGINT)",
+        "discount" -> "CAST(round(l_discount * 100) AS BIGINT)",
+        "tax" -> "CAST(round(l_tax * 100) AS BIGINT)"))))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -1992,6 +2003,32 @@ UNION ALL SELECT 'orders_null_custkey', count(*)
 SELECT daily.d AS day_idx, n_events, n_users, COALESCE(n_new, 0) AS n_new_users,
   sum(COALESCE(n_new, 0)) OVER (ORDER BY daily.d ROWS UNBOUNDED PRECEDING) AS cum_users
 FROM daily LEFT JOIN nu ON daily.d = nu.d""",
+    "q107_histogram" ->
+      """SELECT CAST(floor(((value) - 0.0) / 25.0) AS BIGINT) AS bin, count(*) AS n
+FROM events GROUP BY 1""",
+    "q108_corr" -> {
+      val vars = Seq(
+        "qty" -> "CAST(round(l_quantity) AS BIGINT)",
+        "price" -> "CAST(round(l_extendedprice) AS BIGINT)",
+        "discount" -> "CAST(round(l_discount * 100) AS BIGINT)",
+        "tax" -> "CAST(round(l_tax * 100) AS BIGINT)")
+      val k = vars.size
+      val cols = vars.zipWithIndex.map { case ((_, e), i) => s"$e AS v$i" }.mkString(", ")
+      val sums = vars.indices.map(i => s"sum(v$i) AS s$i").mkString(", ")
+      val prods = (for (i <- 0 until k; j <- i until k)
+        yield s"sum(v$i * v$j) AS p${i}_$j").mkString(", ")
+      val pairs = (for (i <- 0 until k; j <- (i + 1) until k) yield {
+        val d = s"(n * p${i}_$i - CAST(s$i AS DOUBLE) * s$i)" +
+          s" * (n * p${j}_$j - CAST(s$j AS DOUBLE) * s$j)"
+        s"""SELECT '${vars(i)._1}' AS var_a, '${vars(j)._1}' AS var_b,
+          CASE WHEN $d <= 0.0 THEN CAST(NULL AS DOUBLE)
+               ELSE round((n * p${i}_$j - CAST(s$i AS DOUBLE) * s$j) / sqrt($d), 6)
+          END AS r FROM m"""
+      }).mkString(" UNION ALL ")
+      s"""WITH v AS (SELECT $cols FROM lineitem),
+  m AS (SELECT CAST(count(*) AS DOUBLE) AS n, $sums, $prods FROM v)
+$pairs"""
+    },
     // Per-stratum quality quantile: q54's quality formula + a per-source
     // rank window; keep rank <= floor(n * 0.4 + 0.5)
     "q83_quality_quantile" ->

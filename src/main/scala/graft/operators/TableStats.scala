@@ -68,4 +68,50 @@ object TableStats {
         .select(lit(name).as("rule"), col("n_violations"))
     }.reduce(_ unionByName _)
   }
+
+  /** Fixed-width histogram of a numeric expression: bin = floor((x - lo) /
+    * width), one count per occupied bin (empty bins are absent — join a
+    * `sequence` spine if a dense axis is needed, the `gapFillDaily` move).
+    * One map-side-combined aggregate; bin arithmetic is a single double
+    * expression shared with the oracle, so bucketing is engine-exact. */
+  def histogram(df: DataFrame, valueExpr: String,
+                lo: Double, width: Double): DataFrame = {
+    require(width > 0)
+    df.select(expr(s"CAST(floor((($valueExpr) - $lo) / $width) AS BIGINT)").as("bin"))
+      .groupBy("bin").agg(count(lit(1)).as("n"))
+  }
+
+  /** Pairwise Pearson correlations from EXACT integer moments: every input
+    * is an integer-valued expression (cents/units — the caller picks scales
+    * that keep sum(x*y) inside a long), ONE aggregate computes n, all sums
+    * and all cross-products exactly, and each pair's r is one shared double
+    * formula over those integers — so the matrix is engine- and
+    * partitioning-exact, unlike `corr()` whose running-moment f64 updates
+    * depend on row order. Output long-form: (var_a, var_b, r).
+    *
+    * Shape: one scan, one single-row aggregate (map-side combined),
+    * O(k^2) columns for k variables — the warehouse correlation-audit
+    * shape, never a per-pair pass. */
+  def corrMatrix(df: DataFrame, vars: Seq[(String, String)]): DataFrame = {
+    require(vars.size >= 2, "need at least two variables")
+    val k = vars.size
+    val aggs =
+      (count(lit(1)).cast("double").as("n") +:
+        vars.zipWithIndex.map { case ((_, e), i) => sum(expr(e)).as(s"s$i") }) ++
+        (for (i <- 0 until k; j <- i until k) yield
+          sum(expr(s"(${vars(i)._2}) * (${vars(j)._2})")).as(s"p${i}_$j"))
+    val m = df.agg(aggs.head, aggs.tail: _*)
+    // constant variables have zero variance: r is undefined -> NULL (the
+    // guard also keeps ANSI mode from raising DIVIDE_BY_ZERO)
+    val pairRows = for (i <- 0 until k; j <- (i + 1) until k) yield {
+      val d = s"(n * p${i}_$i - CAST(s$i AS DOUBLE) * s$i)" +
+        s" * (n * p${j}_$j - CAST(s$j AS DOUBLE) * s$j)"
+      s"""'${vars(i)._1}', '${vars(j)._1}',
+         CASE WHEN $d <= 0.0 THEN CAST(NULL AS DOUBLE)
+              ELSE round((n * p${i}_$j - CAST(s$i AS DOUBLE) * s$j) / sqrt($d), 6)
+         END"""
+    }
+    m.selectExpr(
+      s"stack(${pairRows.size}, ${pairRows.mkString(", ")}) AS (var_a, var_b, r)")
+  }
 }

@@ -46,4 +46,29 @@ class TableStatsSpec extends AnyFunSuite {
     assert(report == Map(
       "child_orphans" -> 2L, "dup_keys" -> 1L, "clean_rule" -> 0L))
   }
+
+  test("histogram: bins partition the rows; matches a driver-side bucketing") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val got = TableStats.histogram(ev, "value", 0.0, 25.0)
+      .as[(Long, Long)].collect().toMap
+    val local = ev.select($"value").as[Double].collect()
+      .groupBy(v => math.floor((v - 0.0) / 25.0).toLong).view.mapValues(_.length.toLong)
+    assert(got == local.toMap)
+    assert(got.values.sum == ev.count())
+  }
+
+  test("corrMatrix: matches driver-side Pearson on exact moments; constant var is NULL") {
+    val df = Seq((1L, 2L, 5L), (2L, 4L, 5L), (3L, 7L, 5L), (4L, 8L, 5L))
+      .toDF("x", "y", "c")
+    val got = TableStats.corrMatrix(df, Seq("x" -> "x", "y" -> "y", "c" -> "c"))
+      .as[(String, String, Option[Double])].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got(("x", "c")).isEmpty && got(("y", "c")).isEmpty)
+    val xs = Seq(1.0, 2.0, 3.0, 4.0); val ys = Seq(2.0, 4.0, 7.0, 8.0)
+    val n = 4.0
+    val r = (n * xs.zip(ys).map { case (a, b) => a * b }.sum - xs.sum * ys.sum) /
+      math.sqrt((n * xs.map(a => a * a).sum - xs.sum * xs.sum) *
+        (n * ys.map(a => a * a).sum - ys.sum * ys.sum))
+    assert(math.abs(got(("x", "y")).get - r) < 1e-6)
+  }
 }
