@@ -689,7 +689,16 @@ object SparkEntry {
         "qty" -> "CAST(round(l_quantity) AS BIGINT)",
         "price" -> "CAST(round(l_extendedprice) AS BIGINT)",
         "discount" -> "CAST(round(l_discount * 100) AS BIGINT)",
-        "tax" -> "CAST(round(l_tax * 100) AS BIGINT)"))))
+        "tax" -> "CAST(round(l_tax * 100) AS BIGINT)"))),
+    // extension: inverted-index build — the postings table
+    "q109_postings" -> ((s, dir) => TextAnalysis.postings(docs(s, dir))),
+    // extension: BM25 over the inverted index — q48's formula with
+    // df-bounded per-query cost; returns exactly q48's rows with a hit
+    "q110_bm25_indexed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.bm25Indexed(TextAnalysis.postings(d),
+        TextAnalysis.docLengths(d), Seq("join", "hash", "customer"))
+    }))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -2028,6 +2037,25 @@ FROM events GROUP BY 1""",
       s"""WITH v AS (SELECT $cols FROM lineitem),
   m AS (SELECT CAST(count(*) AS DOUBLE) AS n, $sums, $prods FROM v)
 $pairs"""
+    },
+    "q109_postings" ->
+      s"""WITH $dkTok
+SELECT u.token, u.doc_id, count(*) AS tf
+FROM (SELECT doc_id, unnest(toks) AS token FROM tok) u GROUP BY 1, 2""",
+    // q48's full-scan oracle restricted to docs with a term hit — the
+    // indexed path must return exactly those rows
+    "q110_bm25_indexed" -> {
+      val terms = Seq("join", "hash", "customer")
+      val (dfCols, tfCols, score) = dkBm25Parts(terms)
+      s"""WITH $dkTok,
+  t AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+  stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM t),
+  tf AS (SELECT doc_id, dl, $tfCols FROM t)
+SELECT doc_id, dl AS n_tokens,
+  ${terms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i").mkString(", ")},
+  round($score, 6) AS bm25
+FROM tf CROSS JOIN stats
+WHERE ${terms.indices.map(i => s"tf_$i").mkString(" + ")} > 0"""
     },
     // Per-stratum quality quantile: q54's quality formula + a per-source
     // rank window; keep rank <= floor(n * 0.4 + 0.5)

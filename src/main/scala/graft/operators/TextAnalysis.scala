@@ -179,6 +179,54 @@ object TextAnalysis {
         s"round($score, 6) AS bm25": _*)
   }
 
+  /** Inverted-index build: the postings table (token, doc_id, tf) — the
+    * data structure that makes lexical retrieval corpus-scan-free. One
+    * explode + one (token, doc_id)-keyed count; persist it partitioned (or
+    * bucketed) BY TOKEN so a query's terms prune to their partitions. */
+  def postings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+      .groupBy("token", "doc_id").agg(count(lit(1)).as("tf"))
+
+  /** Per-document token lengths — the second (doc-keyed) index artifact
+    * BM25 needs; its single-row aggregate supplies (N, avgdl). */
+  def docLengths(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), expr(s"size($tokensExpr)").as("dl"))
+
+  /** BM25 over the inverted index: score the SAME formula as `bm25`, but
+    * per-query cost is bounded by the query terms' document frequencies —
+    * the postings scan prunes to |terms| tokens (a partition-pruned read
+    * when the postings are persisted by token), term dfs collapse to a
+    * |terms|-row broadcast, and only MATCHED docs join their lengths. The
+    * full-scan `bm25` is the oracle twin: this returns exactly its rows
+    * with at least one term hit. */
+  def bm25Indexed(postings: DataFrame, docLens: DataFrame, terms: Seq[String],
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      "terms must be plain lowercase words (SQL-literal safe)")
+    val stats = docLens.agg(
+      count(lit(1)).cast("double").as("n_docs"), avg(col("dl")).as("avgdl"))
+    val hits = postings.filter(col("token").isin(terms: _*))
+    val dfs = hits.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    // pivot the (few) term postings into one row per matched doc
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, col("tf")).otherwise(0L))
+        .cast("double").as(s"tf_$i")
+    }
+    val perDoc = hits.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val dfRow = dfs.groupBy().pivot("token", terms).agg(first("df")).na.fill(0.0)
+      .toDF(terms.indices.map(i => s"df_$i"): _*)
+    val score = terms.indices.map { i =>
+      s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
+          * (tf_$i * ${k1 + 1.0}) / (tf_$i + $k1 * (${1.0 - b} + $b * dl / avgdl)))"""
+    }.mkString(" + ")
+    perDoc.join(docLens, Seq("doc_id"))
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfRow))
+      .selectExpr(
+        "doc_id" +: "dl AS n_tokens" +:
+          terms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i") :+
+          s"round($score, 6) AS bm25": _*)
+  }
+
   /** Gopher-style repetition signals per document: the fraction of duplicate
     * lines and of duplicate word 2-/3-grams — the boilerplate/looping-text
     * filters a pretraining pipeline applies after exact dedup. Map-only

@@ -247,6 +247,18 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(3L)._3 > r(1L)._3) // novel bigram is more surprising
   }
 
+  test("bm25Indexed: equals full-scan bm25 on its hit rows; miss terms contribute zero df") {
+    val terms = Seq("join", "hash", "zzznoterm")
+    val p = TextAnalysis.postings(docs)
+    val dl = TextAnalysis.docLengths(docs)
+    val got = TextAnalysis.bm25Indexed(p, dl, terms)
+      .as[(Long, Int, Long, Long, Long, Double)].collect().toSet
+    val want = TextAnalysis.bm25(docs, terms)
+      .filter($"tf_0" + $"tf_1" + $"tf_2" > 0)
+      .as[(Long, Int, Long, Long, Long, Double)].collect().toSet
+    assert(got == want && want.nonEmpty)
+  }
+
   test("classTopTerms: class-exclusive token outranks shared token; k rows per class") {
     val crafted = Seq(
       (1L, "shared shared unique1", "c1"), (2L, "shared shared unique2", "c2")
