@@ -42,11 +42,16 @@ object Graph {
       .select(col("src").as("node"), col("deg")))
     var r = deg.select(col("node"), col("deg"), lit(Scale).as("r"))
     for (_ <- 1 to iters) {
+      // SHUFFLE_HASH, not sort-merge: both joins key on node; the build
+      // sides (rank vector, contribution sums) are nodes-sized — bounded by
+      // the vertex count, so hash builds beat edge-table-wide sorts (and
+      // the memoized inputs otherwise lose the stats AQE would need)
       val contrib = und
-        .join(r.select(col("node").as("src"), col("deg"), col("r")), Seq("src"))
+        .join(r.select(col("node").as("src"), col("deg"), col("r"))
+          .hint("SHUFFLE_HASH"), Seq("src"))
         .select(col("dst").as("node"), expr("r DIV deg").as("c"))
       val sums = contrib.groupBy("node").agg(sum("c").as("sc"))
-      r = deg.join(sums, Seq("node"), "left")
+      r = deg.join(sums.hint("SHUFFLE_HASH"), Seq("node"), "left")
         .select(col("node"), col("deg"),
           expr(s"(15 * ${Scale}L) DIV 100 + (85 * coalesce(sc, 0L)) DIV 100").as("r"))
     }
