@@ -698,7 +698,19 @@ object SparkEntry {
       val d = docs(s, dir)
       TextAnalysis.bm25Indexed(TextAnalysis.postings(d),
         TextAnalysis.docLengths(d), Seq("join", "hash", "customer"))
-    }))
+    }),
+    // extension: market-basket co-occurrence — top part pairs by shared
+    // orders; pair space per basket, never corpus-squared
+    "q111_copurchase" -> ((s, dir) =>
+      graft.operators.Graph.coOccurrence(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 20)),
+    // extension: explicit GROUPING SETS ((source), (lang), ()) — the
+    // irregular-sets form rollup/cube cannot express
+    "q112_grouping_sets" -> ((s, dir) =>
+      docs(s, dir)
+        .groupingSets(Seq(Seq(col("source")), Seq(col("lang")), Seq()),
+          col("source"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -2057,6 +2069,16 @@ SELECT doc_id, dl AS n_tokens,
 FROM tf CROSS JOIN stats
 WHERE ${terms.indices.map(i => s"tf_$i").mkString(" + ")} > 0"""
     },
+    "q111_copurchase" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+  p AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS n_groups
+        FROM i a JOIN i b ON a.g = b.g AND a.item < b.item
+        GROUP BY 1, 2)
+SELECT item_a, item_b, n_groups FROM p
+ORDER BY n_groups DESC, item_a, item_b LIMIT 20""",
+    "q112_grouping_sets" ->
+      """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+FROM documents GROUP BY GROUPING SETS ((source), (lang), ())""",
     // Per-stratum quality quantile: q54's quality formula + a per-source
     // rank window; keep rank <= floor(n * 0.4 + 0.5)
     "q83_quality_quantile" ->

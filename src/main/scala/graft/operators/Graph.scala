@@ -57,4 +57,23 @@ object Graph {
     }
     r.select(col("node"), col("deg"), col("r").as("rank_fx"))
   }
+
+  /** Market-basket co-occurrence: the top-k item pairs by the number of
+    * groups (orders, sessions, documents) containing both. The pair space
+    * is generated per GROUP — a group-keyed self-equi-join whose fan-out is
+    * basket-size-squared, never corpus-squared (the jaccardPairs df-cap
+    * argument: pathological mega-baskets should be capped upstream).
+    * Top-k via TakeOrderedAndProject on the pair counts; ties break on the
+    * pair ids so the cut is deterministic. */
+  def coOccurrence(df: DataFrame, groupCol: String, itemCol: String,
+                   topK: Int = 20): DataFrame = {
+    require(topK >= 1)
+    val items = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+    items.as("a").join(items.hint("SHUFFLE_HASH").as("b"),
+        col("a.g") === col("b.g") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      .agg(count(lit(1)).as("n_groups"))
+      .orderBy(desc("n_groups"), asc("item_a"), asc("item_b"))
+      .limit(topK)
+  }
 }

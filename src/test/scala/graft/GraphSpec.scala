@@ -35,4 +35,16 @@ class GraphSpec extends AnyFunSuite {
     // damping floor: no node can fall below 0.15 (minus integer truncation)
     assert(a.forall(_._3 >= (15L * Graph.Scale) / 100 - 1))
   }
+
+  test("coOccurrence: pair counts per basket; re-delivered items count once; top-k cut deterministic") {
+    val baskets = Seq(
+      (1L, 10L), (1L, 20L), (1L, 30L),
+      (2L, 10L), (2L, 20L), (2L, 20L), // duplicate item in basket
+      (3L, 10L), (3L, 20L),
+      (4L, 40L))
+      .toDF("g", "item")
+    val got = Graph.coOccurrence(baskets, "g", "item", 3)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 20L, 3L), (10L, 30L, 1L), (20L, 30L, 1L)))
+  }
 }
