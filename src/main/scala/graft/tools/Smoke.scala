@@ -117,6 +117,36 @@ object Smoke {
     println(s"== boilerplate docs (frac>=0.5): ${TextAnalysis.boilerplateStats(docsAll)
       .filter("boiler_frac >= 0.5").count()}")
 
+    // analytics tour: the event/warehouse surface added in round 5
+    val ea = graft.operators.EventAnalytics
+    val events = graft.Tables.events(spark, sfDir)
+    val funnelN = ea.funnel(events, Seq("view", "click", "purchase"))
+      .groupBy("step").count().orderBy("step").collect()
+      .map(r => s"step${r.getInt(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"== funnel: $funnelN")
+    println(s"== retention cells: ${ea.retentionCohorts(events).count()}; " +
+      s"daily-active days: ${ea.dailyActiveUsers(events).count()}")
+    val audit = graft.operators.TableStats.dqAudit(Seq(
+      "lineitem_orphan_orderkey" -> graft.operators.TableStats.orphans(
+        graft.Tables.lineitem(spark, sfDir), "l_orderkey",
+        graft.Tables.orders(spark, sfDir), "o_orderkey")))
+      .collect()(0)
+    println(s"== dq audit: ${audit.getString(0)} -> ${audit.getLong(1)} violations")
+    val pr = graft.operators.Graph.pageRank(
+      graft.Tables.lineitem(spark, sfDir).select(
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("p"),
+          org.apache.spark.sql.functions.col("l_partkey")).as("src"),
+        org.apache.spark.sql.functions.concat(
+          org.apache.spark.sql.functions.lit("s"),
+          org.apache.spark.sql.functions.col("l_suppkey")).as("dst")).distinct(), 3)
+      .orderBy(org.apache.spark.sql.functions.desc("rank_fx")).limit(3)
+      .collect().map(r => r.getString(0)).mkString(",")
+    println(s"== pagerank top-3 nodes: $pr")
+    println(s"== postings: ${TextAnalysis.postings(docsAll).count()} entries; " +
+      s"indexed bm25 hits: ${TextAnalysis.bm25Indexed(TextAnalysis.postings(docsAll),
+        TextAnalysis.docLengths(docsAll), Seq("join", "hash")).count()}")
+
     spark.stop()
   }
 }
