@@ -100,6 +100,46 @@ object Streams {
       .toDF("user_id", "n_events", "total_value")
   }
 
+  /** Ordered-step funnel lifted to streaming (§2.11 custom state): per-user
+    * state is the ascending list of completed-step timestamps (micros) —
+    * O(|steps|) per user, watermark-free. Each micro-batch folds its rows
+    * in event-time order (ties broken by step index, so a same-timestamp
+    * next step does NOT advance — the batch operator's strictly-after
+    * contract) and emits only the NEWLY completed (user, step, step_ts)
+    * rows, so the accumulated append-mode output equals
+    * `EventAnalytics.funnel` over the seen prefix whenever each user's
+    * events arrive in event-time order across batches (the in-order ingest
+    * contract; late cross-batch arrivals need the batch recompute, since
+    * k-bounded state cannot retract a completed step). */
+  def streamingFunnel(events: DataFrame, steps: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(steps.nonEmpty && steps.distinct.size == steps.size)
+    val spark = events.sparkSession
+    import spark.implicits._
+    val idx = steps.zipWithIndex.toMap
+    events.selectExpr("user_id", "event_type", "unix_micros(ts) AS ts_us")
+      .as[(Long, String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[List[Long], (Long, Int, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[List[Long]]) =>
+          var done = state.getOption.getOrElse(Nil)
+          val before = done.length
+          rows.toSeq
+            .sortBy { case (_, typ, ts) => (ts, idx.getOrElse(typ, Int.MaxValue)) }
+            .foreach { case (_, typ, ts) =>
+              if (done.length < steps.length && typ == steps(done.length) &&
+                  (done.isEmpty || ts > done.last)) done = done :+ ts
+            }
+          if (done.length > before) state.update(done)
+          done.zipWithIndex.drop(before)
+            .map { case (ts, i) => (userId, i + 1, ts) }.iterator
+      }
+      .toDF("user_id", "step", "ts_us")
+      .select(col("user_id"), col("step"),
+        expr("timestamp_micros(ts_us)").as("step_ts"))
+  }
+
   /** Streaming exact dedup: suppress re-deliveries of the same `event_id`
     * arriving within the watermark horizon. State is bounded — an id's
     * dedup record is dropped once the watermark passes its event time

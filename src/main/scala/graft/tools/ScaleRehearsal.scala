@@ -78,6 +78,21 @@ object ScaleRehearsal {
       time(s"$tag repetition") {
         graft.operators.TextAnalysis.repetitionStats(docs)
           .queryExecution.toRdd.count() }
+      // duplicate-dense replication turns every planted near-dup prefix
+      // into a k-clique — output grows k^2 per cluster BY DESIGN (the
+      // semanticDedup note); the candidate space must stay length-banded
+      time(s"$tag levPairs") {
+        Dedup.levenshteinPairs(docs).queryExecution.toRdd.count() }
+      time(s"$tag bigramLM") {
+        graft.operators.TextAnalysis.bigramSurprisal(docs)
+          .queryExecution.toRdd.count() }
+      time(s"$tag bloomAnti") {
+        val d = docs.withColumn("fp", expr("substring(text, 1, 60)"))
+        Dedup.bloomAntiJoin(d.filter(col("doc_id") % 7 =!= 0),
+          d.filter(col("doc_id") % 7 === 0).select("fp"), "fp")
+          .queryExecution.toRdd.count() }
+      time(s"$tag sharedSpans") {
+        Dedup.sharedSpanPairs(docs).queryExecution.toRdd.count() }
     }
     run("1x", docs1, emb1)
     run(s"${k}x", docsK, embK)
@@ -100,9 +115,45 @@ object ScaleRehearsal {
       time(s"$tag intervalSelfJoin") {
         graft.operators.Joins.intervalSelfJoin(ev, "user_id", "ts",
           "event_id", 300).queryExecution.toRdd.count() }
+      val ea = graft.operators.EventAnalytics
+      time(s"$tag funnel") {
+        ea.funnel(ev, Seq("view", "click", "purchase"))
+          .queryExecution.toRdd.count() }
+      time(s"$tag retention") {
+        ea.retentionCohorts(ev).queryExecution.toRdd.count() }
+      time(s"$tag gapFill") {
+        ea.gapFillDaily(ev).queryExecution.toRdd.count() }
+      time(s"$tag stateHistory") {
+        ea.stateHistory(ev).queryExecution.toRdd.count() }
+      time(s"$tag zscore") {
+        ea.zscoreOutliers(ev).queryExecution.toRdd.count() }
+      time(s"$tag dailyActive") {
+        ea.dailyActiveUsers(ev).queryExecution.toRdd.count() }
     }
     runEv("1x", ev1)
     runEv(s"${k}x", evK)
+
+    // graph/layout operators replicate the part-supplier edge space with
+    // shifted keys: k-fold more nodes AND edges, degree distribution kept —
+    // the growth axis PageRank and zone maps face in production
+    val li1 = graft.Tables.lineitem(spark, "/root/testdata/sf0.1")
+      .select("l_partkey", "l_suppkey")
+    val liK = (0 until k).map(i => li1
+        .withColumn("l_partkey", col("l_partkey") + lit(i * 1000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000000L)))
+      .reduce(_ unionByName _).cache()
+    def runGraph(tag: String, li: DataFrame): Unit = {
+      time(s"$tag pageRank") {
+        graft.operators.Graph.pageRank(li.select(
+          concat(lit("p"), col("l_partkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst")).distinct(), 3)
+          .queryExecution.toRdd.count() }
+      time(s"$tag zZoneMap") {
+        graft.operators.Layout.zZoneMap(li, "l_partkey", "l_suppkey", 21, 12)
+          .queryExecution.toRdd.count() }
+    }
+    runGraph("1x", li1)
+    runGraph(s"${k}x", liK)
 
     // search-surface operators over an ingested index: per-query work must
     // stay flat (shortlists / top-k are corpus-size-independent in OUTPUT),
@@ -133,6 +184,13 @@ object ScaleRehearsal {
       time(s"$tag mixture") {
         graft.operators.Sampling.sampleToMixture(docs, "source",
           Seq("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0), 2000)
+          .queryExecution.toRdd.count() }
+      time(s"$tag classTopics") {
+        graft.operators.TextAnalysis.classTopTerms(docs, "source", 5)
+          .queryExecution.toRdd.count() }
+      time(s"$tag weightedSample") {
+        graft.operators.Sampling.weightedSample(
+          docs.withColumn("n_chars", length(col("text"))), "n_chars", 5)
           .queryExecution.toRdd.count() }
       index.unpersist()
     }

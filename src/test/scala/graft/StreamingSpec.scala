@@ -215,6 +215,35 @@ class StreamingSpec extends AnyFunSuite {
     all.unpersist()
   }
 
+  test("streamingFunnel: accumulated emissions equal the batch funnel over the prefix") {
+    val tmp = Files.createTempDirectory("graft-stream-funnel").toString
+    val src = s"$tmp/events"
+    val events = Tables.events(spark, TestSpark.sf0001).cache()
+    // land in two event-time halves so per-user arrival stays in order
+    // across micro-batches (the operator's in-order ingest contract)
+    val cut = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0)
+      .getTimestamp(0)
+    // one file per half: FileStreamSource orders new files by mtime, so a
+    // single-file half cannot interleave ahead of the earlier half
+    events.filter($"ts" <= cut).coalesce(1).write.mode("append").parquet(src)
+    events.filter($"ts" > cut).coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val steps = Seq("view", "click", "purchase")
+    val q = Streams.streamingFunnel(stream, steps).writeStream
+      .format("memory").queryName("funnel_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("funnel_out")
+      .select($"user_id", $"step", $"step_ts")
+      .as[(Long, Int, java.sql.Timestamp)].collect()
+    val batch = graft.operators.EventAnalytics.funnel(events, steps)
+      .as[(Long, Int, java.sql.Timestamp)].collect()
+    assert(streamed.length == streamed.toSet.size) // each step emitted once
+    assert(streamed.toSet == batch.toSet)
+    events.unpersist()
+  }
+
   test("streaming dedup suppresses re-delivered event ids within the watermark") {
     val tmp = Files.createTempDirectory("graft-dedup").toString
     val src = s"$tmp/events"
