@@ -710,7 +710,15 @@ object SparkEntry {
       docs(s, dir)
         .groupingSets(Seq(Seq(col("source")), Seq(col("lang")), Seq()),
           col("source"), col("lang"))
-        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))))
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("sum_chars"))),
+    // extension: exact interpolated percentiles per group on integer cents
+    "q113_percentiles" -> ((s, dir) =>
+      graft.operators.TableStats.percentilesBy(Tables.lineitem(s, dir),
+        "l_returnflag", "CAST(round(l_extendedprice * 100) AS BIGINT)")),
+    // extension: association rules (confidence/lift) from basket pairs
+    "q114_assoc_rules" -> ((s, dir) =>
+      graft.operators.Graph.associationRules(
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 2)))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -2079,6 +2087,28 @@ ORDER BY n_groups DESC, item_a, item_b LIMIT 20""",
     "q112_grouping_sets" ->
       """SELECT source, lang, count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
 FROM documents GROUP BY GROUPING SETS ((source), (lang), ())""",
+    // quantile_cont == Spark's percentile: both interpolate at rank p*(n-1),
+    // and on integer cents the arithmetic is exact under f64
+    "q113_percentiles" ->
+      """SELECT l_returnflag,
+  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.25) AS p25,
+  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.5) AS p50,
+  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.75) AS p75,
+  quantile_cont(CAST(round(l_extendedprice * 100) AS BIGINT), 0.9) AS p90
+FROM lineitem GROUP BY l_returnflag""",
+    "q114_assoc_rules" ->
+      """WITH i AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+  n AS (SELECT item, count(*) AS n_item FROM i GROUP BY 1),
+  t AS (SELECT count(DISTINCT g) AS n_total FROM i),
+  p AS (SELECT a.item AS antecedent, b.item AS consequent, count(*) AS n_joint
+        FROM i a JOIN i b ON a.g = b.g AND a.item <> b.item
+        GROUP BY 1, 2 HAVING count(*) >= 2)
+SELECT antecedent, consequent, n_joint,
+  round(CAST(n_joint AS DOUBLE) / na.n_item, 6) AS confidence,
+  round((CAST(n_joint AS DOUBLE) / na.n_item) / (CAST(nc.n_item AS DOUBLE) / n_total), 6) AS lift
+FROM p JOIN n na ON p.antecedent = na.item
+       JOIN n nc ON p.consequent = nc.item
+       CROSS JOIN t""",
     // Per-stratum quality quantile: q54's quality formula + a per-source
     // rank window; keep rank <= floor(n * 0.4 + 0.5)
     "q83_quality_quantile" ->

@@ -76,4 +76,36 @@ object Graph {
       .orderBy(desc("n_groups"), asc("item_a"), asc("item_b"))
       .limit(topK)
   }
+
+  /** Association rules from pair supports: for every DIRECTED pair
+    * (antecedent -> consequent) with joint support >= `minSupport` groups,
+    * confidence = n(a,b) / n(a) and lift = confidence / (n(b) / N) — the
+    * Apriori-at-depth-2 mining every basket analysis starts with.
+    * Confidence and lift stay EXACT rationals of integer counts evaluated
+    * in one shared double expression, so the output hash-checks.
+    *
+    * Shape: per-basket pair generation (the coOccurrence join), one
+    * pair-keyed count, one item-keyed count broadcast onto it twice. */
+  def associationRules(df: DataFrame, groupCol: String, itemCol: String,
+                       minSupport: Long = 2): DataFrame = {
+    require(minSupport >= 1)
+    val items = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+    val itemN = items.groupBy("item").agg(count(lit(1)).as("n_item"))
+    val total = items.select(countDistinct("g").as("n_total"))
+    val pairs = items.as("a").join(items.hint("SHUFFLE_HASH").as("b"),
+        col("a.g") === col("b.g") && col("a.item") =!= col("b.item"))
+      .groupBy(col("a.item").as("antecedent"), col("b.item").as("consequent"))
+      .agg(count(lit(1)).as("n_joint"))
+      .filter(col("n_joint") >= minSupport)
+    pairs
+      .join(broadcast(itemN.withColumnRenamed("item", "antecedent")
+        .withColumnRenamed("n_item", "n_ant")), Seq("antecedent"))
+      .join(broadcast(itemN.withColumnRenamed("item", "consequent")
+        .withColumnRenamed("n_item", "n_con")), Seq("consequent"))
+      .crossJoin(broadcast(total))
+      .select(col("antecedent"), col("consequent"), col("n_joint"),
+        expr("round(CAST(n_joint AS DOUBLE) / n_ant, 6)").as("confidence"),
+        expr("round((CAST(n_joint AS DOUBLE) / n_ant) / (CAST(n_con AS DOUBLE) / n_total), 6)")
+          .as("lift"))
+  }
 }

@@ -81,6 +81,23 @@ object TableStats {
       .groupBy("bin").agg(count(lit(1)).as("n"))
   }
 
+  /** Exact interpolated percentiles per group over an INTEGER-valued
+    * expression. `percentile` sorts within the aggregate — exact, not a
+    * sketch — and on integer inputs the linear interpolation
+    * ((1-f)*lo + f*hi at rank p*(n-1)) is closed under doubles below 2^53,
+    * so the result is engine-exact (the reason the input contract is
+    * integer cents/units, mirroring `corrMatrix`). For the sketch-based
+    * scale path over huge groups see `TextAnalysis.corpusSketch`
+    * (t-digest); this is the exact small-group complement. */
+  def percentilesBy(df: DataFrame, groupCol: String, valueExpr: String,
+                    ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9)): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    val aggs = ps.map(p =>
+      expr(s"percentile($valueExpr, CAST($p AS DOUBLE))")
+        .as(s"p${(p * 100).round}"))
+    df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Pairwise Pearson correlations from EXACT integer moments: every input
     * is an integer-valued expression (cents/units — the caller picks scales
     * that keep sum(x*y) inside a long), ONE aggregate computes n, all sums

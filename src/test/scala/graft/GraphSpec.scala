@@ -47,4 +47,18 @@ class GraphSpec extends AnyFunSuite {
       .as[(Long, Long, Long)].collect().toSeq
     assert(got == Seq((10L, 20L, 3L), (10L, 30L, 1L), (20L, 30L, 1L)))
   }
+
+  test("associationRules: confidence and lift from hand-checked baskets") {
+    // item 10 in baskets {1,2,3}; 20 in {1,2}; joint {1,2}
+    val baskets = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L))
+      .toDF("g", "item")
+    val r = Graph.associationRules(baskets, "g", "item", 2)
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .map(x => (x._1, x._2) -> (x._3, x._4, x._5)).toMap
+    // 10 -> 20: conf 2/3, lift (2/3)/(2/3) = 1.0
+    assert(r((10L, 20L)) == ((2L, 0.666667, 1.0)))
+    // 20 -> 10: conf 2/2 = 1, lift 1/(3/3) = 1.0
+    assert(r((20L, 10L)) == ((2L, 1.0, 1.0)))
+    assert(r.size == 2)
+  }
 }

@@ -57,6 +57,25 @@ class TableStatsSpec extends AnyFunSuite {
     assert(got.values.sum == ev.count())
   }
 
+  test("percentilesBy: exact interpolated quantiles match a driver-side sort") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val got = TableStats.percentilesBy(li, "l_returnflag",
+        "CAST(round(l_extendedprice * 100) AS BIGINT)", Seq(0.5, 0.9))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val local = li
+      .selectExpr("l_returnflag", "CAST(round(l_extendedprice * 100) AS BIGINT) AS c")
+      .as[(String, Long)].collect().groupBy(_._1)
+    def q(xs: Seq[Long], p: Double): Double = {
+      val s = xs.sorted; val r = p * (s.length - 1)
+      val lo = s(r.toInt); val hi = s(math.ceil(r).toInt)
+      lo + (hi - lo) * (r - r.toInt)
+    }
+    for ((flag, rows) <- local) {
+      val xs = rows.map(_._2).toSeq
+      assert(got(flag) == ((q(xs, 0.5), q(xs, 0.9))), flag)
+    }
+  }
+
   test("corrMatrix: matches driver-side Pearson on exact moments; constant var is NULL") {
     val df = Seq((1L, 2L, 5L), (2L, 4L, 5L), (3L, 7L, 5L), (4L, 8L, 5L))
       .toDF("x", "y", "c")
