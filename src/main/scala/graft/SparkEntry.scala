@@ -718,7 +718,28 @@ object SparkEntry {
     // extension: association rules (confidence/lift) from basket pairs
     "q114_assoc_rules" -> ((s, dir) =>
       graft.operators.Graph.associationRules(
-        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 2)))
+        Tables.lineitem(s, dir), "l_orderkey", "l_partkey", 2)),
+    // extension: window-function suite — lag/delta/ntile/cume_dist per
+    // user on the (ts, event_id) total order; all integer-or-exact outputs
+    "q115_window_suite" -> ((s, dir) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .select(col("event_id"), col("user_id"), col("ts"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+        .withColumn("prev_cents", lag("cents", 1).over(w))
+        .withColumn("delta", expr("cents - prev_cents"))
+        .withColumn("quartile", ntile(4).over(w))
+        .withColumn("cdist", round(cume_dist().over(w), 6))
+        .select("event_id", "user_id", "cents", "prev_cents", "delta",
+          "quartile", "cdist")
+    }),
+    // extension: multi-probe rp-LSH — +-1 adjacent-bucket probes per table
+    "q116_ann_multiprobe" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      Similarity.rpTopKMultiProbe(e, q, 3)
+    }))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -2109,6 +2130,36 @@ SELECT antecedent, consequent, n_joint,
 FROM p JOIN n na ON p.antecedent = na.item
        JOIN n nc ON p.consequent = nc.item
        CROSS JOIN t""",
+    "q115_window_suite" ->
+      """SELECT event_id, user_id, CAST(round(value * 100) AS BIGINT) AS cents,
+  lag(CAST(round(value * 100) AS BIGINT)) OVER w AS prev_cents,
+  CAST(round(value * 100) AS BIGINT) - lag(CAST(round(value * 100) AS BIGINT)) OVER w AS delta,
+  CAST(ntile(4) OVER w AS INTEGER) AS quartile,
+  round(cume_dist() OVER w, 6) AS cdist
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(ts AS TIMESTAMP), event_id)""",
+    // q44's oracle with the query bucket set expanded +-1 per table
+    "q116_ann_multiprobe" ->
+      s"""WITH $dkRpW,
+  qset AS (SELECT vec_id AS query_id, embedding FROM embeddings WHERE vec_id < 5),
+  ${dkRpBuckets("ib", "embeddings", "vec_id", "embedding")},
+  ${dkRpBuckets("qb0", "qset", "query_id", "embedding")},
+  qb AS (SELECT query_id, t, bk + d.d AS bk
+         FROM qb0 CROSS JOIN (SELECT unnest([-1, 0, 1]) AS d) d),
+  cand AS (SELECT DISTINCT qb.query_id, ib.vec_id FROM ib JOIN qb
+    ON ib.t = qb.t AND ib.bk = qb.bk),
+  s AS (SELECT c.query_id, c.vec_id,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))) AS dot,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) AS na,
+    list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE)*CAST(q.embedding[i] AS DOUBLE))) AS nb
+    FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+                JOIN qset q ON c.query_id = q.query_id),
+  sc AS (SELECT query_id, vec_id,
+    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END AS score FROM s),
+  r AS (SELECT query_id, vec_id,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
+    score FROM sc)
+SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3""",
     // Per-stratum quality quantile: q54's quality formula + a per-source
     // rank window; keep rank <= floor(n * 0.4 + 0.5)
     "q83_quality_quantile" ->

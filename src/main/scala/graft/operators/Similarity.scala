@@ -1066,6 +1066,35 @@ object Similarity {
       k)
   }
 
+  /** Multi-probe rp-LSH top-k: each query additionally probes the
+    * `probeRadius` adjacent buckets per table — the E2LSH multi-probe
+    * recall lever: a near neighbor that landed just across a quantization
+    * boundary is recovered WITHOUT growing the table count (the classic
+    * memory/recall trade: more tables cost index space corpus-wide,
+    * more probes cost only query-side candidates). Candidates grow ~
+    * (2*probeRadius + 1)x on the (tiny, broadcast) probe side; the corpus
+    * bucket table is untouched. Deterministic end-to-end like rpTopK —
+    * the oracle replays the same +-radius expansion in SQL. Recall is
+    * monotone: candidates are a superset of rpTopK's, and scoring is
+    * exact, so recall@k can only improve (gated in SimilaritySpec). */
+  def rpTopKMultiProbe(items: DataFrame, queries: DataFrame, k: Int,
+                       numTables: Int = 6, bucketLength: Double = 1.0,
+                       probeRadius: Int = 1): DataFrame = {
+    require(probeRadius >= 1 && probeRadius <= 8)
+    val ib = rpBucketTable(items, "vec_id", "embedding", numTables, bucketLength)
+    val qb = rpBucketTable(queries, "query_id", "query_embedding",
+        numTables, bucketLength)
+      .select(col("query_id"), col("t"),
+        explode(expr(s"sequence(bk - $probeRadius, bk + $probeRadius)")).as("bk"))
+    val cand = ib.join(broadcast(qb), Seq("t", "bk"))
+      .select("query_id", "vec_id").distinct()
+    topKPerQuery(
+      cand.join(items, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+        .withColumn("score",
+          cosine_similarity(col("embedding"), col("query_embedding"))),
+      k)
+  }
+
   /** Near-duplicate pair join via the deterministic random-projection LSH:
     * streamed self-equi-join on (table, bucket) — the `simhashPairs` shape,
     * no per-bucket arrays — with exact cosine verification on candidates.

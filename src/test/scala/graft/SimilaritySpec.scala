@@ -143,6 +143,13 @@ class SimilaritySpec extends AnyFunSuite {
       assert(rpsqR >= 0.9, s"rpSqTopK recall@3 = $rpsqR < 0.9")
       val divfR = meanRecall(divf, exact)
       assert(divfR >= 0.9, s"detIvfTopK recall@3 = $divfR < 0.9")
+      // multi-probe recall is monotone vs rpTopK: superset candidates,
+      // exact scoring -> per-query recall can only improve
+      val mp = topkIds(Similarity.rpTopKMultiProbe(e, q, 3)
+        .as[(Long, Long, Int, Double)].collect())
+      val mpR = meanRecall(mp, exact)
+      assert(mpR >= rpR, s"multi-probe recall $mpR < single-probe $rpR")
+      assert(mpR >= 0.9, s"rpTopKMultiProbe recall@3 = $mpR < 0.9")
       val pqR = meanRecall(pq, exact)
       assert(pqR >= 0.9, s"pqTopK recall@3 = $pqR < 0.9")
       val ivfpqR = meanRecall(ivfpq, exact)
