@@ -739,7 +739,16 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
       Similarity.rpTopKMultiProbe(e, q, 3)
-    }))
+    }),
+    // extension: time-weighted average value per user (TWAP)
+    "q117_twap" -> ((s, dir) =>
+      graft.operators.EventAnalytics.timeWeightedAvg(Tables.events(s, dir))),
+    // extension: chi-square contingency audit (event_type x day-of-week)
+    "q118_chisq" -> ((s, dir) =>
+      graft.operators.TableStats.chiSquare(
+        Tables.events(s, dir).withColumn("dow",
+          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) % 7")),
+        "event_type", "dow")))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -1290,6 +1299,30 @@ FROM documents""",
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
     score FROM sc)
 SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3""",
+    "q117_twap" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id,
+      CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+  l AS (SELECT user_id, cents,
+      epoch_us(lead(t) OVER (PARTITION BY user_id ORDER BY t, event_id)) - epoch_us(t) AS dt_us
+    FROM e),
+  f AS (SELECT * FROM l WHERE dt_us IS NOT NULL)
+SELECT user_id, count(*) AS n_intervals,
+  round((CAST(sum(cents * dt_us) AS DOUBLE) / sum(dt_us)) / 100.0, 6) AS twap
+FROM f GROUP BY user_id""",
+    // dow = days-since-anchor mod 7 (engine-neutral; dayofweek() origins differ)
+    "q118_chisq" ->
+      """WITH e AS (SELECT event_type,
+      CAST(date_diff('day', DATE '2024-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) % 7 AS dow
+    FROM events),
+  c AS (SELECT event_type, dow, count(*) AS o FROM e GROUP BY 1, 2),
+  r AS (SELECT event_type, sum(o) AS ra FROM c GROUP BY 1),
+  k AS (SELECT dow, sum(o) AS cb FROM c GROUP BY 1),
+  t AS (SELECT sum(o) AS n FROM c)
+SELECT c.event_type, c.dow, o,
+  round(CAST(ra AS DOUBLE) * cb / n, 6) AS expected,
+  round(pow(CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n, 2)
+    / (CAST(ra AS DOUBLE) * cb / n), 6) AS chi2_cell
+FROM c JOIN r USING (event_type) JOIN k USING (dow) CROSS JOIN t""",
     // Mirrors q28's stub decode arithmetic (Multimodal.decodeStub over the
     // UTF-8 bytes of text): deterministic byte math, SQL-expressible for
     // the ASCII corpus (char length == byte length, ord == byte value).

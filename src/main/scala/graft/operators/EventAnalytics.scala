@@ -150,6 +150,28 @@ object EventAnalytics {
         col("n_new_users"), col("cum_users"))
   }
 
+  /** Time-weighted average value per user (the TWAP shape): each
+    * observation holds until the next one, so its weight is the micros
+    * until the user's next event; the last observation of a user carries
+    * no interval and is excluded (the standard right-open convention).
+    * Both the weights (micros) and the values (cents) are exact integers;
+    * the single closing division is one shared double expression, so the
+    * result hash-checks. One user-keyed window + one user-keyed aggregate. */
+  def timeWeightedAvg(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("next_us", lead(expr("unix_micros(ts)"), 1).over(w))
+      .withColumn("dt_us", expr("next_us - unix_micros(ts)"))
+      .filter(col("dt_us").isNotNull)
+      .groupBy("user_id")
+      .agg(sum(expr("cents * dt_us")).as("s"), sum("dt_us").as("d"),
+        count(lit(1)).as("n_intervals"))
+      .select(col("user_id"), col("n_intervals"),
+        expr("round((CAST(s AS DOUBLE) / d) / 100.0, 6)").as("twap"))
+  }
+
   /** Per-group z-score outliers: events whose value sits more than
     * `threshold` population standard deviations from their event_type's
     * mean. Moments are exact integer sums of 2^10-fixed-point values (value

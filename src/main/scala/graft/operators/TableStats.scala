@@ -98,6 +98,30 @@ object TableStats {
     df.groupBy(groupCol).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Chi-square contingency audit over two categorical columns: per cell,
+    * the observed count, the independence-model expectation e = (row total
+    * x column total) / N, and the cell's chi-square contribution
+    * (o - e)^2 / e. All inputs to the double expressions are exact integer
+    * counts, so every cell (and the summed statistic the caller can take)
+    * is engine-exact — the dependence-screening pass a feature audit runs
+    * before trusting a categorical split.
+    *
+    * Shape: one (a, b) aggregate; marginals derived from it (tiny) and
+    * broadcast back. Output cardinality = |a| x |b| cells. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o"))
+    val rowT = cells.groupBy("a").agg(sum("o").as("ra"))
+    val colT = cells.groupBy("b").agg(sum("o").as("cb"))
+    val total = cells.agg(sum("o").as("n"))
+    cells.join(broadcast(rowT), Seq("a")).join(broadcast(colT), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a").as(aCol), col("b").as(bCol), col("o"),
+        expr("round(CAST(ra AS DOUBLE) * cb / n, 6)").as("expected"),
+        expr("""round(pow(CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n, 2)
+                / (CAST(ra AS DOUBLE) * cb / n), 6)""").as("chi2_cell"))
+  }
+
   /** Pairwise Pearson correlations from EXACT integer moments: every input
     * is an integer-valued expression (cents/units — the caller picks scales
     * that keep sum(x*y) inside a long), ONE aggregate computes n, all sums

@@ -91,6 +91,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (0L, 2L, 2L, 2L, 2L), (1L, 2L, 1L, 0L, 2L), (2L, 1L, 1L, 1L, 3L)))
   }
 
+  test("timeWeightedAvg: weights are hold durations; last observation excluded") {
+    val e = ev(
+      (1, 0, 1, "view", 10.0),  // holds 10 min at 10.00
+      (2, 10, 1, "view", 20.0), // holds 30 min at 20.00
+      (3, 40, 1, "view", 99.0)) // last: excluded
+    val r = EventAnalytics.timeWeightedAvg(e)
+      .as[(Long, Long, Double)].collect()
+    assert(r.length == 1)
+    val (u, n, twap) = r(0)
+    assert(u == 1L && n == 2L)
+    // (1000*10 + 2000*30) / 40 = 1750 cents = 17.50
+    assert(twap == 17.5)
+  }
+
   test("zscoreOutliers parity with the full fixture at sf0.001") {
     // cross-check the distributed moments against a driver-side computation
     val events = Tables.events(spark, TestSpark.sf0001)

@@ -76,6 +76,21 @@ class TableStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("chiSquare: independent table has zero cells; marginals reproduce expectations") {
+    // perfectly independent 2x2: every cell o == expected -> chi2 0
+    val indep = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L))
+      .toDF("x", "y")
+    val z = TableStats.chiSquare(indep, "x", "y")
+      .as[(String, Long, Long, Double, Double)].collect()
+    assert(z.length == 4 && z.forall(c => c._4 == 1.0 && c._5 == 0.0))
+    // skewed cell: o=2, row=3, col=3, n=4 -> e=2.25, chi2=(0.25)^2/2.25
+    val skew = Seq(("a", 0L), ("a", 0L), ("a", 1L), ("b", 0L)).toDF("x", "y")
+    val cells = TableStats.chiSquare(skew, "x", "y")
+      .as[(String, Long, Long, Double, Double)].collect()
+      .map(c => (c._1, c._2) -> (c._3, c._4, c._5)).toMap
+    assert(cells(("a", 0L)) == ((2L, 2.25, 0.027778)))
+  }
+
   test("corrMatrix: matches driver-side Pearson on exact moments; constant var is NULL") {
     val df = Seq((1L, 2L, 5L), (2L, 4L, 5L), (3L, 7L, 5L), (4L, 8L, 5L))
       .toDF("x", "y", "c")
