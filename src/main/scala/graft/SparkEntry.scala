@@ -748,7 +748,16 @@ object SparkEntry {
       graft.operators.TableStats.chiSquare(
         Tables.events(s, dir).withColumn("dow",
           expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) % 7")),
-        "event_type", "dow")))
+        "event_type", "dow")),
+    // extension: Markov transition matrix between consecutive user events
+    "q119_transitions" -> ((s, dir) =>
+      graft.operators.EventAnalytics.transitionMatrix(Tables.events(s, dir))),
+    // extension: top length-3 user journeys
+    "q120_top_paths" -> ((s, dir) =>
+      graft.operators.EventAnalytics.topPaths(Tables.events(s, dir), 10)),
+    // extension: hashing-trick featurizer (sha256-derived, oracle-checkable)
+    "q121_feature_hash" -> ((s, dir) =>
+      TextAnalysis.hashFeatures(docs(s, dir), 256)))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -1323,6 +1332,31 @@ SELECT c.event_type, c.dow, o,
   round(pow(CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n, 2)
     / (CAST(ra AS DOUBLE) * cb / n), 6) AS chi2_cell
 FROM c JOIN r USING (event_type) JOIN k USING (dow) CROSS JOIN t""",
+    "q119_transitions" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, event_type FROM events),
+  l AS (SELECT user_id, event_type,
+      lead(event_type) OVER (PARTITION BY user_id ORDER BY t, event_id) AS next_type FROM e),
+  pp AS (SELECT event_type AS from_type, next_type AS to_type, count(*) AS n
+         FROM l WHERE next_type IS NOT NULL GROUP BY 1, 2),
+  f AS (SELECT from_type, sum(n) AS n_from FROM pp GROUP BY 1)
+SELECT pp.from_type, pp.to_type, n, round(CAST(n AS DOUBLE) / n_from, 6) AS p
+FROM pp JOIN f USING (from_type)""",
+    "q120_top_paths" ->
+      """WITH e AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS t, event_id, event_type FROM events),
+  l AS (SELECT user_id, event_type AS step1,
+      lead(event_type, 1) OVER w AS step2, lead(event_type, 2) OVER w AS step3
+    FROM e WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id))
+SELECT step1, step2, step3, count(*) AS n FROM l WHERE step3 IS NOT NULL
+GROUP BY 1, 2, 3 ORDER BY n DESC, step1, step2, step3 LIMIT 10""",
+    "q121_feature_hash" -> {
+      val h = "sha256(token)"
+      s"""WITH $dkTok,
+  u AS (SELECT doc_id, unnest(toks) AS token FROM tok)
+SELECT doc_id,
+  CAST((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) % 256 AS BIGINT) AS feature,
+  count(*) AS n
+FROM u GROUP BY 1, 2"""
+    },
     // Mirrors q28's stub decode arithmetic (Multimodal.decodeStub over the
     // UTF-8 bytes of text): deterministic byte math, SQL-expressible for
     // the ASCII corpus (char length == byte length, ord == byte value).

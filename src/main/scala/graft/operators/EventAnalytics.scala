@@ -150,6 +150,43 @@ object EventAnalytics {
         col("n_new_users"), col("cum_users"))
   }
 
+  /** First-order Markov transition counts and probabilities between
+    * consecutive events per user: one lag window on the (ts, event_id)
+    * total order, one (from, to) aggregate, row-marginal probabilities as
+    * exact count ratios. The state-machine screening pass (what usually
+    * follows a funnel: WHICH step transitions dominate?). */
+  def transitionMatrix(events: DataFrame): DataFrame = {
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    val pairs = events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("next_type", lead("event_type", 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("from_type"), col("next_type").as("to_type"))
+      .agg(count(lit(1)).as("n"))
+    val fromT = pairs.groupBy("from_type").agg(sum("n").as("n_from"))
+    pairs.join(broadcast(fromT), Seq("from_type"))
+      .select(col("from_type"), col("to_type"), col("n"),
+        expr("round(CAST(n AS DOUBLE) / n_from, 6)").as("p"))
+  }
+
+  /** Top-k most frequent length-3 event-type paths (consecutive per user,
+    * the product-analytics "common journeys" view). Two lags on one
+    * user-keyed window, one path aggregate, a deterministic top-k cut. */
+  def topPaths(events: DataFrame, k: Int = 10): DataFrame = {
+    require(k >= 1)
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    events
+      .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+      .withColumn("t2", lead("event_type", 1).over(w))
+      .withColumn("t3", lead("event_type", 2).over(w))
+      .filter(col("t3").isNotNull)
+      .groupBy(col("event_type").as("step1"), col("t2").as("step2"),
+        col("t3").as("step3"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(desc("n"), asc("step1"), asc("step2"), asc("step3"))
+      .limit(k)
+  }
+
   /** Time-weighted average value per user (the TWAP shape): each
     * observation holds until the next one, so its weight is the micros
     * until the user's next event; the last observation of a user carries

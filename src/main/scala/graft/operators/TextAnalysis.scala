@@ -179,6 +179,21 @@ object TextAnalysis {
         s"round($score, 6) AS bm25": _*)
   }
 
+  /** Hashing-trick featurizer: sparse bag-of-words vectors with index =
+    * (first 4 hex chars of sha256(token)) mod `dims` — the fixed-size,
+    * vocabulary-free text vectorizer (a la HashingTF / scikit's
+    * HashingVectorizer), except the hash is the repo's engine-neutral
+    * sha256 convention so the features are ORACLE-CHECKABLE (xxhash64 /
+    * murmur differ per engine). Long-form output (doc_id, feature, n) —
+    * the natural sparse layout; map-side-combined single aggregate. */
+  def hashFeatures(docs: DataFrame, dims: Int = 256): DataFrame = {
+    require(dims >= 2 && dims <= 65536)
+    docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+      .withColumn("feature", expr(
+        s"cast(conv(substr(sha2(token, 256), 1, 4), 16, 10) AS BIGINT) % $dims"))
+      .groupBy("doc_id", "feature").agg(count(lit(1)).as("n"))
+  }
+
   /** Inverted-index build: the postings table (token, doc_id, tf) — the
     * data structure that makes lexical retrieval corpus-scan-free. One
     * explode + one (token, doc_id)-keyed count; persist it partitioned (or

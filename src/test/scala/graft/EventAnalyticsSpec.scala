@@ -91,6 +91,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (0L, 2L, 2L, 2L, 2L), (1L, 2L, 1L, 0L, 2L), (2L, 1L, 1L, 1L, 3L)))
   }
 
+  test("transitionMatrix: per-source probabilities sum to 1; counts match a crafted chain") {
+    val e = ev((1, 0, 1, "a", 0), (2, 1, 1, "b", 0), (3, 2, 1, "a", 0),
+      (4, 3, 1, "b", 0), (5, 0, 2, "a", 0), (6, 1, 2, "a", 0))
+    val m = EventAnalytics.transitionMatrix(e)
+      .as[(String, String, Long, Double)].collect()
+    val byPair = m.map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(byPair(("a", "b")) == ((2L, 0.666667))) // a->b twice of a's 3 exits
+    assert(byPair(("a", "a")) == ((1L, 0.333333)))
+    assert(byPair(("b", "a")) == ((1L, 1.0)))
+    for ((_, rows) <- m.groupBy(_._1))
+      assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-5)
+  }
+
+  test("topPaths: counts consecutive triples, deterministic cut") {
+    val e = ev((1, 0, 1, "a", 0), (2, 1, 1, "b", 0), (3, 2, 1, "c", 0),
+      (4, 3, 1, "a", 0), (5, 0, 2, "a", 0), (6, 1, 2, "b", 0), (7, 2, 2, "c", 0))
+    val p = EventAnalytics.topPaths(e, 5)
+      .as[(String, String, String, Long)].collect().toSeq
+    assert(p.head == (("a", "b", "c", 2L)))
+    assert(p.toSet == Set(("a", "b", "c", 2L), ("b", "c", "a", 1L)))
+  }
+
   test("timeWeightedAvg: weights are hold durations; last observation excluded") {
     val e = ev(
       (1, 0, 1, "view", 10.0),  // holds 10 min at 10.00

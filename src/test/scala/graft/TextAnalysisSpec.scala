@@ -247,6 +247,19 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(r(3L)._3 > r(1L)._3) // novel bigram is more surprising
   }
 
+  test("hashFeatures: per-doc feature counts sum to token count; index in range; stable") {
+    val f = TextAnalysis.hashFeatures(docs, 256).cache()
+    val sums = f.groupBy("doc_id").sum("n")
+      .as[(Long, Long)].collect().toMap
+    val toks = docs.selectExpr("doc_id",
+        s"size(${TextAnalysis.tokensExpr}) AS n")
+      .as[(Long, Int)].collect().toMap
+    assert(toks.forall { case (id, n) => sums.getOrElse(id, 0L) == n.toLong })
+    val feats = f.select($"feature").as[Long].collect()
+    assert(feats.forall(x => x >= 0 && x < 256))
+    f.unpersist()
+  }
+
   test("bm25Indexed: equals full-scan bm25 on its hit rows; miss terms contribute zero df") {
     val terms = Seq("join", "hash", "zzznoterm")
     val p = TextAnalysis.postings(docs)
