@@ -207,6 +207,43 @@ object TextAnalysis {
   def docLengths(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), expr(s"size($tokensExpr)").as("dl"))
 
+  /** Sha-derived partition bucket for a token — the persisted-postings
+    * layout key. 64 buckets: few enough directories for any filesystem,
+    * many enough that a 3-term query prunes ~95% of the index bytes. */
+  private[operators] def tokenBucketExpr(tokenCol: String): String =
+    s"cast(conv(substr(sha2($tokenCol, 256), 1, 4), 16, 10) AS BIGINT) % 64"
+
+  def tokenBucket(token: String): Long = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(token.getBytes("UTF-8"))
+    (((d(0) & 0xffL) * 256 + (d(1) & 0xffL)) % 64)
+  }
+
+  /** Persist the inverted index partitioned by token bucket, plus the
+    * doc-lengths table beside it — the lexical twin of the vector index
+    * lifecycle (`Engine.writeIndex`). A query's terms map to a handful of
+    * buckets, so the postings read is PARTITION-PRUNED at the source
+    * (pinned in TextAnalysisSpec), not filtered after a full scan. */
+  def writeLexIndex(docs: DataFrame, path: String): Unit = {
+    postings(docs)
+      .withColumn("pbk", expr(tokenBucketExpr("token")))
+      .write.mode("overwrite").partitionBy("pbk").parquet(s"$path/postings")
+    docLengths(docs).write.mode("overwrite").parquet(s"$path/doclens")
+  }
+
+  /** BM25 over the PERSISTED index: prunes the postings scan to the query
+    * terms' buckets before the token filter, then scores via
+    * `bm25Indexed`. Per-query I/O ~ index-bytes * |buckets| / 64. */
+  def bm25IndexedAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                    terms: Seq[String], k1: Double = 1.2,
+                    b: Double = 0.75): DataFrame = {
+    val buckets = terms.map(tokenBucket).distinct
+    val p = spark.read.parquet(s"$path/postings")
+      .filter(col("pbk").isin(buckets: _*))
+      .select("token", "doc_id", "tf")
+    bm25Indexed(p, spark.read.parquet(s"$path/doclens"), terms, k1, b)
+  }
+
   /** BM25 over the inverted index: score the SAME formula as `bm25`, but
     * per-query cost is bounded by the query terms' document frequencies —
     * the postings scan prunes to |terms| tokens (a partition-pruned read

@@ -260,6 +260,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     f.unpersist()
   }
 
+  test("lex index lifecycle: persisted-index bm25 equals in-memory; scan is partition-pruned") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-lexidx").toString
+    TextAnalysis.writeLexIndex(docs, tmp)
+    val terms = Seq("join", "hash")
+    val fromDisk = TextAnalysis.bm25IndexedAt(spark, tmp, terms)
+    val inMem = TextAnalysis.bm25Indexed(
+      TextAnalysis.postings(docs), TextAnalysis.docLengths(docs), terms)
+    assert(fromDisk.as[(Long, Int, Long, Long, Double)].collect().toSet ==
+      inMem.as[(Long, Int, Long, Long, Double)].collect().toSet)
+    // the bucket filter must reach the source as a partition filter
+    val plan = fromDisk.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("pbk"),
+      s"expected pbk partition pruning in:\n$plan")
+  }
+
   test("bm25Indexed: equals full-scan bm25 on its hit rows; miss terms contribute zero df") {
     val terms = Seq("join", "hash", "zzznoterm")
     val p = TextAnalysis.postings(docs)
