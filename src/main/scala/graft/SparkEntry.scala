@@ -757,7 +757,12 @@ object SparkEntry {
       graft.operators.EventAnalytics.topPaths(Tables.events(s, dir), 10)),
     // extension: hashing-trick featurizer (sha256-derived, oracle-checkable)
     "q121_feature_hash" -> ((s, dir) =>
-      TextAnalysis.hashFeatures(docs(s, dir), 256)))
+      TextAnalysis.hashFeatures(docs(s, dir), 256)),
+    // extension: Hilbert-curve zone maps — Z-order's better-locality twin
+    "q122_hilbert_zonemap" -> ((s, dir) =>
+      graft.operators.Layout.hZoneMap(
+        Tables.lineitem(s, dir).select("l_partkey", "l_suppkey"),
+        "l_partkey", "l_suppkey", bits = 16, bucketBits = 12)))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -1356,6 +1361,28 @@ SELECT doc_id,
   CAST((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) % 256 AS BIGINT) AS feature,
   count(*) AS n
 FROM u GROUP BY 1, 2"""
+    },
+    // Hilbert transform unrolled: one CTE per level, the same CASE
+    // arithmetic as Layout.withHilbert (flip-within-s rotation variant)
+    "q122_hilbert_zonemap" -> {
+      val bits = 16
+      val steps = ((bits - 1) to 0 by -1).map { i =>
+        val s = 1L << i; val ss = s * s; val lvl = bits - 1 - i
+        s"""h${lvl + 1} AS (SELECT l_partkey, l_suppkey,
+      CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN CAST($s AS BIGINT) - 1 - hy ELSE hy END) ELSE hx END AS hx,
+      CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN CAST($s AS BIGINT) - 1 - hx ELSE hx END) ELSE hy END AS hy,
+      hval + CAST($ss AS BIGINT) * (CASE WHEN rx = 0 AND ry = 0 THEN 0 WHEN rx = 0 THEN 1 WHEN ry = 0 THEN 3 ELSE 2 END) AS hval
+    FROM (SELECT *, CASE WHEN (hx & CAST($s AS BIGINT)) > 0 THEN 1 ELSE 0 END AS rx,
+                 CASE WHEN (hy & CAST($s AS BIGINT)) > 0 THEN 1 ELSE 0 END AS ry FROM h$lvl))"""
+      }.mkString(",\n  ")
+      s"""WITH h0 AS (SELECT l_partkey, l_suppkey,
+    CAST(l_partkey AS BIGINT) AS hx, CAST(l_suppkey AS BIGINT) AS hy,
+    CAST(0 AS BIGINT) AS hval FROM lineitem),
+  $steps
+SELECT hval // 4096 AS bucket, count(*) AS n_rows,
+  min(l_partkey) AS min_l_partkey, max(l_partkey) AS max_l_partkey,
+  min(l_suppkey) AS min_l_suppkey, max(l_suppkey) AS max_l_suppkey
+FROM h$bits GROUP BY 1"""
     },
     // Mirrors q28's stub decode arithmetic (Multimodal.decodeStub over the
     // UTF-8 bytes of text): deterministic byte math, SQL-expressible for

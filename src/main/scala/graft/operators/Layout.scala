@@ -49,6 +49,53 @@ object Layout {
       .repartitionByRange(numPartitions, col("zval"))
       .sortWithinPartitions("zval")
 
+  /** Hilbert curve index of two non-negative `bits`-bit integers — Z-order's
+    * better-locality sibling: consecutive Hilbert values are always
+    * Manhattan-adjacent cells (no Z-shaped jumps), so range reads along the
+    * curve touch tighter (a, b) boxes and zone maps prune harder. The
+    * classic bit transform (per level: quadrant digit (3*rx)^ry, then
+    * flip-within-s + swap rotation) unrolls into `bits` chained
+    * projections — Catalyst collapses them into one — and the SAME CASE
+    * arithmetic renders as the oracle's CTE chain, so the index is
+    * hash-checkable like every other layout op here (LayoutSpec proves the
+    * bijection + unit-step adjacency that define the curve). */
+  def withHilbert(df: DataFrame, a: String, b: String, bits: Int = 16): DataFrame = {
+    require(bits >= 1 && bits <= 31)
+    var cur = df
+      .withColumn("hx", expr(s"CAST($a AS BIGINT)"))
+      .withColumn("hy", expr(s"CAST($b AS BIGINT)"))
+      .withColumn("hval", lit(0L))
+    for (i <- (bits - 1) to 0 by -1) {
+      val s = 1L << i
+      cur = cur
+        .withColumn("rx", expr(s"CASE WHEN (hx & ${s}L) > 0 THEN 1 ELSE 0 END"))
+        .withColumn("ry", expr(s"CASE WHEN (hy & ${s}L) > 0 THEN 1 ELSE 0 END"))
+        .withColumn("hval", expr(s"hval + ${s}L * ${s}L * " +
+          "(CASE WHEN rx = 0 AND ry = 0 THEN 0 WHEN rx = 0 THEN 1 " +
+          "WHEN ry = 0 THEN 3 ELSE 2 END)"))
+        .withColumn("hx2", expr(
+          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s}L - 1 - hy ELSE hy END) ELSE hx END"))
+        .withColumn("hy2", expr(
+          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s}L - 1 - hx ELSE hx END) ELSE hy END"))
+        .withColumn("hx", col("hx2")).withColumn("hy", col("hy2"))
+        .drop("hx2", "hy2", "rx", "ry")
+    }
+    cur.drop("hx", "hy")
+  }
+
+  /** `zZoneMap`'s Hilbert twin: bucket envelope audit of the
+    * Hilbert-ordered space. */
+  def hZoneMap(df: DataFrame, a: String, b: String,
+               bits: Int = 16, bucketBits: Int = 12): DataFrame = {
+    require(bucketBits >= 1 && bucketBits <= 2 * bits)
+    withHilbert(df, a, b, bits)
+      .withColumn("bucket", expr(s"hval DIV ${1L << bucketBits}L"))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_rows"),
+        min(a).as(s"min_$a"), max(a).as(s"max_$a"),
+        min(b).as(s"min_$b"), max(b).as(s"max_$b"))
+  }
+
   /** Deterministic zone-map audit of a fixed-width z-bucket layout: one row
     * per occupied bucket (zval DIV 2^bucketBits) with row count and the
     * min/max envelope of both dimensions — exactly the statistics a scan

@@ -43,6 +43,37 @@ class LayoutSpec extends AnyFunSuite {
     }
   }
 
+  test("withHilbert: bijective on the grid; consecutive values are Manhattan-adjacent") {
+    val n = 8 // bits = 3
+    val grid = (for (x <- 0 until n; y <- 0 until n) yield (x.toLong, y.toLong))
+      .toDF("a", "b")
+    val h = Layout.withHilbert(grid, "a", "b", 3)
+      .select($"a", $"b", $"hval").as[(Long, Long, Long)].collect()
+    assert(h.map(_._3).sorted.toSeq == (0L until 64L)) // bijection 0..n^2-1
+    val byD = h.map(r => r._3 -> (r._1, r._2)).toMap
+    (0L until 63L).foreach { d =>
+      val (x1, y1) = byD(d); val (x2, y2) = byD(d + 1)
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"step $d -> ${d + 1} jumps") // the defining Hilbert property
+    }
+  }
+
+  test("hZoneMap: tighter envelopes than zZoneMap on average (the locality win)") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_partkey", "l_suppkey")
+    def meanArea(zones: Array[(Long, Long, Long, Long, Long, Long)]): Double =
+      zones.map { case (_, _, mnA, mxA, mnB, mxB) =>
+        (mxA - mnA + 1).toDouble * (mxB - mnB + 1)
+      }.sum / zones.length
+    val hz = Layout.hZoneMap(li, "l_partkey", "l_suppkey", 16, 12)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    val zz = Layout.zZoneMap(li, "l_partkey", "l_suppkey", 16, 12)
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    assert(hz.map(_._2).sum == li.count())
+    assert(meanArea(hz) <= meanArea(zz) * 1.1,
+      f"hilbert ${meanArea(hz)}%.0f vs z ${meanArea(zz)}%.0f")
+  }
+
   test("zZoneMap: envelopes cover all rows; box predicate skips most buckets") {
     val li = Tables.lineitem(spark, TestSpark.sf0001)
       .select("l_partkey", "l_suppkey")
