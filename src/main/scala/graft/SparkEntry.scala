@@ -762,7 +762,17 @@ object SparkEntry {
     "q122_hilbert_zonemap" -> ((s, dir) =>
       graft.operators.Layout.hZoneMap(
         Tables.lineitem(s, dir).select("l_partkey", "l_suppkey"),
-        "l_partkey", "l_suppkey", bits = 16, bucketBits = 12)))
+        "l_partkey", "l_suppkey", bits = 16, bucketBits = 12)),
+    // extension: bounded BFS hop distances from a seed set (blast radius)
+    "q123_bfs_hops" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val e = li.select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      val seeds = li.filter(col("l_partkey") <= 3)
+        .select(concat(lit("p"), col("l_partkey")).as("node")).distinct()
+      graft.operators.Graph.bfsHops(e, seeds, 3)
+    }))
 
   /** q78's fixture mixture: deliberately over-budget on src0 (exercises the
     * keep-everything cap) and asymmetric below it. Shared with the oracle
@@ -1383,6 +1393,22 @@ SELECT hval // 4096 AS bucket, count(*) AS n_rows,
   min(l_partkey) AS min_l_partkey, max(l_partkey) AS max_l_partkey,
   min(l_suppkey) AS min_l_suppkey, max(l_suppkey) AS max_l_suppkey
 FROM h$bits GROUP BY 1"""
+    },
+    // BFS unrolled 3 levels, mirroring Graph.bfsHops' frontier expansion
+    "q123_bfs_hops" -> {
+      def lvl(i: Int) =
+        s"""f$i AS (SELECT DISTINCT u.dst AS node FROM und u JOIN v${i - 1} v ON u.src = v.node
+       WHERE u.dst NOT IN (SELECT node FROM v${i - 1})),
+  v$i AS (SELECT node, hops FROM v${i - 1} UNION ALL SELECT node, CAST($i AS BIGINT) FROM f$i)"""
+      s"""WITH e0 AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+      's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+  und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+  v0 AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS node,
+      CAST(0 AS BIGINT) AS hops FROM lineitem WHERE l_partkey <= 3),
+  ${lvl(1)},
+  ${lvl(2)},
+  ${lvl(3)}
+SELECT node, hops FROM v3"""
     },
     // Mirrors q28's stub decode arithmetic (Multimodal.decodeStub over the
     // UTF-8 bytes of text): deterministic byte math, SQL-expressible for

@@ -58,6 +58,32 @@ object Graph {
     r.select(col("node"), col("deg"), col("r").as("rank_fx"))
   }
 
+  /** Bounded BFS: minimum hop distance from a seed set, up to `maxHops`
+    * levels — the "what's within k hops" traversal (supplier blast-radius,
+    * related-items expansion). Frontier-based: each level joins the
+    * CURRENT frontier (shrinking) to the edge list on a node key and
+    * anti-joins already-visited nodes, so per-level cost ~ frontier
+    * out-degree, never nodes x edges. Exact integer hops; the oracle is
+    * the same expansion unrolled (or a recursive CTE). */
+  def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3): DataFrame = {
+    require(maxHops >= 1 && maxHops <= 10)
+    val und = PlanCache.memo(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+    var visited = seeds.select(col("node")).distinct()
+      .withColumn("hops", lit(0L))
+    var frontier = visited
+    for (h <- 1 to maxHops) {
+      frontier = und
+        .join(frontier.select(col("node").as("src")).hint("SHUFFLE_HASH"), Seq("src"))
+        .select(col("dst").as("node")).distinct()
+        .join(visited.select("node").hint("SHUFFLE_HASH"), Seq("node"), "left_anti")
+        .withColumn("hops", lit(h.toLong))
+      visited = visited.unionByName(frontier)
+    }
+    visited
+  }
+
   /** Market-basket co-occurrence: the top-k item pairs by the number of
     * groups (orders, sessions, documents) containing both. The pair space
     * is generated per GROUP — a group-keyed self-equi-join whose fan-out is

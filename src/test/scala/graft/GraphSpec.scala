@@ -48,6 +48,18 @@ class GraphSpec extends AnyFunSuite {
     assert(got == Seq((10L, 20L, 3L), (10L, 30L, 1L), (20L, 30L, 1L)))
   }
 
+  test("bfsHops: min hop distances along a path; maxHops truncates the frontier") {
+    val edges = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e")).toDF("src", "dst")
+    val seeds = Seq("a").toDF("node")
+    val h = Graph.bfsHops(edges, seeds, 3)
+      .as[(String, Long)].collect().toMap
+    assert(h == Map("a" -> 0L, "b" -> 1L, "c" -> 2L, "d" -> 3L)) // e beyond maxHops
+    // undirected: seeding mid-path reaches both directions
+    val h2 = Graph.bfsHops(edges, Seq("c").toDF("node"), 2)
+      .as[(String, Long)].collect().toMap
+    assert(h2 == Map("c" -> 0L, "b" -> 1L, "d" -> 1L, "a" -> 2L, "e" -> 2L))
+  }
+
   test("associationRules: confidence and lift from hand-checked baskets") {
     // item 10 in baskets {1,2,3}; 20 in {1,2}; joint {1,2}
     val baskets = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L))
