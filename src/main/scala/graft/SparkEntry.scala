@@ -638,7 +638,7 @@ object SparkEntry {
     "q101_zorder_zonemap" -> ((s, dir) =>
       graft.operators.Layout.zZoneMap(
         Tables.lineitem(s, dir).select("l_partkey", "l_suppkey"),
-        "l_partkey", "l_suppkey", bits = 16, bucketBits = 12)),
+        "l_partkey", "l_suppkey", bits = 21, bucketBits = 12)),
     // extension: bloom-filter decontamination — corpus minus eval
     // fingerprints with the 100 TB side never shuffling; exact anti-join
     // semantics (the oracle IS the plain anti-join)
@@ -746,8 +746,8 @@ object SparkEntry {
     // extension: chi-square contingency audit (event_type x day-of-week)
     "q118_chisq" -> ((s, dir) =>
       graft.operators.TableStats.chiSquare(
-        Tables.events(s, dir).withColumn("dow",
-          expr("CAST(datediff(CAST(ts AS DATE), DATE '2024-01-01') AS BIGINT) % 7")),
+        Tables.events(s, dir).withColumn("dow", expr(
+          graft.operators.EventAnalytics.dayIdxSql("ts", "2024-01-01") + " % 7")),
         "event_type", "dow")),
     // extension: Markov transition matrix between consecutive user events
     "q119_transitions" -> ((s, dir) =>
@@ -762,7 +762,7 @@ object SparkEntry {
     "q122_hilbert_zonemap" -> ((s, dir) =>
       graft.operators.Layout.hZoneMap(
         Tables.lineitem(s, dir).select("l_partkey", "l_suppkey"),
-        "l_partkey", "l_suppkey", bits = 16, bucketBits = 12)),
+        "l_partkey", "l_suppkey", bits = 21, bucketBits = 12)),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -1375,7 +1375,7 @@ FROM u GROUP BY 1, 2"""
     // Hilbert transform unrolled: one CTE per level, the same CASE
     // arithmetic as Layout.withHilbert (flip-within-s rotation variant)
     "q122_hilbert_zonemap" -> {
-      val bits = 16
+      val bits = 21
       val steps = ((bits - 1) to 0 by -1).map { i =>
         val s = 1L << i; val ss = s * s; val lvl = bits - 1 - i
         s"""h${lvl + 1} AS (SELECT l_partkey, l_suppkey,
@@ -1386,7 +1386,8 @@ FROM u GROUP BY 1, 2"""
                  CASE WHEN (hy & CAST($s AS BIGINT)) > 0 THEN 1 ELSE 0 END AS ry FROM h$lvl))"""
       }.mkString(",\n  ")
       s"""WITH h0 AS (SELECT l_partkey, l_suppkey,
-    CAST(l_partkey AS BIGINT) AS hx, CAST(l_suppkey AS BIGINT) AS hy,
+    CAST(l_partkey AS BIGINT) & ${(1L << bits) - 1} AS hx,
+    CAST(l_suppkey AS BIGINT) & ${(1L << bits) - 1} AS hy,
     CAST(0 AS BIGINT) AS hval FROM lineitem),
   $steps
 SELECT hval // 4096 AS bucket, count(*) AS n_rows,
@@ -2100,7 +2101,7 @@ FROM o JOIN fx USING (w1, w2) GROUP BY o.doc_id""",
     FROM scored)
 SELECT cls AS lang, token, tf, score, "rank" FROM r WHERE "rank" <= 5""",
     "q101_zorder_zonemap" -> {
-      val terms = (0 until 16).flatMap(i => Seq(
+      val terms = (0 until 21).flatMap(i => Seq(
         s"((l_partkey >> $i) & 1) * ${1L << (2 * i)}",
         s"((l_suppkey >> $i) & 1) * ${1L << (2 * i + 1)}"))
       s"""WITH z AS (SELECT l_partkey, l_suppkey,

@@ -18,6 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object EventAnalytics {
 
+  /** Integer day index relative to `anchor` — THE calendar convention every
+    * operator (and oracle) here shares: days-since-anchor, floor semantics.
+    * Engine-neutral where dayofweek()/week() origins are not. */
+  def dayIdxSql(tsCol: String, anchor: String): String =
+    s"CAST(datediff(CAST($tsCol AS DATE), DATE '$anchor') AS BIGINT)"
+
+  /** Integer week index relative to `anchor` (dayIdx DIV-by-7, floored). */
+  def weekIdxSql(tsCol: String, anchor: String): String =
+    s"CAST(floor(${dayIdxSql(tsCol, anchor)} / 7.0) AS BIGINT)"
+
   /** Ordered-step funnel: for each user, the earliest time they completed
     * step i strictly after completing step i-1 (the classic product-funnel
     * semantics — re-orderings don't count). Long-form output: one row per
@@ -57,8 +67,7 @@ object EventAnalytics {
     * would need a sort-merge.
     */
   def retentionCohorts(events: DataFrame, anchor: String = "2024-01-01"): DataFrame = {
-    val week = (c: String) =>
-      expr(s"CAST(floor(datediff(CAST($c AS DATE), DATE '$anchor') / 7.0) AS BIGINT)")
+    val week = (c: String) => expr(weekIdxSql(c, anchor))
     val firstSeen = events.groupBy("user_id").agg(min("ts").as("first_ts"))
       .select(col("user_id"), week("first_ts").as("cohort_week"))
     events.select(col("user_id"), week("ts").as("w"))
@@ -81,8 +90,7 @@ object EventAnalytics {
     * millions of events, because counts were pre-aggregated first.
     */
   def gapFillDaily(events: DataFrame, anchor: String = "2024-01-01"): DataFrame = {
-    val dayIdx = (c: String) =>
-      expr(s"CAST(datediff(CAST($c AS DATE), DATE '$anchor') AS BIGINT)")
+    val dayIdx = (c: String) => expr(dayIdxSql(c, anchor))
     val counts = events
       .select(col("user_id"), dayIdx("ts").as("day_idx"))
       .groupBy("user_id", "day_idx").agg(count(lit(1)).as("n"))
@@ -135,8 +143,7 @@ object EventAnalytics {
     * `Sampling.selectByTokenBudget` bounded-window argument; partitionBy
     * (lit) keeps WindowExec off its warning path). */
   def dailyActiveUsers(events: DataFrame, anchor: String = "2024-01-01"): DataFrame = {
-    val e = events.select(col("user_id"),
-      expr(s"CAST(datediff(CAST(ts AS DATE), DATE '$anchor') AS BIGINT)").as("d"))
+    val e = events.select(col("user_id"), expr(dayIdxSql("ts", anchor)).as("d"))
     val daily = e.groupBy("d")
       .agg(count(lit(1)).as("n_events"), countDistinct("user_id").as("n_users"))
     val nu = e.groupBy("user_id").agg(min("d").as("d"))
@@ -193,7 +200,13 @@ object EventAnalytics {
     * no interval and is excluded (the standard right-open convention).
     * Both the weights (micros) and the values (cents) are exact integers;
     * the single closing division is one shared double expression, so the
-    * result hash-checks. One user-keyed window + one user-keyed aggregate. */
+    * result hash-checks. One user-keyed window + one user-keyed aggregate.
+    *
+    * Overflow bound (the zscoreOutliers contract style): sum(cents x
+    * dt_us) <= max_cents x user_span_us, so a long holds while
+    * max_value_dollars x span_years < ~3,200 (e.g. $1000 values over a
+    * 3-year horizon). Past that, coarsen the weight unit (dt_us DIV 1000
+    * on BOTH engines), not the value scale. */
   def timeWeightedAvg(events: DataFrame): DataFrame = {
     val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
     events

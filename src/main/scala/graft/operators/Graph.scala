@@ -21,6 +21,14 @@ object Graph {
 
   val Scale: Long = 1L << 30
 
+  /** Symmetrized, deduplicated edge list — the undirected-graph input both
+    * traversals consume; memoized because every iteration's lineage
+    * references it. */
+  private def undirected(edges: DataFrame): DataFrame =
+    PlanCache.memo(edges.select(col("src"), col("dst"))
+      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct())
+
   /** Undirected fixed-point PageRank: symmetrize + dedupe the edge list,
     * then `iters` rounds of r' = 0.15 + 0.85 * sum(r_neighbor / deg).
     * Returns (node, deg, rank_fx) with rank_fx in 2^30 fixed point.
@@ -35,9 +43,7 @@ object Graph {
     // memoized (MEMORY_ONLY, PlanCache lifecycle): every iteration's lineage
     // references the symmetrized edge list and the degree table — without
     // the persist, iteration i re-derives both i times from the raw input
-    val und = PlanCache.memo(edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
+    val und = undirected(edges)
     val deg = PlanCache.memo(und.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg")))
     var r = deg.select(col("node"), col("deg"), lit(Scale).as("r"))
@@ -67,19 +73,22 @@ object Graph {
     * the same expansion unrolled (or a recursive CTE). */
   def bfsHops(edges: DataFrame, seeds: DataFrame, maxHops: Int = 3): DataFrame = {
     require(maxHops >= 1 && maxHops <= 10)
-    val und = PlanCache.memo(edges.select(col("src"), col("dst"))
-      .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
-    var visited = seeds.select(col("node")).distinct()
-      .withColumn("hops", lit(0L))
+    val und = undirected(edges)
+    // each level is memoized: frontier(h) feeds BOTH the next expansion and
+    // the visited union, and visited(h) feeds both the anti-join and the
+    // final result — without the persist the plan tree doubles per level
+    // (2^maxHops subtrees at the cap), exactly the lineage blowup the
+    // duplicate-cluster iteration documents
+    var visited = PlanCache.memo(seeds.select(col("node")).distinct()
+      .withColumn("hops", lit(0L)))
     var frontier = visited
     for (h <- 1 to maxHops) {
-      frontier = und
+      frontier = PlanCache.memo(und
         .join(frontier.select(col("node").as("src")).hint("SHUFFLE_HASH"), Seq("src"))
         .select(col("dst").as("node")).distinct()
         .join(visited.select("node").hint("SHUFFLE_HASH"), Seq("node"), "left_anti")
-        .withColumn("hops", lit(h.toLong))
-      visited = visited.unionByName(frontier)
+        .withColumn("hops", lit(h.toLong)))
+      visited = PlanCache.memo(visited.unionByName(frontier))
     }
     visited
   }
@@ -115,7 +124,10 @@ object Graph {
   def associationRules(df: DataFrame, groupCol: String, itemCol: String,
                        minSupport: Long = 2): DataFrame = {
     require(minSupport >= 1)
-    val items = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+    // memoized: the distinct item table feeds the marginals, the total,
+    // and both sides of the pair join — four scans of the input otherwise
+    val items = PlanCache.memo(
+      df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct())
     val itemN = items.groupBy("item").agg(count(lit(1)).as("n_item"))
     val total = items.select(countDistinct("g").as("n_total"))
     val pairs = items.as("a").join(items.hint("SHUFFLE_HASH").as("b"),

@@ -24,7 +24,15 @@ object Layout {
 
   /** Spark SQL expression for the Morton code of the low `bits` bits of two
     * non-negative integer columns: a's bit i lands at position 2i, b's at
-    * 2i+1. Flat +-chain of disjoint bit terms — whole-stage-codegen'd. */
+    * 2i+1. Flat +-chain of disjoint bit terms — whole-stage-codegen'd.
+    *
+    * Coordinate contract (both curves): the caller picks `bits` to cover
+    * max(a, b) — values are masked to the low `bits` bits so the transforms
+    * stay well-defined, but out-of-range keys then COLLIDE with faraway
+    * cells and the zone-map envelopes widen until skipping stops paying
+    * (the stats remain correct; the locality does not). Size bits for the
+    * key range at target scale — the fixture queries use 21 (2M keys),
+    * not the minimal 16 that sf0.1 alone would need. */
   def zValueSql(a: String, b: String, bits: Int = 16): String = {
     require(bits >= 1 && bits <= 31, "bits must be in [1, 31]")
     (0 until bits).flatMap { i =>
@@ -61,9 +69,13 @@ object Layout {
     * bijection + unit-step adjacency that define the curve). */
   def withHilbert(df: DataFrame, a: String, b: String, bits: Int = 16): DataFrame = {
     require(bits >= 1 && bits <= 31)
+    // mask into [0, 2^bits): an out-of-range coordinate would otherwise
+    // leave the flip step producing values outside the level's quadrant
+    // and break the bijection (see the coordinate contract on zValueSql)
+    val mask = (1L << bits) - 1
     var cur = df
-      .withColumn("hx", expr(s"CAST($a AS BIGINT)"))
-      .withColumn("hy", expr(s"CAST($b AS BIGINT)"))
+      .withColumn("hx", expr(s"CAST($a AS BIGINT) & ${mask}L"))
+      .withColumn("hy", expr(s"CAST($b AS BIGINT) & ${mask}L"))
       .withColumn("hval", lit(0L))
     for (i <- (bits - 1) to 0 by -1) {
       val s = 1L << i

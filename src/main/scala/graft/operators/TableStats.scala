@@ -41,15 +41,21 @@ object TableStats {
 
   // ------------------------------------------------------ data-quality audit
 
-  /** Rows of `child` whose `childKey` has no match in `parent.parentKey` —
-    * the referential-integrity violation set. Anti-join against the
-    * distinct key list: the build side is bounded by parent-key
-    * cardinality, so Spark broadcasts it long before size forces a
-    * shuffle. */
+  /** Rows of `child` whose NON-NULL `childKey` has no match in
+    * `parent.parentKey` — the referential-integrity violation set. NULL
+    * keys are excluded by definition (count them with their own null-rule,
+    * as q105 does): this also keeps the operator's semantics aligned with
+    * the `NOT IN` form a SQL oracle writes, where a NULL child key is
+    * silently dropped rather than counted as an orphan (left_anti alone
+    * would KEEP it — the one row the two phrasings disagree on). Anti-join
+    * against the distinct key list: the build side is bounded by
+    * parent-key cardinality, so Spark broadcasts it long before size
+    * forces a shuffle. */
   def orphans(child: DataFrame, childKey: String,
               parent: DataFrame, parentKey: String): DataFrame =
-    child.join(parent.select(col(parentKey).as(childKey)).distinct(),
-      Seq(childKey), "left_anti")
+    child.filter(col(childKey).isNotNull)
+      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+        Seq(childKey), "left_anti")
 
   /** Key values appearing more than once — primary-key violations. */
   def duplicateKeys(df: DataFrame, key: String): DataFrame =
@@ -109,8 +115,10 @@ object TableStats {
     * Shape: one (a, b) aggregate; marginals derived from it (tiny) and
     * broadcast back. Output cardinality = |a| x |b| cells. */
   def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
-      .agg(count(lit(1)).as("o"))
+    // memoized: the cell table feeds both marginals, the total, and the
+    // output join — four input scans otherwise (PlanCache lifecycle)
+    val cells = PlanCache.memo(df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o")))
     val rowT = cells.groupBy("a").agg(sum("o").as("ra"))
     val colT = cells.groupBy("b").agg(sum("o").as("cb"))
     val total = cells.agg(sum("o").as("n"))

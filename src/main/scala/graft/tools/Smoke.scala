@@ -140,7 +140,8 @@ object Smoke {
         org.apache.spark.sql.functions.concat(
           org.apache.spark.sql.functions.lit("s"),
           org.apache.spark.sql.functions.col("l_suppkey")).as("dst")).distinct(), 3)
-      .orderBy(org.apache.spark.sql.functions.desc("rank_fx")).limit(3)
+      .orderBy(org.apache.spark.sql.functions.desc("rank_fx"),
+        org.apache.spark.sql.functions.asc("node")).limit(3)
       .collect().map(r => r.getString(0)).mkString(",")
     println(s"== pagerank top-3 nodes: $pr")
     println(s"== postings: ${TextAnalysis.postings(docsAll).count()} entries; " +
