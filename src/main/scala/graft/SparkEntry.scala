@@ -763,6 +763,9 @@ object SparkEntry {
       graft.operators.Layout.hZoneMap(
         Tables.lineitem(s, dir).select("l_partkey", "l_suppkey"),
         "l_partkey", "l_suppkey", bits = 21, bucketBits = 12)),
+    // extension: exact phrase search over the positional inverted index
+    "q124_phrase_search" -> ((s, dir) =>
+      TextAnalysis.phraseSearch(docs(s, dir), Seq("table", "hash"))),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -1411,6 +1414,18 @@ FROM h$bits GROUP BY 1"""
   ${lvl(3)}
 SELECT node, hops FROM v3"""
     },
+    // Phrase adjacency: 1-based DuckDB list positions; the (pos - i) chain
+    // mirrors TextAnalysis.phraseSearch
+    "q124_phrase_search" ->
+      s"""WITH $dkTok,
+  pp0 AS (SELECT doc_id, unnest(list_transform(range(1, len(toks) + 1),
+            p -> struct_pack(pos := p - 1, tok := toks[p]))) AS e FROM tok),
+  pp AS (SELECT doc_id, e.pos AS pos, e.tok AS token FROM pp0),
+  t0 AS (SELECT doc_id, pos FROM pp WHERE token = 'table'),
+  t1 AS (SELECT doc_id, pos - 1 AS pos FROM pp WHERE token = 'hash')
+SELECT t0.doc_id, count(*) AS n_occurrences
+FROM t0 JOIN t1 ON t0.doc_id = t1.doc_id AND t0.pos = t1.pos
+GROUP BY t0.doc_id""",
     // Mirrors q28's stub decode arithmetic (Multimodal.decodeStub over the
     // UTF-8 bytes of text): deterministic byte math, SQL-expressible for
     // the ASCII corpus (char length == byte length, ord == byte value).

@@ -207,6 +207,35 @@ object TextAnalysis {
   def docLengths(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), expr(s"size($tokensExpr)").as("dl"))
 
+  /** Positional inverted index: (token, doc_id, pos) — the structure phrase
+    * and proximity queries need, where the plain `postings` table can only
+    * answer bag-of-words. One posexplode; persist bucketed by token like
+    * `writeLexIndex` when a corpus outgrows recomputation. */
+  def positionalPostings(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), posexplode(expr(tokensExpr)).as(Seq("pos", "token")))
+
+  /** Exact phrase search over the positional index: occurrences of the
+    * consecutive token sequence `phrase`, counted per document. The classic
+    * adjacency chain — the i-th term's postings join the first term's on
+    * (doc_id, pos + i) — so per-query cost is bounded by the RAREST term's
+    * postings after Catalyst reorders the n-1 equi-joins, never a corpus
+    * scan (and never a regex over text, which could not use an index).
+    * Deterministic integers end-to-end. */
+  def phraseSearch(docs: DataFrame, phrase: Seq[String]): DataFrame = {
+    require(phrase.size >= 2, "a phrase needs at least two tokens")
+    require(phrase.forall(_.nonEmpty))
+    val pp = positionalPostings(docs)
+    val base = pp.filter(col("token") === phrase.head)
+      .select(col("doc_id"), col("pos"))
+    phrase.tail.zipWithIndex.foldLeft(base) { case (acc, (t, i)) =>
+      acc.join(
+        pp.filter(col("token") === t)
+          .select(col("doc_id"), (col("pos") - (i + 1)).as("pos")),
+        Seq("doc_id", "pos"))
+    }
+      .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
+  }
+
   /** Sha-derived partition bucket for a token — the persisted-postings
     * layout key. 64 buckets: few enough directories for any filesystem,
     * many enough that a 3-term query prunes ~95% of the index bytes. */

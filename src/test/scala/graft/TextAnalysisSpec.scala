@@ -260,6 +260,24 @@ class TextAnalysisSpec extends AnyFunSuite {
     f.unpersist()
   }
 
+  test("phraseSearch: consecutive-only matches, overlapping occurrences counted, 3-gram chain") {
+    val crafted = Seq(
+      (1L, "the quick brown fox"),
+      (2L, "quick the brown"),       // words present, order wrong
+      (3L, "a the quick b the quick"), // two occurrences
+      (4L, "a a a")                  // overlapping self-phrase
+    ).toDF("doc_id", "text")
+    val two = TextAnalysis.phraseSearch(crafted, Seq("the", "quick"))
+      .as[(Long, Long)].collect().toMap
+    assert(two == Map(1L -> 1L, 3L -> 2L))
+    val three = TextAnalysis.phraseSearch(crafted, Seq("the", "quick", "brown"))
+      .as[(Long, Long)].collect().toMap
+    assert(three == Map(1L -> 1L))
+    val overlap = TextAnalysis.phraseSearch(crafted, Seq("a", "a"))
+      .as[(Long, Long)].collect().toMap
+    assert(overlap == Map(4L -> 2L)) // positions 0-1 and 1-2
+  }
+
   test("lex index lifecycle: persisted-index bm25 equals in-memory; scan is partition-pruned") {
     val tmp = java.nio.file.Files.createTempDirectory("graft-lexidx").toString
     TextAnalysis.writeLexIndex(docs, tmp)
