@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{ByteDot, ChunkText, CosineSimilarity, HashEmbed, MinGramHash, MinHashSig, RandProjBuckets, SignSketch, SimHash, WordShingles}
+import graft.functions.{ByteDot, ChunkText, CosineSimilarity, HashEmbed, HilbertIndex, MinGramHash, MinHashSig, RandProjBuckets, SignSketch, SimHash, WordShingles}
 
 /** Column-API + SQL-registry surface for the custom Catalyst expressions.
   *
@@ -52,6 +52,10 @@ object GraftFunctions {
     * binary-quantization sketch (Similarity extension). */
   def sign_sketch(embedding: Column, numBits: Int = 63): Column =
     col(SignSketch(ex(embedding), numBits))
+
+  /** Hilbert curve index of two integral columns (Layout extension). */
+  def hilbert_index(a: Column, b: Column, bits: Int = 16): Column =
+    col(HilbertIndex(ex(a), ex(b), bits))
 
   /** Min-SHA-256-over-grams document fingerprint (TextAnalysis extension). */
   def min_gram_hash(text: Column, gram: Int = 8): Column =

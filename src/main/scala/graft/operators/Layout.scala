@@ -62,38 +62,18 @@ object Layout {
     * Manhattan-adjacent cells (no Z-shaped jumps), so range reads along the
     * curve touch tighter (a, b) boxes and zone maps prune harder. The
     * classic bit transform (per level: quadrant digit (3*rx)^ry, then
-    * flip-within-s + swap rotation) unrolls into `bits` chained
-    * projections — Catalyst collapses them into one — and the SAME CASE
-    * arithmetic renders as the oracle's CTE chain, so the index is
+    * flip-within-s + swap rotation) runs as one codegen'd custom
+    * expression (`functions.HilbertIndex`), and the SAME arithmetic
+    * renders as the oracle's unrolled CTE chain, so the index is
     * hash-checkable like every other layout op here (LayoutSpec proves the
     * bijection + unit-step adjacency that define the curve). */
-  def withHilbert(df: DataFrame, a: String, b: String, bits: Int = 16): DataFrame = {
-    require(bits >= 1 && bits <= 31)
-    // mask into [0, 2^bits): an out-of-range coordinate would otherwise
-    // leave the flip step producing values outside the level's quadrant
-    // and break the bijection (see the coordinate contract on zValueSql)
-    val mask = (1L << bits) - 1
-    var cur = df
-      .withColumn("hx", expr(s"CAST($a AS BIGINT) & ${mask}L"))
-      .withColumn("hy", expr(s"CAST($b AS BIGINT) & ${mask}L"))
-      .withColumn("hval", lit(0L))
-    for (i <- (bits - 1) to 0 by -1) {
-      val s = 1L << i
-      cur = cur
-        .withColumn("rx", expr(s"CASE WHEN (hx & ${s}L) > 0 THEN 1 ELSE 0 END"))
-        .withColumn("ry", expr(s"CASE WHEN (hy & ${s}L) > 0 THEN 1 ELSE 0 END"))
-        .withColumn("hval", expr(s"hval + ${s}L * ${s}L * " +
-          "(CASE WHEN rx = 0 AND ry = 0 THEN 0 WHEN rx = 0 THEN 1 " +
-          "WHEN ry = 0 THEN 3 ELSE 2 END)"))
-        .withColumn("hx2", expr(
-          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s}L - 1 - hy ELSE hy END) ELSE hx END"))
-        .withColumn("hy2", expr(
-          s"CASE WHEN ry = 0 THEN (CASE WHEN rx = 1 THEN ${s}L - 1 - hx ELSE hx END) ELSE hy END"))
-        .withColumn("hx", col("hx2")).withColumn("hy", col("hy2"))
-        .drop("hx2", "hy2", "rx", "ry")
-    }
-    cur.drop("hx", "hy")
-  }
+  def withHilbert(df: DataFrame, a: String, b: String, bits: Int = 16): DataFrame =
+    // a codegen'd custom expression, not chained projections: the unrolled
+    // form's per-level (hx, hy) substitutions doubled the collapsed
+    // expression tree per level (6.4 s at bits=21, nearly all of it
+    // analysis/codegen); the expression is O(bits) work, O(1) tree
+    df.withColumn("hval",
+      graft.GraftFunctions.hilbert_index(col(a).cast("long"), col(b).cast("long"), bits))
 
   /** `zZoneMap`'s Hilbert twin: bucket envelope audit of the
     * Hilbert-ordered space. */
