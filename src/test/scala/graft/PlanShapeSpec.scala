@@ -89,6 +89,13 @@ class PlanShapeSpec extends AnyFunSuite {
       assert(!p.contains("Window"), s"$q should not rank via WindowExec:\n$p")
       assert(p.contains("GroupedTopK"), s"$q should rank via GroupedTopKExec:\n$p")
     }
+    // the round-5 per-stratum rankers route through the same operator
+    for (q <- Seq("q100_class_topics", "q103_weighted_sample",
+        "q116_ann_multiprobe")) {
+      val p = planOf(q)
+      assert(!p.contains("Window"), s"$q should not rank via WindowExec:\n$p")
+      assert(p.contains("GroupedTopK"), s"$q should rank via GroupedTopKExec:\n$p")
+    }
   }
 
   test("join-bearing queries: no SortMergeJoin or CartesianProduct in final plans") {
