@@ -766,6 +766,23 @@ object SparkEntry {
     // extension: exact phrase search over the positional inverted index
     "q124_phrase_search" -> ((s, dir) =>
       TextAnalysis.phraseSearch(docs(s, dir), Seq("table", "hash"))),
+    // extension: incremental rollup maintenance — merge a late-arriving
+    // delta into the standing per-(type, day) aggregate; must EQUAL the
+    // full recompute (that is the oracle)
+    "q125_inc_rollup" -> ((s, dir) => {
+      val ea = graft.operators.EventAnalytics
+      val ev = Tables.events(s, dir)
+        .withColumn("d", expr(ea.dayIdxSql("ts", "2024-01-01")))
+        .select(col("event_type"), col("d"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      def rollup(df: org.apache.spark.sql.DataFrame) = df
+        .groupBy("event_type", "d")
+        .agg(count(lit(1)).as("n"), sum("cents").as("sum_cents"))
+      graft.operators.TableStats.mergeRollup(
+        rollup(ev.filter(col("d") < 20)),   // the standing aggregate
+        rollup(ev.filter(col("d") >= 20)),  // the arriving delta
+        Seq("event_type", "d"), Seq("n", "sum_cents"))
+    }),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -1426,6 +1443,14 @@ SELECT node, hops FROM v3"""
 SELECT t0.doc_id, count(*) AS n_occurrences
 FROM t0 JOIN t1 ON t0.doc_id = t1.doc_id AND t0.pos = t1.pos
 GROUP BY t0.doc_id""",
+    // The incremental merge must equal the full recompute — so the oracle
+    // IS the full recompute
+    "q125_inc_rollup" ->
+      """SELECT event_type,
+  CAST(date_diff('day', DATE '2024-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS d,
+  count(*) AS n,
+  CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+FROM events GROUP BY 1, 2""",
     // Mirrors q28's stub decode arithmetic (Multimodal.decodeStub over the
     // UTF-8 bytes of text): deterministic byte math, SQL-expressible for
     // the ASCII corpus (char length == byte length, ord == byte value).

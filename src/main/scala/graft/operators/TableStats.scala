@@ -75,6 +75,30 @@ object TableStats {
     }.reduce(_ unionByName _)
   }
 
+  /** Incremental rollup maintenance: merge a delta batch into an existing
+    * additive aggregate table WITHOUT rescanning history — the materialized
+    * -view refresh every warehouse runs on arrival. Works for any algebraic
+    * aggregate whose merge is a sum (counts, sums, fixed-point moments);
+    * min/max merge the same way via their own combiners. The merged table
+    * EQUALS the full recompute over base-inputs + delta-inputs (q125's
+    * oracle states exactly that), because sum-merge is associative — the
+    * same property Spark's own partial aggregation relies on.
+    *
+    * Shape: aggregate ONLY the delta (small), then one key-grouped merge of
+    * two agg tables whose size is bounded by key cardinality, not history
+    * row count. Persist partitioned by a key column and the write is a
+    * touched-partition dynamic overwrite (the `Engine.writeIndex`
+    * machinery). */
+  def mergeRollup(baseAgg: DataFrame, deltaAgg: DataFrame,
+                  keyCols: Seq[String], sumCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty && sumCols.nonEmpty)
+    baseAgg.select((keyCols ++ sumCols).map(col): _*)
+      .unionByName(deltaAgg.select((keyCols ++ sumCols).map(col): _*))
+      .groupBy(keyCols.map(col): _*)
+      .agg(sum(sumCols.head).as(sumCols.head),
+        sumCols.tail.map(c => sum(c).as(c)): _*)
+  }
+
   /** Fixed-width histogram of a numeric expression: bin = floor((x - lo) /
     * width), one count per occupied bin (empty bins are absent — join a
     * `sequence` spine if a dense axis is needed, the `gapFillDaily` move).

@@ -76,6 +76,14 @@ class TableStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("mergeRollup: delta merge equals full recompute; disjoint and overlapping keys") {
+    val base = Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("k", "n", "s")
+    val delta = Seq(("a", 3L, 30L), ("c", 4L, 40L)).toDF("k", "n", "s")
+    val merged = TableStats.mergeRollup(base, delta, Seq("k"), Seq("n", "s"))
+      .as[(String, Long, Long)].collect().toSet
+    assert(merged == Set(("a", 4L, 40L), ("b", 2L, 20L), ("c", 4L, 40L)))
+  }
+
   test("chiSquare: independent table has zero cells; marginals reproduce expectations") {
     // perfectly independent 2x2: every cell o == expected -> chi2 0
     val indep = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L))
