@@ -766,6 +766,21 @@ object SparkEntry {
     // extension: exact phrase search over the positional inverted index
     "q124_phrase_search" -> ((s, dir) =>
       TextAnalysis.phraseSearch(docs(s, dir), Seq("table", "hash"))),
+    // extension synthesis: time-to-convert — funnel step-1 -> step-3 delay
+    // percentiles (exact, integer seconds); funnel + percentilesBy composed
+    "q126_time_to_convert" -> ((s, dir) => {
+      val f = graft.operators.EventAnalytics.funnel(
+        Tables.events(s, dir), Seq("view", "click", "purchase"))
+      val t1 = f.filter(col("step") === 1)
+        .select(col("user_id"), col("step_ts").as("t1"))
+      val t3 = f.filter(col("step") === 3)
+        .select(col("user_id"), col("step_ts").as("t3"))
+      graft.operators.TableStats.percentilesBy(
+        t1.join(t3, Seq("user_id"))
+          .select(lit("all").as("cohort"),
+            expr("unix_micros(t3) - unix_micros(t1)").as("delay_us")),
+        "cohort", "delay_us")
+    }),
     // extension: incremental rollup maintenance — merge a late-arriving
     // delta into the standing per-(type, day) aggregate; must EQUAL the
     // full recompute (that is the oracle)
@@ -1443,6 +1458,21 @@ SELECT node, hops FROM v3"""
 SELECT t0.doc_id, count(*) AS n_occurrences
 FROM t0 JOIN t1 ON t0.doc_id = t1.doc_id AND t0.pos = t1.pos
 GROUP BY t0.doc_id""",
+    // q92's funnel CTEs + exact interpolated quantiles of the step1->step3
+    // delay in integer micros
+    "q126_time_to_convert" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+  s1 AS (SELECT user_id, min(t) AS t FROM e WHERE event_type = 'view' GROUP BY user_id),
+  s2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s1 USING (user_id)
+         WHERE e.event_type = 'click' AND e.t > s1.t GROUP BY e.user_id),
+  s3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN s2 USING (user_id)
+         WHERE e.event_type = 'purchase' AND e.t > s2.t GROUP BY e.user_id),
+  d AS (SELECT epoch_us(s3.t) - epoch_us(s1.t) AS delay_us
+        FROM s1 JOIN s3 USING (user_id))
+SELECT 'all' AS cohort,
+  quantile_cont(delay_us, 0.25) AS p25, quantile_cont(delay_us, 0.5) AS p50,
+  quantile_cont(delay_us, 0.75) AS p75, quantile_cont(delay_us, 0.9) AS p90
+FROM d""",
     // The incremental merge must equal the full recompute — so the oracle
     // IS the full recompute
     "q125_inc_rollup" ->
