@@ -56,6 +56,10 @@ object Bench {
     // entry, <1300 chars at 100 queries); the qNN->full-name mapping is
     // unambiguous and the diag line above carries full names per rep.
     val shortKey = (k: String) => k.split("_")(0)
+    // two query names sharing a qNN prefix would silently emit duplicate
+    // JSON keys and the driver's parse would keep only one — fail loudly
+    val dupKeys = results.keys.groupBy(shortKey).filter(_._2.size > 1)
+    require(dupKeys.isEmpty, s"non-unique bench keys: $dupKeys")
     val qs = results.map { case (k, (v, _)) => s"\"" + shortKey(k) + "\":" + f"$v%.2f" }
       .mkString("{", ",", "}")
     // per-rep times per query: a contaminated run shows as wide rep spreads

@@ -2242,7 +2242,7 @@ UNION ALL SELECT 'orders_null_custkey', count(*)
   daily AS (SELECT d, count(*) AS n_events, count(DISTINCT user_id) AS n_users FROM e GROUP BY 1),
   nu AS (SELECT d, count(*) AS n_new FROM (SELECT user_id, min(d) AS d FROM e GROUP BY 1) GROUP BY 1)
 SELECT daily.d AS day_idx, n_events, n_users, COALESCE(n_new, 0) AS n_new_users,
-  sum(COALESCE(n_new, 0)) OVER (ORDER BY daily.d ROWS UNBOUNDED PRECEDING) AS cum_users
+  CAST(sum(COALESCE(n_new, 0)) OVER (ORDER BY daily.d ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_users
 FROM daily LEFT JOIN nu ON daily.d = nu.d""",
     "q107_histogram" ->
       """SELECT CAST(floor(((value) - 0.0) / 25.0) AS BIGINT) AS bin, count(*) AS n

@@ -66,8 +66,10 @@ object Sampling {
                              keyExpr: String = "concat('strat:', cast(doc_id AS string))"): DataFrame = {
     require((fractions.values ++ Seq(default)).forall(f => f >= 0.0 && f <= 1.0),
       "fractions must be in [0, 1]")
+    // SQL-escape stratum literals (doubled single quotes) — same guard as
+    // sampleToMixture; a quote in a stratum name must not break the CASE
     val caseExpr = fractions.toSeq.sortBy(_._1).map { case (k, f) =>
-      s"WHEN $stratumCol = '$k' THEN ${math.round(f * 10000)}"
+      s"WHEN $stratumCol = '${k.replace("'", "''")}' THEN ${math.round(f * 10000)}"
     }.mkString("CASE ", " ", s" ELSE ${math.round(default * 10000)} END")
     docs.withColumn("__b", expr(bucketExpr(keyExpr)))
       .filter(expr(s"__b < $caseExpr")).drop("__b")
@@ -128,15 +130,21 @@ object Sampling {
       "need non-negative weights and a positive budget")
     val sumW = weights.map(_._2).sum
     require(sumW > 0.0, "weights must not all be zero")
+    // null strata can't carry a weight (weights are non-null strings), so
+    // they fall through to the ELSE 0 arm; toString tolerates non-string
+    // stratum columns (the literal comparison below then relies on Spark's
+    // implicit cast, same as the oracle SQL).
     val counts = docs.groupBy(stratumCol).count().collect()
-      .map(r => r.getString(0) -> r.getLong(1)).toMap
+      .flatMap(r => Option(r.get(0)).map(_.toString -> r.getLong(1))).toMap
     val thresholds = weights.map { case (st, w) =>
       val n = counts.getOrElse(st, 0L)
       val frac = if (n == 0L) 0.0 else math.min(1.0, ((w / sumW) * budget) / n)
       st -> math.floor(frac * 10000 + 0.5).toLong
     }
+    // SQL-escape the stratum literal (doubled single quotes) — a quote in a
+    // domain name must not break or rewrite the generated CASE
     val caseExpr = thresholds.map { case (st, t) =>
-      s"WHEN $stratumCol = '$st' THEN ${t}L"
+      s"WHEN $stratumCol = '${st.replace("'", "''")}' THEN ${t}L"
     }.mkString("CASE ", " ", " ELSE 0L END")
     docs.withColumn("__b", expr(bucketExpr(keyExpr)))
       .filter(expr(s"__b < $caseExpr")).drop("__b")

@@ -910,7 +910,8 @@ object Similarity {
   def ivfPqResidualTopK(items: DataFrame, queries: DataFrame, k: Int,
                         nLists: Int = 8, kmIters: Int = 3, nProbe: Int = 3,
                         m: Int = 16, ksub: Int = 16, pqIters: Int = 2,
-                        shortlist: Int = 64): DataFrame = {
+                        shortlist: Int = 64, inDim: Int = 64): DataFrame = {
+    require(m >= 1 && inDim % m == 0, s"inDim=$inDim must split into m=$m subspaces")
     val (cents, assigned) = detKMeans(items, nLists, kmIters)
     val sorted = cents.sortBy(_._1)
     val centsSql = sorted.map(_._2.map(_.toString).mkString("array(", ", ", ")"))
@@ -927,15 +928,19 @@ object Similarity {
       .withColumn("__nv", expr(
         s"zip_with(__nv, element_at($centsSql, cell + 1), (x, y) -> x - y)"))
     val residNv = resid.select(col("vec_id"), col("__nv"))
-    val dsub = 64 / m
-    val key = memoKey(residNv, s"ivfpqr|$nLists|$kmIters|$m|$ksub|$pqIters")
+    val dsub = inDim / m
+    val key = memoKey(residNv, s"ivfpqr|$nLists|$kmIters|$m|$ksub|$pqIters|$inDim")
       .map(s => (items.sparkSession, s))
-    val pq = key.flatMap(mk => pqMemo.synchronized(pqMemo.get(mk)))
-      .getOrElse {
-        val built = buildPqFromNv(residNv, m, ksub, pqIters, dsub)
-        key.foreach(mk => pqMemo.synchronized { pqMemo.update(mk, built) })
-        built
+    val pq = key.flatMap { mk =>
+      pqMemo.synchronized {
+        pqMemo.filterInPlace((k, _) => !k._1.sparkContext.isStopped)
+        pqMemo.get(mk)
       }
+    }.getOrElse {
+      val built = buildPqFromNv(residNv, m, ksub, pqIters, dsub)
+      key.foreach(mk => pqMemo.synchronized { pqMemo.update(mk, built) })
+      built
+    }
     // query side: nProbe cells by centroid cosine (the q69 probe rule),
     // plus per-cell base dots and the residual lookup tables — all riding
     // the query broadcast

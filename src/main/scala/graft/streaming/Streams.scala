@@ -256,11 +256,22 @@ object Streams {
           val novel = batch.toDF().join(
             dupes.select(col("vec_new").as("vec_id")).distinct(),
             Seq("vec_id"), "left_anti")
-          val tmp = s"$corpusPath/__staging_$epoch"
-          novel.write.mode("overwrite").parquet(tmp)
-          spark.read.parquet(tmp).write.mode("append").parquet(corpusPath)
+          // staged as a SIBLING of the corpus dir, not inside it: inside
+          // relied on the underscore-hidden-path convention, and a crash
+          // between write and delete would leak invisible garbage under the
+          // corpus. A retried epoch reuses its path via mode=overwrite; any
+          // older abandoned stage dirs are swept on the next batch.
+          val staging = s"$corpusPath.__staging"
+          val tmp = s"$staging/$epoch"
           val fs = org.apache.hadoop.fs.FileSystem.get(
             spark.sparkContext.hadoopConfiguration)
+          val stagingPath = new org.apache.hadoop.fs.Path(staging)
+          if (fs.exists(stagingPath))
+            fs.listStatus(stagingPath).foreach { st =>
+              if (st.getPath.getName != epoch.toString) fs.delete(st.getPath, true)
+            }
+          novel.write.mode("overwrite").parquet(tmp)
+          spark.read.parquet(tmp).write.mode("append").parquet(corpusPath)
           fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
           ()
         }

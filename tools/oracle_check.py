@@ -61,6 +61,19 @@ for name, sql in sorted(oracle.items()):
     if sorted(scols) != sorted(dcols):
         fails.append((name, f"schema mismatch spark={sorted(scols)} duck={sorted(dcols)}"))
         continue
+    # Type-sensitive check mirroring the driver's hash: DuckDB widenings the
+    # Spark parquet can't produce (sum(BIGINT)->HUGEINT, DECIMAL) must fail
+    # here, not in the driver artifact. TIMESTAMP WITH TIME ZONE vs TIMESTAMP
+    # is normalized (Spark parquet timestamps read back as TZ-adjusted).
+    def ntype(t):
+        return t.replace(" WITH TIME ZONE", "")
+    stypes = {r[0]: ntype(r[1]) for r in
+              con.execute(f"DESCRIBE SELECT * FROM '{pdir}/*.parquet'").fetchall()}
+    dtypes = {r[0]: ntype(r[1]) for r in con.execute(f"DESCRIBE {sql}").fetchall()}
+    tdiff = [(c, stypes[c], dtypes[c]) for c in stypes if stypes[c] != dtypes[c]]
+    if tdiff:
+        fails.append((name, f"type mismatch (spark vs duck): {tdiff}"))
+        continue
     a, b = norm(srows, scols), norm(drows, dcols)
     if a != b:
         diff = next(((i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y),
