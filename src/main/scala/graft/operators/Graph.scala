@@ -93,17 +93,54 @@ object Graph {
     visited
   }
 
+  /** Distinct (g, item) rows with an ENFORCED per-basket size cap: baskets
+    * larger than `maxBasketSize` keep their first `maxBasketSize` items in
+    * item-id order (deterministic, engine-neutral — the same truncation is
+    * one `row_number() <= cap` in oracle SQL). This is `jaccardCandidates`'
+    * maxShingleDf argument applied to baskets: one pathological mega-basket
+    * of m items otherwise materializes m² join rows, the single
+    * all-pairs-shaped cost in this file at corpus scale. Items beyond the
+    * cap carry the least pair signal a deterministic rule can pick (highest
+    * ids of an already-degenerate basket); monitor the dropped volume with
+    * `basketCapDrops`. Capping rides `GroupedTopK` (bounded partial heaps,
+    * no WindowExec), so the cap itself is mega-basket-safe. */
+  private def cappedItems(df: DataFrame, groupCol: String, itemCol: String,
+                          maxBasketSize: Int): DataFrame = {
+    require(maxBasketSize >= 1, s"maxBasketSize must be positive, got $maxBasketSize")
+    val items = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+    graft.plans.GroupedTopK(items, Seq(col("g")), Seq(asc("item")), maxBasketSize)
+      .drop("rank")
+  }
+
+  /** The cap's reporting twin: (g, n_items, n_dropped) for every basket the
+    * `maxBasketSize` cap truncates — empty when the cap never fires (the
+    * expected state; a non-empty result is the "cap upstream" alarm). */
+  def basketCapDrops(df: DataFrame, groupCol: String, itemCol: String,
+                     maxBasketSize: Int = DefaultMaxBasketSize): DataFrame =
+    df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("n_items"))
+      .filter(col("n_items") > maxBasketSize)
+      .select(col("g"), col("n_items"),
+        (col("n_items") - maxBasketSize).as("n_dropped"))
+
+  /** Far above any organic basket (TPC-H orders top out at 7 lineitems;
+    * retail/session baskets at hundreds) yet it bounds the per-basket pair
+    * fan-out at ~0.5M rows — survivable, where one million-item bot basket's
+    * 10^12 pairs is not. */
+  val DefaultMaxBasketSize = 1024
+
   /** Market-basket co-occurrence: the top-k item pairs by the number of
     * groups (orders, sessions, documents) containing both. The pair space
     * is generated per GROUP — a group-keyed self-equi-join whose fan-out is
-    * basket-size-squared, never corpus-squared (the jaccardPairs df-cap
-    * argument: pathological mega-baskets should be capped upstream).
+    * basket-size-squared, never corpus-squared — and `maxBasketSize`
+    * (enforced, `cappedItems`) bounds the square.
     * Top-k via TakeOrderedAndProject on the pair counts; ties break on the
     * pair ids so the cut is deterministic. */
   def coOccurrence(df: DataFrame, groupCol: String, itemCol: String,
-                   topK: Int = 20): DataFrame = {
+                   topK: Int = 20,
+                   maxBasketSize: Int = DefaultMaxBasketSize): DataFrame = {
     require(topK >= 1)
-    val items = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
+    val items = cappedItems(df, groupCol, itemCol, maxBasketSize)
     items.as("a").join(items.hint("SHUFFLE_HASH").as("b"),
         col("a.g") === col("b.g") && col("a.item") < col("b.item"))
       .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
@@ -120,14 +157,17 @@ object Graph {
     * in one shared double expression, so the output hash-checks.
     *
     * Shape: per-basket pair generation (the coOccurrence join), one
-    * pair-keyed count, one item-keyed count broadcast onto it twice. */
+    * pair-keyed count, one item-keyed count broadcast onto it twice.
+    * `maxBasketSize` (enforced, `cappedItems`) bounds the pair fan-out;
+    * marginals and the total come from the SAME capped frame, so
+    * confidence/lift stay exact probabilities of the mined dataset. */
   def associationRules(df: DataFrame, groupCol: String, itemCol: String,
-                       minSupport: Long = 2): DataFrame = {
+                       minSupport: Long = 2,
+                       maxBasketSize: Int = DefaultMaxBasketSize): DataFrame = {
     require(minSupport >= 1)
-    // memoized: the distinct item table feeds the marginals, the total,
+    // memoized: the capped item table feeds the marginals, the total,
     // and both sides of the pair join — four scans of the input otherwise
-    val items = PlanCache.memo(
-      df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct())
+    val items = PlanCache.memo(cappedItems(df, groupCol, itemCol, maxBasketSize))
     val itemN = items.groupBy("item").agg(count(lit(1)).as("n_item"))
     val total = items.select(countDistinct("g").as("n_total"))
     val pairs = items.as("a").join(items.hint("SHUFFLE_HASH").as("b"),

@@ -60,6 +60,33 @@ class GraphSpec extends AnyFunSuite {
     assert(h2 == Map("c" -> 0L, "b" -> 1L, "d" -> 1L, "a" -> 2L, "e" -> 2L))
   }
 
+  test("maxBasketSize cap: mega-basket pairs bounded, truncation deterministic, drops reported") {
+    // one mega-basket of 50 items plus two small ones; cap at 10
+    val mega = (0 until 50).map(i => (1L, i.toLong))
+    val small = Seq((2L, 0L), (2L, 1L), (3L, 0L), (3L, 1L))
+    val baskets = (mega ++ small).toDF("g", "item")
+    val pairs = Graph.coOccurrence(baskets, "g", "item", 10000, maxBasketSize = 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    // capped basket keeps items 0..9 (item-id order): C(10,2)=45 pairs from
+    // g=1; (0,1) also in g=2 and g=3 -> count 3; nothing references item>=10
+    assert(pairs.size == 45)
+    assert(pairs.forall { case (a, b, _) => a < 10 && b < 10 })
+    assert(pairs.find { case (a, b, _) => a == 0 && b == 1 }.get._3 == 3L)
+    // identical result whatever the input partitioning (deterministic cut)
+    val pairs2 = Graph.coOccurrence(baskets.repartition(7), "g", "item", 10000,
+        maxBasketSize = 10).as[(Long, Long, Long)].collect().toSeq
+    assert(pairs.sorted == pairs2.sorted)
+    // the reporting twin names the truncated basket and its dropped volume
+    val drops = Graph.basketCapDrops(baskets, "g", "item", 10)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(drops == Seq((1L, 50L, 40L)))
+    // association rules on the same capped frame: marginals exclude capped
+    // items entirely (no rule touches item >= 10)
+    val rules = Graph.associationRules(baskets, "g", "item", 1, maxBasketSize = 10)
+      .as[(Long, Long, Long, Double, Double)].collect()
+    assert(rules.nonEmpty && rules.forall(r => r._1 < 10 && r._2 < 10))
+  }
+
   test("associationRules: confidence and lift from hand-checked baskets") {
     // item 10 in baskets {1,2,3}; 20 in {1,2}; joint {1,2}
     val baskets = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L))
