@@ -637,9 +637,16 @@ object Engine {
     val legs =
       if (allTerms.isEmpty) vec
       else {
-        val toksed = index.select(col("id"), col("text"))
-          .withColumn("toks", expr(graft.operators.TextAnalysis.tokensExpr))
-          .withColumn("dl", expr("size(toks)"))
+        // memoized: the tokenized frame feeds BOTH the stats aggregate and
+        // the per-doc tf scoring pass — without the persist each one
+        // re-chunks and re-tokenizes the corpus from the raw documents
+        // (the chunk generator + regex tokenizer dominate this query's
+        // cost; round-5 bench measured the duplicated subtree at ~0.5 s of
+        // q57's 2.0 s at sf0.1)
+        val toksed = graft.operators.PlanCache.memo(
+          index.select(col("id"), col("text"))
+            .withColumn("toks", expr(graft.operators.TextAnalysis.tokensExpr))
+            .withColumn("dl", expr("size(toks)")))
         val statAggs =
           count(lit(1)).cast("double").as("n_docs") +:
             avg(col("dl")).as("avgdl") +:

@@ -153,8 +153,12 @@ object TextAnalysis {
            idCol: String = "doc_id"): DataFrame = {
     require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
       "terms must be plain lowercase words (SQL-literal safe)")
-    val toksed = docs.withColumn("toks", expr(tokensExpr))
-      .withColumn("dl", expr("size(toks)"))
+    // memoized: the tokenized frame feeds both the stats aggregate and the
+    // per-doc scoring scan; MEMORY_ONLY falls back to recompute, so at
+    // corpus scale this is never worse than the two tokenize passes it
+    // replaces (the hybridSearchMany shared-subtree rule)
+    val toksed = PlanCache.memo(docs.withColumn("toks", expr(tokensExpr))
+      .withColumn("dl", expr("size(toks)")))
     val statAggs =
       count(lit(1)).cast("double").as("n_docs") +:
         avg(col("dl")).as("avgdl") +:
