@@ -798,6 +798,14 @@ object SparkEntry {
         rollup(ev.filter(col("d") >= 20)),  // the arriving delta
         Seq("event_type", "d"), Seq("n", "sum_cents"))
     }),
+    // extension: approx percentiles per group — percentilesBy's bounded-
+    // state scale path (GK sketch; one hot group can't OOM an executor).
+    // Deliberately NOT oracled: GK merge results are Spark-defined, not
+    // cross-engine-defined (the q29/q30 rows-only precedent); accuracy is
+    // gated against the exact form in TableStatsSpec.
+    "q127_percentiles_approx" -> ((s, dir) =>
+      graft.operators.TableStats.percentilesByApprox(Tables.lineitem(s, dir),
+        "l_returnflag", "CAST(round(l_extendedprice * 100) AS BIGINT)")),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)

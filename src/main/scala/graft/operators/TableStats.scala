@@ -132,6 +132,31 @@ object TableStats {
         expr(s"__ps[$i]").as(s"p${(p * 100).round}") }: _*)
   }
 
+  /** The scale path for `percentilesBy`: `approx_percentile` (Greenwald-
+    * Khanna, bounded sketch state) instead of the exact aggregate's
+    * buffer-every-value-per-group sort. The exact form is the oracle twin
+    * (q113) but one hot group at 100 TB is an executor OOM — the sketch's
+    * per-group state is O(1/accuracy) regardless of group size, which is
+    * the variant a cluster pipeline should run. `accuracy` is Spark's
+    * 1/accuracy-relative-rank-error knob (default 10000 — rank error
+    * <= n/10000 per group). Same output schema as `percentilesBy`;
+    * TableStatsSpec gates the sketch against the exact form at tolerance
+    * on real data. GK results are merge-order-independent per Spark's
+    * implementation contract, but NOT cross-engine-defined, so this
+    * variant is deliberately not hash-oracled (the q29/q30 rows-only
+    * precedent). */
+  def percentilesByApprox(df: DataFrame, groupCol: String, valueExpr: String,
+                          ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.9),
+                          accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1))
+    require(accuracy >= 100, s"accuracy $accuracy too coarse to gate")
+    val arr = ps.map(p => s"CAST($p AS DOUBLE)").mkString("array(", ", ", ")")
+    df.groupBy(groupCol)
+      .agg(expr(s"approx_percentile($valueExpr, $arr, $accuracy)").as("__ps"))
+      .select(col(groupCol) +: ps.zipWithIndex.map { case (p, i) =>
+        expr(s"CAST(__ps[$i] AS DOUBLE)").as(s"p${(p * 100).round}") }: _*)
+  }
+
   /** Chi-square contingency audit over two categorical columns: per cell,
     * the observed count, the independence-model expectation e = (row total
     * x column total) / N, and the cell's chi-square contribution

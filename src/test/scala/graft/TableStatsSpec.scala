@@ -76,6 +76,31 @@ class TableStatsSpec extends AnyFunSuite {
     }
   }
 
+  test("percentilesByApprox: sketch tracks the exact form within rank tolerance") {
+    // sf0.001 lineitem: per-flag groups of a few hundred rows; with
+    // accuracy=10000 the GK rank error bound (n/10000 < 1 rank) makes the
+    // sketch exact-or-adjacent — gate each approx value to lie within the
+    // exact [p-0.02, p+0.02] quantile band of its group
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val vexpr = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    val ps = Seq(0.25, 0.5, 0.9)
+    val approx = TableStats.percentilesByApprox(li, "l_returnflag", vexpr, ps)
+      .as[(String, Double, Double, Double)].collect()
+      .map(r => r._1 -> Seq(r._2, r._3, r._4)).toMap
+    val local = li.selectExpr("l_returnflag", s"$vexpr AS c")
+      .as[(String, Long)].collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    for ((flag, xs) <- local; (p, i) <- ps.zipWithIndex) {
+      val n = xs.length
+      def rank(q: Double) = math.max(0, math.min(n - 1, (q * (n - 1)).round.toInt))
+      val (lo, hi) = (xs(rank(p - 0.02)), xs(rank(p + 0.02)))
+      val a = approx(flag)(i)
+      assert(a >= lo && a <= hi, s"$flag p$p: $a outside [$lo, $hi]")
+    }
+    // schema parity with the exact twin
+    assert(TableStats.percentilesByApprox(li, "l_returnflag", vexpr, ps).columns.toSeq ==
+      TableStats.percentilesBy(li, "l_returnflag", vexpr, ps).columns.toSeq)
+  }
+
   test("mergeRollup: delta merge equals full recompute; disjoint and overlapping keys") {
     val base = Seq(("a", 1L, 10L), ("b", 2L, 20L)).toDF("k", "n", "s")
     val delta = Seq(("a", 3L, 30L), ("c", 4L, 40L)).toDF("k", "n", "s")
