@@ -215,6 +215,11 @@ class SimilaritySpec extends AnyFunSuite {
       assert(exact.nonEmpty, "baseline produced no pairs — gate vacuous")
       val recall = lsh.intersect(exact).size.toDouble / exact.size
       assert(recall >= 0.9, s"lshNearDupPairs pair-recall = $recall < 0.9")
+      // symmetric Jaccard overlap: bounds false POSITIVES too (recall alone
+      // would pass a generator that emits every pair) — the q34 evidence
+      // gate, since the MLlib path is rows-only at the driver's oracle
+      val lshJac = lsh.intersect(exact).size.toDouble / lsh.union(exact).size
+      assert(lshJac >= 0.9, s"lshNearDupPairs pair-set Jaccard = $lshJac < 0.9")
       assert(rp.subsetOf(exact), "rp pairs must be exactly verified")
       val rpRecall = rp.intersect(exact).size.toDouble / exact.size
       assert(rpRecall >= 0.9, s"rpNearDupPairs pair-recall = $rpRecall < 0.9")
