@@ -806,6 +806,32 @@ object SparkEntry {
     "q127_percentiles_approx" -> ((s, dir) =>
       graft.operators.TableStats.percentilesByApprox(Tables.lineitem(s, dir),
         "l_returnflag", "CAST(round(l_extendedprice * 100) AS BIGINT)")),
+    // extension: deterministic n-per-class uniform sample (few-shot /
+    // eval-set pick) — sha256-permutation order, GroupedTopK cut
+    "q128_class_sample" -> ((s, dir) =>
+      operators.Sampling.samplePerGroup(docs(s, dir), "source", 5)),
+    // extension: boolean AND/NOT retrieval over the token postings
+    "q129_boolean_search" -> ((s, dir) =>
+      TextAnalysis.booleanSearch(docs(s, dir), Seq("hash", "join"), Seq("slow"))),
+    // extension: idf-weighted shingle-cosine near-dup pairs (fixed-point
+    // idf, df-capped buckets — the weighted refinement of q22's Jaccard)
+    "q130_sparse_cosine" -> ((s, dir) =>
+      TextAnalysis.sparseCosinePairs(docs(s, dir), 0.3, 100)),
+    // extension: retrigger/burst dedup — drop same-(user,type) events that
+    // re-fire within the gap (at-least-once delivery cleanup)
+    "q131_event_dedup" -> ((s, dir) =>
+      graft.operators.EventAnalytics.dedupBursts(Tables.events(s, dir), 3600)),
+    // extension: vocabulary build (df >= minDf) + per-doc OOV audit
+    "q132_vocab_oov" -> ((s, dir) =>
+      TextAnalysis.vocabOov(docs(s, dir), 100)),
+    // extension: hard-negative mining — top-k nearest with a DIFFERENT label
+    "q133_hard_negatives" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding", "label")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"), col("label").as("query_label"))
+      Similarity.hardNegatives(e, q, 3)
+    }),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -2423,6 +2449,85 @@ WHERE $b < th2.t"""
       CAST(sum(CASE WHEN d.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler
     FROM shu s JOIN dfs d USING (shingle) GROUP BY s.doc_id)
 SELECT doc_id, n_grams, n_boiler, n_boiler / n_grams AS boiler_frac FROM per""",
+    // Mirrors Sampling.samplePerGroup: sha256-hex permutation order per
+    // group, first 5 win; lexicographic hex order is engine-neutral
+    "q128_class_sample" ->
+      """WITH h AS (SELECT source, doc_id,
+    sha256('grp:' || CAST(doc_id AS VARCHAR)) AS hh FROM documents),
+  r AS (SELECT source, doc_id,
+    CAST(row_number() OVER (PARTITION BY source ORDER BY hh ASC) AS INTEGER) AS "rank"
+  FROM h)
+SELECT source, doc_id, "rank" FROM r WHERE "rank" <= 5""",
+    // Mirrors TextAnalysis.booleanSearch(must = hash, join; mustNot = slow)
+    "q129_boolean_search" ->
+      s"""WITH $dkTok,
+  e AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+  f AS (SELECT doc_id, token FROM e WHERE token IN ('hash', 'join', 'slow')),
+  a AS (SELECT doc_id,
+    count(DISTINCT CASE WHEN token IN ('hash', 'join') THEN token END) AS nm,
+    CAST(sum(CASE WHEN token IN ('hash', 'join') THEN 1 ELSE 0 END) AS BIGINT) AS tf_must,
+    max(CASE WHEN token = 'slow' THEN 1 ELSE 0 END) AS hn
+  FROM f GROUP BY 1)
+SELECT doc_id, tf_must FROM a WHERE nm = 2 AND hn = 0""",
+    // Mirrors TextAnalysis.sparseCosinePairs: fixed-point idf weights
+    // (round(ln(N/df)*4096), exact integer dots/norms), df-capped shingle
+    // buckets, one shared cosine division rounded at 6
+    "q130_sparse_cosine" ->
+      s"""WITH $dkTok, $dkShl, $dkShu,
+  n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+  kept AS (SELECT shingle, CAST(round(ln(n_docs / df) * 4096) AS BIGINT) AS w
+    FROM (SELECT shingle, CAST(count(*) AS BIGINT) AS df FROM shu GROUP BY 1) d
+    CROSS JOIN n WHERE df <= 100),
+  w AS (SELECT s.doc_id, s.shingle, k.w FROM shu s JOIN kept k USING (shingle)),
+  norms AS (SELECT doc_id, sum(w * w) AS n2 FROM w GROUP BY 1),
+  dot AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, sum(a.w * b.w) AS dot
+    FROM w a JOIN w b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2),
+  c AS (SELECT doc_a, doc_b,
+    CASE WHEN na.n2 = 0 OR nb.n2 = 0 THEN 0.0
+         ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na.n2 AS DOUBLE)) * sqrt(CAST(nb.n2 AS DOUBLE))) END AS cos_sim
+    FROM dot JOIN norms na ON dot.doc_a = na.doc_id
+             JOIN norms nb ON dot.doc_b = nb.doc_id)
+SELECT doc_a, doc_b, round(cos_sim, 6) AS cos_sim FROM c WHERE cos_sim >= 0.3""",
+    // Mirrors EventAnalytics.dedupBursts: per-(user, type) lag, exact
+    // integer microsecond gap, ties broken by event_id
+    "q131_event_dedup" ->
+      """WITH o AS (SELECT event_id, user_id, event_type,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+    lag(epoch_us(CAST(ts AS TIMESTAMP))) OVER (
+      PARTITION BY user_id, event_type
+      ORDER BY epoch_us(CAST(ts AS TIMESTAMP)), event_id) AS prev_us
+  FROM events)
+SELECT event_id, user_id, event_type, ts_us FROM o
+WHERE prev_us IS NULL OR ts_us - prev_us > 3600000000""",
+    // Mirrors TextAnalysis.vocabOov(minDf = 100)
+    "q132_vocab_oov" ->
+      s"""WITH $dkTok,
+  e AS (SELECT doc_id, unnest(toks) AS token FROM tok),
+  v AS (SELECT token FROM (
+      SELECT token, count(DISTINCT doc_id) AS df FROM e GROUP BY 1)
+    WHERE df >= 100),
+  a AS (SELECT e.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+    CAST(sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
+  FROM e LEFT JOIN v ON e.token = v.token GROUP BY 1)
+SELECT doc_id, n_tokens, n_oov,
+  round(CAST(n_oov AS DOUBLE) / n_tokens, 6) AS oov_rate FROM a""",
+    // Mirrors Similarity.hardNegatives: q23's exact-cosine ranking with the
+    // different-label predicate below the ranker
+    "q133_hard_negatives" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+    FROM embeddings WHERE vec_id < 5),
+  s AS (SELECT q.qid AS query_id, e.vec_id, e.label,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))) AS dot,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) AS na,
+    list_sum(list_transform(range(1, 65), i -> CAST(q.qe[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))) AS nb
+  FROM embeddings e CROSS JOIN q WHERE e.label <> q.ql),
+  sc AS (SELECT query_id, vec_id, label,
+    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END AS score FROM s),
+  r AS (SELECT query_id, vec_id, label,
+    CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
+    score FROM sc)
+SELECT query_id, vec_id, label, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3""",
     "q69_det_ivf" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
   WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,

@@ -132,6 +132,27 @@ object EventAnalytics {
       .select(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
   }
 
+  /** Retrigger dedup: drop events that re-fire within `gapSeconds` of the
+    * previous event of the SAME (user, type) — the at-least-once-delivery /
+    * double-click cleanup every event pipeline runs before analytics. An
+    * event survives iff it STARTS a burst (no same-key predecessor within
+    * the gap); a chain of rapid retriggers collapses to its first event.
+    * One (user_id, event_type)-partitioned lag window — keyed shuffle,
+    * bounded state, exact integer microsecond arithmetic; ties broken by
+    * event_id so equal-timestamp duplicates dedup deterministically.
+    * Output: (event_id, user_id, event_type, ts_us). */
+  def dedupBursts(events: DataFrame, gapSeconds: Long = 3600): DataFrame = {
+    require(gapSeconds >= 1)
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .withColumn("__prev", lag(col("ts_us"), 1).over(
+        Window.partitionBy("user_id", "event_type").orderBy(col("ts_us"), col("event_id"))))
+      .filter(col("__prev").isNull ||
+        col("ts_us") - col("__prev") > lit(gapSeconds * 1000000L))
+      .select("event_id", "user_id", "event_type", "ts_us")
+  }
+
   /** Daily activity rollup: per calendar day, the event count, distinct
     * active users, users first seen that day, and the running total of
     * users acquired — the product-analytics daily dashboard in one query.

@@ -75,6 +75,26 @@ object Sampling {
       .filter(expr(s"__b < $caseExpr")).drop("__b")
   }
 
+  /** Deterministic fixed-size uniform sample per group — "n examples per
+    * class", the few-shot/eval-set selection step. Rows are ordered by the
+    * sha256 hex of a `grp:`-prefixed key (a uniform permutation, independent
+    * of the split/strat/mix hash families by prefix; ties impossible on
+    * unique keys) and the first `n` per group win. Rides `GroupedTopK`
+    * (bounded per-partition heaps — shuffle volume is partitions x groups x
+    * n, never the corpus), and the selection is growth-stable ONLY in
+    * distribution, not membership (unlike fraction-based hash sampling, a
+    * fixed-size sample's members must change as the group grows — inherent
+    * to the contract, not the implementation). Output: (group, doc_id,
+    * rank). */
+  def samplePerGroup(docs: DataFrame, groupCol: String, n: Int,
+                     keyExpr: String = "CAST(doc_id AS STRING)"): DataFrame = {
+    require(n >= 1)
+    val keyed = docs.select(col(groupCol), col("doc_id"),
+      expr(s"sha2(concat('grp:', $keyExpr), 256)").as("__h"))
+    graft.plans.GroupedTopK(keyed, Seq(col(groupCol)), Seq(asc("__h")), n)
+      .select(col(groupCol), col("doc_id"), col("rank"))
+  }
+
   /** Data selection under a global token budget: keep the highest-quality
     * documents until `budgetTokens` (a document is kept iff its sequence
     * STARTS inside the budget — the packing convention). The global order

@@ -47,6 +47,26 @@ object Similarity {
   def bruteForceTopK(items: DataFrame, queries: DataFrame, k: Int): DataFrame =
     topKPerQuery(cosineScores(items, queries), k)
 
+  /** Hard-negative mining for contrastive training: per query, the top-k
+    * most similar corpus vectors whose `label` DIFFERS from the query's —
+    * "close in embedding space, wrong class", the negatives that actually
+    * move a contrastive loss (easy negatives are already far). Same scale
+    * shape as `bruteForceTopK` (tiny query side broadcast, the corpus never
+    * shuffles, GroupedTopK ranks) with the label predicate BELOW the
+    * ranker, so the partial heaps only ever hold eligible rows. `queries`
+    * carries (query_id, query_embedding, query_label); output keeps the
+    * negative's label for downstream batch assembly. */
+  def hardNegatives(items: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val scored = items.crossJoin(broadcast(queries))
+      .filter(col("label") =!= col("query_label"))
+      .withColumn("score", cosine_similarity(col("embedding"), col("query_embedding")))
+      .select(col("query_id"), col("vec_id"), col("label"), col("score"))
+    graft.plans.GroupedTopK(scored,
+        Seq(col("query_id")), Seq(desc("score"), asc("vec_id")), k)
+      .select(col("query_id"), col("vec_id"), col("label"),
+        col("rank").as("rnk"), round(col("score"), 4).as("score"))
+  }
+
   /** Exact all-pairs cosine >= threshold (a < b). Quadratic — use only as
     * correctness baseline or on bounded partitions; the scale path is
     * `lshSimilarityJoin`. */

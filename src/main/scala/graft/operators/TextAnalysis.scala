@@ -198,6 +198,117 @@ object TextAnalysis {
       .groupBy("doc_id", "feature").agg(count(lit(1)).as("n"))
   }
 
+  /** Boolean retrieval: documents containing ALL `must` terms and NONE of
+    * the `mustNot` terms — the AND/NOT query form lexical search engines
+    * answer from the inverted index. One explode + an immediate token-set
+    * filter (only query terms survive the map side) + one doc-keyed
+    * conditional aggregate; cost ~ matching postings, never corpus x terms.
+    * Output: (doc_id, tf_must = total occurrences of must-terms) — exact
+    * integers, deterministic. */
+  def booleanSearch(docs: DataFrame, must: Seq[String],
+                    mustNot: Seq[String] = Nil): DataFrame = {
+    require(must.nonEmpty && (must ++ mustNot).forall(_.matches("[a-z0-9]+")),
+      "terms must be plain lowercase words (SQL-literal safe)")
+    val mustD = must.distinct
+    val notD = mustNot.distinct
+    val all = (mustD ++ notD).distinct
+    val hitNot =
+      if (notD.isEmpty) lit(0)
+      else max(when(col("token").isin(notD: _*), 1).otherwise(0))
+    docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+      .filter(col("token").isin(all: _*))
+      .groupBy("doc_id")
+      .agg(
+        countDistinct(when(col("token").isin(mustD: _*), col("token"))).as("__nm"),
+        sum(when(col("token").isin(mustD: _*), 1L).otherwise(0L)).as("tf_must"),
+        hitNot.as("__hn"))
+      .filter(col("__nm") === mustD.size && col("__hn") === 0)
+      .select(col("doc_id"), col("tf_must"))
+  }
+
+  /** Vocabulary build + out-of-vocabulary audit — the tokenizer-prep step
+    * of a training pipeline: the vocabulary is every token appearing in at
+    * least `minDf` documents, and each document reports how much of its
+    * token stream falls outside it (high OOV = noise/junk signal, and the
+    * corpus-level rate sizes the UNK bucket). Two aggregates over one
+    * memoized explode (df needs per-doc distinct, the rate needs raw
+    * instances) + one token-keyed membership join — all keyed shuffles,
+    * map-side combined, exact integers; the rate is one division.
+    * Output: (doc_id, n_tokens, n_oov, oov_rate). */
+  def vocabOov(docs: DataFrame, minDf: Int = 3): DataFrame = {
+    require(minDf >= 1)
+    val toks = PlanCache.memo(
+      docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token")))
+    val vocab = toks.select("doc_id", "token").distinct()
+      .groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select(col("token"), lit(1L).as("__iv"))
+    toks.join(vocab.hint("SHUFFLE_HASH"), Seq("token"), "left")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("__iv").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .withColumn("oov_rate", expr("round(CAST(n_oov AS DOUBLE) / n_tokens, 6)"))
+  }
+
+  /** Sparse IDF-weighted shingle-cosine pairs through the inverted index —
+    * the lexical near-duplicate/same-topic pair miner (the embedding-free
+    * sibling of `Similarity.cosinePairs`, and the weighted refinement of
+    * `Dedup.jaccardPairs`: Jaccard counts shared shingles, this one also
+    * DISCOUNTS common ones). Document vectors are binary over the distinct
+    * word-3-gram shingle space (`Dedup.shingles`), restricted to
+    * DISCRIMINATIVE shingles with df <= `maxDf` (a frequent shingle carries
+    * no pair signal — the `jaccardCandidates` cap argument — so dropping it
+    * bounds every per-shingle bucket at maxDf docs BY CONSTRUCTION; pair
+    * generation is bucket², never corpus²). Weights are FIXED-POINT idf:
+    * w = round(ln(N/df) * 4096) — integer, so dots and norms are exact
+    * integer sums (order-independent, engine-neutral) and the only float op
+    * is the final cosine division, one shared expression rounded at 6. The
+    * 2^-12 idf quantization shifts cosines by < 1e-3 relative — immaterial
+    * to pair mining, essential to reproducibility (the `Graph.pageRank`
+    * fixed-point argument).
+    *
+    * Shape: distinct shingles -> df filter -> per-shingle sorted bucket ->
+    * in-bucket pair dot contributions -> (a, b)-keyed sum -> two doc-keyed
+    * norm joins. Output: (doc_a, doc_b, cos_sim >= threshold). */
+  def sparseCosinePairs(docs: DataFrame, threshold: Double,
+                        maxDf: Int = 100): DataFrame = {
+    require(threshold >= 0 && threshold <= 1 && maxDf >= 2)
+    val sh = Dedup.shingles(docs).select(col("doc_id"), col("shingle").as("token"))
+    val nDocs = docs.select(count(lit(1)).cast("double").as("n_docs"))
+    val kept = sh.groupBy("token").agg(count(lit(1)).as("df"))
+      .filter(col("df") <= maxDf)
+      .crossJoin(broadcast(nDocs))
+      .select(col("token"),
+        expr("CAST(round(ln(n_docs / df) * 4096) AS BIGINT)").as("w"))
+    // memoized: the weighted postings feed the norms, and both sides of the
+    // in-bucket pair generation
+    val w = PlanCache.memo(
+      sh.join(kept.hint("SHUFFLE_HASH"), Seq("token"))
+        .select(col("token"), col("doc_id"), col("w")))
+    val norms = w.groupBy("doc_id").agg(sum(col("w") * col("w")).as("n2"))
+    val buckets = w.groupBy("token")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("w")))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val dots = buckets
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(ds) - 2),
+             i -> transform(sequence(i + 1, size(ds) - 1),
+                    j -> struct(ds[i].doc_id AS a, ds[j].doc_id AS b,
+                                ds[i].w * ds[j].w AS ww))))""")).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(sum("p.ww").as("dot"))
+    dots
+      .join(norms.select(col("doc_id").as("doc_a"), col("n2").as("na"))
+        .hint("SHUFFLE_HASH"), Seq("doc_a"))
+      .join(norms.select(col("doc_id").as("doc_b"), col("n2").as("nb"))
+        .hint("SHUFFLE_HASH"), Seq("doc_b"))
+      .withColumn("cos_sim", expr(
+        """CASE WHEN na = 0 OR nb = 0 THEN 0.0
+           ELSE CAST(dot AS DOUBLE) / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END"""))
+      .filter(col("cos_sim") >= threshold)
+      .select(col("doc_a"), col("doc_b"), round(col("cos_sim"), 6).as("cos_sim"))
+  }
+
   /** Inverted-index build: the postings table (token, doc_id, tf) — the
     * data structure that makes lexical retrieval corpus-scan-free. One
     * explode + one (token, doc_id)-keyed count; persist it partitioned (or

@@ -25,7 +25,8 @@ object PlanAudit {
     "q59_bq_upsert", "q62_range_search",
     "q66_search_page", "q67_ann_rp_sq8", "q69_det_ivf", "q72_top_tokens",
     "q75_recommend", "q76_ann_pq", "q80_ann_ivfpq", "q90_ann_ivfpq_res",
-    "q100_class_topics", "q103_weighted_sample", "q116_ann_multiprobe")
+    "q100_class_topics", "q103_weighted_sample", "q116_ann_multiprobe",
+    "q128_class_sample", "q133_hard_negatives")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

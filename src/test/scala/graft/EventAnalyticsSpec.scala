@@ -80,6 +80,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(z.toSeq == Seq((13L, "spiky"))) // flat: variance 0 -> NaN filtered
   }
 
+  test("dedupBursts: chains collapse to the burst head; gap is strict; keys independent") {
+    val gap = 600L // 10 minutes
+    val e = ev(
+      (1, 0, 1, "click", 0),  // burst head
+      (2, 5, 1, "click", 0),  // within 10 min of #1 -> dropped
+      (3, 9, 1, "click", 0),  // within 10 min of #2 (chain!) -> dropped
+      (4, 25, 1, "click", 0), // 16 min after #3 -> new burst head
+      (5, 10, 1, "view", 0),  // different type: independent key
+      (6, 0, 2, "click", 0))  // different user: independent key
+    val got = EventAnalytics.dedupBursts(e, gap)
+      .select("event_id").as[Long].collect().toSet
+    assert(got == Set(1L, 4L, 5L, 6L))
+    // boundary: a gap of EXACTLY gapSeconds is still a duplicate (strict >)
+    val b = ev((1, 0, 1, "click", 0), (2, 10, 1, "click", 0))
+    assert(EventAnalytics.dedupBursts(b, 600)
+      .select("event_id").as[Long].collect().toSet == Set(1L))
+    assert(EventAnalytics.dedupBursts(b, 599)
+      .select("event_id").as[Long].collect().toSet == Set(1L, 2L))
+    // equal-timestamp duplicates: lowest event_id survives
+    val t = ev((7, 0, 1, "click", 0), (5, 0, 1, "click", 0))
+    assert(EventAnalytics.dedupBursts(t, 600)
+      .select("event_id").as[Long].collect().toSet == Set(5L))
+  }
+
   test("dailyActiveUsers: new/active/cumulative counts on a crafted timeline") {
     val e = ev(
       (1, 0, 1, "view", 0), (2, 5, 2, "view", 0),            // day 0: users 1,2 new

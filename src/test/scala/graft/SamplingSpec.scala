@@ -130,6 +130,30 @@ class SamplingSpec extends AnyFunSuite {
     }
   }
 
+  test("samplePerGroup: n per group (or all of a small group), matches driver-side hash order, partition-invariant") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = operators.Sampling.samplePerGroup(docs, "source", 3)
+      .as[(String, Long, Int)].collect().toSeq
+    // driver-side: same sha256 permutation per group
+    val local = docs.select($"source", $"doc_id").as[(String, Long)].collect()
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    def hex(s: String) = sha.digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString
+    val want = local.groupBy(_._1).toSeq.flatMap { case (src, rows) =>
+      rows.map(_._2).sortBy(id => hex(s"grp:$id")).take(3).zipWithIndex
+        .map { case (id, i) => (src, id, i + 1) }
+    }.toSet
+    assert(got.toSet == want)
+    // every group contributes min(3, group size) rows
+    val sizes = local.groupBy(_._1).view.mapValues(_.length).toMap
+    val per = got.groupBy(_._1).view.mapValues(_.length).toMap
+    assert(sizes.forall { case (src, n) => per.getOrElse(src, 0) == math.min(3, n) })
+    // identical result whatever the input partitioning
+    val got2 = operators.Sampling.samplePerGroup(docs.repartition(13), "source", 3)
+      .as[(String, Long, Int)].collect().toSet
+    assert(got2 == got.toSet)
+  }
+
   test("weightedSample: matches a driver-side A-ES computation; stable across runs") {
     val n = 5
     val got = Sampling.weightedSample(docs, "n_chars", n)

@@ -47,6 +47,32 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("hardNegatives: same-label vectors never appear; ranking matches label-filtered exhaustive") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label").cache()
+    val q = Tables.embeddings(spark, TestSpark.sf0001).filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"),
+        $"label".as("query_label")).cache()
+    val got = Similarity.hardNegatives(e, q, 3)
+      .as[(Long, Long, Int, Int, Double)].collect()
+    val labels = e.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val all = e.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val qs = q.select($"query_id", $"query_embedding").as[(Long, Array[Float])].collect()
+    assert(got.length == 15)
+    for ((qid, vid, lbl, _, _) <- got) {
+      assert(lbl == labels(vid))
+      assert(lbl != labels(qid), s"query $qid got same-label negative $vid")
+    }
+    for ((qid, qv) <- qs) {
+      val expected = all.filter { case (id, _) => labels(id) != labels(qid) }
+        .map { case (id, ev) => (id, CosineSimilarity.cosine(ev, qv)) }
+        .sortBy { case (id, s) => (-s, id) }.take(3).map(_._1).toSeq
+      val mine = got.filter(_._1 == qid).sortBy(_._4).map(_._2).toSeq
+      assert(mine == expected, s"query $qid")
+    }
+    e.unpersist(); q.unpersist()
+  }
+
   test("cosinePairs: symmetric-free (a<b), respects threshold") {
     val pairs = Similarity.cosinePairs(emb, 0.3).as[(Long, Long, Double)].collect()
     assert(pairs.forall(p => p._1 < p._2))

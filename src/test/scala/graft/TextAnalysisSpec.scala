@@ -305,6 +305,70 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == want && want.nonEmpty)
   }
 
+  test("booleanSearch: AND requires every must-term, NOT excludes, tf exact") {
+    val d = Seq(
+      (1L, "hash join hash scan"),   // both musts, tf 3
+      (2L, "hash scan filter"),      // missing 'join'
+      (3L, "join hash slow"),        // musts present but NOT-term hits
+      (4L, "join join hash"),        // both musts, tf 3
+      (5L, "merge sort"))            // neither
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.booleanSearch(d, Seq("hash", "join"), Seq("slow"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 3L, 4L -> 3L))
+    // duplicate must terms don't change the required distinct count
+    assert(TextAnalysis.booleanSearch(d, Seq("hash", "hash", "join"), Seq("slow"))
+      .as[(Long, Long)].collect().toMap == Map(1L -> 3L, 4L -> 3L))
+    // empty mustNot: pure AND
+    assert(TextAnalysis.booleanSearch(d, Seq("hash", "join"))
+      .as[(Long, Long)].collect().toMap == Map(1L -> 3L, 3L -> 2L, 4L -> 3L))
+  }
+
+  test("vocabOov: df threshold splits vocab; rates match a driver-side count") {
+    // 'common' in 3 docs, 'mid' in 2, 'rare' in 1
+    val d = Seq(
+      (1L, "common mid rare rare"),
+      (2L, "common mid"),
+      (3L, "common"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.vocabOov(d, 2)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 4L, 2L, 0.5)))   // rare x2 OOV of 4
+    assert(got(2L) == ((2L, 2L, 0L, 0.0)))
+    assert(got(3L) == ((3L, 1L, 0L, 0.0)))
+    // minDf = 3: only 'common' stays in-vocab
+    val strict = TextAnalysis.vocabOov(d, 3)
+      .as[(Long, Long, Long, Double)].collect().map(r => r._1 -> r._3).toMap
+    assert(strict == Map(1L -> 3L, 2L -> 1L, 3L -> 0L))
+  }
+
+  test("sparseCosinePairs: identical docs hit 1.0; df cap silences boilerplate-only overlap") {
+    // docs 1/2 identical; 3 shares only the boilerplate shingle chain with
+    // them; 4 unrelated. 7+ tokens -> every doc has >= 5 distinct shingles.
+    val boiler = "terms of service apply to all users"
+    val d = Seq(
+      (1L, s"alpha beta gamma delta $boiler"),
+      (2L, s"alpha beta gamma delta $boiler"),
+      (3L, s"omega psi chi phi $boiler"),
+      (4L, "one two three four five six seven"))
+      .toDF("doc_id", "text")
+    val all = TextAnalysis.sparseCosinePairs(d, 0.0, maxDf = 4)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(all((1L, 2L)) == 1.0) // identical vectors
+    // 3 shares only df=3 boilerplate shingles with 1/2 -> nonzero but small
+    assert(all.get((1L, 3L)).exists(c => c > 0 && c < 0.8))
+    assert(!all.keys.exists { case (a, b) => a == 4L || b == 4L }) // no shared shingle
+    // df cap at 2: the 3-doc boilerplate shingles leave the vector space,
+    // so (1,3) loses its only overlap; (1,2) still 1.0 on their own terms
+    val capped = TextAnalysis.sparseCosinePairs(d, 0.0, maxDf = 2)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    assert(capped((1L, 2L)) == 1.0)
+    assert(!capped.contains((1L, 3L)))
+    // threshold filters
+    assert(TextAnalysis.sparseCosinePairs(d, 0.99, maxDf = 4)
+      .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
+  }
+
   test("classTopTerms: class-exclusive token outranks shared token; k rows per class") {
     val crafted = Seq(
       (1L, "shared shared unique1", "c1"), (2L, "shared shared unique2", "c2")
