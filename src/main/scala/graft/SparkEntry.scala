@@ -832,6 +832,28 @@ object SparkEntry {
           col("embedding").as("query_embedding"), col("label").as("query_label"))
       Similarity.hardNegatives(e, q, 3)
     }),
+    // extension: key-distribution skew audit (the pre-shuffle diagnostic)
+    "q134_key_skew" -> ((s, dir) =>
+      graft.operators.TableStats.keySkew(Tables.orders(s, dir), "o_custkey % 1000")),
+    // extension: last-touch attribution — credit each purchase to the
+    // latest strictly-earlier non-purchase event of the user
+    "q135_attribution" -> ((s, dir) =>
+      graft.operators.EventAnalytics.lastTouchAttribution(Tables.events(s, dir))),
+    // extension: snapshot diff (added/removed/changed) between the corpus
+    // and a deterministically mutated twin — union + one id-keyed
+    // aggregate, never a full-outer join
+    "q136_snapshot_diff" -> ((s, dir) => {
+      val base = docs(s, dir)
+      val current = base.filter(col("doc_id") % 89 =!= 0)
+        .withColumn("text", expr(
+          "CASE WHEN doc_id % 97 = 0 THEN concat(text, ' v2') ELSE text END"))
+        .unionByName(base.filter(col("doc_id") % 83 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      graft.operators.TableStats.snapshotDiff(base, current, "doc_id", "sha2(text, 256)")
+    }),
+    // extension: OHLC time-series downsample (6h buckets, integer cents)
+    "q137_ohlc" -> ((s, dir) =>
+      graft.operators.EventAnalytics.ohlcResample(Tables.events(s, dir))),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -2528,6 +2550,63 @@ SELECT doc_id, n_tokens, n_oov,
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
     score FROM sc)
 SELECT query_id, vec_id, label, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3""",
+    // Mirrors TableStats.keySkew over o_custkey % 1000
+    "q134_key_skew" ->
+      """WITH g AS (SELECT CAST(o_custkey % 1000 AS VARCHAR) AS k, CAST(count(*) AS BIGINT) AS n
+    FROM orders GROUP BY 1),
+  t AS (SELECT CAST(sum(n) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+    max(n) AS max_key_rows FROM g),
+  top AS (SELECT k AS top_key FROM g ORDER BY n DESC, k ASC LIMIT 1)
+SELECT n_rows, n_keys, max_key_rows, top_key,
+  round(CAST(max_key_rows AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys), 6) AS skew
+FROM t CROSS JOIN top""",
+    // Mirrors EventAnalytics.lastTouchAttribution: last non-purchase row
+    // strictly earlier in the per-user (ts, event_id) total order
+    "q135_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us FROM events),
+  t AS (SELECT event_id, user_id, event_type, ts_us,
+    last_value(CASE WHEN event_type <> 'purchase'
+        THEN {'t': ts_us, 'e': event_id, 'y': event_type} END IGNORE NULLS)
+      OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS touch
+  FROM e)
+SELECT event_id AS conv_event_id, user_id,
+  touch.e AS touch_event_id, touch.y AS touch_type,
+  ts_us - touch.t AS delay_us
+FROM t WHERE event_type = 'purchase'""",
+    // Mirrors the q136 snapshot mutation + TableStats.snapshotDiff
+    "q136_snapshot_diff" ->
+      """WITH cur AS (
+    SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN text || ' v2' ELSE text END AS text
+    FROM documents WHERE doc_id % 89 <> 0
+    UNION ALL
+    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 83 = 0),
+  u AS (SELECT doc_id AS id, sha256(text) AS h, 0 AS tag FROM documents
+        UNION ALL SELECT doc_id, sha256(text), 1 FROM cur),
+  a AS (SELECT id,
+    max(CASE WHEN tag = 0 THEN h END) AS base_hash,
+    max(CASE WHEN tag = 1 THEN h END) AS current_hash
+  FROM u GROUP BY 1),
+  s AS (SELECT id, CASE WHEN base_hash IS NULL THEN 'added'
+    WHEN current_hash IS NULL THEN 'removed'
+    WHEN base_hash <> current_hash THEN 'changed' END AS status,
+    base_hash, current_hash FROM a)
+SELECT id, status, base_hash, current_hash FROM s WHERE status IS NOT NULL""",
+    // Mirrors EventAnalytics.ohlcResample: lexicographic struct min/max
+    // carries open/close; 6h buckets; integer cents
+    "q137_ohlc" ->
+      """WITH e AS (SELECT event_type, event_id,
+    epoch_us(CAST(ts AS TIMESTAMP)) AS ts_us,
+    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+  b AS (SELECT event_type, event_id, ts_us, cents,
+    CAST(floor(ts_us / 21600000000.0) AS BIGINT) AS bucket FROM e)
+SELECT event_type, bucket,
+  min({'t': ts_us, 'e': event_id, 'c': cents}).c AS open,
+  max(cents) AS high, min(cents) AS low,
+  max({'t': ts_us, 'e': event_id, 'c': cents}).c AS close,
+  CAST(count(*) AS BIGINT) AS n_events
+FROM b GROUP BY 1, 2""",
     "q69_det_ivf" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
   WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,

@@ -153,6 +153,61 @@ object EventAnalytics {
       .select("event_id", "user_id", "event_type", "ts_us")
   }
 
+  /** Last-touch attribution: for every conversion event, the latest
+    * STRICTLY-earlier non-conversion event of the same user — "which
+    * touchpoint gets credit for this purchase". Earlier means earlier in
+    * the per-user (ts, event_id) total order (the stateHistory tie
+    * convention), so equal-timestamp rows attribute deterministically. One
+    * user-partitioned window carrying the last non-conversion row as a
+    * struct (`Joins.asOfJoin`'s carry trick — ts and type must come from
+    * the SAME touch row); per-user state is one struct. First-session
+    * conversions (no prior touch) keep nulls — they are real and a funnel
+    * wants to see them. Output: (conv_event_id, user_id, touch_event_id,
+    * touch_type, delay_us). */
+  def lastTouchAttribution(events: DataFrame,
+                           convType: String = "purchase"): DataFrame = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts_us"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .select(col("event_id"), col("user_id"), col("event_type"),
+        expr("unix_micros(ts)").as("ts_us"))
+      .withColumn("__touch",
+        last(when(col("event_type") =!= convType,
+          struct(col("ts_us").as("t"), col("event_id").as("e"),
+            col("event_type").as("y"))), ignoreNulls = true).over(w))
+      .filter(col("event_type") === convType)
+      .select(col("event_id").as("conv_event_id"), col("user_id"),
+        col("__touch.e").as("touch_event_id"),
+        col("__touch.y").as("touch_type"),
+        (col("ts_us") - col("__touch.t")).as("delay_us"))
+  }
+
+  /** OHLC downsampling: open/high/low/close of the (integer-cents) value
+    * per (event_type, fixed time bucket) — the time-series resample every
+    * metrics store runs. ONE map-side-combined aggregate: open/close ride
+    * lexicographic struct min/max over (ts_us, event_id, cents) — exact,
+    * engine-neutral, deterministic under ts ties via event_id — so no
+    * window, no second pass. Output: (event_type, bucket, open, high, low,
+    * close, n_events). */
+  def ohlcResample(events: DataFrame, bucketSeconds: Long = 21600): DataFrame = {
+    require(bucketSeconds >= 1)
+    val micros = bucketSeconds * 1000000L
+    events
+      .select(col("event_type"), col("event_id"),
+        expr("unix_micros(ts)").as("ts_us"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .withColumn("bucket", expr(s"CAST(floor(ts_us / ${micros}.0) AS BIGINT)"))
+      .groupBy("event_type", "bucket")
+      .agg(
+        min(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("open"),
+        max("cents").as("high"), min("cents").as("low"),
+        max(struct(col("ts_us"), col("event_id"), col("cents")))
+          .getField("cents").as("close"),
+        count(lit(1)).as("n_events"))
+  }
+
   /** Daily activity rollup: per calendar day, the event count, distinct
     * active users, users first seen that day, and the running total of
     * users acquired — the product-analytics daily dashboard in one query.

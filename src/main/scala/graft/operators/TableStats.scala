@@ -157,6 +157,54 @@ object TableStats {
         expr(s"CAST(__ps[$i] AS DOUBLE)").as(s"p${(p * 100).round}") }: _*)
   }
 
+  /** Key-distribution skew audit — the diagnostic a shuffle-heavy pipeline
+    * runs BEFORE a groupBy/join melts an executor: row count, distinct
+    * keys, the heaviest key and its row count, and the skew factor
+    * max/avg. The group table is aggregated map-side; the heaviest key is
+    * a deterministic (count desc, key asc) top-1 via TakeOrderedAndProject,
+    * cross-joined back as a broadcast single row. All counts exact; the two
+    * ratios are single divisions rounded at 6. Output one row:
+    * (n_rows, n_keys, max_key_rows, top_key, skew). */
+  def keySkew(df: DataFrame, keyExpr: String): DataFrame = {
+    // memoized: the per-key count table feeds the aggregate and the top-1
+    val groups = PlanCache.memo(
+      df.select(expr(keyExpr).cast("string").as("k"))
+        .groupBy("k").agg(count(lit(1)).as("n")))
+    val totals = groups.agg(sum("n").as("n_rows"), count(lit(1)).as("n_keys"),
+      max("n").as("max_key_rows"))
+    val top = groups.orderBy(desc("n"), asc("k")).limit(1)
+      .select(col("k").as("top_key"))
+    totals.crossJoin(broadcast(top))
+      .select(col("n_rows"), col("n_keys"), col("max_key_rows"), col("top_key"),
+        expr("round(CAST(max_key_rows AS DOUBLE) / (CAST(n_rows AS DOUBLE) / n_keys), 6)")
+          .as("skew"))
+  }
+
+  /** Snapshot diff — the corpus-versioning primitive: which ids were added,
+    * removed, or content-changed between two snapshots (by `hashExpr`, e.g.
+    * sha2(text)). NEVER a full-outer join (Spark's only full-outer physical
+    * strategy is a sort-merge join): both sides union into one frame and a
+    * single id-keyed aggregate reconstructs each side's hash — one shuffle,
+    * map-side combined, the hybrid-fusion trick applied to diffing.
+    * Unchanged ids are filtered out (the diff, not the join). Output:
+    * (id, status in added|removed|changed, base_hash, current_hash). */
+  def snapshotDiff(base: DataFrame, current: DataFrame, idCol: String,
+                   hashExpr: String): DataFrame = {
+    def side(df: DataFrame, tag: Int) = df.select(
+      col(idCol).as("id"), expr(hashExpr).cast("string").as("__h"),
+      lit(tag).as("__tag"))
+    side(base, 0).unionByName(side(current, 1))
+      .groupBy("id")
+      .agg(max(when(col("__tag") === 0, col("__h"))).as("base_hash"),
+        max(when(col("__tag") === 1, col("__h"))).as("current_hash"))
+      .withColumn("status", expr(
+        """CASE WHEN base_hash IS NULL THEN 'added'
+           WHEN current_hash IS NULL THEN 'removed'
+           WHEN base_hash <> current_hash THEN 'changed' END"""))
+      .filter(col("status").isNotNull)
+      .select(col("id"), col("status"), col("base_hash"), col("current_hash"))
+  }
+
   /** Chi-square contingency audit over two categorical columns: per cell,
     * the observed count, the independence-model expectation e = (row total
     * x column total) / N, and the cell's chi-square contribution

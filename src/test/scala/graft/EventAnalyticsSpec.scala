@@ -104,6 +104,40 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .select("event_id").as[Long].collect().toSet == Set(5L))
   }
 
+  test("lastTouchAttribution: strictly-earlier touch, total-order ties, first-conversion nulls") {
+    val e = ev(
+      (1, 0, 1, "view", 0),
+      (2, 5, 1, "click", 0),
+      (3, 10, 1, "purchase", 0),  // touch = click #2
+      (4, 20, 1, "purchase", 0),  // still click #2 (purchases never touch)
+      (5, 0, 2, "purchase", 0),   // no prior touch -> nulls
+      (6, 30, 2, "view", 0),
+      (7, 30, 2, "purchase", 0))  // same ts, view has lower event_id -> earlier in total order
+    val got = EventAnalytics.lastTouchAttribution(e)
+      .as[(Long, Long, Option[Long], Option[String], Option[Long])].collect()
+      .map(r => r._1 -> ((r._3, r._4, r._5))).toMap
+    assert(got(3L) == ((Some(2L), Some("click"), Some(5L * 60000000L))))
+    assert(got(4L) == ((Some(2L), Some("click"), Some(15L * 60000000L))))
+    assert(got(5L) == ((None, None, None)))
+    assert(got(7L) == ((Some(6L), Some("view"), Some(0L))))
+  }
+
+  test("ohlcResample: open/close by (ts, event_id) order; high/low exact; bucket split") {
+    val e = ev(
+      (2, 0, 1, "m", 1.00),   // bucket 0: open (ts tie with #1, lower id wins? no — ids: 2 vs 1)
+      (1, 0, 1, "m", 2.00),   // same ts, event_id 1 < 2 -> OPEN is 2.00
+      (3, 30, 1, "m", 9.00),  // high
+      (4, 59, 1, "m", 0.50),  // close + low
+      (5, 60, 1, "m", 7.00))  // next bucket (60-min buckets)
+    val got = EventAnalytics.ohlcResample(e, 3600)
+      .as[(String, Long, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._2 -> ((r._3, r._4, r._5, r._6, r._7))).toMap
+    // bucket of 2024-01-01T00:00 epoch hours
+    val b0 = 1704067200000000L / 3600000000L
+    assert(got(b0) == ((200L, 900L, 50L, 50L, 4L)))
+    assert(got(b0 + 1) == ((700L, 700L, 700L, 700L, 1L)))
+  }
+
   test("dailyActiveUsers: new/active/cumulative counts on a crafted timeline") {
     val e = ev(
       (1, 0, 1, "view", 0), (2, 5, 2, "view", 0),            // day 0: users 1,2 new

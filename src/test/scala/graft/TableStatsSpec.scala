@@ -109,6 +109,25 @@ class TableStatsSpec extends AnyFunSuite {
     assert(merged == Set(("a", 4L, 40L), ("b", 2L, 20L), ("c", 4L, 40L)))
   }
 
+  test("keySkew: counts exact, top key deterministic on ties, skew = max/avg") {
+    // keys: a x4, b x4, c x2 — a/b tie on count, 'a' wins the asc tie-break
+    val df = (Seq.fill(4)("a") ++ Seq.fill(4)("b") ++ Seq.fill(2)("c")).toDF("k")
+    val r = TableStats.keySkew(df, "k")
+      .as[(Long, Long, Long, String, Double)].collect().head
+    assert(r == ((10L, 3L, 4L, "a", math.rint(4.0 / (10.0 / 3) * 1e6) / 1e6)))
+  }
+
+  test("snapshotDiff: added/removed/changed classified; unchanged absent; no full-outer join") {
+    val base = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val cur = Seq((1L, "x"), (2L, "Y2"), (4L, "w")).toDF("doc_id", "text")
+    val d = TableStats.snapshotDiff(base, cur, "doc_id", "sha2(text, 256)")
+    val got = d.as[(Long, String, String, String)].collect()
+      .map(r => r._1 -> r._2).toMap
+    assert(got == Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+    val plan = d.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"), plan)
+  }
+
   test("chiSquare: independent table has zero cells; marginals reproduce expectations") {
     // perfectly independent 2x2: every cell o == expected -> chi2 0
     val indep = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L))
