@@ -854,6 +854,20 @@ object SparkEntry {
     // extension: OHLC time-series downsample (6h buckets, integer cents)
     "q137_ohlc" -> ((s, dir) =>
       graft.operators.EventAnalytics.ohlcResample(Tables.events(s, dir))),
+    // extension: PMI collocations — ln(N*n_ab/(n_a*n_b)) over exact
+    // document-frequency integers; capped per-doc pair space
+    "q138_pmi" -> ((s, dir) =>
+      TextAnalysis.tokenPmi(docs(s, dir), 5)),
+    // extension: per-group OLS from exact integer moments (cents vs day)
+    "q139_group_regression" -> ((s, dir) =>
+      graft.operators.TableStats.groupRegression(
+        Tables.events(s, dir).withColumn("d", expr(
+          graft.operators.EventAnalytics.dayIdxSql("ts", "2024-01-01"))),
+        "event_type", "d", "CAST(round(value * 100) AS BIGINT)")),
+    // extension: embedding centroid drift per label between the vec_id
+    // parity halves (fixed-point centroid sums; counts cancel in cosine)
+    "q140_centroid_drift" -> ((s, dir) =>
+      Similarity.centroidDrift(emb(s, dir))),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -2607,6 +2621,56 @@ SELECT event_type, bucket,
   max({'t': ts_us, 'e': event_id, 'c': cents}).c AS close,
   CAST(count(*) AS BIGINT) AS n_events
 FROM b GROUP BY 1, 2""",
+    // Mirrors TextAnalysis.tokenPmi (minPairDocs = 5; the 1024 cap never
+    // fires on this corpus, mirroring the Spark default)
+    "q138_pmi" ->
+      s"""WITH $dkTok,
+  it AS (SELECT DISTINCT doc_id AS g, unnest(toks) AS item FROM tok),
+  tn AS (SELECT item, CAST(count(*) AS BIGINT) AS n_tok FROM it GROUP BY 1),
+  tot AS (SELECT CAST(count(DISTINCT g) AS BIGINT) AS n_total FROM it),
+  p AS (SELECT a.item AS tok_a, b.item AS tok_b, CAST(count(*) AS BIGINT) AS n_ab
+    FROM it a JOIN it b ON a.g = b.g AND a.item < b.item GROUP BY 1, 2)
+SELECT tok_a, tok_b, n_ab,
+  round(ln(CAST(n_total AS DOUBLE) * n_ab / (CAST(na.n_tok AS DOUBLE) * nb.n_tok)), 6) AS pmi
+FROM p JOIN tn na ON p.tok_a = na.item JOIN tn nb ON p.tok_b = nb.item
+CROSS JOIN tot WHERE n_ab >= 5""",
+    // Mirrors TableStats.groupRegression: exact integer moments, closed-
+    // form OLS ratios in one shared double expression
+    "q139_group_regression" ->
+      """WITH e AS (SELECT event_type,
+    CAST(date_diff('day', DATE '2024-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS x,
+    CAST(round(value * 100) AS BIGINT) AS y FROM events),
+  m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+    CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM e GROUP BY 1)
+SELECT event_type, n,
+  round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+    ELSE CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) END, 6) AS slope,
+  round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+    ELSE CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx) END, 6) AS intercept
+FROM m""",
+    // Mirrors Similarity.centroidDrift: fixed-point per-dim sums, counts
+    // cancel in cosine, one fixed-order 64-term fold per dot/norm
+    "q140_centroid_drift" ->
+      """WITH q AS (SELECT label, CAST(vec_id % 2 AS INTEGER) AS grp, di.i,
+    CAST(floor(CAST(embedding[di.i] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS qv
+  FROM embeddings CROSS JOIN range(1, 65) di(i)),
+  s AS (SELECT label, grp, i, CAST(sum(qv) AS BIGINT) AS sv FROM q GROUP BY 1, 2, 3),
+  v AS (SELECT label, grp, list(sv ORDER BY i) AS sv FROM s GROUP BY 1, 2),
+  c AS (SELECT label, CAST(vec_id % 2 AS INTEGER) AS grp, CAST(count(*) AS BIGINT) AS n
+    FROM embeddings GROUP BY 1, 2),
+  sides AS (SELECT v.label, v.grp, v.sv, c.n FROM v JOIN c USING (label, grp)),
+  ab AS (SELECT a.label, a.sv AS sa, a.n AS n_a, b.sv AS sb, b.n AS n_b
+    FROM sides a JOIN sides b ON a.label = b.label AND a.grp = 0 AND b.grp = 1)
+SELECT label, n_a, n_b,
+  round(CASE WHEN list_sum(list_transform(range(1, 65), i -> CAST(sa[i] AS DOUBLE) * sa[i])) = 0.0
+          OR list_sum(list_transform(range(1, 65), i -> CAST(sb[i] AS DOUBLE) * sb[i])) = 0.0
+    THEN 0.0
+    ELSE list_sum(list_transform(range(1, 65), i -> CAST(sa[i] AS DOUBLE) * sb[i]))
+       / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(sa[i] AS DOUBLE) * sa[i])))
+        * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(sb[i] AS DOUBLE) * sb[i])))) END, 6) AS drift_cos
+FROM ab""",
     "q69_det_ivf" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
   WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,

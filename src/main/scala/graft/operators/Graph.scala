@@ -104,8 +104,8 @@ object Graph {
     * ids of an already-degenerate basket); monitor the dropped volume with
     * `basketCapDrops`. Capping rides `GroupedTopK` (bounded partial heaps,
     * no WindowExec), so the cap itself is mega-basket-safe. */
-  private def cappedItems(df: DataFrame, groupCol: String, itemCol: String,
-                          maxBasketSize: Int): DataFrame = {
+  private[operators] def cappedItems(df: DataFrame, groupCol: String, itemCol: String,
+                                     maxBasketSize: Int): DataFrame = {
     require(maxBasketSize >= 1, s"maxBasketSize must be positive, got $maxBasketSize")
     val items = df.select(col(groupCol).as("g"), col(itemCol).as("item")).distinct()
     graft.plans.GroupedTopK(items, Seq(col("g")), Seq(asc("item")), maxBasketSize)

@@ -67,6 +67,48 @@ object Similarity {
         col("rank").as("rnk"), round(col("score"), 4).as("score"))
   }
 
+  /** Embedding drift monitor: per label, the cosine between the centroids
+    * of two deterministic halves of the corpus (`splitExpr`, default
+    * vec_id parity) — the "did my embedding distribution move" check an
+    * embedding pipeline runs between model versions or time windows
+    * (drift_cos near 1 = stable; lower = the label's region moved).
+    *
+    * Determinism (the detKMeans fixed-point recipe): components quantize
+    * to integers (floor(v * 1024 + 0.5)), per-(label, half, dim) sums are
+    * exact BIGINT aggregates, and the count divisions CANCEL in cosine —
+    * cos(sa/na, sb/nb) = cos(sa, sb) — so the only float math is one
+    * fixed-order fold per dot/norm over 64 integers, identical on any
+    * engine or partitioning. Long arithmetic holds to ~2^42 rows per
+    * (label, half); the dim-keyed aggregate is map-side combined and the
+    * final join is per-label tiny. Output: (label, n_a, n_b,
+    * drift_cos). */
+  def centroidDrift(items: DataFrame, splitExpr: String = "vec_id % 2"): DataFrame = {
+    def dot(u: String, v: String) =
+      s"aggregate(zip_with($u, $v, (x, y) -> x * y), 0.0D, (acc, p) -> acc + p)"
+    val q = items
+      .select(col("label"), expr(splitExpr).cast("int").as("grp"),
+        posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("label"), col("grp"), col("i"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)").as("q"))
+    val sums = q.groupBy("label", "grp", "i").agg(sum("q").as("s"))
+    val vecs = sums.groupBy("label", "grp")
+      .agg(expr("transform(sort_array(collect_list(struct(i, s))), p -> p.s)").as("sv"),
+        count(lit(1)).as("n_dims"))
+    val counts = items.select(col("label"), expr(splitExpr).cast("int").as("grp"))
+      .groupBy("label", "grp").agg(count(lit(1)).as("n"))
+    val sides = vecs.join(counts.hint("SHUFFLE_HASH"), Seq("label", "grp"))
+    val a = sides.filter(col("grp") === 0)
+      .select(col("label"), col("sv").as("sa"), col("n").as("n_a"))
+    val b = sides.filter(col("grp") === 1)
+      .select(col("label"), col("sv").as("sb"), col("n").as("n_b"))
+    a.join(b.hint("SHUFFLE_HASH"), Seq("label"))
+      .withColumn("drift_cos", expr(
+        s"""round(CASE WHEN ${dot("sa", "sa")} = 0.0D OR ${dot("sb", "sb")} = 0.0D
+             THEN 0.0
+             ELSE ${dot("sa", "sb")} / (sqrt(${dot("sa", "sa")}) * sqrt(${dot("sb", "sb")})) END, 6)"""))
+      .select("label", "n_a", "n_b", "drift_cos")
+  }
+
   /** Exact all-pairs cosine >= threshold (a < b). Quadratic — use only as
     * correctness baseline or on bounded partitions; the scale path is
     * `lshSimilarityJoin`. */

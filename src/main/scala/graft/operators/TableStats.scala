@@ -231,6 +231,31 @@ object TableStats {
                 / (CAST(ra AS DOUBLE) * cb / n), 6)""").as("chi2_cell"))
   }
 
+  /** Per-group simple linear regression from EXACT integer moments (the
+    * `corrMatrix` determinism recipe applied to OLS): both `xExpr` and
+    * `yExpr` must be integer-valued; ONE aggregate computes n, Sx, Sy,
+    * Sxy, Sxx exactly, and slope/intercept are closed-form EXACT-integer
+    * ratios evaluated in one shared double expression each —
+    * slope = (n*Sxy - Sx*Sy) / (n*Sxx - Sx²),
+    * intercept = (Sy*Sxx - Sx*Sxy) / (n*Sxx - Sx²) — so the fit is engine-
+    * and partitioning-exact. Degenerate groups (constant x → zero
+    * denominator) emit nulls rather than ±inf. The caller keeps sums inside
+    * a long: |n * Sxy| < 2^63. Output: (key, n, slope, intercept). */
+  def groupRegression(df: DataFrame, keyCol: String, xExpr: String,
+                      yExpr: String): DataFrame =
+    df.select(col(keyCol), expr(xExpr).cast("long").as("x"),
+        expr(yExpr).cast("long").as("y"))
+      .groupBy(keyCol)
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .select(col(keyCol), col("n"),
+        expr("""round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(n * sxy - sx * sy AS DOUBLE) / (n * sxx - sx * sx) END, 6)""")
+          .as("slope"),
+        expr("""round(CASE WHEN n * sxx - sx * sx = 0 THEN NULL
+                ELSE CAST(sy * sxx - sx * sxy AS DOUBLE) / (n * sxx - sx * sx) END, 6)""")
+          .as("intercept"))
+
   /** Pairwise Pearson correlations from EXACT integer moments: every input
     * is an integer-valued expression (cents/units — the caller picks scales
     * that keep sum(x*y) inside a long), ONE aggregate computes n, all sums

@@ -309,6 +309,39 @@ object TextAnalysis {
       .select(col("doc_a"), col("doc_b"), round(col("cos_sim"), 6).as("cos_sim"))
   }
 
+  /** Token PMI collocations: pointwise mutual information of token pairs
+    * co-occurring in documents — ln(N * n_ab / (n_a * n_b)) over exact
+    * document-frequency integers (positive = the pair attracts, the
+    * collocation-mining signal). The pair space is per-document distinct-
+    * token pairs — `Graph.cappedItems`' ENFORCED basket cap bounds it at
+    * maxDocTokens² per doc, never vocab² — and marginals broadcast onto the
+    * pair counts (the `associationRules` shape; PMI is ln(lift) computed
+    * from the raw integers in one shared double expression). Output:
+    * (tok_a, tok_b, n_ab, pmi) for pairs in >= `minPairDocs` docs,
+    * a < b. */
+  def tokenPmi(docs: DataFrame, minPairDocs: Long = 5,
+               maxDocTokens: Int = 1024): DataFrame = {
+    require(minPairDocs >= 1)
+    val toks = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+    val items = PlanCache.memo(
+      Graph.cappedItems(toks, "doc_id", "token", maxDocTokens))
+    val tokN = items.groupBy("item").agg(count(lit(1)).as("n_tok"))
+    val total = items.select(countDistinct("g").as("n_total"))
+    items.as("a").join(items.hint("SHUFFLE_HASH").as("b"),
+        col("a.g") === col("b.g") && col("a.item") < col("b.item"))
+      .groupBy(col("a.item").as("tok_a"), col("b.item").as("tok_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .filter(col("n_ab") >= minPairDocs)
+      .join(broadcast(tokN.withColumnRenamed("item", "tok_a")
+        .withColumnRenamed("n_tok", "n_a")), Seq("tok_a"))
+      .join(broadcast(tokN.withColumnRenamed("item", "tok_b")
+        .withColumnRenamed("n_tok", "n_b")), Seq("tok_b"))
+      .crossJoin(broadcast(total))
+      .select(col("tok_a"), col("tok_b"), col("n_ab"),
+        expr("round(ln(CAST(n_total AS DOUBLE) * n_ab / (CAST(n_a AS DOUBLE) * n_b)), 6)")
+          .as("pmi"))
+  }
+
   /** Inverted-index build: the postings table (token, doc_id, tf) — the
     * data structure that makes lexical retrieval corpus-scan-free. One
     * explode + one (token, doc_id)-keyed count; persist it partitioned (or

@@ -73,6 +73,20 @@ class SimilaritySpec extends AnyFunSuite {
     e.unpersist(); q.unpersist()
   }
 
+  test("centroidDrift: identical halves cos 1, opposed halves cos -1, counts per half") {
+    def vec(scale: Float) = Array.tabulate(64)(i => (i + 1) * 0.01f * scale)
+    val rows =
+      // label 0: both halves identical distribution -> drift 1.0
+      Seq((0L, vec(1f), 0), (1L, vec(1f), 0), (2L, vec(1f), 0), (3L, vec(1f), 0)) ++
+      // label 1: half B is the negation -> drift -1.0
+      Seq((10L, vec(1f), 1), (11L, vec(-1f), 1), (12L, vec(1f), 1), (13L, vec(-1f), 1))
+    val e = rows.toDF("vec_id", "embedding", "label")
+    val got = Similarity.centroidDrift(e)
+      .as[(Int, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(0) == ((0, 2L, 2L, 1.0)))
+    assert(got(1) == ((1, 2L, 2L, -1.0)))
+  }
+
   test("cosinePairs: symmetric-free (a<b), respects threshold") {
     val pairs = Similarity.cosinePairs(emb, 0.3).as[(Long, Long, Double)].collect()
     assert(pairs.forall(p => p._1 < p._2))

@@ -128,6 +128,17 @@ class TableStatsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"), plan)
   }
 
+  test("groupRegression: exact fit recovered; constant-x group yields nulls") {
+    val d = (Seq((0L, 2L), (1L, 5L), (2L, 8L), (3L, 11L)).map(p => ("lin", p._1, p._2))
+      ++ Seq(("flat", 7L, 1L), ("flat", 7L, 9L)))
+      .toDF("k", "x", "y")
+    val got = TableStats.groupRegression(d, "k", "x", "y")
+      .as[(String, Long, Option[Double], Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("lin") == (("lin", 4L, Some(3.0), Some(2.0)))) // y = 3x + 2
+    assert(got("flat") == (("flat", 2L, None, None)))         // zero variance in x
+  }
+
   test("chiSquare: independent table has zero cells; marginals reproduce expectations") {
     // perfectly independent 2x2: every cell o == expected -> chi2 0
     val indep = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L))

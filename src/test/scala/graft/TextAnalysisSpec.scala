@@ -369,6 +369,29 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().map(r => (r._1, r._2)).toSet == Set((1L, 2L)))
   }
 
+  test("tokenPmi: attracted pair positive, independent pair ~0, counts exact") {
+    // 'salt pepper' always together (4 docs); 'salt water' once; 'bread'
+    // co-occurs with salt in 2 of 4 salt docs
+    val d = Seq(
+      (1L, "salt pepper"), (2L, "salt pepper"),
+      (3L, "salt pepper bread"), (4L, "salt pepper bread water"),
+      (5L, "water bread"), (6L, "water"), (7L, "bread"), (8L, "iron"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenPmi(d, 1)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> ((r._3, r._4))).toMap
+    // n=8 docs; salt:4 pepper:4 joint:4 -> pmi = ln(8*4/(4*4)) = ln 2
+    val (nAb, pmi) = got(("pepper", "salt"))
+    assert(nAb == 4L)
+    assert(pmi == math.rint(math.log(2.0) * 1e6) / 1e6)
+    // bread:4, water:3, joint:2 -> ln(8*2/(4*3)) = ln(4/3)
+    assert(got(("bread", "water"))._2 == math.rint(math.log(4.0 / 3) * 1e6) / 1e6)
+    // minPairDocs filters
+    assert(!TextAnalysis.tokenPmi(d, 3)
+      .as[(String, String, Long, Double)].collect()
+      .exists(r => (r._1, r._2) == ("bread", "water")))
+  }
+
   test("classTopTerms: class-exclusive token outranks shared token; k rows per class") {
     val crafted = Seq(
       (1L, "shared shared unique1", "c1"), (2L, "shared shared unique2", "c2")
