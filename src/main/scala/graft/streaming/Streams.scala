@@ -140,6 +140,39 @@ object Streams {
         expr("timestamp_micros(ts_us)").as("step_ts"))
   }
 
+  /** Retrigger/burst dedup lifted to streaming (`EventAnalytics.
+    * dedupBursts`' twin): per-(user, type) state is ONE long — the last
+    * SEEN event time (kept or dropped; a chain of rapid retriggers must
+    * measure each gap from its immediate predecessor, so last-kept state
+    * would be wrong). Each micro-batch folds its rows in (ts, event_id)
+    * order and emits only burst heads. Same in-order ingest contract as
+    * `streamingFunnel`: per-key arrival in event-time order across
+    * batches; late arrivals need the batch recompute. */
+  def streamingDedupBursts(events: DataFrame,
+                           gapSeconds: Long = 3600): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(gapSeconds >= 1)
+    val gapUs = gapSeconds * 1000000L
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("event_id", "user_id", "event_type", "unix_micros(ts) AS ts_us")
+      .as[(Long, Long, String, Long)]
+      .groupByKey(r => (r._2, r._3))
+      .flatMapGroupsWithState[Long, (Long, Long, String, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (_, rows, state: GroupState[Long]) =>
+          var prev: Option[Long] = state.getOption
+          val kept = Seq.newBuilder[(Long, Long, String, Long)]
+          rows.toSeq.sortBy(r => (r._4, r._1)).foreach { case (id, u, t, ts) =>
+            if (prev.forall(p => ts - p > gapUs)) kept += ((id, u, t, ts))
+            prev = Some(ts)
+          }
+          prev.foreach(state.update)
+          kept.result().iterator
+      }
+      .toDF("event_id", "user_id", "event_type", "ts_us")
+  }
+
   /** Streaming exact dedup: suppress re-deliveries of the same `event_id`
     * arriving within the watermark horizon. State is bounded — an id's
     * dedup record is dropped once the watermark passes its event time

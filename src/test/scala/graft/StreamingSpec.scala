@@ -244,6 +244,32 @@ class StreamingSpec extends AnyFunSuite {
     events.unpersist()
   }
 
+  test("streamingDedupBursts: accumulated kept set equals the batch operator") {
+    val tmp = Files.createTempDirectory("graft-stream-burst").toString
+    val src = s"$tmp/events"
+    val events = Tables.events(spark, TestSpark.sf0001).cache()
+    val cut = events.selectExpr("percentile_approx(ts, 0.5)").collect()(0)
+      .getTimestamp(0)
+    // two event-time halves, one file each: per-key arrival stays in order
+    // across micro-batches (the operator's in-order ingest contract)
+    events.filter($"ts" <= cut).coalesce(1).write.mode("append").parquet(src)
+    events.filter($"ts" > cut).coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = Streams.streamingDedupBursts(stream, 3600).writeStream
+      .format("memory").queryName("burst_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("burst_out")
+      .select($"event_id", $"user_id", $"event_type", $"ts_us")
+      .as[(Long, Long, String, Long)].collect()
+    val batch = graft.operators.EventAnalytics.dedupBursts(events, 3600)
+      .as[(Long, Long, String, Long)].collect()
+    assert(streamed.length == streamed.toSet.size)
+    assert(streamed.toSet == batch.toSet)
+    events.unpersist()
+  }
+
   test("streaming dedup suppresses re-delivered event ids within the watermark") {
     val tmp = Files.createTempDirectory("graft-dedup").toString
     val src = s"$tmp/events"
