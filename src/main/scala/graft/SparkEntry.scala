@@ -868,6 +868,28 @@ object SparkEntry {
     // parity halves (fixed-point centroid sums; counts cancel in cosine)
     "q140_centroid_drift" -> ((s, dir) =>
       Similarity.centroidDrift(emb(s, dir))),
+    // extension: equi-depth histogram — exact percentile boundaries
+    "q141_equidepth" -> ((s, dir) =>
+      graft.operators.TableStats.equiDepthHistogram(
+        Tables.lineitem(s, dir), "CAST(round(l_extendedprice * 100) AS BIGINT)", 8)),
+    // extension: negative-edge sampling for link prediction (sha-derived
+    // draws into the sorted node list, anti-join the edge list)
+    "q142_negative_edges" -> ((s, dir) => {
+      val li = Tables.lineitem(s, dir)
+      val e = li.select(
+        concat(lit("p"), col("l_partkey")).as("src"),
+        concat(lit("s"), col("l_suppkey")).as("dst")).distinct()
+      graft.operators.Graph.sampleNonEdges(e, 100)
+    }),
+    // extension: triplet mining — nearest same-label positive + hardest
+    // different-label negative per anchor
+    "q143_triplets" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding", "label")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"), col("label").as("query_label"))
+      Similarity.tripletMine(e, q)
+    }),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -2671,6 +2693,65 @@ SELECT label, n_a, n_b,
        / (sqrt(list_sum(list_transform(range(1, 65), i -> CAST(sa[i] AS DOUBLE) * sa[i])))
         * sqrt(list_sum(list_transform(range(1, 65), i -> CAST(sb[i] AS DOUBLE) * sb[i])))) END, 6) AS drift_cos
 FROM ab""",
+    // Mirrors TableStats.equiDepthHistogram(8): quantile_cont boundaries
+    // at i/8, bucket = #boundaries strictly below the value
+    "q141_equidepth" -> {
+      val v = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+      val bs = (1 until 8).map(i =>
+        s"quantile_cont($v, ${i / 8.0}) AS b$i").mkString(", ")
+      val bucket = (1 until 8).map(i =>
+        s"CASE WHEN CAST($v AS DOUBLE) > b$i THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH bs AS (SELECT $bs FROM lineitem)
+SELECT CAST($bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n
+FROM lineitem CROSS JOIN bs GROUP BY 1"""
+    },
+    // Mirrors Graph.sampleNonEdges(k=100) on the part-supplier graph:
+    // sha256-derived draws into the (node asc) row_number index, ordered
+    // distinct pairs, anti-join, first 100 by draw
+    "q142_negative_edges" -> {
+      def dr(p: String) = {
+        val h = s"sha256('$p' || CAST(i AS VARCHAR))"
+        s"(((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) * 256 + " +
+          s"${dkByte(h, "2")}) * 256 + ${dkByte(h, "3")}) % (SELECT n FROM nn)"
+      }
+      s"""WITH e0 AS (SELECT DISTINCT 'p' || CAST(l_partkey AS VARCHAR) AS src,
+      's' || CAST(l_suppkey AS VARCHAR) AS dst FROM lineitem),
+  und AS (SELECT src, dst FROM e0 UNION SELECT dst, src FROM e0),
+  nodes AS (SELECT DISTINCT src AS node FROM und),
+  nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM nodes),
+  idx AS (SELECT node, row_number() OVER (ORDER BY node ASC) - 1 AS idx FROM nodes),
+  spine AS (SELECT CAST(r.range AS BIGINT) AS i FROM range(0, 464) r),
+  d AS (SELECT i, ${dr("ne:a:")} AS ia, ${dr("ne:b:")} AS ib FROM spine),
+  cand AS (SELECT a.node AS node_a, b.node AS node_b, d.i AS draw
+    FROM d JOIN idx a ON d.ia = a.idx JOIN idx b ON d.ib = b.idx
+    WHERE a.node < b.node),
+  fd AS (SELECT node_a, node_b, CAST(min(draw) AS BIGINT) AS draw FROM cand GROUP BY 1, 2),
+  ne AS (SELECT f.* FROM fd f WHERE NOT EXISTS (
+    SELECT 1 FROM und u WHERE u.src = f.node_a AND u.dst = f.node_b))
+SELECT node_a, node_b, draw FROM ne ORDER BY draw LIMIT 100"""
+    },
+    // Mirrors Similarity.tripletMine: same-label nearest (self excluded)
+    // joined with the q133 hard negative at k=1
+    "q143_triplets" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS ql
+    FROM embeddings WHERE vec_id < 5),
+  s AS (SELECT q.qid AS query_id, e.vec_id, e.label, q.ql,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))) AS dot,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) AS na,
+    list_sum(list_transform(range(1, 65), i -> CAST(q.qe[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))) AS nb
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+  sc AS (SELECT query_id, vec_id, label, ql,
+    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END AS score FROM s),
+  pos AS (SELECT query_id, vec_id AS pos_id, round(score, 4) AS pos_score FROM (
+    SELECT query_id, vec_id, score,
+      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+    FROM sc WHERE label = ql) WHERE rn = 1),
+  neg AS (SELECT query_id, vec_id AS neg_id, round(score, 4) AS neg_score FROM (
+    SELECT query_id, vec_id, score,
+      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rn
+    FROM sc WHERE label <> ql) WHERE rn = 1)
+SELECT p.query_id, p.pos_id, p.pos_score, n.neg_id, n.neg_score
+FROM pos p JOIN neg n USING (query_id)""",
     "q69_det_ivf" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
   WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,

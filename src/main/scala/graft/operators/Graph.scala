@@ -129,6 +129,67 @@ object Graph {
     * 10^12 pairs is not. */
   val DefaultMaxBasketSize = 1024
 
+  /** Negative-edge sampling for link-prediction training: `k` deterministic
+    * pseudo-random node pairs that are NOT edges of the (undirected) graph —
+    * the negatives a link predictor trains against. Candidate i draws both
+    * endpoints from sha256-derived indices into the sorted node list (`ne:a:`
+    * / `ne:b:` prefixes — engine-neutral, reproducible), keeps ordered
+    * distinct pairs, anti-joins the symmetrized edge list, and takes the
+    * first k by draw index — so the sample is a pure function of (graph,
+    * k), independent of partitioning. Oversampling covers rejections
+    * (self-pairs, real edges, duplicate draws): 4x + 64 draws keeps the
+    * miss probability negligible below graph density ~50%. The node count
+    * is one driver-side count (the `sampleToMixture` tiny-aggregate
+    * contract); node indexing is a range-partitioned row_number zip, and
+    * both index joins hash on the draw index. Output: (node_a, node_b,
+    * draw) for k rows. */
+  def sampleNonEdges(edges: DataFrame, k: Int): DataFrame = {
+    require(k >= 1)
+    val und = PlanCache.memo(undirected(edges))
+    val nodes = PlanCache.memo(und.select(col("src").as("node")).distinct())
+    val n = nodes.count()
+    require(n >= 2, s"graph has $n nodes — no non-edges to sample")
+    val spark = edges.sparkSession
+    val m = 4L * k + 64
+    def draw(prefix: String) =
+      s"cast(conv(substr(sha2(concat('$prefix', cast(id AS string)), 256), 1, 8), 16, 10) AS bigint) % ${n}L"
+    val spine = spark.range(m).select(col("id"),
+      expr(draw("ne:a:")).as("ia"), expr(draw("ne:b:")).as("ib"))
+    // deterministic global node index (node asc): the selectByTokenBudget
+    // distributed-rank shape — range repartition + partition-local
+    // row_number + broadcast exclusive prefix offsets; no global window
+    val ranged = nodes.repartitionByRange(32, col("node"))
+      .withColumn("__pid", spark_partition_id())
+    val wl = org.apache.spark.sql.expressions.Window
+      .partitionBy("__pid").orderBy("node")
+    // memoized: offsets and the index join must read ONE materialization of
+    // (__pid, __rn) — separate evaluations of the range exchange can sample
+    // different partition boundaries (the equiDepthHistogram lesson)
+    val local = PlanCache.memo(
+      ranged.withColumn("__rn", row_number().over(wl).cast("long")))
+    val offs = local.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum("__c").over(org.apache.spark.sql.expressions.Window.orderBy("__pid")
+          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
+        lit(0L)))
+      .select("__pid", "__off")
+    val indexed = PlanCache.memo(local.join(broadcast(offs), Seq("__pid"))
+      .select((col("__rn") - 1 + col("__off")).as("idx"), col("node")))
+    val cand = spine
+      .join(indexed.select(col("idx").as("ia"), col("node").as("na"))
+        .hint("SHUFFLE_HASH"), Seq("ia"))
+      .join(indexed.select(col("idx").as("ib"), col("node").as("nb"))
+        .hint("SHUFFLE_HASH"), Seq("ib"))
+      .filter(col("na") < col("nb"))
+      .select(col("na").as("node_a"), col("nb").as("node_b"), col("id").as("draw"))
+    // one draw per pair (lowest index wins), then reject real edges
+    val firstDraw = cand.groupBy("node_a", "node_b").agg(min("draw").as("draw"))
+    firstDraw
+      .join(und.select(col("src").as("node_a"), col("dst").as("node_b")),
+        Seq("node_a", "node_b"), "left_anti")
+      .orderBy("draw").limit(k)
+  }
+
   /** Market-basket co-occurrence: the top-k item pairs by the number of
     * groups (orders, sessions, documents) containing both. The pair space
     * is generated per GROUP — a group-keyed self-equi-join whose fan-out is

@@ -115,7 +115,12 @@ object Sampling {
       .repartitionByRange(nPartitions, col("quality").desc, col("doc_id").asc)
       .withColumn("__pid", spark_partition_id())
     val wLocal = Window.partitionBy("__pid").orderBy(desc("quality"), asc("doc_id"))
-    val local = ranged.withColumn("__run", sum("n_tokens").over(wLocal))
+    // memoized: the offsets aggregate and the final join must read ONE
+    // materialization of (__pid, __run) — two lazy evaluations of the range
+    // exchange can sample different partition boundaries (observed in
+    // equiDepthHistogram when an upstream cache broke exchange reuse),
+    // silently misaligning offsets against the local running sums
+    val local = PlanCache.memo(ranged.withColumn("__run", sum("n_tokens").over(wLocal)))
     // per-partition totals -> exclusive prefix offsets; nPartitions rows, so
     // the single-partition window and the broadcast are both trivial
     val offsets = local.groupBy("__pid").agg(max("__run").as("__total"))
@@ -194,7 +199,9 @@ object Sampling {
       .withColumn("__pid", spark_partition_id())
     val w = Window.partitionBy("__pid", stratumCol)
       .orderBy(desc("quality"), asc("doc_id"))
-    val local = ranged.withColumn("__rn", row_number().over(w).cast("long"))
+    // memoized for the same exchange-reuse reason as selectByTokenBudget
+    val local = PlanCache.memo(
+      ranged.withColumn("__rn", row_number().over(w).cast("long")))
     val counts = local.groupBy("__pid", stratumCol).agg(count(lit(1)).as("__c"))
     val offsets = counts.withColumn("__off", coalesce(
         sum("__c").over(Window.partitionBy(stratumCol).orderBy("__pid")

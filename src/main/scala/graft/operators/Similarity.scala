@@ -109,6 +109,30 @@ object Similarity {
       .select("label", "n_a", "n_b", "drift_cos")
   }
 
+  /** Triplet mining for metric learning: per anchor query, the nearest
+    * SAME-label vector (excluding the anchor itself — the positive) and the
+    * nearest DIFFERENT-label vector (the hard negative, `hardNegatives`
+    * k=1) — the (anchor, positive, negative) batch a triplet/contrastive
+    * loss consumes. Both legs are the broadcast-queries + GroupedTopK
+    * shape over one corpus pass each; the final join is queries-sized.
+    * Anchors whose label has no other member (no positive) drop — a
+    * triplet needs all three rows. Output: (query_id, pos_id, pos_score,
+    * neg_id, neg_score). */
+  def tripletMine(items: DataFrame, queries: DataFrame): DataFrame = {
+    val scored = items.crossJoin(broadcast(queries))
+      .filter(col("label") === col("query_label") && col("vec_id") =!= col("query_id"))
+      .withColumn("score", cosine_similarity(col("embedding"), col("query_embedding")))
+      .select(col("query_id"), col("vec_id"), col("score"))
+    val pos = graft.plans.GroupedTopK(scored,
+        Seq(col("query_id")), Seq(desc("score"), asc("vec_id")), 1)
+      .select(col("query_id"), col("vec_id").as("pos_id"),
+        round(col("score"), 4).as("pos_score"))
+    val neg = hardNegatives(items, queries, 1)
+      .select(col("query_id"), col("vec_id").as("neg_id"),
+        col("score").as("neg_score"))
+    pos.join(neg.hint("SHUFFLE_HASH"), Seq("query_id"))
+  }
+
   /** Exact all-pairs cosine >= threshold (a < b). Quadratic — use only as
     * correctness baseline or on bounded partitions; the scale path is
     * `lshSimilarityJoin`. */

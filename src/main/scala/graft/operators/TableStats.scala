@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Table-profiling operator — the `ANALYZE TABLE`-style audit pass every
@@ -203,6 +204,61 @@ object TableStats {
            WHEN base_hash <> current_hash THEN 'changed' END"""))
       .filter(col("status").isNotNull)
       .select(col("id"), col("status"), col("base_hash"), col("current_hash"))
+  }
+
+  /** Equi-depth histogram: `nBuckets` buckets holding ~equal row counts —
+    * the selectivity-estimation histogram (equal-width `histogram` is
+    * useless under skew; this one is the optimizer's shape). Boundaries
+    * are the EXACT interpolated percentiles at i/n over the integer-valued
+    * expression, but computed WITHOUT the single-task `percentile` buffer:
+    * range-repartition on the value gives a global total order, a
+    * partition-local row_number plus broadcast prefix offsets gives exact
+    * global ranks (the `selectByTokenBudget` shape; value ties make any
+    * rank assignment among equals interchangeable), and only the <= 2(n-1)
+    * boundary-rank ROWS come back to the driver — aggregate-bounded, never
+    * the column. Interpolation is the same (1-g)*lo + g*hi the exact
+    * `percentile` aggregate computes, so results equal `percentilesBy`'s
+    * boundaries exactly. bucket(x) = #boundaries where x > boundary, one
+    * shared integer-vs-double comparison chain. Output: (bucket, n). */
+  def equiDepthHistogram(df: DataFrame, valueExpr: String,
+                         nBuckets: Int = 8, nPartitions: Int = 32): DataFrame = {
+    require(nBuckets >= 2 && nBuckets <= 1000 && nPartitions >= 1)
+    val xs = df.select(expr(valueExpr).cast("long").as("x"))
+    val n = xs.count()
+    require(n > 0, "cannot bucket an empty input")
+    val ranged = xs.repartitionByRange(nPartitions, col("x"))
+      .withColumn("__pid", spark_partition_id())
+    val wl = Window.partitionBy("__pid").orderBy("x")
+    // memoized: BOTH the offsets aggregate and the rank fetch must read the
+    // SAME materialization of (__pid, __rn) — two lazy evaluations of the
+    // range exchange can sample DIFFERENT partition boundaries (observed
+    // when a cache upstream broke exchange reuse), which silently
+    // misaligns offsets against row numbers
+    val local = PlanCache.memo(ranged.withColumn("__rn", row_number().over(wl).cast("long")))
+    val offs = local.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum("__c").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    val ranks = (1 until nBuckets).flatMap { i =>
+      val r = i.toDouble / nBuckets * (n - 1)
+      Seq(math.floor(r).toLong, math.ceil(r).toLong)
+    }.distinct
+    val at = local.join(broadcast(offs), Seq("__pid"))
+      .withColumn("__rk", col("__rn") - 1 + col("__off"))
+      .filter(col("__rk").isin(ranks: _*))
+      .select("__rk", "x").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val bounds = (1 until nBuckets).map { i =>
+      val r = i.toDouble / nBuckets * (n - 1)
+      val (lo, hi) = (at(math.floor(r).toLong), at(math.ceil(r).toLong))
+      lo + (hi - lo) * (r - math.floor(r))
+    }
+    val bucketExpr = bounds
+      .map(b => s"IF(CAST($valueExpr AS DOUBLE) > ${b}D, 1, 0)")
+      .mkString(" + ")
+    df.select(expr(s"CAST($bucketExpr AS BIGINT)").as("bucket"))
+      .groupBy("bucket").agg(count(lit(1)).as("n"))
   }
 
   /** Chi-square contingency audit over two categorical columns: per cell,

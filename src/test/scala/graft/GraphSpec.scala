@@ -87,6 +87,24 @@ class GraphSpec extends AnyFunSuite {
     assert(rules.nonEmpty && rules.forall(r => r._1 < 10 && r._2 < 10))
   }
 
+  test("sampleNonEdges: no real edges, ordered distinct pairs, partition-invariant, k rows") {
+    val e = Tables.lineitem(spark, TestSpark.sf0001).select(
+      concat(lit("p"), $"l_partkey").as("src"),
+      concat(lit("s"), $"l_suppkey").as("dst")).distinct()
+    val got = Graph.sampleNonEdges(e, 50).as[(String, String, Long)].collect()
+    assert(got.length == 50)
+    val edges = e.as[(String, String)].collect()
+      .flatMap(p => Seq(p, p.swap)).toSet
+    for ((a, b, _) <- got) {
+      assert(a < b, s"pair ($a, $b) not ordered")
+      assert(!edges.contains((a, b)), s"($a, $b) is a real edge")
+    }
+    assert(got.map(r => (r._1, r._2)).distinct.length == 50)
+    val got2 = Graph.sampleNonEdges(e.repartition(7), 50)
+      .as[(String, String, Long)].collect()
+    assert(got2.sortBy(_._3).toSeq == got.sortBy(_._3).toSeq)
+  }
+
   test("associationRules: confidence and lift from hand-checked baskets") {
     // item 10 in baskets {1,2,3}; 20 in {1,2}; joint {1,2}
     val baskets = Seq((1L, 10L), (1L, 20L), (2L, 10L), (2L, 20L), (3L, 10L))

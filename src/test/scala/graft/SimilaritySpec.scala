@@ -73,6 +73,31 @@ class SimilaritySpec extends AnyFunSuite {
     e.unpersist(); q.unpersist()
   }
 
+  test("tripletMine: positive same-label non-self argmax, negative different-label argmax") {
+    val e = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label").cache()
+    val q = Tables.embeddings(spark, TestSpark.sf0001).filter($"vec_id" < 5)
+      .select($"vec_id".as("query_id"), $"embedding".as("query_embedding"),
+        $"label".as("query_label")).cache()
+    val got = Similarity.tripletMine(e, q)
+      .as[(Long, Long, Double, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val labels = e.select($"vec_id", $"label").as[(Long, Int)].collect().toMap
+    val all = e.select($"vec_id", $"embedding").as[(Long, Array[Float])].collect()
+    val qs = q.select($"query_id", $"query_embedding").as[(Long, Array[Float])].collect()
+    for ((qid, qv) <- qs) {
+      val (_, posId, _, negId, _) = got(qid)
+      assert(labels(posId) == labels(qid) && posId != qid)
+      assert(labels(negId) != labels(qid))
+      def best(pred: Long => Boolean) =
+        all.filter { case (id, _) => id != qid && pred(id) }
+          .map { case (id, ev) => (id, CosineSimilarity.cosine(ev, qv)) }
+          .sortBy { case (id, s) => (-s, id) }.head._1
+      assert(posId == best(id => labels(id) == labels(qid)), s"pos for $qid")
+      assert(negId == best(id => labels(id) != labels(qid)), s"neg for $qid")
+    }
+    e.unpersist(); q.unpersist()
+  }
+
   test("centroidDrift: identical halves cos 1, opposed halves cos -1, counts per half") {
     def vec(scale: Float) = Array.tabulate(64)(i => (i + 1) * 0.01f * scale)
     val rows =

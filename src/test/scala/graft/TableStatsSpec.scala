@@ -128,6 +128,28 @@ class TableStatsSpec extends AnyFunSuite {
     assert(!plan.contains("SortMergeJoin") && !plan.contains("Join"), plan)
   }
 
+  test("equiDepthHistogram: counts near-equal, complete, boundaries match driver percentiles") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val v = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+    val got = TableStats.equiDepthHistogram(li, v, 8)
+      .as[(Long, Long)].collect().toMap
+    val xs = li.selectExpr(s"$v AS x").as[Long].collect().sorted
+    assert(got.values.sum == xs.length)
+    assert(got.keySet == (0L until 8L).toSet)
+    // driver-side: same interpolated boundaries, same strict-> bucketing
+    def q(p: Double): Double = {
+      val r = p * (xs.length - 1)
+      val lo = xs(r.toInt); val hi = xs(math.ceil(r).toInt)
+      lo + (hi - lo) * (r - r.toInt)
+    }
+    val bs = (1 until 8).map(i => q(i / 8.0))
+    val local = xs.groupBy(x => bs.count(b => x.toDouble > b).toLong)
+      .view.mapValues(_.length.toLong).toMap
+    assert(got == local)
+    // equi-depth: each bucket within 2% of n/8 on this near-continuous column
+    assert(got.values.forall(n => math.abs(n - xs.length / 8.0) <= xs.length * 0.02))
+  }
+
   test("groupRegression: exact fit recovered; constant-x group yields nulls") {
     val d = (Seq((0L, 2L), (1L, 5L), (2L, 8L), (3L, 11L)).map(p => ("lin", p._1, p._2))
       ++ Seq(("flat", 7L, 1L), ("flat", 7L, 9L)))
