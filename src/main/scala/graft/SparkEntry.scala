@@ -890,6 +890,13 @@ object SparkEntry {
           col("embedding").as("query_embedding"), col("label").as("query_label"))
       Similarity.tripletMine(e, q)
     }),
+    // extension: perceptual hash (aHash) over media payloads — 8x8
+    // grayscale grid, mean threshold, 16-hex signature; stub-decode path
+    // is exact integer math the oracle reproduces (the q28 contract)
+    "q144_mm_phash" -> ((s, dir) => {
+      val media = Multimodal.asMedia(docs(s, dir), "doc_id", "encode(text, 'utf-8')", "raw")
+      Multimodal.perceptualHash(media)
+    }),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -2752,6 +2759,32 @@ SELECT node_a, node_b, draw FROM ne ORDER BY draw LIMIT 100"""
     FROM sc WHERE label <> ql) WHERE rn = 1)
 SELECT p.query_id, p.pos_id, p.pos_score, n.neg_id, n.neg_score
 FROM pos p JOIN neg n USING (query_id)""",
+    // Mirrors Multimodal.perceptualHash on the stub decode (ASCII corpus:
+    // char == byte, ord == byte value — the q28 contract): 8x8 nearest-
+    // neighbour grid over the w x h x 3 byte raster, integer gray and
+    // mean, LSB-first byte packing to 16 hex chars
+    "q144_mm_phash" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS len,
+    CASE WHEN length(text) > 0 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b0,
+    CASE WHEN length(text) > 1 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b1
+  FROM documents),
+  dims AS (SELECT doc_id, text, len, 64 + len % 512 AS w, 64 + (b0 * 256 + b1) % 512 AS h FROM base),
+  grays AS (SELECT doc_id, len,
+    CASE WHEN len = 0 THEN list_transform(range(0, 64), j -> 0)
+    ELSE list_transform(range(0, 64), j ->
+      (ord(substr(text, ((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + 0) % len + 1, 1))
+     + ord(substr(text, ((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + 1) % len + 1, 1))
+     + ord(substr(text, ((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + 2) % len + 1, 1))) // 3)
+    END AS g
+  FROM dims),
+  bits AS (SELECT doc_id, g, list_sum(g) // 64 AS mean FROM grays)
+SELECT doc_id AS media_id, 'raw' AS format,
+  list_aggregate(list_transform(range(0, 8), k ->
+    lpad(lower(hex(
+      list_sum(list_transform(range(0, 8), j ->
+        CASE WHEN g[CAST(8 * k + j + 1 AS INTEGER)] >= mean THEN CAST(2 ** j AS BIGINT) ELSE 0 END))
+    )), 2, '0')), 'string_agg', '') AS phash
+FROM bits""",
     "q69_det_ivf" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
   WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,

@@ -135,6 +135,80 @@ object Multimodal {
     }
   }
 
+  /** Perceptual hash (aHash): nearest-neighbour-downsample the decoded
+    * pixels to an 8x8 grayscale grid, threshold each cell at the integer
+    * grid mean, pack the 64 bits into a 16-hex-char signature (byte k =
+    * cells 8k..8k+7, LSB-first — hex avoids the 64-bit signed-shift
+    * overflow `SignSketch` documents for bit 63). Map-only batched decode
+    * like `extractFeatures`; integer-only arithmetic, so the stub path is
+    * reproduced exactly by the q144 oracle SQL (the q28 contract). Real
+    * rasters hash their true pixels — same grid, same packing. */
+  def perceptualHash(media: Dataset[Media]): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.mapPartitions { it =>
+      it.map { m =>
+        val bytes = m.content
+        val d = decode(m.format, bytes)
+        val (w, h, c) = (d.width, d.height, d.channels)
+        val grays = new Array[Long](64)
+        var j = 0
+        while (j < 64) {
+          val sx = (j % 8) * w / 8
+          val sy = (j / 8) * h / 8
+          var s = 0L
+          var ch = 0
+          while (ch < c) { s += d.pixel(bytes, sx, sy, ch) & 0xff; ch += 1 }
+          grays(j) = if (c == 0) 0L else s / c
+          j += 1
+        }
+        val mean = grays.sum / 64
+        val sb = new StringBuilder(16)
+        var k = 0
+        while (k < 8) {
+          var b = 0
+          var i = 0
+          while (i < 8) {
+            if (grays(8 * k + i) >= mean) b |= 1 << i
+            i += 1
+          }
+          sb.append(f"$b%02x")
+          k += 1
+        }
+        (m.media_id, m.format, sb.toString)
+      }
+    }.toDF("media_id", "format", "phash")
+  }
+
+  /** Hamming-banded near-duplicate pairs over perceptual hashes: the
+    * `Dedup.simhashPairs` shape on the 16-hex signature — 4 bands of 16
+    * bits, candidates share at least one equal band (pigeonhole-complete
+    * for distance <= 3), exact Hamming verification on the candidates via
+    * per-band XOR popcounts. Cost ~ band-bucket collisions, never pairs².
+    * Output: (media_a, media_b, hamming <= maxDist). */
+  def phashPairs(sigs: DataFrame, maxDist: Int = 3): DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(maxDist >= 0 && maxDist <= 64)
+    val banded = sigs.select(col("media_id"), col("phash"),
+        explode(expr(
+          """transform(sequence(0, 3),
+               k -> struct(k AS k, substring(phash, k * 4 + 1, 4) AS band))""")).as("b"))
+      .select(col("media_id"), col("phash"), col("b.k"), col("b.band"))
+    val ham = (0 until 4).map(k =>
+      s"""bit_count(
+            cast(conv(substring(a.phash, ${k * 4 + 1}, 4), 16, 10) AS BIGINT) ^
+            cast(conv(substring(b.phash, ${k * 4 + 1}, 4), 16, 10) AS BIGINT))""")
+      .mkString(" + ")
+    banded.as("a")
+      .join(banded.hint("SHUFFLE_HASH").as("b"),
+        col("a.k") === col("b.k") && col("a.band") === col("b.band") &&
+          col("a.media_id") < col("b.media_id"))
+      .select(col("a.media_id").as("media_a"), col("b.media_id").as("media_b"),
+        expr(s"CAST($ham AS BIGINT)").as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxDist)
+  }
+
   /** Nearest-neighbour resize: row-major nearest source-pixel mapping over
     * the decoded pixels — the real raster for image formats, the payload
     * bytes reinterpreted at the stub dimensions otherwise. Map-only, no

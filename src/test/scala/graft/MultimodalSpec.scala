@@ -84,6 +84,45 @@ class MultimodalSpec extends AnyFunSuite {
     assert(b.width == 64 + 3 && b.channels == 3)
   }
 
+  test("perceptualHash: 16-hex signature, identical payloads collide, deterministic") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val media = Multimodal.asMedia(docs, "doc_id", "encode(text, 'utf-8')")
+    val sigs = Multimodal.perceptualHash(media).collect()
+    assert(sigs.length == docs.count())
+    assert(sigs.forall(_.getString(2).matches("[0-9a-f]{16}")))
+    // identical payloads -> identical signatures (clone two docs)
+    val twin = Multimodal.asMedia(
+      docs.limit(2).selectExpr("doc_id + 10000 AS doc_id", "text"),
+      "doc_id", "encode(text, 'utf-8')")
+    val both = Multimodal.perceptualHash(media.unionByName(twin))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    val origs = docs.limit(2).select($"doc_id").as[Long].collect()
+    for (id <- origs) assert(both(id) == both(id + 10000), s"clone of $id")
+    // determinism across partitionings
+    val again = Multimodal.perceptualHash(
+      Multimodal.asMedia(docs.repartition(7), "doc_id", "encode(text, 'utf-8')"))
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(again == sigs.map(r => r.getLong(0) -> r.getString(2)).toMap)
+  }
+
+  test("phashPairs: banded candidates complete for small distance; exact hamming; no self/dup pairs") {
+    // craft signatures with known hamming: s0/s1 differ in 1 bit (same
+    // first band), s2 shares no band with s0/s1, s3 == s0
+    val sigs = Seq(
+      (0L, "00000000000000ff"),
+      (1L, "00000000000000fe"), // flips one bit in band 3
+      (2L, "ffffffffffff0000"),
+      (3L, "00000000000000ff"))
+      .toDF("media_id", "phash")
+    val got = Multimodal.phashPairs(sigs, 3)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(got == Set((0L, 1L, 1L), (0L, 3L, 0L), (1L, 3L, 1L)))
+    // wider threshold exposes the far pair only if a band collides: s2
+    // shares no band with anyone -> still absent even at maxDist 64
+    assert(!Multimodal.phashPairs(sigs, 64)
+      .as[(Long, Long, Long)].collect().exists(p => p._1 == 2L || p._2 == 2L))
+  }
+
   test("frame sampling emits strided fixed-size blocks") {
     val media = Multimodal.asMedia(
       Seq((1L, "a" * 1000)).toDF("doc_id", "text"), "doc_id", "encode(text, 'utf-8')")
