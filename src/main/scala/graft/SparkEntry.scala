@@ -897,6 +897,24 @@ object SparkEntry {
       val media = Multimodal.asMedia(docs(s, dir), "doc_id", "encode(text, 'utf-8')", "raw")
       Multimodal.perceptualHash(media)
     }),
+    // extension: Gopher-style repetition/diversity quality rules — the
+    // keep/drop gate a pretraining pipeline runs at scan speed
+    "q145_gopher" -> ((s, dir) =>
+      TextAnalysis.gopherQuality(docs(s, dir))),
+    // extension: token-budget sequence packing into per-shard bins (the
+    // training-batch packer; window partitioned by source, never global)
+    "q146_pack_bins" -> ((s, dir) =>
+      TextAnalysis.packSequences(docs(s, dir), 512)),
+    // extension: robust outlier audit — median/MAD fences per language
+    "q147_mad_outliers" -> ((s, dir) =>
+      graft.operators.TableStats.madOutliers(docs(s, dir), "lang", "n_chars")),
+    // extension: per-user EWMA of daily spend, decay 1/2 — the 2^k weight
+    // ladder keeps the smoothing in exact int64, hash-exact cross-engine
+    "q148_ewma" -> ((s, dir) =>
+      graft.operators.EventAnalytics.ewmaDailySpend(Tables.events(s, dir))),
+    // extension: JSON property extraction + rollup over event payloads
+    "q149_json_props" -> ((s, dir) =>
+      graft.operators.EventAnalytics.jsonPropsRollup(Tables.events(s, dir))),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -2785,6 +2803,78 @@ SELECT doc_id AS media_id, 'raw' AS format,
         CASE WHEN g[CAST(8 * k + j + 1 AS INTEGER)] >= mean THEN CAST(2 ** j AS BIGINT) ELSE 0 END))
     )), 2, '0')), 'string_agg', '') AS phash
 FROM bits""",
+    // Mirrors TextAnalysis.gopherQuality: word stats from the shared
+    // tokenizer, one CASE-guarded division per ratio, int64 keep flag
+    "q145_gopher" ->
+      s"""WITH $dkTok,
+  s AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_words,
+    round(CASE WHEN len(toks) = 0 THEN 0.0
+      ELSE CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE) / len(toks) END, 6) AS mean_word_len,
+    round(CASE WHEN len(toks) = 0 THEN 0.0
+      ELSE len(list_distinct(toks)) / CAST(len(toks) AS DOUBLE) END, 6) AS frac_unique,
+    round(CASE WHEN len(toks) = 0 THEN 0.0
+      ELSE list_max(list_transform(list_distinct(toks), w -> len(list_filter(toks, t -> t = w))))
+        / CAST(len(toks) AS DOUBLE) END, 6) AS top_word_frac,
+    round(CASE WHEN len(toks) < 2 THEN 0.0
+      ELSE 1.0 - len(list_distinct(list_transform(range(1, len(toks)), i -> toks[i] || ' ' || toks[i + 1])))
+        / CAST(len(toks) - 1 AS DOUBLE) END, 6) AS dup_bigram_frac
+  FROM tok)
+SELECT doc_id, n_words, mean_word_len, frac_unique, top_word_frac, dup_bigram_frac,
+  CAST(CASE WHEN n_words >= 20 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+    AND frac_unique >= 0.45 AND top_word_frac <= 0.1 AND dup_bigram_frac <= 0.03
+    THEN 1 ELSE 0 END AS BIGINT) AS keep
+FROM s""",
+    // Mirrors TextAnalysis.packSequences(512): doc_id-ordered running
+    // token sum per source shard, floor-division bin, modulo offset
+    "q146_pack_bins" ->
+      s"""WITH $dkTok,
+  t AS (SELECT d.doc_id, d.source, CAST(len(toks) AS BIGINT) AS n_tokens
+    FROM tok JOIN documents d USING (doc_id)),
+  c AS (SELECT doc_id, source, n_tokens,
+      CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+    FROM t)
+SELECT doc_id, source, n_tokens,
+  CAST(floor(cum_before / CAST(512 AS DOUBLE)) AS BIGINT) AS bin,
+  CAST(cum_before % 512 AS BIGINT) AS offset_in_bin
+FROM c""",
+    // Mirrors TableStats.madOutliers(lang, n_chars, fence=3): exact
+    // interpolated medians (quantile_cont), MAD fence, int64 counts
+    "q147_mad_outliers" ->
+      """WITH v AS (SELECT lang AS g, CAST(n_chars AS BIGINT) AS v FROM documents),
+  med AS (SELECT g, quantile_cont(v, 0.5) AS med FROM v GROUP BY 1),
+  dev AS (SELECT v.g, v.v, med.med, abs(v.v - med.med) AS adev FROM v JOIN med USING (g)),
+  mad AS (SELECT g, quantile_cont(adev, 0.5) AS mad FROM dev GROUP BY 1)
+SELECT dev.g AS lang, CAST(count(*) AS BIGINT) AS n,
+  round(min(dev.med), 6) AS med, round(min(mad.mad), 6) AS mad,
+  CAST(sum(CASE WHEN mad.mad > 0 AND dev.adev > mad.mad * 3.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev JOIN mad USING (g) GROUP BY 1""",
+    // Mirrors EventAnalytics.ewmaDailySpend(32): daily cents rollup,
+    // recency rank, 2^(32-rn) integer weight ladder, one exact division
+    "q148_ewma" ->
+      """WITH daily AS (SELECT user_id,
+    CAST(date_diff('day', DATE '2024-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS d,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events GROUP BY 1, 2),
+  r AS (SELECT user_id, day_cents,
+    row_number() OVER (PARTITION BY user_id ORDER BY d DESC) AS rn FROM daily),
+  k AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_days,
+    CAST(sum(day_cents * CAST(pow(2, 32 - rn) AS BIGINT)) AS BIGINT) AS s
+  FROM r WHERE rn <= 32 GROUP BY 1)
+SELECT user_id, n_days,
+  round(CAST(s AS DOUBLE) / CAST(pow(2, 31) AS DOUBLE) / 100.0, 6) AS ewma
+FROM k""",
+    // Mirrors EventAnalytics.jsonPropsRollup('k'): typed JSON extraction,
+    // one rollup, CAST-guarded DuckDB sums (HUGEINT trap)
+    "q149_json_props" ->
+      """WITH e AS (SELECT event_type,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) AS kv FROM events)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+  CAST(count(kv) AS BIGINT) AS n_with_k,
+  CAST(coalesce(sum(kv), 0) AS BIGINT) AS sum_k,
+  CAST(count(DISTINCT kv) AS BIGINT) AS n_distinct_k,
+  round(CASE WHEN count(kv) = 0 THEN NULL ELSE CAST(sum(kv) AS DOUBLE) / count(kv) END, 6) AS avg_k
+FROM e GROUP BY 1""",
     "q69_det_ivf" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
   WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,

@@ -298,6 +298,57 @@ object EventAnalytics {
         expr("round((CAST(s AS DOUBLE) / d) / 100.0, 6)").as("twap"))
   }
 
+  /** Per-user EWMA of daily spend with decay 1/2 (half-life one day) over
+    * the user's most recent `maxDays` active days. Decay 1/2 is the trick:
+    * the weight ladder 2^0..2^(maxDays-1) is exact in int64 (cents <= ~1e7
+    * x 2^31 < 2^63, and < 2^53 so the final division is double-exact), so
+    * the whole smoothing collapses to ONE integer weighted sum per user —
+    * no running recurrence, no float accumulation order to disagree on,
+    * hash-exact across engines. Truncation at `maxDays` is principled, not
+    * a dodge: a day beyond 32 half-lives contributes < 2^-32 of its value,
+    * below the 6-dp boundary rounding.
+    *
+    * Shape at scale: daily rollup = one user/day partial-aggregated
+    * shuffle; recency rank = user-keyed window over <= calendar-days rows
+    * per user; final sum = one more user-keyed aggregate AQE coalesces
+    * onto the same exchange. Output: (user_id, n_days, ewma_cents). */
+  def ewmaDailySpend(events: DataFrame, maxDays: Int = 32): DataFrame = {
+    require(maxDays >= 1 && maxDays <= 32, "weight ladder must fit int64/2^53")
+    val daily = events
+      .select(col("user_id"), expr(dayIdxSql("ts", "2024-01-01")).as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("user_id", "d").agg(sum("cents").as("day_cents"))
+    val w = Window.partitionBy("user_id").orderBy(desc("d"))
+    daily
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxDays)
+      .groupBy("user_id")
+      .agg(count(lit(1)).as("n_days"),
+        sum(expr(s"day_cents * CAST(pow(2, $maxDays - rn) AS BIGINT)")).as("s"),
+        max(expr(s"CAST(pow(2, $maxDays - rn) AS BIGINT)")).as("top_w"))
+      .select(col("user_id"), col("n_days"),
+        expr("round(CAST(s AS DOUBLE) / top_w / 100.0, 6)").as("ewma"))
+  }
+
+  /** Semi-structured property extraction: pull a typed field out of the
+    * `props` JSON column and aggregate it per event_type — the
+    * warehouse-side of event instrumentation where payloads arrive as JSON
+    * strings. Extraction is `get_json_object` (codegen'd, map-only); the
+    * rollup is one partial-aggregated shuffle over event_type. All outputs
+    * integer except the single rounded average. Output per event_type:
+    * (n, n_with_k, sum_k, n_distinct_k, avg_k). */
+  def jsonPropsRollup(events: DataFrame, field: String = "k"): DataFrame =
+    events
+      .select(col("event_type"),
+        expr(s"CAST(get_json_object(props, '$$.$field') AS BIGINT)").as("kv"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"),
+        count(col("kv")).as("n_with_k"),
+        coalesce(sum("kv"), lit(0L)).as("sum_k"),
+        countDistinct(col("kv")).as("n_distinct_k"),
+        expr("round(CASE WHEN count(kv) = 0 THEN NULL ELSE CAST(sum(kv) AS DOUBLE) / count(kv) END, 6)")
+          .as("avg_k"))
+
   /** Per-group z-score outliers: events whose value sits more than
     * `threshold` population standard deviations from their event_type's
     * mean. Moments are exact integer sums of 2^10-fixed-point values (value

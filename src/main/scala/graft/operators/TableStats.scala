@@ -112,6 +112,53 @@ object TableStats {
       .groupBy("bin").agg(count(lit(1)).as("n"))
   }
 
+  /** Pivot (cross-tab) counts: one row per `rowCol` value, one BIGINT
+    * column per `colValues` entry. The column set is an EXPLICIT sorted
+    * list, not discovered from data — at 100 TB, `.pivot(col)` without
+    * values runs a full distinct scan just to learn the schema, and an
+    * unbounded value domain would explode the row width; pinning the list
+    * keeps the plan one map-side-combined aggregate and makes the output
+    * schema stable across corpus versions. Absent combinations are 0, not
+    * null (the contract a downstream matrix consumer wants). */
+  def pivotCounts(df: DataFrame, rowCol: String, colCol: String,
+                  colValues: Seq[String]): DataFrame = {
+    require(colValues.nonEmpty && colValues.distinct == colValues,
+      "colValues must be a non-empty distinct list")
+    df.groupBy(rowCol).pivot(colCol, colValues).count()
+      .select(col(rowCol) +: colValues.map(v =>
+        coalesce(col(s"`$v`"), lit(0L)).as(v)): _*)
+  }
+
+  /** Robust outlier audit per group: median / MAD (median absolute
+    * deviation) fences, the heavy-tail-safe alternative to z-scores (one
+    * wild value drags a mean+stddev fence, not a median+MAD one). Two
+    * exact percentile aggregates with the 5-row group frame broadcast back
+    * between them — the deviation pass streams the corpus a second time
+    * but never buffers more than one group's values per aggregate (same
+    * contract as `percentilesBy`; swap in `approx_percentile` for the hot-
+    * group scale path). Integer-valued `valueExpr` keeps the interpolated
+    * medians engine-exact. Output per group: n, med, mad, n_outliers
+    * (|x - med| > fence * mad; mad = 0 flags nothing — degenerate groups
+    * are a DQ signal, not an outlier storm). */
+  def madOutliers(df: DataFrame, groupCol: String, valueExpr: String,
+                  fence: Double = 3.0): DataFrame = {
+    require(fence > 0)
+    val vals = PlanCache.memo(
+      df.select(col(groupCol).as("g"), expr(valueExpr).cast("long").as("v")))
+    val med = vals.groupBy("g").agg(expr("percentile(v, 0.5)").as("med"))
+    val dev = vals.join(broadcast(med), Seq("g"))
+      .withColumn("adev", abs(col("v") - col("med")))
+    val mad = dev.groupBy("g").agg(expr("percentile(adev, 0.5)").as("mad"))
+    dev.join(broadcast(mad), Seq("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        expr("round(first(med), 6)").as("med"),
+        expr("round(first(mad), 6)").as("mad"),
+        sum(when(col("mad") > 0 && col("adev") > col("mad") * fence, 1L)
+          .otherwise(0L)).as("n_outliers"))
+      .withColumnRenamed("g", groupCol)
+  }
+
   /** Exact interpolated percentiles per group over an INTEGER-valued
     * expression. `percentile` sorts within the aggregate — exact, not a
     * sketch — and on integer inputs the linear interpolation

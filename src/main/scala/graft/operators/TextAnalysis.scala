@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for a large-scale training-data pipeline:
@@ -70,6 +71,45 @@ object TextAnalysis {
           ++ passthrough: _*)
   }
 
+  /** Gopher-style repetition/diversity quality rules (Rae et al. 2021,
+    * "Scaling Language Models" §A1.1 — public paper): per-document word
+    * statistics and the keep/drop verdict a pretraining pipeline applies
+    * before anything expensive touches the doc. All five signals come from
+    * array expressions over the whitespace tokens — map-only, codegen'd, no
+    * shuffle, so the filter runs at scan speed on 100 TB and feeds partition
+    * pruning for every downstream stage.
+    *
+    * Signals (all ratios rounded to 6 so the oracle agrees):
+    *   - n_words, mean_word_len — length bounds (the classic 50..100k /
+    *     3..10 Gopher bounds, here n_words >= 20 for the synthetic corpus);
+    *   - frac_unique — distinct words / words (low = repetitive doc);
+    *   - top_word_frac — most frequent word's share (high = degenerate);
+    *   - dup_bigram_frac — 1 - distinct bigrams / bigrams (boilerplate
+    *     loops). Per-doc cost is O(distinct x words) string compares on
+    *     <= a-few-hundred-word docs — cheaper than one shuffle would be. */
+  def gopherQuality(docs: DataFrame): DataFrame =
+    docs.withColumn("toks", expr(tokensExpr))
+      .withColumn("n_words", expr("CAST(size(toks) AS BIGINT)"))
+      .withColumn("mean_word_len", expr(
+        """round(IF(n_words = 0, 0.0,
+             aggregate(toks, 0, (a, t) -> a + length(t)) / CAST(n_words AS DOUBLE)), 6)"""))
+      .withColumn("frac_unique", expr(
+        "round(IF(n_words = 0, 0.0, size(array_distinct(toks)) / CAST(n_words AS DOUBLE)), 6)"))
+      .withColumn("top_word_frac", expr(
+        """round(IF(n_words = 0, 0.0,
+             array_max(transform(array_distinct(toks), w -> size(filter(toks, t -> t = w))))
+               / CAST(n_words AS DOUBLE)), 6)"""))
+      .withColumn("dup_bigram_frac", expr(
+        """round(IF(n_words < 2, 0.0,
+             1.0 - size(array_distinct(transform(sequence(1, CAST(n_words AS INT) - 1),
+                 i -> concat(element_at(toks, i), ' ', element_at(toks, i + 1)))))
+               / CAST(n_words - 1 AS DOUBLE)), 6)"""))
+      .selectExpr("doc_id", "n_words", "mean_word_len", "frac_unique",
+        "top_word_frac", "dup_bigram_frac",
+        """CAST(IF(n_words >= 20 AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+             AND frac_unique >= 0.45 AND top_word_frac <= 0.1
+             AND dup_bigram_frac <= 0.03, 1, 0) AS BIGINT) AS keep""")
+
   /** Heuristic language ID: stopword-profile voting with deterministic
     * alphabetical tie-break (first language whose score >= all later ones). */
   def langId(docs: DataFrame): DataFrame = {
@@ -84,6 +124,30 @@ object TextAnalysis {
     }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
     withScores.selectExpr(
       "doc_id" +: langs.map(l => s"s_$l") :+ s"$caseExpr AS predicted_lang": _*)
+  }
+
+  /** Sequence packing for training batches: assign documents to fixed
+    * token-budget bins, the step between a filtered corpus and a tokenized
+    * training shard. Docs pack in deterministic doc_id order WITHIN their
+    * source shard (bin = floor(cumulative-tokens-before / budget) — the
+    * streaming-greedy rule, so a doc can straddle two bins exactly like a
+    * real packer that splits at the boundary). Partitioning by source is
+    * the scale design: a global pack order would serialize the corpus
+    * through one window partition; per-shard packing is what distributed
+    * trainers actually consume (each shard's bins feed one data-loader
+    * rank), and the window is user-keyed so 1000 executors each pack their
+    * own shards. All integer arithmetic. Output: (doc_id, source,
+    * n_tokens, bin, offset_in_bin). */
+  def packSequences(docs: DataFrame, budgetTokens: Int = 512): DataFrame = {
+    require(budgetTokens >= 1)
+    val w = Window.partitionBy("source").orderBy("doc_id")
+    docs
+      .withColumn("n_tokens", expr(s"CAST(size($tokensExpr) AS BIGINT)"))
+      .withColumn("cum_before",
+        coalesce(sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .selectExpr("doc_id", "source", "n_tokens",
+        s"CAST(floor(cum_before / CAST($budgetTokens AS DOUBLE)) AS BIGINT) AS bin",
+        s"cum_before % $budgetTokens AS offset_in_bin")
   }
 
   /** Email shape: local@domain.tld (no lookarounds — portable across Java

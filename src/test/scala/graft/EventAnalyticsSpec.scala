@@ -205,4 +205,42 @@ class EventAnalyticsSpec extends AnyFunSuite {
     }.toSet
     assert(got == expect)
   }
+
+  test("ewmaDailySpend: half-life weighting on a crafted 3-day user; single-day user is its own ewma") {
+    // user 1: day0=100c, day1=200c, day2=400c -> ewma = 400 + 200/2 + 100/4
+    val e = ev(
+      (1, 0, 1, "purchase", 0.60), (2, 10, 1, "purchase", 0.40), // day0: 100c
+      (3, 1440, 1, "purchase", 2.00), // day1: 200c
+      (4, 2880, 1, "purchase", 4.00), // day2: 400c
+      (5, 0, 2, "purchase", 1.23)) // single day
+    val got = EventAnalytics.ewmaDailySpend(e)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 3L, 5.25))) // (400 + 100 + 25) cents / 100
+    assert(got(2L) == ((2L, 1L, 1.23)))
+  }
+
+  test("ewmaDailySpend: truncates to the most recent maxDays observations") {
+    // 40 active days of 100c each at maxDays=32: sum_{j=0..31} 0.5^j = 2 - 2^-31
+    val rows = (0 until 40).map(d => (d.toLong, d * 1440, 7L, "purchase", 1.00))
+    val got = EventAnalytics.ewmaDailySpend(ev(rows: _*), 32)
+      .as[(Long, Long, Double)].head()
+    assert(got._2 == 32L)
+    val expect = BigDecimal((2.0 - math.pow(2, -31)) * 1.00)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got._3 == expect)
+  }
+
+  test("jsonPropsRollup: missing fields count as null, sums and distincts exact") {
+    val e = Seq(
+      (1L, ts(0), 1L, "click", 1.0, """{"k": 5}"""),
+      (2L, ts(1), 1L, "click", 1.0, """{"k": 7}"""),
+      (3L, ts(2), 1L, "click", 1.0, """{"other": 1}"""),
+      (4L, ts(3), 2L, "view", 1.0, """{"k": 5}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val got = EventAnalytics.jsonPropsRollup(e)
+      .as[(String, Long, Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got("click") == (("click", 3L, 2L, 12L, 2L, Some(6.0))))
+    assert(got("view") == (("view", 1L, 1L, 5L, 1L, Some(5.0))))
+  }
 }

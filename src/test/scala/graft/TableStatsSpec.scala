@@ -190,4 +190,30 @@ class TableStatsSpec extends AnyFunSuite {
         (n * ys.map(a => a * a).sum - ys.sum * ys.sum))
     assert(math.abs(got(("x", "y")).get - r) < 1e-6)
   }
+
+  test("madOutliers: a wild value trips the MAD fence; a degenerate group flags none") {
+    import spark.implicits._
+    // g=a: med(10,12,14,16,1000)=14, adev=(4,2,0,2,986), mad=2, fence=6 -> 1000 only
+    // g=b: all equal -> mad=0 -> no outliers by contract
+    val df = (Seq(10L, 12L, 14L, 16L, 1000L).map("a" -> _) ++
+      Seq(5L, 5L, 5L).map("b" -> _)).toDF("lang", "v")
+    val got = TableStats.madOutliers(df, "lang", "v")
+      .as[(String, Long, Double, Double, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 5L, 14.0, 2.0, 1L)))
+    assert(got("b") == (("b", 3L, 5.0, 0.0, 0L)))
+  }
+
+  test("madOutliers: mean+stddev would blow the fence where median/MAD holds") {
+    import spark.implicits._
+    // the robustness claim itself: with one wild value the z-fence flags
+    // nothing (the outlier drags sigma), the MAD fence still catches it
+    val vals = Seq(10L, 11L, 12L, 13L, 14L, 1000000L)
+    val df = vals.map("g" -> _).toDF("lang", "v")
+    val mad = TableStats.madOutliers(df, "lang", "v")
+      .as[(String, Long, Double, Double, Long)].head()
+    assert(mad._5 == 1L)
+    val mean = vals.sum.toDouble / vals.size
+    val sd = math.sqrt(vals.map(v => (v - mean) * (v - mean)).sum / vals.size)
+    assert(vals.count(v => math.abs(v - mean) > 3 * sd) == 0)
+  }
 }

@@ -405,4 +405,46 @@ class TextAnalysisSpec extends AnyFunSuite {
     val c1 = r.filter(_._1 == "c1").sortBy(_._3).map(_._2).toSeq
     assert(c1 == Seq("shared", "unique1"))
   }
+
+  test("gopherQuality: crafted stats exact; degenerate repetition drops, diverse text keeps") {
+    val diverse = (1 to 25).map(i => s"word$i").mkString(" ") // 25 unique words
+    val looped = Seq.fill(20)("spam spam").mkString(" ") // 40 words, 1 distinct
+    val crafted = Seq((1L, diverse), (2L, looped), (3L, "ab cd ab cd"), (4L, ""))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.gopherQuality(crafted)
+      .as[(Long, Long, Double, Double, Double, Double, Long)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 25L, 5.64, 1.0, 0.04, 0.0, 1L)))
+    // looped: mwl=4, frac_unique=1/40, top=40/40, dup_bigram 1-1/39
+    assert(got(2L) == ((2L, 40L, 4.0, 0.025, 1.0, 0.974359, 0L)))
+    // 4 words, 2 distinct; bigrams: "ab cd","cd ab","ab cd" -> 1/3 dup
+    assert(got(3L) == ((3L, 4L, 2.0, 0.5, 0.5, 0.333333, 0L)))
+    assert(got(4L) == ((4L, 0L, 0.0, 0.0, 0.0, 0.0, 0L))) // empty: all-zero, dropped
+  }
+
+  test("gopherQuality on the fixture: keep verdict matches recomputing the rules by hand") {
+    val got = TextAnalysis.gopherQuality(docs)
+      .as[(Long, Long, Double, Double, Double, Double, Long)].collect()
+    assert(got.exists(_._7 == 1L) && got.exists(_._7 == 0L), "thresholds must split the corpus")
+    for (r <- got) {
+      val expect = r._2 >= 20 && r._3 >= 3.0 && r._3 <= 10.0 &&
+        r._4 >= 0.45 && r._5 <= 0.1 && r._6 <= 0.03
+      assert(r._7 == (if (expect) 1L else 0L), s"doc ${r._1}")
+    }
+  }
+
+  test("packSequences: greedy per-source bins, straddling docs, offsets mod budget") {
+    // source A token counts in doc_id order: 3, 4, 2 at budget 5
+    // cum_before: 0, 3, 7 -> bins 0, 0, 1; offsets 0, 3, 2
+    val crafted = Seq(
+      (1L, "a b c", "A"), (2L, "d e f g", "A"), (3L, "h i", "A"),
+      (10L, "x y z w v u", "B")) // other shard packs independently
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.packSequences(crafted, 5)
+      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, "A", 3L, 0L, 0L)))
+    assert(got(2L) == ((2L, "A", 4L, 0L, 3L)))
+    assert(got(3L) == ((3L, "A", 2L, 1L, 2L)))
+    assert(got(10L) == ((10L, "B", 6L, 0L, 0L)))
+  }
 }
