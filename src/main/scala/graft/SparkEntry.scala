@@ -915,6 +915,12 @@ object SparkEntry {
     // extension: JSON property extraction + rollup over event payloads
     "q149_json_props" -> ((s, dir) =>
       graft.operators.EventAnalytics.jsonPropsRollup(Tables.events(s, dir))),
+    // extension: cross-source quantile normalization — within-source rank
+    // mapped onto the global distribution (distributed rank frame, exact
+    // rational interpolation position)
+    "q150_quantile_norm" -> ((s, dir) =>
+      graft.operators.TableStats.quantileNormalize(
+        docs(s, dir), "doc_id", "source", "n_chars")),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -2875,6 +2881,21 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n,
   CAST(count(DISTINCT kv) AS BIGINT) AS n_distinct_k,
   round(CASE WHEN count(kv) = 0 THEN NULL ELSE CAST(sum(kv) AS DOUBLE) / count(kv) END, 6) AS avg_k
 FROM e GROUP BY 1""",
+    // Mirrors TableStats.quantileNormalize: within-group rational rank
+    // a/b, global value-at-rank join, h = a*(N-1) exact-integer position
+    "q150_quantile_norm" ->
+      """WITH v AS (SELECT doc_id AS id, source AS g, CAST(n_chars AS BIGINT) AS v FROM documents),
+  nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+  wg AS (SELECT id, g, v,
+    CAST(row_number() OVER (PARTITION BY g ORDER BY v, id) - 1 AS BIGINT) AS a,
+    CAST(count(*) OVER (PARTITION BY g) - 1 AS BIGINT) AS b FROM v),
+  p AS (SELECT wg.*, CASE WHEN b = 0 THEN 0 ELSE a * (n - 1) // b END AS k,
+    CASE WHEN b = 0 THEN 0 ELSE a * (n - 1) % b END AS rem FROM wg CROSS JOIN nn),
+  r AS (SELECT CAST(row_number() OVER (ORDER BY v) - 1 AS BIGINT) AS rk, v AS xv FROM v)
+SELECT p.id AS doc_id, p.g AS source, p.v,
+  round(CASE WHEN rem = 0 THEN CAST(lo.xv AS DOUBLE)
+    ELSE lo.xv + CAST(rem AS DOUBLE) / b * (coalesce(hi.xv, lo.xv) - lo.xv) END, 6) AS v_norm
+FROM p JOIN r lo ON p.k = lo.rk LEFT JOIN r hi ON p.k + 1 = hi.rk""",
     "q69_det_ivf" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
   WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,

@@ -308,6 +308,61 @@ object TableStats {
       .groupBy("bucket").agg(count(lit(1)).as("n"))
   }
 
+  /** Cross-group quantile normalization: re-express each row's value as
+    * the GLOBAL distribution's value at the row's within-group percent
+    * rank — the distribution-alignment step that makes per-source quality
+    * scores comparable before a corpus-wide quality cut (source A's 0.9
+    * and source B's 0.9 mean the same thing afterwards). Within-group
+    * percent rank is the exact rational a/b (rank-1 over n_g - 1, id
+    * tie-broken); the global value-at-rank uses the SAME distributed-rank
+    * machinery as `equiDepthHistogram` (range repartition + local
+    * row_number + broadcast prefix offsets — never a single-task sort),
+    * and the lo/hi interpolation rows arrive by two SHUFFLE_HASH joins on
+    * the dense rank index (uniform key, no skew; never sort-merge).
+    *
+    * Determinism: the interpolation position is the exact integer
+    * h = a * (N - 1) with k = h div b, rem = h mod b — no floating
+    * floor-of-product to disagree on; the single double expression
+    * x_lo + rem/b * (x_hi - x_lo) runs on exact int64 inputs. Contract:
+    * n_g * N < 2^63 (wraps at ~3e9 rows squared; beyond that swap the
+    * rank frame for an approx_percentile inverse lookup). Output:
+    * (id, group, v, v_norm). */
+  def quantileNormalize(df: DataFrame, idCol: String, groupCol: String,
+                        valueExpr: String, nPartitions: Int = 32): DataFrame = {
+    val vals = PlanCache.memo(df.select(col(idCol).as("id"),
+      col(groupCol).as("g"), expr(valueExpr).cast("long").as("v")))
+    val n = vals.count()
+    require(n > 0, "cannot normalize an empty input")
+    // within-group exact rational rank a/b
+    val wg = Window.partitionBy("g").orderBy("v", "id")
+    val withP = vals
+      .withColumn("a", row_number().over(wg).cast("long") - 1)
+      .withColumn("b", count(lit(1)).over(Window.partitionBy("g")).cast("long") - 1)
+      .withColumn("k", expr(s"CASE WHEN b = 0 THEN 0L ELSE a * ${n - 1}L DIV b END"))
+      .withColumn("rem", expr(s"CASE WHEN b = 0 THEN 0L ELSE a * ${n - 1}L % b END"))
+    // global value-at-rank frame (0-based, exact): the equiDepth machinery
+    val ranged = vals.select("v").repartitionByRange(nPartitions, col("v"))
+      .withColumn("__pid", spark_partition_id())
+    val local = PlanCache.memo(ranged
+      .withColumn("__rn", row_number().over(Window.partitionBy("__pid").orderBy("v")).cast("long")))
+    val offs = local.groupBy("__pid").agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum("__c").over(Window.orderBy("__pid")
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__off")
+    val rankFrame = PlanCache.memo(local.join(broadcast(offs), Seq("__pid"))
+      .select((col("__rn") - 1 + col("__off")).as("rk"), col("v").as("xv")))
+    val lo = rankFrame.select(col("rk").as("k"), col("xv").as("x_lo"))
+    val hi = rankFrame.select((col("rk") - 1).as("k"), col("xv").as("x_hi"))
+    withP
+      .join(lo.hint("SHUFFLE_HASH"), Seq("k"))
+      .join(hi.hint("SHUFFLE_HASH"), Seq("k"), "left") // k+1 absent at the top rank
+      .select(col("id").as(idCol), col("g").as(groupCol), col("v"),
+        expr("""round(CASE WHEN rem = 0 THEN CAST(x_lo AS DOUBLE)
+                ELSE x_lo + CAST(rem AS DOUBLE) / b * (coalesce(x_hi, x_lo) - x_lo) END, 6)""")
+          .as("v_norm"))
+  }
+
   /** Chi-square contingency audit over two categorical columns: per cell,
     * the observed count, the independence-model expectation e = (row total
     * x column total) / N, and the cell's chi-square contribution

@@ -173,6 +173,47 @@ object Streams {
       .toDF("event_id", "user_id", "event_type", "ts_us")
   }
 
+  /** Per-user EWMA of daily spend lifted to streaming
+    * (`EventAnalytics.ewmaDailySpend`'s twin). State per user is the
+    * retained (day -> cents) window — at most `maxDays` entries, the
+    * BOUNDED tail the decay-1/2 ladder makes principled (a day beyond 32
+    * half-lives is below the 6-dp boundary rounding). Each micro-batch
+    * folds its rows into the window, drops days that fell off the
+    * recency tail, and emits the user's refreshed (n_days, ewma) — Update
+    * semantics, one row per touched user per batch. The smoothing itself
+    * is the same exact-int64 2^k weighted sum as batch, so after any
+    * prefix the emitted value equals the batch operator over the events
+    * seen so far — EXCEPT an event for a day already aged out of the
+    * window (> maxDays behind the user's newest), which the batch twin
+    * also excludes; parity is exact under that shared truncation. */
+  def streamingEwmaDailySpend(events: DataFrame, maxDays: Int = 32): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(maxDays >= 1 && maxDays <= 32, "weight ladder must fit int64/2^53")
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.selectExpr("user_id",
+        s"${graft.operators.EventAnalytics.dayIdxSql("ts", "2024-01-01")} AS d",
+        "CAST(round(value * 100) AS BIGINT) AS cents")
+      .as[(Long, Long, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[Seq[(Long, Long)], (Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (userId, rows, state: GroupState[Seq[(Long, Long)]]) =>
+          val acc = scala.collection.mutable.Map[Long, Long]() ++
+            state.getOption.getOrElse(Nil)
+          rows.foreach { case (_, d, c) => acc(d) = acc.getOrElse(d, 0L) + c }
+          // most recent maxDays days, newest first (rank i = 2^-i weight)
+          val kept = acc.toSeq.sortBy(-_._1).take(maxDays)
+          state.update(kept)
+          val s = kept.zipWithIndex
+            .map { case ((_, c), i) => c * (1L << (maxDays - 1 - i)) }.sum
+          val ewma = BigDecimal(s.toDouble / (1L << (maxDays - 1)) / 100.0)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator((userId, kept.size.toLong, ewma))
+      }
+      .toDF("user_id", "n_days", "ewma")
+  }
+
   /** Streaming exact dedup: suppress re-deliveries of the same `event_id`
     * arriving within the watermark horizon. State is bounded — an id's
     * dedup record is dropped once the watermark passes its event time

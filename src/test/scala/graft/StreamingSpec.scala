@@ -286,6 +286,37 @@ class StreamingSpec extends AnyFunSuite {
     assert(out.toSet.size == 200)
   }
 
+  test("streamingEwmaDailySpend: final per-user state equals the batch operator across two micro-batches") {
+    val tmp = Files.createTempDirectory("graft-stream-ewma").toString
+    val src = s"$tmp/events"
+    val events = Tables.events(spark, TestSpark.sf0001).cache()
+    val cutDay = events.selectExpr("CAST(percentile_approx(ts, 0.5) AS DATE)")
+      .collect()(0).getDate(0)
+    // two DAY-ALIGNED event-time halves: every user touched by batch 1
+    // gains strictly newer days, so its final emission has the max n_days
+    events.filter($"ts".cast("date") <= cutDay).coalesce(1)
+      .write.mode("append").parquet(src)
+    events.filter($"ts".cast("date") > cutDay).coalesce(1)
+      .write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = Streams.streamingEwmaDailySpend(stream).writeStream
+      .format("memory").queryName("ewma_out").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("ewma_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"user_id")
+          .orderBy($"n_days".desc)))
+      .filter($"rn" === 1).select($"user_id", $"n_days", $"ewma")
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    val batch = graft.operators.EventAnalytics.ewmaDailySpend(events)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> (r._2, r._3)).toMap
+    assert(streamed.keySet == batch.keySet)
+    for ((u, bv) <- batch) assert(streamed(u) == bv, s"user $u")
+    events.unpersist()
+  }
+
   test("mapGroupsWithState: per-user running totals match batch aggregation") {
     val tmp = Files.createTempDirectory("graft-state").toString
     val src = s"$tmp/events"

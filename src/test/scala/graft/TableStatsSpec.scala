@@ -191,6 +191,36 @@ class TableStatsSpec extends AnyFunSuite {
     assert(math.abs(got(("x", "y")).get - r) < 1e-6)
   }
 
+  test("quantileNormalize: group extremes map to global extremes; interior points interpolate; no sort-merge join") {
+    import spark.implicits._
+    // global sorted values: 1,2,3,10,20,30 (N=6)
+    val df = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("a", 3L, 3L),
+      ("b", 4L, 10L), ("b", 5L, 20L), ("b", 6L, 30L)).toDF("src", "id", "v")
+    val out = TableStats.quantileNormalize(df, "id", "src", "v")
+    val got = out.as[(Long, String, Long, Double)].collect().map(r => r._1 -> r._4).toMap
+    // each group's ranks are a/b = 0, 1/2, 1 -> h = 0, 2.5, 5 over N-1=5
+    // h=2.5 interpolates midway between x_2=3 and x_3=10 -> 6.5
+    assert(got(1L) == 1.0 && got(4L) == 1.0) // both group minima -> global min
+    assert(got(3L) == 30.0 && got(6L) == 30.0) // both group maxima -> global max
+    assert(got(2L) == 6.5 && got(5L) == 6.5) // aligned distributions agree
+    val plan = out.queryExecution.executedPlan.toString
+    assert(!plan.contains("SortMergeJoin"), s"rank joins must hash:\n$plan")
+  }
+
+  test("quantileNormalize: normalized ranks are order-preserving within each group") {
+    import spark.implicits._
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = TableStats.quantileNormalize(docs, "doc_id", "source", "n_chars")
+      .as[(Long, String, Long, Double)].collect()
+    for ((_, g) <- got.groupBy(_._2)) {
+      val byV = g.sortBy(r => (r._3, r._1))
+      assert(byV.map(_._4).sliding(2).forall(p => p.head <= p.last), s"monotone in $g")
+    }
+    // normalized values live inside the global value range
+    val (lo, hi) = (got.map(_._3).min.toDouble, got.map(_._3).max.toDouble)
+    assert(got.forall(r => r._4 >= lo && r._4 <= hi))
+  }
+
   test("madOutliers: a wild value trips the MAD fence; a degenerate group flags none") {
     import spark.implicits._
     // g=a: med(10,12,14,16,1000)=14, adev=(4,2,0,2,986), mad=2, fence=6 -> 1000 only
