@@ -901,10 +901,18 @@ object SparkEntry {
     // keep/drop gate a pretraining pipeline runs at scan speed
     "q145_gopher" -> ((s, dir) =>
       TextAnalysis.gopherQuality(docs(s, dir))),
-    // extension: token-budget sequence packing into per-shard bins (the
-    // training-batch packer; window partitioned by source, never global)
-    "q146_pack_bins" -> ((s, dir) =>
-      TextAnalysis.packSequences(docs(s, dir), 512)),
+    // extension: split-leakage audit — near-dup pairs straddling the
+    // train/val/test boundary (eval contamination the hash split is blind to)
+    "q146_split_leakage" -> ((s, dir) =>
+      graft.operators.Pipeline.splitLeakage(docs(s, dir))),
+    // extension: dedup keep/drop decision — deterministic longest-text
+    // representative per near-dup cluster
+    "q151_dup_keep_best" -> ((s, dir) =>
+      Dedup.clusterRepresentatives(docs(s, dir))),
+    // extension: token-distribution drift between snapshot halves
+    // (add-1-smoothed per-token KL contributions)
+    "q152_token_drift" -> ((s, dir) =>
+      TextAnalysis.tokenDrift(docs(s, dir))),
     // extension: robust outlier audit — median/MAD fences per language
     "q147_mad_outliers" -> ((s, dir) =>
       graft.operators.TableStats.madOutliers(docs(s, dir), "lang", "n_chars")),
@@ -2830,20 +2838,77 @@ SELECT doc_id, n_words, mean_word_len, frac_unique, top_word_frac, dup_bigram_fr
     AND frac_unique >= 0.45 AND top_word_frac <= 0.1 AND dup_bigram_frac <= 0.03
     THEN 1 ELSE 0 END AS BIGINT) AS keep
 FROM s""",
-    // Mirrors TextAnalysis.packSequences(512): doc_id-ordered running
-    // token sum per source shard, floor-division bin, modulo offset
-    "q146_pack_bins" ->
+    // Mirrors Pipeline.splitLeakage: the q22 verified-pair chain joined to
+    // the q41 hash-split labels, order-normalized split matrix
+    "q146_split_leakage" -> {
+      val h = "sha256(CAST(doc_id AS VARCHAR))"
+      val b = s"(((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) * 256 + " +
+        s"${dkByte(h, "2")}) * 256 + ${dkByte(h, "3")}) % 10000"
+      s"""WITH $dkTok, $dkShl, $dkShu,
+  keep AS (SELECT shingle FROM shu GROUP BY shingle HAVING count(*) <= 1000),
+  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM shu a JOIN shu b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           WHERE a.shingle IN (SELECT shingle FROM keep)),
+  ver AS (SELECT c.doc_a, c.doc_b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+          FROM cand c JOIN shl sa ON c.doc_a = sa.doc_id
+                      JOIN shl sb ON c.doc_b = sb.doc_id),
+  p AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.5),
+  sp AS (SELECT doc_id, CASE WHEN $b < 9800 THEN 'train'
+           WHEN $b < 9900 THEN 'val' ELSE 'test' END AS split FROM documents),
+  lab AS (SELECT least(a.split, b.split) AS split_a,
+            greatest(a.split, b.split) AS split_b
+          FROM p JOIN sp a ON p.doc_a = a.doc_id JOIN sp b ON p.doc_b = b.doc_id)
+SELECT split_a, split_b, CAST(count(*) AS BIGINT) AS n_pairs
+FROM lab GROUP BY 1, 2"""
+    },
+    // Mirrors Dedup.clusterRepresentatives: the q38 recursive-reach
+    // clusters, representative by (len desc, doc_id asc)
+    "q151_dup_keep_best" ->
+      s"""WITH RECURSIVE $dkTok, $dkShl, $dkShu,
+  keep AS (SELECT shingle FROM shu GROUP BY shingle HAVING count(*) <= 1000),
+  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM shu a JOIN shu b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           WHERE a.shingle IN (SELECT shingle FROM keep)),
+  ver AS (SELECT c.doc_a, c.doc_b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+          FROM cand c JOIN shl sa ON c.doc_a = sa.doc_id
+                      JOIN shl sb ON c.doc_b = sb.doc_id),
+  p AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.5),
+  edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+            UNION ALL SELECT doc_b, doc_a FROM p),
+  nodes AS (SELECT DISTINCT a AS n FROM edges),
+  reach(n, r) AS (SELECT n, n FROM nodes
+    UNION SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.n),
+  lab AS (SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n),
+  m AS (SELECT lab.cluster, lab.doc_id, CAST(length(d.text) AS BIGINT) AS len
+        FROM lab JOIN documents d USING (doc_id)),
+  rk AS (SELECT cluster, doc_id,
+           row_number() OVER (PARTITION BY cluster ORDER BY len DESC, doc_id ASC) AS rn
+         FROM m)
+SELECT m.cluster, r.doc_id AS rep_doc_id, CAST(count(*) AS BIGINT) AS n_members
+FROM m JOIN rk r ON m.cluster = r.cluster AND r.rn = 1
+GROUP BY 1, 2""",
+    // Mirrors TextAnalysis.tokenDrift: parity halves, add-1-smoothed
+    // union-vocab probabilities, per-token KL(a||b) term
+    "q152_token_drift" ->
       s"""WITH $dkTok,
-  t AS (SELECT d.doc_id, d.source, CAST(len(toks) AS BIGINT) AS n_tokens
-    FROM tok JOIN documents d USING (doc_id)),
-  c AS (SELECT doc_id, source, n_tokens,
-      CAST(coalesce(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
-    FROM t)
-SELECT doc_id, source, n_tokens,
-  CAST(floor(cum_before / CAST(512 AS DOUBLE)) AS BIGINT) AS bin,
-  CAST(cum_before % 512 AS BIGINT) AS offset_in_bin
-FROM c""",
+  tu AS (SELECT doc_id % 2 = 0 AS a, unnest(toks) AS token FROM tok),
+  c AS (SELECT token,
+      CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+      CAST(sum(CASE WHEN a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+    FROM tu GROUP BY 1),
+  t AS (SELECT CAST(sum(n_a) AS BIGINT) AS t_a, CAST(sum(n_b) AS BIGINT) AS t_b,
+      CAST(count(*) AS BIGINT) AS v FROM c)
+SELECT token, n_a, n_b,
+  round(CAST(n_a + 1 AS DOUBLE) / (t_a + v), 6) AS p_a,
+  round(CAST(n_b + 1 AS DOUBLE) / (t_b + v), 6) AS p_b,
+  round(CAST(n_a + 1 AS DOUBLE) / (t_a + v)
+    * ln((CAST(n_a + 1 AS DOUBLE) / (t_a + v))
+       / (CAST(n_b + 1 AS DOUBLE) / (t_b + v))), 6) AS kl_term
+FROM c CROSS JOIN t""",
     // Mirrors TableStats.madOutliers(lang, n_chars, fence=3): exact
     // interpolated medians (quantile_cont), MAD fence, int64 counts
     "q147_mad_outliers" ->

@@ -276,6 +276,25 @@ object Dedup {
     labels.select("doc_id", "cluster")
   }
 
+  /** Which document SURVIVES each near-dup cluster — the keep/drop decision
+    * dedup actually ships (clusters alone don't shrink a corpus). The
+    * representative is deterministic: longest text first (the
+    * keep-the-fullest-copy heuristic), doc_id ascending on ties — via one
+    * struct-min aggregate over the cluster-keyed labels joined to doc
+    * lengths (SHUFFLE_HASH on doc_id; never a window sort over the
+    * corpus). Output per cluster: (cluster, rep_doc_id, n_members) —
+    * drop-set = members minus reps, derivable with one anti-join. */
+  def clusterRepresentatives(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val labels = duplicateClusters(jaccardPairs(docs, threshold))
+    labels
+      .join(docs.select(col("doc_id"), length(col("text")).cast("long").as("__len"))
+        .hint("SHUFFLE_HASH"), Seq("doc_id"))
+      .groupBy("cluster")
+      .agg(min(struct((-col("__len")).as("nl"), col("doc_id").as("id"))).as("__best"),
+        count(lit(1)).as("n_members"))
+      .select(col("cluster"), col("__best.id").as("rep_doc_id"), col("n_members"))
+  }
+
   /** Apply clustering: keep one canonical document (the minimum doc_id) per
     * duplicate cluster, plus every document that was in no pair. The
     * materialization step of dedup — `docs` minus the non-canonical cluster

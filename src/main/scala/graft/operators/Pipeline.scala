@@ -34,4 +34,28 @@ object Pipeline {
       .select(col("doc_id"), col("text"), round(col("quality"), 6).as("quality"),
         col("split"))
   }
+
+  /** Split-leakage audit: how many near-duplicate pairs STRADDLE the
+    * train/val/test boundary — the eval-contamination check a pipeline must
+    * run after splitting, because hash-splitting is blind to content (two
+    * near-identical docs hash independently, so ~2% of each dup pair's
+    * probability mass lands across train/val|test). Pairs come from the
+    * df-capped Jaccard machinery (never corpus²); labels attach by two
+    * SHUFFLE_HASH joins on doc id (pair table is the small side after
+    * verification — at most candidate-pairs rows, typically << corpus).
+    * Output: the full (split_a <= split_b, n_pairs) matrix — off-diagonal
+    * rows are the leaks; diagonal rows are the in-split dup load. */
+  def splitLeakage(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val splits = PlanCache.memo(
+      Sampling.splitByHash(docs).select(col("doc_id"), col("split")))
+    val pairs = Dedup.jaccardPairs(docs, threshold).select("doc_a", "doc_b")
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("sa"))
+        .hint("SHUFFLE_HASH"), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("sb"))
+        .hint("SHUFFLE_HASH"), Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("split_a"),
+        greatest(col("sa"), col("sb")).as("split_b"))
+      .groupBy("split_a", "split_b").agg(count(lit(1)).as("n_pairs"))
+  }
 }

@@ -126,28 +126,32 @@ object TextAnalysis {
       "doc_id" +: langs.map(l => s"s_$l") :+ s"$caseExpr AS predicted_lang": _*)
   }
 
-  /** Sequence packing for training batches: assign documents to fixed
-    * token-budget bins, the step between a filtered corpus and a tokenized
-    * training shard. Docs pack in deterministic doc_id order WITHIN their
-    * source shard (bin = floor(cumulative-tokens-before / budget) — the
-    * streaming-greedy rule, so a doc can straddle two bins exactly like a
-    * real packer that splits at the boundary). Partitioning by source is
-    * the scale design: a global pack order would serialize the corpus
-    * through one window partition; per-shard packing is what distributed
-    * trainers actually consume (each shard's bins feed one data-loader
-    * rank), and the window is user-keyed so 1000 executors each pack their
-    * own shards. All integer arithmetic. Output: (doc_id, source,
-    * n_tokens, bin, offset_in_bin). */
-  def packSequences(docs: DataFrame, budgetTokens: Int = 512): DataFrame = {
-    require(budgetTokens >= 1)
-    val w = Window.partitionBy("source").orderBy("doc_id")
-    docs
-      .withColumn("n_tokens", expr(s"CAST(size($tokensExpr) AS BIGINT)"))
-      .withColumn("cum_before",
-        coalesce(sum("n_tokens").over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .selectExpr("doc_id", "source", "n_tokens",
-        s"CAST(floor(cum_before / CAST($budgetTokens AS DOUBLE)) AS BIGINT) AS bin",
-        s"cum_before % $budgetTokens AS offset_in_bin")
+  /** Token-distribution drift between two corpus halves (here: doc_id
+    * parity, the q140 snapshot convention): per-token counts on each side,
+    * add-1-smoothed probabilities over the UNION vocabulary, and the
+    * per-token KL(a||b) contribution — the distribution-shift audit run
+    * before accepting a new corpus version (a token whose mass moved
+    * carries a large |kl_term|). One token-keyed aggregate builds both
+    * sides (map-side combined); the two scalar totals broadcast back; the
+    * probability/KL arithmetic is a single double expression over exact
+    * int64 counts, rounded at 6. Output per token:
+    * (token, n_a, n_b, p_a, p_b, kl_term). */
+  def tokenDrift(docs: DataFrame): DataFrame = {
+    val sides = docs
+      .select((col("doc_id") % 2 === 0).as("__a"), explode(expr(tokensExpr)).as("token"))
+      .groupBy("token")
+      .agg(sum(when(col("__a"), 1L).otherwise(0L)).as("n_a"),
+        sum(when(!col("__a"), 1L).otherwise(0L)).as("n_b"))
+    val memoed = PlanCache.memo(sides)
+    val totals = memoed.agg(sum("n_a").as("t_a"), sum("n_b").as("t_b"),
+      count(lit(1)).as("v"))
+    memoed.crossJoin(broadcast(totals))
+      .selectExpr("token", "n_a", "n_b",
+        "round(CAST(n_a + 1 AS DOUBLE) / (t_a + v), 6) AS p_a",
+        "round(CAST(n_b + 1 AS DOUBLE) / (t_b + v), 6) AS p_b",
+        """round(CAST(n_a + 1 AS DOUBLE) / (t_a + v)
+             * ln((CAST(n_a + 1 AS DOUBLE) / (t_a + v))
+                / (CAST(n_b + 1 AS DOUBLE) / (t_b + v))), 6) AS kl_term""")
   }
 
   /** Email shape: local@domain.tld (no lookarounds — portable across Java

@@ -322,4 +322,20 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Int)].collect().toSet
     assert(got == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
   }
+
+  test("clusterRepresentatives: longest text wins, doc_id breaks ties, member counts exact") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = Dedup.clusterRepresentatives(docs)
+      .as[(Long, Long, Long)].collect().map(r => r._1 -> r).toMap
+    val labels = Dedup.duplicateClusters(Dedup.jaccardPairs(docs, 0.5))
+      .as[(Long, Long)].collect()
+    val lens = docs.select($"doc_id", length($"text").cast("long"))
+      .as[(Long, Long)].collect().toMap
+    val expect = labels.groupBy(_._2).map { case (c, ms) =>
+      val ids = ms.map(_._1)
+      c -> ((c, ids.minBy(id => (-lens(id), id)), ids.length.toLong))
+    }
+    assert(got == expect)
+    assert(got.nonEmpty && got.values.forall(_._3 >= 2)) // clusters are real
+  }
 }

@@ -27,4 +27,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.values.forall(r => Set("train", "val", "test").contains(r._4)))
     assert(out.values.forall(_._3 >= 0.3))
   }
+
+  test("splitLeakage: matrix totals equal the pair count; labels match recomputing split-by-pair") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = Pipeline.splitLeakage(docs)
+      .as[(String, String, Long)].collect().map(r => (r._1, r._2) -> r._3).toMap
+    // order-normalized keys only
+    assert(got.keys.forall { case (a, b) => a <= b })
+    // totals: every verified pair lands in exactly one matrix cell
+    val pairs = graft.operators.Dedup.jaccardPairs(docs, 0.5)
+      .select($"doc_a", $"doc_b").as[(Long, Long)].collect()
+    assert(got.values.sum == pairs.length)
+    // recompute each pair's cell from the split operator directly
+    val split = graft.operators.Sampling.splitByHash(docs)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    val expect = pairs.groupBy { case (a, b) =>
+      val (sa, sb) = (split(a), split(b))
+      (if (sa <= sb) sa else sb, if (sa <= sb) sb else sa)
+    }.view.mapValues(_.length.toLong).toMap
+    assert(got == expect)
+  }
 }

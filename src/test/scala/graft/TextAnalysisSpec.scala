@@ -433,18 +433,27 @@ class TextAnalysisSpec extends AnyFunSuite {
     }
   }
 
-  test("packSequences: greedy per-source bins, straddling docs, offsets mod budget") {
-    // source A token counts in doc_id order: 3, 4, 2 at budget 5
-    // cum_before: 0, 3, 7 -> bins 0, 0, 1; offsets 0, 3, 2
+  test("tokenDrift: smoothed probabilities and KL terms match a driver-side model") {
     val crafted = Seq(
-      (1L, "a b c", "A"), (2L, "d e f g", "A"), (3L, "h i", "A"),
-      (10L, "x y z w v u", "B")) // other shard packs independently
-      .toDF("doc_id", "text", "source")
-    val got = TextAnalysis.packSequences(crafted, 5)
-      .as[(Long, String, Long, Long, Long)].collect().map(r => r._1 -> r).toMap
-    assert(got(1L) == ((1L, "A", 3L, 0L, 0L)))
-    assert(got(2L) == ((2L, "A", 4L, 0L, 3L)))
-    assert(got(3L) == ((3L, "A", 2L, 1L, 2L)))
-    assert(got(10L) == ((10L, "B", 6L, 0L, 0L)))
+      (0L, "x x y"), (2L, "x z"), // side a (even ids): x:3 y:1 z:1, t_a=5
+      (1L, "x y y"), (3L, "w")) // side b: x:1 y:2 w:1, t_b=4
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenDrift(crafted)
+      .as[(String, Long, Long, Double, Double, Double)].collect()
+      .map(r => r._1 -> r).toMap
+    assert(got.keySet == Set("x", "y", "z", "w"))
+    val v = 4
+    def r6(x: Double) =
+      BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    for ((tok, na, nb) <- Seq(("x", 3L, 1L), ("y", 1L, 2L), ("z", 1L, 0L), ("w", 0L, 1L))) {
+      val pa = (na + 1).toDouble / (5 + v)
+      val pb = (nb + 1).toDouble / (4 + v)
+      val row = got(tok)
+      assert((row._2, row._3) == ((na, nb)), tok)
+      assert(row._4 == r6(pa) && row._5 == r6(pb), tok)
+      assert(row._6 == r6(pa * math.log(pa / pb)), tok)
+    }
+    // mass that moved a -> b carries positive KL(a||b); the reverse negative
+    assert(got("x")._6 > 0 && got("w")._6 < 0)
   }
 }
