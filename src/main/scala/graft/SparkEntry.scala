@@ -913,6 +913,17 @@ object SparkEntry {
     // (add-1-smoothed per-token KL contributions)
     "q152_token_drift" -> ((s, dir) =>
       TextAnalysis.tokenDrift(docs(s, dir))),
+    // extension: vocabulary-coverage curve — OOV rate at candidate vocab
+    // sizes (distributed token rank + cumulative mass)
+    "q153_vocab_curve" -> ((s, dir) =>
+      TextAnalysis.vocabOovCurve(docs(s, dir))),
+    // extension: token burstiness — variance-to-mean of per-doc tf with
+    // zeros counted (Poisson baseline VMR ~ 1)
+    "q154_dispersion" -> ((s, dir) =>
+      TextAnalysis.tokenDispersion(docs(s, dir))),
+    // extension: skip-gram pairs with harmonic weights in exact micro-units
+    "q155_skipgrams" -> ((s, dir) =>
+      TextAnalysis.skipGrams(docs(s, dir))),
     // extension: robust outlier audit — median/MAD fences per language
     "q147_mad_outliers" -> ((s, dir) =>
       graft.operators.TableStats.madOutliers(docs(s, dir), "lang", "n_chars")),
@@ -2961,6 +2972,50 @@ SELECT p.id AS doc_id, p.g AS source, p.v,
   round(CASE WHEN rem = 0 THEN CAST(lo.xv AS DOUBLE)
     ELSE lo.xv + CAST(rem AS DOUBLE) / b * (coalesce(hi.xv, lo.xv) - lo.xv) END, 6) AS v_norm
 FROM p JOIN r lo ON p.k = lo.rk LEFT JOIN r hi ON p.k + 1 = hi.rk""",
+    // Mirrors TextAnalysis.vocabOovCurve: frequency rank (count desc,
+    // token asc), running mass, boundary row at min(K, V) per cutoff
+    "q153_vocab_curve" ->
+      s"""WITH $dkTok,
+  c AS (SELECT token, CAST(count(*) AS BIGINT) AS c
+    FROM (SELECT unnest(toks) AS token FROM tok) GROUP BY 1),
+  t AS (SELECT CAST(count(*) AS BIGINT) AS v, CAST(sum(c) AS BIGINT) AS tt FROM c),
+  r AS (SELECT token, c,
+    CAST(row_number() OVER (ORDER BY c DESC, token ASC) AS BIGINT) AS rank,
+    CAST(sum(c) OVER (ORDER BY c DESC, token ASC ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+  FROM c),
+  ks AS (SELECT CAST(k AS BIGINT) AS vocab_size
+    FROM (VALUES (100), (200), (500), (1000), (2000)) AS kv(k))
+SELECT ks.vocab_size, r.cum AS covered,
+  round(1.0 - CAST(r.cum AS DOUBLE) / t.tt, 6) AS oov_rate
+FROM ks CROSS JOIN t JOIN r ON r.rank = least(ks.vocab_size, t.v)""",
+    // Mirrors TextAnalysis.tokenDispersion: integer tf moments, zeros
+    // implicit, one shared VMR expression
+    "q154_dispersion" ->
+      s"""WITH $dkTok,
+  tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf
+    FROM (SELECT doc_id, unnest(toks) AS token FROM tok) GROUP BY 1, 2),
+  n AS (SELECT CAST(count(*) AS BIGINT) AS nd FROM documents),
+  m AS (SELECT token, CAST(count(*) AS BIGINT) AS df,
+    CAST(sum(tf) AS BIGINT) AS tf_total, CAST(sum(tf * tf) AS BIGINT) AS s2
+  FROM tf GROUP BY 1)
+SELECT token, df, tf_total,
+  round((CAST(s2 AS DOUBLE) - CAST(tf_total AS DOUBLE) * tf_total / n.nd)
+    / tf_total, 6) AS vmr
+FROM m CROSS JOIN n""",
+    // Mirrors TextAnalysis.skipGrams(3, 3): nested-list pair generation,
+    // exact micro-unit harmonic weights
+    "q155_skipgrams" ->
+      s"""WITH $dkTok,
+  f AS (SELECT doc_id, toks FROM tok WHERE len(toks) >= 2),
+  p AS (SELECT unnest(flatten(list_transform(range(1, len(toks)), i ->
+      list_transform(range(1, least(3, len(toks) - i) + 1), d ->
+        {'a': toks[i], 'b': toks[i + d],
+         'w6': CAST(round(1000000.0 / d) AS BIGINT)})))) AS s
+    FROM f),
+  g AS (SELECT s.a AS tok_a, s.b AS tok_b, CAST(count(*) AS BIGINT) AS n_pairs,
+    CAST(sum(s.w6) AS BIGINT) AS w6 FROM p GROUP BY 1, 2)
+SELECT tok_a, tok_b, n_pairs, round(w6 / 1000000.0, 6) AS weight
+FROM g WHERE n_pairs >= 3""",
     "q69_det_ivf" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
   WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,

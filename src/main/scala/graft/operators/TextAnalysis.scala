@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -152,6 +152,101 @@ object TextAnalysis {
         """round(CAST(n_a + 1 AS DOUBLE) / (t_a + v)
              * ln((CAST(n_a + 1 AS DOUBLE) / (t_a + v))
                 / (CAST(n_b + 1 AS DOUBLE) / (t_b + v))), 6) AS kl_term""")
+  }
+
+  /** Vocabulary-coverage curve: for each candidate vocab size K, the token
+    * mass a top-K-by-frequency vocabulary covers and the OOV rate a
+    * tokenizer trained at that size would pay — the audit behind "is 32k
+    * enough for this corpus". Token ranks and cumulative mass use the
+    * distributed-rank shape (range repartition on (count desc, token) +
+    * per-partition running sums + broadcast prefix offsets — the vocab is
+    * never sorted through one task). Only |cutoffs| boundary rows leave the
+    * frame. Output per cutoff: (vocab_size, covered, oov_rate). */
+  def vocabOovCurve(docs: DataFrame,
+                    cutoffs: Seq[Int] = Seq(100, 200, 500, 1000, 2000)): DataFrame = {
+    require(cutoffs.nonEmpty && cutoffs.forall(_ >= 1) && cutoffs.distinct == cutoffs)
+    val spark = docs.sparkSession
+    val counts = PlanCache.memo(docs
+      .select(explode(expr(tokensExpr)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("c")))
+    val Row(vocabV: Long, totalT: Long) =
+      counts.agg(count(lit(1)), sum("c")).head()
+    val ranged = counts.repartitionByRange(32, desc("c"), asc("token"))
+      .withColumn("__pid", spark_partition_id())
+    val wl = Window.partitionBy("__pid").orderBy(desc("c"), asc("token"))
+    val local = PlanCache.memo(ranged
+      .withColumn("__rn", row_number().over(wl).cast("long"))
+      .withColumn("__run", sum("c").over(wl)))
+    val offs = local.groupBy("__pid")
+      .agg(count(lit(1)).as("__n"), sum("c").as("__s"))
+      .withColumn("__offN", coalesce(sum("__n").over(Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("__offS", coalesce(sum("__s").over(Window.orderBy("__pid")
+        .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select("__pid", "__offN", "__offS")
+    val targets = cutoffs.map(k => math.min(k.toLong, vocabV)).distinct
+    val boundary = local.join(broadcast(offs), Seq("__pid"))
+      .withColumn("rank", col("__rn") + col("__offN"))
+      .withColumn("cum", col("__run") + col("__offS"))
+      .filter(col("rank").isin(targets: _*))
+      .select("rank", "cum")
+    import spark.implicits._
+    val wanted = cutoffs.map(k => k.toLong -> math.min(k.toLong, vocabV))
+      .toDF("vocab_size", "rank")
+    wanted.join(broadcast(boundary), Seq("rank"))
+      .select(col("vocab_size"),
+        col("cum").as("covered"),
+        expr(s"round(1.0 - CAST(cum AS DOUBLE) / ${totalT}L, 6)").as("oov_rate"))
+  }
+
+  /** Token dispersion (burstiness): variance-to-mean ratio of a token's
+    * per-document term frequency over the WHOLE corpus (absent docs count
+    * as tf = 0 — that's what separates a bursty topic word, VMR >> 1, from
+    * an evenly spread function word, VMR ~ 1; the Poisson baseline). Two
+    * integer moment sums per token (zeros drop out of both), one shared
+    * double expression for the ratio. df/tf integers, VMR rounded at 6.
+    * Output: (token, df, tf_total, vmr). */
+  def tokenDispersion(docs: DataFrame): DataFrame = {
+    val nDocs = docs.count()
+    docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("tf"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("df"), sum("tf").as("tf_total"),
+        sum(expr("tf * tf")).as("s2"))
+      .select(col("token"), col("df"), col("tf_total"),
+        expr(s"""round((CAST(s2 AS DOUBLE) - CAST(tf_total AS DOUBLE) * tf_total / ${nDocs}L)
+                   / tf_total, 6)""").as("vmr"))
+  }
+
+  /** Skip-gram pair extraction with harmonic distance weights — the
+    * word2vec/GloVe co-occurrence prep: for every ordered position pair at
+    * distance d <= `window` inside a doc, emit (center, context) with
+    * weight 1/d, aggregated corpus-wide. Pair generation is a pure nested
+    * array expression (map-only, per-doc cost n x window — no self-join,
+    * no shuffle until the final pair-keyed aggregate). The harmonic weight
+    * is summed as round(1e6/d) MICRO-UNITS — exact int64, so the sum is
+    * partition-order-invariant where a float 1/3 accumulation is not —
+    * and divided once at the boundary. Output (pairs with n >= minCount):
+    * (tok_a, tok_b, n_pairs, weight). */
+  def skipGrams(docs: DataFrame, window: Int = 3, minCount: Long = 3): DataFrame = {
+    require(window >= 1 && window <= 16)
+    // i <= size-1 keeps the inner sequence non-empty (size - i >= 1); the
+    // size >= 2 filter below keeps the outer one well-formed
+    val pairsExpr =
+      s"""flatten(transform(sequence(1, size(toks) - 1),
+            i -> transform(sequence(1, least($window, size(toks) - i)),
+              d -> struct(element_at(toks, i) AS a, element_at(toks, i + d) AS b,
+                          CAST(round(1000000.0 / d) AS BIGINT) AS w6))))"""
+    docs.withColumn("toks", expr(tokensExpr))
+      .filter(expr("size(toks) >= 2"))
+      .select(explode(expr(pairsExpr)).as("p"))
+      .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
+      .agg(count(lit(1)).as("n_pairs"), sum("p.w6").as("w6"))
+      .filter(col("n_pairs") >= minCount)
+      .select(col("tok_a"), col("tok_b"), col("n_pairs"),
+        // 1e6 (double), NOT 1000000.0: Spark parses the latter literal as
+        // DECIMAL and the division would come back decimal-typed
+        expr("round(CAST(w6 AS DOUBLE) / 1e6, 6)").as("weight"))
   }
 
   /** Email shape: local@domain.tld (no lookarounds — portable across Java

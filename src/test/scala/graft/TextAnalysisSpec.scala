@@ -456,4 +456,55 @@ class TextAnalysisSpec extends AnyFunSuite {
     // mass that moved a -> b carries positive KL(a||b); the reverse negative
     assert(got("x")._6 > 0 && got("w")._6 < 0)
   }
+
+  test("vocabOovCurve: covered mass and OOV at crafted cutoffs; oversize cutoff clamps to full vocab") {
+    // freqs: a:5, b:3, c:1 -> T=9, V=3; ranks a(5), b(8), c(9)
+    val crafted = Seq((1L, "a a a b b c"), (2L, "a a b")).toDF("doc_id", "text")
+    val got = TextAnalysis.vocabOovCurve(crafted, Seq(1, 2, 5))
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got(1L) == ((1L, 5L, 0.444444)))
+    assert(got(2L) == ((2L, 8L, 0.111111)))
+    assert(got(5L) == ((5L, 9L, 0.0))) // clamped to V=3: everything covered
+  }
+
+  test("vocabOovCurve: monotone on the fixture and consistent with topTokens mass") {
+    val got = TextAnalysis.vocabOovCurve(docs, Seq(10, 50, 100))
+      .as[(Long, Long, Double)].collect().sortBy(_._1)
+    assert(got.map(_._2).sliding(2).forall(p => p.head <= p.last))
+    assert(got.map(_._3).sliding(2).forall(p => p.head >= p.last))
+    val top10 = TextAnalysis.topTokens(docs, 10)
+      .as[(String, Long, Long)].collect().map(_._2).sum
+    assert(got.head._2 == top10, "covered@10 equals the top-10 token mass")
+  }
+
+  test("tokenDispersion: bursty token VMR high, evenly spread token VMR 0") {
+    // x: tf 4 in one of 3 docs -> vmr = (16 - 16/3)/4; y: tf 1 in all 3 -> 0
+    val crafted = Seq((1L, "x x x x y"), (2L, "y"), (3L, "y z"))
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.tokenDispersion(crafted)
+      .as[(String, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    val vmrX = BigDecimal((16.0 - 16.0 / 3) / 4)
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got("x") == (("x", 1L, 4L, vmrX)))
+    assert(got("y") == (("y", 3L, 3L, 0.0)))
+    assert(got("z") == (("z", 1L, 1L, 0.666667))) // (1 - 1/3) / 1
+  }
+
+  test("skipGrams: pair set, counts and harmonic micro-unit weights on a crafted doc") {
+    val crafted = Seq((1L, "a b c d")).toDF("doc_id", "text")
+    val got = TextAnalysis.skipGrams(crafted, window = 3, minCount = 1)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(got == Map(
+      ("a", "b") -> ((1L, 1.0)), ("a", "c") -> ((1L, 0.5)),
+      ("a", "d") -> ((1L, 0.333333)), ("b", "c") -> ((1L, 1.0)),
+      ("b", "d") -> ((1L, 0.5)), ("c", "d") -> ((1L, 1.0))))
+    // repetition accumulates: "a b a b" -> (a,b) at d=1 (twice) and d=3
+    val rep = TextAnalysis.skipGrams(Seq((1L, "a b a b")).toDF("doc_id", "text"), 3, 1)
+      .as[(String, String, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> (r._3, r._4)).toMap
+    assert(rep(("a", "b")) == ((3L, 2.333333))) // 1 + 1 + 1/3
+    assert(rep(("b", "a")) == ((1L, 1.0)))
+    assert(rep(("a", "a")) == ((1L, 0.5)) && rep(("b", "b")) == ((1L, 0.5)))
+  }
 }
