@@ -924,6 +924,21 @@ object SparkEntry {
     // extension: skip-gram pairs with harmonic weights in exact micro-units
     "q155_skipgrams" -> ((s, dir) =>
       TextAnalysis.skipGrams(docs(s, dir))),
+    // extension: degree-oriented triangle count + clustering coefficient
+    // over the support-2 co-purchase graph
+    "q156_triangles" -> ((s, dir) => {
+      val items = Tables.lineitem(s, dir)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("item")).distinct()
+      val edges = items.as("a").join(items.hint("SHUFFLE_HASH").as("b"),
+          col("a.g") === col("b.g") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+        .agg(count(lit(1)).as("ng"))
+        .filter(col("ng") >= 2).select("x", "y")
+      graft.operators.Graph.triangleCount(edges)
+    }),
+    // extension: day-of-week seasonal anomalies on daily volumes
+    "q157_dow_anomaly" -> ((s, dir) =>
+      graft.operators.EventAnalytics.dowAnomalies(Tables.events(s, dir))),
     // extension: robust outlier audit — median/MAD fences per language
     "q147_mad_outliers" -> ((s, dir) =>
       graft.operators.TableStats.madOutliers(docs(s, dir), "lang", "n_chars")),
@@ -3016,6 +3031,51 @@ FROM m CROSS JOIN n""",
     CAST(sum(s.w6) AS BIGINT) AS w6 FROM p GROUP BY 1, 2)
 SELECT tok_a, tok_b, n_pairs, round(w6 / 1000000.0, 6) AS weight
 FROM g WHERE n_pairs >= 3""",
+    // Mirrors Graph.triangleCount over the support-2 co-purchase graph:
+    // (degree, id)-oriented edges, source-keyed wedges, closing join
+    "q156_triangles" ->
+      """WITH items AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS item FROM lineitem),
+  pc AS (SELECT a.item AS x, b.item AS y, count(*) AS ng
+    FROM items a JOIN items b ON a.g = b.g AND a.item < b.item GROUP BY 1, 2),
+  e AS (SELECT x AS a, y AS b FROM pc WHERE ng >= 2),
+  deg AS (SELECT n, CAST(count(*) AS BIGINT) AS d
+    FROM (SELECT a AS n FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+  o AS (SELECT
+      CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.a ELSE e.b END AS src,
+      CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN e.b ELSE e.a END AS dst,
+      CASE WHEN da.d < db.d OR (da.d = db.d AND e.a < e.b) THEN db.d ELSE da.d END AS dd
+    FROM e JOIN deg da ON e.a = da.n JOIN deg db ON e.b = db.n),
+  w AS (SELECT e1.dst AS v, e2.dst AS wv FROM o e1 JOIN o e2
+    ON e1.src = e2.src AND (e1.dd < e2.dd OR (e1.dd = e2.dd AND e1.dst < e2.dst))),
+  tri AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles
+    FROM w JOIN o ON w.v = o.src AND w.wv = o.dst)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+  (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+  (SELECT CAST(sum(d * (d - 1) // 2) AS BIGINT) FROM deg) AS n_wedges,
+  n_triangles,
+  round(CASE WHEN (SELECT sum(d * (d - 1) // 2) FROM deg) = 0 THEN 0.0
+    ELSE 3.0 * n_triangles / (SELECT sum(d * (d - 1) // 2) FROM deg) END, 6) AS clustering_coeff
+FROM tri""",
+    // Mirrors EventAnalytics.dowAnomalies: dayIdx mod 7 seasonal baseline,
+    // exact integer moments, the q96 z expression
+    "q157_dow_anomaly" ->
+      """WITH daily AS (SELECT event_type,
+    CAST(date_diff('day', DATE '2024-01-01', CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS d,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS day_cents
+  FROM events GROUP BY 1, 2),
+  dd AS (SELECT event_type, d, ((d % 7) + 7) % 7 AS dow, day_cents FROM daily),
+  base AS (SELECT event_type, dow, CAST(count(*) AS BIGINT) AS n,
+    CAST(sum(day_cents) AS BIGINT) AS s,
+    CAST(sum(day_cents * day_cents) AS BIGINT) AS ssq
+  FROM dd GROUP BY 1, 2),
+  z AS (SELECT dd.event_type, dd.d, dd.dow, dd.day_cents,
+    sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n) AS sd,
+    CAST(s AS DOUBLE) / n AS mu, n
+  FROM dd JOIN base ON dd.event_type = base.event_type AND dd.dow = base.dow)
+SELECT event_type, d, dow, day_cents,
+  round((day_cents - mu) / sd, 6) AS z
+FROM z WHERE sd > 0 AND NOT isnan(sd)
+  AND abs(round((day_cents - mu) / sd, 6)) > 1.5""",
     "q69_det_ivf" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
   WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,

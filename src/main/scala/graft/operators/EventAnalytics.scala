@@ -349,6 +349,39 @@ object EventAnalytics {
         expr("round(CASE WHEN count(kv) = 0 THEN NULL ELSE CAST(sum(kv) AS DOUBLE) / count(kv) END, 6)")
           .as("avg_k"))
 
+  /** Seasonal (day-of-week) anomaly detection on daily volumes: a Monday
+    * is judged against OTHER MONDAYS, not the whole series — the
+    * decomposition that keeps weekly rhythm out of the anomaly channel.
+    * Day-of-week is dayIdx mod 7 (days since the anchor — engine-neutral
+    * where dayofweek() origins differ). Baselines are exact integer
+    * moments of the per-(type, day) cent totals grouped by (type, dow);
+    * the z computation is the `zscoreOutliers` expression over them.
+    * Shapes: one (type, day) rollup, one tiny (type, dow) aggregate
+    * broadcast back, map-only flagging. Output (|z| > threshold rows):
+    * (event_type, d, dow, day_cents, z). */
+  def dowAnomalies(events: DataFrame, threshold: Double = 1.5,
+                   anchor: String = "2024-01-01"): DataFrame = {
+    // |z| against n same-dow samples is bounded by sqrt(n-1): a month of
+    // data gives n ~ 4-5 per weekday, so a 2.0 default would be unreachable
+    require(threshold > 0)
+    val daily = PlanCache.memo(events
+      .select(col("event_type"), expr(dayIdxSql("ts", anchor)).as("d"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("event_type", "d").agg(sum("cents").as("day_cents"))
+      .withColumn("dow", expr("((d % 7) + 7) % 7")))
+    val base = daily.groupBy("event_type", "dow")
+      .agg(count(lit(1)).as("n"), sum("day_cents").as("s"),
+        sum(expr("day_cents * day_cents")).as("ssq"))
+    daily.join(broadcast(base), Seq("event_type", "dow"))
+      .withColumn("sd", expr(
+        "sqrt((CAST(ssq AS DOUBLE) - CAST(s AS DOUBLE) * s / n) / n)"))
+      .withColumn("z", expr(
+        """CASE WHEN sd <= 0.0 OR isnan(sd) THEN CAST(NULL AS DOUBLE)
+          | ELSE round((CAST(day_cents AS DOUBLE) - CAST(s AS DOUBLE) / n) / sd, 6) END""".stripMargin))
+      .filter(abs(col("z")) > threshold)
+      .select(col("event_type"), col("d"), col("dow"), col("day_cents"), col("z"))
+  }
+
   /** Per-group z-score outliers: events whose value sits more than
     * `threshold` population standard deviations from their event_type's
     * mean. Moments are exact integer sums of 2^10-fixed-point values (value

@@ -230,6 +230,24 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got._3 == expect)
   }
 
+  test("dowAnomalies: a spiked weekday flags against same-dow baseline only; z = sqrt(3) shape") {
+    // 4 weeks, one event per day of 1.00 except day 21 (a Monday-slot, dow 0)
+    // at 5.00: within dow 0 the samples are (100,100,100,500) cents ->
+    // z(spike) = +sqrt(3) (the 1-of-4 outlier shape, value-independent),
+    // z(others) = -1/sqrt(3) ~ -0.577 -> below the 1.5 fence
+    val rows = (0 until 28).map { d =>
+      (d.toLong, d * 1440, 1L, "view", if (d == 21) 5.00 else 1.00)
+    }
+    val got = EventAnalytics.dowAnomalies(ev(rows: _*))
+      .as[(String, Long, Long, Long, Double)].collect()
+    val sqrt3 = BigDecimal(math.sqrt(3.0))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got.toSeq == Seq(("view", 21L, 0L, 500L, sqrt3)))
+    // constant weekdays (sd = 0) flag nothing even at threshold ~0
+    val flat = (0 until 28).map(d => (d.toLong, d * 1440, 1L, "view", 1.00))
+    assert(EventAnalytics.dowAnomalies(ev(flat: _*), 0.001).isEmpty)
+  }
+
   test("jsonPropsRollup: missing fields count as null, sums and distincts exact") {
     val e = Seq(
       (1L, ts(0), 1L, "click", 1.0, """{"k": 5}"""),

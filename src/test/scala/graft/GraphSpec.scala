@@ -118,4 +118,38 @@ class GraphSpec extends AnyFunSuite {
     assert(r((20L, 10L)) == ((2L, 1.0, 1.0)))
     assert(r.size == 2)
   }
+
+  test("triangleCount: K4 fully clustered, star has zero, dedup/self-loop hygiene") {
+    // K4: 6 edges, 4 triangles, 12 wedges, coefficient 3*4/12 = 1.0
+    val k4 = (for (a <- 1L to 4L; b <- 1L to 4L if a < b) yield (a, b))
+      .toDF("src", "dst")
+    val got = Graph.triangleCount(k4)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((4L, 6L, 12L, 4L, 1.0)))
+    // a star closes nothing; reversed/duplicated/self-loop edges collapse
+    val star = Seq((0L, 1L), (1L, 0L), (0L, 2L), (0L, 3L), (0L, 0L), (0L, 3L))
+      .toDF("src", "dst")
+    val s = Graph.triangleCount(star).as[(Long, Long, Long, Long, Double)].head()
+    assert(s == ((4L, 3L, 3L, 0L, 0.0)))
+  }
+
+  test("triangleCount: parity with a driver-side brute force on the co-purchase graph") {
+    val items = Tables.lineitem(spark, TestSpark.sf0001)
+      .select($"l_orderkey".as("g"), $"l_partkey".as("item")).distinct()
+    val edges = items.as("a").join(items.as("b"),
+        $"a.g" === $"b.g" && $"a.item" < $"b.item")
+      .groupBy($"a.item".as("x"), $"b.item".as("y"))
+      .agg(count(lit(1)).as("ng")).filter($"ng" >= 2).select($"x", $"y")
+    val es = edges.as[(Long, Long)].collect().toSet
+    val adj = es.groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val brute = es.toSeq.map { case (a, b) =>
+      adj.getOrElse(a, Set.empty[Long] /* unreachable */).count { c =>
+        c > b && es.contains((b, c))
+      }.toLong
+    }.sum
+    val got = Graph.triangleCount(edges)
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got._4 == brute && brute > 0)
+    assert(got._2 == es.size.toLong)
+  }
 }
