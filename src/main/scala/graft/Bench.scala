@@ -55,7 +55,9 @@ object Bench {
     // machine-readable line therefore keys on the qNN prefix (~12 chars per
     // entry, <1300 chars at 100 queries); the qNN->full-name mapping is
     // unambiguous and the diag line above carries full names per rep.
-    val shortKey = (k: String) => k.split("_")(0)
+    // the bare number, not qNN: at 157 queries the q prefix alone is ~160
+    // chars of the ~2000-char tail budget (epilogue included)
+    val shortKey = (k: String) => k.split("_")(0).stripPrefix("q")
     // two query names sharing a qNN prefix would silently emit duplicate
     // JSON keys and the driver's parse would keep only one — fail loudly
     val dupKeys = results.keys.groupBy(shortKey).filter(_._2.size > 1)

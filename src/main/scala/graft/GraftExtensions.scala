@@ -97,5 +97,9 @@ object GraftExtensions {
       case Seq(e)    => SignSketch(e, 63)
       case Seq(e, b) => SignSketch(e, intArg(b, "numBits"))
       case _         => arity("sign_sketch", "1-2")
+    },
+    "jaro_winkler" -> {
+      case Seq(a, b) => JaroWinkler(a, b)
+      case _         => arity("jaro_winkler", "2")
     })
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{ByteDot, ChunkText, CosineSimilarity, HashEmbed, HilbertIndex, MinGramHash, MinHashSig, RandProjBuckets, SignSketch, SimHash, WordShingles}
+import graft.functions.{ByteDot, ChunkText, CosineSimilarity, HashEmbed, HilbertIndex, JaroWinkler, MinGramHash, MinHashSig, RandProjBuckets, SignSketch, SimHash, WordShingles}
 
 /** Column-API + SQL-registry surface for the custom Catalyst expressions.
   *
@@ -52,6 +52,11 @@ object GraftFunctions {
     * binary-quantization sketch (Similarity extension). */
   def sign_sketch(embedding: Column, numBits: Int = 63): Column =
     col(SignSketch(ex(embedding), numBits))
+
+  /** Jaro-Winkler similarity with the 0.7 boost threshold (record-linkage
+    * extension; matches DuckDB's jaro_winkler_similarity). */
+  def jaro_winkler(a: Column, b: Column): Column =
+    col(JaroWinkler(ex(a), ex(b)))
 
   /** Hilbert curve index of two integral columns (Layout extension). */
   def hilbert_index(a: Column, b: Column, bits: Int = 16): Column =

@@ -939,6 +939,14 @@ object SparkEntry {
     // extension: day-of-week seasonal anomalies on daily volumes
     "q157_dow_anomaly" -> ((s, dir) =>
       graft.operators.EventAnalytics.dowAnomalies(Tables.events(s, dir))),
+    // extension: fuzzy record-linkage lookup — probe names vs the part
+    // catalog, blocked candidates, codegen'd Jaro-Winkler, top-2 per probe
+    "q158_fuzzy_lookup" -> ((s, dir) => {
+      val parts = Tables.part(s, dir)
+      graft.operators.Joins.fuzzyLookup(
+        parts.filter(col("p_partkey") % 403 === 0), parts,
+        "p_partkey", "p_name")
+    }),
     // extension: robust outlier audit — median/MAD fences per language
     "q147_mad_outliers" -> ((s, dir) =>
       graft.operators.TableStats.madOutliers(docs(s, dir), "lang", "n_chars")),
@@ -3076,6 +3084,23 @@ SELECT event_type, d, dow, day_cents,
   round((day_cents - mu) / sd, 6) AS z
 FROM z WHERE sd > 0 AND NOT isnan(sd)
   AND abs(round((day_cents - mu) / sd, 6)) > 1.5""",
+    // Mirrors Joins.fuzzyLookup: two-token blocking, length band 2,
+    // DuckDB's jaro_winkler_similarity (the expression's reference),
+    // rank on the 6-dp rounded score
+    "q158_fuzzy_lookup" ->
+      """WITH p AS (SELECT p_partkey AS id, p_name AS name,
+    concat_ws(' ', string_split(p_name, ' ')[1], string_split(p_name, ' ')[2]) AS blk,
+    length(p_name) AS ln FROM part),
+  pr AS (SELECT * FROM p WHERE id % 403 = 0),
+  sc AS (SELECT pr.id AS probe_id, c.id AS cand_id, c.name AS cand_name,
+      round(jaro_winkler_similarity(pr.name, c.name), 6) AS score
+    FROM pr JOIN p c ON pr.blk = c.blk AND abs(pr.ln - c.ln) <= 2 AND pr.id <> c.id),
+  f AS (SELECT * FROM sc WHERE score >= 0.8),
+  r AS (SELECT probe_id, cand_id, cand_name, score,
+      row_number() OVER (PARTITION BY probe_id ORDER BY score DESC, cand_id ASC) AS rn
+    FROM f)
+SELECT probe_id, cand_id AS match_id, cand_name AS match_name, score
+FROM r WHERE rn <= 2""",
     "q69_det_ivf" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
   WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,

@@ -115,4 +115,38 @@ object Joins {
       .select(col(key), col("__id").as("id_a"), col("id_b"),
         (col("us_b") - col("__us")).as("gap_us"))
   }
+
+  /** Fuzzy lookup (record linkage): match each PROBE name against a master
+    * catalog by Jaro-Winkler similarity, top-`k` per probe — the
+    * dedupe-incoming-records-against-the-catalog step. Candidates come
+    * from BLOCKING (shared first-two-token key + length band), so each
+    * probe scores one block, never the catalog; scoring is the codegen'd
+    * `jaro_winkler` expression inside the join's generated loop. Ranking
+    * happens on the 6-dp ROUNDED score (ties then probe/candidate id):
+    * ranking on raw doubles would let a last-ulp disagreement with the
+    * oracle engine reorder the cut. Per-probe top-k through GroupedTopK's
+    * bounded heaps. Self-matches (same id) are excluded. Output:
+    * (probe_id, match_id, match_name, score). */
+  def fuzzyLookup(probes: DataFrame, catalog: DataFrame, idCol: String,
+                  nameCol: String, threshold: Double = 0.8, k: Int = 2,
+                  lengthBand: Int = 2): DataFrame = {
+    require(threshold >= 0 && threshold <= 1 && k >= 1 && lengthBand >= 0)
+    def keyed(df: DataFrame, tag: String) = df.select(
+      col(idCol).as(s"${tag}_id"), col(nameCol).as(s"${tag}_name"),
+      expr(s"""concat_ws(' ', slice(split($nameCol, ' '), 1, 2))""").as(s"${tag}_blk"),
+      length(col(nameCol)).as(s"${tag}_len"))
+    val p = keyed(probes, "probe")
+    val c = keyed(catalog, "cand")
+    val scored = p.join(c.hint("SHUFFLE_HASH"),
+        col("probe_blk") === col("cand_blk") &&
+          abs(col("probe_len") - col("cand_len")) <= lengthBand &&
+          col("probe_id") =!= col("cand_id"))
+      .withColumn("score",
+        round(graft.GraftFunctions.jaro_winkler(col("probe_name"), col("cand_name")), 6))
+      .filter(col("score") >= threshold)
+    graft.plans.GroupedTopK(scored, Seq(col("probe_id")),
+        Seq(desc("score"), asc("cand_id")), k)
+      .select(col("probe_id"), col("cand_id").as("match_id"),
+        col("cand_name").as("match_name"), col("score"))
+  }
 }
