@@ -963,6 +963,12 @@ object SparkEntry {
     "q150_quantile_norm" -> ((s, dir) =>
       graft.operators.TableStats.quantileNormalize(
         docs(s, dir), "doc_id", "source", "n_chars")),
+    // extension: scene-cut detection — per-frame aHash over strided
+    // payload blocks, successive-frame Hamming threshold
+    "q159_scene_cuts" -> ((s, dir) => {
+      val media = Multimodal.asMedia(docs(s, dir), "doc_id", "encode(text, 'utf-8')", "raw")
+      Multimodal.sceneCuts(media)
+    }),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -3101,6 +3107,37 @@ FROM z WHERE sd > 0 AND NOT isnan(sd)
     FROM f)
 SELECT probe_id, cand_id AS match_id, cand_name AS match_name, score
 FROM r WHERE rn <= 2""",
+    // Mirrors Multimodal.sceneCuts(48, 1, 48): per-frame stub aHash (the
+    // q144 gray/mean math on each 48-byte frame), windowed bit-vector
+    // Hamming, threshold flag
+    "q159_scene_cuts" ->
+      """WITH fr AS (SELECT doc_id, f.f AS frame_idx,
+    substr(text, CAST(f.f * 48 AS INTEGER) + 1, 48) AS ft
+  FROM documents, unnest(range(0, (length(text) + 47) // 48)) AS f(f)
+  WHERE length(text) > 0),
+  base AS (SELECT doc_id, frame_idx, ft, length(ft) AS len,
+    CASE WHEN length(ft) > 0 THEN ord(substr(ft, 1, 1)) ELSE 0 END AS b0,
+    CASE WHEN length(ft) > 1 THEN ord(substr(ft, 2, 1)) ELSE 0 END AS b1 FROM fr),
+  dims AS (SELECT doc_id, frame_idx, ft, len,
+    64 + len % 512 AS w, 64 + (b0 * 256 + b1) % 512 AS h FROM base),
+  grays AS (SELECT doc_id, frame_idx, len,
+    CASE WHEN len = 0 THEN list_transform(range(0, 64), j -> 0)
+    ELSE list_transform(range(0, 64), j ->
+      (ord(substr(ft, ((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + 0) % len + 1, 1))
+     + ord(substr(ft, ((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + 1) % len + 1, 1))
+     + ord(substr(ft, ((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + 2) % len + 1, 1))) // 3)
+    END AS g FROM dims),
+  bits AS (SELECT doc_id, frame_idx,
+    list_transform(g, x -> CASE WHEN x >= list_sum(g) // 64 THEN 1 ELSE 0 END) AS bv
+  FROM grays),
+  lagd AS (SELECT doc_id, frame_idx, bv,
+    lag(bv) OVER (PARTITION BY doc_id ORDER BY frame_idx) AS pv FROM bits),
+  h AS (SELECT doc_id AS media_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+    CAST(len(list_filter(range(0, 64), j -> bv[j + 1] <> pv[j + 1])) AS BIGINT) AS hamming
+  FROM lagd WHERE pv IS NOT NULL)
+SELECT media_id, frame_idx, hamming,
+  CAST(CASE WHEN hamming >= 48 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
+FROM h""",
     "q69_det_ivf" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
   WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,

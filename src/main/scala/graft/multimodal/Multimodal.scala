@@ -147,37 +147,78 @@ object Multimodal {
     val spark = media.sparkSession
     import spark.implicits._
     media.mapPartitions { it =>
-      it.map { m =>
-        val bytes = m.content
-        val d = decode(m.format, bytes)
-        val (w, h, c) = (d.width, d.height, d.channels)
-        val grays = new Array[Long](64)
-        var j = 0
-        while (j < 64) {
-          val sx = (j % 8) * w / 8
-          val sy = (j / 8) * h / 8
-          var s = 0L
-          var ch = 0
-          while (ch < c) { s += d.pixel(bytes, sx, sy, ch) & 0xff; ch += 1 }
-          grays(j) = if (c == 0) 0L else s / c
-          j += 1
-        }
-        val mean = grays.sum / 64
-        val sb = new StringBuilder(16)
-        var k = 0
-        while (k < 8) {
-          var b = 0
-          var i = 0
-          while (i < 8) {
-            if (grays(8 * k + i) >= mean) b |= 1 << i
-            i += 1
-          }
-          sb.append(f"$b%02x")
-          k += 1
-        }
-        (m.media_id, m.format, sb.toString)
-      }
+      it.map(m => (m.media_id, m.format, ahashHex(decode(m.format, m.content), m.content)))
     }.toDF("media_id", "format", "phash")
+  }
+
+  /** The aHash core shared by `perceptualHash` and `sceneCuts`: 8x8 grid
+    * grays over the decoded payload, grid-mean threshold, 16-hex packing
+    * (byte k = cells 8k..8k+7, LSB-first). */
+  private[multimodal] def ahashHex(d: Decoded, bytes: Array[Byte]): String = {
+    val (w, h, c) = (d.width, d.height, d.channels)
+    val grays = new Array[Long](64)
+    var j = 0
+    while (j < 64) {
+      val sx = (j % 8) * w / 8
+      val sy = (j / 8) * h / 8
+      var s = 0L
+      var ch = 0
+      while (ch < c) { s += d.pixel(bytes, sx, sy, ch) & 0xff; ch += 1 }
+      grays(j) = if (c == 0) 0L else s / c
+      j += 1
+    }
+    val mean = grays.sum / 64
+    val sb = new StringBuilder(16)
+    var k = 0
+    while (k < 8) {
+      var b = 0
+      var i = 0
+      while (i < 8) {
+        if (grays(8 * k + i) >= mean) b |= 1 << i
+        i += 1
+      }
+      sb.append(f"$b%02x")
+      k += 1
+    }
+    sb.toString
+  }
+
+  /** Scene-cut detection on video-like payloads: stride through the payload
+    * in `frameSize` blocks (the `sampleFrames` plumbing), aHash every frame
+    * with the SAME grid/mean/packing as `perceptualHash` (stub decode — the
+    * q28/q144 contract: exact integer math the oracle reproduces; a real
+    * codec would slot in at `decode`), then flag transitions whose
+    * successive-frame Hamming distance reaches `cutDist`. Frame hashing is
+    * map-only; the only shuffle is the per-media window over frame_idx
+    * (frames-per-payload rows per key — bounded by payload size, and each
+    * media key is independent so 1000 executors each chew their own
+    * videos). Output (one row per frame AFTER the first):
+    * (media_id, frame_idx, hamming, is_cut). */
+  def sceneCuts(media: Dataset[Media], frameSize: Int = 48, stride: Int = 1,
+                cutDist: Int = 48): DataFrame = {
+    require(frameSize >= 1 && stride >= 1 && cutDist >= 0 && cutDist <= 64)
+    val spark = media.sparkSession
+    import spark.implicits._
+    val sigs = media.flatMap { m =>
+      val n = m.content.length
+      (0 until n by frameSize * stride).zipWithIndex.map { case (off, idx) =>
+        val frame = java.util.Arrays.copyOfRange(m.content, off,
+          math.min(off + frameSize, n))
+        (m.media_id, idx.toLong, ahashHex(decode("raw", frame), frame))
+      }
+    }.toDF("media_id", "frame_idx", "phash")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("media_id").orderBy("frame_idx")
+    val ham = (0 until 4).map(k =>
+      s"""bit_count(
+            cast(conv(substring(phash, ${k * 4 + 1}, 4), 16, 10) AS BIGINT) ^
+            cast(conv(substring(prev, ${k * 4 + 1}, 4), 16, 10) AS BIGINT))""")
+      .mkString(" + ")
+    sigs.withColumn("prev", lag("phash", 1).over(w))
+      .filter(col("prev").isNotNull)
+      .withColumn("hamming", expr(s"CAST($ham AS BIGINT)"))
+      .select(col("media_id"), col("frame_idx"), col("hamming"),
+        expr(s"CAST(IF(hamming >= $cutDist, 1, 0) AS BIGINT)").as("is_cut"))
   }
 
   /** Hamming-banded near-duplicate pairs over perceptual hashes: the

@@ -131,4 +131,27 @@ class MultimodalSpec extends AnyFunSuite {
     assert(frames.length == 5) // offsets 0,200,400,600,800
     assert(frames.forall(_._3.length == 100))
   }
+
+  test("sceneCuts: identical frames no cut, a changed frame cuts; hashes match standalone phash") {
+    // 3 frames of 48 bytes: two identical, one wildly different
+    val a = "x" * 48
+    val b = (0 until 48).map(i => ('a' + i % 26).toChar).mkString
+    val media = Multimodal.asMedia(
+      Seq((1L, a + a + b)).toDF("doc_id", "text"), "doc_id", "encode(text, 'utf-8')", "raw")
+    val got = Multimodal.sceneCuts(media, frameSize = 48, stride = 1, cutDist = 10)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._2).toSeq
+    assert(got.map(r => (r._2, r._3)).head == ((1L, 0L))) // frame 1 == frame 0
+    assert(got.size == 2 && got(1)._3 > 10 && got(1)._4 == 1L)
+    assert(got(0)._4 == 0L)
+    // per-frame hash = perceptualHash of the frame as standalone raw media
+    val frameMedia = Multimodal.asMedia(
+      Seq((0L, a), (2L, b)).toDF("doc_id", "text"), "doc_id", "encode(text, 'utf-8')", "raw")
+    val solo = Multimodal.perceptualHash(frameMedia)
+      .select($"media_id", $"phash").as[(Long, String)].collect().toMap
+    // distance computed by sceneCuts equals the standalone-hash hamming
+    val ham = solo(0L).grouped(4).zip(solo(2L).grouped(4)).map { case (x, y) =>
+      java.lang.Long.bitCount(java.lang.Long.parseLong(x, 16) ^ java.lang.Long.parseLong(y, 16))
+    }.sum
+    assert(got(1)._3 == ham.toLong)
+  }
 }
