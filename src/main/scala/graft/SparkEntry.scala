@@ -963,6 +963,10 @@ object SparkEntry {
     "q150_quantile_norm" -> ((s, dir) =>
       graft.operators.TableStats.quantileNormalize(
         docs(s, dir), "doc_id", "source", "n_chars")),
+    // extension: chunk->doc mean-pooled embedding, probed dims (RAG prep;
+    // integer byte sums make the mean order-invariant)
+    "q160_doc_embedding" -> ((s, dir) =>
+      graft.operators.Pipeline.docEmbeddingProbe(docs(s, dir))),
     // extension: scene-cut detection — per-frame aHash over strided
     // payload blocks, successive-frame Hamming threshold
     "q159_scene_cuts" -> ((s, dir) => {
@@ -3107,6 +3111,23 @@ FROM z WHERE sd > 0 AND NOT isnan(sd)
     FROM f)
 SELECT probe_id, cand_id AS match_id, cand_name AS match_name, score
 FROM r WHERE rn <= 2""",
+    // Mirrors Pipeline.docEmbeddingProbe(200, 50): 150-stride chunks, per-
+    // chunk digest bytes summed as integers, one pooled-mean expression
+    "q160_doc_embedding" ->
+      s"""WITH g AS (SELECT doc_id, text AS doc_text,
+    unnest(range(0, CAST(ceil(length(text)/150.0) AS BIGINT))) AS i FROM documents),
+  ch AS (SELECT doc_id, substring(doc_text, CAST(i*150+1 AS INTEGER), 200) AS chunk FROM g),
+  hb AS (SELECT doc_id, sha256(chunk) AS hx FROM ch),
+  s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+      CAST(sum(${dkByte("hx", "0")}) AS BIGINT) AS s0,
+      CAST(sum(${dkByte("hx", "13")}) AS BIGINT) AS s13,
+      CAST(sum(${dkByte("hx", "31")}) AS BIGINT) AS s31
+    FROM hb GROUP BY 1)
+SELECT doc_id, n_chunks,
+  round(CAST(s0 AS DOUBLE) / n_chunks / 255.0 * 2.0 - 1.0, 6) AS p0,
+  round(CAST(s13 AS DOUBLE) / n_chunks / 255.0 * 2.0 - 1.0, 6) AS p13,
+  round(CAST(s31 AS DOUBLE) / n_chunks / 255.0 * 2.0 - 1.0, 6) AS p31
+FROM s""",
     // Mirrors Multimodal.sceneCuts(48, 1, 48): per-frame stub aHash (the
     // q144 gray/mean math on each 48-byte frame), windowed bit-vector
     // Hamming, threshold flag

@@ -35,6 +35,32 @@ object Pipeline {
         col("split"))
   }
 
+  /** Chunk-to-document embedding pooling — the RAG prep step that turns
+    * per-chunk vectors into one doc-level vector (mean pooling), probed at
+    * fixed dimensions the way q05 probes the raw embedding. The pooled
+    * value at dim j is algebraically (sum of chunk digest bytes)/n scaled
+    * to [-1, 1]: summing the INTEGER bytes first and dividing once makes
+    * the mean order-invariant (a float mean of per-chunk doubles would
+    * depend on reduce order). One generator projection + one doc-keyed
+    * partial-aggregated shuffle; at full width this is `sum(array)` over
+    * the vector column — same shape. Output:
+    * (doc_id, n_chunks, p<dim>...). */
+  def docEmbeddingProbe(docs: DataFrame, size: Int = 200, overlap: Int = 50,
+                        probeDims: Seq[Int] = Seq(0, 13, 31)): DataFrame = {
+    require(probeDims.nonEmpty && probeDims.forall(d => d >= 0 && d < 32))
+    val chunked = docs.select(col("doc_id"),
+        graft.GraftFunctions.chunk_text(col("text"), size, overlap).as(Seq("chunk_idx", "chunk")))
+      .withColumn("hx", sha2(col("chunk"), 256))
+    val byteAt = (j: Int) =>
+      s"CAST(conv(substring(hx, ${2 * j + 1}, 2), 16, 10) AS BIGINT)"
+    chunked.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        probeDims.map(j => sum(expr(byteAt(j))).as(s"s$j")): _*)
+      .select(col("doc_id") +: col("n_chunks") +: probeDims.map(j =>
+        expr(s"round(CAST(s$j AS DOUBLE) / n_chunks / 255.0D * 2.0D - 1.0D, 6)")
+          .as(s"p$j")): _*)
+  }
+
   /** Split-leakage audit: how many near-duplicate pairs STRADDLE the
     * train/val/test boundary — the eval-contamination check a pipeline must
     * run after splitting, because hash-splitting is blind to content (two

@@ -86,6 +86,17 @@ object ScaleRehearsal {
       time(s"$tag bigramLM") {
         graft.operators.TextAnalysis.bigramSurprisal(docs)
           .queryExecution.toRdd.count() }
+      // pair fan-out is rows x window (nested array expr, no join):
+      // linear growth expected even duplicate-dense
+      time(s"$tag skipGrams") {
+        graft.operators.TextAnalysis.skipGrams(docs)
+          .queryExecution.toRdd.count() }
+      // distributed rank frame + two index joins: linear in rows
+      time(s"$tag quantileNorm") {
+        graft.operators.TableStats.quantileNormalize(
+          docs.selectExpr("doc_id", "CAST(doc_id % 20 AS STRING) AS src",
+            "length(text) AS len"), "doc_id", "src", "len")
+          .queryExecution.toRdd.count() }
       time(s"$tag bloomAnti") {
         val d = docs.withColumn("fp", expr("substring(text, 1, 60)"))
         Dedup.bloomAntiJoin(d.filter(col("doc_id") % 7 =!= 0),

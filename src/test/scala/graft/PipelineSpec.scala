@@ -28,6 +28,29 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.values.forall(_._3 >= 0.3))
   }
 
+  test("docEmbeddingProbe: pooled dims equal the integer-mean of per-chunk digest bytes") {
+    val one = "short doc" // single chunk at size 200
+    val long = "x" * 300 // chunks at 0 and 150 (stride = size - overlap)
+    val docs = Seq((1L, one), (2L, long)).toDF("doc_id", "text")
+    val got = Pipeline.docEmbeddingProbe(docs)
+      .as[(Long, Long, Double, Double, Double)].collect().map(r => r._1 -> r).toMap
+    def byteAt(s: String, j: Int): Long = {
+      val d = java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8"))
+      d(j) & 0xffL
+    }
+    def pooled(chunks: Seq[String], j: Int): Double =
+      BigDecimal(chunks.map(byteAt(_, j)).sum.toDouble / chunks.size / 255.0 * 2.0 - 1.0)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(1L)._2 == 1L)
+    assert((got(1L)._3, got(1L)._4, got(1L)._5) ==
+      ((pooled(Seq(one), 0), pooled(Seq(one), 13), pooled(Seq(one), 31))))
+    val chunks2 = Seq(long.substring(0, 200), long.substring(150, 300))
+    assert(got(2L)._2 == 2L)
+    assert((got(2L)._3, got(2L)._4, got(2L)._5) ==
+      ((pooled(chunks2, 0), pooled(chunks2, 13), pooled(chunks2, 31))))
+  }
+
   test("splitLeakage: matrix totals equal the pair count; labels match recomputing split-by-pair") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val got = Pipeline.splitLeakage(docs)
