@@ -183,6 +183,20 @@ object Multimodal {
     sb.toString
   }
 
+  /** Stub-decode aHash of one frame's bytes — the per-frame unit
+    * `sceneCuts` applies, exposed for the streaming twin. */
+  def frameHash(bytes: Array[Byte]): String =
+    ahashHex(decode("raw", bytes), bytes)
+
+  /** Hex-signature Hamming distance (4 x 16-bit bands) — driver/JVM side
+    * of the SQL band expression `sceneCuts`/`phashPairs` use. */
+  def hexHamming(a: String, b: String): Int =
+    (0 until 4).map { k =>
+      java.lang.Long.bitCount(
+        java.lang.Long.parseLong(a.substring(k * 4, k * 4 + 4), 16) ^
+          java.lang.Long.parseLong(b.substring(k * 4, k * 4 + 4), 16))
+    }.sum
+
   /** Scene-cut detection on video-like payloads: stride through the payload
     * in `frameSize` blocks (the `sampleFrames` plumbing), aHash every frame
     * with the SAME grid/mean/packing as `perceptualHash` (stub decode — the

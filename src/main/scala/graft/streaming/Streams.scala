@@ -214,6 +214,42 @@ object Streams {
       .toDF("user_id", "n_days", "ewma")
   }
 
+  /** Scene-cut detection lifted to streaming (`Multimodal.sceneCuts`'
+    * twin) — the live-camera shape: FRAMES arrive as a stream
+    * (media_id, frame_idx, frame_bytes), per-media state is ONE
+    * (last_idx, last_hash) pair, and each micro-batch folds its frames in
+    * frame_idx order, emitting the transition rows. Hashing is the same
+    * stub aHash unit as batch (`Multimodal.frameHash`); distance the same
+    * 4x16-bit band Hamming. Same in-order ingest contract as
+    * `streamingFunnel`: per-media arrival in frame order across batches.
+    * Output: (media_id, frame_idx, hamming, is_cut). */
+  def streamingSceneCuts(frames: DataFrame, cutDist: Int = 48): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(cutDist >= 0 && cutDist <= 64)
+    val spark = frames.sparkSession
+    import spark.implicits._
+    frames.select(col("media_id"), col("frame_idx").cast("long"), col("frame_bytes"))
+      .as[(Long, Long, Array[Byte])]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, String), (Long, Long, Long, Long)](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout) {
+        case (mediaId, rows, state: GroupState[(Long, String)]) =>
+          var prev = state.getOption
+          val out = Seq.newBuilder[(Long, Long, Long, Long)]
+          rows.toSeq.sortBy(_._2).foreach { case (_, idx, bytes) =>
+            val h = graft.multimodal.Multimodal.frameHash(bytes)
+            prev.foreach { case (_, ph) =>
+              val d = graft.multimodal.Multimodal.hexHamming(ph, h).toLong
+              out += ((mediaId, idx, d, if (d >= cutDist) 1L else 0L))
+            }
+            prev = Some((idx, h))
+          }
+          prev.foreach(state.update)
+          out.result().iterator
+      }
+      .toDF("media_id", "frame_idx", "hamming", "is_cut")
+  }
+
   /** Streaming exact dedup: suppress re-deliveries of the same `event_id`
     * arriving within the watermark horizon. State is bounded — an id's
     * dedup record is dropped once the watermark passes its event time

@@ -317,6 +317,32 @@ class StreamingSpec extends AnyFunSuite {
     events.unpersist()
   }
 
+  test("streamingSceneCuts: transition rows equal the batch operator across two frame batches") {
+    val tmp = Files.createTempDirectory("graft-stream-scenes").toString
+    val src = s"$tmp/frames"
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val media = graft.multimodal.Multimodal.asMedia(
+      docs, "doc_id", "encode(text, 'utf-8')", "raw")
+    val frames = graft.multimodal.Multimodal.sampleFrames(media, 48, 1)
+      .withColumn("frame_idx", $"frame_idx".cast("long")).cache()
+    // frame-idx halves: per-media arrival stays in frame order
+    frames.filter($"frame_idx" <= 2).coalesce(1).write.mode("append").parquet(src)
+    frames.filter($"frame_idx" > 2).coalesce(1).write.mode("append").parquet(src)
+    val schema = frames.schema
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = Streams.streamingSceneCuts(stream).writeStream
+      .format("memory").queryName("scenes_out").outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("scenes_out")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val batch = graft.multimodal.Multimodal.sceneCuts(media)
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(streamed == batch && batch.nonEmpty)
+    frames.unpersist()
+  }
+
   test("mapGroupsWithState: per-user running totals match batch aggregation") {
     val tmp = Files.createTempDirectory("graft-state").toString
     val src = s"$tmp/events"
