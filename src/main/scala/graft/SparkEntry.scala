@@ -963,6 +963,14 @@ object SparkEntry {
     "q150_quantile_norm" -> ((s, dir) =>
       graft.operators.TableStats.quantileNormalize(
         docs(s, dir), "doc_id", "source", "n_chars")),
+    // extension: recall@k audit — IVF probe arm vs exact arm on the same
+    // probe queries, per-query overlap
+    "q161_ann_recall" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+      Similarity.annRecall(e, q, 3)
+    }),
     // extension: chunk->doc mean-pooled embedding, probed dims (RAG prep;
     // integer byte sums make the mean order-invariant)
     "q160_doc_embedding" -> ((s, dir) =>
@@ -3159,6 +3167,43 @@ FROM s""",
 SELECT media_id, frame_idx, hamming,
   CAST(CASE WHEN hamming >= 48 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
 FROM h""",
+    // Mirrors Similarity.annRecall(3): the q69 IVF chain joined against
+    // the q23 exact chain, per-query overlap over the probe set
+    "q161_ann_recall" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
+  WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
+  cs AS (SELECT q.query_id, cc.cell,
+      CASE WHEN cc.nc = 0.0 THEN 0.0
+           ELSE list_sum(list_transform(range(1, 65), i -> q.nv[i] * cc.c[i])) / cc.nc END AS cscore
+    FROM qn q CROSS JOIN (SELECT cell, c, sqrt(list_sum(list_transform(c, x -> x * x))) AS nc FROM cents3) cc),
+  probes AS (SELECT query_id, cell FROM (SELECT query_id, cell,
+      row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, cell ASC) AS pr FROM cs) WHERE pr <= 3),
+  cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN a_fin a ON a.cell = p.cell),
+  s AS (SELECT c.query_id, c.vec_id,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS dot,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS na,
+      list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS nb
+    FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+                JOIN qn q ON c.query_id = q.query_id),
+  sc AS (SELECT query_id, vec_id,
+      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS score FROM s),
+  ivf AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rnk FROM sc)
+    WHERE rnk <= 3),
+  xs AS (SELECT q.query_id, e.vec_id,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS dot,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS na,
+      list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS nb
+    FROM embeddings e CROSS JOIN qn q),
+  xsc AS (SELECT query_id, vec_id,
+      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS score FROM xs),
+  ex AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
+      row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rnk FROM xsc)
+    WHERE rnk <= 3),
+  ov AS (SELECT ivf.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM ivf JOIN ex ON ivf.query_id = ex.query_id AND ivf.vec_id = ex.vec_id GROUP BY 1)
+  SELECT q.query_id, CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+    round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / 3, 6) AS recall
+  FROM (SELECT DISTINCT query_id FROM qn) q LEFT JOIN ov ON q.query_id = ov.query_id)"""),
     "q69_det_ivf" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (
   WITH qn AS (SELECT vec_id AS query_id, embedding, nv FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,

@@ -47,6 +47,31 @@ object Similarity {
   def bruteForceTopK(items: DataFrame, queries: DataFrame, k: Int): DataFrame =
     topKPerQuery(cosineScores(items, queries), k)
 
+  /** Recall@k of the deterministic IVF index against exact brute force —
+    * the retrieval-quality monitor a production ANN deployment runs on a
+    * probe query set ("measure, don't guess" as an OPERATOR, not just a
+    * spec gate). Both arms are existing oracled machinery (q69's cell-
+    * pruned probe, q23's exact scorer); the comparison is one id-keyed
+    * join + per-query count over 2 x |queries| x k rows, so the audit
+    * costs one extra exact pass over the corpus for the probe set only —
+    * at 100 TB you run it on a sampled probe set, not every query.
+    * Output per query: (query_id, n_overlap, recall). */
+  def annRecall(items: DataFrame, queries: DataFrame, k: Int = 3,
+                nLists: Int = 8, iters: Int = 3, nProbe: Int = 3): DataFrame = {
+    require(k >= 1)
+    val ivf = detIvfTopK(items, queries, k, nLists, iters, nProbe)
+      .select("query_id", "vec_id")
+    // both arms are |queries| x k rows — broadcast, never a sort-merge
+    val exact = bruteForceTopK(items, queries, k).select("query_id", "vec_id")
+    val hits = ivf.join(broadcast(exact), Seq("query_id", "vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+    queries.select("query_id")
+      .join(broadcast(hits), Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        expr(s"round(CAST(coalesce(n_overlap, 0) AS DOUBLE) / $k, 6)").as("recall"))
+  }
+
   /** Hard-negative mining for contrastive training: per query, the top-k
     * most similar corpus vectors whose `label` DIFFERS from the query's —
     * "close in embedding space, wrong class", the negatives that actually

@@ -575,6 +575,23 @@ class SimilaritySpec extends AnyFunSuite {
     assert(!p.contains("Exchange"), s"reduceDim must be map-only:\n$p")
   }
 
+  test("annRecall: per-query overlap equals recomputing from the two arms; every probe covered") {
+    val got = Similarity.annRecall(emb, queries, 3)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got.keySet == (0L until 5L).toSet) // zero-overlap queries still report
+    val ivf = Similarity.detIvfTopK(emb, queries, 3)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    val exact = Similarity.bruteForceTopK(emb, queries, 3)
+      .select($"query_id", $"vec_id").as[(Long, Long)].collect().toSet
+    for (qid <- 0L until 5L) {
+      val n = (ivf.filter(_._1 == qid).map(_._2) intersect
+        exact.filter(_._1 == qid).map(_._2)).size.toLong
+      assert(got(qid)._2 == n, s"query $qid")
+      assert(got(qid)._3 ==
+        BigDecimal(n / 3.0).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }
+  }
+
   test("lshTopK: recovers the exact top-1 (self) and plausible neighbours") {
     val lsh = Similarity.lshTopK(emb, queries, 3)
       .as[(Long, Long, Int, Double)].collect()
