@@ -963,6 +963,11 @@ object SparkEntry {
     "q150_quantile_norm" -> ((s, dir) =>
       graft.operators.TableStats.quantileNormalize(
         docs(s, dir), "doc_id", "source", "n_chars")),
+    // extension: winsorized mean per group — percentile fences, fixed-
+    // point clipped sum (robust location estimate)
+    "q162_winsorized" -> ((s, dir) =>
+      graft.operators.TableStats.winsorizedMean(Tables.lineitem(s, dir),
+        "l_returnflag", "CAST(round(l_extendedprice * 100) AS BIGINT)")),
     // extension: recall@k audit — IVF probe arm vs exact arm on the same
     // probe queries, per-query overlap
     "q161_ann_recall" -> ((s, dir) => {
@@ -3167,6 +3172,23 @@ FROM s""",
 SELECT media_id, frame_idx, hamming,
   CAST(CASE WHEN hamming >= 48 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
 FROM h""",
+    // Mirrors TableStats.winsorizedMean(0.05, 0.95): quantile_cont fences,
+    // identical fixed-point clip expression, one division per mean
+    "q162_winsorized" ->
+      """WITH v AS (SELECT l_returnflag AS g,
+    CAST(round(l_extendedprice * 100) AS BIGINT) AS v FROM lineitem),
+  f AS (SELECT g, quantile_cont(v, 0.05) AS lo, quantile_cont(v, 0.95) AS hi
+    FROM v GROUP BY 1),
+  a AS (SELECT v.g, CAST(count(*) AS BIGINT) AS n, CAST(sum(v.v) AS BIGINT) AS s,
+      CAST(sum(CAST(floor((CASE WHEN CAST(v.v AS DOUBLE) < f.lo THEN f.lo
+        WHEN CAST(v.v AS DOUBLE) > f.hi THEN f.hi
+        ELSE CAST(v.v AS DOUBLE) END) * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS wfx,
+      round(min(f.lo), 6) AS lo_fence, round(min(f.hi), 6) AS hi_fence
+    FROM v JOIN f USING (g) GROUP BY 1)
+SELECT g AS l_returnflag, n, lo_fence, hi_fence,
+  round(CAST(s AS DOUBLE) / n, 6) AS mean_raw,
+  round(CAST(wfx AS DOUBLE) / 1048576.0 / n, 6) AS mean_winsorized
+FROM a""",
     // Mirrors Similarity.annRecall(3): the q69 IVF chain joined against
     // the q23 exact chain, per-query overlap over the probe set
     "q161_ann_recall" -> detKmeansOracle(finalSelect = s"""SELECT * FROM (

@@ -308,6 +308,40 @@ object TableStats {
       .groupBy("bucket").agg(count(lit(1)).as("n"))
   }
 
+  /** Winsorized mean per group: clip values at the exact [pLo, pHi]
+    * interpolated percentiles, then average — the robust location estimate
+    * that keeps sample size (unlike trimming) while bounding any single
+    * row's influence. One percentile aggregate for the fences (array form,
+    * one sort per group), broadcast back; the clip-and-average pass is
+    * map-side combined. Integer-valued `valueExpr` keeps the fences
+    * engine-exact; clipped values (which can be fractional fence doubles)
+    * are summed as 2^20 FIXED-POINT int64 — the detKMeans rule — so the
+    * aggregate is partition-order-invariant where a raw double sum is
+    * not. Contract: |v| x 2^20 x group size < 2^63. Output per group:
+    * (group, n, lo_fence, hi_fence, mean_raw, mean_winsorized). */
+  def winsorizedMean(df: DataFrame, groupCol: String, valueExpr: String,
+                     pLo: Double = 0.05, pHi: Double = 0.95): DataFrame = {
+    require(pLo >= 0 && pHi <= 1 && pLo < pHi)
+    val vals = PlanCache.memo(
+      df.select(col(groupCol).as("g"), expr(valueExpr).cast("long").as("v")))
+    val fences = vals.groupBy("g")
+      .agg(expr(s"percentile(v, array(CAST($pLo AS DOUBLE), CAST($pHi AS DOUBLE)))").as("__ps"))
+      .select(col("g"), expr("__ps[0]").as("lo_fence"), expr("__ps[1]").as("hi_fence"))
+    vals.join(broadcast(fences), Seq("g"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"),
+        expr("round(first(lo_fence), 6)").as("lo_fence"),
+        expr("round(first(hi_fence), 6)").as("hi_fence"),
+        sum("v").as("__s"),
+        sum(expr(
+          "CAST(floor((CASE WHEN CAST(v AS DOUBLE) < lo_fence THEN lo_fence " +
+            "WHEN CAST(v AS DOUBLE) > hi_fence THEN hi_fence " +
+            "ELSE CAST(v AS DOUBLE) END) * 1048576.0 + 0.5) AS BIGINT)")).as("__wfx"))
+      .select(col("g").as(groupCol), col("n"), col("lo_fence"), col("hi_fence"),
+        expr("round(CAST(__s AS DOUBLE) / n, 6)").as("mean_raw"),
+        expr("round(CAST(__wfx AS DOUBLE) / 1048576.0 / n, 6)").as("mean_winsorized"))
+  }
+
   /** Cross-group quantile normalization: re-express each row's value as
     * the GLOBAL distribution's value at the row's within-group percent
     * rank — the distribution-alignment step that makes per-source quality

@@ -191,6 +191,16 @@ class TableStatsSpec extends AnyFunSuite {
     assert(math.abs(got(("x", "y")).get - r) < 1e-6)
   }
 
+  test("winsorizedMean: fences interpolate exactly, outlier influence bounded, raw mean unchanged") {
+    import spark.implicits._
+    // [1..9, 1000]: lo = 1 + 0.45*(2-1) = 1.45; hi = 9 + 0.55*(1000-9) = 554.05
+    // winsorized sum = 1.45 + (2..9) + 554.05 = 599.5 -> mean 59.95
+    val df = ((1L to 9L) :+ 1000L).map("g" -> _).toDF("grp", "v")
+    val got = TableStats.winsorizedMean(df, "grp", "v")
+      .as[(String, Long, Double, Double, Double, Double)].head()
+    assert(got == (("g", 10L, 1.45, 554.05, 104.5, 59.95)))
+  }
+
   test("quantileNormalize: group extremes map to global extremes; interior points interpolate; no sort-merge join") {
     import spark.implicits._
     // global sorted values: 1,2,3,10,20,30 (N=6)
