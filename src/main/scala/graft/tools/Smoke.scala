@@ -148,6 +148,39 @@ object Smoke {
       s"indexed bm25 hits: ${TextAnalysis.bm25Indexed(TextAnalysis.postings(docsAll),
         TextAnalysis.docLengths(docsAll), Seq("join", "hash")).count()}")
 
+    // round-6 tour: quality gates, linkage, graph, multimodal, retrieval QA
+    import org.apache.spark.sql.functions.{col, expr}
+    val keepN = TextAnalysis.gopherQuality(docsAll).filter("keep = 1").count()
+    println(s"== gopher rules: $keepN of ${docsAll.count()} kept")
+    val leak = graft.operators.Pipeline.splitLeakage(docsAll)
+      .filter("split_a <> split_b")
+      .agg(org.apache.spark.sql.functions.sum("n_pairs")).collect()(0)
+    println(s"== split leakage: ${if (leak.isNullAt(0)) 0L else leak.getLong(0)} cross-split near-dup pairs")
+    val tri = graft.operators.Graph.triangleCount(
+      graft.Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey").as("g"), col("l_partkey").as("item")).distinct()
+        .as("a").join(graft.Tables.lineitem(spark, sfDir)
+          .select(col("l_orderkey").as("g"), col("l_partkey").as("item")).distinct()
+          .hint("SHUFFLE_HASH").as("b"),
+          col("a.g") === col("b.g") && col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("x"), col("b.item").as("y"))
+        .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("ng"))
+        .filter("ng >= 2").select("x", "y")).collect()(0)
+    println(s"== triangles: ${tri.getLong(3)} in ${tri.getLong(1)}-edge co-purchase graph, " +
+      f"clustering ${tri.getDouble(4)}%.4f")
+    val fz = graft.operators.Joins.fuzzyLookup(
+      graft.Tables.part(spark, sfDir).filter("p_partkey % 403 = 0"),
+      graft.Tables.part(spark, sfDir), "p_partkey", "p_name").count()
+    println(s"== fuzzy lookup: $fz probe matches (jaro-winkler)")
+    val cuts = graft.multimodal.Multimodal.sceneCuts(
+      graft.multimodal.Multimodal.asMedia(docsAll, "doc_id", "encode(text, 'utf-8')", "raw"))
+      .filter("is_cut = 1").count()
+    println(s"== scene cuts: $cuts")
+    val rec = Similarity.annRecall(emb, qv, 3)
+      .agg(expr("round(avg(recall), 4)")).collect()(0)
+    println(s"== ann recall@3 (ivf vs exact): ${rec.get(0)}")
+
     spark.stop()
   }
 }
