@@ -963,6 +963,12 @@ object SparkEntry {
     "q150_quantile_norm" -> ((s, dir) =>
       graft.operators.TableStats.quantileNormalize(
         docs(s, dir), "doc_id", "source", "n_chars")),
+    // extension: late-interaction (ColBERT-style MaxSim) retrieval —
+    // vocabulary-bounded token embeddings, per-query-token max, fixed-
+    // order sum, top-5 per query
+    "q163_late_interaction" -> ((s, dir) =>
+      graft.operators.Rerank.lateInteractionTopK(docs(s, dir),
+        Seq("hash join throughput", "vector scan latency"), 5)),
     // extension: winsorized mean per group — percentile fences, fixed-
     // point clipped sum (robust location estimate)
     "q162_winsorized" -> ((s, dir) =>
@@ -3172,6 +3178,32 @@ FROM s""",
 SELECT media_id, frame_idx, hamming,
   CAST(CASE WHEN hamming >= 48 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
 FROM h""",
+    // Mirrors Rerank.lateInteractionTopK: per-distinct-token hash embeds,
+    // MaxSim per query token, list-ordered sum, rank <= 5
+    "q163_late_interaction" -> {
+      val qrows = Seq("hash join throughput", "vector scan latency").flatMap { q =>
+        q.split(" ").filter(_.nonEmpty).distinct.zipWithIndex
+          .map { case (t, i) => s"('${q}', $i, '$t')" }
+      }.mkString(", ")
+      s"""WITH $dkTok,
+  dt AS (SELECT DISTINCT doc_id, unnest(list_distinct(toks)) AS token FROM tok),
+  ve AS (SELECT token, ${dkVec("sha256(token)")} AS e
+    FROM (SELECT DISTINCT token FROM dt)),
+  qt(query, qidx, qtok) AS (VALUES $qrows),
+  qe AS (SELECT query, qidx, ${dkVec("sha256(qtok)")} AS qv FROM qt),
+  cs AS (SELECT d.doc_id, q.query, q.qidx,
+      CASE WHEN ${dkDot("v.e", "v.e")} = 0.0 OR ${dkDot("q.qv", "q.qv")} = 0.0 THEN 0.0
+        ELSE ${dkDot("v.e", "q.qv")} / (sqrt(${dkDot("v.e", "v.e")}) * sqrt(${dkDot("q.qv", "q.qv")})) END AS c
+    FROM dt d JOIN ve v ON d.token = v.token CROSS JOIN qe q),
+  mx AS (SELECT doc_id, query, qidx, max(c) AS m FROM cs GROUP BY 1, 2, 3),
+  sc AS (SELECT doc_id, query,
+      round(list_sum(list(m ORDER BY qidx)), 4) AS score
+    FROM mx GROUP BY 1, 2),
+  r AS (SELECT query, doc_id, score,
+      CAST(row_number() OVER (PARTITION BY query ORDER BY score DESC, doc_id ASC) AS INTEGER) AS rank
+    FROM sc)
+SELECT query, rank, doc_id, score FROM r WHERE rank <= 5"""
+    },
     // Mirrors TableStats.winsorizedMean(0.05, 0.95): quantile_cont fences,
     // identical fixed-point clip expression, one division per mean
     "q162_winsorized" ->

@@ -24,6 +24,56 @@ object Rerank {
   case class MmrHit(query: String, rank: Int, id: String,
                     source: String, relevance: Double, mmr: Double)
 
+  /** Late-interaction (ColBERT-style, Khattab & Zaharia 2020) retrieval:
+    * score(q, d) = sum over QUERY tokens of the max cosine against any DOC
+    * token — token-level semantic matching where single-vector retrieval
+    * collapses the doc to one point. Token embeddings are the engine's
+    * hash-embed (so the whole path stays deterministic and SQL-oracled);
+    * with a learned encoder only the embedding column changes, not the
+    * plan.
+    *
+    * The scale design is the part that matters: embeddings are computed
+    * ONCE PER DISTINCT TOKEN (vocabulary-bounded — Heaps'-law sublinear,
+    * never corpus-bounded), then joined back to the (doc, token) incidence
+    * list; the MaxSim inner loop is one (doc, query-token)-keyed max
+    * aggregate (map-side combined) over |incidence| x |query tokens| rows;
+    * the final per-doc sum folds the <= |query tokens| maxima in FIXED
+    * qidx order via a sorted-struct aggregate, so the double sum is
+    * reduce-order-invariant. Top-k per query through GroupedTopK. Output:
+    * (query, rank, doc_id, score). */
+  def lateInteractionTopK(docs: DataFrame, queries: Seq[String],
+                          k: Int = 5): DataFrame = {
+    import graft.GraftFunctions.{cosine_similarity, hash_embed}
+    require(queries.nonEmpty && queries.forall(_.trim.nonEmpty))
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val incidence = docs.selectExpr("doc_id",
+      s"explode(array_distinct(${graft.operators.TextAnalysis.tokensExpr})) AS token")
+    val tokEmb = graft.operators.PlanCache.memo(
+      incidence.select("token").distinct()
+        .withColumn("temb", hash_embed(col("token"))))
+    val qtoks = queries.flatMap { q =>
+      q.split(" ").filter(_.nonEmpty).distinct.zipWithIndex
+        .map { case (t, i) => (q, i, t) }
+    }.toDF("query", "qidx", "qtok")
+    val qEmb = qtoks.withColumn("qemb", hash_embed(col("qtok")))
+    val maxima = incidence
+      .join(tokEmb.hint("SHUFFLE_HASH"), Seq("token"))
+      .crossJoin(broadcast(qEmb))
+      .select(col("doc_id"), col("query"), col("qidx"),
+        cosine_similarity(col("temb"), col("qemb")).as("c"))
+      .groupBy("doc_id", "query", "qidx")
+      .agg(max("c").as("m"))
+    val scored = maxima.groupBy("doc_id", "query")
+      .agg(sort_array(collect_list(struct(col("qidx"), col("m")))).as("ms"))
+      .select(col("doc_id"), col("query"),
+        expr("round(aggregate(ms, CAST(0.0 AS DOUBLE), (a, x) -> a + x.m), 4)")
+          .as("score"))
+    graft.plans.GroupedTopK(scored, Seq(col("query")),
+        Seq(desc("score"), asc("doc_id")), k)
+      .select("query", "rank", "doc_id", "score")
+  }
+
   /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein 1998)
     * over a batch of queries: retrieve each query's top `m` by cosine, then
     * greedily select `k` of them trading relevance against redundancy —

@@ -106,4 +106,21 @@ class RerankSpec extends AnyFunSuite {
     assert(plan.contains("GroupedTopK"), plan)
     assert(!plan.contains("Window"), plan)
   }
+
+  test("lateInteractionTopK: exact-match doc scores |q| tokens; partial beats none; dup tokens don't inflate") {
+    val docs = Seq(
+      (1L, "alpha beta gamma"), // all three query tokens: score 3.0
+      (2L, "alpha alpha alpha noise"), // one matching token (dedup'd): max 1 + two partials
+      (3L, "zzz yyy xxx")) // no exact matches: all partial cosines
+      .toDF("doc_id", "text")
+    val got = Rerank.lateInteractionTopK(docs, Seq("alpha beta gamma"), 3)
+      .as[(String, Int, Long, Double)].collect().sortBy(_._2)
+    assert(got.map(_._3).toSeq == Seq(1L, 2L, 3L).take(got.size))
+    assert(got.head._4 == 3.0) // cos(t, t) = 1 per query token
+    assert(got(1)._4 > got(2)._4 && got(1)._4 < 3.0)
+    // ranking path stays on GroupedTopK, no window rank
+    val plan = Rerank.lateInteractionTopK(docs, Seq("alpha beta gamma"), 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopK") && !plan.contains("Window"), plan)
+  }
 }
