@@ -32,15 +32,16 @@ object Rerank {
     * with a learned encoder only the embedding column changes, not the
     * plan.
     *
-    * The scale design is the part that matters: embeddings are computed
-    * ONCE PER DISTINCT TOKEN (vocabulary-bounded — Heaps'-law sublinear,
-    * never corpus-bounded), then joined back to the (doc, token) incidence
-    * list; the MaxSim inner loop is one (doc, query-token)-keyed max
-    * aggregate (map-side combined) over |incidence| x |query tokens| rows;
-    * the final per-doc sum folds the <= |query tokens| maxima in FIXED
-    * qidx order via a sorted-struct aggregate, so the double sum is
-    * reduce-order-invariant. Top-k per query through GroupedTopK. Output:
-    * (query, rank, doc_id, score). */
+    * The scale design is the part that matters: embeddings AND the
+    * token-vs-query-token cosines are computed ONCE PER DISTINCT TOKEN
+    * (vocabulary-bounded — Heaps'-law sublinear, never corpus-bounded; the
+    * 1024-dim arithmetic never touches an incidence row), then the tiny
+    * (token, qtok, cos) table joins the (doc, token) incidence list and
+    * the MaxSim inner loop is one (doc, query-token)-keyed max aggregate
+    * (map-side combined) over scalar rows; the final per-doc sum folds the
+    * <= |query tokens| maxima in FIXED qidx order via a sorted-struct
+    * aggregate, so the double sum is reduce-order-invariant. Top-k per
+    * query through GroupedTopK. Output: (query, rank, doc_id, score). */
   def lateInteractionTopK(docs: DataFrame, queries: Seq[String],
                           k: Int = 5): DataFrame = {
     import graft.GraftFunctions.{cosine_similarity, hash_embed}
@@ -57,11 +58,12 @@ object Rerank {
         .map { case (t, i) => (q, i, t) }
     }.toDF("query", "qidx", "qtok")
     val qEmb = qtoks.withColumn("qemb", hash_embed(col("qtok")))
-    val maxima = incidence
-      .join(tokEmb.hint("SHUFFLE_HASH"), Seq("token"))
-      .crossJoin(broadcast(qEmb))
-      .select(col("doc_id"), col("query"), col("qidx"),
+    // ALL vector arithmetic happens here, on vocab x |query tokens| rows
+    val tokCos = tokEmb.crossJoin(broadcast(qEmb))
+      .select(col("token"), col("query"), col("qidx"),
         cosine_similarity(col("temb"), col("qemb")).as("c"))
+    val maxima = incidence
+      .join(tokCos.hint("SHUFFLE_HASH"), Seq("token"))
       .groupBy("doc_id", "query", "qidx")
       .agg(max("c").as("m"))
     val scored = maxima.groupBy("doc_id", "query")
