@@ -963,6 +963,10 @@ object SparkEntry {
     "q150_quantile_norm" -> ((s, dir) =>
       graft.operators.TableStats.quantileNormalize(
         docs(s, dir), "doc_id", "source", "n_chars")),
+    // extension: directed shingle containment — sub-document dedup
+    // (short doc embedded in a long one; Jaccard drowns it)
+    "q164_containment" -> ((s, dir) =>
+      Dedup.containmentPairs(docs(s, dir), 0.8)),
     // extension: late-interaction (ColBERT-style MaxSim) retrieval —
     // vocabulary-bounded token embeddings, per-query-token max, fixed-
     // order sum, top-5 per query
@@ -3178,6 +3182,25 @@ FROM s""",
 SELECT media_id, frame_idx, hamming,
   CAST(CASE WHEN hamming >= 48 THEN 1 ELSE 0 END AS BIGINT) AS is_cut
 FROM h""",
+    // Mirrors Dedup.containmentPairs(0.8): the q22 candidate chain,
+    // full-set intersect, both directions
+    "q164_containment" ->
+      s"""WITH $dkTok, $dkShl, $dkShu,
+  keep AS (SELECT shingle FROM shu GROUP BY shingle HAVING count(*) <= 1000),
+  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM shu a JOIN shu b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           WHERE a.shingle IN (SELECT shingle FROM keep)),
+  v AS (SELECT c.doc_a, c.doc_b,
+      CAST(len(list_intersect(sa.sh, sb.sh)) AS BIGINT) AS common,
+      len(sa.sh) AS na, len(sb.sh) AS nb
+    FROM cand c JOIN shl sa ON c.doc_a = sa.doc_id
+                JOIN shl sb ON c.doc_b = sb.doc_id),
+  d AS (SELECT doc_a AS contained_doc, doc_b AS container_doc, common,
+      common * 1.0 / na AS containment FROM v
+    UNION ALL
+    SELECT doc_b, doc_a, common, common * 1.0 / nb FROM v)
+SELECT contained_doc, container_doc, common, round(containment, 6) AS containment
+FROM d WHERE containment >= 0.8""",
     // Mirrors Rerank.lateInteractionTopK: per-distinct-token hash embeds,
     // MaxSim per query token, list-ordered sum, rank <= 5
     "q163_late_interaction" -> {

@@ -88,6 +88,34 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("common"),
         round(col("jaccard"), 6).as("jaccard"))
 
+  /** Directed shingle CONTAINMENT pairs — the sub-document dedup measure
+    * Jaccard misses: a short doc fully embedded in a long one (a wire
+    * reprint inside a roundup page, a quoted chunk inside a scrape) has
+    * |A∩B|/|A| ~ 1 while its Jaccard drowns in the big doc's size. Same
+    * df-capped candidate machinery as `jaccardPairs` (never corpus²); each
+    * surviving candidate verifies BOTH directions against the full
+    * shingle arrays (one intersect computes both scores). Output (DIRECTED
+    * rows where containment >= threshold, either direction):
+    * (contained_doc, container_doc, common, containment). */
+  def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
+                       maxShingleDf: Int = 1000): DataFrame = {
+    require(threshold > 0 && threshold <= 1)
+    val sets = shingleArrays(docs)
+    val withSets = jaccardCandidates(docs, maxShingleDf)
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+    val ab = withSets.select(col("doc_a").as("contained_doc"),
+      col("doc_b").as("container_doc"), col("common"),
+      (col("common") / size(col("sh_a"))).as("containment"))
+    val ba = withSets.select(col("doc_b").as("contained_doc"),
+      col("doc_a").as("container_doc"), col("common"),
+      (col("common") / size(col("sh_b"))).as("containment"))
+    ab.unionByName(ba).filter(col("containment") >= threshold)
+      .select(col("contained_doc"), col("container_doc"), col("common"),
+        round(col("containment"), 6).as("containment"))
+  }
+
   /** Exact n-gram Jaccard near-duplicate pairs, in bounded stages:
     *
     *  1. df-capped candidate counting: in-bucket pairs over KEPT (df <=

@@ -323,6 +323,23 @@ class DedupSpec extends AnyFunSuite {
     assert(got == Set((1L, 2L, 0), (1L, 3L, 1), (2L, 3L, 1)))
   }
 
+  test("containmentPairs: embedded sub-document scores 1.0 one-way where Jaccard misses it") {
+    val words = (1 to 60).map(i => s"w$i")
+    val big = words.mkString(" ")
+    val small = words.take(20).mkString(" ") // shingles a strict subset
+    val docs = Seq((1L, small), (2L, big), (3L, "totally different content here"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, 0.8)
+      .as[(Long, Long, Long, Double)].collect()
+    // 18 shingles of small, all inside big's 58
+    assert(got.toSeq == Seq((1L, 2L, 18L, 1.0)))
+    // the reverse direction (58 -> 18/58) and unrelated docs stay out
+    assert(!got.exists(r => r._1 == 2L))
+    // Jaccard at the standard 0.5 threshold never sees this pair
+    val jac = Dedup.jaccardPairs(docs, 0.5).as[(Long, Long, Long, Double)].collect()
+    assert(jac.isEmpty)
+  }
+
   test("clusterRepresentatives: longest text wins, doc_id breaks ties, member counts exact") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val got = Dedup.clusterRepresentatives(docs)
