@@ -62,7 +62,11 @@ object Bench {
     // JSON keys and the driver's parse would keep only one — fail loudly
     val dupKeys = results.keys.groupBy(shortKey).filter(_._2.size > 1)
     require(dupKeys.isEmpty, s"non-unique bench keys: $dupKeys")
-    val qs = results.map { case (k, (v, _)) => s"\"" + shortKey(k) + "\":" + f"$v%.2f" }
+    // trailing-zero-stripped 2-dp values ("0.40" -> "0.4", "1.00" -> "1"):
+    // still valid JSON numbers, ~100 chars back from the tail budget
+    val fmt = (v: Double) =>
+      f"$v%.2f".stripSuffix("0").stripSuffix("0").stripSuffix(".")
+    val qs = results.map { case (k, (v, _)) => s"\"" + shortKey(k) + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     // per-rep times per query: a contaminated run shows as wide rep spreads
     // (healthy: < 30% per query) without needing a rerun to diagnose.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Deduplication operators for a training-data pipeline, from exact to
@@ -100,20 +100,36 @@ object Dedup {
   def containmentPairs(docs: DataFrame, threshold: Double = 0.8,
                        maxShingleDf: Int = 1000): DataFrame = {
     require(threshold > 0 && threshold <= 1)
+    // the jaccardPairs split: when neither doc dropped a frequent shingle
+    // (the whole corpus, typically), common_kept IS the exact intersection
+    // and both directed scores compute from COUNTS alone — no set-array
+    // join; candidates where the cap bit touched both docs get the exact
+    // array_intersect verification, bounded above so no pair is lost
+    val stats = pairStats(docs, maxShingleDf)
+    def directed(df: DataFrame, common: Column) = {
+      val ab = df.select(col("doc_a").as("contained_doc"),
+        col("doc_b").as("container_doc"), common.as("common"),
+        (common / col("na")).as("containment"))
+      val ba = df.select(col("doc_b").as("contained_doc"),
+        col("doc_a").as("container_doc"), common.as("common"),
+        (common / col("nb")).as("containment"))
+      ab.unionByName(ba).filter(col("containment") >= threshold)
+        .select(col("contained_doc"), col("container_doc"), col("common"),
+          round(col("containment"), 6).as("containment"))
+    }
+    val exact = directed(stats.filter(least(col("fa"), col("fb")) === 0),
+      col("common_kept"))
+    val fuzzyCand = stats.filter(least(col("fa"), col("fb")) > 0)
+      .withColumn("upper", col("common_kept") + least(col("fa"), col("fb")))
+      .filter(col("upper") / col("na") >= threshold ||
+        col("upper") / col("nb") >= threshold)
     val sets = shingleArrays(docs)
-    val withSets = jaccardCandidates(docs, maxShingleDf)
+    val verified = directed(fuzzyCand
       .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
-      .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
-    val ab = withSets.select(col("doc_a").as("contained_doc"),
-      col("doc_b").as("container_doc"), col("common"),
-      (col("common") / size(col("sh_a"))).as("containment"))
-    val ba = withSets.select(col("doc_b").as("contained_doc"),
-      col("doc_a").as("container_doc"), col("common"),
-      (col("common") / size(col("sh_b"))).as("containment"))
-    ab.unionByName(ba).filter(col("containment") >= threshold)
-      .select(col("contained_doc"), col("container_doc"), col("common"),
-        round(col("containment"), 6).as("containment"))
+      .withColumn("__common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")),
+      col("__common"))
+    exact.unionByName(verified)
   }
 
   /** Exact n-gram Jaccard near-duplicate pairs, in bounded stages:
@@ -137,20 +153,19 @@ object Dedup {
     * docs dropped boilerplate shingles — typically none. Output:
     * (doc_a, doc_b, common, jaccard) for true jaccard >= threshold, among
     * pairs sharing at least one non-frequent shingle. */
-  def jaccardPairs(docs: DataFrame, threshold: Double,
-                   maxShingleDf: Int = 1000): DataFrame = {
-    // `sets` (the raw shingle arrays) is deliberately NOT cached: re-running
-    // the codegen'd shingling measures ~35% faster than materializing the
-    // large array column through the block manager. The BUCKET table is the
-    // opposite case: post-aggregation it is small (one row per distinct
-    // shingle), it feeds both the pair counting and the per-doc stats, and
-    // caching it means the corpus is shingled exactly once on the hot path.
-    val sets = shingleArrays(docs)
-    // MEMORY_ONLY via PlanCache.memo: eviction falls back to recompute, and
-    // repeat builds over the same input reuse one CacheManager entry
-    // (release with PlanCache.releaseAll when done with the operators)
+  /** The shared candidate-pair statistics frame behind `jaccardPairs` and
+    * `containmentPairs`: df-capped in-bucket pair counts joined with the
+    * per-doc set size / dropped-shingle counts. One memoized plan — both
+    * consumers (and both branches within each) read the SAME cached
+    * pipeline. Columns: (doc_a, doc_b, common_kept, na, fa, nb, fb). */
+  private def pairStats(docs: DataFrame, maxShingleDf: Int): DataFrame = {
+    // The BUCKET table is cached: post-aggregation it is small (one row per
+    // distinct shingle), it feeds both the pair counting and the per-doc
+    // stats, and caching it means the corpus is shingled exactly once on
+    // the hot path. (MEMORY_ONLY via PlanCache.memo: eviction falls back
+    // to recompute; release with PlanCache.releaseAll.)
     val buckets = PlanCache.memo(
-      sets.select(col("doc_id"), explode(col("sh")).as("shingle"))
+      shingleArrays(docs).select(col("doc_id"), explode(col("sh")).as("shingle"))
         .groupBy("shingle")
         .agg(sort_array(collect_list(col("doc_id"))).as("ds")))
     val partial = bucketPairs(buckets.filter(size(col("ds")) <= maxShingleDf))
@@ -167,17 +182,24 @@ object Dedup {
         sum(when(col("freq"), 1L).otherwise(0L)).as("n_freq")))
     // no broadcast hint: docStats is one row per doc, so at corpus scale it
     // outgrows the broadcast limit — AQE picks broadcast when it fits.
-    // `stats` itself is memoized: the exact and fuzzy branches below BOTH
-    // read it, and without the cache the whole pair-count pipeline runs
-    // twice just for the fuzzy side to (typically) come up empty — the r2
-    // bench paid exactly that (q22 2.5 s -> 5.2 s). A cached one-pass plan
-    // keeps the builder fully lazy (no plan-time probe job, no branch
-    // frozen against a snapshot of the input).
-    val stats = PlanCache.memo(partial
+    // The joined frame is memoized: the exact and fuzzy branches BOTH read
+    // it, and without the cache the whole pair-count pipeline runs twice
+    // just for the fuzzy side to (typically) come up empty — the r2 bench
+    // paid exactly that (q22 2.5 s -> 5.2 s).
+    PlanCache.memo(partial
       .join(docStats.select(col("doc_id").as("doc_a"),
         col("n_sh").as("na"), col("n_freq").as("fa")), Seq("doc_a"))
       .join(docStats.select(col("doc_id").as("doc_b"),
         col("n_sh").as("nb"), col("n_freq").as("fb")), Seq("doc_b")))
+  }
+
+  def jaccardPairs(docs: DataFrame, threshold: Double,
+                   maxShingleDf: Int = 1000): DataFrame = {
+    // `sets` (the raw shingle arrays) is deliberately NOT cached: re-running
+    // the codegen'd shingling measures ~35% faster than materializing the
+    // large array column through the block manager.
+    val sets = shingleArrays(docs)
+    val stats = pairStats(docs, maxShingleDf)
     val exact = stats.filter(least(col("fa"), col("fb")) === 0)
       .withColumn("jaccard",
         col("common_kept") / (col("na") + col("nb") - col("common_kept")))
