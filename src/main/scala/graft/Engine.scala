@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.GraftFunctions.{chunk_text, cosine_similarity, hash_embed}
+import graft.GraftFunctions.{chunk_text, cosine_similarity, hash_embed, term_counts}
 import graft.functions.{ChunkText, HashEmbed}
 
 /** The engine façade — the reference's five API verbs re-expressed as
@@ -656,11 +656,14 @@ object Engine {
             }
         val stats = toksed.agg(statAggs.head, statAggs.tail: _*)
         val idx = allTerms.zipWithIndex.toMap
-        val withTf = allTerms.zipWithIndex
-          .foldLeft(toksed.crossJoin(broadcast(stats))) { case (df, (t, i)) =>
-            df.withColumn(s"tf_$i",
-              expr(s"CAST(size(filter(toks, x -> x = '$t')) AS DOUBLE)"))
-          }
+        // ONE codegen'd token scan for the whole union term set (term_counts)
+        // instead of |terms| interpreted filter() HOFs each re-walking the
+        // token array; the select boundary below is what CollapseProject
+        // preserves, so the scan runs once per row, not once per tf column
+        val withTf = toksed.crossJoin(broadcast(stats))
+          .withColumn("__tc", term_counts(col("toks"), allTerms))
+          .select(col("*") +: allTerms.indices.map(i =>
+            expr(s"CAST(element_at(__tc, ${i + 1}) AS DOUBLE)").as(s"tf_$i")): _*)
         // per-query score: the SAME fixed term order (the query's own,
         // first-appearance) and constants as TextAnalysis.bm25, referencing
         // the union-indexed shared df/tf columns — f64 addition order stays

@@ -101,5 +101,12 @@ object GraftExtensions {
     "jaro_winkler" -> {
       case Seq(a, b) => JaroWinkler(a, b)
       case _         => arity("jaro_winkler", "2")
+    },
+    "term_counts" -> {
+      case Seq(t, ts) if ts.foldable =>
+        val data = ts.eval().asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+        TermCounts(t,
+          (0 until data.numElements()).map(i => data.getUTF8String(i).toString))
+      case _ => arity("term_counts", "2 (tokens, constant string array)")
     })
 }

@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{Column, GraftSqlBridge, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
 
-import graft.functions.{ByteDot, ChunkText, CosineSimilarity, HashEmbed, HilbertIndex, JaroWinkler, MinGramHash, MinHashSig, RandProjBuckets, SignSketch, SimHash, WordShingles}
+import graft.functions.{ByteDot, ChunkText, CosineSimilarity, HashEmbed, HilbertIndex, JaroWinkler, MinGramHash, MinHashSig, RandProjBuckets, SignSketch, SimHash, TermCounts, WordShingles}
 
 /** Column-API + SQL-registry surface for the custom Catalyst expressions.
   *
@@ -69,6 +69,11 @@ object GraftFunctions {
   /** Distinct word n-gram shingles (Dedup extension). */
   def word_shingles(text: Column, n: Int = 3): Column =
     col(WordShingles(ex(text), n))
+
+  /** Occurrence counts of a fixed term list in a token array — one codegen'd
+    * pass instead of a per-term interpreted `filter` (BM25/TF-IDF extension). */
+  def term_counts(tokens: Column, terms: Seq[String]): Column =
+    col(TermCounts(ex(tokens), terms))
 
   /** Register every custom expression as a temp SQL function in an existing
     * session. Idempotent. (Sessions created from config should prefer

@@ -59,8 +59,19 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String) = Tables.documents(tune(s), dir)
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(tune(s), dir)
 
+  /** The chunked+embedded index every search-family query runs against.
+    * Deliberately NOT PlanCache-memoized: measured at sf0.1 (this round),
+    * scanning the in-memory COLUMNAR cache of the 1024-float embedding
+    * column is ~13x slower than re-running the map-only chunk+embed
+    * pipeline (q06 0.21 s inline vs 2.8 s cached — array columns pay
+    * per-element cache build AND decompress-on-scan). Production persists
+    * the index as parquet (`Engine.writeIndex`), which is the durable twin
+    * of this recompute-not-cache choice. */
+  private def indexOf(s: SparkSession, dir: String): DataFrame =
+    Engine.ingest(docs(s, dir))
+
   private def searchRanked(s: SparkSession, dir: String, k: Int): DataFrame = {
-    val hits = Engine.search(Engine.ingest(docs(s, dir)), Q, k)
+    val hits = Engine.search(indexOf(s, dir), Q, k)
     // Ranking k already-limited rows: the literal partition key keeps
     // WindowExec off its "No Partition Defined" global-sort path (harmless at
     // k rows, but it spams every run's log with a scale warning).
@@ -105,7 +116,7 @@ object SparkEntry {
     // rendering differs between engines, so the score renders through a
     // DECIMAL(10,4) cast (fixed 4-digit text in both Spark and DuckDB).
     "q07_response" -> ((s, dir) =>
-      Engine.searchResponse(Engine.ingest(docs(s, dir)), Q, 5)
+      Engine.searchResponse(indexOf(s, dir), Q, 5)
         .withColumn("chunks",
           array_join(
             transform(col("chunks"), c => concat_ws("\u0001",
@@ -262,7 +273,7 @@ object SparkEntry {
     // extension: batch multi-query flagship search (broadcast query set +
     // GroupedTopK; the corpus side never shuffles)
     "q32_search_batch" -> ((s, dir) =>
-      Engine.searchMany(Engine.ingest(docs(s, dir)), QBatch, 5)
+      Engine.searchMany(indexOf(s, dir), QBatch, 5)
         .select(col("query"), col("rank"), col("id"), col("source"),
           round(col("score"), 4).as("score"))),
     // extension: duplicate clustering (connected components over near-dup
@@ -321,7 +332,7 @@ object SparkEntry {
         "user_id", "ts", "event_id", 300)),
     // extension: hybrid search — RRF fusion of the vector and BM25 legs
     "q51_hybrid_rrf" -> ((s, dir) =>
-      Engine.hybridSearch(Engine.ingest(docs(s, dir)), Q, 5)),
+      Engine.hybridSearch(indexOf(s, dir), Q, 5)),
     // extension: deterministic random-projection dimensionality reduction
     // (JL shrink; flattened to scalar columns for the comparator)
     "q52_reduce_dim" -> ((s, dir) => {
@@ -357,7 +368,7 @@ object SparkEntry {
     // plan (one BM25 stats pass for the union of keywords; both legs ranked
     // through GroupedTopK; union+groupBy fusion)
     "q57_hybrid_batch" -> ((s, dir) =>
-      Engine.hybridSearchMany(Engine.ingest(docs(s, dir)), QBatch, 5)),
+      Engine.hybridSearchMany(indexOf(s, dir), QBatch, 5)),
     // extension: incremental int8-SQ index maintenance — build on 80% of the
     // corpus, upsert the rest, probe. The oracle is q46's full-rebuild SQL:
     // per-vector quantization makes upsert EXACTLY equal a rebuild, and this
@@ -387,7 +398,7 @@ object SparkEntry {
     // extension: metadata-filtered search — the query-time predicate the
     // reference's store supports but never exercises, pushed below scoring
     "q60_filtered_search" -> ((s, dir) => {
-      val hits = Engine.searchWhere(Engine.ingest(docs(s, dir)), Q,
+      val hits = Engine.searchWhere(indexOf(s, dir), Q,
         col("doc_id") % 3 === 0, 5)
       hits.withColumn("rnk",
           row_number().over(Window.partitionBy(lit(1)).orderBy(desc("score"), asc("id"))))
@@ -397,16 +408,16 @@ object SparkEntry {
     // extension: diversified search — best chunk per source, then top-k
     // across sources (GroupedTopK + TakeOrderedAndProject)
     "q61_diverse_search" -> ((s, dir) =>
-      Engine.searchDiverse(Engine.ingest(docs(s, dir)), Q, 5)
+      Engine.searchDiverse(indexOf(s, dir), Q, 5)
         .select(col("id"), col("source"), round(col("score"), 4).as("score"))),
     // extension: range (radius) search — all chunks above a score
     // threshold; a filter, not a top-k: no sort anywhere in the plan
     "q62_range_search" -> ((s, dir) =>
-      Engine.searchRadius(Engine.ingest(docs(s, dir)), Q, 0.3)
+      Engine.searchRadius(indexOf(s, dir), Q, 0.3)
         .select(col("id"), col("source"), round(col("score"), 4).as("score"))),
     // extension: facet counts over the top-100 candidate set
     "q63_facet_counts" -> ((s, dir) =>
-      Engine.searchFacets(Engine.ingest(docs(s, dir)), Q, 100)),
+      Engine.searchFacets(indexOf(s, dir), Q, 100)),
     // extension: document deletion — the index lifecycle's removal half;
     // delete two sources, then the stats aggregation proves what remains
     "q64_delete_source" -> ((s, dir) =>
@@ -416,12 +427,12 @@ object SparkEntry {
     // the top-20 shortlist; deterministic end-to-end, oracle unrolls the
     // five selection steps in SQL
     "q65_mmr_rerank" -> ((s, dir) =>
-      graft.operators.Rerank.mmrRerank(Engine.ingest(docs(s, dir)), Q,
+      graft.operators.Rerank.mmrRerank(indexOf(s, dir), Q,
         k = 5, m = 20, lambda = 0.7)),
     // extension: paginated search — page 2 (rows 11-15) of the ranking;
     // offset+limit fold into one TakeOrderedAndProject
     "q66_search_page" -> ((s, dir) =>
-      Engine.searchPage(Engine.ingest(docs(s, dir)), Q, page = 2, pageSize = 5)
+      Engine.searchPage(indexOf(s, dir), Q, page = 2, pageSize = 5)
         .select(col("id"), col("source"), round(col("score"), 4).as("score"))),
     // extension: composite ANN — deterministic rp-LSH coarse stage + int8
     // fine stage (the IVF-SQ composition with both halves hash-checkable)
@@ -446,17 +457,17 @@ object SparkEntry {
     // extension: weighted-blend hybrid (min-max normalized relative-score
     // fusion — the other standard fusion beside q51's RRF)
     "q70_hybrid_blend" -> ((s, dir) =>
-      Engine.hybridSearchBlend(Engine.ingest(docs(s, dir)), Q, 5)),
+      Engine.hybridSearchBlend(indexOf(s, dir), Q, 5)),
     // extension: keyword snippets/highlights for the top-k hits
     "q71_snippets" -> ((s, dir) =>
-      Engine.searchSnippets(Engine.ingest(docs(s, dir)), Q, 5)),
+      Engine.searchSnippets(indexOf(s, dir), Q, 5)),
     // extension: corpus vocabulary heavy hitters
     "q72_top_tokens" -> ((s, dir) =>
       graft.operators.TextAnalysis.topTokens(docs(s, dir), 20)),
     // extension: batch QueryResponse — q07's canonical serialization per
     // query over the whole fixture batch
     "q73_response_batch" -> ((s, dir) =>
-      Engine.searchResponseMany(Engine.ingest(docs(s, dir)), QBatch, 5)
+      Engine.searchResponseMany(indexOf(s, dir), QBatch, 5)
         .withColumn("chunks",
           array_join(
             transform(col("chunks"), c => concat_ws("",
@@ -468,7 +479,7 @@ object SparkEntry {
     // defects (a duplicate-id empty-text row and a wrong-dimension row)
     "q74_index_fsck" -> ((s, dir) => {
       import s.implicits._
-      val idx = Engine.ingest(docs(s, dir))
+      val idx = indexOf(s, dir)
         .select("id", "source", "text", "embedding")
       val bad = Seq(
         ("src0_0_0", "src0", "", Array.fill(1024)(0.0f)),
@@ -482,7 +493,7 @@ object SparkEntry {
     // excluded from the results
     "q75_recommend" -> ((s, dir) => {
       import s.implicits._
-      val idx = Engine.ingest(docs(s, dir))
+      val idx = indexOf(s, dir)
       val pos = idx.select("id").orderBy("id").limit(2).as[String].collect().toSeq
       val neg = idx.select("id").orderBy(col("id").desc).limit(1).as[String].collect().toSeq
       Engine.recommend(idx, pos, neg, 5)

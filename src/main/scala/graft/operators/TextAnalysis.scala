@@ -330,10 +330,12 @@ object TextAnalysis {
             .cast("double").as(s"df_$i")
         }
     val stats = toksed.agg(statAggs.head, statAggs.tail: _*)
-    val withTf = terms.zipWithIndex.foldLeft(toksed.crossJoin(broadcast(stats))) {
-      case (df, (t, i)) =>
-        df.withColumn(s"tf_$i", expr(s"CAST(size(filter(toks, x -> x = '$t')) AS DOUBLE)"))
-    }
+    // one codegen'd token scan for all terms (term_counts) — the oracle
+    // keeps the per-term list_filter form; counts are integer-exact
+    val withTf = toksed.crossJoin(broadcast(stats))
+      .withColumn("__tc", graft.GraftFunctions.term_counts(col("toks"), terms))
+      .select(col("*") +: terms.indices.map(i =>
+        expr(s"CAST(element_at(__tc, ${i + 1}) AS DOUBLE)").as(s"tf_$i")): _*)
     // fixed term order — never a sum aggregate — keeps f64 addition
     // deterministic and engine-portable
     val score = terms.indices.map { i =>
@@ -716,10 +718,10 @@ object TextAnalysis {
             .cast("double").as(s"df_$i")
         }
     val stats = toksed.agg(statAggs.head, statAggs.tail: _*)
-    val withTf = terms.zipWithIndex.foldLeft(toksed.crossJoin(broadcast(stats))) {
-      case (df, (t, i)) =>
-        df.withColumn(s"tf_$i", expr(s"CAST(size(filter(toks, x -> x = '$t')) AS DOUBLE)"))
-    }
+    val withTf = toksed.crossJoin(broadcast(stats))
+      .withColumn("__tc", graft.GraftFunctions.term_counts(col("toks"), terms))
+      .select(col("*") +: terms.indices.map(i =>
+        expr(s"CAST(element_at(__tc, ${i + 1}) AS DOUBLE)").as(s"tf_$i")): _*)
     val score = terms.indices
       .map(i => s"(tf_$i * ln((n_docs + 1.0) / (df_$i + 1.0)))").mkString(" + ")
     withTf.selectExpr(
