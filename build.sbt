@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// The bench/verify harness parses the last ~2000 chars of `sbt runMain`
+// stdout for one-line JSON; sbt's default LoggedOutput prefixes forked
+// stdout with "[info] ", which breaks a strict per-line JSON parse
+// (BENCH_r05 captured the full metric line in its tail window yet recorded
+// parsed:null). StdoutOutput passes the forked JVM's stdout through verbatim.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().
