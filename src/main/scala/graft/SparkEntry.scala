@@ -1007,6 +1007,50 @@ object SparkEntry {
       val media = Multimodal.asMedia(docs(s, dir), "doc_id", "encode(text, 'utf-8')", "raw")
       Multimodal.sceneCuts(media)
     }),
+    // extension: co-located fact-to-fact join via at-rest bucketing — both
+    // sides persisted hash-bucketed by the join key, so the join itself
+    // runs with ZERO Exchange (pinned in PlanShapeSpec); the 100 TB
+    // pattern where repeated joins on one key amortize a single bucketed
+    // write at ingest
+    "q165_bucketed_join" -> ((s, dir) =>
+      graft.operators.Joins.bucketedRevenueJoin(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // extension: deterministic HyperLogLog — distinct users per event type
+    // from sha256-derived registers; max-merge is order-free, so the
+    // estimate is partition-invariant and hash-exact in any engine
+    "q166_hll_distinct" -> ((s, dir) =>
+      graft.operators.Sketches.hllDistinct(
+        Tables.events(s, dir), "event_type", "user_id")),
+    // extension: count-min-sketch heavy hitters with a collision audit —
+    // fixed d x w integer counters, point estimate = min over rows
+    "q167_cms_topk" -> ((s, dir) =>
+      graft.operators.Sketches.cmsTopK(docs(s, dir))),
+    // extension: Merkle integrity manifest — per-bucket digests + corpus
+    // root; order-invariant by construction (explicit in-bucket sort)
+    "q168_merkle" -> ((s, dir) =>
+      graft.operators.Sketches.merkleManifest(docs(s, dir))),
+    // extension: TPC-H Q3 shape — segment-filtered customer broadcasts
+    // onto date-filtered orders, that reduced side hash-joins lineitem
+    // (SHUFFLE_HASH: orders builds, lineitem streams), top-10 orders by
+    // exact-cents revenue
+    "q169_tpch_q3" -> ((s, dir) =>
+      Tables.lineitem(s, dir)
+        .filter(expr("l_shipdate > TIMESTAMP '1998-01-01'"))
+        .join(
+          Tables.orders(s, dir)
+            .filter(expr("o_orderdate < TIMESTAMP '1998-01-01'"))
+            .join(broadcast(Tables.customer(s, dir)
+                .filter(col("c_mktsegment") === "BUILDING")),
+              col("o_custkey") === col("c_custkey"))
+            .hint("SHUFFLE_HASH"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+          sum(expr("cast(round(l_extendedprice * 100) AS BIGINT) * " +
+            "(100 - cast(round(l_discount * 100) AS BIGINT))")).as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+        .orderBy(desc("revenue_e4"), asc("o_orderkey"))
+        .limit(10)),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -3212,6 +3256,78 @@ FROM h""",
     SELECT doc_b, doc_a, common, common * 1.0 / nb FROM v)
 SELECT contained_doc, container_doc, common, round(containment, 6) AS containment
 FROM d WHERE containment >= 0.8""",
+    // Mirrors Joins.bucketedRevenueJoin: the bucketing is a physical-layout
+    // property — the logical result is exactly the plain equi-join
+    "q165_bucketed_join" ->
+      """SELECT o_orderpriority, l_returnflag,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1, 2""",
+    // Mirrors Sketches.hllDistinct(p=6): identical integer register logic
+    // (shared rho CASE tree + folded numerator literal, via Sketches'
+    // expression generators); est rounds BEFORE rel_err on both sides
+    "q166_hll_distinct" -> {
+      val byteAt = (h: String, j: Int) => dkByte(h, j.toString)
+      val rho = graft.operators.Sketches.rhoExpr(byteAt, "hx")
+      val num = graft.operators.Sketches.hllNumerator(64)
+      s"""WITH hh AS (SELECT event_type, user_id,
+    sha256('hll:' || CAST(user_id AS VARCHAR)) AS hx FROM events),
+  rr AS (SELECT event_type, ${byteAt("hx", 0)} % 64 AS bucket, $rho AS rho FROM hh),
+  regs AS (SELECT event_type, bucket, max(rho) AS mrho FROM rr GROUP BY 1, 2),
+  ag AS (SELECT event_type,
+      CAST(sum(CAST(1 AS BIGINT) << (49 - mrho)) AS BIGINT)
+        + (64 - count(*)) * (CAST(1 AS BIGINT) << 49) AS intsum,
+      CAST(64 - count(*) AS BIGINT) AS n_zero
+    FROM regs GROUP BY 1),
+  ex AS (SELECT event_type, CAST(count(DISTINCT user_id) AS BIGINT) AS exact
+    FROM hh GROUP BY 1),
+  es AS (SELECT event_type, n_zero, round($num / intsum, 4) AS est FROM ag)
+SELECT es.event_type, es.n_zero, es.est, ex.exact,
+  round((es.est - ex.exact) / ex.exact, 4) AS rel_err
+FROM es JOIN ex ON es.event_type = ex.event_type"""
+    },
+    // Mirrors Sketches.cmsTopK(d=4, w=1024): same per-row cells from
+    // sha256("cms" || j || ":" || token), same weighted build and min-probe
+    "q167_cms_topk" -> {
+      val cell = (h: String) => s"(${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) % 1024"
+      s"""WITH $dkTok,
+  tc AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt
+    FROM (SELECT unnest(toks) AS token FROM tok) GROUP BY 1),
+  pr AS (SELECT token, cnt, j,
+      ${cell("sha256('cms' || CAST(j AS VARCHAR) || ':' || token)")} AS cell
+    FROM tc CROSS JOIN (VALUES (0), (1), (2), (3)) jt(j)),
+  cells AS (SELECT j, cell, CAST(sum(cnt) AS BIGINT) AS cellsum FROM pr GROUP BY 1, 2),
+  es AS (SELECT p.token, CAST(min(c.cellsum) AS BIGINT) AS est,
+      CAST(min(p.cnt) AS BIGINT) AS exact
+    FROM pr p JOIN cells c ON p.j = c.j AND p.cell = c.cell GROUP BY 1)
+SELECT token, est, exact, est - exact AS overestimate
+FROM es ORDER BY est DESC, token ASC LIMIT 20"""
+    },
+    // Mirrors Sketches.merkleManifest(64): leaves concatenated in doc_id
+    // order per bucket, bucket digests in bucket order for the root
+    "q168_merkle" ->
+      """WITH l AS (SELECT CAST(doc_id % 64 AS INTEGER) AS bucket, doc_id,
+    sha256(CAST(doc_id AS VARCHAR) || ':' || sha256(text)) AS leaf FROM documents),
+  b AS (SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+    sha256(string_agg(leaf, '' ORDER BY doc_id)) AS digest FROM l GROUP BY 1),
+  r AS (SELECT sha256(string_agg(digest, '' ORDER BY bucket)) AS root FROM b)
+SELECT bucket, n_docs, digest, root FROM b CROSS JOIN r""",
+    // Mirrors the q169 TPC-H-Q3-shape plan: the hints/broadcasts are
+    // physical — the logical result is the three-table join + top-10
+    "q169_tpch_q3" ->
+      """SELECT o_orderkey, o_orderdate, o_orderpriority,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM customer
+  JOIN orders ON o_custkey = c_custkey
+  JOIN lineitem ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1998-01-01'
+  AND l_shipdate > TIMESTAMP '1998-01-01'
+GROUP BY 1, 2, 3
+ORDER BY revenue_e4 DESC, o_orderkey ASC
+LIMIT 10""",
     // Mirrors Rerank.lateInteractionTopK: per-distinct-token hash embeds,
     // MaxSim per query token, list-ordered sum, rank <= 5
     "q163_late_interaction" -> {

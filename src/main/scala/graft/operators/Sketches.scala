@@ -1,0 +1,192 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Deterministic, hash-checkable sketches for the 100 TB regime.
+  *
+  * `TextAnalysis.corpusSketch` already exposes Spark's built-in HLL++ /
+  * t-digest sketches, but those are engine-specific (rows-only vs an
+  * oracle). The sketches here are built from sha256-derived hashes and
+  * pure integer arithmetic, so the SAME construction runs in any engine
+  * and the full register/counter state — and the estimate itself — is
+  * hash-exact reproducible. That buys two things at scale:
+  *
+  *  - the sketch state is *auditable*: a 1000-executor run and a
+  *    laptop run produce bit-identical registers, so a corrupted
+  *    partition or a nondeterministic source shows up as a digest
+  *    mismatch, not a silent estimate drift;
+  *  - the state is *mergeable* (max per register / sum per counter), so
+  *    partial sketches combine map-side and shuffle O(m) per group, never
+  *    the raw keys.
+  *
+  * Reference scope: the reference (main.py:219-233) exposes only exact
+  * index stats; sketches are part of the scale extension surface.
+  */
+object Sketches {
+
+  /** Leading-zero count of one byte b in 0..255 within its 8-bit window —
+    * pure comparisons, no log2/bit_length (portable + exact). */
+  private def lzByte(b: String): String =
+    s"(CASE WHEN $b >= 128 THEN 0 WHEN $b >= 64 THEN 1 WHEN $b >= 32 THEN 2" +
+      s" WHEN $b >= 16 THEN 3 WHEN $b >= 8 THEN 4 WHEN $b >= 4 THEN 5" +
+      s" WHEN $b >= 2 THEN 6 WHEN $b >= 1 THEN 7 ELSE 8 END)"
+
+  /** rho = 1 + leading zeros over the 48-bit string formed by bytes 1..6 of
+    * the hex digest `h` (bytes read by `byteAt(h, j)`), capped at 49 when
+    * all 48 bits are zero. Identical integer logic on the Spark and oracle
+    * sides — only the hex-byte accessor differs per engine. */
+  def rhoExpr(byteAt: (String, Int) => String, h: String): String = {
+    val bs = (1 to 6).map(j => byteAt(h, j))
+    val cases = bs.zipWithIndex.map { case (b, i) =>
+      s"WHEN $b > 0 THEN ${8 * i + 1} + ${lzByte(b)}"
+    }.mkString(" ")
+    s"(CASE $cases ELSE 49 END)"
+  }
+
+  /** Spark-side accessor: byte j (0-based) of a 64-char hex digest. */
+  def sparkByteAt(h: String, j: Int): String =
+    s"cast(conv(substr($h, ${j * 2 + 1}, 2), 16, 10) AS INT)"
+
+  /** Bias-correction constant alpha_m of standard HyperLogLog. */
+  def hllAlpha(m: Int): Double = m match {
+    case 16 => 0.673
+    case 32 => 0.697
+    case 64 => 0.709
+    case _ => 0.7213 / (1.0 + 1.079 / m)
+  }
+
+  /** The literal numerator alpha_m * m^2 * 2^49 — folded to ONE double
+    * literal shared with the oracle so the estimate is a single f64
+    * division on both sides (bit-identical). */
+  def hllNumerator(m: Int): String =
+    String.format(java.util.Locale.ROOT, "%.17e",
+      Double.box(hllAlpha(m) * m.toDouble * m.toDouble * math.pow(2.0, 49)))
+
+  /** Deterministic HyperLogLog distinct-count per group.
+    *
+    * One map-only pass computes (bucket, rho) per row from
+    * sha256("hll:" || key): bucket = byte0 mod m (m = 2^p <= 256 registers),
+    * rho = 1 + leading zeros of bytes 1..6 (48 bits, capped at 49). The
+    * only shuffle is the partial-aggregated register table — at most
+    * groups x m rows regardless of input size. The estimate is the
+    * classic alpha_m * m^2 / sum(2^-M[j]), computed EXACTLY: the register
+    * sum is scaled by 2^49 so every term 2^(49-rho) is an integer (max
+    * 256 * 2^49 < 2^63 — no f64 rounding), and the final division is one
+    * f64 op. Zero registers contribute 2^49 (rho = 0). The small-range
+    * linear-counting correction needs ln() (not engine-portable) — the
+    * operator instead emits `n_zero` so callers can apply it; `exact`
+    * and `rel_err` columns audit the estimate at test scale (production
+    * drops them — computing exact distinct is what the sketch avoids).
+    *
+    * Cross-cluster determinism is the point: max() is order-free, so the
+    * registers — and therefore the estimate — are partition-invariant.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String,
+                  p: Int = 6): DataFrame = {
+    require(p >= 4 && p <= 8, s"p must be in [4, 8] (16..256 registers), got $p")
+    val m = 1 << p
+    val h = s"sha2(concat('hll:', cast($keyCol AS STRING)), 256)"
+    val rho = rhoExpr(sparkByteAt, "__h")
+    val regs = df
+      .withColumn("__h", expr(h))
+      .withColumn("__bucket", expr(s"${sparkByteAt("__h", 0)} % $m"))
+      .withColumn("__rho", expr(rho))
+      .groupBy(col(groupCol), col("__bucket"))
+      .agg(max("__rho").as("__mrho"))
+    val est = regs.groupBy(groupCol)
+      .agg(
+        expr(s"sum(shiftleft(1L, 49 - __mrho))" +
+          s" + (${m}L - count(1)) * ${1L << 49}L").as("__intsum"),
+        expr(s"${m}L - count(1)").as("n_zero"))
+      .withColumn("est", round(expr(s"${hllNumerator(m)} / __intsum"), 4))
+    val exact = df.groupBy(groupCol)
+      .agg(countDistinct(col(keyCol)).as("exact"))
+    est.join(exact, Seq(groupCol))
+      .withColumn("rel_err", round(expr("(est - exact) / exact"), 4))
+      .select(col(groupCol), col("n_zero"), col("est"), col("exact"),
+        col("rel_err"))
+  }
+
+  /** Count-min-sketch heavy hitters over the corpus token stream.
+    *
+    * Exact per-token counts feed the sketch BUILD (d x w integer counters:
+    * cell_j(t) = (byte0 || byte1 of sha256("cms" || j || ":" || t)) mod w,
+    * counter[j][cell] = sum of colliding token counts), then every distinct
+    * token is point-estimated as min_j counter[j][cell_j(t)] and the top-k
+    * by (estimate desc, token asc) are returned with their exact counts and
+    * the collision overestimate. Pure integer arithmetic end-to-end —
+    * hash-exact in any engine.
+    *
+    * Scale shape: the counter table is d*w rows TOTAL (fixed bytes,
+    * broadcastable) no matter the corpus size; building it shuffles only
+    * the distinct-token counts (map-side combined), and the probe is a
+    * broadcast join of the counter cells onto distinct tokens. At 100 TB
+    * the exact `cnt` audit column is replaced by the sketch itself — the
+    * build then consumes a pre-aggregated (token, count) table or merges
+    * per-partition d x w partials, never re-scanning raw text.
+    */
+  def cmsTopK(docs: DataFrame, d: Int = 4, w: Int = 1024, k: Int = 20)
+      : DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 2 && w <= 65536, s"bad CMS shape d=$d w=$w")
+    val tcnt = docs
+      .select(explode(expr(TextAnalysis.tokensExpr)).as("token"))
+      .groupBy("token").agg(count(lit(1)).as("cnt"))
+    val cellOf = (j: Int) => {
+      val h = s"sha2(concat('cms', '$j', ':', token), 256)"
+      s"(${sparkByteAt(h, 0)} * 256 + ${sparkByteAt(h, 1)}) % $w"
+    }
+    // build: melt each token over the d rows, sum colliding counts per cell
+    val cells = tcnt
+      .select(col("token"), col("cnt"),
+        posexplode(array((0 until d).map(j => expr(cellOf(j))): _*))
+          .as(Seq("j", "cell")))
+      .groupBy("j", "cell").agg(sum("cnt").as("cellsum"))
+    // probe: every distinct token against its d cells; min = CMS estimate
+    val probes = tcnt.select(col("token"), col("cnt"),
+      posexplode(array((0 until d).map(j => expr(cellOf(j))): _*))
+        .as(Seq("j", "cell")))
+    probes.join(broadcast(cells), Seq("j", "cell"))
+      .groupBy("token")
+      .agg(min("cellsum").as("est"), min("cnt").as("exact"))
+      .withColumn("overestimate", col("est") - col("exact"))
+      .orderBy(desc("est"), asc("token"))
+      .limit(k)
+  }
+
+  /** Merkle integrity manifest of a corpus: per-bucket content digests plus
+    * a corpus root, so two copies of a 100 TB corpus (or the same corpus
+    * before/after a migration) compare by 64 digests instead of a row diff,
+    * and a corrupted partition localizes to its bucket.
+    *
+    * leaf = sha256(doc_id || ':' || sha256(text)); bucket = doc_id mod
+    * `buckets`; bucket digest = sha256 of the bucket's leaves concatenated
+    * in doc_id order; root = sha256 of the bucket digests in bucket order.
+    * Hashing is map-only; the shuffle carries one 64-char leaf per row
+    * clustered into `buckets` groups, and the root is a `buckets`-row
+    * aggregate. Incremental maintenance re-hashes only buckets whose rows
+    * changed. The in-bucket sort is explicit (sort_array by doc_id), so the
+    * digest is partition- and order-invariant — the determinism audit this
+    * sketch family exists for.
+    */
+  def merkleManifest(docs: DataFrame, buckets: Int = 64): DataFrame = {
+    require(buckets >= 1, s"buckets must be positive: $buckets")
+    val leaves = docs.select(
+      pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket"),
+      col("doc_id"),
+      sha2(concat(col("doc_id").cast("string"), lit(":"),
+        sha2(col("text"), 256)), 256).as("leaf"))
+    val perBucket = leaves
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sha2(expr(
+          "array_join(transform(array_sort(collect_list(struct(doc_id, leaf))), x -> x.leaf), '')"),
+          256).as("digest"))
+    val root = perBucket
+      .agg(sha2(expr(
+        "array_join(transform(array_sort(collect_list(struct(bucket, digest))), x -> x.digest), '')"),
+        256).as("root"))
+    perBucket.join(broadcast(root))
+      .select(col("bucket"), col("n_docs"), col("digest"), col("root"))
+  }
+}

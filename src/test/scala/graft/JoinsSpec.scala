@@ -111,4 +111,26 @@ class JoinsSpec extends AnyFunSuite {
       .queryExecution.executedPlan.toString
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
+
+  test("bucketedRevenueJoin equals the plain unbucketed join") {
+    val dir = TestSpark.sf0001
+    val got = Joins.bucketedRevenueJoin(
+        Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+      .orderBy("o_orderpriority", "l_returnflag")
+      .collect().map(_.toSeq)
+    val want = Tables.lineitem(spark, dir)
+      .join(Tables.orders(spark, dir),
+        org.apache.spark.sql.functions.col("l_orderkey") ===
+          org.apache.spark.sql.functions.col("o_orderkey"))
+      .groupBy("o_orderpriority", "l_returnflag")
+      .agg(
+        org.apache.spark.sql.functions.expr(
+          "sum(cast(round(l_extendedprice * 100) AS BIGINT) * " +
+            "(100 - cast(round(l_discount * 100) AS BIGINT)))").as("revenue_e4"),
+        org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n_items"))
+      .orderBy("o_orderpriority", "l_returnflag")
+      .collect().map(_.toSeq)
+    assert(got.toSeq === want.toSeq)
+  }
 }

@@ -113,6 +113,23 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
+  test("q165: bucketed join runs with zero exchange below the join") {
+    // both sides are bucketed at rest on the join key, so the only
+    // shuffle in the whole plan is the final groupBy's — the join itself
+    // reads co-located buckets (the 100 TB fact-to-fact pattern)
+    val qe = SparkEntry.queries("q165_bucketed_join")(spark, TestSpark.sf0001)
+      .queryExecution
+    qe.toRdd.count()
+    // an executed AdaptiveSparkPlan prints final AND initial plans — count
+    // exchanges in the final section only
+    val p = qe.executedPlan.toString.split("== Initial Plan ==")(0)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("BroadcastHashJoin"), p)
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(shuffles == 1,
+      s"expected exactly the final-agg exchange, got $shuffles:\n$p")
+  }
+
   test("custom expressions run inside codegen (no fallback markers in hot projections)") {
     val df = Engine.ingest(freshDocs)
     val p = df.queryExecution.executedPlan.toString

@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Sketches
+
+class SketchesSpec extends AnyFunSuite {
+  lazy val spark = TestSpark.spark
+  import spark.implicits._
+
+  /** Reference rho: 1 + leading zeros of the 48 bits in digest bytes 1..6
+    * of sha256("hll:" || key), capped at 49. */
+  private def refBucketRho(key: String, m: Int): (Int, Int) = {
+    val d = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s"hll:$key".getBytes("UTF-8")).map(_ & 0xff)
+    val bits = (1 to 6).flatMap(j => (7 to 0 by -1).map(b => (d(j) >> b) & 1))
+    val rho = bits.indexOf(1) match { case -1 => 49; case i => i + 1 }
+    (d(0) % m, rho)
+  }
+
+  test("hll: SQL register logic matches the byte-level reference") {
+    val df = (0 until 50).map(i => ("g", i.toString)).toDF("g", "k")
+      .withColumn("__h", expr("sha2(concat('hll:', cast(k AS STRING)), 256)"))
+      .withColumn("bucket", expr(s"${Sketches.sparkByteAt("__h", 0)} % 64"))
+      .withColumn("rho", expr(Sketches.rhoExpr(Sketches.sparkByteAt, "__h")))
+    val got = df.select("k", "bucket", "rho").as[(String, Int, Int)]
+      .collect().map { case (k, b, r) => k -> (b, r) }.toMap
+    for (i <- 0 until 50; k = i.toString)
+      assert(got(k) === refBucketRho(k, 64), s"key $k")
+  }
+
+  test("hll: estimate lands within 3 standard errors and is partition-invariant") {
+    val n = 2000
+    val base = (0 until n).map(i => ("g", i.toLong)).toDF("g", "user_id")
+    val est1 = Sketches.hllDistinct(base.repartition(1), "g", "user_id")
+      .select("est", "exact").as[(Double, Long)].head()
+    val est7 = Sketches.hllDistinct(base.repartition(7, col("user_id")), "g", "user_id")
+      .select("est", "exact").as[(Double, Long)].head()
+    assert(est1 === est7, "registers must be partition-invariant")
+    assert(est1._2 === n)
+    // rse of HLL at m=64 is 1.04/sqrt(64) = 13%; 3 sigma = 39%
+    assert(math.abs(est1._1 - n) / n < 0.39, s"estimate ${est1._1} vs $n")
+  }
+
+  test("hll: distinct-only dependence — duplicated keys do not move registers") {
+    val a = (0 until 300).map(i => ("g", i.toLong))
+    val dup = a ++ a ++ a
+    val e1 = Sketches.hllDistinct(a.toDF("g", "user_id"), "g", "user_id")
+      .select("est").as[Double].head()
+    val e3 = Sketches.hllDistinct(dup.toDF("g", "user_id"), "g", "user_id")
+      .select("est").as[Double].head()
+    assert(e1 === e3)
+  }
+
+  test("cms: never underestimates, exact column is true count, top-k ordered") {
+    val docs = Seq(
+      (1L, "a a a a b b c"), (2L, "a b c d e"), (3L, "a c c f g h"))
+      .toDF("doc_id", "text")
+    val r = Sketches.cmsTopK(docs, d = 4, w = 1024, k = 10)
+      .select("token", "est", "exact", "overestimate")
+      .as[(String, Long, Long, Long)].collect()
+    val exact = Map("a" -> 6L, "b" -> 3L, "c" -> 4L, "d" -> 1L, "e" -> 1L,
+      "f" -> 1L, "g" -> 1L, "h" -> 1L)
+    assert(r.length === 8)
+    r.foreach { case (t, est, ex, over) =>
+      assert(ex === exact(t), t)
+      assert(est >= ex, s"CMS underestimated $t")
+      assert(over === est - ex)
+    }
+    // ordered by (est desc, token asc)
+    val keys = r.map { case (t, est, _, _) => (-est, t) }
+    assert(keys.sameElements(keys.sorted), "output must be rank-ordered")
+  }
+
+  test("merkle: digests are partition- and order-invariant") {
+    val docs = (0 until 200).map(i => (i.toLong, s"doc text $i")).toDF("doc_id", "text")
+    val m1 = Sketches.merkleManifest(docs.repartition(1), 16)
+      .orderBy("bucket").collect().map(_.toSeq)
+    val m2 = Sketches.merkleManifest(
+        docs.orderBy(desc("doc_id")).repartition(7, col("text")), 16)
+      .orderBy("bucket").collect().map(_.toSeq)
+    assert(m1.toSeq === m2.toSeq)
+  }
+
+  test("merkle: a single-row edit moves exactly its bucket digest and the root") {
+    val docs = (0 until 200).map(i => (i.toLong, s"doc text $i")).toDF("doc_id", "text")
+    val edited = (0 until 200)
+      .map(i => (i.toLong, if (i == 37) "TAMPERED" else s"doc text $i"))
+      .toDF("doc_id", "text")
+    val a = Sketches.merkleManifest(docs, 16).collect()
+      .map(r => r.getInt(0) -> (r.getString(2), r.getString(3))).toMap
+    val b = Sketches.merkleManifest(edited, 16).collect()
+      .map(r => r.getInt(0) -> (r.getString(2), r.getString(3))).toMap
+    val moved = (0 until 16).filter(k => a(k)._1 != b(k)._1)
+    assert(moved === Seq(37 % 16), "only the edited bucket's digest may change")
+    assert(a(0)._2 != b(0)._2, "the root must change")
+  }
+}
