@@ -1051,6 +1051,15 @@ object SparkEntry {
           count(lit(1)).as("n_items"))
         .orderBy(desc("revenue_e4"), asc("o_orderkey"))
         .limit(10)),
+    // extension: distributed BPE tokenizer training — merge rounds run on
+    // the vocab frequency table (corpus scanned once); merge table is
+    // hash-exact (deterministic argmax + leftmost-greedy merge apply)
+    "q170_bpe_merges" -> ((s, dir) =>
+      graft.operators.Bpe.bpeMerges(docs(s, dir), 8)),
+    // extension: the trained tokenizer applied — final symbolization of
+    // the 20 most frequent words after the q170 merge trajectory
+    "q171_bpe_tokenize" -> ((s, dir) =>
+      graft.operators.Bpe.bpeTokenize(docs(s, dir), 8, 20)),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -1111,6 +1120,36 @@ object SparkEntry {
        THEN list_distinct(list_transform(range(0, len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
        ELSE [text] END AS sh FROM tok)"""
   private val dkShu = "shu AS (SELECT doc_id, unnest(sh) AS shingle FROM shl)"
+
+  /** DuckDB: the q170/q171 BPE scaffold — vocab + initial symbolization +
+    * `merges` unrolled (pair-count, argmax, merge-apply) stages, sharing
+    * Bpe.scala's sentinel-wrapped representation (chr(1)/chr(2)). The
+    * caller appends a final SELECT over b1..bN / sN. */
+  private def bpeOracle(merges: Int, finalSelect: String): String = {
+    // AS MATERIALIZED is load-bearing: s_k references s_{k-1} twice (via
+    // p_k and directly) — inlined CTEs would expand the chain exponentially
+    // (measured: >5 min inlined vs 0.2 s materialized at sf0.01)
+    val head = s"""WITH $dkTok,
+  w AS MATERIALIZED (SELECT token AS word, CAST(count(*) AS BIGINT) AS n
+    FROM (SELECT unnest(toks) AS token FROM tok)
+    WHERE regexp_matches(token, '^[ -~]+$$') GROUP BY 1),
+  s0 AS MATERIALIZED (SELECT word, n,
+    array_to_string(list_transform(string_split(word, ''), c -> chr(1) || c || chr(2)), '')
+      || chr(1) || '</w>' || chr(2) AS sym FROM w)"""
+    val stages = (1 to merges).map { k =>
+      s""",
+  p$k AS MATERIALIZED (SELECT a[i] AS lhs, a[i+1] AS rhs, CAST(sum(n) AS BIGINT) AS cnt
+    FROM (SELECT n, list_filter(string_split(replace(sym, chr(1), ''), chr(2)), x -> x <> '') AS a
+          FROM s${k - 1}),
+         unnest(range(1, len(a))) AS u(i)
+    GROUP BY 1, 2),
+  b$k AS MATERIALIZED (SELECT lhs, rhs, cnt FROM p$k ORDER BY cnt DESC, lhs ASC, rhs ASC LIMIT 1),
+  s$k AS MATERIALIZED (SELECT word, n, replace(sym,
+      (SELECT chr(1) || lhs || chr(2) || chr(1) || rhs || chr(2) FROM b$k),
+      (SELECT chr(1) || lhs || rhs || chr(2) FROM b$k)) AS sym FROM s${k - 1})"""
+    }.mkString
+    head + stages + "\n" + finalSelect
+  }
   private val dkJaccard =
     s"""WITH $dkTok, $dkShl, $dkShu,
   counts AS (SELECT doc_id, count(*) AS n_sh FROM shu GROUP BY doc_id),
@@ -3313,6 +3352,22 @@ FROM es ORDER BY est DESC, token ASC LIMIT 20"""
     sha256(string_agg(leaf, '' ORDER BY doc_id)) AS digest FROM l GROUP BY 1),
   r AS (SELECT sha256(string_agg(digest, '' ORDER BY bucket)) AS root FROM b)
 SELECT bucket, n_docs, digest, root FROM b CROSS JOIN r""",
+    // Mirrors Bpe.bpeMerges(8): unrolled merge rounds — same sentinel-
+    // wrapped representation, same (cnt desc, lhs, rhs) argmax, same
+    // leftmost-greedy replace
+    "q170_bpe_merges" -> bpeOracle(8,
+      "SELECT * FROM (" +
+        (1 to 8).map(k => s"SELECT $k AS iter, lhs, rhs, cnt AS n FROM b$k")
+          .mkString(" UNION ALL ") + ")"),
+    // Mirrors Bpe.bpeTokenize(8, 20): the q170 trajectory applied, top-20
+    // words by (n desc, word)
+    "q171_bpe_tokenize" -> bpeOracle(8,
+      """SELECT word, n, array_to_string(a, ' ') AS tokens,
+  CAST(len(a) AS INTEGER) AS n_symbols
+FROM (SELECT word, n,
+    list_filter(string_split(replace(sym, chr(1), ''), chr(2)), x -> x <> '') AS a
+  FROM s8)
+ORDER BY n DESC, word ASC LIMIT 20"""),
     // Mirrors the q169 TPC-H-Q3-shape plan: the hints/broadcasts are
     // physical — the logical result is the three-table join + top-10
     "q169_tpch_q3" ->
