@@ -214,6 +214,52 @@ object Streams {
       .toDF("user_id", "n_days", "ewma")
   }
 
+  /** Deterministic HLL distinct-count lifted to streaming
+    * (`Sketches.hllDistinct`'s twin) — the live-dashboard shape: per
+    * event_type, state is the 64-register sketch itself (the whole point
+    * of a mergeable sketch: O(m) state per group FOREVER, no per-user
+    * state), each micro-batch folds its rows in with register max, and
+    * every update emits the refreshed estimate. The register recipe is
+    * bit-for-bit the batch operator's (sha256("hll:" || user_id), bucket =
+    * byte0 mod 64, rho over bytes 1..6, estimate = the same folded
+    * numerator / exact integer register sum), so after any prefix of the
+    * stream the emission EQUALS the batch operator run on that prefix —
+    * the parity StreamingSpec asserts exactly that. Output per update:
+    * (event_type, n_seen, n_zero, est); n_seen is monotone, so "latest
+    * state" = max n_seen per key. */
+  def streamingHllDistinct(events: DataFrame, p: Int = 6): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    require(p >= 4 && p <= 8, s"p must be in [4, 8], got $p")
+    val m = 1 << p
+    val numerator = graft.operators.Sketches.hllNumerator(m).toDouble
+    val spark = events.sparkSession
+    import spark.implicits._
+    events.select(col("event_type"), col("user_id"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Map[Int, Int]), (String, Long, Long, Double)](
+        OutputMode.Update(), GroupStateTimeout.NoTimeout) {
+        case (etype, rows, state: GroupState[(Long, Map[Int, Int])]) =>
+          var (nSeen, regs) = state.getOption.getOrElse((0L, Map.empty[Int, Int]))
+          rows.foreach { case (_, userId) =>
+            nSeen += 1
+            val d = java.security.MessageDigest.getInstance("SHA-256")
+              .digest(s"hll:$userId".getBytes("UTF-8")).map(_ & 0xff)
+            val bucket = d(0) % m
+            val bits = (1 to 6)
+              .flatMap(j => (7 to 0 by -1).map(b => (d(j) >> b) & 1))
+            val rho = bits.indexOf(1) match { case -1 => 49; case i => i + 1 }
+            if (rho > regs.getOrElse(bucket, 0)) regs += bucket -> rho
+          }
+          state.update((nSeen, regs))
+          val intsum = (0 until m).map(b => 1L << (49 - regs.getOrElse(b, 0))).sum
+          val est = BigDecimal(numerator / intsum)
+            .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+          Iterator((etype, nSeen, (m - regs.size).toLong, est))
+      }
+      .toDF("event_type", "n_seen", "n_zero", "est")
+  }
+
   /** Scene-cut detection lifted to streaming (`Multimodal.sceneCuts`'
     * twin) — the live-camera shape: FRAMES arrive as a stream
     * (media_id, frame_idx, frame_bytes), per-media state is ONE

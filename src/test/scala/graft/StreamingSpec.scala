@@ -409,4 +409,34 @@ class StreamingSpec extends AnyFunSuite {
         .after(r.getAs[java.sql.Timestamp]("session_end")))
     }
   }
+
+  test("streamingHllDistinct: final sketch state equals the batch operator") {
+    val tmp = Files.createTempDirectory("graft-stream-hll").toString
+    val src = s"$tmp/events"
+    val events = Tables.events(spark, TestSpark.sf0001).cache()
+    // arbitrary halves: register max-merge is order- and split-invariant
+    events.filter($"event_id" % 2 === 0).coalesce(1).write.mode("append").parquet(src)
+    events.filter($"event_id" % 2 === 1).coalesce(1).write.mode("append").parquet(src)
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(src)
+    val q = Streams.streamingHllDistinct(stream).writeStream
+      .format("memory").queryName("hll_out").outputMode("update")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("hll_out")
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"event_type")
+          .orderBy($"n_seen".desc)))
+      .filter($"rn" === 1).select($"event_type", $"n_zero", $"est")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    val batch = graft.operators.Sketches
+      .hllDistinct(events, "event_type", "user_id")
+      .select($"event_type", $"n_zero", $"est")
+      .as[(String, Long, Double)].collect()
+      .map(r => r._1 -> (r._2, r._3)).toMap
+    assert(streamed.keySet == batch.keySet)
+    for ((k, bv) <- batch) assert(streamed(k) == bv, s"event_type $k")
+    events.unpersist()
+  }
 }
