@@ -27,28 +27,43 @@ object Bench {
       SparkEntry.queries("q01_chunk")(spark, sfDir).count()
       SparkEntry.queries("q12_tpch_agg")(spark, sfDir).count()
     } catch { case _: Throwable => }
-    // Two timed reps per query, keep the min: single-JVM local[n] timings
-    // carry 10-20% run-to-run noise (GC/JIT/page-cache), and the min is the
-    // standard noise-floor estimator of steady-state throughput.
+    // Three timed reps per query, keep the min: single-JVM local[n] timings
+    // carry heavy run-to-run noise (GC/JIT/page-cache/co-load — r7 vs r8 ran
+    // identical code and differed 1.8x in total), and the per-query min is
+    // the standard noise-floor estimator of steady-state throughput.
     val reps = math.max(1,
-      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "2").trim.toInt)
-        .getOrElse(2))
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val attempts = (1 to reps).map { _ =>
+      scala.util.Try(sys.env.getOrElse("SPARK_GRAFT_BENCH_REPS", "3").trim.toInt)
+        .getOrElse(3))
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    // Reps are INTERLEAVED (sweep every query once per rep, reps as the
+    // outer loop) rather than back-to-back per query: a transient co-load
+    // burst then inflates one sweep's worth of timings while the other
+    // sweeps still capture clean minima — back-to-back reps would let the
+    // same burst contaminate every rep of whichever queries it overlapped.
+    val sweepLoads = collection.mutable.Buffer.empty[String]
+    val attemptsByQuery =
+      collection.mutable.Map.empty[String, Vector[(Boolean, Double)]].withDefaultValue(Vector())
+    (1 to reps).foreach { _ =>
+      sweepLoads += loadavg
+      names.foreach { name =>
+        val fn = SparkEntry.queries(name)
         val t0 = System.nanoTime()
         // toRdd forces evaluation of every output column — a bare
         // DataFrame.count() lets Catalyst prune computed columns away and
         // under-measures projection-heavy queries.
         val ok = try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
           catch { case _: Throwable => false }
-        (ok, (System.nanoTime() - t0) / 1e9)
+        attemptsByQuery(name) = attemptsByQuery(name) :+ ((ok, (System.nanoTime() - t0) / 1e9))
       }
+    }
+    val results = names.map { name =>
+      val attempts = attemptsByQuery(name)
       // a fast FAILED rep must not mask a slow successful one: min over
       // successes; only if every rep failed, report the failures' min
       val succeeded = attempts.filter(_._1).map(_._2)
       val best = if (succeeded.nonEmpty) succeeded.min else attempts.map(_._2).min
       name -> (best, attempts.map(_._2))
-    }
+    }.toMap
     // The driver's artifact keeps only the final ~2000 output characters;
     // full query names over 90 queries are ~2300 chars of JSON on their own
     // (BENCH_r03/r04 recorded parsed:null from exactly this overflow). The
@@ -78,7 +93,8 @@ object Bench {
     val total = if (results.nonEmpty) results.map(_._2._1).sum else 0.0
     val avail = Runtime.getRuntime.availableProcessors
     val loadEnd = loadavg
-    println(s"""{"diag":"bench","rep_times":$repsJson,"loadavg_start":$loadStart,"loadavg_end":$loadEnd,"avail_cpus":$avail,"spark_cpus":"$cpus"}""")
+    val sweepLoadsJson = sweepLoads.mkString("[", ",", "]")
+    println(s"""{"diag":"bench","rep_times":$repsJson,"loadavg_start":$loadStart,"loadavg_per_sweep":$sweepLoadsJson,"loadavg_end":$loadEnd,"avail_cpus":$avail,"spark_cpus":"$cpus"}""")
     graft.operators.PlanCache.releaseAll(spark)
     spark.stop()
     // printed LAST, after spark.stop(), so nothing lands between this line

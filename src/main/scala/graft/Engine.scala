@@ -103,7 +103,10 @@ object Engine {
 
   /** Load the index table back (partition-pruned on source filters). The
     * schema is supplied explicitly so a freshly-bootstrapped (empty) index
-    * reads cleanly. */
+    * reads cleanly. INVARIANT: `indexSchema` is an ENGINE-OWNED format —
+    * every file under `path` was written by `writeIndex`/`createIndexIfMissing`
+    * above, so forcing the schema is safe; driver-fixture reads must go
+    * through `Tables` (drift-tolerant, covered by FixtureSanitySpec). */
   def readIndex(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(indexSchema).parquet(path)
 

@@ -50,6 +50,10 @@ object SparkEntry {
     * of every shingle/minhash/simhash pipeline ~3x; the engine's tables are
     * non-null, so the rules buy nothing here — excluded. */
   def tune(s: SparkSession): SparkSession = {
+    // All entry points agree on UTC: the events loader casts any inferred
+    // TIMESTAMP_NTZ to session-TZ timestamp, and the DuckDB oracle reads the
+    // same parquet naively — UTC makes the two µs values bit-identical.
+    s.conf.set("spark.sql.session.timeZone", "UTC")
     s.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate," +
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")

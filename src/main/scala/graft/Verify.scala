@@ -5,11 +5,31 @@ import java.nio.file.{Files, Paths}
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
   def main(args: Array[String]): Unit = {
-    val (sfDir, outDir) = (args(0), args(1))
-    // optional third arg: comma-separated query-name filter (dev use; the
-    // driver always invokes with two args = all queries)
+    // Accept both positional (`<sfDir> <outDir> [names]`) and flag
+    // (`--outdir <path>`) styles: a prior invocation passed `--outdir` as a
+    // positional token and this main happily created a directory literally
+    // named `--outdir`. Flags are consumed with their value; what remains is
+    // positional.
+    val (flags, positional) = {
+      var fl = Map.empty[String, String]
+      val pos = collection.mutable.Buffer.empty[String]
+      var i = 0
+      while (i < args.length) {
+        if (args(i).startsWith("--") && i + 1 < args.length) {
+          fl += (args(i).drop(2) -> args(i + 1)); i += 2
+        } else { pos += args(i); i += 1 }
+      }
+      (fl, pos.toSeq)
+    }
+    val sfDir = flags.getOrElse("sfdir", positional.headOption.getOrElse(
+      sys.error("usage: Verify <sfDir> <outDir> [q1,q2,...] (or --sfdir/--outdir)")))
+    val outDir = flags.getOrElse("outdir", positional.lift(1).getOrElse(
+      sys.error("usage: Verify <sfDir> <outDir> [q1,q2,...] (or --sfdir/--outdir)")))
+    require(new java.io.File(sfDir).isDirectory, s"sfDir not a directory: $sfDir")
+    // optional query-name filter (dev use; the driver always invokes with
+    // two args = all queries)
     val only: Option[Set[String]] =
-      if (args.length > 2) Some(args(2).split(',').toSet) else None
+      flags.get("only").orElse(positional.lift(2)).map(_.split(',').toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")

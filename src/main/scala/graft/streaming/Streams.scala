@@ -16,6 +16,11 @@ import graft.Engine
   */
 object Streams {
 
+  // INVARIANT: these forced schemas describe ENGINE-OWNED landing-dir
+  // formats — files are written by this library's own sinks/tests, never by
+  // the driver's fixture generator, so hard-coding the physical type here is
+  // safe (unlike fixture reads, which must go through `Tables` and tolerate
+  // drift — see Tables.events and FixtureSanitySpec).
   val eventsSchema = "event_id BIGINT, ts TIMESTAMP, user_id BIGINT, " +
     "event_type STRING, value DOUBLE, props STRING"
 
@@ -355,6 +360,8 @@ object Streams {
   }
 
   /** Embedding-stream schema for ANN-index maintenance. */
+  // INVARIANT: engine-owned landing-dir format (see note at eventsSchema) —
+  // safe to force; fixture reads must go through `Tables` instead.
   val embeddingsSchema = "vec_id BIGINT, embedding ARRAY<FLOAT>"
 
   /** Streaming ANN-index maintenance — the online-vector-DB write path:

@@ -392,22 +392,44 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch)
   }
 
-  test("session windows produce bounded per-user sessions") {
+  test("session windows: append output matches the batch twin's closed sessions") {
     val tmp = Files.createTempDirectory("graft-sess").toString
     val src = s"$tmp/events"
-    Tables.events(spark, TestSpark.sf0001).write.parquet(src)
+    val events = Tables.events(spark, TestSpark.sf0001).cache()
+    events.write.parquet(src)
     val stream = spark.readStream.schema(Streams.eventsSchema).parquet(src)
     val q = Streams.sessionCounts(stream).writeStream
       .format("memory").queryName("sessions_out").outputMode("append")
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
-    val sessions = spark.table("sessions_out").collect()
-    assert(sessions.nonEmpty)
-    for (r <- sessions) {
-      assert(r.getAs[Long]("n_events") >= 1)
-      assert(!r.getAs[java.sql.Timestamp]("session_start")
-        .after(r.getAs[java.sql.Timestamp]("session_end")))
+    val streamed = spark.table("sessions_out")
+      .select($"session_start", $"session_end", $"user_id", $"n_events", $"session_value")
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long, Long, Double)]
+      .collect().toSet
+    // Append mode emits exactly the sessions the final watermark has closed:
+    // watermark = max(ts) - 30min, a session closes once its end precedes it.
+    // The batch twin (same session_window + gap) filtered to that horizon
+    // must therefore match the streamed output EXACTLY — a partial-emission
+    // bug can no longer hide behind a non-emptiness check.
+    val maxTs = events.agg(max($"ts")).head().getTimestamp(0)
+    val horizon = new java.sql.Timestamp(maxTs.getTime - 30 * 60000L)
+    val batch = events
+      .groupBy(session_window($"ts", "30 minutes").as("w"), $"user_id")
+      .agg(count(lit(1)).as("n_events"), sum("value").as("session_value"))
+      .select($"w.start".as("session_start"), $"w.end".as("session_end"),
+        $"user_id", $"n_events", $"session_value")
+      .filter($"session_end" <= lit(horizon))
+      .as[(java.sql.Timestamp, java.sql.Timestamp, Long, Long, Double)]
+      .collect().toSet
+    assert(batch.nonEmpty, "batch twin produced no closed sessions — fixture too small")
+    assert(streamed.size == batch.size,
+      s"session count mismatch: streamed ${streamed.size} vs batch ${batch.size}")
+    assert(streamed == batch)
+    for ((start, end, _, n, _) <- streamed) {
+      assert(n >= 1)
+      assert(!start.after(end))
     }
+    events.unpersist()
   }
 
   test("streamingHllDistinct: final sketch state equals the batch operator") {
