@@ -41,11 +41,16 @@ object Bpe {
   private val R = "\u0002"
   val Eow = "</w>"
 
-  /** (word, n) over printable-ASCII whitespace tokens. */
-  private def vocabOf(docs: DataFrame): DataFrame = docs
+  /** (word, n) over printable-ASCII whitespace tokens — the ONLY full
+    * corpus scan in BPE training; every merge round runs on this table.
+    * Public so `Streams.streamingBpeVocab` can maintain it incrementally
+    * (word counts are additive across document batches). */
+  def wordCounts(docs: DataFrame): DataFrame = docs
     .select(explode(expr(TextAnalysis.tokensExpr)).as("word"))
     .filter(col("word").rlike("^[ -~]+$"))
     .groupBy("word").agg(count(lit(1)).as("n"))
+
+  private def vocabOf(docs: DataFrame): DataFrame = wordCounts(docs)
 
   /** Initial symbolization column: each char wrapped, EOW appended. */
   private def initSym: Column = concat(
@@ -80,11 +85,18 @@ object Bpe {
   /** Run `merges` BPE merge rounds over the corpus vocabulary; returns the
     * merge table (iter, lhs, rhs, n) — iter is 1-based rank, n the weighted
     * adjacent-pair count at selection time. */
-  def bpeMerges(docs: DataFrame, merges: Int = 8): DataFrame = {
+  def bpeMerges(docs: DataFrame, merges: Int = 8): DataFrame =
+    bpeMergesFromVocab(vocabOf(docs), merges)
+
+  /** The merge trajectory from an ALREADY-BUILT (word, n) vocab table —
+    * the entry point for incrementally-maintained vocabularies
+    * (`Streams.streamingBpeVocab`): training cost is bounded by the vocab,
+    * so re-deriving merges after a vocab update never rescans the corpus. */
+  def bpeMergesFromVocab(vocab: DataFrame, merges: Int = 8): DataFrame = {
     require(merges >= 1 && merges <= 64, s"merges must be in [1, 64]: $merges")
-    val spark = docs.sparkSession
+    val spark = vocab.sparkSession
     import spark.implicits._
-    var syms = vocabOf(docs).withColumn("sym", initSym)
+    var syms = vocab.withColumn("sym", initSym)
       .select("word", "n", "sym")
     val out = Seq.newBuilder[(Int, String, String, Long)]
     var iter = 0

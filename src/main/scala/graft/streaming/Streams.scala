@@ -477,6 +477,65 @@ object Streams {
       .start()
   }
 
+  /** Streaming BPE-vocabulary maintenance — the incremental form of
+    * `Bpe.bpeMerges`' corpus scan. The expensive half of BPE training at
+    * scale is the single full-corpus pass that builds the (word, n)
+    * frequency table; the merge rounds after it are bounded by the vocab.
+    * Word counts are ADDITIVE across document batches, so the vocab is
+    * exactly maintainable from per-batch deltas without ever rescanning
+    * earlier documents — the `streamingIvfUpsert` pattern applied to the
+    * tokenizer-training path.
+    *
+    * Each micro-batch writes its own word counts under `epoch=<n>` with
+    * dynamic partition overwrite: a RETRIED epoch rewrites exactly its own
+    * partition, so per-batch delivery is idempotent (replace-by-partition,
+    * the `Engine.writeIndex` contract) — unlike a read-merge-rewrite of a
+    * running total, which double-counts on retry. `bpeVocabAt` folds the
+    * partitions back into (word, n); `Bpe.bpeMergesFromVocab` re-derives
+    * the merge trajectory from it, matching from-scratch training on the
+    * full corpus bit-for-bit (the StreamingSpec parity test). Partition
+    * count grows with batches — run `compactBpeVocabAt` while the stream
+    * is stopped (a live retry of a pre-compaction epoch would resurrect
+    * its partition next to the compacted one). */
+  def streamingBpeVocab(docs: DataFrame, vocabPath: String,
+                        checkpointDir: String): StreamingQuery = {
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epoch: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Bpe.wordCounts(batch.toDF())
+            .withColumn("epoch", lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch").parquet(vocabPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The maintained vocabulary as one (word, n) table: fold the per-epoch
+    * partial counts. One vocab-sized aggregation — no corpus access. */
+  def bpeVocabAt(spark: SparkSession, vocabPath: String): DataFrame =
+    spark.read.parquet(vocabPath)
+      .groupBy("word").agg(sum("n").as("n"))
+
+  /** Collapse all epoch partitions into one, keeping totals identical.
+    * Only while the maintaining stream is STOPPED — see streamingBpeVocab.
+    * Stages through a sibling temp dir (the upsertIvfAt durability rule:
+    * the plan reads the same path it replaces). */
+  def compactBpeVocabAt(spark: SparkSession, vocabPath: String): Unit = {
+    val compacted = bpeVocabAt(spark, vocabPath).withColumn("epoch", lit(-1L))
+    val staging = s"$vocabPath.__staging"
+    compacted.write.mode("overwrite").partitionBy("epoch").parquet(staging)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(vocabPath)
+    fs.delete(dst, true)
+    require(fs.rename(new org.apache.hadoop.fs.Path(staging), dst),
+      s"compaction rename failed: $staging -> $vocabPath")
+  }
+
   /** Per-user session windows with a 30-minute gap. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", "30 minutes")

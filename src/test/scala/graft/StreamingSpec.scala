@@ -432,6 +432,43 @@ class StreamingSpec extends AnyFunSuite {
     events.unpersist()
   }
 
+  test("streamingBpeVocab: incremental vocab + merges match from-scratch training") {
+    val tmp = Files.createTempDirectory("graft-stream-bpe").toString
+    val (landing, vocabPath, ckpt) = (s"$tmp/landing", s"$tmp/vocab", s"$tmp/ckpt")
+    val docs = Tables.documents(spark, TestSpark.sf0001).cache()
+    // two arbitrary halves as separate micro-batches: word counts are
+    // additive, so the split must not matter
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    val q = Streams.streamingBpeVocab(stream, vocabPath, ckpt)
+    q.awaitTermination(120000)
+    // both files arrived as separate micro-batches (genuinely incremental)
+    val epochs = spark.read.parquet(vocabPath).select("epoch").distinct().count()
+    assert(epochs >= 2, s"expected >= 2 epoch partitions, got $epochs")
+    // 1) maintained vocab == one-shot corpus scan
+    val streamedVocab = Streams.bpeVocabAt(spark, vocabPath)
+      .as[(String, Long)].collect().toMap
+    val batchVocab = graft.operators.Bpe.wordCounts(docs)
+      .as[(String, Long)].collect().toMap
+    assert(streamedVocab == batchVocab)
+    // 2) merge trajectory from the maintained vocab == from-scratch training
+    val streamedMerges = graft.operators.Bpe
+      .bpeMergesFromVocab(Streams.bpeVocabAt(spark, vocabPath))
+      .as[(Int, String, String, Long)].collect().toSet
+    val batchMerges = graft.operators.Bpe.bpeMerges(docs)
+      .as[(Int, String, String, Long)].collect().toSet
+    assert(streamedMerges == batchMerges && streamedMerges.nonEmpty)
+    // 3) compaction collapses partitions and keeps totals identical
+    Streams.compactBpeVocabAt(spark, vocabPath)
+    assert(spark.read.parquet(vocabPath).select("epoch").distinct().count() == 1)
+    val compacted = Streams.bpeVocabAt(spark, vocabPath)
+      .as[(String, Long)].collect().toMap
+    assert(compacted == batchVocab)
+    docs.unpersist()
+  }
+
   test("streamingHllDistinct: final sketch state equals the batch operator") {
     val tmp = Files.createTempDirectory("graft-stream-hll").toString
     val src = s"$tmp/events"
