@@ -1064,6 +1064,14 @@ object SparkEntry {
     // the 20 most frequent words after the q170 merge trajectory
     "q171_bpe_tokenize" -> ((s, dir) =>
       graft.operators.Bpe.bpeTokenize(docs(s, dir), 8, 20)),
+    // extension: DSIR importance selection — 50 non-English docs whose
+    // hashed-unigram distribution is most English-like, Gumbel-top-k over
+    // fixed-point log importance ratios (fully hash-oracled)
+    "q172_dsir" -> ((s, dir) => {
+      val d = docs(s, dir)
+      graft.operators.Sampling.dsirSelect(
+        d.filter(col("lang") =!= "en"), d.filter(col("lang") === "en"), 50, 256)
+    }),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -3372,6 +3380,38 @@ FROM (SELECT word, n,
     list_filter(string_split(replace(sym, chr(1), ''), chr(2)), x -> x <> '') AS a
   FROM s8)
 ORDER BY n DESC, word ASC LIMIT 20"""),
+    // DSIR importance selection: sha256-bucketed unigram models over the
+    // en/non-en split, one fixed-point ln per bucket (the q82 recipe),
+    // Gumbel-top-k keys from hash uniforms (the q103 recipe, log space)
+    "q172_dsir" -> {
+      val h = "sha256(token)"
+      val feat = s"CAST((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) % 256 AS BIGINT)"
+      val h2 = "sha256('dsir:' || CAST(doc_id AS VARCHAR))"
+      val v = s"((${dkByte(h2, "0")} * 256 + ${dkByte(h2, "1")}) * 256 + ${dkByte(h2, "2")})"
+      s"""WITH occr AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+    FROM documents WHERE lang <> 'en'),
+  occt AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token
+    FROM documents WHERE lang = 'en'),
+  fr AS (SELECT doc_id, $feat AS feature FROM occr),
+  ft AS (SELECT $feat AS feature FROM occt),
+  cr AS (SELECT feature, count(*) AS cnt_r FROM fr GROUP BY 1),
+  ct AS (SELECT feature, count(*) AS cnt_t FROM ft GROUP BY 1),
+  tr AS (SELECT CAST(sum(cnt_r) AS BIGINT) AS tot_r FROM cr),
+  tt AS (SELECT CAST(sum(cnt_t) AS BIGINT) AS tot_t FROM ct),
+  fx AS (SELECT cr.feature,
+      CAST(floor(ln((CAST(COALESCE(ct.cnt_t, 0) + 1 AS DOUBLE) * CAST(tot_r + 256 AS DOUBLE)) /
+        (CAST(cr.cnt_r + 1 AS DOUBLE) * CAST(tot_t + 256 AS DOUBLE))) * 1073741824.0 + 0.5) AS BIGINT) AS sfx
+    FROM cr LEFT JOIN ct ON cr.feature = ct.feature CROSS JOIN tr CROSS JOIN tt),
+  per AS (SELECT f.doc_id, count(*) AS n_tokens, CAST(sum(x.sfx) AS BIGINT) AS ssfx
+    FROM fr f JOIN fx x ON f.feature = x.feature GROUP BY 1),
+  g AS (SELECT doc_id, n_tokens,
+      CAST(ssfx AS DOUBLE) / 1073741824.0 AS logw,
+      CAST(ssfx AS DOUBLE) / 1073741824.0 + (-ln(-ln(u))) AS gkey
+    FROM (SELECT doc_id, n_tokens, ssfx,
+        (CAST($v AS BIGINT) + 0.5) / 16777216.0 AS u FROM per))
+SELECT doc_id, n_tokens, round(logw, 6) AS logw, round(gkey, 6) AS gkey
+FROM g ORDER BY gkey DESC, doc_id ASC LIMIT 50"""
+    },
     // Mirrors the q169 TPC-H-Q3-shape plan: the hints/broadcasts are
     // physical — the logical result is the three-table join + top-10
     "q169_tpch_q3" ->

@@ -259,4 +259,73 @@ object Sampling {
       .select(col(stratumCol), col("doc_id"),
         round(col("es_key"), 6).as("es_key"), col("rank"))
   }
+
+  /** DSIR-style importance selection (Xie et al. 2023, "Data Selection for
+    * Language Models via Importance Resampling"): pick `k` documents from a
+    * RAW pool whose hashed-n-gram distribution looks most like a TARGET
+    * corpus, sampling with probability proportional to the importance ratio
+    * p_target(doc)/p_raw(doc) under bucketed unigram models.
+    *
+    * Everything is deterministic and oracle-checkable by construction:
+    *  - features are the repo's engine-neutral sha256 hash buckets
+    *    (`hashFeatures`' convention), `dims` buckets with add-1 smoothing;
+    *  - each bucket's log importance ratio ln(p_t/p_r) is fixed-pointed
+    *    once per DISTINCT bucket (floor(ln * 2^30 + 0.5) as LONG — the
+    *    `surprisalScore` recipe), so per-doc sums are integer additions
+    *    that commute under any partitioning;
+    *  - sampling proportional to exp(logw) uses the Gumbel-top-k trick
+    *    with hash-derived uniforms (the `weightedSample` A-ES argument
+    *    transposed to log space): key = logw + (-ln(-ln(u))) with u from
+    *    sha256('dsir:' || doc_id) — zero RNG state, identical doubles on
+    *    both engines.
+    *
+    * Scale shape: two corpus scans (raw + target occurrence counts), both
+    * collapsing immediately to `dims`-bounded feature tables (<= 65536
+    * rows); the ratio table broadcast-joins back to raw occurrences
+    * (map-only), one doc-keyed integer aggregation, and a global top-k via
+    * TakeOrderedAndProject (per-partition partial top-k — never a sort of
+    * the pool). Cost ~ corpus tokens; state ~ dims. Zero-token docs have
+    * no features and are never selected (both engines agree).
+    *
+    * Output: (doc_id, n_tokens, logw, gkey) for the k selected docs —
+    * logw the fixed-point log importance weight, gkey the Gumbel key the
+    * selection ranked on (both rounded 6dp for display; ranking uses the
+    * unrounded doubles, the q103 convention). */
+  def dsirSelect(raw: DataFrame, target: DataFrame, k: Int,
+                 dims: Int = 256): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    require(dims >= 2 && dims <= 65536, s"dims must be in [2, 65536]: $dims")
+    val bucket = s"cast(conv(substr(sha2(token, 256), 1, 4), 16, 10) AS BIGINT) % $dims"
+    def occ(df: DataFrame) = df
+      .select(col("doc_id"), explode(expr(TextAnalysis.tokensExpr)).as("token"))
+      .withColumn("feature", expr(bucket))
+      .select("doc_id", "feature")
+    val occR = occ(raw)
+    val cntT = occ(target).groupBy("feature").agg(count(lit(1)).as("cnt_t"))
+    val cntR = occR.groupBy("feature").agg(count(lit(1)).as("cnt_r"))
+    val totT = cntT.agg(sum("cnt_t").as("tot_t"))
+    val totR = cntR.agg(sum("cnt_r").as("tot_r"))
+    // one ln per distinct bucket; raw-occurring buckets all have cnt_r >= 1,
+    // absent-in-target buckets smooth to cnt_t = 0
+    val fx = cntR.join(cntT, Seq("feature"), "left")
+      .na.fill(0L, Seq("cnt_t"))
+      .crossJoin(broadcast(totT)).crossJoin(broadcast(totR))
+      .withColumn("sfx", expr(
+        s"CAST(floor(ln((CAST(cnt_t + 1 AS DOUBLE) * CAST(tot_r + $dims AS DOUBLE)) / " +
+          s"(CAST(cnt_r + 1 AS DOUBLE) * CAST(tot_t + $dims AS DOUBLE))) " +
+          "* 1073741824.0 + 0.5) AS BIGINT)"))
+      .select("feature", "sfx")
+    val u = "(cast(conv(substr(sha2(concat('dsir:', CAST(doc_id AS STRING)), 256), 1, 6), 16, 10) AS BIGINT)" +
+      " + 0.5) / 16777216.0"
+    occR.join(broadcast(fx), Seq("feature"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_tokens"), sum("sfx").as("ssfx"))
+      .withColumn("logw", expr("CAST(ssfx AS DOUBLE) / 1073741824.0"))
+      .withColumn("gkey", expr(
+        s"CAST(ssfx AS DOUBLE) / 1073741824.0 + (-ln(-ln($u)))"))
+      .orderBy(desc("gkey"), asc("doc_id"))
+      .limit(k)
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("logw"), 6).as("logw"), round(col("gkey"), 6).as("gkey"))
+  }
 }

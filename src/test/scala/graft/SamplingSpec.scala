@@ -154,6 +154,61 @@ class SamplingSpec extends AnyFunSuite {
     assert(got2 == got.toSet)
   }
 
+  test("dsirSelect: driver-side recompute parity; target-like docs win; partition-invariant") {
+    val sha = java.security.MessageDigest.getInstance("SHA-256")
+    def bucket(tok: String, dims: Int): Long = {
+      val h = sha.digest(tok.getBytes("UTF-8"))
+      ((h(0) & 0xffL) * 256 + (h(1) & 0xffL)) % dims
+    }
+    // crafted pools: target speaks {alpha beta gamma}; raw has two docs in
+    // target vocabulary and two in an alien one
+    val target = Seq(
+      (100L, "alpha beta gamma alpha beta"),
+      (101L, "alpha gamma gamma beta alpha")).toDF("doc_id", "text")
+    val raw = Seq(
+      (1L, "alpha beta alpha gamma"),
+      (2L, "beta beta gamma alpha"),
+      (3L, "zzq xxv qqw zzq"),
+      (4L, "xxv xxv zzq qqw")).toDF("doc_id", "text")
+    val dims = 64
+    val got = Sampling.dsirSelect(raw, target, 2, dims)
+      .select($"doc_id", $"n_tokens", $"logw", $"gkey")
+      .as[(Long, Long, Double, Double)].collect()
+    // the two target-vocabulary docs must be selected: their buckets carry
+    // large positive log ratios, the alien docs large negative ones, and
+    // the Gumbel perturbation is O(1)
+    assert(got.map(_._1).toSet == Set(1L, 2L), s"selected ${got.toSeq}")
+    // driver-side recompute of the full formula for one doc
+    val rawToks = Seq(1L -> "alpha beta alpha gamma", 2L -> "beta beta gamma alpha",
+      3L -> "zzq xxv qqw zzq", 4L -> "xxv xxv zzq qqw")
+      .flatMap { case (id, t) => t.split(" ").map(id -> _) }
+    val tgtToks = Seq("alpha beta gamma alpha beta", "alpha gamma gamma beta alpha")
+      .flatMap(_.split(" "))
+    val cntR = rawToks.groupBy(p => bucket(p._2, dims)).view.mapValues(_.size.toLong).toMap
+    val cntT = tgtToks.groupBy(bucket(_, dims)).view.mapValues(_.size.toLong).toMap
+    val (totR, totT) = (rawToks.size.toLong, tgtToks.size.toLong)
+    def sfx(f: Long): Long = math.floor(math.log(
+      ((cntT.getOrElse(f, 0L) + 1).toDouble * (totR + dims)) /
+        ((cntR(f) + 1).toDouble * (totT + dims))) * 1073741824.0 + 0.5).toLong
+    val byDoc = rawToks.groupBy(_._1).view.mapValues { toks =>
+      val ssfx = toks.map(p => sfx(bucket(p._2, dims))).sum
+      val h = sha.digest(s"dsir:${toks.head._1}".getBytes("UTF-8"))
+      val v = ((h(0) & 0xffL) * 256 + (h(1) & 0xffL)) * 256 + (h(2) & 0xffL)
+      val u = (v + 0.5) / 16777216.0
+      (toks.size.toLong, ssfx / 1073741824.0,
+        ssfx / 1073741824.0 + (-math.log(-math.log(u))))
+    }.toMap
+    val want = byDoc.toSeq.sortBy { case (id, (_, _, gk)) => (-gk, id) }.take(2)
+      .map { case (id, (n, lw, gk)) =>
+        (id, n, math.rint(lw * 1e6) / 1e6, math.rint(gk * 1e6) / 1e6) }.toSet
+    assert(got.toSet == want, s"got ${got.toSeq}, want $want")
+    // partition invariance: integer fixed-point sums commute
+    val got2 = Sampling.dsirSelect(raw.repartition(7), target.repartition(3), 2, dims)
+      .select($"doc_id", $"n_tokens", $"logw", $"gkey")
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got2 == got.toSet)
+  }
+
   test("weightedSample: matches a driver-side A-ES computation; stable across runs") {
     val n = 5
     val got = Sampling.weightedSample(docs, "n_chars", n)
