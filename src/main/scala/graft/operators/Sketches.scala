@@ -128,25 +128,43 @@ object Sketches {
     */
   def cmsTopK(docs: DataFrame, d: Int = 4, w: Int = 1024, k: Int = 20)
       : DataFrame = {
+    val tcnt = tokenCounts(docs)
+    cmsProbe(cmsGrid(tcnt, d, w), tcnt, d, w, k)
+  }
+
+  /** Exact per-token corpus counts — the CMS build/probe input. */
+  def tokenCounts(docs: DataFrame): DataFrame = docs
+    .select(explode(expr(TextAnalysis.tokensExpr)).as("token"))
+    .groupBy("token").agg(count(lit(1)).as("cnt"))
+
+  private def cellOf(j: Int, w: Int): String = {
+    val h = s"sha2(concat('cms', '$j', ':', token), 256)"
+    s"(${sparkByteAt(h, 0)} * 256 + ${sparkByteAt(h, 1)}) % $w"
+  }
+
+  /** CMS counter grid (j, cell, cellsum) from a (token, cnt) table: melt
+    * each token over the d rows, sum colliding counts per cell. The grid is
+    * ADDITIVE — grids of disjoint corpus slices merge by per-cell sum —
+    * which is what `Streams.streamingCmsGrid` maintains incrementally. */
+  def cmsGrid(tokenCounts: DataFrame, d: Int = 4, w: Int = 1024): DataFrame = {
     require(d >= 1 && d <= 8 && w >= 2 && w <= 65536, s"bad CMS shape d=$d w=$w")
-    val tcnt = docs
-      .select(explode(expr(TextAnalysis.tokensExpr)).as("token"))
-      .groupBy("token").agg(count(lit(1)).as("cnt"))
-    val cellOf = (j: Int) => {
-      val h = s"sha2(concat('cms', '$j', ':', token), 256)"
-      s"(${sparkByteAt(h, 0)} * 256 + ${sparkByteAt(h, 1)}) % $w"
-    }
-    // build: melt each token over the d rows, sum colliding counts per cell
-    val cells = tcnt
+    tokenCounts
       .select(col("token"), col("cnt"),
-        posexplode(array((0 until d).map(j => expr(cellOf(j))): _*))
+        posexplode(array((0 until d).map(j => expr(cellOf(j, w))): _*))
           .as(Seq("j", "cell")))
       .groupBy("j", "cell").agg(sum("cnt").as("cellsum"))
-    // probe: every distinct token against its d cells; min = CMS estimate
-    val probes = tcnt.select(col("token"), col("cnt"),
-      posexplode(array((0 until d).map(j => expr(cellOf(j))): _*))
+  }
+
+  /** Probe a CMS grid with candidate tokens: min over the d cells = the CMS
+    * point estimate; top-k by (estimate desc, token asc) with the exact
+    * count and collision overestimate as audit columns. */
+  def cmsProbe(grid: DataFrame, tokenCounts: DataFrame,
+               d: Int = 4, w: Int = 1024, k: Int = 20): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 2 && w <= 65536, s"bad CMS shape d=$d w=$w")
+    val probes = tokenCounts.select(col("token"), col("cnt"),
+      posexplode(array((0 until d).map(j => expr(cellOf(j, w))): _*))
         .as(Seq("j", "cell")))
-    probes.join(broadcast(cells), Seq("j", "cell"))
+    probes.join(broadcast(grid), Seq("j", "cell"))
       .groupBy("token")
       .agg(min("cellsum").as("est"), min("cnt").as("exact"))
       .withColumn("overestimate", col("est") - col("exact"))

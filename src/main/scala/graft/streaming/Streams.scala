@@ -520,6 +520,41 @@ object Streams {
     spark.read.parquet(vocabPath)
       .groupBy("word").agg(sum("n").as("n"))
 
+  /** Streaming CMS maintenance — `Sketches.cmsGrid`'s incremental form,
+    * and the literal realization of that operator's 100 TB note: "the
+    * build merges per-partition d x w partials, never re-scanning raw
+    * text". CMS counters are ADDITIVE, so each micro-batch of documents
+    * writes its own d x w partial grid under `epoch=<n>` (idempotent
+    * replace-by-partition, exactly the `streamingBpeVocab` contract), and
+    * `cmsGridAt` folds the partials by per-cell sum. Per-batch state is a
+    * fixed d x w integer grid regardless of batch size; the fold is a
+    * (d x w x epochs)-row aggregation — no corpus access. Probe the folded
+    * grid with `Sketches.cmsProbe`. Same compaction caveat as the vocab:
+    * collapse epochs only while the stream is stopped. */
+  def streamingCmsGrid(docs: DataFrame, gridPath: String, checkpointDir: String,
+                       d: Int = 4, w: Int = 1024): StreamingQuery = {
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epoch: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Sketches
+            .cmsGrid(graft.operators.Sketches.tokenCounts(batch.toDF()), d, w)
+            .withColumn("epoch", lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch").parquet(gridPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The maintained CMS as one (j, cell, cellsum) grid: per-cell sum over
+    * the epoch partials. */
+  def cmsGridAt(spark: SparkSession, gridPath: String): DataFrame =
+    spark.read.parquet(gridPath)
+      .groupBy("j", "cell").agg(sum("cellsum").as("cellsum"))
+
   /** Collapse all epoch partitions into one, keeping totals identical.
     * Only while the maintaining stream is STOPPED — see streamingBpeVocab.
     * Stages through a sibling temp dir (the upsertIvfAt durability rule:

@@ -469,6 +469,34 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("streamingCmsGrid: folded partial grids equal the batch sketch; probe parity") {
+    val tmp = Files.createTempDirectory("graft-stream-cms").toString
+    val (landing, gridPath, ckpt) = (s"$tmp/landing", s"$tmp/grid", s"$tmp/ckpt")
+    val docs = Tables.documents(spark, TestSpark.sf0001).cache()
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    val q = Streams.streamingCmsGrid(stream, gridPath, ckpt)
+    q.awaitTermination(120000)
+    assert(spark.read.parquet(gridPath).select("epoch").distinct().count() >= 2)
+    // additive partials fold to exactly the single-pass grid
+    val streamedGrid = Streams.cmsGridAt(spark, gridPath)
+      .as[(Int, Int, Long)].collect().toSet
+    val tcnt = graft.operators.Sketches.tokenCounts(docs)
+    val batchGrid = graft.operators.Sketches.cmsGrid(tcnt)
+      .as[(Int, Int, Long)].collect().toSet
+    assert(streamedGrid == batchGrid && streamedGrid.nonEmpty)
+    // probing the maintained grid reproduces the batch heavy hitters
+    val streamedTop = graft.operators.Sketches
+      .cmsProbe(Streams.cmsGridAt(spark, gridPath), tcnt)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    val batchTop = graft.operators.Sketches.cmsTopK(docs)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(streamedTop == batchTop && streamedTop.nonEmpty)
+    docs.unpersist()
+  }
+
   test("streamingHllDistinct: final sketch state equals the batch operator") {
     val tmp = Files.createTempDirectory("graft-stream-hll").toString
     val src = s"$tmp/events"
