@@ -181,6 +181,20 @@ object Smoke {
       .agg(expr("round(avg(recall), 4)")).collect()(0)
     println(s"== ann recall@3 (ivf vs exact): ${rec.get(0)}")
 
+    // round-9 tour: tokenizer training + sketches + importance selection
+    val bpe = graft.operators.Bpe.bpeMerges(docsAll, 4)
+      .orderBy("iter").collect()
+      .map(r => s"${r.getString(1)}+${r.getString(2)}").mkString(", ")
+    println(s"== bpe merges (4): $bpe")
+    val hh = graft.operators.Sketches.cmsTopK(docsAll, k = 3)
+      .select("token").collect().map(_.getString(0)).mkString(", ")
+    println(s"== cms heavy hitters: $hh")
+    val dsir = graft.operators.Sampling.dsirSelect(
+      docsAll.filter(col("lang") =!= "en"),
+      docsAll.filter(col("lang") === "en"), 5, 256)
+    println(s"== dsir top-5 non-en docs (en-like): " +
+      dsir.select("doc_id").collect().map(_.getLong(0)).mkString(", "))
+
     spark.stop()
   }
 }
