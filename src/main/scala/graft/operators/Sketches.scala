@@ -187,13 +187,26 @@ object Sketches {
     * digest is partition- and order-invariant — the determinism audit this
     * sketch family exists for.
     */
-  def merkleManifest(docs: DataFrame, buckets: Int = 64): DataFrame = {
+  def merkleManifest(docs: DataFrame, buckets: Int = 64): DataFrame =
+    merkleFromLeaves(merkleLeaves(docs, buckets))
+
+  /** The manifest's maintained state: one (bucket, doc_id, leaf) row per
+    * document. Leaf derivation is map-only and CONTENT-CONVERGENT — leaf is
+    * a pure function of (doc_id, text), so re-deriving a row writes the
+    * identical value, which is what makes incremental maintenance
+    * (`Streams.streamingMerkleLeaves`) retry-safe. */
+  def merkleLeaves(docs: DataFrame, buckets: Int = 64): DataFrame = {
     require(buckets >= 1, s"buckets must be positive: $buckets")
-    val leaves = docs.select(
+    docs.select(
       pmod(col("doc_id"), lit(buckets)).cast("int").as("bucket"),
       col("doc_id"),
       sha2(concat(col("doc_id").cast("string"), lit(":"),
         sha2(col("text"), 256)), 256).as("leaf"))
+  }
+
+  /** Fold a leaf table into the (bucket, n_docs, digest, root) manifest —
+    * the aggregation tail shared by the one-shot and incremental paths. */
+  def merkleFromLeaves(leaves: DataFrame): DataFrame = {
     val perBucket = leaves
       .groupBy("bucket")
       .agg(count(lit(1)).as("n_docs"),

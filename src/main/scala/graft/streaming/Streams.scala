@@ -555,6 +555,62 @@ object Streams {
     spark.read.parquet(gridPath)
       .groupBy("j", "cell").agg(sum("cellsum").as("cellsum"))
 
+  /** Streaming Merkle-manifest maintenance — `Sketches.merkleManifest`'s
+    * incremental form, making its "re-hashes only buckets whose rows
+    * changed" note concrete. The maintained state is the bucket-partitioned
+    * leaf table; each micro-batch upserts its leaves by doc_id into ONLY
+    * the bucket partitions it touches (dynamic partition overwrite on a
+    * staged copy — the `upsertIvfAt` durability rule for a plan that reads
+    * the path it replaces). Retry-safe without epoch bookkeeping because
+    * leaves are content-convergent (leaf = f(doc_id, text)): re-applying a
+    * batch anti-joins out its own earlier rows and rewrites identical
+    * content, so digests cannot drift. Per-batch cost ~ batch leaves + the
+    * touched buckets' existing leaves; untouched buckets are never read
+    * (partition-pruned via the bounded touched-bucket list, <= `buckets`
+    * values). `merkleManifestAt` folds the leaf table into the manifest —
+    * a bucket-keyed aggregation, no corpus access. */
+  def streamingMerkleLeaves(docs: DataFrame, leavesPath: String,
+                            checkpointDir: String,
+                            buckets: Int = 64): StreamingQuery = {
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epoch: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val delta = graft.operators.Sketches.merkleLeaves(batch.toDF(), buckets)
+            .localCheckpoint()
+          // bounded driver collect: at most `buckets` (default 64) values
+          val touched = delta.select("bucket").distinct()
+            .collect().map(_.getInt(0)).toSeq
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val exists = fs.exists(new org.apache.hadoop.fs.Path(leavesPath))
+          val merged =
+            if (!exists) delta
+            else spark.read.parquet(leavesPath)
+              .filter(col("bucket").isin(touched: _*))
+              .join(delta.select("doc_id"), Seq("doc_id"), "left_anti")
+              .select("bucket", "doc_id", "leaf")
+              .unionByName(delta)
+          val staging = s"$leavesPath.__staging/$epoch"
+          merged.write.mode("overwrite").parquet(staging)
+          spark.read.parquet(staging).write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("bucket").parquet(leavesPath)
+          fs.delete(new org.apache.hadoop.fs.Path(staging), true)
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The maintained manifest: fold the leaf table (`merkleFromLeaves`). */
+  def merkleManifestAt(spark: SparkSession, leavesPath: String): DataFrame =
+    graft.operators.Sketches.merkleFromLeaves(
+      spark.read.parquet(leavesPath).select("bucket", "doc_id", "leaf"))
+
   /** Collapse all epoch partitions into one, keeping totals identical.
     * Only while the maintaining stream is STOPPED — see streamingBpeVocab.
     * Stages through a sibling temp dir (the upsertIvfAt durability rule:

@@ -497,6 +497,37 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("streamingMerkleLeaves: incremental manifest equals batch; re-delivery cannot drift digests") {
+    val tmp = Files.createTempDirectory("graft-stream-merkle").toString
+    val (l1, l2, leaves) = (s"$tmp/landing1", s"$tmp/landing2", s"$tmp/leaves")
+    val docs = Tables.documents(spark, TestSpark.sf0001).cache()
+    val half1 = docs.filter($"doc_id" % 2 === 0)
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(l1)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(l1)
+    val stream = spark.readStream.schema(Streams.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(l1)
+    Streams.streamingMerkleLeaves(stream, leaves, s"$tmp/ckpt1")
+      .awaitTermination(120000)
+    def manifest() = Streams.merkleManifestAt(spark, leaves)
+      .as[(Int, Long, String, String)].collect().toSet
+    val streamed = manifest()
+    val batch = graft.operators.Sketches.merkleManifest(docs)
+      .as[(Int, Long, String, String)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // replaying half the corpus through a fresh stream (new checkpoint)
+    // upserts identical leaves — the manifest must not move
+    half1.coalesce(1).write.mode("append").parquet(l2)
+    Streams.streamingMerkleLeaves(
+        spark.readStream.schema(Streams.documentsSchema).parquet(l2),
+        leaves, s"$tmp/ckpt2")
+      .awaitTermination(120000)
+    assert(manifest() == batch)
+    // no duplicate leaves after the replay
+    val leafRows = spark.read.parquet(leaves)
+    assert(leafRows.count() == leafRows.select("doc_id").distinct().count())
+    docs.unpersist()
+  }
+
   test("streamingHllDistinct: final sketch state equals the batch operator") {
     val tmp = Files.createTempDirectory("graft-stream-hll").toString
     val src = s"$tmp/events"
