@@ -1072,6 +1072,13 @@ object SparkEntry {
       graft.operators.Sampling.dsirSelect(
         d.filter(col("lang") =!= "en"), d.filter(col("lang") === "en"), 50, 256)
     }),
+    // extension: DDSketch deterministic quantile sketch — log-bucketed
+    // price quantiles per returnflag, mergeable integer state, relative
+    // error <= 1% (fully hash-oracled; the sketch path next to exact q113
+    // and GK q127)
+    "q173_ddsketch" -> ((s, dir) =>
+      graft.operators.Sketches.ddSketchQuantiles(
+        Tables.lineitem(tune(s), dir), "l_returnflag", "l_extendedprice")),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -3411,6 +3418,26 @@ ORDER BY n DESC, word ASC LIMIT 20"""),
         (CAST($v AS BIGINT) + 0.5) / 16777216.0 AS u FROM per))
 SELECT doc_id, n_tokens, round(logw, 6) AS logw, round(gkey, 6) AS gkey
 FROM g ORDER BY gkey DESC, doc_id ASC LIMIT 50"""
+    },
+    // DDSketch quantiles: same Scala-computed ln(gamma)/gamma literals as
+    // the operator (the hllNumerator trick), integer bucket/rank walk,
+    // HUGEINT window sums cast back to BIGINT
+    "q173_ddsketch" -> {
+      val alpha = 0.01
+      val gamma = (1.0 + alpha) / (1.0 - alpha)
+      val lnG = String.format(java.util.Locale.ROOT, "%.17e", Double.box(math.log(gamma)))
+      val g = String.format(java.util.Locale.ROOT, "%.17e", Double.box(gamma))
+      s"""WITH c AS (SELECT l_returnflag, CAST(ceil(ln(CAST(l_extendedprice AS DOUBLE)) / $lnG) AS BIGINT) AS bucket, count(*) AS cnt
+    FROM lineitem WHERE l_extendedprice > 0 GROUP BY 1, 2),
+  cc AS (SELECT l_returnflag, bucket,
+      CAST(sum(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS BIGINT) AS cum,
+      CAST(sum(cnt) OVER (PARTITION BY l_returnflag) AS BIGINT) AS n FROM c),
+  qs AS (SELECT CAST(unnest([0.5, 0.95, 0.99]) AS DOUBLE) AS q),
+  pr AS (SELECT l_returnflag, q, min(bucket) AS bucket, min(n) AS n
+    FROM cc CROSS JOIN qs
+    WHERE cum >= CAST(floor(q * (n - 1)) AS BIGINT) + 1 GROUP BY 1, 2)
+SELECT l_returnflag, q, bucket, n,
+  round(2.0 * power($g, bucket) / ($g + 1.0), 4) AS est FROM pr""".stripMargin
     },
     // Mirrors the q169 TPC-H-Q3-shape plan: the hints/broadcasts are
     // physical — the logical result is the three-table join + top-10

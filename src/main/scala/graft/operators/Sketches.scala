@@ -204,6 +204,63 @@ object Sketches {
         sha2(col("text"), 256)), 256).as("leaf"))
   }
 
+  /** DDSketch-style deterministic quantile sketch per group (Masson et al.,
+    * VLDB 2019): log-spaced buckets with RELATIVE-error guarantee alpha —
+    * the quantile member of this sketch family (HLL = distinct,
+    * CMS = frequency, Merkle = integrity).
+    *
+    * bucket(x) = ceil(ln(x) / ln(gamma)) with gamma = (1+alpha)/(1-alpha);
+    * estimate for a bucket b is 2*gamma^b/(gamma+1), within alpha of any
+    * value the bucket holds. Bucket counts are ADDITIVE integers, so
+    * sketches of corpus slices merge by per-bucket sum (the CMS-grid
+    * property), and state per group is O(ln(max/min)/alpha) buckets no
+    * matter the row count — the 100 TB answer to exact percentiles' global
+    * sort (this repo's q113/q127 exact and GK paths).
+    *
+    * Engine-portability: ln(gamma) is folded to ONE Scala-computed literal
+    * shared with the oracle (the `hllNumerator` trick), so the bucket index
+    * is ceil(ln(x) / literal) — only ln(x) crosses engines (bit-parity
+    * established by q48/q82) and everything after is integer logic. The
+    * quantile walk is rank = floor(q*(n-1)) + 1 over the ascending
+    * cumulative bucket counts — pure integers; the final estimate is one
+    * pow + division, rounded 4dp on both sides.
+    *
+    * Non-positive values are excluded (standard DDSketch keeps a separate
+    * negative/zero store; the fixture columns sketched here are positive
+    * prices). Output: (group, q, bucket, n, est). */
+  def ddSketchQuantiles(df: DataFrame, groupCol: String, valueCol: String,
+                        qs: Seq[Double] = Seq(0.5, 0.95, 0.99),
+                        alpha: Double = 0.01): DataFrame = {
+    require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5): $alpha")
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles: $qs")
+    val gamma = (1.0 + alpha) / (1.0 - alpha)
+    val lnGamma = String.format(java.util.Locale.ROOT, "%.17e", Double.box(math.log(gamma)))
+    val gammaLit = String.format(java.util.Locale.ROOT, "%.17e", Double.box(gamma))
+    val counts = df
+      .filter(expr(s"$valueCol > 0"))
+      .select(col(groupCol),
+        expr(s"CAST(ceil(ln(CAST($valueCol AS DOUBLE)) / $lnGamma) AS BIGINT)").as("bucket"))
+      .groupBy(groupCol, "bucket").agg(count(lit(1)).as("cnt"))
+    // ascending cumulative counts per group: the only window, partitioned
+    // by the group key (bounded buckets per partition)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(groupCol).orderBy("bucket")
+    val cum = counts
+      .withColumn("cum", sum("cnt").over(w))
+      .withColumn("n", sum("cnt").over(
+        org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
+    val probe = cum.crossJoin(broadcast(
+        df.sparkSession.range(1).select(
+          explode(array(qs.map(lit): _*)).as("q"))))
+      .withColumn("rank", expr("CAST(floor(q * (n - 1)) AS BIGINT) + 1"))
+      .filter(col("cum") >= col("rank"))
+      .groupBy(groupCol, "q")
+      .agg(min("bucket").as("bucket"), min("n").as("n"))
+    probe.withColumn("est",
+        round(expr(s"2.0 * power($gammaLit, bucket) / ($gammaLit + 1.0)"), 4))
+      .select(col(groupCol), col("q"), col("bucket"), col("n"), col("est"))
+  }
+
   /** Fold a leaf table into the (bucket, n_docs, digest, root) manifest —
     * the aggregation tail shared by the one-shot and incremental paths. */
   def merkleFromLeaves(leaves: DataFrame): DataFrame = {

@@ -73,6 +73,48 @@ class SketchesSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted), "output must be rank-ordered")
   }
 
+  test("ddsketch: estimates within alpha of exact quantiles; mergeable; partition-invariant") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001).cache()
+    val alpha = 0.01
+    val got = Sketches.ddSketchQuantiles(li, "l_returnflag", "l_extendedprice",
+        Seq(0.5, 0.95, 0.99), alpha)
+      .as[(String, Double, Long, Long, Double)].collect()
+    assert(got.nonEmpty)
+    // the DDSketch contract: relative error <= alpha vs the exact quantile
+    // (same rank convention: value at rank floor(q*(n-1))+1 ascending)
+    val vals = li.filter($"l_extendedprice" > 0)
+      .select($"l_returnflag", $"l_extendedprice").as[(String, Double)]
+      .collect().groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    for ((flag, q, _, n, est) <- got) {
+      val xs = vals(flag)
+      assert(n == xs.length)
+      val exact = xs(math.floor(q * (n - 1)).toInt)
+      val rel = math.abs(est - exact) / exact
+      assert(rel <= alpha + 1e-9, s"($flag, $q): est $est vs exact $exact rel $rel")
+    }
+    // partition invariance: integer bucket counts commute
+    val got2 = Sketches.ddSketchQuantiles(li.repartition(17), "l_returnflag",
+        "l_extendedprice", Seq(0.5, 0.95, 0.99), alpha)
+      .as[(String, Double, Long, Long, Double)].collect()
+    assert(got2.toSet == got.toSet)
+    // mergeability: bucket counts of two halves sum to the full sketch's
+    // counts (the additive-state property the streaming twins rely on)
+    def buckets(df: org.apache.spark.sql.DataFrame) = df
+      .filter($"l_extendedprice" > 0)
+      .selectExpr("l_returnflag",
+        s"CAST(ceil(ln(CAST(l_extendedprice AS DOUBLE)) / ${math.log((1 + alpha) / (1 - alpha))}) AS BIGINT) AS bucket")
+      .groupBy("l_returnflag", "bucket").count()
+      .as[(String, Long, Long)].collect()
+      .map { case (g, b, c) => (g, b) -> c }.toMap
+    val full = buckets(li)
+    val h1 = buckets(li.filter($"l_orderkey" % 2 === 0))
+    val h2 = buckets(li.filter($"l_orderkey" % 2 === 1))
+    val merged = (h1.keySet ++ h2.keySet).map(k =>
+      k -> (h1.getOrElse(k, 0L) + h2.getOrElse(k, 0L))).toMap
+    assert(merged == full)
+    li.unpersist()
+  }
+
   test("merkle: digests are partition- and order-invariant") {
     val docs = (0 until 200).map(i => (i.toLong, s"doc text $i")).toDF("doc_id", "text")
     val m1 = Sketches.merkleManifest(docs.repartition(1), 16)
