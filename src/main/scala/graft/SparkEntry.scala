@@ -1079,6 +1079,11 @@ object SparkEntry {
     "q173_ddsketch" -> ((s, dir) =>
       graft.operators.Sketches.ddSketchQuantiles(
         Tables.lineitem(tune(s), dir), "l_returnflag", "l_extendedprice")),
+    // extension: rolling 7-day distinct users from merged DAILY HLL
+    // register tables — sketch reuse instead of window re-scan (fully
+    // hash-oracled)
+    "q174_hll_daily" -> ((s, dir) =>
+      graft.operators.Sketches.hllDailyRolling(Tables.events(tune(s), dir))),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -3344,6 +3349,31 @@ GROUP BY 1, 2""",
 SELECT es.event_type, es.n_zero, es.est, ex.exact,
   round((es.est - ex.exact) / ex.exact, 4) AS rel_err
 FROM es JOIN ex ON es.event_type = ex.event_type"""
+    },
+    // Daily HLL registers + 7-day rolling register-max merge; dense
+    // (day x bucket) spine makes ROWS BETWEEN equal RANGE on both sides
+    "q174_hll_daily" -> {
+      val byteAt = (h: String, j: Int) => dkByte(h, j.toString)
+      val rho = graft.operators.Sketches.rhoExpr(byteAt, "hx")
+      val num = graft.operators.Sketches.hllNumerator(64)
+      s"""WITH hh AS (SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+    sha256('hll:' || CAST(user_id AS VARCHAR)) AS hx FROM events),
+  rr AS (SELECT day, ${byteAt("hx", 0)} % 64 AS bucket, $rho AS rho FROM hh),
+  regs AS (SELECT day, bucket, max(rho) AS mrho FROM rr GROUP BY 1, 2),
+  bounds AS (SELECT min(day) AS d0, max(day) AS d1 FROM regs),
+  days AS (SELECT CAST(unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS DATE) AS day FROM bounds),
+  buckets AS (SELECT unnest(range(0, 64)) AS bucket),
+  dense AS (SELECT d.day, b.bucket, COALESCE(r.mrho, 0) AS mrho
+    FROM days d CROSS JOIN buckets b
+    LEFT JOIN regs r ON r.day = d.day AND r.bucket = b.bucket),
+  roll AS (SELECT day, bucket,
+      max(mrho) OVER (PARTITION BY bucket ORDER BY day
+        ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS rw FROM dense),
+  ag AS (SELECT day,
+      CAST(sum(CAST(1 AS BIGINT) << (49 - rw)) AS BIGINT) AS intsum,
+      CAST(sum(CASE WHEN rw = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+    FROM roll GROUP BY 1)
+SELECT day, n_zero, round($num / intsum, 4) AS est FROM ag"""
     },
     // Mirrors Sketches.cmsTopK(d=4, w=1024): same per-row cells from
     // sha256("cms" || j || ":" || token), same weighted build and min-probe

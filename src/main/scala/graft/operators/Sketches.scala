@@ -108,6 +108,52 @@ object Sketches {
         col("rel_err"))
   }
 
+  /** Rolling-window distinct counts from DAILY HLL register tables — the
+    * canonical sketch-reuse pattern at scale: pre-aggregate one m-register
+    * HLL per day (the only pass over raw events), then answer ANY
+    * `windowDays`-day rolling distinct-count by merging `windowDays`
+    * register rows per bucket (register max — HLL's merge op) instead of
+    * re-scanning the window's events. A 365-day dashboard over 100 TB of
+    * events touches 365 x m integer rows after the one daily pass.
+    *
+    * Same register recipe as [[hllDistinct]] (bit-identical buckets/rho),
+    * so a day's registers equal the one-shot sketch of that day and the
+    * merged window registers equal the one-shot sketch of the window's
+    * union — the SketchesSpec identity. The (day x bucket) spine is
+    * densified so the rolling frame sees an absent (day, bucket) as a zero
+    * register; ROWS BETWEEN then equals RANGE and ports verbatim to the
+    * oracle. Output: (day, n_zero, est) per day, est covering the trailing
+    * `windowDays` window. */
+  def hllDailyRolling(events: DataFrame, keyCol: String = "user_id",
+                      tsCol: String = "ts", p: Int = 6,
+                      windowDays: Int = 7): DataFrame = {
+    require(p >= 4 && p <= 8, s"p must be in [4, 8], got $p")
+    require(windowDays >= 1 && windowDays <= 365, s"bad windowDays: $windowDays")
+    val m = 1 << p
+    val h = s"sha2(concat('hll:', cast($keyCol AS STRING)), 256)"
+    val daily = events
+      .withColumn("__h", expr(h))
+      .select(expr(s"CAST(date_trunc('DAY', $tsCol) AS DATE)").as("day"),
+        expr(s"${sparkByteAt("__h", 0)} % $m").as("bucket"),
+        expr(rhoExpr(sparkByteAt, "__h")).as("rho"))
+      .groupBy("day", "bucket").agg(max("rho").as("mrho"))
+    val spine = daily.agg(min("day").as("d0"), max("day").as("d1"))
+      .select(explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      .crossJoin(broadcast(events.sparkSession.range(m)
+        .select(col("id").cast("int").as("bucket"))))
+    val dense = spine.join(daily, Seq("day", "bucket"), "left")
+      .withColumn("mrho", coalesce(col("mrho"), lit(0)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("bucket").orderBy("day")
+      .rowsBetween(-(windowDays - 1), 0)
+    dense.withColumn("rr", max("mrho").over(w))
+      .groupBy("day")
+      .agg(expr("sum(shiftleft(1L, 49 - rr))").as("__intsum"),
+        expr("sum(CASE WHEN rr = 0 THEN 1L ELSE 0L END)").as("n_zero"))
+      .withColumn("est", round(expr(s"${hllNumerator(m)} / __intsum"), 4))
+      .select(col("day"), col("n_zero"), col("est"))
+  }
+
   /** Count-min-sketch heavy hitters over the corpus token stream.
     *
     * Exact per-token counts feed the sketch BUILD (d x w integer counters:

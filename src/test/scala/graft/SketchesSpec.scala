@@ -73,6 +73,42 @@ class SketchesSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted), "output must be rank-ordered")
   }
 
+  test("hllDailyRolling: merged daily registers equal the window's one-shot sketch") {
+    val ev = Tables.events(spark, TestSpark.sf0001).cache()
+    val got = Sketches.hllDailyRolling(ev)
+      .as[(java.sql.Date, Long, Double)].collect()
+      .map(r => r._1.toString -> (r._2, r._3)).toMap
+    assert(got.size >= 7, s"expected a multi-week day span, got ${got.size}")
+    // identity: for sampled days D, the rolling estimate equals
+    // hllDistinct run one-shot over the events of [D-6, D] — merging
+    // stored daily registers must lose nothing vs recomputation
+    val days = got.keys.toSeq.sorted
+    for (d <- Seq(days.head, days(days.size / 2), days.last)) {
+      val windowEvents = ev.filter(
+        expr(s"CAST(date_trunc('DAY', ts) AS DATE) BETWEEN date_sub('$d', 6) AND '$d'"))
+        .withColumn("g", lit("w"))
+      val oneShot = Sketches.hllDistinct(windowEvents, "g", "user_id")
+        .select($"n_zero", $"est").as[(Long, Double)].head()
+      assert(got(d) == oneShot, s"day $d: rolling ${got(d)} vs one-shot $oneShot")
+    }
+    // accuracy sanity on the last day: within 3 standard errors of exact,
+    // after the standard small-range linear-counting correction the
+    // operator's emitted n_zero exists for (n_distinct << m inflates raw
+    // HLL; LC = m * ln(m / n_zero) is the published fix)
+    val lastDay = days.last
+    val exact = ev.filter(
+        expr(s"CAST(date_trunc('DAY', ts) AS DATE) BETWEEN date_sub('$lastDay', 6) AND '$lastDay'"))
+      .select($"user_id").distinct().count()
+    val (nZero, rawEst) = got(lastDay)
+    val corrected =
+      if (rawEst <= 2.5 * 64 && nZero > 0) 64.0 * math.log(64.0 / nZero)
+      else rawEst
+    val se = 1.04 / math.sqrt(64)
+    assert(math.abs(corrected - exact) / exact <= 3 * se,
+      s"corrected $corrected (raw $rawEst, n_zero $nZero) vs exact $exact")
+    ev.unpersist()
+  }
+
   test("ddsketch: estimates within alpha of exact quantiles; mergeable; partition-invariant") {
     val li = Tables.lineitem(spark, TestSpark.sf0001).cache()
     val alpha = 0.01
