@@ -276,17 +276,33 @@ object Sketches {
     * prices). Output: (group, q, bucket, n, est). */
   def ddSketchQuantiles(df: DataFrame, groupCol: String, valueCol: String,
                         qs: Seq[Double] = Seq(0.5, 0.95, 0.99),
-                        alpha: Double = 0.01): DataFrame = {
+                        alpha: Double = 0.01): DataFrame =
+    ddQuantilesFromBuckets(ddBuckets(df, groupCol, valueCol, alpha),
+      groupCol, qs, alpha)
+
+  /** The DDSketch's maintained state: (group, bucket, cnt) — ADDITIVE
+    * integer counts, so slice sketches merge by per-bucket sum
+    * (`Streams.streamingDdBuckets` maintains exactly this). */
+  def ddBuckets(df: DataFrame, groupCol: String, valueCol: String,
+                alpha: Double = 0.01): DataFrame = {
     require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5): $alpha")
-    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles: $qs")
     val gamma = (1.0 + alpha) / (1.0 - alpha)
     val lnGamma = String.format(java.util.Locale.ROOT, "%.17e", Double.box(math.log(gamma)))
-    val gammaLit = String.format(java.util.Locale.ROOT, "%.17e", Double.box(gamma))
-    val counts = df
-      .filter(expr(s"$valueCol > 0"))
+    df.filter(expr(s"$valueCol > 0"))
       .select(col(groupCol),
         expr(s"CAST(ceil(ln(CAST($valueCol AS DOUBLE)) / $lnGamma) AS BIGINT)").as("bucket"))
       .groupBy(groupCol, "bucket").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The quantile walk over a (group, bucket, cnt) table — the tail shared
+    * by the one-shot and incrementally-maintained paths. */
+  def ddQuantilesFromBuckets(counts: DataFrame, groupCol: String,
+                             qs: Seq[Double] = Seq(0.5, 0.95, 0.99),
+                             alpha: Double = 0.01): DataFrame = {
+    require(alpha > 0 && alpha < 0.5, s"alpha must be in (0, 0.5): $alpha")
+    require(qs.nonEmpty && qs.forall(q => q >= 0 && q <= 1), s"bad quantiles: $qs")
+    val gamma = (1.0 + alpha) / (1.0 - alpha)
+    val gammaLit = String.format(java.util.Locale.ROOT, "%.17e", Double.box(gamma))
     // ascending cumulative counts per group: the only window, partitioned
     // by the group key (bounded buckets per partition)
     val w = org.apache.spark.sql.expressions.Window
@@ -296,7 +312,7 @@ object Sketches {
       .withColumn("n", sum("cnt").over(
         org.apache.spark.sql.expressions.Window.partitionBy(groupCol)))
     val probe = cum.crossJoin(broadcast(
-        df.sparkSession.range(1).select(
+        counts.sparkSession.range(1).select(
           explode(array(qs.map(lit): _*)).as("q"))))
       .withColumn("rank", expr("CAST(floor(q * (n - 1)) AS BIGINT) + 1"))
       .filter(col("cum") >= col("rank"))

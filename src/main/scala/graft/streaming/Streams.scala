@@ -555,6 +555,35 @@ object Streams {
     spark.read.parquet(gridPath)
       .groupBy("j", "cell").agg(sum("cellsum").as("cellsum"))
 
+  /** Streaming DDSketch maintenance — `Sketches.ddBuckets`' incremental
+    * form, same idempotent epoch-partition contract as `streamingCmsGrid`
+    * (bucket counts are additive integers). `ddBucketsAt` folds the
+    * partials; `Sketches.ddQuantilesFromBuckets` answers quantiles from
+    * the maintained state without touching raw rows. */
+  def streamingDdBuckets(rows: DataFrame, groupCol: String, valueCol: String,
+                         bucketsPath: String, checkpointDir: String,
+                         alpha: Double = 0.01): StreamingQuery = {
+    rows.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epoch: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Sketches.ddBuckets(batch.toDF(), groupCol, valueCol, alpha)
+            .withColumn("epoch", lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch").parquet(bucketsPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The maintained DDSketch as one (group, bucket, cnt) table. */
+  def ddBucketsAt(spark: SparkSession, bucketsPath: String,
+                  groupCol: String): DataFrame =
+    spark.read.parquet(bucketsPath)
+      .groupBy(groupCol, "bucket").agg(sum("cnt").as("cnt"))
+
   /** Streaming Merkle-manifest maintenance — `Sketches.merkleManifest`'s
     * incremental form, making its "re-hashes only buckets whose rows
     * changed" note concrete. The maintained state is the bucket-partitioned

@@ -497,6 +497,35 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("streamingDdBuckets: folded partials answer the same quantiles as batch") {
+    val tmp = Files.createTempDirectory("graft-stream-dd").toString
+    val (landing, bPath, ckpt) = (s"$tmp/landing", s"$tmp/buckets", s"$tmp/ckpt")
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_orderkey", "l_returnflag", "l_extendedprice").cache()
+    li.filter($"l_orderkey" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    li.filter($"l_orderkey" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream
+      .schema("l_orderkey BIGINT, l_returnflag STRING, l_extendedprice DOUBLE")
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingDdBuckets(stream, "l_returnflag", "l_extendedprice", bPath, ckpt)
+      .awaitTermination(120000)
+    assert(spark.read.parquet(bPath).select("epoch").distinct().count() >= 2)
+    val folded = Streams.ddBucketsAt(spark, bPath, "l_returnflag")
+      .as[(String, Long, Long)].collect().toSet
+    val batchBuckets = graft.operators.Sketches
+      .ddBuckets(li, "l_returnflag", "l_extendedprice")
+      .as[(String, Long, Long)].collect().toSet
+    assert(folded == batchBuckets && folded.nonEmpty)
+    val streamedQ = graft.operators.Sketches.ddQuantilesFromBuckets(
+        Streams.ddBucketsAt(spark, bPath, "l_returnflag"), "l_returnflag")
+      .as[(String, Double, Long, Long, Double)].collect().toSet
+    val batchQ = graft.operators.Sketches.ddSketchQuantiles(
+        li, "l_returnflag", "l_extendedprice")
+      .as[(String, Double, Long, Long, Double)].collect().toSet
+    assert(streamedQ == batchQ && streamedQ.nonEmpty)
+    li.unpersist()
+  }
+
   test("streamingMerkleLeaves: incremental manifest equals batch; re-delivery cannot drift digests") {
     val tmp = Files.createTempDirectory("graft-stream-merkle").toString
     val (l1, l2, leaves) = (s"$tmp/landing1", s"$tmp/landing2", s"$tmp/leaves")
