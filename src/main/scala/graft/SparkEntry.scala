@@ -1084,6 +1084,11 @@ object SparkEntry {
     // hash-oracled)
     "q174_hll_daily" -> ((s, dir) =>
       graft.operators.Sketches.hllDailyRolling(Tables.events(tune(s), dir))),
+    // extension: KMV distinct-set overlap — per-event-type audience
+    // intersection estimates from k-minimum-values sketches (fully
+    // hash-oracled; exact audit columns at test scale)
+    "q175_kmv_overlap" -> ((s, dir) =>
+      graft.operators.Sketches.kmvOverlap(Tables.events(tune(s), dir))),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -3349,6 +3354,43 @@ GROUP BY 1, 2""",
 SELECT es.event_type, es.n_zero, es.est, ex.exact,
   round((es.est - ex.exact) / ex.exact, 4) AS rel_err
 FROM es JOIN ex ON es.event_type = ex.event_type"""
+    },
+    // KMV overlap: same 6-byte sha256 hash, row_number rank mirrors
+    // GroupedTopK's (h asc) heaps, same CASE estimators rounded 4dp
+    "q175_kmv_overlap" -> {
+      val h = "sha256('kmv:' || CAST(user_id AS VARCHAR))"
+      val v6 = (0 to 5).map(j => dkByte(h, j.toString))
+        .reduce((a, b) => s"($a) * 256 + ($b)")
+      val uMax = s"${1L << 48}.0"
+      s"""WITH uh AS (SELECT DISTINCT event_type AS g, CAST($v6 AS BIGINT) AS h FROM events),
+  sk AS (SELECT g, h FROM (SELECT g, h,
+      row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM uh) WHERE rn <= 256),
+  ty AS (SELECT DISTINCT g FROM sk),
+  pairs AS (SELECT a.g AS g_a, b.g AS g_b FROM ty a JOIN ty b ON a.g < b.g),
+  cand AS (SELECT g_a, g_b, h, max(in_a) AS in_a, max(in_b) AS in_b FROM (
+      SELECT p.g_a, p.g_b, s.h, 1 AS in_a, 0 AS in_b FROM pairs p JOIN sk s ON s.g = p.g_a
+      UNION ALL
+      SELECT p.g_a, p.g_b, s.h, 0 AS in_a, 1 AS in_b FROM pairs p JOIN sk s ON s.g = p.g_b)
+    GROUP BY 1, 2, 3),
+  un AS (SELECT * FROM (SELECT g_a, g_b, h, in_a, in_b,
+      row_number() OVER (PARTITION BY g_a, g_b ORDER BY h) AS rn FROM cand) WHERE rn <= 256),
+  es AS (SELECT g_a, g_b, CAST(count(*) AS BIGINT) AS k_used, max(h) AS theta,
+      CAST(sum(in_a * in_b) AS BIGINT) AS n_both FROM un GROUP BY 1, 2),
+  kt AS (SELECT DISTINCT event_type AS g, user_id AS key FROM events),
+  ex AS (SELECT a.g AS g_a, b.g AS g_b, CAST(count(*) AS BIGINT) AS exact_inter
+    FROM kt a JOIN kt b ON a.key = b.key AND a.g < b.g GROUP BY 1, 2),
+  fin AS (SELECT es.g_a, es.g_b, es.k_used,
+      round(CASE WHEN es.k_used < 256 THEN CAST(es.k_used AS DOUBLE)
+        ELSE (256.0 - 1.0) * $uMax / es.theta END, 4) AS union_est,
+      round(CAST(es.n_both AS DOUBLE) / es.k_used, 4) AS jaccard,
+      round((CAST(es.n_both AS DOUBLE) / es.k_used) *
+        (CASE WHEN es.k_used < 256 THEN CAST(es.k_used AS DOUBLE)
+          ELSE (256.0 - 1.0) * $uMax / es.theta END), 4) AS inter_est,
+      COALESCE(ex.exact_inter, 0) AS exact_inter
+    FROM es LEFT JOIN ex ON es.g_a = ex.g_a AND es.g_b = ex.g_b)
+SELECT g_a, g_b, k_used, union_est, jaccard, inter_est, exact_inter,
+  round(CASE WHEN exact_inter = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE (inter_est - exact_inter) / exact_inter END, 4) AS rel_err FROM fin"""
     },
     // Daily HLL registers + 7-day rolling register-max merge; dense
     // (day x bucket) spine makes ROWS BETWEEN equal RANGE on both sides

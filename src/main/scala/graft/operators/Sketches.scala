@@ -154,6 +154,86 @@ object Sketches {
       .select(col("day"), col("n_zero"), col("est"))
   }
 
+  /** Distinct-set OVERLAP between groups from k-minimum-values sketches
+    * (Bar-Yossef et al. 2002; the Theta-sketch family's intersection
+    * estimate) — "how many distinct users did BOTH A and B", answered from
+    * two k-row sketches instead of a distinct-intersection join over raw
+    * events.
+    *
+    * Per group the sketch is the k SMALLEST distinct values of a uniform
+    * hash h(key) in [0, 2^48) (first 6 bytes of sha256("kmv:" || key)) —
+    * ranked through GroupedTopK's bounded heaps, never a window sort. For
+    * a group pair, the k smallest of the merged sketches form the UNION
+    * sketch: theta = its kth value gives |A u B| ~ (k-1) * 2^48 / theta,
+    * the fraction of union-sketch members present in BOTH input sketches
+    * estimates Jaccard, and their product estimates the intersection.
+    * When the union sketch holds fewer than k values it IS the exact
+    * distinct union (small groups degrade to exact — no estimator bias).
+    *
+    * Determinism: the hash is the repo's engine-neutral sha256 convention,
+    * sketch contents are exact integer ranks of distinct hash values, and
+    * the estimates are one division each, rounded 4dp — fully
+    * hash-oracled. Scale shape: one distinct-(group, hash) aggregation
+    * over events, k-bounded sketches per group, pair space bounded by
+    * (distinct groups)^2 x k rows — group counts are small by contract
+    * (event types, sources, splits). Exact per-pair audit columns are
+    * test-scale only, the sketch is the product at 100 TB.
+    *
+    * Output: (g_a, g_b, k_used, union_est, jaccard, inter_est,
+    * exact_inter, rel_err) for each unordered pair g_a < g_b. */
+  def kmvOverlap(events: DataFrame, groupCol: String = "event_type",
+                 keyCol: String = "user_id", k: Int = 256): DataFrame = {
+    require(k >= 16 && k <= 65536, s"k must be in [16, 65536]: $k")
+    val uMax = 1L << 48
+    val uh = events.select(col(groupCol).as("g"),
+        expr(s"cast(conv(substr(sha2(concat('kmv:', cast($keyCol AS STRING)), 256), 1, 12), 16, 10) AS BIGINT)")
+          .as("h"))
+      .distinct()
+    val sk = graft.plans.GroupedTopK(uh, Seq(col("g")), Seq(asc("h")), k)
+      .select("g", "h")
+    val types = sk.select(col("g")).distinct()
+    val pairs = types.as("ta").join(types.as("tb"),
+        col("ta.g") < col("tb.g"))
+      .select(col("ta.g").as("g_a"), col("tb.g").as("g_b"))
+    // candidate rows: each pair's two sketches, flagged by side; a hash in
+    // both sketches collapses to one row with both flags set
+    val cand = pairs.join(sk.as("sa"), col("g_a") === col("sa.g"))
+      .select(col("g_a"), col("g_b"), col("sa.h").as("h"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(
+        pairs.join(sk.as("sb"), col("g_b") === col("sb.g"))
+          .select(col("g_a"), col("g_b"), col("sb.h").as("h"),
+            lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy("g_a", "g_b", "h")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val unionSk = graft.plans.GroupedTopK(cand,
+        Seq(col("g_a"), col("g_b")), Seq(asc("h")), k)
+      .select("g_a", "g_b", "h", "in_a", "in_b")
+    val est = unionSk.groupBy("g_a", "g_b")
+      .agg(count(lit(1)).as("k_used"), max("h").as("theta"),
+        sum(expr("in_a * in_b")).as("n_both"))
+      .withColumn("union_est", round(expr(
+        s"CASE WHEN k_used < $k THEN CAST(k_used AS DOUBLE) " +
+          s"ELSE (CAST($k AS DOUBLE) - 1.0) * ${uMax}.0 / theta END"), 4))
+      .withColumn("jaccard", round(expr("CAST(n_both AS DOUBLE) / k_used"), 4))
+      .withColumn("inter_est", round(expr(
+        s"(CAST(n_both AS DOUBLE) / k_used) * (CASE WHEN k_used < $k THEN CAST(k_used AS DOUBLE) " +
+          s"ELSE (CAST($k AS DOUBLE) - 1.0) * ${uMax}.0 / theta END)"), 4))
+    // exact audit (test scale): distinct keys present under both groups
+    val kt = events.select(col(groupCol).as("g"), col(keyCol).as("key")).distinct()
+    val exact = kt.as("xa").join(kt.as("xb"),
+        col("xa.key") === col("xb.key") && col("xa.g") < col("xb.g"))
+      .groupBy(col("xa.g").as("g_a"), col("xb.g").as("g_b"))
+      .agg(count(lit(1)).as("exact_inter"))
+    est.join(exact, Seq("g_a", "g_b"), "left")
+      .na.fill(0L, Seq("exact_inter"))
+      .withColumn("rel_err", round(expr(
+        "CASE WHEN exact_inter = 0 THEN CAST(NULL AS DOUBLE) " +
+          "ELSE (inter_est - exact_inter) / exact_inter END"), 4))
+      .select(col("g_a"), col("g_b"), col("k_used"), col("union_est"),
+        col("jaccard"), col("inter_est"), col("exact_inter"), col("rel_err"))
+  }
+
   /** Count-min-sketch heavy hitters over the corpus token stream.
     *
     * Exact per-token counts feed the sketch BUILD (d x w integer counters:

@@ -73,6 +73,38 @@ class SketchesSpec extends AnyFunSuite {
     assert(keys.sameElements(keys.sorted), "output must be rank-ordered")
   }
 
+  test("kmvOverlap: small groups degrade to exact; fixture estimates sane; partition-invariant") {
+    // crafted: |A| = 30, |B| = 25, |A ∩ B| = 10 — all below k, so the union
+    // sketch holds every value and the estimator must be EXACT
+    val ev = ((1 to 30).map(u => ("A", u.toLong)) ++
+      (21 to 45).map(u => ("B", u.toLong)))
+      .toDF("event_type", "user_id")
+    val got = Sketches.kmvOverlap(ev, k = 64)
+      .select($"g_a", $"g_b", $"k_used", $"union_est", $"inter_est", $"exact_inter")
+      .as[(String, String, Long, Double, Double, Long)].collect()
+    assert(got.length == 1)
+    val (ga, gb, kUsed, unionEst, interEst, exact) = got(0)
+    assert((ga, gb) == ("A", "B"))
+    assert(kUsed == 45 && unionEst == 45.0, s"union $unionEst k_used $kUsed")
+    assert(exact == 10 && interEst == 10.0, s"inter $interEst vs exact $exact")
+    // fixture: every pair's estimate lands within a loose KMV error budget
+    // (SE ~ 1/sqrt(k) on Jaccard, compounded through the union estimate)
+    val events = Tables.events(spark, TestSpark.sf0001).cache()
+    val fx = Sketches.kmvOverlap(events)
+      .select($"g_a", $"g_b", $"inter_est", $"exact_inter", $"rel_err")
+      .as[(String, String, Double, Long, Option[Double])].collect()
+    assert(fx.nonEmpty)
+    for ((a, b, est, exact, rel) <- fx if exact >= 20)
+      assert(rel.exists(r => math.abs(r) <= 0.5),
+        s"($a, $b): est $est exact $exact rel $rel")
+    // determinism under repartitioning
+    val fx2 = Sketches.kmvOverlap(events.repartition(13))
+      .select($"g_a", $"g_b", $"inter_est", $"exact_inter", $"rel_err")
+      .as[(String, String, Double, Long, Option[Double])].collect()
+    assert(fx2.toSet == fx.toSet)
+    events.unpersist()
+  }
+
   test("hllDailyRolling: merged daily registers equal the window's one-shot sketch") {
     val ev = Tables.events(spark, TestSpark.sf0001).cache()
     val got = Sketches.hllDailyRolling(ev)
