@@ -182,15 +182,35 @@ object Sketches {
     * Output: (g_a, g_b, k_used, union_est, jaccard, inter_est,
     * exact_inter, rel_err) for each unordered pair g_a < g_b. */
   def kmvOverlap(events: DataFrame, groupCol: String = "event_type",
-                 keyCol: String = "user_id", k: Int = 256): DataFrame = {
+                 keyCol: String = "user_id", k: Int = 256): DataFrame =
+    kmvOverlapFromSketches(kmvSketch(events, groupCol, keyCol, k), k,
+      exactFrom = Some((events, groupCol, keyCol)))
+
+  /** The per-group KMV sketch: the k smallest distinct hash values, as
+    * (g, h) rows. MERGEABLE — the sketch of a union is the k smallest of
+    * the concatenated sketches, so slice sketches fold through one more
+    * GroupedTopK (`Streams.streamingKmvSketch` maintains exactly this). */
+  def kmvSketch(events: DataFrame, groupCol: String, keyCol: String,
+                k: Int = 256): DataFrame = {
     require(k >= 16 && k <= 65536, s"k must be in [16, 65536]: $k")
-    val uMax = 1L << 48
     val uh = events.select(col(groupCol).as("g"),
         expr(s"cast(conv(substr(sha2(concat('kmv:', cast($keyCol AS STRING)), 256), 1, 12), 16, 10) AS BIGINT)")
           .as("h"))
       .distinct()
-    val sk = graft.plans.GroupedTopK(uh, Seq(col("g")), Seq(asc("h")), k)
+    graft.plans.GroupedTopK(uh, Seq(col("g")), Seq(asc("h")), k)
       .select("g", "h")
+  }
+
+  /** Pairwise overlap estimates from an already-built (g, h) sketch table
+    * — the tail shared by the one-shot and incrementally-maintained paths.
+    * `exactFrom` adds the test-scale exact audit columns; production
+    * passes None (exact intersection is what the sketch avoids) and gets
+    * exact_inter = 0 / rel_err = null placeholders. */
+  def kmvOverlapFromSketches(sk: DataFrame, k: Int = 256,
+                             exactFrom: Option[(DataFrame, String, String)] = None)
+      : DataFrame = {
+    require(k >= 16 && k <= 65536, s"k must be in [16, 65536]: $k")
+    val uMax = 1L << 48
     val types = sk.select(col("g")).distinct()
     val pairs = types.as("ta").join(types.as("tb"),
         col("ta.g") < col("tb.g"))
@@ -220,11 +240,17 @@ object Sketches {
         s"(CAST(n_both AS DOUBLE) / k_used) * (CASE WHEN k_used < $k THEN CAST(k_used AS DOUBLE) " +
           s"ELSE (CAST($k AS DOUBLE) - 1.0) * ${uMax}.0 / theta END)"), 4))
     // exact audit (test scale): distinct keys present under both groups
-    val kt = events.select(col(groupCol).as("g"), col(keyCol).as("key")).distinct()
-    val exact = kt.as("xa").join(kt.as("xb"),
-        col("xa.key") === col("xb.key") && col("xa.g") < col("xb.g"))
-      .groupBy(col("xa.g").as("g_a"), col("xb.g").as("g_b"))
-      .agg(count(lit(1)).as("exact_inter"))
+    val exact = exactFrom match {
+      case Some((events, groupCol, keyCol)) =>
+        val kt = events.select(col(groupCol).as("g"), col(keyCol).as("key")).distinct()
+        kt.as("xa").join(kt.as("xb"),
+            col("xa.key") === col("xb.key") && col("xa.g") < col("xb.g"))
+          .groupBy(col("xa.g").as("g_a"), col("xb.g").as("g_b"))
+          .agg(count(lit(1)).as("exact_inter"))
+      case None =>
+        est.select(col("g_a"), col("g_b")).limit(0)
+          .withColumn("exact_inter", lit(0L))
+    }
     est.join(exact, Seq("g_a", "g_b"), "left")
       .na.fill(0L, Seq("exact_inter"))
       .withColumn("rel_err", round(expr(

@@ -584,6 +584,42 @@ object Streams {
     spark.read.parquet(bucketsPath)
       .groupBy(groupCol, "bucket").agg(sum("cnt").as("cnt"))
 
+  /** Streaming KMV-sketch maintenance — `Sketches.kmvSketch`'s incremental
+    * form and the last sketch family to get one (HLL, CMS, DDSketch,
+    * Merkle, KMV all maintainable online). KMV sketches merge by "k
+    * smallest of the concatenation", so each micro-batch writes its own
+    * per-group k-min rows as an idempotent epoch partition and
+    * `kmvSketchAt` folds the partials through one more GroupedTopK —
+    * distinct-ing first, since the same key hashed in two batches must
+    * count once. Overlap estimates then come from
+    * `Sketches.kmvOverlapFromSketches` without raw-event access. */
+  def streamingKmvSketch(events: DataFrame, groupCol: String, keyCol: String,
+                         sketchPath: String, checkpointDir: String,
+                         k: Int = 256): StreamingQuery = {
+    events.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epoch: Long) =>
+        if (!batch.isEmpty)
+          graft.operators.Sketches.kmvSketch(batch.toDF(), groupCol, keyCol, k)
+            .withColumn("epoch", lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch").parquet(sketchPath)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** The maintained per-group KMV sketch: k smallest distinct hashes
+    * across all epoch partials. */
+  def kmvSketchAt(spark: SparkSession, sketchPath: String,
+                  k: Int = 256): DataFrame =
+    graft.plans.GroupedTopK(
+      spark.read.parquet(sketchPath).select("g", "h").distinct(),
+      Seq(col("g")), Seq(asc("h")), k)
+    .select("g", "h")
+
   /** Streaming Merkle-manifest maintenance — `Sketches.merkleManifest`'s
     * incremental form, making its "re-hashes only buckets whose rows
     * changed" note concrete. The maintained state is the bucket-partitioned

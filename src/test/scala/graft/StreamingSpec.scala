@@ -526,6 +526,35 @@ class StreamingSpec extends AnyFunSuite {
     li.unpersist()
   }
 
+  test("streamingKmvSketch: folded partials equal the batch sketch and its overlaps") {
+    val tmp = Files.createTempDirectory("graft-stream-kmv").toString
+    val (landing, skPath, ckpt) = (s"$tmp/landing", s"$tmp/sketch", s"$tmp/ckpt")
+    val ev = Tables.events(spark, TestSpark.sf0001).cache()
+    ev.filter($"event_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    ev.filter($"event_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingKmvSketch(stream, "event_type", "user_id", skPath, ckpt)
+      .awaitTermination(120000)
+    assert(spark.read.parquet(skPath).select("epoch").distinct().count() >= 2)
+    val folded = Streams.kmvSketchAt(spark, skPath)
+      .as[(String, Long)].collect().toSet
+    val batchSk = graft.operators.Sketches
+      .kmvSketch(ev, "event_type", "user_id")
+      .as[(String, Long)].collect().toSet
+    assert(folded == batchSk && folded.nonEmpty)
+    val streamedOv = graft.operators.Sketches
+      .kmvOverlapFromSketches(Streams.kmvSketchAt(spark, skPath))
+      .select($"g_a", $"g_b", $"k_used", $"union_est", $"jaccard", $"inter_est")
+      .as[(String, String, Long, Double, Double, Double)].collect().toSet
+    val batchOv = graft.operators.Sketches
+      .kmvOverlap(ev, "event_type", "user_id")
+      .select($"g_a", $"g_b", $"k_used", $"union_est", $"jaccard", $"inter_est")
+      .as[(String, String, Long, Double, Double, Double)].collect().toSet
+    assert(streamedOv == batchOv && streamedOv.nonEmpty)
+    ev.unpersist()
+  }
+
   test("streamingMerkleLeaves: incremental manifest equals batch; re-delivery cannot drift digests") {
     val tmp = Files.createTempDirectory("graft-stream-merkle").toString
     val (l1, l2, leaves) = (s"$tmp/landing1", s"$tmp/landing2", s"$tmp/leaves")
