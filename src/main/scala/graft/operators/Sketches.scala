@@ -251,7 +251,8 @@ object Sketches {
         est.select(col("g_a"), col("g_b")).limit(0)
           .withColumn("exact_inter", lit(0L))
     }
-    est.join(exact, Seq("g_a", "g_b"), "left")
+    // pairs^2-bounded audit frame: broadcast, or the left join sort-merges
+    est.join(broadcast(exact), Seq("g_a", "g_b"), "left")
       .na.fill(0L, Seq("exact_inter"))
       .withColumn("rel_err", round(expr(
         "CASE WHEN exact_inter = 0 THEN CAST(NULL AS DOUBLE) " +
