@@ -1089,6 +1089,17 @@ object SparkEntry {
     // hash-oracled; exact audit columns at test scale)
     "q175_kmv_overlap" -> ((s, dir) =>
       graft.operators.Sketches.kmvOverlap(Tables.events(tune(s), dir))),
+    // extension: point-in-time SCD-2 lookup — sampled facts joined to the
+    // q95 state history valid at each fact's timestamp; as-of machinery
+    // cross-checked by the oracle's interval-containment formulation
+    "q176_pit_join" -> ((s, dir) => {
+      val ev = Tables.events(tune(s), dir)
+      graft.operators.Joins.pointInTimeJoin(
+        ev.filter(col("event_id") % 10 === 0)
+          .select("user_id", "ts", "event_id"),
+        graft.operators.EventAnalytics.stateHistory(ev),
+        "user_id", "ts", "event_id", "valid_from", "event_type")
+    }),
     // extension: bounded BFS hop distances from a seed set (blast radius)
     "q123_bfs_hops" -> ((s, dir) => {
       val li = Tables.lineitem(s, dir)
@@ -3355,6 +3366,22 @@ SELECT es.event_type, es.n_zero, es.est, ex.exact,
   round((es.est - ex.exact) / ex.exact, 4) AS rel_err
 FROM es JOIN ex ON es.event_type = ex.event_type"""
     },
+    // PIT lookup via the CONTAINMENT formulation (valid_from <= ts <
+    // valid_to), cross-checking the Spark side's as-of machinery; runs
+    // CTE chain shared with q95
+    "q176_pit_join" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t, event_id FROM events),
+  r AS (SELECT user_id, event_type, t, event_id,
+          row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
+        - row_number() OVER (PARTITION BY user_id, event_type ORDER BY t, event_id) AS run_id FROM e),
+  g AS (SELECT user_id, event_type, run_id, min(t) AS valid_from, min(event_id) AS eid0
+        FROM r GROUP BY 1, 2, 3),
+  runs AS (SELECT user_id, event_type, valid_from,
+      lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, eid0) AS valid_to FROM g),
+  facts AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events WHERE event_id % 10 = 0)
+SELECT f.user_id, f.event_id, f.ts, r.valid_from, r.event_type AS state
+FROM facts f JOIN runs r ON r.user_id = f.user_id
+  AND r.valid_from <= f.ts AND (r.valid_to IS NULL OR f.ts < r.valid_to)""",
     // KMV overlap: same 6-byte sha256 hash, row_number rank mirrors
     // GroupedTopK's (h asc) heaps, same CASE estimators rounded 4dp
     "q175_kmv_overlap" -> {

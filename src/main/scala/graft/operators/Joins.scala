@@ -88,6 +88,26 @@ object Joins {
         col("__asof.ts").as("asof_ts"), col("__asof.value").as("asof_value"))
   }
 
+  /** Point-in-time (SCD-2) dimension lookup — the warehouse op that joins
+    * each fact row to the dimension state VALID AT its timestamp. An SCD-2
+    * table's validity is [valid_from, next valid_from), so the lookup IS an
+    * as-of join against the interval starts: this delegates to [[asOfJoin]]
+    * (one exchange + one sort, no range join, no per-probe subquery). The
+    * oracle cross-checks through the OTHER formulation — an explicit
+    * interval-containment join on (valid_from <= ts < valid_to) — so the
+    * as-of machinery and the containment semantics verify each other.
+    * `dim` needs (key, validFromCol, stateCol) and must be unique per
+    * (key, validFromCol) — which stateHistory guarantees by construction.
+    * Output: (key, idCol, ts, valid_from, state). */
+  def pointInTimeJoin(facts: DataFrame, dim: DataFrame, key: String,
+                      ts: String, idCol: String, validFromCol: String,
+                      stateCol: String): DataFrame =
+    asOfJoin(facts,
+        dim.select(col(key), col(validFromCol).as(ts), col(stateCol)),
+        key, ts, idCol, stateCol)
+      .withColumnRenamed("asof_ts", "valid_from")
+      .withColumnRenamed("asof_value", "state")
+
   /** Banded interval self-join: all ordered pairs of rows with the same
     * `key` whose timestamps are within `[0, windowSec)` of each other —
     * "events of one user within 5 minutes". The scale shape: band each row

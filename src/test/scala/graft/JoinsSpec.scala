@@ -38,6 +38,45 @@ class JoinsSpec extends AnyFunSuite {
     assert(counts.map(_._2).max < 1000 * 0.3) // no sub-key dominates
   }
 
+  test("pointInTimeJoin: facts see the state valid at their ts; pre-history facts null out") {
+    def t(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    // SCD-2 runs for one user: A [0, 5), B [5, 10), A [10, null)
+    val dim = Seq(
+      (1L, "A", t(0)), (1L, "B", t(5)), (1L, "A", t(10)),
+      (2L, "X", t(3)))
+      .toDF("user_id", "state0", "valid_from")
+    val facts = Seq(
+      (1L, t(0), 100L),  // boundary: run starting AT ts is valid
+      (1L, t(3), 101L),
+      (1L, t(5), 102L),  // boundary: new run takes over at its start
+      (1L, t(7), 103L),
+      (1L, t(12), 104L),
+      (2L, t(1), 200L),  // before user 2's first run -> null state
+      (2L, t(4), 201L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Joins.pointInTimeJoin(facts, dim,
+        "user_id", "ts", "event_id", "valid_from", "state0")
+      .select($"event_id", $"state").as[(Long, Option[String])]
+      .collect().toMap
+    assert(got == Map(100L -> Some("A"), 101L -> Some("A"), 102L -> Some("B"),
+      103L -> Some("B"), 104L -> Some("A"), 200L -> None, 201L -> Some("X")))
+    // interval-containment recompute on the fixture (the oracle's
+    // formulation) agrees with the as-of machinery
+    val ev = Tables.events(spark, TestSpark.sf0001).cache()
+    val hist = graft.operators.EventAnalytics.stateHistory(ev)
+    val sampled = ev.filter($"event_id" % 10 === 0)
+      .select("user_id", "ts", "event_id")
+    val viaAsof = Joins.pointInTimeJoin(sampled, hist,
+        "user_id", "ts", "event_id", "valid_from", "event_type")
+      .select($"event_id", $"state").as[(Long, String)].collect().toMap
+    val viaContain = sampled.as("f").join(hist.as("h"),
+        $"f.user_id" === $"h.user_id" && $"h.valid_from" <= $"f.ts" &&
+          ($"h.valid_to".isNull || $"f.ts" < $"h.valid_to"))
+      .select($"f.event_id", $"h.event_type").as[(Long, String)].collect().toMap
+    assert(viaAsof == viaContain && viaAsof.nonEmpty)
+    ev.unpersist()
+  }
+
   test("asOfJoin matches a driver-side naive as-of on random data") {
     val rnd = new scala.util.Random(7)
     val left = (0 until 300).map(i =>
