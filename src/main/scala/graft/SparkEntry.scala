@@ -3383,12 +3383,16 @@ SELECT f.user_id, f.event_id, f.ts, r.valid_from, r.event_type AS state
 FROM facts f JOIN runs r ON r.user_id = f.user_id
   AND r.valid_from <= f.ts AND (r.valid_to IS NULL OR f.ts < r.valid_to)""",
     // KMV overlap: same 6-byte sha256 hash, row_number rank mirrors
-    // GroupedTopK's (h asc) heaps, same CASE estimators rounded 4dp
+    // GroupedTopK's (h asc) heaps, same CASE estimators rounded 4dp.
+    // e-notation forces DOUBLE literals — a plain `281474976710656.0`
+    // parses as DECIMAL(16,1) in DuckDB and the k_used=256 branch then
+    // overflows DECIMAL multiplication at sf0.1 (sf0.01's unions stay
+    // under k, so the branch never ran there)
     "q175_kmv_overlap" -> {
       val h = "sha256('kmv:' || CAST(user_id AS VARCHAR))"
       val v6 = (0 to 5).map(j => dkByte(h, j.toString))
         .reduce((a, b) => s"($a) * 256 + ($b)")
-      val uMax = s"${1L << 48}.0"
+      val uMax = s"${1L << 48}e0"
       s"""WITH uh AS (SELECT DISTINCT event_type AS g, CAST($v6 AS BIGINT) AS h FROM events),
   sk AS (SELECT g, h FROM (SELECT g, h,
       row_number() OVER (PARTITION BY g ORDER BY h) AS rn FROM uh) WHERE rn <= 256),
@@ -3408,11 +3412,11 @@ FROM facts f JOIN runs r ON r.user_id = f.user_id
     FROM kt a JOIN kt b ON a.key = b.key AND a.g < b.g GROUP BY 1, 2),
   fin AS (SELECT es.g_a, es.g_b, es.k_used,
       round(CASE WHEN es.k_used < 256 THEN CAST(es.k_used AS DOUBLE)
-        ELSE (256.0 - 1.0) * $uMax / es.theta END, 4) AS union_est,
+        ELSE (CAST(256 AS DOUBLE) - 1.0) * $uMax / es.theta END, 4) AS union_est,
       round(CAST(es.n_both AS DOUBLE) / es.k_used, 4) AS jaccard,
       round((CAST(es.n_both AS DOUBLE) / es.k_used) *
         (CASE WHEN es.k_used < 256 THEN CAST(es.k_used AS DOUBLE)
-          ELSE (256.0 - 1.0) * $uMax / es.theta END), 4) AS inter_est,
+          ELSE (CAST(256 AS DOUBLE) - 1.0) * $uMax / es.theta END), 4) AS inter_est,
       COALESCE(ex.exact_inter, 0) AS exact_inter
     FROM es LEFT JOIN ex ON es.g_a = ex.g_a AND es.g_b = ex.g_b)
 SELECT g_a, g_b, k_used, union_est, jaccard, inter_est, exact_inter,
