@@ -469,6 +469,36 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("epoch-partition retry: re-writing an epoch's partial leaves the fold unchanged") {
+    // The exactly-once contract every epoch-partition twin relies on
+    // (BPE vocab, CMS grid, DDSketch buckets, KMV sketch): a RETRIED batch
+    // re-derives the same partial and dynamic-overwrites exactly its own
+    // epoch partition, so the folded state cannot double-count. Simulate
+    // the retry by re-writing one epoch's rows through the same write path.
+    val tmp = Files.createTempDirectory("graft-epoch-retry").toString
+    val (landing, vocabPath, ckpt) = (s"$tmp/landing", s"$tmp/vocab", s"$tmp/ckpt")
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingBpeVocab(stream, vocabPath, ckpt).awaitTermination(120000)
+    val before = Streams.bpeVocabAt(spark, vocabPath)
+      .as[(String, Long)].collect().toSet
+    // retry epoch 0: its recomputed partial is byte-identical, and the
+    // dynamic overwrite replaces only partition epoch=0
+    val epoch0 = spark.read.parquet(vocabPath).filter($"epoch" === 0)
+      .select("word", "n", "epoch").cache()
+    assert(epoch0.count() > 0)
+    epoch0.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(vocabPath)
+    val after = Streams.bpeVocabAt(spark, vocabPath)
+      .as[(String, Long)].collect().toSet
+    assert(after == before, "retried epoch changed the folded vocab")
+    epoch0.unpersist()
+  }
+
   test("streamingCmsGrid: folded partial grids equal the batch sketch; probe parity") {
     val tmp = Files.createTempDirectory("graft-stream-cms").toString
     val (landing, gridPath, ckpt) = (s"$tmp/landing", s"$tmp/grid", s"$tmp/ckpt")
