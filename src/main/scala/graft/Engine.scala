@@ -395,6 +395,75 @@ object Engine {
     fs.delete(p, true)
   }
 
+  /** RM3-style pseudo-relevance-feedback expanded search: run the flagship
+    * vector search, mine expansion terms from the top `fbDocs` chunks
+    * (feedback tf x BM25 idf, query terms excluded, top `fbTerms` by
+    * weight), then re-score the WHOLE index with BM25 over the expanded
+    * term set — query terms at weight 1, expansion terms at 0.5 x their
+    * normalized mined weight. The classic fix for vocabulary mismatch: a
+    * query phrased one way retrieves chunks phrased another.
+    *
+    * Determinism recipe: per-(chunk, term) BM25 contributions are
+    * fixed-pointed (floor(x * 2^20 + 0.5) as LONG) before the per-chunk
+    * sum, so the data-dependent term set cannot introduce f64
+    * summation-order drift, and the final ranking orders on the exact
+    * integer sum. Scale shape: one tokenize pass (memoized), a vocab-sized
+    * df aggregate, a broadcast term table (<= |query| + fbTerms rows)
+    * that filters occurrences to the expanded terms' postings, and two
+    * SHUFFLE_HASH id joins — never a corpus sort; the final top-k is a
+    * TakeOrderedAndProject. Output: (id, source, prf_score) top-k by
+    * (exact fixed-point score desc, id). */
+  def searchPrf(index: DataFrame, query: String, k: Int = 5, fbDocs: Int = 5,
+                fbTerms: Int = 10): DataFrame = {
+    require(query.trim.nonEmpty, "Query cannot be empty")
+    val qTerms = query.toLowerCase.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.forall(_.matches("[a-z0-9]+")),
+      "query terms must be plain lowercase words (SQL-literal safe)")
+    val tokd = graft.operators.PlanCache.memo(
+      index.select(col("id"),
+        expr(graft.operators.TextAnalysis.tokensExpr).as("toks")))
+    val occ = tokd.select(col("id"), explode(col("toks")).as("token"))
+    val dl = tokd.select(col("id"), size(col("toks")).as("dl"))
+    val stats = dl.agg(count(lit(1)).as("n_docs_l"), avg("dl").as("avgdl"))
+    val dfT = occ.distinct().groupBy("token").agg(count(lit(1)).as("df_l"))
+    val fb = search(index, query, fbDocs).select(col("id"))
+    val fbTf = occ.join(broadcast(fb), Seq("id"))
+      .groupBy("token").agg(count(lit(1)).as("ftf_l"))
+    val idfExpr = "ln((CAST(n_docs_l AS DOUBLE) - CAST(df_l AS DOUBLE) + 0.5)" +
+      " / (CAST(df_l AS DOUBLE) + 0.5) + 1.0)"
+    val expTerms = fbTf
+      .filter(!col("token").isin(qTerms: _*) && col("token").rlike("^[a-z0-9]+$"))
+      .join(dfT, Seq("token"))
+      .crossJoin(broadcast(stats))
+      .withColumn("w", expr(s"CAST(ftf_l AS DOUBLE) * $idfExpr"))
+      .orderBy(desc("w"), asc("token"))
+      .limit(fbTerms)
+      .select("token", "w")
+    val maxW = expTerms.agg(max("w").as("max_w"))
+    val spark = index.sparkSession
+    import spark.implicits._
+    val termW = qTerms.toDF("token").withColumn("tw", lit(1.0))
+      .unionByName(expTerms.crossJoin(broadcast(maxW))
+        .select(col("token"), expr("0.5 * w / max_w").as("tw")))
+    val termStats = termW.join(dfT, Seq("token"), "left")
+      .na.fill(0L, Seq("df_l"))
+      .select("token", "tw", "df_l")
+    val contrib = occ.groupBy("id", "token").agg(count(lit(1)).as("tf_l"))
+      .join(broadcast(termStats), Seq("token"))
+      .join(dl.hint("SHUFFLE_HASH"), Seq("id"))
+      .crossJoin(broadcast(stats))
+      .withColumn("cfx", expr(
+        s"CAST(floor(tw * $idfExpr" +
+          " * (CAST(tf_l AS DOUBLE) * 2.2) / (CAST(tf_l AS DOUBLE) + 1.2 * (0.25 + 0.75 * CAST(dl AS DOUBLE) / avgdl))" +
+          " * 1048576.0 + 0.5) AS BIGINT)"))
+    contrib.groupBy("id").agg(sum("cfx").as("sfx"))
+      .join(index.select("id", "source").hint("SHUFFLE_HASH"), Seq("id"))
+      .orderBy(desc("sfx"), asc("id"))
+      .limit(k)
+      .select(col("id"), col("source"),
+        expr("round(CAST(sfx AS DOUBLE) / 1048576.0, 6)").as("prf_score"))
+  }
+
   /** Hybrid search: reciprocal-rank fusion of the vector leg (flagship
     * cosine top-k) and a BM25 lexical leg over the same index — the hybrid
     * retrieval mode production vector stores pair with pure ANN (keyword

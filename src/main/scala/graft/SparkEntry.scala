@@ -1089,6 +1089,12 @@ object SparkEntry {
     // hash-oracled; exact audit columns at test scale)
     "q175_kmv_overlap" -> ((s, dir) =>
       graft.operators.Sketches.kmvOverlap(Tables.events(tune(s), dir))),
+    // extension: RM3 pseudo-relevance-feedback expanded search — expansion
+    // terms mined from the flagship vector top-5, BM25 re-score over the
+    // expanded weighted term set (fixed-point contributions, fully
+    // hash-oracled)
+    "q177_prf_search" -> ((s, dir) =>
+      Engine.searchPrf(indexOf(s, dir), Q, 5, 5, 10)),
     // extension: point-in-time SCD-2 lookup — sampled facts joined to the
     // q95 state history valid at each fact's timestamp; as-of machinery
     // cross-checked by the oracle's interval-containment formulation
@@ -3366,6 +3372,48 @@ SELECT es.event_type, es.n_zero, es.est, ex.exact,
   round((es.est - ex.exact) / ex.exact, 4) AS rel_err
 FROM es JOIN ex ON es.event_type = ex.event_type"""
     },
+    // RM3 PRF: first pass = dkScored top-5, expansion mining and the
+    // fixed-point BM25 re-score mirror Engine.searchPrf term for term
+    // (everything CAST AS DOUBLE before the 2.2/1.2/0.25/0.75 literals,
+    // the dkBm25Parts convention)
+    "q177_prf_search" ->
+      s"""$dkScored,
+  fb AS (SELECT id FROM scored ORDER BY score DESC, id ASC LIMIT 5),
+  ctok AS (SELECT id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM chunks),
+  occ AS (SELECT id, unnest(toks) AS token FROM ctok),
+  dlt AS (SELECT id, len(toks) AS dl FROM ctok),
+  st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl FROM dlt),
+  dft AS (SELECT token, CAST(count(*) AS DOUBLE) AS dfv
+    FROM (SELECT DISTINCT id, token FROM occ) GROUP BY 1),
+  fbtf AS (SELECT token, CAST(count(*) AS DOUBLE) AS ftf
+    FROM occ JOIN fb USING (id) GROUP BY 1),
+  expw AS (SELECT token, w FROM (
+      SELECT f.token,
+        f.ftf * ln((s.n_docs - d.dfv + 0.5) / (d.dfv + 0.5) + 1.0) AS w,
+        row_number() OVER (
+          ORDER BY f.ftf * ln((s.n_docs - d.dfv + 0.5) / (d.dfv + 0.5) + 1.0) DESC,
+            f.token ASC) AS rn
+      FROM fbtf f JOIN dft d USING (token) CROSS JOIN st s
+      WHERE f.token NOT IN ('transfer', 'credits')
+        AND regexp_full_match(f.token, '[a-z0-9]+'))
+    WHERE rn <= 10),
+  mx AS (SELECT max(w) AS max_w FROM expw),
+  termw AS (SELECT token, CAST(1.0 AS DOUBLE) AS tw
+      FROM (VALUES ('transfer'), ('credits')) q(token)
+    UNION ALL
+    SELECT e.token, 0.5 * e.w / m.max_w AS tw FROM expw e CROSS JOIN mx m),
+  ts2 AS (SELECT t.token, t.tw, COALESCE(d.dfv, 0.0) AS dfv
+    FROM termw t LEFT JOIN dft d USING (token)),
+  tfc AS (SELECT id, token, CAST(count(*) AS DOUBLE) AS tf FROM occ GROUP BY 1, 2),
+  contrib AS (SELECT c.id,
+      CAST(floor(t.tw * ln((s.n_docs - t.dfv + 0.5) / (t.dfv + 0.5) + 1.0)
+        * (c.tf * 2.2) / (c.tf + 1.2 * (0.25 + 0.75 * CAST(l.dl AS DOUBLE) / s.avgdl))
+        * 1048576.0 + 0.5) AS BIGINT) AS cfx
+    FROM tfc c JOIN ts2 t USING (token) JOIN dlt l USING (id) CROSS JOIN st s),
+  sc2 AS (SELECT id, CAST(sum(cfx) AS BIGINT) AS sfx FROM contrib GROUP BY 1)
+SELECT s.id, ch.source, round(CAST(s.sfx AS DOUBLE) / 1048576.0, 6) AS prf_score
+FROM sc2 s JOIN chunks ch ON ch.id = s.id
+ORDER BY s.sfx DESC, s.id ASC LIMIT 5""",
     // PIT lookup via the CONTAINMENT formulation (valid_from <= ts <
     // valid_to), cross-checking the Spark side's as-of machinery; runs
     // CTE chain shared with q95

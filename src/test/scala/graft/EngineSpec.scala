@@ -35,6 +35,53 @@ class EngineSpec extends AnyFunSuite {
     assert(index.select("id").distinct().count() == index.count())
   }
 
+  test("searchPrf: matches a driver-side recompute of the full RM3 pipeline; partition-invariant") {
+    // The embeddings are deterministic hash stand-ins with no semantics,
+    // so the spec checks MECHANISM, not retrieval quality: the whole
+    // pipeline (feedback top-k, term mining, weighting, fixed-point BM25
+    // re-score) recomputed in plain Scala over the collected fixture must
+    // reproduce the operator's output exactly.
+    val (qTerms, fbDocs, fbTerms, k) = (Seq("transfer", "credits"), 5, 10, 5)
+    val got = Engine.searchPrf(index, "transfer credits", k, fbDocs, fbTerms)
+      .select($"id", $"prf_score").as[(String, Double)].collect().toSeq
+    val chunks = index.select($"id", $"text").as[(String, String)].collect()
+    val toks = chunks.map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toSeq }.toMap
+    val nDocs = toks.size.toDouble
+    val avgdl = toks.values.map(_.size.toLong).sum.toDouble / nDocs
+    val dfm = toks.values.flatMap(_.distinct).groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    def idf(df: Double) = math.log((nDocs - df + 0.5) / (df + 0.5) + 1.0)
+    val fbIds = Engine.search(index, "transfer credits", fbDocs)
+      .select($"id").as[String].collect().toSet
+    val ftf = fbIds.toSeq.flatMap(toks(_)).groupBy(identity).view.mapValues(_.size.toDouble).toMap
+    val expansion = ftf.toSeq
+      .filter { case (t, _) => !qTerms.contains(t) && t.matches("[a-z0-9]+") }
+      .map { case (t, f) => (t, f * idf(dfm(t))) }
+      .sortBy { case (t, w) => (-w, t) }.take(fbTerms)
+    val maxW = expansion.map(_._2).max
+    val termW = qTerms.map(_ -> 1.0) ++ expansion.map { case (t, w) => t -> 0.5 * w / maxW }
+    val want = toks.toSeq.map { case (id, ts) =>
+      val tf = ts.groupBy(identity).view.mapValues(_.size.toDouble).toMap
+      val dl = ts.size.toDouble
+      val present = termW.exists { case (t, _) => tf.contains(t) }
+      val sfx = termW.map { case (t, tw) =>
+        tf.get(t).fold(0L) { f =>
+          math.floor(tw * idf(dfm.getOrElse(t, 0.0)) * (f * 2.2) /
+            (f + 1.2 * (0.25 + 0.75 * dl / avgdl)) * 1048576.0 + 0.5).toLong
+        }
+      }.sum
+      (id, sfx, present)
+    }.filter(_._3) // mirror the operator's inner join: only docs with a matched term
+      .map { case (id, s, _) => (id, s) }
+      .sortBy { case (id, s) => (-s, id) }.take(k)
+      .map { case (id, s) => (id, math.rint(s / 1048576.0 * 1e6) / 1e6) }
+    assert(got == want, s"got $got, want $want")
+    assert(got.nonEmpty && got.map(_._2).forall(_ > 0.0))
+    // exact fixed-point sums — identical under repartitioning
+    val got2 = Engine.searchPrf(index.repartition(7), "transfer credits", k, fbDocs, fbTerms)
+      .select($"id", $"prf_score").as[(String, Double)].collect().toSeq
+    assert(got2 == got)
+  }
+
   test("search: top-k deterministic, exact-duplicate text scores 1.0 first") {
     // Take a real chunk's text as the query => its own chunk must rank #1 with score 1.0
     val probe = index.orderBy("id").select($"id", $"text").as[(String, String)].head()
