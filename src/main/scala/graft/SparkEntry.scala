@@ -1089,6 +1089,10 @@ object SparkEntry {
     // hash-oracled; exact audit columns at test scale)
     "q175_kmv_overlap" -> ((s, dir) =>
       graft.operators.Sketches.kmvOverlap(Tables.events(tune(s), dir))),
+    // extension: per-source data card — counts, language share, exact-dup
+    // rate (fully hash-oracled release documentation)
+    "q178_data_card" -> ((s, dir) =>
+      graft.operators.Pipeline.dataCard(docs(s, dir))),
     // extension: RM3 pseudo-relevance-feedback expanded search — expansion
     // terms mined from the flagship vector top-5, BM25 re-score over the
     // expanded weighted term set (fixed-point contributions, fully
@@ -3372,6 +3376,24 @@ SELECT es.event_type, es.n_zero, es.est, ex.exact,
   round((es.est - ex.exact) / ex.exact, 4) AS rel_err
 FROM es JOIN ex ON es.event_type = ex.event_type"""
     },
+    // Data card: exact integer rollups + single final divisions
+    "q178_data_card" ->
+      """WITH h AS (SELECT source, lang,
+    len(list_filter(string_split(text, ' '), t -> t <> '')) AS n_toks,
+    length(text) AS n_chars, sha256(text) AS hx FROM documents),
+  dh AS (SELECT hx, count(*) AS n_same FROM h GROUP BY 1),
+  j AS (SELECT h.source, h.lang, h.n_toks, h.n_chars, d.n_same FROM h JOIN dh d ON h.hx = d.hx),
+  a AS (SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+      CAST(sum(n_chars) AS BIGINT) AS total_chars,
+      CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+      CAST(sum(CASE WHEN n_same > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup
+    FROM j GROUP BY 1)
+SELECT source, n_docs, total_tokens, total_chars,
+  round(CAST(total_tokens AS DOUBLE) / n_docs, 6) AS mean_doc_tokens,
+  round(CAST(n_en AS DOUBLE) / n_docs, 6) AS en_share,
+  round(CAST(n_dup AS DOUBLE) / n_docs, 6) AS dup_rate
+FROM a""",
     // RM3 PRF: first pass = dkScored top-5, expansion mining and the
     // fixed-point BM25 re-score mirror Engine.searchPrf term for term
     // (everything CAST AS DOUBLE before the 2.2/1.2/0.25/0.75 literals,

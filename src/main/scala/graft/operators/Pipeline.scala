@@ -71,6 +71,36 @@ object Pipeline {
     * verification — at most candidate-pairs rows, typically << corpus).
     * Output: the full (split_a <= split_b, n_pairs) matrix — off-diagonal
     * rows are the leaks; diagonal rows are the in-split dup load. */
+  /** Per-source data card — the release-documentation table every dataset
+    * ships with: document/token/char counts, mean document length,
+    * language share, and the within-corpus exact-duplicate rate (the
+    * number a consumer checks before trusting a source). Exact integers
+    * plus single final divisions (engine-portable); the duplicate flag is
+    * a sha256(text) frequency lookup — one vocab-sized aggregate joined
+    * back by hash (SHUFFLE_HASH, never a self-join on text). Scale: two
+    * passes over the corpus (hash counts, then the per-source rollup),
+    * both map-side combined; output is one row per source.
+    * Output: (source, n_docs, total_tokens, total_chars, mean_doc_tokens,
+    * en_share, dup_rate). */
+  def dataCard(docs: DataFrame): DataFrame = {
+    val hashed = docs.select(col("source"), col("lang"),
+      expr(s"size(${TextAnalysis.tokensExpr})").as("n_toks"),
+      length(col("text")).as("n_chars"),
+      sha2(col("text"), 256).as("h"))
+    val dupHashes = hashed.groupBy("h").agg(count(lit(1)).as("n_same"))
+    hashed.join(dupHashes.hint("SHUFFLE_HASH"), Seq("h"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_toks").as("total_tokens"),
+        sum(expr("CAST(n_chars AS BIGINT)")).as("total_chars"),
+        sum(expr("CASE WHEN lang = 'en' THEN 1L ELSE 0L END")).as("n_en"),
+        sum(expr("CASE WHEN n_same > 1 THEN 1L ELSE 0L END")).as("n_dup"))
+      .select(col("source"), col("n_docs"), col("total_tokens"), col("total_chars"),
+        round(expr("CAST(total_tokens AS DOUBLE) / n_docs"), 6).as("mean_doc_tokens"),
+        round(expr("CAST(n_en AS DOUBLE) / n_docs"), 6).as("en_share"),
+        round(expr("CAST(n_dup AS DOUBLE) / n_docs"), 6).as("dup_rate"))
+  }
+
   def splitLeakage(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val splits = PlanCache.memo(
       Sampling.splitByHash(docs).select(col("doc_id"), col("split")))

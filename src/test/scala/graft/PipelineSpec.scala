@@ -51,6 +51,33 @@ class PipelineSpec extends AnyFunSuite {
       ((pooled(chunks2, 0), pooled(chunks2, 13), pooled(chunks2, 31))))
   }
 
+  test("dataCard: exact counts on a crafted corpus; fixture rollup consistent with raw aggregates") {
+    val crafted = Seq(
+      (1L, "one two three", "en", "s1"),
+      (2L, "one two three", "en", "s1"),   // exact dup of doc 1
+      (3L, "vier funf", "de", "s1"),
+      (4L, "uno dos tres cuatro", "es", "s2"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Pipeline.dataCard(crafted)
+      .as[(String, Long, Long, Long, Double, Double, Double)]
+      .collect().map(r => r._1 -> r).toMap
+    val s1 = got("s1")
+    assert(s1._2 == 3 && s1._3 == 8 && s1._4 == 13 + 13 + 9)
+    assert(s1._5 == math.rint(8.0 / 3 * 1e6) / 1e6)  // mean tokens
+    assert(s1._6 == math.rint(2.0 / 3 * 1e6) / 1e6)  // en share
+    assert(s1._7 == math.rint(2.0 / 3 * 1e6) / 1e6)  // both dup copies flagged
+    val s2 = got("s2")
+    assert(s2._2 == 1 && s2._3 == 4 && s2._6 == 0.0 && s2._7 == 0.0)
+    // fixture: card totals equal independent raw aggregates
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val card = Pipeline.dataCard(docs)
+      .as[(String, Long, Long, Long, Double, Double, Double)].collect()
+    assert(card.map(_._2).sum == docs.count())
+    val rawTokens = docs.selectExpr(
+      s"sum(size(${graft.operators.TextAnalysis.tokensExpr}))").head().getLong(0)
+    assert(card.map(_._3).sum == rawTokens)
+  }
+
   test("splitLeakage: matrix totals equal the pair count; labels match recomputing split-by-pair") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val got = Pipeline.splitLeakage(docs)
