@@ -1093,6 +1093,14 @@ object SparkEntry {
     // rate (fully hash-oracled release documentation)
     "q178_data_card" -> ((s, dir) =>
       graft.operators.Pipeline.dataCard(docs(s, dir))),
+    // extension: mutual-kNN pair mining with the margin criterion — align
+    // two embedding collections (even vs odd ids), keep mutually-top-k
+    // pairs scored by locally-normalized margin (fully hash-oracled)
+    "q179_mutual_knn" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      Similarity.mutualTopKPairs(
+        e.filter(col("vec_id") % 2 === 0), e.filter(col("vec_id") % 2 === 1), 4)
+    }),
     // extension: RM3 pseudo-relevance-feedback expanded search — expansion
     // terms mined from the flagship vector top-5, BM25 re-score over the
     // expanded weighted term set (fixed-point contributions, fully
@@ -3375,6 +3383,32 @@ GROUP BY 1, 2""",
 SELECT es.event_type, es.n_zero, es.est, ex.exact,
   round((es.est - ex.exact) / ex.exact, 4) AS rel_err
 FROM es JOIN ex ON es.event_type = ex.event_type"""
+    },
+    // Mutual-kNN margin mining: same 64-dim dot idiom as q24, row_number
+    // ranks mirror GroupedTopK, fixed-point cosine sums, one division
+    "q179_mutual_knn" -> {
+      val dot = (x: String, y: String) =>
+        s"list_sum(list_transform(range(1, 65), i -> CAST($x.embedding[i] AS DOUBLE)*CAST($y.embedding[i] AS DOUBLE)))"
+      s"""WITH av AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 0),
+  bv AS (SELECT vec_id, embedding FROM embeddings WHERE vec_id % 2 = 1),
+  s AS (SELECT a.vec_id AS va, b.vec_id AS vb,
+      ${dot("a", "b")} AS dot, ${dot("a", "a")} AS na, ${dot("b", "b")} AS nb
+    FROM av a CROSS JOIN bv b),
+  sc AS (SELECT va, vb,
+      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END AS score FROM s),
+  fx AS (SELECT va, vb, score,
+      CAST(floor(score * 1073741824.0 + 0.5) AS BIGINT) AS f FROM sc),
+  tab AS (SELECT * FROM (SELECT va, vb, score, f,
+      row_number() OVER (PARTITION BY va ORDER BY score DESC, vb ASC) AS rn FROM fx) WHERE rn <= 4),
+  tba AS (SELECT * FROM (SELECT va, vb, f,
+      row_number() OVER (PARTITION BY vb ORDER BY score DESC, va ASC) AS rn FROM fx) WHERE rn <= 4),
+  sa AS (SELECT va, CAST(sum(f) AS BIGINT) AS sfa FROM tab GROUP BY 1),
+  sb AS (SELECT vb, CAST(sum(f) AS BIGINT) AS sfb FROM tba GROUP BY 1),
+  mu AS (SELECT t1.va, t1.vb, t1.score, t1.f
+    FROM tab t1 JOIN tba t2 ON t1.va = t2.va AND t1.vb = t2.vb)
+SELECT m.va AS vec_a, m.vb AS vec_b, round(m.score, 4) AS score,
+  round(CAST(m.f AS DOUBLE) * 8.0 / (s1.sfa + s2.sfb), 6) AS margin
+FROM mu m JOIN sa s1 ON m.va = s1.va JOIN sb s2 ON m.vb = s2.vb"""
     },
     // Data card: exact integer rollups + single final divisions
     "q178_data_card" ->

@@ -47,6 +47,51 @@ object Similarity {
   def bruteForceTopK(items: DataFrame, queries: DataFrame, k: Int): DataFrame =
     topKPerQuery(cosineScores(items, queries), k)
 
+  /** Mutual-kNN pair mining with the margin criterion (Artetxe & Schwenk
+    * 2019's bitext-mining rule, the standard for aligning two embedding
+    * collections — parallel-corpus mining, cross-modal pairing, label
+    * transfer): keep (va, vb) only when each is in the OTHER's top-k, and
+    * score by margin = cos(va, vb) / (mean of both sides' top-k cosines) —
+    * mutual agreement plus locally-normalized similarity kills hub vectors
+    * that plain thresholding keeps.
+    *
+    * Determinism recipe: each cosine is fixed-pointed once
+    * (floor(cos * 2^30 + 0.5) as LONG), so the top-k sums are exact
+    * integers and the margin is ONE double division — hash-oracled
+    * end-to-end. Ranking runs through GroupedTopK both directions. This
+    * exact form scores |a| x |b| pairs (the verifiable baseline, like
+    * `bruteForceTopK`); at scale the same mutual+margin tail runs over
+    * candidate top-k from the rp-LSH/IVF arms instead.
+    * Requires both sides to hold >= k vectors (margin normalizes by k).
+    * Output: (vec_a, vec_b, score, margin) for mutual pairs. */
+  def mutualTopKPairs(a: DataFrame, b: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64]: $k")
+    val qa = a.select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+    val qb = b.select(col("vec_id").as("query_id"), col("embedding").as("query_embedding"))
+    def topFx(items: DataFrame, queries: DataFrame): DataFrame =
+      graft.plans.GroupedTopK(
+        cosineScores(items, queries)
+          .withColumn("fx", expr("CAST(floor(score * 1073741824.0 + 0.5) AS BIGINT)"))
+          .select(col("query_id"), col("vec_id"), col("score"), col("fx")),
+        Seq(col("query_id")), Seq(desc("score"), asc("vec_id")), k)
+    // each direction feeds two consumers (the mutual join and its top-k
+    // sum) — memoized so the |a| x |b| scoring pass runs once per side
+    val tabFull = PlanCache.memo(topFx(b, qa))
+    val tbaFull = PlanCache.memo(topFx(a, qb))
+    val tab = tabFull.select(col("query_id").as("vec_a"),
+      col("vec_id").as("vec_b"), col("score"), col("fx"))
+    val tba = tbaFull.select(col("vec_id").as("vec_a"),
+      col("query_id").as("vec_b"))
+    val sa = tab.groupBy("vec_a").agg(sum("fx").as("sfa"))
+    val sb = tbaFull.groupBy(col("query_id").as("vec_b"))
+      .agg(sum("fx").as("sfb"))
+    tab.join(tba.hint("SHUFFLE_HASH"), Seq("vec_a", "vec_b"))
+      .join(sa.hint("SHUFFLE_HASH"), Seq("vec_a"))
+      .join(sb.hint("SHUFFLE_HASH"), Seq("vec_b"))
+      .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("score"),
+        round(expr(s"CAST(fx AS DOUBLE) * ${2 * k}.0 / (sfa + sfb)"), 6).as("margin"))
+  }
+
   /** Recall@k of the deterministic IVF index against exact brute force —
     * the retrieval-quality monitor a production ANN deployment runs on a
     * probe query set ("measure, don't guess" as an OPERATOR, not just a

@@ -16,6 +16,51 @@ class SimilaritySpec extends AnyFunSuite {
     .filter($"vec_id" < 5)
     .select($"vec_id".as("query_id"), $"embedding".as("query_embedding")).cache()
 
+  test("mutualTopKPairs: driver-side recompute parity; mutuality; partition-invariant") {
+    val k = 4
+    val a = emb.filter($"vec_id" % 2 === 0)
+    val b = emb.filter($"vec_id" % 2 === 1)
+    val got = Similarity.mutualTopKPairs(a, b, k)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got.nonEmpty)
+    // full recompute in plain Scala with the same fixed-point recipe
+    val av = a.as[(Long, Array[Float])].collect()
+    val bv = b.as[(Long, Array[Float])].collect()
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var (d, nx, ny) = (0.0, 0.0, 0.0)
+      var i = 0
+      while (i < x.length) {
+        d += x(i).toDouble * y(i).toDouble
+        nx += x(i).toDouble * x(i).toDouble
+        ny += y(i).toDouble * y(i).toDouble
+        i += 1
+      }
+      if (nx == 0.0 || ny == 0.0) 0.0 else d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val scores = for (x <- av; y <- bv) yield (x._1, y._1, cos(x._2, y._2))
+    def fx(s: Double) = math.floor(s * 1073741824.0 + 0.5).toLong
+    val topAB = scores.groupBy(_._1).view.mapValues(
+      _.sortBy(t => (-t._3, t._2)).take(k).toSeq).toMap
+    val topBA = scores.groupBy(_._2).view.mapValues(
+      _.sortBy(t => (-t._3, t._1)).take(k).toSeq).toMap
+    val sfa = topAB.view.mapValues(_.map(t => fx(t._3)).sum).toMap
+    val sfb = topBA.view.mapValues(_.map(t => fx(t._3)).sum).toMap
+    val want = (for {
+      (va, rows) <- topAB.toSeq
+      (_, vb, s) <- rows
+      if topBA(vb).exists(_._1 == va)
+    } yield (va, vb,
+        math.rint(s * 1e4) / 1e4,
+        math.rint(fx(s) * 2.0 * k / (sfa(va) + sfb(vb)) * 1e6) / 1e6)).toSet
+    assert(got == want, s"sizes got=${got.size} want=${want.size}")
+    // every emitted pair is mutual by construction; margins positive
+    assert(got.forall(_._4 > 0.0))
+    // partition invariance (fixed-point sums + deterministic ranks)
+    val got2 = Similarity.mutualTopKPairs(a.repartition(9), b.repartition(5), k)
+      .as[(Long, Long, Double, Double)].collect().toSet
+    assert(got2 == got)
+  }
+
   test("bruteForceTopK: rank-1 is the query itself with score 1; ranks contiguous") {
     val top = Similarity.bruteForceTopK(emb, queries, 3)
       .as[(Long, Long, Int, Double)].collect()
