@@ -1093,6 +1093,12 @@ object SparkEntry {
     // rate (fully hash-oracled release documentation)
     "q178_data_card" -> ((s, dir) =>
       graft.operators.Pipeline.dataCard(docs(s, dir))),
+    // extension: cross-source contamination matrix — distinct 200-char
+    // openings shared per source pair (the syndicated-boilerplate signal;
+    // hash-keyed join, never corpus^2)
+    "q180_source_overlap" -> ((s, dir) =>
+      graft.operators.Pipeline.sourceOverlap(docs(s, dir),
+        "sha2(substring(text, 1, 200), 256)")),
     // extension: mutual-kNN pair mining with the margin criterion — align
     // two embedding collections (even vs odd ids), keep mutually-top-k
     // pairs scored by locally-normalized margin (fully hash-oracled)
@@ -3384,6 +3390,12 @@ SELECT es.event_type, es.n_zero, es.est, ex.exact,
   round((es.est - ex.exact) / ex.exact, 4) AS rel_err
 FROM es JOIN ex ON es.event_type = ex.event_type"""
     },
+    // Source overlap: per-source-distinct prefix hashes self-joined
+    "q180_source_overlap" ->
+      """WITH h AS (SELECT DISTINCT source, sha256(substr(text, 1, 200)) AS hx FROM documents)
+SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
+FROM h a JOIN h b ON a.hx = b.hx AND a.source < b.source
+GROUP BY 1, 2""",
     // Mutual-kNN margin mining: same 64-dim dot idiom as q24, row_number
     // ranks mirror GroupedTopK, fixed-point cosine sums, one division
     "q179_mutual_knn" -> {

@@ -101,6 +101,26 @@ object Pipeline {
         round(expr("CAST(n_dup AS DOUBLE) / n_docs"), 6).as("dup_rate"))
   }
 
+  /** Cross-source contamination matrix — the data-governance complement of
+    * [[dataCard]]'s within-source dup rate: for every source pair, how many
+    * DISTINCT contents appear in both (which feeds copy from which). The
+    * join runs on content hashes deduplicated per source first, so the
+    * pair space is bounded by (contents shared at all) x (sources sharing
+    * them)^2, never corpus^2 — a hash shared by s sources yields s(s-1)/2
+    * rows, and the common case (hash in one source) yields none.
+    * `keyExpr` picks the content key: the full-text hash for verbatim
+    * copies (default), or a prefix/fingerprint hash for the syndicated-
+    * boilerplate signal (shared openings with divergent tails).
+    * Output: (src_a, src_b, n_shared) with src_a < src_b. */
+  def sourceOverlap(docs: DataFrame,
+                    keyExpr: String = "sha2(text, 256)"): DataFrame = {
+    val h = docs.select(col("source"), expr(keyExpr).as("h")).distinct()
+    h.as("a").join(h.as("b").hint("SHUFFLE_HASH"),
+        col("a.h") === col("b.h") && col("a.source") < col("b.source"))
+      .groupBy(col("a.source").as("src_a"), col("b.source").as("src_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   def splitLeakage(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val splits = PlanCache.memo(
       Sampling.splitByHash(docs).select(col("doc_id"), col("split")))

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Pipeline
@@ -76,6 +77,33 @@ class PipelineSpec extends AnyFunSuite {
     val rawTokens = docs.selectExpr(
       s"sum(size(${graft.operators.TextAnalysis.tokensExpr}))").head().getLong(0)
     assert(card.map(_._3).sum == rawTokens)
+  }
+
+  test("sourceOverlap: crafted cross-source duplicates counted once per pair; fixture parity with a driver recompute") {
+    val crafted = Seq(
+      (1L, "shared one", "s1"), (2L, "shared one", "s2"),   // s1-s2 share
+      (3L, "shared one", "s2"),                             // same content twice in s2: still 1
+      (4L, "shared two", "s1"), (5L, "shared two", "s3"),
+      (6L, "only here", "s1"))
+      .toDF("doc_id", "text", "source")
+    val got = Pipeline.sourceOverlap(crafted)
+      .as[(String, String, Long)].collect().toSet
+    assert(got == Set(("s1", "s2", 1L), ("s1", "s3", 1L)))
+    // fixture: the prefix-key form (the q180 shape) matches a driver-side
+    // recompute over (source, 200-char prefix) sets
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val fx = Pipeline.sourceOverlap(docs, "sha2(substring(text, 1, 200), 256)")
+      .as[(String, String, Long)].collect().toSet
+    val rows: Array[(String, String)] =
+      docs.selectExpr("source", "substring(text, 1, 200) AS p")
+        .as[(String, String)].collect()
+    val sets = rows.toSet.groupBy((t: (String, String)) => t._1)
+      .view.mapValues(_.map(_._2)).toMap
+    val want = (for {
+      a <- sets.keys; b <- sets.keys if a < b
+      n = (sets(a) & sets(b)).size if n > 0
+    } yield (a, b, n.toLong)).toSet
+    assert(fx == want)
   }
 
   test("splitLeakage: matrix totals equal the pair count; labels match recomputing split-by-pair") {
