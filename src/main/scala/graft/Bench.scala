@@ -95,12 +95,18 @@ object Bench {
     val loadEnd = loadavg
     val sweepLoadsJson = sweepLoads.mkString("[", ",", "]")
     println(s"""{"diag":"bench","rep_times":$repsJson,"loadavg_start":$loadStart,"loadavg_per_sweep":$sweepLoadsJson,"loadavg_end":$loadEnd,"avail_cpus":$avail,"spark_cpus":"$cpus"}""")
+    // Per-query minima on their OWN diagnostic line: at 180 queries the map
+    // alone is ~2000 chars, which overflowed the driver's tail window in r9
+    // (BENCH_r09 recorded parsed:null with the {"metric":... prefix truncated
+    // away). The map scrolls out; the short total line below stays parseable.
+    val sfLabel = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
+    println(s"""{"diag":"per_query","queries":$qs,"sf":"$sfLabel"}""")
     graft.operators.PlanCache.releaseAll(spark)
     spark.stop()
     // printed LAST, after spark.stop(), so nothing lands between this line
-    // and the end of the program's stdout; sf is the short label, the full
-    // dir is in the diag line
-    val sfLabel = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
-    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","queries":$qs,"sf":"$sfLabel","reps":$reps,"agg":"min","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
+    // and the end of the program's stdout. Deliberately short (~170 chars):
+    // it must fit inside the driver's ~2000-char tail window together with
+    // sbt's epilogue, with generous headroom even if the query count doubles.
+    println(s"""{"metric":"total","value":${f"$total%.3f"},"unit":"sec","n_queries":${results.size},"sf":"$sfLabel","reps":$reps,"agg":"min","loadavg_start":$loadStart,"loadavg_end":$loadEnd}""")
   }
 }

@@ -1088,7 +1088,8 @@ object SparkEntry {
     // intersection estimates from k-minimum-values sketches (fully
     // hash-oracled; exact audit columns at test scale)
     "q175_kmv_overlap" -> ((s, dir) =>
-      graft.operators.Sketches.kmvOverlap(Tables.events(tune(s), dir))),
+      graft.operators.Sketches.kmvOverlap(Tables.events(tune(s), dir),
+        exactAudit = true)),
     // extension: per-source data card — counts, language share, exact-dup
     // rate (fully hash-oracled release documentation)
     "q178_data_card" -> ((s, dir) =>
@@ -2439,17 +2440,23 @@ SELECT d.user_id, d.day_idx, COALESCE(c.n, 0) AS n_events
 FROM d LEFT JOIN c ON d.user_id = c.user_id AND d.day_idx = c.day_idx""",
     // Gaps-and-islands: run id = difference of the two row_numbers; runs
     // collapse to intervals; lead() closes them. eid0 is the deterministic
-    // tie-break for equal valid_from values (see EventAnalytics.stateHistory)
+    // tie-break for equal valid_from values; g2 drops zero-width runs
+    // (same-user ts collisions) keeping the max-eid0 run per (user_id,
+    // valid_from) — see EventAnalytics.stateHistory
     "q95_state_history" ->
       """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t, event_id FROM events),
   r AS (SELECT user_id, event_type, t, event_id,
           row_number() OVER (PARTITION BY user_id ORDER BY t, event_id)
         - row_number() OVER (PARTITION BY user_id, event_type ORDER BY t, event_id) AS run_id FROM e),
   g AS (SELECT user_id, event_type, run_id, min(t) AS valid_from, min(event_id) AS eid0
-        FROM r GROUP BY 1, 2, 3)
+        FROM r GROUP BY 1, 2, 3),
+  g2 AS (SELECT user_id, event_type, valid_from, eid0 FROM (
+          SELECT user_id, event_type, valid_from, eid0,
+            row_number() OVER (PARTITION BY user_id, valid_from ORDER BY eid0 DESC) AS rk
+          FROM g) WHERE rk = 1)
 SELECT user_id, event_type, valid_from,
   lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, eid0) AS valid_to
-FROM g""",
+FROM g2""",
     // Z-scores from exact integer moments; one shared double expression tree
     "q96_zscore" ->
       """WITH f AS (SELECT event_id, event_type, CAST(floor(value * 1024.0 + 0.5) AS BIGINT) AS fx FROM events),
@@ -3492,8 +3499,12 @@ ORDER BY s.sfx DESC, s.id ASC LIMIT 5""",
         - row_number() OVER (PARTITION BY user_id, event_type ORDER BY t, event_id) AS run_id FROM e),
   g AS (SELECT user_id, event_type, run_id, min(t) AS valid_from, min(event_id) AS eid0
         FROM r GROUP BY 1, 2, 3),
+  g2 AS (SELECT user_id, event_type, valid_from, eid0 FROM (
+          SELECT user_id, event_type, valid_from, eid0,
+            row_number() OVER (PARTITION BY user_id, valid_from ORDER BY eid0 DESC) AS rk
+          FROM g) WHERE rk = 1),
   runs AS (SELECT user_id, event_type, valid_from,
-      lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, eid0) AS valid_to FROM g),
+      lead(valid_from) OVER (PARTITION BY user_id ORDER BY valid_from, eid0) AS valid_to FROM g2),
   facts AS (SELECT user_id, CAST(ts AS TIMESTAMP) AS ts, event_id FROM events WHERE event_id % 10 = 0)
 SELECT f.user_id, f.event_id, f.ts, r.valid_from, r.event_type AS state
 FROM facts f JOIN runs r ON r.user_id = f.user_id

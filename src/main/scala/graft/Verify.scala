@@ -8,15 +8,21 @@ object Verify {
     // Accept both positional (`<sfDir> <outDir> [names]`) and flag
     // (`--outdir <path>`) styles: a prior invocation passed `--outdir` as a
     // positional token and this main happily created a directory literally
-    // named `--outdir`. Flags are consumed with their value; what remains is
-    // positional.
+    // named `--outdir`. Only the KNOWN flags are accepted, and each must
+    // have a value: a typo'd `--outdirs /x` or a trailing lone `--outdir`
+    // fails fast instead of silently swallowing/shifting tokens.
+    val knownFlags = Set("sfdir", "outdir", "only")
     val (flags, positional) = {
       var fl = Map.empty[String, String]
       val pos = collection.mutable.Buffer.empty[String]
       var i = 0
       while (i < args.length) {
-        if (args(i).startsWith("--") && i + 1 < args.length) {
-          fl += (args(i).drop(2) -> args(i + 1)); i += 2
+        if (args(i).startsWith("--")) {
+          val name = args(i).drop(2)
+          require(knownFlags.contains(name),
+            s"unknown flag --$name (known: ${knownFlags.toSeq.sorted.mkString(", ")})")
+          require(i + 1 < args.length, s"flag --$name requires a value")
+          fl += (name -> args(i + 1)); i += 2
         } else { pos += args(i); i += 1 }
       }
       (fl, pos.toSeq)
@@ -63,6 +69,19 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    // Gate metrics for the no_oracle queries: recomputed here so the
+    // numbers land in the round archive (outDir + repo GATES.json), not
+    // only in test logs. Failure is non-fatal — a gate problem must not
+    // zero the whole correctness dump.
+    try {
+      val gates = tools.Gates.json(tools.Gates.compute(spark, sfDir))
+      Files.writeString(Paths.get(s"$outDir/gates.json"), gates)
+      val repoCopy = Paths.get(sys.props("user.dir"), "GATES.json")
+      if (Files.isDirectory(repoCopy.getParent)) Files.writeString(repoCopy, gates)
+      println(s"""{"diag":"gates","gates":$gates}""")
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] gates failed: ${e.getMessage}")
+    }
     graft.operators.PlanCache.releaseAll(spark)
     spark.stop()
   }

@@ -112,6 +112,15 @@ object EventAnalytics {
     * All three windows partition by user_id — one shuffle, reused across
     * the window stack; no global window anywhere. Ties broken by
     * (ts, event_id) so the history is total-ordered and reproducible.
+    *
+    * Under same-user ts collisions two runs can share a valid_from; the
+    * earlier (lower-eid0) run's interval would be [T, T) — zero-width,
+    * valid at no instant under the half-open containment rule. Those runs
+    * are DROPPED (max-eid0 run per (user_id, valid_from) wins), which
+    * makes the output genuinely unique per (user_id, valid_from) — the
+    * precondition [[Joins.pointInTimeJoin]]/[[Joins.asOfJoin]] rely on, so
+    * the as-of and interval-containment formulations of a point-in-time
+    * lookup agree even on colliding-timestamp histories.
     */
   def stateHistory(events: DataFrame): DataFrame = {
     val byUser = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
@@ -126,8 +135,16 @@ object EventAnalytics {
       // same-user ts collisions): the run's min event_id — unique per run
       // and engine-neutral, unlike min_by/arg_min whose tie behavior isn't
       .agg(min("ts").as("valid_from"), min("event_id").as("eid0"))
+    // zero-width-run removal: struct-max on (eid0, event_type) — eid0 is
+    // unique across runs (min of disjoint event_id sets) so the
+    // lexicographic max is deterministic, and the agg map-side combines
+    val dedup = runs
+      .groupBy("user_id", "valid_from")
+      .agg(max(struct(col("eid0"), col("event_type"))).as("__m"))
+      .select(col("user_id"), col("valid_from"),
+        col("__m.eid0").as("eid0"), col("__m.event_type").as("event_type"))
     val order = Window.partitionBy("user_id").orderBy(col("valid_from"), col("eid0"))
-    runs
+    dedup
       .withColumn("valid_to", lead(col("valid_from"), 1).over(order))
       .select(col("user_id"), col("event_type"), col("valid_from"), col("valid_to"))
   }

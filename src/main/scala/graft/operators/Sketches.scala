@@ -176,15 +176,21 @@ object Sketches {
     * hash-oracled. Scale shape: one distinct-(group, hash) aggregation
     * over events, k-bounded sketches per group, pair space bounded by
     * (distinct groups)^2 x k rows — group counts are small by contract
-    * (event types, sources, splits). Exact per-pair audit columns are
-    * test-scale only, the sketch is the product at 100 TB.
+    * (event types, sources, splits).
+    *
+    * `exactAudit` (default OFF) joins in the exact distinct-key
+    * intersection per pair — precisely the computation the sketch exists
+    * to avoid, so it is test/oracle wiring only (q175's hash oracle and
+    * SketchesSpec's error gate); production callers keep the default and
+    * get exact_inter = 0 / rel_err = null placeholders.
     *
     * Output: (g_a, g_b, k_used, union_est, jaccard, inter_est,
     * exact_inter, rel_err) for each unordered pair g_a < g_b. */
   def kmvOverlap(events: DataFrame, groupCol: String = "event_type",
-                 keyCol: String = "user_id", k: Int = 256): DataFrame =
+                 keyCol: String = "user_id", k: Int = 256,
+                 exactAudit: Boolean = false): DataFrame =
     kmvOverlapFromSketches(kmvSketch(events, groupCol, keyCol, k), k,
-      exactFrom = Some((events, groupCol, keyCol)))
+      exactFrom = if (exactAudit) Some((events, groupCol, keyCol)) else None)
 
   /** The per-group KMV sketch: the k smallest distinct hash values, as
     * (g, h) rows. MERGEABLE — the sketch of a union is the k smallest of

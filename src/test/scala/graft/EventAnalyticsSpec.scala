@@ -68,6 +68,20 @@ class EventAnalyticsSpec extends AnyFunSuite {
       ("a", ts(0), Some(ts(2))), ("b", ts(2), Some(ts(4))), ("a", ts(4), None)))
   }
 
+  test("stateHistory: same-ts collisions — zero-width runs dropped, max-eid0 run wins") {
+    val e = ev(
+      (1, 0, 1, "b", 0), (2, 0, 1, "a", 0), // collision at t=0: run b{1} is [0,0) — dropped
+      (3, 5, 1, "b", 0))
+    val h = EventAnalytics.stateHistory(e)
+      .select($"event_type", $"valid_from", $"valid_to")
+      .as[(String, Timestamp, Option[Timestamp])].collect().sortBy(_._2.getTime)
+    assert(h.toSeq == Seq(("a", ts(0), Some(ts(5))), ("b", ts(5), None)))
+    // the uniqueness pointInTimeJoin relies on is real, not just documented
+    val dups = EventAnalytics.stateHistory(e)
+      .groupBy("user_id", "valid_from").count().filter($"count" > 1).count()
+    assert(dups == 0)
+  }
+
   test("zscoreOutliers: constant group yields none; a clear outlier is flagged") {
     val e = ev(
       (1, 0, 1, "flat", 5), (2, 1, 1, "flat", 5), (3, 2, 1, "flat", 5),

@@ -77,6 +77,29 @@ class JoinsSpec extends AnyFunSuite {
     ev.unpersist()
   }
 
+  test("pointInTimeJoin: same-ts state collisions — as-of and containment agree") {
+    def t(min: Int) = new java.sql.Timestamp(1704067200000L + min * 60000L)
+    // user 1 at t=0 has runs b{eid 1} and a{eid 2}: b's interval is [0,0) —
+    // dropped by stateHistory, so "a" (max-eid0) is the state at t=0. Before
+    // the zero-width-run removal the as-of side would have picked "b" (max
+    // state string at the tied ts) while containment picked "a".
+    val events = Seq(
+      (1L, t(0), 1L, "b"), (2L, t(0), 1L, "a"), (3L, t(5), 1L, "b"))
+      .toDF("event_id", "ts", "user_id", "event_type")
+    val hist = graft.operators.EventAnalytics.stateHistory(events)
+    val facts = Seq((1L, t(0), 10L), (1L, t(3), 11L), (1L, t(7), 12L))
+      .toDF("user_id", "ts", "event_id")
+    val viaAsof = Joins.pointInTimeJoin(facts, hist,
+        "user_id", "ts", "event_id", "valid_from", "event_type")
+      .select($"event_id", $"state").as[(Long, String)].collect().toMap
+    val viaContain = facts.as("f").join(hist.as("h"),
+        $"f.user_id" === $"h.user_id" && $"h.valid_from" <= $"f.ts" &&
+          ($"h.valid_to".isNull || $"f.ts" < $"h.valid_to"))
+      .select($"f.event_id", $"h.event_type").as[(Long, String)].collect().toMap
+    assert(viaAsof == Map(10L -> "a", 11L -> "a", 12L -> "b"))
+    assert(viaAsof == viaContain)
+  }
+
   test("asOfJoin matches a driver-side naive as-of on random data") {
     val rnd = new scala.util.Random(7)
     val left = (0 until 300).map(i =>

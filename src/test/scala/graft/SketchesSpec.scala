@@ -79,7 +79,7 @@ class SketchesSpec extends AnyFunSuite {
     val ev = ((1 to 30).map(u => ("A", u.toLong)) ++
       (21 to 45).map(u => ("B", u.toLong)))
       .toDF("event_type", "user_id")
-    val got = Sketches.kmvOverlap(ev, k = 64)
+    val got = Sketches.kmvOverlap(ev, k = 64, exactAudit = true)
       .select($"g_a", $"g_b", $"k_used", $"union_est", $"inter_est", $"exact_inter")
       .as[(String, String, Long, Double, Double, Long)].collect()
     assert(got.length == 1)
@@ -90,7 +90,7 @@ class SketchesSpec extends AnyFunSuite {
     // fixture: every pair's estimate lands within a loose KMV error budget
     // (SE ~ 1/sqrt(k) on Jaccard, compounded through the union estimate)
     val events = Tables.events(spark, TestSpark.sf0001).cache()
-    val fx = Sketches.kmvOverlap(events)
+    val fx = Sketches.kmvOverlap(events, exactAudit = true)
       .select($"g_a", $"g_b", $"inter_est", $"exact_inter", $"rel_err")
       .as[(String, String, Double, Long, Option[Double])].collect()
     assert(fx.nonEmpty)
@@ -98,10 +98,17 @@ class SketchesSpec extends AnyFunSuite {
       assert(rel.exists(r => math.abs(r) <= 0.5),
         s"($a, $b): est $est exact $exact rel $rel")
     // determinism under repartitioning
-    val fx2 = Sketches.kmvOverlap(events.repartition(13))
+    val fx2 = Sketches.kmvOverlap(events.repartition(13), exactAudit = true)
       .select($"g_a", $"g_b", $"inter_est", $"exact_inter", $"rel_err")
       .as[(String, String, Double, Long, Option[Double])].collect()
     assert(fx2.toSet == fx.toSet)
+    // production default: sketch-only — no exact arm, placeholder columns
+    val prod = Sketches.kmvOverlap(events)
+      .select($"inter_est", $"exact_inter", $"rel_err")
+      .as[(Double, Long, Option[Double])].collect()
+    assert(prod.nonEmpty && prod.forall { case (_, ex, rel) => ex == 0L && rel.isEmpty })
+    assert(prod.map(_._1).sorted.sameElements(fx.map(_._3).sorted),
+      "sketch estimates must not depend on the audit arm")
     events.unpersist()
   }
 
