@@ -477,146 +477,181 @@ object Streams {
       .start()
   }
 
+  // ------------------------------------------------------------------
+  // Epoch-partition maintenance scaffold
+  //
+  // Five maintainers (BPE vocab, CMS grid, DDSketch buckets, KMV sketch,
+  // and the compaction path they share) ride the same mergeable-partials
+  // contract: each micro-batch reduces to a BOUNDED partial (additive
+  // counts or a k-bounded sketch) written under `epoch=<n>` with dynamic
+  // partition overwrite — a RETRIED epoch rewrites exactly its own
+  // partition, so per-batch delivery is idempotent (replace-by-partition,
+  // the `Engine.writeIndex` contract), unlike a read-merge-rewrite of a
+  // running total, which double-counts on retry. The matching `...At`
+  // reader folds the partials (sum / one more GroupedTopK) without ever
+  // touching raw history. The scaffold lives in exactly one place so the
+  // sixth maintainer cannot diverge from the contract (the retry test in
+  // StreamingSpec pins it).
+  // ------------------------------------------------------------------
+
+  /** The scaffold: per-batch `partial` → idempotent `epoch=<n>` partition
+    * under `path`. `partial` must reduce a batch to its bounded mergeable
+    * state; the fold side is the corresponding `...At` reader. */
+  private def epochPartials(input: DataFrame, path: String,
+                            checkpointDir: String)
+                           (partial: DataFrame => DataFrame): StreamingQuery =
+    input.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epoch: Long) =>
+        if (!batch.isEmpty)
+          partial(batch.toDF())
+            .withColumn("epoch", lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch").parquet(path)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  private def compactStaging(path: String) =
+    new org.apache.hadoop.fs.Path(s"$path.__compact_staging")
+
+  /** Finish a compaction interrupted between its delete and rename: if the
+    * destination is gone but the staged copy exists, the staged copy IS
+    * the complete compacted state — rename it into place. Invoked by every
+    * epoch reader and by `compactEpochs` itself, so a crash inside the
+    * swap window self-heals on the next touch instead of losing the
+    * maintained state. */
+  private def healCompaction(spark: SparkSession, path: String): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    val staging = compactStaging(path)
+    if (!fs.exists(dst) && fs.exists(staging))
+      require(fs.rename(staging, dst),
+        s"compaction recovery rename failed: $staging -> $path")
+  }
+
+  /** Epoch partials under `path`, healed first (see [[healCompaction]]). */
+  private def epochsAt(spark: SparkSession, path: String): DataFrame = {
+    healCompaction(spark, path)
+    spark.read.parquet(path)
+  }
+
+  /** Collapse all epoch partitions of `path` into one `epoch=-1`
+    * partition holding `fold` of the current state — totals identical,
+    * partition count reset. Only while the maintaining stream is STOPPED
+    * (a live retry of a pre-compaction epoch would resurrect its partition
+    * next to the compacted one).
+    *
+    * Durability: the compacted copy is staged to a sibling dir first (the
+    * plan reads the same path it replaces — the `upsertIvfAt` rule), and
+    * the delete→rename swap is NOT atomic; a crash between the two leaves
+    * the destination missing with the only copy in the staging dir. That
+    * window is self-healing, not just documented: every reader and the
+    * next compaction call run [[healCompaction]], which completes the
+    * interrupted rename before touching the state. */
+  private def compactEpochs(spark: SparkSession, path: String)
+                           (fold: DataFrame => DataFrame): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    healCompaction(spark, path)
+    val staging = compactStaging(path)
+    // stale staging from a crash BEFORE the destination delete: the
+    // destination is still complete, so the staged copy is garbage
+    fs.delete(staging, true)
+    val compacted = fold(spark.read.parquet(path)).withColumn("epoch", lit(-1L))
+    compacted.write.mode("overwrite").partitionBy("epoch")
+      .parquet(staging.toString)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    require(fs.rename(staging, dst),
+      s"compaction rename failed: $staging -> $path")
+  }
+
   /** Streaming BPE-vocabulary maintenance — the incremental form of
     * `Bpe.bpeMerges`' corpus scan. The expensive half of BPE training at
     * scale is the single full-corpus pass that builds the (word, n)
     * frequency table; the merge rounds after it are bounded by the vocab.
     * Word counts are ADDITIVE across document batches, so the vocab is
     * exactly maintainable from per-batch deltas without ever rescanning
-    * earlier documents — the `streamingIvfUpsert` pattern applied to the
-    * tokenizer-training path.
-    *
-    * Each micro-batch writes its own word counts under `epoch=<n>` with
-    * dynamic partition overwrite: a RETRIED epoch rewrites exactly its own
-    * partition, so per-batch delivery is idempotent (replace-by-partition,
-    * the `Engine.writeIndex` contract) — unlike a read-merge-rewrite of a
-    * running total, which double-counts on retry. `bpeVocabAt` folds the
-    * partitions back into (word, n); `Bpe.bpeMergesFromVocab` re-derives
-    * the merge trajectory from it, matching from-scratch training on the
-    * full corpus bit-for-bit (the StreamingSpec parity test). Partition
-    * count grows with batches — run `compactBpeVocabAt` while the stream
-    * is stopped (a live retry of a pre-compaction epoch would resurrect
-    * its partition next to the compacted one). */
+    * earlier documents ([[epochPartials]] scaffold). `bpeVocabAt` folds
+    * the partitions back into (word, n); `Bpe.bpeMergesFromVocab`
+    * re-derives the merge trajectory from it, matching from-scratch
+    * training on the full corpus bit-for-bit (the StreamingSpec parity
+    * test). Partition count grows with batches — run `compactBpeVocabAt`
+    * while the stream is stopped. */
   def streamingBpeVocab(docs: DataFrame, vocabPath: String,
-                        checkpointDir: String): StreamingQuery = {
-    docs.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       epoch: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Bpe.wordCounts(batch.toDF())
-            .withColumn("epoch", lit(epoch))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch").parquet(vocabPath)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-  }
+                        checkpointDir: String): StreamingQuery =
+    epochPartials(docs, vocabPath, checkpointDir)(
+      b => graft.operators.Bpe.wordCounts(b))
 
   /** The maintained vocabulary as one (word, n) table: fold the per-epoch
     * partial counts. One vocab-sized aggregation — no corpus access. */
   def bpeVocabAt(spark: SparkSession, vocabPath: String): DataFrame =
-    spark.read.parquet(vocabPath)
+    epochsAt(spark, vocabPath)
       .groupBy("word").agg(sum("n").as("n"))
 
   /** Streaming CMS maintenance — `Sketches.cmsGrid`'s incremental form,
     * and the literal realization of that operator's 100 TB note: "the
     * build merges per-partition d x w partials, never re-scanning raw
-    * text". CMS counters are ADDITIVE, so each micro-batch of documents
-    * writes its own d x w partial grid under `epoch=<n>` (idempotent
-    * replace-by-partition, exactly the `streamingBpeVocab` contract), and
-    * `cmsGridAt` folds the partials by per-cell sum. Per-batch state is a
-    * fixed d x w integer grid regardless of batch size; the fold is a
+    * text". CMS counters are ADDITIVE, so each micro-batch writes its own
+    * d x w partial grid ([[epochPartials]] scaffold) and `cmsGridAt` folds
+    * the partials by per-cell sum. Per-batch state is a fixed d x w
+    * integer grid regardless of batch size; the fold is a
     * (d x w x epochs)-row aggregation — no corpus access. Probe the folded
-    * grid with `Sketches.cmsProbe`. Same compaction caveat as the vocab:
-    * collapse epochs only while the stream is stopped. */
+    * grid with `Sketches.cmsProbe`. */
   def streamingCmsGrid(docs: DataFrame, gridPath: String, checkpointDir: String,
-                       d: Int = 4, w: Int = 1024): StreamingQuery = {
-    docs.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       epoch: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Sketches
-            .cmsGrid(graft.operators.Sketches.tokenCounts(batch.toDF()), d, w)
-            .withColumn("epoch", lit(epoch))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch").parquet(gridPath)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-  }
+                       d: Int = 4, w: Int = 1024): StreamingQuery =
+    epochPartials(docs, gridPath, checkpointDir)(b =>
+      graft.operators.Sketches
+        .cmsGrid(graft.operators.Sketches.tokenCounts(b), d, w))
 
   /** The maintained CMS as one (j, cell, cellsum) grid: per-cell sum over
     * the epoch partials. */
   def cmsGridAt(spark: SparkSession, gridPath: String): DataFrame =
-    spark.read.parquet(gridPath)
+    epochsAt(spark, gridPath)
       .groupBy("j", "cell").agg(sum("cellsum").as("cellsum"))
 
   /** Streaming DDSketch maintenance — `Sketches.ddBuckets`' incremental
-    * form, same idempotent epoch-partition contract as `streamingCmsGrid`
-    * (bucket counts are additive integers). `ddBucketsAt` folds the
-    * partials; `Sketches.ddQuantilesFromBuckets` answers quantiles from
-    * the maintained state without touching raw rows. */
+    * form (bucket counts are additive integers; [[epochPartials]]
+    * scaffold). `ddBucketsAt` folds the partials;
+    * `Sketches.ddQuantilesFromBuckets` answers quantiles from the
+    * maintained state without touching raw rows. */
   def streamingDdBuckets(rows: DataFrame, groupCol: String, valueCol: String,
                          bucketsPath: String, checkpointDir: String,
-                         alpha: Double = 0.01): StreamingQuery = {
-    rows.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       epoch: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Sketches.ddBuckets(batch.toDF(), groupCol, valueCol, alpha)
-            .withColumn("epoch", lit(epoch))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch").parquet(bucketsPath)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-  }
+                         alpha: Double = 0.01): StreamingQuery =
+    epochPartials(rows, bucketsPath, checkpointDir)(b =>
+      graft.operators.Sketches.ddBuckets(b, groupCol, valueCol, alpha))
 
   /** The maintained DDSketch as one (group, bucket, cnt) table. */
   def ddBucketsAt(spark: SparkSession, bucketsPath: String,
                   groupCol: String): DataFrame =
-    spark.read.parquet(bucketsPath)
+    epochsAt(spark, bucketsPath)
       .groupBy(groupCol, "bucket").agg(sum("cnt").as("cnt"))
 
   /** Streaming KMV-sketch maintenance — `Sketches.kmvSketch`'s incremental
     * form and the last sketch family to get one (HLL, CMS, DDSketch,
     * Merkle, KMV all maintainable online). KMV sketches merge by "k
     * smallest of the concatenation", so each micro-batch writes its own
-    * per-group k-min rows as an idempotent epoch partition and
-    * `kmvSketchAt` folds the partials through one more GroupedTopK —
-    * distinct-ing first, since the same key hashed in two batches must
-    * count once. Overlap estimates then come from
-    * `Sketches.kmvOverlapFromSketches` without raw-event access. */
+    * per-group k-min rows ([[epochPartials]] scaffold) and `kmvSketchAt`
+    * folds the partials through one more GroupedTopK — distinct-ing
+    * first, since the same key hashed in two batches must count once.
+    * Overlap estimates then come from `Sketches.kmvOverlapFromSketches`
+    * without raw-event access. */
   def streamingKmvSketch(events: DataFrame, groupCol: String, keyCol: String,
                          sketchPath: String, checkpointDir: String,
-                         k: Int = 256): StreamingQuery = {
-    events.writeStream
-      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
-                       epoch: Long) =>
-        if (!batch.isEmpty)
-          graft.operators.Sketches.kmvSketch(batch.toDF(), groupCol, keyCol, k)
-            .withColumn("epoch", lit(epoch))
-            .write.mode("overwrite")
-            .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("epoch").parquet(sketchPath)
-      }
-      .option("checkpointLocation", checkpointDir)
-      .trigger(Trigger.AvailableNow())
-      .start()
-  }
+                         k: Int = 256): StreamingQuery =
+    epochPartials(events, sketchPath, checkpointDir)(b =>
+      graft.operators.Sketches.kmvSketch(b, groupCol, keyCol, k))
 
   /** The maintained per-group KMV sketch: k smallest distinct hashes
     * across all epoch partials. */
   def kmvSketchAt(spark: SparkSession, sketchPath: String,
                   k: Int = 256): DataFrame =
     graft.plans.GroupedTopK(
-      spark.read.parquet(sketchPath).select("g", "h").distinct(),
+      epochsAt(spark, sketchPath).select("g", "h").distinct(),
       Seq(col("g")), Seq(asc("h")), k)
     .select("g", "h")
 
@@ -676,21 +711,32 @@ object Streams {
     graft.operators.Sketches.merkleFromLeaves(
       spark.read.parquet(leavesPath).select("bucket", "doc_id", "leaf"))
 
-  /** Collapse all epoch partitions into one, keeping totals identical.
+  /** Collapse the vocab's epoch partitions into one, totals identical.
     * Only while the maintaining stream is STOPPED — see streamingBpeVocab.
-    * Stages through a sibling temp dir (the upsertIvfAt durability rule:
-    * the plan reads the same path it replaces). */
-  def compactBpeVocabAt(spark: SparkSession, vocabPath: String): Unit = {
-    val compacted = bpeVocabAt(spark, vocabPath).withColumn("epoch", lit(-1L))
-    val staging = s"$vocabPath.__staging"
-    compacted.write.mode("overwrite").partitionBy("epoch").parquet(staging)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val dst = new org.apache.hadoop.fs.Path(vocabPath)
-    fs.delete(dst, true)
-    require(fs.rename(new org.apache.hadoop.fs.Path(staging), dst),
-      s"compaction rename failed: $staging -> $vocabPath")
-  }
+    * Crash-safe via [[compactEpochs]]'s staged swap + self-healing. */
+  def compactBpeVocabAt(spark: SparkSession, vocabPath: String): Unit =
+    compactEpochs(spark, vocabPath)(
+      _.groupBy("word").agg(sum("n").as("n")))
+
+  /** Compaction for the CMS grid epochs — same contract. */
+  def compactCmsGridAt(spark: SparkSession, gridPath: String): Unit =
+    compactEpochs(spark, gridPath)(
+      _.groupBy("j", "cell").agg(sum("cellsum").as("cellsum")))
+
+  /** Compaction for the DDSketch bucket epochs — same contract. */
+  def compactDdBucketsAt(spark: SparkSession, bucketsPath: String,
+                         groupCol: String): Unit =
+    compactEpochs(spark, bucketsPath)(
+      _.groupBy(groupCol, "bucket").agg(sum("cnt").as("cnt")))
+
+  /** Compaction for the KMV sketch epochs — same contract; the fold is
+    * the k-min-of-distinct merge, so the single surviving partition IS
+    * the exact maintained sketch. */
+  def compactKmvSketchAt(spark: SparkSession, sketchPath: String,
+                         k: Int = 256): Unit =
+    compactEpochs(spark, sketchPath)(df =>
+      graft.plans.GroupedTopK(df.select("g", "h").distinct(),
+        Seq(col("g")), Seq(asc("h")), k).select("g", "h"))
 
   /** Per-user session windows with a 30-minute gap. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =

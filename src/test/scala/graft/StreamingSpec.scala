@@ -499,6 +499,44 @@ class StreamingSpec extends AnyFunSuite {
     epoch0.unpersist()
   }
 
+  test("compaction crash window self-heals: staged copy renamed into place on next read") {
+    // Simulate a crash BETWEEN compactEpochs' delete and rename: the
+    // destination is gone and the only copy of the maintained state sits
+    // in the staging dir. Any subsequent reader must complete the swap
+    // (healCompaction) instead of failing or losing the vocab.
+    val tmp = Files.createTempDirectory("graft-compact-crash").toString
+    val vocabPath = s"$tmp/vocab"
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    def half(m: Int, epoch: Long) =
+      graft.operators.Bpe.wordCounts(docs.filter($"doc_id" % 2 === m))
+        .withColumn("epoch", lit(epoch))
+    half(0, 0L).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(vocabPath)
+    half(1, 1L).write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(vocabPath)
+    val expected = Streams.bpeVocabAt(spark, vocabPath)
+      .as[(String, Long)].collect().toMap
+    // stage the compacted copy exactly as compactEpochs does, then "crash":
+    // delete the destination without renaming the staging dir into place
+    Streams.bpeVocabAt(spark, vocabPath).withColumn("epoch", lit(-1L))
+      .write.mode("overwrite").partitionBy("epoch")
+      .parquet(s"$vocabPath.__compact_staging")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    assert(fs.delete(new org.apache.hadoop.fs.Path(vocabPath), true))
+    // next read self-heals: staged copy becomes the destination, totals intact
+    val healed = Streams.bpeVocabAt(spark, vocabPath)
+      .as[(String, Long)].collect().toMap
+    assert(healed == expected && healed.nonEmpty)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$vocabPath.__compact_staging")))
+    // and a fresh compaction over the healed state still works
+    Streams.compactBpeVocabAt(spark, vocabPath)
+    assert(Streams.bpeVocabAt(spark, vocabPath)
+      .as[(String, Long)].collect().toMap == expected)
+  }
+
   test("streamingCmsGrid: folded partial grids equal the batch sketch; probe parity") {
     val tmp = Files.createTempDirectory("graft-stream-cms").toString
     val (landing, gridPath, ckpt) = (s"$tmp/landing", s"$tmp/grid", s"$tmp/ckpt")
@@ -582,6 +620,12 @@ class StreamingSpec extends AnyFunSuite {
       .select($"g_a", $"g_b", $"k_used", $"union_est", $"jaccard", $"inter_est")
       .as[(String, String, Long, Double, Double, Double)].collect().toSet
     assert(streamedOv == batchOv && streamedOv.nonEmpty)
+    // compaction collapses the epoch partials into one partition and the
+    // k-min-of-distinct fold keeps the sketch (hence overlaps) identical
+    Streams.compactKmvSketchAt(spark, skPath)
+    assert(spark.read.parquet(skPath).select("epoch").distinct().count() == 1)
+    assert(Streams.kmvSketchAt(spark, skPath)
+      .as[(String, Long)].collect().toSet == batchSk)
     ev.unpersist()
   }
 
