@@ -292,17 +292,41 @@ object Sampling {
     * selection ranked on (both rounded 6dp for display; ranking uses the
     * unrounded doubles, the q103 convention). */
   def dsirSelect(raw: DataFrame, target: DataFrame, k: Int,
-                 dims: Int = 256): DataFrame = {
+                 dims: Int = 256): DataFrame =
+    dsirSelectFromFeatures(dsirDocFeatures(raw, dims), target, k, dims)
+
+  /** The raw pool's per-document hashed-feature histogram
+    * (doc_id, feature, n) — DSIR's maintainable raw-side state. Additive
+    * across document batches (each appended doc contributes only its own
+    * rows), so `Streams.streamingDsirFeatures` maintains it as idempotent
+    * epoch partials and corpus refresh never re-tokenizes earlier docs;
+    * per-doc size is bounded by min(doc tokens, dims). */
+  def dsirDocFeatures(docs: DataFrame, dims: Int = 256): DataFrame = {
+    require(dims >= 2 && dims <= 65536, s"dims must be in [2, 65536]: $dims")
+    val bucket = s"cast(conv(substr(sha2(token, 256), 1, 4), 16, 10) AS BIGINT) % $dims"
+    docs
+      .select(col("doc_id"), explode(expr(TextAnalysis.tokensExpr)).as("token"))
+      .withColumn("feature", expr(bucket))
+      .groupBy("doc_id", "feature").agg(count(lit(1)).as("n"))
+  }
+
+  /** DSIR selection from an ALREADY-BUILT (doc_id, feature, n) histogram
+    * table — the entry point for the incrementally-maintained pool
+    * (`Streams.dsirSelectAt`): the raw corpus is never re-scanned, only
+    * its bounded feature state. Bit-identical to [[dsirSelect]] on the
+    * same pool: cnt_r = sum(n) per feature equals the occurrence count,
+    * and the per-doc integer sum of n * sfx equals the per-occurrence
+    * sum, so logw/gkey reproduce exactly. */
+  def dsirSelectFromFeatures(docFeat: DataFrame, target: DataFrame, k: Int,
+                             dims: Int = 256): DataFrame = {
     require(k >= 1, s"k must be >= 1: $k")
     require(dims >= 2 && dims <= 65536, s"dims must be in [2, 65536]: $dims")
     val bucket = s"cast(conv(substr(sha2(token, 256), 1, 4), 16, 10) AS BIGINT) % $dims"
-    def occ(df: DataFrame) = df
+    val cntT = target
       .select(col("doc_id"), explode(expr(TextAnalysis.tokensExpr)).as("token"))
       .withColumn("feature", expr(bucket))
-      .select("doc_id", "feature")
-    val occR = occ(raw)
-    val cntT = occ(target).groupBy("feature").agg(count(lit(1)).as("cnt_t"))
-    val cntR = occR.groupBy("feature").agg(count(lit(1)).as("cnt_r"))
+      .groupBy("feature").agg(count(lit(1)).as("cnt_t"))
+    val cntR = docFeat.groupBy("feature").agg(sum("n").as("cnt_r"))
     val totT = cntT.agg(sum("cnt_t").as("tot_t"))
     val totR = cntR.agg(sum("cnt_r").as("tot_r"))
     // one ln per distinct bucket; raw-occurring buckets all have cnt_r >= 1,
@@ -317,9 +341,9 @@ object Sampling {
       .select("feature", "sfx")
     val u = "(cast(conv(substr(sha2(concat('dsir:', CAST(doc_id AS STRING)), 256), 1, 6), 16, 10) AS BIGINT)" +
       " + 0.5) / 16777216.0"
-    occR.join(broadcast(fx), Seq("feature"))
+    docFeat.join(broadcast(fx), Seq("feature"))
       .groupBy("doc_id")
-      .agg(count(lit(1)).as("n_tokens"), sum("sfx").as("ssfx"))
+      .agg(sum("n").as("n_tokens"), sum(expr("n * sfx")).as("ssfx"))
       .withColumn("logw", expr("CAST(ssfx AS DOUBLE) / 1073741824.0"))
       .withColumn("gkey", expr(
         s"CAST(ssfx AS DOUBLE) / 1073741824.0 + (-ln(-ln($u)))"))

@@ -655,6 +655,40 @@ object Streams {
       Seq(col("g")), Seq(asc("h")), k)
     .select("g", "h")
 
+  /** Streaming DSIR raw-pool maintenance — `Sampling.dsirSelect`'s
+    * incremental form for the SELECTION family. The expensive half of
+    * DSIR at scale is tokenizing the raw pool into hashed-unigram
+    * features; those per-doc histograms are additive across appended
+    * batches, so each micro-batch writes its own (doc_id, feature, n)
+    * partial ([[epochPartials]] scaffold) and corpus refresh re-derives
+    * the selection from the maintained state without ever re-scanning
+    * earlier documents. `dsirSelectAt` anchors to the oracled batch
+    * operator exactly as streaming BPE anchors to q170: selection from
+    * the folded state is bit-identical to `Sampling.dsirSelect` over the
+    * full pool (StreamingSpec parity). */
+  def streamingDsirFeatures(docs: DataFrame, featPath: String,
+                            checkpointDir: String,
+                            dims: Int = 256): StreamingQuery =
+    epochPartials(docs, featPath, checkpointDir)(b =>
+      graft.operators.Sampling.dsirDocFeatures(b, dims))
+
+  /** The maintained raw-pool histogram as one (doc_id, feature, n) table. */
+  def dsirFeaturesAt(spark: SparkSession, featPath: String): DataFrame =
+    epochsAt(spark, featPath)
+      .groupBy("doc_id", "feature").agg(sum("n").as("n"))
+
+  /** DSIR selection from the maintained state — target corpus scanned,
+    * raw pool NOT (its feature state stands in for it). */
+  def dsirSelectAt(spark: SparkSession, featPath: String, target: DataFrame,
+                   k: Int, dims: Int = 256): DataFrame =
+    graft.operators.Sampling.dsirSelectFromFeatures(
+      dsirFeaturesAt(spark, featPath), target, k, dims)
+
+  /** Compaction for the DSIR feature epochs — same contract. */
+  def compactDsirFeaturesAt(spark: SparkSession, featPath: String): Unit =
+    compactEpochs(spark, featPath)(
+      _.groupBy("doc_id", "feature").agg(sum("n").as("n")))
+
   /** Streaming Merkle-manifest maintenance — `Sketches.merkleManifest`'s
     * incremental form, making its "re-hashes only buckets whose rows
     * changed" note concrete. The maintained state is the bucket-partitioned

@@ -629,6 +629,33 @@ class StreamingSpec extends AnyFunSuite {
     ev.unpersist()
   }
 
+  test("streamingDsirFeatures: selection from maintained state matches batch dsirSelect on the appended pool") {
+    val tmp = Files.createTempDirectory("graft-stream-dsir").toString
+    val (landing, featPath, ckpt) = (s"$tmp/landing", s"$tmp/feat", s"$tmp/ckpt")
+    val docs = Tables.documents(spark, TestSpark.sf0001).cache()
+    val raw = docs.filter($"lang" =!= "en")
+    val target = docs.filter($"lang" === "en")
+    // the raw pool arrives in two appends — the corpus-refresh scenario
+    raw.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    raw.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingDsirFeatures(stream, featPath, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(featPath).select("epoch").distinct().count() >= 2)
+    // selection from the maintained state == batch operator on the full
+    // pool (q172's oracled trajectory), bit-identical ranks and keys
+    def asRows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Double, Double)].collect().toSeq
+    val batchSel = asRows(graft.operators.Sampling.dsirSelect(raw, target, 50, 256))
+    val streamedSel = asRows(Streams.dsirSelectAt(spark, featPath, target, 50, 256))
+    assert(streamedSel == batchSel && streamedSel.nonEmpty)
+    // compaction keeps the state (hence the selection) identical
+    Streams.compactDsirFeaturesAt(spark, featPath)
+    assert(spark.read.parquet(featPath).select("epoch").distinct().count() == 1)
+    assert(asRows(Streams.dsirSelectAt(spark, featPath, target, 50, 256)) == batchSel)
+    docs.unpersist()
+  }
+
   test("streamingMerkleLeaves: incremental manifest equals batch; re-delivery cannot drift digests") {
     val tmp = Files.createTempDirectory("graft-stream-merkle").toString
     val (l1, l2, leaves) = (s"$tmp/landing1", s"$tmp/landing2", s"$tmp/leaves")
