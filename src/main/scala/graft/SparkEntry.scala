@@ -1100,6 +1100,16 @@ object SparkEntry {
     "q180_source_overlap" -> ((s, dir) =>
       graft.operators.Pipeline.sourceOverlap(docs(s, dir),
         "sha2(substring(text, 1, 200), 256)")),
+    // extension: per-doc shingle novelty — fraction of a doc's shingles
+    // first seen in THIS doc (corpus-wide first-occurrence aggregation,
+    // linear in shingle volume, never pairwise)
+    "q181_novelty" -> ((s, dir) => Dedup.shingleNovelty(docs(s, dir))),
+    // extension: kNN label-noise audit — per-vector disagreement fraction
+    // among its k nearest neighbors (fixed-point cosine ranks, integer
+    // counts; the re-annotation routing signal)
+    "q182_label_noise" -> ((s, dir) =>
+      Similarity.knnLabelNoise(
+        emb(s, dir).select("vec_id", "embedding", "label"), 4)),
     // extension: mutual-kNN pair mining with the margin criterion — align
     // two embedding collections (even vs odd ids), keep mutually-top-k
     // pairs scored by locally-normalized margin (fully hash-oracled)
@@ -3403,6 +3413,33 @@ FROM es JOIN ex ON es.event_type = ex.event_type"""
 SELECT a.source AS src_a, b.source AS src_b, CAST(count(*) AS BIGINT) AS n_shared
 FROM h a JOIN h b ON a.hx = b.hx AND a.source < b.source
 GROUP BY 1, 2""",
+    // Shingle novelty: shared shingle CTEs + first-occurrence min join
+    "q181_novelty" ->
+      s"""WITH $dkTok, $dkShl, $dkShu,
+  f AS (SELECT shingle, min(doc_id) AS first_doc FROM shu GROUP BY 1)
+SELECT s.doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_novel,
+  round(CAST(sum(CASE WHEN f.first_doc = s.doc_id THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS novelty
+FROM shu s JOIN f USING (shingle) GROUP BY 1""",
+    // kNN label-noise: q179's fixed-point cosine idiom, row_number ranks
+    // mirror GroupedTopK, integer disagreement counts + one division
+    "q182_label_noise" -> {
+      val dot = (x: String, y: String) =>
+        s"list_sum(list_transform(range(1, 65), i -> CAST($x.embedding[i] AS DOUBLE)*CAST($y.embedding[i] AS DOUBLE)))"
+      s"""WITH v AS (SELECT vec_id, embedding, label FROM embeddings),
+  s AS (SELECT q.vec_id AS qid, q.label AS qlab, i.vec_id AS vid, i.label AS lab,
+      ${dot("q", "i")} AS dot, ${dot("q", "q")} AS na, ${dot("i", "i")} AS nb
+    FROM v q CROSS JOIN v i WHERE i.vec_id <> q.vec_id),
+  sc AS (SELECT qid, qlab, vid, lab,
+      CAST(floor((CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END) * 1073741824.0 + 0.5) AS BIGINT) AS fx FROM s),
+  tk AS (SELECT * FROM (SELECT qid, qlab, lab,
+      row_number() OVER (PARTITION BY qid ORDER BY fx DESC, vid ASC) AS rn FROM sc) WHERE rn <= 4)
+SELECT qid AS vec_id, qlab AS label,
+  CAST(sum(CASE WHEN lab <> qlab THEN 1 ELSE 0 END) AS BIGINT) AS n_disagree,
+  round(CAST(sum(CASE WHEN lab <> qlab THEN 1 ELSE 0 END) AS DOUBLE) / 4, 6) AS disagree,
+  (sum(CASE WHEN lab <> qlab THEN 1 ELSE 0 END) * 2 > 4) AS suspect
+FROM tk GROUP BY 1, 2"""
+    },
     // Mutual-kNN margin mining: same 64-dim dot idiom as q24, row_number
     // ranks mirror GroupedTopK, fixed-point cosine sums, one division
     "q179_mutual_knn" -> {

@@ -484,6 +484,34 @@ object Dedup {
       .select(col("vec_id"), col("cell"))
   }
 
+  /** Per-document shingle novelty — the "what does this doc actually add"
+    * measure for incremental corpus curation, with doc_id order standing
+    * in for arrival order: the fraction of a doc's distinct shingles whose
+    * FIRST corpus occurrence (min doc_id over the whole corpus) is this
+    * doc. 1.0 = all-new content; 0.0 = every shingle already seen in an
+    * earlier document (the containment-dedup signal aggregated corpus-wide
+    * instead of pairwise — a crawl pipeline thresholds this to skip
+    * recombination/syndication docs that q164's pairwise containment would
+    * have to enumerate pairs to find).
+    *
+    * Scale shape: distinct per-doc shingles -> one shingle-keyed
+    * min(doc_id) aggregation (map-side combined) -> SHUFFLE_HASH join back
+    * -> doc-keyed count aggregation. Linear in shingle volume, never
+    * pairwise; no df cap needed because nothing ever enumerates a bucket.
+    * Output: (doc_id, n_shingles, n_novel, novelty rounded 6dp). */
+  def shingleNovelty(docs: DataFrame): DataFrame = {
+    // shingleArrays distinct-ifies per doc, so each (doc, shingle) is unique
+    val sh = shingles(docs)
+    val first = sh.groupBy("shingle").agg(min("doc_id").as("first_doc"))
+    sh.join(first.hint("SHUFFLE_HASH"), Seq("shingle"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+        expr("round(CAST(n_novel AS DOUBLE) / n_shingles, 6)").as("novelty"))
+  }
+
   /** Bloom-filter anti-join: corpus rows whose `keyCol` does NOT appear in
     * `exclude` — the decontamination / already-ingested-skip membership
     * check, done so the 100 TB side never shuffles. A Bloom filter built

@@ -31,16 +31,24 @@ object PlanCache {
   private val tracked =
     mutable.Map.empty[SparkSession, mutable.ArrayBuffer[DataFrame]]
 
-  /** Persist MEMORY_ONLY unless this exact (canonicalized) plan is already
-    * cached; track the frame for `releaseAll`. Entries whose SparkContext
-    * has stopped are swept on every call (bounding this process-wide map
-    * across application restarts in one JVM); sessions sharing a LIVE
-    * context have no public closed-flag, so per-session churn should call
-    * `releaseAll(session)` on close. */
+  /** Persist MEMORY_AND_DISK unless this exact (canonicalized) plan is
+    * already cached; track the frame for `releaseAll`. Memory-and-disk,
+    * not memory-only: the memoized frames are shuffle-heavy builds
+    * (postings, index tables, codebooks) whose recompute costs a full
+    * shuffle, and under storage pressure — a long query sweep, or a
+    * 100 TB executor where the storage pool is a fraction of the working
+    * set — MEMORY_ONLY eviction silently discards them (r9's bench showed
+    * exactly that: the two shingle-postings consumers re-paid their build
+    * on every sweep once 180 queries of cache churn evicted the blocks;
+    * a local disk read is the cheap path back). Entries whose
+    * SparkContext has stopped are swept on every call (bounding this
+    * process-wide map across application restarts in one JVM); sessions
+    * sharing a LIVE context have no public closed-flag, so per-session
+    * churn should call `releaseAll(session)` on close. */
   def memo(df: DataFrame): DataFrame = synchronized {
     tracked.filterInPlace((s, _) => !s.sparkContext.isStopped)
     if (!GraftSqlBridge.isCached(df)) {
-      df.persist(StorageLevel.MEMORY_ONLY)
+      df.persist(StorageLevel.MEMORY_AND_DISK)
       tracked.getOrElseUpdate(df.sparkSession, mutable.ArrayBuffer.empty) += df
     }
     df

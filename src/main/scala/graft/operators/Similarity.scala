@@ -137,6 +137,43 @@ object Similarity {
         col("rank").as("rnk"), round(col("score"), 4).as("score"))
   }
 
+  /** kNN label-noise audit (confident-learning-lite, Northcutt et al.
+    * 2021's intuition without the model): for every labeled vector, the
+    * fraction of its k nearest neighbors (cosine, self excluded) whose
+    * label DISAGREES — a majority-disagreeing example sits inside another
+    * class's region and is a mislabel/ambiguity suspect, the rows a
+    * training pipeline routes to re-annotation before they poison a
+    * classifier head.
+    *
+    * Determinism: neighbors rank on the fixed-point cosine
+    * (floor(cos * 2^30 + 0.5), the mutualTopKPairs recipe) with vec_id
+    * tie-break, so the cut is integer-exact and hash-oracled; outputs are
+    * integer counts plus one division. This exact form scores
+    * corpus x corpus (the verifiable baseline, like `mutualTopKPairs`);
+    * at scale the same disagreement tail runs over ANN candidates from
+    * the rp-LSH/IVF arms. Output: (vec_id, label, n_disagree, disagree,
+    * suspect = strict-majority disagreement). */
+  def knnLabelNoise(vecs: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64]: $k")
+    val items = vecs.select(col("vec_id"), col("embedding"), col("label"))
+    val queries = vecs.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_embedding"), col("label").as("query_label"))
+    val scored = cosineScores(items, queries)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("fx", expr("CAST(floor(score * 1073741824.0 + 0.5) AS BIGINT)"))
+      .select(col("query_id"), col("query_label"), col("vec_id"),
+        col("label"), col("fx"))
+    graft.plans.GroupedTopK(scored,
+        Seq(col("query_id")), Seq(desc("fx"), asc("vec_id")), k)
+      .groupBy("query_id", "query_label")
+      .agg(sum(when(col("label") =!= col("query_label"), 1L).otherwise(0L))
+        .as("n_disagree"))
+      .select(col("query_id").as("vec_id"), col("query_label").as("label"),
+        col("n_disagree"),
+        expr(s"round(CAST(n_disagree AS DOUBLE) / $k, 6)").as("disagree"),
+        (col("n_disagree") * 2 > k).as("suspect"))
+  }
+
   /** Embedding drift monitor: per label, the cosine between the centroids
     * of two deterministic halves of the corpus (`splitExpr`, default
     * vec_id parity) — the "did my embedding distribution move" check an

@@ -207,6 +207,53 @@ object ScaleRehearsal {
     }
     runSearch("1x", docsSrc1)
     runSearch(s"${k}x", docsSrcK)
+
+    // round-9 family: selection / sketch / PIT / PRF / mutual-kNN. Docs
+    // replicate with lang kept (DSIR needs it); events reuse evK; the
+    // mutual-kNN sides replicate on vec_id — its scorer is |a| x |b| per
+    // side, so the rehearsal's job is confirming the memoized two-consumer
+    // plan holds each side's scoring to ONE pass (quadratic in collection
+    // size by SPEC — watch the exponent stay at ~k^2 for k-fold sides, and
+    // wall-clock stay within the k^2 budget, not above it)
+    val docsLang1 = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+      .select("doc_id", "text", "lang")
+    val docsLangK = replicate(docsLang1, "doc_id").cache()
+    def runR9(tag: String, docs: DataFrame, ev: DataFrame, emb: DataFrame): Unit = {
+      time(s"$tag dsirSelect") {
+        graft.operators.Sampling.dsirSelect(
+          docs.filter(col("lang") =!= "en"), docs.filter(col("lang") === "en"),
+          50, 256).queryExecution.toRdd.count() }
+      time(s"$tag ddSketch") {
+        graft.operators.Sketches.ddSketchQuantiles(
+          ev.select(col("event_type").as("g"), col("value").as("v")), "g", "v")
+          .queryExecution.toRdd.count() }
+      time(s"$tag hllDailyRolling") {
+        graft.operators.Sketches.hllDailyRolling(ev)
+          .queryExecution.toRdd.count() }
+      time(s"$tag kmvOverlap") {
+        graft.operators.Sketches.kmvOverlap(ev)
+          .queryExecution.toRdd.count() }
+      time(s"$tag pitJoin") {
+        graft.operators.Joins.pointInTimeJoin(
+          ev.filter(col("event_id") % 10 === 0).select("user_id", "ts", "event_id"),
+          graft.operators.EventAnalytics.stateHistory(ev),
+          "user_id", "ts", "event_id", "valid_from", "event_type")
+          .queryExecution.toRdd.count() }
+      time(s"$tag searchPrf") {
+        val index = graft.Engine.ingest(
+          docs.select("doc_id", "text").withColumn("source", lit("s"))).cache()
+        index.count()
+        val n = graft.Engine.searchPrf(index, "transfer credits", 5, 5, 10)
+          .queryExecution.toRdd.count()
+        index.unpersist(); n }
+      time(s"$tag mutualKnn") {
+        Similarity.mutualTopKPairs(
+          emb.filter(col("vec_id") % 2 === 0),
+          emb.filter(col("vec_id") % 2 === 1), 4)
+          .queryExecution.toRdd.count() }
+    }
+    runR9("1x", docsLang1, ev1, emb1)
+    runR9(s"${k}x", docsLangK, evK, embK)
     spark.stop()
   }
 }

@@ -33,6 +33,33 @@ class DedupSpec extends AnyFunSuite {
     assert(!pairs.keys.exists(k => k._1 == 4L || k._2 == 4L))
   }
 
+  test("shingleNovelty: copy scores 0, originals score 1, partial overlap exact; driver parity") {
+    // crafted: doc 2 copies doc 1 (novelty 0); doc 3 shares a prefix run
+    // with doc 1; doc 4 is all-new. doc_id order = arrival order.
+    val n = Dedup.shingleNovelty(crafted)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(n(1L)._3 == 1.0, "first doc is all-novel")
+    assert(n(2L) == ((n(1L)._1, 0L, 0.0)), "exact copy adds nothing")
+    assert(n(3L)._3 > 0.0 && n(3L)._3 < 1.0, "near-dup is partially novel")
+    assert(n(4L)._3 == 1.0, "unrelated doc is all-novel")
+    // driver-side recompute on real docs (shingles via the same expression)
+    val docs = Tables.documents(spark, TestSpark.sf0001).limit(200).cache()
+    val sh = Dedup.shingles(docs).as[(Long, String)].collect()
+    val firstDoc = sh.groupBy(_._2).map { case (s, rs) => s -> rs.map(_._1).min }
+    val expect = sh.groupBy(_._1).map { case (d, rs) =>
+      val novel = rs.count(r => firstDoc(r._2) == d)
+      d -> ((rs.length.toLong, novel.toLong,
+        BigDecimal(novel.toDouble / rs.length)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    }
+    val got = Dedup.shingleNovelty(docs)
+      .as[(Long, Long, Long, Double)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got == expect && got.nonEmpty)
+    docs.unpersist()
+  }
+
   test("jaccard matches a driver-side set computation on real docs") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val got = Dedup.jaccardPairs(docs, 0.5)

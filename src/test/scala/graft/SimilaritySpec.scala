@@ -92,6 +92,42 @@ class SimilaritySpec extends AnyFunSuite {
     assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"), plan)
   }
 
+  test("knnLabelNoise: planted mislabel flagged suspect, clean clusters pass; partition-invariant") {
+    // two tight cosine clusters; m carries cluster-A's label but sits in
+    // cluster B — the one row the audit must route to re-annotation
+    val vecs = Seq(
+      (1L, Array(1.00f, 0.01f), 0L), (2L, Array(0.99f, 0.02f), 0L),
+      (3L, Array(1.00f, 0.03f), 0L),
+      (10L, Array(0.01f, 1.00f), 1L), (11L, Array(0.02f, 0.98f), 1L),
+      (12L, Array(0.03f, 0.97f), 1L),
+      (99L, Array(0.01f, 0.99f), 0L) // mislabeled: A's label, B's region
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnLabelNoise(vecs, 3)
+      .select($"vec_id", $"n_disagree", $"suspect")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(99L)._2, "planted mislabel must be suspect")
+    assert(got(99L)._1 == 3L, "all 3 neighbors of the mislabel disagree")
+    for (id <- Seq(1L, 2L, 3L, 10L, 11L, 12L))
+      assert(!got(id)._2, s"clean vector $id flagged suspect")
+    // partition invariance (fixed-point ranks, integer counts)
+    val re = Similarity.knnLabelNoise(vecs.repartition(7), 3)
+      .select($"vec_id", $"n_disagree", $"suspect")
+      .as[(Long, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(re == got)
+    // real-fixture sanity: every count in [0, k], disagree = n/k
+    val fx = Similarity.knnLabelNoise(
+        Tables.embeddings(spark, TestSpark.sf0001), 4)
+      .as[(Long, Long, Long, Double, Boolean)].collect()
+    assert(fx.nonEmpty)
+    for ((_, _, n, frac, susp) <- fx) {
+      assert(n >= 0 && n <= 4)
+      assert(math.abs(frac - n / 4.0) < 1e-9)
+      assert(susp == (n * 2 > 4))
+    }
+  }
+
   test("hardNegatives: same-label vectors never appear; ranking matches label-filtered exhaustive") {
     val e = Tables.embeddings(spark, TestSpark.sf0001)
       .select("vec_id", "embedding", "label").cache()
