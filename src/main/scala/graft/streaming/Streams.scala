@@ -655,6 +655,95 @@ object Streams {
       Seq(col("g")), Seq(asc("h")), k)
     .select("g", "h")
 
+  /** Replace the table at `path` with `df` through the staged-swap +
+    * self-healing contract (the plan may read the path it replaces; a
+    * crash between delete and rename recovers via [[healCompaction]] on
+    * the next touch). */
+  private def replaceState(spark: SparkSession, path: String,
+                           df: DataFrame): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    val staging = compactStaging(path)
+    fs.delete(staging, true)
+    df.write.mode("overwrite").parquet(staging.toString)
+    val dst = new org.apache.hadoop.fs.Path(path)
+    fs.delete(dst, true)
+    require(fs.rename(staging, dst), s"state swap rename failed: $staging -> $path")
+  }
+
+  /** Streaming shingle-novelty — `Dedup.shingleNovelty`'s incremental form
+    * for doc_id-ordered arrival (the crawl-frontier scoring loop: each
+    * batch of fetched docs is scored for what it ADDS before it is
+    * admitted). State is the corpus-wide (shingle, first_doc)
+    * first-occurrence table — MIN-mergeable, so re-applying a retried
+    * batch is a no-op (idempotence from the merge algebra rather than
+    * replace-by-partition). Novelty is computed AFTER the merge, from the
+    * merged table, so a retry recomputes byte-identical rows; the per-doc
+    * outputs land under `epoch=<n>` partitions at `outPath`
+    * (replace-by-partition, the [[epochPartials]] contract).
+    *
+    * Per-batch cost: one keyed join of the batch's shingles against the
+    * maintained table (one state scan — the honest price of exact
+    * first-occurrence semantics, the `streamingHybridSearch` stats-refresh
+    * argument) plus the min-merge write. For doc_id-ordered arrival the
+    * union of per-epoch outputs equals batch `shingleNovelty` over the
+    * full corpus (StreamingSpec parity). */
+  def streamingNovelty(docs: DataFrame, statePath: String, outPath: String,
+                       checkpointDir: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epoch: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          // localCheckpoint: the shingle explode feeds three consumers
+          // (batch-first agg, novelty join, merge) — compute it once
+          val bsh = graft.operators.Dedup.shingles(batch.toDF()).localCheckpoint()
+          val bFirst = bsh.groupBy("shingle").agg(min("doc_id").as("b_first"))
+          healCompaction(spark, statePath)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val prior =
+            if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+              spark.read.parquet(statePath)
+            else bFirst.limit(0).select(col("shingle"),
+              col("b_first").as("first_doc"))
+          // merged first occurrence for every shingle the batch touches;
+          // min is idempotent, so a retry sees the same values
+          val mergedBatch = bFirst
+            .join(prior.hint("SHUFFLE_HASH"), Seq("shingle"), "left")
+            .select(col("shingle"),
+              least(coalesce(col("first_doc"), col("b_first")), col("b_first"))
+                .as("first_doc"))
+            .localCheckpoint() // severs lineage from statePath before the swap
+          val nov = bsh
+            .join(mergedBatch.hint("SHUFFLE_HASH"), Seq("shingle"))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_shingles"),
+              sum(when(col("first_doc") === col("doc_id"), 1L).otherwise(0L))
+                .as("n_novel"))
+            .select(col("doc_id"), col("n_shingles"), col("n_novel"),
+              expr("round(CAST(n_novel AS DOUBLE) / n_shingles, 6)").as("novelty"))
+          nov.withColumn("epoch", lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch").parquet(outPath)
+          // full new state = untouched rows + merged touched rows
+          val untouched = prior
+            .join(bFirst.select("shingle").hint("SHUFFLE_HASH"),
+              Seq("shingle"), "left_anti")
+          replaceState(spark, statePath, untouched.unionByName(mergedBatch))
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The per-batch novelty results as one table (epoch dropped). */
+  def noveltyAt(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+      .select("doc_id", "n_shingles", "n_novel", "novelty")
+
   /** Streaming DSIR raw-pool maintenance — `Sampling.dsirSelect`'s
     * incremental form for the SELECTION family. The expensive half of
     * DSIR at scale is tokenizing the raw pool into hashed-unigram

@@ -629,6 +629,36 @@ class StreamingSpec extends AnyFunSuite {
     ev.unpersist()
   }
 
+  test("streamingNovelty: per-batch novelty over ordered arrival equals batch shingleNovelty") {
+    val tmp = Files.createTempDirectory("graft-stream-novelty").toString
+    val (landing, statePath, outPath, ckpt) =
+      (s"$tmp/landing", s"$tmp/state", s"$tmp/out", s"$tmp/ckpt")
+    val docs = Tables.documents(spark, TestSpark.sf0001).cache()
+    // doc_id-ORDERED halves: novelty is an arrival-order semantics, so the
+    // stream must see lower ids first for parity with the batch operator
+    val mid = 250L
+    docs.filter($"doc_id" < mid).coalesce(1).write.mode("append").parquet(landing)
+    docs.filter($"doc_id" >= mid).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingNovelty(stream, statePath, outPath, ckpt)
+      .awaitTermination(120000)
+    assert(spark.read.parquet(outPath).select("epoch").distinct().count() >= 2)
+    val streamed = Streams.noveltyAt(spark, outPath)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    val batch = graft.operators.Dedup.shingleNovelty(docs)
+      .as[(Long, Long, Long, Double)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    // the maintained state is exactly the corpus-wide first-occurrence table
+    val state = spark.read.parquet(statePath)
+      .as[(String, Long)].collect().toMap
+    val expect = graft.operators.Dedup.shingles(docs)
+      .groupBy("shingle").agg(min("doc_id").as("first_doc"))
+      .as[(String, Long)].collect().toMap
+    assert(state == expect)
+    docs.unpersist()
+  }
+
   test("streamingDsirFeatures: selection from maintained state matches batch dsirSelect on the appended pool") {
     val tmp = Files.createTempDirectory("graft-stream-dsir").toString
     val (landing, featPath, ckpt) = (s"$tmp/landing", s"$tmp/feat", s"$tmp/ckpt")
