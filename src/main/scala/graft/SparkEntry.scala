@@ -1110,6 +1110,12 @@ object SparkEntry {
     "q182_label_noise" -> ((s, dir) =>
       Similarity.knnLabelNoise(
         emb(s, dir).select("vec_id", "embedding", "label"), 4)),
+    // extension: per-source Zipf slope (fixed-point ln coordinates, exact
+    // integer OLS moments; duplication/synthetic-text corpus-health signal)
+    "q183_zipf" -> ((s, dir) => TextAnalysis.zipfSlope(docs(s, dir))),
+    // extension: term burstiness — cf/df clumping ratio top-k (entity/
+    // boilerplate term surfacing; exact integer counts, one division)
+    "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
     // extension: mutual-kNN pair mining with the margin criterion — align
     // two embedding collections (even vs odd ids), keep mutually-top-k
     // pairs scored by locally-normalized margin (fully hash-oracled)
@@ -3440,6 +3446,34 @@ SELECT qid AS vec_id, qlab AS label,
   (sum(CASE WHEN lab <> qlab THEN 1 ELSE 0 END) * 2 > 4) AS suspect
 FROM tk GROUP BY 1, 2"""
     },
+    // Zipf slope: row_number ranks mirror GroupedTopK (cnt desc, token
+    // asc); identical fixed-point ln coordinates and integer OLS moments
+    "q183_zipf" ->
+      """WITH occ AS (SELECT source AS g, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),
+  cnt AS (SELECT g, token, CAST(count(*) AS BIGINT) AS cnt FROM occ GROUP BY 1, 2),
+  rk AS (SELECT * FROM (SELECT g, token, cnt,
+      row_number() OVER (PARTITION BY g ORDER BY cnt DESC, token ASC) AS rank FROM cnt) WHERE rank <= 1000),
+  fx AS (SELECT g,
+      CAST(floor(ln(CAST(rank AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS x,
+      CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS y FROM rk),
+  m AS (SELECT g, CAST(count(*) AS BIGINT) AS n_terms, CAST(sum(x) AS BIGINT) AS sx,
+      CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+      CAST(sum(x * x) AS BIGINT) AS sxx FROM fx GROUP BY 1),
+  sl AS (SELECT g, n_terms, sx, sy,
+      (CAST(n_terms AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+        / (CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) AS slope
+    FROM m WHERE n_terms >= 16)
+SELECT g AS source, n_terms, round(slope, 6) AS slope,
+  round((CAST(sy AS DOUBLE) - slope * sx) / n_terms / 1048576.0, 6) AS intercept
+FROM sl""",
+    // Burstiness: exact cf/df integer counts, one division, ranked cut
+    "q184_burstiness" ->
+      """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),
+  st AS (SELECT token, CAST(count(*) AS BIGINT) AS cf,
+      CAST(count(DISTINCT doc_id) AS BIGINT) AS df FROM occ GROUP BY 1)
+SELECT token, cf, df, round(CAST(cf AS DOUBLE) / df, 6) AS burstiness
+FROM st WHERE df >= 5
+ORDER BY burstiness DESC, cf DESC, token ASC LIMIT 20""",
     // Mutual-kNN margin mining: same 64-dim dot idiom as q24, row_number
     // ranks mirror GroupedTopK, fixed-point cosine sums, one division
     "q179_mutual_knn" -> {

@@ -795,6 +795,64 @@ object TextAnalysis {
         col("rank"))
   }
 
+  /** Zipf-slope corpus health per group: OLS slope of ln(term frequency)
+    * against ln(rank) over each group's `topRanks` most frequent terms —
+    * natural text sits near -1; a flattened slope flags heavy duplication
+    * or template text, a steepened one flags vocabulary collapse
+    * (synthetic/generated corpora). One of the cheap whole-corpus
+    * statistics a data card wants next to the q145 vocabulary curve.
+    *
+    * Determinism recipe: ranks come from GroupedTopK (bounded heaps, never
+    * a per-group window sort over the full vocabulary); both regression
+    * coordinates are fixed-pointed ONCE (floor(ln * 2^20 + 0.5) as LONG —
+    * the searchPrf scale), so the OLS moment sums are exact integers under
+    * any partitioning, and the slope/intercept are single double
+    * expressions over those integers (identical bit patterns in any
+    * engine). The 2^20 scale cancels in the slope; the intercept divides
+    * it back out. Output: (group, n_terms, slope, intercept), 6dp. */
+  def zipfSlope(docs: DataFrame, groupCol: String = "source",
+                topRanks: Int = 1000, minTerms: Int = 16): DataFrame = {
+    require(topRanks >= minTerms && minTerms >= 2,
+      s"need topRanks >= minTerms >= 2: $topRanks, $minTerms")
+    val occ = docs.select(col(groupCol).as("g"), explode(expr(tokensExpr)).as("token"))
+    val cnt = occ.groupBy("g", "token").agg(count(lit(1)).as("cnt"))
+    val ranked = graft.plans.GroupedTopK(cnt,
+      Seq(col("g")), Seq(desc("cnt"), asc("token")), topRanks)
+    val fx = ranked.select(col("g"),
+      expr("CAST(floor(ln(CAST(rank AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT)").as("x"),
+      expr("CAST(floor(ln(CAST(cnt AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT)").as("y"))
+    fx.groupBy("g")
+      .agg(count(lit(1)).as("n_terms"), sum("x").as("sx"), sum("y").as("sy"),
+        sum(expr("x * y")).as("sxy"), sum(expr("x * x")).as("sxx"))
+      .filter(col("n_terms") >= minTerms)
+      .withColumn("slope", expr(
+        """(CAST(n_terms AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)
+           / (CAST(n_terms AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"""))
+      .select(col("g").as(groupCol), col("n_terms"),
+        round(col("slope"), 6).as("slope"),
+        round(expr("(CAST(sy AS DOUBLE) - slope * sx) / n_terms / 1048576.0"), 6)
+          .as("intercept"))
+  }
+
+  /** Term burstiness: collection frequency over document frequency per
+    * term — cf/df near 1 means a term is spread thin (function words,
+    * well-mixed topics); a high ratio means it CLUMPS into few documents
+    * (named entities, boilerplate runs, template artifacts — the terms a
+    * stopword list misses but a dedup/quality pass should look at). Exact
+    * integer counts, one division, global top-k via TakeOrderedAndProject;
+    * `minDf` silences singleton noise. Output: (token, cf, df, burstiness),
+    * ranked (burstiness desc, cf desc, token asc). */
+  def termBurstiness(docs: DataFrame, minDf: Int = 5, k: Int = 20): DataFrame = {
+    require(minDf >= 1 && k >= 1)
+    val occ = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+    occ.groupBy("token")
+      .agg(count(lit(1)).as("cf"), countDistinct(col("doc_id")).as("df"))
+      .filter(col("df") >= minDf)
+      .withColumn("burstiness", expr("round(CAST(cf AS DOUBLE) / df, 6)"))
+      .orderBy(desc("burstiness"), desc("cf"), asc("token"))
+      .limit(k)
+  }
+
   def boilerplateStats(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 1)
     val grams = docs.select(col("doc_id"),

@@ -24,6 +24,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(got == want)
   }
 
+  test("zipfSlope: crafted geometric corpus matches a driver-side OLS; fixture slope negative") {
+    // one source, term counts 8/4/2/1 -> ranks 1..4; recompute the exact
+    // fixed-point OLS driver-side
+    val crafted = Seq(
+      (1L, ("a " * 8 + "b " * 4 + "c " * 2 + "d").trim, "s0")
+    ).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.zipfSlope(crafted, "source", minTerms = 2)
+      .as[(String, Long, Double, Double)].collect()
+    assert(got.length == 1 && got(0)._1 == "s0" && got(0)._2 == 4L)
+    val cnts = Seq(8L, 4L, 2L, 1L)
+    val fx = (v: Double) => math.floor(math.log(v) * 1048576.0 + 0.5).toLong
+    val (xs, ys) = (cnts.indices.map(i => fx(i + 1.0)), cnts.map(c => fx(c.toDouble)))
+    val n = xs.length.toDouble
+    val (sx, sy) = (xs.sum, ys.sum)
+    val sxy = xs.zip(ys).map { case (x, y) => x * y }.sum
+    val sxx = xs.map(x => x * x).sum
+    val slope = (n * sxy - sx.toDouble * sy) / (n * sxx - sx.toDouble * sx)
+    val icept = (sy.toDouble - slope * sx) / n / 1048576.0
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(0)._3 == r6(slope) && got(0)._4 == r6(icept))
+    // real fixture: every source's slope is negative (frequencies decay in
+    // rank) and the result is partition-invariant
+    val fxr = TextAnalysis.zipfSlope(docs)
+      .as[(String, Long, Double, Double)].collect().toSet
+    assert(fxr.nonEmpty && fxr.forall(_._3 < 0))
+    assert(TextAnalysis.zipfSlope(docs.repartition(7))
+      .as[(String, Long, Double, Double)].collect().toSet == fxr)
+  }
+
+  test("termBurstiness: clumped term ranks above spread term; counts exact") {
+    val crafted = (1 to 6).map(i => (i.toLong, "spread filler" +
+        (if (i <= 2) " clump clump clump clump clump clump" else ""), "s0"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.termBurstiness(crafted, minDf = 2, k = 5)
+      .as[(String, Long, Long, Double)].collect()
+    val byTok = got.map(r => r._1 -> r).toMap
+    assert(byTok("clump") == (("clump", 12L, 2L, 6.0)))
+    assert(byTok("spread") == (("spread", 6L, 6L, 1.0)))
+    assert(got.head._1 == "clump", "clumped term must rank first")
+    // fixture sanity: ratios >= 1, ranked desc, df >= minDf
+    val fxr = TextAnalysis.termBurstiness(docs)
+      .as[(String, Long, Long, Double)].collect()
+    assert(fxr.nonEmpty && fxr.forall(r => r._4 >= 1.0 && r._3 >= 5))
+    assert(fxr.map(_._4).sameElements(fxr.map(_._4).sortBy(-_)))
+  }
+
   test("tokenStats: counts match a driver-side split") {
     val got = TextAnalysis.tokenStats(docs)
       .as[(Long, Int, Int, Int, Int)].collect().map(r => r._1 -> r).toMap
