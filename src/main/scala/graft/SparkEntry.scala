@@ -1113,6 +1113,9 @@ object SparkEntry {
     // extension: per-source Zipf slope (fixed-point ln coordinates, exact
     // integer OLS moments; duplication/synthetic-text corpus-health signal)
     "q183_zipf" -> ((s, dir) => TextAnalysis.zipfSlope(docs(s, dir))),
+    // extension: C4-style block dedup with doc rewrite — first occurrence
+    // of each 16-token block survives; rewrite materialized as a digest
+    "q185_block_dedup" -> ((s, dir) => Dedup.blockDedup(docs(s, dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -3466,6 +3469,26 @@ FROM tk GROUP BY 1, 2"""
 SELECT g AS source, n_terms, round(slope, 6) AS slope,
   round((CAST(sy AS DOUBLE) - slope * sx) / n_terms / 1048576.0, 6) AS intercept
 FROM sl""",
+    // Block dedup: 1-based list_slice blocks, two-step lexicographic first
+    // occurrence (min doc, then min idx within it), ordered string_agg of
+    // kept blocks — coalesced to '' so all-dropped docs hash like Spark's
+    // empty array_join
+    "q185_block_dedup" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+  nb AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 16.0) AS BIGINT) AS nblk FROM tok WHERE len(toks) > 0),
+  blkt AS (SELECT doc_id, i AS idx,
+      array_to_string(list_slice(toks, CAST(i * 16 + 1 AS BIGINT), CAST(i * 16 + 16 AS BIGINT)), ' ') AS blk
+    FROM (SELECT doc_id, toks, unnest(range(0, nblk)) AS i FROM nb)),
+  f1 AS (SELECT blk, min(doc_id) AS fdoc FROM blkt GROUP BY 1),
+  f2 AS (SELECT b.blk, b.fdoc, min(t.idx) AS fidx
+    FROM f1 b JOIN blkt t ON t.blk = b.blk AND t.doc_id = b.fdoc GROUP BY 1, 2),
+  k AS (SELECT t.doc_id, t.idx, t.blk,
+      (f.fdoc = t.doc_id AND f.fidx = t.idx) AS kept
+    FROM blkt t JOIN f2 f ON f.blk = t.blk)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  sha256(coalesce(string_agg(CASE WHEN kept THEN blk END, ' ' ORDER BY idx), '')) AS clean_sha
+FROM k GROUP BY 1""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

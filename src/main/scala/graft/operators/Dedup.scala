@@ -512,6 +512,50 @@ object Dedup {
         expr("round(CAST(n_novel AS DOUBLE) / n_shingles, 6)").as("novelty"))
   }
 
+  /** Corpus-wide block dedup with doc rewrite — the C4/RefinedWeb "remove
+    * duplicated passages, keep the first occurrence" pass, on fixed
+    * `blockTokens`-token segments (the delimiter-free analog of line-level
+    * dedup; the fixture corpus has no sentence boundaries). Every doc
+    * splits into non-overlapping token blocks (last block partial); a
+    * block survives iff its FIRST corpus occurrence — lexicographic min
+    * over (doc_id, block_idx), one struct-min aggregate — is this one.
+    * Output materializes the rewrite as a digest rather than the
+    * re-joined text (row size stays bounded): (doc_id, n_blocks, n_kept,
+    * clean_sha = sha256 of the kept blocks re-joined in order).
+    *
+    * Scale shape: block table ~ corpus tokens / blockTokens rows; one
+    * block-keyed struct-min aggregation (map-side combined), one
+    * SHUFFLE_HASH join back, one doc-keyed agg whose per-doc state is the
+    * doc's own kept blocks. Linear, never pairwise — this REWRITES what
+    * q181's novelty only scores. */
+  def blockDedup(docs: DataFrame, blockTokens: Int = 16): DataFrame = {
+    require(blockTokens >= 2 && blockTokens <= 4096,
+      s"blockTokens must be in [2, 4096]: $blockTokens")
+    val bt = blockTokens
+    val blocks = docs
+      .select(col("doc_id"), expr(graft.operators.TextAnalysis.tokensExpr).as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(col("doc_id"), explode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(toks) / $bt.0) AS INT) - 1),
+              i -> named_struct('idx', CAST(i AS BIGINT),
+                                'blk', array_join(slice(toks, i * $bt + 1, $bt), ' ')))"""))
+        .as("b"))
+      .select(col("doc_id"), col("b.idx").as("idx"), col("b.blk").as("blk"))
+    val first = blocks.groupBy("blk")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("f"))
+    blocks.join(first.hint("SHUFFLE_HASH"), Seq("blk"))
+      .withColumn("kept", col("f.doc_id") === col("doc_id") && col("f.idx") === col("idx"))
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+        // collect_list drops the nulls of non-kept rows; sort_array orders
+        // the struct list by idx (first field) — the doc reassembles in
+        // original block order regardless of partitioning
+        sha2(array_join(expr(
+          "transform(sort_array(collect_list(CASE WHEN kept THEN struct(idx, blk) END)), s -> s.blk)"),
+          " "), 256).as("clean_sha"))
+  }
+
   /** Bloom-filter anti-join: corpus rows whose `keyCol` does NOT appear in
     * `exclude` — the decontamination / already-ingested-skip membership
     * check, done so the 100 TB side never shuffles. A Bloom filter built

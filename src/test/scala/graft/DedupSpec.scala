@@ -60,6 +60,46 @@ class DedupSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("blockDedup: duplicate blocks drop, rewrite digest exact, all-dropped doc hashes empty") {
+    def sha(s: String) = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val b1 = (1 to 16).map(i => s"t$i").mkString(" ")
+    val b2 = (17 to 32).map(i => s"t$i").mkString(" ")
+    val b3 = (1 to 5).map(i => s"x$i").mkString(" ") // partial last block
+    val d = Seq(
+      (1L, s"$b1 $b2"), // 2 blocks, both first occurrences
+      (2L, s"$b1 $b2"), // exact copy: every block dropped
+      (3L, s"$b1 $b3")  // block 1 seen in doc 1; partial block 2 novel
+    ).toDF("doc_id", "text")
+    val got = Dedup.blockDedup(d)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(got(1L) == ((2L, 2L, sha(s"$b1 $b2"))))
+    assert(got(2L) == ((2L, 0L, sha(""))))
+    assert(got(3L) == ((2L, 1L, sha(b3))))
+    // driver-side parity + partition invariance on real docs
+    val docs = Tables.documents(spark, TestSpark.sf0001).cache()
+    val toks = docs.select($"doc_id", $"text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty) }
+      .filter(_._2.nonEmpty)
+    val blocks = toks.flatMap { case (id, ts) =>
+      ts.grouped(16).zipWithIndex.map { case (b, i) => (id, i.toLong, b.mkString(" ")) } }
+    val first = blocks.groupBy(_._3).map { case (b, rs) =>
+      b -> rs.map(r => (r._1, r._2)).min }
+    val expect = blocks.groupBy(_._1).map { case (id, rs) =>
+      val kept = rs.filter(r => first(r._3) == ((r._1, r._2))).sortBy(_._2)
+      id -> ((rs.length.toLong, kept.length.toLong, sha(kept.map(_._3).mkString(" "))))
+    }
+    val fx = Dedup.blockDedup(docs)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(fx == expect && fx.nonEmpty)
+    assert(Dedup.blockDedup(docs.repartition(7))
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap == fx)
+    docs.unpersist()
+  }
+
   test("jaccard matches a driver-side set computation on real docs") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val got = Dedup.jaccardPairs(docs, 0.5)
