@@ -1064,6 +1064,10 @@ object SparkEntry {
     // the 20 most frequent words after the q170 merge trajectory
     "q171_bpe_tokenize" -> ((s, dir) =>
       graft.operators.Bpe.bpeTokenize(docs(s, dir), 8, 20)),
+    // extension: per-doc token counts under the trained tokenizer — the
+    // real token-budget number (whitespace counts diverge on rare words)
+    "q186_bpe_token_count" -> ((s, dir) =>
+      graft.operators.Bpe.bpeTokenCount(docs(s, dir), 8)),
     // extension: DSIR importance selection — 50 non-English docs whose
     // hashed-unigram distribution is most English-like, Gumbel-top-k over
     // fixed-point log importance ratios (fully hash-oracled)
@@ -3711,6 +3715,18 @@ FROM (SELECT word, n,
     list_filter(string_split(replace(sym, chr(1), ''), chr(2)), x -> x <> '') AS a
   FROM s8)
 ORDER BY n DESC, word ASC LIMIT 20"""),
+    // Per-doc counts under the s8 symbolization; non-vocab words (the
+    // printable-ASCII filter) fall out of the left join -> 1 symbol each
+    "q186_bpe_token_count" -> bpeOracle(8,
+      """, ns AS (SELECT word,
+    CAST(len(list_filter(string_split(replace(sym, chr(1), ''), chr(2)), x -> x <> '')) AS BIGINT) AS n_sym
+  FROM s8),
+  dw AS (SELECT doc_id, unnest(toks) AS word FROM tok)
+SELECT d.doc_id, CAST(count(*) AS BIGINT) AS n_words,
+  CAST(sum(coalesce(ns.n_sym, 1)) AS BIGINT) AS n_tokens,
+  CAST(sum(CASE WHEN ns.n_sym IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unk
+FROM dw d LEFT JOIN ns ON ns.word = d.word
+GROUP BY 1"""),
     // DSIR importance selection: sha256-bucketed unigram models over the
     // en/non-en split, one fixed-point ln per bucket (the q82 recipe),
     // Gumbel-top-k keys from hash uniforms (the q103 recipe, log space)

@@ -744,6 +744,75 @@ object Streams {
     spark.read.parquet(outPath)
       .select("doc_id", "n_shingles", "n_novel", "novelty")
 
+  /** Streaming block dedup — `Dedup.blockDedup`'s incremental form, the
+    * rewrite sibling of [[streamingNovelty]] (same contract: MIN-mergeable
+    * first-occurrence state — here lexicographic (fdoc, fidx) per block —
+    * novelty-after-merge so retries are byte-identical, outputs
+    * replace-by-epoch). Each batch of docs is rewritten against every
+    * block the corpus has EVER seen without rescanning earlier docs. */
+  def streamingBlockDedup(docs: DataFrame, statePath: String, outPath: String,
+                          checkpointDir: String,
+                          blockTokens: Int = 16): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row],
+                       epoch: Long) =>
+        if (!batch.isEmpty) {
+          val spark = batch.sparkSession
+          val bt = blockTokens
+          val blocks = batch.toDF()
+            .select(col("doc_id"),
+              expr(graft.operators.TextAnalysis.tokensExpr).as("toks"))
+            .filter(size(col("toks")) > 0)
+            .select(col("doc_id"), explode(expr(
+              s"""transform(sequence(0, CAST(ceil(size(toks) / $bt.0) AS INT) - 1),
+                    i -> named_struct('idx', CAST(i AS BIGINT),
+                                      'blk', array_join(slice(toks, i * $bt + 1, $bt), ' ')))"""))
+              .as("b"))
+            .select(col("doc_id"), col("b.idx").as("idx"), col("b.blk").as("blk"))
+            .localCheckpoint()
+          val bFirst = blocks.groupBy("blk")
+            .agg(min(struct(col("doc_id"), col("idx"))).as("bf"))
+          healCompaction(spark, statePath)
+          val fs = org.apache.hadoop.fs.FileSystem.get(
+            spark.sparkContext.hadoopConfiguration)
+          val prior =
+            if (fs.exists(new org.apache.hadoop.fs.Path(statePath)))
+              spark.read.parquet(statePath)
+            else bFirst.limit(0).select(col("blk"), col("bf").as("f"))
+          val mergedBatch = bFirst
+            .join(prior.hint("SHUFFLE_HASH"), Seq("blk"), "left")
+            .select(col("blk"),
+              least(coalesce(col("f"), col("bf")), col("bf")).as("f"))
+            .localCheckpoint()
+          val out = blocks
+            .join(mergedBatch.hint("SHUFFLE_HASH"), Seq("blk"))
+            .withColumn("kept",
+              col("f.doc_id") === col("doc_id") && col("f.idx") === col("idx"))
+            .groupBy("doc_id")
+            .agg(count(lit(1)).as("n_blocks"),
+              sum(when(col("kept"), 1L).otherwise(0L)).as("n_kept"),
+              sha2(array_join(expr(
+                "transform(sort_array(collect_list(CASE WHEN kept THEN struct(idx, blk) END)), s -> s.blk)"),
+                " "), 256).as("clean_sha"))
+          out.withColumn("epoch", lit(epoch))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("epoch").parquet(outPath)
+          val untouched = prior
+            .join(bFirst.select("blk").hint("SHUFFLE_HASH"), Seq("blk"), "left_anti")
+          replaceState(spark, statePath, untouched.unionByName(mergedBatch))
+          ()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** The per-batch block-dedup rewrites as one table (epoch dropped). */
+  def blockDedupAt(spark: SparkSession, outPath: String): DataFrame =
+    spark.read.parquet(outPath)
+      .select("doc_id", "n_blocks", "n_kept", "clean_sha")
+
   /** Streaming DSIR raw-pool maintenance — `Sampling.dsirSelect`'s
     * incremental form for the SELECTION family. The expensive half of
     * DSIR at scale is tokenizing the raw pool into hashed-unigram

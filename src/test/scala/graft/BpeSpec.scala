@@ -84,4 +84,28 @@ class BpeSpec extends AnyFunSuite {
     val m = Bpe.bpeMerges(docs, 2).as[(Int, String, String, Long)].collect()
     assert(m.forall { case (_, l, r, _) => (l + r).forall(c => c >= ' ' && c <= '~') })
   }
+
+  test("bpeTokenCount: per-doc sums equal the per-word symbolization; UNK words count 1") {
+    val docs = Seq(
+      (1L, "aa aaa aa"),        // all-vocab words
+      (2L, "aa café aaa"))      // café: non-ascii -> UNK, 1 symbol
+      .toDF("doc_id", "text")
+    // per-word symbol counts from the (already trajectory-consistent)
+    // tokenize probe
+    val nsym = Bpe.bpeTokenize(docs, 2, 100)
+      .select("word", "n_symbols").as[(String, Int)].collect().toMap
+    val got = Bpe.bpeTokenCount(docs, 2)
+      .as[(Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    val d1 = 2L * nsym("aa") + nsym("aaa")
+    assert(got(1L) == ((3L, d1, 0L)))
+    assert(got(2L) == ((3L, nsym("aa") + nsym("aaa") + 1L, 1L)))
+    // fixture: n_tokens >= n_words always (a word is >= 1 symbol), and
+    // whitespace counts genuinely diverge from tokenizer counts somewhere
+    val real = Tables.documents(spark, TestSpark.sf0001)
+    val fx = Bpe.bpeTokenCount(real, 8)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(fx.nonEmpty && fx.forall(r => r._3 >= r._2 && r._4 >= 0))
+    assert(fx.exists(r => r._3 > r._2))
+  }
 }

@@ -659,6 +659,27 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("streamingBlockDedup: ordered-arrival rewrites equal batch blockDedup") {
+    val tmp = Files.createTempDirectory("graft-stream-blockdedup").toString
+    val (landing, statePath, outPath, ckpt) =
+      (s"$tmp/landing", s"$tmp/state", s"$tmp/out", s"$tmp/ckpt")
+    val docs = Tables.documents(spark, TestSpark.sf0001).cache()
+    val mid = 250L
+    docs.filter($"doc_id" < mid).coalesce(1).write.mode("append").parquet(landing)
+    docs.filter($"doc_id" >= mid).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingBlockDedup(stream, statePath, outPath, ckpt)
+      .awaitTermination(120000)
+    assert(spark.read.parquet(outPath).select("epoch").distinct().count() >= 2)
+    val streamed = Streams.blockDedupAt(spark, outPath)
+      .as[(Long, Long, Long, String)].collect().toSet
+    val batch = graft.operators.Dedup.blockDedup(docs)
+      .as[(Long, Long, Long, String)].collect().toSet
+    assert(streamed == batch && streamed.nonEmpty)
+    docs.unpersist()
+  }
+
   test("streamingDsirFeatures: selection from maintained state matches batch dsirSelect on the appended pool") {
     val tmp = Files.createTempDirectory("graft-stream-dsir").toString
     val (landing, featPath, ckpt) = (s"$tmp/landing", s"$tmp/feat", s"$tmp/ckpt")
