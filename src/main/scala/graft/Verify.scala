@@ -76,8 +76,13 @@ object Verify {
     try {
       val gates = tools.Gates.json(tools.Gates.compute(spark, sfDir))
       Files.writeString(Paths.get(s"$outDir/gates.json"), gates)
+      // repo copy only at the driver's correctness scale — the thresholds
+      // are operating points chosen (and spec-gated) at sf0.01; a dev run
+      // at another scale must not overwrite the round's record
+      val sfLabel = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse("")
       val repoCopy = Paths.get(sys.props("user.dir"), "GATES.json")
-      if (Files.isDirectory(repoCopy.getParent)) Files.writeString(repoCopy, gates)
+      if (sfLabel == "sf0.01" && Files.isDirectory(repoCopy.getParent))
+        Files.writeString(repoCopy, gates)
       println(s"""{"diag":"gates","gates":$gates}""")
     } catch { case e: Throwable =>
       System.err.println(s"[verify] gates failed: ${e.getMessage}")
