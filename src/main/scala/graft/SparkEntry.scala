@@ -1120,6 +1120,13 @@ object SparkEntry {
     // extension: C4-style block dedup with doc rewrite — first occurrence
     // of each 16-token block survives; rewrite materialized as a digest
     "q185_block_dedup" -> ((s, dir) => Dedup.blockDedup(docs(s, dir))),
+    // extension: per-source Flesch-family readability report (vowel-group
+    // syllable heuristic; fixed-point per-doc scores, exact corpus tallies)
+    "q187_readability" -> ((s, dir) => TextAnalysis.readability(docs(s, dir))),
+    // extension: two-sample KS drift per event_type across a calendar split
+    // (exact integer ECDF-gap numerator, one division per group)
+    "q188_ks_drift" -> ((s, dir) =>
+      graft.operators.EventAnalytics.ksDrift(Tables.events(tune(s), dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -3493,6 +3500,41 @@ SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
   CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
   sha256(coalesce(string_agg(CASE WHEN kept THEN blk END, ' ' ORDER BY idx), '')) AS clean_sha
 FROM k GROUP BY 1""",
+    // Readability: same three regex passes, same fixed-point fold of the
+    // per-doc Flesch expression, exact integer corpus tallies
+    "q187_readability" ->
+      """WITH per AS (SELECT source,
+      len(list_filter(string_split(text, ' '), t -> t <> '')) AS w,
+      greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS s,
+      len(regexp_extract_all(lower(text), '[aeiouy]+')) AS sy
+    FROM documents),
+  fx AS (SELECT source, w, s, sy,
+      CAST(floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+        - 84.6 * (CAST(sy AS DOUBLE) / w)) * 1048576.0 + 0.5) AS BIGINT) AS f
+    FROM per WHERE w > 0)
+SELECT source, CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(w) AS BIGINT) AS n_words,
+  CAST(sum(s) AS BIGINT) AS n_sentences, CAST(sum(sy) AS BIGINT) AS n_syllables,
+  round(CAST(CAST(sum(f) AS BIGINT) AS DOUBLE) / count(*) / 1048576.0, 6) AS mean_flesch
+FROM fx GROUP BY 1""",
+    // KS drift: identical integer ECDF-gap numerator |cum1*n2 - cum2*n1|
+    // over distinct values, max per type, one double division
+    "q188_ks_drift" ->
+      """WITH sides AS (SELECT event_type, value AS v,
+      CASE WHEN ts < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS h1
+    FROM events),
+  bv AS (SELECT event_type, v, CAST(sum(h1) AS BIGINT) AS c1,
+      CAST(sum(1 - h1) AS BIGINT) AS c2 FROM sides GROUP BY 1, 2),
+  tot AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+      CAST(sum(c2) AS BIGINT) AS n2 FROM bv GROUP BY 1),
+  cum AS (SELECT event_type, v,
+      sum(c1) OVER (PARTITION BY event_type ORDER BY v) AS cum1,
+      sum(c2) OVER (PARTITION BY event_type ORDER BY v) AS cum2 FROM bv)
+SELECT c.event_type, t.n1, t.n2,
+  CAST(max(abs(c.cum1 * t.n2 - c.cum2 * t.n1)) AS BIGINT) AS ks_num,
+  round(CAST(CAST(max(abs(c.cum1 * t.n2 - c.cum2 * t.n1)) AS BIGINT) AS DOUBLE)
+    / (t.n1 * t.n2), 6) AS ks
+FROM cum c JOIN tot t ON c.event_type = t.event_type
+GROUP BY 1, 2, 3""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

@@ -399,6 +399,43 @@ object EventAnalytics {
       .select(col("event_type"), col("d"), col("dow"), col("day_cents"), col("z"))
   }
 
+  /** Two-sample Kolmogorov-Smirnov drift statistic per event_type: the max
+    * ECDF gap between values observed before vs on-or-after `splitDate` —
+    * the continuous-distribution complement of the chi-squared test (q118)
+    * for detecting that a metric's distribution moved between two eras.
+    *
+    * Exactness: at every distinct value the ECDF gap `|F1(v) - F2(v)|` is
+    * kept as the integer `|cum1*n2 - cum2*n1|` (common denominator n1*n2),
+    * so the max is an exact BIGINT and the one double division happens once
+    * per group at the boundary. Calendar split (not median-rank split) so
+    * side labeling is map-only — no global rank shuffle.
+    *
+    * Shape at scale: one (type, value)-keyed partial-aggregated shuffle
+    * collapses the row count to distinct values, then the running ECDF is
+    * one window prefix-sum per type. The per-type sort is inherent to an
+    * exact KS; at the 100 TB regime swap the exact tail for the same gap
+    * computed over DDSketch CDFs (q173's buckets are already a mergeable
+    * ECDF grid) and this operator becomes fully partial-aggregable. */
+  def ksDrift(events: DataFrame, splitDate: String = "2024-01-16",
+              typeCol: String = "event_type", valueCol: String = "value"): DataFrame = {
+    val byValue = events
+      .select(col(typeCol).as("event_type"), col(valueCol).as("v"),
+        when(col("ts") < lit(splitDate).cast("timestamp"), 1L).otherwise(0L).as("h1"))
+      .groupBy("event_type", "v")
+      .agg(sum("h1").as("c1"), sum(expr("1 - h1")).as("c2"))
+    val totals = byValue.groupBy("event_type")
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"))
+    val w = Window.partitionBy("event_type").orderBy("v")
+    byValue
+      .withColumn("cum1", sum("c1").over(w))
+      .withColumn("cum2", sum("c2").over(w))
+      .join(broadcast(totals), Seq("event_type"))
+      .groupBy("event_type", "n1", "n2")
+      .agg(max(abs(col("cum1") * col("n2") - col("cum2") * col("n1"))).as("ks_num"))
+      .withColumn("ks", expr("round(CAST(ks_num AS DOUBLE) / (n1 * n2), 6)"))
+      .select("event_type", "n1", "n2", "ks_num", "ks")
+  }
+
   /** Per-group z-score outliers: events whose value sits more than
     * `threshold` population standard deviations from their event_type's
     * mean. Moments are exact integer sums of 2^10-fixed-point values (value

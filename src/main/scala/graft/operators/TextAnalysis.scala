@@ -853,6 +853,38 @@ object TextAnalysis {
       .limit(k)
   }
 
+  /** Per-source readability report (Flesch-reading-ease family): words are
+    * the shared whitespace tokens, sentences are `[.!?]+` runs (clamped to
+    * >= 1 so fragments still score), syllables are `[aeiouy]+` vowel-group
+    * runs over the lowercased text — the standard dictionary-free syllable
+    * heuristic. The per-doc score `206.835 - 1.015*(w/s) - 84.6*(sy/w)` is
+    * folded to 2^20 fixed point before the per-source mean so the sum
+    * commutes under any partitioning (the zipfSlope/surprisal convention);
+    * the corpus-level word/sentence/syllable tallies stay exact integers.
+    *
+    * Shape at scale: one map-only projection (three regex passes per doc,
+    * all codegen'd built-ins), one partial-aggregated shuffle on the group
+    * key — the cheapest possible corpus-health pass, same plan as
+    * `tokenStats`. */
+  def readability(docs: DataFrame, groupCol: String = "source"): DataFrame =
+    docs.select(col(groupCol),
+        expr(s"size($tokensExpr)").as("w"),
+        expr("greatest(size(regexp_extract_all(text, '[.!?]+', 0)), 1)").as("s"),
+        expr("size(regexp_extract_all(lower(text), '[aeiouy]+', 0))").as("sy"))
+      .filter(col("w") > 0)
+      .withColumn("fx", expr(
+        """CAST(floor((206.835 - 1.015 * (CAST(w AS DOUBLE) / s)
+          |  - 84.6 * (CAST(sy AS DOUBLE) / w)) * 1048576.0 + 0.5) AS BIGINT)""".stripMargin))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast("long")).as("n_words"),
+        sum(col("s").cast("long")).as("n_sentences"),
+        sum(col("sy").cast("long")).as("n_syllables"),
+        sum("fx").as("sfx"))
+      .withColumn("mean_flesch",
+        expr("round(CAST(sfx AS DOUBLE) / n_docs / 1048576.0, 6)"))
+      .drop("sfx")
+
   def boilerplateStats(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 1)
     val grams = docs.select(col("doc_id"),

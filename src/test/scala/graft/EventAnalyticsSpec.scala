@@ -275,4 +275,29 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(got("click") == (("click", 3L, 2L, 12L, 2L, Some(6.0))))
     assert(got("view") == (("view", 1L, 1L, 5L, 1L, Some(5.0))))
   }
+
+  test("ksDrift: identical halves score 0, disjoint halves score 1; fixture partition-invariant") {
+    // split date 2024-01-16 = minute 21600 after the ts() anchor
+    val before = 0
+    val after = 30000
+    val e = ev(
+      // type a: same values both eras -> every ECDF gap is 0
+      (1, before, 1, "a", 1.0), (2, before, 1, "a", 2.0),
+      (3, after, 1, "a", 1.0), (4, after, 1, "a", 2.0),
+      // type b: value ranges don't overlap -> gap hits n1*n2
+      (5, before, 1, "b", 1.0), (6, before, 1, "b", 2.0),
+      (7, after, 1, "b", 11.0), (8, after, 1, "b", 12.0))
+    val got = EventAnalytics.ksDrift(e)
+      .as[(String, Long, Long, Long, Double)].collect().map(r => r._1 -> r).toMap
+    assert(got("a") == (("a", 2L, 2L, 0L, 0.0)))
+    assert(got("b") == (("b", 2L, 2L, 4L, 1.0)))
+    // real fixture: every type present, ks in [0, 1], partition-invariant
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val fxr = EventAnalytics.ksDrift(events)
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(fxr.size == 5 && fxr.forall(r => r._5 >= 0.0 && r._5 <= 1.0))
+    assert(fxr.forall(r => r._2 > 0 && r._3 > 0))
+    assert(EventAnalytics.ksDrift(events.repartition(7))
+      .as[(String, Long, Long, Long, Double)].collect().toSet == fxr)
+  }
 }

@@ -53,6 +53,31 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(String, Long, Double, Double)].collect().toSet == fxr)
   }
 
+  test("readability: crafted doc matches driver-side Flesch; fixture partition-invariant") {
+    val crafted = Seq((1L, "Hello world. It is sunny!", "s0"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.readability(crafted)
+      .as[(String, Long, Long, Long, Long, Double)].collect()
+    // tokens 5, sentence runs 2, vowel groups 7 (he-llo wo-rld i-t i-s su-nny)
+    assert(got.length == 1)
+    val (src, nd, w, s, sy, f) = got(0)
+    assert((src, nd, w, s, sy) == (("s0", 1L, 5L, 2L, 7L)))
+    val flesch = 206.835 - 1.015 * (5.0 / 2) - 84.6 * (7.0 / 5)
+    val fx = math.floor(flesch * 1048576.0 + 0.5).toLong
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(f == r6(fx.toDouble / 1 / 1048576.0))
+    // sentence clamp: fragment with no terminator scores against 1 sentence
+    val frag = Seq((1L, "just a fragment", "s0")).toDF("doc_id", "text", "source")
+    val fr = TextAnalysis.readability(frag)
+      .as[(String, Long, Long, Long, Long, Double)].collect()(0)
+    assert(fr._4 == 1L && fr._3 == 3L)
+    val fxr = TextAnalysis.readability(docs)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet
+    assert(fxr.nonEmpty)
+    assert(TextAnalysis.readability(docs.repartition(7))
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSet == fxr)
+  }
+
   test("termBurstiness: clumped term ranks above spread term; counts exact") {
     val crafted = (1 to 6).map(i => (i.toLong, "spread filler" +
         (if (i <= 2) " clump clump clump clump clump clump" else ""), "s0"))
