@@ -1127,6 +1127,11 @@ object SparkEntry {
     // (exact integer ECDF-gap numerator, one division per group)
     "q188_ks_drift" -> ((s, dir) =>
       graft.operators.EventAnalytics.ksDrift(Tables.events(tune(s), dir))),
+    // extension: TPC-H Q17 shape — decorrelated 20%-of-part-average
+    // predicate, brand dim pruning both consumers of one fact scan
+    "q189_tpch_q17" -> ((s, dir) =>
+      graft.operators.Joins.smallQuantityRevenue(
+        Tables.lineitem(s, dir), Tables.part(s, dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -3535,6 +3540,22 @@ SELECT c.event_type, t.n1, t.n2,
     / (t.n1 * t.n2), 6) AS ks
 FROM cum c JOIN tot t ON c.event_type = t.event_type
 GROUP BY 1, 2, 3""",
+    // Q17 shape: same decorrelation (per-part integer avg joined back),
+    // same integer predicate and cents arithmetic
+    "q189_tpch_q17" ->
+      """WITH dims AS (SELECT p_partkey, p_brand FROM part
+    WHERE p_brand IN ('Brand#2', 'Brand#4')),
+  li AS (SELECT l_partkey, p_brand, CAST(l_quantity AS BIGINT) AS q,
+      CAST(round(l_extendedprice * 100) AS BIGINT) AS cents
+    FROM lineitem JOIN dims ON l_partkey = p_partkey),
+  av AS (SELECT l_partkey, CAST(sum(q) AS BIGINT) AS sum_q,
+      CAST(count(*) AS BIGINT) AS n_li FROM li GROUP BY 1)
+SELECT li.p_brand, CAST(sum(cents) AS BIGINT) AS rev_cents,
+  CAST(count(*) AS BIGINT) AS n_small,
+  round(CAST(CAST(sum(cents) AS BIGINT) AS DOUBLE) / 100.0 / 7.0, 2) AS avg_yearly
+FROM li JOIN av ON li.l_partkey = av.l_partkey
+WHERE li.q * 5 * av.n_li < av.sum_q
+GROUP BY 1""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

@@ -214,6 +214,44 @@ object Joins {
     * integer e4 cents (exact, order-free). The post-join groupBy on
     * (o_orderpriority, l_returnflag) is the plan's only exchange — 25
     * partially-aggregated rows per task. */
+  /** TPC-H Q17 shape: revenue locked in small-quantity orders of selected
+    * brands — lineitem rows whose quantity sits below 20% of their part's
+    * average order quantity (`avg_yearly` = that revenue / 7, per TPC-H).
+    *
+    * The correlated scalar subquery of the SQL form (`l_quantity < 0.2 *
+    * (SELECT avg(l_quantity) ... WHERE l_partkey = p_partkey)`)
+    * decorrelates into one per-part aggregate joined back on partkey;
+    * declared explicitly so the brand dimension prunes BOTH consumers: the
+    * broadcast semi-filter cuts the fact scan to the ~|brands|/25 slice
+    * BEFORE the per-part aggregate, so at 100 TB the partkey shuffle only
+    * ever carries brand rows (Catalyst's own decorrelation would do the
+    * same; writing it as two consumers of one pruned scan makes the reuse
+    * explicit). Aggregate side is partkey-keyed like the probe side —
+    * SHUFFLE_HASH, no sort.
+    *
+    * Exactness: quantities are integral doubles, so the 20%-of-average
+    * predicate is the exact integer comparison `5*q*n < sum_q`; revenue
+    * sums as cents and the one double expression (/100.0/7.0, round 2)
+    * can never land on a 2-dp rounding tie (it would need cents*10/7 to
+    * end in 5, impossible for integer cents). */
+  def smallQuantityRevenue(lineitem: DataFrame, part: DataFrame,
+                           brands: Seq[String] = Seq("Brand#2", "Brand#4")): DataFrame = {
+    val dims = part.filter(col("p_brand").isin(brands: _*))
+      .select("p_partkey", "p_brand")
+    val li = lineitem.select(col("l_partkey"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"),
+        expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
+      .join(broadcast(dims), col("l_partkey") === col("p_partkey"))
+    val avgs = li.groupBy("l_partkey")
+      .agg(sum("q").as("sum_q"), count(lit(1)).as("n_li"))
+    li.join(avgs.hint("SHUFFLE_HASH"), Seq("l_partkey"))
+      .filter(col("q") * 5 * col("n_li") < col("sum_q"))
+      .groupBy("p_brand")
+      .agg(sum("cents").as("rev_cents"), count(lit(1)).as("n_small"))
+      .withColumn("avg_yearly",
+        expr("round(CAST(rev_cents AS DOUBLE) / 100.0 / 7.0, 2)"))
+  }
+
   def bucketedRevenueJoin(orders: DataFrame, lineitem: DataFrame,
                           buckets: Int = 8): DataFrame = {
     val o = bucketedTable(

@@ -195,4 +195,28 @@ class JoinsSpec extends AnyFunSuite {
       .collect().map(_.toSeq)
     assert(got.toSeq === want.toSeq)
   }
+
+  test("smallQuantityRevenue: crafted parts match the naive correlated form; fixture partition-invariant") {
+    import spark.implicits._
+    // part 1 (BrandX): quantities 10,10,10,2 -> avg 8, 20% = 1.6 -> none kept
+    // part 2 (BrandX): quantities 50,1,1 -> avg 17.33, 20% = 3.466 -> two 1s kept
+    // part 3 (BrandY): excluded brand
+    val part = Seq((1L, "BrandX"), (2L, "BrandX"), (3L, "BrandY"))
+      .toDF("p_partkey", "p_brand")
+    val li = Seq(
+      (1L, 10.0, 11.00), (1L, 10.0, 12.00), (1L, 10.0, 13.00), (1L, 2.0, 14.00),
+      (2L, 50.0, 20.00), (2L, 1.0, 3.50), (2L, 1.0, 4.50),
+      (3L, 1.0, 99.00))
+      .toDF("l_partkey", "l_quantity", "l_extendedprice")
+    val got = graft.operators.Joins.smallQuantityRevenue(li, part, Seq("BrandX"))
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("BrandX", 800L, 2L, math.rint(800.0 / 7.0) / 100.0)))
+    val dir = TestSpark.sf0001
+    val fxr = graft.operators.Joins.smallQuantityRevenue(
+        Tables.lineitem(spark, dir), Tables.part(spark, dir))
+      .as[(String, Long, Long, Double)].collect().toSet
+    assert(graft.operators.Joins.smallQuantityRevenue(
+        Tables.lineitem(spark, dir).repartition(7), Tables.part(spark, dir))
+      .as[(String, Long, Long, Double)].collect().toSet == fxr)
+  }
 }
