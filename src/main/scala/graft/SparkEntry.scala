@@ -1132,6 +1132,10 @@ object SparkEntry {
     "q189_tpch_q17" -> ((s, dir) =>
       graft.operators.Joins.smallQuantityRevenue(
         Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // extension: MOSS winnowing fingerprints — rolling min-hash selection
+    // with rightmost tie-break packed into one sortable string key
+    "q190_winnowing" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(docs(s, dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -3556,6 +3560,28 @@ SELECT li.p_brand, CAST(sum(cents) AS BIGINT) AS rev_cents,
 FROM li JOIN av ON li.l_partkey = av.l_partkey
 WHERE li.q * 5 * av.n_li < av.sum_q
 GROUP BY 1""",
+    // Winnowing: same packed (hash || 10^9-pos) key, same ROWS 3 PRECEDING
+    // window min, same partial-window rule for short docs
+    "q190_winnowing" ->
+      """WITH g AS (SELECT doc_id, length(text) - 7 AS n_grams,
+      unnest(range(1, length(text) - 6)) AS pos, text
+    FROM documents WHERE length(text) >= 8),
+  h AS (SELECT doc_id, n_grams, pos,
+      sha256(substring(text, CAST(pos AS INTEGER), 8))
+        || lpad(CAST(1000000000 - pos AS VARCHAR), 10, '0') AS key
+    FROM g),
+  m AS (SELECT doc_id, n_grams, pos,
+      min(key) OVER (PARTITION BY doc_id ORDER BY pos
+        ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mk
+    FROM h),
+  sel AS (SELECT DISTINCT doc_id, n_grams, mk FROM m
+    WHERE pos >= least(4, n_grams)),
+  sp AS (SELECT doc_id, n_grams, substring(mk, 1, 64) AS hash,
+      1000000000 - CAST(substring(mk, 65, 10) AS BIGINT) AS pos FROM sel)
+SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(count(*) AS BIGINT) AS n_fp,
+  round(CAST(count(*) AS DOUBLE) / n_grams, 6) AS density,
+  sha256(string_agg(hash, '' ORDER BY pos)) AS fp_sha
+FROM sp GROUP BY doc_id, n_grams""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

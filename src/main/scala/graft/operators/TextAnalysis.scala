@@ -654,6 +654,55 @@ object TextAnalysis {
     docs.select(col("doc_id"),
       graft.GraftFunctions.min_gram_hash(col("text"), 8).as("fingerprint"))
 
+  /** Winnowing fingerprints (the MOSS local document-fingerprinting
+    * algorithm): hash every `k`-char gram, slide a window of `w`
+    * consecutive positions, and keep each window's minimal hash with the
+    * RIGHTMOST-position tie-break — guaranteeing any match of length
+    * >= k+w-1 between two documents shares a selected fingerprint while
+    * storing only ~2/(w+1) of the gram hashes. `fingerprint` (q20) is the
+    * degenerate whole-doc window; this is the positional form plagiarism /
+    * near-dup span detection needs.
+    *
+    * The min-with-rightmost-tie order is packed into ONE sortable string —
+    * hash hex (64 chars) || zero-padded (10^9 - pos) — so the rolling
+    * selection is a plain window `min` both engines implement identically.
+    * Docs shorter than `k` have no grams and are absent; docs with fewer
+    * than `w` grams select from the partial window at the last position.
+    *
+    * Shape at scale: map-only gram hashing (posexplode of one transform),
+    * one per-doc window prefix-min (doc-keyed — dense ranks, no skew), one
+    * doc-keyed agg. Per-position sha256 is the oracle-parity choice; a
+    * production 100 TB run swaps in a codegen'd rolling polynomial hash
+    * (`MinGramHash` is the existing codegen'd cousin) without changing the
+    * selection algebra. */
+  def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
+    require(k >= 2 && k <= 256 && w >= 1 && w <= 1024, s"bad winnow params k=$k w=$w")
+    val grams = docs
+      .filter(length(col("text")) >= k)
+      .select(col("doc_id"), expr(s"length(text) - ${k - 1}").as("n_grams"),
+        posexplode(expr(
+          s"transform(sequence(1, length(text) - ${k - 1}), i -> sha2(substring(text, i, $k), 256))")))
+      .select(col("doc_id"), col("n_grams"), (col("pos") + 1).as("pos"),
+        concat(col("col"),
+          lpad(expr("CAST(1000000000 - (pos + 1) AS STRING)"), 10, "0")).as("key"))
+    val sel = grams
+      .withColumn("mk", min("key").over(
+        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)))
+      .filter(col("pos") >= least(lit(w), col("n_grams")))
+      .select(col("doc_id"), col("n_grams"), col("mk")).distinct()
+      .select(col("doc_id"), col("n_grams"),
+        substring(col("mk"), 1, 64).as("hash"),
+        (lit(1000000000L) - expr("CAST(substring(mk, 65, 10) AS BIGINT)")).as("pos"))
+    sel.groupBy("doc_id", "n_grams")
+      .agg(count(lit(1)).as("n_fp"),
+        sha2(array_join(expr(
+          "transform(sort_array(collect_list(struct(pos, hash))), s -> s.hash)"), ""), 256)
+          .as("fp_sha"))
+      .withColumn("density", expr("round(CAST(n_fp AS DOUBLE) / n_grams, 6)"))
+      .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
+        col("n_fp"), col("density"), col("fp_sha"))
+  }
+
   /** Cross-document boilerplate fractions: the share of each document's
     * DISTINCT word `n`-grams that occur in >= `minDocs` distinct documents
     * (headers, footers, licence blocks, templated spans — the inter-document

@@ -78,6 +78,40 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long, Double)].collect().toSet == fxr)
   }
 
+  test("winnowFingerprints: matches a driver-side winnow; shared spans share a fingerprint") {
+    def sha(s: String): String =
+      java.security.MessageDigest.getInstance("SHA-256")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def winnow(text: String, k: Int = 8, w: Int = 4): Seq[(Long, String)] = {
+      val keys = (1 to text.length - k + 1).map(p =>
+        (p.toLong, sha(text.substring(p - 1, p - 1 + k)) + f"${1000000000L - p}%010d"))
+      val n = keys.length
+      keys.indices.filter(i => i + 1 >= math.min(w, n)).map { i =>
+        keys.slice(math.max(0, i - w + 1), i + 1).map(_._2).min
+      }.distinct.map(mk => (1000000000L - mk.substring(64).toLong, mk.substring(0, 64)))
+        .sortBy(_._1)
+    }
+    val t1 = "the quick brown fox jumps over the lazy dog"
+    val t2 = "filler quick brown fox jumps pad" // shares an 11+ char span with t1
+    val short = "abcdefghij"                   // 3 grams < w -> one fingerprint
+    val crafted = Seq((1L, t1, "s0"), (2L, t2, "s0"), (3L, short, "s0"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.winnowFingerprints(crafted)
+      .as[(Long, Long, Long, Double, String)].collect().map(r => r._1 -> r).toMap
+    for ((id, t) <- Seq(1L -> t1, 2L -> t2, 3L -> short)) {
+      val want = winnow(t)
+      assert(got(id)._2 == t.length - 7L && got(id)._3 == want.length.toLong)
+      assert(got(id)._5 == sha(want.map(_._2).mkString))
+    }
+    assert(got(3L)._3 == 1L)
+    assert(winnow(t1).map(_._2).toSet.intersect(winnow(t2).map(_._2).toSet).nonEmpty)
+    val fxr = TextAnalysis.winnowFingerprints(docs)
+      .as[(Long, Long, Long, Double, String)].collect().toSet
+    assert(fxr.nonEmpty && fxr.forall(r => r._3 > 0 && r._3 <= r._2))
+    assert(TextAnalysis.winnowFingerprints(docs.repartition(7))
+      .as[(Long, Long, Long, Double, String)].collect().toSet == fxr)
+  }
+
   test("termBurstiness: clumped term ranks above spread term; counts exact") {
     val crafted = (1 to 6).map(i => (i.toLong, "spread filler" +
         (if (i <= 2) " clump clump clump clump clump clump" else ""), "s0"))
