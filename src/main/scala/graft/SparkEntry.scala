@@ -1136,6 +1136,10 @@ object SparkEntry {
     // with rightmost tie-break packed into one sortable string key
     "q190_winnowing" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(docs(s, dir))),
+    // extension: UniMax language-budget water-filling (exact-integer
+    // closed-form greedy; hash-ordered partial-epoch fill)
+    "q191_unimax" -> ((s, dir) =>
+      graft.operators.Sampling.unimaxSample(docs(s, dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -3582,6 +3586,43 @@ SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams, CAST(count(*) AS BIGINT) AS n
   round(CAST(count(*) AS DOUBLE) / n_grams, 6) AS density,
   sha256(string_agg(hash, '' ORDER BY pos)) AS fp_sha
 FROM sp GROUP BY doc_id, n_grams""",
+    // UniMax: same sorted-capacity saturation predicate, same floor
+    // divisions, same sha256 shuffle order for the partial epoch
+    "q191_unimax" ->
+      """WITH sized AS (SELECT lang, doc_id, CAST(length(text) AS BIGINT) AS chars FROM documents),
+  pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+      CAST(sum(chars) AS BIGINT) AS chars_l FROM sized GROUP BY 1),
+  pc AS (SELECT lang, n_docs, chars_l, chars_l * 2 AS cap_l FROM pl),
+  tot AS (SELECT CAST(sum(chars_l) AS BIGINT) AS total,
+      CAST(count(*) AS BIGINT) AS n_langs FROM pc),
+  rk AS (SELECT pc.*, t.n_langs, t.total * 2 // 5 AS budget,
+      row_number() OVER (ORDER BY pc.cap_l ASC, pc.lang ASC) AS i,
+      CAST(coalesce(sum(pc.cap_l) OVER (ORDER BY pc.cap_l ASC, pc.lang ASC
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+    FROM pc CROSS JOIN tot t),
+  st AS (SELECT *, (cap_l * (n_langs - i + 1) + cum_prev <= budget) AS sat FROM rk),
+  ag AS (SELECT CAST(sum(CASE WHEN sat THEN 1 ELSE 0 END) AS BIGINT) AS k_sat,
+      CAST(sum(CASE WHEN sat THEN cap_l ELSE 0 END) AS BIGINT) AS filled FROM st),
+  al AS (SELECT st.lang, st.n_docs, st.chars_l, st.cap_l,
+      CAST(CASE WHEN st.sat THEN st.cap_l
+        ELSE (st.budget - a.filled) // (st.n_langs - a.k_sat) END AS BIGINT) AS alloc
+    FROM st CROSS JOIN ag a),
+  a2 AS (SELECT *, CAST(alloc // chars_l AS BIGINT) AS full_epochs,
+      CAST(alloc % chars_l AS BIGINT) AS rem_chars FROM al),
+  hh AS (SELECT lang, doc_id, chars,
+      sha256('unimax:' || CAST(doc_id AS VARCHAR)) AS h FROM sized),
+  cm AS (SELECT lang, doc_id, chars,
+      CAST(sum(chars) OVER (PARTITION BY lang ORDER BY h ASC, doc_id ASC) AS BIGINT) AS cum
+    FROM hh),
+  fl AS (SELECT c.lang, CAST(count(*) AS BIGINT) AS n_partial,
+      CAST(sum(c.chars) AS BIGINT) AS partial_chars,
+      sha256(string_agg(CAST(c.doc_id AS VARCHAR), ',' ORDER BY c.doc_id)) AS partial_sha
+    FROM cm c JOIN a2 ON c.lang = a2.lang WHERE c.cum <= a2.rem_chars GROUP BY 1)
+SELECT a2.lang, a2.n_docs, a2.chars_l, a2.cap_l, a2.alloc, a2.full_epochs, a2.rem_chars,
+  CAST(coalesce(f.n_partial, 0) AS BIGINT) AS n_partial,
+  CAST(coalesce(f.partial_chars, 0) AS BIGINT) AS partial_chars,
+  coalesce(f.partial_sha, sha256('')) AS partial_sha
+FROM a2 LEFT JOIN fl f ON a2.lang = f.lang""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

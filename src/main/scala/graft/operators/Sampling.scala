@@ -352,4 +352,75 @@ object Sampling {
       .select(col("doc_id"), col("n_tokens"),
         round(col("logw"), 6).as("logw"), round(col("gkey"), 6).as("gkey"))
   }
+
+  /** UniMax language-budget allocation + per-language selection (the
+    * water-filling multilingual sampling of Chung et al., ICLR 2023):
+    * given a total character budget `B = total_chars * budgetNum DIV
+    * budgetDen` and a per-language repeat cap of `epochs` passes, allocate
+    * the budget as uniformly as possible across languages without pushing
+    * any language past `epochs x` its corpus size. Head languages (en) get
+    * a constant share; tail languages are capped at `epochs` epochs instead
+    * of being oversampled to noise — the published fix for
+    * temperature-sampling's tail over-repetition.
+    *
+    * Water-filling in exact integers: languages sorted by capacity
+    * `c_l = epochs * chars_l` ascending, a language is SATURATED when
+    * `c_l * (langs_after_and_self) + cum_prev_capacity <= B` (the monotone
+    * prefix property of the sorted order makes the greedy a closed form);
+    * saturated languages take `c_l`, the rest split the remainder evenly
+    * (floor division). The allocation decomposes as `full_epochs = a_l DIV
+    * chars_l` whole passes plus a partial pass of `a_l % chars_l` chars,
+    * filled by docs in deterministic sha256 shuffle order until the next
+    * doc would overflow.
+    *
+    * Shape at scale: the allocation runs on ONE aggregate row per language
+    * (driver-free, broadcast back); the partial-pass fill is one
+    * per-language window cumsum — the same deterministic-shuffle sort every
+    * hash-ordered selection here pays (`selectByTokenBudget`). Output: one
+    * row per language with the allocation arithmetic and a digest of the
+    * partial-pass doc ids. */
+  def unimaxSample(docs: DataFrame, budgetNum: Long = 2, budgetDen: Long = 5,
+                   epochs: Long = 2, langCol: String = "lang"): DataFrame = {
+    require(budgetNum >= 0 && budgetDen > 0 && epochs >= 1)
+    val sized = docs.select(col(langCol).as("lang"), col("doc_id"),
+      length(col("text")).cast("long").as("chars"))
+    val perLang = sized.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("chars").as("chars_l"))
+      .withColumn("cap_l", col("chars_l") * epochs)
+    // the whole allocation runs on one row per language — the literal
+    // partition key keeps WindowExec off its "No Partition Defined"
+    // global-sort warning path (same trick as searchRanked)
+    val wAll = Window.partitionBy(lit(0))
+    val wAsc = Window.partitionBy(lit(0)).orderBy(col("cap_l").asc, col("lang").asc)
+    val alloc = perLang
+      .withColumn("total", sum("chars_l").over(wAll))
+      .withColumn("budget", expr(s"total * $budgetNum DIV $budgetDen"))
+      .withColumn("i", row_number().over(wAsc))
+      .withColumn("cum_prev",
+        coalesce(sum("cap_l").over(wAsc.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n_langs", count(lit(1)).over(wAll))
+      .withColumn("sat", col("cap_l") * (col("n_langs") - col("i") + 1) + col("cum_prev") <= col("budget"))
+      .withColumn("k_sat", sum(when(col("sat"), 1L).otherwise(0L)).over(wAll))
+      .withColumn("filled", sum(when(col("sat"), col("cap_l")).otherwise(0L)).over(wAll))
+      .withColumn("alloc", when(col("sat"), col("cap_l"))
+        .otherwise(expr("(budget - filled) DIV (n_langs - k_sat)")))
+      .withColumn("full_epochs", expr("alloc DIV chars_l"))
+      .withColumn("rem_chars", expr("alloc % chars_l"))
+      .select("lang", "n_docs", "chars_l", "cap_l", "alloc", "full_epochs", "rem_chars")
+    val hashed = sized.withColumn("h",
+      sha2(concat(lit("unimax:"), col("doc_id").cast("string")), 256))
+    val filled = hashed
+      .withColumn("cum", sum("chars").over(
+        Window.partitionBy("lang").orderBy(col("h").asc, col("doc_id").asc)))
+      .join(broadcast(alloc), Seq("lang"))
+      .filter(col("cum") <= col("rem_chars"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_partial"), sum("chars").as("partial_chars"),
+        sha2(array_join(expr(
+          "transform(sort_array(collect_list(doc_id)), x -> CAST(x AS STRING))"), ","), 256)
+          .as("partial_sha"))
+    alloc.join(filled, Seq("lang"), "left")
+      .na.fill(0L, Seq("n_partial", "partial_chars"))
+      .withColumn("partial_sha", coalesce(col("partial_sha"), sha2(lit(""), 256)))
+  }
 }

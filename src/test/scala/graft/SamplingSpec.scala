@@ -232,4 +232,44 @@ class SamplingSpec extends AnyFunSuite {
       .select($"source", $"doc_id", $"rank").as[(String, Long, Int)].collect().toSet
     assert(again == got)
   }
+
+  test("unimaxSample: crafted corpus matches driver-side water-filling; fixture partition-invariant") {
+    // langs: tiny (10 chars), mid (30), big (200) -> capacities 20/60/400.
+    // budget = 240*2 DIV 5 = 96: tiny saturates (20*3+0=60<=96), mid does
+    // not (60*2+20=140>96) -> tiny gets 20, mid/big get (96-20) DIV 2 = 38
+    val crafted = Seq(
+      (1L, "a" * 10, "tiny"),
+      (2L, "b" * 15, "mid"), (3L, "c" * 15, "mid"),
+      (4L, "d" * 100, "big"), (5L, "e" * 100, "big"))
+      .toDF("doc_id", "text", "lang")
+    val got = Sampling.unimaxSample(crafted)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(got("tiny") == (("tiny", 1L, 10L, 20L, 20L, 2L, 0L, 0L, 0L, TestSpark.sha256Hex(""))))
+    // mid: alloc 38 = 1 full epoch (30) + 8 rem -> no 15-char doc fits
+    assert(got("mid")._5 == 38L && got("mid")._6 == 1L && got("mid")._7 == 8L
+      && got("mid")._8 == 0L)
+    // big: alloc 38 = 0 full epochs + 38 rem -> no 100-char doc fits
+    assert(got("big")._5 == 38L && got("big")._6 == 0L && got("big")._7 == 38L
+      && got("big")._8 == 0L)
+    // a roomier budget fills partial epochs: budget = 240*4 DIV 5 = 192 ->
+    // tiny 20, mid 60 saturate; big (chars_l 200) gets 112 = 0 full epochs
+    // + 112 rem -> exactly one 100-char doc fits the partial pass
+    val roomy = Sampling.unimaxSample(crafted, budgetNum = 4, budgetDen = 5)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().map(r => r._1 -> r).toMap
+    assert(roomy("mid") == (("mid", 2L, 30L, 60L, 60L, 2L, 0L, 0L, 0L, TestSpark.sha256Hex(""))))
+    assert(roomy("big")._5 == 112L && roomy("big")._6 == 0L && roomy("big")._7 == 112L)
+    assert(roomy("big")._8 == 1L && roomy("big")._9 == 100L)
+    // fixture: allocations never exceed capacity, partial fill never
+    // exceeds the remainder, partition-invariant
+    val fxr = Sampling.unimaxSample(docs)
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().toSet
+    assert(fxr.size == 5)
+    assert(fxr.forall(r => r._5 <= r._4 && r._9 <= r._7))
+    assert(Sampling.unimaxSample(docs.repartition(7))
+      .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, String)]
+      .collect().toSet == fxr)
+  }
 }
