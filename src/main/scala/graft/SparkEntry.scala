@@ -1140,6 +1140,11 @@ object SparkEntry {
     // closed-form greedy; hash-ordered partial-epoch fill)
     "q191_unimax" -> ((s, dir) =>
       graft.operators.Sampling.unimaxSample(docs(s, dir))),
+    // extension: TPC-H Q18 shape — having-aggregate computed once feeding
+    // both the semi-filter and the output column; top-k never leaves k rows
+    "q192_tpch_q18" -> ((s, dir) =>
+      graft.operators.Joins.largeVolumeCustomers(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -3623,6 +3628,17 @@ SELECT a2.lang, a2.n_docs, a2.chars_l, a2.cap_l, a2.alloc, a2.full_epochs, a2.re
   CAST(coalesce(f.partial_chars, 0) AS BIGINT) AS partial_chars,
   coalesce(f.partial_sha, sha256('')) AS partial_sha
 FROM a2 LEFT JOIN fl f ON a2.lang = f.lang""",
+    // Q18 shape: one HAVING aggregate reused, same cents arithmetic and
+    // (total_cents desc, orderkey) tie-break
+    "q192_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey,
+      CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty
+    FROM lineitem GROUP BY 1 HAVING sum(CAST(l_quantity AS BIGINT)) > 250)
+SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
+  CAST(round(o.o_totalprice * 100) AS BIGINT) AS total_cents, b.sum_qty
+FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+ORDER BY total_cents DESC, o.o_orderkey ASC LIMIT 100""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

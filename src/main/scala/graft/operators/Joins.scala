@@ -252,6 +252,37 @@ object Joins {
         expr("round(CAST(rev_cents AS DOUBLE) / 100.0 / 7.0, 2)"))
   }
 
+  /** TPC-H Q18 shape: large-volume customers — orders whose lineitems sum
+    * past `minQty` units, with their customer and order header, top-`k` by
+    * order value. The SQL form's `IN (SELECT ... HAVING sum > t)` subquery
+    * is the SAME aggregate the outer query re-computes — declared once
+    * here, so the plan is: one orderkey-keyed partial aggregate (the only
+    * pass over the big fact), a HAVING filter that collapses it to the few
+    * qualifying orders, then two hash joins that only ever see qualifying
+    * rows (AQE broadcasts the shrunken side as soon as it fits — the hints
+    * just pin hash strategy over sort-merge). Final top-k is
+    * TakeOrderedAndProject: k rows cross to the driver, never the join
+    * result.
+    *
+    * Exactness: quantities sum as integers, order value as cents; the sort
+    * carries the (total_cents desc, o_orderkey asc) tie-break. */
+  def largeVolumeCustomers(customer: DataFrame, orders: DataFrame,
+                           lineitem: DataFrame, minQty: Long = 250,
+                           k: Int = 100): DataFrame = {
+    val big = lineitem
+      .groupBy("l_orderkey")
+      .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("sum_qty"))
+      .filter(col("sum_qty") > minQty)
+    orders.select(col("o_orderkey"), col("o_custkey"), col("o_orderdate"),
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)").as("total_cents"))
+      .join(big.hint("SHUFFLE_HASH"), col("o_orderkey") === col("l_orderkey"))
+      .join(customer.select(col("c_custkey"), col("c_name")).hint("SHUFFLE_HASH"),
+        col("c_custkey") === col("o_custkey"))
+      .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "total_cents", "sum_qty")
+      .orderBy(desc("total_cents"), asc("o_orderkey")).limit(k)
+  }
+
   def bucketedRevenueJoin(orders: DataFrame, lineitem: DataFrame,
                           buckets: Int = 8): DataFrame = {
     val o = bucketedTable(

@@ -196,6 +196,31 @@ class JoinsSpec extends AnyFunSuite {
     assert(got.toSeq === want.toSeq)
   }
 
+  test("largeVolumeCustomers: matches a driver-side naive recompute on the fixture") {
+    import spark.implicits._
+    val dir = TestSpark.sf0001
+    val (cust, ords, li) = (Tables.customer(spark, dir),
+      Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+    val minQty = 150L // sf0.001 is small; a lower bar keeps the result non-trivial
+    val got = graft.operators.Joins
+      .largeVolumeCustomers(cust, ords, li, minQty, 20)
+      .as[(String, Long, Long, java.sql.Timestamp, Long, Long)].collect().toSeq
+    val qty = li.select($"l_orderkey", $"l_quantity".cast("long"))
+      .as[(Long, Long)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+      .filter(_._2 > minQty).toMap
+    val custName = cust.select($"c_custkey", $"c_name").as[(Long, String)]
+      .collect().toMap
+    val want = ords
+      .select($"o_orderkey", $"o_custkey", $"o_orderdate",
+        expr("CAST(round(o_totalprice * 100) AS BIGINT)"))
+      .as[(Long, Long, java.sql.Timestamp, Long)].collect()
+      .filter(o => qty.contains(o._1))
+      .map(o => (custName(o._2), o._2, o._1, o._3, o._4, qty(o._1)))
+      .sortBy(r => (-r._5, r._3)).take(20).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
   test("smallQuantityRevenue: crafted parts match the naive correlated form; fixture partition-invariant") {
     import spark.implicits._
     // part 1 (BrandX): quantities 10,10,10,2 -> avg 8, 20% = 1.6 -> none kept
