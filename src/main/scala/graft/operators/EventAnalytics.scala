@@ -417,12 +417,23 @@ object EventAnalytics {
     * computed over DDSketch CDFs (q173's buckets are already a mergeable
     * ECDF grid) and this operator becomes fully partial-aggregable. */
   def ksDrift(events: DataFrame, splitDate: String = "2024-01-16",
-              typeCol: String = "event_type", valueCol: String = "value"): DataFrame = {
-    val byValue = events
+              typeCol: String = "event_type", valueCol: String = "value"): DataFrame =
+    ksDriftFromCounts(ksValueCounts(events, splitDate, typeCol, valueCol))
+
+  /** The mergeable state behind [[ksDrift]]: per-(type, value) counts on
+    * each side of the split — additive integers, so per-batch partials
+    * fold by plain summation (the streaming maintenance form). */
+  def ksValueCounts(events: DataFrame, splitDate: String = "2024-01-16",
+                    typeCol: String = "event_type", valueCol: String = "value"): DataFrame =
+    events
       .select(col(typeCol).as("event_type"), col(valueCol).as("v"),
         when(col("ts") < lit(splitDate).cast("timestamp"), 1L).otherwise(0L).as("h1"))
       .groupBy("event_type", "v")
       .agg(sum("h1").as("c1"), sum(expr("1 - h1")).as("c2"))
+
+  /** Fold (event_type, v, c1, c2) counts into the KS statistic — the ECDF
+    * prefix-sum + max-gap tail of [[ksDrift]]. */
+  def ksDriftFromCounts(byValue: DataFrame): DataFrame = {
     val totals = byValue.groupBy("event_type")
       .agg(sum("c1").as("n1"), sum("c2").as("n2"))
     val w = Window.partitionBy("event_type").orderBy("v")

@@ -655,6 +655,28 @@ object Streams {
       Seq(col("g")), Seq(asc("h")), k)
     .select("g", "h")
 
+  /** Streaming KS-drift maintenance — `EventAnalytics.ksDrift`'s
+    * incremental form (the drift monitor that should run continuously):
+    * per-(type, value, side) counts are additive integers, so each
+    * micro-batch writes its own count partial ([[epochPartials]]
+    * scaffold) and `ksDriftAt` answers the statistic from the folded
+    * state without raw-event access. */
+  def streamingKsCounts(events: DataFrame, countsPath: String,
+                        checkpointDir: String,
+                        splitDate: String = "2024-01-16"): StreamingQuery =
+    epochPartials(events, countsPath, checkpointDir)(b =>
+      graft.operators.EventAnalytics.ksValueCounts(b, splitDate))
+
+  /** The maintained (event_type, v, c1, c2) count state, folded. */
+  def ksCountsAt(spark: SparkSession, countsPath: String): DataFrame =
+    epochsAt(spark, countsPath)
+      .groupBy("event_type", "v")
+      .agg(sum("c1").as("c1"), sum("c2").as("c2"))
+
+  /** The KS drift statistic from the maintained state. */
+  def ksDriftAt(spark: SparkSession, countsPath: String): DataFrame =
+    graft.operators.EventAnalytics.ksDriftFromCounts(ksCountsAt(spark, countsPath))
+
   /** Replace the table at `path` with `df` through the staged-swap +
     * self-healing contract (the plan may read the path it replaces; a
     * crash between delete and rename recovers via [[healCompaction]] on
@@ -929,6 +951,12 @@ object Streams {
     compactEpochs(spark, sketchPath)(df =>
       graft.plans.GroupedTopK(df.select("g", "h").distinct(),
         Seq(col("g")), Seq(asc("h")), k).select("g", "h"))
+
+  /** Compaction for the KS count epochs — same contract. */
+  def compactKsCountsAt(spark: SparkSession, countsPath: String): Unit =
+    compactEpochs(spark, countsPath)(
+      _.groupBy("event_type", "v")
+        .agg(sum("c1").as("c1"), sum("c2").as("c2")))
 
   /** Per-user session windows with a 30-minute gap. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =

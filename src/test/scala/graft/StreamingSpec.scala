@@ -629,6 +629,28 @@ class StreamingSpec extends AnyFunSuite {
     ev.unpersist()
   }
 
+  test("streamingKsCounts: folded partials answer the same KS drift as batch; compaction preserves it") {
+    val tmp = Files.createTempDirectory("graft-stream-ks").toString
+    val (landing, ksPath, ckpt) = (s"$tmp/landing", s"$tmp/counts", s"$tmp/ckpt")
+    val ev = Tables.events(spark, TestSpark.sf0001).cache()
+    ev.filter($"event_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    ev.filter($"event_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingKsCounts(stream, ksPath, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(ksPath).select("epoch").distinct().count() >= 2)
+    val batchKs = graft.operators.EventAnalytics.ksDrift(ev)
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(Streams.ksDriftAt(spark, ksPath)
+      .as[(String, Long, Long, Long, Double)].collect().toSet == batchKs)
+    assert(batchKs.nonEmpty)
+    Streams.compactKsCountsAt(spark, ksPath)
+    assert(spark.read.parquet(ksPath).select("epoch").distinct().count() == 1)
+    assert(Streams.ksDriftAt(spark, ksPath)
+      .as[(String, Long, Long, Long, Double)].collect().toSet == batchKs)
+    ev.unpersist()
+  }
+
   test("streamingNovelty: per-batch novelty over ordered arrival equals batch shingleNovelty") {
     val tmp = Files.createTempDirectory("graft-stream-novelty").toString
     val (landing, statePath, outPath, ckpt) =
