@@ -1145,6 +1145,47 @@ object SparkEntry {
     "q192_tpch_q18" -> ((s, dir) =>
       graft.operators.Joins.largeVolumeCustomers(
         Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // extension: TPC-H Q13 shape — orders pre-aggregated BEFORE the outer
+    // join, join-side predicate preserved, two-level count histogram
+    "q193_tpch_q13" -> ((s, dir) =>
+      graft.operators.Joins.customerOrderDistribution(
+        Tables.customer(s, dir), Tables.orders(s, dir))),
+    // extension: TPC-H Q14 shape — promo revenue share per ship-month,
+    // broadcast dim, conditional partial agg, exact e4 fixed point
+    "q194_tpch_q14" -> ((s, dir) =>
+      graft.operators.Joins.promoRevenueShare(
+        Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // extension: TPC-H Q22 shape — 1-row broadcast scalar average (exact
+    // integer cross-multiplied), left-anti no-orders predicate
+    "q195_tpch_q22" -> ((s, dir) =>
+      graft.operators.Joins.inactiveRichCustomers(
+        Tables.customer(s, dir), Tables.orders(s, dir))),
+    // extension: TPC-H Q10 shape — quarter-pruned orders, per-order partial
+    // agg before any join, customer dim joined last, top-k to the driver
+    "q196_tpch_q10" -> ((s, dir) =>
+      graft.operators.Joins.returnedItemRevenue(
+        Tables.customer(s, dir), Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // extension: pairwise Jensen-Shannon divergence between per-source
+    // unigram distributions (shared-terms-only decomposition; one
+    // token-keyed self-join, closed-form single-side remainder)
+    "q197_jsd_sources" -> ((s, dir) => TextAnalysis.jsdSources(docs(s, dir))),
+    // extension: per-source unigram entropy + type-token ratio (fixed-point
+    // ln of integer counts, exact integer moments, one division)
+    "q198_entropy" -> ((s, dir) => TextAnalysis.sourceEntropy(docs(s, dir))),
+    // extension: one-vs-rest ROC AUC per label with midrank ties — rank
+    // sums over the DISTINCT-score frame, never a per-row global rank
+    "q199_auc" -> ((s, dir) =>
+      Similarity.separabilityAuc(
+        emb(s, dir).select("vec_id", "embedding", "label"))),
+    // extension: temperature-T=2 multilingual sampling weights (sqrt is
+    // IEEE-correctly-rounded, so engine and oracle agree bit-for-bit)
+    "q200_temperature_mix" -> ((s, dir) =>
+      graft.operators.Sampling.temperatureMixture(docs(s, dir))),
+    // extension: per-label prototype outliers — integer-exact centroid
+    // distances (common denominator factored out), GroupedTopK per label
+    "q201_prototypes" -> ((s, dir) =>
+      Similarity.prototypeOutliers(
+        emb(s, dir).select("vec_id", "embedding", "label"))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -3639,6 +3680,151 @@ SELECT c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate,
 FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
 JOIN customer c ON c.c_custkey = o.o_custkey
 ORDER BY total_cents DESC, o.o_orderkey ASC LIMIT 100""",
+    // Q13 shape: same join-side priority exclusion, same coalesce-to-zero
+    "q193_tpch_q13" ->
+      """WITH pc AS (SELECT o_custkey, CAST(count(*) AS BIGINT) AS cnt
+    FROM orders WHERE o_orderpriority <> '4-NOT SPECIFIED' GROUP BY 1)
+SELECT CAST(coalesce(cnt, 0) AS BIGINT) AS c_count,
+  CAST(count(*) AS BIGINT) AS custdist
+FROM customer LEFT JOIN pc ON c_custkey = o_custkey
+GROUP BY 1 ORDER BY custdist DESC, c_count DESC""",
+    // Q14 shape: same e4 fixed point, same month formatting, one division
+    "q194_tpch_q14" ->
+      """WITH li AS (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month, l_partkey,
+    CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4 FROM lineitem)
+SELECT ship_month,
+  CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS BIGINT) AS promo_rev_e4,
+  CAST(sum(rev_e4) AS BIGINT) AS total_rev_e4,
+  round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev_e4 ELSE 0 END) AS DOUBLE)
+    / CAST(sum(rev_e4) AS DOUBLE), 6) AS promo_share
+FROM li JOIN part ON l_partkey = p_partkey
+GROUP BY 1 ORDER BY 1""",
+    // Q22 shape: exact integer cross-multiplied average predicate, NOT
+    // EXISTS mirrors the engine's left-anti join
+    "q195_tpch_q22" ->
+      """WITH cust AS (SELECT c_custkey, c_mktsegment,
+    CAST(round(c_acctbal * 100) AS BIGINT) AS bal_cents
+    FROM customer WHERE c_mktsegment IN ('BUILDING', 'MACHINERY', 'HOUSEHOLD')),
+  av AS (SELECT CAST(sum(bal_cents) AS BIGINT) AS pos_sum,
+    CAST(count(*) AS BIGINT) AS pos_n FROM cust WHERE bal_cents > 0)
+SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
+  CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
+FROM cust CROSS JOIN av
+WHERE bal_cents * pos_n > pos_sum
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+GROUP BY 1""",
+    // Q10 shape: same quarter bounds, per-order partial agg, cents/e4
+    // arithmetic and (revenue desc, custkey) tie-break
+    "q196_tpch_q10" ->
+      """WITH li AS (SELECT l_orderkey,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS rev_e4,
+    CAST(count(*) AS BIGINT) AS n_ret
+    FROM lineitem WHERE l_returnflag = 'R' GROUP BY 1),
+  oc AS (SELECT o_custkey, CAST(sum(rev_e4) AS BIGINT) AS revenue_e4,
+    CAST(sum(n_ret) AS BIGINT) AS n_returned
+    FROM orders JOIN li ON o_orderkey = l_orderkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o_orderdate < TIMESTAMP '1996-04-01' GROUP BY 1)
+SELECT c_custkey, c_name, CAST(round(c_acctbal * 100) AS BIGINT) AS acctbal_cents,
+  revenue_e4, n_returned
+FROM oc JOIN customer ON o_custkey = c_custkey
+ORDER BY revenue_e4 DESC, c_custkey ASC LIMIT 20""",
+    // JSD: same shared-terms decomposition, same 2^40 fixed-point per-term
+    // contributions, same closed-form ln2 single-side remainder
+    "q197_jsd_sources" ->
+      """WITH occ AS (SELECT source AS g,
+    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),
+  cnt AS (SELECT g, token, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2),
+  tot AS (SELECT g, CAST(sum(c) AS BIGINT) AS n FROM cnt GROUP BY 1),
+  a AS (SELECT cnt.g AS ga, token, c AS ca, n AS na FROM cnt JOIN tot ON cnt.g = tot.g),
+  b AS (SELECT cnt.g AS gb, token, c AS cb, n AS nb FROM cnt JOIN tot ON cnt.g = tot.g),
+  sh AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS n_shared_terms,
+      CAST(sum(ca) AS BIGINT) AS sh_ca, CAST(sum(cb) AS BIGINT) AS sh_cb,
+      CAST(sum(CAST(floor(CAST(ca AS DOUBLE) / na
+        * ln(2.0 * ca * nb / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na))
+        * 1099511627776.0 + 0.5) AS BIGINT)) AS BIGINT) AS sfa,
+      CAST(sum(CAST(floor(CAST(cb AS DOUBLE) / nb
+        * ln(2.0 * cb * na / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na))
+        * 1099511627776.0 + 0.5) AS BIGINT)) AS BIGINT) AS sfb
+    FROM a JOIN b ON a.token = b.token AND ga < gb GROUP BY 1, 2),
+  pr AS (SELECT t1.g AS ga, t1.n AS na, t2.g AS gb, t2.n AS nb
+    FROM tot t1 CROSS JOIN tot t2 WHERE t1.g < t2.g)
+SELECT pr.ga AS src_a, pr.gb AS src_b,
+  CAST(coalesce(sh.n_shared_terms, 0) AS BIGINT) AS n_shared_terms,
+  round(0.5 * ((CAST(coalesce(sfa, 0) AS DOUBLE) + CAST(coalesce(sfb, 0) AS DOUBLE))
+      / 1099511627776.0
+    + ln(2.0) * (CAST(na - coalesce(sh_ca, 0) AS DOUBLE) / na
+               + CAST(nb - coalesce(sh_cb, 0) AS DOUBLE) / nb)), 6) AS jsd
+FROM pr LEFT JOIN sh ON pr.ga = sh.ga AND pr.gb = sh.gb
+ORDER BY src_a, src_b""",
+    // Entropy: same fixed-point ln of integer counts, exact moments
+    "q198_entropy" ->
+      """WITH occ AS (SELECT source AS g,
+    unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),
+  cnt AS (SELECT g, token, CAST(count(*) AS BIGINT) AS c FROM occ GROUP BY 1, 2),
+  ag AS (SELECT g, CAST(sum(c) AS BIGINT) AS n_tokens,
+      CAST(count(*) AS BIGINT) AS n_types,
+      CAST(sum(c * CAST(floor(ln(CAST(c AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT)) AS BIGINT) AS s
+    FROM cnt GROUP BY 1)
+SELECT g AS source, n_tokens, n_types,
+  round(ln(CAST(n_tokens AS DOUBLE)) - CAST(s AS DOUBLE) / n_tokens / 1048576.0, 6) AS entropy,
+  round(CAST(n_types AS DOUBLE) / n_tokens, 6) AS ttr
+FROM ag ORDER BY source""",
+    // AUC: same fixed-point score buckets, same two running sums over the
+    // distinct-score frame, same exact 2U midrank arithmetic
+    "q199_auc" ->
+      """WITH d AS (SELECT vec_id, label,
+    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm,
+    CAST(embedding[1] AS DOUBLE) AS e1 FROM embeddings),
+  sc AS (SELECT label, CAST(floor(CASE WHEN nrm = 0.0 THEN 0.0
+      ELSE e1 / sqrt(nrm) END * 1073741824.0 + 0.5) AS BIGINT) AS f FROM d),
+  grp AS (SELECT f, label, CAST(count(*) AS BIGINT) AS cnt FROM sc GROUP BY 1, 2),
+  pf AS (SELECT f, CAST(sum(cnt) AS BIGINT) AS f_tot FROM grp GROUP BY 1),
+  ca AS (SELECT f, f_tot, CAST(coalesce(sum(f_tot) OVER (ORDER BY f
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below_all FROM pf),
+  wb AS (SELECT g.f, g.label, g.cnt, ca.f_tot, ca.below_all,
+      CAST(coalesce(sum(g.cnt) OVER (PARTITION BY g.label ORDER BY g.f
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below_lab
+    FROM grp g JOIN ca ON g.f = ca.f),
+  u2 AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS n_pos,
+      CAST(sum(cnt * 2 * (below_all - below_lab) + cnt * (f_tot - cnt)) AS BIGINT) AS u2
+    FROM wb GROUP BY 1),
+  tt AS (SELECT CAST(sum(f_tot) AS BIGINT) AS n_total FROM pf)
+SELECT label, n_pos, CAST(n_total - n_pos AS BIGINT) AS n_neg,
+  round(CAST(u2 AS DOUBLE) / 2.0 / n_pos / (n_total - n_pos), 6) AS auc
+FROM u2 CROSS JOIN tt ORDER BY label""",
+    // Temperature mix: sqrt is correctly rounded on both engines, same 2^20
+    // fixed point, same floor-integer allocation
+    "q200_temperature_mix" ->
+      """WITH pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(length(text)) AS BIGINT) AS chars_l FROM documents GROUP BY 1),
+  fxt AS (SELECT *, CAST(floor(sqrt(CAST(chars_l AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT) AS fx
+    FROM pl),
+  nm AS (SELECT CAST(sum(fx) AS BIGINT) AS sfx FROM fxt)
+SELECT lang, n_docs, chars_l,
+  round(CAST(fx AS DOUBLE) / sfx, 6) AS weight,
+  CAST((1000000 * fx) // sfx AS BIGINT) AS alloc_chars,
+  round(CAST(1000000 AS DOUBLE) * fx / sfx / chars_l, 6) AS epochs
+FROM fxt CROSS JOIN nm ORDER BY lang""",
+    // Prototypes: same 2^10 component quantization, same integer
+    // common-denominator distance, row_number mirrors GroupedTopK
+    "q201_prototypes" ->
+      """WITH q AS (SELECT vec_id, label, di.i,
+    CAST(floor(CAST(embedding[di.i] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS q
+    FROM embeddings CROSS JOIN range(1, 65) di(i)),
+  cent AS (SELECT label, i, CAST(sum(q) AS BIGINT) AS s,
+      CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1, 2),
+  d2 AS (SELECT q.vec_id, q.label, cent.n,
+      CAST(sum((q.q * cent.n - cent.s) * (q.q * cent.n - cent.s)) AS BIGINT) AS d2s
+    FROM q JOIN cent ON q.label = cent.label AND q.i = cent.i
+    GROUP BY 1, 2, 3),
+  rk AS (SELECT *, CAST(row_number() OVER (PARTITION BY label
+      ORDER BY d2s DESC, vec_id ASC) AS INTEGER) AS rank FROM d2)
+SELECT label, rank, vec_id, n AS n_label,
+  round(CAST(d2s AS DOUBLE) / n / n / 1048576.0, 6) AS dist2
+FROM rk WHERE rank <= 3 ORDER BY label, rank""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

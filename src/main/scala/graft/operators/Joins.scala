@@ -298,4 +298,108 @@ object Joins {
           "(100 - cast(round(l_discount * 100) AS BIGINT))")).as("revenue_e4"),
         count(lit(1)).as("n_items"))
   }
+
+  /** TPC-H Q13 shape (reference `main.py:363-365` serves one request at a
+    * time; this is the batch "how many orders does each customer have"
+    * distribution a capacity planner asks of the same data): LEFT OUTER
+    * join customer→orders with an extra join-side predicate (the spec's
+    * `o_comment NOT LIKE ...`, here an order-priority exclusion — it must
+    * live IN the join condition, not a WHERE, or zero-order customers
+    * vanish), count per customer, then histogram the counts.
+    *
+    * Plan at scale: orders is pre-aggregated to (custkey, cnt) BEFORE the
+    * outer join — the join then carries one row per customer per side
+    * instead of one per order, and the outer join itself is a cheap
+    * hash join on the shrunken aggregate. Second aggregate is over at most
+    * |distinct counts| ~ tiny. No row explosion anywhere. */
+  def customerOrderDistribution(customer: DataFrame, orders: DataFrame,
+                                excludePriority: String = "4-NOT SPECIFIED"): DataFrame = {
+    val perCust = orders.filter(col("o_orderpriority") =!= excludePriority)
+      .groupBy("o_custkey").agg(count(lit(1)).as("cnt"))
+    customer.select("c_custkey")
+      .join(perCust.hint("SHUFFLE_HASH"), col("c_custkey") === col("o_custkey"), "left")
+      .select(coalesce(col("cnt"), lit(0L)).as("c_count"))
+      .groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(desc("custdist"), desc("c_count"))
+  }
+
+  /** TPC-H Q14 shape: promo revenue share per ship-month — conditional
+    * aggregation over a fact-dim join. Dim (part) broadcasts: the fact scan
+    * never shuffles, the month aggregate is map-side partial. Revenue in
+    * exact e4 fixed point (cents x discount-percent), ONE division per
+    * output row. Output: (ship_month, promo_rev_e4, total_rev_e4,
+    * promo_share) ordered by month. */
+  def promoRevenueShare(lineitem: DataFrame, part: DataFrame,
+                        promoType: String = "PROMO"): DataFrame = {
+    val revE4 = expr("cast(round(l_extendedprice * 100) AS BIGINT) * " +
+      "(100 - cast(round(l_discount * 100) AS BIGINT))")
+    lineitem.select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        col("l_partkey"), revE4.as("rev_e4"))
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("ship_month")
+      .agg(sum(when(col("p_type") === promoType, col("rev_e4")).otherwise(0L))
+          .as("promo_rev_e4"),
+        sum("rev_e4").as("total_rev_e4"))
+      .withColumn("promo_share", expr(
+        "round(100.0 * CAST(promo_rev_e4 AS DOUBLE) / CAST(total_rev_e4 AS DOUBLE), 6)"))
+      .orderBy("ship_month")
+  }
+
+  /** TPC-H Q22 shape: "global customers sale" — customers in the given
+    * market segments whose account balance exceeds the average POSITIVE
+    * balance of those segments, and who have placed no orders. The scalar
+    * average is an exact integer pair (cent sum, count) computed once and
+    * broadcast into the filter via a cross join of one row; the no-orders
+    * predicate is a LEFT ANTI join against the distinct custkeys of orders
+    * (Spark builds the hash table on the distinct-custkey side under AQE —
+    * never a per-row NOT EXISTS probe). Output: per-segment count and
+    * exact cent sum of qualifying balances. */
+  def inactiveRichCustomers(customer: DataFrame, orders: DataFrame,
+                            segments: Seq[String] = Seq("BUILDING", "MACHINERY", "HOUSEHOLD"))
+      : DataFrame = {
+    val cust = customer.filter(col("c_mktsegment").isin(segments: _*))
+      .select(col("c_custkey"), col("c_mktsegment"),
+        expr("cast(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
+    val avgRow = cust.filter(col("bal_cents") > 0)
+      .agg(sum("bal_cents").as("pos_sum"), count(lit(1)).as("pos_n"))
+    cust.join(broadcast(avgRow))
+      // bal > avg as exact integer cross-multiplication: no double rounding
+      .filter(col("bal_cents") * col("pos_n") > col("pos_sum"))
+      .join(orders.select(col("o_custkey")).distinct(),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("totacctbal_cents"))
+  }
+
+  /** TPC-H Q10 shape: returned-item revenue — top-`k` customers by revenue
+    * of their 'R'-flagged lineitems within one order-date quarter. The fact
+    * is pre-filtered and pre-aggregated per ORDER before joining order
+    * headers (dates prune orders first, so the order→lineitem join carries
+    * only the quarter's orders), then re-aggregated per customer; the
+    * customer dim joins LAST, when only |customers with returns| rows
+    * remain. Top-k is TakeOrderedAndProject — k rows to the driver.
+    * Exact cents x discount e4 arithmetic; (rev desc, custkey asc)
+    * tie-break. */
+  def returnedItemRevenue(customer: DataFrame, orders: DataFrame,
+                          lineitem: DataFrame, fromDate: String = "1996-01-01",
+                          toDate: String = "1996-04-01", k: Int = 20): DataFrame = {
+    val ords = orders
+      .filter(col("o_orderdate") >= lit(fromDate).cast("timestamp") &&
+        col("o_orderdate") < lit(toDate).cast("timestamp"))
+      .select("o_orderkey", "o_custkey")
+    val li = lineitem.filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"),
+        expr("cast(round(l_extendedprice * 100) AS BIGINT) * " +
+          "(100 - cast(round(l_discount * 100) AS BIGINT))").as("rev_e4"))
+      .groupBy("l_orderkey").agg(sum("rev_e4").as("rev_e4"), count(lit(1)).as("n_ret"))
+    ords.join(li.hint("SHUFFLE_HASH"), col("o_orderkey") === col("l_orderkey"))
+      .groupBy("o_custkey")
+      .agg(sum("rev_e4").as("revenue_e4"), sum("n_ret").as("n_returned"))
+      .join(customer.select(col("c_custkey"), col("c_name"),
+        expr("cast(round(c_acctbal * 100) AS BIGINT)").as("acctbal_cents")).hint("SHUFFLE_HASH"),
+        col("o_custkey") === col("c_custkey"))
+      .select("c_custkey", "c_name", "acctbal_cents", "revenue_e4", "n_returned")
+      .orderBy(desc("revenue_e4"), asc("c_custkey")).limit(k)
+  }
 }

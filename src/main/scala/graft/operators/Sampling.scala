@@ -423,4 +423,36 @@ object Sampling {
       .na.fill(0L, Seq("n_partial", "partial_chars"))
       .withColumn("partial_sha", coalesce(col("partial_sha"), sha2(lit(""), 256)))
   }
+
+  /** Temperature-scaled multilingual sampling weights (mBERT/XLM-R style),
+    * T = 2: w_l ∝ size_l^(1/2) — the standard compromise between
+    * proportional sampling (starves tail languages) and uniform (over-
+    * trains them). [[unimaxSample]] is the budget-capped alternative; this
+    * is the smooth one.
+    *
+    * α = 1/2 exactly so the only transcendental is `sqrt`, which IEEE 754
+    * requires correctly rounded — engine and oracle agree bit-for-bit,
+    * unlike a general pow(x, 0.3). sqrt(size) is held in 2^20 fixed point;
+    * weights and the `budget`-token allocation are then exact integer
+    * ratios with one division per output column.
+    *
+    * Shape at scale: one partial-aggregated shuffle to a row per language,
+    * then a 1-row broadcast for the normalizer. Output per language:
+    * (n_docs, chars_l, weight, alloc_chars, epochs — how many times the
+    * language's corpus is consumed at this budget). */
+  def temperatureMixture(docs: DataFrame, budget: Long = 1000000L): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val perLang = docs.groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("chars_l"))
+      .withColumn("fx",
+        expr("CAST(floor(sqrt(CAST(chars_l AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT)"))
+    val norm = perLang.agg(sum("fx").as("sfx"))
+    perLang.join(broadcast(norm))
+      .select(col("lang"), col("n_docs"), col("chars_l"),
+        expr("round(CAST(fx AS DOUBLE) / sfx, 6)").as("weight"),
+        // floor-integer allocation: budget·fx ≤ 1e6·(2^20·sqrt(1e12)) ≪ 2^63
+        expr(s"CAST(($budget * fx) div sfx AS BIGINT)").as("alloc_chars"),
+        expr(s"round(CAST($budget AS DOUBLE) * fx / sfx / chars_l, 6)").as("epochs"))
+      .orderBy("lang")
+  }
 }

@@ -4,6 +4,7 @@ import org.apache.spark.ml.clustering.KMeans
 import org.apache.spark.ml.feature.{BucketedRandomProjectionLSH, Normalizer}
 import org.apache.spark.ml.functions.{array_to_vector, vector_to_array}
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.GraftFunctions.cosine_similarity
@@ -1374,5 +1375,81 @@ object Similarity {
           col("datasetB.query_embedding").as("q"))
         .withColumn("score", cosine_similarity(col("e"), col("q"))),
       k)
+  }
+
+  /** One-vs-rest ROC AUC per label for a scalar embedding score — the
+    * class-separability probe a labeling/curation pipeline runs before
+    * trusting a feature: AUC ≈ 0.5 means the score carries no signal for
+    * that class. Score = first-component share of the L2 norm (a fixed
+    * linear probe; any deterministic scalar works), Mann–Whitney form with
+    * proper midrank tie handling.
+    *
+    * Shape at scale: never a global per-ROW rank. Rows collapse to
+    * (score-bucket, label) counts first (fixed-point score = the bucket
+    * key, partial-aggregated shuffle), and the rank-sum is computed over
+    * the DISTINCT-score frame via two running sums — one global, one
+    * per-label — so the windowed data is |distinct scores| ≤ 2^31 regardless
+    * of row count, range-partitioned by the sort. 2·U stays an exact
+    * BIGINT (midranks are half-integers); one division per label at the
+    * end. Output: (label, n_pos, n_neg, auc) ordered by label. */
+  def separabilityAuc(items: DataFrame): DataFrame = {
+    val seqDot =
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    val scored = items.select(col("label"),
+      expr(s"""CAST(floor(CASE WHEN $seqDot = 0.0D THEN 0.0
+          ELSE CAST(element_at(embedding, 1) AS DOUBLE) / sqrt($seqDot) END
+          * 1073741824.0 + 0.5) AS BIGINT)""").as("f"))
+    val grp = scored.groupBy("f", "label").agg(count(lit(1)).as("cnt"))
+    val perF = grp.groupBy("f").agg(sum("cnt").as("f_tot"))
+    val wAll = Window.orderBy("f").rowsBetween(Window.unboundedPreceding, -1)
+    val cumAll = perF.withColumn("below_all", coalesce(sum("f_tot").over(wAll), lit(0L)))
+    val wLab = Window.partitionBy("label").orderBy("f")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val withBelow = grp
+      .withColumn("below_lab", coalesce(sum("cnt").over(wLab), lit(0L)))
+      .join(cumAll.hint("SHUFFLE_HASH"), "f")
+    // 2U_c = Σ_buckets cnt·2·(non-c strictly below) + cnt·(non-c tied)
+    val u2 = withBelow.groupBy("label")
+      .agg(sum("cnt").as("n_pos"),
+        sum(expr("cnt * 2 * (below_all - below_lab) + cnt * (f_tot - cnt)")).as("u2"))
+    // total row count as a 1-row broadcast, not a driver-side count(): one
+    // declarative plan, no second pass over the input
+    val total = perF.agg(sum("f_tot").as("n_total"))
+    u2.join(broadcast(total))
+      .select(col("label"), col("n_pos"), (col("n_total") - col("n_pos")).as("n_neg"),
+        expr("round(CAST(u2 AS DOUBLE) / 2.0 / n_pos / (n_total - n_pos), 6)").as("auc"))
+      .orderBy("label")
+  }
+
+  /** Per-label prototype outliers — SemDeDup's cousin for label QA: the
+    * vectors FURTHEST from their own class centroid are the mislabeled /
+    * out-of-distribution candidates a re-annotation pass should route to
+    * humans first.
+    *
+    * Exactness end to end: components quantize at 2^10 fixed point (the
+    * [[centroidDrift]] convention — exact for float inputs), centroid sums
+    * are integer vectors, and the squared distance to the centroid is the
+    * INTEGER Σ_i (q_i·n − S_i)² (common denominator n·2^10 factored out),
+    * so ranking never touches a float and the oracle needs no tolerance.
+    * Per-dim magnitude ≤ (2^10·n)² ≈ 4e10 at n=10⁴; ×dims ≪ 2^63.
+    *
+    * Shape at scale: posexplode → (label, dim) partial-agg sums (the only
+    * wide shuffle, |labels|·dims rows out), rejoin per (label, dim), one
+    * partial-agg back to per-vector distance, then [[GroupedTopK]] per
+    * label — per-partition heaps, k rows per label cross the wire. */
+  def prototypeOutliers(items: DataFrame, k: Int = 3): DataFrame = {
+    val q = items
+      .select(col("vec_id"), col("label"), posexplode(col("embedding")).as(Seq("i", "v")))
+      .select(col("vec_id"), col("label"), col("i"),
+        expr("CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)").as("q"))
+    val cent = q.groupBy("label", "i").agg(sum("q").as("s"), count(lit(1)).as("n"))
+    val d2 = q.join(cent.hint("SHUFFLE_HASH"), Seq("label", "i"))
+      .groupBy("vec_id", "label", "n")
+      .agg(sum(expr("(q * n - s) * (q * n - s)")).as("d2s"))
+    graft.plans.GroupedTopK(d2, Seq(col("label")),
+        Seq(desc("d2s"), asc("vec_id")), k)
+      .select(col("label"), col("rank"), col("vec_id"), col("n").as("n_label"),
+        expr("round(CAST(d2s AS DOUBLE) / n / n / 1048576.0, 6)").as("dist2"))
+      .orderBy("label", "rank")
   }
 }

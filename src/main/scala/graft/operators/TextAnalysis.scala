@@ -934,6 +934,93 @@ object TextAnalysis {
         expr("round(CAST(sfx AS DOUBLE) / n_docs / 1048576.0, 6)"))
       .drop("sfx")
 
+  /** Per-source unigram entropy + lexical diversity — the corpus-health
+    * companion to [[zipfSlope]]: low entropy or low type-token ratio flags
+    * template/synthetic/duplicated text the Zipf slope alone can miss.
+    *
+    * Exactness: H = ln(N) - (1/N)·Σ c·ln(c) over term counts c, so the only
+    * non-integer per-term quantity is ln(c) of an INTEGER — held in 2^20
+    * fixed point (the zipfSlope convention), with c·fx products and their
+    * sum exact BIGINTs. One final division + one final ln(N) per source.
+    *
+    * Shape at scale: explode → (source, token) partial-aggregated count →
+    * (source) partial-aggregated rollup. Two shuffles, both map-side
+    * combined; never holds a vocabulary in memory. Output per source:
+    * (n_tokens, n_types, entropy [nats], ttr), ordered by source. */
+  def sourceEntropy(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val occ = docs.select(col(groupCol).as("g"), explode(expr(tokensExpr)).as("token"))
+    occ.groupBy("g", "token").agg(count(lit(1)).as("c"))
+      .withColumn("fx",
+        expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT)"))
+      .groupBy("g")
+      .agg(sum("c").as("n_tokens"), count(lit(1)).as("n_types"),
+        sum(expr("c * fx")).as("s"))
+      .select(col("g").as(groupCol), col("n_tokens"), col("n_types"),
+        expr("""round(ln(CAST(n_tokens AS DOUBLE))
+                - CAST(s AS DOUBLE) / n_tokens / 1048576.0, 6)""").as("entropy"),
+        expr("round(CAST(n_types AS DOUBLE) / n_tokens, 6)").as("ttr"))
+      .orderBy(groupCol)
+  }
+
+  /** Pairwise Jensen-Shannon divergence between per-source unigram
+    * distributions — the mixture-design distance: which sources are
+    * near-duplicates of each other (syndication, mirrors) and which add
+    * genuinely new text. 0 = identical distributions, ln 2 = disjoint.
+    *
+    * Shape at scale — the key trick is that JSD decomposes over SHARED
+    * terms only:
+    *   JSD(P,Q) = ½·Σ_t [ p·ln(2·cP·NQ/u) + q·ln(2·cQ·NP/u) ],
+    *   u = cP·NQ + cQ·NP,
+    * and a term in only one side contributes exactly p·ln2. So the engine
+    * needs ONE equi-self-join of the (source, token, count) aggregate on
+    * `token` (hash-partitioned by token — never |V|² and never a full
+    * outer join), plus exact shared-mass sums to account for the
+    * single-side remainder in closed form. Per-source totals are a tiny
+    * broadcast; the S×S pair frame (S sources) is driver-small by
+    * construction.
+    *
+    * Exactness: u, cP·NQ, shared-count sums are exact BIGINTs; each shared
+    * term's p·ln(ratio) is held in 2^40 fixed point (|value| ≤ p·ln 2, so
+    * the pair sum is ≤ ln 2 · 2^40 ≈ 7.6e11 — no overflow); final
+    * assembly is one expression of exact integers + ln(2). */
+  def jsdSources(docs: DataFrame, groupCol: String = "source"): DataFrame = {
+    val occ = docs.select(col(groupCol).as("g"), explode(expr(tokensExpr)).as("token"))
+    val cnt = occ.groupBy("g", "token").agg(count(lit(1)).as("c"))
+    val tot = cnt.groupBy("g").agg(sum("c").as("n"))
+    val a = cnt.toDF("ga", "token", "ca")
+      .join(broadcast(tot.toDF("ga", "na")), "ga")
+    val b = cnt.toDF("gb", "token_b", "cb")
+      .join(broadcast(tot.toDF("gb", "nb")), "gb")
+    // fixed-point per-term KL contributions toward the mixture, shared terms
+    val fxA = """CAST(floor(CAST(ca AS DOUBLE) / na
+      * ln(2.0 * ca * nb / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na))
+      * 1099511627776.0 + 0.5) AS BIGINT)"""
+    val fxB = """CAST(floor(CAST(cb AS DOUBLE) / nb
+      * ln(2.0 * cb * na / (CAST(ca AS DOUBLE) * nb + CAST(cb AS DOUBLE) * na))
+      * 1099511627776.0 + 0.5) AS BIGINT)"""
+    val shared = a.join(b.hint("SHUFFLE_HASH"),
+        col("token") === col("token_b") && col("ga") < col("gb"))
+      .select(col("ga"), col("gb"), col("ca"), col("cb"),
+        expr(fxA).as("fa"), expr(fxB).as("fb"))
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n_shared_terms"),
+        sum("ca").as("sh_ca"), sum("cb").as("sh_cb"),
+        sum("fa").as("sfa"), sum("fb").as("sfb"))
+    // all source pairs (driver-small), so disjoint pairs surface as ln 2
+    val pairs = tot.toDF("ga", "na").crossJoin(tot.toDF("gb", "nb"))
+      .filter(col("ga") < col("gb"))
+    pairs.join(shared, Seq("ga", "gb"), "left")
+      .select(col("ga").as("src_a"), col("gb").as("src_b"),
+        coalesce(col("n_shared_terms"), lit(0L)).as("n_shared_terms"),
+        expr("""round(0.5 * (
+            (CAST(coalesce(sfa, 0) AS DOUBLE) + CAST(coalesce(sfb, 0) AS DOUBLE))
+              / 1099511627776.0
+            + ln(2.0) * (CAST(na - coalesce(sh_ca, 0) AS DOUBLE) / na
+                       + CAST(nb - coalesce(sh_cb, 0) AS DOUBLE) / nb)), 6)""")
+          .as("jsd"))
+      .orderBy("src_a", "src_b")
+  }
+
   def boilerplateStats(docs: DataFrame, n: Int = 5, minDocs: Int = 2): DataFrame = {
     require(n >= 1 && minDocs >= 1)
     val grams = docs.select(col("doc_id"),
