@@ -3712,7 +3712,8 @@ SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS numcust,
   CAST(sum(bal_cents) AS BIGINT) AS totacctbal_cents
 FROM cust CROSS JOIN av
 WHERE bal_cents * pos_n > pos_sum
-  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+  AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+    AND o_orderdate >= TIMESTAMP '2000-01-01')
 GROUP BY 1""",
     // Q10 shape: same quarter bounds, per-order partial agg, cents/e4
     // arithmetic and (revenue desc, custkey) tie-break

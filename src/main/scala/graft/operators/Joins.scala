@@ -348,16 +348,17 @@ object Joins {
 
   /** TPC-H Q22 shape: "global customers sale" — customers in the given
     * market segments whose account balance exceeds the average POSITIVE
-    * balance of those segments, and who have placed no orders. The scalar
+    * balance of those segments, and who have gone dormant (no orders on or
+    * after `dormantSince`; the spec's 7-year-no-orders clause). The scalar
     * average is an exact integer pair (cent sum, count) computed once and
-    * broadcast into the filter via a cross join of one row; the no-orders
-    * predicate is a LEFT ANTI join against the distinct custkeys of orders
-    * (Spark builds the hash table on the distinct-custkey side under AQE —
-    * never a per-row NOT EXISTS probe). Output: per-segment count and
-    * exact cent sum of qualifying balances. */
+    * broadcast into the filter via a cross join of one row; the dormancy
+    * predicate is a LEFT ANTI join against the distinct custkeys of the
+    * date-pruned orders (Spark builds the hash table on the distinct-
+    * custkey side under AQE — never a per-row NOT EXISTS probe). Output:
+    * per-segment count and exact cent sum of qualifying balances. */
   def inactiveRichCustomers(customer: DataFrame, orders: DataFrame,
-                            segments: Seq[String] = Seq("BUILDING", "MACHINERY", "HOUSEHOLD"))
-      : DataFrame = {
+                            segments: Seq[String] = Seq("BUILDING", "MACHINERY", "HOUSEHOLD"),
+                            dormantSince: String = "2000-01-01"): DataFrame = {
     val cust = customer.filter(col("c_mktsegment").isin(segments: _*))
       .select(col("c_custkey"), col("c_mktsegment"),
         expr("cast(round(c_acctbal * 100) AS BIGINT)").as("bal_cents"))
@@ -366,7 +367,8 @@ object Joins {
     cust.join(broadcast(avgRow))
       // bal > avg as exact integer cross-multiplication: no double rounding
       .filter(col("bal_cents") * col("pos_n") > col("pos_sum"))
-      .join(orders.select(col("o_custkey")).distinct(),
+      .join(orders.filter(col("o_orderdate") >= lit(dormantSince).cast("timestamp"))
+          .select(col("o_custkey")).distinct(),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("totacctbal_cents"))

@@ -244,4 +244,101 @@ class JoinsSpec extends AnyFunSuite {
         Tables.lineitem(spark, dir).repartition(7), Tables.part(spark, dir))
       .as[(String, Long, Long, Double)].collect().toSet == fxr)
   }
+
+  test("customerOrderDistribution: matches a driver-side outer-join histogram") {
+    val dir = TestSpark.sf0001
+    val cust = Tables.customer(spark, dir)
+    val ords = Tables.orders(spark, dir)
+    val got = Joins.customerOrderDistribution(cust, ords)
+      .as[(Long, Long)].collect().toSeq
+    val perCust = ords.filter($"o_orderpriority" =!= "4-NOT SPECIFIED")
+      .select("o_custkey").as[Long].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val want = cust.select("c_custkey").as[Long].collect()
+      .map(c => perCust.getOrElse(c, 0L))
+      .groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .sortBy { case (c, d) => (-d, -c) }
+    assert(got == want)
+    // the outer join preserves zero-order customers (the bucket the spec's
+    // LEFT JOIN exists for) — the fixture has some
+    assert(got.exists(_._1 == 0L) == want.exists(_._1 == 0L))
+  }
+
+  test("promoRevenueShare: months match a driver-side recompute, shares in [0,100]") {
+    val dir = TestSpark.sf0001
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    val got = Joins.promoRevenueShare(li, part)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    val types = part.select("p_partkey", "p_type").as[(Long, String)].collect().toMap
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val want = li.select(date_format($"l_shipdate", "yyyy-MM"), $"l_partkey",
+        $"l_extendedprice", $"l_discount")
+      .as[(String, Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues { rs =>
+        val e4s = rs.map { case (_, pk, ep, d) =>
+          val e4 = math.round(ep * 100) * (100 - math.round(d * 100))
+          (if (types(pk) == "PROMO") e4 else 0L, e4)
+        }
+        (e4s.map(_._1).sum, e4s.map(_._2).sum)
+      }.toSeq
+      .map { case (m, (p, t)) => (m, p, t, r6(100.0 * p.toDouble / t.toDouble)) }
+      .sortBy(_._1)
+    assert(got == want)
+    assert(got.forall(r => r._4 >= 0.0 && r._4 <= 100.0))
+  }
+
+  test("inactiveRichCustomers: matches a driver-side brute force") {
+    val dir = TestSpark.sf0001
+    val segs = Seq("BUILDING", "MACHINERY", "HOUSEHOLD")
+    val cust = Tables.customer(spark, dir)
+    val ords = Tables.orders(spark, dir)
+    val got = Joins.inactiveRichCustomers(cust, ords)
+      .as[(String, Long, Long)].collect().toSet
+    val hasOrders = ords
+      .filter($"o_orderdate" >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey").as[Long].collect().toSet
+    val cs = cust.select("c_custkey", "c_mktsegment", "c_acctbal")
+      .as[(Long, String, Double)].collect()
+      .filter(c => segs.contains(c._2))
+      .map { case (k, s, b) => (k, s, math.round(b * 100)) }
+    val pos = cs.filter(_._3 > 0)
+    val (posSum, posN) = (pos.map(_._3).sum, pos.length.toLong)
+    val want = cs.filter(c => c._3 * posN > posSum && !hasOrders.contains(c._1))
+      .groupBy(_._2).view
+      .mapValues(rs => (rs.length.toLong, rs.map(_._3).sum)).toSeq
+      .map { case (s, (n, t)) => (s, n, t) }.toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("returnedItemRevenue: matches a driver-side brute force incl. tie order") {
+    val dir = TestSpark.sf0001
+    val cust = Tables.customer(spark, dir)
+    val ords = Tables.orders(spark, dir)
+    val li = Tables.lineitem(spark, dir)
+    val got = Joins.returnedItemRevenue(cust, ords, li, k = 10)
+      .as[(Long, String, Long, Long, Long)].collect().toSeq
+    val liAgg = li.filter($"l_returnflag" === "R")
+      .select("l_orderkey", "l_extendedprice", "l_discount")
+      .as[(Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues { rs =>
+        (rs.map(r => math.round(r._2 * 100) * (100 - math.round(r._3 * 100))).sum,
+          rs.length.toLong)
+      }.toMap
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+    val perCust = ords.select("o_orderkey", "o_custkey", "o_orderdate")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .filter(o => !o._3.before(lo) && o._3.before(hi))
+      .flatMap(o => liAgg.get(o._1).map(a => (o._2, a._1, a._2)))
+      .groupBy(_._1).view
+      .mapValues(rs => (rs.map(_._2).sum, rs.map(_._3).sum)).toMap
+    val names = cust.select("c_custkey", "c_name", "c_acctbal")
+      .as[(Long, String, Double)].collect()
+      .map { case (k, n, b) => k -> ((n, math.round(b * 100))) }.toMap
+    val want = perCust.toSeq
+      .map { case (c, (rev, n)) => (c, names(c)._1, names(c)._2, rev, n) }
+      .sortBy { case (c, _, _, rev, _) => (-rev, c) }.take(10)
+    assert(got == want && got.nonEmpty)
+  }
 }

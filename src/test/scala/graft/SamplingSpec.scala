@@ -272,4 +272,31 @@ class SamplingSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Long, Long, Long, Long, Long, String)]
       .collect().toSet == fxr)
   }
+
+  test("temperatureMixture: exact sqrt weights on a crafted 1:4 corpus; fixture sums to 1") {
+    // 100 vs 400 chars -> sqrt ratio exactly 1:2 (both squares, so the
+    // fixed-point sqrt is exact)
+    val crafted = Seq(
+      (0L, "a" * 100, "aa", "s0"), (1L, "b" * 400, "bb", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Sampling.temperatureMixture(crafted)
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSeq
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val (fx1, fx2) = (10L * 1048576, 20L * 1048576)
+    val sfx = fx1 + fx2
+    assert(got == Seq(
+      ("aa", 1L, 100L, r6(fx1.toDouble / sfx), 1000000L * fx1 / sfx,
+        r6(1000000.0 * fx1 / sfx / 100)),
+      ("bb", 1L, 400L, r6(fx2.toDouble / sfx), 1000000L * fx2 / sfx,
+        r6(1000000.0 * fx2 / sfx / 400))))
+    // fixture: weights a partition over languages, allocation never exceeds
+    // the budget, partition-invariant
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val fxr = Sampling.temperatureMixture(docs)
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSeq
+    assert(math.abs(fxr.map(_._4).sum - 1.0) < 1e-5)
+    assert(fxr.map(_._5).sum <= 1000000L)
+    assert(Sampling.temperatureMixture(docs.repartition(7))
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSeq == fxr)
+  }
 }

@@ -684,4 +684,54 @@ class SimilaritySpec extends AnyFunSuite {
       assert(r1._4 == 1.0)
     }
   }
+
+  test("separabilityAuc: separable labels hit 1.0/0.0, all-tied scores hit 0.5") {
+    // score = first component / L2 norm; label 1 strictly above label 0
+    val sep = Seq(
+      (0L, Array(0f, 1f), 0), (1L, Array(-0.8f, 0.6f), 0),
+      (2L, Array(1f, 0f), 1), (3L, Array(0.6f, 0.8f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.separabilityAuc(sep)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq((0, 2L, 2L, 0.0), (1, 2L, 2L, 1.0)))
+    // identical vectors -> every pair tied -> midrank AUC exactly 1/2
+    val tied = Seq(
+      (0L, Array(0.5f, 0.5f), 0), (1L, Array(0.5f, 0.5f), 1),
+      (2L, Array(0.5f, 0.5f), 1)).toDF("vec_id", "embedding", "label")
+    val gt = Similarity.separabilityAuc(tied)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    assert(gt == Seq((0, 1L, 2L, 0.5), (1, 2L, 1L, 0.5)))
+    // fixture: aucs in [0,1], pos+neg = total, partition-invariant
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label")
+    val fxr = Similarity.separabilityAuc(emb)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    val n = emb.count()
+    assert(fxr.forall(r => r._4 >= 0.0 && r._4 <= 1.0 && r._2 + r._3 == n))
+    assert(Similarity.separabilityAuc(emb.repartition(7))
+      .as[(Int, Long, Long, Double)].collect().toSeq == fxr)
+  }
+
+  test("prototypeOutliers: the planted far vector ranks first with the exact distance") {
+    val df = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0),
+      (2L, Array(1f, 0f), 0), (3L, Array(-1f, 0f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.prototypeOutliers(df, k = 2)
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq
+    // centroid sum = (2048, 0) at 2^10 fixed point, n = 4:
+    // vec 3: (−4096·... d2s = 6144² -> 2.25; others: 2048² -> 0.25
+    assert(got == Seq((0, 1, 3L, 4L, 2.25), (0, 2, 0L, 4L, 0.25)))
+    // fixture: k rows per label, rank 1 distance maximal, partition-invariant
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label")
+    val fxr = Similarity.prototypeOutliers(emb)
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq
+    val byLabel = fxr.groupBy(_._1)
+    assert(byLabel.values.forall(_.length == 3))
+    assert(byLabel.values.forall(rs =>
+      rs.sortBy(_._2).map(_._5).sliding(2).forall(p => p.head >= p.last)))
+    assert(Similarity.prototypeOutliers(emb.repartition(7))
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq == fxr)
+  }
 }

@@ -612,4 +612,52 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(rep(("b", "a")) == ((1L, 1.0)))
     assert(rep(("a", "a")) == ((1L, 0.5)) && rep(("b", "b")) == ((1L, 0.5)))
   }
+
+  test("sourceEntropy: crafted counts match the fixed-point formula; fixture invariants") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    def fx(v: Double) = math.floor(math.log(v) * 1048576.0 + 0.5).toLong
+    // counts 2,2 over N=4: H = ln4 − (2·fx(ln2)+2·fx(ln2))/4/2^20, TTR = 1/2
+    val crafted = Seq((1L, "a a b b", "s0")).toDF("doc_id", "text", "source")
+    val got = TextAnalysis.sourceEntropy(crafted)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    val h = r6(math.log(4.0) - (4 * fx(2.0)).toDouble / 4 / 1048576.0)
+    assert(got == Seq(("s0", 4L, 2L, h, 0.5)))
+    // uniform singletons maximize entropy at ln N exactly (fx(ln 1) = 0)
+    val uni = Seq((1L, "a b c d", "s0")).toDF("doc_id", "text", "source")
+    assert(TextAnalysis.sourceEntropy(uni)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq ==
+      Seq(("s0", 4L, 4L, r6(math.log(4.0)), 1.0)))
+    // fixture: 0 <= H <= ln(n_tokens), 0 < ttr <= 1, partition-invariant
+    val fxr = TextAnalysis.sourceEntropy(docs)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(fxr.nonEmpty && fxr.forall(r =>
+      r._4 >= 0.0 && r._4 <= math.log(r._2.toDouble) + 1e-6 &&
+      r._5 > 0.0 && r._5 <= 1.0))
+    assert(TextAnalysis.sourceEntropy(docs.repartition(7))
+      .as[(String, Long, Long, Double, Double)].collect().toSeq == fxr)
+  }
+
+  test("jsdSources: identical distributions -> 0, disjoint -> ln 2; fixture invariants") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val same = Seq((1L, "x y", "sA"), (2L, "x y", "sB"))
+      .toDF("doc_id", "text", "source")
+    assert(TextAnalysis.jsdSources(same)
+      .as[(String, String, Long, Double)].collect().toSeq ==
+      Seq(("sA", "sB", 2L, 0.0)))
+    val disjoint = Seq((1L, "x x", "sA"), (2L, "y y", "sB"))
+      .toDF("doc_id", "text", "source")
+    assert(TextAnalysis.jsdSources(disjoint)
+      .as[(String, String, Long, Double)].collect().toSeq ==
+      Seq(("sA", "sB", 0L, r6(math.log(2.0)))))
+    // fixture: all S·(S−1)/2 ordered pairs, values in [0, ln 2],
+    // partition-invariant
+    val fxr = TextAnalysis.jsdSources(docs)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val s = docs.select("source").distinct().count()
+    assert(fxr.length == s * (s - 1) / 2)
+    assert(fxr.forall(r => r._1 < r._2 && r._4 >= 0.0 &&
+      r._4 <= math.log(2.0) + 1e-6))
+    assert(TextAnalysis.jsdSources(docs.repartition(7))
+      .as[(String, String, Long, Double)].collect().toSeq == fxr)
+  }
 }
