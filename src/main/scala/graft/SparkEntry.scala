@@ -1186,6 +1186,21 @@ object SparkEntry {
     "q201_prototypes" -> ((s, dir) =>
       Similarity.prototypeOutliers(
         emb(s, dir).select("vec_id", "embedding", "label"))),
+    // extension: TPC-H Q19 shape — OR-of-ANDs predicate split per join
+    // side and pushed below a broadcast join, exact conjunctions after
+    "q202_tpch_q19" -> ((s, dir) =>
+      graft.operators.Joins.disjunctivePromoRevenue(
+        Tables.lineitem(s, dir), Tables.part(s, dir))),
+    // extension: TPC-H Q7 shape — nation-pair volume shipping, broadcast
+    // dims on opposite ends of the fact, one hash shuffle
+    "q203_tpch_q7" -> ((s, dir) =>
+      graft.operators.Joins.volumeShipping(
+        Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir))),
+    // extension: RFM purchase segmentation — quartile codes over the
+    // distinct-user frame, integer recency/cents, ntile tie-broken
+    "q204_rfm" -> ((s, dir) =>
+      graft.operators.EventAnalytics.rfmSegments(Tables.events(tune(s), dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -3826,6 +3841,57 @@ FROM fxt CROSS JOIN nm ORDER BY lang""",
 SELECT label, rank, vec_id, n AS n_label,
   round(CAST(d2s AS DOUBLE) / n / n / 1048576.0, 6) AS dist2
 FROM rk WHERE rank <= 3 ORDER BY label, rank""",
+    // Q19 shape: same three (brand, size, quantity) conjunctions
+    "q202_tpch_q19" ->
+      """SELECT p_brand,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+    AND CAST(l_quantity AS BIGINT) BETWEEN 1 AND 20)
+   OR (p_brand = 'Brand#2' AND p_size BETWEEN 5 AND 20
+    AND CAST(l_quantity AS BIGINT) BETWEEN 10 AND 40)
+   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+    AND CAST(l_quantity AS BIGINT) BETWEEN 20 AND 50)
+GROUP BY 1 ORDER BY 1""",
+    // Q7 shape: same nation pair, ship-year window, e4 arithmetic
+    "q203_tpch_q7" ->
+      """WITH nat AS (SELECT n_nationkey, n_name FROM nation
+    WHERE n_name IN ('NATION_1', 'NATION_2')),
+  sn AS (SELECT s_suppkey, n_name AS supp_nation FROM supplier
+    JOIN nat ON s_nationkey = n_nationkey),
+  cn AS (SELECT c_custkey, n_name AS cust_nation FROM customer
+    JOIN nat ON c_nationkey = n_nationkey),
+  onn AS (SELECT o_orderkey, cust_nation FROM orders
+    JOIN cn ON o_custkey = c_custkey)
+SELECT supp_nation, cust_nation,
+  CAST(year(l_shipdate) AS INTEGER) AS l_year,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+    * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS revenue_e4,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN sn ON l_suppkey = s_suppkey
+JOIN onn ON l_orderkey = o_orderkey
+WHERE year(l_shipdate) BETWEEN 1996 AND 1997
+  AND supp_nation <> cust_nation
+GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
+    // RFM: same integer day/cent metrics, same ntile tie-breaks
+    "q204_rfm" ->
+      """WITH p AS (SELECT user_id, ts, CAST(round(value * 100) AS BIGINT) AS cents
+    FROM events WHERE event_type = 'purchase'),
+  pu AS (SELECT user_id, max(ts) AS last_ts, CAST(count(*) AS BIGINT) AS frequency,
+      CAST(sum(cents) AS BIGINT) AS monetary_cents FROM p GROUP BY 1),
+  an AS (SELECT max(ts) AS anchor_ts FROM p),
+  sc AS (SELECT pu.*, CAST(date_diff('day', CAST(last_ts AS DATE),
+      CAST(anchor_ts AS DATE)) AS BIGINT) AS recency_days FROM pu CROSS JOIN an),
+  qq AS (SELECT user_id, recency_days, frequency, monetary_cents,
+      CAST(ntile(4) OVER (ORDER BY recency_days DESC, user_id ASC) AS INTEGER) AS r_q,
+      CAST(ntile(4) OVER (ORDER BY frequency ASC, user_id ASC) AS INTEGER) AS f_q,
+      CAST(ntile(4) OVER (ORDER BY monetary_cents ASC, user_id ASC) AS INTEGER) AS m_q
+    FROM sc)
+SELECT *, CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS segment
+FROM qq ORDER BY user_id""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

@@ -474,4 +474,42 @@ object EventAnalytics {
       .filter(abs(col("z")) > threshold)
       .select(col("event_id"), col("event_type"), col("z"))
   }
+
+  /** RFM (recency / frequency / monetary) customer segmentation over the
+    * purchase stream — the standard CRM cut: quartile each user on how
+    * recently they bought, how often, and how much, and concatenate the
+    * three quartile digits into a segment code ("444" = best).
+    *
+    * Exactness: recency in whole days from the stream's max purchase ts
+    * (integer date_diff), monetary in cents (integer), quartiles via
+    * `ntile(4)` with a (metric, user_id) tie-break so both engines assign
+    * identical buckets (ntile's floor-distribution is SQL-standard).
+    *
+    * Shape at scale: one partial-aggregated shuffle collapses the event
+    * stream to a row per USER before any window; the ntile windows then
+    * run over the distinct-user frame — orders of magnitude smaller than
+    * the stream, range-partitioned by the sort. The max-ts anchor is a
+    * 1-row broadcast, not a driver-side collect. */
+  def rfmSegments(events: DataFrame): DataFrame = {
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val perUser = purchases.groupBy("user_id")
+      .agg(max("ts").as("last_ts"), count(lit(1)).as("frequency"),
+        sum("cents").as("monetary_cents"))
+    val anchor = purchases.agg(max("ts").as("anchor_ts"))
+    val scored = perUser.join(broadcast(anchor))
+      .withColumn("recency_days",
+        expr("CAST(datediff(anchor_ts, last_ts) AS BIGINT)"))
+    // smaller recency = better, so rank it DESC to make quartile 4 best on
+    // all three axes
+    val r = ntile(4).over(Window.orderBy(desc("recency_days"), asc("user_id")))
+    val f = ntile(4).over(Window.orderBy(asc("frequency"), asc("user_id")))
+    val m = ntile(4).over(Window.orderBy(asc("monetary_cents"), asc("user_id")))
+    scored
+      .select(col("user_id"), col("recency_days"), col("frequency"),
+        col("monetary_cents"), r.as("r_q"), f.as("f_q"), m.as("m_q"))
+      .withColumn("segment", concat(col("r_q"), col("f_q"), col("m_q")))
+      .orderBy("user_id")
+  }
 }

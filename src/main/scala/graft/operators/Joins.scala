@@ -404,4 +404,77 @@ object Joins {
       .select("c_custkey", "c_name", "acctbal_cents", "revenue_e4", "n_returned")
       .orderBy(desc("revenue_e4"), asc("c_custkey")).limit(k)
   }
+
+  /** TPC-H Q19 shape: discounted revenue under an OR-of-ANDs predicate
+    * spanning both join sides (brand+size on the dim, quantity on the
+    * fact). The per-side halves of the disjunction are pushed BELOW the
+    * join as union bounds — part is pre-filtered to the union of the
+    * brand/size clauses (so the broadcast build holds only candidate
+    * parts) and lineitem to the union of the quantity ranges (pushed to
+    * the parquet scan as `l_quantity <= maxHi`) — while the exact
+    * conjunctions apply after the join. Per-brand revenue output; exact e4
+    * arithmetic. */
+  def disjunctivePromoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    // (brand, sizeLo, sizeHi, qtyLo, qtyHi) clauses of the disjunction
+    val clauses = Seq(
+      ("Brand#1", 1, 10, 1L, 20L), ("Brand#2", 5, 20, 10L, 40L),
+      ("Brand#3", 20, 40, 20L, 50L))
+    val dimUnion = clauses.map { case (b, sLo, sHi, _, _) =>
+      col("p_brand") === b && col("p_size").between(sLo, sHi)
+    }.reduce(_ || _)
+    val qtyMax = clauses.map(_._5).max
+    val joint = clauses.map { case (b, sLo, sHi, qLo, qHi) =>
+      col("p_brand") === b && col("p_size").between(sLo, sHi) &&
+        col("q").between(qLo, qHi)
+    }.reduce(_ || _)
+    lineitem.select(col("l_partkey"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"),
+        expr("cast(round(l_extendedprice * 100) AS BIGINT) * " +
+          "(100 - cast(round(l_discount * 100) AS BIGINT))").as("rev_e4"))
+      .filter(col("q") <= qtyMax)
+      .join(broadcast(part.filter(dimUnion).select("p_partkey", "p_brand", "p_size")),
+        col("l_partkey") === col("p_partkey"))
+      .filter(joint)
+      .groupBy("p_brand")
+      .agg(sum("rev_e4").as("revenue_e4"), count(lit(1)).as("n_items"))
+      .orderBy("p_brand")
+  }
+
+  /** TPC-H Q7 shape: volume shipping between two nations — revenue by
+    * (supplier nation, customer nation, ship year) for the ordered pairs
+    * of `nationA`/`nationB`, over a two-year ship window. Both nation
+    * lookups resolve through broadcast dims on OPPOSITE ends of the fact
+    * (supplier side keys off lineitem directly, customer side routes
+    * through orders), so the only big shuffle is lineitem⋈orders — hinted
+    * hash, AQE-broadcast once the nation filters collapse orders. The
+    * cross-nation disjunction prunes BOTH dim broadcasts to two nations
+    * each before the join. */
+  def volumeShipping(lineitem: DataFrame, orders: DataFrame,
+                     customer: DataFrame, supplier: DataFrame, nation: DataFrame,
+                     nationA: String = "NATION_1", nationB: String = "NATION_2",
+                     fromYear: Int = 1996, toYear: Int = 1997): DataFrame = {
+    val nat = nation.filter(col("n_name").isin(nationA, nationB))
+      .select("n_nationkey", "n_name")
+    val supNat = supplier.join(broadcast(nat),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("supp_nation"))
+    val custNat = customer.join(broadcast(nat),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("c_custkey"), col("n_name").as("cust_nation"))
+    val ordNat = orders.select("o_orderkey", "o_custkey")
+      .join(broadcast(custNat), col("o_custkey") === col("c_custkey"))
+      .select("o_orderkey", "cust_nation")
+    lineitem
+      .filter(year(col("l_shipdate")).between(fromYear, toYear))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        year(col("l_shipdate")).as("l_year"),
+        expr("cast(round(l_extendedprice * 100) AS BIGINT) * " +
+          "(100 - cast(round(l_discount * 100) AS BIGINT))").as("rev_e4"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(ordNat.hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
+      .filter(col("supp_nation") =!= col("cust_nation"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(sum("rev_e4").as("revenue_e4"), count(lit(1)).as("n_items"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
 }

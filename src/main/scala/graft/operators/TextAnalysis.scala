@@ -1009,7 +1009,9 @@ object TextAnalysis {
     // all source pairs (driver-small), so disjoint pairs surface as ln 2
     val pairs = tot.toDF("ga", "na").crossJoin(tot.toDF("gb", "nb"))
       .filter(col("ga") < col("gb"))
-    pairs.join(shared, Seq("ga", "gb"), "left")
+    // `shared` has at most one row per source pair after its aggregate —
+    // broadcast it so the driver-small pair frame never sort-merges
+    pairs.join(broadcast(shared), Seq("ga", "gb"), "left")
       .select(col("ga").as("src_a"), col("gb").as("src_b"),
         coalesce(col("n_shared_terms"), lit(0L)).as("n_shared_terms"),
         expr("""round(0.5 * (

@@ -300,4 +300,33 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(EventAnalytics.ksDrift(events.repartition(7))
       .as[(String, Long, Long, Long, Double)].collect().toSet == fxr)
   }
+
+  test("rfmSegments: crafted quartiles exact; non-purchase events ignored") {
+    val day = 1440 // minutes
+    val e = ev(
+      (1, 1 * day, 1, "purchase", 10.00),
+      (2, 2 * day, 2, "purchase", 20.00), (3, 3 * day, 2, "purchase", 30.00),
+      (4, 4 * day, 3, "purchase", 1.00), (5, 4 * day, 3, "purchase", 1.00),
+      (6, 4 * day, 3, "purchase", 1.00),
+      (7, 10 * day, 4, "purchase", 100.00),
+      (8, 10 * day, 1, "click", 99999.0)) // must not count
+    val got = EventAnalytics.rfmSegments(e)
+      .as[(Long, Long, Long, Long, Int, Int, Int, String)].collect().toSeq
+    // anchor = day 10; recency 9/7/6/0, freq 1/2/3/1, cents 1000/5000/300/10000
+    assert(got == Seq(
+      (1L, 9L, 1L, 1000L, 1, 1, 2, "112"),
+      (2L, 7L, 2L, 5000L, 2, 3, 3, "233"),
+      (3L, 6L, 3L, 300L, 3, 4, 1, "341"),
+      (4L, 0L, 1L, 10000L, 4, 2, 4, "424")))
+    // fixture: quartile codes 1-4, segment = concatenation,
+    // partition-invariant
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val fxr = EventAnalytics.rfmSegments(events)
+      .as[(Long, Long, Long, Long, Int, Int, Int, String)].collect().toSeq
+    assert(fxr.nonEmpty && fxr.forall(r =>
+      Seq(r._5, r._6, r._7).forall(q => q >= 1 && q <= 4) &&
+        r._8 == s"${r._5}${r._6}${r._7}"))
+    assert(EventAnalytics.rfmSegments(events.repartition(7))
+      .as[(Long, Long, Long, Long, Int, Int, Int, String)].collect().toSeq == fxr)
+  }
 }

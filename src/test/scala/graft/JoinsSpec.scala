@@ -341,4 +341,65 @@ class JoinsSpec extends AnyFunSuite {
       .sortBy { case (c, _, _, rev, _) => (-rev, c) }.take(10)
     assert(got == want && got.nonEmpty)
   }
+
+  test("disjunctivePromoRevenue: matches a driver-side OR-of-ANDs scan") {
+    val dir = TestSpark.sf0001
+    val li = Tables.lineitem(spark, dir)
+    val part = Tables.part(spark, dir)
+    val got = Joins.disjunctivePromoRevenue(li, part)
+      .as[(String, Long, Long)].collect().toSeq
+    val pinfo = part.select("p_partkey", "p_brand", "p_size")
+      .as[(Long, String, Int)].collect().map(p => p._1 -> ((p._2, p._3))).toMap
+    val clauses = Seq(("Brand#1", 1, 10, 1L, 20L), ("Brand#2", 5, 20, 10L, 40L),
+      ("Brand#3", 20, 40, 20L, 50L))
+    val want = li.select("l_partkey", "l_quantity", "l_extendedprice", "l_discount")
+      .as[(Long, Double, Double, Double)].collect()
+      .flatMap { case (pk, qd, ep, d) =>
+        val (brand, size) = pinfo(pk)
+        val q = qd.toLong
+        val hit = clauses.exists { case (b, sLo, sHi, qLo, qHi) =>
+          brand == b && size >= sLo && size <= sHi && q >= qLo && q <= qHi }
+        if (hit) Some((brand, math.round(ep * 100) * (100 - math.round(d * 100))))
+        else None
+      }
+      .groupBy(_._1).view.mapValues(rs => (rs.map(_._2).sum, rs.length.toLong))
+      .toSeq.map { case (b, (rev, n)) => (b, rev, n) }.sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("volumeShipping: matches a driver-side recompute; pairs are cross-nation") {
+    val dir = TestSpark.sf0001
+    val got = Joins.volumeShipping(
+        Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+        Tables.customer(spark, dir), Tables.supplier(spark, dir),
+        Tables.nation(spark, dir), nationA = "NATION_12", nationB = "NATION_10")
+      .as[(String, String, Int, Long, Long)].collect().toSeq
+    val nat = Tables.nation(spark, dir)
+      .filter($"n_name".isin("NATION_12", "NATION_10"))
+      .select("n_nationkey", "n_name").as[(Int, String)].collect().toMap
+    val sup = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .as[(Long, Int)].collect().flatMap(s => nat.get(s._2).map(s._1 -> _)).toMap
+    val cus = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .as[(Long, Int)].collect().flatMap(c => nat.get(c._2).map(c._1 -> _)).toMap
+    val ordNat = Tables.orders(spark, dir).select("o_orderkey", "o_custkey")
+      .as[(Long, Long)].collect().flatMap(o => cus.get(o._2).map(o._1 -> _)).toMap
+    val cal = java.util.Calendar.getInstance(
+      java.util.TimeZone.getTimeZone("UTC"))
+    val want = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .as[(Long, Long, java.sql.Timestamp, Double, Double)].collect()
+      .flatMap { case (ok, sk, sd, ep, d) =>
+        cal.setTime(sd)
+        val yr = cal.get(java.util.Calendar.YEAR)
+        for {
+          sn <- sup.get(sk); cn <- ordNat.get(ok)
+          if yr >= 1996 && yr <= 1997 && sn != cn
+        } yield ((sn, cn, yr), math.round(ep * 100) * (100 - math.round(d * 100)))
+      }
+      .groupBy(_._1).view.mapValues(rs => (rs.map(_._2).sum, rs.length.toLong))
+      .toSeq.map { case ((sn, cn, y), (rev, n)) => (sn, cn, y, rev, n) }
+      .sortBy(r => (r._1, r._2, r._3))
+    assert(got == want && got.nonEmpty)
+    assert(got.forall(r => r._1 != r._2))
+  }
 }
