@@ -440,12 +440,23 @@ object Sampling {
     * then a 1-row broadcast for the normalizer. Output per language:
     * (n_docs, chars_l, weight, alloc_chars, epochs — how many times the
     * language's corpus is consumed at this budget). */
-  def temperatureMixture(docs: DataFrame, budget: Long = 1000000L): DataFrame = {
-    require(budget > 0, s"budget must be positive: $budget")
-    val perLang = docs.groupBy("lang")
+  def temperatureMixture(docs: DataFrame, budget: Long = 1000000L): DataFrame =
+    temperatureMixtureFromCounts(langCounts(docs), budget)
+
+  /** The additive (lang, n_docs, chars_l) state [[temperatureMixtureFromCounts]]
+    * consumes — split out so the streaming maintainer can write it as
+    * per-epoch partials and fold by plain sums. */
+  def langCounts(docs: DataFrame): DataFrame =
+    docs.groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum(length(col("text"))).as("chars_l"))
-      .withColumn("fx",
-        expr("CAST(floor(sqrt(CAST(chars_l AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT)"))
+
+  /** [[temperatureMixture]]'s allocation arithmetic over a pre-aggregated
+    * (lang, n_docs, chars_l) table. */
+  def temperatureMixtureFromCounts(counts: DataFrame,
+                                   budget: Long = 1000000L): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val perLang = counts.withColumn("fx",
+      expr("CAST(floor(sqrt(CAST(chars_l AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT)"))
     val norm = perLang.agg(sum("fx").as("sfx"))
     perLang.join(broadcast(norm))
       .select(col("lang"), col("n_docs"), col("chars_l"),

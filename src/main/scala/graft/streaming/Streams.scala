@@ -677,6 +677,30 @@ object Streams {
   def ksDriftAt(spark: SparkSession, countsPath: String): DataFrame =
     graft.operators.EventAnalytics.ksDriftFromCounts(ksCountsAt(spark, countsPath))
 
+  /** Streaming temperature-mixture maintenance — `Sampling
+    * .temperatureMixture`'s incremental form (the mixture a continuously-
+    * ingesting multilingual pipeline re-balances on): per-language
+    * (n_docs, chars) counts are additive integers, so each micro-batch
+    * writes its own partial ([[epochPartials]] scaffold) and
+    * `temperatureMixtureAt` answers the weights from the folded state
+    * without re-reading the corpus. */
+  def streamingLangCounts(docs: DataFrame, countsPath: String,
+                          checkpointDir: String): StreamingQuery =
+    epochPartials(docs, countsPath, checkpointDir)(
+      graft.operators.Sampling.langCounts)
+
+  /** The maintained (lang, n_docs, chars_l) state, folded. */
+  def langCountsAt(spark: SparkSession, countsPath: String): DataFrame =
+    epochsAt(spark, countsPath)
+      .groupBy("lang")
+      .agg(sum("n_docs").as("n_docs"), sum("chars_l").as("chars_l"))
+
+  /** The temperature-T=2 sampling weights from the maintained state. */
+  def temperatureMixtureAt(spark: SparkSession, countsPath: String,
+                           budget: Long = 1000000L): DataFrame =
+    graft.operators.Sampling.temperatureMixtureFromCounts(
+      langCountsAt(spark, countsPath), budget)
+
   /** Replace the table at `path` with `df` through the staged-swap +
     * self-healing contract (the plan may read the path it replaces; a
     * crash between delete and rename recovers via [[healCompaction]] on
@@ -957,6 +981,11 @@ object Streams {
     compactEpochs(spark, countsPath)(
       _.groupBy("event_type", "v")
         .agg(sum("c1").as("c1"), sum("c2").as("c2")))
+
+  def compactLangCountsAt(spark: SparkSession, countsPath: String): Unit =
+    compactEpochs(spark, countsPath)(
+      _.groupBy("lang")
+        .agg(sum("n_docs").as("n_docs"), sum("chars_l").as("chars_l")))
 
   /** Per-user session windows with a 30-minute gap. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =

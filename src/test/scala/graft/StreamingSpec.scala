@@ -651,6 +651,28 @@ class StreamingSpec extends AnyFunSuite {
     ev.unpersist()
   }
 
+  test("streamingLangCounts: folded partials answer the same mixture as batch; compaction preserves it") {
+    val tmp = Files.createTempDirectory("graft-stream-mix").toString
+    val (landing, mixPath, ckpt) = (s"$tmp/landing", s"$tmp/counts", s"$tmp/ckpt")
+    val docs = Tables.documents(spark, TestSpark.sf0001).cache()
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingLangCounts(stream, mixPath, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(mixPath).select("epoch").distinct().count() >= 2)
+    val batchMix = graft.operators.Sampling.temperatureMixture(docs)
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSet
+    assert(Streams.temperatureMixtureAt(spark, mixPath)
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSet == batchMix)
+    assert(batchMix.nonEmpty)
+    Streams.compactLangCountsAt(spark, mixPath)
+    assert(spark.read.parquet(mixPath).select("epoch").distinct().count() == 1)
+    assert(Streams.temperatureMixtureAt(spark, mixPath)
+      .as[(String, Long, Long, Double, Long, Double)].collect().toSet == batchMix)
+    docs.unpersist()
+  }
+
   test("streamingNovelty: per-batch novelty over ordered arrival equals batch shingleNovelty") {
     val tmp = Files.createTempDirectory("graft-stream-novelty").toString
     val (landing, statePath, outPath, ckpt) =
