@@ -1201,6 +1201,19 @@ object SparkEntry {
     // distinct-user frame, integer recency/cents, ntile tie-broken
     "q204_rfm" -> ((s, dir) =>
       graft.operators.EventAnalytics.rfmSegments(Tables.events(tune(s), dir))),
+    // extension: TPC-H Q15 shape — argmax against a 1-row broadcast max,
+    // the per-supplier aggregate computed once and consumed twice
+    "q205_tpch_q15" -> ((s, dir) =>
+      graft.operators.Joins.topRevenueSupplier(
+        Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    // extension: TPC-H Q4 shape — EXISTS as a left-semi hash join with a
+    // cross-side lateness predicate riding the join condition
+    "q206_tpch_q4" -> ((s, dir) =>
+      graft.operators.Joins.latePriorityCounts(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // extension: per-language subword fertility (tokenizer-equity metric;
+    // exact integer tallies, one division per column)
+    "q207_fertility" -> ((s, dir) => TextAnalysis.subwordFertility(docs(s, dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -3892,6 +3905,37 @@ GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""",
     FROM sc)
 SELECT *, CAST(r_q AS VARCHAR) || CAST(f_q AS VARCHAR) || CAST(m_q AS VARCHAR) AS segment
 FROM qq ORDER BY user_id""",
+    // Q15 shape: same quarter bounds, exact-integer equality with the max
+    "q205_tpch_q15" ->
+      """WITH rev AS (SELECT l_suppkey,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS total_e4,
+    CAST(count(*) AS BIGINT) AS n_items
+    FROM lineitem WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1996-04-01' GROUP BY 1),
+  mx AS (SELECT max(total_e4) AS max_e4 FROM rev)
+SELECT s_suppkey, s_name, total_e4, n_items
+FROM rev CROSS JOIN mx JOIN supplier ON l_suppkey = s_suppkey
+WHERE total_e4 = max_e4 ORDER BY s_suppkey""",
+    // Q4 shape: same EXISTS lateness predicate (calendar-day datediff)
+    "q206_tpch_q4" ->
+      """SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o_orderdate < TIMESTAMP '1996-07-01'
+  AND EXISTS (SELECT 1 FROM lineitem WHERE l_orderkey = o_orderkey
+    AND date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) > 90)
+GROUP BY 1 ORDER BY 1""",
+    // Fertility: same token/subtoken regexes, exact tallies, one division
+    "q207_fertility" ->
+      s"""WITH d AS (SELECT lang,
+    len(list_filter(string_split(text, ' '), t -> t <> '')) AS w,
+    len(regexp_extract_all(lower(text), '${TextAnalysis.subtokenRegex}')) AS st
+  FROM documents)
+SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(w) AS BIGINT) AS n_words, CAST(sum(st) AS BIGINT) AS n_subtokens,
+  round(CAST(sum(st) AS DOUBLE) / sum(w), 6) AS fertility
+FROM d WHERE w > 0 GROUP BY 1 ORDER BY 1""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

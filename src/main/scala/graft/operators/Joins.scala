@@ -477,4 +477,54 @@ object Joins {
       .agg(sum("rev_e4").as("revenue_e4"), count(lit(1)).as("n_items"))
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
+
+  /** TPC-H Q15 shape: top supplier — suppliers whose quarter revenue
+    * EQUALS the maximum (the spec's view + scalar subquery, and the
+    * general argmax-against-global pattern). The per-supplier aggregate is
+    * computed ONCE and consumed twice: the 1-row max broadcasts back onto
+    * it (no second pass over the fact), and only the argmax row(s) touch
+    * the supplier dim. Exact e4 integers make "equals the max" safe —
+    * no float-compare tie hazard. */
+  def topRevenueSupplier(lineitem: DataFrame, supplier: DataFrame,
+                         fromDate: String = "1996-01-01",
+                         toDate: String = "1996-04-01"): DataFrame = {
+    val rev = lineitem
+      .filter(col("l_shipdate") >= lit(fromDate).cast("timestamp") &&
+        col("l_shipdate") < lit(toDate).cast("timestamp"))
+      .groupBy("l_suppkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - cast(round(l_discount * 100) AS BIGINT))")).as("total_e4"),
+        count(lit(1)).as("n_items"))
+    val mx = rev.agg(max("total_e4").as("max_e4"))
+    rev.join(broadcast(mx))
+      .filter(col("total_e4") === col("max_e4"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "total_e4", "n_items")
+      .orderBy("s_suppkey")
+  }
+
+  /** TPC-H Q4 shape: order-priority checking — orders in a quarter with at
+    * least one LATE lineitem (shipped more than `lateDays` after the order
+    * date), counted by priority. The EXISTS is a LEFT SEMI hash join whose
+    * non-equi lateness predicate compares columns from BOTH sides, so it
+    * rides the join as an extra condition (one shuffle, no fact
+    * re-aggregation, no row explosion from multi-lineitem orders — semi
+    * emits each order at most once). Date pruning on orders lands before
+    * the join. */
+  def latePriorityCounts(orders: DataFrame, lineitem: DataFrame,
+                         lateDays: Int = 90, fromDate: String = "1996-01-01",
+                         toDate: String = "1996-07-01"): DataFrame = {
+    val ords = orders
+      .filter(col("o_orderdate") >= lit(fromDate).cast("timestamp") &&
+        col("o_orderdate") < lit(toDate).cast("timestamp"))
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+    val li = lineitem.select("l_orderkey", "l_shipdate")
+    ords.hint("SHUFFLE_HASH")
+      .join(li, col("o_orderkey") === col("l_orderkey") &&
+        expr(s"datediff(l_shipdate, o_orderdate) > $lateDays"), "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
 }

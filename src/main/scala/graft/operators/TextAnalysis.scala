@@ -962,6 +962,29 @@ object TextAnalysis {
       .orderBy(groupCol)
   }
 
+  /** Per-language subword fertility — BPE-style subtokens per whitespace
+    * word (the tokenizer-equity metric: a language paying 3x the subtokens
+    * per word gets 3x less content into the same context window, the
+    * signal behind byte-fallback/vocab-rebalance decisions). Uses the
+    * repo's [[subtokenRegex]] pre-tokenization so it measures the same
+    * subword stream `tokenizeWithVocab` consumes.
+    *
+    * Shape at scale: two codegen'd regex counts per doc, one
+    * partial-aggregated shuffle to a row per language; exact integer
+    * tallies, one division per output column. */
+  def subwordFertility(docs: DataFrame): DataFrame =
+    docs.select(col("lang"),
+        expr(s"size($tokensExpr)").as("w"),
+        expr(s"size(regexp_extract_all(lower(text), '$subtokenRegex', 0))").as("st"))
+      .filter(col("w") > 0)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("w").cast("long")).as("n_words"),
+        sum(col("st").cast("long")).as("n_subtokens"))
+      .withColumn("fertility",
+        expr("round(CAST(n_subtokens AS DOUBLE) / n_words, 6)"))
+      .orderBy("lang")
+
   /** Pairwise Jensen-Shannon divergence between per-source unigram
     * distributions — the mixture-design distance: which sources are
     * near-duplicates of each other (syndication, mirrors) and which add

@@ -402,4 +402,47 @@ class JoinsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
     assert(got.forall(r => r._1 != r._2))
   }
+
+  test("topRevenueSupplier: every returned supplier hits the brute-force max") {
+    val dir = TestSpark.sf0001
+    val li = Tables.lineitem(spark, dir)
+    val got = Joins.topRevenueSupplier(li, Tables.supplier(spark, dir))
+      .as[(Long, String, Long, Long)].collect().toSeq
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-04-01 00:00:00")
+    val perSupp = li.select("l_suppkey", "l_shipdate", "l_extendedprice", "l_discount")
+      .as[(Long, java.sql.Timestamp, Double, Double)].collect()
+      .filter(r => !r._2.before(lo) && r._2.before(hi))
+      .groupBy(_._1).view.mapValues { rs =>
+        (rs.map(r => math.round(r._3 * 100) * (100 - math.round(r._4 * 100))).sum,
+          rs.length.toLong)
+      }.toMap
+    val mx = perSupp.values.map(_._1).max
+    val want = perSupp.filter(_._2._1 == mx).keys.toSeq.sorted
+    assert(got.map(_._1) == want && got.nonEmpty)
+    assert(got.forall(r => r._3 == mx && perSupp(r._1)._2 == r._4))
+  }
+
+  test("latePriorityCounts: matches brute force; multi-late orders count once") {
+    val dir = TestSpark.sf0001
+    val got = Joins.latePriorityCounts(
+        Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+      .as[(String, Long)].collect().toSeq
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1996-07-01 00:00:00")
+    val dayMs = 86400000L
+    val shipsByOrder = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_shipdate")
+      .as[(Long, java.sql.Timestamp)].collect()
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSeq).toMap
+    def dayOf(t: java.sql.Timestamp) = t.getTime / dayMs // fixture ts are UTC-midnight-aligned
+    val want = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+      .filter(o => !o._2.before(lo) && o._2.before(hi))
+      .filter(o => shipsByOrder.getOrElse(o._1, Seq.empty[java.sql.Timestamp])
+        .exists(s => dayOf(s) - dayOf(o._2) > 90))
+      .groupBy(_._3).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+  }
 }

@@ -637,6 +637,22 @@ class TextAnalysisSpec extends AnyFunSuite {
       .as[(String, Long, Long, Double, Double)].collect().toSeq == fxr)
   }
 
+  test("subwordFertility: crafted counts exact; fixture fertility >= 1 and partition-invariant") {
+    // "ab2 cd!" -> 2 words; subtokens: ab, 2, cd, ! -> 4; plus a
+    // words-only doc in another language
+    val crafted = Seq((1L, "ab2 cd!", "xx", "s0"), (2L, "ab cd", "yy", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.subwordFertility(crafted)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("xx", 1L, 2L, 4L, 2.0), ("yy", 1L, 2L, 2L, 1.0)))
+    // fixture: every whitespace word yields >= 1 subtoken, so fertility >= 1
+    val fxr = TextAnalysis.subwordFertility(docs)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    assert(fxr.nonEmpty && fxr.forall(_._5 >= 1.0))
+    assert(TextAnalysis.subwordFertility(docs.repartition(7))
+      .as[(String, Long, Long, Long, Double)].collect().toSeq == fxr)
+  }
+
   test("jsdSources: identical distributions -> 0, disjoint -> ln 2; fixture invariants") {
     def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
     val same = Seq((1L, "x y", "sA"), (2L, "x y", "sB"))
