@@ -1214,6 +1214,15 @@ object SparkEntry {
     // extension: per-language subword fertility (tokenizer-equity metric;
     // exact integer tallies, one division per column)
     "q207_fertility" -> ((s, dir) => TextAnalysis.subwordFertility(docs(s, dir))),
+    // extension: importance reweighting toward uniform languages + Kish
+    // effective sample size (fixed-point weights, exact integer moments)
+    "q208_importance" -> ((s, dir) =>
+      graft.operators.Sampling.importanceReweight(docs(s, dir))),
+    // extension: order→ship latency banding per priority with band shares
+    // (the SLA cut; share window over the tiny priority×band frame)
+    "q209_ship_latency" -> ((s, dir) =>
+      graft.operators.Joins.shipLatencyBands(
+        Tables.orders(s, dir), Tables.lineitem(s, dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -3936,6 +3945,38 @@ SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
   CAST(sum(w) AS BIGINT) AS n_words, CAST(sum(st) AS BIGINT) AS n_subtokens,
   round(CAST(sum(st) AS DOUBLE) / sum(w), 6) AS fertility
 FROM d WHERE w > 0 GROUP BY 1 ORDER BY 1""",
+    // Importance reweighting: same 2^14 fixed-point floor-division weights,
+    // same exact integer ESS moments
+    "q208_importance" ->
+      """WITH pl AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+    CAST(sum(length(text)) AS BIGINT) AS chars_l FROM documents GROUP BY 1),
+  tt AS (SELECT CAST(sum(chars_l) AS BIGINT) AS total,
+    CAST(count(*) AS BIGINT) AS n_langs FROM pl),
+  w AS (SELECT pl.*, tt.total,
+    CAST((tt.total * 16384) // (tt.n_langs * pl.chars_l) AS BIGINT) AS w_fx
+    FROM pl CROSS JOIN tt),
+  mo AS (SELECT CAST(sum(n_docs * w_fx) AS BIGINT) AS s1,
+    CAST(sum(n_docs * w_fx * w_fx) AS BIGINT) AS s2 FROM w)
+SELECT lang, n_docs, chars_l,
+  round(CAST(chars_l AS DOUBLE) / total, 6) AS share,
+  round(CAST(w_fx AS DOUBLE) / 16384, 6) AS weight,
+  round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(s2 AS DOUBLE), 6) AS ess
+FROM w CROSS JOIN mo ORDER BY lang""",
+    // Latency banding: same calendar-day datediff, bands, and one division
+    "q209_ship_latency" ->
+      """WITH j AS (SELECT o_orderpriority,
+    date_diff('day', CAST(o_orderdate AS DATE), CAST(l_shipdate AS DATE)) AS lat
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+  b AS (SELECT o_orderpriority,
+    CASE WHEN lat <= 30 THEN '00-30' WHEN lat <= 60 THEN '31-60'
+      WHEN lat <= 90 THEN '61-90' ELSE '90+' END AS band FROM j),
+  c AS (SELECT o_orderpriority, band, CAST(count(*) AS BIGINT) AS n_items
+    FROM b GROUP BY 1, 2)
+SELECT o_orderpriority, band, n_items,
+  CAST(sum(n_items) OVER (PARTITION BY o_orderpriority) AS BIGINT) AS prio_total,
+  round(CAST(n_items AS DOUBLE)
+    / sum(n_items) OVER (PARTITION BY o_orderpriority), 6) AS share
+FROM c ORDER BY o_orderpriority, band""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

@@ -527,4 +527,29 @@ object Joins {
       .agg(count(lit(1)).as("order_count"))
       .orderBy("o_orderpriority")
   }
+
+  /** TPC-H Q12-flavored latency banding: order→ship calendar-day latency
+    * bucketed into fixed bands per order priority, with each band's share
+    * of its priority — the SLA-attainment cut. One hash join (no
+    * pre-aggregation possible: latency needs both sides' dates), one
+    * partial-aggregated shuffle to the tiny (priority × band) frame; the
+    * share window runs over that frame, not the fact. */
+  def shipLatencyBands(orders: DataFrame, lineitem: DataFrame): DataFrame = {
+    val joined = lineitem.select("l_orderkey", "l_shipdate")
+      .join(orders.select("o_orderkey", "o_orderdate", "o_orderpriority")
+          .hint("SHUFFLE_HASH"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("lat", expr("datediff(l_shipdate, o_orderdate)"))
+      .withColumn("band", expr(
+        """CASE WHEN lat <= 30 THEN '00-30' WHEN lat <= 60 THEN '31-60'
+             WHEN lat <= 90 THEN '61-90' ELSE '90+' END"""))
+    val counts = joined.groupBy("o_orderpriority", "band")
+      .agg(count(lit(1)).as("n_items"))
+    counts
+      .withColumn("prio_total",
+        sum("n_items").over(Window.partitionBy("o_orderpriority")))
+      .withColumn("share",
+        expr("round(CAST(n_items AS DOUBLE) / prio_total, 6)"))
+      .orderBy("o_orderpriority", "band")
+  }
 }

@@ -424,6 +424,36 @@ object Sampling {
       .withColumn("partial_sha", coalesce(col("partial_sha"), sha2(lit(""), 256)))
   }
 
+  /** Importance reweighting toward a uniform language target — the
+    * distribution-shift correction a mixture rebalance applies WITHOUT
+    * resampling: every doc of language l gets weight
+    * w_l = target_share / current_share = total / (L·chars_l), plus the
+    * effective sample size ESS = (Σ n·w)² / Σ n·w² (Kish), the standard
+    * "how much corpus is left after reweighting" diagnostic ([[unimaxSample]]
+    * and [[temperatureMixture]] are the resampling alternatives).
+    *
+    * Exactness: weights in 2^14 fixed point via BIGINT floor-division
+    * (total·2^14 stays under 2^63 to ~560 TB of text), ESS from the two
+    * exact integer moments with one double expression. Shape at scale: one
+    * partial-aggregated shuffle to a row per language; two 1-row
+    * broadcasts. */
+  def importanceReweight(docs: DataFrame): DataFrame = {
+    val scale = 16384L
+    val perLang = langCounts(docs)
+    val tot = perLang.agg(sum("chars_l").as("total"), count(lit(1)).as("n_langs"))
+    val w = perLang.join(broadcast(tot))
+      .withColumn("w_fx", expr(s"(total * $scale) div (n_langs * chars_l)"))
+    val moments = w.agg(sum(expr("n_docs * w_fx")).as("s1"),
+      sum(expr("n_docs * w_fx * w_fx")).as("s2"))
+    w.join(broadcast(moments))
+      .select(col("lang"), col("n_docs"), col("chars_l"),
+        expr("round(CAST(chars_l AS DOUBLE) / total, 6)").as("share"),
+        expr(s"round(CAST(w_fx AS DOUBLE) / $scale, 6)").as("weight"),
+        expr("round(CAST(s1 AS DOUBLE) * CAST(s1 AS DOUBLE) / CAST(s2 AS DOUBLE), 6)")
+          .as("ess"))
+      .orderBy("lang")
+  }
+
   /** Temperature-scaled multilingual sampling weights (mBERT/XLM-R style),
     * T = 2: w_l ∝ size_l^(1/2) — the standard compromise between
     * proportional sampling (starves tail languages) and uniform (over-

@@ -445,4 +445,32 @@ class JoinsSpec extends AnyFunSuite {
       .groupBy(_._3).view.mapValues(_.length.toLong).toSeq.sortBy(_._1)
     assert(got == want && got.nonEmpty)
   }
+
+  test("shipLatencyBands: shares sum to 1 per priority; bands match brute force") {
+    val dir = TestSpark.sf0001
+    val got = Joins.shipLatencyBands(
+        Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+      .as[(String, String, Long, Long, Double)].collect().toSeq
+    val dayMs = 86400000L
+    val ords = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .as[(Long, java.sql.Timestamp, String)].collect()
+      .map(o => o._1 -> ((o._2.getTime / dayMs, o._3))).toMap
+    val want = Tables.lineitem(spark, dir).select("l_orderkey", "l_shipdate")
+      .as[(Long, java.sql.Timestamp)].collect()
+      .map { case (ok, sd) =>
+        val (od, prio) = ords(ok)
+        val lat = sd.getTime / dayMs - od
+        val band = if (lat <= 30) "00-30" else if (lat <= 60) "31-60"
+          else if (lat <= 90) "61-90" else "90+"
+        (prio, band)
+      }
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == want)
+    // per-priority: totals agree and shares sum to ~1
+    got.groupBy(_._1).foreach { case (_, rs) =>
+      assert(rs.forall(_._4 == rs.map(_._3).sum))
+      assert(math.abs(rs.map(_._5).sum - 1.0) < 1e-5)
+    }
+  }
 }

@@ -299,4 +299,32 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.temperatureMixture(docs.repartition(7))
       .as[(String, Long, Long, Double, Long, Double)].collect().toSeq == fxr)
   }
+
+  test("importanceReweight: crafted weights/ESS exact; fixture ESS bounded by corpus") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // two langs, 100 vs 300 chars, 1 vs 3 docs: target uniform ->
+    // w_aa = 400/(2*100) = 2, w_bb = 400/(2*300) = 2/3
+    val crafted = Seq(
+      (0L, "a" * 100, "aa", "s0"), (1L, "b" * 100, "bb", "s0"),
+      (2L, "b" * 100, "bb", "s0"), (3L, "b" * 100, "bb", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Sampling.importanceReweight(crafted)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    val (wa, wb) = (2L * 16384, 400L * 16384 / 600) // floor fixed point
+    val (s1, s2) = (1 * wa + 3 * wb, 1 * wa * wa + 3 * wb * wb)
+    val ess = r6(s1.toDouble * s1 / s2)
+    assert(got == Seq(
+      ("aa", 1L, 100L, 0.25, r6(wa.toDouble / 16384), ess),
+      ("bb", 3L, 300L, 0.75, r6(wb.toDouble / 16384), ess)))
+    // fixture: ESS never exceeds the doc count, weights positive,
+    // partition-invariant
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val fxr = Sampling.importanceReweight(docs)
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq
+    val n = docs.count()
+    assert(fxr.nonEmpty && fxr.forall(r =>
+      r._5 > 0.0 && r._6 > 0.0 && r._6 <= n + 1e-6))
+    assert(Sampling.importanceReweight(docs.repartition(7))
+      .as[(String, Long, Long, Double, Double, Double)].collect().toSeq == fxr)
+  }
 }
