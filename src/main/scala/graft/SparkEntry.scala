@@ -1223,6 +1223,12 @@ object SparkEntry {
     "q209_ship_latency" -> ((s, dir) =>
       graft.operators.Joins.shipLatencyBands(
         Tables.orders(s, dir), Tables.lineitem(s, dir))),
+    // extension: energy/VAD segmentation over audio-like payloads —
+    // stub-decoded s16 frames, integer energies, above-mean activity runs
+    "q210_energy_vad" -> ((s, dir) => {
+      val media = Multimodal.asMedia(docs(s, dir), "doc_id", "encode(text, 'utf-8')", "raw")
+      Multimodal.energySegments(media)
+    }),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -3977,6 +3983,31 @@ SELECT o_orderpriority, band, n_items,
   round(CAST(n_items AS DOUBLE)
     / sum(n_items) OVER (PARTITION BY o_orderpriority), 6) AS share
 FROM c ORDER BY o_orderpriority, band""",
+    // Energy VAD: same big-endian s16 stub decode (ASCII text, so ord =
+    // byte), integer energies, cross-multiplied above-mean predicate
+    "q210_energy_vad" ->
+      """WITH d AS (SELECT doc_id, text,
+    CAST((length(text) // 2) // 16 AS BIGINT) AS n_frames FROM documents),
+  fidx AS (SELECT doc_id, text, n_frames, unnest(range(0, n_frames)) AS fi
+    FROM d WHERE n_frames >= 1),
+  samp AS (SELECT doc_id, n_frames, fi,
+      CAST(ord(substr(text, CAST((fi * 16 + j.j) * 2 + 1 AS INTEGER), 1)) * 256
+         + ord(substr(text, CAST((fi * 16 + j.j) * 2 + 2 AS INTEGER), 1))
+         - 32768 AS BIGINT) AS s
+    FROM fidx, range(0, 16) j(j)),
+  fe AS (SELECT doc_id, n_frames, fi, CAST(sum(s * s) AS BIGINT) AS e
+    FROM samp GROUP BY 1, 2, 3),
+  tot AS (SELECT doc_id, CAST(sum(e) AS BIGINT) AS total FROM fe GROUP BY 1),
+  act AS (SELECT fe.doc_id, fe.n_frames, fe.fi,
+      (fe.e * fe.n_frames > t.total) AS a, t.total
+    FROM fe JOIN tot t ON fe.doc_id = t.doc_id),
+  lg AS (SELECT *, lag(a) OVER (PARTITION BY doc_id ORDER BY fi) AS pa FROM act)
+SELECT doc_id AS media_id, n_frames,
+  CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_active,
+  CAST(sum(CASE WHEN a AND (pa IS NULL OR NOT pa) THEN 1 ELSE 0 END) AS BIGINT) AS n_segments,
+  round(CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE) / n_frames, 6) AS active_ratio,
+  CAST(max(total) // n_frames AS BIGINT) AS mean_energy
+FROM lg GROUP BY 1, 2""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

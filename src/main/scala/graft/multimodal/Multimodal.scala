@@ -264,6 +264,52 @@ object Multimodal {
       .filter(col("hamming") <= maxDist)
   }
 
+  /** Energy-based activity segmentation on audio-like payloads (the VAD /
+    * silence-trim plumbing a speech-data pipeline runs before transcription):
+    * reinterpret the payload as big-endian s16 samples (stub decode — the
+    * q28/q144 contract; a real codec slots in at `decode`), frame them
+    * `frameSamples` at a time (full frames only), mark frames whose energy
+    * is strictly above the payload's mean frame energy, and count the
+    * maximal active runs. All integer arithmetic (sum-of-squares energies,
+    * cross-multiplied mean compare), so the oracle reproduces it exactly;
+    * per-payload work is local — map-only, no shuffle. Payloads with no
+    * full frame are dropped. Output: (media_id, n_frames, n_active,
+    * n_segments, active_ratio, mean_energy). */
+  def energySegments(media: Dataset[Media], frameSamples: Int = 16): DataFrame = {
+    require(frameSamples >= 1 && frameSamples <= 65536,
+      s"bad frameSamples $frameSamples")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.flatMap { m =>
+      val bs = m.content
+      val nFrames = (bs.length / 2) / frameSamples
+      if (nFrames < 1) None
+      else {
+        val energies = Array.tabulate(nFrames) { f =>
+          var a = 0L
+          var j = 0
+          while (j < frameSamples) {
+            val i = (f * frameSamples + j) * 2
+            val s = (((bs(i) & 0xff) << 8) | (bs(i + 1) & 0xff)) - 32768
+            a += s.toLong * s
+            j += 1
+          }
+          a
+        }
+        val total = energies.sum
+        val active = energies.map(e => e * nFrames > total)
+        val nActive = active.count(identity)
+        val nSeg = active.indices
+          .count(i => active(i) && (i == 0 || !active(i - 1)))
+        val ratio = BigDecimal(nActive.toDouble / nFrames)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+        Some((m.media_id, nFrames.toLong, nActive.toLong, nSeg.toLong,
+          ratio, total / nFrames))
+      }
+    }.toDF("media_id", "n_frames", "n_active", "n_segments",
+      "active_ratio", "mean_energy")
+  }
+
   /** Nearest-neighbour resize: row-major nearest source-pixel mapping over
     * the decoded pixels — the real raster for image formats, the payload
     * bytes reinterpreted at the stub dimensions otherwise. Map-only, no

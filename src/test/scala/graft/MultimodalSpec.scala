@@ -154,4 +154,33 @@ class MultimodalSpec extends AnyFunSuite {
     }.sum
     assert(got(1)._3 == ham.toLong)
   }
+
+  test("energySegments: crafted activity runs exact; short payloads dropped") {
+    // 2 frames of 16 samples = 64 bytes each payload. Payload 1: frame 0
+    // all zero-bytes (s = -32768 each, energy high!), frame 1 bytes 0x80 0x00
+    // (s = 0, energy 0) -> exactly one active frame, one segment.
+    val quiet = Array.fill(32)(Array(0x80.toByte, 0x00.toByte)).flatten
+    val loud = Array.fill(32)(Array(0x00.toByte, 0x00.toByte)).flatten
+    val alt = (0 until 2).flatMap(_ => loud.take(32) ++ quiet.take(32)).toArray
+    val media = Seq(
+      Multimodal.Media(1L, "raw", loud.take(32) ++ quiet.take(32)), // active, quiet
+      Multimodal.Media(2L, "raw", alt),                              // a q a q
+      Multimodal.Media(3L, "raw", Array.fill(10)(1.toByte)))         // no full frame
+      .toDS()
+    val got = Multimodal.energySegments(media)
+      .as[(Long, Long, Long, Long, Double, Long)].collect()
+      .sortBy(_._1).toSeq
+    val e = 16L * 32768L * 32768L // per loud frame: 16 samples at s = -32768
+    assert(got == Seq(
+      (1L, 2L, 1L, 1L, 0.5, e / 2),
+      (2L, 4L, 2L, 2L, 0.5, e / 2)))
+    // fixture: ratios in [0,1], segments <= active, deterministic
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val fm = Multimodal.asMedia(docs, "doc_id", "encode(text, 'utf-8')")
+    val fxr = Multimodal.energySegments(fm)
+      .as[(Long, Long, Long, Long, Double, Long)].collect().toSet
+    assert(fxr.nonEmpty && fxr.forall(r =>
+      r._5 >= 0.0 && r._5 <= 1.0 && r._4 <= r._3 && r._3 <= r._2))
+    assert(Multimodal.energySegments(fm).collect().length == fxr.size)
+  }
 }
