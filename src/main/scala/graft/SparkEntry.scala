@@ -1229,6 +1229,10 @@ object SparkEntry {
       val media = Multimodal.asMedia(docs(s, dir), "doc_id", "encode(text, 'utf-8')", "raw")
       Multimodal.energySegments(media)
     }),
+    // extension: deterministic bootstrap CI for per-type mean value —
+    // sha-derived resampling, exact cent replica sums, order-statistic CI
+    "q211_bootstrap_ci" -> ((s, dir) =>
+      graft.operators.EventAnalytics.bootstrapCi(Tables.events(tune(s), dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -4008,6 +4012,34 @@ SELECT doc_id AS media_id, n_frames,
   round(CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE) / n_frames, 6) AS active_ratio,
   CAST(max(total) // n_frames AS BIGINT) AS mean_energy
 FROM lg GROUP BY 1, 2""",
+    // Bootstrap CI: same sha-derived draws (first 4 digest bytes mod n),
+    // exact cent replica sums, same (s asc, r asc) order statistics
+    "q211_bootstrap_ci" -> {
+      val h = "sha256('bs:' || ix.g || ':' || CAST(r.r AS VARCHAR) || ':' || CAST(rn AS VARCHAR))"
+      val dr = s"(((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) * 256 + " +
+        s"${dkByte(h, "2")}) * 256 + ${dkByte(h, "3")})"
+      s"""WITH it AS (SELECT event_type AS g, event_id,
+    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+  ix AS (SELECT g, cents,
+      CAST(row_number() OVER (PARTITION BY g ORDER BY event_id) AS BIGINT) AS rn
+    FROM it),
+  nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(cents) AS BIGINT) AS total FROM it GROUP BY 1),
+  dr AS (SELECT ix.g AS g, CAST(r.r AS BIGINT) AS r, $dr % nn.n + 1 AS tgt
+    FROM ix JOIN nn ON ix.g = nn.g, range(1, 41) r(r)),
+  jo AS (SELECT d.g, d.r, i2.cents FROM dr d
+    JOIN ix i2 ON d.g = i2.g AND d.tgt = i2.rn),
+  sm AS (SELECT g, r, CAST(sum(cents) AS BIGINT) AS s FROM jo GROUP BY 1, 2),
+  rk AS (SELECT g, r, s,
+      row_number() OVER (PARTITION BY g ORDER BY s ASC, r ASC) AS k FROM sm)
+SELECT nn.g AS event_type, nn.n,
+  round(CAST(nn.total AS DOUBLE) / nn.n, 6) AS mean_cents,
+  round(CAST(lo.s AS DOUBLE) / nn.n, 6) AS ci_lo,
+  round(CAST(hi.s AS DOUBLE) / nn.n, 6) AS ci_hi
+FROM nn JOIN rk lo ON nn.g = lo.g AND lo.k = 3
+JOIN rk hi ON nn.g = hi.g AND hi.k = 38
+ORDER BY 1"""
+    },
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

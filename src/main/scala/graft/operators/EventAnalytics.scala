@@ -475,6 +475,57 @@ object EventAnalytics {
       .select(col("event_id"), col("event_type"), col("z"))
   }
 
+  /** Deterministic bootstrap confidence interval for the mean `value` per
+    * event type — the uncertainty band a metrics pipeline should publish
+    * next to every mean, computed WITHOUT distributional assumptions:
+    * `b` resampled-with-replacement replicas of each group, the CI from
+    * the order statistics of the replica sums ([loRank, hiRank] of `b`,
+    * default the 3rd/38th of 40 ≈ a 90% percentile-bootstrap interval).
+    *
+    * Deterministic end to end: the resampling "randomness" is
+    * sha256('bs:' g ':' r ':' i) mod n — reproducible on both engines —
+    * and replica sums are exact cent integers, so the order statistics
+    * never depend on float summation. Each source row emits its `b` draw
+    * targets (map-side, parallel by input splits); the draw→item lookup is
+    * one (group, position) hash join; replica sums partial-aggregate to
+    * b rows per group. The per-group position index is a window
+    * row_number — positions just need to be A bijection 1..n, so the
+    * selectByTokenBudget distributed-rank shape substitutes when single
+    * groups outgrow a partition. */
+  def bootstrapCi(events: DataFrame, b: Int = 40, loRank: Int = 3,
+                  hiRank: Int = 38): DataFrame = {
+    require(b >= 2 && loRank >= 1 && hiRank <= b && loRank < hiRank,
+      s"bad bootstrap params b=$b lo=$loRank hi=$hiRank")
+    val items = events.select(col("event_type").as("g"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val wl = Window.partitionBy("g").orderBy("event_id")
+    val idx = items.withColumn("rn", row_number().over(wl).cast("long"))
+    val n = items.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total"))
+    val draws = idx.join(broadcast(n.select("g", "n")), "g")
+      .select(col("g"), col("n"), col("rn"),
+        explode(expr(s"sequence(1, $b)")).as("r"))
+      .select(col("g"), col("r"),
+        expr("""cast(conv(substr(sha2(concat('bs:', g, ':', CAST(r AS STRING),
+            ':', CAST(rn AS STRING)), 256), 1, 8), 16, 10) AS BIGINT)
+            % n + 1""").as("tgt"))
+    val sums = draws
+      .join(idx.select(col("g"), col("rn"), col("cents")).hint("SHUFFLE_HASH"),
+        draws("g") === idx("g") && draws("tgt") === idx("rn"))
+      .select(draws("g").as("g"), col("r"), col("cents"))
+      .groupBy("g", "r").agg(sum("cents").as("s"))
+    val ranked = sums.withColumn("k",
+      row_number().over(Window.partitionBy("g").orderBy(asc("s"), asc("r"))))
+    val lo = ranked.filter(col("k") === loRank).select(col("g"), col("s").as("s_lo"))
+    val hi = ranked.filter(col("k") === hiRank).select(col("g"), col("s").as("s_hi"))
+    n.join(broadcast(lo), "g").join(broadcast(hi), "g")
+      .select(col("g").as("event_type"), col("n"),
+        expr("round(CAST(total AS DOUBLE) / n, 6)").as("mean_cents"),
+        expr("round(CAST(s_lo AS DOUBLE) / n, 6)").as("ci_lo"),
+        expr("round(CAST(s_hi AS DOUBLE) / n, 6)").as("ci_hi"))
+      .orderBy("event_type")
+  }
+
   /** RFM (recency / frequency / monetary) customer segmentation over the
     * purchase stream — the standard CRM cut: quartile each user on how
     * recently they bought, how often, and how much, and concatenate the

@@ -301,6 +301,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Double)].collect().toSet == fxr)
   }
 
+  test("bootstrapCi: degenerate groups collapse to the mean; bounds ordered and deterministic") {
+    // constant-value group: every resample sums identically -> CI = mean
+    val const = ev((1 to 50).map(i => (i.toLong, i, 1L, "click", 7.00)): _*)
+    val gc = EventAnalytics.bootstrapCi(const)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(gc == Seq(("click", 50L, 700.0, 700.0, 700.0)))
+    // mixed-value group: bounds bracket the replica spread, never escape
+    // [min, max] of the values, and the result is partition-invariant
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val fxr = EventAnalytics.bootstrapCi(events)
+      .as[(String, Long, Double, Double, Double)].collect().toSeq
+    assert(fxr.nonEmpty && fxr.forall(r => r._4 <= r._5))
+    val bounds = events.groupBy("event_type")
+      .agg(min(expr("round(value * 100)")).as("mn"),
+        max(expr("round(value * 100)")).as("mx"))
+      .as[(String, Double, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(fxr.forall { r =>
+      val (mn, mx) = bounds(r._1); r._4 >= mn && r._5 <= mx })
+    assert(EventAnalytics.bootstrapCi(events.repartition(7))
+      .as[(String, Long, Double, Double, Double)].collect().toSeq == fxr)
+  }
+
   test("rfmSegments: crafted quartiles exact; non-purchase events ignored") {
     val day = 1440 // minutes
     val e = ev(
