@@ -1233,6 +1233,10 @@ object SparkEntry {
     // sha-derived resampling, exact cent replica sums, order-statistic CI
     "q211_bootstrap_ci" -> ((s, dir) =>
       graft.operators.EventAnalytics.bootstrapCi(Tables.events(tune(s), dir))),
+    // extension: k-center coreset by farthest-point sampling — integer
+    // quantized distances, k broadcast passes, unrolled-greedy oracle
+    "q212_coreset" -> ((s, dir) =>
+      Similarity.kCenterCoreset(emb(s, dir).select("vec_id", "embedding"))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -4039,6 +4043,36 @@ SELECT nn.g AS event_type, nn.n,
 FROM nn JOIN rk lo ON nn.g = lo.g AND lo.k = 3
 JOIN rk hi ON nn.g = hi.g AND hi.k = 38
 ORDER BY 1"""
+    },
+    // Coreset: the same Gonzalez greedy unrolled step by step — identical
+    // 2^10 quantization, integer distances, (mind2 desc, vec_id) argmax
+    "q212_coreset" -> {
+      def d2(a: String, b: String) =
+        s"list_sum(list_transform(range(1, 65), i -> ($a.qv[i] - $b.qv[i]) * ($a.qv[i] - $b.qv[i])))"
+      val steps = (3 to 4).map { j =>
+        s"""c$j AS (SELECT c${j - 1}.vec_id, c${j - 1}.qv,
+    least(c${j - 1}.mind2, ${d2(s"c${j - 1}", s"s${j - 1}")}) AS mind2
+  FROM c${j - 1}, s${j - 1} WHERE c${j - 1}.vec_id <> s${j - 1}.vec_id),
+  s$j AS (SELECT vec_id, qv, mind2 FROM c$j
+    ORDER BY mind2 DESC, vec_id ASC LIMIT 1)"""
+      }.mkString(",\n  ")
+      s"""WITH q AS (SELECT vec_id, list_transform(range(1, 65),
+      i -> CAST(floor(CAST(embedding[i] AS DOUBLE) * 1024 + 0.5) AS BIGINT)) AS qv
+    FROM embeddings),
+  s1 AS (SELECT vec_id, qv FROM q ORDER BY vec_id ASC LIMIT 1),
+  c2 AS (SELECT q.vec_id, q.qv, ${d2("q", "s1")} AS mind2
+    FROM q, s1 WHERE q.vec_id <> s1.vec_id),
+  s2 AS (SELECT vec_id, qv, mind2 FROM c2
+    ORDER BY mind2 DESC, vec_id ASC LIMIT 1),
+  $steps
+SELECT CAST(1 AS INTEGER) AS rank, vec_id, 0.0 AS dist2 FROM s1
+UNION ALL SELECT CAST(2 AS INTEGER), vec_id,
+  round(CAST(mind2 AS DOUBLE) / 1048576.0, 6) FROM s2
+UNION ALL SELECT CAST(3 AS INTEGER), vec_id,
+  round(CAST(mind2 AS DOUBLE) / 1048576.0, 6) FROM s3
+UNION ALL SELECT CAST(4 AS INTEGER), vec_id,
+  round(CAST(mind2 AS DOUBLE) / 1048576.0, 6) FROM s4
+ORDER BY rank"""
     },
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->

@@ -1421,6 +1421,56 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** k-center coreset by farthest-point sampling (Gonzalez greedy — the
+    * data-pruning / diverse-subset selection a curation pipeline uses to
+    * cover embedding space with k exemplars, 2-approx for the k-center
+    * objective): seed with the minimum id, then repeatedly take the point
+    * FURTHEST from the selected set.
+    *
+    * Deterministic and oracle-exact: components quantize at 2^10 fixed
+    * point (the [[prototypeOutliers]] convention) and distances are the
+    * integer Σ(qa−qb)², so the argmax and its (d2 desc, vec_id asc)
+    * tie-break never touch a float; the DuckDB oracle is the same greedy
+    * unrolled CTE by CTE.
+    *
+    * Shape at scale: the textbook k-pass trade — each round is ONE
+    * distributed pass (min-distance against a ≤k-row broadcast of the
+    * selected exemplars, partial-agg argmax) and one driver-side row; cost
+    * k·scan, state k vectors. Output: (rank, vec_id, dist2) with the
+    * seed's dist2 = 0. */
+  def kCenterCoreset(items: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64]: $k")
+    val spark = items.sparkSession
+    import spark.implicits._
+    val q = items.select(col("vec_id"),
+      expr("""transform(embedding,
+          v -> CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT))""").as("qv"))
+    val seed = q.orderBy(asc("vec_id")).limit(1)
+      .as[(Long, Seq[Long])].collect().head
+    var selected = Vector((seed._1, seed._2, 0L))
+    for (_ <- 2 to k) {
+      val selDf = broadcast(
+        selected.map { case (id, v, _) => (id, v) }.toDF("sid", "sqv"))
+      val chosen = q
+        .filter(!col("vec_id").isin(selected.map(_._1): _*))
+        .crossJoin(selDf)
+        .withColumn("d2", expr(
+          "aggregate(zip_with(qv, sqv, (x, y) -> (x - y) * (x - y)), 0L, (a, p) -> a + p)"))
+        .groupBy("vec_id").agg(min("d2").as("mind2"))
+        .orderBy(desc("mind2"), asc("vec_id")).limit(1)
+        .as[(Long, Long)].collect().head
+      val cv = q.filter(col("vec_id") === chosen._1)
+        .as[(Long, Seq[Long])].collect().head._2
+      selected :+= ((chosen._1, cv, chosen._2))
+    }
+    selected.zipWithIndex
+      .map { case ((id, _, d2), i) =>
+        (i + 1, id, BigDecimal(d2.toDouble / 1048576.0)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble)
+      }
+      .toDF("rank", "vec_id", "dist2")
+  }
+
   /** Per-label prototype outliers — SemDeDup's cousin for label QA: the
     * vectors FURTHEST from their own class centroid are the mislabeled /
     * out-of-distribution candidates a re-annotation pass should route to

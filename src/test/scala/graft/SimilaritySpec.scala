@@ -712,6 +712,27 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Int, Long, Long, Double)].collect().toSeq == fxr)
   }
 
+  test("kCenterCoreset: greedy selection order and exact distances on a crafted line") {
+    val df = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(0.1f, 0f)),
+      (2L, Array(1f, 0f)), (3L, Array(0.5f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.kCenterCoreset(df, k = 4)
+      .as[(Int, Long, Double)].collect().toSeq
+    // seed 0; farthest 2 (d²=1.0); then 3 (0.25); then 1 (102²/2^20)
+    assert(got == Seq((1, 0L, 0.0), (2, 2L, 1.0), (3, 3L, 0.25),
+      (4, 1L, 0.009922)))
+    // fixture: distinct exemplars, min-distances non-increasing (the FPS
+    // monotonicity), partition-invariant
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding")
+    val fxr = Similarity.kCenterCoreset(emb).as[(Int, Long, Double)].collect().toSeq
+    assert(fxr.map(_._2).distinct.length == fxr.length)
+    assert(fxr.drop(1).map(_._3).sliding(2).forall(p => p.head >= p.last))
+    assert(Similarity.kCenterCoreset(emb.repartition(7))
+      .as[(Int, Long, Double)].collect().toSeq == fxr)
+  }
+
   test("prototypeOutliers: the planted far vector ranks first with the exact distance") {
     val df = Seq(
       (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 0),
