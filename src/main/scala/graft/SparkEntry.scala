@@ -1237,6 +1237,10 @@ object SparkEntry {
     // quantized distances, k broadcast passes, unrolled-greedy oracle
     "q212_coreset" -> ((s, dir) =>
       Similarity.kCenterCoreset(emb(s, dir).select("vec_id", "embedding"))),
+    // extension: exact daily p50/p90/p99 bands per event type —
+    // nearest-rank with pure-integer rank arithmetic
+    "q213_daily_bands" -> ((s, dir) =>
+      graft.operators.EventAnalytics.dailyPercentileBands(Tables.events(tune(s), dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -4074,6 +4078,20 @@ UNION ALL SELECT CAST(4 AS INTEGER), vec_id,
   round(CAST(mind2 AS DOUBLE) / 1048576.0, 6) FROM s4
 ORDER BY rank"""
     },
+    // Daily bands: same nearest-rank integer arithmetic, same tie-break
+    "q213_daily_bands" ->
+      """WITH b AS (SELECT strftime(ts, '%Y-%m-%d') AS day, event_type, event_id,
+    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+  r AS (SELECT day, event_type, cents,
+      CAST(row_number() OVER (PARTITION BY day, event_type
+        ORDER BY cents ASC, event_id ASC) AS BIGINT) AS rn,
+      CAST(count(*) OVER (PARTITION BY day, event_type) AS BIGINT) AS n
+    FROM b)
+SELECT day, event_type, max(n) AS n,
+  CAST(max(CASE WHEN rn = (n + 1) // 2 THEN cents END) AS BIGINT) AS p50_cents,
+  CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS BIGINT) AS p90_cents,
+  CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS BIGINT) AS p99_cents
+FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

@@ -475,6 +475,34 @@ object EventAnalytics {
       .select(col("event_id"), col("event_type"), col("z"))
   }
 
+  /** Exact daily p50/p90/p99 bands per event type — the latency/spend
+    * dashboard cut, nearest-rank definition (value at rank ⌈p·n⌉, all
+    * ranks from pure integer arithmetic: (n+1)÷2, (9n+9)÷10,
+    * (99n+99)÷100) so both engines select the identical cent value with
+    * no interpolation or float percentile semantics.
+    *
+    * Shape at scale: one shuffle clusters (day, type) groups; the rank
+    * window runs inside each group (a day×type of one event type — small
+    * and naturally bounded), and the band extraction is a conditional agg
+    * over the same pass. Output ordered (day, event_type). */
+  def dailyPercentileBands(events: DataFrame): DataFrame = {
+    val base = events.select(
+      date_format(col("ts"), "yyyy-MM-dd").as("day"),
+      col("event_type"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val w = Window.partitionBy("day", "event_type")
+    val ranked = base
+      .withColumn("rn", row_number().over(
+        w.orderBy(asc("cents"), asc("event_id"))).cast("long"))
+      .withColumn("n", count(lit(1)).over(w))
+    ranked.groupBy("day", "event_type")
+      .agg(max("n").as("n"),
+        max(when(col("rn") === expr("(n + 1) div 2"), col("cents"))).as("p50_cents"),
+        max(when(col("rn") === expr("(9 * n + 9) div 10"), col("cents"))).as("p90_cents"),
+        max(when(col("rn") === expr("(99 * n + 99) div 100"), col("cents"))).as("p99_cents"))
+      .orderBy("day", "event_type")
+  }
+
   /** Deterministic bootstrap confidence interval for the mean `value` per
     * event type — the uncertainty band a metrics pipeline should publish
     * next to every mean, computed WITHOUT distributional assumptions:

@@ -301,6 +301,22 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Double)].collect().toSet == fxr)
   }
 
+  test("dailyPercentileBands: nearest-rank selections exact on a crafted day") {
+    // one day, one type, values 1..10 dollars -> cents 100..1000:
+    // p50 = rank ceil(10/2)=5 -> 500; p90 = rank 9 -> 900; p99 = rank 10
+    val e = ev((1 to 10).map(i => (i.toLong, i, 1L, "click", i * 1.0)): _*)
+    val got = EventAnalytics.dailyPercentileBands(e)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("2024-01-01", "click", 10L, 500L, 900L, 1000L)))
+    // fixture: bands ordered p50 <= p90 <= p99, partition-invariant
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val fxr = EventAnalytics.dailyPercentileBands(events)
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq
+    assert(fxr.nonEmpty && fxr.forall(r => r._4 <= r._5 && r._5 <= r._6))
+    assert(EventAnalytics.dailyPercentileBands(events.repartition(7))
+      .as[(String, String, Long, Long, Long, Long)].collect().toSeq == fxr)
+  }
+
   test("bootstrapCi: degenerate groups collapse to the mean; bounds ordered and deterministic") {
     // constant-value group: every resample sums identically -> CI = mean
     val const = ev((1 to 50).map(i => (i.toLong, i, 1L, "click", 7.00)): _*)
