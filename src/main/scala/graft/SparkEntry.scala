@@ -1241,6 +1241,20 @@ object SparkEntry {
     // nearest-rank with pure-integer rank arithmetic
     "q213_daily_bands" -> ((s, dir) =>
       graft.operators.EventAnalytics.dailyPercentileBands(Tables.events(tune(s), dir))),
+    // extension: TPC-H Q21 shape — the EXISTS/NOT EXISTS pair collapsed
+    // into one per-order aggregate (sole late shipper on multi-supplier
+    // orders), one orderkey shuffle, no self-joins
+    "q214_tpch_q21" -> ((s, dir) =>
+      graft.operators.Joins.soleBlockerSuppliers(
+        Tables.orders(s, dir), Tables.lineitem(s, dir), Tables.supplier(s, dir))),
+    // extension: Benford first-digit audit per event type (exact digit
+    // counts, fixed-point Benford constants, per-digit re-fixed chi2)
+    "q215_benford" -> ((s, dir) =>
+      graft.operators.EventAnalytics.benfordAudit(Tables.events(tune(s), dir))),
+    // extension: decile lift/gains table for the linear-probe score —
+    // ntile deciles, exact counts, one division per output column
+    "q216_lift" -> ((s, dir) =>
+      Similarity.liftTable(emb(s, dir).select("vec_id", "embedding", "label"))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -4092,6 +4106,62 @@ SELECT day, event_type, max(n) AS n,
   CAST(max(CASE WHEN rn = (9 * n + 9) // 10 THEN cents END) AS BIGINT) AS p90_cents,
   CAST(max(CASE WHEN rn = (99 * n + 99) // 100 THEN cents END) AS BIGINT) AS p99_cents
 FROM r GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Q21 shape: same lateness predicate and per-order distinct counts
+    "q214_tpch_q21" ->
+      """WITH po AS (SELECT l_orderkey,
+    CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_supp,
+    CAST(count(DISTINCT CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+      CAST(l_shipdate AS DATE)) > 90 THEN l_suppkey END) AS BIGINT) AS n_late_supp,
+    max(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+      CAST(l_shipdate AS DATE)) > 90 THEN l_suppkey END) AS late_supp
+    FROM lineitem JOIN orders ON l_orderkey = o_orderkey GROUP BY 1)
+SELECT s_suppkey, s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM po JOIN supplier ON late_supp = s_suppkey
+WHERE n_late_supp = 1 AND n_supp > 1
+GROUP BY 1, 2 ORDER BY numwait DESC, s_suppkey ASC LIMIT 20""",
+    // Benford: same fixed-point constants and per-digit re-fixed terms
+    "q215_benford" ->
+      """WITH dg AS (SELECT event_type,
+    CAST(substr(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR), 1, 1) AS INTEGER) AS d
+    FROM events WHERE CAST(round(value * 100) AS BIGINT) > 0),
+  c AS (SELECT event_type, d, CAST(count(*) AS BIGINT) AS o FROM dg GROUP BY 1, 2),
+  nn AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM dg GROUP BY 1),
+  grid AS (SELECT nn.event_type, nn.n, CAST(dd.d AS INTEGER) AS d
+    FROM nn, range(1, 10) dd(d)),
+  t AS (SELECT g.event_type, g.n, g.d, CAST(coalesce(c.o, 0) AS BIGINT) AS o,
+      CAST(floor(ln(1.0 + 1.0 / g.d) / ln(10.0) * 1024.0 + 0.5) AS BIGINT) AS pfx
+    FROM grid g LEFT JOIN c ON g.event_type = c.event_type AND g.d = c.d),
+  f AS (SELECT event_type, n,
+      CAST(floor(
+        CAST((o * 1024 - n * pfx) AS DOUBLE) * (o * 1024 - n * pfx)
+        / (CAST(n AS DOUBLE) * pfx * 1024.0)
+        * 1048576.0 + 0.5) AS BIGINT) AS term_fx
+    FROM t)
+SELECT event_type, max(n) AS n,
+  round(CAST(sum(term_fx) AS DOUBLE) / 1048576.0, 6) AS chi2
+FROM f GROUP BY 1 ORDER BY 1""",
+    // Lift: same fixed-point probe score, ntile floor distribution, exact
+    // counts with one division per column
+    "q216_lift" ->
+      """WITH d AS (SELECT vec_id, label,
+    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm,
+    CAST(embedding[1] AS DOUBLE) AS e1 FROM embeddings),
+  sc AS (SELECT vec_id, label, CAST(floor(CASE WHEN nrm = 0.0 THEN 0.0
+      ELSE e1 / sqrt(nrm) END * 1073741824.0 + 0.5) AS BIGINT) AS f FROM d),
+  dec AS (SELECT label, CAST(ntile(10) OVER (ORDER BY f DESC, vec_id ASC) AS INTEGER) AS decile
+    FROM sc),
+  per AS (SELECT decile, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+    FROM dec GROUP BY 1),
+  tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot_n, CAST(sum(n_pos) AS BIGINT) AS tot_pos
+    FROM per),
+  cum AS (SELECT per.*, CAST(sum(n_pos) OVER (ORDER BY decile
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos FROM per)
+SELECT decile, n, n_pos,
+  round(CAST(n_pos AS DOUBLE) / n, 6) AS rate,
+  round(CAST(n_pos AS DOUBLE) * tot_n / n / tot_pos, 6) AS lift,
+  round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_gain
+FROM cum CROSS JOIN tot ORDER BY decile""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

@@ -475,6 +475,42 @@ object EventAnalytics {
       .select(col("event_id"), col("event_type"), col("z"))
   }
 
+  /** Benford first-digit audit per event type — the fraud/synthetic-data
+    * smell test: compare the first-digit distribution of positive cent
+    * values against Benford's log10(1+1/d) law with a χ² statistic.
+    *
+    * Determinism: digit counts are exact integers; the nine Benford
+    * probabilities are 2^10 fixed-point constants (same ln expression both
+    * engines); each digit's χ² term is computed by one double expression
+    * and re-fixed at 2^20 before the sum, so the 9-term summation order
+    * cannot flip bits. One shuffle to (type, digit), a 9-row-per-type
+    * rollup after. Output: (event_type, n, chi2) ordered by type. */
+  def benfordAudit(events: DataFrame): DataFrame = {
+    // first digit of a positive integer via string head (exact, no log)
+    val digits = events
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .filter(col("cents") > 0)
+      .withColumn("d", expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)"))
+    val counts = digits.groupBy("event_type", "d").agg(count(lit(1)).as("o"))
+    val n = digits.groupBy("event_type").agg(count(lit(1)).as("n"))
+    // all 9 digits per type, absent digits at o = 0 (they still contribute)
+    val grid = n.select(col("event_type"), col("n"),
+      explode(expr("sequence(1, 9)")).as("d"))
+    val pFx = "CAST(floor(ln(1.0 + 1.0 / d) / ln(10.0) * 1024.0 + 0.5) AS BIGINT)"
+    grid.join(counts, Seq("event_type", "d"), "left")
+      .na.fill(0L, Seq("o"))
+      .withColumn("term_fx", expr(
+        s"""CAST(floor(
+             CAST((o * 1024 - n * $pFx) AS DOUBLE) * (o * 1024 - n * $pFx)
+             / (CAST(n AS DOUBLE) * $pFx * 1024.0)
+             * 1048576.0 + 0.5) AS BIGINT)"""))
+      .groupBy("event_type")
+      .agg(max("n").as("n"),
+        expr("round(CAST(sum(term_fx) AS DOUBLE) / 1048576.0, 6)").as("chi2"))
+      .orderBy("event_type")
+  }
+
   /** Exact daily p50/p90/p99 bands per event type — the latency/spend
     * dashboard cut, nearest-rank definition (value at rank ⌈p·n⌉, all
     * ranks from pure integer arithmetic: (n+1)÷2, (9n+9)÷10,

@@ -552,4 +552,33 @@ object Joins {
         expr("round(CAST(n_items AS DOUBLE) / prio_total, 6)"))
       .orderBy("o_orderpriority", "band")
   }
+
+  /** TPC-H Q21 shape: suppliers who kept orders waiting — the supplier was
+    * the ONLY late shipper (> `lateDays` after the order date) on a
+    * multi-supplier order. The spec's EXISTS(other supplier) +
+    * NOT EXISTS(other late supplier) pair collapses into ONE per-order
+    * aggregate: distinct supplier count, distinct LATE supplier count, and
+    * the late supplier id (well-defined exactly when the late count is 1) —
+    * so the whole correlated-subquery dance costs one orderkey-keyed
+    * shuffle, no self-joins. Top-`k` blockers by (waiting orders desc,
+    * suppkey asc). */
+  def soleBlockerSuppliers(orders: DataFrame, lineitem: DataFrame,
+                           supplier: DataFrame, lateDays: Int = 90,
+                           k: Int = 20): DataFrame = {
+    val perOrder = lineitem.select("l_orderkey", "l_suppkey", "l_shipdate")
+      .join(orders.select("o_orderkey", "o_orderdate").hint("SHUFFLE_HASH"),
+        col("l_orderkey") === col("o_orderkey"))
+      .withColumn("late",
+        expr(s"datediff(l_shipdate, o_orderdate) > $lateDays"))
+      .groupBy("l_orderkey")
+      .agg(countDistinct("l_suppkey").as("n_supp"),
+        countDistinct(when(col("late"), col("l_suppkey"))).as("n_late_supp"),
+        max(when(col("late"), col("l_suppkey"))).as("late_supp"))
+    perOrder.filter(col("n_late_supp") === 1 && col("n_supp") > 1)
+      .groupBy("late_supp").agg(count(lit(1)).as("numwait"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+        col("late_supp") === col("s_suppkey"))
+      .select("s_suppkey", "s_name", "numwait")
+      .orderBy(desc("numwait"), asc("s_suppkey")).limit(k)
+  }
 }

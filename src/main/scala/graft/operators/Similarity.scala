@@ -1421,6 +1421,44 @@ object Similarity {
       .orderBy("label")
   }
 
+  /** Decile lift/gains table for the [[separabilityAuc]] linear-probe
+    * score against one positive class — the model-eval companion: rank
+    * all vectors by score, cut into `buckets` deciles, and report each
+    * decile's positive rate, lift over the base rate, and cumulative
+    * gain. AUC says "is there signal"; this says "how much do the top
+    * deciles capture", which is what a selection budget acts on.
+    *
+    * Exactness: the score is the same 2^30 fixed-point bucket as the AUC,
+    * decile assignment is `ntile` over (score desc, vec_id asc) — the
+    * SQL-standard floor distribution, deterministic under the tie-break —
+    * and every output is exact integer counts with one division per
+    * column. The global rank window rides the distributed-rank caveat
+    * documented on [[separabilityAuc]]. */
+  def liftTable(items: DataFrame, positiveLabel: Int = 0,
+                buckets: Int = 10): DataFrame = {
+    require(buckets >= 2 && buckets <= 1000, s"bad buckets: $buckets")
+    val seqDot =
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    val scored = items.select(col("vec_id"), col("label"),
+      expr(s"""CAST(floor(CASE WHEN $seqDot = 0.0D THEN 0.0
+          ELSE CAST(element_at(embedding, 1) AS DOUBLE) / sqrt($seqDot) END
+          * 1073741824.0 + 0.5) AS BIGINT)""").as("f"))
+    val dec = scored.withColumn("decile",
+      ntile(buckets).over(Window.orderBy(desc("f"), asc("vec_id"))))
+    val per = dec.groupBy("decile")
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("label") === positiveLabel, 1L).otherwise(0L)).as("n_pos"))
+    val tot = per.agg(sum("n").as("tot_n"), sum("n_pos").as("tot_pos"))
+    per.join(broadcast(tot))
+      .withColumn("cum_pos", sum("n_pos").over(
+        Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("decile"), col("n"), col("n_pos"),
+        expr("round(CAST(n_pos AS DOUBLE) / n, 6)").as("rate"),
+        expr("round(CAST(n_pos AS DOUBLE) * tot_n / n / tot_pos, 6)").as("lift"),
+        expr("round(CAST(cum_pos AS DOUBLE) / tot_pos, 6)").as("cum_gain"))
+      .orderBy("decile")
+  }
+
   /** k-center coreset by farthest-point sampling (Gonzalez greedy — the
     * data-pruning / diverse-subset selection a curation pipeline uses to
     * cover embedding space with k exemplars, 2-approx for the k-center

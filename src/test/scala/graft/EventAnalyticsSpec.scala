@@ -301,6 +301,30 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .as[(String, Long, Long, Long, Double)].collect().toSet == fxr)
   }
 
+  test("benfordAudit: crafted digit counts match the fixed-point formula; chi2 >= 0") {
+    def r6(v: Double) = BigDecimal(v).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    // ten values 1.00..10.00 dollars: cents 100..1000 -> first digits
+    // 1..9 once each, plus 1000 -> digit 1 again: o = [2,1,1,1,1,1,1,1,1]
+    val e = ev((1 to 10).map(i => (i.toLong, i, 1L, "click", i * 1.0)): _*)
+    val got = EventAnalytics.benfordAudit(e)
+      .as[(String, Long, Double)].collect().toSeq
+    val os = Array(2L, 1L, 1L, 1L, 1L, 1L, 1L, 1L, 1L)
+    val n = 10L
+    val chi = (1 to 9).map { d =>
+      val pfx = math.floor(math.log(1.0 + 1.0 / d) / math.log(10.0) * 1024.0 + 0.5).toLong
+      val diff = os(d - 1) * 1024 - n * pfx
+      math.floor(diff.toDouble * diff / (n.toDouble * pfx * 1024.0) * 1048576.0 + 0.5).toLong
+    }.sum
+    assert(got == Seq(("click", 10L, r6(chi.toDouble / 1048576.0))))
+    // fixture: chi2 finite and non-negative, partition-invariant
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val fxr = EventAnalytics.benfordAudit(events)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(fxr.nonEmpty && fxr.forall(r => r._3 >= 0.0 && !r._3.isNaN))
+    assert(EventAnalytics.benfordAudit(events.repartition(7))
+      .as[(String, Long, Double)].collect().toSeq == fxr)
+  }
+
   test("dailyPercentileBands: nearest-rank selections exact on a crafted day") {
     // one day, one type, values 1..10 dollars -> cents 100..1000:
     // p50 = rank ceil(10/2)=5 -> 500; p90 = rank 9 -> 900; p99 = rank 10

@@ -473,4 +473,32 @@ class JoinsSpec extends AnyFunSuite {
       assert(math.abs(rs.map(_._5).sum - 1.0) < 1e-5)
     }
   }
+
+  test("soleBlockerSuppliers: matches a driver-side EXISTS/NOT-EXISTS recompute") {
+    val dir = TestSpark.sf0001
+    val got = Joins.soleBlockerSuppliers(
+        Tables.orders(spark, dir), Tables.lineitem(spark, dir),
+        Tables.supplier(spark, dir), k = 10)
+      .as[(Long, String, Long)].collect().toSeq
+    val dayMs = 86400000L
+    val orderDate = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+      .as[(Long, java.sql.Timestamp)].collect()
+      .map(o => o._1 -> o._2.getTime / dayMs).toMap
+    val names = Tables.supplier(spark, dir).select("s_suppkey", "s_name")
+      .as[(Long, String)].collect().toMap
+    val byOrder = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_suppkey", "l_shipdate")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .groupBy(_._1)
+    val waits = byOrder.toSeq.flatMap { case (ok, ls) =>
+      val supps = ls.map(_._2).distinct
+      val late = ls.filter(l => l._3.getTime / dayMs - orderDate(ok) > 90)
+        .map(_._2).distinct
+      if (late.length == 1 && supps.length > 1) Some(late.head) else None
+    }
+    val want = waits.groupBy(identity).view.mapValues(_.length.toLong).toSeq
+      .map { case (s, n) => (s, names(s), n) }
+      .sortBy { case (s, _, n) => (-n, s) }.take(10)
+    assert(got == want && got.nonEmpty)
+  }
 }

@@ -712,6 +712,27 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Int, Long, Long, Double)].collect().toSeq == fxr)
   }
 
+  test("liftTable: perfectly separated classes concentrate in the top buckets") {
+    // 4 vectors, 2 buckets: positives (label 0) carry the high scores
+    val df = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.8f, 0.6f), 0),
+      (2L, Array(0f, 1f), 1), (3L, Array(-1f, 0f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.liftTable(df, buckets = 2)
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(got == Seq((1, 2L, 2L, 1.0, 2.0, 1.0), (2, 2L, 0L, 0.0, 0.0, 1.0)))
+    // fixture: counts partition the corpus, cumulative gain ends at 1,
+    // partition-invariant
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label")
+    val fxr = Similarity.liftTable(emb)
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(fxr.map(_._2).sum == emb.count())
+    assert(fxr.last._6 == 1.0)
+    assert(Similarity.liftTable(emb.repartition(7))
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq == fxr)
+  }
+
   test("kCenterCoreset: greedy selection order and exact distances on a crafted line") {
     val df = Seq(
       (0L, Array(0f, 0f)), (1L, Array(0.1f, 0f)),
