@@ -605,14 +605,25 @@ object EventAnalytics {
     * run over the distinct-user frame — orders of magnitude smaller than
     * the stream, range-partitioned by the sort. The max-ts anchor is a
     * 1-row broadcast, not a driver-side collect. */
-  def rfmSegments(events: DataFrame): DataFrame = {
-    val purchases = events.filter(col("event_type") === "purchase")
+  def rfmSegments(events: DataFrame): DataFrame =
+    rfmFromUserStats(rfmUserStats(events))
+
+  /** The mergeable per-user state behind [[rfmSegments]]: last purchase ts
+    * (max-mergeable), purchase count and cent sum (additive) — split out
+    * so the streaming maintainer can write it as epoch partials and fold
+    * by max/sum. */
+  def rfmUserStats(events: DataFrame): DataFrame =
+    events.filter(col("event_type") === "purchase")
       .select(col("user_id"), col("ts"),
         expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val perUser = purchases.groupBy("user_id")
+      .groupBy("user_id")
       .agg(max("ts").as("last_ts"), count(lit(1)).as("frequency"),
         sum("cents").as("monetary_cents"))
-    val anchor = purchases.agg(max("ts").as("anchor_ts"))
+
+  /** [[rfmSegments]]' quartile assembly over a pre-aggregated
+    * (user_id, last_ts, frequency, monetary_cents) table. */
+  def rfmFromUserStats(perUser: DataFrame): DataFrame = {
+    val anchor = perUser.agg(max("last_ts").as("anchor_ts"))
     val scored = perUser.join(broadcast(anchor))
       .withColumn("recency_days",
         expr("CAST(datediff(anchor_ts, last_ts) AS BIGINT)"))

@@ -701,6 +701,28 @@ object Streams {
     graft.operators.Sampling.temperatureMixtureFromCounts(
       langCountsAt(spark, countsPath), budget)
 
+  /** Streaming RFM maintenance — `EventAnalytics.rfmSegments`' incremental
+    * form (the CRM segmentation that should track the live purchase
+    * stream): per-user last-purchase ts is max-mergeable and count/cents
+    * are additive, so each micro-batch writes its per-user partial
+    * ([[epochPartials]] scaffold) and `rfmSegmentsAt` re-quartiles from
+    * the folded state without replaying the stream. */
+  def streamingRfmStats(events: DataFrame, statsPath: String,
+                        checkpointDir: String): StreamingQuery =
+    epochPartials(events, statsPath, checkpointDir)(
+      graft.operators.EventAnalytics.rfmUserStats)
+
+  /** The maintained (user_id, last_ts, frequency, monetary_cents) state. */
+  def rfmStatsAt(spark: SparkSession, statsPath: String): DataFrame =
+    epochsAt(spark, statsPath)
+      .groupBy("user_id")
+      .agg(max("last_ts").as("last_ts"), sum("frequency").as("frequency"),
+        sum("monetary_cents").as("monetary_cents"))
+
+  /** The RFM quartile segments from the maintained state. */
+  def rfmSegmentsAt(spark: SparkSession, statsPath: String): DataFrame =
+    graft.operators.EventAnalytics.rfmFromUserStats(rfmStatsAt(spark, statsPath))
+
   /** Replace the table at `path` with `df` through the staged-swap +
     * self-healing contract (the plan may read the path it replaces; a
     * crash between delete and rename recovers via [[healCompaction]] on
@@ -986,6 +1008,12 @@ object Streams {
     compactEpochs(spark, countsPath)(
       _.groupBy("lang")
         .agg(sum("n_docs").as("n_docs"), sum("chars_l").as("chars_l")))
+
+  def compactRfmStatsAt(spark: SparkSession, statsPath: String): Unit =
+    compactEpochs(spark, statsPath)(
+      _.groupBy("user_id")
+        .agg(max("last_ts").as("last_ts"), sum("frequency").as("frequency"),
+          sum("monetary_cents").as("monetary_cents")))
 
   /** Per-user session windows with a 30-minute gap. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =

@@ -673,6 +673,30 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("streamingRfmStats: folded partials answer the same segments as batch; compaction preserves it") {
+    val tmp = Files.createTempDirectory("graft-stream-rfm").toString
+    val (landing, rfmPath, ckpt) = (s"$tmp/landing", s"$tmp/stats", s"$tmp/ckpt")
+    val ev = Tables.events(spark, TestSpark.sf0001).cache()
+    // split by event id so one user's purchases straddle both batches —
+    // the max/sum merge is what's under test
+    ev.filter($"event_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    ev.filter($"event_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingRfmStats(stream, rfmPath, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(rfmPath).select("epoch").distinct().count() >= 2)
+    val batchRfm = graft.operators.EventAnalytics.rfmSegments(ev)
+      .as[(Long, Long, Long, Long, Int, Int, Int, String)].collect().toSet
+    assert(Streams.rfmSegmentsAt(spark, rfmPath)
+      .as[(Long, Long, Long, Long, Int, Int, Int, String)].collect().toSet == batchRfm)
+    assert(batchRfm.nonEmpty)
+    Streams.compactRfmStatsAt(spark, rfmPath)
+    assert(spark.read.parquet(rfmPath).select("epoch").distinct().count() == 1)
+    assert(Streams.rfmSegmentsAt(spark, rfmPath)
+      .as[(Long, Long, Long, Long, Int, Int, Int, String)].collect().toSet == batchRfm)
+    ev.unpersist()
+  }
+
   test("streamingNovelty: per-batch novelty over ordered arrival equals batch shingleNovelty") {
     val tmp = Files.createTempDirectory("graft-stream-novelty").toString
     val (landing, statePath, outPath, ckpt) =
