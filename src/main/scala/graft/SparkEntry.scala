@@ -1255,6 +1255,42 @@ object SparkEntry {
     // ntile deciles, exact counts, one division per output column
     "q216_lift" -> ((s, dir) =>
       Similarity.liftTable(emb(s, dir).select("vec_id", "embedding", "label"))),
+    // extension: TPC-H Q6 shape — the pure predicate-pushdown probe:
+    // every filter reaches the parquet scan, zero joins, one 1-row agg
+    "q217_tpch_q6" -> ((s, dir) =>
+      graft.operators.Joins.forecastRevenueChange(Tables.lineitem(s, dir))),
+    // extension: TPC-H Q8 shape — national market share per year via
+    // conditional aggregation; all dims broadcast, one fact-fact shuffle
+    "q218_tpch_q8" -> ((s, dir) =>
+      graft.operators.Joins.nationMarketShare(
+        Tables.lineitem(s, dir), Tables.orders(s, dir), Tables.customer(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), Tables.region(s, dir),
+        Tables.part(s, dir))),
+    // extension: TPC-H Q11 shape — HAVING against a broadcast global
+    // scalar, exact cross-multiplied fraction threshold
+    "q219_part_value_share" -> ((s, dir) =>
+      graft.operators.Joins.topValueParts(Tables.lineitem(s, dir))),
+    // extension: TPC-H Q16 shape — distinct-supplier variety under NOT-
+    // predicates and a broadcast ANTI supplier blacklist
+    "q220_supplier_variety" -> ((s, dir) =>
+      graft.operators.Joins.supplierVariety(
+        Tables.lineitem(s, dir), Tables.part(s, dir), Tables.supplier(s, dir))),
+    // extension: calibration/reliability table for the linear-probe score —
+    // equal-width fixed-point bins, exact integer bin sums, one division
+    // (or affine map) per output column
+    "q221_calibration" -> ((s, dir) =>
+      Similarity.calibrationTable(
+        emb(s, dir).select("vec_id", "embedding", "label"))),
+    // extension: CMS inner-product join-size estimate (lineitem⋈orders on
+    // orderkey) with the exact keyed-count audit arm grading the sketch
+    "q222_join_size_est" -> ((s, dir) =>
+      graft.operators.Sketches.cmsJoinSizeEstimate(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        "l_orderkey", "o_orderkey")),
+    // extension: embedding-dimension covariance/correlation audit — exact
+    // fixed-point moments folded in one pass, top-|corr| off-diag pairs
+    "q223_embed_cov" -> ((s, dir) =>
+      Similarity.embeddingCovariance(emb(s, dir).select("embedding"))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -4162,6 +4198,122 @@ SELECT decile, n, n_pos,
   round(CAST(n_pos AS DOUBLE) * tot_n / n / tot_pos, 6) AS lift,
   round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_gain
 FROM cum CROSS JOIN tot ORDER BY decile""",
+    // Q6 shape: same round-cent integer band and quantity cap
+    "q217_tpch_q6" ->
+      """SELECT CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+    * CAST(round(l_discount * 100) AS BIGINT)) AS BIGINT) AS revenue_e4,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND CAST(round(l_discount * 100) AS BIGINT) BETWEEN 5 AND 7
+  AND CAST(l_quantity AS BIGINT) < 24""",
+    // Q8 shape: same region/type/nation constants, conditional aggregate
+    "q218_tpch_q8" ->
+      """WITH li AS (SELECT l_orderkey, l_suppkey,
+    CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT)) AS rev_e4
+    FROM lineitem JOIN part ON l_partkey = p_partkey WHERE p_type = 'PROMO'),
+  ords AS (SELECT o_orderkey, CAST(year(o_orderdate) AS INTEGER) AS o_year
+    FROM orders WHERE o_custkey IN (SELECT c_custkey
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+      JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA')),
+  tgt AS (SELECT s_suppkey FROM supplier
+    JOIN nation ON s_nationkey = n_nationkey WHERE n_name = 'NATION_2')
+SELECT o_year,
+  CAST(sum(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM tgt)
+    THEN rev_e4 ELSE 0 END) AS BIGINT) AS nation_e4,
+  CAST(sum(rev_e4) AS BIGINT) AS total_e4,
+  CAST(count(*) AS BIGINT) AS n_items,
+  round(CAST(sum(CASE WHEN l_suppkey IN (SELECT s_suppkey FROM tgt)
+    THEN rev_e4 ELSE 0 END) AS DOUBLE) / sum(rev_e4), 6) AS mkt_share
+FROM li JOIN ords ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1""",
+    // Q11 shape: same exact cross-multiplied mean-relative threshold
+    "q219_part_value_share" ->
+      """WITH pp AS (SELECT l_partkey,
+    CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS BIGINT) AS value_e4,
+    CAST(count(*) AS BIGINT) AS n_items FROM lineitem GROUP BY 1),
+  t AS (SELECT CAST(sum(value_e4) AS BIGINT) AS total_e4,
+    CAST(count(*) AS BIGINT) AS n_parts FROM pp)
+SELECT l_partkey, value_e4, n_items,
+  round(CAST(value_e4 AS DOUBLE) / total_e4, 6) AS share
+FROM pp CROSS JOIN t WHERE value_e4 * n_parts * 4 > total_e4 * 5
+ORDER BY value_e4 DESC, l_partkey""",
+    // Q16 shape: same NOT-predicates and acctbal-floor NOT IN
+    "q220_supplier_variety" ->
+      """SELECT p_brand, p_type, p_size,
+  CAST(count(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_brand <> 'Brand#1' AND p_size NOT IN (3, 14, 23, 45)
+  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 1000.0)
+GROUP BY 1, 2, 3 ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""",
+    // Calibration: same fixed-point probe score, integer equal-width bins
+    "q221_calibration" ->
+      """WITH d AS (SELECT vec_id, label,
+    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm,
+    CAST(embedding[1] AS DOUBLE) AS e1 FROM embeddings),
+  sc AS (SELECT label, CAST(floor(CASE WHEN nrm = 0.0 THEN 0.0
+      ELSE e1 / sqrt(nrm) END * 1073741824.0 + 0.5) AS BIGINT) AS f FROM d),
+  b AS (SELECT label, f, CAST(least(9, greatest(0,
+      ((f + 1073741824) * 10) // 2147483649)) AS INTEGER) AS bin FROM sc),
+  g AS (SELECT bin, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(f) AS BIGINT) AS f_sum,
+      CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_pos
+    FROM b GROUP BY 1)
+SELECT bin, n, n_pos,
+  round((CAST(f_sum AS DOUBLE) / n / 1073741824.0 + 1.0) / 2.0, 6) AS pred,
+  round(CAST(n_pos AS DOUBLE) / n, 6) AS rate,
+  round(CAST(n_pos AS DOUBLE) / n
+    - (CAST(f_sum AS DOUBLE) / n / 1073741824.0 + 1.0) / 2.0, 6) AS gap
+FROM g ORDER BY bin""",
+    // Join-size estimate: same sha-derived CMS cells, exact keyed audit
+    "q222_join_size_est" -> {
+      val h = "sha256('cms' || CAST(j.j AS VARCHAR) || ':' || CAST(key AS VARCHAR))"
+      val cell = s"((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) % 1024)"
+      s"""WITH lc AS (SELECT CAST(l_orderkey AS BIGINT) AS key,
+    CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1),
+  rc AS (SELECT CAST(o_orderkey AS BIGINT) AS key,
+    CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1),
+  ga AS (SELECT CAST(j.j AS INTEGER) AS j, $cell AS cell,
+      CAST(sum(cnt) AS BIGINT) AS cellsum
+    FROM lc, range(0, 4) j(j) GROUP BY 1, 2),
+  gb AS (SELECT CAST(j.j AS INTEGER) AS j, $cell AS cell,
+      CAST(sum(cnt) AS BIGINT) AS cellsum
+    FROM rc, range(0, 4) j(j) GROUP BY 1, 2),
+  dots AS (SELECT ga.j, CAST(sum(ga.cellsum * gb.cellsum) AS BIGINT) AS dot
+    FROM ga JOIN gb ON ga.j = gb.j AND ga.cell = gb.cell GROUP BY 1),
+  est AS (SELECT CAST(min(dot) AS BIGINT) AS est_pairs FROM dots),
+  ex AS (SELECT CAST(coalesce(sum(lc.cnt * rc.cnt), 0) AS BIGINT) AS exact_pairs
+    FROM lc JOIN rc ON lc.key = rc.key)
+SELECT CAST(4 AS INTEGER) AS d, CAST(1024 AS INTEGER) AS w, est_pairs,
+  exact_pairs,
+  round(CASE WHEN exact_pairs = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE CAST(est_pairs - exact_pairs AS DOUBLE) / exact_pairs END, 6) AS rel_err
+FROM est CROSS JOIN ex"""
+    },
+    // Covariance audit: same 2^10 quantization, exact integer moments,
+    // IEEE-exact sqrt/division, same (|corr| desc, i, j) cut
+    "q223_embed_cov" ->
+      """WITH q AS (SELECT vec_id, CAST(di.i - 1 AS INTEGER) AS i,
+    CAST(floor(CAST(embedding[di.i] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS qv
+    FROM embeddings CROSS JOIN range(1, 65) di(i)),
+  m AS (SELECT i, CAST(sum(qv) AS BIGINT) AS sq,
+      CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+  pr AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS s
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2),
+  diag AS (SELECT pr.i AS di, CAST(m.n * pr.s - m.sq * m.sq AS BIGINT) AS var_num,
+      m.sq, m.n FROM pr JOIN m ON pr.i = m.i AND pr.j = pr.i),
+  o AS (SELECT p.i, p.j,
+      CAST(da.n * p.s - da.sq * db.sq AS BIGINT) AS cov_num,
+      CASE WHEN da.var_num = 0 OR db.var_num = 0 THEN CAST(NULL AS DOUBLE)
+        ELSE round(CAST(da.n * p.s - da.sq * db.sq AS DOUBLE)
+          / (sqrt(CAST(da.var_num AS DOUBLE)) * sqrt(CAST(db.var_num AS DOUBLE))),
+          6) END AS corr
+    FROM pr p JOIN diag da ON p.i = da.di JOIN diag db ON p.j = db.di
+    WHERE p.j > p.i)
+SELECT * FROM o ORDER BY abs(corr) DESC NULLS LAST, i, j LIMIT 20""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

@@ -581,4 +581,138 @@ object Joins {
       .select("s_suppkey", "s_name", "numwait")
       .orderBy(desc("numwait"), asc("s_suppkey")).limit(k)
   }
+
+  /** TPC-H Q6 shape: forecasted revenue change — a pure filtered aggregate,
+    * the canonical predicate-pushdown probe. Every predicate (ship year,
+    * discount band, quantity cap) refers only to scanned columns, so ALL
+    * of them reach the parquet reader as PushedFilters and the scan reads
+    * exactly 3 columns; the plan is scan → single partial/final agg, zero
+    * joins, one 1-row exchange. Revenue = Σ price_cents · disc_e2 (the
+    * would-have-been revenue of dropping the discounts), exact e4
+    * integers. The discount band compares ROUND-CENT integers, not
+    * floats — `0.05 <= l_discount` on binary doubles is exactly the
+    * boundary-tie hazard Q6 is famous for. */
+  def forecastRevenueChange(lineitem: DataFrame, year: Int = 1996,
+                            discLo: Int = 5, discHi: Int = 7,
+                            qtyMax: Long = 24L): DataFrame =
+    lineitem
+      .filter(col("l_shipdate") >= lit(s"$year-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit(s"${year + 1}-01-01").cast("timestamp"))
+      .select(
+        expr("cast(round(l_extendedprice * 100) AS BIGINT)").as("price_c"),
+        expr("cast(round(l_discount * 100) AS BIGINT)").as("disc_e2"),
+        expr("CAST(l_quantity AS BIGINT)").as("q"))
+      .filter(col("disc_e2").between(discLo, discHi) && col("q") < qtyMax)
+      .agg(sum(expr("price_c * disc_e2")).as("revenue_e4"),
+        count(lit(1)).as("n_items"))
+
+  /** TPC-H Q8 shape: national market share — of all revenue a region's
+    * customers spent on one part type, the fraction supplied by a target
+    * nation, per order year. Joins: part/customer-nation/supplier-nation
+    * are all broadcast dims (part filtered to ONE type before the join,
+    * both nation paths pre-resolved to keys); the two fact-fact hops
+    * (lineitem⋈orders on orderkey, orders⋈customer via the broadcast
+    * region-filtered customer set) leave ONE real shuffle — lineitem ⋈
+    * orders — hinted hash on orderkey. The share is a conditional
+    * aggregate (sum-if supplier-nation = target / sum), NOT a second
+    * pass: numerator and denominator ride the same groupBy. Exact e4
+    * integers; one division per output row. */
+  def nationMarketShare(lineitem: DataFrame, orders: DataFrame,
+                        customer: DataFrame, supplier: DataFrame,
+                        nation: DataFrame, region: DataFrame, part: DataFrame,
+                        targetNation: String = "NATION_2",
+                        regionName: String = "ASIA",
+                        partType: String = "PROMO"): DataFrame = {
+    val regionKeys = nation
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+      .select("n_nationkey")
+    val custInRegion = customer
+      .join(broadcast(regionKeys), col("c_nationkey") === col("n_nationkey"))
+      .select("c_custkey")
+    val ordInRegion = orders.select("o_orderkey", "o_custkey", "o_orderdate")
+      .join(broadcast(custInRegion), col("o_custkey") === col("c_custkey"))
+      .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
+    val targetKeys = nation.filter(col("n_name") === targetNation)
+      .select("n_nationkey")
+    val suppFlag = supplier
+      .join(broadcast(targetKeys), col("s_nationkey") === col("n_nationkey"),
+        "left_semi")
+      .select("s_suppkey")
+    lineitem
+      .join(broadcast(part.filter(col("p_type") === partType)
+        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        expr("cast(round(l_extendedprice * 100) AS BIGINT) * " +
+          "(100 - cast(round(l_discount * 100) AS BIGINT))").as("rev_e4"))
+      .join(ordInRegion.hint("SHUFFLE_HASH"),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(suppFlag.withColumn("is_target", lit(true))),
+        col("l_suppkey") === col("s_suppkey"), "left")
+      .groupBy("o_year")
+      .agg(sum(when(col("is_target"), col("rev_e4")).otherwise(0L))
+          .as("nation_e4"),
+        sum("rev_e4").as("total_e4"), count(lit(1)).as("n_items"))
+      .withColumn("mkt_share", expr(
+        "round(CAST(nation_e4 AS DOUBLE) / total_e4, 6)"))
+      .orderBy("o_year")
+  }
+
+  /** TPC-H Q11 shape: important stock — groups whose aggregate exceeds a
+    * threshold derived from the global aggregate (the
+    * HAVING-against-scalar-subquery pattern). The per-part revenue
+    * aggregate is computed ONCE and consumed twice: its own 1-row
+    * total+count broadcasts back onto it, so the threshold costs no
+    * second fact pass. The cut is MEAN-relative (value > mult × mean part
+    * value) rather than the spec's fixed global fraction — a fixed
+    * fraction degenerates to the empty set as the part universe grows
+    * (TPC-H itself scales Q11's fraction by 1/SF for the same reason),
+    * while mean-relative is scale-free. Exact cross-multiplied integers
+    * (value·n·denom > total·num), no float threshold. Output ordered
+    * (value desc, partkey asc). */
+  def topValueParts(lineitem: DataFrame, multNum: Long = 5L,
+                    multDenom: Long = 4L): DataFrame = {
+    val perPart = lineitem
+      .groupBy("l_partkey")
+      .agg(sum(expr("cast(round(l_extendedprice * 100) AS BIGINT) * " +
+        "(100 - cast(round(l_discount * 100) AS BIGINT))")).as("value_e4"),
+        count(lit(1)).as("n_items"))
+    val total = perPart.agg(sum("value_e4").as("total_e4"),
+      count(lit(1)).as("n_parts"))
+    perPart.join(broadcast(total))
+      .filter(col("value_e4") * col("n_parts") * multDenom >
+        col("total_e4") * multNum)
+      .withColumn("share", expr("round(CAST(value_e4 AS DOUBLE) / total_e4, 6)"))
+      .select("l_partkey", "value_e4", "n_items", "share")
+      .orderBy(desc("value_e4"), asc("l_partkey"))
+  }
+
+  /** TPC-H Q16 shape: supplier variety — how many DISTINCT suppliers stock
+    * each (brand, type, size) combination, excluding one brand and an
+    * explicit size list (the spec's NOT-predicates) and excluding
+    * blacklisted suppliers via an ANTI join (the spec's NOT IN
+    * (SELECT...) — here: suppliers under an account-balance floor). The
+    * anti side is a broadcast (dim-sized); the distinct count runs as the
+    * standard two-phase expand (dedup on (brand,type,size,suppkey), then
+    * count) — one keyed shuffle each, both partial-aggregated. Output by
+    * (supplier_cnt desc, brand, type, size). */
+  def supplierVariety(lineitem: DataFrame, part: DataFrame,
+                      supplier: DataFrame, excludeBrand: String = "Brand#1",
+                      excludeSizes: Seq[Int] = Seq(3, 14, 23, 45),
+                      minAcctbal: Double = 1000.0): DataFrame = {
+    val dims = part
+      .filter(col("p_brand") =!= excludeBrand &&
+        !col("p_size").isin(excludeSizes: _*))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val badSupp = supplier.filter(col("s_acctbal") < minAcctbal)
+      .select("s_suppkey")
+    lineitem.select("l_partkey", "l_suppkey")
+      .join(broadcast(dims), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct("l_suppkey").as("supplier_cnt"))
+      .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
+        asc("p_size"))
+  }
 }

@@ -1540,4 +1540,116 @@ object Similarity {
         expr("round(CAST(d2s AS DOUBLE) / n / n / 1048576.0, 6)").as("dist2"))
       .orderBy("label", "rank")
   }
+
+  /** Calibration (reliability) table for the [[separabilityAuc]]
+    * linear-probe score against one positive class — the third leg of the
+    * eval triad: AUC says "is there signal", [[liftTable]] says "what do
+    * the top deciles capture", this says "does the score MEAN what it
+    * claims" — per equal-width score bin, predicted probability
+    * ((score+1)/2, the affine map of a [-1,1] score) vs the bin's
+    * empirical positive rate, and the gap between them.
+    *
+    * Exactness: the score is the same 2^30 fixed-point integer as the
+    * AUC/lift probes; bin assignment is pure integer arithmetic (clamped
+    * floor over the [-2^30, 2^30] range), bin sums stay exact BIGINTs,
+    * and each double output is one division (or one affine map) of exact
+    * integers, rounded once.
+    *
+    * Shape at scale: rows collapse to the `bins`-row frame in one
+    * partial-aggregated shuffle — no global sort, no window (equal-WIDTH
+    * bins need no rank, unlike the lift table's deciles); the totals row
+    * broadcasts back. Output: (bin, n, n_pos, pred, rate, gap). */
+  def calibrationTable(items: DataFrame, positiveLabel: Int = 0,
+                       bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 1000, s"bad bins: $bins")
+    val seqDot =
+      "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
+    val scored = items.select(col("label"),
+      expr(s"""CAST(floor(CASE WHEN $seqDot = 0.0D THEN 0.0
+          ELSE CAST(element_at(embedding, 1) AS DOUBLE) / sqrt($seqDot) END
+          * 1073741824.0 + 0.5) AS BIGINT)""").as("f"))
+    // f in [-2^30, 2^30]; integer equal-width bins, top edge clamped in
+    val binned = scored.withColumn("bin", expr(
+      s"CAST(least($bins - 1, greatest(0, " +
+        s"((f + 1073741824L) * $bins) DIV 2147483649L)) AS INT)"))
+    binned.groupBy("bin")
+      .agg(count(lit(1)).as("n"), sum("f").as("f_sum"),
+        sum(when(col("label") === positiveLabel, 1L).otherwise(0L)).as("n_pos"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        expr("round((CAST(f_sum AS DOUBLE) / n / 1073741824.0 + 1.0) / 2.0, 6)")
+          .as("pred"),
+        expr("round(CAST(n_pos AS DOUBLE) / n, 6)").as("rate"),
+        expr("round(CAST(n_pos AS DOUBLE) / n - " +
+          "(CAST(f_sum AS DOUBLE) / n / 1073741824.0 + 1.0) / 2.0, 6)")
+          .as("gap"))
+      .orderBy("bin")
+  }
+
+  /** Embedding-dimension covariance/correlation audit — the redundancy
+    * probe a pipeline runs before paying for all `d` dimensions: the
+    * most-correlated off-diagonal dimension pairs of the corpus embedding
+    * matrix. Highly correlated dims mean the space is over-provisioned
+    * (a truncation / PCA candidate); the exact pair list is the evidence.
+    *
+    * Exactness (the [[prototypeOutliers]] fixed-point recipe): components
+    * quantize at 2^10, per-pair second moments Σq_iq_j and per-dim sums
+    * Σq_i stay exact BIGINTs, the covariance NUMERATOR n·Σq_iq_j −
+    * Σq_i·Σq_j is exact, and corr = num/(√var_i·√var_j) is two
+    * IEEE-exact sqrts and one division — bit-identical in any engine.
+    * (BIGINT headroom: |q| ≲ 2^13 ⇒ n·Σq_iq_j < 2^63 up to n ≈ 2^35 rows;
+    * beyond that the moments move to decimal(38,0), same plan.)
+    *
+    * Shape at scale: ONE pass — each row emits its d(d+1)/2 upper-triangle
+    * products plus d component entries (an array expression feeding a
+    * generator), which partial-aggregate map-side to the (i,j)-keyed
+    * moment frame of d² rows TOTAL regardless of corpus size; the d-row
+    * diagonal broadcasts back for the variance join. No self-join of the
+    * exploded corpus, no d² shuffle of raw rows. Output: top-`k`
+    * off-diagonal pairs by (|corr| desc, i, j). */
+  def embeddingCovariance(items: DataFrame, k: Int = 20): DataFrame = {
+    // quantize ONCE per row into a named column; the generator below then
+    // indexes it d(d+3)/2 times instead of re-evaluating the transform
+    val withQ = items.select(expr("transform(embedding, v -> " +
+      "CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT))").as("q"))
+    // upper-triangle products (i, j, q_i*q_j) plus the component entries
+    // (i, -1, q_i) in ONE generated array, so sums and cross-moments ride
+    // the same scan and the same partial aggregation
+    val entries = withQ.select(explode(expr(
+      """concat(
+        flatten(transform(sequence(0, size(q) - 1), i ->
+          transform(sequence(i, size(q) - 1), j ->
+            struct(i AS i, j AS j,
+              element_at(q, i + 1) * element_at(q, j + 1) AS p)))),
+        transform(sequence(0, size(q) - 1), i ->
+          struct(i AS i, -1 AS j, element_at(q, i + 1) AS p)))"""))
+      .as("e"))
+      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
+    val moments = entries.groupBy("i", "j")
+      .agg(sum("p").as("s"), count(lit(1)).as("n"))
+    // d-row frames: per-dim sums and exact variance numerators
+    val dims = moments.filter(col("j") === -1)
+      .select(col("i").as("d_i"), col("s").as("sum_q"), col("n"))
+    val diag = moments.filter(col("j") === col("i"))
+      .select(col("i").as("v_i"), col("s").as("s_ii"))
+      .join(broadcast(dims), col("v_i") === col("d_i"))
+      .select(col("v_i"), (col("n") * col("s_ii") - col("sum_q") * col("sum_q"))
+        .as("var_num"), col("sum_q").as("sq"), col("n"))
+    moments.filter(col("j") > col("i"))
+      .join(broadcast(diag.select(col("v_i"), col("var_num").as("var_i"),
+        col("sq").as("sq_i"), col("n").as("nn"))), col("i") === col("v_i"))
+      .join(broadcast(diag.select(col("v_i").as("v_j"),
+        col("var_num").as("var_j"), col("sq").as("sq_j"))),
+        col("j") === col("v_j"))
+      .select(col("i"), col("j"),
+        (col("nn") * col("s") - col("sq_i") * col("sq_j")).as("cov_num"),
+        // zero-variance dims have no defined correlation: NULL, not a
+        // divide (ANSI mode raises on /0 — the guard is semantics AND
+        // safety), ranked last under the explicit NULLS LAST
+        expr("""CASE WHEN var_i = 0 OR var_j = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE round(CAST(nn * s - sq_i * sq_j AS DOUBLE)
+            / (sqrt(CAST(var_i AS DOUBLE)) * sqrt(CAST(var_j AS DOUBLE))), 6)
+          END""").as("corr"))
+      .orderBy(expr("abs(corr)").desc_nulls_last, col("i").asc, col("j").asc)
+      .limit(k)
+  }
 }

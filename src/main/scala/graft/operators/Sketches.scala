@@ -296,8 +296,13 @@ object Sketches {
     .select(explode(expr(TextAnalysis.tokensExpr)).as("token"))
     .groupBy("token").agg(count(lit(1)).as("cnt"))
 
-  private def cellOf(j: Int, w: Int): String = {
-    val h = s"sha2(concat('cms', '$j', ':', token), 256)"
+  private def cellOf(j: Int, w: Int): String = cellOfCol(j, w, "token")
+
+  /** CMS cell of hash row `j` for an arbitrary (string-castable) key
+    * column — byte0||byte1 of sha256("cms" || j || ":" || key) mod w,
+    * the same derivation [[cmsGrid]] uses for tokens. */
+  def cellOfCol(j: Int, w: Int, keyCol: String): String = {
+    val h = s"sha2(concat('cms', '$j', ':', CAST($keyCol AS STRING)), 256)"
     s"(${sparkByteAt(h, 0)} * 256 + ${sparkByteAt(h, 1)}) % $w"
   }
 
@@ -329,6 +334,59 @@ object Sketches {
       .withColumn("overestimate", col("est") - col("exact"))
       .orderBy(desc("est"), asc("token"))
       .limit(k)
+  }
+
+  /** CMS inner-product join-cardinality estimate (the AMS/CMS F₂-style
+    * estimator, Cormode & Muthukrishnan §4.2): |A ⋈ B| on a key equals
+    * Σ_k f_A(k)·f_B(k) — the inner product of the two frequency vectors —
+    * and the CMS estimate is min_j Σ_cell gridA[j][cell]·gridB[j][cell].
+    * This is what a planner consults BEFORE committing to a join order at
+    * 100 TB: two d×w counter grids (fixed bytes, maintainable
+    * incrementally like [[cmsGrid]]) answer the sizing question without
+    * touching either fact table again.
+    *
+    * Deterministic end-to-end: the cells are the [[cellOfCol]] sha-derived
+    * buckets and every counter is an exact BIGINT, so the ESTIMATE itself
+    * is hash-reproducible in any engine — the DuckDB oracle rebuilds the
+    * same grids from the same hashes. The exact inner product rides along
+    * as the audit arm (a keyed count-join — linear, never the
+    * materialized join), mirroring the kmvOverlap convention: at scale
+    * the audit is the thing you're avoiding, here it grades the sketch.
+    *
+    * Shape: per side, one partial-aggregated shuffle to (key, cnt), one
+    * d-way melt to the d×w grid (d·w rows TOTAL); the grid⋈grid dot is a
+    * broadcast join of two tiny frames; the audit is one SHUFFLE_HASH
+    * count-join. Output: 1 row (d, w, est_pairs, exact_pairs, rel_err). */
+  def cmsJoinSizeEstimate(left: DataFrame, right: DataFrame,
+                          leftKey: String, rightKey: String,
+                          d: Int = 4, w: Int = 1024,
+                          exactAudit: Boolean = true): DataFrame = {
+    require(d >= 1 && d <= 8 && w >= 2 && w <= 65536, s"bad CMS shape d=$d w=$w")
+    def counts(df: DataFrame, key: String) = df
+      .select(col(key).cast("long").as("key"))
+      .groupBy("key").agg(count(lit(1)).as("cnt"))
+    def grid(kc: DataFrame) = kc
+      .select(col("cnt"),
+        posexplode(array((0 until d).map(j =>
+          expr(cellOfCol(j, w, "key"))): _*)).as(Seq("j", "cell")))
+      .groupBy("j", "cell").agg(sum("cnt").as("cellsum"))
+    val lc = counts(left, leftKey)
+    val rc = counts(right, rightKey)
+    val est = grid(lc).join(broadcast(grid(rc)
+        .withColumnRenamed("cellsum", "cellsum_b")), Seq("j", "cell"))
+      .groupBy("j").agg(sum(expr("cellsum * cellsum_b")).as("dot"))
+      .agg(min("dot").as("est_pairs"))
+    val base = est.select(lit(d).as("d"), lit(w).as("w"), col("est_pairs"))
+    if (!exactAudit) base
+    else {
+      val exact = lc.join(rc.withColumnRenamed("cnt", "cnt_b")
+          .hint("SHUFFLE_HASH"), "key")
+        .agg(coalesce(sum(expr("cnt * cnt_b")), lit(0L)).as("exact_pairs"))
+      base.join(broadcast(exact))
+        .withColumn("rel_err", round(expr(
+          "CASE WHEN exact_pairs = 0 THEN CAST(NULL AS DOUBLE) " +
+            "ELSE CAST(est_pairs - exact_pairs AS DOUBLE) / exact_pairs END"), 6))
+    }
   }
 
   /** Merkle integrity manifest of a corpus: per-bucket content digests plus

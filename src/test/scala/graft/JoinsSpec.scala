@@ -501,4 +501,113 @@ class JoinsSpec extends AnyFunSuite {
       .sortBy { case (s, _, n) => (-n, s) }.take(10)
     assert(got == want && got.nonEmpty)
   }
+
+  test("forecastRevenueChange: matches a driver-side filtered scan") {
+    val dir = TestSpark.sf0001
+    val got = Joins.forecastRevenueChange(Tables.lineitem(spark, dir))
+      .as[(Option[Long], Long)].collect().toSeq
+    val lo = java.sql.Timestamp.valueOf("1996-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1997-01-01 00:00:00")
+    val rows = Tables.lineitem(spark, dir)
+      .select("l_shipdate", "l_extendedprice", "l_discount", "l_quantity")
+      .as[(java.sql.Timestamp, Double, Double, Double)].collect()
+      .filter { case (sd, _, disc, q) =>
+        !sd.before(lo) && sd.before(hi) &&
+          (5L to 7L).contains(math.round(disc * 100)) && q.toLong < 24L
+      }
+    val want = rows.map(r => math.round(r._2 * 100) * math.round(r._3 * 100)).sum
+    assert(got == Seq((Some(want), rows.length.toLong)) && rows.nonEmpty)
+  }
+
+  test("nationMarketShare: matches a driver-side recompute; share in [0,1]") {
+    val dir = TestSpark.sf0001
+    val got = Joins.nationMarketShare(
+        Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+        Tables.customer(spark, dir), Tables.supplier(spark, dir),
+        Tables.nation(spark, dir), Tables.region(spark, dir),
+        Tables.part(spark, dir))
+      .as[(Int, Long, Long, Long, Double)].collect().toSeq
+    val natRegion = Tables.nation(spark, dir).select("n_nationkey", "n_regionkey")
+      .as[(Long, Long)].collect().toMap
+    val asiaKey = Tables.region(spark, dir).select("r_regionkey", "r_name")
+      .as[(Long, String)].collect().find(_._2 == "ASIA").get._1
+    val custs = Tables.customer(spark, dir).select("c_custkey", "c_nationkey")
+      .as[(Long, Long)].collect()
+      .filter(c => natRegion(c._2) == asiaKey).map(_._1).toSet
+    val promo = Tables.part(spark, dir).select("p_partkey", "p_type")
+      .as[(Long, String)].collect().filter(_._2 == "PROMO").map(_._1).toSet
+    val targetSupp = {
+      val natKey = Tables.nation(spark, dir).select("n_name", "n_nationkey")
+        .as[(String, Long)].collect().find(_._1 == "NATION_2").get._2
+      Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+        .as[(Long, Long)].collect().filter(_._2 == natKey).map(_._1).toSet
+    }
+    val ordYear = Tables.orders(spark, dir)
+      .select("o_orderkey", "o_custkey", "o_orderdate")
+      .as[(Long, Long, java.sql.Timestamp)].collect()
+      .filter(o => custs.contains(o._2))
+      .map(o => o._1 -> o._3.toLocalDateTime.getYear).toMap
+    val cells = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .as[(Long, Long, Long, Double, Double)].collect()
+      .filter(l => promo.contains(l._2) && ordYear.contains(l._1))
+      .map { l =>
+        val rev = math.round(l._4 * 100) * (100 - math.round(l._5 * 100))
+        (ordYear(l._1), if (targetSupp.contains(l._3)) rev else 0L, rev)
+      }
+    val want = cells.groupBy(_._1).view.mapValues { rs =>
+      (rs.map(_._2).sum, rs.map(_._3).sum, rs.length.toLong)
+    }.toSeq.sortBy(_._1)
+      .map { case (y, (n8, t, c)) => (y, n8, t, c) }
+    assert(got.map(r => (r._1, r._2, r._3, r._4)) == want && got.nonEmpty)
+    got.foreach { r =>
+      assert(r._5 >= 0.0 && r._5 <= 1.0)
+      assert(math.abs(r._5 - r._2.toDouble / r._3) < 1e-5)
+    }
+  }
+
+  test("topValueParts: exact threshold semantics vs a driver-side recompute") {
+    val dir = TestSpark.sf0001
+    val got = Joins.topValueParts(Tables.lineitem(spark, dir))
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    val perPart = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_extendedprice", "l_discount")
+      .as[(Long, Double, Double)].collect()
+      .groupBy(_._1).view.mapValues { rs =>
+        (rs.map(r => math.round(r._2 * 100) * (100 - math.round(r._3 * 100))).sum,
+          rs.length.toLong)
+      }.toMap
+    val total = perPart.values.map(_._1).sum
+    val nParts = perPart.size.toLong
+    val want = perPart
+      .filter { case (_, (v, _)) => v * nParts * 4L > total * 5L }
+      .toSeq.map { case (p, (v, n)) => (p, v, n) }
+      .sortBy { case (p, v, _) => (-v, p) }
+    assert(got.map(r => (r._1, r._2, r._3)) == want && got.nonEmpty)
+    // kept parts are a strict subset — the threshold actually bites
+    assert(got.length < perPart.size)
+  }
+
+  test("supplierVariety: distinct counts and exclusions match brute force") {
+    val dir = TestSpark.sf0001
+    val got = Joins.supplierVariety(Tables.lineitem(spark, dir),
+        Tables.part(spark, dir), Tables.supplier(spark, dir))
+      .as[(String, String, Int, Long)].collect().toSeq
+    val dims = Tables.part(spark, dir)
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+      .as[(Long, String, String, Int)].collect()
+      .filter(p => p._2 != "Brand#1" && !Set(3, 14, 23, 45).contains(p._4))
+      .map(p => p._1 -> ((p._2, p._3, p._4))).toMap
+    val bad = Tables.supplier(spark, dir).select("s_suppkey", "s_acctbal")
+      .as[(Long, Double)].collect().filter(_._2 < 1000.0).map(_._1).toSet
+    assert(bad.nonEmpty) // the anti-join arm is actually exercised
+    val want = Tables.lineitem(spark, dir).select("l_partkey", "l_suppkey")
+      .as[(Long, Long)].collect()
+      .filter(l => dims.contains(l._1) && !bad.contains(l._2))
+      .groupBy(l => dims(l._1)).view
+      .mapValues(_.map(_._2).distinct.length.toLong).toSeq
+      .map { case ((b, t, s), n) => (b, t, s, n) }
+      .sortBy { case (b, t, s, n) => (-n, b, t, s) }
+    assert(got == want && got.nonEmpty)
+  }
 }

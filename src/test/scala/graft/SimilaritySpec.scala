@@ -776,4 +776,55 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.prototypeOutliers(emb.repartition(7))
       .as[(Int, Int, Long, Long, Double)].collect().toSeq == fxr)
   }
+
+  test("calibrationTable: hand-checked bins; fixture bins partition the corpus") {
+    // scores: (1,0)->+1 (bin 9), (-1,0)->-1 (bin 0), (0,1)->0 (bin 5)
+    val df = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(1f, 0f), 1),
+      (2L, Array(-1f, 0f), 1), (3L, Array(0f, 1f), 0))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.calibrationTable(df)
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    // bin 0: score -1 -> pred 0, one negative -> rate 0, gap 0
+    // bin 4: score 0 -> (2^30·10) DIV (2^31+1) = 4 (the +1 denominator
+    //        nudges the exact midpoint down); pred 0.5, rate 1, gap 0.5
+    // bin 9: score +1 -> pred 1, one of two positive -> rate 0.5, gap -0.5
+    assert(got == Seq((0, 1L, 0L, 0.0, 0.0, 0.0), (4, 1L, 1L, 0.5, 1.0, 0.5),
+      (9, 2L, 1L, 1.0, 0.5, -0.5)))
+    // fixture: bins partition the corpus, gap = rate - pred everywhere,
+    // partition-invariant
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label")
+    val fxr = Similarity.calibrationTable(emb)
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    assert(fxr.map(_._2).sum == emb.count())
+    fxr.foreach { r => assert(math.abs(r._6 - (r._5 - r._4)) < 2e-6) }
+    assert(Similarity.calibrationTable(emb.repartition(7))
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq == fxr)
+  }
+
+  test("embeddingCovariance: exact moments on a crafted 3-dim set; partition-invariant") {
+    // dims: x = [1,2,3], y = [2,4,6] (perfectly correlated with x),
+    // z = [5,5,5] (zero variance -> corr NaN, never ranked first)
+    val df = Seq(
+      (0L, Array(1f, 2f, 5f)), (1L, Array(2f, 4f, 5f)), (2L, Array(3f, 6f, 5f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.embeddingCovariance(df, k = 3)
+      .as[(Int, Int, Long, Option[Double])].collect().toSeq
+    // q scale 1024: x=[1024,2048,3072], y=[2048,4096,6144]
+    // cov_num(x,y) = 3*Σxy − Σx·Σy = 3·29360128 − 6144·12288 = 12582912
+    // z pairs: zero variance -> NULL corr (ranked last), exact 0 numerator
+    assert(got == Seq((0, 1, 12582912L, Some(1.0)), (0, 2, 0L, None),
+      (1, 2, 0L, None)))
+    // fixture: |corr| <= 1 for defined rows, ranked non-increasing,
+    // partition-invariant
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).select("embedding")
+    val fxr = Similarity.embeddingCovariance(emb)
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(fxr.length == 20)
+    assert(fxr.forall(r => math.abs(r._4) <= 1.0 + 1e-9))
+    assert(fxr.map(r => math.abs(r._4)).sliding(2).forall(p => p.head >= p.last))
+    assert(Similarity.embeddingCovariance(emb.repartition(7))
+      .as[(Int, Int, Long, Double)].collect().toSeq == fxr)
+  }
 }

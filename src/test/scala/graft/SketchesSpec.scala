@@ -213,4 +213,32 @@ class SketchesSpec extends AnyFunSuite {
     assert(moved === Seq(37 % 16), "only the edited bucket's digest may change")
     assert(a(0)._2 != b(0)._2, "the root must change")
   }
+
+  test("cmsJoinSizeEstimate: exact inner product, overestimate-only error, partition-invariant") {
+    // left: key k appears k times (k=1..20); right: every key once plus an
+    // unmatched tail -> exact join size = sum(1..20) = 210
+    val left = (1 to 20).flatMap(k => Seq.fill(k)(k.toLong)).toDF("lk")
+    val right = ((1 to 20) ++ (100 to 109)).map(_.toLong).toDF("rk")
+    val got = Sketches.cmsJoinSizeEstimate(left, right, "lk", "rk")
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq
+    assert(got.length == 1)
+    val (d, w, est, exact, relErr) = got.head
+    assert((d, w, exact) == ((4, 1024, 210L)))
+    // CMS counters only ADD colliding mass: the estimate can never
+    // undershoot the true inner product
+    assert(est >= exact)
+    assert(math.abs(relErr - (est - exact).toDouble / exact) < 1e-6)
+    // disjoint key spaces -> exact 0, NULL rel_err
+    val miss = Sketches.cmsJoinSizeEstimate(
+        left, Seq(900L, 901L).toDF("rk"), "lk", "rk")
+      .selectExpr("exact_pairs", "rel_err IS NULL").as[(Long, Boolean)].collect()
+    assert(miss.toSeq == Seq((0L, true)))
+    // partition-invariant (counter sums are order-free)
+    assert(Sketches.cmsJoinSizeEstimate(
+        left.repartition(7), right.repartition(5), "lk", "rk")
+      .as[(Int, Int, Long, Long, Double)].collect().toSeq == got)
+    // sketch-only arm drops the audit columns
+    assert(Sketches.cmsJoinSizeEstimate(left, right, "lk", "rk",
+      exactAudit = false).columns.toSeq == Seq("d", "w", "est_pairs"))
+  }
 }
