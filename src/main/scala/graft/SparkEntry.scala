@@ -1291,6 +1291,14 @@ object SparkEntry {
     // fixed-point moments folded in one pass, top-|corr| off-diag pairs
     "q223_embed_cov" -> ((s, dir) =>
       Similarity.embeddingCovariance(emb(s, dir).select("embedding"))),
+    // extension: hubness audit — k-occurrence of each vector in the
+    // sampled queries' exact top-k lists, top hubs with slot share
+    "q224_hubness" -> ((s, dir) =>
+      Similarity.hubnessTopHubs(emb(s, dir).select("vec_id", "embedding"))),
+    // extension: matryoshka truncation audit — top-k overlap between
+    // full-dim and 16-dim-prefix rankings per probe query
+    "q225_matryoshka" -> ((s, dir) =>
+      Similarity.matryoshkaOverlap(emb(s, dir).select("vec_id", "embedding"))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -4314,6 +4322,52 @@ FROM est CROSS JOIN ex"""
     FROM pr p JOIN diag da ON p.i = da.di JOIN diag db ON p.j = db.di
     WHERE p.j > p.i)
 SELECT * FROM o ORDER BY abs(corr) DESC NULLS LAST, i, j LIMIT 20""",
+    // Hubness: same sampled queries, same cosine + (score desc, vec_id)
+    // rank, self excluded, top-20 by (k_occ desc, vec_id)
+    "q224_hubness" ->
+      """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
+    WHERE vec_id % 10 = 0),
+  s AS (SELECT q.qid AS query_id, e.vec_id,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))) AS dot,
+    list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) AS na,
+    list_sum(list_transform(range(1, 65), i -> CAST(q.qe[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))) AS nb
+  FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+  sc AS (SELECT query_id, vec_id,
+    CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END AS score FROM s),
+  r AS (SELECT query_id, vec_id,
+    row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS rnk
+    FROM sc),
+  knn AS (SELECT query_id, vec_id FROM r WHERE rnk <= 5),
+  occ AS (SELECT vec_id, CAST(count(*) AS BIGINT) AS k_occ FROM knn GROUP BY 1),
+  t AS (SELECT CAST(count(*) AS BIGINT) AS n_slots FROM knn)
+SELECT vec_id, k_occ, round(CAST(k_occ AS DOUBLE) / n_slots, 6) AS slot_share
+FROM occ CROSS JOIN t ORDER BY k_occ DESC, vec_id LIMIT 20""",
+    // Matryoshka: same probe set, both arms ranked (score desc, vec_id),
+    // overlap counted on the (query, vec) equi-join
+    "q225_matryoshka" -> {
+      def arm(n: Int) =
+        s"""SELECT q.qid AS query_id, e.vec_id,
+    list_sum(list_transform(range(1, ${n + 1}), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))) AS dot,
+    list_sum(list_transform(range(1, ${n + 1}), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) AS na,
+    list_sum(list_transform(range(1, ${n + 1}), i -> CAST(q.qe[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))) AS nb
+  FROM embeddings e CROSS JOIN q"""
+      s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings WHERE vec_id < 5),
+  sf AS (${arm(64)}), st AS (${arm(16)}),
+  rf AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END DESC,
+        vec_id ASC) AS rnk FROM sf),
+  rt AS (SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+      ORDER BY CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END DESC,
+        vec_id ASC) AS rnk FROM st),
+  ov AS (SELECT f.query_id, CAST(count(*) AS BIGINT) AS n_overlap
+    FROM (SELECT * FROM rf WHERE rnk <= 5) f
+    JOIN (SELECT * FROM rt WHERE rnk <= 5) t
+      ON f.query_id = t.query_id AND f.vec_id = t.vec_id GROUP BY 1)
+SELECT q.qid AS query_id, CAST(5 AS INTEGER) AS k,
+  CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+  round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / 5, 6) AS overlap_frac
+FROM q LEFT JOIN ov ON q.qid = ov.query_id ORDER BY 1"""
+    },
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

@@ -1541,6 +1541,78 @@ object Similarity {
       .orderBy("label", "rank")
   }
 
+  /** Hubness audit — the k-occurrence skew of the embedding space: how
+    * often each vector appears in other vectors' exact top-`k` neighbour
+    * lists. High-dimensional spaces concentrate neighbourhoods onto a few
+    * "hub" points (Radovanović et al., JMLR 2010); hubs dominate retrieval
+    * results and silently bias kNN labeling, dedup and RAG, so surfacing
+    * the top hubs (and their share of all neighbour slots) is a standard
+    * pre-flight check before trusting an ANN index built on the space.
+    *
+    * Query side = the `1/sampleMod` hash-sample of the collection — the
+    * k-occurrence DISTRIBUTION is the object of interest and is estimated
+    * by sampling neighbour lists, which is what makes the audit affordable
+    * at corpus scale: cost is |sample| × corpus scored once through the
+    * same `GroupedTopK` path as every other top-k here (per-partition
+    * heaps, shuffle capped at partitions × queries × k), never corpus².
+    * At 100 TB the same fold runs over the ANN index's materialized
+    * neighbour lists instead of brute-force scores — the aggregation
+    * (two keyed sums over query×k rows) is unchanged. Self-matches are
+    * excluded (a vector trivially tops its own list). Output: top
+    * `maxHubs` by (k_occ desc, vec_id), each with its share of all
+    * sampled neighbour slots. */
+  def hubnessTopHubs(items: DataFrame, k: Int = 5, sampleMod: Int = 10,
+                     maxHubs: Int = 20): DataFrame = {
+    require(k >= 1 && sampleMod >= 1 && maxHubs >= 1)
+    val q = items.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_embedding"))
+    val knn = topKPerQuery(
+      cosineScores(items, q).filter(col("vec_id") =!= col("query_id")), k)
+    val occ = knn.groupBy("vec_id").agg(count(lit(1)).as("k_occ"))
+    val slots = knn.agg(count(lit(1)).as("n_slots"))
+    occ.join(broadcast(slots))
+      .select(col("vec_id"), col("k_occ"),
+        expr("round(CAST(k_occ AS DOUBLE) / n_slots, 6)").as("slot_share"))
+      .orderBy(desc("k_occ"), asc("vec_id")).limit(maxHubs)
+  }
+
+  /** Matryoshka truncation audit — how much of the exact top-`k` ranking
+    * survives truncating embeddings to their first `dims` components. The
+    * dimension-budget question every serving stack faces (truncatable /
+    * Matryoshka embeddings ship exactly for this): if overlap@k stays
+    * high at dims ≪ d, the index can store the prefix and re-rank with
+    * full vectors. Both arms run the same brute-force
+    * [[bruteForceTopK]] machinery (GroupedTopK per query); the truncated
+    * arm slices query AND corpus vectors, scores with the identical
+    * cosine, and the per-query overlap is one (query, vec) equi-join of
+    * two k-row-per-query frames. Cost: two corpus scans against a
+    * broadcast probe set. Output per probe query: (query_id, k,
+    * n_overlap, overlap_frac) ordered by query_id. */
+  def matryoshkaOverlap(items: DataFrame, dims: Int = 16, k: Int = 5,
+                        nQueries: Int = 5): DataFrame = {
+    require(dims >= 1 && k >= 1 && nQueries >= 1)
+    val q = items.filter(col("vec_id") < nQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_embedding"))
+    val full = bruteForceTopK(items, q, k).select("query_id", "vec_id")
+    val sliceItems = items.select(col("vec_id"),
+      expr(s"slice(embedding, 1, $dims)").as("embedding"))
+    val sliceQ = q.select(col("query_id"),
+      expr(s"slice(query_embedding, 1, $dims)").as("query_embedding"))
+    val trunc = bruteForceTopK(sliceItems, sliceQ, k)
+      .select(col("query_id"), col("vec_id"))
+    full.join(trunc.hint("SHUFFLE_HASH"), Seq("query_id", "vec_id"),
+        "left_semi")
+      .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
+      // probes with ZERO overlap still report: right-join the probe list
+      .join(broadcast(q.select("query_id")), Seq("query_id"), "right")
+      .na.fill(0L, Seq("n_overlap"))
+      .select(col("query_id"), lit(k).as("k"), col("n_overlap"),
+        expr(s"round(CAST(n_overlap AS DOUBLE) / $k, 6)").as("overlap_frac"))
+      .orderBy("query_id")
+  }
+
   /** Calibration (reliability) table for the [[separabilityAuc]]
     * linear-probe score against one positive class — the third leg of the
     * eval triad: AUC says "is there signal", [[liftTable]] says "what do

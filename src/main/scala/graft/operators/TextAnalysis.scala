@@ -565,7 +565,7 @@ object TextAnalysis {
   /** Sha-derived partition bucket for a token — the persisted-postings
     * layout key. 64 buckets: few enough directories for any filesystem,
     * many enough that a 3-term query prunes ~95% of the index bytes. */
-  private[operators] def tokenBucketExpr(tokenCol: String): String =
+  private[graft] def tokenBucketExpr(tokenCol: String): String =
     s"cast(conv(substr(sha2($tokenCol, 256), 1, 4), 16, 10) AS BIGINT) % 64"
 
   def tokenBucket(token: String): Long = {

@@ -915,6 +915,82 @@ object Streams {
     compactEpochs(spark, featPath)(
       _.groupBy("doc_id", "feature").agg(sum("n").as("n")))
 
+  /** Streaming inverted-index maintenance — the incremental form of
+    * `TextAnalysis.writeLexIndex`. At 100 TB the index artifacts (postings
+    * (token, doc_id, tf) + doc lengths) are exactly the corpus statistics
+    * you cannot afford to re-derive per refresh: both are DOC-KEYED — an
+    * appended document contributes only its own rows — so each micro-batch
+    * writes its own partial index on the [[epochPartials]] scaffold and
+    * the fold is a plain union, never a re-scan of earlier text.
+    *
+    * Both artifacts ride ONE maintained table (the scaffold maintains one
+    * path per stream): postings rows carry kind='p' with the
+    * `writeLexIndex` sha-derived token bucket `pbk` for predicate-pruned
+    * term reads, doc-length rows kind='d' (kept as explicit rows rather
+    * than re-derived as Σtf so zero-token documents still count toward
+    * N/avgdl, exactly as in the batch index). Append-only corpus contract
+    * (the BPE/DSIR twins' rule): a re-delivered doc_id would duplicate
+    * rows — upsert semantics live in the Merkle-style keyed maintainers.
+    * `bm25StreamedAt` scores the maintained index through the SAME
+    * `bm25Indexed` scorer as batch q110, so streamed-vs-batch parity is
+    * bit-exact (StreamingSpec). */
+  def streamingLexIndex(docs: DataFrame, indexPath: String,
+                        checkpointDir: String): StreamingQuery =
+    epochPartials(docs, indexPath, checkpointDir) { b =>
+      val ta = graft.operators.TextAnalysis
+      val p = ta.postings(b)
+        .withColumn("pbk", expr(ta.tokenBucketExpr("token")))
+        .select(lit("p").as("kind"), col("token"), col("doc_id"),
+          col("tf"), col("pbk"), lit(null).cast("long").as("dl"))
+      val d = ta.docLengths(b)
+        .select(lit("d").as("kind"), lit(null).cast("string").as("token"),
+          col("doc_id"), lit(null).cast("long").as("tf"),
+          lit(-1L).as("pbk"), col("dl").cast("long").as("dl"))
+      p.unionByName(d)
+    }
+
+  /** The maintained postings table (token, doc_id, tf, pbk). */
+  def lexPostingsAt(spark: SparkSession, indexPath: String): DataFrame =
+    epochsAt(spark, indexPath).filter(col("kind") === "p")
+      .select("token", "doc_id", "tf", "pbk")
+
+  /** The maintained doc-lengths table (doc_id, dl). */
+  def lexDocLensAt(spark: SparkSession, indexPath: String): DataFrame =
+    epochsAt(spark, indexPath).filter(col("kind") === "d")
+      .select("doc_id", "dl")
+
+  /** BM25 over the maintained index — same scorer, same rows as batch
+    * `bm25Indexed` over a from-scratch index of the union corpus. The
+    * postings read prunes on (kind, pbk) BEFORE the token filter: with
+    * epoch partitioning the pbk cut is a pushed predicate (row-group
+    * stats), and compaction restores it as a partition prune the moment
+    * the state is re-laid-out. */
+  def bm25StreamedAt(spark: SparkSession, indexPath: String,
+                     terms: Seq[String], k1: Double = 1.2,
+                     b: Double = 0.75): DataFrame = {
+    val ta = graft.operators.TextAnalysis
+    val buckets = terms.map(ta.tokenBucket).distinct
+    val st = epochsAt(spark, indexPath)
+    ta.bm25Indexed(
+      st.filter(col("kind") === "p" && col("pbk").isin(buckets: _*))
+        .select("token", "doc_id", "tf"),
+      st.filter(col("kind") === "d").select("doc_id", "dl"),
+      terms, k1, b)
+  }
+
+  /** Compaction for the lex-index epochs — same contract. The fold
+    * re-groups postings (idempotent under exactly-once epochs; convergent
+    * if a violated append-only contract ever left split rows). */
+  def compactLexIndexAt(spark: SparkSession, indexPath: String): Unit =
+    compactEpochs(spark, indexPath) { st =>
+      val p = st.filter(col("kind") === "p")
+        .groupBy("kind", "token", "doc_id", "pbk").agg(sum("tf").as("tf"))
+        .select("kind", "token", "doc_id", "tf", "pbk")
+        .withColumn("dl", lit(null).cast("long"))
+      p.unionByName(st.filter(col("kind") === "d")
+        .select("kind", "token", "doc_id", "tf", "pbk", "dl"))
+    }
+
   /** Streaming Merkle-manifest maintenance — `Sketches.merkleManifest`'s
     * incremental form, making its "re-hashes only buckets whose rows
     * changed" note concrete. The maintained state is the bucket-partitioned

@@ -254,6 +254,89 @@ object ScaleRehearsal {
     }
     runR9("1x", docsLang1, ev1, emb1)
     runR9(s"${k}x", docsLangK, evK, embK)
+
+    // round-10 family: fingerprint/selection/event-band/eval/TPC-H-shape
+    // operators. Docs replicate with lang kept (unimax buckets by lang);
+    // events reuse evK (k-fold longer horizon, so daily bands gain k-fold
+    // more calendar groups, not deeper ones); embeddings replicate on
+    // vec_id — the lift/calibration probes and the covariance fold are
+    // row-linear BY construction (covariance state is d² regardless of
+    // rows), while kCenterCoreset pays its k scans over a k-fold corpus.
+    // The labeled-emb frame tags vec_id%10 as the class, matching the
+    // fixture's label domain shape.
+    def runR10(tag: String, docs: DataFrame, ev: DataFrame,
+               emb: DataFrame): Unit = {
+      val lab = emb.withColumn("label", (col("vec_id") % 10).cast("int"))
+      time(s"$tag winnowing") {
+        graft.operators.TextAnalysis.winnowFingerprints(docs)
+          .queryExecution.toRdd.count() }
+      time(s"$tag unimax") {
+        graft.operators.Sampling.unimaxSample(docs)
+          .queryExecution.toRdd.count() }
+      time(s"$tag rfm") {
+        graft.operators.EventAnalytics.rfmSegments(ev)
+          .queryExecution.toRdd.count() }
+      time(s"$tag dailyBands") {
+        graft.operators.EventAnalytics.dailyPercentileBands(ev)
+          .queryExecution.toRdd.count() }
+      time(s"$tag bootstrapCi") {
+        graft.operators.EventAnalytics.bootstrapCi(ev)
+          .queryExecution.toRdd.count() }
+      time(s"$tag coreset") {
+        Similarity.kCenterCoreset(emb).queryExecution.toRdd.count() }
+      time(s"$tag lift") {
+        Similarity.liftTable(lab).queryExecution.toRdd.count() }
+      time(s"$tag calibration") {
+        Similarity.calibrationTable(lab).queryExecution.toRdd.count() }
+      time(s"$tag embedCov") {
+        Similarity.embeddingCovariance(emb.select("embedding"))
+          .queryExecution.toRdd.count() }
+    }
+    runR10("1x", docsLang1, ev1, emb1)
+    runR10(s"${k}x", docsLangK, evK, embK)
+
+    // TPC-H shapes rehearse on replicated fact+dim key spaces (k-fold
+    // orders AND parts AND suppliers — the real scale axis: dims grow with
+    // the business, facts with time)
+    val ord1 = graft.Tables.orders(spark, "/root/testdata/sf0.1")
+    val liFull1 = graft.Tables.lineitem(spark, "/root/testdata/sf0.1")
+    val ordK = (0 until k).map(i => ord1
+        .withColumn("o_orderkey", col("o_orderkey") + lit(i * 100000000L))
+        .withColumn("o_custkey", col("o_custkey") + lit(i * 1000000L)))
+      .reduce(_ unionByName _).cache()
+    val liFullK = (0 until k).map(i => liFull1
+        .withColumn("l_orderkey", col("l_orderkey") + lit(i * 100000000L))
+        .withColumn("l_partkey", col("l_partkey") + lit(i * 1000000L))
+        .withColumn("l_suppkey", col("l_suppkey") + lit(i * 1000000L)))
+      .reduce(_ unionByName _).cache()
+    val part1 = graft.Tables.part(spark, "/root/testdata/sf0.1")
+    val partK = (0 until k).map(i => part1
+        .withColumn("p_partkey", col("p_partkey") + lit(i * 1000000L)))
+      .reduce(_ unionByName _).cache()
+    val supp1 = graft.Tables.supplier(spark, "/root/testdata/sf0.1")
+    val suppK = (0 until k).map(i => supp1
+        .withColumn("s_suppkey", col("s_suppkey") + lit(i * 1000000L)))
+      .reduce(_ unionByName _).cache()
+    def runTpch(tag: String, li: DataFrame, ord: DataFrame, part: DataFrame,
+                supp: DataFrame): Unit = {
+      time(s"$tag tpchQ6") {
+        graft.operators.Joins.forecastRevenueChange(li)
+          .queryExecution.toRdd.count() }
+      time(s"$tag partValueShare") {
+        graft.operators.Joins.topValueParts(li)
+          .queryExecution.toRdd.count() }
+      time(s"$tag supplierVariety") {
+        graft.operators.Joins.supplierVariety(li, part, supp)
+          .queryExecution.toRdd.count() }
+      time(s"$tag soleBlockers") {
+        graft.operators.Joins.soleBlockerSuppliers(ord, li, supp)
+          .queryExecution.toRdd.count() }
+      time(s"$tag joinSizeEst") {
+        graft.operators.Sketches.cmsJoinSizeEstimate(li, ord,
+          "l_orderkey", "o_orderkey").queryExecution.toRdd.count() }
+    }
+    runTpch("1x", liFull1, ord1, part1, supp1)
+    runTpch(s"${k}x", liFullK, ordK, partK, suppK)
     spark.stop()
   }
 }

@@ -777,6 +777,54 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Int, Int, Long, Long, Double)].collect().toSeq == fxr)
   }
 
+  test("hubnessTopHubs: planted hub collects every sampled slot it can; self excluded") {
+    // vec 0 is the sampled query (0 % 1 handled via sampleMod=2: 0 and 2
+    // sampled); vec 1 duplicates the axis -> tops every list it's in
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 0f, 0f)),
+      (2L, Array(0f, 1f, 0f)), (3L, Array(0.9f, 0.1f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hubnessTopHubs(df, k = 2, sampleMod = 2, maxHubs = 10)
+      .as[(Long, Long, Double)].collect().toSeq
+    // queries 0 and 2; each list has 2 slots -> 4 slots total. Query 0's
+    // top-2: vec 1 (cos 1), vec 3; query 2's top-2: by cosine to y-axis:
+    // vec 3 (0.1105), then ties at 0 -> vec 0. Occurrences: v1:1, v3:2, v0:1
+    assert(got == Seq((3L, 2L, 0.5), (0L, 1L, 0.25), (1L, 1L, 0.25)))
+    // fixture: no self rows, shares sum to <= 1, partition-invariant
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding")
+    val fxr = Similarity.hubnessTopHubs(emb)
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(fxr.nonEmpty && fxr.map(_._3).sum <= 1.0 + 1e-6)
+    assert(fxr.map(_._2).sliding(2).forall(p => p.head >= p.last))
+    assert(Similarity.hubnessTopHubs(emb.repartition(7))
+      .as[(Long, Long, Double)].collect().toSeq == fxr)
+  }
+
+  test("matryoshkaOverlap: identical prefixes give full overlap; orthogonal tails break it") {
+    // 4-dim vectors, truncate to 2: a/b tie on the prefix but diverge on
+    // the tail, so full-dim ranks (q, b, a) while 2-dim ranks tie-broken
+    // by id — overlap stays 3/3 here (same SET, different order)
+    val df = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)), (1L, Array(1f, 0f, 1f, 0f)),
+      (2L, Array(1f, 0f, 0f, 1f)), (3L, Array(0f, 1f, 0f, 0f)))
+      .toDF("vec_id", "embedding")
+    val got = Similarity.matryoshkaOverlap(df, dims = 2, k = 3, nQueries = 1)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    // full top-3 of q0: 0 (1.0), then 1 and 2 (0.7071); 2-dim top-3:
+    // 0, 1, 2 (all cos 1 on the prefix, id tie-break) -> overlap 3
+    assert(got == Seq((0L, 3, 3L, 1.0)))
+    // fixture: overlaps in [0, k], every probe reported, partition-invariant
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding")
+    val fxr = Similarity.matryoshkaOverlap(emb)
+      .as[(Long, Int, Long, Double)].collect().toSeq
+    assert(fxr.map(_._1) == Seq(0L, 1L, 2L, 3L, 4L))
+    assert(fxr.forall(r => r._3 >= 0L && r._3 <= 5L))
+    assert(Similarity.matryoshkaOverlap(emb.repartition(7))
+      .as[(Long, Int, Long, Double)].collect().toSeq == fxr)
+  }
+
   test("calibrationTable: hand-checked bins; fixture bins partition the corpus") {
     // scores: (1,0)->+1 (bin 9), (-1,0)->-1 (bin 0), (0,1)->0 (bin 5)
     val df = Seq(

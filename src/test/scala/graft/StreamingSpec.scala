@@ -469,6 +469,33 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("streamingLexIndex: maintained BM25 matches a from-scratch index; compaction preserves it") {
+    val tmp = Files.createTempDirectory("graft-stream-lex").toString
+    val (landing, idxPath, ckpt) = (s"$tmp/landing", s"$tmp/lex", s"$tmp/ckpt")
+    val docs = Tables.documents(spark, TestSpark.sf0001).cache()
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingLexIndex(stream, idxPath, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(idxPath).select("epoch").distinct().count() >= 2)
+    val terms = Seq("join", "hash", "customer") // the q110 term set
+    val ta = graft.operators.TextAnalysis
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val batch = rows(ta.bm25Indexed(
+      ta.postings(docs), ta.docLengths(docs), terms))
+    val streamed = rows(Streams.bm25StreamedAt(spark, idxPath, terms))
+    assert(streamed == batch && streamed.nonEmpty)
+    // doc-length rows count EVERY doc (N/avgdl parity is part of the score)
+    assert(Streams.lexDocLensAt(spark, idxPath).count() == docs.count())
+    // compaction: one epoch partition left, scores unchanged
+    Streams.compactLexIndexAt(spark, idxPath)
+    assert(spark.read.parquet(idxPath).select("epoch").distinct().count() == 1)
+    assert(rows(Streams.bm25StreamedAt(spark, idxPath, terms)) == batch)
+    docs.unpersist()
+  }
+
   test("epoch-partition retry: re-writing an epoch's partial leaves the fold unchanged") {
     // The exactly-once contract every epoch-partition twin relies on
     // (BPE vocab, CMS grid, DDSketch buckets, KMV sketch): a RETRIED batch
