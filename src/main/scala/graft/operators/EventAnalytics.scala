@@ -485,15 +485,28 @@ object EventAnalytics {
     * and re-fixed at 2^20 before the sum, so the 9-term summation order
     * cannot flip bits. One shuffle to (type, digit), a 9-row-per-type
     * rollup after. Output: (event_type, n, chi2) ordered by type. */
-  def benfordAudit(events: DataFrame): DataFrame = {
-    // first digit of a positive integer via string head (exact, no log)
-    val digits = events
-      .select(col("event_type"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-      .filter(col("cents") > 0)
-      .withColumn("d", expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)"))
-    val counts = digits.groupBy("event_type", "d").agg(count(lit(1)).as("o"))
-    val n = digits.groupBy("event_type").agg(count(lit(1)).as("n"))
+  def benfordAudit(events: DataFrame): DataFrame =
+    benfordFromCounts(benfordDigitCounts(events))
+
+  /** The audit's maintained state: exact (event_type, d, o) first-digit
+    * counts. ADDITIVE across event batches — counts of disjoint slices
+    * merge by per-(type, digit) sum — which is what
+    * `Streams.streamingBenfordDigits` maintains incrementally. First
+    * digit of a positive integer via string head (exact, no log). */
+  def benfordDigitCounts(events: DataFrame): DataFrame = events
+    .select(col("event_type"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    .filter(col("cents") > 0)
+    .withColumn("d", expr("CAST(substring(CAST(cents AS STRING), 1, 1) AS INT)"))
+    .groupBy("event_type", "d").agg(count(lit(1)).as("o"))
+
+  /** χ² fold over a (event_type, d, o) digit-count frame — the
+    * state-to-answer half of [[benfordAudit]]: n re-derives as Σo per
+    * type (the counts are a partition of the positive rows), the 9-digit
+    * grid rebuilds absent digits at o = 0, and each digit's term is
+    * re-fixed at 2^20 before the sum exactly as in the one-shot form. */
+  def benfordFromCounts(counts: DataFrame): DataFrame = {
+    val n = counts.groupBy("event_type").agg(sum("o").as("n"))
     // all 9 digits per type, absent digits at o = 0 (they still contribute)
     val grid = n.select(col("event_type"), col("n"),
       explode(expr("sequence(1, 9)")).as("d"))

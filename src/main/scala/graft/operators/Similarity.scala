@@ -1602,11 +1602,13 @@ object Similarity {
       expr(s"slice(query_embedding, 1, $dims)").as("query_embedding"))
     val trunc = bruteForceTopK(sliceItems, sliceQ, k)
       .select(col("query_id"), col("vec_id"))
-    full.join(trunc.hint("SHUFFLE_HASH"), Seq("query_id", "vec_id"),
-        "left_semi")
+    val overlap = full
+      .join(trunc.hint("SHUFFLE_HASH"), Seq("query_id", "vec_id"), "left_semi")
       .groupBy("query_id").agg(count(lit(1)).as("n_overlap"))
-      // probes with ZERO overlap still report: right-join the probe list
-      .join(broadcast(q.select("query_id")), Seq("query_id"), "right")
+    // probes with ZERO overlap still report: left-join FROM the probe
+    // list with the (≤ nQueries-row) overlap frame broadcast — a
+    // right-outer with a broadcast right side would force an SMJ
+    q.select("query_id").join(broadcast(overlap), Seq("query_id"), "left")
       .na.fill(0L, Seq("n_overlap"))
       .select(col("query_id"), lit(k).as("k"), col("n_overlap"),
         expr(s"round(CAST(n_overlap AS DOUBLE) / $k, 6)").as("overlap_frac"))

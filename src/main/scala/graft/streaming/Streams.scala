@@ -915,6 +915,31 @@ object Streams {
     compactEpochs(spark, featPath)(
       _.groupBy("doc_id", "feature").agg(sum("n").as("n")))
 
+  /** Streaming Benford-digit maintenance — `EventAnalytics.benfordAudit`'s
+    * incremental form, the continuous-audit use the digit test exists for
+    * (fraud/sensor monitoring watches the χ² move as events arrive, it
+    * doesn't re-scan history). First-digit counts are ADDITIVE, so each
+    * micro-batch writes its (event_type, d, o) partial on the
+    * [[epochPartials]] scaffold; `benfordAuditAt` folds the partials and
+    * answers through the SAME χ² fold as the batch audit — n re-derives
+    * as Σo, so the maintained answer is bit-identical to a one-shot scan
+    * of the union (StreamingSpec parity). */
+  def streamingBenfordDigits(events: DataFrame, countsPath: String,
+                             checkpointDir: String): StreamingQuery =
+    epochPartials(events, countsPath, checkpointDir)(
+      b => graft.operators.EventAnalytics.benfordDigitCounts(b))
+
+  /** The maintained audit: fold epoch partials, answer the χ². */
+  def benfordAuditAt(spark: SparkSession, countsPath: String): DataFrame =
+    graft.operators.EventAnalytics.benfordFromCounts(
+      epochsAt(spark, countsPath)
+        .groupBy("event_type", "d").agg(sum("o").as("o")))
+
+  /** Compaction for the Benford digit epochs — same contract. */
+  def compactBenfordDigitsAt(spark: SparkSession, countsPath: String): Unit =
+    compactEpochs(spark, countsPath)(
+      _.groupBy("event_type", "d").agg(sum("o").as("o")))
+
   /** Streaming inverted-index maintenance — the incremental form of
     * `TextAnalysis.writeLexIndex`. At 100 TB the index artifacts (postings
     * (token, doc_id, tf) + doc lengths) are exactly the corpus statistics

@@ -469,6 +469,28 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("streamingBenfordDigits: folded partials answer the same chi2 as batch; compaction preserves it") {
+    val tmp = Files.createTempDirectory("graft-stream-benford").toString
+    val (landing, bPath, ckpt) = (s"$tmp/landing", s"$tmp/counts", s"$tmp/ckpt")
+    val ev = Tables.events(spark, TestSpark.sf0001).cache()
+    ev.filter($"event_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    ev.filter($"event_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingBenfordDigits(stream, bPath, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(bPath).select("epoch").distinct().count() >= 2)
+    val batch = graft.operators.EventAnalytics.benfordAudit(ev)
+      .as[(String, Long, Double)].collect().toSet
+    assert(Streams.benfordAuditAt(spark, bPath)
+      .as[(String, Long, Double)].collect().toSet == batch)
+    assert(batch.nonEmpty)
+    Streams.compactBenfordDigitsAt(spark, bPath)
+    assert(spark.read.parquet(bPath).select("epoch").distinct().count() == 1)
+    assert(Streams.benfordAuditAt(spark, bPath)
+      .as[(String, Long, Double)].collect().toSet == batch)
+    ev.unpersist()
+  }
+
   test("streamingLexIndex: maintained BM25 matches a from-scratch index; compaction preserves it") {
     val tmp = Files.createTempDirectory("graft-stream-lex").toString
     val (landing, idxPath, ckpt) = (s"$tmp/landing", s"$tmp/lex", s"$tmp/ckpt")
