@@ -1299,6 +1299,28 @@ object SparkEntry {
     // full-dim and 16-dim-prefix rankings per probe query
     "q225_matryoshka" -> ((s, dir) =>
       Similarity.matryoshkaOverlap(emb(s, dir).select("vec_id", "embedding"))),
+    // extension: windowed funnel — max-gap-per-transition conversion
+    // summary (greedy-earliest, per-step counts + conversion fractions)
+    "q226_windowed_funnel" -> ((s, dir) =>
+      graft.operators.EventAnalytics.windowedFunnel(
+        Tables.events(tune(s), dir), Seq("view", "click", "purchase"))),
+    // extension: weekly cohort-LTV triangle — cumulative purchase cents
+    // per signup cohort by weeks-since, per cohort member
+    "q227_cohort_ltv" -> ((s, dir) =>
+      graft.operators.EventAnalytics.cohortLtv(Tables.events(tune(s), dir))),
+    // extension: group-aware holdout split summary — leakage-safe
+    // user-keyed split with the zero-straddle audit arm
+    "q228_group_split" -> ((s, dir) =>
+      operators.Sampling.groupHoldoutSplit(Tables.events(tune(s), dir))),
+    // extension: Welch two-sample t-test on exact integer moments — the
+    // A/B primitive (t and Satterthwaite df from one 2-row aggregate)
+    "q229_welch_ttest" -> ((s, dir) =>
+      graft.operators.EventAnalytics.welchTTest(Tables.events(tune(s), dir))),
+    // extension: seasonal-naive backtest — MAPE + bias of the
+    // 7-day-lag forecast per type (fixed-point APE terms before the sum)
+    "q230_seasonal_naive" -> ((s, dir) =>
+      graft.operators.EventAnalytics.seasonalNaiveBacktest(
+        Tables.events(tune(s), dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -4280,9 +4302,9 @@ FROM g ORDER BY bin""",
     "q222_join_size_est" -> {
       val h = "sha256('cms' || CAST(j.j AS VARCHAR) || ':' || CAST(key AS VARCHAR))"
       val cell = s"((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) % 1024)"
-      s"""WITH lc AS (SELECT CAST(l_orderkey AS BIGINT) AS key,
+      s"""WITH lc AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
     CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1),
-  rc AS (SELECT CAST(o_orderkey AS BIGINT) AS key,
+  rc AS (SELECT CAST(o_orderkey AS VARCHAR) AS key,
     CAST(count(*) AS BIGINT) AS cnt FROM orders GROUP BY 1),
   ga AS (SELECT CAST(j.j AS INTEGER) AS j, $cell AS cell,
       CAST(sum(cnt) AS BIGINT) AS cellsum
@@ -4368,6 +4390,109 @@ SELECT q.qid AS query_id, CAST(5 AS INTEGER) AS k,
   round(CAST(coalesce(ov.n_overlap, 0) AS DOUBLE) / 5, 6) AS overlap_frac
 FROM q LEFT JOIN ov ON q.qid = ov.query_id ORDER BY 1"""
     },
+    // Windowed funnel: same greedy-earliest transitions under the same
+    // 7-day gap, same step-frame conversion divisions
+    "q226_windowed_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS t FROM events),
+  f1 AS (SELECT user_id, min(t) AS t FROM e WHERE event_type = 'view' GROUP BY 1),
+  f2 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN f1 ON e.user_id = f1.user_id
+    WHERE e.event_type = 'click' AND e.t > f1.t
+      AND e.t <= f1.t + INTERVAL 604800 SECOND GROUP BY 1),
+  f3 AS (SELECT e.user_id, min(e.t) AS t FROM e JOIN f2 ON e.user_id = f2.user_id
+    WHERE e.event_type = 'purchase' AND e.t > f2.t
+      AND e.t <= f2.t + INTERVAL 604800 SECOND GROUP BY 1),
+  c AS (SELECT CAST(1 AS INTEGER) AS step, CAST(count(*) AS BIGINT) AS n_users FROM f1
+    UNION ALL SELECT 2, CAST(count(*) AS BIGINT) FROM f2
+    UNION ALL SELECT 3, CAST(count(*) AS BIGINT) FROM f3),
+  x AS (SELECT step, n_users,
+      lag(n_users) OVER (ORDER BY step) AS prev,
+      first_value(n_users) OVER (ORDER BY step
+        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS frst FROM c)
+SELECT step, n_users,
+  round(CAST(n_users AS DOUBLE) / coalesce(prev, n_users), 6) AS conv_prev,
+  round(CAST(n_users AS DOUBLE) / frst, 6) AS conv_first
+FROM x ORDER BY step""",
+    // Cohort LTV: same anchor-week indexing as q93, exact cents, the
+    // cumulative window over the cohort x offset frame
+    "q227_cohort_ltv" ->
+      """WITH e AS (SELECT user_id, event_type, value, CAST(ts AS TIMESTAMP) AS t FROM events),
+  f AS (SELECT user_id,
+      CAST(floor(date_diff('day', DATE '2024-01-01', CAST(min(t) AS DATE)) / 7.0) AS BIGINT) AS cohort_week
+    FROM e GROUP BY 1),
+  sz AS (SELECT cohort_week, CAST(count(*) AS BIGINT) AS cohort_users FROM f GROUP BY 1),
+  p AS (SELECT e.user_id, f.cohort_week,
+      CAST(floor(date_diff('day', DATE '2024-01-01', CAST(e.t AS DATE)) / 7.0) AS BIGINT)
+        - f.cohort_week AS week_offset,
+      CAST(round(e.value * 100) AS BIGINT) AS cents
+    FROM e JOIN f ON e.user_id = f.user_id WHERE e.event_type = 'purchase'),
+  cells AS (SELECT cohort_week, week_offset, CAST(sum(cents) AS BIGINT) AS revenue_cents,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_buyers FROM p GROUP BY 1, 2),
+  cum AS (SELECT *, CAST(sum(revenue_cents) OVER (PARTITION BY cohort_week
+      ORDER BY week_offset ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+      AS cum_cents FROM cells)
+SELECT cum.cohort_week, week_offset, revenue_cents, n_buyers, cum_cents,
+  sz.cohort_users,
+  round(CAST(cum_cents AS DOUBLE) / sz.cohort_users, 6) AS ltv_cents_per_user
+FROM cum JOIN sz ON cum.cohort_week = sz.cohort_week
+ORDER BY 1, 2""",
+    // Group split: same sha-derived group bucket, same cuts, same audit
+    "q228_group_split" -> {
+      val h = "sha256('grp:' || CAST(user_id AS VARCHAR))"
+      val b = s"((((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) * 256 + " +
+        s"${dkByte(h, "2")}) * 256 + ${dkByte(h, "3")}) % 10000)"
+      s"""WITH t AS (SELECT user_id,
+    CASE WHEN $b < 8000 THEN 'train' WHEN $b < 9000 THEN 'val'
+      ELSE 'test' END AS split FROM events),
+  ps AS (SELECT split, CAST(count(*) AS BIGINT) AS n_rows,
+      CAST(count(DISTINCT user_id) AS BIGINT) AS n_groups FROM t GROUP BY 1),
+  st AS (SELECT CAST(coalesce(sum(CASE WHEN ns > 1 THEN 1 ELSE 0 END), 0) AS BIGINT)
+      AS straddle_groups
+    FROM (SELECT user_id, count(DISTINCT split) AS ns FROM t GROUP BY 1)),
+  tt AS (SELECT CAST(sum(n_rows) AS BIGINT) AS total_rows FROM ps)
+SELECT split, n_rows, n_groups,
+  round(CAST(n_rows AS DOUBLE) / total_rows, 6) AS row_share, straddle_groups
+FROM ps CROSS JOIN tt CROSS JOIN st ORDER BY split"""
+    },
+    // Welch t: same exact integer moments, same IEEE chain (left-assoc
+    // division order mirrored term for term)
+    "q229_welch_ttest" ->
+      """WITH c AS (SELECT event_type, CAST(round(value * 100) AS BIGINT) AS c
+    FROM events WHERE event_type IN ('purchase', 'click')),
+  m AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+      CAST(sum(c) AS BIGINT) AS s, CAST(sum(c * c) AS BIGINT) AS s2
+    FROM c GROUP BY 1),
+  a AS (SELECT n AS n_a, s AS s_a, s2 AS s2_a FROM m WHERE event_type = 'purchase'),
+  b AS (SELECT n AS n_b, s AS s_b, s2 AS s2_b FROM m WHERE event_type = 'click'),
+  x AS (SELECT *,
+      CAST(n_a * s2_a - s_a * s_a AS DOUBLE) / n_a / (n_a - 1) AS va,
+      CAST(n_b * s2_b - s_b * s_b AS DOUBLE) / n_b / (n_b - 1) AS vb
+    FROM a CROSS JOIN b),
+  y AS (SELECT *, va / n_a + vb / n_b AS se2 FROM x)
+SELECT 'purchase' AS type_a, 'click' AS type_b, n_a, n_b,
+  round(CAST(s_a AS DOUBLE) / n_a, 6) AS mean_a,
+  round(CAST(s_b AS DOUBLE) / n_b, 6) AS mean_b,
+  round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / sqrt(se2), 6) AS t_stat,
+  round(se2 * se2 / (va * va / n_a / n_a / (n_a - 1)
+    + vb * vb / n_b / n_b / (n_b - 1)), 6) AS df
+FROM y""",
+    // Seasonal naive: same day indexing, same 2^20 re-fixed APE terms
+    "q230_seasonal_naive" ->
+      """WITH daily AS (SELECT event_type,
+    CAST(date_diff('day', DATE '2024-01-01',
+      CAST(CAST(ts AS TIMESTAMP) AS DATE)) AS BIGINT) AS day_idx,
+    CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS actual
+  FROM events GROUP BY 1, 2),
+  j AS (SELECT d.event_type, d.day_idx, d.actual, f.actual AS fc
+    FROM daily d JOIN daily f
+      ON d.event_type = f.event_type AND d.day_idx = f.day_idx + 7)
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
+  CAST(sum(CASE WHEN actual > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
+  round(CAST(sum(CASE WHEN actual > 0 THEN CAST(floor(
+      CAST(abs(actual - fc) AS DOUBLE) * 1048576.0 / actual + 0.5) AS BIGINT)
+    ELSE 0 END) AS DOUBLE) / 1048576.0
+    / sum(CASE WHEN actual > 0 THEN 1 ELSE 0 END), 6) AS mape,
+  round(CAST(sum(fc - actual) AS DOUBLE) / count(*), 6) AS bias_cents
+FROM j GROUP BY 1 ORDER BY 1""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

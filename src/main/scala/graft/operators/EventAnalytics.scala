@@ -57,6 +57,161 @@ object EventAnalytics {
     out.select(col("user_id"), col("step"), col("t").as("step_ts"))
   }
 
+  /** Windowed funnel — [[funnel]] with a max-gap constraint per
+    * transition: step i+1 counts only within `maxGapSeconds` of the
+    * user's step-i time (the product-analytics default; an unbounded
+    * funnel credits conversions months later). Same greedy-earliest
+    * semantics and the same iterative shape — one user-keyed aggregate
+    * per step, each frontier one row per user, broadcastable against the
+    * step slice — the gap predicate simply rides the per-transition
+    * filter. Output is the summary form: per step, users reached plus
+    * conversion from the previous step and from the top (the step-frame
+    * window runs over |steps| rows, not users). */
+  def windowedFunnel(events: DataFrame, steps: Seq[String],
+                     maxGapSeconds: Long = 7L * 86400L): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    require(steps.distinct.size == steps.size, "funnel steps must be distinct")
+    require(maxGapSeconds > 0, s"bad gap: $maxGapSeconds")
+    val e = events.select(col("user_id"), col("event_type"), col("ts"))
+    var frontier = e.filter(col("event_type") === steps.head)
+      .groupBy("user_id").agg(min("ts").as("t"))
+    var out = frontier.select(col("user_id"), lit(1).as("step"))
+    steps.tail.zipWithIndex.foreach { case (st, i) =>
+      frontier = e.filter(col("event_type") === st)
+        .join(frontier.select("user_id", "t"), Seq("user_id"))
+        .filter(col("ts") > col("t") &&
+          col("ts") <= col("t") + expr(s"INTERVAL $maxGapSeconds SECOND"))
+        .groupBy("user_id").agg(min("ts").as("t"))
+      out = out.unionByName(
+        frontier.select(col("user_id"), lit(i + 2).as("step")))
+    }
+    val counts = out.groupBy("step").agg(count(lit(1)).as("n_users"))
+    val w = Window.orderBy("step")
+    counts
+      .withColumn("prev", lag("n_users", 1).over(w))
+      .withColumn("first", first("n_users").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .select(col("step"), col("n_users"),
+        expr("round(CAST(n_users AS DOUBLE) / coalesce(prev, n_users), 6)")
+          .as("conv_prev"),
+        expr("round(CAST(n_users AS DOUBLE) / first, 6)").as("conv_first"))
+      .orderBy("step")
+  }
+
+  /** Weekly cohort-LTV triangle — cumulative purchase revenue per signup
+    * cohort by weeks-since-signup, per cohort member: the revenue twin of
+    * [[retentionCohorts]] (that one counts active users, this one sums
+    * what they spend — the curve a data/growth team projects lifetime
+    * value from). Exact integer cents end-to-end; the single division
+    * per output row happens after the cumulative sum.
+    *
+    * Shape at scale: one user-keyed first-seen aggregate (one row per
+    * user), one keyed join back onto the purchase slice, one aggregate to
+    * the (cohort_week, week_offset) frame — at most weeks² rows — and the
+    * cumulative window runs over THAT frame partitioned by cohort, never
+    * over events. Cohort sizes broadcast back onto it. */
+  def cohortLtv(events: DataFrame, anchor: String = "2024-01-01"): DataFrame = {
+    val week = (c: String) => expr(weekIdxSql(c, anchor))
+    val firstSeen = events.groupBy("user_id").agg(min("ts").as("first_ts"))
+      .select(col("user_id"), week("first_ts").as("cohort_week"))
+    val sizes = firstSeen.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = events.filter(col("event_type") === "purchase")
+      .select(col("user_id"), week("ts").as("w"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .join(firstSeen.hint("SHUFFLE_HASH"), Seq("user_id"))
+      .groupBy(col("cohort_week"), (col("w") - col("cohort_week")).as("week_offset"))
+      .agg(sum("cents").as("revenue_cents"),
+        countDistinct("user_id").as("n_buyers"))
+    val cum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells
+      .withColumn("cum_cents", sum("revenue_cents").over(cum))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("revenue_cents"),
+        col("n_buyers"), col("cum_cents"), col("cohort_users"),
+        expr("round(CAST(cum_cents AS DOUBLE) / cohort_users, 6)")
+          .as("ltv_cents_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Welch's two-sample t-test between two event types' values — the A/B
+    * primitive (unequal variances assumed, the safe default). All moments
+    * are EXACT integer cents aggregates (n, Σc, Σc² as BIGINTs — one
+    * partial-aggregated shuffle to 2 rows); mean, sample variance, the t
+    * statistic and the Welch–Satterthwaite df are then a fixed chain of
+    * IEEE double operations on those exact integers, so both engines
+    * compute bit-identical statistics. Output: 1 row (type_a, type_b,
+    * n_a, n_b, mean_a, mean_b, t_stat, df). */
+  def welchTTest(events: DataFrame, typeA: String = "purchase",
+                 typeB: String = "click"): DataFrame = {
+    require(typeA != typeB, "need two distinct event types")
+    val m = events.filter(col("event_type").isin(typeA, typeB))
+      .select(col("event_type"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"), sum("c").as("s"),
+        sum(expr("c * c")).as("s2"))
+    val a = m.filter(col("event_type") === typeA)
+      .select(col("n").as("n_a"), col("s").as("s_a"), col("s2").as("s2_a"))
+    val b = m.filter(col("event_type") === typeB)
+      .select(col("n").as("n_b"), col("s").as("s_b"), col("s2").as("s2_b"))
+    // sample variance from exact integers: (n·Σc² − (Σc)²) / (n·(n−1))
+    a.join(broadcast(b))
+      .withColumn("va", expr(
+        "CAST(n_a * s2_a - s_a * s_a AS DOUBLE) / n_a / (n_a - 1)"))
+      .withColumn("vb", expr(
+        "CAST(n_b * s2_b - s_b * s_b AS DOUBLE) / n_b / (n_b - 1)"))
+      .withColumn("se2", expr("va / n_a + vb / n_b"))
+      .select(
+        lit(typeA).as("type_a"), lit(typeB).as("type_b"),
+        col("n_a"), col("n_b"),
+        expr("round(CAST(s_a AS DOUBLE) / n_a, 6)").as("mean_a"),
+        expr("round(CAST(s_b AS DOUBLE) / n_b, 6)").as("mean_b"),
+        expr("""round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+          / sqrt(se2), 6)""").as("t_stat"),
+        expr("""round(se2 * se2 / (va * va / n_a / n_a / (n_a - 1)
+          + vb * vb / n_b / n_b / (n_b - 1)), 6)""").as("df"))
+  }
+
+  /** Seasonal-naive backtest — forecast each day's per-type total by the
+    * value `season` days earlier and score the forecast (MAPE + bias):
+    * the baseline every demand/traffic forecasting effort must beat, and
+    * the cheapest continuous data-quality tripwire for periodic streams.
+    * Daily totals are exact cents (one calendar-bounded aggregate); the
+    * forecast join is (type, day) → (type, day − season) — keyed, dense
+    * or not (missing prior days simply score no row, no gap-fill
+    * needed). Errors stay integer (|a−f|) until the two final divisions.
+    * Output per type: days scored, MAPE over positive-actual days, and
+    * the mean signed bias in cents. */
+  def seasonalNaiveBacktest(events: DataFrame, season: Int = 7,
+                            anchor: String = "2024-01-01"): DataFrame = {
+    require(season >= 1, s"bad season: $season")
+    val daily = events
+      .select(col("event_type"), expr(dayIdxSql("ts", anchor)).as("day_idx"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+      .groupBy("event_type", "day_idx").agg(sum("c").as("actual"))
+    val forecast = daily.select(col("event_type"),
+      (col("day_idx") + season).as("day_idx"), col("actual").as("fc"))
+    // per-day APE re-fixed at 2^20 BEFORE the sum: a float sum aggregate
+    // would make the MAPE partition-order-dependent (the repo's
+    // fixed-before-sum rule); |a−f|·2^20 stays far inside double's exact
+    // integer range for cent-scale daily totals
+    daily.join(forecast.hint("SHUFFLE_HASH"), Seq("event_type", "day_idx"))
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_days"),
+        sum(when(col("actual") > 0, 1L).otherwise(0L)).as("n_scored"),
+        sum(when(col("actual") > 0, expr(
+          "CAST(floor(CAST(abs(actual - fc) AS DOUBLE) * 1048576.0 / actual + 0.5) AS BIGINT)"))
+          .otherwise(0L)).as("__ape_fx"),
+        sum(expr("fc - actual")).as("__bias"))
+      .select(col("event_type"), col("n_days"), col("n_scored"),
+        expr("round(CAST(__ape_fx AS DOUBLE) / 1048576.0 / n_scored, 6)")
+          .as("mape"),
+        expr("round(CAST(__bias AS DOUBLE) / n_days, 6)").as("bias_cents"))
+      .orderBy("event_type")
+  }
+
   /** Weekly retention cohorts: cohort = integer week (from `anchor`) of a
     * user's first event; one output row per (cohort_week, week_offset) with
     * the distinct-user count active that many weeks after joining.

@@ -53,6 +53,38 @@ object Sampling {
     withSplit(docs.selectExpr("doc_id"), weights, keyExpr)
       .select("doc_id", "bucket", "split")
 
+  /** Group-aware holdout split summary — the leakage-safe form of
+    * [[splitByHash]] for grouped data: the split keys on the GROUP
+    * (user, session, document family), so every row of a group lands in
+    * the same split and per-group signal can never straddle train/test
+    * (the classic evaluation leak a row-keyed split invites). The split
+    * is a pure projection of the group key (map-only, no join, stable
+    * as data grows — the `withSplit` rule); the summary aggregates once
+    * to the |splits|-row frame. The `straddle_groups` audit column —
+    * groups observed in more than one split — is the operator's
+    * verification arm: 0 by construction here, nonzero exactly when a
+    * FOREIGN split assignment (joined rather than derived) leaked. */
+  def groupHoldoutSplit(rows: DataFrame, groupCol: String = "user_id",
+                        weights: Seq[(String, Double)] =
+                          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      : DataFrame = {
+    val tagged = rows.withColumn("bucket",
+        expr(bucketExpr(s"concat('grp:', cast($groupCol AS string))")))
+      .withColumn("split", expr(splitCase(weights, "bucket")))
+    val perSplit = tagged.groupBy("split").agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col(groupCol)).as("n_groups"))
+    val straddle = tagged.groupBy(col(groupCol))
+      .agg(countDistinct(col("split")).as("ns"))
+      .agg(sum(when(col("ns") > 1, 1L).otherwise(0L)).as("straddle_groups"))
+    val total = perSplit.agg(sum("n_rows").as("total_rows"))
+    perSplit.join(broadcast(total)).join(broadcast(straddle))
+      .select(col("split"), col("n_rows"), col("n_groups"),
+        expr("round(CAST(n_rows AS DOUBLE) / total_rows, 6)").as("row_share"),
+        col("straddle_groups"))
+      .orderBy("split")
+  }
+
   /** Deterministic per-stratum downsampling (domain/language rebalancing):
     * keep a document iff its hash bucket falls below its stratum's fraction
     * x 10000. The hash key carries a `strat:` prefix so sampling decisions

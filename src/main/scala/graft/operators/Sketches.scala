@@ -362,8 +362,11 @@ object Sketches {
                           d: Int = 4, w: Int = 1024,
                           exactAudit: Boolean = true): DataFrame = {
     require(d >= 1 && d <= 8 && w >= 2 && w <= 65536, s"bad CMS shape d=$d w=$w")
+    // keys normalize to STRING (not a numeric cast — a string-keyed join
+    // would silently null out): the equality join and the sha cells then
+    // agree for any key type, and numeric keys render canonically
     def counts(df: DataFrame, key: String) = df
-      .select(col(key).cast("long").as("key"))
+      .select(col(key).cast("string").as("key"))
       .groupBy("key").agg(count(lit(1)).as("cnt"))
     def grid(kc: DataFrame) = kc
       .select(col("cnt"),

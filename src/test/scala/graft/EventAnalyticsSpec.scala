@@ -38,6 +38,72 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(f(1) == ts(2) && f(2) == ts(5) && f(3) == ts(30))
   }
 
+  test("windowedFunnel: transitions outside the gap are dropped; conversions divide exactly") {
+    // gap = 60 s. user 1 converts fully inside the gap; user 2's click
+    // lands 61 s after the view (outside); user 3 stops at view
+    val e = ev(
+      (1, 0, 1, "view", 0), (2, 1, 1, "click", 0), (3, 2, 1, "purchase", 0),
+      (4, 0, 2, "view", 0), (5, 61, 2, "click", 0),
+      (6, 0, 3, "view", 0))
+    // fixture timestamps step in MINUTES: user 2's click is +61 min =
+    // 3660 s, outside the 3600 s gap — only user 1 reaches step 2
+    val got = EventAnalytics.windowedFunnel(
+        e, Seq("view", "click", "purchase"), maxGapSeconds = 3600)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1, 3L, 1.0, 1.0), (2, 1L, 0.333333, 0.333333),
+      (3, 1L, 1.0, 0.333333)))
+    // a wide-enough gap re-admits user 2's click (plain-funnel reach)
+    val wide = EventAnalytics.windowedFunnel(
+        e, Seq("view", "click", "purchase"), maxGapSeconds = 10000000L)
+      .as[(Int, Long, Double, Double)].collect().toSeq
+    assert(wide.map(r => r._1 -> r._2).toMap == Map(1 -> 3L, 2 -> 2L, 3 -> 1L))
+  }
+
+  test("cohortLtv: hand-checked triangle — cumulative cents and per-user LTV") {
+    // user 1 joins week 0, buys 100c in week 0 and 200c in week 1;
+    // user 2 joins week 0, never buys; user 3 joins week 1, buys 50c then
+    val wk = 60 * 24 * 7
+    val e = ev(
+      (1, 0, 1, "view", 0), (2, 10, 1, "purchase", 1.0),
+      (3, wk + 5, 1, "purchase", 2.0),
+      (4, 0, 2, "view", 0),
+      (5, wk, 3, "view", 0), (6, wk + 1, 3, "purchase", 0.5))
+    val got = EventAnalytics.cohortLtv(e)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (0L, 0L, 100L, 1L, 100L, 2L, 50.0),
+      (0L, 1L, 200L, 1L, 300L, 2L, 150.0),
+      (1L, 0L, 50L, 1L, 50L, 1L, 50.0)))
+  }
+
+  test("welchTTest: hand-computed t and Satterthwaite df from exact moments") {
+    // purchase cents [100, 200, 300]: mean 200, var 10000
+    // click cents [100, 100]: mean 100, var 0
+    // se2 = 10000/3; t = 100/sqrt(10000/3); df = 2 (b-variance term vanishes)
+    val e = ev(
+      (1, 0, 1, "purchase", 1.0), (2, 1, 1, "purchase", 2.0),
+      (3, 2, 1, "purchase", 3.0),
+      (4, 0, 2, "click", 1.0), (5, 1, 2, "click", 1.0))
+    val got = EventAnalytics.welchTTest(e)
+      .as[(String, String, Long, Long, Double, Double, Double, Double)]
+      .collect().toSeq
+    assert(got == Seq(("purchase", "click", 3L, 2L, 200.0, 100.0,
+      1.732051, 2.0)))
+  }
+
+  test("seasonalNaiveBacktest: hand-checked MAPE and bias at season=1") {
+    // view daily cents: day0=100, day1=150, day2=150. season 1:
+    // day1 scored vs 100 (ape 50/150), day2 vs 150 (ape 0)
+    val day = 60 * 24
+    val e = ev(
+      (1, 0, 1, "view", 1.0),
+      (2, day, 1, "view", 1.0), (3, day + 1, 2, "view", 0.5),
+      (4, 2 * day, 1, "view", 1.5))
+    val got = EventAnalytics.seasonalNaiveBacktest(e, season = 1)
+      .as[(String, Long, Long, Double, Double)].collect().toSeq
+    assert(got == Seq(("view", 2L, 2L, 0.166667, -25.0)))
+  }
+
   test("retentionCohorts: offset-0 row counts every cohort user once") {
     val e = ev(
       (1, 0, 1, "view", 0), (2, 60 * 24 * 8, 1, "view", 0),  // week 0, active week 1

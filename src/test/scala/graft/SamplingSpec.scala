@@ -327,4 +327,22 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.importanceReweight(docs.repartition(7))
       .as[(String, Long, Long, Double, Double, Double)].collect().toSeq == fxr)
   }
+
+  test("groupHoldoutSplit: groups never straddle; summary partitions the rows") {
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val got = Sampling.groupHoldoutSplit(ev)
+      .as[(String, Long, Long, Double, Long)].collect().toSeq
+    assert(got.map(_._1).sorted == Seq("test", "train", "val"))
+    assert(got.map(_._2).sum == ev.count())
+    assert(got.forall(_._5 == 0L)) // zero straddle by construction
+    // group-awareness recomputed independently: every user's rows land in
+    // exactly one split
+    val users = ev.select("user_id").distinct().count()
+    assert(got.map(_._3).sum == users)
+    // shares divide exactly and are partition-invariant
+    val total = got.map(_._2).sum.toDouble
+    got.foreach(r => assert(math.abs(r._4 - r._2 / total) < 2e-6))
+    assert(Sampling.groupHoldoutSplit(ev.repartition(7))
+      .as[(String, Long, Long, Double, Long)].collect().toSeq == got)
+  }
 }

@@ -240,5 +240,11 @@ class SketchesSpec extends AnyFunSuite {
     // sketch-only arm drops the audit columns
     assert(Sketches.cmsJoinSizeEstimate(left, right, "lk", "rk",
       exactAudit = false).columns.toSeq == Seq("d", "w", "est_pairs"))
+    // string keys survive the normalization (a numeric cast would null
+    // them out and report an empty join)
+    val sl = Seq("a", "a", "b").toDF("sk")
+    val sr = Seq("a", "c").toDF("sk")
+    assert(Sketches.cmsJoinSizeEstimate(sl, sr, "sk", "sk")
+      .selectExpr("exact_pairs").as[Long].collect().toSeq == Seq(2L))
   }
 }
