@@ -1321,6 +1321,12 @@ object SparkEntry {
     "q230_seasonal_naive" -> ((s, dir) =>
       graft.operators.EventAnalytics.seasonalNaiveBacktest(
         Tables.events(tune(s), dir))),
+    // extension: TPC-H Q9 shape — product-type profit by supplier nation
+    // and order year (retailprice-cost stand-in; one fact-fact shuffle)
+    "q231_tpch_q9" -> ((s, dir) =>
+      graft.operators.Joins.productTypeProfit(
+        Tables.lineitem(s, dir), Tables.orders(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir), Tables.part(s, dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -4493,6 +4499,21 @@ SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
     / sum(CASE WHEN actual > 0 THEN 1 ELSE 0 END), 6) AS mape,
   round(CAST(sum(fc - actual) AS DOUBLE) / count(*), 6) AS bias_cents
 FROM j GROUP BY 1 ORDER BY 1""",
+    // Q9 shape: same pattern filter, same e4 profit arithmetic
+    "q231_tpch_q9" ->
+      """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+  CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+      * (100 - CAST(round(l_discount * 100) AS BIGINT))
+    - CAST(round(p_retailprice * 100) AS BIGINT)
+      * CAST(l_quantity AS BIGINT) * 100) AS BIGINT) AS profit_e4,
+  CAST(count(*) AS BIGINT) AS n_items
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%rod%'
+GROUP BY 1, 2 ORDER BY 1, 2""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

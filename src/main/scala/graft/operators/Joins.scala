@@ -687,6 +687,41 @@ object Joins {
       .orderBy(desc("value_e4"), asc("l_partkey"))
   }
 
+  /** TPC-H Q9 shape: product-type profit — profit by supplier nation and
+    * order year for parts whose name matches a pattern. The fixture has
+    * no partsupp cost table, so cost = p_retailprice · quantity stands in
+    * (same join topology, same amounts arithmetic): profit_e4 =
+    * revenue_e4 − cost_e4 with every term an exact e4 integer. Joins:
+    * part (pattern-filtered) and supplier→nation broadcast onto lineitem;
+    * the only fact-fact hop is lineitem⋈orders for the year — hinted
+    * hash on orderkey. One partial-aggregated shuffle to the
+    * (nation, year) frame. */
+  def productTypeProfit(lineitem: DataFrame, orders: DataFrame,
+                        supplier: DataFrame, nation: DataFrame,
+                        part: DataFrame,
+                        namePattern: String = "%rod%"): DataFrame = {
+    val supNat = supplier
+      .join(broadcast(nation.select("n_nationkey", "n_name")),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("s_suppkey"), col("n_name").as("nation"))
+    val parts = part.filter(col("p_name").like(namePattern))
+      .select(col("p_partkey"),
+        expr("cast(round(p_retailprice * 100) AS BIGINT)").as("cost_c"))
+    lineitem
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .select(col("l_orderkey"), col("nation"),
+        expr("""cast(round(l_extendedprice * 100) AS BIGINT)
+            * (100 - cast(round(l_discount * 100) AS BIGINT))
+            - cost_c * CAST(l_quantity AS BIGINT) * 100""").as("profit_e4"))
+      .join(orders.select(col("o_orderkey"),
+          year(col("o_orderdate")).as("o_year")).hint("SHUFFLE_HASH"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("nation", "o_year")
+      .agg(sum("profit_e4").as("profit_e4"), count(lit(1)).as("n_items"))
+      .orderBy("nation", "o_year")
+  }
+
   /** TPC-H Q16 shape: supplier variety — how many DISTINCT suppliers stock
     * each (brand, type, size) combination, excluding one brand and an
     * explicit size list (the spec's NOT-predicates) and excluding

@@ -1,6 +1,7 @@
 package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 
@@ -914,6 +915,72 @@ object Streams {
   def compactDsirFeaturesAt(spark: SparkSession, featPath: String): Unit =
     compactEpochs(spark, featPath)(
       _.groupBy("doc_id", "feature").agg(sum("n").as("n")))
+
+  /** Streaming cohort-LTV maintenance — `EventAnalytics.cohortLtv`'s
+    * incremental form. Two mergeable facts ride one kind-tagged state
+    * (the `streamingLexIndex` convention): per-user signup week
+    * (kind='f', MIN-mergeable — the week index is monotone in ts, so
+    * min-of-weeks ≡ week-of-min and late batches can only move a user's
+    * cohort EARLIER, exactly as a batch rescan would) and per-(user,
+    * week) purchase cents (kind='p', additive). `cohortLtvAt` folds both
+    * and re-derives the triangle through the SAME aggregation as the
+    * batch operator — n_buyers stays exact because the maintained cells
+    * are user-keyed. Events never rescan; the fold is state-sized. */
+  def streamingCohortCells(events: DataFrame, cellsPath: String,
+                           checkpointDir: String,
+                           anchor: String = "2024-01-01"): StreamingQuery =
+    epochPartials(events, cellsPath, checkpointDir) { b =>
+      val ea = graft.operators.EventAnalytics
+      val wk = (c: String) => expr(ea.weekIdxSql(c, anchor))
+      val f = b.groupBy("user_id").agg(min("ts").as("first_ts"))
+        .select(lit("f").as("kind"), col("user_id"),
+          wk("first_ts").as("w"), lit(null).cast("long").as("cents"))
+      val p = b.filter(col("event_type") === "purchase")
+        .select(col("user_id"), wk("ts").as("w"),
+          expr("CAST(round(value * 100) AS BIGINT)").as("c"))
+        .groupBy("user_id", "w").agg(sum("c").as("cents"))
+        .select(lit("p").as("kind"), col("user_id"), col("w"), col("cents"))
+      f.unionByName(p)
+    }
+
+  /** The maintained LTV triangle — fold the state, then the batch
+    * operator's exact aggregation shape (cells are (user, week)-keyed, so
+    * the per-cell buyer count is a plain count). */
+  def cohortLtvAt(spark: SparkSession, cellsPath: String): DataFrame = {
+    val st = epochsAt(spark, cellsPath)
+    val first = st.filter(col("kind") === "f")
+      .groupBy("user_id").agg(min("w").as("cohort_week"))
+    val sizes = first.groupBy("cohort_week")
+      .agg(count(lit(1)).as("cohort_users"))
+    val cells = st.filter(col("kind") === "p")
+      .groupBy("user_id", "w").agg(sum("cents").as("cents"))
+      .join(first.hint("SHUFFLE_HASH"), Seq("user_id"))
+      .groupBy(col("cohort_week"),
+        (col("w") - col("cohort_week")).as("week_offset"))
+      .agg(sum("cents").as("revenue_cents"), count(lit(1)).as("n_buyers"))
+    val cum = Window.partitionBy("cohort_week").orderBy("week_offset")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cells.withColumn("cum_cents", sum("revenue_cents").over(cum))
+      .join(broadcast(sizes), Seq("cohort_week"))
+      .select(col("cohort_week"), col("week_offset"), col("revenue_cents"),
+        col("n_buyers"), col("cum_cents"), col("cohort_users"),
+        expr("round(CAST(cum_cents AS DOUBLE) / cohort_users, 6)")
+          .as("ltv_cents_per_user"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  /** Compaction for the cohort cell epochs — min-fold the 'f' rows,
+    * sum-fold the 'p' rows, same contract. */
+  def compactCohortCellsAt(spark: SparkSession, cellsPath: String): Unit =
+    compactEpochs(spark, cellsPath) { st =>
+      val f = st.filter(col("kind") === "f")
+        .groupBy("kind", "user_id").agg(min("w").as("w"))
+        .withColumn("cents", lit(null).cast("long"))
+        .select("kind", "user_id", "w", "cents")
+      f.unionByName(st.filter(col("kind") === "p")
+        .groupBy("kind", "user_id", "w").agg(sum("cents").as("cents"))
+        .select("kind", "user_id", "w", "cents"))
+    }
 
   /** Streaming Benford-digit maintenance — `EventAnalytics.benfordAudit`'s
     * incremental form, the continuous-audit use the digit test exists for

@@ -588,6 +588,41 @@ class JoinsSpec extends AnyFunSuite {
     assert(got.length < perPart.size)
   }
 
+  test("productTypeProfit: matches a driver-side recompute of the profit arithmetic") {
+    val dir = TestSpark.sf0001
+    val got = Joins.productTypeProfit(
+        Tables.lineitem(spark, dir), Tables.orders(spark, dir),
+        Tables.supplier(spark, dir), Tables.nation(spark, dir),
+        Tables.part(spark, dir))
+      .as[(String, Int, Long, Long)].collect().toSeq
+    val natName = Tables.nation(spark, dir).select("n_nationkey", "n_name")
+      .as[(Long, String)].collect().toMap
+    val supNat = Tables.supplier(spark, dir).select("s_suppkey", "s_nationkey")
+      .as[(Long, Long)].collect().map(s => s._1 -> natName(s._2)).toMap
+    val rodCost = Tables.part(spark, dir)
+      .select("p_partkey", "p_name", "p_retailprice")
+      .as[(Long, String, Double)].collect()
+      .filter(_._2.contains("rod"))
+      .map(p => p._1 -> math.round(p._3 * 100)).toMap
+    val ordYear = Tables.orders(spark, dir).select("o_orderkey", "o_orderdate")
+      .as[(Long, java.sql.Timestamp)].collect()
+      .map(o => o._1 -> o._2.toLocalDateTime.getYear).toMap
+    val want = Tables.lineitem(spark, dir)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity",
+        "l_extendedprice", "l_discount")
+      .as[(Long, Long, Long, Double, Double, Double)].collect()
+      .filter(l => rodCost.contains(l._2))
+      .map { l =>
+        val profit = math.round(l._5 * 100) * (100 - math.round(l._6 * 100)) -
+          rodCost(l._2) * l._4.toLong * 100
+        ((supNat(l._3), ordYear(l._1)), profit)
+      }
+      .groupBy(_._1).view.mapValues(rs => (rs.map(_._2).sum, rs.length.toLong))
+      .toSeq.map { case ((n, y), (p, c)) => (n, y, p, c) }
+      .sortBy(r => (r._1, r._2))
+    assert(got == want && got.nonEmpty)
+  }
+
   test("supplierVariety: distinct counts and exclusions match brute force") {
     val dir = TestSpark.sf0001
     val got = Joins.supplierVariety(Tables.lineitem(spark, dir),

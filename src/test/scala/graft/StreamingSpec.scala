@@ -469,6 +469,32 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("streamingCohortCells: folded state answers the same LTV triangle as batch; compaction preserves it") {
+    val tmp = Files.createTempDirectory("graft-stream-ltv").toString
+    val (landing, cPath, ckpt) = (s"$tmp/landing", s"$tmp/cells", s"$tmp/ckpt")
+    val ev = Tables.events(spark, TestSpark.sf0001).cache()
+    // split by EVENT id parity, not by user or time: each user's events
+    // straddle both epochs in arbitrary time order, so a later epoch can
+    // carry a user's EARLIER first event — the min-merge must still land
+    // every user in the same cohort a batch rescan would
+    ev.filter($"event_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    ev.filter($"event_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.eventsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingCohortCells(stream, cPath, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(cPath).select("epoch").distinct().count() >= 2)
+    val batch = graft.operators.EventAnalytics.cohortLtv(ev)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSet
+    assert(Streams.cohortLtvAt(spark, cPath)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSet == batch)
+    assert(batch.nonEmpty)
+    Streams.compactCohortCellsAt(spark, cPath)
+    assert(spark.read.parquet(cPath).select("epoch").distinct().count() == 1)
+    assert(Streams.cohortLtvAt(spark, cPath)
+      .as[(Long, Long, Long, Long, Long, Long, Double)].collect().toSet == batch)
+    ev.unpersist()
+  }
+
   test("streamingBenfordDigits: folded partials answer the same chi2 as batch; compaction preserves it") {
     val tmp = Files.createTempDirectory("graft-stream-benford").toString
     val (landing, bPath, ckpt) = (s"$tmp/landing", s"$tmp/counts", s"$tmp/ckpt")
