@@ -1483,23 +1483,33 @@ object Similarity {
     val q = items.select(col("vec_id"),
       expr("""transform(embedding,
           v -> CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT))""").as("qv"))
-    val seed = q.orderBy(asc("vec_id")).limit(1)
-      .as[(Long, Seq[Long])].collect().head
+    // an empty (or smaller-than-k) collection is a legitimate input — a
+    // filter that matched nothing must not crash the greedy seed collect
+    val seedRows = q.orderBy(asc("vec_id")).limit(1)
+      .as[(Long, Seq[Long])].collect()
+    if (seedRows.isEmpty)
+      return Seq.empty[(Int, Long, Double)].toDF("rank", "vec_id", "dist2")
+    val seed = seedRows.head
     var selected = Vector((seed._1, seed._2, 0L))
-    for (_ <- 2 to k) {
+    var exhausted = false
+    for (_ <- 2 to k if !exhausted) {
       val selDf = broadcast(
         selected.map { case (id, v, _) => (id, v) }.toDF("sid", "sqv"))
-      val chosen = q
+      val chosenRows = q
         .filter(!col("vec_id").isin(selected.map(_._1): _*))
         .crossJoin(selDf)
         .withColumn("d2", expr(
           "aggregate(zip_with(qv, sqv, (x, y) -> (x - y) * (x - y)), 0L, (a, p) -> a + p)"))
         .groupBy("vec_id").agg(min("d2").as("mind2"))
         .orderBy(desc("mind2"), asc("vec_id")).limit(1)
-        .as[(Long, Long)].collect().head
-      val cv = q.filter(col("vec_id") === chosen._1)
-        .as[(Long, Seq[Long])].collect().head._2
-      selected :+= ((chosen._1, cv, chosen._2))
+        .as[(Long, Long)].collect()
+      if (chosenRows.isEmpty) exhausted = true // fewer than k points: done
+      else {
+        val chosen = chosenRows.head
+        val cv = q.filter(col("vec_id") === chosen._1)
+          .as[(Long, Seq[Long])].collect().head._2
+        selected :+= ((chosen._1, cv, chosen._2))
+      }
     }
     selected.zipWithIndex
       .map { case ((id, _, d2), i) =>
