@@ -4307,7 +4307,7 @@ FROM g ORDER BY bin""",
     // Join-size estimate: same sha-derived CMS cells, exact keyed audit
     "q222_join_size_est" -> {
       val h = "sha256('cms' || CAST(j.j AS VARCHAR) || ':' || CAST(key AS VARCHAR))"
-      val cell = s"((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) % 1024)"
+      val cell = s"((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) % 65536)"
       s"""WITH lc AS (SELECT CAST(l_orderkey AS VARCHAR) AS key,
     CAST(count(*) AS BIGINT) AS cnt FROM lineitem GROUP BY 1),
   rc AS (SELECT CAST(o_orderkey AS VARCHAR) AS key,
@@ -4323,7 +4323,7 @@ FROM g ORDER BY bin""",
   est AS (SELECT CAST(min(dot) AS BIGINT) AS est_pairs FROM dots),
   ex AS (SELECT CAST(coalesce(sum(lc.cnt * rc.cnt), 0) AS BIGINT) AS exact_pairs
     FROM lc JOIN rc ON lc.key = rc.key)
-SELECT CAST(4 AS INTEGER) AS d, CAST(1024 AS INTEGER) AS w, est_pairs,
+SELECT CAST(4 AS INTEGER) AS d, CAST(65536 AS INTEGER) AS w, est_pairs,
   exact_pairs,
   round(CASE WHEN exact_pairs = 0 THEN CAST(NULL AS DOUBLE)
     ELSE CAST(est_pairs - exact_pairs AS DOUBLE) / exact_pairs END, 6) AS rel_err

@@ -359,8 +359,16 @@ object Sketches {
     * count-join. Output: 1 row (d, w, est_pairs, exact_pairs, rel_err). */
   def cmsJoinSizeEstimate(left: DataFrame, right: DataFrame,
                           leftKey: String, rightKey: String,
-                          d: Int = 4, w: Int = 1024,
+                          d: Int = 4, w: Int = 65536,
                           exactAudit: Boolean = true): DataFrame = {
+    // the estimate's additive bias is E[est − exact] = F1(A)·F1(B)/w
+    // (every non-matching row pair collides with prob 1/w per hash row;
+    // min over d rows trims the tail, not the mean) — so w must be sized
+    // against the PRODUCT of stream lengths over the tolerable absolute
+    // error, not against distinct keys as in the point-query cmsTopK.
+    // 65536 is the 2-byte-cell ceiling: d·w = 256k counters, still a
+    // trivially broadcastable grid, and the largest w this cell
+    // derivation supports — beyond it, widen the cell to 3 bytes.
     require(d >= 1 && d <= 8 && w >= 2 && w <= 65536, s"bad CMS shape d=$d w=$w")
     // keys normalize to STRING (not a numeric cast — a string-keyed join
     // would silently null out): the equality join and the sha cells then

@@ -195,6 +195,31 @@ object Smoke {
     println(s"== dsir top-5 non-en docs (en-like): " +
       dsir.select("doc_id").collect().map(_.getLong(0)).mkString(", "))
 
+    // round-10 tour: eval triad + space audits + planner sketch + funnels
+    val ev = graft.Tables.events(spark, sfDir)
+    val embLab = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "embedding", "label")
+    val cal = Similarity.calibrationTable(embLab)
+      .agg(expr("round(max(abs(gap)), 4)")).collect()(0)
+    println(s"== calibration: max |gap| ${cal.get(0)} over 10 bins")
+    val hubs = Similarity.hubnessTopHubs(embLab.select("vec_id", "embedding"))
+      .limit(3).collect().map(r => s"${r.getLong(0)}(${r.getLong(1)})")
+    println(s"== hubness top-3 (k_occ): ${hubs.mkString(", ")}")
+    val mat = Similarity.matryoshkaOverlap(embLab.select("vec_id", "embedding"))
+      .agg(expr("round(avg(overlap_frac), 4)")).collect()(0)
+    println(s"== matryoshka overlap@5 (16 of 64 dims): ${mat.get(0)}")
+    val jse = graft.operators.Sketches.cmsJoinSizeEstimate(
+      graft.Tables.lineitem(spark, sfDir), graft.Tables.orders(spark, sfDir),
+      "l_orderkey", "o_orderkey").collect()(0)
+    println(s"== join-size estimate: est ${jse.getLong(2)} vs exact " +
+      s"${jse.getLong(3)} (rel_err ${jse.get(4)})")
+    val wf = graft.operators.EventAnalytics.windowedFunnel(
+      ev, Seq("view", "click", "purchase"))
+      .collect().map(r => s"${r.getLong(1)}").mkString(" -> ")
+    println(s"== windowed funnel (7d gaps): $wf")
+    val tt = graft.operators.EventAnalytics.welchTTest(ev).collect()(0)
+    println(f"== welch t (purchase vs click cents): t=${tt.getDouble(6)}%.3f df=${tt.getDouble(7)}%.1f")
+
     spark.stop()
   }
 }

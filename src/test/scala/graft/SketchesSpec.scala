@@ -223,7 +223,7 @@ class SketchesSpec extends AnyFunSuite {
       .as[(Int, Int, Long, Long, Double)].collect().toSeq
     assert(got.length == 1)
     val (d, w, est, exact, relErr) = got.head
-    assert((d, w, exact) == ((4, 1024, 210L)))
+    assert((d, w, exact) == ((4, 65536, 210L)))
     // CMS counters only ADD colliding mass: the estimate can never
     // undershoot the true inner product
     assert(est >= exact)
