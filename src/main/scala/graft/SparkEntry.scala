@@ -1327,6 +1327,14 @@ object SparkEntry {
       graft.operators.Joins.productTypeProfit(
         Tables.lineitem(s, dir), Tables.orders(s, dir),
         Tables.supplier(s, dir), Tables.nation(s, dir), Tables.part(s, dir))),
+    // extension: k-anonymity / l-diversity release audit — QI = (type,
+    // dow, props-k band), sensitive = cent value band
+    "q232_k_anonymity" -> ((s, dir) =>
+      operators.Pipeline.kAnonymityAudit(
+        Tables.events(tune(s), dir),
+        Seq("event_type", "dayofweek(ts)",
+          "CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10"),
+        "CAST(round(value * 100) AS BIGINT) DIV 1000")),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -4514,6 +4522,25 @@ JOIN nation ON s_nationkey = n_nationkey
 JOIN orders ON l_orderkey = o_orderkey
 WHERE p_name LIKE '%rod%'
 GROUP BY 1, 2 ORDER BY 1, 2""",
+    // k-anonymity: the QI day-of-week conventions differ by a constant
+    // shift across engines — irrelevant, the mapping stays injective and
+    // only GROUP SIZES reach the output
+    "q232_k_anonymity" ->
+      """WITH g AS (SELECT event_type, dayofweek(CAST(ts AS TIMESTAMP)) AS q1,
+    CAST(json_extract_string(props, '$.k') AS BIGINT) // 10 AS q2,
+    CAST(count(*) AS BIGINT) AS cnt,
+    CAST(count(DISTINCT CAST(round(value * 100) AS BIGINT) // 1000) AS BIGINT) AS n_sens
+  FROM events GROUP BY 1, 2, 3)
+SELECT CAST(5 AS INTEGER) AS k, CAST(sum(cnt) AS BIGINT) AS n_rows,
+  CAST(count(*) AS BIGINT) AS n_groups,
+  CAST(sum(CASE WHEN cnt < 5 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_groups,
+  CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS BIGINT) AS rows_at_risk,
+  round(CAST(sum(CASE WHEN cnt < 5 THEN cnt ELSE 0 END) AS DOUBLE)
+    / sum(cnt), 6) AS risk_frac,
+  CAST(sum(CASE WHEN n_sens = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_homogeneous_groups,
+  round(CAST(sum(CASE WHEN n_sens = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+    / count(*), 6) AS homogeneous_frac
+FROM g""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

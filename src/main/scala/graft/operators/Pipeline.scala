@@ -121,6 +121,42 @@ object Pipeline {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** k-anonymity / l-diversity release audit — the privacy gate run
+    * before publishing a dataset: group rows by their quasi-identifier
+    * combination (the columns an adversary can link externally) and
+    * report how much of the corpus sits in groups smaller than `k`
+    * (re-identification risk) and how many groups are HOMOGENEOUS in the
+    * sensitive attribute (attribute disclosure — k-anonymity alone
+    * doesn't prevent it, hence the l-diversity arm; Sweeney 2002,
+    * Machanavajjhala 2007).
+    *
+    * One partial-aggregated shuffle to the QI-group frame (the sensitive
+    * distinct count rides the same grouping as a distinct-agg), one tiny
+    * rollup to the summary row. Exact integers + two divisions. Output:
+    * 1 row (k, n_rows, n_groups, n_small_groups, rows_at_risk,
+    * risk_frac, n_homogeneous_groups, homogeneous_frac). */
+  def kAnonymityAudit(rows: DataFrame, quasiExprs: Seq[String],
+                      sensitiveExpr: String, k: Int = 5): DataFrame = {
+    require(quasiExprs.nonEmpty && k >= 2, s"need quasi-identifiers and k >= 2")
+    val groups = rows
+      .select(quasiExprs.zipWithIndex.map { case (e, i) => expr(e).as(s"q$i") }
+        :+ expr(sensitiveExpr).as("__s"): _*)
+      .groupBy(quasiExprs.indices.map(i => col(s"q$i")): _*)
+      .agg(count(lit(1)).as("cnt"), countDistinct(col("__s")).as("n_sens"))
+    groups.agg(
+        sum("cnt").as("n_rows"), count(lit(1)).as("n_groups"),
+        sum(when(col("cnt") < k, 1L).otherwise(0L)).as("n_small_groups"),
+        sum(when(col("cnt") < k, col("cnt")).otherwise(0L)).as("rows_at_risk"),
+        sum(when(col("n_sens") === 1, 1L).otherwise(0L))
+          .as("n_homogeneous_groups"))
+      .select(lit(k).as("k"), col("n_rows"), col("n_groups"),
+        col("n_small_groups"), col("rows_at_risk"),
+        expr("round(CAST(rows_at_risk AS DOUBLE) / n_rows, 6)").as("risk_frac"),
+        col("n_homogeneous_groups"),
+        expr("round(CAST(n_homogeneous_groups AS DOUBLE) / n_groups, 6)")
+          .as("homogeneous_frac"))
+  }
+
   def splitLeakage(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
     val splits = PlanCache.memo(
       Sampling.splitByHash(docs).select(col("doc_id"), col("split")))

@@ -125,4 +125,31 @@ class PipelineSpec extends AnyFunSuite {
     }.view.mapValues(_.length.toLong).toMap
     assert(got == expect)
   }
+
+  test("kAnonymityAudit: hand-checked group sizes, risk and homogeneity fractions") {
+    // QI = region: A has 3 rows (sensitive all 1 -> homogeneous),
+    // B has 1 row (small AND homogeneous), C has 2 rows (sensitive 1,2)
+    val df = Seq(
+      ("A", 1L), ("A", 1L), ("A", 1L), ("B", 2L), ("C", 1L), ("C", 2L))
+      .toDF("region", "sens")
+    val got = graft.operators.Pipeline.kAnonymityAudit(
+        df, Seq("region"), "sens", k = 2)
+      .as[(Int, Long, Long, Long, Long, Double, Long, Double)]
+      .collect().toSeq
+    assert(got == Seq((2, 6L, 3L, 1L, 1L, 0.166667, 2L, 0.666667)))
+    // fixture: audit runs over real events, fractions bounded, 1 row
+    val ev = Tables.events(spark, TestSpark.sf0001)
+    val fxr = graft.operators.Pipeline.kAnonymityAudit(ev,
+        Seq("event_type", "dayofweek(ts)"),
+        "CAST(round(value * 100) AS BIGINT) DIV 1000")
+      .as[(Int, Long, Long, Long, Long, Double, Long, Double)]
+      .collect().toSeq
+    assert(fxr.length == 1 && fxr.head._2 == ev.count())
+    assert(fxr.head._6 >= 0.0 && fxr.head._6 <= 1.0)
+    assert(graft.operators.Pipeline.kAnonymityAudit(ev.repartition(7),
+        Seq("event_type", "dayofweek(ts)"),
+        "CAST(round(value * 100) AS BIGINT) DIV 1000")
+      .as[(Int, Long, Long, Long, Long, Double, Long, Double)]
+      .collect().toSeq == fxr)
+  }
 }
