@@ -1335,6 +1335,12 @@ object SparkEntry {
         Seq("event_type", "dayofweek(ts)",
           "CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10"),
         "CAST(round(value * 100) AS BIGINT) DIV 1000")),
+    // extension: compaction bin-packing planner — per-source doc bytes
+    // stand in for the file inventory; 64 KiB target bins
+    "q233_compaction_plan" -> ((s, dir) =>
+      operators.Layout.compactionPlan(
+        docs(s, dir).selectExpr("source", "doc_id", "n_chars"),
+        "source", "doc_id", "n_chars", 65536L)),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -4541,6 +4547,20 @@ SELECT CAST(5 AS INTEGER) AS k, CAST(sum(cnt) AS BIGINT) AS n_rows,
   round(CAST(sum(CASE WHEN n_sens = 1 THEN 1 ELSE 0 END) AS DOUBLE)
     / count(*), 6) AS homogeneous_frac
 FROM g""",
+    // Compaction plan: same FFD sort, same start-of-prefix bin rule
+    "q233_compaction_plan" ->
+      """WITH f AS (SELECT source AS part, doc_id AS id,
+    CAST(n_chars AS BIGINT) AS bytes,
+    CAST(sum(n_chars) OVER (PARTITION BY source
+      ORDER BY n_chars DESC, doc_id ASC
+      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+  FROM documents),
+  b AS (SELECT part, CAST((cum - bytes) // 65536 AS INTEGER) AS bin,
+      bytes FROM f)
+SELECT part, bin, CAST(count(*) AS BIGINT) AS n_files,
+  CAST(sum(bytes) AS BIGINT) AS bytes,
+  round(CAST(sum(bytes) AS DOUBLE) / 65536, 6) AS fill_frac
+FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

@@ -104,4 +104,40 @@ object Layout {
         min(a).as(s"min_$a"), max(a).as(s"max_$a"),
         min(b).as(s"min_$b"), max(b).as(s"max_$b"))
   }
+
+  /** Compaction (small-file bin-packing) planner — the OPTIMIZE step of
+    * a table-maintenance loop: given a file inventory (partition, file,
+    * bytes), assign files to target-size compaction bins and report each
+    * bin's fill. At 100 TB the small-file problem IS the read-amplification
+    * problem; planning which files merge into which output is a pure
+    * metadata computation and must not touch data bytes.
+    *
+    * Packing rule: within each partition, files order by (bytes desc,
+    * id asc) — first-fit-decreasing's sort — and a file joins the bin
+    * where its prefix-sum STARTS (bin = (cumsum − bytes) DIV target), a
+    * next-fit-with-overflow that a single window expresses exactly; fills
+    * may exceed the target by at most one file, the standard tolerance.
+    * Deterministic integers end-to-end.
+    *
+    * Shape at scale: the inventory is metadata (one row per FILE, not per
+    * data row); the window partitions by table-partition, so no global
+    * sort; output is one row per planned bin. */
+  def compactionPlan(files: DataFrame, partCol: String, idCol: String,
+                     bytesCol: String, targetBytes: Long): DataFrame = {
+    require(targetBytes >= 1, s"bad target: $targetBytes")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("part").orderBy(desc("bytes"), asc("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    files
+      .select(col(partCol).as("part"), col(idCol).as("id"),
+        col(bytesCol).cast("long").as("bytes"))
+      .withColumn("cum", sum("bytes").over(w))
+      .withColumn("bin", expr(s"CAST((cum - bytes) DIV $targetBytes AS INT)"))
+      .groupBy("part", "bin")
+      .agg(count(lit(1)).as("n_files"), sum("bytes").as("bytes"))
+      .withColumn("fill_frac", expr(
+        s"round(CAST(bytes AS DOUBLE) / $targetBytes, 6)"))
+      .orderBy("part", "bin")
+  }
 }

@@ -91,4 +91,30 @@ class LayoutSpec extends AnyFunSuite {
     assert(touched < zones.length / 2,
       s"box touched $touched of ${zones.length} buckets — no skipping win")
   }
+
+  test("compactionPlan: FFD order, start-of-prefix bin rule, one-file overflow tolerance") {
+    import spark.implicits._
+    // target 60: FFD order 50,40,30,20; prefix starts 0,50,90,120 -> bins
+    // 0,0,1,2 — bin 0 overflows to 90 bytes (the one-file tolerance)
+    val files = Seq(("s", 1L, 20L), ("s", 2L, 50L), ("s", 3L, 30L),
+      ("s", 4L, 40L), ("t", 5L, 10L))
+      .toDF("src", "fid", "bytes")
+    val got = graft.operators.Layout.compactionPlan(files, "src", "fid",
+        "bytes", 60L)
+      .as[(String, Int, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("s", 0, 2L, 90L, 1.5), ("s", 1, 1L, 30L, 0.5),
+      ("s", 2, 1L, 20L, 0.333333), ("t", 0, 1L, 10L, 0.166667)))
+    // fixture: bins partition the inventory, every fill positive,
+    // partition-invariant
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+      .selectExpr("source", "doc_id", "n_chars")
+    val fxr = graft.operators.Layout.compactionPlan(docs, "source",
+        "doc_id", "n_chars", 65536L)
+      .as[(String, Int, Long, Long, Double)].collect().toSeq
+    assert(fxr.map(_._3).sum == docs.count())
+    assert(fxr.forall(_._5 > 0.0))
+    assert(graft.operators.Layout.compactionPlan(docs.repartition(7),
+        "source", "doc_id", "n_chars", 65536L)
+      .as[(String, Int, Long, Long, Double)].collect().toSeq == fxr)
+  }
 }
