@@ -1341,6 +1341,10 @@ object SparkEntry {
       operators.Layout.compactionPlan(
         docs(s, dir).selectExpr("source", "doc_id", "n_chars"),
         "source", "doc_id", "n_chars", 65536L)),
+    // extension: dedup-recall audit — precision/recall of banded MinHash
+    // candidates vs the exhaustive shingle-join pair set at tau=0.5
+    "q234_dedup_recall" -> ((s, dir) =>
+      Dedup.dedupRecallAudit(docs(s, dir), 0.5)),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -4561,6 +4565,36 @@ SELECT part, bin, CAST(count(*) AS BIGINT) AS n_files,
   CAST(sum(bytes) AS BIGINT) AS bytes,
   round(CAST(sum(bytes) AS DOUBLE) / 65536, 6) AS fill_frac
 FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
+    // Dedup recall: both arms are the q22/q26 oracle constructions
+    // verbatim (df-capped exact candidates; banded LSH candidates; the
+    // shared jac verification), counts over their thresholded pair sets
+    "q234_dedup_recall" ->
+      s"""$dkJaccard,
+  keep AS (SELECT shingle FROM shu GROUP BY shingle HAVING count(*) <= 1000),
+  ecand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM shu a JOIN shu b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    WHERE a.shingle IN (SELECT shingle FROM keep)),
+  e AS (SELECT j.doc_a, j.doc_b FROM jac j
+    JOIN ecand USING (doc_a, doc_b) WHERE j.jaccard >= 0.5),
+  $dkSig,
+  bands AS (${(0 until 4).map(b =>
+        s"SELECT doc_id, $b AS band_idx, ${dkBandKey(b)} AS band_key FROM sig")
+        .mkString("\n    UNION ALL ")}),
+  lcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y ON x.band_idx = y.band_idx
+      AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+  l AS (SELECT j.doc_a, j.doc_b FROM jac j
+    JOIN lcand USING (doc_a, doc_b) WHERE j.jaccard >= 0.5),
+  ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM e),
+  nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM l),
+  nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+    FROM e JOIN l USING (doc_a, doc_b))
+SELECT n_exact, n_lsh, n_common,
+  round(CASE WHEN n_exact = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE CAST(n_common AS DOUBLE) / n_exact END, 6) AS recall,
+  round(CASE WHEN n_lsh = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE CAST(n_common AS DOUBLE) / n_lsh END, 6) AS "precision"
+FROM ne CROSS JOIN nl CROSS JOIN nc""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

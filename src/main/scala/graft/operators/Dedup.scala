@@ -234,6 +234,34 @@ object Dedup {
         sha2(concat((0 until 4).map(j => col(s"m${4 * b + j}")): _*), 256).as(s"band$b")): _*)
 
   /** One row per (doc, band): the LSH bucket table. */
+  /** Dedup-recall audit — the near-dup sibling of `Similarity.annRecall`:
+    * precision/recall of the MinHash-banded candidate path against the
+    * exhaustive shingle-join pair set at the same Jaccard threshold. The
+    * number a pipeline operator actually needs before trusting banded
+    * dedup at scale: banding trades recall for never enumerating
+    * corpus² — this measures what that trade costs ON THIS CORPUS (the
+    * band/row operating point tunes against it). Both arms are the
+    * production operators themselves; the overlap is one pair-keyed semi
+    * join of two already-thresholded pair sets, and the three 1-row
+    * counts broadcast into a single summary row. Exact at test scale;
+    * at 100 TB the exhaustive arm runs on a SAMPLE (the q29/q30/q34
+    * convention for exact audit arms). */
+  def dedupRecallAudit(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val exact = jaccardPairs(docs, threshold).select("doc_a", "doc_b")
+    val lsh = minhashPairs(docs, threshold).select("doc_a", "doc_b")
+    val ne = exact.agg(count(lit(1)).as("n_exact"))
+    val nl = lsh.agg(count(lit(1)).as("n_lsh"))
+    val nc = exact.join(lsh.hint("SHUFFLE_HASH"), Seq("doc_a", "doc_b"),
+        "left_semi")
+      .agg(count(lit(1)).as("n_common"))
+    ne.join(broadcast(nl)).join(broadcast(nc))
+      .select(col("n_exact"), col("n_lsh"), col("n_common"),
+        expr("""round(CASE WHEN n_exact = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE CAST(n_common AS DOUBLE) / n_exact END, 6)""").as("recall"),
+        expr("""round(CASE WHEN n_lsh = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE CAST(n_common AS DOUBLE) / n_lsh END, 6)""").as("precision"))
+  }
+
   def minhashBuckets(docs: DataFrame): DataFrame =
     minhashBands(docs).select(col("doc_id"), posexplode(
       array((0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_key")))

@@ -422,4 +422,24 @@ class DedupSpec extends AnyFunSuite {
     assert(got == expect)
     assert(got.nonEmpty && got.values.forall(_._3 >= 2)) // clusters are real
   }
+
+  test("dedupRecallAudit: overlap bounded by both arms; independent recompute; partition-invariant") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = Dedup.dedupRecallAudit(docs, 0.5)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(got.length == 1)
+    val (ne, nl, nc, rec, prec) = got.head
+    assert(nc <= math.min(ne, nl) && ne > 0 && nl > 0)
+    assert(rec.exists(r => r >= 0.0 && r <= 1.0))
+    assert(prec.exists(p => p >= 0.0 && p <= 1.0))
+    // independent recompute of the overlap from the two pair operators
+    val e = Dedup.jaccardPairs(docs, 0.5).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    val l = Dedup.minhashPairs(docs, 0.5).select("doc_a", "doc_b")
+      .as[(Long, Long)].collect().toSet
+    assert((ne, nl, nc) == ((e.size.toLong, l.size.toLong, (e & l).size.toLong)))
+    assert(Dedup.dedupRecallAudit(docs.repartition(7), 0.5)
+      .as[(Long, Long, Long, Option[Double], Option[Double])]
+      .collect().toSeq == got)
+  }
 }
