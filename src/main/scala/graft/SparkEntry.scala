@@ -1345,6 +1345,10 @@ object SparkEntry {
     // candidates vs the exhaustive shingle-join pair set at tau=0.5
     "q234_dedup_recall" -> ((s, dir) =>
       Dedup.dedupRecallAudit(docs(s, dir), 0.5)),
+    // extension: kNN confusion matrix — leave-one-out majority vote over
+    // the q182 fixed-point neighbourhoods, per-class cells + row fracs
+    "q235_knn_confusion" -> ((s, dir) =>
+      Similarity.knnConfusion(emb(s, dir).select("vec_id", "embedding", "label"))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -4595,6 +4599,32 @@ SELECT n_exact, n_lsh, n_common,
   round(CASE WHEN n_lsh = 0 THEN CAST(NULL AS DOUBLE)
     ELSE CAST(n_common AS DOUBLE) / n_lsh END, 6) AS "precision"
 FROM ne CROSS JOIN nl CROSS JOIN nc""",
+    // kNN confusion: same fixed-point neighbourhoods as q182, majority
+    // vote tie-broken (votes desc, label asc), row-normalized cells
+    "q235_knn_confusion" -> {
+      val dot = (x: String, y: String) =>
+        s"list_sum(list_transform(range(1, 65), i -> CAST($x.embedding[i] AS DOUBLE)*CAST($y.embedding[i] AS DOUBLE)))"
+      s"""WITH v AS (SELECT vec_id, embedding, label FROM embeddings),
+  s AS (SELECT q.vec_id AS qid, q.label AS qlab, i.vec_id AS vid, i.label AS lab,
+      ${dot("q", "i")} AS dot, ${dot("q", "q")} AS na, ${dot("i", "i")} AS nb
+    FROM v q CROSS JOIN v i WHERE i.vec_id <> q.vec_id),
+  sc AS (SELECT qid, qlab, vid, lab,
+      CAST(floor((CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END) * 1073741824.0 + 0.5) AS BIGINT) AS fx FROM s),
+  tk AS (SELECT * FROM (SELECT qid, qlab, lab,
+      row_number() OVER (PARTITION BY qid ORDER BY fx DESC, vid ASC) AS rn FROM sc) WHERE rn <= 4),
+  votes AS (SELECT qid, qlab, lab, CAST(count(*) AS BIGINT) AS votes
+    FROM tk GROUP BY 1, 2, 3),
+  pred AS (SELECT * FROM (SELECT qid, qlab, lab,
+      row_number() OVER (PARTITION BY qid ORDER BY votes DESC, lab ASC) AS pr
+    FROM votes) WHERE pr = 1),
+  cells AS (SELECT qlab AS actual, lab AS predicted,
+      CAST(count(*) AS BIGINT) AS n FROM pred GROUP BY 1, 2),
+  rt AS (SELECT actual, CAST(sum(n) AS BIGINT) AS row_n FROM cells GROUP BY 1)
+SELECT c.actual, c.predicted, c.n,
+  round(CAST(c.n AS DOUBLE) / rt.row_n, 6) AS row_frac
+FROM cells c JOIN rt ON c.actual = rt.actual
+ORDER BY 1, 2"""
+    },
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

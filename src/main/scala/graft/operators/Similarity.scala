@@ -175,6 +175,47 @@ object Similarity {
         (col("n_disagree") * 2 > k).as("suspect"))
   }
 
+  /** kNN-classifier confusion matrix — the standard eval artifact over an
+    * embedding space: each vector's predicted label is the MAJORITY among
+    * its k nearest neighbours (leave-one-out, self excluded) and the
+    * output is the (actual, predicted) cell counts with row-normalized
+    * fractions. [[knnLabelNoise]] scores per-VECTOR disagreement for
+    * re-annotation routing; this aggregates the same neighbourhoods into
+    * the per-CLASS error structure (which classes leak into which).
+    *
+    * Determinism: the same 2^30 fixed-point cosine ranks as the noise
+    * audit; majority ties break (count desc, label asc) through a second
+    * GroupedTopK — never a window over the corpus. Output ordered
+    * (actual, predicted). */
+  def knnConfusion(vecs: DataFrame, k: Int = 4): DataFrame = {
+    require(k >= 1 && k <= 64, s"k must be in [1, 64]: $k")
+    val items = vecs.select(col("vec_id"), col("embedding"), col("label"))
+    val queries = vecs.select(col("vec_id").as("query_id"),
+      col("embedding").as("query_embedding"), col("label").as("query_label"))
+    val scored = cosineScores(items, queries)
+      .filter(col("vec_id") =!= col("query_id"))
+      .withColumn("fx", expr("CAST(floor(score * 1073741824.0 + 0.5) AS BIGINT)"))
+      .select(col("query_id"), col("query_label"), col("vec_id"),
+        col("label"), col("fx"))
+    val votes = graft.plans.GroupedTopK(scored,
+        Seq(col("query_id")), Seq(desc("fx"), asc("vec_id")), k)
+      .groupBy("query_id", "query_label", "label")
+      .agg(count(lit(1)).as("votes"))
+    val predicted = graft.plans.GroupedTopK(
+        votes.select(col("query_id"), col("query_label"), col("label"),
+          col("votes")),
+        Seq(col("query_id")), Seq(desc("votes"), asc("label")), 1)
+    val cells = predicted
+      .groupBy(col("query_label").as("actual"), col("label").as("predicted"))
+      .agg(count(lit(1)).as("n"))
+    val rowTotals = cells.groupBy(col("actual").as("a2"))
+      .agg(sum("n").as("row_n"))
+    cells.join(broadcast(rowTotals), col("actual") === col("a2"))
+      .select(col("actual"), col("predicted"), col("n"),
+        expr("round(CAST(n AS DOUBLE) / row_n, 6)").as("row_frac"))
+      .orderBy("actual", "predicted")
+  }
+
   /** Embedding drift monitor: per label, the cosine between the centroids
     * of two deterministic halves of the corpus (`splitExpr`, default
     * vec_id parity) — the "did my embedding distribution move" check an

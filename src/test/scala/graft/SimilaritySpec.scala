@@ -825,6 +825,36 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Int, Long, Double)].collect().toSeq == fxr)
   }
 
+  test("knnConfusion: clean clusters sit on the diagonal; planted mislabel routes off it") {
+    // two 3-member clusters on opposite axes (3 members so leave-one-out
+    // still finds a same-label MAJORITY at k=2); vec 6 carries cluster-0
+    // geometry but label 1 -> its row predicts 0 (off-diagonal)
+    val df = Seq(
+      (0L, Array(1f, 0f), 0), (1L, Array(0.9f, 0.1f), 0),
+      (2L, Array(0.95f, 0.05f), 0),
+      (3L, Array(0f, 1f), 1), (4L, Array(0.1f, 0.9f), 1),
+      (5L, Array(0.05f, 0.95f), 1),
+      (6L, Array(0.97f, 0.02f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnConfusion(df, k = 2)
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    // actual 0: the planted vec 6 enters x-cluster top-2 lists, forcing
+    // 1-1 vote ties that break (votes desc, label asc) -> still 0.
+    // actual 1: vecs 3,4,5 vote pure label 1; vec 6 predicts 0
+    assert(got == Seq((0, 0, 3L, 1.0), (1, 0, 1L, 0.25), (1, 1, 3L, 0.75)))
+    // fixture: rows partition the corpus, fracs sum to 1 per actual,
+    // partition-invariant
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label")
+    val fxr = Similarity.knnConfusion(emb)
+      .as[(Int, Int, Long, Double)].collect().toSeq
+    assert(fxr.map(_._3).sum == emb.count())
+    fxr.groupBy(_._1).values.foreach(rs =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4))
+    assert(Similarity.knnConfusion(emb.repartition(7))
+      .as[(Int, Int, Long, Double)].collect().toSeq == fxr)
+  }
+
   test("calibrationTable: hand-checked bins; fixture bins partition the corpus") {
     // scores: (1,0)->+1 (bin 9), (-1,0)->-1 (bin 0), (0,1)->0 (bin 5)
     val df = Seq(
