@@ -1349,6 +1349,13 @@ object SparkEntry {
     // the q182 fixed-point neighbourhoods, per-class cells + row fracs
     "q235_knn_confusion" -> ((s, dir) =>
       Similarity.knnConfusion(emb(s, dir).select("vec_id", "embedding", "label"))),
+    // extension: duplicated-block coverage per source — the "what would
+    // dedup save" statistic from blockDedup's own per-doc output
+    "q236_dup_coverage" -> ((s, dir) => Dedup.duplicateCoverage(docs(s, dir))),
+    // extension: PSI drift per type across the calendar split — banded
+    // Laplace-smoothed terms re-fixed at 2^20 before the sum
+    "q237_psi_drift" -> ((s, dir) =>
+      graft.operators.EventAnalytics.psiDrift(Tables.events(tune(s), dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -4625,6 +4632,52 @@ SELECT c.actual, c.predicted, c.n,
 FROM cells c JOIN rt ON c.actual = rt.actual
 ORDER BY 1, 2"""
     },
+    // Dup coverage: the q185 block construction verbatim, rolled up to
+    // sources through the doc join
+    "q236_dup_coverage" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+  nb AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 16.0) AS BIGINT) AS nblk FROM tok WHERE len(toks) > 0),
+  blkt AS (SELECT doc_id, i AS idx,
+      array_to_string(list_slice(toks, CAST(i * 16 + 1 AS BIGINT), CAST(i * 16 + 16 AS BIGINT)), ' ') AS blk
+    FROM (SELECT doc_id, toks, unnest(range(0, nblk)) AS i FROM nb)),
+  f1 AS (SELECT blk, min(doc_id) AS fdoc FROM blkt GROUP BY 1),
+  f2 AS (SELECT b.blk, b.fdoc, min(t.idx) AS fidx
+    FROM f1 b JOIN blkt t ON t.blk = b.blk AND t.doc_id = b.fdoc GROUP BY 1, 2),
+  k AS (SELECT t.doc_id,
+      (f.fdoc = t.doc_id AND f.fidx = t.idx) AS kept
+    FROM blkt t JOIN f2 f ON f.blk = t.blk),
+  per AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+      CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM k GROUP BY 1)
+SELECT d.source, CAST(count(*) AS BIGINT) AS n_docs,
+  CAST(sum(p.n_blocks) AS BIGINT) AS n_blocks,
+  CAST(sum(p.n_blocks - p.n_kept) AS BIGINT) AS n_dup_blocks,
+  round(CAST(sum(p.n_blocks - p.n_kept) AS DOUBLE) / sum(p.n_blocks), 6) AS dup_frac
+FROM per p JOIN documents d ON p.doc_id = d.doc_id
+GROUP BY 1 ORDER BY 1""",
+    // PSI: same bands, same Laplace-smoothed rationals over the observed
+    // band union, same 2^20 re-fixed terms
+    "q237_psi_drift" ->
+      """WITH b AS (SELECT event_type,
+    CAST(round(value * 100) AS BIGINT) // 500 AS band,
+    CASE WHEN CAST(ts AS TIMESTAMP) < TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END AS h1
+  FROM events),
+  c AS (SELECT event_type, band, CAST(sum(h1) AS BIGINT) AS c1,
+      CAST(sum(1 - h1) AS BIGINT) AS c2 FROM b GROUP BY 1, 2),
+  t AS (SELECT event_type, CAST(sum(c1) AS BIGINT) AS n1,
+      CAST(sum(c2) AS BIGINT) AS n2, CAST(count(*) AS BIGINT) AS n_bands
+    FROM c GROUP BY 1),
+  f AS (SELECT c.event_type, t.n1, t.n2, t.n_bands,
+      CAST(floor(
+        (CAST(c.c1 + 1 AS DOUBLE) / (t.n1 + t.n_bands)
+         - CAST(c.c2 + 1 AS DOUBLE) / (t.n2 + t.n_bands))
+        * ln(CAST(c.c1 + 1 AS DOUBLE) * (t.n2 + t.n_bands)
+             / (CAST(c.c2 + 1 AS DOUBLE) * (t.n1 + t.n_bands)))
+        * 1048576.0 + 0.5) AS BIGINT) AS term_fx
+    FROM c JOIN t ON c.event_type = t.event_type)
+SELECT event_type, n1, n2, n_bands,
+  round(CAST(sum(term_fx) AS DOUBLE) / 1048576.0, 6) AS psi
+FROM f GROUP BY 1, 2, 3, 4 ORDER BY 1""",
     // Burstiness: exact cf/df integer counts, one division, ranked cut
     "q184_burstiness" ->
       """WITH occ AS (SELECT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS token FROM documents),

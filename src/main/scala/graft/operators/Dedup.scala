@@ -262,6 +262,27 @@ object Dedup {
           ELSE CAST(n_common AS DOUBLE) / n_lsh END, 6)""").as("precision"))
   }
 
+  /** Duplicated-block coverage per source — the "what would block dedup
+    * save" statistic that justifies (or kills) a dedup pass before anyone
+    * runs one: the fraction of each source's 16-token blocks that are
+    * corpus-level duplicates (i.e. would be dropped by [[blockDedup]]).
+    * Derived entirely from the dedup operator's own per-doc output plus
+    * one doc-keyed join back to the source column and a per-source
+    * rollup — exact integers, one division. Output: (source, n_docs,
+    * n_blocks, n_dup_blocks, dup_frac) ordered by source. */
+  def duplicateCoverage(docs: DataFrame, blockTokens: Int = 16): DataFrame = {
+    val per = blockDedup(docs, blockTokens)
+      .select("doc_id", "n_blocks", "n_kept")
+    per.join(docs.select("doc_id", "source").hint("SHUFFLE_HASH"),
+        Seq("doc_id"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("n_blocks").as("n_blocks"),
+        sum(expr("n_blocks - n_kept")).as("n_dup_blocks"))
+      .withColumn("dup_frac", expr(
+        "round(CAST(n_dup_blocks AS DOUBLE) / n_blocks, 6)"))
+      .orderBy("source")
+  }
+
   def minhashBuckets(docs: DataFrame): DataFrame =
     minhashBands(docs).select(col("doc_id"), posexplode(
       array((0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_key")))

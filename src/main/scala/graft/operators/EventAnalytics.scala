@@ -602,6 +602,51 @@ object EventAnalytics {
       .select("event_type", "n1", "n2", "ks_num", "ks")
   }
 
+  /** PSI (population stability index) drift per event type across a
+    * calendar split — the production-ML drift metric that complements
+    * [[ksDrift]]: KS reports the worst single ECDF gap, PSI integrates
+    * distribution movement over BANDS (Σ (p₁−p₂)·ln(p₁/p₂)), the number
+    * monitoring dashboards alert on (>0.1 drifting, >0.25 action).
+    *
+    * Determinism recipe: values band at `bandCents` granularity; band
+    * counts are exact integers; probabilities are Laplace-smoothed
+    * rationals over the OBSERVED band union ((c+1)/(n+B) — zero-band
+    * terms stay finite with no epsilon magic number); each band's term is
+    * one double expression over exact integers re-fixed at 2^20 BEFORE
+    * the sum (the fixed-before-sum rule), so the PSI is
+    * partition-order-invariant and engine-portable.
+    *
+    * One partial-aggregated shuffle to the (type, band) frame, a
+    * per-type totals broadcast back, a tiny rollup. Output: (event_type,
+    * n1, n2, n_bands, psi) ordered by type. */
+  def psiDrift(events: DataFrame, splitDate: String = "2024-01-16",
+               bandCents: Long = 500L): DataFrame = {
+    require(bandCents >= 1, s"bad band width: $bandCents")
+    val bands = events
+      .select(col("event_type"),
+        expr(s"CAST(round(value * 100) AS BIGINT) DIV $bandCents").as("band"),
+        when(col("ts") < lit(splitDate).cast("timestamp"), 1L).otherwise(0L)
+          .as("h1"))
+      .groupBy("event_type", "band")
+      .agg(sum("h1").as("c1"), sum(expr("1 - h1")).as("c2"))
+    val totals = bands.groupBy("event_type")
+      .agg(sum("c1").as("n1"), sum("c2").as("n2"),
+        count(lit(1)).as("n_bands"))
+    bands.join(broadcast(totals), Seq("event_type"))
+      .withColumn("term_fx", expr(
+        """CAST(floor(
+             (CAST(c1 + 1 AS DOUBLE) / (n1 + n_bands)
+              - CAST(c2 + 1 AS DOUBLE) / (n2 + n_bands))
+             * ln(CAST(c1 + 1 AS DOUBLE) * (n2 + n_bands)
+                  / (CAST(c2 + 1 AS DOUBLE) * (n1 + n_bands)))
+             * 1048576.0 + 0.5) AS BIGINT)"""))
+      .groupBy("event_type", "n1", "n2", "n_bands")
+      .agg(sum("term_fx").as("psi_fx"))
+      .select(col("event_type"), col("n1"), col("n2"), col("n_bands"),
+        expr("round(CAST(psi_fx AS DOUBLE) / 1048576.0, 6)").as("psi"))
+      .orderBy("event_type")
+  }
+
   /** Per-group z-score outliers: events whose value sits more than
     * `threshold` population standard deviations from their event_type's
     * mean. Moments are exact integer sums of 2^10-fixed-point values (value

@@ -423,6 +423,31 @@ class DedupSpec extends AnyFunSuite {
     assert(got.nonEmpty && got.values.forall(_._3 >= 2)) // clusters are real
   }
 
+  test("duplicateCoverage: a verbatim copy's blocks are all duplicates; fixture rollup consistent") {
+    // src b's doc 11 copies doc 10 (src a) verbatim -> all of 11's blocks
+    // are corpus duplicates; 12 is unique
+    val text = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val df = Seq(
+      (10L, text, "a"), (11L, text, "b"),
+      (12L, (1 to 40).map(i => s"other$i").mkString(" "), "b"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.duplicateCoverage(df)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    // 40 tokens -> 3 blocks/doc (16+16+8)
+    assert(got == Seq(("a", 1L, 3L, 0L, 0.0), ("b", 2L, 6L, 3L, 0.5)))
+    // fixture: rollup matches an independent recompute from blockDedup
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val fxr = Dedup.duplicateCoverage(docs)
+      .as[(String, Long, Long, Long, Double)].collect().toSeq
+    val srcOf = docs.select("doc_id", "source").as[(Long, String)].collect().toMap
+    val per = Dedup.blockDedup(docs).select("doc_id", "n_blocks", "n_kept")
+      .as[(Long, Long, Long)].collect()
+    val want = per.groupBy(r => srcOf(r._1)).view.mapValues { rs =>
+      (rs.length.toLong, rs.map(_._2).sum, rs.map(r => r._2 - r._3).sum)
+    }.toSeq.map { case (s, (d, b, du)) => (s, d, b, du) }.sortBy(_._1)
+    assert(fxr.map(r => (r._1, r._2, r._3, r._4)) == want && fxr.nonEmpty)
+  }
+
   test("dedupRecallAudit: overlap bounded by both arms; independent recompute; partition-invariant") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val got = Dedup.dedupRecallAudit(docs, 0.5)

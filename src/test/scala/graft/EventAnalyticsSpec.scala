@@ -76,6 +76,26 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (1L, 0L, 50L, 1L, 50L, 1L, 50.0)))
   }
 
+  test("psiDrift: identical halves score exactly zero; a shifted half scores positive") {
+    // split at 2024-01-16 = minute 15*1440 in the ts() fixture
+    val cut = 15 * 1440
+    // stable type: same value profile both halves -> every band term is
+    // ln(1) = 0 exactly (c1 = c2, n1 = n2)
+    val stable = Seq.tabulate(8)(i =>
+      (i + 1L, if (i < 4) i * 10 else cut + (i - 4) * 10, 1L, "view", (i % 4) * 10.0))
+    // drifted type: second half jumps an order of magnitude
+    val drifted = Seq.tabulate(8)(i =>
+      (100 + i.toLong, if (i < 4) i * 10 else cut + (i - 4) * 10, 2L, "click",
+        if (i < 4) 1.0 else 100.0))
+    val e = ev(stable ++ drifted: _*)
+    val got = EventAnalytics.psiDrift(e)
+      .as[(String, Long, Long, Long, Double)].collect()
+      .map { case (t, n1, n2, nb, psi) => t -> ((n1, n2, nb, psi)) }.toMap
+    assert(got("view") == ((4L, 4L, 4L, 0.0)))
+    val (cn1, cn2, cnb, cpsi) = got("click")
+    assert((cn1, cn2, cnb) == ((4L, 4L, 2L)) && cpsi > 0.5)
+  }
+
   test("welchTTest: hand-computed t and Satterthwaite df from exact moments") {
     // purchase cents [100, 200, 300]: mean 200, var 10000
     // click cents [100, 100]: mean 100, var 0
