@@ -620,15 +620,24 @@ object EventAnalytics {
     * per-type totals broadcast back, a tiny rollup. Output: (event_type,
     * n1, n2, n_bands, psi) ordered by type. */
   def psiDrift(events: DataFrame, splitDate: String = "2024-01-16",
-               bandCents: Long = 500L): DataFrame = {
+               bandCents: Long = 500L): DataFrame =
+    psiFromValueCounts(ksValueCounts(events, splitDate), bandCents)
+
+  /** PSI fold over a (event_type, v, c1, c2) per-VALUE count frame — the
+    * same maintained state [[ksDriftFromCounts]] folds (the band is a
+    * pure function of the stored value), so ONE incrementally-maintained
+    * table answers BOTH drift statistics: KS from the value-ordered
+    * prefix sums, PSI from the band regrouping. This is the point of
+    * keeping drift state at value granularity rather than pre-banded. */
+  def psiFromValueCounts(byValue: DataFrame,
+                         bandCents: Long = 500L): DataFrame = {
     require(bandCents >= 1, s"bad band width: $bandCents")
-    val bands = events
+    val bands = byValue
       .select(col("event_type"),
-        expr(s"CAST(round(value * 100) AS BIGINT) DIV $bandCents").as("band"),
-        when(col("ts") < lit(splitDate).cast("timestamp"), 1L).otherwise(0L)
-          .as("h1"))
+        expr(s"CAST(round(v * 100) AS BIGINT) DIV $bandCents").as("band"),
+        col("c1"), col("c2"))
       .groupBy("event_type", "band")
-      .agg(sum("h1").as("c1"), sum(expr("1 - h1")).as("c2"))
+      .agg(sum("c1").as("c1"), sum("c2").as("c2"))
     val totals = bands.groupBy("event_type")
       .agg(sum("c1").as("n1"), sum("c2").as("n2"),
         count(lit(1)).as("n_bands"))

@@ -678,6 +678,15 @@ object Streams {
   def ksDriftAt(spark: SparkSession, countsPath: String): DataFrame =
     graft.operators.EventAnalytics.ksDriftFromCounts(ksCountsAt(spark, countsPath))
 
+  /** The PSI drift statistic from the SAME maintained state — the band
+    * is a pure function of the stored value, so the one value-granular
+    * count table `streamingKsCounts` maintains answers both drift
+    * statistics (the reason the state is not pre-banded). */
+  def psiDriftAt(spark: SparkSession, countsPath: String,
+                 bandCents: Long = 500L): DataFrame =
+    graft.operators.EventAnalytics.psiFromValueCounts(
+      ksCountsAt(spark, countsPath), bandCents)
+
   /** Streaming temperature-mixture maintenance — `Sampling
     * .temperatureMixture`'s incremental form (the mixture a continuously-
     * ingesting multilingual pipeline re-balances on): per-language

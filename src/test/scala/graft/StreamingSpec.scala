@@ -719,10 +719,18 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streams.ksDriftAt(spark, ksPath)
       .as[(String, Long, Long, Long, Double)].collect().toSet == batchKs)
     assert(batchKs.nonEmpty)
+    // the SAME maintained state answers PSI (band = f(stored value))
+    val batchPsi = graft.operators.EventAnalytics.psiDrift(ev)
+      .as[(String, Long, Long, Long, Double)].collect().toSet
+    assert(Streams.psiDriftAt(spark, ksPath)
+      .as[(String, Long, Long, Long, Double)].collect().toSet == batchPsi)
+    assert(batchPsi.nonEmpty)
     Streams.compactKsCountsAt(spark, ksPath)
     assert(spark.read.parquet(ksPath).select("epoch").distinct().count() == 1)
     assert(Streams.ksDriftAt(spark, ksPath)
       .as[(String, Long, Long, Long, Double)].collect().toSet == batchKs)
+    assert(Streams.psiDriftAt(spark, ksPath)
+      .as[(String, Long, Long, Long, Double)].collect().toSet == batchPsi)
     ev.unpersist()
   }
 
