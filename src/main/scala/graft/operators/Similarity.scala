@@ -186,12 +186,22 @@ object Similarity {
     * Determinism: the same 2^30 fixed-point cosine ranks as the noise
     * audit; majority ties break (count desc, label asc) through a second
     * GroupedTopK — never a window over the corpus. Output ordered
-    * (actual, predicted). */
-  def knnConfusion(vecs: DataFrame, k: Int = 4): DataFrame = {
+    * (actual, predicted).
+    *
+    * Scale: leave-one-out over the FULL collection is |V|×|V| scoring by
+    * definition (the rehearsal shows the expected quadratic growth) —
+    * at corpus scale set `sampleMod` > 1 to estimate the matrix from the
+    * hash-sample of query rows (the hubness convention; cells are
+    * relative-frequency estimates, row_frac unbiased). */
+  def knnConfusion(vecs: DataFrame, k: Int = 4,
+                   sampleMod: Int = 1): DataFrame = {
     require(k >= 1 && k <= 64, s"k must be in [1, 64]: $k")
+    require(sampleMod >= 1, s"bad sampleMod: $sampleMod")
     val items = vecs.select(col("vec_id"), col("embedding"), col("label"))
-    val queries = vecs.select(col("vec_id").as("query_id"),
-      col("embedding").as("query_embedding"), col("label").as("query_label"))
+    val queries = vecs
+      .filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_embedding"), col("label").as("query_label"))
     val scored = cosineScores(items, queries)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("fx", expr("CAST(floor(score * 1073741824.0 + 0.5) AS BIGINT)"))

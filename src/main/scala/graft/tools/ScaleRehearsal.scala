@@ -15,6 +15,12 @@ import graft.operators.{Dedup, Similarity}
 object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 8
+    // optional 2nd arg: comma-separated family filter (docs, events,
+    // graph, search, r9, r10, tpch, r10b) — run ONLY those families so a
+    // new-family rehearsal doesn't pay the full ~25-minute sweep
+    val fams: Set[String] = if (args.length > 1)
+      args(1).split(',').map(_.trim).filter(_.nonEmpty).toSet else Set.empty
+    def fam(name: String): Boolean = fams.isEmpty || fams.contains(name)
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false").getOrCreate()
@@ -105,8 +111,7 @@ object ScaleRehearsal {
       time(s"$tag sharedSpans") {
         Dedup.sharedSpanPairs(docs).queryExecution.toRdd.count() }
     }
-    run("1x", docs1, emb1)
-    run(s"${k}x", docsK, embK)
+    if (fam("docs")) { run("1x", docs1, emb1); run(s"${k}x", docsK, embK) }
 
     // event-shaped operators replicate on event_id with shifted timestamps
     // (same per-user rate, k-fold longer horizon — the steady-state regime)
@@ -141,8 +146,7 @@ object ScaleRehearsal {
       time(s"$tag dailyActive") {
         ea.dailyActiveUsers(ev).queryExecution.toRdd.count() }
     }
-    runEv("1x", ev1)
-    runEv(s"${k}x", evK)
+    if (fam("events")) { runEv("1x", ev1); runEv(s"${k}x", evK) }
 
     // graph/layout operators replicate the part-supplier edge space with
     // shifted keys: k-fold more nodes AND edges, degree distribution kept —
@@ -163,8 +167,7 @@ object ScaleRehearsal {
         graft.operators.Layout.zZoneMap(li, "l_partkey", "l_suppkey", 21, 12)
           .queryExecution.toRdd.count() }
     }
-    runGraph("1x", li1)
-    runGraph(s"${k}x", liK)
+    if (fam("graph")) { runGraph("1x", li1); runGraph(s"${k}x", liK) }
 
     // search-surface operators over an ingested index: per-query work must
     // stay flat (shortlists / top-k are corpus-size-independent in OUTPUT),
@@ -205,8 +208,7 @@ object ScaleRehearsal {
           .queryExecution.toRdd.count() }
       index.unpersist()
     }
-    runSearch("1x", docsSrc1)
-    runSearch(s"${k}x", docsSrcK)
+    if (fam("search")) { runSearch("1x", docsSrc1); runSearch(s"${k}x", docsSrcK) }
 
     // round-9 family: selection / sketch / PIT / PRF / mutual-kNN. Docs
     // replicate with lang kept (DSIR needs it); events reuse evK; the
@@ -252,8 +254,7 @@ object ScaleRehearsal {
           emb.filter(col("vec_id") % 2 === 1), 4)
           .queryExecution.toRdd.count() }
     }
-    runR9("1x", docsLang1, ev1, emb1)
-    runR9(s"${k}x", docsLangK, evK, embK)
+    if (fam("r9")) { runR9("1x", docsLang1, ev1, emb1); runR9(s"${k}x", docsLangK, evK, embK) }
 
     // round-10 family: fingerprint/selection/event-band/eval/TPC-H-shape
     // operators. Docs replicate with lang kept (unimax buckets by lang);
@@ -292,8 +293,7 @@ object ScaleRehearsal {
         Similarity.embeddingCovariance(emb.select("embedding"))
           .queryExecution.toRdd.count() }
     }
-    runR10("1x", docsLang1, ev1, emb1)
-    runR10(s"${k}x", docsLangK, evK, embK)
+    if (fam("r10")) { runR10("1x", docsLang1, ev1, emb1); runR10(s"${k}x", docsLangK, evK, embK) }
 
     // TPC-H shapes rehearse on replicated fact+dim key spaces (k-fold
     // orders AND parts AND suppliers — the real scale axis: dims grow with
@@ -335,8 +335,60 @@ object ScaleRehearsal {
         graft.operators.Sketches.cmsJoinSizeEstimate(li, ord,
           "l_orderkey", "o_orderkey").queryExecution.toRdd.count() }
     }
-    runTpch("1x", liFull1, ord1, part1, supp1)
-    runTpch(s"${k}x", liFullK, ordK, partK, suppK)
+    if (fam("tpch")) { runTpch("1x", liFull1, ord1, part1, supp1); runTpch(s"${k}x", liFullK, ordK, partK, suppK) }
+
+    // round-10b family (q226-q237): event/eval/metadata operators. Events
+    // reuse evK (8x events over an 8x-longer horizon); docs reuse the
+    // full-column replica for the dedup/coverage ops; embeddings tag
+    // vec_id%10 labels as in runR10. The expected shapes: funnels and
+    // cohorts are user/calendar-bounded, the audits are group-frame
+    // rollups, dedupRecall pays the exhaustive arm's pair space
+    // (duplicate-dense k-cliques BY design — the semanticDedup note),
+    // knnConfusion is sample×corpus through GroupedTopK.
+    val docsSrcFull1 = graft.Tables.documents(spark, "/root/testdata/sf0.1")
+    val docsSrcFullK = (0 until k).map(i => docsSrcFull1
+        .withColumn("doc_id", col("doc_id") + lit(i * 1000000L)))
+      .reduce(_ unionByName _).cache()
+    def runR10b(tag: String, docs: DataFrame, ev: DataFrame,
+                emb: DataFrame): Unit = {
+      val ea = graft.operators.EventAnalytics
+      val lab = emb.withColumn("label", (col("vec_id") % 10).cast("int"))
+      time(s"$tag windowedFunnel") {
+        ea.windowedFunnel(ev, Seq("view", "click", "purchase"))
+          .queryExecution.toRdd.count() }
+      time(s"$tag cohortLtv") {
+        ea.cohortLtv(ev).queryExecution.toRdd.count() }
+      time(s"$tag groupSplit") {
+        graft.operators.Sampling.groupHoldoutSplit(ev)
+          .queryExecution.toRdd.count() }
+      time(s"$tag welch") {
+        ea.welchTTest(ev).queryExecution.toRdd.count() }
+      time(s"$tag seasonalNaive") {
+        ea.seasonalNaiveBacktest(ev).queryExecution.toRdd.count() }
+      time(s"$tag psi") {
+        ea.psiDrift(ev).queryExecution.toRdd.count() }
+      time(s"$tag kAnonymity") {
+        graft.operators.Pipeline.kAnonymityAudit(ev,
+          Seq("event_type", "dayofweek(ts)",
+            "CAST(get_json_object(props, '$.k') AS BIGINT) DIV 10"),
+          "CAST(round(value * 100) AS BIGINT) DIV 1000")
+          .queryExecution.toRdd.count() }
+      time(s"$tag compactionPlan") {
+        graft.operators.Layout.compactionPlan(
+          docs.selectExpr("source", "doc_id", "n_chars"),
+          "source", "doc_id", "n_chars", 65536L)
+          .queryExecution.toRdd.count() }
+      time(s"$tag dupCoverage") {
+        Dedup.duplicateCoverage(docs).queryExecution.toRdd.count() }
+      time(s"$tag dedupRecall") {
+        Dedup.dedupRecallAudit(docs, 0.5).queryExecution.toRdd.count() }
+      time(s"$tag knnConfusion") {
+        Similarity.knnConfusion(lab).queryExecution.toRdd.count() }
+    }
+    if (fam("r10b")) {
+      runR10b("1x", docsSrcFull1, ev1, emb1)
+      runR10b(s"${k}x", docsSrcFullK, evK, embK)
+    }
     spark.stop()
   }
 }
