@@ -4260,8 +4260,10 @@ FROM f GROUP BY 1 ORDER BY 1""",
       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_pos FROM per)
 SELECT decile, n, n_pos,
   round(CAST(n_pos AS DOUBLE) / n, 6) AS rate,
-  round(CAST(n_pos AS DOUBLE) * tot_n / n / tot_pos, 6) AS lift,
-  round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) AS cum_gain
+  CASE WHEN tot_pos = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE round(CAST(n_pos AS DOUBLE) * tot_n / n / tot_pos, 6) END AS lift,
+  CASE WHEN tot_pos = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) END AS cum_gain
 FROM cum CROSS JOIN tot ORDER BY decile""",
     // Q6 shape: same round-cent integer band and quantity cap
     "q217_tpch_q6" ->
@@ -4499,16 +4501,21 @@ FROM ps CROSS JOIN tt CROSS JOIN st ORDER BY split"""
   a AS (SELECT n AS n_a, s AS s_a, s2 AS s2_a FROM m WHERE event_type = 'purchase'),
   b AS (SELECT n AS n_b, s AS s_b, s2 AS s2_b FROM m WHERE event_type = 'click'),
   x AS (SELECT *,
-      CAST(n_a * s2_a - s_a * s_a AS DOUBLE) / n_a / (n_a - 1) AS va,
-      CAST(n_b * s2_b - s_b * s_b AS DOUBLE) / n_b / (n_b - 1) AS vb
+      CASE WHEN n_a < 2 THEN CAST(NULL AS DOUBLE)
+        ELSE CAST(n_a * s2_a - s_a * s_a AS DOUBLE) / n_a / (n_a - 1) END AS va,
+      CASE WHEN n_b < 2 THEN CAST(NULL AS DOUBLE)
+        ELSE CAST(n_b * s2_b - s_b * s_b AS DOUBLE) / n_b / (n_b - 1) END AS vb
     FROM a CROSS JOIN b),
   y AS (SELECT *, va / n_a + vb / n_b AS se2 FROM x)
 SELECT 'purchase' AS type_a, 'click' AS type_b, n_a, n_b,
   round(CAST(s_a AS DOUBLE) / n_a, 6) AS mean_a,
   round(CAST(s_b AS DOUBLE) / n_b, 6) AS mean_b,
-  round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b) / sqrt(se2), 6) AS t_stat,
-  round(se2 * se2 / (va * va / n_a / n_a / (n_a - 1)
-    + vb * vb / n_b / n_b / (n_b - 1)), 6) AS df
+  CASE WHEN se2 IS NULL OR se2 = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+      / sqrt(se2), 6) END AS t_stat,
+  CASE WHEN se2 IS NULL OR se2 = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE round(se2 * se2 / (va * va / n_a / n_a / (n_a - 1)
+      + vb * vb / n_b / n_b / (n_b - 1)), 6) END AS df
 FROM y""",
     // Seasonal naive: same day indexing, same 2^20 re-fixed APE terms
     "q230_seasonal_naive" ->
@@ -4522,10 +4529,12 @@ FROM y""",
       ON d.event_type = f.event_type AND d.day_idx = f.day_idx + 7)
 SELECT event_type, CAST(count(*) AS BIGINT) AS n_days,
   CAST(sum(CASE WHEN actual > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_scored,
-  round(CAST(sum(CASE WHEN actual > 0 THEN CAST(floor(
-      CAST(abs(actual - fc) AS DOUBLE) * 1048576.0 / actual + 0.5) AS BIGINT)
-    ELSE 0 END) AS DOUBLE) / 1048576.0
-    / sum(CASE WHEN actual > 0 THEN 1 ELSE 0 END), 6) AS mape,
+  CASE WHEN sum(CASE WHEN actual > 0 THEN 1 ELSE 0 END) = 0
+    THEN CAST(NULL AS DOUBLE)
+    ELSE round(CAST(sum(CASE WHEN actual > 0 THEN CAST(floor(
+        CAST(abs(actual - fc) AS DOUBLE) * 1048576.0 / actual + 0.5) AS BIGINT)
+      ELSE 0 END) AS DOUBLE) / 1048576.0
+      / sum(CASE WHEN actual > 0 THEN 1 ELSE 0 END), 6) END AS mape,
   round(CAST(sum(fc - actual) AS DOUBLE) / count(*), 6) AS bias_cents
 FROM j GROUP BY 1 ORDER BY 1""",
     // Q9 shape: same pattern filter, same e4 profit arithmetic

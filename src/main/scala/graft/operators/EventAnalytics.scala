@@ -156,22 +156,30 @@ object EventAnalytics {
       .select(col("n").as("n_a"), col("s").as("s_a"), col("s2").as("s2_a"))
     val b = m.filter(col("event_type") === typeB)
       .select(col("n").as("n_b"), col("s").as("s_b"), col("s2").as("s2_b"))
-    // sample variance from exact integers: (n·Σc² − (Σc)²) / (n·(n−1))
+    // sample variance from exact integers: (n·Σc² − (Σc)²) / (n·(n−1)) —
+    // GUARDED: n = 1 has no sample variance (the divisor is zero and ANSI
+    // mode raises, not NaNs), and identical-constant samples give se2 = 0
+    // (undefined t). Degenerate inputs yield NULL statistics, not a
+    // fixture-dependent crash.
     a.join(broadcast(b))
       .withColumn("va", expr(
-        "CAST(n_a * s2_a - s_a * s_a AS DOUBLE) / n_a / (n_a - 1)"))
+        """CASE WHEN n_a < 2 THEN CAST(NULL AS DOUBLE)
+           ELSE CAST(n_a * s2_a - s_a * s_a AS DOUBLE) / n_a / (n_a - 1) END"""))
       .withColumn("vb", expr(
-        "CAST(n_b * s2_b - s_b * s_b AS DOUBLE) / n_b / (n_b - 1)"))
+        """CASE WHEN n_b < 2 THEN CAST(NULL AS DOUBLE)
+           ELSE CAST(n_b * s2_b - s_b * s_b AS DOUBLE) / n_b / (n_b - 1) END"""))
       .withColumn("se2", expr("va / n_a + vb / n_b"))
       .select(
         lit(typeA).as("type_a"), lit(typeB).as("type_b"),
         col("n_a"), col("n_b"),
         expr("round(CAST(s_a AS DOUBLE) / n_a, 6)").as("mean_a"),
         expr("round(CAST(s_b AS DOUBLE) / n_b, 6)").as("mean_b"),
-        expr("""round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
-          / sqrt(se2), 6)""").as("t_stat"),
-        expr("""round(se2 * se2 / (va * va / n_a / n_a / (n_a - 1)
-          + vb * vb / n_b / n_b / (n_b - 1)), 6)""").as("df"))
+        expr("""CASE WHEN se2 IS NULL OR se2 = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE round((CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+            / sqrt(se2), 6) END""").as("t_stat"),
+        expr("""CASE WHEN se2 IS NULL OR se2 = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE round(se2 * se2 / (va * va / n_a / n_a / (n_a - 1)
+            + vb * vb / n_b / n_b / (n_b - 1)), 6) END""").as("df"))
   }
 
   /** Seasonal-naive backtest — forecast each day's per-type total by the
@@ -206,8 +214,11 @@ object EventAnalytics {
           .otherwise(0L)).as("__ape_fx"),
         sum(expr("fc - actual")).as("__bias"))
       .select(col("event_type"), col("n_days"), col("n_scored"),
-        expr("round(CAST(__ape_fx AS DOUBLE) / 1048576.0 / n_scored, 6)")
-          .as("mape"),
+        // no positive-actual day to score -> NULL MAPE (ANSI divides
+        // raise on zero, they don't NaN — the guard IS the semantics)
+        expr("""CASE WHEN n_scored = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE round(CAST(__ape_fx AS DOUBLE) / 1048576.0 / n_scored, 6)
+          END""").as("mape"),
         expr("round(CAST(__bias AS DOUBLE) / n_days, 6)").as("bias_cents"))
       .orderBy("event_type")
   }

@@ -1505,8 +1505,14 @@ object Similarity {
         Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)))
       .select(col("decile"), col("n"), col("n_pos"),
         expr("round(CAST(n_pos AS DOUBLE) / n, 6)").as("rate"),
-        expr("round(CAST(n_pos AS DOUBLE) * tot_n / n / tot_pos, 6)").as("lift"),
-        expr("round(CAST(cum_pos AS DOUBLE) / tot_pos, 6)").as("cum_gain"))
+        // an absent positive class has no base rate: NULL lift/gain, not
+        // an ANSI divide error on a label-skewed input
+        expr("""CASE WHEN tot_pos = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE round(CAST(n_pos AS DOUBLE) * tot_n / n / tot_pos, 6) END""")
+          .as("lift"),
+        expr("""CASE WHEN tot_pos = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE round(CAST(cum_pos AS DOUBLE) / tot_pos, 6) END""")
+          .as("cum_gain"))
       .orderBy("decile")
   }
 

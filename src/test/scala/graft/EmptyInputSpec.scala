@@ -97,6 +97,25 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(rows(Bpe.bpeMerges(docs0)) == 0)
   }
 
+  test("round-10b additions: empty input yields empty or defined-null summaries") {
+    assert(rows(EventAnalytics.welchTTest(ev0)) == 0)
+    assert(rows(EventAnalytics.psiDrift(ev0)) == 0)
+    assert(rows(Pipeline.kAnonymityAudit(ev0, Seq("event_type"),
+      "CAST(round(value * 100) AS BIGINT)")) <= 1)
+    assert(rows(Layout.compactionPlan(
+      docs0.selectExpr("source", "doc_id", "n_chars"),
+      "source", "doc_id", "n_chars", 65536L)) == 0)
+    assert(rows(Dedup.duplicateCoverage(docs0)) == 0)
+    assert(rows(Dedup.dedupRecallAudit(docs0)) == 1) // 0/0/0 summary, NULL fracs
+    assert(rows(Similarity.knnConfusion(
+      emb0.select("vec_id", "embedding", "label"))) == 0)
+    assert(rows(Joins.productTypeProfit(li0,
+      Tables.orders(spark, TestSpark.sf0001).limit(0),
+      Tables.supplier(spark, TestSpark.sf0001).limit(0),
+      Tables.nation(spark, TestSpark.sf0001).limit(0),
+      Tables.part(spark, TestSpark.sf0001).limit(0))) == 0)
+  }
+
   test("search surface: empty index answers empty, does not throw") {
     val index = Engine.ingest(docs0.select("doc_id", "text", "source"))
     assert(rows(index) == 0)

@@ -109,6 +109,21 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .collect().toSeq
     assert(got == Seq(("purchase", "click", 3L, 2L, 200.0, 100.0,
       1.732051, 2.0)))
+    // degenerate inputs yield NULL statistics, never an ANSI divide
+    // error: single-sample side (no sample variance) and identical
+    // constants on both sides (se2 = 0)
+    val single = ev((1, 0, 1, "purchase", 1.0),
+      (2, 0, 2, "click", 1.0), (3, 1, 2, "click", 2.0))
+    val s1 = EventAnalytics.welchTTest(single)
+      .selectExpr("t_stat IS NULL", "df IS NULL")
+      .as[(Boolean, Boolean)].collect().toSeq
+    assert(s1 == Seq((true, true)))
+    val const = ev((1, 0, 1, "purchase", 1.0), (2, 1, 1, "purchase", 1.0),
+      (3, 0, 2, "click", 1.0), (4, 1, 2, "click", 1.0))
+    val s2 = EventAnalytics.welchTTest(const)
+      .selectExpr("t_stat IS NULL", "df IS NULL")
+      .as[(Boolean, Boolean)].collect().toSeq
+    assert(s2 == Seq((true, true)))
   }
 
   test("seasonalNaiveBacktest: hand-checked MAPE and bias at season=1") {
@@ -122,6 +137,12 @@ class EventAnalyticsSpec extends AnyFunSuite {
     val got = EventAnalytics.seasonalNaiveBacktest(e, season = 1)
       .as[(String, Long, Long, Double, Double)].collect().toSeq
     assert(got == Seq(("view", 2L, 2L, 0.166667, -25.0)))
+    // all-zero actuals leave no scorable day: NULL MAPE, not a divide
+    val zeros = ev((1, 0, 1, "view", 0.0), (2, day, 1, "view", 0.0))
+    val z = EventAnalytics.seasonalNaiveBacktest(zeros, season = 1)
+      .selectExpr("n_scored", "mape IS NULL").as[(Long, Boolean)]
+      .collect().toSeq
+    assert(z == Seq((0L, true)))
   }
 
   test("retentionCohorts: offset-0 row counts every cohort user once") {

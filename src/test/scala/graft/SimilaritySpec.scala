@@ -721,6 +721,11 @@ class SimilaritySpec extends AnyFunSuite {
     val got = Similarity.liftTable(df, buckets = 2)
       .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
     assert(got == Seq((1, 2L, 2L, 1.0, 2.0, 1.0), (2, 2L, 0L, 0.0, 0.0, 1.0)))
+    // absent positive class: NULL lift/gain, never an ANSI divide error
+    val noPos = Similarity.liftTable(df, positiveLabel = 9, buckets = 2)
+      .selectExpr("lift IS NULL", "cum_gain IS NULL")
+      .as[(Boolean, Boolean)].collect().toSeq
+    assert(noPos == Seq((true, true), (true, true)))
     // fixture: counts partition the corpus, cumulative gain ends at 1,
     // partition-invariant
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
