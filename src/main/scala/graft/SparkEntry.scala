@@ -1349,6 +1349,14 @@ object SparkEntry {
     // the q182 fixed-point neighbourhoods, per-class cells + row fracs
     "q235_knn_confusion" -> ((s, dir) =>
       Similarity.knnConfusion(emb(s, dir).select("vec_id", "embedding", "label"))),
+    // extension: near-dup cluster-size histogram — the dedup run's report
+    // (sizes, cluster counts, docs covered) from the q38 components
+    "q238_cluster_sizes" -> ((s, dir) =>
+      Dedup.clusterSizeHistogram(Dedup.jaccardPairs(docs(s, dir), 0.5))),
+    // extension: Markov steady-state behavior profile — fixed-point power
+    // iteration of the q119 transition matrix over the tiny state frame
+    "q239_markov_stationary" -> ((s, dir) =>
+      graft.operators.EventAnalytics.markovStationary(Tables.events(tune(s), dir))),
     // extension: duplicated-block coverage per source — the "what would
     // dedup save" statistic from blockDedup's own per-doc output
     "q236_dup_coverage" -> ((s, dir) => Dedup.duplicateCoverage(docs(s, dir))),
@@ -4640,6 +4648,58 @@ SELECT c.actual, c.predicted, c.n,
   round(CAST(c.n AS DOUBLE) / rt.row_n, 6) AS row_frac
 FROM cells c JOIN rt ON c.actual = rt.actual
 ORDER BY 1, 2"""
+    },
+    // Cluster sizes: the q38 recursive-components construction verbatim,
+    // folded to the size histogram
+    "q238_cluster_sizes" ->
+      s"""WITH RECURSIVE $dkTok, $dkShl, $dkShu,
+  keep AS (SELECT shingle FROM shu GROUP BY shingle HAVING count(*) <= 1000),
+  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM shu a JOIN shu b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           WHERE a.shingle IN (SELECT shingle FROM keep)),
+  ver AS (SELECT c.doc_a, c.doc_b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+          FROM cand c JOIN shl sa ON c.doc_a = sa.doc_id
+                      JOIN shl sb ON c.doc_b = sb.doc_id),
+  p AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.5),
+  edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+            UNION ALL SELECT doc_b, doc_a FROM p),
+  nodes AS (SELECT DISTINCT a AS n FROM edges),
+  reach(n, r) AS (SELECT n, n FROM nodes
+    UNION SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.n),
+  lab AS (SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n),
+  sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size FROM lab GROUP BY 1)
+SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
+  CAST(size * count(*) AS BIGINT) AS n_docs
+FROM sz GROUP BY size ORDER BY size""",
+    // Markov stationary: same lead-window transitions, same 2^20 floor
+    // fixed point, three unrolled p·P iterations
+    "q239_markov_stationary" -> {
+      def step(prev: String, out: String) =
+        s"""$out AS (SELECT t.to_type AS s,
+      CAST(sum(p.p_fx * t.t_fx) // 1048576 AS BIGINT) AS p_fx
+    FROM $prev p JOIN t ON p.s = t.from_type GROUP BY 1)"""
+      s"""WITH e AS (SELECT user_id, ts, event_id, event_type FROM events),
+  nx AS (SELECT event_type AS from_type,
+      lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS to_type
+    FROM e),
+  pr AS (SELECT from_type, to_type, CAST(count(*) AS BIGINT) AS n
+    FROM nx WHERE to_type IS NOT NULL GROUP BY 1, 2),
+  ft AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS n_from FROM pr GROUP BY 1),
+  t AS (SELECT pr.from_type, pr.to_type,
+      CAST(pr.n * 1048576 // ft.n_from AS BIGINT) AS t_fx
+    FROM pr JOIN ft ON pr.from_type = ft.from_type),
+  states AS (SELECT DISTINCT s FROM (SELECT from_type AS s FROM t
+    UNION SELECT to_type FROM t)),
+  k AS (SELECT CAST(count(*) AS BIGINT) AS k FROM states),
+  p0 AS (SELECT s, CAST(1048576 // k AS BIGINT) AS p_fx FROM states CROSS JOIN k),
+  ${step("p0", "p1")},
+  ${step("p1", "p2")},
+  ${step("p2", "p3")}
+SELECT s AS event_type, p_fx,
+  round(CAST(p_fx AS DOUBLE) / 1048576.0, 6) AS p
+FROM p3 ORDER BY 1"""
     },
     // Dup coverage: the q185 block construction verbatim, rolled up to
     // sources through the doc join

@@ -234,6 +234,21 @@ object Dedup {
         sha2(concat((0 until 4).map(j => col(s"m${4 * b + j}")): _*), 256).as(s"band$b")): _*)
 
   /** One row per (doc, band): the LSH bucket table. */
+  /** Near-dup cluster-size histogram — the report a dedup run ships with:
+    * how many duplicate clusters exist at each size, and how many
+    * documents they cover (size 2 = simple pairs; a long tail of large
+    * clusters means template/boilerplate families that deserve their own
+    * rule). Derived from [[duplicateClusters]]' labels by two keyed
+    * aggregations — cluster frame, then the |distinct sizes|-row
+    * histogram. Output: (size, n_clusters, n_docs) ordered by size. */
+  def clusterSizeHistogram(pairs: DataFrame): DataFrame =
+    duplicateClusters(pairs)
+      .groupBy("cluster").agg(count(lit(1)).as("size"))
+      .groupBy("size").agg(count(lit(1)).as("n_clusters"))
+      .select(col("size"), col("n_clusters"),
+        (col("size") * col("n_clusters")).as("n_docs"))
+      .orderBy("size")
+
   /** Dedup-recall audit — the near-dup sibling of `Similarity.annRecall`:
     * precision/recall of the MinHash-banded candidate path against the
     * exhaustive shingle-join pair set at the same Jaccard threshold. The

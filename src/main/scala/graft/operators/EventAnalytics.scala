@@ -435,6 +435,51 @@ object EventAnalytics {
         expr("round(CAST(n AS DOUBLE) / n_from, 6)").as("p"))
   }
 
+  /** Markov steady-state behavior profile — power iteration of the
+    * [[transitionMatrix]] from a uniform start: where a user's session
+    * settles if the observed transition dynamics keep acting, the
+    * one-vector summary that complements the raw matrix (and a drift
+    * tripwire: the stationary vector moves before individual cells look
+    * alarming).
+    *
+    * Determinism: transition probabilities fix at 2^20 by floor division
+    * of exact counts; each iteration is p·P with integer products floored
+    * back to 2^20 (Σ p_fx·t_fx DIV 2^20) — pure integer arithmetic, so
+    * `iters` steps are bit-identical in any engine, and the known floor
+    * leakage (mass can shrink slightly per step) is part of the defined
+    * semantics rather than float noise.
+    *
+    * Shape: the matrix is |types|² rows; every iteration is one keyed
+    * join + aggregate over that TINY frame (the events scan happens once
+    * in the matrix build). Output: (event_type, p_fx, p) ordered by
+    * type. */
+  def markovStationary(events: DataFrame, iters: Int = 3): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"bad iters: $iters")
+    val m = transitionMatrix(events).select("from_type", "to_type", "n")
+    val fromTotals = m.groupBy("from_type").agg(sum("n").as("n_from"))
+    val t = m.join(broadcast(fromTotals), Seq("from_type"))
+      .select(col("from_type"), col("to_type"),
+        expr("CAST(n * 1048576 DIV n_from AS BIGINT)").as("t_fx"))
+    // the state space is the union of sources and targets; a state with
+    // no OUTGOING rows sheds its mass at the next step (the join finds no
+    // distribution for it) — i.e. the iteration restricts to the
+    // sub-chain that keeps moving, which is the profile this summarizes
+    val states = t.select(col("from_type").as("s"))
+      .union(t.select(col("to_type").as("s"))).distinct()
+    val nStates = states // tiny frame; 1-row count broadcast
+      .agg(count(lit(1)).as("k"))
+    var p = states.join(broadcast(nStates))
+      .select(col("s"), expr("CAST(1048576 DIV k AS BIGINT)").as("p_fx"))
+    for (_ <- 1 to iters)
+      p = p.join(t, p("s") === t("from_type"))
+        .groupBy(col("to_type").as("s2"))
+        .agg(sum(expr("p_fx * t_fx")).as("num"))
+        .select(col("s2").as("s"), expr("CAST(num DIV 1048576 AS BIGINT)").as("p_fx"))
+    p.select(col("s").as("event_type"), col("p_fx"),
+        expr("round(CAST(p_fx AS DOUBLE) / 1048576.0, 6)").as("p"))
+      .orderBy("event_type")
+  }
+
   /** Top-k most frequent length-3 event-type paths (consecutive per user,
     * the product-analytics "common journeys" view). Two lags on one
     * user-keyed window, one path aggregate, a deterministic top-k cut. */

@@ -448,6 +448,21 @@ class DedupSpec extends AnyFunSuite {
     assert(fxr.map(r => (r._1, r._2, r._3, r._4)) == want && fxr.nonEmpty)
   }
 
+  test("clusterSizeHistogram: crafted components; fixture covers exactly the labeled docs") {
+    // components: {1,2,3} (chain), {4,5} -> sizes 3 and 2
+    val pairs = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterSizeHistogram(pairs)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((2L, 1L, 2L), (3L, 1L, 3L)))
+    // fixture: n_docs across the histogram equals the labeled-doc count
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val fxr = Dedup.clusterSizeHistogram(Dedup.jaccardPairs(docs, 0.5))
+      .as[(Long, Long, Long)].collect().toSeq
+    val labeled = Dedup.duplicateClusters(Dedup.jaccardPairs(docs, 0.5)).count()
+    assert(fxr.map(_._3).sum == labeled && fxr.nonEmpty)
+    assert(fxr.forall(_._1 >= 2)) // every cluster has at least a pair
+  }
+
   test("dedupRecallAudit: overlap bounded by both arms; independent recompute; partition-invariant") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val got = Dedup.dedupRecallAudit(docs, 0.5)

@@ -76,6 +76,25 @@ class EventAnalyticsSpec extends AnyFunSuite {
       (1L, 0L, 50L, 1L, 50L, 1L, 50.0)))
   }
 
+  test("markovStationary: hand-traced fixed-point power iteration on a 2-state chain") {
+    // user 1: view->click->click->view gives t(view->click)=1,
+    // t(click->click)=t(click->view)=1/2; three floored iterations from
+    // uniform land at view=327680/2^20, click=720896/2^20
+    val e = ev((1, 0, 1, "view", 0), (2, 1, 1, "click", 0),
+      (3, 2, 1, "click", 0), (4, 3, 1, "view", 0))
+    val got = EventAnalytics.markovStationary(e)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(got == Seq(("click", 720896L, 0.6875), ("view", 327680L, 0.3125)))
+    // fixture: mass stays within (0, 1], partition-invariant
+    val fx = Tables.events(spark, TestSpark.sf0001)
+    val fxr = EventAnalytics.markovStationary(fx)
+      .as[(String, Long, Double)].collect().toSeq
+    assert(fxr.nonEmpty && fxr.map(_._2).sum <= 1048576L)
+    assert(fxr.forall(_._2 > 0L))
+    assert(EventAnalytics.markovStationary(fx.repartition(7))
+      .as[(String, Long, Double)].collect().toSeq == fxr)
+  }
+
   test("psiDrift: identical halves score exactly zero; a shifted half scores positive") {
     // split at 2024-01-16 = minute 15*1440 in the ts() fixture
     val cut = 15 * 1440
