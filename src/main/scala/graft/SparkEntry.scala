@@ -1292,9 +1292,13 @@ object SparkEntry {
     "q223_embed_cov" -> ((s, dir) =>
       Similarity.embeddingCovariance(emb(s, dir).select("embedding"))),
     // extension: hubness audit — k-occurrence of each vector in the
-    // sampled queries' exact top-k lists, top hubs with slot share
+    // sampled queries' exact top-k lists, top hubs with slot share; the
+    // query side is the FIXED 256-row hash-ordered sample (bounded
+    // operating point — non-trivial at every test SF, never grows with
+    // the corpus)
     "q224_hubness" -> ((s, dir) =>
-      Similarity.hubnessTopHubs(emb(s, dir).select("vec_id", "embedding"))),
+      Similarity.hubnessTopHubs(emb(s, dir).select("vec_id", "embedding"),
+        maxQueries = 256)),
     // extension: matryoshka truncation audit — top-k overlap between
     // full-dim and 16-dim-prefix rankings per probe query
     "q225_matryoshka" -> ((s, dir) =>
@@ -1346,7 +1350,9 @@ object SparkEntry {
     "q234_dedup_recall" -> ((s, dir) =>
       Dedup.dedupRecallAudit(docs(s, dir), 0.5)),
     // extension: kNN confusion matrix — leave-one-out majority vote over
-    // the q182 fixed-point neighbourhoods, per-class cells + row fracs
+    // the q182 fixed-point neighbourhoods, per-class cells + row fracs;
+    // query side capped at the default 4096-row hash-ordered sample
+    // (covers every test SF exactly, bounded at corpus scale)
     "q235_knn_confusion" -> ((s, dir) =>
       Similarity.knnConfusion(emb(s, dir).select("vec_id", "embedding", "label"))),
     // extension: near-dup cluster-size histogram — the dedup run's report
@@ -4389,11 +4395,13 @@ FROM est CROSS JOIN ex"""
     FROM pr p JOIN diag da ON p.i = da.di JOIN diag db ON p.j = db.di
     WHERE p.j > p.i)
 SELECT * FROM o ORDER BY abs(corr) DESC NULLS LAST, i, j LIMIT 20""",
-    // Hubness: same sampled queries, same cosine + (score desc, vec_id)
-    // rank, self excluded, top-20 by (k_occ desc, vec_id)
+    // Hubness: same fixed-count hash-ordered query sample (first 256
+    // vec_ids by sha256('hubq:' id) — identical hex strings on both
+    // engines), same cosine + (score desc, vec_id) rank, self excluded,
+    // top-20 by (k_occ desc, vec_id)
     "q224_hubness" ->
       """WITH q AS (SELECT vec_id AS qid, embedding AS qe FROM embeddings
-    WHERE vec_id % 10 = 0),
+    ORDER BY sha256('hubq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 256),
   s AS (SELECT q.qid AS query_id, e.vec_id,
     list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(q.qe[i] AS DOUBLE))) AS dot,
     list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE)*CAST(e.embedding[i] AS DOUBLE))) AS na,
@@ -4629,9 +4637,11 @@ FROM ne CROSS JOIN nl CROSS JOIN nc""",
       val dot = (x: String, y: String) =>
         s"list_sum(list_transform(range(1, 65), i -> CAST($x.embedding[i] AS DOUBLE)*CAST($y.embedding[i] AS DOUBLE)))"
       s"""WITH v AS (SELECT vec_id, embedding, label FROM embeddings),
+  q0 AS (SELECT vec_id, embedding, label FROM v
+    ORDER BY sha256('knnq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
   s AS (SELECT q.vec_id AS qid, q.label AS qlab, i.vec_id AS vid, i.label AS lab,
       ${dot("q", "i")} AS dot, ${dot("q", "q")} AS na, ${dot("i", "i")} AS nb
-    FROM v q CROSS JOIN v i WHERE i.vec_id <> q.vec_id),
+    FROM q0 q CROSS JOIN v i WHERE i.vec_id <> q.vec_id),
   sc AS (SELECT qid, qlab, vid, lab,
       CAST(floor((CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END) * 1073741824.0 + 0.5) AS BIGINT) AS fx FROM s),
   tk AS (SELECT * FROM (SELECT qid, qlab, lab,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -830,18 +830,20 @@ object EventAnalytics {
     * never depend on float summation. Each source row emits its `b` draw
     * targets (map-side, parallel by input splits); the draw→item lookup is
     * one (group, position) hash join; replica sums partial-aggregate to
-    * b rows per group. The per-group position index is a window
-    * row_number — positions just need to be A bijection 1..n, so the
-    * selectByTokenBudget distributed-rank shape substitutes when single
-    * groups outgrow a partition. */
+    * b rows per group. The per-group position index — any bijection
+    * 1..n per group works — is [[Ranks.distributedRank]]: a handful of
+    * event types means a plain partitioned window would rank the whole
+    * stream in ≤|types| tasks, so the ranking range-partitions on
+    * (type, event_id) across all cores instead. The only remaining
+    * window is the CI order statistic over the b-rows-per-group replica
+    * frame — bounded by the `b` parameter, not the corpus. */
   def bootstrapCi(events: DataFrame, b: Int = 40, loRank: Int = 3,
                   hiRank: Int = 38): DataFrame = {
     require(b >= 2 && loRank >= 1 && hiRank <= b && loRank < hiRank,
       s"bad bootstrap params b=$b lo=$loRank hi=$hiRank")
     val items = events.select(col("event_type").as("g"), col("event_id"),
       expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val wl = Window.partitionBy("g").orderBy("event_id")
-    val idx = items.withColumn("rn", row_number().over(wl).cast("long"))
+    val idx = Ranks.distributedRank(items, Seq("g"), Seq(col("event_id")), "rn")
     val n = items.groupBy("g")
       .agg(count(lit(1)).as("n"), sum("cents").as("total"))
     val draws = idx.join(broadcast(n.select("g", "n")), "g")
@@ -851,10 +853,14 @@ object EventAnalytics {
         expr("""cast(conv(substr(sha2(concat('bs:', g, ':', CAST(r AS STRING),
             ':', CAST(rn AS STRING)), 256), 1, 8), 16, 10) AS BIGINT)
             % n + 1""").as("tgt"))
+    // explicit renames on the lookup side: draws derives FROM idx, and a
+    // df("g") === df("g") self-join condition leans on dataset-id
+    // disambiguation — renamed keys make the equi-join unambiguous
+    val lookup = idx.select(col("g").as("lg"), col("rn").as("lrn"), col("cents"))
     val sums = draws
-      .join(idx.select(col("g"), col("rn"), col("cents")).hint("SHUFFLE_HASH"),
-        draws("g") === idx("g") && draws("tgt") === idx("rn"))
-      .select(draws("g").as("g"), col("r"), col("cents"))
+      .join(lookup.hint("SHUFFLE_HASH"),
+        col("g") === col("lg") && col("tgt") === col("lrn"))
+      .select(col("g"), col("r"), col("cents"))
       .groupBy("g", "r").agg(sum("cents").as("s"))
     val ranked = sums.withColumn("k",
       row_number().over(Window.partitionBy("g").orderBy(asc("s"), asc("r"))))
@@ -879,10 +885,12 @@ object EventAnalytics {
     * identical buckets (ntile's floor-distribution is SQL-standard).
     *
     * Shape at scale: one partial-aggregated shuffle collapses the event
-    * stream to a row per USER before any window; the ntile windows then
-    * run over the distinct-user frame — orders of magnitude smaller than
-    * the stream, range-partitioned by the sort. The max-ts anchor is a
-    * 1-row broadcast, not a driver-side collect. */
+    * stream to a row per USER before any ranking; each quartile is then
+    * [[Ranks.globalNtile]] over the distinct-user frame — a range
+    * exchange + local ranks + an nPartitions-row offsets broadcast, never
+    * a SinglePartition WindowExec (a global `ntile` window would sort
+    * hundreds of millions of users in ONE task at 100 TB). The max-ts
+    * anchor is a 1-row broadcast, not a driver-side collect. */
   def rfmSegments(events: DataFrame): DataFrame =
     rfmFromUserStats(rfmUserStats(events))
 
@@ -902,17 +910,25 @@ object EventAnalytics {
     * (user_id, last_ts, frequency, monetary_cents) table. */
   def rfmFromUserStats(perUser: DataFrame): DataFrame = {
     val anchor = perUser.agg(max("last_ts").as("anchor_ts"))
-    val scored = perUser.join(broadcast(anchor))
+    // memoized: three quartile rankings and their count each re-read this
+    // frame — one materialization instead of five upstream re-evaluations
+    val scored = PlanCache.memo(perUser.join(broadcast(anchor))
       .withColumn("recency_days",
-        expr("CAST(datediff(anchor_ts, last_ts) AS BIGINT)"))
+        expr("CAST(datediff(anchor_ts, last_ts) AS BIGINT)")))
     // smaller recency = better, so rank it DESC to make quartile 4 best on
-    // all three axes
-    val r = ntile(4).over(Window.orderBy(desc("recency_days"), asc("user_id")))
-    val f = ntile(4).over(Window.orderBy(asc("frequency"), asc("user_id")))
-    val m = ntile(4).over(Window.orderBy(asc("monetary_cents"), asc("user_id")))
+    // all three axes; each ntile is the distributed form (bit-identical to
+    // `ntile(4)` under the user_id tie-break)
+    def q(order: Seq[Column], out: String) =
+      Ranks.globalNtile(scored, order, 4, out)
+        .select(col("user_id"), col(out))
+    val r = q(Seq(desc("recency_days"), asc("user_id")), "r_q")
+    val f = q(Seq(asc("frequency"), asc("user_id")), "f_q")
+    val m = q(Seq(asc("monetary_cents"), asc("user_id")), "m_q")
     scored
-      .select(col("user_id"), col("recency_days"), col("frequency"),
-        col("monetary_cents"), r.as("r_q"), f.as("f_q"), m.as("m_q"))
+      .select("user_id", "recency_days", "frequency", "monetary_cents")
+      .join(r.hint("SHUFFLE_HASH"), "user_id")
+      .join(f.hint("SHUFFLE_HASH"), "user_id")
+      .join(m.hint("SHUFFLE_HASH"), "user_id")
       .withColumn("segment", concat(col("r_q"), col("f_q"), col("m_q")))
       .orderBy("user_id")
   }

@@ -189,17 +189,24 @@ object Similarity {
     * (actual, predicted).
     *
     * Scale: leave-one-out over the FULL collection is |V|×|V| scoring by
-    * definition (the rehearsal shows the expected quadratic growth) —
-    * at corpus scale set `sampleMod` > 1 to estimate the matrix from the
-    * hash-sample of query rows (the hubness convention; cells are
-    * relative-frequency estimates, row_frac unbiased). */
+    * definition, so the query side is capped at a FIXED count — the
+    * first `maxQueries` vec_ids by sha256('knnq:' id), the
+    * [[hubnessTopHubs]] hash-ordered bounded sample (deterministic on
+    * both engines, a TakeOrderedAndProject top-maxQueries, never a full
+    * sort; a sampling MODULUS would still scale with the corpus). Below
+    * the cap the matrix is the exact leave-one-out confusion; above it
+    * the cells are relative-frequency estimates from maxQueries sampled
+    * query rows (row_frac unbiased) and cost is maxQueries × corpus —
+    * bounded regardless of corpus growth. */
   def knnConfusion(vecs: DataFrame, k: Int = 4,
-                   sampleMod: Int = 1): DataFrame = {
+                   maxQueries: Int = 4096): DataFrame = {
     require(k >= 1 && k <= 64, s"k must be in [1, 64]: $k")
-    require(sampleMod >= 1, s"bad sampleMod: $sampleMod")
+    require(maxQueries >= 1, s"bad maxQueries: $maxQueries")
     val items = vecs.select(col("vec_id"), col("embedding"), col("label"))
     val queries = vecs
-      .filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+      .select(col("vec_id"), col("embedding"), col("label"),
+        sha2(concat(lit("knnq:"), col("vec_id").cast("string")), 256).as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(maxQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").as("query_embedding"), col("label").as("query_label"))
     val scored = cosineScores(items, queries)
@@ -1437,12 +1444,15 @@ object Similarity {
     *
     * Shape at scale: never a global per-ROW rank. Rows collapse to
     * (score-bucket, label) counts first (fixed-point score = the bucket
-    * key, partial-aggregated shuffle), and the rank-sum is computed over
-    * the DISTINCT-score frame via two running sums — one global, one
-    * per-label — so the windowed data is |distinct scores| ≤ 2^31 regardless
-    * of row count, range-partitioned by the sort. 2·U stays an exact
-    * BIGINT (midranks are half-integers); one division per label at the
-    * end. Output: (label, n_pos, n_neg, auc) ordered by label. */
+    * key, partial-aggregated shuffle), and the rank-sum needs two
+    * EXCLUSIVE running sums over that frame — one global, one per-label.
+    * The distinct-score frame is ≤ 2^31 buckets but can approach row
+    * count for continuous scores, so both prefix sums are
+    * [[graft.operators.Ranks.exclusivePrefixSum]] (range exchange +
+    * parallel local sums + an nPartitions-row offsets broadcast), never a
+    * SinglePartition WindowExec. 2·U stays an exact BIGINT (midranks are
+    * half-integers); one division per label at the end. Output:
+    * (label, n_pos, n_neg, auc) ordered by label. */
   def separabilityAuc(items: DataFrame): DataFrame = {
     val seqDot =
       "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
@@ -1452,12 +1462,12 @@ object Similarity {
           * 1073741824.0 + 0.5) AS BIGINT)""").as("f"))
     val grp = scored.groupBy("f", "label").agg(count(lit(1)).as("cnt"))
     val perF = grp.groupBy("f").agg(sum("cnt").as("f_tot"))
-    val wAll = Window.orderBy("f").rowsBetween(Window.unboundedPreceding, -1)
-    val cumAll = perF.withColumn("below_all", coalesce(sum("f_tot").over(wAll), lit(0L)))
-    val wLab = Window.partitionBy("label").orderBy("f")
-      .rowsBetween(Window.unboundedPreceding, -1)
-    val withBelow = grp
-      .withColumn("below_lab", coalesce(sum("cnt").over(wLab), lit(0L)))
+    // both distinct-score frames are unique on their order keys, so the
+    // prefix sums are total-ordered and engine-deterministic
+    val cumAll = graft.operators.Ranks.exclusivePrefixSum(
+      perF, Seq.empty, Seq(col("f")), col("f_tot"), "below_all")
+    val withBelow = graft.operators.Ranks.exclusivePrefixSum(
+        grp, Seq("label"), Seq(col("f")), col("cnt"), "below_lab")
       .join(cumAll.hint("SHUFFLE_HASH"), "f")
     // 2U_c = Σ_buckets cnt·2·(non-c strictly below) + cnt·(non-c tied)
     val u2 = withBelow.groupBy("label")
@@ -1480,11 +1490,14 @@ object Similarity {
     * deciles capture", which is what a selection budget acts on.
     *
     * Exactness: the score is the same 2^30 fixed-point bucket as the AUC,
-    * decile assignment is `ntile` over (score desc, vec_id asc) — the
-    * SQL-standard floor distribution, deterministic under the tie-break —
-    * and every output is exact integer counts with one division per
-    * column. The global rank window rides the distributed-rank caveat
-    * documented on [[separabilityAuc]]. */
+    * decile assignment is the SQL-standard `ntile` floor distribution
+    * over (score desc, vec_id asc) — computed by
+    * [[graft.operators.Ranks.globalNtile]] (distributed rank + 1-row
+    * count broadcast), bit-identical to the window form but never a
+    * SinglePartition sort of the corpus — and every output is exact
+    * integer counts with one division per column. The one remaining
+    * global window (cumulative gain) runs over the per-DECILE frame:
+    * `buckets` rows by construction, bounded by the parameter. */
   def liftTable(items: DataFrame, positiveLabel: Int = 0,
                 buckets: Int = 10): DataFrame = {
     require(buckets >= 2 && buckets <= 1000, s"bad buckets: $buckets")
@@ -1494,8 +1507,8 @@ object Similarity {
       expr(s"""CAST(floor(CASE WHEN $seqDot = 0.0D THEN 0.0
           ELSE CAST(element_at(embedding, 1) AS DOUBLE) / sqrt($seqDot) END
           * 1073741824.0 + 0.5) AS BIGINT)""").as("f"))
-    val dec = scored.withColumn("decile",
-      ntile(buckets).over(Window.orderBy(desc("f"), asc("vec_id"))))
+    val dec = graft.operators.Ranks.globalNtile(
+      scored, Seq(desc("f"), asc("vec_id")), buckets, "decile")
     val per = dec.groupBy("decile")
       .agg(count(lit(1)).as("n"),
         sum(when(col("label") === positiveLabel, 1L).otherwise(0L)).as("n_pos"))
@@ -1616,22 +1629,31 @@ object Similarity {
     * the top hubs (and their share of all neighbour slots) is a standard
     * pre-flight check before trusting an ANN index built on the space.
     *
-    * Query side = the `1/sampleMod` hash-sample of the collection — the
-    * k-occurrence DISTRIBUTION is the object of interest and is estimated
-    * by sampling neighbour lists, which is what makes the audit affordable
-    * at corpus scale: cost is |sample| × corpus scored once through the
-    * same `GroupedTopK` path as every other top-k here (per-partition
-    * heaps, shuffle capped at partitions × queries × k), never corpus².
-    * At 100 TB the same fold runs over the ANN index's materialized
-    * neighbour lists instead of brute-force scores — the aggregation
-    * (two keyed sums over query×k rows) is unchanged. Self-matches are
-    * excluded (a vector trivially tops its own list). Output: top
-    * `maxHubs` by (k_occ desc, vec_id), each with its share of all
-    * sampled neighbour slots. */
-  def hubnessTopHubs(items: DataFrame, k: Int = 5, sampleMod: Int = 10,
+    * Query side = a FIXED-COUNT hash-ordered sample of the collection
+    * (first `maxQueries` vec_ids by sha256('hubq:' id) — deterministic on
+    * both engines, a TakeOrderedAndProject top-maxQueries, never a full
+    * sort): the k-occurrence DISTRIBUTION is the object of interest and
+    * is estimated from sampled neighbour lists, so the audit's operating
+    * point must NOT grow with the corpus (a sampling modulus would — its
+    * sample is corpus-proportional; a fixed count is the bounded form,
+    * the PQ-codebook 4096-row convention). Cost is maxQueries × corpus
+    * scored once through the same `GroupedTopK` path as every other
+    * top-k here (per-partition heaps, shuffle capped at partitions ×
+    * queries × k), never corpus². k_occ and slot_share are sample
+    * statistics of the k-occurrence distribution. At 100 TB the same
+    * fold runs over the ANN index's materialized neighbour lists instead
+    * of brute-force scores — the aggregation (two keyed sums over
+    * query×k rows) is unchanged. Self-matches are excluded (a vector
+    * trivially tops its own list). Output: top `maxHubs` by
+    * (k_occ desc, vec_id), each with its share of all sampled neighbour
+    * slots. */
+  def hubnessTopHubs(items: DataFrame, k: Int = 5, maxQueries: Int = 4096,
                      maxHubs: Int = 20): DataFrame = {
-    require(k >= 1 && sampleMod >= 1 && maxHubs >= 1)
-    val q = items.filter(pmod(col("vec_id"), lit(sampleMod)) === 0)
+    require(k >= 1 && maxQueries >= 1 && maxHubs >= 1)
+    val q = items
+      .select(col("vec_id"), col("embedding"),
+        sha2(concat(lit("hubq:"), col("vec_id").cast("string")), 256).as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(maxQueries)
       .select(col("vec_id").as("query_id"),
         col("embedding").as("query_embedding"))
     val knn = topKPerQuery(
@@ -1740,36 +1762,44 @@ object Similarity {
     * (BIGINT headroom: |q| ≲ 2^13 ⇒ n·Σq_iq_j < 2^63 up to n ≈ 2^35 rows;
     * beyond that the moments move to decimal(38,0), same plan.)
     *
-    * Shape at scale: ONE pass — each row emits its d(d+1)/2 upper-triangle
-    * products plus d component entries (an array expression feeding a
-    * generator), which partial-aggregate map-side to the (i,j)-keyed
-    * moment frame of d² rows TOTAL regardless of corpus size; the d-row
-    * diagonal broadcasts back for the variance join. No self-join of the
-    * exploded corpus, no d² shuffle of raw rows. Output: top-`k`
-    * off-diagonal pairs by (|corr| desc, i, j). */
+    * Shape at scale: ONE pass — each row folds its d(d+1)/2 upper-triangle
+    * products into [[CovMomentsAgg]]'s flat primitive buffer in place
+    * (partial aggregation map-side, the shuffle carrying one
+    * d(d+3)/2-long buffer per map task regardless of corpus size — never
+    * a per-row struct generator, whose object churn was this operator's
+    * round-10 bottleneck). The single merged buffer then unpacks into the
+    * (i,j)-keyed moment frame of d² rows TOTAL; the d-row diagonal
+    * broadcasts back for the variance join. No self-join of the exploded
+    * corpus, no d² shuffle of raw rows. Output: top-`k` off-diagonal
+    * pairs by (|corr| desc, i, j). */
   def embeddingCovariance(items: DataFrame, k: Int = 20): DataFrame = {
-    // quantize ONCE per row into a named column; the generator below then
-    // indexes it d(d+3)/2 times instead of re-evaluating the transform
+    val covAgg = udaf(CovMomentsAgg)
     val withQ = items.select(expr("transform(embedding, v -> " +
       "CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT))").as("q"))
-    // upper-triangle products (i, j, q_i*q_j) plus the component entries
-    // (i, -1, q_i) in ONE generated array, so sums and cross-moments ride
-    // the same scan and the same partial aggregation
-    val entries = withQ.select(explode(expr(
-      """concat(
-        flatten(transform(sequence(0, size(q) - 1), i ->
-          transform(sequence(i, size(q) - 1), j ->
-            struct(i AS i, j AS j,
-              element_at(q, i + 1) * element_at(q, j + 1) AS p)))),
-        transform(sequence(0, size(q) - 1), i ->
-          struct(i AS i, -1 AS j, element_at(q, i + 1) AS p)))"""))
+    // ONE row holding every moment; memoized so the pair and dim frames
+    // below unpack a single materialization of the corpus pass
+    val res = PlanCache.memo(withQ.agg(covAgg(col("q")).as("m"))
+      .select(col("m.n").as("nn"), col("m.sums").as("sums"),
+        col("m.prods").as("prods")))
+    // unpack the flat upper-triangle: pair (i,j) sits at row-major offset
+    // i·d − i(i−1)/2 + (j−i); this generator runs over the ONE merged row
+    // (d(d+1)/2 structs total), not per input row
+    // empty-corpus guard: the ungrouped agg still yields its one zero row,
+    // and sequence(0, -1) DESCENDS in Spark — an empty sums array must
+    // short-circuit to an empty generator input, not a bogus [0,-1] walk
+    val moments = res.select(col("nn").as("n"), explode(expr(
+      """CASE WHEN size(sums) = 0 THEN
+          CAST(array() AS ARRAY<STRUCT<i: INT, j: INT, s: BIGINT>>)
+        ELSE flatten(transform(sequence(0, size(sums) - 1), i ->
+          transform(sequence(i, size(sums) - 1), j ->
+            struct(i AS i, j AS j, element_at(prods, CAST(
+              i * size(sums) - i * (i - 1) DIV 2 + (j - i) + 1 AS INT)) AS s))))
+        END"""))
       .as("e"))
-      .select(col("e.i").as("i"), col("e.j").as("j"), col("e.p").as("p"))
-    val moments = entries.groupBy("i", "j")
-      .agg(sum("p").as("s"), count(lit(1)).as("n"))
+      .select(col("n"), col("e.i").as("i"), col("e.j").as("j"), col("e.s").as("s"))
     // d-row frames: per-dim sums and exact variance numerators
-    val dims = moments.filter(col("j") === -1)
-      .select(col("i").as("d_i"), col("s").as("sum_q"), col("n"))
+    val dims = res.select(col("nn"), posexplode(col("sums")))
+      .select(col("pos").as("d_i"), col("col").as("sum_q"), col("nn").as("n"))
     val diag = moments.filter(col("j") === col("i"))
       .select(col("i").as("v_i"), col("s").as("s_ii"))
       .join(broadcast(dims), col("v_i") === col("d_i"))

@@ -783,18 +783,20 @@ class SimilaritySpec extends AnyFunSuite {
   }
 
   test("hubnessTopHubs: planted hub collects every sampled slot it can; self excluded") {
-    // vec 0 is the sampled query (0 % 1 handled via sampleMod=2: 0 and 2
-    // sampled); vec 1 duplicates the axis -> tops every list it's in
+    // the fixed-count sample takes the first maxQueries ids by
+    // sha256('hubq:' id): over {0,1,2,3} that hash order is [2,1,0,3],
+    // so maxQueries=2 samples queries {2, 1}
     val df = Seq(
       (0L, Array(1f, 0f, 0f)), (1L, Array(1f, 0f, 0f)),
       (2L, Array(0f, 1f, 0f)), (3L, Array(0.9f, 0.1f, 0f)))
       .toDF("vec_id", "embedding")
-    val got = Similarity.hubnessTopHubs(df, k = 2, sampleMod = 2, maxHubs = 10)
+    val got = Similarity.hubnessTopHubs(df, k = 2, maxQueries = 2, maxHubs = 10)
       .as[(Long, Long, Double)].collect().toSeq
-    // queries 0 and 2; each list has 2 slots -> 4 slots total. Query 0's
-    // top-2: vec 1 (cos 1), vec 3; query 2's top-2: by cosine to y-axis:
-    // vec 3 (0.1105), then ties at 0 -> vec 0. Occurrences: v1:1, v3:2, v0:1
-    assert(got == Seq((3L, 2L, 0.5), (0L, 1L, 0.25), (1L, 1L, 0.25)))
+    // queries 1 and 2; each list has 2 slots -> 4 slots total. Query 1's
+    // top-2: vec 0 (cos 1), vec 3 (0.9939); query 2's top-2 by cosine to
+    // the y-axis: vec 3 (0.1105), then ties at 0 -> vec 0 by id.
+    // Occurrences: v0:2, v3:2
+    assert(got == Seq((0L, 2L, 0.5), (3L, 2L, 0.5)))
     // fixture: no self rows, shares sum to <= 1, partition-invariant
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
       .select("vec_id", "embedding")
