@@ -287,6 +287,8 @@ object ScaleRehearsal {
         Similarity.kCenterCoreset(emb).queryExecution.toRdd.count() }
       time(s"$tag lift") {
         Similarity.liftTable(lab).queryExecution.toRdd.count() }
+      time(s"$tag auc") {
+        Similarity.separabilityAuc(lab).queryExecution.toRdd.count() }
       time(s"$tag calibration") {
         Similarity.calibrationTable(lab).queryExecution.toRdd.count() }
       time(s"$tag embedCov") {
