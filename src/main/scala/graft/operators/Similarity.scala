@@ -159,6 +159,18 @@ object Similarity {
     val items = vecs.select(col("vec_id"), col("embedding"), col("label"))
     val queries = vecs.select(col("vec_id").as("query_id"),
       col("embedding").as("query_embedding"), col("label").as("query_label"))
+    labelNoiseFromCandidates(knnCandidates(items, queries, k), k)
+  }
+
+  /** The per-query top-`k` labeled neighbour candidates shared by
+    * [[knnLabelNoise]], [[knnConfusion]] and their streaming maintainers:
+    * (query_id, query_label, vec_id, label, fx) rows, `k` per query,
+    * ranked by the 2^30 fixed-point cosine with vec_id tie-break, self
+    * excluded. This frame is the audits' MERGEABLE state: the top-k over
+    * a union corpus equals the top-k of unioned per-partial top-k's (the
+    * KMV k-min argument), so per-epoch candidate partials fold exactly. */
+  private[graft] def knnCandidates(items: DataFrame, queries: DataFrame,
+                                   k: Int): DataFrame = {
     val scored = cosineScores(items, queries)
       .filter(col("vec_id") =!= col("query_id"))
       .withColumn("fx", expr("CAST(floor(score * 1073741824.0 + 0.5) AS BIGINT)"))
@@ -166,6 +178,27 @@ object Similarity {
         col("label"), col("fx"))
     graft.plans.GroupedTopK(scored,
         Seq(col("query_id")), Seq(desc("fx"), asc("vec_id")), k)
+      .select("query_id", "query_label", "vec_id", "label", "fx")
+  }
+
+  /** The fixed-count hash-ordered probe sample both audits query with:
+    * first `maxQueries` vec_ids by sha256('knnq:' id) — deterministic on
+    * any engine, a TakeOrderedAndProject top-maxQueries, bounded
+    * regardless of corpus size. */
+  def knnProbes(vecs: DataFrame, maxQueries: Int): DataFrame = {
+    require(maxQueries >= 1, s"bad maxQueries: $maxQueries")
+    vecs.select(col("vec_id"), col("embedding"), col("label"),
+        sha2(concat(lit("knnq:"), col("vec_id").cast("string")), 256).as("__h"))
+      .orderBy(col("__h"), col("vec_id")).limit(maxQueries)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_embedding"), col("label").as("query_label"))
+  }
+
+  /** [[knnLabelNoise]]'s per-query disagreement fold over a candidate
+    * frame (from [[knnCandidates]] or a folded streaming state). */
+  private[graft] def labelNoiseFromCandidates(cands: DataFrame,
+                                              k: Int): DataFrame =
+    cands
       .groupBy("query_id", "query_label")
       .agg(sum(when(col("label") =!= col("query_label"), 1L).otherwise(0L))
         .as("n_disagree"))
@@ -173,7 +206,6 @@ object Similarity {
         col("n_disagree"),
         expr(s"round(CAST(n_disagree AS DOUBLE) / $k, 6)").as("disagree"),
         (col("n_disagree") * 2 > k).as("suspect"))
-  }
 
   /** kNN-classifier confusion matrix — the standard eval artifact over an
     * embedding space: each vector's predicted label is the MAJORITY among
@@ -201,21 +233,18 @@ object Similarity {
   def knnConfusion(vecs: DataFrame, k: Int = 4,
                    maxQueries: Int = 4096): DataFrame = {
     require(k >= 1 && k <= 64, s"k must be in [1, 64]: $k")
-    require(maxQueries >= 1, s"bad maxQueries: $maxQueries")
     val items = vecs.select(col("vec_id"), col("embedding"), col("label"))
-    val queries = vecs
-      .select(col("vec_id"), col("embedding"), col("label"),
-        sha2(concat(lit("knnq:"), col("vec_id").cast("string")), 256).as("__h"))
-      .orderBy(col("__h"), col("vec_id")).limit(maxQueries)
-      .select(col("vec_id").as("query_id"),
-        col("embedding").as("query_embedding"), col("label").as("query_label"))
-    val scored = cosineScores(items, queries)
-      .filter(col("vec_id") =!= col("query_id"))
-      .withColumn("fx", expr("CAST(floor(score * 1073741824.0 + 0.5) AS BIGINT)"))
-      .select(col("query_id"), col("query_label"), col("vec_id"),
-        col("label"), col("fx"))
-    val votes = graft.plans.GroupedTopK(scored,
-        Seq(col("query_id")), Seq(desc("fx"), asc("vec_id")), k)
+    confusionFromCandidates(
+      knnCandidates(items, knnProbes(vecs, maxQueries), k))
+  }
+
+  /** [[knnConfusion]]'s majority-vote → cell fold over a candidate frame
+    * (from [[knnCandidates]] or a folded streaming state): per-query
+    * label votes, majority with (votes desc, label asc) tie-break through
+    * a second GroupedTopK — never a window over the corpus — then
+    * (actual, predicted) cell counts with row-normalized fractions. */
+  private[graft] def confusionFromCandidates(cands: DataFrame): DataFrame = {
+    val votes = cands
       .groupBy("query_id", "query_label", "label")
       .agg(count(lit(1)).as("votes"))
     val predicted = graft.plans.GroupedTopK(

@@ -1192,6 +1192,72 @@ object Streams {
         .agg(max("last_ts").as("last_ts"), sum("frequency").as("frequency"),
           sum("monetary_cents").as("monetary_cents")))
 
+  /** Landing-dir schema for labeled embedding batches (the kNN-audit
+    * maintainer's input) — the [[embeddingsSchema]] invariant plus the
+    * class label the audits vote on. */
+  val labeledEmbeddingsSchema: String =
+    "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT"
+
+  /** Streaming kNN-audit maintenance — the incremental form of
+    * `Similarity.knnConfusion` and `Similarity.knnLabelNoise` for a
+    * PINNED probe set against a growing corpus (the production shape:
+    * the probes are the labeled eval sample — `Similarity.knnProbes`'
+    * fixed-count hash-ordered draw, or any frozen benchmark set — and
+    * each arriving embedding batch may change their neighbourhoods).
+    *
+    * State = per-probe top-`k` labeled neighbour candidates. Top-k rows
+    * are k-bounded MERGEABLE state (the KMV k-min argument: the top-k
+    * over a union corpus equals the top-k of unioned per-batch top-k's),
+    * so each micro-batch scores probes × batch through the same
+    * GroupedTopK path as the batch audit and writes ≤ |probes|·k rows
+    * under its epoch partition ([[epochPartials]] scaffold — retries
+    * replace their own partition). Readers fold with ONE more
+    * GroupedTopK over the ≤ epochs·|probes|·k state rows; no arriving
+    * batch is ever rescanned. */
+  def streamingKnnAudit(vecs: DataFrame, probes: DataFrame,
+                        statePath: String, checkpointDir: String,
+                        k: Int = 4): StreamingQuery =
+    epochPartials(vecs, statePath, checkpointDir)(b =>
+      graft.operators.Similarity.knnCandidates(
+        b.select("vec_id", "embedding", "label"), probes, k))
+
+  /** The maintained per-probe top-`k` candidate state, folded: one more
+    * GroupedTopK collapses the per-epoch partials to the exact top-k over
+    * everything that has arrived. `k` must match the maintainer's. */
+  def knnCandidatesAt(spark: SparkSession, statePath: String,
+                      k: Int = 4): DataFrame =
+    graft.plans.GroupedTopK(
+        epochsAt(spark, statePath)
+          .select("query_id", "query_label", "vec_id", "label", "fx"),
+        Seq(col("query_id")), Seq(desc("fx"), asc("vec_id")), k)
+      .select("query_id", "query_label", "vec_id", "label", "fx")
+
+  /** The confusion matrix from the maintained state — byte-identical to
+    * batch `knnConfusion` over the union corpus with the same probes. */
+  def knnConfusionAt(spark: SparkSession, statePath: String,
+                     k: Int = 4): DataFrame =
+    graft.operators.Similarity.confusionFromCandidates(
+      knnCandidatesAt(spark, statePath, k))
+
+  /** The per-probe label-noise audit from the maintained state —
+    * byte-identical to batch `knnLabelNoise` over the union corpus when
+    * the probes are the full collection. */
+  def knnLabelNoiseAt(spark: SparkSession, statePath: String,
+                      k: Int = 4): DataFrame =
+    graft.operators.Similarity.labelNoiseFromCandidates(
+      knnCandidatesAt(spark, statePath, k), k)
+
+  /** Compaction for the kNN-audit candidate epochs — same contract; the
+    * fold is the per-probe top-k merge, so the single surviving
+    * partition IS the exact maintained candidate set. */
+  def compactKnnAuditAt(spark: SparkSession, statePath: String,
+                        k: Int = 4): Unit =
+    compactEpochs(spark, statePath)(df =>
+      graft.plans.GroupedTopK(
+          df.select("query_id", "query_label", "vec_id", "label", "fx"),
+          Seq(col("query_id")), Seq(desc("fx"), asc("vec_id")), k)
+        .select("query_id", "query_label", "vec_id", "label", "fx"))
+
   /** Per-user session windows with a 30-minute gap. */
   def sessionCounts(events: DataFrame, gap: String = "30 minutes"): DataFrame =
     events.withWatermark("ts", "30 minutes")

@@ -780,6 +780,40 @@ class StreamingSpec extends AnyFunSuite {
     ev.unpersist()
   }
 
+  test("streamingKnnAudit: folded candidate partials answer the same confusion and noise as batch; compaction preserves it") {
+    val tmp = Files.createTempDirectory("graft-stream-knn").toString
+    val (landing, statePath, ckpt) = (s"$tmp/landing", s"$tmp/cands", s"$tmp/ckpt")
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label").cache()
+    // split by vec_id parity so every probe's top-k straddles both
+    // batches — the per-probe top-k MERGE is what's under test
+    emb.filter($"vec_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    emb.filter($"vec_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    // pinned probe set = the batch audits' own hash-ordered sample; at
+    // 500 < 4096 vectors it covers the collection, so the maintained
+    // state must reproduce BOTH batch audits exactly
+    val probes = operators.Similarity.knnProbes(emb, 4096).cache()
+    val stream = spark.readStream.schema(Streams.labeledEmbeddingsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingKnnAudit(stream, probes, statePath, ckpt, k = 4)
+      .awaitTermination(120000)
+    assert(spark.read.parquet(statePath).select("epoch").distinct().count() >= 2)
+    val batchConf = operators.Similarity.knnConfusion(emb, k = 4)
+      .as[(Int, Int, Long, Double)].collect().toSet
+    val batchNoise = operators.Similarity.knnLabelNoise(emb, k = 4)
+      .as[(Long, Int, Long, Double, Boolean)].collect().toSet
+    assert(batchConf.nonEmpty && batchNoise.nonEmpty)
+    assert(Streams.knnConfusionAt(spark, statePath, k = 4)
+      .as[(Int, Int, Long, Double)].collect().toSet == batchConf)
+    assert(Streams.knnLabelNoiseAt(spark, statePath, k = 4)
+      .as[(Long, Int, Long, Double, Boolean)].collect().toSet == batchNoise)
+    Streams.compactKnnAuditAt(spark, statePath, k = 4)
+    assert(spark.read.parquet(statePath).select("epoch").distinct().count() == 1)
+    assert(Streams.knnConfusionAt(spark, statePath, k = 4)
+      .as[(Int, Int, Long, Double)].collect().toSet == batchConf)
+    probes.unpersist(); emb.unpersist()
+  }
+
   test("streamingNovelty: per-batch novelty over ordered arrival equals batch shingleNovelty") {
     val tmp = Files.createTempDirectory("graft-stream-novelty").toString
     val (landing, statePath, outPath, ckpt) =
