@@ -1370,6 +1370,16 @@ object SparkEntry {
     // Laplace-smoothed terms re-fixed at 2^20 before the sum
     "q237_psi_drift" -> ((s, dir) =>
       graft.operators.EventAnalytics.psiDrift(Tables.events(tune(s), dir))),
+    // extension: dominant eigen-direction probe — fixed-point power
+    // iteration on the exact covariance numerators (one CovMomentsAgg
+    // corpus pass, then d²-bounded joins), top-|loading| dims + shares
+    "q240_spectral_probe" -> ((s, dir) =>
+      Similarity.dominantEigenProbe(emb(s, dir).select("embedding"))),
+    // extension: robust MAD outlier audit per event type — exact
+    // nearest-rank median + MAD through the distributed-rank path,
+    // integer outlier rule, one division
+    "q241_mad_outliers" -> ((s, dir) =>
+      graft.operators.EventAnalytics.madOutliers(Tables.events(tune(s), dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -4711,6 +4721,70 @@ SELECT s AS event_type, p_fx,
   round(CAST(p_fx AS DOUBLE) / 1048576.0, 6) AS p
 FROM p3 ORDER BY 1"""
     },
+    // Spectral probe: the q223 moment CTEs, the covariance numerators
+    // mirrored to the full matrix, 2^20 pre-scale by max |entry|
+    // (sign-safe floor division through HUGEINT — Spark routes the same
+    // multiply through DECIMAL(38,0)), three unrolled power-iteration
+    // steps, top-5 by (|loading| desc, dim)
+    "q240_spectral_probe" -> {
+      def scale(v: String, m: String) =
+        s"""CASE WHEN $m = 0 THEN 0
+          WHEN $v < 0 THEN -CAST(CAST(-($v) AS HUGEINT) * 1048576 // $m AS BIGINT)
+          ELSE CAST(CAST($v AS HUGEINT) * 1048576 // $m AS BIGINT) END"""
+      def step(xin: String, y: String, my: String, xout: String) =
+        s"""$y AS (SELECT cx.i, CAST(sum(cx.cfx * $xin.xv) AS BIGINT) AS y
+    FROM cx JOIN $xin ON cx.j = $xin.jj GROUP BY 1),
+  $my AS (SELECT CAST(coalesce(max(abs(y)), 0) AS BIGINT) AS mv FROM $y),
+  $xout AS (SELECT i AS jj, ${scale("y", "mv")} AS xv
+    FROM $y CROSS JOIN $my)"""
+      s"""WITH q AS (SELECT vec_id, CAST(di.i - 1 AS INTEGER) AS i,
+    CAST(floor(CAST(embedding[di.i] AS DOUBLE) * 1024 + 0.5) AS BIGINT) AS qv
+    FROM embeddings CROSS JOIN range(1, 65) di(i)),
+  m AS (SELECT i, CAST(sum(qv) AS BIGINT) AS sq,
+      CAST(count(*) AS BIGINT) AS n FROM q GROUP BY 1),
+  pr AS (SELECT a.i AS i, b.i AS j, CAST(sum(a.qv * b.qv) AS BIGINT) AS s
+    FROM q a JOIN q b ON a.vec_id = b.vec_id AND b.i >= a.i GROUP BY 1, 2),
+  cu AS (SELECT p.i, p.j, CAST(ma.n * p.s - ma.sq * mb.sq AS BIGINT) AS c
+    FROM pr p JOIN m ma ON p.i = ma.i JOIN m mb ON p.j = mb.i),
+  cf AS (SELECT i, j, c FROM cu
+    UNION ALL SELECT j, i, c FROM cu WHERE j > i),
+  mc AS (SELECT CAST(coalesce(max(abs(c)), 0) AS BIGINT) AS mv FROM cf),
+  cx AS (SELECT i, j, ${scale("c", "mv")} AS cfx FROM cf CROSS JOIN mc),
+  x0 AS (SELECT i AS jj, CAST(1048576 AS BIGINT) AS xv FROM m),
+  ${step("x0", "y1", "m1", "x1")},
+  ${step("x1", "y2", "m2", "x2")},
+  ${step("x2", "y3", "m3", "x3")},
+  t AS (SELECT CAST(coalesce(sum(abs(xv)), 0) AS BIGINT) AS t FROM x3)
+SELECT CAST(jj AS INTEGER) AS dim, xv AS loading_fx,
+  CASE WHEN t = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE round(CAST(abs(xv) AS DOUBLE) / t, 6) END AS share
+FROM x3 CROSS JOIN t ORDER BY abs(xv) DESC, dim LIMIT 5"""
+    },
+    // MAD outliers: same (n+1)//2 nearest-rank medians over the
+    // (value, event_id) total order, same integer madK rule
+    "q241_mad_outliers" ->
+      """WITH i AS (SELECT event_type AS g, event_id,
+      CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+  n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM i GROUP BY 1),
+  r AS (SELECT g, cents,
+      row_number() OVER (PARTITION BY g ORDER BY cents, event_id) AS rk FROM i),
+  med AS (SELECT r.g, r.cents AS med_cents
+    FROM r JOIN n ON r.g = n.g AND r.rk = (n.n + 1) // 2),
+  d AS (SELECT i.g, i.event_id, i.cents, med.med_cents,
+      abs(i.cents - med.med_cents) AS adev
+    FROM i JOIN med ON i.g = med.g),
+  r2 AS (SELECT g, adev,
+      row_number() OVER (PARTITION BY g ORDER BY adev, event_id) AS rk FROM d),
+  mad AS (SELECT r2.g, r2.adev AS mad_cents
+    FROM r2 JOIN n ON r2.g = n.g AND r2.rk = (n.n + 1) // 2)
+SELECT d.g AS event_type, CAST(count(*) AS BIGINT) AS n,
+  min(d.med_cents) AS med_cents, min(mad.mad_cents) AS mad_cents,
+  CAST(sum(CASE WHEN d.adev > 3 * mad.mad_cents THEN 1 ELSE 0 END) AS BIGINT)
+    AS n_outliers,
+  round(CAST(sum(CASE WHEN d.adev > 3 * mad.mad_cents THEN 1 ELSE 0 END)
+    AS DOUBLE) / count(*), 6) AS outlier_frac
+FROM d JOIN mad ON d.g = mad.g
+GROUP BY 1 ORDER BY 1""",
     // Dup coverage: the q185 block construction verbatim, rolled up to
     // sources through the doc join
     "q236_dup_coverage" ->

@@ -416,6 +416,54 @@ object EventAnalytics {
         col("n_new_users"), col("cum_users"))
   }
 
+  /** Robust per-type outlier audit via median absolute deviation — the
+    * anomaly screen a metrics pipeline should run instead of z-scores
+    * when the value distribution has heavy tails (the mean and stddev a
+    * z-score leans on are themselves dragged by the outliers; the median
+    * and MAD are 50%-breakdown robust). Per event type: the exact lower
+    * median of cent values, the exact MAD, and how many rows sit more
+    * than `madK` MADs from the median.
+    *
+    * Exactness: cents are integers, both medians are the value at rank
+    * `(n+1) DIV 2` of a (value, event_id)-tie-broken total order (the
+    * nearest-rank lower-median convention — rank arithmetic identical on
+    * both engines), and the outlier rule `|cents − med| > madK·mad` is
+    * pure integer comparison; the single double is one count division.
+    *
+    * Shape at scale: a handful of event types means per-type window
+    * ranks would sort the whole stream in ≤|types| tasks (the q211
+    * defect class), so both value-at-rank extractions ride
+    * [[Ranks.distributedRank]] — two range exchanges over all cores, two
+    * |types|-row broadcasts back, one final partial-aggregated rollup. */
+  def madOutliers(events: DataFrame, madK: Int = 3): DataFrame = {
+    require(madK >= 1, s"bad madK: $madK")
+    val items = events.select(col("event_type").as("g"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val nPer = items.groupBy("g").agg(count(lit(1)).as("n"))
+    val med = Ranks.distributedRank(items, Seq("g"),
+        Seq(col("cents"), col("event_id")), "rk")
+      .join(broadcast(nPer), "g")
+      .filter(col("rk") === expr("(n + 1) DIV 2"))
+      .select(col("g"), col("cents").as("med_cents"))
+    val dev = items.join(broadcast(med), "g")
+      .withColumn("adev", abs(col("cents") - col("med_cents")))
+    val mad = Ranks.distributedRank(dev, Seq("g"),
+        Seq(col("adev"), col("event_id")), "rk")
+      .join(broadcast(nPer), "g")
+      .filter(col("rk") === expr("(n + 1) DIV 2"))
+      .select(col("g"), col("adev").as("mad_cents"))
+    dev.join(broadcast(mad), "g")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n"), min("med_cents").as("med_cents"),
+        min("mad_cents").as("mad_cents"),
+        sum(when(col("adev") > col("mad_cents") * madK, 1L).otherwise(0L))
+          .as("n_outliers"))
+      .select(col("g").as("event_type"), col("n"), col("med_cents"),
+        col("mad_cents"), col("n_outliers"),
+        expr("round(CAST(n_outliers AS DOUBLE) / n, 6)").as("outlier_frac"))
+      .orderBy("event_type")
+  }
+
   /** First-order Markov transition counts and probabilities between
     * consecutive events per user: one lag window on the (ts, event_id)
     * total order, one (from, to) aggregate, row-marginal probabilities as

@@ -194,6 +194,24 @@ object Similarity {
         col("embedding").as("query_embedding"), col("label").as("query_label"))
   }
 
+  /** [[hubnessTopHubs]]' k-occurrence fold over a candidate frame (from
+    * [[knnCandidates]] or a folded streaming state) — the audit's
+    * aggregation half, reusable wherever per-query neighbour lists
+    * already exist (the maintained streaming state, an ANN index's
+    * materialized lists). Note the candidate rank is the 2^30 fixed-point
+    * cosine (the audit-family convention), where the one-shot
+    * [[hubnessTopHubs]] ranks raw doubles — identical except for
+    * sub-quantum ties. */
+  private[graft] def hubnessFromCandidates(cands: DataFrame,
+                                           maxHubs: Int = 20): DataFrame = {
+    val occ = cands.groupBy("vec_id").agg(count(lit(1)).as("k_occ"))
+    val slots = cands.agg(count(lit(1)).as("n_slots"))
+    occ.join(broadcast(slots))
+      .select(col("vec_id"), col("k_occ"),
+        expr("round(CAST(k_occ AS DOUBLE) / n_slots, 6)").as("slot_share"))
+      .orderBy(desc("k_occ"), asc("vec_id")).limit(maxHubs)
+  }
+
   /** [[knnLabelNoise]]'s per-query disagreement fold over a candidate
     * frame (from [[knnCandidates]] or a folded streaming state). */
   private[graft] def labelNoiseFromCandidates(cands: DataFrame,
@@ -1851,5 +1869,87 @@ object Similarity {
           END""").as("corr"))
       .orderBy(expr("abs(corr)").desc_nulls_last, col("i").asc, col("j").asc)
       .limit(k)
+  }
+
+  /** Dominant eigen-direction probe of the corpus covariance — the
+    * "where does the variance actually point" companion to
+    * [[embeddingCovariance]]: a few fixed-point power-iteration steps on
+    * the exact covariance-numerator matrix, reporting the top-|loading|
+    * dimensions of the leading principal direction. An anisotropic
+    * embedding space (one direction hoarding the variance — the common
+    * "rogue dimension" pathology) shows up as a handful of dims owning
+    * the loading mass; a healthy space spreads it.
+    *
+    * Deterministic and oracle-exact: the moment fold is [[CovMomentsAgg]]
+    * (exact BIGINT), the matrix is pre-scaled to 2^20 fixed point by its
+    * own max |entry| and every iteration renormalizes the same way —
+    * sign-safe floor division (negate → divide nonnegative → negate, so
+    * Spark's truncating DIV and DuckDB's flooring `//` agree), with the
+    * one overflow-prone multiply (|value| × 2^20 can pass 2^63) routed
+    * through DECIMAL(38,0) / HUGEINT. A FIXED `iters` (no convergence
+    * test) keeps both engines on the identical arithmetic path — the
+    * q239 Markov convention. Zero-variance corpora short-circuit to zero
+    * loadings (max = 0 guard), empty corpora to zero rows.
+    *
+    * Shape at scale: ONE corpus pass (the mergeable moment fold), then
+    * everything — matrix build, each y = C·x step (a d²-row join against
+    * a d-row broadcast), renormalization — is d²-bounded regardless of
+    * row count. Output: top `topDims` by (|loading| desc, dim), with
+    * each dim's share of total |loading|. */
+  def dominantEigenProbe(items: DataFrame, iters: Int = 3,
+                         topDims: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 16, s"bad iters: $iters")
+    require(topDims >= 1, s"bad topDims: $topDims")
+    def scaleSql(v: String, m: String) =
+      s"""CASE WHEN $m = 0 THEN 0L
+        WHEN $v < 0 THEN -CAST(CAST(-$v AS DECIMAL(38,0)) * 1048576 DIV $m AS BIGINT)
+        ELSE CAST(CAST($v AS DECIMAL(38,0)) * 1048576 DIV $m AS BIGINT) END"""
+    val covAgg = udaf(CovMomentsAgg)
+    val withQ = items.select(expr("transform(embedding, v -> " +
+      "CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT))").as("q"))
+    val res = PlanCache.memo(withQ.agg(covAgg(col("q")).as("m"))
+      .select(col("m.n").as("nn"), col("m.sums").as("sums"),
+        col("m.prods").as("prods")))
+    val dims = res.select(col("nn"), posexplode(col("sums")))
+      .select(col("pos").as("d_i"), col("col").as("sum_q"), col("nn"))
+    val upper = res.select(col("nn").as("n"), explode(expr(
+      """CASE WHEN size(sums) = 0 THEN
+          CAST(array() AS ARRAY<STRUCT<i: INT, j: INT, s: BIGINT>>)
+        ELSE flatten(transform(sequence(0, size(sums) - 1), i ->
+          transform(sequence(i, size(sums) - 1), j ->
+            struct(i AS i, j AS j, element_at(prods, CAST(
+              i * size(sums) - i * (i - 1) DIV 2 + (j - i) + 1 AS INT)) AS s))))
+        END""")).as("e"))
+      .select(col("n"), col("e.i").as("i"), col("e.j").as("j"), col("e.s").as("s"))
+    val cUpper = upper
+      .join(broadcast(dims.select(col("d_i"), col("sum_q").as("sq_i"))),
+        col("i") === col("d_i"))
+      .join(broadcast(dims.select(col("d_i").as("d_j"), col("sum_q").as("sq_j"))),
+        col("j") === col("d_j"))
+      .select(col("i"), col("j"),
+        (col("n") * col("s") - col("sq_i") * col("sq_j")).as("c"))
+    val cFull = cUpper.union(
+      cUpper.filter(col("j") > col("i"))
+        .select(col("j").as("i"), col("i").as("j"), col("c")))
+    val maxC = cFull.agg(coalesce(max(abs(col("c"))), lit(0L)).as("mv"))
+    // memoized: the iteration below re-reads the scaled matrix `iters`
+    // times — one materialization, not `iters` rebuilds of the corpus agg
+    val cFx = PlanCache.memo(cFull.join(broadcast(maxC))
+      .select(col("i"), col("j"), expr(scaleSql("c", "mv")).as("cfx")))
+    var x = dims.select(col("d_i").as("jj"), lit(1048576L).as("xv"))
+    for (_ <- 1 to iters) {
+      val y = cFx.join(broadcast(x), col("j") === col("jj"))
+        .groupBy("i").agg(sum(expr("cfx * xv")).as("y"))
+      val mx = y.agg(coalesce(max(abs(col("y"))), lit(0L)).as("mv"))
+      x = y.join(broadcast(mx))
+        .select(col("i").as("jj"), expr(scaleSql("y", "mv")).as("xv"))
+    }
+    val tot = x.agg(coalesce(sum(abs(col("xv"))), lit(0L)).as("t"))
+    x.join(broadcast(tot))
+      .select(col("jj").cast("int").as("dim"), col("xv").as("loading_fx"),
+        expr("""CASE WHEN t = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE round(CAST(abs(xv) AS DOUBLE) / t, 6) END""").as("share"))
+      .orderBy(abs(col("loading_fx")).desc, col("dim").asc)
+      .limit(topDims)
   }
 }

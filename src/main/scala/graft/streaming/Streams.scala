@@ -1247,6 +1247,14 @@ object Streams {
     graft.operators.Similarity.labelNoiseFromCandidates(
       knnCandidatesAt(spark, statePath, k), k)
 
+  /** The hubness audit from the maintained state — k-occurrence of each
+    * vector across the probes' maintained neighbour lists (fixed-point
+    * candidate ranks, the audit-family convention). */
+  def knnHubnessAt(spark: SparkSession, statePath: String, k: Int = 4,
+                   maxHubs: Int = 20): DataFrame =
+    graft.operators.Similarity.hubnessFromCandidates(
+      knnCandidatesAt(spark, statePath, k), maxHubs)
+
   /** Compaction for the kNN-audit candidate epochs — same contract; the
     * fold is the per-probe top-k merge, so the single surviving
     * partition IS the exact maintained candidate set. */

@@ -66,6 +66,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(rows(EventAnalytics.ksDrift(ev0)) == 0)
     assert(rows(EventAnalytics.seasonalNaiveBacktest(ev0)) == 0)
     assert(rows(EventAnalytics.bootstrapCi(ev0)) == 0)
+    assert(rows(EventAnalytics.madOutliers(ev0)) == 0)
     assert(rows(EventAnalytics.stateHistory(ev0)) == 0)
   }
 
@@ -76,6 +77,7 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(rows(Similarity.calibrationTable(e)) == 0)
     assert(rows(Similarity.prototypeOutliers(e)) == 0)
     assert(rows(Similarity.embeddingCovariance(emb0.select("embedding"))) == 0)
+    assert(rows(Similarity.dominantEigenProbe(emb0.select("embedding"))) == 0)
     assert(rows(Similarity.hubnessTopHubs(emb0.select("vec_id", "embedding"))) == 0)
     assert(rows(Similarity.matryoshkaOverlap(emb0.select("vec_id", "embedding"))) == 0)
   }

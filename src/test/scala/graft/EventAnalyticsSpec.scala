@@ -517,4 +517,28 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(EventAnalytics.rfmSegments(events.repartition(7))
       .as[(Long, Long, Long, Long, Int, Int, Int, String)].collect().toSeq == fxr)
   }
+
+  test("madOutliers: hand-checked median/MAD/outlier rule; partition-invariant") {
+    // type a cents [100,200,300,10000]: n=4, rank (4+1) DIV 2 = 2 ->
+    // med=200; adev [100,0,100,9800] sorted [0,100,100,9800] rank 2 ->
+    // mad=100; |adev| > 300 only for the planted 10000 -> 1 outlier
+    val df = Seq(
+      (1L, "a", 1.0), (2L, "a", 2.0), (3L, "a", 3.0), (4L, "a", 100.0),
+      (5L, "b", 5.0), (6L, "b", 5.0), (7L, "b", 5.0))
+      .toDF("event_id", "event_type", "value")
+    val got = EventAnalytics.madOutliers(df)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    // type b: med=500, mad=0 -> any nonzero deviation would be an
+    // outlier; there are none
+    assert(got == Seq(("a", 4L, 200L, 100L, 1L, 0.25),
+      ("b", 3L, 500L, 0L, 0L, 0.0)))
+    // fixture: fracs in [0,1], med/mad nonnegative, partition-invariant
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val fxr = EventAnalytics.madOutliers(events)
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq
+    assert(fxr.nonEmpty && fxr.forall(r =>
+      r._6 >= 0 && r._6 <= 1 && r._4 >= 0))
+    assert(EventAnalytics.madOutliers(events.repartition(7))
+      .as[(String, Long, Long, Long, Long, Double)].collect().toSeq == fxr)
+  }
 }

@@ -912,4 +912,35 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.embeddingCovariance(emb.repartition(7))
       .as[(Int, Int, Long, Double)].collect().toSeq == fxr)
   }
+
+  test("dominantEigenProbe: variance-dominant dim carries the max loading; partition-invariant") {
+    // dim 0 holds nearly all the variance (±4 spread, zero mean), dim 1 a
+    // correlated ±1 ripple: the leading eigen-direction must put its
+    // max-normalized loading (2^20) on dim 0, a smaller same-sign-ratio
+    // loading on dim 1, and shares must sum to 1
+    val df = Seq(
+      (0L, Array(4f, 1f)), (1L, Array(-4f, -1f)),
+      (2L, Array(2f, 1f)), (3L, Array(-2f, -1f)))
+      .toDF("vec_id", "embedding").select("embedding")
+    val got = Similarity.dominantEigenProbe(df)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(got.length == 2)
+    assert(got.head._1 == 0 && got.head._2 == 1048576L)
+    assert(math.abs(got.head._2) >= math.abs(got(1)._2) && got(1)._2 > 0)
+    assert(math.abs(got.map(_._3.get).sum - 1.0) < 2e-6)
+    // zero-variance corpus: loadings collapse to 0, share undefined (NULL)
+    val flat = Seq((0L, Array(1f, 1f)), (1L, Array(1f, 1f)))
+      .toDF("vec_id", "embedding").select("embedding")
+    val z = Similarity.dominantEigenProbe(flat)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(z.map(_._2).forall(_ == 0L) && z.forall(_._3.isEmpty))
+    // fixture: top-5 rows, shares in (0, 1], partition-invariant
+    val emb = Tables.embeddings(spark, TestSpark.sf0001).select("embedding")
+    val fxr = Similarity.dominantEigenProbe(emb)
+      .as[(Int, Long, Option[Double])].collect().toSeq
+    assert(fxr.length == 5)
+    assert(fxr.forall(r => r._3.exists(s => s > 0 && s <= 1)))
+    assert(Similarity.dominantEigenProbe(emb.repartition(7))
+      .as[(Int, Long, Option[Double])].collect().toSeq == fxr)
+  }
 }

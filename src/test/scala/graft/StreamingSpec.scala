@@ -807,10 +807,20 @@ class StreamingSpec extends AnyFunSuite {
       .as[(Int, Int, Long, Double)].collect().toSet == batchConf)
     assert(Streams.knnLabelNoiseAt(spark, statePath, k = 4)
       .as[(Long, Int, Long, Double, Boolean)].collect().toSet == batchNoise)
+    // hubness rides the same state (fixed-point candidate ranks): parity
+    // vs the fold over a one-shot candidate build on the union corpus
+    val batchHubs = operators.Similarity.hubnessFromCandidates(
+        operators.Similarity.knnCandidates(emb, probes, 4))
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(batchHubs.nonEmpty)
+    assert(Streams.knnHubnessAt(spark, statePath, k = 4)
+      .as[(Long, Long, Double)].collect().toSeq == batchHubs)
     Streams.compactKnnAuditAt(spark, statePath, k = 4)
     assert(spark.read.parquet(statePath).select("epoch").distinct().count() == 1)
     assert(Streams.knnConfusionAt(spark, statePath, k = 4)
       .as[(Int, Int, Long, Double)].collect().toSet == batchConf)
+    assert(Streams.knnHubnessAt(spark, statePath, k = 4)
+      .as[(Long, Long, Double)].collect().toSeq == batchHubs)
     probes.unpersist(); emb.unpersist()
   }
 
