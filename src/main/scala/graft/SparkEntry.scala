@@ -1380,6 +1380,14 @@ object SparkEntry {
     // integer outlier rule, one division
     "q241_mad_outliers" -> ((s, dir) =>
       graft.operators.EventAnalytics.madOutliers(Tables.events(tune(s), dir))),
+    // extension: 10%-trimmed mean per event type — exact rank-bounded
+    // interior average through the distributed-rank path
+    "q242_trimmed_mean" -> ((s, dir) =>
+      graft.operators.EventAnalytics.trimmedMean(Tables.events(tune(s), dir))),
+    // extension: Gini spend concentration per event type — exact
+    // rank-moment form over per-user totals, NULL on zero-total types
+    "q243_gini" -> ((s, dir) =>
+      graft.operators.EventAnalytics.giniConcentration(Tables.events(tune(s), dir))),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -4785,6 +4793,34 @@ SELECT d.g AS event_type, CAST(count(*) AS BIGINT) AS n,
     AS DOUBLE) / count(*), 6) AS outlier_frac
 FROM d JOIN mad ON d.g = mad.g
 GROUP BY 1 ORDER BY 1""",
+    // Trimmed mean: same floor(n*p) rank cuts over the same total order
+    "q242_trimmed_mean" ->
+      """WITH i AS (SELECT event_type AS g, event_id,
+      CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+  n AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM i GROUP BY 1),
+  r AS (SELECT g, cents,
+      row_number() OVER (PARTITION BY g ORDER BY cents, event_id) AS rk FROM i),
+  k AS (SELECT r.g, n.n, r.cents
+    FROM r JOIN n ON r.g = n.g
+    WHERE r.rk > n.n * 1 // 10 AND r.rk <= n.n - n.n * 1 // 10)
+SELECT g AS event_type, min(n) AS n, CAST(count(*) AS BIGINT) AS n_kept,
+  round(CAST(sum(cents) AS DOUBLE) / count(*), 6) AS trimmed_mean_cents
+FROM k GROUP BY 1 ORDER BY 1""",
+    // Gini: same ascending (total, user_id) ranks, same exact rank-moment
+    // numerator, NULL on zero-total types
+    "q243_gini" ->
+      """WITH u AS (SELECT event_type AS g, user_id,
+      CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS x
+    FROM events GROUP BY 1, 2),
+  r AS (SELECT g, x,
+      CAST(row_number() OVER (PARTITION BY g ORDER BY x, user_id) AS BIGINT) AS rk
+    FROM u)
+SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_users,
+  CAST(sum(x) AS BIGINT) AS total_cents,
+  CASE WHEN sum(x) = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE round(CAST(2 * sum(rk * x) - (count(*) + 1) * sum(x) AS DOUBLE)
+      / (CAST(count(*) AS DOUBLE) * sum(x)), 6) END AS gini
+FROM r GROUP BY 1 ORDER BY 1""",
     // Dup coverage: the q185 block construction verbatim, rolled up to
     // sources through the doc join
     "q236_dup_coverage" ->

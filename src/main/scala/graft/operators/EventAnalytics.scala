@@ -464,6 +464,69 @@ object EventAnalytics {
       .orderBy("event_type")
   }
 
+  /** Trimmed mean per event type — the robust location estimate between
+    * the mean (0% breakdown) and the [[madOutliers]] median (50%): drop
+    * the lowest and highest `trimNum/trimDen` fraction of values by rank
+    * and average the interior. The standard way to publish a mean that a
+    * few fat-finger rows can't drag.
+    *
+    * Exactness: integer cents, trim bounds `floor(n·p)` in pure rank
+    * arithmetic over the (value, event_id)-tie-broken total order, the
+    * interior sum an exact BIGINT, one division at the end. Shape at
+    * scale: ranks via [[Ranks.distributedRank]] (the ≤|types|-task
+    * window trap again), one |types|-row broadcast of the counts, one
+    * partial-aggregated rollup. */
+  def trimmedMean(events: DataFrame, trimNum: Int = 1,
+                  trimDen: Int = 10): DataFrame = {
+    require(trimNum >= 0 && trimDen > 0 && 2 * trimNum < trimDen,
+      s"bad trim fraction: $trimNum/$trimDen")
+    val items = events.select(col("event_type").as("g"), col("event_id"),
+      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+    val nPer = items.groupBy("g").agg(count(lit(1)).as("n"))
+    Ranks.distributedRank(items, Seq("g"),
+        Seq(col("cents"), col("event_id")), "rk")
+      .join(broadcast(nPer), "g")
+      .withColumn("cut", expr(s"n * $trimNum DIV $trimDen"))
+      .filter(col("rk") > col("cut") && col("rk") <= col("n") - col("cut"))
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_kept"), min("n").as("n"),
+        sum("cents").as("kept_cents"))
+      .select(col("g").as("event_type"), col("n"), col("n_kept"),
+        expr("round(CAST(kept_cents AS DOUBLE) / n_kept, 6)")
+          .as("trimmed_mean_cents"))
+      .orderBy("event_type")
+  }
+
+  /** Gini concentration of spend per event type — the inequality audit
+    * ("do 1% of users carry half the volume?") every usage pipeline
+    * eventually needs: per type, the Gini coefficient of per-user cent
+    * totals, G = (2·Σ rank·x − (n+1)·Σx) / (n·Σx) over users ranked
+    * ascending by (total, user_id). 0 = perfectly even, →1 = one user
+    * owns everything.
+    *
+    * Exactness: one partial-aggregated shuffle to a row per (type,
+    * user), exact BIGINT rank/moment products (Σ rank·x ≤ n²·max_cents —
+    * BIGINT headroom to ~10^6 users at ~$10k each per type; beyond that
+    * the moments move to decimal, same plan), ranks via
+    * [[Ranks.distributedRank]], one division per type. Zero-total types
+    * have no defined concentration: NULL, not an ANSI divide error. */
+  def giniConcentration(events: DataFrame): DataFrame = {
+    val perUser = events
+      .select(col("event_type").as("g"), col("user_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
+      .groupBy("g", "user_id").agg(sum("cents").as("x"))
+    Ranks.distributedRank(perUser, Seq("g"),
+        Seq(col("x"), col("user_id")), "rk")
+      .groupBy("g")
+      .agg(count(lit(1)).as("n_users"), sum("x").as("total_cents"),
+        sum(col("rk") * col("x")).as("rx"))
+      .select(col("g").as("event_type"), col("n_users"), col("total_cents"),
+        expr("""CASE WHEN total_cents = 0 THEN CAST(NULL AS DOUBLE)
+          ELSE round(CAST(2 * rx - (n_users + 1) * total_cents AS DOUBLE)
+            / (CAST(n_users AS DOUBLE) * total_cents), 6) END""").as("gini"))
+      .orderBy("event_type")
+  }
+
   /** First-order Markov transition counts and probabilities between
     * consecutive events per user: one lag window on the (ts, event_id)
     * total order, one (from, to) aggregate, row-marginal probabilities as

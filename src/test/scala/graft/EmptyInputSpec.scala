@@ -67,6 +67,8 @@ class EmptyInputSpec extends AnyFunSuite {
     assert(rows(EventAnalytics.seasonalNaiveBacktest(ev0)) == 0)
     assert(rows(EventAnalytics.bootstrapCi(ev0)) == 0)
     assert(rows(EventAnalytics.madOutliers(ev0)) == 0)
+    assert(rows(EventAnalytics.trimmedMean(ev0)) == 0)
+    assert(rows(EventAnalytics.giniConcentration(ev0)) == 0)
     assert(rows(EventAnalytics.stateHistory(ev0)) == 0)
   }
 

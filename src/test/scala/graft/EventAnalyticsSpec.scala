@@ -541,4 +541,39 @@ class EventAnalyticsSpec extends AnyFunSuite {
     assert(EventAnalytics.madOutliers(events.repartition(7))
       .as[(String, Long, Long, Long, Long, Double)].collect().toSeq == fxr)
   }
+
+  test("trimmedMean: hand-checked rank cuts; partition-invariant") {
+    // cents 100..1000: n=10, cut = 10 DIV 10 = 1 -> keep ranks 2..9 =
+    // values 200..900, mean 550
+    val df = (1 to 10).map(i => (i.toLong, "a", i.toDouble))
+      .toDF("event_id", "event_type", "value")
+    val got = EventAnalytics.trimmedMean(df)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("a", 10L, 8L, 550.0)))
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val fxr = EventAnalytics.trimmedMean(events)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(fxr.nonEmpty && fxr.forall(r => r._3 <= r._2 && r._4 > 0))
+    assert(EventAnalytics.trimmedMean(events.repartition(7))
+      .as[(String, Long, Long, Double)].collect().toSeq == fxr)
+  }
+
+  test("giniConcentration: hand-checked rank-moment form; zero-total NULL; partition-invariant") {
+    // type a: user totals 100 and 300 cents ->
+    // G = (2*(1*100 + 2*300) - 3*400) / (2*400) = 0.25
+    // type b: all zero value -> no defined concentration (NULL)
+    val df = Seq(
+      (1L, "a", 1L, 1.0), (2L, "a", 2L, 3.0), (3L, "b", 3L, 0.0))
+      .toDF("event_id", "event_type", "user_id", "value")
+    val got = EventAnalytics.giniConcentration(df)
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(got == Seq(("a", 2L, 400L, Some(0.25)), ("b", 1L, 0L, None)))
+    // fixture: gini in [0, 1), partition-invariant
+    val events = Tables.events(spark, TestSpark.sf0001)
+    val fxr = EventAnalytics.giniConcentration(events)
+      .as[(String, Long, Long, Option[Double])].collect().toSeq
+    assert(fxr.nonEmpty && fxr.forall(_._4.exists(g => g >= 0 && g < 1)))
+    assert(EventAnalytics.giniConcentration(events.repartition(7))
+      .as[(String, Long, Long, Option[Double])].collect().toSeq == fxr)
+  }
 }
