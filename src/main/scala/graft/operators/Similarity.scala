@@ -295,20 +295,40 @@ object Similarity {
     * (label, half); the dim-keyed aggregate is map-side combined and the
     * final join is per-label tiny. Output: (label, n_a, n_b,
     * drift_cos). */
-  def centroidDrift(items: DataFrame, splitExpr: String = "vec_id % 2"): DataFrame = {
-    def dot(u: String, v: String) =
-      s"aggregate(zip_with($u, $v, (x, y) -> x * y), 0.0D, (acc, p) -> acc + p)"
+  def centroidDrift(items: DataFrame, splitExpr: String = "vec_id % 2"): DataFrame =
+    centroidDriftFromPartials(centroidDriftPartials(items, splitExpr))
+
+  /** The mergeable state behind [[centroidDrift]]: per-(label, half, dim)
+    * fixed-point component sums plus the per-(label, half) row count as a
+    * `dim = -1` row — everything ADDITIVE, so per-batch partials fold by
+    * one keyed sum and the streaming maintainer never rescans earlier
+    * batches. */
+  private[graft] def centroidDriftPartials(items: DataFrame,
+                                           splitExpr: String): DataFrame = {
     val q = items
       .select(col("label"), expr(splitExpr).cast("int").as("grp"),
         posexplode(col("embedding")).as(Seq("i", "v")))
       .select(col("label"), col("grp"), col("i"),
         expr("CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT)").as("q"))
-    val sums = q.groupBy("label", "grp", "i").agg(sum("q").as("s"))
-    val vecs = sums.groupBy("label", "grp")
-      .agg(expr("transform(sort_array(collect_list(struct(i, s))), p -> p.s)").as("sv"),
-        count(lit(1)).as("n_dims"))
-    val counts = items.select(col("label"), expr(splitExpr).cast("int").as("grp"))
-      .groupBy("label", "grp").agg(count(lit(1)).as("n"))
+    q.groupBy("label", "grp", "i").agg(sum("q").as("s"))
+      .unionByName(items
+        .select(col("label"), expr(splitExpr).cast("int").as("grp"))
+        .groupBy("label", "grp")
+        .agg(count(lit(1)).as("s"))
+        .withColumn("i", lit(-1)))
+  }
+
+  /** [[centroidDrift]]'s cosine assembly over a (label, grp, i, s)
+    * partial frame — one keyed sum merges any number of partials first,
+    * so the one-shot and streaming forms share this fold verbatim. */
+  private[graft] def centroidDriftFromPartials(partials: DataFrame): DataFrame = {
+    def dot(u: String, v: String) =
+      s"aggregate(zip_with($u, $v, (x, y) -> x * y), 0.0D, (acc, p) -> acc + p)"
+    val merged = partials.groupBy("label", "grp", "i").agg(sum("s").as("s"))
+    val vecs = merged.filter(col("i") >= 0).groupBy("label", "grp")
+      .agg(expr("transform(sort_array(collect_list(struct(i, s))), p -> p.s)").as("sv"))
+    val counts = merged.filter(col("i") === -1)
+      .select(col("label"), col("grp"), col("s").as("n"))
     val sides = vecs.join(counts.hint("SHUFFLE_HASH"), Seq("label", "grp"))
     val a = sides.filter(col("grp") === 0)
       .select(col("label"), col("sv").as("sa"), col("n").as("n_a"))

@@ -1255,6 +1255,31 @@ object Streams {
     graft.operators.Similarity.hubnessFromCandidates(
       knnCandidatesAt(spark, statePath, k), maxHubs)
 
+  /** Streaming centroid-drift maintenance — `Similarity.centroidDrift`'s
+    * incremental form (the "did my embedding distribution move" monitor
+    * kept live as batches arrive): per-(label, half, dim) fixed-point
+    * component sums and per-(label, half) counts are all ADDITIVE, so
+    * each micro-batch writes its partial ([[epochPartials]] scaffold) and
+    * `centroidDriftAt` folds with one keyed sum — never rescanning
+    * earlier batches. */
+  def streamingCentroidDrift(vecs: DataFrame, statePath: String,
+                             checkpointDir: String,
+                             splitExpr: String = "vec_id % 2"): StreamingQuery =
+    epochPartials(vecs, statePath, checkpointDir)(b =>
+      graft.operators.Similarity.centroidDriftPartials(
+        b.select("vec_id", "embedding", "label"), splitExpr))
+
+  /** The drift cosines from the maintained state — byte-identical to
+    * batch `centroidDrift` over everything that has arrived. */
+  def centroidDriftAt(spark: SparkSession, statePath: String): DataFrame =
+    graft.operators.Similarity.centroidDriftFromPartials(
+      epochsAt(spark, statePath).select("label", "grp", "i", "s"))
+
+  /** Compaction for the centroid-drift partial epochs — same contract. */
+  def compactCentroidDriftAt(spark: SparkSession, statePath: String): Unit =
+    compactEpochs(spark, statePath)(
+      _.groupBy("label", "grp", "i").agg(sum("s").as("s")))
+
   /** Compaction for the kNN-audit candidate epochs — same contract; the
     * fold is the per-probe top-k merge, so the single surviving
     * partition IS the exact maintained candidate set. */

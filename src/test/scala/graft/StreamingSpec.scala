@@ -824,6 +824,31 @@ class StreamingSpec extends AnyFunSuite {
     probes.unpersist(); emb.unpersist()
   }
 
+  test("streamingCentroidDrift: folded partials answer the same drift as batch; compaction preserves it") {
+    val tmp = Files.createTempDirectory("graft-stream-drift").toString
+    val (landing, statePath, ckpt) = (s"$tmp/landing", s"$tmp/drift", s"$tmp/ckpt")
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label").cache()
+    // batches split by vec_id % 3 so both drift HALVES (vec_id % 2)
+    // straddle both batches — the additive sum merge is what's under test
+    emb.filter($"vec_id" % 3 === 0).coalesce(1).write.mode("append").parquet(landing)
+    emb.filter($"vec_id" % 3 =!= 0).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.labeledEmbeddingsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingCentroidDrift(stream, statePath, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(statePath).select("epoch").distinct().count() >= 2)
+    val batchDrift = operators.Similarity.centroidDrift(emb)
+      .as[(Int, Long, Long, Double)].collect().toSet
+    assert(batchDrift.nonEmpty)
+    assert(Streams.centroidDriftAt(spark, statePath)
+      .as[(Int, Long, Long, Double)].collect().toSet == batchDrift)
+    Streams.compactCentroidDriftAt(spark, statePath)
+    assert(spark.read.parquet(statePath).select("epoch").distinct().count() == 1)
+    assert(Streams.centroidDriftAt(spark, statePath)
+      .as[(Int, Long, Long, Double)].collect().toSet == batchDrift)
+    emb.unpersist()
+  }
+
   test("streamingNovelty: per-batch novelty over ordered arrival equals batch shingleNovelty") {
     val tmp = Files.createTempDirectory("graft-stream-novelty").toString
     val (landing, statePath, outPath, ckpt) =
