@@ -1911,65 +1911,65 @@ object Similarity {
     * q239 Markov convention. Zero-variance corpora short-circuit to zero
     * loadings (max = 0 guard), empty corpora to zero rows.
     *
-    * Shape at scale: ONE corpus pass (the mergeable moment fold), then
-    * everything — matrix build, each y = C·x step (a d²-row join against
-    * a d-row broadcast), renormalization — is d²-bounded regardless of
-    * row count. Output: top `topDims` by (|loading| desc, dim), with
-    * each dim's share of total |loading|. */
+    * Shape at scale: ONE corpus pass (the mergeable [[CovMomentsAgg]]
+    * fold — the only stage whose cost depends on row count), then the
+    * iteration runs DRIVER-SIDE on the collected moment buffer: the
+    * state is d(d+3)/2 + 1 longs — bounded by the SCHEMA, not the corpus
+    * (~17 KB at d=64, ~4 MB at d=1024; the PQ-codebook tiny-table
+    * contract) — and a distributed y = C·x would spend ~2·iters barrier
+    * stages shuffling d-row frames, pure scheduling overhead. BigInt
+    * arithmetic driver-side removes even the documented decimal-fallback
+    * caveat on the matrix build. Output: top `topDims` by
+    * (|loading| desc, dim), with each dim's share of total |loading|. */
   def dominantEigenProbe(items: DataFrame, iters: Int = 3,
                          topDims: Int = 5): DataFrame = {
     require(iters >= 1 && iters <= 16, s"bad iters: $iters")
     require(topDims >= 1, s"bad topDims: $topDims")
-    def scaleSql(v: String, m: String) =
-      s"""CASE WHEN $m = 0 THEN 0L
-        WHEN $v < 0 THEN -CAST(CAST(-$v AS DECIMAL(38,0)) * 1048576 DIV $m AS BIGINT)
-        ELSE CAST(CAST($v AS DECIMAL(38,0)) * 1048576 DIV $m AS BIGINT) END"""
+    val spark = items.sparkSession
+    import spark.implicits._
     val covAgg = udaf(CovMomentsAgg)
-    val withQ = items.select(expr("transform(embedding, v -> " +
-      "CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT))").as("q"))
-    val res = PlanCache.memo(withQ.agg(covAgg(col("q")).as("m"))
-      .select(col("m.n").as("nn"), col("m.sums").as("sums"),
-        col("m.prods").as("prods")))
-    val dims = res.select(col("nn"), posexplode(col("sums")))
-      .select(col("pos").as("d_i"), col("col").as("sum_q"), col("nn"))
-    val upper = res.select(col("nn").as("n"), explode(expr(
-      """CASE WHEN size(sums) = 0 THEN
-          CAST(array() AS ARRAY<STRUCT<i: INT, j: INT, s: BIGINT>>)
-        ELSE flatten(transform(sequence(0, size(sums) - 1), i ->
-          transform(sequence(i, size(sums) - 1), j ->
-            struct(i AS i, j AS j, element_at(prods, CAST(
-              i * size(sums) - i * (i - 1) DIV 2 + (j - i) + 1 AS INT)) AS s))))
-        END""")).as("e"))
-      .select(col("n"), col("e.i").as("i"), col("e.j").as("j"), col("e.s").as("s"))
-    val cUpper = upper
-      .join(broadcast(dims.select(col("d_i"), col("sum_q").as("sq_i"))),
-        col("i") === col("d_i"))
-      .join(broadcast(dims.select(col("d_i").as("d_j"), col("sum_q").as("sq_j"))),
-        col("j") === col("d_j"))
-      .select(col("i"), col("j"),
-        (col("n") * col("s") - col("sq_i") * col("sq_j")).as("c"))
-    val cFull = cUpper.union(
-      cUpper.filter(col("j") > col("i"))
-        .select(col("j").as("i"), col("i").as("j"), col("c")))
-    val maxC = cFull.agg(coalesce(max(abs(col("c"))), lit(0L)).as("mv"))
-    // memoized: the iteration below re-reads the scaled matrix `iters`
-    // times — one materialization, not `iters` rebuilds of the corpus agg
-    val cFx = PlanCache.memo(cFull.join(broadcast(maxC))
-      .select(col("i"), col("j"), expr(scaleSql("c", "mv")).as("cfx")))
-    var x = dims.select(col("d_i").as("jj"), lit(1048576L).as("xv"))
-    for (_ <- 1 to iters) {
-      val y = cFx.join(broadcast(x), col("j") === col("jj"))
-        .groupBy("i").agg(sum(expr("cfx * xv")).as("y"))
-      val mx = y.agg(coalesce(max(abs(col("y"))), lit(0L)).as("mv"))
-      x = y.join(broadcast(mx))
-        .select(col("i").as("jj"), expr(scaleSql("y", "mv")).as("xv"))
+    val (n, sums, prods) = items.select(expr("transform(embedding, v -> " +
+        "CAST(floor(CAST(v AS DOUBLE) * 1024 + 0.5) AS BIGINT))").as("q"))
+      .agg(covAgg(col("q")).as("m"))
+      .select(col("m.n"), col("m.sums"), col("m.prods"))
+      .as[(Long, Seq[Long], Seq[Long])].head()
+    val d = sums.length
+    if (d == 0)
+      return Seq.empty[(Int, Long, Option[Double])]
+        .toDF("dim", "loading_fx", "share")
+    // exact covariance numerators, upper triangle mirrored; the sign-safe
+    // floor division mirrors the oracle's HUGEINT `//` (negate → divide
+    // nonnegative → negate, so truncation == floor on both engines)
+    val c = Array.tabulate(d, d) { (i, j) =>
+      val (a, b) = if (i <= j) (i, j) else (j, i)
+      BigInt(n) * prods(a * d - a * (a - 1) / 2 + (b - a)) -
+        BigInt(sums(i)) * sums(j)
     }
-    val tot = x.agg(coalesce(sum(abs(col("xv"))), lit(0L)).as("t"))
-    x.join(broadcast(tot))
-      .select(col("jj").cast("int").as("dim"), col("xv").as("loading_fx"),
-        expr("""CASE WHEN t = 0 THEN CAST(NULL AS DOUBLE)
-          ELSE round(CAST(abs(xv) AS DOUBLE) / t, 6) END""").as("share"))
-      .orderBy(abs(col("loading_fx")).desc, col("dim").asc)
-      .limit(topDims)
+    def scale(v: BigInt, m: BigInt): Long =
+      if (m == 0) 0L
+      else if (v < 0) -(((-v) * 1048576) / m).toLong
+      else ((v * 1048576) / m).toLong
+    val maxC = c.iterator.flatten.map(_.abs).foldLeft(BigInt(0))(_ max _)
+    val cfx = c.map(_.map(scale(_, maxC)))
+    var x = Array.fill(d)(1048576L)
+    for (_ <- 1 to iters) {
+      val y = Array.tabulate(d) { i =>
+        (0 until d).foldLeft(BigInt(0))((acc, j) =>
+          acc + BigInt(cfx(i)(j)) * x(j))
+      }
+      val mx = y.iterator.map(_.abs).foldLeft(BigInt(0))(_ max _)
+      x = y.map(scale(_, mx))
+    }
+    val tot = x.iterator.map(math.abs).sum
+    x.zipWithIndex
+      .map { case (xv, i) =>
+        // the same one double division + HALF_UP round(6) as the oracle
+        (i, xv, if (tot == 0L) None
+          else Some(BigDecimal(math.abs(xv).toDouble / tot)
+            .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      }
+      .sortBy { case (i, xv, _) => (-math.abs(xv), i) }
+      .take(topDims).toSeq
+      .toDF("dim", "loading_fx", "share")
   }
 }

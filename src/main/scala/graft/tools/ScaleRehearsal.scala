@@ -16,8 +16,8 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 8
     // optional 2nd arg: comma-separated family filter (docs, events,
-    // graph, search, r9, r10, tpch, r10b) — run ONLY those families so a
-    // new-family rehearsal doesn't pay the full ~25-minute sweep
+    // graph, search, r9, r10, tpch, r10b, r11) — run ONLY those families
+    // so a new-family rehearsal doesn't pay the full ~25-minute sweep
     val fams: Set[String] = if (args.length > 1)
       args(1).split(',').map(_.trim).filter(_.nonEmpty).toSet else Set.empty
     def fam(name: String): Boolean = fams.isEmpty || fams.contains(name)
@@ -391,6 +391,24 @@ object ScaleRehearsal {
       runR10b("1x", docsSrcFull1, ev1, emb1)
       runR10b(s"${k}x", docsSrcFullK, evK, embK)
     }
+
+    // round-11 family (q240-q243): the robust-stats trio is two range
+    // exchanges + tiny broadcasts each (row-linear, all-core); the
+    // spectral probe is one moment fold (row-linear) + d²-bounded
+    // iteration — all should stay flat-to-linear at 8x
+    def runR11(tag: String, ev: DataFrame, emb: DataFrame): Unit = {
+      val ea = graft.operators.EventAnalytics
+      time(s"$tag madOutliers") {
+        ea.madOutliers(ev).queryExecution.toRdd.count() }
+      time(s"$tag trimmedMean") {
+        ea.trimmedMean(ev).queryExecution.toRdd.count() }
+      time(s"$tag gini") {
+        ea.giniConcentration(ev).queryExecution.toRdd.count() }
+      time(s"$tag spectralProbe") {
+        Similarity.dominantEigenProbe(emb.select("embedding"))
+          .queryExecution.toRdd.count() }
+    }
+    if (fam("r11")) { runR11("1x", ev1, emb1); runR11(s"${k}x", evK, embK) }
     spark.stop()
   }
 }
