@@ -1,0 +1,89 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** JSONL document-corpus source — the other format a training-data
+  * pipeline actually receives at scale (one JSON object per line: crawl
+  * dumps, API exports, labeling-tool output). The reference reads only
+  * PDFs (`/root/reference/main.py:262-302`); this extends the same
+  * error-tolerant ingest boundary to line-delimited JSON with the same
+  * contract as [[PdfCorpusSource]]: keep every parseable row, surface —
+  * never drop silently — every malformed one.
+  *
+  * Scale rules baked in:
+  *  - the SCHEMA IS EXPLICIT. `spark.read.json` without a schema runs a
+  *    full inference pass over the data first — a second 100 TB scan
+  *    before the first real one; callers pass the expected shape
+  *    (default: the documents-table shape) and parse exactly it.
+  *  - parsing is `from_json` over a text scan, NOT the native JSON file
+  *    source: the native reader's corrupt-record column carries the
+  *    QUERY_ONLY_CORRUPT_RECORD_COLUMN restriction — even a plain
+  *    `count()` after a corrupt-null filter prunes the scan down to the
+  *    corrupt column alone and throws — while the expression form has
+  *    the identical PERMISSIVE semantics (malformed or uncoercible line
+  *    → raw text captured, parseable fields kept) with no such trap.
+  *  - JSONL is line-splittable, so the text scan parallelizes by input
+  *    split; blank lines are skipped like the native reader does.
+  */
+object JsonlCorpusSource {
+
+  /** The documents-table shape JSONL corpora default to. */
+  val documentsSchema: String =
+    "doc_id BIGINT, text STRING, lang STRING, source STRING"
+
+  private val corruptCol = "__corrupt_record"
+
+  /** Read a JSONL corpus under `path` (file or directory; `*.jsonl`
+    * glob for directories) as `schema` columns plus a `__corrupt_record`
+    * column holding the raw line where parsing or coercion failed (null
+    * on clean rows). Raises on an empty glob — the S2 "404 on empty"
+    * contract. */
+  def read(spark: SparkSession, path: String,
+           schema: String = documentsSchema): DataFrame = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val status = if (fs.exists(p)) Option(fs.getFileStatus(p)) else None
+    val isDir = status.exists(_.isDirectory)
+    val matched = status match {
+      case Some(s) if s.isDirectory =>
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(path, "*.jsonl")))
+          .toSeq.flatten
+      case Some(s) => Seq(s)
+      case None => Seq.empty
+    }
+    if (matched.isEmpty)
+      throw new IllegalArgumentException(s"No JSONL files found in $path")
+    val parsed = StructType.fromDDL(s"$schema, $corruptCol STRING")
+    val reader = spark.read
+    val lines =
+      (if (isDir) reader.option("pathGlobFilter", "*.jsonl").text(path)
+       else reader.text(path))
+        .filter(length(trim(col("value"))) > 0)
+    val dataCols = StructType.fromDDL(schema).fieldNames.toSeq
+    lines
+      .select(from_json(col("value"), parsed, Map(
+        "mode" -> "PERMISSIVE",
+        "columnNameOfCorruptRecord" -> corruptCol)).as("j"))
+      .select(dataCols.map(f => col(s"j.$f")) :+ col(s"j.$corruptCol"): _*)
+  }
+
+  /** The parseable rows of [[read]]'s output, corrupt capture dropped. */
+  def valid(raw: DataFrame): DataFrame =
+    raw.filter(col(corruptCol).isNull).drop(corruptCol)
+
+  /** The A2-style ingest fold over a raw [[read]] frame: one row of
+    * (n_valid, n_corrupt, corrupt_sample) — corrupt lines COUNTED and
+    * sampled (first `sampleK` in line order, a TakeOrderedAndProject),
+    * mirroring the PDF path's continue-on-failure report rather than
+    * silently dropping rows. */
+  def ingestReport(raw: DataFrame, sampleK: Int = 5): DataFrame =
+    raw.agg(
+        sum(when(col(corruptCol).isNull, 1L).otherwise(0L)).as("n_valid"),
+        sum(when(col(corruptCol).isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+      .crossJoin(raw.filter(col(corruptCol).isNotNull)
+        .select(col(corruptCol).as("line"))
+        .orderBy("line").limit(sampleK)
+        .agg(sort_array(collect_list("line")).as("corrupt_sample")))
+}

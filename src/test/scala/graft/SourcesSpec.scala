@@ -230,6 +230,35 @@ class SourcesSpec extends AnyFunSuite {
     assert(bad.getAs[String]("error") != null)
   }
 
+  test("JSONL source: explicit schema, corrupt lines counted not dropped, empty glob raises") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val f = tmp.resolve("corpus.jsonl")
+    java.nio.file.Files.write(f, java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "s1"}""",
+      """{"doc_id": 2, "text": "gamma", "lang": "de", "source": "s2"}""",
+      """this is not json at all""",
+      """{"doc_id": 3, "text": "delta", "lang": "en", "source": "s1"}""",
+      """{"broken": """))
+    val raw = graft.sources.JsonlCorpusSource.read(spark, tmp.toString)
+    val ok = graft.sources.JsonlCorpusSource.valid(raw)
+    assert(ok.count() == 3)
+    assert(ok.columns.toSeq == Seq("doc_id", "text", "lang", "source"))
+    assert(ok.filter($"lang" === "en").count() == 2)
+    val report = graft.sources.JsonlCorpusSource.ingestReport(raw)
+      .as[(Long, Long, Seq[String])].collect().head
+    assert(report._1 == 3L && report._2 == 2L)
+    assert(report._3.length == 2 &&
+      report._3.contains("this is not json at all"))
+    // empty glob: the S2 404 contract
+    val empty = java.nio.file.Files.createTempDirectory("graft-jsonl-empty")
+    intercept[IllegalArgumentException] {
+      graft.sources.JsonlCorpusSource.read(spark, empty.toString)
+    }
+    intercept[IllegalArgumentException] {
+      graft.sources.JsonlCorpusSource.read(spark, s"$empty/absent.jsonl")
+    }
+  }
+
   test("end-to-end: corpus dir -> extract -> ingest -> search finds the right doc") {
     val dir = mkCorpus()
     val ex = PdfCorpusSource.extract(PdfCorpusSource.corpusDir(spark, dir))
