@@ -81,6 +81,33 @@ class RanksSpec extends AnyFunSuite {
     }
   }
 
+  test("seeded random frames: every primitive equals its window form") {
+    for (seed <- Seq(3, 11)) {
+      val rnd = new scala.util.Random(seed)
+      val n = 50 + rnd.nextInt(400)
+      val parts = 2 + rnd.nextInt(9)
+      val data = Seq.tabulate(n)(i =>
+        (i.toLong, rnd.nextInt(13).toLong, rnd.nextInt(4).toString,
+          rnd.nextInt(9).toLong + 1))
+      val df = data.toDF("id", "v", "g", "w").repartition(5)
+      val got = Ranks.distributedRank(df, Seq("g"),
+          Seq(col("v").desc, col("id").asc), "rk", parts)
+        .select("id", "rk")
+      val want = df.withColumn("rk", row_number().over(
+          Window.partitionBy("g").orderBy(col("v").desc, col("id").asc))
+        .cast("long")).select("id", "rk")
+      assert(got.except(want).isEmpty && want.except(got).isEmpty,
+        s"rank mismatch at seed=$seed n=$n parts=$parts")
+      val buckets = 1 + rnd.nextInt(12)
+      val gotNt = Ranks.globalNtile(df, Seq(col("v").asc, col("id").asc),
+          buckets, "t", parts).select("id", "t")
+      val wantNt = df.withColumn("t", ntile(buckets).over(
+          Window.orderBy(col("v").asc, col("id").asc))).select("id", "t")
+      assert(gotNt.except(wantNt).isEmpty && wantNt.except(gotNt).isEmpty,
+        s"ntile mismatch at seed=$seed buckets=$buckets")
+    }
+  }
+
   test("empty input yields empty output, not a crash") {
     val e = base.limit(0)
     assert(Ranks.distributedRank(e, Seq("g"), Seq(col("id").asc), "rk").count() == 0)
