@@ -220,6 +220,26 @@ object Smoke {
     val tt = graft.operators.EventAnalytics.welchTTest(ev).collect()(0)
     println(f"== welch t (purchase vs click cents): t=${tt.getDouble(6)}%.3f df=${tt.getDouble(7)}%.1f")
 
+    // round-11 tour: robust stats through the distributed-rank path, the
+    // spectral probe over the covariance moments, and the JSONL boundary
+    val madTop = graft.operators.EventAnalytics.madOutliers(ev)
+      .orderBy(col("outlier_frac").desc).limit(1).collect()(0)
+    println(s"== mad outliers: worst type ${madTop.getString(0)} " +
+      s"frac ${madTop.get(5)} (med ${madTop.getLong(2)}c mad ${madTop.getLong(3)}c)")
+    val gini = graft.operators.EventAnalytics.giniConcentration(ev)
+      .agg(expr("round(max(gini), 4)")).collect()(0)
+    println(s"== gini spend concentration: max over types ${gini.get(0)}")
+    val spec = Similarity.dominantEigenProbe(embLab.select("embedding"))
+      .limit(3).collect().map(r => s"${r.getInt(0)}(${r.get(2)})")
+    println(s"== spectral probe top-3 dims (share): ${spec.mkString(", ")}")
+    val jtmp = java.nio.file.Files.createTempDirectory("graft-smoke-jsonl")
+    java.nio.file.Files.write(jtmp.resolve("c.jsonl"), java.util.Arrays.asList(
+      """{"doc_id": 1, "text": "smoke alpha", "lang": "en", "source": "s"}""",
+      "garbage line"))
+    val jrep = graft.sources.JsonlCorpusSource.ingestReport(
+      graft.sources.JsonlCorpusSource.read(spark, jtmp.toString)).collect()(0)
+    println(s"== jsonl ingest: ${jrep.getLong(0)} valid, ${jrep.getLong(1)} corrupt (sampled)")
+
     spark.stop()
   }
 }
