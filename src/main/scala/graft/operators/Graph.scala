@@ -155,26 +155,12 @@ object Graph {
       s"cast(conv(substr(sha2(concat('$prefix', cast(id AS string)), 256), 1, 8), 16, 10) AS bigint) % ${n}L"
     val spine = spark.range(m).select(col("id"),
       expr(draw("ne:a:")).as("ia"), expr(draw("ne:b:")).as("ib"))
-    // deterministic global node index (node asc): the selectByTokenBudget
-    // distributed-rank shape — range repartition + partition-local
-    // row_number + broadcast exclusive prefix offsets; no global window
-    val ranged = nodes.repartitionByRange(32, col("node"))
-      .withColumn("__pid", spark_partition_id())
-    val wl = org.apache.spark.sql.expressions.Window
-      .partitionBy("__pid").orderBy("node")
-    // memoized: offsets and the index join must read ONE materialization of
-    // (__pid, __rn) — separate evaluations of the range exchange can sample
-    // different partition boundaries (the equiDepthHistogram lesson)
-    val local = PlanCache.memo(
-      ranged.withColumn("__rn", row_number().over(wl).cast("long")))
-    val offs = local.groupBy("__pid").agg(count(lit(1)).as("__c"))
-      .withColumn("__off", coalesce(
-        sum("__c").over(org.apache.spark.sql.expressions.Window.orderBy("__pid")
-          .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)),
-        lit(0L)))
-      .select("__pid", "__off")
-    val indexed = PlanCache.memo(local.join(broadcast(offs), Seq("__pid"))
-      .select((col("__rn") - 1 + col("__off")).as("idx"), col("node")))
+    // deterministic global node index (node asc): Ranks.distributedRank
+    // (range repartition + partition-local row_number + broadcast
+    // exclusive prefix offsets; no global window), shifted to 0-based
+    val indexed = PlanCache.memo(
+      Ranks.distributedRank(nodes, Seq.empty, Seq(asc("node")), "__rk")
+        .select((col("__rk") - 1).as("idx"), col("node")))
     val cand = spine
       .join(indexed.select(col("idx").as("ia"), col("node").as("na"))
         .hint("SHUFFLE_HASH"), Seq("ia"))

@@ -130,38 +130,23 @@ object Sampling {
   /** Data selection under a global token budget: keep the highest-quality
     * documents until `budgetTokens` (a document is kept iff its sequence
     * STARTS inside the budget — the packing convention). The global order
-    * (quality desc, doc_id) needs a global running sum, computed as a
-    * DISTRIBUTED prefix sum: range-repartition on the order keys (global
-    * order across partitions), a partition-local running-sum window, and a
-    * broadcast join of the tiny per-partition offsets — never a
-    * single-partition global window. doc_id uniqueness makes the order
-    * total, so results are identical whatever range boundaries the
-    * partitioner samples. Output: (doc_id, quality, n_tokens,
-    * start_offset). */
+    * (quality desc, doc_id) needs a global running sum — each document's
+    * start offset is exactly the EXCLUSIVE prefix sum of token counts
+    * over that order, i.e. [[Ranks.exclusivePrefixSum]] (range exchange +
+    * parallel local windows + an nPartitions-row offsets broadcast, never
+    * a single-partition global window; this operator is where the
+    * pattern was first built, now factored into Ranks). doc_id
+    * uniqueness makes the order total, so results are identical whatever
+    * range boundaries the partitioner samples. Output: (doc_id, quality,
+    * n_tokens, start_offset). */
   def selectByTokenBudget(docs: DataFrame, budgetTokens: Long,
                           nPartitions: Int = 32): DataFrame = {
     require(budgetTokens > 0 && nPartitions > 0)
     val scored = TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("quality"), col("n_tokens").cast("long").as("n_tokens"))
-    val ranged = scored
-      .repartitionByRange(nPartitions, col("quality").desc, col("doc_id").asc)
-      .withColumn("__pid", spark_partition_id())
-    val wLocal = Window.partitionBy("__pid").orderBy(desc("quality"), asc("doc_id"))
-    // memoized: the offsets aggregate and the final join must read ONE
-    // materialization of (__pid, __run) — two lazy evaluations of the range
-    // exchange can sample different partition boundaries (observed in
-    // equiDepthHistogram when an upstream cache broke exchange reuse),
-    // silently misaligning offsets against the local running sums
-    val local = PlanCache.memo(ranged.withColumn("__run", sum("n_tokens").over(wLocal)))
-    // per-partition totals -> exclusive prefix offsets; nPartitions rows, so
-    // the single-partition window and the broadcast are both trivial
-    val offsets = local.groupBy("__pid").agg(max("__run").as("__total"))
-      .withColumn("__offset", coalesce(
-        sum("__total").over(Window.orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select("__pid", "__offset")
-    local.join(broadcast(offsets), Seq("__pid"))
-      .withColumn("start_offset", col("__run") - col("n_tokens") + col("__offset"))
+    Ranks.exclusivePrefixSum(scored, Seq.empty,
+        Seq(desc("quality"), asc("doc_id")), col("n_tokens"), "start_offset",
+        nPartitions)
       .filter(col("start_offset") < budgetTokens)
       .select("doc_id", "quality", "n_tokens", "start_offset")
   }
@@ -212,37 +197,25 @@ object Sampling {
     * percentile-filter form of quality selection (a global cut would let
     * one clean domain crowd out every other).
     *
-    * Ranking within each stratum is the `selectByTokenBudget` distributed
-    * shape generalized to per-stratum ranks: range-repartition on
-    * (stratum, quality desc, doc_id) — a total order, so every stratum's
-    * rows are globally ordered across partitions — then a partition-LOCAL
-    * row_number per stratum, turned global by broadcasting the tiny
-    * (partition, stratum) count table as exclusive prefix offsets. No
-    * single-partition global window, no per-stratum full sort on one node.
-    * The keep bound is `floor(n_s * frac + 0.5)` in f64 (mirrored by the
-    * oracle). Output: (doc_id, stratum, quality, rnk). */
+    * Ranking within each stratum is [[Ranks.distributedRank]] partitioned
+    * by the stratum: range-repartition on (stratum, quality desc,
+    * doc_id) — a total order, so every stratum's rows are globally
+    * ordered across partitions — with the tiny (partition, stratum)
+    * offsets broadcast back. No single-partition global window, no
+    * per-stratum full sort on one node. The keep bound is
+    * `floor(n_s * frac + 0.5)` in f64 (mirrored by the oracle). Output:
+    * (doc_id, stratum, quality, rnk). */
   def topQualityByStratum(docs: DataFrame, stratumCol: String, frac: Double,
                           nPartitions: Int = 32): DataFrame = {
     require(frac > 0.0 && frac <= 1.0 && nPartitions > 0)
     val scored = TextAnalysis.qualityScore(docs, passthrough = Seq(stratumCol))
       .select(col("doc_id"), col(stratumCol), col("quality"))
-    val ranged = scored
-      .repartitionByRange(nPartitions, col(stratumCol), desc("quality"), asc("doc_id"))
-      .withColumn("__pid", spark_partition_id())
-    val w = Window.partitionBy("__pid", stratumCol)
-      .orderBy(desc("quality"), asc("doc_id"))
-    // memoized for the same exchange-reuse reason as selectByTokenBudget
-    val local = PlanCache.memo(
-      ranged.withColumn("__rn", row_number().over(w).cast("long")))
-    val counts = local.groupBy("__pid", stratumCol).agg(count(lit(1)).as("__c"))
-    val offsets = counts.withColumn("__off", coalesce(
-        sum("__c").over(Window.partitionBy(stratumCol).orderBy("__pid")
-          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("__pid"), col(stratumCol), col("__off"))
-    val totals = counts.groupBy(stratumCol).agg(sum("__c").as("__n"))
-    local.join(broadcast(offsets), Seq("__pid", stratumCol))
-      .join(broadcast(totals), Seq(stratumCol))
-      .withColumn("rnk", col("__rn") + col("__off"))
+    val ranked = Ranks.distributedRank(scored, Seq(stratumCol),
+      Seq(desc("quality"), asc("doc_id")), "rnk", nPartitions)
+    // per-stratum totals from the ranked frame: its memoized exchange is
+    // already materialized, so this does not re-tokenize the corpus
+    val totals = ranked.groupBy(stratumCol).agg(count(lit(1)).as("__n"))
+    ranked.join(broadcast(totals), Seq(stratumCol))
       .filter(col("rnk") <=
         expr(s"CAST(floor(CAST(__n AS DOUBLE) * $frac + 0.5) AS BIGINT)"))
       .select(col("doc_id"), col(stratumCol), col("quality"), col("rnk"))
