@@ -1388,6 +1388,20 @@ object SparkEntry {
     // rank-moment form over per-user totals, NULL on zero-total types
     "q243_gini" -> ((s, dir) =>
       graft.operators.EventAnalytics.giniConcentration(Tables.events(tune(s), dir))),
+    // extension: perceptual-hash near-dup pairs — the image-dedup shape
+    // (4x16-bit bands, pigeonhole-complete for hamming <= 3, exact
+    // per-band XOR popcount verify) over the q144 signatures; every 100th
+    // payload is re-ingested under a shifted id so the miner has planted
+    // exact duplicates to find at every test SF
+    "q244_phash_pairs" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val planted = d.filter(col("doc_id") % 100 === 0)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+      val media = Multimodal.asMedia(d.unionByName(planted), "doc_id",
+        "encode(text, 'utf-8')", "raw")
+      Multimodal.phashPairs(
+        Multimodal.perceptualHash(media).select("media_id", "phash"), 3)
+    }),
     // extension: term burstiness — cf/df clumping ratio top-k (entity/
     // boilerplate term surfacing; exact integer counts, one division)
     "q184_burstiness" -> ((s, dir) => TextAnalysis.termBurstiness(docs(s, dir))),
@@ -1476,6 +1490,33 @@ object SparkEntry {
        THEN list_distinct(list_transform(range(0, len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
        ELSE [text] END AS sh FROM tok)"""
   private val dkShu = "shu AS (SELECT doc_id, unnest(sh) AS shingle FROM shl)"
+
+  /** DuckDB: the q144 aHash construction (stub-decode grid/mean/packing)
+    * over a caller-supplied `mdocs(doc_id, text)` CTE, ending in
+    * `ph(media_id, phash)` — shared by q144 and the q244 near-dup pair
+    * miner. */
+  private val dkPhash =
+    """base AS (SELECT doc_id, text, length(text) AS len,
+    CASE WHEN length(text) > 0 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b0,
+    CASE WHEN length(text) > 1 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b1
+  FROM mdocs),
+  dims AS (SELECT doc_id, text, len, 64 + len % 512 AS w, 64 + (b0 * 256 + b1) % 512 AS h FROM base),
+  grays AS (SELECT doc_id, len,
+    CASE WHEN len = 0 THEN list_transform(range(0, 64), j -> 0)
+    ELSE list_transform(range(0, 64), j ->
+      (ord(substr(text, ((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + 0) % len + 1, 1))
+     + ord(substr(text, ((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + 1) % len + 1, 1))
+     + ord(substr(text, ((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + 2) % len + 1, 1))) // 3)
+    END AS g
+  FROM dims),
+  bits AS (SELECT doc_id, g, list_sum(g) // 64 AS mean FROM grays),
+  ph AS (SELECT doc_id AS media_id,
+  list_aggregate(list_transform(range(0, 8), k ->
+    lpad(lower(hex(
+      list_sum(list_transform(range(0, 8), j ->
+        CASE WHEN g[CAST(8 * k + j + 1 AS INTEGER)] >= mean THEN CAST(2 ** j AS BIGINT) ELSE 0 END))
+    )), 2, '0')), 'string_agg', '') AS phash
+  FROM bits)"""
 
   /** DuckDB: the q170/q171 BPE scaffold — vocab + initial symbolization +
     * `merges` unrolled (pair-count, argmax, merge-apply) stages, sharing
@@ -3319,27 +3360,30 @@ FROM pos p JOIN neg n USING (query_id)""",
     // neighbour grid over the w x h x 3 byte raster, integer gray and
     // mean, LSB-first byte packing to 16 hex chars
     "q144_mm_phash" ->
-      """WITH base AS (SELECT doc_id, text, length(text) AS len,
-    CASE WHEN length(text) > 0 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b0,
-    CASE WHEN length(text) > 1 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b1
-  FROM documents),
-  dims AS (SELECT doc_id, text, len, 64 + len % 512 AS w, 64 + (b0 * 256 + b1) % 512 AS h FROM base),
-  grays AS (SELECT doc_id, len,
-    CASE WHEN len = 0 THEN list_transform(range(0, 64), j -> 0)
-    ELSE list_transform(range(0, 64), j ->
-      (ord(substr(text, ((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + 0) % len + 1, 1))
-     + ord(substr(text, ((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + 1) % len + 1, 1))
-     + ord(substr(text, ((((j // 8) * h // 8) * w + ((j % 8) * w // 8)) * 3 + 2) % len + 1, 1))) // 3)
-    END AS g
-  FROM dims),
-  bits AS (SELECT doc_id, g, list_sum(g) // 64 AS mean FROM grays)
-SELECT doc_id AS media_id, 'raw' AS format,
-  list_aggregate(list_transform(range(0, 8), k ->
-    lpad(lower(hex(
-      list_sum(list_transform(range(0, 8), j ->
-        CASE WHEN g[CAST(8 * k + j + 1 AS INTEGER)] >= mean THEN CAST(2 ** j AS BIGINT) ELSE 0 END))
-    )), 2, '0')), 'string_agg', '') AS phash
-FROM bits""",
+      s"""WITH mdocs AS (SELECT doc_id, text FROM documents),
+  $dkPhash
+SELECT media_id, 'raw' AS format, phash FROM ph""",
+    // pHash near-dup pairs: same signatures over the same planted-dup
+    // union, 4x16-bit bands (pigeonhole-complete at hamming <= 3),
+    // per-band XOR popcount verify
+    "q244_phash_pairs" ->
+      s"""WITH mdocs AS (SELECT doc_id, text FROM documents
+    UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 100 = 0),
+  $dkPhash,
+  bands AS (SELECT media_id, phash, k,
+      substr(phash, CAST(k * 4 + 1 AS INTEGER), 4) AS band
+    FROM ph, (SELECT unnest(range(0, 4)) AS k)),
+  cand AS (SELECT DISTINCT a.media_id AS media_a, a.phash AS pa,
+      b.media_id AS media_b, b.phash AS pb
+    FROM bands a JOIN bands b ON a.k = b.k AND a.band = b.band
+      AND a.media_id < b.media_id),
+  ham AS (SELECT media_a, media_b,
+      CAST(${(0 until 4).map(k =>
+        s"""bit_count(xor(CAST('0x' || substr(pa, ${k * 4 + 1}, 4) AS BIGINT),
+             CAST('0x' || substr(pb, ${k * 4 + 1}, 4) AS BIGINT)))""").mkString(" + ")}
+        AS BIGINT) AS hamming
+    FROM cand)
+SELECT media_a, media_b, hamming FROM ham WHERE hamming <= 3""",
     // Mirrors TextAnalysis.gopherQuality: word stats from the shared
     // tokenizer, one CASE-guarded division per ratio, int64 keep flag
     "q145_gopher" ->
