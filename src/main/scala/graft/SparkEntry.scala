@@ -1388,6 +1388,22 @@ object SparkEntry {
     // rank-moment form over per-user totals, NULL on zero-total types
     "q243_gini" -> ((s, dir) =>
       graft.operators.EventAnalytics.giniConcentration(Tables.events(tune(s), dir))),
+    // extension: skew-salted equi-join driven end-to-end — per-row hash
+    // salt on the big side, salt-exploded small side; the result is
+    // IDENTICAL to the plain join (the oracle is the plain join), which
+    // is the salting contract under test
+    "q245_salted_join" -> ((s, dir) =>
+      graft.operators.Joins.saltedEquiJoin(
+          Tables.lineitem(tune(s), dir)
+            .select(col("l_orderkey"), col("l_extendedprice"), col("l_discount")),
+          Tables.orders(s, dir)
+            .select(col("o_orderkey").as("l_orderkey"), col("o_orderpriority")),
+          "l_orderkey", 16)
+        .groupBy("o_orderpriority")
+        .agg(sum(expr("cast(round(l_extendedprice * 100) AS bigint) * " +
+            "(100 - cast(round(l_discount * 100) AS bigint))")).as("revenue_e4"),
+          count(lit(1)).as("n_items"))
+        .orderBy("o_orderpriority")),
     // extension: perceptual-hash near-dup pairs — the image-dedup shape
     // (4x16-bit bands, pigeonhole-complete for hamming <= 3, exact
     // per-band XOR popcount verify) over the q144 signatures; every 100th
@@ -3363,6 +3379,14 @@ FROM pos p JOIN neg n USING (query_id)""",
       s"""WITH mdocs AS (SELECT doc_id, text FROM documents),
   $dkPhash
 SELECT media_id, 'raw' AS format, phash FROM ph""",
+    // Salted join: the plain join IS the oracle — salting must be
+    // result-invariant
+    "q245_salted_join" ->
+      s"""SELECT o_orderpriority,
+  CAST(sum($centsE * (100 - $centsD)) AS BIGINT) AS revenue_e4,
+  count(*) AS n_items
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY 1 ORDER BY 1""",
     // pHash near-dup pairs: same signatures over the same planted-dup
     // union, 4x16-bit bands (pigeonhole-complete at hamming <= 3),
     // per-band XOR popcount verify
