@@ -1388,6 +1388,17 @@ object SparkEntry {
     // rank-moment form over per-user totals, NULL on zero-total types
     "q243_gini" -> ((s, dir) =>
       graft.operators.EventAnalytics.giniConcentration(Tables.events(tune(s), dir))),
+    // extension: multimodal resize — nearest-neighbour raster sampling to
+    // 4x4 over the q28/q144 stub decode (exact integer index math the
+    // oracle reproduces; a real codec slots in at `decode`), pixels
+    // hex-projected for the compare
+    "q246_mm_resize" -> ((s, dir) => {
+      val media = Multimodal.asMedia(docs(s, dir), "doc_id",
+        "encode(text, 'utf-8')", "raw")
+      Multimodal.resize(media, 4, 4)
+        .select(col("media_id"), col("width"), col("height"), col("channels"),
+          lower(hex(col("pixels"))).as("pixels_hex"))
+    }),
     // extension: skew-salted equi-join driven end-to-end — per-row hash
     // salt on the big side, salt-exploded small side; the result is
     // IDENTICAL to the plain join (the oracle is the plain join), which
@@ -3379,6 +3390,23 @@ FROM pos p JOIN neg n USING (query_id)""",
       s"""WITH mdocs AS (SELECT doc_id, text FROM documents),
   $dkPhash
 SELECT media_id, 'raw' AS format, phash FROM ph""",
+    // Resize: same stub dims, same nearest-neighbour index math
+    // (sy = y*h DIV 4, sx = x*w DIV 4, byte (sy*w+sx)*3+ch mod len)
+    "q246_mm_resize" ->
+      """WITH base AS (SELECT doc_id, text, length(text) AS len,
+    CASE WHEN length(text) > 0 THEN ord(substr(text, 1, 1)) ELSE 0 END AS b0,
+    CASE WHEN length(text) > 1 THEN ord(substr(text, 2, 1)) ELSE 0 END AS b1
+  FROM documents),
+  dims AS (SELECT doc_id, text, len, 64 + len % 512 AS w,
+    64 + (b0 * 256 + b1) % 512 AS h FROM base)
+SELECT doc_id AS media_id, CAST(4 AS INTEGER) AS width,
+  CAST(4 AS INTEGER) AS height, CAST(3 AS INTEGER) AS channels,
+  list_aggregate(list_transform(range(0, 48), i ->
+    lpad(lower(hex(CASE WHEN len = 0 THEN 0 ELSE
+      ord(substr(text,
+        ((((i // 12) * h // 4) * w + (((i % 12) // 3) * w // 4)) * 3 + i % 3) % len + 1,
+        1)) END)), 2, '0')), 'string_agg', '') AS pixels_hex
+FROM dims""",
     // Salted join: the plain join IS the oracle — salting must be
     // result-invariant
     "q245_salted_join" ->
