@@ -1388,6 +1388,15 @@ object SparkEntry {
     // rank-moment form over per-user totals, NULL on zero-total types
     "q243_gini" -> ((s, dir) =>
       graft.operators.EventAnalytics.giniConcentration(Tables.events(tune(s), dir))),
+    // extension: dedup materialization — the output corpus: one min-id
+    // canonical per near-dup cluster plus every unpaired doc (the q38
+    // components applied as an anti-filter)
+    "q247_dedup_materialize" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.dedupByCluster(d, Dedup.duplicateClusters(Dedup.jaccardPairs(d, 0.5)))
+        .select("doc_id", "source", "lang")
+        .orderBy("doc_id")
+    }),
     // extension: multimodal resize — nearest-neighbour raster sampling to
     // 4x4 over the q28/q144 stub decode (exact integer index math the
     // oracle reproduces; a real codec slots in at `decode`), pixels
@@ -1517,6 +1526,29 @@ object SparkEntry {
        THEN list_distinct(list_transform(range(0, len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
        ELSE [text] END AS sh FROM tok)"""
   private val dkShu = "shu AS (SELECT doc_id, unnest(sh) AS shingle FROM shl)"
+
+  /** DuckDB: the q38 df-capped candidate → jaccard-verified pair →
+    * recursive-components chain, ending in `lab(doc_id, cluster)` with
+    * cluster = min member id — shared by q238 and the q247 dedup
+    * materialization. Callers open `WITH RECURSIVE` and include
+    * dkTok/dkShl/dkShu first. */
+  private val dkClusters =
+    """keep AS (SELECT shingle FROM shu GROUP BY shingle HAVING count(*) <= 1000),
+  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM shu a JOIN shu b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+           WHERE a.shingle IN (SELECT shingle FROM keep)),
+  ver AS (SELECT c.doc_a, c.doc_b,
+            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
+          FROM cand c JOIN shl sa ON c.doc_a = sa.doc_id
+                      JOIN shl sb ON c.doc_b = sb.doc_id),
+  p AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.5),
+  edges AS (SELECT doc_a AS a, doc_b AS b FROM p
+            UNION ALL SELECT doc_b, doc_a FROM p),
+  nodes AS (SELECT DISTINCT a AS n FROM edges),
+  reach(n, r) AS (SELECT n, n FROM nodes
+    UNION SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.n),
+  lab AS (SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n)"""
 
   /** DuckDB: the q144 aHash construction (stub-decode grid/mean/packing)
     * over a caller-supplied `mdocs(doc_id, text)` CTE, ending in
@@ -4776,27 +4808,19 @@ ORDER BY 1, 2"""
     // Cluster sizes: the q38 recursive-components construction verbatim,
     // folded to the size histogram
     "q238_cluster_sizes" ->
-      s"""WITH RECURSIVE $dkTok, $dkShl, $dkShu,
-  keep AS (SELECT shingle FROM shu GROUP BY shingle HAVING count(*) <= 1000),
-  cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM shu a JOIN shu b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-           WHERE a.shingle IN (SELECT shingle FROM keep)),
-  ver AS (SELECT c.doc_a, c.doc_b,
-            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
-              / (len(sa.sh) + len(sb.sh) - len(list_intersect(sa.sh, sb.sh))) AS jaccard
-          FROM cand c JOIN shl sa ON c.doc_a = sa.doc_id
-                      JOIN shl sb ON c.doc_b = sb.doc_id),
-  p AS (SELECT doc_a, doc_b FROM ver WHERE jaccard >= 0.5),
-  edges AS (SELECT doc_a AS a, doc_b AS b FROM p
-            UNION ALL SELECT doc_b, doc_a FROM p),
-  nodes AS (SELECT DISTINCT a AS n FROM edges),
-  reach(n, r) AS (SELECT n, n FROM nodes
-    UNION SELECT e.b, r.r FROM reach r JOIN edges e ON e.a = r.n),
-  lab AS (SELECT n AS doc_id, min(r) AS cluster FROM reach GROUP BY n),
+      s"""WITH RECURSIVE $dkTok, $dkShl, $dkShu, $dkClusters,
   sz AS (SELECT cluster, CAST(count(*) AS BIGINT) AS size FROM lab GROUP BY 1)
 SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
   CAST(size * count(*) AS BIGINT) AS n_docs
 FROM sz GROUP BY size ORDER BY size""",
+    // Dedup materialization: same components, keep the min-id canonical
+    // per cluster plus every unpaired doc
+    "q247_dedup_materialize" ->
+      s"""WITH RECURSIVE $dkTok, $dkShl, $dkShu, $dkClusters
+SELECT d.doc_id, d.source, d.lang FROM documents d
+LEFT JOIN lab ON d.doc_id = lab.doc_id
+WHERE lab.cluster IS NULL OR lab.cluster = d.doc_id
+ORDER BY 1""",
     // Markov stationary: same lead-window transitions, same 2^20 floor
     // fixed point, three unrolled p·P iterations
     "q239_markov_stationary" -> {
