@@ -412,9 +412,11 @@ object Dedup {
   /** Apply clustering: keep one canonical document (the minimum doc_id) per
     * duplicate cluster, plus every document that was in no pair. The
     * materialization step of dedup — `docs` minus the non-canonical cluster
-    * members. */
+    * members. SHUFFLE_HASH, not broadcast and not a sort-merge: the label
+    * table is per-PAIRED-doc, which a duplicate-heavy corpus makes
+    * corpus-proportional, and an equi-join on a unique key needs no sort. */
   def dedupByCluster(docs: DataFrame, clusters: DataFrame): DataFrame =
-    docs.join(clusters, Seq("doc_id"), "left")
+    docs.join(clusters.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
       .filter(col("cluster").isNull || col("cluster") === col("doc_id"))
       .drop("cluster")
 
