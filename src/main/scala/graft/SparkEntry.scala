@@ -1388,6 +1388,11 @@ object SparkEntry {
     // rank-moment form over per-user totals, NULL on zero-total types
     "q243_gini" -> ((s, dir) =>
       graft.operators.EventAnalytics.giniConcentration(Tables.events(tune(s), dir))),
+    // extension: batch MMR — the q65 greedy diversification over the
+    // whole query batch through ONE GroupedTopK shortlist pass
+    "q248_mmr_batch" -> ((s, dir) =>
+      graft.operators.Rerank.mmrRerankMany(indexOf(s, dir), QBatch,
+        k = 5, m = 20, lambda = 0.7)),
     // extension: dedup materialization — the output corpus: one min-id
     // canonical per near-dup cluster plus every unpaired doc (the q38
     // components applied as an anti-filter)
@@ -4813,6 +4818,44 @@ ORDER BY 1, 2"""
 SELECT size, CAST(count(*) AS BIGINT) AS n_clusters,
   CAST(size * count(*) AS BIGINT) AS n_docs
 FROM sz GROUP BY size ORDER BY size""",
+    // Batch MMR: the q65 per-query greedy chains replicated per batch
+    // query (suffixed CTEs), same float constants, unioned selections
+    "q248_mmr_batch" -> {
+      val lam = 0.7
+      val om = 1.0 - lam
+      val simAB = s"${dkDot("a.emb", "b.emb")} / (sqrt(${dkDot("a.emb", "a.emb")}) * sqrt(${dkDot("b.emb", "b.emb")}))"
+      val chains = QBatch.zipWithIndex.map { case (q, qi) =>
+        val steps = (2 to 5).map { i =>
+          val prev = (1 until i).map(j => s"SELECT id FROM s${qi}_$j").mkString(" UNION ALL ")
+          s"""  s${qi}_$i AS (SELECT c.id, c.source, c.score,
+      $lam * c.score - $om * greatest(0.0,
+        (SELECT max(sim) FROM sims_$qi WHERE sims_$qi.ia = c.id AND sims_$qi.ib IN ($prev))) AS mmr
+    FROM short_$qi c WHERE c.id NOT IN ($prev)
+    ORDER BY mmr DESC, id ASC LIMIT 1)"""
+        }.mkString(",\n")
+        s"""  qq_$qi AS (SELECT ${dkVec(s"sha256('${sqlLit(q)}')")} AS qv),
+  scored_$qi AS (SELECT c.id, c.source, c.emb,
+      ${dkDot("c.emb", s"qq_$qi.qv")} / (sqrt(${dkDot("c.emb", "c.emb")}) * sqrt(${dkDot(s"qq_$qi.qv", s"qq_$qi.qv")})) AS score
+    FROM cvec c CROSS JOIN qq_$qi WHERE length(c.text) > 0),
+  short_$qi AS (SELECT * FROM scored_$qi ORDER BY score DESC, id ASC LIMIT 20),
+  sims_$qi AS (SELECT a.id AS ia, b.id AS ib, $simAB AS sim
+    FROM short_$qi a JOIN short_$qi b ON a.id <> b.id),
+  s${qi}_1 AS (SELECT id, source, score, $lam * score AS mmr FROM short_$qi
+    ORDER BY mmr DESC, id ASC LIMIT 1),
+$steps"""
+      }.mkString(",\n")
+      val sel = QBatch.zipWithIndex.flatMap { case (q, qi) =>
+        (1 to 5).map(i =>
+          s"""SELECT '${sqlLit(q)}' AS query, $i AS "rank", id, source, score, mmr FROM s${qi}_$i""")
+      }.mkString("\n  UNION ALL ")
+      s"""WITH $dkChunks,
+  chex AS (SELECT id, source, text, sha256(text) AS hx FROM chunks),
+  cvec AS (SELECT id, source, text, ${dkVec("hx")} AS emb FROM chex),
+$chains,
+  all_sel AS ($sel)
+SELECT query, CAST("rank" AS INTEGER) AS "rank", id, source,
+  round(score, 4) AS relevance, round(mmr, 6) AS mmr FROM all_sel"""
+    },
     // Dedup materialization: same components, keep the min-id canonical
     // per cluster plus every unpaired doc
     "q247_dedup_materialize" ->
