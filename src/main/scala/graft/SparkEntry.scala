@@ -1393,6 +1393,29 @@ object SparkEntry {
     "q248_mmr_batch" -> ((s, dir) =>
       graft.operators.Rerank.mmrRerankMany(indexOf(s, dir), QBatch,
         k = 5, m = 20, lambda = 0.7)),
+    // extension: TPC-H Q2 shape — min-cost regional supplier per part
+    // slice; the correlated min-subquery decorrelated to one per-part MIN
+    // over a doubly-broadcast-pruned (partkey, suppkey) aggregate
+    "q250_tpch_q2" -> ((s, dir) =>
+      operators.Joins.minCostSupplier(Tables.lineitem(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir))),
+    // extension: TPC-H Q20 shape — excess shippers: the nested-IN chain
+    // decorrelated to a per-supplier qty aggregate with a mean-relative
+    // cross-multiplied integer cut, then dim-bounded joins only
+    "q251_tpch_q20" -> ((s, dir) =>
+      operators.Joins.excessShippers(Tables.lineitem(s, dir), Tables.part(s, dir),
+        Tables.supplier(s, dir), Tables.nation(s, dir),
+        Tables.region(s, dir))),
+    // extension: TF-IDF over the inverted index — q98's scorer with
+    // df-bounded postings cost and the all-docs frame intact; the oracle
+    // is q98's full-scan SQL, so the hash check IS the index-equivalence
+    // proof (the q110-vs-q48 convention for the vector-space scorer)
+    "q249_tfidf_indexed" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.tfidfIndexed(TextAnalysis.postings(d),
+        TextAnalysis.docLengths(d), Seq("transfer", "credit", "university"))
+    }),
     // extension: dedup materialization — the output corpus: one min-id
     // canonical per near-dup cluster plus every unpaired doc (the q38
     // components applied as an anti-filter)
@@ -1761,6 +1784,28 @@ SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
           * (tf_$i * 2.2) / (tf_$i + 1.2 * (0.25 + 0.75 * dl / avgdl)))"""
     }.mkString(" + ")
     (dfCols, tfCols, score)
+  }
+
+  /** q98's full-scan TF-IDF SQL — shared verbatim by q249_tfidf_indexed,
+    * whose hash check against the SAME oracle is the index-equivalence
+    * proof for `tfidfIndexed`. */
+  private def dkTfidfSql(terms: Seq[String]): String = {
+    val dfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
+    }.mkString(", ")
+    val tfCols = terms.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
+    }.mkString(", ")
+    val score = terms.indices
+      .map(i => s"(tf_$i * ln((n_docs + 1.0) / (df_$i + 1.0)))").mkString(" + ")
+    s"""WITH $dkTok,
+  t AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+  stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, $dfCols FROM t),
+  tf AS (SELECT doc_id, dl, $tfCols FROM t)
+SELECT doc_id, dl AS n_tokens,
+  ${terms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i").mkString(", ")},
+  round($score, 6) AS tfidf
+FROM tf CROSS JOIN stats"""
   }
 
   private val centsE = "CAST(round(l_extendedprice * 100) AS BIGINT)"
@@ -2873,25 +2918,48 @@ SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
   CAST(levenshtein(a.pfx, b.pfx) AS INTEGER) AS lev
 FROM d a JOIN d b ON a.doc_id < b.doc_id AND abs(a.len - b.len) <= 5
 WHERE levenshtein(a.pfx, b.pfx) <= 5""",
-    "q98_tfidf" -> {
-      val terms = Seq("transfer", "credit", "university")
-      val dfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(sum(CASE WHEN list_contains(toks, '$t') THEN 1 ELSE 0 END) AS DOUBLE) AS df_$i"
-      }.mkString(", ")
-      val tfCols = terms.zipWithIndex.map { case (t, i) =>
-        s"CAST(len(list_filter(toks, x -> x = '$t')) AS DOUBLE) AS tf_$i"
-      }.mkString(", ")
-      val score = terms.indices
-        .map(i => s"(tf_$i * ln((n_docs + 1.0) / (df_$i + 1.0)))").mkString(" + ")
-      s"""WITH $dkTok,
-  t AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
-  stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, $dfCols FROM t),
-  tf AS (SELECT doc_id, dl, $tfCols FROM t)
-SELECT doc_id, dl AS n_tokens,
-  ${terms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i").mkString(", ")},
-  round($score, 6) AS tfidf
-FROM tf CROSS JOIN stats"""
-    },
+    "q98_tfidf" -> dkTfidfSql(Seq("transfer", "credit", "university")),
+    // q98's oracle verbatim — the indexed path must return the identical
+    // all-docs frame (the q110-vs-q48 equivalence convention)
+    "q249_tfidf_indexed" -> dkTfidfSql(Seq("transfer", "credit", "university")),
+    // Q2 shape: correlated min-cost subquery written as the plain
+    // decorrelated CTE chain; integer cents, unique total order under the
+    // top-100 (s_name supplier-unique, p_partkey splits same-supplier rows)
+    "q250_tpch_q2" ->
+      """WITH supreg AS (SELECT s_suppkey, s_name, s_acctbal, n_name AS nation
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey WHERE r_name = 'ASIA'),
+  dims AS (SELECT p_partkey, p_brand FROM part
+    WHERE p_type = 'STANDARD' AND p_size <= 15),
+  cost AS (SELECT l_partkey, l_suppkey,
+      sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS cost_c
+    FROM lineitem JOIN dims ON l_partkey = p_partkey
+    WHERE l_suppkey IN (SELECT s_suppkey FROM supreg)
+    GROUP BY 1, 2),
+  m AS (SELECT l_partkey AS pk, min(cost_c) AS min_c FROM cost GROUP BY 1)
+SELECT s_acctbal, s_name, nation, c.l_partkey AS p_partkey, p_brand,
+  CAST(cost_c AS BIGINT) AS cost_c
+FROM cost c JOIN m ON c.l_partkey = m.pk AND c.cost_c = m.min_c
+JOIN supreg ON c.l_suppkey = s_suppkey
+JOIN dims ON c.l_partkey = dims.p_partkey
+ORDER BY s_acctbal DESC, nation, s_name, p_partkey
+LIMIT 100""",
+    // Q20 shape: nested-IN chain as CTEs; mean-relative cross-multiplied
+    // integer threshold (qty*n*5 > total*4 i.e. above 0.8x mean)
+    "q251_tpch_q20" ->
+      """WITH pp AS (SELECT p_partkey FROM part WHERE p_name LIKE 'small%'),
+  sh AS (SELECT l_suppkey, sum(CAST(l_quantity AS BIGINT)) AS qty
+    FROM lineitem JOIN pp ON l_partkey = p_partkey
+    WHERE year(l_shipdate) = 1995 GROUP BY 1),
+  tot AS (SELECT sum(qty) AS tot_q, count(*) AS n_supp FROM sh),
+  qual AS (SELECT l_suppkey, CAST(qty AS BIGINT) AS qty FROM sh, tot
+    WHERE qty * n_supp * 5 > tot_q * 4)
+SELECT s_suppkey, s_name, n_name AS nation, qty
+FROM supplier JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  JOIN qual ON s_suppkey = l_suppkey
+WHERE r_name = 'ASIA'
+ORDER BY s_name""",
     // Bigram LM: c12/c1 exact integer counts, one fixed-point ln per
     // DISTINCT bigram (mirrors TextAnalysis.bigramSurprisal)
     "q99_bigram_lm" ->

@@ -750,4 +750,103 @@ object Joins {
       .orderBy(desc("supplier_cnt"), asc("p_brand"), asc("p_type"),
         asc("p_size"))
   }
+
+  /** TPC-H Q2 shape: min-cost supplier — for each part in a (type, size)
+    * slice, the regional supplier(s) offering the minimum cost, with
+    * supplier detail, ordered by account balance (the spec's top-100). The
+    * fixture has no partsupp, so cost per (part, supplier) = that
+    * supplier's lineitem revenue cents for the part — same join topology,
+    * same correlated-subquery shape: the spec's `ps_supplycost = (SELECT
+    * min(ps_supplycost) ... WHERE p_partkey = ps_partkey AND <region>)`
+    * decorrelates into one per-part MIN over the already-region-filtered
+    * cost table, joined back on partkey (SHUFFLE_HASH — both sides carry
+    * the same partkey shuffle, no sort).
+    *
+    * Scale: part slice and regional-supplier frames are broadcast dims
+    * (the Q9/Q16 convention); the only corpus pass is lineitem → one
+    * (partkey, suppkey) partial-aggregated shuffle, pre-pruned by BOTH
+    * broadcast filters, so the shuffle carries only the slice. Ties keep
+    * every min-cost supplier (spec semantics). The final order
+    * (s_acctbal desc, nation, s_name, p_partkey) is a unique total order
+    * — s_name is supplier-unique, p_partkey splits same-supplier rows —
+    * so the LIMIT is deterministic; k rows cross the driver via
+    * TakeOrderedAndProject, never the join result.
+    *
+    * Exactness: costs sum as integer cents; the min/equality filter is
+    * integer; s_acctbal passes through as the stored double. */
+  def minCostSupplier(lineitem: DataFrame, part: DataFrame,
+                      supplier: DataFrame, nation: DataFrame,
+                      region: DataFrame, partType: String = "STANDARD",
+                      maxSize: Int = 15, regionName: String = "ASIA",
+                      k: Int = 100): DataFrame = {
+    val supReg = supplier
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"),
+        col("n_name").as("nation"))
+    val dims = part
+      .filter(col("p_type") === partType && col("p_size") <= maxSize)
+      .select("p_partkey", "p_brand")
+    val cost = lineitem
+      .join(broadcast(dims.select("p_partkey")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(supReg.select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"), "left_semi")
+      .groupBy("l_partkey", "l_suppkey")
+      .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
+        .as("cost_c"))
+    val minc = cost.groupBy("l_partkey").agg(min("cost_c").as("min_c"))
+    cost.join(minc.hint("SHUFFLE_HASH"), Seq("l_partkey"))
+      .filter(col("cost_c") === col("min_c"))
+      .join(broadcast(supReg), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(dims), col("l_partkey") === col("p_partkey"))
+      .select(col("s_acctbal"), col("s_name"), col("nation"),
+        col("l_partkey").as("p_partkey"), col("p_brand"), col("cost_c"))
+      .orderBy(desc("s_acctbal"), asc("nation"), asc("s_name"),
+        asc("p_partkey"))
+      .limit(k)
+  }
+
+  /** TPC-H Q20 shape: excess shippers — regional suppliers who shipped
+    * more than `multNum/multDenom` × the mean per-supplier quantity of a
+    * part-name slice inside a date window (the spec's nested
+    * `IN (SELECT ps_suppkey ... WHERE ps_availqty > 0.5 * (SELECT
+    * sum(l_quantity) ...))` chain; availqty has no fixture column, so the
+    * threshold is MEAN-relative like the Q11 adaptation — a fixed
+    * absolute quantity degenerates as the corpus grows, mean-relative is
+    * scale-free). Decorrelation: one date+pattern-pruned pass over
+    * lineitem into a per-supplier quantity aggregate (|suppliers|-bounded),
+    * its 1-row total broadcast back as an exact cross-multiplied integer
+    * cut (qty·n·denom > total·num), then the qualifying-supplier frame
+    * joins the region-filtered supplier dim — every post-corpus frame is
+    * dim-bounded, so the chain is broadcast/hash joins over tiny tables.
+    * Output ordered by s_name (supplier-unique → deterministic). */
+  def excessShippers(lineitem: DataFrame, part: DataFrame,
+                     supplier: DataFrame, nation: DataFrame,
+                     region: DataFrame, namePattern: String = "small%",
+                     year: Int = 1995, regionName: String = "ASIA",
+                     multNum: Long = 4L, multDenom: Long = 5L): DataFrame = {
+    val pp = part.filter(col("p_name").like(namePattern)).select("p_partkey")
+    val shipped = lineitem
+      .filter(org.apache.spark.sql.functions.year(col("l_shipdate")) === year)
+      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_suppkey")
+      .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
+    val tot = shipped.agg(sum("qty").as("tot_q"), count(lit(1)).as("n_supp"))
+    val qual = shipped.crossJoin(broadcast(tot))
+      .filter(col("qty") * col("n_supp") * multDenom >
+        col("tot_q") * multNum)
+      .select("l_suppkey", "qty")
+    supplier
+      .join(broadcast(nation.select("n_nationkey", "n_name", "n_regionkey")),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(region.filter(col("r_name") === regionName)
+        .select("r_regionkey")), col("n_regionkey") === col("r_regionkey"))
+      .join(qual.hint("SHUFFLE_HASH"), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"), col("n_name").as("nation"),
+        col("qty"))
+      .orderBy(asc("s_name"))
+  }
 }

@@ -634,6 +634,46 @@ object TextAnalysis {
           s"round($score, 6) AS bm25": _*)
   }
 
+  /** TF-IDF over the inverted index: returns exactly `tfidf(docs, terms)`'s
+    * rows — INCLUDING zero-hit documents (tf=0, score 0.0), because the
+    * vector-space consumer wants the whole corpus weighted, unlike
+    * `bm25Indexed`'s matched-only retrieval frame. Per-query cost is still
+    * df-bounded on the postings side: the term filter prunes to |terms|
+    * tokens (partition-pruned when persisted by token bucket), dfs collapse
+    * to one broadcast row, and the only corpus-sized input is the doc-length
+    * table the scorer needs anyway for n_tokens — a LEFT join from lengths
+    * to matched-doc tf pivots, one doc_id-keyed hash shuffle. df counts one
+    * postings row per (token, doc) — identical to the full-scan
+    * `array_contains` df under the index's append-only contract (a doc's
+    * postings live in exactly one epoch/partition, never split).
+    * Determinism: same fixed-order f64 sum and add-1-smoothed idf as
+    * `tfidf`, so the rows are byte-identical, which is what lets q98's
+    * oracle hash-check this variant too. */
+  def tfidfIndexed(postings: DataFrame, docLens: DataFrame,
+                   terms: Seq[String]): DataFrame = {
+    require(terms.nonEmpty && terms.forall(_.matches("[a-z0-9]+")),
+      "terms must be plain lowercase words (SQL-literal safe)")
+    val stats = docLens.agg(count(lit(1)).cast("double").as("n_docs"))
+    val hits = postings.filter(col("token").isin(terms: _*))
+    val dfs = hits.groupBy("token").agg(count(lit(1)).cast("double").as("df"))
+    val tfAggs = terms.zipWithIndex.map { case (t, i) =>
+      sum(when(col("token") === t, col("tf")).otherwise(0L)).as(s"tf_$i")
+    }
+    val perDoc = hits.groupBy("doc_id").agg(tfAggs.head, tfAggs.tail: _*)
+    val dfRow = dfs.groupBy().pivot("token", terms).agg(first("df")).na.fill(0.0)
+      .toDF(terms.indices.map(i => s"df_$i"): _*)
+    val score = terms.indices
+      .map(i => s"(CAST(tf_$i AS DOUBLE) * ln((n_docs + 1.0) / (df_$i + 1.0)))")
+      .mkString(" + ")
+    docLens.join(perDoc.hint("SHUFFLE_HASH"), Seq("doc_id"), "left")
+      .na.fill(0L, terms.indices.map(i => s"tf_$i"))
+      .crossJoin(broadcast(stats)).crossJoin(broadcast(dfRow))
+      .selectExpr(
+        "doc_id" +: "dl AS n_tokens" +:
+          terms.indices.map(i => s"tf_$i") :+
+          s"round($score, 6) AS tfidf": _*)
+  }
+
   /** Gopher-style repetition signals per document: the fraction of duplicate
     * lines and of duplicate word 2-/3-grams — the boilerplate/looping-text
     * filters a pretraining pipeline applies after exact dedup. Map-only

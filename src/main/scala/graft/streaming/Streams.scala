@@ -1079,6 +1079,25 @@ object Streams {
       terms, k1, b)
   }
 
+  /** TF-IDF over the maintained index — `tfidfIndexed` on the same
+    * (postings, doclens) state `bm25StreamedAt` reads, so ONE maintained
+    * lex index answers both scorers. Matches batch
+    * `TextAnalysis.tfidf(unionCorpus, terms)` byte-for-byte: the reader
+    * keeps the all-docs frame (zero-hit docs score 0.0) because the
+    * doc-length rows cover every ingested doc. Same (kind, pbk) pruning
+    * as the BM25 reader. */
+  def tfidfStreamedAt(spark: SparkSession, indexPath: String,
+                      terms: Seq[String]): DataFrame = {
+    val ta = graft.operators.TextAnalysis
+    val buckets = terms.map(ta.tokenBucket).distinct
+    val st = epochsAt(spark, indexPath)
+    ta.tfidfIndexed(
+      st.filter(col("kind") === "p" && col("pbk").isin(buckets: _*))
+        .select("token", "doc_id", "tf"),
+      st.filter(col("kind") === "d").select("doc_id", "dl"),
+      terms)
+  }
+
   /** Compaction for the lex-index epochs — same contract. The fold
     * re-groups postings (idempotent under exactly-once epochs; convergent
     * if a violated append-only contract ever left split rows). */

@@ -645,4 +645,73 @@ class JoinsSpec extends AnyFunSuite {
       .sortBy { case (b, t, s, n) => (-n, b, t, s) }
     assert(got == want && got.nonEmpty)
   }
+
+  test("minCostSupplier: per-part minimum and region filter match brute force") {
+    val dir = TestSpark.sf0001
+    val got = Joins.minCostSupplier(
+        Tables.lineitem(spark, dir), Tables.part(spark, dir),
+        Tables.supplier(spark, dir), Tables.nation(spark, dir),
+        Tables.region(spark, dir))
+      .as[(Double, String, String, Long, String, Long)].collect().toSeq
+    val natOfReg = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select("n_nationkey", "n_name").as[(Long, String)].collect().toMap
+    val sup = Tables.supplier(spark, dir)
+      .as[(Long, String, Long, Double)].collect()
+      .filter(s => natOfReg.contains(s._3))
+      .map(s => s._1 -> ((s._2, s._4, natOfReg(s._3)))).toMap
+    val brandOf = Tables.part(spark, dir)
+      .filter($"p_type" === "STANDARD" && $"p_size" <= 15)
+      .select("p_partkey", "p_brand").as[(Long, String)].collect().toMap
+    val cost = Tables.lineitem(spark, dir)
+      .select("l_partkey", "l_suppkey", "l_extendedprice")
+      .as[(Long, Long, Double)].collect()
+      .filter(r => brandOf.contains(r._1) && sup.contains(r._2))
+      .groupBy(r => (r._1, r._2)).view
+      .mapValues(_.map(r => math.round(r._3 * 100)).sum).toMap
+    val minPerPart = cost.groupBy(_._1._1).view.mapValues(_.values.min).toMap
+    val want = cost.toSeq
+      .filter { case ((pk, _), c) => c == minPerPart(pk) }
+      .map { case ((pk, sk), c) =>
+        val (name, bal, nat) = sup(sk)
+        (bal, name, nat, pk, brandOf(pk), c)
+      }
+      .sortBy { case (bal, name, nat, pk, _, _) => (-bal, nat, name, pk) }
+      .take(100)
+    assert(got == want && got.nonEmpty)
+    // every returned row carries its part's true minimum cost
+    assert(got.forall { case (_, _, _, pk, _, c) => c == minPerPart(pk) })
+  }
+
+  test("excessShippers: mean-relative threshold and region filter match brute force") {
+    val dir = TestSpark.sf0001
+    val got = Joins.excessShippers(
+        Tables.lineitem(spark, dir), Tables.part(spark, dir),
+        Tables.supplier(spark, dir), Tables.nation(spark, dir),
+        Tables.region(spark, dir))
+      .as[(Long, String, String, Long)].collect().toSeq
+    val pp = Tables.part(spark, dir).filter($"p_name".like("small%"))
+      .select("p_partkey").as[Long].collect().toSet
+    val qty = Tables.lineitem(spark, dir)
+      .selectExpr("l_partkey", "l_suppkey", "CAST(l_quantity AS BIGINT)",
+        "year(l_shipdate)")
+      .as[(Long, Long, Long, Int)].collect()
+      .filter(r => r._4 == 1995 && pp.contains(r._1))
+      .groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val (tot, n) = (qty.values.sum, qty.size.toLong)
+    val natOfReg = Tables.nation(spark, dir)
+      .join(Tables.region(spark, dir).filter($"r_name" === "ASIA"),
+        $"n_regionkey" === $"r_regionkey")
+      .select("n_nationkey", "n_name").as[(Long, String)].collect().toMap
+    val want = Tables.supplier(spark, dir)
+      .as[(Long, String, Long, Double)].collect().toSeq
+      .filter(s => natOfReg.contains(s._3) && qty.contains(s._1) &&
+        qty(s._1) * n * 5L > tot * 4L)
+      .map(s => (s._1, s._2, natOfReg(s._3), qty(s._1)))
+      .sortBy(_._2)
+    assert(got == want && got.nonEmpty)
+    // the mean-relative cut bites globally: not every shipper qualifies
+    assert(qty.count { case (_, q) => q * n * 5L > tot * 4L } < qty.size)
+  }
 }

@@ -537,10 +537,17 @@ class StreamingSpec extends AnyFunSuite {
     assert(streamed == batch && streamed.nonEmpty)
     // doc-length rows count EVERY doc (N/avgdl parity is part of the score)
     assert(Streams.lexDocLensAt(spark, idxPath).count() == docs.count())
+    // the SAME maintained state answers TF-IDF — all-docs frame, byte-equal
+    // to the full-scan scorer (q98's operator) over the union corpus
+    val tfTerms = Seq("transfer", "credit", "university")
+    val tfBatch = rows(ta.tfidf(docs, tfTerms))
+    val tfStreamed = rows(Streams.tfidfStreamedAt(spark, idxPath, tfTerms))
+    assert(tfStreamed == tfBatch && tfStreamed.size == docs.count())
     // compaction: one epoch partition left, scores unchanged
     Streams.compactLexIndexAt(spark, idxPath)
     assert(spark.read.parquet(idxPath).select("epoch").distinct().count() == 1)
     assert(rows(Streams.bm25StreamedAt(spark, idxPath, terms)) == batch)
+    assert(rows(Streams.tfidfStreamedAt(spark, idxPath, tfTerms)) == tfBatch)
     docs.unpersist()
   }
 
