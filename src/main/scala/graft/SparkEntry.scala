@@ -1393,6 +1393,18 @@ object SparkEntry {
     "q248_mmr_batch" -> ((s, dir) =>
       graft.operators.Rerank.mmrRerankMany(indexOf(s, dir), QBatch,
         k = 5, m = 20, lambda = 0.7)),
+    // extension: TPC-H Q12 shape — per lineitem category, lines on
+    // critical- vs other-priority orders in one CASE-WHEN split aggregate
+    // (the last of the 22 spec shapes; completes the sweep)
+    "q252_tpch_q12" -> ((s, dir) =>
+      operators.Joins.shipmodePriorityCounts(Tables.orders(s, dir),
+        Tables.lineitem(s, dir))),
+    // extension: mutual information source x lang — chi-square's (q118)
+    // information-theoretic sibling on the documents metadata; per-cell
+    // exact-integer counts, one ln per observed cell
+    "q253_mutual_info" -> ((s, dir) =>
+      graft.operators.TableStats.mutualInformation(docs(s, dir),
+        "source", "lang")),
     // extension: TPC-H Q2 shape — min-cost regional supplier per part
     // slice; the correlated min-subquery decorrelated to one per-part MIN
     // over a doubly-broadcast-pruned (partkey, suppkey) aggregate
@@ -2922,6 +2934,29 @@ WHERE levenshtein(a.pfx, b.pfx) <= 5""",
     // q98's oracle verbatim — the indexed path must return the identical
     // all-docs frame (the q110-vs-q48 equivalence convention)
     "q249_tfidf_indexed" -> dkTfidfSql(Seq("transfer", "credit", "university")),
+    // Q12 shape: one CASE-WHEN split aggregate over the order⋈lineitem
+    // join, exact integer counts
+    "q252_tpch_q12" ->
+      """SELECT l_returnflag,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
+    AS high_line_count,
+  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
+    AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE year(l_shipdate) = 1996
+GROUP BY 1 ORDER BY 1""",
+    // Mutual information: same cell/marginal CTEs as q118's chi-square,
+    // one ln per observed cell over exact integer ratios
+    "q253_mutual_info" ->
+      """WITH c AS (SELECT source AS a, lang AS b, count(*) AS o
+    FROM documents GROUP BY 1, 2),
+  r AS (SELECT a, sum(o) AS ra FROM c GROUP BY 1),
+  cl AS (SELECT b, sum(o) AS cb FROM c GROUP BY 1),
+  t AS (SELECT sum(o) AS n FROM c)
+SELECT a AS source, b AS lang, o,
+  round(CAST(o AS DOUBLE) / n
+    * ln(CAST(o AS DOUBLE) * n / (CAST(ra AS DOUBLE) * cb)), 6) AS mi_cell
+FROM c JOIN r USING (a) JOIN cl USING (b) CROSS JOIN t""",
     // Q2 shape: correlated min-cost subquery written as the plain
     // decorrelated CTE chain; integer cents, unique total order under the
     // top-100 (s_name supplier-unique, p_partkey splits same-supplier rows)

@@ -751,6 +751,32 @@ object Joins {
         asc("p_size"))
   }
 
+  /** TPC-H Q12 shape: shipping category vs order priority — per lineitem
+    * category (the spec's l_shipmode; the fixture's categorical lineitem
+    * column is l_returnflag) inside a ship-date year, how many lines
+    * belong to critical-priority orders (1-URGENT/2-HIGH) vs not. The
+    * spec's defining feature is the CASE-WHEN split aggregation over the
+    * order⋈lineitem join — both counts in ONE pass, no second join or
+    * union. Plan: the year filter prunes the fact scan first, then one
+    * orderkey-keyed hash join (fact-fact → SHUFFLE_HASH, the
+    * latePriorityCounts convention), one partial-aggregated shuffle to
+    * the |categories|-row frame. Exact integer counts only. */
+  def shipmodePriorityCounts(orders: DataFrame, lineitem: DataFrame,
+                             shipYear: Int = 1996): DataFrame = {
+    val li = lineitem
+      .filter(org.apache.spark.sql.functions.year(col("l_shipdate")) === shipYear)
+      .select("l_orderkey", "l_returnflag")
+    li.join(orders.select("o_orderkey", "o_orderpriority").hint("SHUFFLE_HASH"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_returnflag")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
   /** TPC-H Q2 shape: min-cost supplier — for each part in a (type, size)
     * slice, the regional supplier(s) offering the minimum cost, with
     * supplier detail, ordered by account balance (the spec's top-100). The

@@ -423,6 +423,32 @@ object TableStats {
                 / (CAST(ra AS DOUBLE) * cb / n), 6)""").as("chi2_cell"))
   }
 
+  /** Mutual information between two categorical columns — `chiSquare`'s
+    * information-theoretic sibling: per observed cell, the joint count and
+    * its MI contribution (o/n)·ln(o·n / (ra·cb)) in nats; the summed
+    * column IS I(A;B), the association strength a curation audit reads
+    * next to the chi-square screen (e.g. how much source determines
+    * language). Zero-count cells contribute exactly 0 and are absent from
+    * the observed-cell frame, so omitting them loses nothing.
+    *
+    * Same shape and determinism as `chiSquare`: one (a, b) aggregate
+    * (memoized — it feeds marginals, total, and the output), broadcast
+    * marginals, every ln argument an exact integer ratio, one rounded
+    * double per cell. Output cardinality = observed |a|x|b| cells. */
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = PlanCache.memo(df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+      .agg(count(lit(1)).as("o")))
+    val rowT = cells.groupBy("a").agg(sum("o").as("ra"))
+    val colT = cells.groupBy("b").agg(sum("o").as("cb"))
+    val total = cells.agg(sum("o").as("n"))
+    cells.join(broadcast(rowT), Seq("a")).join(broadcast(colT), Seq("b"))
+      .crossJoin(broadcast(total))
+      .select(col("a").as(aCol), col("b").as(bCol), col("o"),
+        expr("""round(CAST(o AS DOUBLE) / n
+                * ln(CAST(o AS DOUBLE) * n / (CAST(ra AS DOUBLE) * cb)), 6)""")
+          .as("mi_cell"))
+  }
+
   /** Per-group simple linear regression from EXACT integer moments (the
     * `corrMatrix` determinism recipe applied to OLS): both `xExpr` and
     * `yExpr` must be integer-valued; ONE aggregate computes n, Sx, Sy,

@@ -1098,6 +1098,21 @@ object Streams {
       terms)
   }
 
+  /** Vocabulary heavy-hitters over the maintained index — batch
+    * `TextAnalysis.topTokens(unionCorpus, k)` from the SAME postings
+    * state: n_occurrences = sum(tf), n_docs = postings-row count (one row
+    * per (token, doc) under the append-only contract; compaction
+    * re-groups, preserving both). The third reader on one maintained lex
+    * index (BM25, TF-IDF, vocabulary audit). No bucket pruning — a global
+    * top-k reads every token's row, but the state is vocab-sized, not
+    * corpus-sized, and only k rows cross to the driver. */
+  def topTokensStreamedAt(spark: SparkSession, indexPath: String,
+                          k: Int = 20): DataFrame =
+    lexPostingsAt(spark, indexPath)
+      .groupBy("token")
+      .agg(sum("tf").as("n_occurrences"), count(lit(1)).as("n_docs"))
+      .orderBy(desc("n_occurrences"), asc("token")).limit(k)
+
   /** Compaction for the lex-index epochs — same contract. The fold
     * re-groups postings (idempotent under exactly-once epochs; convergent
     * if a violated append-only contract ever left split rows). */

@@ -646,6 +646,25 @@ class JoinsSpec extends AnyFunSuite {
     assert(got == want && got.nonEmpty)
   }
 
+  test("shipmodePriorityCounts: CASE-WHEN split matches brute force; partitions the year's lines") {
+    val dir = TestSpark.sf0001
+    val got = Joins.shipmodePriorityCounts(
+        Tables.orders(spark, dir), Tables.lineitem(spark, dir))
+      .as[(String, Long, Long)].collect().toSeq
+    val prio = Tables.orders(spark, dir).select("o_orderkey", "o_orderpriority")
+      .as[(Long, String)].collect().toMap
+    val li = Tables.lineitem(spark, dir)
+      .selectExpr("l_orderkey", "l_returnflag", "year(l_shipdate)")
+      .as[(Long, String, Int)].collect().filter(_._3 == 1996)
+    val want = li.groupBy(_._2).view.mapValues { rs =>
+      val high = rs.count(r => Set("1-URGENT", "2-HIGH")(prio(r._1)))
+      (high.toLong, (rs.length - high).toLong)
+    }.toSeq.map { case (f, (h, l)) => (f, h, l) }.sortBy(_._1)
+    assert(got == want && got.nonEmpty)
+    // the two counts partition each category's lines — nothing dropped
+    assert(got.map(r => r._2 + r._3).sum == li.length)
+  }
+
   test("minCostSupplier: per-part minimum and region filter match brute force") {
     val dir = TestSpark.sf0001
     val got = Joins.minCostSupplier(

@@ -543,11 +543,18 @@ class StreamingSpec extends AnyFunSuite {
     val tfBatch = rows(ta.tfidf(docs, tfTerms))
     val tfStreamed = rows(Streams.tfidfStreamedAt(spark, idxPath, tfTerms))
     assert(tfStreamed == tfBatch && tfStreamed.size == docs.count())
+    // ...and the vocabulary heavy-hitters (q72's operator) — ordered parity
+    def tkRows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long)].collect().toSeq
+    val tkBatch = tkRows(ta.topTokens(docs, 20))
+    assert(tkRows(Streams.topTokensStreamedAt(spark, idxPath, 20)) == tkBatch
+      && tkBatch.nonEmpty)
     // compaction: one epoch partition left, scores unchanged
     Streams.compactLexIndexAt(spark, idxPath)
     assert(spark.read.parquet(idxPath).select("epoch").distinct().count() == 1)
     assert(rows(Streams.bm25StreamedAt(spark, idxPath, terms)) == batch)
     assert(rows(Streams.tfidfStreamedAt(spark, idxPath, tfTerms)) == tfBatch)
+    assert(tkRows(Streams.topTokensStreamedAt(spark, idxPath, 20)) == tkBatch)
     docs.unpersist()
   }
 

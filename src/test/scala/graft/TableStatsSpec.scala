@@ -176,6 +176,31 @@ class TableStatsSpec extends AnyFunSuite {
     assert(cells(("a", 0L)) == ((2L, 2.25, 0.027778)))
   }
 
+  test("mutualInformation: independent table sums to zero; determined pair sums to H") {
+    // perfectly independent 2x2 -> every cell's ln argument is 1 -> 0
+    val indep = Seq(("a", 0L), ("a", 1L), ("b", 0L), ("b", 1L))
+      .toDF("x", "y")
+    val z = TableStats.mutualInformation(indep, "x", "y")
+      .as[(String, Long, Long, Double)].collect()
+    assert(z.length == 4 && z.forall(_._4 == 0.0))
+    // y fully determined by x, uniform marginals -> I = H(X) = ln 2
+    val det = Seq(("a", 0L), ("a", 0L), ("b", 1L), ("b", 1L)).toDF("x", "y")
+    val i = TableStats.mutualInformation(det, "x", "y")
+      .as[(String, Long, Long, Double)].collect()
+    assert(i.length == 2)
+    assert(math.abs(i.map(_._4).sum - math.log(2.0)) < 1e-5)
+    // driver-side recompute on a skewed table, per cell
+    val skew = Seq(("a", 0L), ("a", 0L), ("a", 1L), ("b", 0L)).toDF("x", "y")
+    val got = TableStats.mutualInformation(skew, "x", "y")
+      .as[(String, Long, Long, Double)].collect()
+      .map(c => (c._1, c._2) -> (c._3, c._4)).toMap
+    def mi(o: Long, ra: Long, cb: Long, n: Long) =
+      math.rint(o.toDouble / n * math.log(o.toDouble * n / (ra.toDouble * cb)) * 1e6) / 1e6
+    assert(got(("a", 0L)) == ((2L, mi(2, 3, 3, 4))))
+    assert(got(("a", 1L)) == ((1L, mi(1, 3, 1, 4))))
+    assert(got(("b", 0L)) == ((1L, mi(1, 1, 3, 4))))
+  }
+
   test("corrMatrix: matches driver-side Pearson on exact moments; constant var is NULL") {
     val df = Seq((1L, 2L, 5L), (2L, 4L, 5L), (3L, 7L, 5L), (4L, 8L, 5L))
       .toDF("x", "y", "c")
