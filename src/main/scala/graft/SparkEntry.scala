@@ -1393,6 +1393,10 @@ object SparkEntry {
     "q248_mmr_batch" -> ((s, dir) =>
       graft.operators.Rerank.mmrRerankMany(indexOf(s, dir), QBatch,
         k = 5, m = 20, lambda = 0.7)),
+    // extension: language-ID quality audit — q19's prediction confused
+    // against the stored label; map-only scoring, |langs|²-bounded cells
+    "q254_langid_confusion" -> ((s, dir) =>
+      TextAnalysis.langIdConfusion(docs(s, dir))),
     // extension: TPC-H Q12 shape — per lineitem category, lines on
     // critical- vs other-priority orders in one CASE-WHEN split aggregate
     // (the last of the 22 spec shapes; completes the sweep)
@@ -1798,6 +1802,20 @@ SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
     (dfCols, tfCols, score)
   }
 
+  /** q19's per-language score columns + argmax CASE — shared by the
+    * langid projection and the q254 confusion rollup. */
+  private def dkLangParts: (String, String) = {
+    val langs = TextAnalysis.stopwords.map(_._1)
+    val scoreCols = langs.map(l =>
+      s"CAST(len(list_filter(toks, t -> t IN ${stopIn(l)})) AS INTEGER) AS s_$l").mkString(",\n  ")
+    val caseExpr = langs.init.zipWithIndex.map { case (l, i) =>
+      val rest = langs.drop(i + 1).map(r => s"s_$r")
+      val bound = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
+      s"WHEN s_$l >= $bound THEN '$l'"
+    }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+    (scoreCols, caseExpr)
+  }
+
   /** q98's full-scan TF-IDF SQL — shared verbatim by q249_tfidf_indexed,
     * whose hash check against the SAME oracle is the index-equivalence
     * proof for `tfidfIndexed`. */
@@ -1944,18 +1962,28 @@ SELECT doc_id, n_tokens, stop_hits, n_punct,
 FROM b""",
     "q19_langid" -> {
       val langs = TextAnalysis.stopwords.map(_._1)
-      val scoreCols = langs.map(l =>
-        s"CAST(len(list_filter(toks, t -> t IN ${stopIn(l)})) AS INTEGER) AS s_$l").mkString(",\n  ")
-      val caseExpr = langs.init.zipWithIndex.map { case (l, i) =>
-        val rest = langs.drop(i + 1).map(r => s"s_$r")
-        val bound = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
-        s"WHEN s_$l >= $bound THEN '$l'"
-      }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
+      val (scoreCols, caseExpr) = dkLangParts
       s"""WITH $dkTok,
   sc AS (SELECT doc_id,
   $scoreCols
   FROM tok)
 SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")}, $caseExpr AS predicted_lang FROM sc"""
+    },
+    // Confusion rollup of q19's prediction vs the stored label, with each
+    // cell's share of its label's docs
+    "q254_langid_confusion" -> {
+      val (scoreCols, caseExpr) = dkLangParts
+      s"""WITH tokl AS (SELECT doc_id, lang,
+    list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+  sc AS (SELECT doc_id, lang, $scoreCols FROM tokl),
+  pred AS (SELECT lang, $caseExpr AS predicted_lang FROM sc),
+  cells AS (SELECT lang, predicted_lang, count(*) AS n_docs
+    FROM pred GROUP BY 1, 2),
+  m AS (SELECT lang, sum(n_docs) AS label_total FROM cells GROUP BY 1)
+SELECT c.lang, c.predicted_lang, c.n_docs,
+  round(CAST(c.n_docs AS DOUBLE) / m.label_total, 6) AS label_share
+FROM cells c JOIN m ON c.lang = m.lang
+ORDER BY 1, 2"""
     },
     "q20_fingerprint" ->
       """SELECT doc_id,

@@ -407,11 +407,23 @@ object TableStats {
     *
     * Shape: one (a, b) aggregate; marginals derived from it (tiny) and
     * broadcast back. Output cardinality = |a| x |b| cells. */
-  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    // memoized: the cell table feeds both marginals, the total, and the
-    // output join — four input scans otherwise (PlanCache lifecycle)
-    val cells = PlanCache.memo(df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    chiSquareFromCells(contingencyCells(df, aCol, bCol), aCol, bCol)
+
+  /** The (a, b, o) contingency-cell aggregate both `chiSquare` and
+    * `mutualInformation` consume — also the additive state the streaming
+    * maintainer folds (counts merge by sum). Memoized: the cell table
+    * feeds marginals, the total, and the output join — four input scans
+    * otherwise (PlanCache lifecycle). */
+  def contingencyCells(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    PlanCache.memo(df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
       .agg(count(lit(1)).as("o")))
+
+  /** `chiSquare` from a pre-built (a, b, o) cell table (batch or folded
+    * streaming state) — marginals and total derive from the cells, so no
+    * corpus access. */
+  def chiSquareFromCells(cells: DataFrame, aCol: String,
+                         bCol: String): DataFrame = {
     val rowT = cells.groupBy("a").agg(sum("o").as("ra"))
     val colT = cells.groupBy("b").agg(sum("o").as("cb"))
     val total = cells.agg(sum("o").as("n"))
@@ -435,9 +447,13 @@ object TableStats {
     * (memoized — it feeds marginals, total, and the output), broadcast
     * marginals, every ln argument an exact integer ratio, one rounded
     * double per cell. Output cardinality = observed |a|x|b| cells. */
-  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame = {
-    val cells = PlanCache.memo(df.groupBy(col(aCol).as("a"), col(bCol).as("b"))
-      .agg(count(lit(1)).as("o")))
+  def mutualInformation(df: DataFrame, aCol: String, bCol: String): DataFrame =
+    mutualInformationFromCells(contingencyCells(df, aCol, bCol), aCol, bCol)
+
+  /** `mutualInformation` from a pre-built (a, b, o) cell table — the
+    * streaming reader's form. */
+  def mutualInformationFromCells(cells: DataFrame, aCol: String,
+                                 bCol: String): DataFrame = {
     val rowT = cells.groupBy("a").agg(sum("o").as("ra"))
     val colT = cells.groupBy("b").agg(sum("o").as("cb"))
     val total = cells.agg(sum("o").as("n"))

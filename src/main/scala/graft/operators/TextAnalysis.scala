@@ -125,17 +125,44 @@ object TextAnalysis {
   /** Heuristic language ID: stopword-profile voting with deterministic
     * alphabetical tie-break (first language whose score >= all later ones). */
   def langId(docs: DataFrame): DataFrame = {
-    val withScores = stopwords.foldLeft(docs.withColumn("toks", expr(tokensExpr))) {
+    val langs = stopwords.map(_._1)
+    withLangScores(docs).selectExpr(
+      "doc_id" +: langs.map(l => s"s_$l") :+ s"$langPredictExpr AS predicted_lang": _*)
+  }
+
+  /** The per-language stopword-hit score columns (s_<lang>) — langId's
+    * map-only scoring stage, shared with the confusion audit. */
+  private def withLangScores(docs: DataFrame): DataFrame =
+    stopwords.foldLeft(docs.withColumn("toks", expr(tokensExpr))) {
       case (df, (lang, ws)) => df.withColumn(s"s_$lang", expr(hitsExpr(ws)))
     }
+
+  /** The argmax-with-alphabetical-tie-break CASE over the score columns. */
+  private def langPredictExpr: String = {
     val langs = stopwords.map(_._1)
-    val caseExpr = langs.init.zipWithIndex.map { case (l, i) =>
+    langs.init.zipWithIndex.map { case (l, i) =>
       val rest = langs.drop(i + 1).map(r => s"s_$r")
       val bound = if (rest.size == 1) rest.head else s"greatest(${rest.mkString(", ")})"
       s"WHEN s_$l >= $bound THEN '$l'"
     }.mkString("CASE ", " ", s" ELSE '${langs.last}' END")
-    withScores.selectExpr(
-      "doc_id" +: langs.map(l => s"s_$l") :+ s"$caseExpr AS predicted_lang": _*)
+  }
+
+  /** Language-ID quality audit: confusion counts of the stored `lang`
+    * label vs the heuristic prediction, plus each cell's share of its
+    * label's documents (the per-label recall when lang == predicted).
+    * The scoring stays map-only on the corpus pass (same projection as
+    * `langId` — no self-join back to the label); the confusion frame is
+    * |langs|²-bounded, its marginal broadcast back. Exact integer counts,
+    * one rounded division per cell. */
+  def langIdConfusion(docs: DataFrame): DataFrame = {
+    val cells = PlanCache.memo(withLangScores(docs)
+      .selectExpr("lang", s"$langPredictExpr AS predicted_lang")
+      .groupBy("lang", "predicted_lang").agg(count(lit(1)).as("n_docs")))
+    val perLabel = cells.groupBy("lang").agg(sum("n_docs").as("label_total"))
+    cells.join(broadcast(perLabel), Seq("lang"))
+      .select(col("lang"), col("predicted_lang"), col("n_docs"),
+        expr("round(CAST(n_docs AS DOUBLE) / label_total, 6)").as("label_share"))
+      .orderBy("lang", "predicted_lang")
   }
 
   /** Token-distribution drift between two corpus halves (here: doc_id

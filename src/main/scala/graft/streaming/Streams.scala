@@ -711,6 +711,47 @@ object Streams {
     graft.operators.Sampling.temperatureMixtureFromCounts(
       langCountsAt(spark, countsPath), budget)
 
+  /** Streaming contingency-table maintenance — the incremental form of
+    * BOTH `TableStats.chiSquare` (q118) and `TableStats.mutualInformation`
+    * (q253): the (a, b) cell counts are additive integers, so each
+    * micro-batch writes its own cell partial ([[epochPartials]] scaffold)
+    * and the readers below re-derive marginals, chi-square, and MI from
+    * the folded |a|x|b|-bounded state — never the raw rows. */
+  def streamingCellCounts(rows: DataFrame, cellsPath: String,
+                          checkpointDir: String, aCol: String = "source",
+                          bCol: String = "lang"): StreamingQuery =
+    epochPartials(rows, cellsPath, checkpointDir)(b =>
+      b.groupBy(col(aCol).as("a"), col(bCol).as("b"))
+        .agg(count(lit(1)).as("o")))
+
+  /** The maintained (a, b, o) cell table, folded across epochs and
+    * memoized (it feeds marginals, the total, and the output join). */
+  def cellCountsAt(spark: SparkSession, cellsPath: String): DataFrame =
+    graft.operators.PlanCache.memo(
+      epochsAt(spark, cellsPath).groupBy("a", "b").agg(sum("o").as("o")))
+
+  /** Chi-square from the maintained cells — batch `chiSquare` rows over
+    * the union corpus, no raw-row access. */
+  def chiSquareStreamedAt(spark: SparkSession, cellsPath: String,
+                          aCol: String = "source",
+                          bCol: String = "lang"): DataFrame =
+    graft.operators.TableStats.chiSquareFromCells(
+      cellCountsAt(spark, cellsPath), aCol, bCol)
+
+  /** Mutual information from the maintained cells — batch
+    * `mutualInformation` rows over the union corpus. */
+  def mutualInformationStreamedAt(spark: SparkSession, cellsPath: String,
+                                  aCol: String = "source",
+                                  bCol: String = "lang"): DataFrame =
+    graft.operators.TableStats.mutualInformationFromCells(
+      cellCountsAt(spark, cellsPath), aCol, bCol)
+
+  /** Compaction for the cell-count epochs — same contract: re-sums the
+    * additive counts into one epoch partition. */
+  def compactCellCountsAt(spark: SparkSession, cellsPath: String): Unit =
+    compactEpochs(spark, cellsPath)(st =>
+      st.groupBy("a", "b").agg(sum("o").as("o")))
+
   /** Streaming RFM maintenance — `EventAnalytics.rfmSegments`' incremental
     * form (the CRM segmentation that should track the live purchase
     * stream): per-user last-purchase ts is max-mergeable and count/cents

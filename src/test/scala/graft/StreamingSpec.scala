@@ -517,6 +517,35 @@ class StreamingSpec extends AnyFunSuite {
     ev.unpersist()
   }
 
+  test("streamingCellCounts: folded cells answer chi-square and MI as batch; compaction preserves them") {
+    val tmp = Files.createTempDirectory("graft-stream-cells").toString
+    val (landing, cPath, ckpt) = (s"$tmp/landing", s"$tmp/cells", s"$tmp/ckpt")
+    val docs = Tables.documents(spark, TestSpark.sf0001).cache()
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingCellCounts(stream, cPath, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(cPath).select("epoch").distinct().count() >= 2)
+    val ts = graft.operators.TableStats
+    val chiBatch = ts.chiSquare(docs, "source", "lang")
+      .as[(String, String, Long, Double, Double)].collect().toSet
+    val miBatch = ts.mutualInformation(docs, "source", "lang")
+      .as[(String, String, Long, Double)].collect().toSet
+    assert(Streams.chiSquareStreamedAt(spark, cPath)
+      .as[(String, String, Long, Double, Double)].collect().toSet == chiBatch)
+    assert(Streams.mutualInformationStreamedAt(spark, cPath)
+      .as[(String, String, Long, Double)].collect().toSet == miBatch)
+    assert(chiBatch.nonEmpty && miBatch.nonEmpty)
+    Streams.compactCellCountsAt(spark, cPath)
+    assert(spark.read.parquet(cPath).select("epoch").distinct().count() == 1)
+    assert(Streams.chiSquareStreamedAt(spark, cPath)
+      .as[(String, String, Long, Double, Double)].collect().toSet == chiBatch)
+    assert(Streams.mutualInformationStreamedAt(spark, cPath)
+      .as[(String, String, Long, Double)].collect().toSet == miBatch)
+    docs.unpersist()
+  }
+
   test("streamingLexIndex: maintained BM25 matches a from-scratch index; compaction preserves it") {
     val tmp = Files.createTempDirectory("graft-stream-lex").toString
     val (landing, idxPath, ckpt) = (s"$tmp/landing", s"$tmp/lex", s"$tmp/ckpt")

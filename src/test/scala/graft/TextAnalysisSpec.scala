@@ -676,4 +676,21 @@ class TextAnalysisSpec extends AnyFunSuite {
     assert(TextAnalysis.jsdSources(docs.repartition(7))
       .as[(String, String, Long, Double)].collect().toSeq == fxr)
   }
+
+  test("langIdConfusion: cells reproduce a langId-label rollup; shares sum to 1 per label") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = TextAnalysis.langIdConfusion(docs)
+      .as[(String, String, Long, Double)].collect().toSeq
+    val pred = TextAnalysis.langId(docs).select("doc_id", "predicted_lang")
+      .as[(Long, String)].collect().toMap
+    val lab = docs.select("doc_id", "lang").as[(Long, String)].collect()
+    val want = lab.groupBy(r => (r._2, pred(r._1))).view
+      .mapValues(_.length.toLong).toMap
+    assert(got.map(r => (r._1, r._2) -> r._3).toMap == want && got.nonEmpty)
+    assert(got.map(_._3).sum == lab.length) // every doc lands in one cell
+    got.groupBy(_._1).values.foreach { rs =>
+      assert(math.abs(rs.map(_._4).sum - 1.0) < 1e-4) }
+    // output is deterministically ordered
+    assert(got == got.sortBy(r => (r._1, r._2)))
+  }
 }
