@@ -1393,6 +1393,11 @@ object SparkEntry {
     "q248_mmr_batch" -> ((s, dir) =>
       graft.operators.Rerank.mmrRerankMany(indexOf(s, dir), QBatch,
         k = 5, m = 20, lambda = 0.7)),
+    // extension: deterministic epoch-shuffled training order — seeded
+    // hash permutation into balanced shards with distributed in-shard
+    // ranks (the ORDER BY random() replacement that survives 100 TB)
+    "q255_train_order" -> ((s, dir) =>
+      operators.Sampling.trainOrder(docs(s, dir))),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
     "q254_langid_confusion" -> ((s, dir) =>
@@ -1968,6 +1973,18 @@ FROM b""",
   $scoreCols
   FROM tok)
 SELECT doc_id, ${langs.map(l => s"s_$l").mkString(", ")}, $caseExpr AS predicted_lang FROM sc"""
+    },
+    // Epoch shuffle: same sha256(seed:id) permutation key; the oracle's
+    // window rank is the small-scale twin of the distributed rank
+    "q255_train_order" -> {
+      val b0 = dkByte("hx", "0")
+      s"""WITH h AS (SELECT doc_id,
+    sha256('epoch0:' || CAST(doc_id AS VARCHAR)) AS hx FROM documents),
+  s AS (SELECT doc_id, hx, CAST($b0 % 8 AS BIGINT) AS shard FROM h)
+SELECT doc_id, shard,
+  CAST(row_number() OVER (PARTITION BY shard ORDER BY hx, doc_id) AS BIGINT)
+    AS pos
+FROM s"""
     },
     // Confusion rollup of q19's prediction vs the stored label, with each
     // cell's share of its label's docs
@@ -2966,10 +2983,10 @@ WHERE levenshtein(a.pfx, b.pfx) <= 5""",
     // join, exact integer counts
     "q252_tpch_q12" ->
       """SELECT l_returnflag,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 1 ELSE 0 END)
-    AS high_line_count,
-  sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH') THEN 0 ELSE 1 END)
-    AS low_line_count
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
 FROM orders JOIN lineitem ON o_orderkey = l_orderkey
 WHERE year(l_shipdate) = 1996
 GROUP BY 1 ORDER BY 1""",

@@ -44,6 +44,32 @@ object Sampling {
     docs.withColumn("bucket", expr(bucketExpr(keyExpr)))
       .withColumn("split", expr(splitCase(weights, "bucket")))
 
+  /** Deterministic epoch-shuffled training order: each doc gets a seeded
+    * pseudo-random shard and its position within that shard — the global
+    * shuffle every training run needs, WITHOUT the `ORDER BY random()`
+    * single-point sort (a SinglePartition WindowExec at corpus scale).
+    * The permutation key is sha256(seed:doc_id) — a new `seed` string is
+    * a fresh epoch permutation, reproducible on any engine or cluster
+    * size (the splitByHash stability argument applied to ordering); the
+    * shard is the hash's first byte mod `nShards`, so shards are balanced
+    * in expectation and assignment is a map-only projection. Positions
+    * come from `Ranks.distributedRank` over (hash, doc_id) within each
+    * shard — range-balanced parallel ranking, the one-broadcast-offset
+    * pattern, never a global window. Output: (doc_id, shard, pos),
+    * pos 1-based within shard. */
+  def trainOrder(docs: DataFrame, seed: String = "epoch0", nShards: Int = 8,
+                 nPartitions: Int = 32): DataFrame = {
+    require(nShards >= 1 && seed.matches("[A-Za-z0-9_:-]+"),
+      s"bad shards/seed: $nShards/$seed")
+    val keyed = docs.selectExpr("doc_id",
+        s"sha2(concat('$seed:', CAST(doc_id AS STRING)), 256) AS __hx")
+      .withColumn("shard",
+        expr(s"CAST(conv(substring(__hx, 1, 2), 16, 10) AS BIGINT) % $nShards"))
+    Ranks.distributedRank(keyed, Seq("shard"),
+        Seq(col("__hx"), col("doc_id")), "pos", nPartitions)
+      .select("doc_id", "shard", "pos")
+  }
+
   /** Deterministic split column from cumulative weights. `weights` must sum
     * to 1 and iterate in declaration order (train/val/test by default). */
   def splitByHash(docs: DataFrame,

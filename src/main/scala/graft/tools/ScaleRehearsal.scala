@@ -16,8 +16,9 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 8
     // optional 2nd arg: comma-separated family filter (docs, events,
-    // graph, search, r9, r10, tpch, r10b, r11) — run ONLY those families
-    // so a new-family rehearsal doesn't pay the full ~25-minute sweep
+    // graph, search, r9, r10, tpch, r10b, r11, r11b) — run ONLY those
+    // families so a new-family rehearsal doesn't pay the full ~25-minute
+    // sweep
     val fams: Set[String] = if (args.length > 1)
       args(1).split(',').map(_.trim).filter(_.nonEmpty).toSet else Set.empty
     def fam(name: String): Boolean = fams.isEmpty || fams.contains(name)
@@ -409,6 +410,41 @@ object ScaleRehearsal {
           .queryExecution.toRdd.count() }
     }
     if (fam("r11")) { runR11("1x", ev1, emb1); runR11(s"${k}x", evK, embK) }
+
+    // round-11b family (q249-q254): the indexed TF-IDF is
+    // postings-linear; the Q2/Q12/Q20 shapes are one pruned fact pass
+    // into dim-bounded frames; MI and the langid confusion are map-only
+    // scoring into |cells|-bounded aggregates — all should track corpus
+    // growth linearly
+    def runR11b(tag: String, docs: DataFrame, li: DataFrame,
+                ord: DataFrame, part: DataFrame, supp: DataFrame): Unit = {
+      val ta = graft.operators.TextAnalysis
+      val nat = graft.Tables.nation(spark, "/root/testdata/sf0.1")
+      val reg = graft.Tables.region(spark, "/root/testdata/sf0.1")
+      time(s"$tag tfidfIndexed") {
+        ta.tfidfIndexed(ta.postings(docs), ta.docLengths(docs),
+          Seq("transfer", "credit", "university"))
+          .queryExecution.toRdd.count() }
+      time(s"$tag tpchQ2") {
+        graft.operators.Joins.minCostSupplier(li, part, supp, nat, reg)
+          .queryExecution.toRdd.count() }
+      time(s"$tag tpchQ12") {
+        graft.operators.Joins.shipmodePriorityCounts(ord, li)
+          .queryExecution.toRdd.count() }
+      time(s"$tag tpchQ20") {
+        graft.operators.Joins.excessShippers(li, part, supp, nat, reg)
+          .queryExecution.toRdd.count() }
+      time(s"$tag mutualInfo") {
+        graft.operators.TableStats.mutualInformation(docs, "source", "lang")
+          .queryExecution.toRdd.count() }
+      time(s"$tag langidConfusion") {
+        ta.langIdConfusion(docs).queryExecution.toRdd.count() }
+    }
+    if (fam("r11b")) {
+      // full-column docs: MI/confusion need (source, lang), TF-IDF text
+      runR11b("1x", docsSrcFull1, liFull1, ord1, part1, supp1)
+      runR11b(s"${k}x", docsSrcFullK, liFullK, ordK, partK, suppK)
+    }
     spark.stop()
   }
 }

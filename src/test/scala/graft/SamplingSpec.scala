@@ -345,4 +345,30 @@ class SamplingSpec extends AnyFunSuite {
     assert(Sampling.groupHoldoutSplit(ev.repartition(7))
       .as[(String, Long, Long, Double, Long)].collect().toSeq == got)
   }
+
+  test("trainOrder: matches a driver-side windowed rank; permutation is seed-keyed and partition-invariant") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val got = Sampling.trainOrder(docs)
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    val keyed = docs.selectExpr("doc_id",
+        "sha2(concat('epoch0:', CAST(doc_id AS STRING)), 256) AS hx")
+      .as[(Long, String)].collect()
+    val want = keyed
+      .map { case (id, hx) => (id, java.lang.Long.parseLong(hx.take(2), 16) % 8, hx) }
+      .groupBy(_._2).toSeq.flatMap { case (shard, rs) =>
+        rs.sortBy(r => (r._3, r._1)).zipWithIndex
+          .map { case (r, i) => (r._1, shard, i + 1L) }
+      }.sorted
+    assert(got == want && got.nonEmpty)
+    // every doc appears exactly once; positions are 1..n per shard
+    assert(got.map(_._1).distinct.length == docs.count())
+    got.groupBy(_._2).values.foreach { rs =>
+      assert(rs.map(_._3).sorted == (1L to rs.length.toLong).toSeq) }
+    // partition-invariant, and a different seed is a different permutation
+    assert(Sampling.trainOrder(docs.repartition(7))
+      .as[(Long, Long, Long)].collect().toSeq.sorted == got)
+    val other = Sampling.trainOrder(docs, seed = "epoch1")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(other != got)
+  }
 }
