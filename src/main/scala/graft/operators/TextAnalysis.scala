@@ -944,11 +944,26 @@ object TextAnalysis {
     * engine). The 2^20 scale cancels in the slope; the intercept divides
     * it back out. Output: (group, n_terms, slope, intercept), 6dp. */
   def zipfSlope(docs: DataFrame, groupCol: String = "source",
-                topRanks: Int = 1000, minTerms: Int = 16): DataFrame = {
+                topRanks: Int = 1000, minTerms: Int = 16): DataFrame =
+    zipfSlopeFromCounts(groupTermCounts(docs, groupCol), groupCol,
+      topRanks, minTerms)
+
+  /** The (g, token, c) per-group term-count aggregate that `zipfSlope`,
+    * `sourceEntropy`, and `jsdSources` all consume — also the additive
+    * state the streaming maintainer folds (counts merge by sum; the state
+    * is vocab×groups-bounded, not corpus-bounded). */
+  def groupTermCounts(docs: DataFrame, groupCol: String = "source"): DataFrame =
+    docs.select(col(groupCol).as("g"), explode(expr(tokensExpr)).as("token"))
+      .groupBy("g", "token").agg(count(lit(1)).as("c"))
+
+  /** `zipfSlope` from a pre-built (g, token, c) count table (batch or
+    * folded streaming state). */
+  def zipfSlopeFromCounts(counts: DataFrame, groupCol: String = "source",
+                          topRanks: Int = 1000,
+                          minTerms: Int = 16): DataFrame = {
     require(topRanks >= minTerms && minTerms >= 2,
       s"need topRanks >= minTerms >= 2: $topRanks, $minTerms")
-    val occ = docs.select(col(groupCol).as("g"), explode(expr(tokensExpr)).as("token"))
-    val cnt = occ.groupBy("g", "token").agg(count(lit(1)).as("cnt"))
+    val cnt = counts.select(col("g"), col("token"), col("c").as("cnt"))
     val ranked = graft.plans.GroupedTopK(cnt,
       Seq(col("g")), Seq(desc("cnt"), asc("token")), topRanks)
     val fx = ranked.select(col("g"),
@@ -1031,9 +1046,14 @@ object TextAnalysis {
     * (source) partial-aggregated rollup. Two shuffles, both map-side
     * combined; never holds a vocabulary in memory. Output per source:
     * (n_tokens, n_types, entropy [nats], ttr), ordered by source. */
-  def sourceEntropy(docs: DataFrame, groupCol: String = "source"): DataFrame = {
-    val occ = docs.select(col(groupCol).as("g"), explode(expr(tokensExpr)).as("token"))
-    occ.groupBy("g", "token").agg(count(lit(1)).as("c"))
+  def sourceEntropy(docs: DataFrame, groupCol: String = "source"): DataFrame =
+    sourceEntropyFromCounts(groupTermCounts(docs, groupCol), groupCol)
+
+  /** `sourceEntropy` from a pre-built (g, token, c) count table — the
+    * streaming reader's form. */
+  def sourceEntropyFromCounts(counts: DataFrame,
+                              groupCol: String = "source"): DataFrame = {
+    counts
       .withColumn("fx",
         expr("CAST(floor(ln(CAST(c AS DOUBLE)) * 1048576.0 + 0.5) AS BIGINT)"))
       .groupBy("g")
@@ -1090,9 +1110,12 @@ object TextAnalysis {
     * term's p·ln(ratio) is held in 2^40 fixed point (|value| ≤ p·ln 2, so
     * the pair sum is ≤ ln 2 · 2^40 ≈ 7.6e11 — no overflow); final
     * assembly is one expression of exact integers + ln(2). */
-  def jsdSources(docs: DataFrame, groupCol: String = "source"): DataFrame = {
-    val occ = docs.select(col(groupCol).as("g"), explode(expr(tokensExpr)).as("token"))
-    val cnt = occ.groupBy("g", "token").agg(count(lit(1)).as("c"))
+  def jsdSources(docs: DataFrame, groupCol: String = "source"): DataFrame =
+    jsdSourcesFromCounts(groupTermCounts(docs, groupCol))
+
+  /** `jsdSources` from a pre-built (g, token, c) count table — the
+    * streaming reader's form. */
+  def jsdSourcesFromCounts(cnt: DataFrame): DataFrame = {
     val tot = cnt.groupBy("g").agg(sum("c").as("n"))
     val a = cnt.toDF("ga", "token", "ca")
       .join(broadcast(tot.toDF("ga", "na")), "ga")

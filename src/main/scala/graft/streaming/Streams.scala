@@ -1139,6 +1139,67 @@ object Streams {
       terms)
   }
 
+  /** Streaming per-group term-count maintenance — the incremental form of
+    * the corpus-health trio: `zipfSlope` (q183), `sourceEntropy` (q198),
+    * and `jsdSources` (q197) all fold from the SAME additive
+    * (g, token, c) state (vocab×groups-bounded, never corpus-bounded).
+    * Each micro-batch writes its own count partial ([[epochPartials]]
+    * scaffold); the readers below re-run the batch operators' FromCounts
+    * forms on the folded table — byte-equal to a from-scratch pass over
+    * the union corpus. */
+  def streamingGroupTermCounts(docs: DataFrame, countsPath: String,
+                               checkpointDir: String,
+                               groupCol: String = "source"): StreamingQuery =
+    epochPartials(docs, countsPath, checkpointDir)(b =>
+      graft.operators.TextAnalysis.groupTermCounts(b, groupCol))
+
+  /** The maintained (g, token, c) table, folded across epochs and
+    * memoized (zipf/entropy/JSD each consume it more than once). */
+  def groupTermCountsAt(spark: SparkSession, countsPath: String): DataFrame =
+    graft.operators.PlanCache.memo(
+      epochsAt(spark, countsPath).groupBy("g", "token")
+        .agg(sum("c").as("c")))
+
+  /** Zipf slope per group from the maintained counts. */
+  def zipfSlopeStreamedAt(spark: SparkSession, countsPath: String,
+                          groupCol: String = "source"): DataFrame =
+    graft.operators.TextAnalysis.zipfSlopeFromCounts(
+      groupTermCountsAt(spark, countsPath), groupCol)
+
+  /** Unigram entropy + lexical diversity per group from the maintained
+    * counts. */
+  def sourceEntropyStreamedAt(spark: SparkSession, countsPath: String,
+                              groupCol: String = "source"): DataFrame =
+    graft.operators.TextAnalysis.sourceEntropyFromCounts(
+      groupTermCountsAt(spark, countsPath), groupCol)
+
+  /** Pairwise JSD between group unigram distributions from the maintained
+    * counts. */
+  def jsdSourcesStreamedAt(spark: SparkSession,
+                           countsPath: String): DataFrame =
+    graft.operators.TextAnalysis.jsdSourcesFromCounts(
+      groupTermCountsAt(spark, countsPath))
+
+  /** Compaction for the term-count epochs — re-sums the additive counts
+    * into one epoch partition. */
+  def compactGroupTermCountsAt(spark: SparkSession,
+                               countsPath: String): Unit =
+    compactEpochs(spark, countsPath)(st =>
+      st.groupBy("g", "token").agg(sum("c").as("c")))
+
+  /** Term burstiness (q184's operator) over the maintained lex index —
+    * cf = sum(tf), df = postings-row count per token, exactly the
+    * `termBurstiness` quantities (one row per (token, doc) under the
+    * append-only contract). The fourth reader on the lex-index state. */
+  def burstinessStreamedAt(spark: SparkSession, indexPath: String,
+                           minDf: Int = 5, k: Int = 20): DataFrame =
+    lexPostingsAt(spark, indexPath)
+      .groupBy("token")
+      .agg(sum("tf").as("cf"), count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .withColumn("burstiness", expr("round(CAST(cf AS DOUBLE) / df, 6)"))
+      .orderBy(desc("burstiness"), desc("cf"), asc("token")).limit(k)
+
   /** Vocabulary heavy-hitters over the maintained index — batch
     * `TextAnalysis.topTokens(unionCorpus, k)` from the SAME postings
     * state: n_occurrences = sum(tf), n_docs = postings-row count (one row

@@ -546,6 +546,39 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("streamingGroupTermCounts: folded counts answer zipf, entropy, and JSD as batch; compaction preserves them") {
+    val tmp = Files.createTempDirectory("graft-stream-gtc").toString
+    val (landing, cPath, ckpt) = (s"$tmp/landing", s"$tmp/counts", s"$tmp/ckpt")
+    val docs = Tables.documents(spark, TestSpark.sf0001).cache()
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingGroupTermCounts(stream, cPath, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(cPath).select("epoch").distinct().count() >= 2)
+    val ta = graft.operators.TextAnalysis
+    val zipfB = ta.zipfSlope(docs)
+      .as[(String, Long, Double, Double)].collect().toSet
+    val entB = ta.sourceEntropy(docs)
+      .as[(String, Long, Long, Double, Double)].collect().toSet
+    val jsdB = ta.jsdSources(docs)
+      .as[(String, String, Long, Double)].collect().toSet
+    def check(): Unit = {
+      assert(Streams.zipfSlopeStreamedAt(spark, cPath)
+        .as[(String, Long, Double, Double)].collect().toSet == zipfB)
+      assert(Streams.sourceEntropyStreamedAt(spark, cPath)
+        .as[(String, Long, Long, Double, Double)].collect().toSet == entB)
+      assert(Streams.jsdSourcesStreamedAt(spark, cPath)
+        .as[(String, String, Long, Double)].collect().toSet == jsdB)
+    }
+    assert(zipfB.nonEmpty && entB.nonEmpty && jsdB.nonEmpty)
+    check()
+    Streams.compactGroupTermCountsAt(spark, cPath)
+    assert(spark.read.parquet(cPath).select("epoch").distinct().count() == 1)
+    check()
+    docs.unpersist()
+  }
+
   test("streamingLexIndex: maintained BM25 matches a from-scratch index; compaction preserves it") {
     val tmp = Files.createTempDirectory("graft-stream-lex").toString
     val (landing, idxPath, ckpt) = (s"$tmp/landing", s"$tmp/lex", s"$tmp/ckpt")
@@ -578,6 +611,12 @@ class StreamingSpec extends AnyFunSuite {
     val tkBatch = tkRows(ta.topTokens(docs, 20))
     assert(tkRows(Streams.topTokensStreamedAt(spark, idxPath, 20)) == tkBatch
       && tkBatch.nonEmpty)
+    // ...and term burstiness (q184's operator) — same postings quantities
+    def buRows(df: org.apache.spark.sql.DataFrame) =
+      df.as[(String, Long, Long, Double)].collect().toSeq
+    val buBatch = buRows(ta.termBurstiness(docs))
+    assert(buRows(Streams.burstinessStreamedAt(spark, idxPath)) == buBatch
+      && buBatch.nonEmpty)
     // compaction: one epoch partition left, scores unchanged
     Streams.compactLexIndexAt(spark, idxPath)
     assert(spark.read.parquet(idxPath).select("epoch").distinct().count() == 1)
