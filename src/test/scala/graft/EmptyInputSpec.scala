@@ -120,6 +120,28 @@ class EmptyInputSpec extends AnyFunSuite {
       Tables.part(spark, TestSpark.sf0001).limit(0))) == 0)
   }
 
+  test("round-11b additions: empty input yields empty or defined summaries") {
+    val ord0 = Tables.orders(spark, TestSpark.sf0001).limit(0)
+    val part0 = Tables.part(spark, TestSpark.sf0001).limit(0)
+    val supp0 = Tables.supplier(spark, TestSpark.sf0001).limit(0)
+    val nat = Tables.nation(spark, TestSpark.sf0001)
+    val reg = Tables.region(spark, TestSpark.sf0001)
+    assert(rows(TextAnalysis.tfidfIndexed(
+      TextAnalysis.postings(docs0), TextAnalysis.docLengths(docs0),
+      Seq("transfer"))) == 0)
+    assert(rows(Joins.minCostSupplier(li0, part0, supp0, nat, reg)) == 0)
+    assert(rows(Joins.excessShippers(li0, part0, supp0, nat, reg)) == 0)
+    assert(rows(Joins.shipmodePriorityCounts(ord0, li0)) == 0)
+    assert(rows(TableStats.mutualInformation(docs0, "source", "lang")) == 0)
+    assert(rows(TextAnalysis.langIdConfusion(docs0)) == 0)
+    assert(rows(Sampling.trainOrder(docs0)) == 0)
+    assert(rows(TextAnalysis.groupTermCounts(docs0)) == 0)
+    assert(rows(TextAnalysis.sourceEntropyFromCounts(
+      TextAnalysis.groupTermCounts(docs0))) == 0)
+    assert(rows(TextAnalysis.jsdSourcesFromCounts(
+      TextAnalysis.groupTermCounts(docs0))) == 0)
+  }
+
   test("search surface: empty index answers empty, does not throw") {
     val index = Engine.ingest(docs0.select("doc_id", "text", "source"))
     assert(rows(index) == 0)
