@@ -101,6 +101,24 @@ object Bench {
     // away). The map scrolls out; the short total line below stays parseable.
     val sfLabel = sfDir.split("/").filter(_.nonEmpty).lastOption.getOrElse(sfDir)
     println(s"""{"diag":"per_query","queries":$qs,"sf":"$sfLabel"}""")
+    // The driver's ~2000-char tail window cannot hold the per-query map any
+    // more (r9: 180 queries; r11: only 168/255 entries survived truncation),
+    // so the FULL map is also persisted as a repo artifact — committed each
+    // round as BENCH_DETAIL.json — keyed by full query name with per-rep
+    // times, so round-over-round regressions stay auditable for every query.
+    try {
+      val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL",
+        "BENCH_DETAIL.json")
+      val minJson = results.toSeq.sortBy(_._1).map { case (k, (v, _)) =>
+        s"\"" + k + "\":" + f"$v%.3f"
+      }.mkString("{", ",", "}")
+      val detail =
+        s"""{"written_at":"${java.time.Instant.now()}","sf":"$sfLabel","reps":$reps,"agg":"min","n_queries":${results.size},"loadavg_start":$loadStart,"loadavg_per_sweep":$sweepLoadsJson,"loadavg_end":$loadEnd,"spark_cpus":"$cpus","query_secs":$minJson,"rep_times":$repsJson}"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        detail.getBytes("UTF-8"))
+    } catch { case e: Throwable =>
+      println(s"""{"diag":"bench_detail_write_failed","err":"${e.getMessage}"}""")
+    }
     graft.operators.PlanCache.releaseAll(spark)
     spark.stop()
     // printed LAST, after spark.stop(), so nothing lands between this line

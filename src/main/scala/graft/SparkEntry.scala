@@ -156,11 +156,16 @@ object SparkEntry {
           sum(expr("cast(round(l_extendedprice * 100) AS bigint) * (100 - cast(round(l_discount * 100) AS bigint))")).as("sum_disc_e4"),
           sum(expr("cast(round(l_extendedprice * 100) AS bigint) * (100 - cast(round(l_discount * 100) AS bigint)) * (100 + cast(round(l_tax * 100) AS bigint))")).as("sum_charge_e6"),
           count(lit(1)).as("count_order"))),
-    // extension: multi-way join + agg (broadcast dims)
+    // extension: multi-way join + agg — only the 25-row nation dim
+    // broadcasts; orders and customer are SF-proportional, so both
+    // fact-fact hops are pinned SHUFFLE_HASH (an unhinted join here let
+    // the planner broadcast them at test SF — scale-safe only by luck)
     "q13_join_revenue" -> ((s, dir) =>
       Tables.lineitem(s, dir)
-        .join(Tables.orders(s, dir), col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
+        .join(Tables.orders(s, dir).hint("SHUFFLE_HASH"),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, dir).hint("SHUFFLE_HASH"),
+          col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, dir)), col("c_nationkey") === col("n_nationkey"))
         .groupBy("n_name").agg(
           sum(expr("cast(round(l_extendedprice * 100) AS bigint) * (100 - cast(round(l_discount * 100) AS bigint))")).as("revenue_e4"),
@@ -595,16 +600,19 @@ object SparkEntry {
       Similarity.ivfPqResidualTopK(e, q, 3)
     }),
     // extension: TPC-H Q5 shape — six-table join (local-supplier revenue by
-    // nation in one region/year); dims broadcast, fact tables never shuffle
-    // before the co-keyed joins, date range + region filters push into the
-    // scans, money as integer cents
+    // nation in one region/year); only nation (25) and region (5)
+    // broadcast — orders/customer/supplier are SF-proportional, so every
+    // hop touching them is pinned SHUFFLE_HASH; date range + region
+    // filters push into the scans, money as integer cents
     "q88_tpch_q5" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .join(Tables.orders(s, dir)
-          .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'")),
+          .filter(expr("o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'"))
+          .hint("SHUFFLE_HASH"),
           col("l_orderkey") === col("o_orderkey"))
-        .join(Tables.customer(s, dir), col("o_custkey") === col("c_custkey"))
-        .join(Tables.supplier(s, dir),
+        .join(Tables.customer(s, dir).hint("SHUFFLE_HASH"),
+          col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, dir).hint("SHUFFLE_HASH"),
           col("l_suppkey") === col("s_suppkey") &&
             col("c_nationkey") === col("s_nationkey"))
         .join(broadcast(Tables.nation(s, dir)), col("s_nationkey") === col("n_nationkey"))
@@ -1033,18 +1041,20 @@ object SparkEntry {
     // root; order-invariant by construction (explicit in-bucket sort)
     "q168_merkle" -> ((s, dir) =>
       graft.operators.Sketches.merkleManifest(docs(s, dir))),
-    // extension: TPC-H Q3 shape — segment-filtered customer broadcasts
-    // onto date-filtered orders, that reduced side hash-joins lineitem
-    // (SHUFFLE_HASH: orders builds, lineitem streams), top-10 orders by
-    // exact-cents revenue
+    // extension: TPC-H Q3 shape — the segment-filtered customer frame is
+    // a constant FRACTION of customer (SF-proportional), so it
+    // hash-joins date-filtered orders (SHUFFLE_HASH on custkey, never a
+    // broadcast); that reduced side hash-joins lineitem (orders builds,
+    // lineitem streams), top-10 orders by exact-cents revenue
     "q169_tpch_q3" -> ((s, dir) =>
       Tables.lineitem(s, dir)
         .filter(expr("l_shipdate > TIMESTAMP '1998-01-01'"))
         .join(
           Tables.orders(s, dir)
             .filter(expr("o_orderdate < TIMESTAMP '1998-01-01'"))
-            .join(broadcast(Tables.customer(s, dir)
-                .filter(col("c_mktsegment") === "BUILDING")),
+            .join(Tables.customer(s, dir)
+                .filter(col("c_mktsegment") === "BUILDING")
+                .hint("SHUFFLE_HASH"),
               col("o_custkey") === col("c_custkey"))
             .hint("SHUFFLE_HASH"),
           col("l_orderkey") === col("o_orderkey"))

@@ -38,7 +38,12 @@ object Joins {
     val b = big.withColumn("__salt", saltCol)
     val s = small.withColumn("__salt",
       explode(sequence(lit(0), lit(salt - 1))))
-    b.join(s, Seq(key, "__salt"), joinType).drop("__salt")
+    // pinned SHUFFLE_HASH: salting exists for the case where the small
+    // side does NOT fit a broadcast (a broadcast join has no shuffle and
+    // therefore no skew to treat) — letting the planner broadcast the
+    // salt-exploded side at test SF would both hide the operator under
+    // test and ship an SF-proportional frame through the driver at scale
+    b.join(s.hint("SHUFFLE_HASH"), Seq(key, "__salt"), joinType).drop("__salt")
   }
 
   /** Distributed as-of join (the trades-to-quotes / event-to-latest-state
@@ -222,11 +227,14 @@ object Joins {
     * (SELECT avg(l_quantity) ... WHERE l_partkey = p_partkey)`)
     * decorrelates into one per-part aggregate joined back on partkey;
     * declared explicitly so the brand dimension prunes BOTH consumers: the
-    * broadcast semi-filter cuts the fact scan to the ~|brands|/25 slice
-    * BEFORE the per-part aggregate, so at 100 TB the partkey shuffle only
-    * ever carries brand rows (Catalyst's own decorrelation would do the
-    * same; writing it as two consumers of one pruned scan makes the reuse
-    * explicit). Aggregate side is partkey-keyed like the probe side —
+    * brand semi-filter cuts the fact to the ~|brands|/25 slice BEFORE the
+    * per-part aggregate, so at 100 TB the partkey shuffle only ever
+    * carries brand rows (Catalyst's own decorrelation would do the same;
+    * writing it as two consumers of one pruned scan makes the reuse
+    * explicit). The brand slice of `part` is SF-PROPORTIONAL (~26 B rows
+    * at SF 10^5 means the slice is still billions) so it joins
+    * SHUFFLE_HASH on partkey — the same key the aggregate reuses — never
+    * broadcast. Aggregate side is partkey-keyed like the probe side —
     * SHUFFLE_HASH, no sort.
     *
     * Exactness: quantities are integral doubles, so the 20%-of-average
@@ -241,7 +249,7 @@ object Joins {
     val li = lineitem.select(col("l_partkey"),
         expr("CAST(l_quantity AS BIGINT)").as("q"),
         expr("CAST(round(l_extendedprice * 100) AS BIGINT)").as("cents"))
-      .join(broadcast(dims), col("l_partkey") === col("p_partkey"))
+      .join(dims.hint("SHUFFLE_HASH"), col("l_partkey") === col("p_partkey"))
     val avgs = li.groupBy("l_partkey")
       .agg(sum("q").as("sum_q"), count(lit(1)).as("n_li"))
     li.join(avgs.hint("SHUFFLE_HASH"), Seq("l_partkey"))
@@ -324,8 +332,12 @@ object Joins {
   }
 
   /** TPC-H Q14 shape: promo revenue share per ship-month — conditional
-    * aggregation over a fact-dim join. Dim (part) broadcasts: the fact scan
-    * never shuffles, the month aggregate is map-side partial. Revenue in
+    * aggregation over a fact-dim join. The dim is the FULL part table
+    * (every lineitem needs its p_type), and part grows linearly with SF
+    * (~26 B rows / ~400 GB projected at SF 10^5) — broadcasting it would
+    * ship the whole frame through the driver to every executor, so the
+    * join is SHUFFLE_HASH on partkey: both sides hash-exchange once, the
+    * month aggregate stays map-side partial after the join. Revenue in
     * exact e4 fixed point (cents x discount-percent), ONE division per
     * output row. Output: (ship_month, promo_rev_e4, total_rev_e4,
     * promo_share) ordered by month. */
@@ -335,7 +347,7 @@ object Joins {
       "(100 - cast(round(l_discount * 100) AS BIGINT))")
     lineitem.select(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
         col("l_partkey"), revE4.as("rev_e4"))
-      .join(broadcast(part.select("p_partkey", "p_type")),
+      .join(part.select("p_partkey", "p_type").hint("SHUFFLE_HASH"),
         col("l_partkey") === col("p_partkey"))
       .groupBy("ship_month")
       .agg(sum(when(col("p_type") === promoType, col("rev_e4")).otherwise(0L))
@@ -353,8 +365,10 @@ object Joins {
     * average is an exact integer pair (cent sum, count) computed once and
     * broadcast into the filter via a cross join of one row; the dormancy
     * predicate is a LEFT ANTI join against the distinct custkeys of the
-    * date-pruned orders (Spark builds the hash table on the distinct-
-    * custkey side under AQE — never a per-row NOT EXISTS probe). Output:
+    * date-pruned orders — a frame whose size tracks the ACTIVE-customer
+    * count, i.e. SF-proportional, so it joins SHUFFLE_HASH (per-partition
+    * hash build, never a driver-routed broadcast or a per-row NOT EXISTS
+    * probe). Output:
     * per-segment count and exact cent sum of qualifying balances. */
   def inactiveRichCustomers(customer: DataFrame, orders: DataFrame,
                             segments: Seq[String] = Seq("BUILDING", "MACHINERY", "HOUSEHOLD"),
@@ -368,7 +382,7 @@ object Joins {
       // bal > avg as exact integer cross-multiplication: no double rounding
       .filter(col("bal_cents") * col("pos_n") > col("pos_sum"))
       .join(orders.filter(col("o_orderdate") >= lit(dormantSince).cast("timestamp"))
-          .select(col("o_custkey")).distinct(),
+          .select(col("o_custkey")).distinct().hint("SHUFFLE_HASH"),
         col("c_custkey") === col("o_custkey"), "left_anti")
       .groupBy("c_mktsegment")
       .agg(count(lit(1)).as("numcust"), sum("bal_cents").as("totacctbal_cents"))
@@ -409,10 +423,12 @@ object Joins {
     * spanning both join sides (brand+size on the dim, quantity on the
     * fact). The per-side halves of the disjunction are pushed BELOW the
     * join as union bounds — part is pre-filtered to the union of the
-    * brand/size clauses (so the broadcast build holds only candidate
-    * parts) and lineitem to the union of the quantity ranges (pushed to
-    * the parquet scan as `l_quantity <= maxHi`) — while the exact
-    * conjunctions apply after the join. Per-brand revenue output; exact e4
+    * brand/size clauses (so the hash build holds only candidate parts)
+    * and lineitem to the union of the quantity ranges (pushed to the
+    * parquet scan as `l_quantity <= maxHi`) — while the exact
+    * conjunctions apply after the join. The candidate-part slice is a
+    * CONSTANT FRACTION of part, i.e. still SF-proportional, so it joins
+    * SHUFFLE_HASH, never broadcast. Per-brand revenue output; exact e4
     * arithmetic. */
   def disjunctivePromoRevenue(lineitem: DataFrame, part: DataFrame): DataFrame = {
     // (brand, sizeLo, sizeHi, qtyLo, qtyHi) clauses of the disjunction
@@ -432,7 +448,8 @@ object Joins {
         expr("cast(round(l_extendedprice * 100) AS BIGINT) * " +
           "(100 - cast(round(l_discount * 100) AS BIGINT))").as("rev_e4"))
       .filter(col("q") <= qtyMax)
-      .join(broadcast(part.filter(dimUnion).select("p_partkey", "p_brand", "p_size")),
+      .join(part.filter(dimUnion).select("p_partkey", "p_brand", "p_size")
+          .hint("SHUFFLE_HASH"),
         col("l_partkey") === col("p_partkey"))
       .filter(joint)
       .groupBy("p_brand")
@@ -442,13 +459,13 @@ object Joins {
 
   /** TPC-H Q7 shape: volume shipping between two nations — revenue by
     * (supplier nation, customer nation, ship year) for the ordered pairs
-    * of `nationA`/`nationB`, over a two-year ship window. Both nation
-    * lookups resolve through broadcast dims on OPPOSITE ends of the fact
-    * (supplier side keys off lineitem directly, customer side routes
-    * through orders), so the only big shuffle is lineitem⋈orders — hinted
-    * hash, AQE-broadcast once the nation filters collapse orders. The
-    * cross-nation disjunction prunes BOTH dim broadcasts to two nations
-    * each before the join. */
+    * of `nationA`/`nationB`, over a two-year ship window. The 25-row
+    * nation frame broadcasts onto supplier and customer; the resulting
+    * `supNat`/`custNat` frames are two-nation SLICES of supplier/customer
+    * — a constant fraction, so still SF-proportional (~100 M customers
+    * per nation at SF 10^5) — and therefore join SHUFFLE_HASH on their
+    * keys, never broadcast. The ship-window filter prunes the fact scan
+    * first; the lineitem⋈orders hop is the one fact-fact shuffle. */
   def volumeShipping(lineitem: DataFrame, orders: DataFrame,
                      customer: DataFrame, supplier: DataFrame, nation: DataFrame,
                      nationA: String = "NATION_1", nationB: String = "NATION_2",
@@ -462,7 +479,7 @@ object Joins {
         col("c_nationkey") === col("n_nationkey"))
       .select(col("c_custkey"), col("n_name").as("cust_nation"))
     val ordNat = orders.select("o_orderkey", "o_custkey")
-      .join(broadcast(custNat), col("o_custkey") === col("c_custkey"))
+      .join(custNat.hint("SHUFFLE_HASH"), col("o_custkey") === col("c_custkey"))
       .select("o_orderkey", "cust_nation")
     lineitem
       .filter(year(col("l_shipdate")).between(fromYear, toYear))
@@ -470,7 +487,7 @@ object Joins {
         year(col("l_shipdate")).as("l_year"),
         expr("cast(round(l_extendedprice * 100) AS BIGINT) * " +
           "(100 - cast(round(l_discount * 100) AS BIGINT))").as("rev_e4"))
-      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(supNat.hint("SHUFFLE_HASH"), col("l_suppkey") === col("s_suppkey"))
       .join(ordNat.hint("SHUFFLE_HASH"), col("l_orderkey") === col("o_orderkey"))
       .filter(col("supp_nation") =!= col("cust_nation"))
       .groupBy("supp_nation", "cust_nation", "l_year")
@@ -483,7 +500,10 @@ object Joins {
     * general argmax-against-global pattern). The per-supplier aggregate is
     * computed ONCE and consumed twice: the 1-row max broadcasts back onto
     * it (no second pass over the fact), and only the argmax row(s) touch
-    * the supplier dim. Exact e4 integers make "equals the max" safe —
+    * the supplier dim. That last lookup joins SHUFFLE_HASH on suppkey:
+    * supplier is SF-proportional (~1.3 B rows at SF 10^5), so the name
+    * lookup hash-exchanges both sides rather than shipping the whole dim
+    * through the driver. Exact e4 integers make "equals the max" safe —
     * no float-compare tie hazard. */
   def topRevenueSupplier(lineitem: DataFrame, supplier: DataFrame,
                          fromDate: String = "1996-01-01",
@@ -498,7 +518,7 @@ object Joins {
     val mx = rev.agg(max("total_e4").as("max_e4"))
     rev.join(broadcast(mx))
       .filter(col("total_e4") === col("max_e4"))
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+      .join(supplier.select(col("s_suppkey"), col("s_name")).hint("SHUFFLE_HASH"),
         col("l_suppkey") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "total_e4", "n_items")
       .orderBy("s_suppkey")
@@ -520,8 +540,12 @@ object Joins {
         col("o_orderdate") < lit(toDate).cast("timestamp"))
       .select("o_orderkey", "o_orderdate", "o_orderpriority")
     val li = lineitem.select("l_orderkey", "l_shipdate")
-    ords.hint("SHUFFLE_HASH")
-      .join(li, col("o_orderkey") === col("l_orderkey") &&
+    // the hint must sit on the BUILD (right) side: a left-semi shuffled
+    // hash join builds right, and a left-side hint left the planner free
+    // to broadcast the projected lineitem frame instead (caught by
+    // PlanAudit's broadcast pricer — fact-sized, fatal at 100 TB)
+    ords.join(li.hint("SHUFFLE_HASH"),
+        col("o_orderkey") === col("l_orderkey") &&
         expr(s"datediff(l_shipdate, o_orderdate) > $lateDays"), "left_semi")
       .groupBy("o_orderpriority")
       .agg(count(lit(1)).as("order_count"))
@@ -576,7 +600,9 @@ object Joins {
         max(when(col("late"), col("l_suppkey"))).as("late_supp"))
     perOrder.filter(col("n_late_supp") === 1 && col("n_supp") > 1)
       .groupBy("late_supp").agg(count(lit(1)).as("numwait"))
-      .join(broadcast(supplier.select(col("s_suppkey"), col("s_name"))),
+      // supplier is SF-proportional: name lookup is a suppkey hash join,
+      // never a broadcast of the full dim
+      .join(supplier.select(col("s_suppkey"), col("s_name")).hint("SHUFFLE_HASH"),
         col("late_supp") === col("s_suppkey"))
       .select("s_suppkey", "s_name", "numwait")
       .orderBy(desc("numwait"), asc("s_suppkey")).limit(k)
@@ -608,12 +634,14 @@ object Joins {
 
   /** TPC-H Q8 shape: national market share — of all revenue a region's
     * customers spent on one part type, the fraction supplied by a target
-    * nation, per order year. Joins: part/customer-nation/supplier-nation
-    * are all broadcast dims (part filtered to ONE type before the join,
-    * both nation paths pre-resolved to keys); the two fact-fact hops
-    * (lineitem⋈orders on orderkey, orders⋈customer via the broadcast
-    * region-filtered customer set) leave ONE real shuffle — lineitem ⋈
-    * orders — hinted hash on orderkey. The share is a conditional
+    * nation, per order year. Only the genuinely bounded frames broadcast
+    * (region = 5 rows, the ≤25-row nation-key sets); every frame DERIVED
+    * from customer/supplier/part — the region-sliced customer keys (~1/5
+    * of customer), the one-type part slice, the target-nation supplier
+    * flags (~1/25 of supplier) — is a constant fraction of an
+    * SF-proportional table, so each joins SHUFFLE_HASH on its key instead
+    * of shipping billions of rows through the driver. The fact-fact hop
+    * (lineitem⋈orders) is hinted hash on orderkey. The share is a conditional
     * aggregate (sum-if supplier-nation = target / sum), NOT a second
     * pass: numerator and denominator ride the same groupBy. Exact e4
     * integers; one division per output row. */
@@ -631,7 +659,7 @@ object Joins {
       .join(broadcast(regionKeys), col("c_nationkey") === col("n_nationkey"))
       .select("c_custkey")
     val ordInRegion = orders.select("o_orderkey", "o_custkey", "o_orderdate")
-      .join(broadcast(custInRegion), col("o_custkey") === col("c_custkey"))
+      .join(custInRegion.hint("SHUFFLE_HASH"), col("o_custkey") === col("c_custkey"))
       .select(col("o_orderkey"), year(col("o_orderdate")).as("o_year"))
     val targetKeys = nation.filter(col("n_name") === targetNation)
       .select("n_nationkey")
@@ -640,14 +668,15 @@ object Joins {
         "left_semi")
       .select("s_suppkey")
     lineitem
-      .join(broadcast(part.filter(col("p_type") === partType)
-        .select("p_partkey")), col("l_partkey") === col("p_partkey"))
+      .join(part.filter(col("p_type") === partType)
+        .select("p_partkey").hint("SHUFFLE_HASH"),
+        col("l_partkey") === col("p_partkey"))
       .select(col("l_orderkey"), col("l_suppkey"),
         expr("cast(round(l_extendedprice * 100) AS BIGINT) * " +
           "(100 - cast(round(l_discount * 100) AS BIGINT))").as("rev_e4"))
       .join(ordInRegion.hint("SHUFFLE_HASH"),
         col("l_orderkey") === col("o_orderkey"))
-      .join(broadcast(suppFlag.withColumn("is_target", lit(true))),
+      .join(suppFlag.withColumn("is_target", lit(true)).hint("SHUFFLE_HASH"),
         col("l_suppkey") === col("s_suppkey"), "left")
       .groupBy("o_year")
       .agg(sum(when(col("is_target"), col("rev_e4")).otherwise(0L))
@@ -692,10 +721,12 @@ object Joins {
     * no partsupp cost table, so cost = p_retailprice · quantity stands in
     * (same join topology, same amounts arithmetic): profit_e4 =
     * revenue_e4 − cost_e4 with every term an exact e4 integer. Joins:
-    * part (pattern-filtered) and supplier→nation broadcast onto lineitem;
-    * the only fact-fact hop is lineitem⋈orders for the year — hinted
-    * hash on orderkey. One partial-aggregated shuffle to the
-    * (nation, year) frame. */
+    * nation (25 rows) broadcasts onto supplier, but the resulting supNat
+    * frame and the pattern-sliced part frame are both SF-proportional
+    * (constant fractions of supplier/part), so they join the fact
+    * SHUFFLE_HASH on their keys; the fact-fact hop (lineitem⋈orders for
+    * the year) is hinted hash on orderkey. One partial-aggregated shuffle
+    * to the (nation, year) frame. */
   def productTypeProfit(lineitem: DataFrame, orders: DataFrame,
                         supplier: DataFrame, nation: DataFrame,
                         part: DataFrame,
@@ -708,8 +739,8 @@ object Joins {
       .select(col("p_partkey"),
         expr("cast(round(p_retailprice * 100) AS BIGINT)").as("cost_c"))
     lineitem
-      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supNat), col("l_suppkey") === col("s_suppkey"))
+      .join(parts.hint("SHUFFLE_HASH"), col("l_partkey") === col("p_partkey"))
+      .join(supNat.hint("SHUFFLE_HASH"), col("l_suppkey") === col("s_suppkey"))
       .select(col("l_orderkey"), col("nation"),
         expr("""cast(round(l_extendedprice * 100) AS BIGINT)
             * (100 - cast(round(l_discount * 100) AS BIGINT))
@@ -726,10 +757,14 @@ object Joins {
     * each (brand, type, size) combination, excluding one brand and an
     * explicit size list (the spec's NOT-predicates) and excluding
     * blacklisted suppliers via an ANTI join (the spec's NOT IN
-    * (SELECT...) — here: suppliers under an account-balance floor). The
-    * anti side is a broadcast (dim-sized); the distinct count runs as the
-    * standard two-phase expand (dedup on (brand,type,size,suppkey), then
-    * count) — one keyed shuffle each, both partial-aggregated. Output by
+    * (SELECT...) — here: suppliers under an account-balance floor). Both
+    * the part slice and the blacklist are constant FRACTIONS of
+    * SF-proportional tables (part ~26 B, supplier ~1.3 B rows at SF
+    * 10^5), so both join SHUFFLE_HASH — the anti join hash-builds the
+    * blacklist per partition, never driver-collects it. The distinct
+    * count runs as the standard two-phase expand (dedup on
+    * (brand,type,size,suppkey), then count) — one keyed shuffle each,
+    * both partial-aggregated. Output by
     * (supplier_cnt desc, brand, type, size). */
   def supplierVariety(lineitem: DataFrame, part: DataFrame,
                       supplier: DataFrame, excludeBrand: String = "Brand#1",
@@ -742,8 +777,8 @@ object Joins {
     val badSupp = supplier.filter(col("s_acctbal") < minAcctbal)
       .select("s_suppkey")
     lineitem.select("l_partkey", "l_suppkey")
-      .join(broadcast(dims), col("l_partkey") === col("p_partkey"))
-      .join(broadcast(badSupp), col("l_suppkey") === col("s_suppkey"),
+      .join(dims.hint("SHUFFLE_HASH"), col("l_partkey") === col("p_partkey"))
+      .join(badSupp.hint("SHUFFLE_HASH"), col("l_suppkey") === col("s_suppkey"),
         "left_anti")
       .groupBy("p_brand", "p_type", "p_size")
       .agg(countDistinct("l_suppkey").as("supplier_cnt"))
@@ -788,10 +823,14 @@ object Joins {
     * cost table, joined back on partkey (SHUFFLE_HASH — both sides carry
     * the same partkey shuffle, no sort).
     *
-    * Scale: part slice and regional-supplier frames are broadcast dims
-    * (the Q9/Q16 convention); the only corpus pass is lineitem → one
-    * (partkey, suppkey) partial-aggregated shuffle, pre-pruned by BOTH
-    * broadcast filters, so the shuffle carries only the slice. Ties keep
+    * Scale: only nation (25) and region (5) broadcast. The part slice
+    * and the region-filtered supplier frame are constant FRACTIONS of
+    * SF-proportional tables (~26 B parts / ~1.3 B suppliers at SF 10^5),
+    * so every join that consumes them — the partkey prune, the suppkey
+    * semi, and both final detail lookups — is SHUFFLE_HASH on its key.
+    * The only corpus pass is lineitem → one (partkey, suppkey)
+    * partial-aggregated shuffle, pre-pruned by BOTH filters, so the
+    * shuffle carries only the slice. Ties keep
     * every min-cost supplier (spec semantics). The final order
     * (s_acctbal desc, nation, s_name, p_partkey) is a unique total order
     * — s_name is supplier-unique, p_partkey splits same-supplier rows —
@@ -816,9 +855,9 @@ object Joins {
       .filter(col("p_type") === partType && col("p_size") <= maxSize)
       .select("p_partkey", "p_brand")
     val cost = lineitem
-      .join(broadcast(dims.select("p_partkey")),
+      .join(dims.select("p_partkey").hint("SHUFFLE_HASH"),
         col("l_partkey") === col("p_partkey"))
-      .join(broadcast(supReg.select("s_suppkey")),
+      .join(supReg.select("s_suppkey").hint("SHUFFLE_HASH"),
         col("l_suppkey") === col("s_suppkey"), "left_semi")
       .groupBy("l_partkey", "l_suppkey")
       .agg(sum(expr("CAST(round(l_extendedprice * 100) AS BIGINT)"))
@@ -826,8 +865,8 @@ object Joins {
     val minc = cost.groupBy("l_partkey").agg(min("cost_c").as("min_c"))
     cost.join(minc.hint("SHUFFLE_HASH"), Seq("l_partkey"))
       .filter(col("cost_c") === col("min_c"))
-      .join(broadcast(supReg), col("l_suppkey") === col("s_suppkey"))
-      .join(broadcast(dims), col("l_partkey") === col("p_partkey"))
+      .join(supReg.hint("SHUFFLE_HASH"), col("l_suppkey") === col("s_suppkey"))
+      .join(dims.hint("SHUFFLE_HASH"), col("l_partkey") === col("p_partkey"))
       .select(col("s_acctbal"), col("s_name"), col("nation"),
         col("l_partkey").as("p_partkey"), col("p_brand"), col("cost_c"))
       .orderBy(desc("s_acctbal"), asc("nation"), asc("s_name"),
@@ -842,7 +881,9 @@ object Joins {
     * sum(l_quantity) ...))` chain; availqty has no fixture column, so the
     * threshold is MEAN-relative like the Q11 adaptation — a fixed
     * absolute quantity degenerates as the corpus grows, mean-relative is
-    * scale-free). Decorrelation: one date+pattern-pruned pass over
+    * scale-free). The pattern-sliced part frame is SF-proportional, so
+    * its prune joins SHUFFLE_HASH on partkey (never broadcast).
+    * Decorrelation: one date+pattern-pruned pass over
     * lineitem into a per-supplier quantity aggregate (|suppliers|-bounded),
     * its 1-row total broadcast back as an exact cross-multiplied integer
     * cut (qty·n·denom > total·num), then the qualifying-supplier frame
@@ -857,7 +898,7 @@ object Joins {
     val pp = part.filter(col("p_name").like(namePattern)).select("p_partkey")
     val shipped = lineitem
       .filter(org.apache.spark.sql.functions.year(col("l_shipdate")) === year)
-      .join(broadcast(pp), col("l_partkey") === col("p_partkey"))
+      .join(pp.hint("SHUFFLE_HASH"), col("l_partkey") === col("p_partkey"))
       .groupBy("l_suppkey")
       .agg(sum(expr("CAST(l_quantity AS BIGINT)")).as("qty"))
     val tot = shipped.agg(sum("qty").as("tot_q"), count(lit(1)).as("n_supp"))

@@ -1520,14 +1520,38 @@ object Similarity {
     * SinglePartition WindowExec. 2·U stays an exact BIGINT (midranks are
     * half-integers); one division per label at the end. Output:
     * (label, n_pos, n_neg, auc) ordered by label. */
-  def separabilityAuc(items: DataFrame): DataFrame = {
+  /** The eval family's shared linear-probe scorer: each (vec_id,
+    * embedding, label) row maps to its 2^30 fixed-point score `f` =
+    * round(first-component / L2-norm · 2^30) — one map-only pass over
+    * the 1024-float arrays, the expensive step all three eval artifacts
+    * ([[separabilityAuc]], [[liftTable]], [[calibrationTable]]) share.
+    * Scores are exact BIGINTs, so every downstream statistic is
+    * engine-deterministic; the scored frame is also the streaming
+    * maintainer's per-batch partial (`Streams.streamingScoredVectors`):
+    * scoring is row-local, hence trivially incremental. */
+  def linearProbeScored(items: DataFrame): DataFrame = {
     val seqDot =
       "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-    val scored = items.select(col("label"),
+    items.select(col("vec_id"), col("label"),
       expr(s"""CAST(floor(CASE WHEN $seqDot = 0.0D THEN 0.0
           ELSE CAST(element_at(embedding, 1) AS DOUBLE) / sqrt($seqDot) END
           * 1073741824.0 + 0.5) AS BIGINT)""").as("f"))
-    val grp = scored.groupBy("f", "label").agg(count(lit(1)).as("cnt"))
+  }
+
+  /** The additive-cell form of the scored frame: (f, label) → cnt.
+    * AUC and calibration depend on the corpus ONLY through these counts
+    * (they are tie-midrank / bin statistics), so the cells are the
+    * smallest exactly-mergeable state for both. */
+  def scoreCells(items: DataFrame): DataFrame =
+    linearProbeScored(items).groupBy("f", "label").agg(count(lit(1)).as("cnt"))
+
+  def separabilityAuc(items: DataFrame): DataFrame =
+    separabilityAucFromCells(scoreCells(items))
+
+  /** [[separabilityAuc]] from the (f, label, cnt) cell table — the
+    * streaming read path (`Streams.aucStreamedAt`) shares every line
+    * below with the batch operator, so parity is by construction. */
+  def separabilityAucFromCells(grp: DataFrame): DataFrame = {
     val perF = grp.groupBy("f").agg(sum("cnt").as("f_tot"))
     // both distinct-score frames are unique on their order keys, so the
     // prefix sums are total-ordered and engine-deterministic

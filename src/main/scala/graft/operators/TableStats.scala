@@ -55,7 +55,11 @@ object TableStats {
   def orphans(child: DataFrame, childKey: String,
               parent: DataFrame, parentKey: String): DataFrame =
     child.filter(col(childKey).isNotNull)
-      .join(parent.select(col(parentKey).as(childKey)).distinct(),
+      // the distinct parent-key frame is |parent|-proportional, so the
+      // anti join hash-builds it per partition (SHUFFLE_HASH), never
+      // broadcasts a whole dimension's key set through the driver
+      .join(parent.select(col(parentKey).as(childKey)).distinct()
+          .hint("SHUFFLE_HASH"),
         Seq(childKey), "left_anti")
 
   /** Key values appearing more than once — primary-key violations. */
@@ -65,8 +69,9 @@ object TableStats {
   /** Declarative data-quality audit (the dbt-test / expectations shape):
     * each named rule contributes its violation count as one output row, so
     * the audit of a whole warehouse is a single union of tiny aggregates —
-    * each rule plans independently (anti-joins broadcast, predicates push
-    * into scans) and the result is a fixed-size report regardless of data
+    * each rule plans independently (anti-joins hash-build their keyed
+    * frames per partition, predicates push into scans) and the result is
+    * a fixed-size report regardless of data
     * volume. Zero counts are emitted (a clean audit must SAY it checked). */
   def dqAudit(rules: Seq[(String, DataFrame)]): DataFrame = {
     require(rules.nonEmpty, "audit at least one rule")

@@ -57,6 +57,58 @@ class PlanAuditSpec extends AnyFunSuite {
     assert(findings(part).isEmpty)
   }
 
+  test("a corpus-proportional frame sorted by a column named __pid is still flagged") {
+    // the __pid exemption is for the OFFSETS shape (an aggregate grouped
+    // on __pid below the window); a raw sort by a column that merely
+    // shares the name must not ride it
+    val disguised = base.withColumn("__pid", col("id"))
+      .withColumn("rn", row_number().over(Window.orderBy(col("__pid").asc)))
+    assert(findings(disguised).nonEmpty)
+  }
+
+  private def bcastFindings(df: org.apache.spark.sql.DataFrame): Seq[String] = {
+    val qe = df.queryExecution
+    qe.toRdd.count() // audit judges the FINAL (post-AQE) plan
+    PlanAudit.broadcastFindings(qe.executedPlan)
+  }
+
+  test("a planted full-dim broadcast over part is flagged") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val part = Tables.part(spark, TestSpark.sf0001)
+    val planted = li.select("l_partkey", "l_quantity")
+      .join(broadcast(part.select("p_partkey", "p_type")),
+        col("l_partkey") === col("p_partkey"))
+      .groupBy("p_type").agg(sum("l_quantity").as("q"))
+    assert(bcastFindings(planted).exists(_.contains("part")))
+  }
+
+  test("the fixed TPC-H trees carry no broadcast over an SF-proportional frame") {
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val part = Tables.part(spark, TestSpark.sf0001)
+    val supplier = Tables.supplier(spark, TestSpark.sf0001)
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+    val customer = Tables.customer(spark, TestSpark.sf0001)
+    val nation = Tables.nation(spark, TestSpark.sf0001)
+    val region = Tables.region(spark, TestSpark.sf0001)
+    assert(bcastFindings(operators.Joins.promoRevenueShare(li, part)).isEmpty)
+    assert(bcastFindings(operators.Joins.topRevenueSupplier(li, supplier)).isEmpty)
+    assert(bcastFindings(operators.Joins.soleBlockerSuppliers(
+      orders, li, supplier)).isEmpty)
+    assert(bcastFindings(operators.Joins.minCostSupplier(
+      li, part, supplier, nation, region)).isEmpty)
+    assert(bcastFindings(operators.Joins.nationMarketShare(
+      li, orders, customer, supplier, nation, region, part)).isEmpty)
+  }
+
+  test("1-row global-aggregate broadcasts over big tables are structurally exempt") {
+    // inactiveRichCustomers broadcasts avgRow — a global aggregate over
+    // the customer slice: exactly 1 row at ANY scale factor, allowed
+    val customer = Tables.customer(spark, TestSpark.sf0001)
+    val orders = Tables.orders(spark, TestSpark.sf0001)
+    assert(bcastFindings(operators.Joins.inactiveRichCustomers(
+      customer, orders)).isEmpty)
+  }
+
   test("the fixed operators' plans carry no unbounded global window") {
     val ev = Tables.events(spark, TestSpark.sf0001)
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
