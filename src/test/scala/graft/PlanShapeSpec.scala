@@ -28,9 +28,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert("Exchange".r.findAllIn(p).size == 1, p)
   }
 
-  test("q13: every dimension join broadcasts; fact side never shuffles pre-agg") {
+  test("q13: only the 25-row nation dim broadcasts; SF-proportional hops shuffle-hash, never sort-merge") {
     val p = planOf("q13_join_revenue")
-    assert("BroadcastHashJoin".r.findAllIn(p).size == 3, p)
+    assert("BroadcastHashJoin".r.findAllIn(p).size == 1, p)
+    assert("ShuffledHashJoin".r.findAllIn(p).size == 2, p)
     assert(!p.contains("SortMergeJoin"), p)
   }
 
