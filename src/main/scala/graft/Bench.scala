@@ -117,7 +117,11 @@ object Bench {
       java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
         detail.getBytes("UTF-8"))
     } catch { case e: Throwable =>
-      println(s"""{"diag":"bench_detail_write_failed","err":"${e.getMessage}"}""")
+      // class name + sanitized message: a quote/backslash/newline (or a
+      // null message) must not produce an unparseable diag line
+      val msg = (e.getClass.getName + ": " + String.valueOf(e.getMessage))
+        .replaceAll("[\"\\\\\\n\\r\\t]", " ").take(200)
+      println(s"""{"diag":"bench_detail_write_failed","err":"$msg"}""")
     }
     graft.operators.PlanCache.releaseAll(spark)
     spark.stop()

@@ -798,8 +798,10 @@ object SparkEntry {
         .select(col("user_id"), col("step_ts").as("t1"))
       val t3 = f.filter(col("step") === 3)
         .select(col("user_id"), col("step_ts").as("t3"))
+      // both arms are one row per USER — corpus-proportional, so the
+      // join is pinned SHUFFLE_HASH, never broadcast
       graft.operators.TableStats.percentilesBy(
-        t1.join(t3, Seq("user_id"))
+        t1.join(t3.hint("SHUFFLE_HASH"), Seq("user_id"))
           .select(lit("all").as("cohort"),
             expr("unix_micros(t3) - unix_micros(t1)").as("delay_us")),
         "cohort", "delay_us")
@@ -871,7 +873,10 @@ object SparkEntry {
         .withColumn("text", expr(
           "CASE WHEN doc_id % 97 = 0 THEN concat(text, ' v2') ELSE text END"))
         .unionByName(base.filter(col("doc_id") % 83 === 0)
-          .withColumn("doc_id", col("doc_id") + 1000000L))
+          // planted ids live in the NEGATIVE range: disjoint from real
+          // non-negative doc_ids at EVERY scale factor (a fixed +shift
+          // collides once the corpus outgrows it — the r12 advisor note)
+          .withColumn("doc_id", -col("doc_id") - 1))
       graft.operators.TableStats.snapshotDiff(base, current, "doc_id", "sha2(text, 256)")
     }),
     // extension: OHLC time-series downsample (6h buckets, integer cents)
@@ -1408,6 +1413,21 @@ object SparkEntry {
     // ranks (the ORDER BY random() replacement that survives 100 TB)
     "q255_train_order" -> ((s, dir) =>
       operators.Sampling.trainOrder(docs(s, dir))),
+    // extension: JSONL source end-to-end — a planted-corrupt fixture
+    // (deterministically derived from `documents`, >= 1 corrupt line at
+    // every SF) through the REAL file source: glob read, PERMISSIVE
+    // from_json parse, corrupt capture + content-ordered sample, and a
+    // parsed-field digest proving the clean rows decoded
+    "q256_jsonl_ingest" -> ((s, dir) => {
+      val path = graft.sources.JsonlCorpusSource.ensureFixture(
+        s, docs(s, dir), dir)
+      val raw = graft.sources.JsonlCorpusSource.read(
+        s, path, "doc_id BIGINT, lang STRING, source STRING")
+      val sums = graft.sources.JsonlCorpusSource.valid(raw)
+        .agg(coalesce(sum("doc_id"), lit(0L)).as("sum_doc_id"))
+      graft.sources.JsonlCorpusSource.ingestReport(raw)
+        .crossJoin(broadcast(sums))
+    }),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
     "q254_langid_confusion" -> ((s, dir) =>
@@ -1490,8 +1510,10 @@ object SparkEntry {
     // exact duplicates to find at every test SF
     "q244_phash_pairs" -> ((s, dir) => {
       val d = docs(s, dir)
+      // planted ids in the NEGATIVE range — disjoint from real ids at
+      // every SF (see q136)
       val planted = d.filter(col("doc_id") % 100 === 0)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("doc_id", -col("doc_id") - 1)
       val media = Multimodal.asMedia(d.unionByName(planted), "doc_id",
         "encode(text, 'utf-8')", "raw")
       Multimodal.phashPairs(
@@ -1996,6 +2018,24 @@ SELECT doc_id, shard,
     AS pos
 FROM s"""
     },
+    // Text-scan twin of the JSONL ingest: the oracle rebuilds the exact
+    // fixture lines (same concat, same CORRUPT planting) and re-derives
+    // the report — counts, content-ordered corrupt sample, parsed digest
+    "q256_jsonl_ingest" ->
+      """WITH lines AS (SELECT doc_id, (doc_id % 97 = 0) AS corrupt,
+    CASE WHEN doc_id % 97 = 0
+      THEN 'CORRUPT ' || '{"doc_id": ' || CAST(doc_id AS VARCHAR)
+        || ', "lang": "' || lang || '", "source": "' || source || '"}'
+      ELSE '{"doc_id": ' || CAST(doc_id AS VARCHAR)
+        || ', "lang": "' || lang || '", "source": "' || source || '"}'
+    END AS line FROM documents),
+  samp AS (SELECT line FROM lines WHERE corrupt ORDER BY line LIMIT 5)
+SELECT
+  CAST((SELECT count(*) FROM lines WHERE NOT corrupt) AS BIGINT) AS n_valid,
+  CAST((SELECT count(*) FROM lines WHERE corrupt) AS BIGINT) AS n_corrupt,
+  (SELECT list(line ORDER BY line) FROM samp) AS corrupt_sample,
+  CAST((SELECT sum(doc_id) FROM lines WHERE NOT corrupt) AS BIGINT)
+    AS sum_doc_id""",
     // Confusion rollup of q19's prediction vs the stored label, with each
     // cell's share of its label's docs
     "q254_langid_confusion" -> {
@@ -3442,7 +3482,7 @@ FROM t WHERE event_type = 'purchase'""",
     SELECT doc_id, CASE WHEN doc_id % 97 = 0 THEN text || ' v2' ELSE text END AS text
     FROM documents WHERE doc_id % 89 <> 0
     UNION ALL
-    SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 83 = 0),
+    SELECT -doc_id - 1, text FROM documents WHERE doc_id % 83 = 0),
   u AS (SELECT doc_id AS id, sha256(text) AS h, 0 AS tag FROM documents
         UNION ALL SELECT doc_id, sha256(text), 1 FROM cur),
   a AS (SELECT id,
@@ -3615,7 +3655,7 @@ GROUP BY 1 ORDER BY 1""",
     // per-band XOR popcount verify
     "q244_phash_pairs" ->
       s"""WITH mdocs AS (SELECT doc_id, text FROM documents
-    UNION ALL SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 100 = 0),
+    UNION ALL SELECT -doc_id - 1, text FROM documents WHERE doc_id % 100 = 0),
   $dkPhash,
   bands AS (SELECT media_id, phash, k,
       substr(phash, CAST(k * 4 + 1 AS INTEGER), 4) AS band

@@ -79,8 +79,10 @@ object Dedup {
   private def verifiedJaccard(candidates: DataFrame, sets: DataFrame,
                               threshold: Double): DataFrame =
     candidates
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .hint("SHUFFLE_HASH"), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .hint("SHUFFLE_HASH"), Seq("doc_b"))
       .withColumn("common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
       .withColumn("jaccard",
         col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
@@ -125,8 +127,10 @@ object Dedup {
         col("upper") / col("nb") >= threshold)
     val sets = shingleArrays(docs)
     val verified = directed(fuzzyCand
-      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
-      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .join(sets.select(col("doc_id").as("doc_a"), col("sh").as("sh_a"))
+        .hint("SHUFFLE_HASH"), Seq("doc_a"))
+      .join(sets.select(col("doc_id").as("doc_b"), col("sh").as("sh_b"))
+        .hint("SHUFFLE_HASH"), Seq("doc_b"))
       .withColumn("__common", size(array_intersect(col("sh_a"), col("sh_b"))).cast("long")),
       col("__common"))
     exact.unionByName(verified)
@@ -138,9 +142,9 @@ object Dedup {
     *     maxShingleDf) shingles, aggregated to a per-pair `common_kept`.
     *     Shingle sets are distinct per doc, so common_kept IS the exact
     *     intersection size whenever neither doc dropped a frequent shingle.
-    *  2. per-doc stats broadcast join: set size `n_sh` and dropped-shingle
-    *     count `n_freq` (zero unless the cap triggered) — one tiny table,
-    *     two broadcast joins.
+    *  2. per-doc stats join: set size `n_sh` and dropped-shingle count
+    *     `n_freq` (zero unless the cap triggered) — one row per doc, so
+    *     corpus-proportional: two SHUFFLE_HASH joins, never broadcast.
     *  3. split on `least(fa, fb)`:
     *     - == 0 (the whole corpus when no shingle exceeds the cap): the pair
     *       needs NO set intersection — jaccard computes from counts alone;
@@ -180,17 +184,21 @@ object Dedup {
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_sh"),
         sum(when(col("freq"), 1L).otherwise(0L)).as("n_freq")))
-    // no broadcast hint: docStats is one row per doc, so at corpus scale it
-    // outgrows the broadcast limit — AQE picks broadcast when it fits.
+    // docStats is one row per DOC — corpus-proportional — so the join is
+    // pinned SHUFFLE_HASH: letting AQE broadcast it when it happens to fit
+    // at test SF makes the plan depend on broadcastability it will not
+    // have at 100 TB (the round-13 broadcast-pricer rule).
     // The joined frame is memoized: the exact and fuzzy branches BOTH read
     // it, and without the cache the whole pair-count pipeline runs twice
     // just for the fuzzy side to (typically) come up empty — the r2 bench
     // paid exactly that (q22 2.5 s -> 5.2 s).
     PlanCache.memo(partial
       .join(docStats.select(col("doc_id").as("doc_a"),
-        col("n_sh").as("na"), col("n_freq").as("fa")), Seq("doc_a"))
+        col("n_sh").as("na"), col("n_freq").as("fa")).hint("SHUFFLE_HASH"),
+        Seq("doc_a"))
       .join(docStats.select(col("doc_id").as("doc_b"),
-        col("n_sh").as("nb"), col("n_freq").as("fb")), Seq("doc_b")))
+        col("n_sh").as("nb"), col("n_freq").as("fb")).hint("SHUFFLE_HASH"),
+        Seq("doc_b")))
   }
 
   def jaccardPairs(docs: DataFrame, threshold: Double,
@@ -310,7 +318,7 @@ object Dedup {
     * on the candidates only (cost ~ candidates, not ~ all pairs). */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
     val bk = minhashBuckets(docs)
-    val candidates = bk.as("x").join(bk.as("y"),
+    val candidates = bk.as("x").join(bk.as("y").hint("SHUFFLE_HASH"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -449,7 +457,7 @@ object Dedup {
     // through an equi-join (no per-bucket array materialization) and verify
     // the Hamming distance BEFORE the distinct, so the dedup shuffle only
     // carries surviving pairs.
-    banded.as("x").join(banded.as("y"),
+    banded.as("x").join(banded.as("y").hint("SHUFFLE_HASH"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_val") === col("y.band_val") &&
           col("x.doc_id") < col("y.doc_id"))
@@ -705,7 +713,7 @@ object Dedup {
     // the full DP — 36 s at sf0.1; cheap-first ordering + the O(len*d)
     // banded threshold DP cuts it to ~2 s). The tiny survivor set recomputes
     // lev once more in the output projection — noise.
-    left.as("a").join(right.as("b"),
+    left.as("a").join(right.as("b").hint("SHUFFLE_HASH"),
         col("a.band") === col("b.band") && col("a.sub") === col("b.sub") &&
           col("a.doc_id") < col("b.doc_id") &&
           abs(col("a.len") - col("b.len")) <= maxDist &&

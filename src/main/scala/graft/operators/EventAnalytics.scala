@@ -48,7 +48,8 @@ object EventAnalytics {
     var out = frontier.select(col("user_id"), lit(1).as("step"), col("t"))
     steps.tail.zipWithIndex.foreach { case (st, i) =>
       frontier = e.filter(col("event_type") === st)
-        .join(frontier.select("user_id", "t"), Seq("user_id"))
+        .join(frontier.select("user_id", "t").hint("SHUFFLE_HASH"),
+          Seq("user_id"))
         .filter(col("ts") > col("t"))
         .groupBy("user_id").agg(min("ts").as("t"))
       out = out.unionByName(
@@ -62,9 +63,9 @@ object EventAnalytics {
     * user's step-i time (the product-analytics default; an unbounded
     * funnel credits conversions months later). Same greedy-earliest
     * semantics and the same iterative shape — one user-keyed aggregate
-    * per step, each frontier one row per user, broadcastable against the
-    * step slice — the gap predicate simply rides the per-transition
-    * filter. Output is the summary form: per step, users reached plus
+    * per step, each frontier one row per user — corpus-proportional, so
+    * every frontier join is pinned SHUFFLE_HASH, never broadcast — and
+    * the gap predicate simply rides the per-transition filter. Output is the summary form: per step, users reached plus
     * conversion from the previous step and from the top (the step-frame
     * window runs over |steps| rows, not users). */
   def windowedFunnel(events: DataFrame, steps: Seq[String],
@@ -78,7 +79,8 @@ object EventAnalytics {
     var out = frontier.select(col("user_id"), lit(1).as("step"))
     steps.tail.zipWithIndex.foreach { case (st, i) =>
       frontier = e.filter(col("event_type") === st)
-        .join(frontier.select("user_id", "t"), Seq("user_id"))
+        .join(frontier.select("user_id", "t").hint("SHUFFLE_HASH"),
+          Seq("user_id"))
         .filter(col("ts") > col("t") &&
           col("ts") <= col("t") + expr(s"INTERVAL $maxGapSeconds SECOND"))
         .groupBy("user_id").agg(min("ts").as("t"))

@@ -132,8 +132,11 @@ object Joins {
       .withColumn("__b", floor(col("__us") / micros))
     def bSide(off: Int) = e.select(col(key), col("__id").as("id_b"),
       col("__us").as("us_b"), (col("__b") - off).as("__b"))
-    val cand = e.join(bSide(0), Seq(key, "__b"))
-      .unionByName(e.join(bSide(1), Seq(key, "__b")))
+    // both sides are the event stream itself — corpus-proportional, so the
+    // bucket join is pinned SHUFFLE_HASH (AQE would broadcast one side at
+    // test SF, a plan that cannot exist at 100 TB)
+    val cand = e.join(bSide(0).hint("SHUFFLE_HASH"), Seq(key, "__b"))
+      .unionByName(e.join(bSide(1).hint("SHUFFLE_HASH"), Seq(key, "__b")))
     cand
       .filter(col("us_b") >= col("__us") && col("us_b") - col("__us") < micros &&
         (col("us_b") > col("__us") || col("id_b") > col("__id")))

@@ -769,7 +769,8 @@ object Similarity {
         Seq(col("query_id")), Seq(desc("cscore"), asc("cell")), nProbe)
       .select(col("query_id"), col("query_embedding"), col("cell"))
     topKPerQuery(
-      assigned.join(items, Seq("vec_id")).join(broadcast(probes), Seq("cell"))
+      assigned.hint("SHUFFLE_HASH").join(items, Seq("vec_id"))
+        .join(broadcast(probes), Seq("cell"))
         .withColumn("score",
           cosine_similarity(col("embedding"), col("query_embedding"))),
       k)
@@ -913,7 +914,8 @@ object Similarity {
         Seq(col("query_id")), Seq(asc("hd"), asc("vec_id")), shortlist)
       .select("query_id", "vec_id")
     topKPerQuery(
-      short.join(items, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+      broadcast(short).join(items, Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
         .withColumn("score", cosine_similarity(col("embedding"), col("query_embedding"))),
       k)
   }
@@ -1140,7 +1142,8 @@ object Similarity {
         Seq(col("query_id")), Seq(desc("adc"), asc("vec_id")), shortlist)
       .select("query_id", "vec_id")
     topKPerQuery(
-      short.join(items, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+      broadcast(short).join(items, Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
         .withColumn("score",
           cosine_similarity(col("embedding"), col("query_embedding"))),
       k)
@@ -1200,12 +1203,14 @@ object Similarity {
     val cand = assigned.join(broadcast(probes), Seq("cell"))
       .select("query_id", "vec_id")
     val short = graft.plans.GroupedTopK(
-        cand.join(pq.codes, Seq("vec_id")).join(broadcast(qlt), Seq("query_id"))
+        cand.hint("SHUFFLE_HASH").join(pq.codes, Seq("vec_id"))
+          .join(broadcast(qlt), Seq("query_id"))
           .select(col("query_id"), col("vec_id"), adcExpr(m).as("adc")),
         Seq(col("query_id")), Seq(desc("adc"), asc("vec_id")), shortlist)
       .select("query_id", "vec_id")
     topKPerQuery(
-      short.join(items, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+      broadcast(short).join(items, Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
         .withColumn("score",
           cosine_similarity(col("embedding"), col("query_embedding"))),
       k)
@@ -1284,13 +1289,15 @@ object Similarity {
     val cand = assigned.join(broadcast(probes), Seq("cell"))
       .select("query_id", "vec_id", "cell")
     val short = graft.plans.GroupedTopK(
-        cand.join(pq.codes, Seq("vec_id")).join(broadcast(qlt), Seq("query_id"))
+        cand.hint("SHUFFLE_HASH").join(pq.codes, Seq("vec_id"))
+          .join(broadcast(qlt), Seq("query_id"))
           .select(col("query_id"), col("vec_id"),
             (expr("element_at(bs, cell + 1)") + adcExpr(m)).as("adc")),
         Seq(col("query_id")), Seq(desc("adc"), asc("vec_id")), shortlist)
       .select("query_id", "vec_id")
     topKPerQuery(
-      short.join(items, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+      broadcast(short).join(items, Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
         .withColumn("score",
           cosine_similarity(col("embedding"), col("query_embedding"))),
       k)
@@ -1363,7 +1370,7 @@ object Similarity {
       .select(col("query_id"), col("qcodes"))
       .withColumn("nb", byte_dot(col("qcodes"), col("qcodes")))
     topKPerQuery(
-      cand.join(sqIndex(items), Seq("vec_id"))
+      cand.hint("SHUFFLE_HASH").join(sqIndex(items), Seq("vec_id"))
         .join(broadcast(qq), Seq("query_id"))
         .withColumn("dot", byte_dot(col("codes"), col("qcodes")))
         .withColumn("score",
@@ -1385,7 +1392,8 @@ object Similarity {
     val cand = ib.join(broadcast(qb), Seq("t", "bk"))
       .select("query_id", "vec_id").distinct()
     topKPerQuery(
-      cand.join(items, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+      cand.hint("SHUFFLE_HASH").join(items, Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
         .withColumn("score", cosine_similarity(col("embedding"), col("query_embedding"))),
       k)
   }
@@ -1413,7 +1421,8 @@ object Similarity {
     val cand = ib.join(broadcast(qb), Seq("t", "bk"))
       .select("query_id", "vec_id").distinct()
     topKPerQuery(
-      cand.join(items, Seq("vec_id")).join(broadcast(queries), Seq("query_id"))
+      cand.hint("SHUFFLE_HASH").join(items, Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
         .withColumn("score",
           cosine_similarity(col("embedding"), col("query_embedding"))),
       k)
@@ -1426,7 +1435,7 @@ object Similarity {
   def rpNearDupPairs(items: DataFrame, threshold: Double,
                      numTables: Int = 6, bucketLength: Double = 1.0): DataFrame = {
     val b = rpBucketTable(items, "vec_id", "embedding", numTables, bucketLength)
-    val cand = b.as("x").join(b.as("y"),
+    val cand = b.as("x").join(b.as("y").hint("SHUFFLE_HASH"),
         col("x.t") === col("y.t") && col("x.bk") === col("y.bk") &&
           col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
@@ -1435,8 +1444,10 @@ object Similarity {
     // while the dedup shuffle carries only THRESHOLD SURVIVORS instead of
     // the whole candidate space
     cand
-      .join(items.select(col("vec_id").as("vec_a"), col("embedding").as("ea")), Seq("vec_a"))
-      .join(items.select(col("vec_id").as("vec_b"), col("embedding").as("eb")), Seq("vec_b"))
+      .join(items.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
+        .hint("SHUFFLE_HASH"), Seq("vec_a"))
+      .join(items.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
+        .hint("SHUFFLE_HASH"), Seq("vec_b"))
       .withColumn("score", cosine_similarity(col("ea"), col("eb")))
       .filter(col("score") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("score"))
@@ -1458,13 +1469,13 @@ object Similarity {
                           bucketLength: Double = 1.0): DataFrame = {
     val nb = rpBucketTable(newItems, "vec_id", "embedding", numTables, bucketLength)
     val cb = rpBucketTable(corpus, "vec_id", "embedding", numTables, bucketLength)
-    nb.as("x").join(cb.as("y"),
+    nb.as("x").join(cb.as("y").hint("SHUFFLE_HASH"),
         col("x.t") === col("y.t") && col("x.bk") === col("y.bk"))
       .select(col("x.vec_id").as("vec_new"), col("y.vec_id").as("vec_old"))
-      .join(newItems.select(col("vec_id").as("vec_new"), col("embedding").as("ea")),
-        Seq("vec_new"))
-      .join(corpus.select(col("vec_id").as("vec_old"), col("embedding").as("eb")),
-        Seq("vec_old"))
+      .join(newItems.select(col("vec_id").as("vec_new"), col("embedding").as("ea"))
+        .hint("SHUFFLE_HASH"), Seq("vec_new"))
+      .join(corpus.select(col("vec_id").as("vec_old"), col("embedding").as("eb"))
+        .hint("SHUFFLE_HASH"), Seq("vec_old"))
       .withColumn("score", cosine_similarity(col("ea"), col("eb")))
       .filter(col("score") >= threshold)
       .select(col("vec_new"), col("vec_old"), round(col("score"), 4).as("score"))
@@ -1541,9 +1552,15 @@ object Similarity {
   /** The additive-cell form of the scored frame: (f, label) → cnt.
     * AUC and calibration depend on the corpus ONLY through these counts
     * (they are tie-midrank / bin statistics), so the cells are the
-    * smallest exactly-mergeable state for both. */
+    * smallest exactly-mergeable state for both. The streaming read paths
+    * (`Streams.aucStreamedAt` / `Streams.calibrationStreamedAt`) build
+    * the same cells from the maintained scored frame via
+    * [[scoreCellsFromScored]]. */
+  def scoreCellsFromScored(scored: DataFrame): DataFrame =
+    scored.groupBy("f", "label").agg(count(lit(1)).as("cnt"))
+
   def scoreCells(items: DataFrame): DataFrame =
-    linearProbeScored(items).groupBy("f", "label").agg(count(lit(1)).as("cnt"))
+    scoreCellsFromScored(linearProbeScored(items))
 
   def separabilityAuc(items: DataFrame): DataFrame =
     separabilityAucFromCells(scoreCells(items))
@@ -1590,14 +1607,17 @@ object Similarity {
     * global window (cumulative gain) runs over the per-DECILE frame:
     * `buckets` rows by construction, bounded by the parameter. */
   def liftTable(items: DataFrame, positiveLabel: Int = 0,
-                buckets: Int = 10): DataFrame = {
+                buckets: Int = 10): DataFrame =
+    liftTableFromScored(linearProbeScored(items), positiveLabel, buckets)
+
+  /** [[liftTable]] from the already-scored (vec_id, label, f) frame — the
+    * seam the streaming read path (`Streams.liftStreamedAt`) shares with
+    * the batch operator, so parity is by construction. Lift cannot run
+    * off [[scoreCellsFromScored]]'s cells alone: decile assignment
+    * tie-breaks on vec_id, a per-ROW identity the cells erase. */
+  def liftTableFromScored(scored: DataFrame, positiveLabel: Int = 0,
+                          buckets: Int = 10): DataFrame = {
     require(buckets >= 2 && buckets <= 1000, s"bad buckets: $buckets")
-    val seqDot =
-      "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-    val scored = items.select(col("vec_id"), col("label"),
-      expr(s"""CAST(floor(CASE WHEN $seqDot = 0.0D THEN 0.0
-          ELSE CAST(element_at(embedding, 1) AS DOUBLE) / sqrt($seqDot) END
-          * 1073741824.0 + 0.5) AS BIGINT)""").as("f"))
     val dec = graft.operators.Ranks.globalNtile(
       scored, Seq(desc("f"), asc("vec_id")), buckets, "decile")
     val per = dec.groupBy("decile")
@@ -1814,21 +1834,24 @@ object Similarity {
     * bins need no rank, unlike the lift table's deciles); the totals row
     * broadcasts back. Output: (bin, n, n_pos, pred, rate, gap). */
   def calibrationTable(items: DataFrame, positiveLabel: Int = 0,
-                       bins: Int = 10): DataFrame = {
+                       bins: Int = 10): DataFrame =
+    calibrationTableFromCells(scoreCells(items), positiveLabel, bins)
+
+  /** [[calibrationTable]] from the (f, label, cnt) cell table — per-bin
+    * n/f_sum/n_pos are all cell-additive (n = Σcnt, f_sum = Σf·cnt,
+    * n_pos = Σcnt over the positive label), so calibration reads the same
+    * mergeable state as the AUC; the streaming read path
+    * (`Streams.calibrationStreamedAt`) shares every line below. */
+  def calibrationTableFromCells(cells: DataFrame, positiveLabel: Int = 0,
+                                bins: Int = 10): DataFrame = {
     require(bins >= 2 && bins <= 1000, s"bad bins: $bins")
-    val seqDot =
-      "aggregate(embedding, CAST(0.0 AS DOUBLE), (a, x) -> a + CAST(x AS DOUBLE) * CAST(x AS DOUBLE))"
-    val scored = items.select(col("label"),
-      expr(s"""CAST(floor(CASE WHEN $seqDot = 0.0D THEN 0.0
-          ELSE CAST(element_at(embedding, 1) AS DOUBLE) / sqrt($seqDot) END
-          * 1073741824.0 + 0.5) AS BIGINT)""").as("f"))
     // f in [-2^30, 2^30]; integer equal-width bins, top edge clamped in
-    val binned = scored.withColumn("bin", expr(
+    val binned = cells.withColumn("bin", expr(
       s"CAST(least($bins - 1, greatest(0, " +
         s"((f + 1073741824L) * $bins) DIV 2147483649L)) AS INT)"))
     binned.groupBy("bin")
-      .agg(count(lit(1)).as("n"), sum("f").as("f_sum"),
-        sum(when(col("label") === positiveLabel, 1L).otherwise(0L)).as("n_pos"))
+      .agg(sum("cnt").as("n"), sum(expr("f * cnt")).as("f_sum"),
+        sum(when(col("label") === positiveLabel, col("cnt")).otherwise(0L)).as("n_pos"))
       .select(col("bin"), col("n"), col("n_pos"),
         expr("round((CAST(f_sum AS DOUBLE) / n / 1073741824.0 + 1.0) / 2.0, 6)")
           .as("pred"),

@@ -583,7 +583,8 @@ object TextAnalysis {
     phrase.tail.zipWithIndex.foldLeft(base) { case (acc, (t, i)) =>
       acc.join(
         pp.filter(col("token") === t)
-          .select(col("doc_id"), (col("pos") - (i + 1)).as("pos")),
+          .select(col("doc_id"), (col("pos") - (i + 1)).as("pos"))
+          .hint("SHUFFLE_HASH"),
         Seq("doc_id", "pos"))
     }
       .groupBy("doc_id").agg(count(lit(1)).as("n_occurrences"))
@@ -653,7 +654,7 @@ object TextAnalysis {
       s"""(ln((n_docs - df_$i + 0.5) / (df_$i + 0.5) + 1.0)
           * (tf_$i * ${k1 + 1.0}) / (tf_$i + $k1 * (${1.0 - b} + $b * dl / avgdl)))"""
     }.mkString(" + ")
-    perDoc.join(docLens, Seq("doc_id"))
+    perDoc.join(docLens.hint("SHUFFLE_HASH"), Seq("doc_id"))
       .crossJoin(broadcast(stats)).crossJoin(broadcast(dfRow))
       .selectExpr(
         "doc_id" +: "dl AS n_tokens" +:
@@ -887,12 +888,15 @@ object TextAnalysis {
     val c1 = c12.groupBy("w1").agg(sum("c12").as("c1"))
     val vocab = toksed.select(explode(col("toks")).as("t"))
       .agg(countDistinct("t").as("v"))
-    val fx = c12.join(c1, Seq("w1")).crossJoin(broadcast(vocab))
+    // c1 is one row per unigram and fx one per bigram — both vocabulary-
+    // proportional (Heaps' law), so both hops pin SHUFFLE_HASH
+    val fx = c12.join(c1.hint("SHUFFLE_HASH"), Seq("w1"))
+      .crossJoin(broadcast(vocab))
       .withColumn("sfx", expr(
         """CAST(floor(-ln((CAST(c12 AS DOUBLE) + 1.0) / (CAST(c1 AS DOUBLE) + v))
           | * 1073741824.0 + 0.5) AS BIGINT)""".stripMargin))
       .select("w1", "w2", "sfx")
-    occ.join(fx, Seq("w1", "w2"))
+    occ.join(fx.hint("SHUFFLE_HASH"), Seq("w1", "w2"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_bigrams"), sum("sfx").as("s"))
       .withColumn("bigram_surprisal",
@@ -916,7 +920,10 @@ object TextAnalysis {
     val tfc = occ.groupBy("cls", "token").agg(count(lit(1)).as("tf"))
     val dfc = tfc.groupBy("token").agg(count(lit(1)).as("n_cls"))
     val ncls = docs.agg(countDistinct(col(classCol)).as("total_cls"))
-    val scored = tfc.join(dfc, Seq("token")).crossJoin(broadcast(ncls))
+    // tfc and dfc are both ~|vocab| rows — vocabulary grows with the
+    // corpus (Heaps' law), so the token join is pinned SHUFFLE_HASH
+    val scored = tfc.join(dfc.hint("SHUFFLE_HASH"), Seq("token"))
+      .crossJoin(broadcast(ncls))
       .withColumn("score", expr(
         """round(CAST(tf AS DOUBLE)
           | * ln((CAST(total_cls AS DOUBLE) + 1.0) / (CAST(n_cls AS DOUBLE) + 1.0) + 1.0),
@@ -1158,7 +1165,9 @@ object TextAnalysis {
     val grams = docs.select(col("doc_id"),
       explode(graft.GraftFunctions.word_shingles(col("text"), n)).as("gram"))
     val dfs = grams.groupBy("gram").agg(count(lit(1)).as("df"))
-    grams.join(dfs, Seq("gram"))
+    // the gram-frequency table is one row per DISTINCT shingle — grows with
+    // the corpus, so the join back is pinned SHUFFLE_HASH, never broadcast
+    grams.join(dfs.hint("SHUFFLE_HASH"), Seq("gram"))
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n_grams"),
         sum(when(col("df") >= minDocs, 1L).otherwise(0L)).as("n_boiler"))

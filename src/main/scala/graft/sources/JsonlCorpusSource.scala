@@ -73,15 +73,65 @@ object JsonlCorpusSource {
   def valid(raw: DataFrame): DataFrame =
     raw.filter(col(corruptCol).isNull).drop(corruptCol)
 
+  /** Materialize the deterministic planted-corrupt JSONL fixture that
+    * drives the q256 end-to-end oracle check: every `documents` row
+    * serializes to one (id, lang, source) JSON line — built with plain
+    * string concat so the DuckDB oracle reproduces the bytes exactly —
+    * and rows with `doc_id % 97 == 0` are prefixed `CORRUPT ` (>= 1 such
+    * row at every SF), which [[read]] must capture, count, and sample.
+    * Idempotent per sfDir (content is a pure function of the table):
+    * written once to a tmpdir keyed by the corpus path, then reused, so
+    * bench reps measure the SOURCE, not the fixture write. Returns the
+    * fixture directory (exercising the `*.jsonl` glob path). */
+  def ensureFixture(spark: SparkSession, documents: DataFrame,
+                    sfDir: String): String = {
+    val dir = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-fixture-" +
+      Integer.toHexString(sfDir.hashCode)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
+    val marker = new org.apache.hadoop.fs.Path(dir, "_FIXTURE_READY")
+    if (fs.exists(marker)) return dir
+    val staging = new org.apache.hadoop.fs.Path(dir + "__staging")
+    fs.delete(staging, true)
+    documents.selectExpr(
+        s"""CASE WHEN doc_id % 97 = 0 THEN concat('CORRUPT ', $lineExpr)
+            ELSE $lineExpr END AS value""")
+      .write.mode("overwrite").text(staging.toString)
+    val dst = new org.apache.hadoop.fs.Path(dir)
+    fs.delete(dst, true)
+    fs.mkdirs(dst)
+    Option(fs.globStatus(new org.apache.hadoop.fs.Path(staging, "part-*")))
+      .toSeq.flatten.zipWithIndex.foreach { case (st, i) =>
+        require(fs.rename(st.getPath,
+          new org.apache.hadoop.fs.Path(dst, s"part-$i.jsonl")),
+          s"fixture rename failed: ${st.getPath}")
+      }
+    fs.delete(staging, true)
+    fs.create(marker, true).close()
+    dir
+  }
+
+  /** The JSON-line serialization both engines build character-for-
+    * character (no engine to_json involved — key order and spacing are
+    * pinned by the concat itself). */
+  val lineExpr: String =
+    """concat('{"doc_id": ', CAST(doc_id AS STRING),
+       ', "lang": "', lang, '", "source": "', source, '"}')"""
+
   /** The A2-style ingest fold over a raw [[read]] frame: one row of
     * (n_valid, n_corrupt, corrupt_sample) — corrupt lines COUNTED and
-    * sampled (first `sampleK` in line order, a TakeOrderedAndProject),
-    * mirroring the PDF path's continue-on-failure report rather than
-    * silently dropping rows. */
+    * sampled (the `sampleK` first lines in CONTENT order — a
+    * TakeOrderedAndProject; file-line order does not survive the parallel
+    * text scan, content order is deterministic in any engine) — mirroring
+    * the PDF path's continue-on-failure report rather than silently
+    * dropping rows. Counts coalesce to 0 on an empty input (sum over zero
+    * rows is NULL — the r11 advisor note). */
   def ingestReport(raw: DataFrame, sampleK: Int = 5): DataFrame =
     raw.agg(
-        sum(when(col(corruptCol).isNull, 1L).otherwise(0L)).as("n_valid"),
-        sum(when(col(corruptCol).isNotNull, 1L).otherwise(0L)).as("n_corrupt"))
+        coalesce(sum(when(col(corruptCol).isNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_valid"),
+        coalesce(sum(when(col(corruptCol).isNotNull, 1L).otherwise(0L)), lit(0L))
+          .as("n_corrupt"))
       .crossJoin(raw.filter(col(corruptCol).isNotNull)
         .select(col(corruptCol).as("line"))
         .orderBy("line").limit(sampleK)

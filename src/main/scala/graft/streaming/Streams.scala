@@ -752,6 +752,61 @@ object Streams {
     compactEpochs(spark, cellsPath)(st =>
       st.groupBy("a", "b").agg(sum("o").as("o")))
 
+  /** Streaming eval-family maintenance — input batches use the
+    * [[labeledEmbeddingsSchema]] landing-dir format — the incremental
+    * form of the eval triad (q199 AUC, q216 lift, q221 calibration): the
+    * linear-probe
+    * score is row-local (`Similarity.linearProbeScored`), so each
+    * micro-batch writes its scored rows (vec_id, label, f) as its partial
+    * ([[epochPartials]] scaffold) — three narrow columns instead of the
+    * 1024-float embeddings, ~300× smaller state — and the readers below
+    * re-derive all three artifacts from the folded frame through the SAME
+    * `FromScored`/`FromCells` code paths the batch operators use, so
+    * parity is by construction. Per-row state (not just (f,label,cnt)
+    * cells) because the lift table's decile assignment tie-breaks on
+    * vec_id, a per-row identity the cells erase; AUC and calibration
+    * derive their cells from the same frame via
+    * `Similarity.scoreCellsFromScored`. */
+  def streamingScoredVectors(vectors: DataFrame, scoredPath: String,
+                             checkpointDir: String): StreamingQuery =
+    epochPartials(vectors, scoredPath, checkpointDir)(
+      graft.operators.Similarity.linearProbeScored)
+
+  /** The maintained scored frame (vec_id, label, f), memoized (it feeds
+    * all three eval readers). */
+  def scoredVectorsAt(spark: SparkSession, scoredPath: String): DataFrame =
+    graft.operators.PlanCache.memo(
+      epochsAt(spark, scoredPath).select("vec_id", "label", "f"))
+
+  /** One-vs-rest AUC from the maintained scored frame — batch
+    * `separabilityAuc` rows over the union corpus, no embedding access. */
+  def aucStreamedAt(spark: SparkSession, scoredPath: String): DataFrame =
+    graft.operators.Similarity.separabilityAucFromCells(
+      graft.operators.Similarity.scoreCellsFromScored(
+        scoredVectorsAt(spark, scoredPath)))
+
+  /** Decile lift/gains from the maintained scored frame — batch
+    * `liftTable` rows over the union corpus. */
+  def liftStreamedAt(spark: SparkSession, scoredPath: String,
+                     positiveLabel: Int = 0, buckets: Int = 10): DataFrame =
+    graft.operators.Similarity.liftTableFromScored(
+      scoredVectorsAt(spark, scoredPath), positiveLabel, buckets)
+
+  /** Calibration table from the maintained scored frame — batch
+    * `calibrationTable` rows over the union corpus. */
+  def calibrationStreamedAt(spark: SparkSession, scoredPath: String,
+                            positiveLabel: Int = 0,
+                            bins: Int = 10): DataFrame =
+    graft.operators.Similarity.calibrationTableFromCells(
+      graft.operators.Similarity.scoreCellsFromScored(
+        scoredVectorsAt(spark, scoredPath)), positiveLabel, bins)
+
+  /** Compaction for the scored-vector epochs — the rows are immutable
+    * per-vector facts (append-only corpus), so the fold is the identity
+    * projection; compaction only resets the partition count. */
+  def compactScoredVectorsAt(spark: SparkSession, scoredPath: String): Unit =
+    compactEpochs(spark, scoredPath)(_.select("vec_id", "label", "f"))
+
   /** Streaming RFM maintenance — `EventAnalytics.rfmSegments`' incremental
     * form (the CRM segmentation that should track the live purchase
     * stream): per-user last-purchase ts is max-mergeable and count/cents

@@ -106,9 +106,14 @@ object PlanAudit {
     * bound) ships O(SF) bytes through the driver to every executor: fine
     * at sf0.1, fatal at the 100 TB operating point (part ~26 B rows,
     * supplier ~1.3 B at SF 1e5). nation (25) and region (5) are
-    * spec-constant and exempt. */
+    * spec-constant and exempt. documents/embeddings/events are the CORPUS
+    * tables — the frames the primary vector/dedup/text workload actually
+    * scans and the ones that grow to 100 TB in the north-star; pricing
+    * only the TPC-H tables (the round-12 gap) enforced the demo and not
+    * the workload. */
   val sfProportionalTables: Set[String] =
-    Set("lineitem", "orders", "customer", "part", "supplier", "partsupp")
+    Set("lineitem", "orders", "customer", "part", "supplier", "partsupp",
+        "documents", "embeddings", "events")
 
   /** Broadcasts over SF-proportional scans that are legitimately bounded
     * for reasons the structural rule cannot see, keyed by query name →
@@ -120,7 +125,75 @@ object PlanAudit {
     // CMS join-size estimate: the broadcast frame is the (j, cell) grid —
     // a GROUPED aggregate over orders, but its key domain is the sketch
     // shape d·w ≤ 8·65536 cells (require()d), parameter-bounded at any SF
-    "q222_join_size_est" -> (1, "CMS grid, d*w <= 256k cells by require()"))
+    "q222_join_size_est" -> (1, "CMS grid, d*w <= 256k cells by require()"),
+    // ---- ANN / similarity: QUERY-side frames. The query batch is an
+    // operator INPUT (a literal-bounded id filter in the declared queries;
+    // an operationally-bounded request batch in production) — everything
+    // below derives from it at |queries| x const rows. The corpus side of
+    // these joins never broadcasts (pinned SHUFFLE_HASH / GroupedTopK-
+    // bounded, enforced structurally).
+    "q23_ann_topk" -> (1, "query batch (literal id filter, <=5 rows)"),
+    "q31_ann_topk_custom" -> (1, "query batch (literal id filter)"),
+    "q29_ann_lsh" -> (1, "query bucket table, |queries| x numTables rows"),
+    "q44_ann_rp" -> (2, "query bucket table + query batch"),
+    "q46_ann_sq8" -> (1, "quantized query batch"),
+    "q56_ann_bq" -> (2, "query sign-sketches + query batch (re-rank)"),
+    "q67_ann_rp_sq8" -> (2, "query bucket table + quantized query batch"),
+    "q76_ann_pq" -> (2, "query ADC lookup tables + query batch (re-rank)"),
+    "q80_ann_ivfpq" -> (2, "query ADC lookup tables + query batch"),
+    "q90_ann_ivfpq_res" -> (2, "per-cell query residual tables + query batch"),
+    "q116_ann_multiprobe" -> (2,
+      "multi-probe query bucket table ((2r+1) x |queries| x tables) + query batch"),
+    "q133_hard_negatives" -> (1, "labeled query batch"),
+    "q143_triplets" -> (2, "query batch, one per (pos, neg) leg"),
+    "q161_ann_recall" -> (1, "query batch (both audit arms are GroupedTopK-bounded)"),
+    "q225_matryoshka" -> (2, "query batch at two prefix dims"),
+    // exact audit arms: the corpus IS the query side by contract (the
+    // verifiable baseline; the production path runs the same tail over
+    // ANN candidates with a knnProbes sample) — BroadcastNestedLoopJoin
+    // is the only non-cartesian plan for that shape
+    "q24_knn_pairs" -> (1,
+      "exact all-pairs baseline: BNLJ side of the theta self-join (scale path: q45 rp-LSH)"),
+    "q182_label_noise" -> (1,
+      "exact audit baseline: corpus as query side by contract (scale path: ANN candidates)"),
+    // upsert deltas: micro-batches under the streaming ingest contract
+    // (Streams.streamingIvfUpsert et al.) — operationally bounded, and
+    // broadcasting the delta is exactly what keeps the standing index
+    // from shuffling on every batch
+    "q10_upsert" -> (1, "upsert delta ids, micro-batch contract"),
+    "q58_sq8_upsert" -> (2, "upsert delta (micro-batch) + quantized query batch"),
+    "q59_bq_upsert" -> (3,
+      "upsert delta (micro-batch) + query sign-sketches + query batch"),
+    // decontamination: the broadcast frame derives from the EVAL-SUITE
+    // input (a fixed benchmark), not the training corpus being scanned
+    "q55_decontaminate" -> (1, "benchmark shingle set, bounded by the eval-suite input"),
+    "q102_bloom_decon" -> (1, "exclude-list fingerprint set, benchmark-bounded"),
+    // hash-bucketed / parameter-bounded state
+    "q172_dsir" -> (2, "hash-bucketed feature tables, dims require()d <= 65536"),
+    // per-category frames: the grouping key is a closed categorical
+    // domain (event taxonomy / language / source registry), not a
+    // corpus-growing id — the |event_types|-bounded convention already
+    // used by boundedGlobalWindowPaths
+    "q93_retention" -> (1, "per-cohort-week sizes, calendar-bounded"),
+    "q94_gap_fill" -> (1, "per-day spine, calendar-bounded"),
+    "q96_zscore" -> (1, "per-type moments, |event_types|-bounded"),
+    "q106_daily_active" -> (1, "per-day acquisition counts, calendar-bounded"),
+    "q119_transitions" -> (1, "per-type totals, |event_types|-bounded"),
+    "q166_hll_distinct" -> (1, "per-type HLL rollup, |types| x registers"),
+    "q174_hll_daily" -> (1, "(day, register) grid, calendar x m-bounded"),
+    "q175_kmv_overlap" -> (4, "per-group k-min sketches, k-bounded"),
+    "q188_ks_drift" -> (1, "per-type KS counts, |event_types|-bounded"),
+    "q191_unimax" -> (2, "per-language allocation frames, |languages|-bounded"),
+    "q197_jsd_sources" -> (3,
+      "per-source / source-pair term stats, |sources|-bounded (taxonomy contract)"),
+    "q211_bootstrap_ci" -> (3, "per-group moment frames, |groups|-bounded"),
+    "q215_benford" -> (1, "(type, digit) grid, |types| x 9"),
+    "q227_cohort_ltv" -> (1, "per-cohort-week frame, calendar-bounded"),
+    "q229_welch_ttest" -> (1, "per-type moments (two arms)"),
+    "q237_psi_drift" -> (1, "per-type band counts, |types| x bands"),
+    "q239_markov_stationary" -> (4, "state-keyed frames, |event_types|-bounded"),
+    "q241_mad_outliers" -> (3, "per-type median/MAD frames, |types|-bounded"),
+    "q242_trimmed_mean" -> (1, "per-type trim bounds, |types|-bounded"))
 
   /** Flatten an executed plan INCLUDING adaptive stage bodies: after AQE,
     * materialized stages appear as leaf QueryStageExec wrappers whose
@@ -133,41 +206,69 @@ object PlanAudit {
     case _ => p.children.flatMap(flatten)
   })
 
-  /** A broadcast subtree is structurally bounded when something below the
-    * exchange caps its rows independent of input size: a GLOBAL aggregate
-    * (empty grouping → exactly 1 row: the avg/max/total scalar frames) or
-    * an explicit limit (TakeOrderedAndProject / GlobalLimit /
+  /** A node that caps its output rows independent of input size: a GLOBAL
+    * aggregate (empty grouping → exactly 1 row: the avg/max/total scalar
+    * frames) or an explicit limit (TakeOrderedAndProject / GlobalLimit /
     * CollectLimit → ≤ k rows). Grouped aggregates do NOT count — their
     * cardinality is the key domain, which usually grows with the corpus. */
-  def structurallyBounded(subtree: Seq[SparkPlan]): Boolean =
-    subtree.exists {
-      case h: HashAggregateExec => h.groupingExpressions.isEmpty
-      case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
-      case s: SortAggregateExec => s.groupingExpressions.isEmpty
-      case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
-           _: CollectLimitExec => true
-      case _ => false
-    }
+  private def isRowBounding(node: SparkPlan): Boolean = node match {
+    case h: HashAggregateExec => h.groupingExpressions.isEmpty
+    case o: ObjectHashAggregateExec => o.groupingExpressions.isEmpty
+    case s: SortAggregateExec => s.groupingExpressions.isEmpty
+    case _: TakeOrderedAndProjectExec | _: GlobalLimitExec |
+         _: CollectLimitExec => true
+    // A GroupedTopK caps its output at groups x k — bounded iff the group
+    // domain is. The QUERY-grouped shape (grouping references the engine's
+    // query_id/query columns) is |query batch| x k: the per-query probe
+    // sets, ANN shortlists, and exact audit arms this engine broadcasts by
+    // design. Corpus-keyed grouped-topks (per-label, per-cell, per-doc)
+    // do NOT ride this — their group domain grows with the corpus — the
+    // same name-keyed convention as the __pid offsets exemption in
+    // globalWindowFindings.
+    case g: graft.plans.GroupedTopKExec =>
+      g.groupExprs.nonEmpty && g.groupExprs.forall(_.references.forall(a =>
+        a.name == "query_id" || a.name == "query"))
+    case _ => false
+  }
+
+  /** SF-proportional scans reachable from `p` with NO row-bounding node on
+    * the path from `p` down to the scan — the dominance check. The
+    * round-12 advisor defect: checking "any bounding node anywhere in the
+    * subtree" exempted `fact JOIN (1-row agg)` — a fact-sized broadcast —
+    * because the agg BRANCH satisfied the existence test. A bound only
+    * caps what flows THROUGH it, so the walk stops descending at a
+    * bounding node and an SF scan on any other branch still surfaces. */
+  def unboundedHotScans(p: SparkPlan): Seq[String] = p match {
+    case _ if isRowBounding(p) => Seq.empty
+    case f: FileSourceScanExec =>
+      f.relation.location.rootPaths
+        .map(_.getName.replaceAll("\\.parquet$", ""))
+        .filter(sfProportionalTables.contains)
+    case a: AdaptiveSparkPlanExec => unboundedHotScans(a.executedPlan)
+    case q: QueryStageExec => unboundedHotScans(q.plan)
+    case r: ReusedExchangeExec => unboundedHotScans(r.child)
+    case _ => p.children.flatMap(unboundedHotScans)
+  }
 
   /** Every unbounded BroadcastExchange over an SF-proportional table in
     * one EXECUTED plan (run it first — with AQE the final plan is the
     * one that matters, and an AQE-decided broadcast of a genuinely tiny
     * runtime frame still fails here if its scan is SF-proportional: at
     * 100 TB that same frame would not be tiny, so the join must not
-    * depend on broadcastability). */
+    * depend on broadcastability). Exchanges are deduped by NODE identity,
+    * not finding text: flatten follows ReusedExchangeExec into the
+    * original exchange, so one exchange can surface once per reuse site —
+    * but two DISTINCT offenders over the same table must count twice
+    * against the allowlist (the round-12 advisor note on `.distinct`). */
   def broadcastFindings(executed: SparkPlan): Seq[String] =
     flatten(executed).collect { case b: BroadcastExchangeExec => b }
+      .groupBy(_.id).values.map(_.head).toSeq.sortBy(_.id)
       .flatMap { b =>
-        val sub = flatten(b)
-        val scanned = sub.collect { case f: FileSourceScanExec =>
-          f.relation.location.rootPaths.map(
-            _.getName.replaceAll("\\.parquet$", ""))
-        }.flatten.toSet
-        val hot = scanned.intersect(sfProportionalTables)
-        if (hot.nonEmpty && !structurallyBounded(sub))
-          Seq(s"BroadcastExchange-over-[${hot.toSeq.sorted.mkString(",")}]")
+        val hot = unboundedHotScans(b.child).distinct.sorted
+        if (hot.nonEmpty)
+          Seq(s"BroadcastExchange-over-[${hot.mkString(",")}]")
         else Seq.empty
-      }.distinct
+      }
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -16,7 +16,7 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 8
     // optional 2nd arg: comma-separated family filter (docs, events,
-    // graph, search, r9, r10, tpch, r10b, r11, r11b) — run ONLY those
+    // graph, search, r9, r10, tpch, r10b, r11, r11b, r12b) — run ONLY those
     // families so a new-family rehearsal doesn't pay the full ~25-minute
     // sweep
     val fams: Set[String] = if (args.length > 1)
@@ -444,6 +444,42 @@ object ScaleRehearsal {
       // full-column docs: MI/confusion need (source, lang), TF-IDF text
       runR11b("1x", docsSrcFull1, liFull1, ord1, part1, supp1)
       runR11b(s"${k}x", docsSrcFullK, liFullK, ordK, partK, suppK)
+    }
+
+    // round-12b family: the five TPC-H shapes whose SF-proportional dim
+    // broadcasts round 12 replaced with SHUFFLE_HASH — rehearsed with the
+    // DIMS grown k-fold alongside the fact (the r11 ask: fact-only growth
+    // cannot expose a dim broadcast; the defect only bites when
+    // part/supplier/customer grow with the business). Expected: flat-to-
+    // sublinear growth per row, no OOM, and PlanAudit's pricer finding
+    // zero BroadcastExchange over any of the grown frames.
+    def runR12b(tag: String, li: DataFrame, ord: DataFrame, cust: DataFrame,
+                part: DataFrame, supp: DataFrame): Unit = {
+      val nat = graft.Tables.nation(spark, "/root/testdata/sf0.1")
+      val reg = graft.Tables.region(spark, "/root/testdata/sf0.1")
+      time(s"$tag promoRevenue(q194)") {
+        graft.operators.Joins.promoRevenueShare(li, part)
+          .queryExecution.toRdd.count() }
+      time(s"$tag topRevSupplier(q205)") {
+        graft.operators.Joins.topRevenueSupplier(li, supp)
+          .queryExecution.toRdd.count() }
+      time(s"$tag soleBlockers(q214)") {
+        graft.operators.Joins.soleBlockerSuppliers(ord, li, supp)
+          .queryExecution.toRdd.count() }
+      time(s"$tag marketShare(q218)") {
+        graft.operators.Joins.nationMarketShare(li, ord, cust, supp, nat,
+          reg, part).queryExecution.toRdd.count() }
+      time(s"$tag minCostSupplier(q250)") {
+        graft.operators.Joins.minCostSupplier(li, part, supp, nat, reg)
+          .queryExecution.toRdd.count() }
+    }
+    if (fam("r12b")) {
+      val cust1 = graft.Tables.customer(spark, "/root/testdata/sf0.1")
+      val custK = (0 until k).map(i => cust1
+          .withColumn("c_custkey", col("c_custkey") + lit(i * 1000000L)))
+        .reduce(_ unionByName _).cache()
+      runR12b("1x", liFull1, ord1, cust1, part1, supp1)
+      runR12b(s"${k}x", liFullK, ordK, custK, partK, suppK)
     }
     spark.stop()
   }

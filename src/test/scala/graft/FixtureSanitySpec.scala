@@ -62,6 +62,20 @@ class FixtureSanitySpec extends AnyFunSuite {
     assert(em.count() > 0 && emBad == 0, s"embeddings: ${em.count()} rows, $emBad null/empty vectors")
   }
 
+  test("planted-duplicate ids (q136/q244 negative range) are disjoint from real ids at every SF") {
+    // the q136/q244 fixtures plant duplicates under `-doc_id - 1`; that is
+    // only collision-free if real doc_ids are non-negative — pin the
+    // invariant so a regenerated fixture with negative ids turns red here,
+    // not as a silent planted-vs-real collision the oracle cannot see
+    // (engine and oracle would collide identically)
+    for (d <- Seq(TestSpark.sf0001) ++
+           Seq("/root/testdata/sf0.01").filter(p => new java.io.File(p).isDirectory)) {
+      val docs = Tables.documents(spark, d)
+      assert(docs.filter($"doc_id" < 0).count() == 0,
+        s"$d: negative doc_ids collide with the planted-duplicate id range")
+    }
+  }
+
   test("tpch tables: non-empty with non-null keys") {
     // Keys start at 0 in the driver fixture, so null-checks only.
     val li = Tables.lineitem(spark, dir)

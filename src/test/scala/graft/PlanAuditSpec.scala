@@ -100,6 +100,77 @@ class PlanAuditSpec extends AnyFunSuite {
       li, orders, customer, supplier, nation, region, part)).isEmpty)
   }
 
+  test("a planted corpus-table broadcast (documents) is flagged") {
+    // the round-12 gap: only TPC-H tables were priced, so the tables the
+    // actual 100 TB workload scans were unenforced
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val planted = Tables.events(spark, TestSpark.sf0001)
+      .select(col("user_id") % 500 as "doc_id", col("value"))
+      .join(broadcast(docs.select("doc_id", "lang")), Seq("doc_id"))
+      .groupBy("lang").agg(sum("value").as("v"))
+    assert(bcastFindings(planted).exists(_.contains("documents")))
+  }
+
+  test("a 1-row aggregate BRANCH does not exempt a fact-sized broadcast (dominance, not existence)") {
+    // round-12 advisor defect: fact JOIN (1-row agg) is fact-sized, but
+    // the old any-node-in-subtree check exempted it because the agg
+    // branch satisfied the existence test
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+      .select("l_orderkey", "l_quantity")
+    val oneRow = Tables.lineitem(spark, TestSpark.sf0001)
+      .agg(avg("l_quantity").as("avg_q"))
+    val factSized = li.crossJoin(oneRow)
+      .filter(col("l_quantity") > col("avg_q") * 0)
+    val planted = Tables.orders(spark, TestSpark.sf0001)
+      .select("o_orderkey")
+      .join(broadcast(factSized), col("o_orderkey") === col("l_orderkey"))
+      .groupBy().agg(count(lit(1)).as("n"))
+    assert(bcastFindings(planted).exists(_.contains("lineitem")))
+  }
+
+  test("two distinct offending broadcasts over the same table both count") {
+    // round-12 advisor defect: .distinct on finding STRINGS collapsed two
+    // real offenders into one, so a count-1 allowlist would pass a second
+    val li = Tables.lineitem(spark, TestSpark.sf0001)
+    val o = Tables.orders(spark, TestSpark.sf0001)
+    val sliceA = li.filter(col("l_quantity") > 10)
+      .select(col("l_orderkey").as("k1"), col("l_quantity").as("q1"))
+    val sliceB = li.filter(col("l_quantity") <= 10)
+      .select(col("l_orderkey").as("k2"), col("l_quantity").as("q2"))
+    val planted = o.select("o_orderkey")
+      .join(broadcast(sliceA), col("o_orderkey") === col("k1"))
+      .join(broadcast(sliceB), col("o_orderkey") === col("k2"))
+      .groupBy().agg(sum("q1").as("s1"), sum("q2").as("s2"))
+    assert(bcastFindings(planted).count(_.contains("lineitem")) == 2)
+  }
+
+  test("a query-grouped GroupedTopK bounds its broadcast; a corpus-grouped one does not") {
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label")
+    // query side from a literal range so the ONLY corpus-scanning
+    // exchange under test is the shortlist broadcast itself
+    val q = spark.range(0, 3).toDF("query_id")
+    // per-query top-k — |queries| x k rows, broadcast by design
+    val short = graft.plans.GroupedTopK(
+      emb.crossJoin(broadcast(q))
+        .select(col("query_id"), col("vec_id"),
+          (col("vec_id") % 97 + col("query_id")).as("score")),
+      Seq(col("query_id")), Seq(desc("score"), asc("vec_id")), 2)
+    val reRank = emb.join(broadcast(short.select("query_id", "vec_id")),
+        Seq("vec_id"))
+      .groupBy("query_id").agg(count(lit(1)).as("n"))
+    assert(bcastFindings(reRank).isEmpty)
+    // per-LABEL top-k — group domain rides the corpus: not exempt
+    val perLabel = graft.plans.GroupedTopK(
+      emb.select(col("label"), col("vec_id"),
+        (col("vec_id") % 97).as("score")),
+      Seq(col("label")), Seq(desc("score"), asc("vec_id")), 2)
+    val joined = emb.join(broadcast(perLabel.select("vec_id", "rank")),
+        Seq("vec_id"))
+      .groupBy("label").agg(count(lit(1)).as("n"))
+    assert(bcastFindings(joined).exists(_.contains("embeddings")))
+  }
+
   test("1-row global-aggregate broadcasts over big tables are structurally exempt") {
     // inactiveRichCustomers broadcasts avgRow — a global aggregate over
     // the customer slice: exactly 1 row at ANY scale factor, allowed

@@ -74,9 +74,10 @@ class PlanShapeSpec extends AnyFunSuite {
     }
   }
 
-  test("q22 prefilter stats join broadcasts (no sort-merge join of per-doc stats)") {
+  test("q22 prefilter stats join is shuffle-hash (per-doc stats are corpus-proportional; no sort-merge)") {
     val p = planOf("q22_jaccard_pairs")
-    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("ShuffledHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
   }
 
   test("similarity top-k family ranks via GroupedTopK, never a window sort") {

@@ -546,6 +546,42 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("streamingScoredVectors: folded scores answer AUC, lift, and calibration as batch; compaction preserves them") {
+    val tmp = Files.createTempDirectory("graft-stream-scored").toString
+    val (landing, sPath, ckpt) = (s"$tmp/landing", s"$tmp/scored", s"$tmp/ckpt")
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label").cache()
+    // appended corpus: two batches split by vec_id parity
+    emb.filter($"vec_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    emb.filter($"vec_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.labeledEmbeddingsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingScoredVectors(stream, sPath, ckpt).awaitTermination(120000)
+    assert(spark.read.parquet(sPath).select("epoch").distinct().count() >= 2)
+    val sim = graft.operators.Similarity
+    val aucBatch = sim.separabilityAuc(emb)
+      .as[(Int, Long, Long, Double)].collect().toSeq
+    val liftBatch = sim.liftTable(emb)
+      .as[(Int, Long, Long, Double, Option[Double], Option[Double])].collect().toSeq
+    val calBatch = sim.calibrationTable(emb)
+      .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq
+    def checkAll(): Unit = {
+      assert(Streams.aucStreamedAt(spark, sPath)
+        .as[(Int, Long, Long, Double)].collect().toSeq == aucBatch)
+      assert(Streams.liftStreamedAt(spark, sPath)
+        .as[(Int, Long, Long, Double, Option[Double], Option[Double])]
+        .collect().toSeq == liftBatch)
+      assert(Streams.calibrationStreamedAt(spark, sPath)
+        .as[(Int, Long, Long, Double, Double, Double)].collect().toSeq == calBatch)
+    }
+    assert(aucBatch.nonEmpty && liftBatch.nonEmpty && calBatch.nonEmpty)
+    checkAll()
+    Streams.compactScoredVectorsAt(spark, sPath)
+    assert(spark.read.parquet(sPath).select("epoch").distinct().count() == 1)
+    checkAll()
+    emb.unpersist()
+  }
+
   test("streamingGroupTermCounts: folded counts answer zipf, entropy, and JSD as batch; compaction preserves them") {
     val tmp = Files.createTempDirectory("graft-stream-gtc").toString
     val (landing, cPath, ckpt) = (s"$tmp/landing", s"$tmp/counts", s"$tmp/ckpt")
