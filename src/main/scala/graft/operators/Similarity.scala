@@ -1348,6 +1348,21 @@ object Similarity {
         .as(Seq("t", "bk")))
       .filter(col("bk") =!= graft.functions.RandProjBuckets.ZeroVectorBucket)
 
+  /** [[rpBucketTable]] carrying the embedding through the explode — the
+    * pair-join shape: verification happens INSIDE the band join (the
+    * embedding rides the one (t, bk) shuffle, numTables copies per
+    * vector), so no candidate-pair re-join against the corpus is ever
+    * needed. Shuffle bytes ~ numTables x corpus embeddings — linear in
+    * the corpus — vs two corpus-keyed shuffles of the (potentially much
+    * larger) candidate-pair stream for the join-back form. */
+  private def rpBucketTableWithVec(df: DataFrame, idCol: String,
+                                   embCol: String, numTables: Int,
+                                   bucketLength: Double): DataFrame =
+    df.select(col(idCol), col(embCol).as("__e"), posexplode(
+        graft.GraftFunctions.rand_proj_buckets(col(embCol), numTables, bucketLength))
+        .as(Seq("t", "bk")))
+      .filter(col("bk") =!= graft.functions.RandProjBuckets.ZeroVectorBucket)
+
   /** Composite ANN: deterministic rp-LSH coarse stage + int8 scalar-
     * quantized fine stage — the classic IVF-SQ index composition (coarse
     * partition prunes the corpus, quantized codes shrink what the fine
@@ -1434,20 +1449,18 @@ object Similarity {
     * Reproducible in SQL end-to-end (see rpTopK). */
   def rpNearDupPairs(items: DataFrame, threshold: Double,
                      numTables: Int = 6, bucketLength: Double = 1.0): DataFrame = {
-    val b = rpBucketTable(items, "vec_id", "embedding", numTables, bucketLength)
-    val cand = b.as("x").join(b.as("y").hint("SHUFFLE_HASH"),
+    val b = rpBucketTableWithVec(items, "vec_id", "embedding",
+      numTables, bucketLength)
+    // verify INSIDE the band join, BEFORE distinct (the simhashPairs
+    // shape): the embeddings ride the one (t, bk) shuffle, a pair
+    // colliding in several tables re-scores once per collision — a cheap
+    // in-join dot — and the dedup shuffle carries only THRESHOLD
+    // SURVIVORS; no corpus-keyed join-back of the candidate stream
+    b.as("x").join(b.as("y").hint("SHUFFLE_HASH"),
         col("x.t") === col("y.t") && col("x.bk") === col("y.bk") &&
           col("x.vec_id") < col("y.vec_id"))
-      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
-    // verify BEFORE distinct (the simhashPairs shape): a pair colliding in
-    // several tables re-scores once per collision — a cheap map-side dot —
-    // while the dedup shuffle carries only THRESHOLD SURVIVORS instead of
-    // the whole candidate space
-    cand
-      .join(items.select(col("vec_id").as("vec_a"), col("embedding").as("ea"))
-        .hint("SHUFFLE_HASH"), Seq("vec_a"))
-      .join(items.select(col("vec_id").as("vec_b"), col("embedding").as("eb"))
-        .hint("SHUFFLE_HASH"), Seq("vec_b"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        col("x.__e").as("ea"), col("y.__e").as("eb"))
       .withColumn("score", cosine_similarity(col("ea"), col("eb")))
       .filter(col("score") >= threshold)
       .select(col("vec_a"), col("vec_b"), round(col("score"), 4).as("score"))
@@ -1467,15 +1480,14 @@ object Similarity {
   def rpCrossNearDupPairs(newItems: DataFrame, corpus: DataFrame,
                           threshold: Double, numTables: Int = 6,
                           bucketLength: Double = 1.0): DataFrame = {
-    val nb = rpBucketTable(newItems, "vec_id", "embedding", numTables, bucketLength)
-    val cb = rpBucketTable(corpus, "vec_id", "embedding", numTables, bucketLength)
+    val nb = rpBucketTableWithVec(newItems, "vec_id", "embedding",
+      numTables, bucketLength)
+    val cb = rpBucketTableWithVec(corpus, "vec_id", "embedding",
+      numTables, bucketLength)
     nb.as("x").join(cb.as("y").hint("SHUFFLE_HASH"),
         col("x.t") === col("y.t") && col("x.bk") === col("y.bk"))
-      .select(col("x.vec_id").as("vec_new"), col("y.vec_id").as("vec_old"))
-      .join(newItems.select(col("vec_id").as("vec_new"), col("embedding").as("ea"))
-        .hint("SHUFFLE_HASH"), Seq("vec_new"))
-      .join(corpus.select(col("vec_id").as("vec_old"), col("embedding").as("eb"))
-        .hint("SHUFFLE_HASH"), Seq("vec_old"))
+      .select(col("x.vec_id").as("vec_new"), col("y.vec_id").as("vec_old"),
+        col("x.__e").as("ea"), col("y.__e").as("eb"))
       .withColumn("score", cosine_similarity(col("ea"), col("eb")))
       .filter(col("score") >= threshold)
       .select(col("vec_new"), col("vec_old"), round(col("score"), 4).as("score"))

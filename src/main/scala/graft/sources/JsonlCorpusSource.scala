@@ -85,8 +85,17 @@ object JsonlCorpusSource {
     * fixture directory (exercising the `*.jsonl` glob path). */
   def ensureFixture(spark: SparkSession, documents: DataFrame,
                     sfDir: String): String = {
+    // key the cached fixture by the SOURCE parquet's (length, mtime), not
+    // just the path: a regenerated testdata dir must invalidate the cache,
+    // or a stale fixture would silently diverge from the oracle's rebuild
+    val srcStamp = try {
+      val sp = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+      val st = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(sp)
+      s"${st.getLen}-${st.getModificationTime}"
+    } catch { case _: Exception => "nostamp" }
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-fixture-" +
-      Integer.toHexString(sfDir.hashCode)
+      Integer.toHexString((sfDir + "|" + srcStamp).hashCode)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
     val marker = new org.apache.hadoop.fs.Path(dir, "_FIXTURE_READY")

@@ -259,6 +259,36 @@ class SourcesSpec extends AnyFunSuite {
     }
   }
 
+  test("JSONL ingestReport on an empty frame: zero counts, not NULLs") {
+    // sum() over zero rows is NULL; the report must coalesce to 0L (the
+    // r11 advisor note) — build an empty raw frame with the read shape
+    val tmp = java.nio.file.Files.createTempDirectory("graft-jsonl-zero")
+    java.nio.file.Files.write(tmp.resolve("corpus.jsonl"),
+      java.util.Arrays.asList("""{"doc_id": 1, "text": "x", "lang": "en", "source": "s"}"""))
+    val raw = graft.sources.JsonlCorpusSource.read(spark, tmp.toString)
+      .filter($"doc_id" === -999) // empty, same schema/lineage
+    val r = graft.sources.JsonlCorpusSource.ingestReport(raw)
+      .as[(Long, Long, Seq[String])].collect().head
+    assert(r == ((0L, 0L, Seq.empty[String])))
+  }
+
+  test("JSONL fixture builder: deterministic, idempotent, >=1 corrupt line, source-stamp keyed") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val d1 = graft.sources.JsonlCorpusSource.ensureFixture(
+      spark, docs, TestSpark.sf0001)
+    val d2 = graft.sources.JsonlCorpusSource.ensureFixture(
+      spark, docs, TestSpark.sf0001)
+    assert(d1 == d2) // marker short-circuits the rewrite
+    val raw = graft.sources.JsonlCorpusSource.read(
+      spark, d1, "doc_id BIGINT, lang STRING, source STRING")
+    val rep = graft.sources.JsonlCorpusSource.ingestReport(raw)
+      .as[(Long, Long, Seq[String])].collect().head
+    val expectCorrupt = docs.filter($"doc_id" % 97 === 0).count()
+    assert(expectCorrupt >= 1 && rep._2 == expectCorrupt)
+    assert(rep._1 == docs.count() - expectCorrupt)
+    assert(rep._3.forall(_.startsWith("CORRUPT ")))
+  }
+
   test("end-to-end: corpus dir -> extract -> ingest -> search finds the right doc") {
     val dir = mkCorpus()
     val ex = PdfCorpusSource.extract(PdfCorpusSource.corpusDir(spark, dir))
