@@ -101,16 +101,21 @@ object PlanAudit {
     }
   }
 
-  /** Tables whose row count is PROPORTIONAL to the scale factor — a
-    * BroadcastExchange built from one of these (without a structural
-    * bound) ships O(SF) bytes through the driver to every executor: fine
-    * at sf0.1, fatal at the 100 TB operating point (part ~26 B rows,
-    * supplier ~1.3 B at SF 1e5). nation (25) and region (5) are
-    * spec-constant and exempt. documents/embeddings/events are the CORPUS
-    * tables — the frames the primary vector/dedup/text workload actually
-    * scans and the ones that grow to 100 TB in the north-star; pricing
-    * only the TPC-H tables (the round-12 gap) enforced the demo and not
-    * the workload. */
+  /** The audit prices a BroadcastExchange over ANY file scan that is not
+    * spec-constant: every parquet input in this engine — the TPC-H
+    * fact/dim tables, the corpus tables (documents/embeddings/events),
+    * AND any persisted index/fixture under a dynamic path — is derived
+    * from the corpus and grows with the scale factor, so an unbounded
+    * broadcast of one ships O(SF) bytes through the driver (fine at
+    * sf0.1, fatal at the 100 TB operating point: part ~26 B rows,
+    * supplier ~1.3 B at SF 1e5). Only nation (25 rows) and region (5)
+    * are constant by spec. A name-based PROPORTIONAL set (the r12/early-
+    * r13 form) left persisted-index scans unpriced because their paths
+    * are dynamic — the inverted rule closes that hole. */
+  val specConstantTables: Set[String] = Set("nation", "region")
+
+  /** Kept for spec/back-compat readability: the named tables the original
+    * pricer enumerated (the inverted rule above supersedes it). */
   val sfProportionalTables: Set[String] =
     Set("lineitem", "orders", "customer", "part", "supplier", "partsupp",
         "documents", "embeddings", "events")
@@ -243,7 +248,7 @@ object PlanAudit {
     case f: FileSourceScanExec =>
       f.relation.location.rootPaths
         .map(_.getName.replaceAll("\\.parquet$", ""))
-        .filter(sfProportionalTables.contains)
+        .filterNot(specConstantTables.contains)
     case a: AdaptiveSparkPlanExec => unboundedHotScans(a.executedPlan)
     case q: QueryStageExec => unboundedHotScans(q.plan)
     case r: ReusedExchangeExec => unboundedHotScans(r.child)
