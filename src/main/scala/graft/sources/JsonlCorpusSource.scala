@@ -55,14 +55,25 @@ object JsonlCorpusSource {
     }
     if (matched.isEmpty)
       throw new IllegalArgumentException(s"No JSONL files found in $path")
-    val parsed = StructType.fromDDL(s"$schema, $corruptCol STRING")
     val reader = spark.read
     val lines =
       (if (isDir) reader.option("pathGlobFilter", "*.jsonl").text(path)
        else reader.text(path))
-        .filter(length(trim(col("value"))) > 0)
+    parseLines(lines, schema)
+  }
+
+  /** The PERMISSIVE parse shared by the batch [[read]] and the streaming
+    * ingest (`Streams.streamingJsonlIngest`): blank lines skipped, every
+    * other line either parses into `schema`'s columns or lands verbatim
+    * in `__corrupt_record` — identical semantics on both paths by
+    * construction. `lines` must carry the text source's `value` column;
+    * works on batch and streaming frames alike (narrow ops only). */
+  def parseLines(lines: DataFrame,
+                 schema: String = documentsSchema): DataFrame = {
+    val parsed = StructType.fromDDL(s"$schema, $corruptCol STRING")
     val dataCols = StructType.fromDDL(schema).fieldNames.toSeq
     lines
+      .filter(length(trim(col("value"))) > 0)
       .select(from_json(col("value"), parsed, Map(
         "mode" -> "PERMISSIVE",
         "columnNameOfCorruptRecord" -> corruptCol)).as("j"))

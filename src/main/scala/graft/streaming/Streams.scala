@@ -66,6 +66,59 @@ object Streams {
       .start()
   }
 
+  /** Streaming JSONL ingest — the batch source's error-tolerant contract
+    * (`JsonlCorpusSource`: keep every parseable row, surface — never
+    * drop — every malformed line) lifted to the stream, the shape a crawl
+    * pipeline actually runs (dumps land incrementally as *.jsonl files).
+    * Each micro-batch parses PERMISSIVE through the SAME
+    * `JsonlCorpusSource.parseLines` the batch reader uses; VALID rows and
+    * CORRUPT lines both land under `outDir` in idempotent `epoch=<n>`
+    * partitions (the [[epochPartials]] overwrite contract — a retried
+    * epoch replaces itself), split by the `is_corrupt` flag so the
+    * readers below fold counts, sample, and clean rows without re-parsing.
+    * Line-splittable text scan, explicit schema (no inference pass over
+    * the landing dir), AvailableNow trigger. */
+  def streamingJsonlIngest(spark: SparkSession, landingDir: String,
+                           outDir: String, checkpointDir: String,
+                           schema: String =
+                             graft.sources.JsonlCorpusSource.documentsSchema)
+      : StreamingQuery = {
+    val lines = spark.readStream
+      .option("pathGlobFilter", "*.jsonl").text(landingDir)
+    epochPartials(lines, outDir, checkpointDir)(b =>
+      graft.sources.JsonlCorpusSource.parseLines(b, schema)
+        .withColumn("is_corrupt", col("__corrupt_record").isNotNull))
+  }
+
+  /** The clean rows of the maintained JSONL ingest (schema columns only,
+    * corrupt capture dropped) — the frame downstream ingest consumes. */
+  def jsonlValidAt(spark: SparkSession, outDir: String): DataFrame =
+    epochsAt(spark, outDir).filter(!col("is_corrupt"))
+      .drop("is_corrupt", "__corrupt_record", "epoch")
+
+  /** The batch `ingestReport` shape from the maintained state: counts are
+    * additive across epochs, the corrupt sample is content-ordered (the
+    * deterministic order — file-line order does not survive a parallel
+    * scan), and both coalesce to 0/empty when nothing has landed. */
+  def jsonlIngestReportAt(spark: SparkSession, outDir: String,
+                          sampleK: Int = 5): DataFrame = {
+    val st = epochsAt(spark, outDir)
+    st.agg(
+        coalesce(sum(when(!col("is_corrupt"), 1L).otherwise(0L)), lit(0L))
+          .as("n_valid"),
+        coalesce(sum(when(col("is_corrupt"), 1L).otherwise(0L)), lit(0L))
+          .as("n_corrupt"))
+      .crossJoin(st.filter(col("is_corrupt"))
+        .select(col("__corrupt_record").as("line"))
+        .orderBy("line").limit(sampleK)
+        .agg(sort_array(collect_list("line")).as("corrupt_sample")))
+  }
+
+  /** Compaction for the JSONL ingest epochs — rows are immutable parse
+    * facts, so the fold is identity; partition count resets. */
+  def compactJsonlIngestAt(spark: SparkSession, outDir: String): Unit =
+    compactEpochs(spark, outDir)(st => st.drop("epoch"))
+
   /** Tumbling event-time window aggregation with a watermark (late data
     * beyond 30 minutes dropped; state bounded by watermark horizon). */
   def tumblingCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =

@@ -546,6 +546,43 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("streamingJsonlIngest: valid rows and corrupt report match the batch source; compaction preserves them") {
+    val tmp = Files.createTempDirectory("graft-stream-jsonl").toString
+    val (landing, out, ckpt) = (s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt")
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(landing))
+    java.nio.file.Files.write(java.nio.file.Paths.get(landing, "a.jsonl"),
+      java.util.Arrays.asList(
+        """{"doc_id": 1, "text": "alpha beta", "lang": "en", "source": "s1"}""",
+        """not json""",
+        """{"doc_id": 2, "text": "gamma", "lang": "de", "source": "s2"}"""))
+    java.nio.file.Files.write(java.nio.file.Paths.get(landing, "b.jsonl"),
+      java.util.Arrays.asList(
+        """{"doc_id": 3, "text": "delta", "lang": "en", "source": "s1"}""",
+        """{"broken": """,
+        "",
+        """{"doc_id": 4, "text": "eps", "lang": "fr", "source": "s3"}"""))
+    val stream = Streams.streamingJsonlIngest(spark, landing, out, ckpt)
+    stream.awaitTermination(120000)
+    assert(spark.read.parquet(out).select("epoch").distinct().count() >= 1)
+    val src = graft.sources.JsonlCorpusSource
+    val batchRaw = src.read(spark, landing)
+    val batchValid = src.valid(batchRaw)
+      .as[(Long, String, String, String)].collect().toSet
+    val batchReport = src.ingestReport(batchRaw)
+      .as[(Long, Long, Seq[String])].collect().head
+    def checkAll(): Unit = {
+      assert(Streams.jsonlValidAt(spark, out)
+        .as[(Long, String, String, String)].collect().toSet == batchValid)
+      assert(Streams.jsonlIngestReportAt(spark, out)
+        .as[(Long, Long, Seq[String])].collect().head == batchReport)
+    }
+    assert(batchReport._1 == 4L && batchReport._2 == 2L)
+    checkAll()
+    Streams.compactJsonlIngestAt(spark, out)
+    assert(spark.read.parquet(out).select("epoch").distinct().count() == 1)
+    checkAll()
+  }
+
   test("streamingScoredVectors: folded scores answer AUC, lift, and calibration as batch; compaction preserves them") {
     val tmp = Files.createTempDirectory("graft-stream-scored").toString
     val (landing, sPath, ckpt) = (s"$tmp/landing", s"$tmp/scored", s"$tmp/ckpt")
