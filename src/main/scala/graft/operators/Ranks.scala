@@ -10,7 +10,7 @@ import org.apache.spark.sql.functions._
   * sorts there, a straight scale-killer once the frame is
   * corpus-proportional (hundreds of millions of users / rows at 100 TB).
   *
-  * The pattern (shared with `TableStats.exactQuantiles` and
+  * The pattern (shared with `TableStats.equiDepthHistogram` and
   * `Sampling.selectByTokenBudget`, now factored here):
   *
   *  1. `repartitionByRange` on (partition keys ++ order keys) — a real

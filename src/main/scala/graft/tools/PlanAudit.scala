@@ -78,7 +78,7 @@ object PlanAudit {
     * except the distributed-rank OFFSETS shape: ordered by the `__pid`
     * range-partition id AND fed by an aggregate GROUPED on `__pid`
     * (≤ nPartitions rows by construction: `Ranks.exclusivePrefixSum`,
-    * `TableStats.exactQuantiles`, `Sampling.selectByTokenBudget`). The
+    * `TableStats.equiDepthHistogram`, `Sampling.selectByTokenBudget`). The
     * aggregate requirement is load-bearing (round-11 advisor note): a
     * window that merely SORTS a corpus-proportional frame by a column
     * someone happened to call __pid is not the offsets shape and fails. */

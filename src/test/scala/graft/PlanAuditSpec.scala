@@ -180,6 +180,18 @@ class PlanAuditSpec extends AnyFunSuite {
       customer, orders)).isEmpty)
   }
 
+  test("every audit allowlist key names a declared query") {
+    // a stale key (renamed/removed query) would silently allow nothing
+    // while READING as if a bound were documented — keep the maps honest
+    val declared = SparkEntry.queries.keySet
+    for (k <- PlanAudit.boundedBroadcastPaths.keys)
+      assert(declared.contains(k), s"boundedBroadcastPaths: $k")
+    for (k <- PlanAudit.boundedGlobalWindowPaths.keys)
+      assert(declared.contains(k), s"boundedGlobalWindowPaths: $k")
+    for (k <- PlanAudit.annRankPaths)
+      assert(declared.contains(k), s"annRankPaths: $k")
+  }
+
   test("the fixed operators' plans carry no unbounded global window") {
     val ev = Tables.events(spark, TestSpark.sf0001)
     val emb = Tables.embeddings(spark, TestSpark.sf0001)
