@@ -1244,8 +1244,9 @@ object SparkEntry {
       val media = Multimodal.asMedia(docs(s, dir), "doc_id", "encode(text, 'utf-8')", "raw")
       Multimodal.energySegments(media)
     }),
-    // extension: deterministic bootstrap CI for per-type mean value —
-    // sha-derived resampling, exact cent replica sums, order-statistic CI
+    // extension: deterministic Poisson-bootstrap CI for per-type mean
+    // value — sha-derived Poisson(1) weights, replica weighted means,
+    // order-statistic CI (no resample join, no position index)
     "q211_bootstrap_ci" -> ((s, dir) =>
       graft.operators.EventAnalytics.bootstrapCi(Tables.events(tune(s), dir))),
     // extension: k-center coreset by farthest-point sampling — integer
@@ -4498,30 +4499,41 @@ SELECT doc_id AS media_id, n_frames,
   round(CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE) / n_frames, 6) AS active_ratio,
   CAST(max(total) // n_frames AS BIGINT) AS mean_energy
 FROM lg GROUP BY 1, 2""",
-    // Bootstrap CI: same sha-derived draws (first 4 digest bytes mod n),
-    // exact cent replica sums, same (s asc, r asc) order statistics
+    // Poisson-bootstrap CI: same sha-derived 32-bit uniform (first 4
+    // digest bytes), same inverse-CDF thresholds floor(cdf*2^32), replica
+    // weighted means as one IEEE double division of exact integer sums
     "q211_bootstrap_ci" -> {
-      val h = "sha256('bs:' || ix.g || ':' || CAST(r.r AS VARCHAR) || ':' || CAST(rn AS VARCHAR))"
-      val dr = s"(((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) * 256 + " +
+      val h = "sha256('pb:' || it.g || ':' || CAST(r.r AS VARCHAR) || " +
+        "':' || CAST(it.event_id AS VARCHAR))"
+      val u = s"(((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) * 256 + " +
         s"${dkByte(h, "2")}) * 256 + ${dkByte(h, "3")})"
       s"""WITH it AS (SELECT event_type AS g, event_id,
     CAST(round(value * 100) AS BIGINT) AS cents FROM events),
-  ix AS (SELECT g, cents,
-      CAST(row_number() OVER (PARTITION BY g ORDER BY event_id) AS BIGINT) AS rn
-    FROM it),
   nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
       CAST(sum(cents) AS BIGINT) AS total FROM it GROUP BY 1),
-  dr AS (SELECT ix.g AS g, CAST(r.r AS BIGINT) AS r, $dr % nn.n + 1 AS tgt
-    FROM ix JOIN nn ON ix.g = nn.g, range(1, 41) r(r)),
-  jo AS (SELECT d.g, d.r, i2.cents FROM dr d
-    JOIN ix i2 ON d.g = i2.g AND d.tgt = i2.rn),
-  sm AS (SELECT g, r, CAST(sum(cents) AS BIGINT) AS s FROM jo GROUP BY 1, 2),
-  rk AS (SELECT g, r, s,
-      row_number() OVER (PARTITION BY g ORDER BY s ASC, r ASC) AS k FROM sm)
+  wt AS (SELECT it.g AS g, CAST(r.r AS BIGINT) AS r, it.cents AS cents,
+      CAST(CASE WHEN $u < 1580030168 THEN 0
+           WHEN $u < 3160060337 THEN 1
+           WHEN $u < 3950075421 THEN 2
+           WHEN $u < 4213413783 THEN 3
+           WHEN $u < 4279248373 THEN 4
+           WHEN $u < 4292415291 THEN 5
+           WHEN $u < 4294609777 THEN 6
+           WHEN $u < 4294923276 THEN 7
+           ELSE 8 END AS BIGINT) AS w
+    FROM it, range(1, 41) r(r)),
+  sm AS (SELECT g, r, CAST(sum(w * cents) AS BIGINT) AS s,
+      CAST(sum(w) AS BIGINT) AS wsum FROM wt GROUP BY 1, 2),
+  mm AS (SELECT sm.g AS g, sm.r AS r,
+      CASE WHEN sm.wsum > 0 THEN CAST(sm.s AS DOUBLE) / CAST(sm.wsum AS DOUBLE)
+           ELSE CAST(nn.total AS DOUBLE) / CAST(nn.n AS DOUBLE) END AS m
+    FROM sm JOIN nn ON sm.g = nn.g),
+  rk AS (SELECT g, r, m,
+      row_number() OVER (PARTITION BY g ORDER BY m ASC, r ASC) AS k FROM mm)
 SELECT nn.g AS event_type, nn.n,
   round(CAST(nn.total AS DOUBLE) / nn.n, 6) AS mean_cents,
-  round(CAST(lo.s AS DOUBLE) / nn.n, 6) AS ci_lo,
-  round(CAST(hi.s AS DOUBLE) / nn.n, 6) AS ci_hi
+  round(lo.m, 6) AS ci_lo,
+  round(hi.m, 6) AS ci_hi
 FROM nn JOIN rk lo ON nn.g = lo.g AND lo.k = 3
 JOIN rk hi ON nn.g = hi.g AND hi.k = 38
 ORDER BY 1"""

@@ -930,60 +930,96 @@ object EventAnalytics {
       .orderBy("day", "event_type")
   }
 
-  /** Deterministic bootstrap confidence interval for the mean `value` per
-    * event type — the uncertainty band a metrics pipeline should publish
-    * next to every mean, computed WITHOUT distributional assumptions:
-    * `b` resampled-with-replacement replicas of each group, the CI from
-    * the order statistics of the replica sums ([loRank, hiRank] of `b`,
-    * default the 3rd/38th of 40 ≈ a 90% percentile-bootstrap interval).
+  /** Deterministic POISSON-bootstrap confidence interval for the mean
+    * `value` per event type — the uncertainty band a metrics pipeline
+    * should publish next to every mean, computed WITHOUT distributional
+    * assumptions. Instead of materializing `b` multinomial resamples
+    * (which needs a global per-group position index and a draw→item
+    * join), each row independently draws a Poisson(1) replication weight
+    * per replica — the standard massive-data bootstrap (Chamandy et al.,
+    * "Estimating uncertainty for massive data streams", Google 2012):
+    * as n→∞ the multinomial(n, 1/n) per-item count converges to
+    * Poisson(1), so the replica statistic distribution is the same, but
+    * the computation becomes embarrassingly parallel — NO join, NO rank,
+    * no per-group state; one map pass plus one (group, replica)
+    * aggregate whose partial-combine collapses to b rows per group per
+    * partition before the (only) shuffle.
     *
-    * Deterministic end to end: the resampling "randomness" is
-    * sha256('bs:' g ':' r ':' i) mod n — reproducible on both engines —
-    * and replica sums are exact cent integers, so the order statistics
-    * never depend on float summation. Each source row emits its `b` draw
-    * targets (map-side, parallel by input splits); the draw→item lookup is
-    * one (group, position) hash join; replica sums partial-aggregate to
-    * b rows per group. The per-group position index — any bijection
-    * 1..n per group works — is [[Ranks.distributedRank]]: a handful of
-    * event types means a plain partitioned window would rank the whole
-    * stream in ≤|types| tasks, so the ranking range-partitions on
-    * (type, event_id) across all cores instead. The only remaining
-    * window is the CI order statistic over the b-rows-per-group replica
-    * frame — bounded by the `b` parameter, not the corpus. */
+    * The replica statistic is the WEIGHTED MEAN Σw·x / Σw (not sum/n):
+    * that is the ratio form Poisson bootstrap requires — replica "size"
+    * Σw varies, and the ratio both corrects for it and keeps the
+    * degenerate-group property (a constant-valued group's every replica
+    * mean equals the group mean exactly, so its CI collapses to the
+    * mean). The CI is the [loRank, hiRank] order statistics of the b
+    * replica means (defaults 3rd/38th of 40 ≈ a 90% percentile
+    * interval).
+    *
+    * Deterministic end to end: the weights are inverse-CDF Poisson(1) on
+    * 16-bit uniforms — exact integer thresholds floor(cdf·2^16), tail
+    * truncated at w=8 (mass 2^-16, absorbed into the w=8 bucket; Monte
+    * Carlo error from b=40 replicas dwarfs the quantization) — and each
+    * replica mean is ONE IEEE division of two exact integer sums
+    * (cents·w and w), so both engines order identical doubles. The Σw=0
+    * replica (probability e^-n, only reachable for tiny groups)
+    * deterministically falls back to the group mean. The only window
+    * runs over the b-rows-per-group replica frame — bounded by the `b`
+    * parameter, not the corpus.
+    *
+    * Hashing is per ITEM, not per (item, replica): 3 sha256 digests per
+    * row yield 48 independent 16-bit uniforms (4 hex chars each), the
+    * per-replica work after the 40× explode is a substr+conv — 13x less
+    * hashing than a hash-per-draw formulation. The scan is
+    * [[TextAnalysis.spreadForCompute]]-spread first: the 40× fan-out is
+    * CPU-bound, and a small-file scan would otherwise run it on one
+    * task (a no-op at 100 TB where the scan is already thousands of
+    * splits). */
   def bootstrapCi(events: DataFrame, b: Int = 40, loRank: Int = 3,
                   hiRank: Int = 38): DataFrame = {
-    require(b >= 2 && loRank >= 1 && hiRank <= b && loRank < hiRank,
+    require(b >= 2 && b <= 48 && loRank >= 1 && hiRank <= b && loRank < hiRank,
       s"bad bootstrap params b=$b lo=$loRank hi=$hiRank")
-    val items = events.select(col("event_type").as("g"), col("event_id"),
-      expr("CAST(round(value * 100) AS BIGINT)").as("cents"))
-    val idx = Ranks.distributedRank(items, Seq("g"), Seq(col("event_id")), "rn")
+    val items = TextAnalysis.spreadForCompute(
+      events.select(col("event_type").as("g"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")))
     val n = items.groupBy("g")
       .agg(count(lit(1)).as("n"), sum("cents").as("total"))
-    val draws = idx.join(broadcast(n.select("g", "n")), "g")
-      .select(col("g"), col("n"), col("rn"),
+    // floor(2^16 · P(Poisson(1) <= k)) for k = 0..7; u >= all → w = 8
+    val sums = items
+      .withColumn("dg", expr(
+        """concat(
+           sha2(concat('pb:', g, ':0:', CAST(event_id AS STRING)), 256),
+           sha2(concat('pb:', g, ':1:', CAST(event_id AS STRING)), 256),
+           sha2(concat('pb:', g, ':2:', CAST(event_id AS STRING)), 256))"""))
+      .select(col("g"), col("cents"), col("dg"),
         explode(expr(s"sequence(1, $b)")).as("r"))
-      .select(col("g"), col("r"),
-        expr("""cast(conv(substr(sha2(concat('bs:', g, ':', CAST(r AS STRING),
-            ':', CAST(rn AS STRING)), 256), 1, 8), 16, 10) AS BIGINT)
-            % n + 1""").as("tgt"))
-    // explicit renames on the lookup side: draws derives FROM idx, and a
-    // df("g") === df("g") self-join condition leans on dataset-id
-    // disambiguation — renamed keys make the equi-join unambiguous
-    val lookup = idx.select(col("g").as("lg"), col("rn").as("lrn"), col("cents"))
-    val sums = draws
-      .join(lookup.hint("SHUFFLE_HASH"),
-        col("g") === col("lg") && col("tgt") === col("lrn"))
-      .select(col("g"), col("r"), col("cents"))
-      .groupBy("g", "r").agg(sum("cents").as("s"))
-    val ranked = sums.withColumn("k",
-      row_number().over(Window.partitionBy("g").orderBy(asc("s"), asc("r"))))
-    val lo = ranked.filter(col("k") === loRank).select(col("g"), col("s").as("s_lo"))
-    val hi = ranked.filter(col("k") === hiRank).select(col("g"), col("s").as("s_hi"))
+      .withColumn("u",
+        expr("cast(conv(substr(dg, (r - 1) * 4 + 1, 4), 16, 10) AS BIGINT)"))
+      .withColumn("w", expr(
+        """CAST(CASE WHEN u < 24109 THEN 0
+                WHEN u < 48218 THEN 1
+                WHEN u < 60273 THEN 2
+                WHEN u < 64291 THEN 3
+                WHEN u < 65296 THEN 4
+                WHEN u < 65497 THEN 5
+                WHEN u < 65530 THEN 6
+                WHEN u < 65535 THEN 7
+                ELSE 8 END AS BIGINT)"""))
+      .groupBy("g", "r")
+      .agg(sum(expr("w * cents")).as("s"), sum("w").as("wsum"))
+    // n is one row per event TYPE — a closed categorical frame (bounded
+    // independent of corpus growth), so the broadcast survives 100 TB
+    val ranked = sums.join(broadcast(n), "g")
+      .withColumn("m", when(col("wsum") > 0,
+          col("s").cast("double") / col("wsum").cast("double"))
+        .otherwise(col("total").cast("double") / col("n").cast("double")))
+      .withColumn("k",
+        row_number().over(Window.partitionBy("g").orderBy(asc("m"), asc("r"))))
+    val lo = ranked.filter(col("k") === loRank).select(col("g"), col("m").as("m_lo"))
+    val hi = ranked.filter(col("k") === hiRank).select(col("g"), col("m").as("m_hi"))
     n.join(broadcast(lo), "g").join(broadcast(hi), "g")
       .select(col("g").as("event_type"), col("n"),
         expr("round(CAST(total AS DOUBLE) / n, 6)").as("mean_cents"),
-        expr("round(CAST(s_lo AS DOUBLE) / n, 6)").as("ci_lo"),
-        expr("round(CAST(s_hi AS DOUBLE) / n, 6)").as("ci_hi"))
+        expr("round(m_lo, 6)").as("ci_lo"),
+        expr("round(m_hi, 6)").as("ci_hi"))
       .orderBy("event_type")
   }
 
