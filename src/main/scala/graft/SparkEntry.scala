@@ -1429,6 +1429,20 @@ object SparkEntry {
       graft.sources.JsonlCorpusSource.ingestReport(raw)
         .crossJoin(broadcast(sums))
     }),
+    // extension: the STREAMING-maintained twin of q256, driver-checked —
+    // the fixture split into two waves, each streamed through
+    // streamingJsonlIngest against one checkpoint (state accumulates
+    // across runs in epoch partitions); the report + valid-row digest are
+    // then answered FROM the maintained state, never re-parsing raw lines,
+    // and must equal the full-corpus ground truth the oracle rebuilds
+    "q257_jsonl_stream_report" -> ((s, dir) => {
+      val out = graft.streaming.Streams.ensureStreamedJsonlState(
+        s, docs(s, dir), dir)
+      val sums = graft.streaming.Streams.jsonlValidAt(s, out)
+        .agg(coalesce(sum("doc_id"), lit(0L)).as("sum_doc_id"))
+      graft.streaming.Streams.jsonlIngestReportAt(s, out)
+        .crossJoin(broadcast(sums))
+    }),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
     "q254_langid_confusion" -> ((s, dir) =>
@@ -2034,7 +2048,27 @@ FROM s"""
 SELECT
   CAST((SELECT count(*) FROM lines WHERE NOT corrupt) AS BIGINT) AS n_valid,
   CAST((SELECT count(*) FROM lines WHERE corrupt) AS BIGINT) AS n_corrupt,
-  (SELECT list(line ORDER BY line) FROM samp) AS corrupt_sample,
+  (SELECT coalesce(string_agg(line, chr(10) ORDER BY line), '') FROM samp)
+    AS corrupt_sample,
+  CAST((SELECT sum(doc_id) FROM lines WHERE NOT corrupt) AS BIGINT)
+    AS sum_doc_id""",
+    // Streamed-state twin of q256: the two parity waves PARTITION the
+    // corpus, so the maintained state's report must equal the same
+    // full-fixture ground truth — identical SQL, rebuilt from `documents`
+    "q257_jsonl_stream_report" ->
+      """WITH lines AS (SELECT doc_id, (doc_id % 97 = 0) AS corrupt,
+    CASE WHEN doc_id % 97 = 0
+      THEN 'CORRUPT ' || '{"doc_id": ' || CAST(doc_id AS VARCHAR)
+        || ', "lang": "' || lang || '", "source": "' || source || '"}'
+      ELSE '{"doc_id": ' || CAST(doc_id AS VARCHAR)
+        || ', "lang": "' || lang || '", "source": "' || source || '"}'
+    END AS line FROM documents),
+  samp AS (SELECT line FROM lines WHERE corrupt ORDER BY line LIMIT 5)
+SELECT
+  CAST((SELECT count(*) FROM lines WHERE NOT corrupt) AS BIGINT) AS n_valid,
+  CAST((SELECT count(*) FROM lines WHERE corrupt) AS BIGINT) AS n_corrupt,
+  (SELECT coalesce(string_agg(line, chr(10) ORDER BY line), '') FROM samp)
+    AS corrupt_sample,
   CAST((SELECT sum(doc_id) FROM lines WHERE NOT corrupt) AS BIGINT)
     AS sum_doc_id""",
     // Confusion rollup of q19's prediction vs the stored label, with each
@@ -4500,26 +4534,36 @@ SELECT doc_id AS media_id, n_frames,
   CAST(max(total) // n_frames AS BIGINT) AS mean_energy
 FROM lg GROUP BY 1, 2""",
     // Poisson-bootstrap CI: same sha-derived 32-bit uniform (first 4
-    // digest bytes), same inverse-CDF thresholds floor(cdf*2^32), replica
+    // digest windows), same inverse-CDF thresholds floor(cdf*2^16), replica
     // weighted means as one IEEE double division of exact integer sums
     "q211_bootstrap_ci" -> {
-      val h = "sha256('pb:' || it.g || ':' || CAST(r.r AS VARCHAR) || " +
-        "':' || CAST(it.event_id AS VARCHAR))"
-      val u = s"(((${dkByte(h, "0")} * 256 + ${dkByte(h, "1")}) * 256 + " +
-        s"${dkByte(h, "2")}) * 256 + ${dkByte(h, "3")})"
+      // mirrors EventAnalytics.bootstrapCi EXACTLY: per-ITEM digest = 3
+      // concatenated sha256('pb:'||g||':{0,1,2}:'||id) hex strings (192
+      // chars = 48 independent 16-bit uniforms); replica r reads the 4 hex
+      // chars at offset (r-1)*4 as base-16; the eight thresholds are
+      // floor(P(Poisson(1) <= k) * 2^16) for k = 0..7
+      val u = "(" + (0 until 4).map { j =>
+        val mult = Seq(4096, 256, 16, 1)(j)
+        s"(strpos('$hexDigits', substr(it.dg, CAST((r.r - 1) * 4 + ${j + 1}" +
+          s" AS INTEGER), 1)) - 1) * $mult"
+      }.mkString(" + ") + ")"
       s"""WITH it AS (SELECT event_type AS g, event_id,
-    CAST(round(value * 100) AS BIGINT) AS cents FROM events),
+    CAST(round(value * 100) AS BIGINT) AS cents,
+    sha256('pb:' || event_type || ':0:' || CAST(event_id AS VARCHAR))
+      || sha256('pb:' || event_type || ':1:' || CAST(event_id AS VARCHAR))
+      || sha256('pb:' || event_type || ':2:' || CAST(event_id AS VARCHAR))
+      AS dg FROM events),
   nn AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
       CAST(sum(cents) AS BIGINT) AS total FROM it GROUP BY 1),
   wt AS (SELECT it.g AS g, CAST(r.r AS BIGINT) AS r, it.cents AS cents,
-      CAST(CASE WHEN $u < 1580030168 THEN 0
-           WHEN $u < 3160060337 THEN 1
-           WHEN $u < 3950075421 THEN 2
-           WHEN $u < 4213413783 THEN 3
-           WHEN $u < 4279248373 THEN 4
-           WHEN $u < 4292415291 THEN 5
-           WHEN $u < 4294609777 THEN 6
-           WHEN $u < 4294923276 THEN 7
+      CAST(CASE WHEN $u < 24109 THEN 0
+           WHEN $u < 48218 THEN 1
+           WHEN $u < 60273 THEN 2
+           WHEN $u < 64291 THEN 3
+           WHEN $u < 65296 THEN 4
+           WHEN $u < 65497 THEN 5
+           WHEN $u < 65530 THEN 6
+           WHEN $u < 65535 THEN 7
            ELSE 8 END AS BIGINT) AS w
     FROM it, range(1, 41) r(r)),
   sm AS (SELECT g, r, CAST(sum(w * cents) AS BIGINT) AS s,

@@ -973,23 +973,25 @@ object EventAnalytics {
     * CPU-bound, and a small-file scan would otherwise run it on one
     * task (a no-op at 100 TB where the scan is already thousands of
     * splits). */
-  def bootstrapCi(events: DataFrame, b: Int = 40, loRank: Int = 3,
-                  hiRank: Int = 38): DataFrame = {
-    require(b >= 2 && b <= 48 && loRank >= 1 && hiRank <= b && loRank < hiRank,
-      s"bad bootstrap params b=$b lo=$loRank hi=$hiRank")
-    val items = TextAnalysis.spreadForCompute(
-      events.select(col("event_type").as("g"), col("event_id"),
-        expr("CAST(round(value * 100) AS BIGINT)").as("cents")))
-    val n = items.groupBy("g")
-      .agg(count(lit(1)).as("n"), sum("cents").as("total"))
-    // floor(2^16 · P(Poisson(1) <= k)) for k = 0..7; u >= all → w = 8
-    val sums = items
+  /** [[bootstrapCi]]'s draw scheme, split out so the golden spec can pin
+    * individual (g, event_id, r) → weight draws against hand-computed
+    * values (the r13 regression was an engine/oracle draw divergence; any
+    * future change to this scheme must break that spec and force a
+    * matching oracle rewrite — `SparkEntry.oracleSql("q211_bootstrap_ci")`
+    * mirrors these expressions token for token). Input: (g, event_id,
+    * cents); output: one row per (input row × replica 1..b) carrying the
+    * Poisson(1) weight `w`. Per-ITEM digest = 3 concatenated
+    * sha256('pb:'||g||':{0,1,2}:'||id) hex strings; replica r's uniform =
+    * the 4 hex chars at offset (r-1)·4 parsed base-16; thresholds are
+    * floor(2^16 · P(Poisson(1) <= k)) for k = 0..7, u >= all → w = 8. */
+  private[graft] def poissonDraws(items: DataFrame, b: Int): DataFrame =
+    items
       .withColumn("dg", expr(
         """concat(
            sha2(concat('pb:', g, ':0:', CAST(event_id AS STRING)), 256),
            sha2(concat('pb:', g, ':1:', CAST(event_id AS STRING)), 256),
            sha2(concat('pb:', g, ':2:', CAST(event_id AS STRING)), 256))"""))
-      .select(col("g"), col("cents"), col("dg"),
+      .select(col("g"), col("event_id"), col("cents"), col("dg"),
         explode(expr(s"sequence(1, $b)")).as("r"))
       .withColumn("u",
         expr("cast(conv(substr(dg, (r - 1) * 4 + 1, 4), 16, 10) AS BIGINT)"))
@@ -1003,6 +1005,17 @@ object EventAnalytics {
                 WHEN u < 65530 THEN 6
                 WHEN u < 65535 THEN 7
                 ELSE 8 END AS BIGINT)"""))
+
+  def bootstrapCi(events: DataFrame, b: Int = 40, loRank: Int = 3,
+                  hiRank: Int = 38): DataFrame = {
+    require(b >= 2 && b <= 48 && loRank >= 1 && hiRank <= b && loRank < hiRank,
+      s"bad bootstrap params b=$b lo=$loRank hi=$hiRank")
+    val items = TextAnalysis.spreadForCompute(
+      events.select(col("event_type").as("g"), col("event_id"),
+        expr("CAST(round(value * 100) AS BIGINT)").as("cents")))
+    val n = items.groupBy("g")
+      .agg(count(lit(1)).as("n"), sum("cents").as("total"))
+    val sums = poissonDraws(items, b)
       .groupBy("g", "r")
       .agg(sum(expr("w * cents")).as("s"), sum("w").as("wsum"))
     // n is one row per event TYPE — a closed categorical frame (bounded

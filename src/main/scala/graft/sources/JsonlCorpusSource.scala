@@ -90,12 +90,15 @@ object JsonlCorpusSource {
     * string concat so the DuckDB oracle reproduces the bytes exactly —
     * and rows with `doc_id % 97 == 0` are prefixed `CORRUPT ` (>= 1 such
     * row at every SF), which [[read]] must capture, count, and sample.
-    * Idempotent per sfDir (content is a pure function of the table):
-    * written once to a tmpdir keyed by the corpus path, then reused, so
-    * bench reps measure the SOURCE, not the fixture write. Returns the
-    * fixture directory (exercising the `*.jsonl` glob path). */
+    * Idempotent per (sfDir, tag) (content is a pure function of the
+    * table): written once to a tmpdir keyed by the corpus path, then
+    * reused, so bench reps measure the SOURCE, not the fixture write.
+    * `tag` keys VARIANT fixtures (the q257 two-wave split passes a
+    * filtered `documents` frame — without a distinct tag the cache would
+    * collide with the full fixture). Returns the fixture directory
+    * (exercising the `*.jsonl` glob path). */
   def ensureFixture(spark: SparkSession, documents: DataFrame,
-                    sfDir: String): String = {
+                    sfDir: String, tag: String = ""): String = {
     // key the cached fixture by the SOURCE parquet's (length, mtime), not
     // just the path: a regenerated testdata dir must invalidate the cache,
     // or a stale fixture would silently diverge from the oracle's rebuild
@@ -106,7 +109,7 @@ object JsonlCorpusSource {
       s"${st.getLen}-${st.getModificationTime}"
     } catch { case _: Exception => "nostamp" }
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-fixture-" +
-      Integer.toHexString((sfDir + "|" + srcStamp).hashCode)
+      Integer.toHexString((sfDir + "|" + srcStamp + "|" + tag).hashCode)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
     val marker = new org.apache.hadoop.fs.Path(dir, "_FIXTURE_READY")
@@ -145,7 +148,11 @@ object JsonlCorpusSource {
     * text scan, content order is deterministic in any engine) — mirroring
     * the PDF path's continue-on-failure report rather than silently
     * dropping rows. Counts coalesce to 0 on an empty input (sum over zero
-    * rows is NULL — the r11 advisor note). */
+    * rows is NULL — the r11 advisor note). The sample is ONE
+    * newline-joined string, not an array: the driver's compare harness
+    * cannot hash complex-typed columns (the r13 q256 failure), and JSONL
+    * lines cannot themselves contain a raw newline, so the join is
+    * lossless. Empty sample → empty string (both engines). */
   def ingestReport(raw: DataFrame, sampleK: Int = 5): DataFrame =
     raw.agg(
         coalesce(sum(when(col(corruptCol).isNull, 1L).otherwise(0L)), lit(0L))
@@ -155,5 +162,6 @@ object JsonlCorpusSource {
       .crossJoin(raw.filter(col(corruptCol).isNotNull)
         .select(col(corruptCol).as("line"))
         .orderBy("line").limit(sampleK)
-        .agg(sort_array(collect_list("line")).as("corrupt_sample")))
+        .agg(array_join(sort_array(collect_list("line")), "\n")
+          .as("corrupt_sample")))
 }

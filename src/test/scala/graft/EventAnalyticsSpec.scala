@@ -489,6 +489,34 @@ class EventAnalyticsSpec extends AnyFunSuite {
       .as[(String, Long, Double, Double, Double)].collect().toSeq == fxr)
   }
 
+  test("bootstrapCi: golden draw weights pin the engine/oracle scheme") {
+    // Hand-computed (sha256 in Python) under the DOCUMENTED scheme:
+    // dg = sha256('pb:{g}:0:{id}') || ':1:' || ':2:' (hex), replica r's
+    // uniform u = int(dg[(r-1)*4 : (r-1)*4+4], 16), weight = inverse-CDF
+    // Poisson(1) on 16-bit thresholds. One triple per weight bucket 0..7.
+    // If this test breaks, the ORACLE SQL for q211_bootstrap_ci must be
+    // rewritten in lockstep — the r13 regression was exactly this drift.
+    val golden = Seq(
+      ("click", -50L, 2, 20169L, 0L),
+      ("click", -50L, 3, 41280L, 1L),
+      ("click", -50L, 9, 49132L, 2L),
+      ("click", -50L, 5, 64074L, 3L),
+      ("click", -50L, 1, 64389L, 4L),
+      ("click", -33L, 40, 65466L, 5L),
+      ("click", 60L, 5, 65502L, 6L),
+      ("view", -5L, 15, 65534L, 7L))
+    val items = golden.map { case (g, id, _, _, _) => (g, id, 100L) }
+      .distinct.toDF("g", "event_id", "cents")
+    val draws = EventAnalytics.poissonDraws(items, 40)
+      .select("g", "event_id", "r", "u", "w")
+      .as[(String, Long, Int, Long, Long)].collect()
+      .map(t => (t._1, t._2, t._3) -> ((t._4, t._5))).toMap
+    golden.foreach { case (g, id, r, u, w) =>
+      assert(draws((g, id, r)) == ((u, w)),
+        s"draw ($g,$id,$r): got ${draws((g, id, r))}, want ($u,$w)")
+    }
+  }
+
   test("rfmSegments: crafted quartiles exact; non-purchase events ignored") {
     val day = 1440 // minutes
     val e = ev(

@@ -76,6 +76,27 @@ class FixtureSanitySpec extends AnyFunSuite {
     }
   }
 
+  test("documents: lang/source are JSON-literal-safe at every SF (q256 fixture invariant)") {
+    // JsonlCorpusSource.lineExpr interpolates lang/source RAW into the
+    // JSON fixture line (pinned concat so the DuckDB twin rebuilds the
+    // exact bytes); a quote/backslash/control char in either field would
+    // make the engine's PERMISSIVE parse mark a non-planted row corrupt
+    // while the oracle's corrupt flag keys solely on doc_id % 97 — a
+    // silent engine/oracle divergence. Pin the string domain instead of
+    // escaping on both sides (the advisor's alternative): simpler, and a
+    // regenerated fixture that violates it turns red HERE.
+    for (d <- Seq(TestSpark.sf0001) ++
+           Seq("/root/testdata/sf0.01").filter(p => new java.io.File(p).isDirectory)) {
+      val bad = Tables.documents(spark, d)
+        .filter($"lang".rlike("[\"\\\\\\x00-\\x1f]") ||
+          $"source".rlike("[\"\\\\\\x00-\\x1f]"))
+        .count()
+      assert(bad == 0,
+        s"$d: $bad documents rows with JSON-special chars in lang/source " +
+          "— the q256 fixture line concat needs escaping on both sides")
+    }
+  }
+
   test("tpch tables: non-empty with non-null keys") {
     // Keys start at 0 in the driver fixture, so null-checks only.
     val li = Tables.lineitem(spark, dir)

@@ -245,9 +245,9 @@ class SourcesSpec extends AnyFunSuite {
     assert(ok.columns.toSeq == Seq("doc_id", "text", "lang", "source"))
     assert(ok.filter($"lang" === "en").count() == 2)
     val report = graft.sources.JsonlCorpusSource.ingestReport(raw)
-      .as[(Long, Long, Seq[String])].collect().head
+      .as[(Long, Long, String)].collect().head
     assert(report._1 == 3L && report._2 == 2L)
-    assert(report._3.length == 2 &&
+    assert(report._3.split('\n').length == 2 &&
       report._3.contains("this is not json at all"))
     // empty glob: the S2 404 contract
     val empty = java.nio.file.Files.createTempDirectory("graft-jsonl-empty")
@@ -268,8 +268,8 @@ class SourcesSpec extends AnyFunSuite {
     val raw = graft.sources.JsonlCorpusSource.read(spark, tmp.toString)
       .filter($"doc_id" === -999) // empty, same schema/lineage
     val r = graft.sources.JsonlCorpusSource.ingestReport(raw)
-      .as[(Long, Long, Seq[String])].collect().head
-    assert(r == ((0L, 0L, Seq.empty[String])))
+      .as[(Long, Long, String)].collect().head
+    assert(r == ((0L, 0L, "")))
   }
 
   test("JSONL fixture builder: deterministic, idempotent, >=1 corrupt line, source-stamp keyed") {
@@ -282,11 +282,11 @@ class SourcesSpec extends AnyFunSuite {
     val raw = graft.sources.JsonlCorpusSource.read(
       spark, d1, "doc_id BIGINT, lang STRING, source STRING")
     val rep = graft.sources.JsonlCorpusSource.ingestReport(raw)
-      .as[(Long, Long, Seq[String])].collect().head
+      .as[(Long, Long, String)].collect().head
     val expectCorrupt = docs.filter($"doc_id" % 97 === 0).count()
     assert(expectCorrupt >= 1 && rep._2 == expectCorrupt)
     assert(rep._1 == docs.count() - expectCorrupt)
-    assert(rep._3.forall(_.startsWith("CORRUPT ")))
+    assert(rep._3.split('\n').forall(_.startsWith("CORRUPT ")))
   }
 
   test("end-to-end: corpus dir -> extract -> ingest -> search finds the right doc") {

@@ -546,6 +546,30 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("ensureStreamedJsonlState (q257): two waves accumulate distinct epochs; state report equals the full-fixture batch report") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val out = Streams.ensureStreamedJsonlState(spark, docs, TestSpark.sf0001)
+    // the waves streamed as SEPARATE runs against one checkpoint, so the
+    // state must hold more than one epoch partition (the thing q256's
+    // batch path cannot exercise)
+    assert(spark.read.parquet(out).select("epoch").distinct().count() >= 2)
+    // and answer exactly the FULL fixture's batch report
+    val full = graft.sources.JsonlCorpusSource.ensureFixture(
+      spark, docs, TestSpark.sf0001)
+    val batchRaw = graft.sources.JsonlCorpusSource.read(
+      spark, full, "doc_id BIGINT, lang STRING, source STRING")
+    val batchReport = graft.sources.JsonlCorpusSource.ingestReport(batchRaw)
+      .as[(Long, Long, String)].collect().head
+    assert(Streams.jsonlIngestReportAt(spark, out)
+      .as[(Long, Long, String)].collect().head == batchReport)
+    assert(Streams.jsonlValidAt(spark, out).agg(sum("doc_id")).head().getLong(0)
+      == graft.sources.JsonlCorpusSource.valid(batchRaw)
+        .agg(sum("doc_id")).head().getLong(0))
+    // idempotent: a second call short-circuits on the marker and the
+    // state is unchanged
+    assert(Streams.ensureStreamedJsonlState(spark, docs, TestSpark.sf0001) == out)
+  }
+
   test("streamingJsonlIngest: valid rows and corrupt report match the batch source; compaction preserves them") {
     val tmp = Files.createTempDirectory("graft-stream-jsonl").toString
     val (landing, out, ckpt) = (s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt")
@@ -569,12 +593,12 @@ class StreamingSpec extends AnyFunSuite {
     val batchValid = src.valid(batchRaw)
       .as[(Long, String, String, String)].collect().toSet
     val batchReport = src.ingestReport(batchRaw)
-      .as[(Long, Long, Seq[String])].collect().head
+      .as[(Long, Long, String)].collect().head
     def checkAll(): Unit = {
       assert(Streams.jsonlValidAt(spark, out)
         .as[(Long, String, String, String)].collect().toSet == batchValid)
       assert(Streams.jsonlIngestReportAt(spark, out)
-        .as[(Long, Long, Seq[String])].collect().head == batchReport)
+        .as[(Long, Long, String)].collect().head == batchReport)
     }
     assert(batchReport._1 == 4L && batchReport._2 == 2L)
     checkAll()

@@ -77,6 +77,16 @@ for name, sql in sorted(oracle.items()):
     if tdiff:
         fails.append((name, f"type mismatch (spark vs duck): {tdiff}"))
         continue
+    # The DRIVER's pandas harness cannot sort/hash complex-typed cells
+    # (r13: q256's list column -> "unhashable type: 'numpy.ndarray'"), so
+    # this check must fail the same inputs even though norm_cell below
+    # could tuple-normalize them — that divergence is how q256 shipped red.
+    complexcols = [(c, t) for c, t in stypes.items()
+                   if "[]" in t or "STRUCT" in t or "MAP" in t]
+    if complexcols:
+        fails.append((name, f"complex-typed columns the driver harness "
+                            f"cannot hash: {complexcols}"))
+        continue
     a, b = norm(srows, scols), norm(drows, dcols)
     if a != b:
         diff = next(((i, x, y) for i, (x, y) in enumerate(zip(a, b)) if x != y),

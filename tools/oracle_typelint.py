@@ -32,13 +32,17 @@ else:
                    cwd="/root/repo", check=True)
     ORACLE_JSON = os.path.join(out, "oracle_sql.json")
 
-# Types Spark's parquet writer can emit (as DuckDB reads them back).
-# Anything outside this set — HUGEINT, DECIMAL(x,y), unsigned ints — will
-# hash-mismatch against the Spark result even with identical values.
+# Types Spark's parquet writer can emit (as DuckDB reads them back) AND the
+# driver's pandas harness can hash. Anything outside this set fails:
+#  - HUGEINT, DECIMAL(x,y), unsigned ints — hash-mismatch against the Spark
+#    result even with identical values (q12 round 2, q106 round 5);
+#  - ANY complex type (list/struct/map) — the driver's pandas sort_values
+#    dies on unhashable array cells (q256 round 13: "unhashable type:
+#    'numpy.ndarray'"), so a declared query may not emit one at top level.
+#    Serialize to a scalar (join/digest) on BOTH sides instead.
 ALLOWED = re.compile(
     r"^(BOOLEAN|TINYINT|SMALLINT|INTEGER|BIGINT|FLOAT|DOUBLE|VARCHAR|DATE"
-    r"|TIMESTAMP( WITH TIME ZONE)?|BLOB"
-    r"|(BOOLEAN|TINYINT|SMALLINT|INTEGER|BIGINT|FLOAT|DOUBLE|VARCHAR)\[\])$")
+    r"|TIMESTAMP( WITH TIME ZONE)?|BLOB)$")
 
 con = duckdb.connect()
 for t in TABLES:
