@@ -1443,6 +1443,19 @@ object SparkEntry {
       graft.streaming.Streams.jsonlIngestReportAt(s, out)
         .crossJoin(broadcast(sums))
     }),
+    // extension: BM25 answered FROM the streamed lexical index — the
+    // documents table split into two parity waves, each wave's postings +
+    // doc-length partials landed by streamingLexIndex in its own run
+    // against one checkpoint; bm25StreamedAt folds the multi-epoch state
+    // and must reproduce q110's full-corpus scores exactly
+    "q258_bm25_stream" -> ((s, dir) => {
+      val state = graft.streaming.Streams.ensureStreamedDocState(
+        s, docs(s, dir), dir, "lex")(
+        (sd, out, ckpt) =>
+          graft.streaming.Streams.streamingLexIndex(sd, out, ckpt))
+      graft.streaming.Streams.bm25StreamedAt(
+        s, state, Seq("join", "hash", "customer"))
+    }),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
     "q254_langid_confusion" -> ((s, dir) =>
@@ -3269,6 +3282,22 @@ FROM (SELECT doc_id, unnest(toks) AS token FROM tok) u GROUP BY 1, 2""",
     // q48's full-scan oracle restricted to docs with a term hit — the
     // indexed path must return exactly those rows
     "q110_bm25_indexed" -> {
+      val terms = Seq("join", "hash", "customer")
+      val (dfCols, tfCols, score) = dkBm25Parts(terms)
+      s"""WITH $dkTok,
+  t AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+  stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM t),
+  tf AS (SELECT doc_id, dl, $tfCols FROM t)
+SELECT doc_id, dl AS n_tokens,
+  ${terms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i").mkString(", ")},
+  round($score, 6) AS bm25
+FROM tf CROSS JOIN stats
+WHERE ${terms.indices.map(i => s"tf_$i").mkString(" + ")} > 0"""
+    },
+    // Streamed-state twin of q110: the two parity waves partition the
+    // corpus and the maintained (postings, doclens) state is additive, so
+    // BM25 from the state must equal the same full-corpus oracle
+    "q258_bm25_stream" -> {
       val terms = Seq("join", "hash", "customer")
       val (dfCols, tfCols, score) = dkBm25Parts(terms)
       s"""WITH $dkTok,

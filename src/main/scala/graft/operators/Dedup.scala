@@ -310,21 +310,48 @@ object Dedup {
     minhashBands(docs).select(col("doc_id"), posexplode(
       array((0 until 4).map(b => col(s"band$b")): _*)).as(Seq("band_idx", "band_key")))
 
+  /** [[minhashBuckets]] carrying the shingle array through the explode —
+    * the pair-join shape (`Similarity.rpBucketTableWithVec`): verification
+    * rides the one (band_idx, band_key) shuffle, 4 copies per doc, so no
+    * candidate-pair re-join against the corpus is ever needed. Band keys
+    * are byte-identical to [[minhashBands]]' (same sha2-of-concat over the
+    * same signature words). */
+  private def minhashBucketsWithSets(docs: DataFrame): DataFrame =
+    shingleArrays(docs)
+      .select(col("doc_id"), col("sh"),
+        graft.GraftFunctions.minhash_sig(col("sh")).as("sig"))
+      .select(col("doc_id"), col("sh"), posexplode(
+        array((0 until 4).map(b => sha2(concat((0 until 4).map(j =>
+          element_at(col("sig"), 4 * b + j + 1)): _*), 256)): _*))
+        .as(Seq("band_idx", "band_key")))
+
   /** MinHash-LSH near-duplicate pairs: candidates = docs sharing any band
     * bucket, generated by a streamed self-equi-join on (band_idx, band_key)
     * — no per-bucket array materialization, so a massive duplicate cluster
     * costs its pair count but never buffers a bucket in memory (the
-    * `simhashPairs` shape). Verification = exact Jaccard via array_intersect
-    * on the candidates only (cost ~ candidates, not ~ all pairs). */
+    * `simhashPairs` shape). Exact Jaccard is verified INSIDE the band
+    * join, BEFORE distinct (the `rpNearDupPairs` shape): the shingle
+    * arrays ride the one (band_idx, band_key) shuffle, a pair colliding
+    * in several bands re-intersects once per collision — cheap in-join
+    * work — and the dedup shuffle carries only THRESHOLD SURVIVORS. The
+    * previous join-back form shuffled the corpus-keyed shingle payload
+    * twice more (once per pair side) plus a candidate-pair distinct. */
   def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val bk = minhashBuckets(docs)
-    val candidates = bk.as("x").join(bk.as("y").hint("SHUFFLE_HASH"),
+    val bk = minhashBucketsWithSets(docs)
+    bk.as("x").join(bk.as("y").hint("SHUFFLE_HASH"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
           col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+      .withColumn("common",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long"))
+      .withColumn("jaccard",
+        col("common") / (size(col("sh_a")) + size(col("sh_b")) - col("common")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        round(col("jaccard"), 6).as("jaccard"))
       .distinct()
-    verifiedJaccard(candidates, shingleArrays(docs), threshold)
   }
 
   /** Connected components over a near-duplicate pair graph: every document

@@ -170,6 +170,59 @@ object Streams {
     out
   }
 
+  /** [[ensureStreamedJsonlState]]'s sibling for PARQUET-fed maintainers:
+    * the documents table split by doc_id parity into two waves, each
+    * landed under one directory and streamed in its OWN run against one
+    * checkpoint via `start(streamingDocs, statePath, ckptPath)` — so any
+    * epoch-partials maintainer can be driven into a genuinely multi-epoch
+    * maintained state and then declared as a driver-checked query (its
+    * `...At` reader must answer the batch operator over the FULL table,
+    * which the DuckDB oracle rebuilds directly). Same marker idempotence
+    * and crash-convergence argument as the JSONL twin. `tag` keys the
+    * cached state per maintainer. */
+  def ensureStreamedDocState(spark: SparkSession, documents: DataFrame,
+                             sfDir: String, tag: String)(
+      start: (DataFrame, String, String) => StreamingQuery): String = {
+    val srcStamp = try {
+      val sp = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+      val st = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(sp)
+      s"${st.getLen}-${st.getModificationTime}"
+    } catch { case _: Exception => "nostamp" }
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-docstream-" +
+      Integer.toHexString((sfDir + "|" + srcStamp + "|" + tag).hashCode)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
+    val out = s"$base/state"
+    val marker = new org.apache.hadoop.fs.Path(base, "_STATE_READY")
+    if (fs.exists(marker)) return out
+    val landing = new org.apache.hadoop.fs.Path(base, "landing")
+    fs.mkdirs(landing)
+    val schema = documents.schema
+    def landWave(parity: Int): Unit = {
+      val staging = new org.apache.hadoop.fs.Path(base, s"__w$parity")
+      fs.delete(staging, true)
+      documents.filter(pmod(col("doc_id"), lit(2)) === parity)
+        .write.mode("overwrite").parquet(staging.toString)
+      Option(fs.globStatus(new org.apache.hadoop.fs.Path(staging, "part-*")))
+        .toSeq.flatten.zipWithIndex.foreach { case (st, i) =>
+          val dst = new org.apache.hadoop.fs.Path(landing, s"w$parity-$i.parquet")
+          fs.delete(dst, false)
+          require(fs.rename(st.getPath, dst), s"wave rename failed: $dst")
+        }
+      fs.delete(staging, true)
+    }
+    def wave(parity: Int): Unit = {
+      landWave(parity)
+      start(spark.readStream.schema(schema).parquet(landing.toString),
+        out, s"$base/ckpt").awaitTermination()
+    }
+    wave(0)
+    wave(1)
+    fs.create(marker, true).close()
+    out
+  }
+
   /** Tumbling event-time window aggregation with a watermark (late data
     * beyond 30 minutes dropped; state bounded by watermark horizon). */
   def tumblingCounts(events: DataFrame, width: String = "10 minutes"): DataFrame =

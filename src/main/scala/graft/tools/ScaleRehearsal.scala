@@ -40,10 +40,16 @@ object ScaleRehearsal {
     val embK = replicate(emb1, "vec_id").cache()
     println(s"REHEARSE corpus 1x=$n1 ${k}x=${docsK.count()} vecs=${embK.count()}")
 
+    // every timing also lands in REHEARSAL.json (merged per-op across
+    // family-filtered runs), so scale-exponent regressions are diffable
+    // round-over-round the way BENCH_DETAIL made per-query times diffable
+    val recorded = collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
-      println(f"REHEARSE $name rows=$n t=${(System.nanoTime() - t0) / 1e9}%.1f")
+      val sec = (System.nanoTime() - t0) / 1e9
+      recorded(name) = (n, sec)
+      println(f"REHEARSE $name rows=$n t=$sec%.1f")
     }
     def run(tag: String, docs: DataFrame, emb: DataFrame): Unit = {
       time(s"$tag exactGroups") {
@@ -481,6 +487,49 @@ object ScaleRehearsal {
       runR12b("1x", liFull1, ord1, cust1, part1, supp1)
       runR12b(s"${k}x", liFullK, ordK, custK, partK, suppK)
     }
+    writeArtifact(k, recorded.toSeq)
     spark.stop()
+  }
+
+  /** Fold this run's timings into `REHEARSAL.json` (repo cwd). Names come
+    * in as "<tag> <op>" with tag "1x" or "<k>x"; the artifact groups per
+    * op as {"1x": {rows, sec}, "kx": {rows, sec}, "ratio": kx.sec/1x.sec}
+    * so a per-family run (the 2nd-arg filter) refreshes only its own ops
+    * and the growth exponent stays one `jq` away. */
+  private def writeArtifact(k: Int, recorded: Seq[(String, (Long, Double))]): Unit = {
+    import org.json4s._
+    import org.json4s.jackson.JsonMethods
+    val path = java.nio.file.Paths.get(sys.props("user.dir"), "REHEARSAL.json")
+    val existing: Map[String, JValue] =
+      if (java.nio.file.Files.exists(path))
+        try JsonMethods.parse(java.nio.file.Files.readString(path)) match {
+          case JObject(fields) => fields.toMap
+          case _ => Map.empty
+        } catch { case _: Exception => Map.empty }
+      else Map.empty
+    val byOp = recorded.flatMap { case (name, (rows, sec)) =>
+      name.split(" ", 2) match {
+        case Array(tag, op) => Some(op -> (tag, rows, sec))
+        case _ => None
+      }
+    }.groupBy(_._1)
+    val updated = byOp.map { case (op, entries) =>
+      val tags = entries.map { case (_, (tag, rows, sec)) =>
+        tag -> JObject("rows" -> JLong(rows),
+          "sec" -> JDouble(math.rint(sec * 1000) / 1000))
+      }
+      val ratio = for {
+        t1 <- entries.collectFirst { case (_, ("1x", _, s)) => s }
+        tk <- entries.collectFirst { case (_, (t, _, s)) if t != "1x" => s }
+        if t1 > 0
+      } yield "ratio" -> JDouble(math.rint(tk / t1 * 100) / 100)
+      op -> JObject((tags ++ ratio.toSeq): _*)
+    }
+    val merged = JObject(
+      ("k" -> JInt(k)) +: ("sf" -> JString("sf0.1")) +:
+        (existing - "k" - "sf" ++ updated).toSeq.sortBy(_._1): _*)
+    java.nio.file.Files.writeString(path,
+      JsonMethods.pretty(JsonMethods.render(merged)) + "\n")
+    println(s"REHEARSE artifact -> $path (${updated.size} ops updated)")
   }
 }

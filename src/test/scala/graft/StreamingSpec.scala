@@ -570,6 +570,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streams.ensureStreamedJsonlState(spark, docs, TestSpark.sf0001) == out)
   }
 
+  test("ensureStreamedDocState (q258): waved lex index holds >=2 epochs; streamed BM25 equals batch indexed BM25") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val terms = Seq("join", "hash", "customer")
+    val state = Streams.ensureStreamedDocState(
+      spark, docs, TestSpark.sf0001, "lex")(
+      (sd, out, ckpt) => Streams.streamingLexIndex(sd, out, ckpt))
+    assert(spark.read.parquet(state).select("epoch").distinct().count() >= 2)
+    val ta = graft.operators.TextAnalysis
+    val batch = ta.bm25Indexed(ta.postings(docs), ta.docLengths(docs), terms)
+      .collect().map(_.toSeq).toSet
+    assert(Streams.bm25StreamedAt(spark, state, terms)
+      .collect().map(_.toSeq).toSet == batch)
+    // marker short-circuit: a second call must not re-stream
+    assert(Streams.ensureStreamedDocState(
+      spark, docs, TestSpark.sf0001, "lex")((_, _, _) =>
+      fail("state already materialized — start must not be invoked")) == state)
+  }
+
   test("streamingJsonlIngest: valid rows and corrupt report match the batch source; compaction preserves them") {
     val tmp = Files.createTempDirectory("graft-stream-jsonl").toString
     val (landing, out, ckpt) = (s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt")
