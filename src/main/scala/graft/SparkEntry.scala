@@ -1456,6 +1456,30 @@ object SparkEntry {
       graft.streaming.Streams.bm25StreamedAt(
         s, state, Seq("join", "hash", "customer"))
     }),
+    // extension: near-dup pairs answered FROM the streamed MinHash band
+    // index (same two-wave pattern; the bucket table is a pure per-doc
+    // projection, so persisting it as the corpus lands IS the production
+    // dedup shape — every later dedup run starts from the index, never
+    // re-shingling the corpus); must equal q26's batch pairs exactly
+    "q259_minhash_stream_pairs" -> ((s, dir) => {
+      val state = graft.streaming.Streams.ensureStreamedDocState(
+        s, docs(s, dir), dir, "mhband")(
+        (sd, out, ckpt) =>
+          graft.streaming.Streams.streamingMinhashBands(sd, out, ckpt))
+      graft.streaming.Streams.minhashPairsStreamedAt(s, state, 0.5)
+    }),
+    // extension: one-vs-rest AUC answered FROM the streamed scored state
+    // (embeddings split by vec_id parity; linearProbeScored is a pure row
+    // function, so the folded (vec_id, label, f) state answers q199's
+    // exact full-corpus AUC with no embedding re-access)
+    "q260_auc_stream" -> ((s, dir) => {
+      val state = graft.streaming.Streams.ensureStreamedTableState(
+        s, emb(s, dir).select("vec_id", "embedding", "label"), dir,
+        "scored", idCol = "vec_id", srcFile = "embeddings.parquet")(
+        (sv, out, ckpt) =>
+          graft.streaming.Streams.streamingScoredVectors(sv, out, ckpt))
+      graft.streaming.Streams.aucStreamedAt(s, state)
+    }),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
     "q254_langid_confusion" -> ((s, dir) =>
@@ -1739,6 +1763,48 @@ object SparkEntry {
     s"sha256(${(0 until 4).map(j => s"m${4 * b + j}").mkString(" || ")})"
   private val dkBandCols: Seq[String] =
     (0 until 4).map(b => s"${dkBandKey(b)} AS band$b")
+
+  /** DuckDB: the MinHash-banded near-dup pair set at tau=0.5 — shared by
+    * q26 (batch band+verify) and q259 (the same pairs answered from the
+    * STREAMED band index; the maintained table is a pure per-doc
+    * projection, so both must equal this full-corpus ground truth). */
+  private lazy val dkMinhashPairsSql: String =
+    s"""$dkJaccard,
+  $dkSig,
+  bands AS (${(0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band_idx, ${dkBandKey(b)} AS band_key FROM sig")
+      .mkString("\n    UNION ALL ")}),
+  cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
+      AND x.doc_id < y.doc_id)
+SELECT j.doc_a, j.doc_b, j.common, round(j.jaccard, 6) AS jaccard
+FROM jac j JOIN cand USING (doc_a, doc_b) WHERE j.jaccard >= 0.5"""
+
+  /** DuckDB: one-vs-rest midrank AUC over the hash-probe scores — shared
+    * by q199 (batch scorer) and q260 (the same AUC answered from the
+    * STREAMED scored state; per-vector scores are pure row functions, so
+    * both must equal this full-corpus ground truth). */
+  private lazy val dkAucSql: String =
+    """WITH d AS (SELECT vec_id, label,
+    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm,
+    CAST(embedding[1] AS DOUBLE) AS e1 FROM embeddings),
+  sc AS (SELECT label, CAST(floor(CASE WHEN nrm = 0.0 THEN 0.0
+      ELSE e1 / sqrt(nrm) END * 1073741824.0 + 0.5) AS BIGINT) AS f FROM d),
+  grp AS (SELECT f, label, CAST(count(*) AS BIGINT) AS cnt FROM sc GROUP BY 1, 2),
+  pf AS (SELECT f, CAST(sum(cnt) AS BIGINT) AS f_tot FROM grp GROUP BY 1),
+  ca AS (SELECT f, f_tot, CAST(coalesce(sum(f_tot) OVER (ORDER BY f
+      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below_all FROM pf),
+  wb AS (SELECT g.f, g.label, g.cnt, ca.f_tot, ca.below_all,
+      CAST(coalesce(sum(g.cnt) OVER (PARTITION BY g.label ORDER BY g.f
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below_lab
+    FROM grp g JOIN ca ON g.f = ca.f),
+  u2 AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS n_pos,
+      CAST(sum(cnt * 2 * (below_all - below_lab) + cnt * (f_tot - cnt)) AS BIGINT) AS u2
+    FROM wb GROUP BY 1),
+  tt AS (SELECT CAST(sum(f_tot) AS BIGINT) AS n_total FROM pf)
+SELECT label, n_pos, CAST(n_total - n_pos AS BIGINT) AS n_neg,
+  round(CAST(u2 AS DOUBLE) / 2.0 / n_pos / (n_total - n_pos), 6) AS auc
+FROM u2 CROSS JOIN tt ORDER BY label"""
 
   /** DuckDB: exact per-query cosine top-3 (shared by q23 and q31 — the
     * Window and custom-GroupedTopK plans must both match it). */
@@ -2140,17 +2206,11 @@ SELECT vec_a, vec_b, round(score, 4) AS score FROM sc WHERE score >= 0.3""",
     "q25_minhash_bands" ->
       s"""WITH $dkTok, $dkShl, $dkShu, $dkSig
 SELECT doc_id, ${dkBandCols.mkString(", ")} FROM sig""",
-    "q26_minhash_pairs" ->
-      s"""$dkJaccard,
-  $dkSig,
-  bands AS (${(0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band_idx, ${dkBandKey(b)} AS band_key FROM sig")
-        .mkString("\n    UNION ALL ")}),
-  cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-    FROM bands x JOIN bands y ON x.band_idx = y.band_idx AND x.band_key = y.band_key
-      AND x.doc_id < y.doc_id)
-SELECT j.doc_a, j.doc_b, j.common, round(j.jaccard, 6) AS jaccard
-FROM jac j JOIN cand USING (doc_a, doc_b) WHERE j.jaccard >= 0.5""",
+    "q26_minhash_pairs" -> dkMinhashPairsSql,
+    // Streamed-state twin of q26: the two parity waves partition the
+    // corpus and the band index is a pure per-doc projection, so pairs
+    // from the maintained index equal the same full-corpus ground truth
+    "q259_minhash_stream_pairs" -> dkMinhashPairsSql,
     "q33_simhash_pairs" ->
       s"""WITH $dkTok,
   hs AS (SELECT doc_id, list_transform(toks, t -> sha256(t)) AS hashes FROM tok),
@@ -4372,27 +4432,11 @@ SELECT g AS source, n_tokens, n_types,
 FROM ag ORDER BY source""",
     // AUC: same fixed-point score buckets, same two running sums over the
     // distinct-score frame, same exact 2U midrank arithmetic
-    "q199_auc" ->
-      """WITH d AS (SELECT vec_id, label,
-    list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))) AS nrm,
-    CAST(embedding[1] AS DOUBLE) AS e1 FROM embeddings),
-  sc AS (SELECT label, CAST(floor(CASE WHEN nrm = 0.0 THEN 0.0
-      ELSE e1 / sqrt(nrm) END * 1073741824.0 + 0.5) AS BIGINT) AS f FROM d),
-  grp AS (SELECT f, label, CAST(count(*) AS BIGINT) AS cnt FROM sc GROUP BY 1, 2),
-  pf AS (SELECT f, CAST(sum(cnt) AS BIGINT) AS f_tot FROM grp GROUP BY 1),
-  ca AS (SELECT f, f_tot, CAST(coalesce(sum(f_tot) OVER (ORDER BY f
-      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below_all FROM pf),
-  wb AS (SELECT g.f, g.label, g.cnt, ca.f_tot, ca.below_all,
-      CAST(coalesce(sum(g.cnt) OVER (PARTITION BY g.label ORDER BY g.f
-        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS below_lab
-    FROM grp g JOIN ca ON g.f = ca.f),
-  u2 AS (SELECT label, CAST(sum(cnt) AS BIGINT) AS n_pos,
-      CAST(sum(cnt * 2 * (below_all - below_lab) + cnt * (f_tot - cnt)) AS BIGINT) AS u2
-    FROM wb GROUP BY 1),
-  tt AS (SELECT CAST(sum(f_tot) AS BIGINT) AS n_total FROM pf)
-SELECT label, n_pos, CAST(n_total - n_pos AS BIGINT) AS n_neg,
-  round(CAST(u2 AS DOUBLE) / 2.0 / n_pos / (n_total - n_pos), 6) AS auc
-FROM u2 CROSS JOIN tt ORDER BY label""",
+    "q199_auc" -> dkAucSql,
+    // Streamed-state twin of q199: the per-vector probe score is a pure
+    // row function, so AUC from the two-wave maintained scored state must
+    // equal the same full-corpus ground truth
+    "q260_auc_stream" -> dkAucSql,
     // Temperature mix: sqrt is correctly rounded on both engines, same 2^20
     // fixed point, same floor-integer allocation
     "q200_temperature_mix" ->

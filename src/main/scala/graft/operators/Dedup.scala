@@ -316,7 +316,7 @@ object Dedup {
     * candidate-pair re-join against the corpus is ever needed. Band keys
     * are byte-identical to [[minhashBands]]' (same sha2-of-concat over the
     * same signature words). */
-  private def minhashBucketsWithSets(docs: DataFrame): DataFrame =
+  private[graft] def minhashBucketsWithSets(docs: DataFrame): DataFrame =
     shingleArrays(docs)
       .select(col("doc_id"), col("sh"),
         graft.GraftFunctions.minhash_sig(col("sh")).as("sig"))
@@ -325,19 +325,15 @@ object Dedup {
           element_at(col("sig"), 4 * b + j + 1)): _*), 256)): _*))
         .as(Seq("band_idx", "band_key")))
 
-  /** MinHash-LSH near-duplicate pairs: candidates = docs sharing any band
-    * bucket, generated by a streamed self-equi-join on (band_idx, band_key)
-    * — no per-bucket array materialization, so a massive duplicate cluster
-    * costs its pair count but never buffers a bucket in memory (the
-    * `simhashPairs` shape). Exact Jaccard is verified INSIDE the band
-    * join, BEFORE distinct (the `rpNearDupPairs` shape): the shingle
-    * arrays ride the one (band_idx, band_key) shuffle, a pair colliding
-    * in several bands re-intersects once per collision — cheap in-join
-    * work — and the dedup shuffle carries only THRESHOLD SURVIVORS. The
-    * previous join-back form shuffled the corpus-keyed shingle payload
-    * twice more (once per pair side) plus a candidate-pair distinct. */
-  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame = {
-    val bk = minhashBucketsWithSets(docs)
+  /** The verify-inside-band-join pair step over a (doc_id, sh, band_idx,
+    * band_key) bucket table — shared by [[minhashPairs]] (which builds the
+    * table map-only from the docs) and the streaming reader
+    * (`Streams.minhashPairsStreamedAt`, which reads it from the maintained
+    * band index; the table is a pure per-doc projection, so persisting it
+    * IS the production shape — re-banding the corpus per dedup run is the
+    * thing that doesn't scale). */
+  private[graft] def pairsFromBandBuckets(bk: DataFrame,
+                                          threshold: Double): DataFrame =
     bk.as("x").join(bk.as("y").hint("SHUFFLE_HASH"),
         col("x.band_idx") === col("y.band_idx") &&
           col("x.band_key") === col("y.band_key") &&
@@ -352,7 +348,20 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("common"),
         round(col("jaccard"), 6).as("jaccard"))
       .distinct()
-  }
+
+  /** MinHash-LSH near-duplicate pairs: candidates = docs sharing any band
+    * bucket, generated by a streamed self-equi-join on (band_idx, band_key)
+    * — no per-bucket array materialization, so a massive duplicate cluster
+    * costs its pair count but never buffers a bucket in memory (the
+    * `simhashPairs` shape). Exact Jaccard is verified INSIDE the band
+    * join, BEFORE distinct (the `rpNearDupPairs` shape): the shingle
+    * arrays ride the one (band_idx, band_key) shuffle, a pair colliding
+    * in several bands re-intersects once per collision — cheap in-join
+    * work — and the dedup shuffle carries only THRESHOLD SURVIVORS. The
+    * previous join-back form shuffled the corpus-keyed shingle payload
+    * twice more (once per pair side) plus a candidate-pair distinct. */
+  def minhashPairs(docs: DataFrame, threshold: Double): DataFrame =
+    pairsFromBandBuckets(minhashBucketsWithSets(docs), threshold)
 
   /** Connected components over a near-duplicate pair graph: every document
     * that appears in `pairs` gets a `cluster` id = the minimum doc_id

@@ -182,9 +182,22 @@ object Streams {
     * cached state per maintainer. */
   def ensureStreamedDocState(spark: SparkSession, documents: DataFrame,
                              sfDir: String, tag: String)(
+      start: (DataFrame, String, String) => StreamingQuery): String =
+    ensureStreamedTableState(spark, documents, sfDir, tag,
+      idCol = "doc_id", srcFile = "documents.parquet")(start)
+
+  /** The table-generic form of [[ensureStreamedDocState]]: split ANY
+    * fixture table by `idCol` parity into two waves and stream each
+    * through `start` against one checkpoint (q260 drives `embeddings`
+    * through `streamingScoredVectors` this way). `srcFile` keys the
+    * cached state to the source parquet's (length, mtime) stamp so a
+    * regenerated testdata dir invalidates it. */
+  def ensureStreamedTableState(spark: SparkSession, table: DataFrame,
+                               sfDir: String, tag: String, idCol: String,
+                               srcFile: String)(
       start: (DataFrame, String, String) => StreamingQuery): String = {
     val srcStamp = try {
-      val sp = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
+      val sp = new org.apache.hadoop.fs.Path(s"$sfDir/$srcFile")
       val st = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getFileStatus(sp)
       s"${st.getLen}-${st.getModificationTime}"
@@ -198,11 +211,11 @@ object Streams {
     if (fs.exists(marker)) return out
     val landing = new org.apache.hadoop.fs.Path(base, "landing")
     fs.mkdirs(landing)
-    val schema = documents.schema
+    val schema = table.schema
     def landWave(parity: Int): Unit = {
       val staging = new org.apache.hadoop.fs.Path(base, s"__w$parity")
       fs.delete(staging, true)
-      documents.filter(pmod(col("doc_id"), lit(2)) === parity)
+      table.filter(pmod(col(idCol), lit(2)) === parity)
         .write.mode("overwrite").parquet(staging.toString)
       Option(fs.globStatus(new org.apache.hadoop.fs.Path(staging, "part-*")))
         .toSeq.flatten.zipWithIndex.foreach { case (st, i) =>
@@ -222,6 +235,34 @@ object Streams {
     fs.create(marker, true).close()
     out
   }
+
+  /** Streaming MinHash band-index maintenance — the incremental form of
+    * the q26 near-dup pair join's banding step. The (doc_id, sh,
+    * band_idx, band_key) bucket table is a pure per-doc map-only
+    * projection (`Dedup.minhashBucketsWithSets`), so it is exactly
+    * maintainable from per-batch partials with an identity fold — and
+    * persisting it IS the production dedup shape at 100 TB: the corpus is
+    * banded ONCE as it lands, and every subsequent dedup run starts from
+    * the index instead of re-shingling and re-hashing the whole corpus. */
+  def streamingMinhashBands(docs: DataFrame, bandsPath: String,
+                            checkpointDir: String): StreamingQuery =
+    epochPartials(docs, bandsPath, checkpointDir)(
+      graft.operators.Dedup.minhashBucketsWithSets)
+
+  /** Near-dup pairs from the maintained band index — batch
+    * `Dedup.minhashPairs` rows over the union corpus, no raw-text access:
+    * the same verify-inside-band-join step, reading the persisted
+    * buckets. */
+  def minhashPairsStreamedAt(spark: SparkSession, bandsPath: String,
+                             threshold: Double): DataFrame =
+    graft.operators.Dedup.pairsFromBandBuckets(
+      epochsAt(spark, bandsPath)
+        .select("doc_id", "sh", "band_idx", "band_key"), threshold)
+
+  /** Compaction for the band index — rows are immutable per-doc
+    * projections, so the fold is identity; partition count resets. */
+  def compactMinhashBandsAt(spark: SparkSession, bandsPath: String): Unit =
+    compactEpochs(spark, bandsPath)(st => st.drop("epoch"))
 
   /** Tumbling event-time window aggregation with a watermark (late data
     * beyond 30 minutes dropped; state bounded by watermark horizon). */

@@ -588,6 +588,37 @@ class StreamingSpec extends AnyFunSuite {
       fail("state already materialized — start must not be invoked")) == state)
   }
 
+  test("streamingMinhashBands (q259): pairs from the maintained band index equal batch minhashPairs; compaction preserves them") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val state = Streams.ensureStreamedDocState(
+      spark, docs, TestSpark.sf0001, "mhband")(
+      (sd, out, ckpt) => Streams.streamingMinhashBands(sd, out, ckpt))
+    assert(spark.read.parquet(state).select("epoch").distinct().count() >= 2)
+    val batch = graft.operators.Dedup.minhashPairs(docs, 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(batch.nonEmpty)
+    assert(Streams.minhashPairsStreamedAt(spark, state, 0.5)
+      .collect().map(_.toSeq).toSet == batch)
+    Streams.compactMinhashBandsAt(spark, state)
+    assert(spark.read.parquet(state).select("epoch").distinct().count() == 1)
+    assert(Streams.minhashPairsStreamedAt(spark, state, 0.5)
+      .collect().map(_.toSeq).toSet == batch)
+  }
+
+  test("streamingScoredVectors via two waves (q260): AUC from the maintained state equals batch separabilityAuc") {
+    val embT = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding", "label")
+    val state = Streams.ensureStreamedTableState(
+      spark, embT, TestSpark.sf0001, "scored",
+      idCol = "vec_id", srcFile = "embeddings.parquet")(
+      (sv, out, ckpt) => Streams.streamingScoredVectors(sv, out, ckpt))
+    assert(spark.read.parquet(state).select("epoch").distinct().count() >= 2)
+    val batch = graft.operators.Similarity.separabilityAuc(embT)
+      .collect().map(_.toSeq).toSet
+    assert(Streams.aucStreamedAt(spark, state)
+      .collect().map(_.toSeq).toSet == batch)
+  }
+
   test("streamingJsonlIngest: valid rows and corrupt report match the batch source; compaction preserves them") {
     val tmp = Files.createTempDirectory("graft-stream-jsonl").toString
     val (landing, out, ckpt) = (s"$tmp/landing", s"$tmp/out", s"$tmp/ckpt")
