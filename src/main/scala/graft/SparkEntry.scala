@@ -57,6 +57,14 @@ object SparkEntry {
     s.conf.set("spark.sql.optimizer.excludedRules",
       "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate," +
         "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromConstraints")
+    // Let cached plans EXPOSE their output partitioning: by default AQE
+    // re-plans inside InMemoryRelation and the scan reports Unknown
+    // partitioning, so every iterative operator (pageRank, BFS, label
+    // propagation) re-shuffles its memoized edge/degree tables on EVERY
+    // round even though they were repartitioned on the join key before
+    // the memo — the dominant per-round exchange at scale.
+    s.conf.set(
+      "spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
     s
   }
 

@@ -25,9 +25,15 @@ object Graph {
     * traversals consume; memoized because every iteration's lineage
     * references it. */
   private def undirected(edges: DataFrame): DataFrame =
+    // hash-partitioned on src BEFORE the memo: the cached scan keeps that
+    // outputPartitioning, so every iteration/level's src-keyed join reuses
+    // it and shuffles only the nodes-sized other side — without it, each
+    // of pageRank's `iters` rounds (and each BFS level) re-shuffles the
+    // EDGE-sized table, the dominant per-round exchange
     PlanCache.memo(edges.select(col("src"), col("dst"))
       .unionByName(edges.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct())
+      .distinct()
+      .repartition(col("src")))
 
   /** Undirected fixed-point PageRank: symmetrize + dedupe the edge list,
     * then `iters` rounds of r' = 0.15 + 0.85 * sum(r_neighbor / deg).

@@ -192,18 +192,35 @@ object Streams {
     * through `streamingScoredVectors` this way). `srcFile` keys the
     * cached state to the source parquet's (length, mtime) stamp so a
     * regenerated testdata dir invalidates it. */
-  def ensureStreamedTableState(spark: SparkSession, table: DataFrame,
-                               sfDir: String, tag: String, idCol: String,
-                               srcFile: String)(
-      start: (DataFrame, String, String) => StreamingQuery): String = {
+  private def streamedStateBase(spark: SparkSession, sfDir: String,
+                                tag: String, srcFile: String): String = {
     val srcStamp = try {
       val sp = new org.apache.hadoop.fs.Path(s"$sfDir/$srcFile")
       val st = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
         .getFileStatus(sp)
       s"${st.getLen}-${st.getModificationTime}"
     } catch { case _: Exception => "nostamp" }
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-docstream-" +
+    s"${System.getProperty("java.io.tmpdir")}/graft-docstream-" +
       Integer.toHexString((sfDir + "|" + srcStamp + "|" + tag).hashCode)
+  }
+
+  /** Delete a cached two-wave state (marker, checkpoint, landing, state) —
+    * for specs that MUTATE their state (compaction) and must rebuild
+    * fresh on every run rather than inherit a prior run's mutation. */
+  private[graft] def dropStreamedTableState(spark: SparkSession,
+                                            sfDir: String, tag: String,
+                                            srcFile: String): Unit = {
+    val base = new org.apache.hadoop.fs.Path(
+      streamedStateBase(spark, sfDir, tag, srcFile))
+    base.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .delete(base, true)
+  }
+
+  def ensureStreamedTableState(spark: SparkSession, table: DataFrame,
+                               sfDir: String, tag: String, idCol: String,
+                               srcFile: String)(
+      start: (DataFrame, String, String) => StreamingQuery): String = {
+    val base = streamedStateBase(spark, sfDir, tag, srcFile)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
     val out = s"$base/state"
