@@ -373,6 +373,10 @@ object Sketches {
     // keys normalize to STRING (not a numeric cast — a string-keyed join
     // would silently null out): the equality join and the sha cells then
     // agree for any key type, and numeric keys render canonically
+    // NOT memoized although both the grid and the audit arm consume it:
+    // measured at sf0.1 the duplicate scan+count is free (2-column scan,
+    // stage-latency dominates), and at 100 TB a distinct-keys-sized cache
+    // is exactly the corpus-proportional state this engine refuses to hold
     def counts(df: DataFrame, key: String) = df
       .select(col(key).cast("string").as("key"))
       .groupBy("key").agg(count(lit(1)).as("cnt"))

@@ -161,14 +161,27 @@ object Streams {
             false, true, hconf)
         }
     landWave(w0, "w0")
-    streamingJsonlIngest(spark, landing.toString, out, s"$base/ckpt", schema)
-      .awaitTermination()
+    awaitBounded(streamingJsonlIngest(
+      spark, landing.toString, out, s"$base/ckpt", schema))
     landWave(w1, "w1")
-    streamingJsonlIngest(spark, landing.toString, out, s"$base/ckpt", schema)
-      .awaitTermination()
+    awaitBounded(streamingJsonlIngest(
+      spark, landing.toString, out, s"$base/ckpt", schema))
     fs.create(marker, true).close()
     out
   }
+
+  /** Await an AvailableNow stream with a hard deadline: a hung stream
+    * inside the correctness dump would otherwise stall the WHOLE run
+    * (Verify executes queries sequentially) — fail the one query
+    * instead. AvailableNow terminates deterministically, so the deadline
+    * only fires on genuine wedges. */
+  private def awaitBounded(q: StreamingQuery,
+                           timeoutMs: Long = 600000L): Unit =
+    if (!q.awaitTermination(timeoutMs)) {
+      q.stop()
+      throw new IllegalStateException(
+        s"streaming query ${q.name} did not finish within ${timeoutMs}ms")
+    }
 
   /** [[ensureStreamedJsonlState]]'s sibling for PARQUET-fed maintainers:
     * the documents table split by doc_id parity into two waves, each
@@ -244,8 +257,9 @@ object Streams {
     }
     def wave(parity: Int): Unit = {
       landWave(parity)
-      start(spark.readStream.schema(schema).parquet(landing.toString),
-        out, s"$base/ckpt").awaitTermination()
+      awaitBounded(start(
+        spark.readStream.schema(schema).parquet(landing.toString),
+        out, s"$base/ckpt"))
     }
     wave(0)
     wave(1)
