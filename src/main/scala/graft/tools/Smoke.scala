@@ -239,6 +239,17 @@ object Smoke {
     val jrep = graft.sources.JsonlCorpusSource.ingestReport(
       graft.sources.JsonlCorpusSource.read(spark, jtmp.toString)).collect()(0)
     println(s"== jsonl ingest: ${jrep.getLong(0)} valid, ${jrep.getLong(1)} corrupt (sampled)")
+    // streamed-state tour (q257-q260 pillar): the lex index maintained as
+    // two-wave epoch partials answers BM25 from state, batch-equal
+    val lexState = graft.streaming.Streams.ensureStreamedDocState(
+      spark, graft.Tables.documents(spark, sfDir), sfDir, "smoke-lex")(
+      (sd, out, ckpt) =>
+        graft.streaming.Streams.streamingLexIndex(sd, out, ckpt))
+    val sEpochs = spark.read.parquet(lexState)
+      .select("epoch").distinct().count()
+    val sBm = graft.streaming.Streams.bm25StreamedAt(
+      spark, lexState, Seq("join", "hash", "customer")).count()
+    println(s"== streamed lex state: $sEpochs epochs, bm25-from-state rows $sBm")
 
     spark.stop()
   }
