@@ -4614,8 +4614,9 @@ SELECT doc_id AS media_id, n_frames,
   round(CAST(sum(CASE WHEN a THEN 1 ELSE 0 END) AS DOUBLE) / n_frames, 6) AS active_ratio,
   CAST(max(total) // n_frames AS BIGINT) AS mean_energy
 FROM lg GROUP BY 1, 2""",
-    // Poisson-bootstrap CI: same sha-derived 32-bit uniform (first 4
-    // digest windows), same inverse-CDF thresholds floor(cdf*2^16), replica
+    // Poisson-bootstrap CI: same per-item sha digests, same 16-bit
+    // per-replica uniform windows, same inverse-CDF thresholds
+    // floor(cdf*2^16), replica
     // weighted means as one IEEE double division of exact integer sums
     "q211_bootstrap_ci" -> {
       // mirrors EventAnalytics.bootstrapCi EXACTLY: per-ITEM digest = 3

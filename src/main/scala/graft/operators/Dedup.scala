@@ -235,11 +235,22 @@ object Dedup {
       (0 until 16).map(j => element_at(col("sig"), j + 1).as(s"m$j")): _*)
   }
 
+  /** Band `b`'s LSH key from a 16-word signature array column: sha2 of
+    * the 4 concatenated signature words. The ONE definition behind
+    * [[minhashBands]] (q25), [[minhashBucketsWithSets]] (q26/q259), and
+    * — mirrored in SQL — the oracle's `dkBandKey`; any change here must
+    * change all three together or the batch↔banded↔streamed parity
+    * breaks silently. */
+  private def bandKeyFromSig(sig: Column, b: Int): Column =
+    sha2(concat((0 until 4).map(j => element_at(sig, 4 * b + j + 1)): _*), 256)
+
   /** Banded signatures: 4 band keys, each hashing 4 signature words. */
   def minhashBands(docs: DataFrame): DataFrame =
-    minhashSig(docs).select(
-      col("doc_id") +: (0 until 4).map(b =>
-        sha2(concat((0 until 4).map(j => col(s"m${4 * b + j}")): _*), 256).as(s"band$b")): _*)
+    shingleArrays(docs)
+      .select(col("doc_id"),
+        graft.GraftFunctions.minhash_sig(col("sh")).as("sig"))
+      .select(col("doc_id") +:
+        (0 until 4).map(b => bandKeyFromSig(col("sig"), b).as(s"band$b")): _*)
 
   /** One row per (doc, band): the LSH bucket table. */
   /** Near-dup cluster-size histogram — the report a dedup run ships with:
@@ -321,8 +332,7 @@ object Dedup {
       .select(col("doc_id"), col("sh"),
         graft.GraftFunctions.minhash_sig(col("sh")).as("sig"))
       .select(col("doc_id"), col("sh"), posexplode(
-        array((0 until 4).map(b => sha2(concat((0 until 4).map(j =>
-          element_at(col("sig"), 4 * b + j + 1)): _*), 256)): _*))
+        array((0 until 4).map(b => bandKeyFromSig(col("sig"), b)): _*))
         .as(Seq("band_idx", "band_key")))
 
   /** The verify-inside-band-join pair step over a (doc_id, sh, band_idx,

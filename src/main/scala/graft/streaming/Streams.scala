@@ -145,7 +145,7 @@ object Streams {
     val w1 = JsonlCorpusSource.ensureFixture(
       spark, documents.filter(pmod(col("doc_id"), lit(2)) === 1), sfDir, "w1")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-stream-" +
-      Integer.toHexString((w0 + "|" + w1).hashCode)
+      Integer.toHexString((w0 + "|" + w1 + "|" + StateFormatVersion).hashCode)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
     val out = s"$base/state"
@@ -205,6 +205,14 @@ object Streams {
     * through `streamingScoredVectors` this way). `srcFile` keys the
     * cached state to the source parquet's (length, mtime) stamp so a
     * regenerated testdata dir invalidates it. */
+  /** Bump whenever ANY epoch-partials maintainer changes its partial
+    * schema or semantics: the persisted tmp states are keyed by (source
+    * stamp, tag, THIS version), so a bump invalidates every cached state
+    * instead of the `_STATE_READY` marker silently serving state written
+    * by the OLD code — an AnalysisException on a missing column at best,
+    * a stale-semantics parity failure at worst. */
+  private val StateFormatVersion = "v2"
+
   private def streamedStateBase(spark: SparkSession, sfDir: String,
                                 tag: String, srcFile: String): String = {
     val srcStamp = try {
@@ -214,7 +222,9 @@ object Streams {
       s"${st.getLen}-${st.getModificationTime}"
     } catch { case _: Exception => "nostamp" }
     s"${System.getProperty("java.io.tmpdir")}/graft-docstream-" +
-      Integer.toHexString((sfDir + "|" + srcStamp + "|" + tag).hashCode)
+      Integer.toHexString(
+        (sfDir + "|" + srcStamp + "|" + tag + "|" + StateFormatVersion)
+          .hashCode)
   }
 
   /** Delete a cached two-wave state (marker, checkpoint, landing, state) —
@@ -245,12 +255,25 @@ object Streams {
     def landWave(parity: Int): Unit = {
       val staging = new org.apache.hadoop.fs.Path(base, s"__w$parity")
       fs.delete(staging, true)
+      // ONE file per wave (coalesce(1)): the landing layout must be
+      // DETERMINISTIC across reruns for crash-convergence — the file
+      // source's checkpoint skips already-committed paths, so a rerun
+      // whose wave write produced a different part layout (e.g. after a
+      // shuffle-partitions change) would ingest a mix of old-committed
+      // and re-landed subsets. One deterministic path per wave means a
+      // committed path == a complete wave (partials are order-insensitive
+      // per-row projections/aggregates, so row order inside the file
+      // doesn't matter). Stale w<parity>-* from a prior layout are
+      // glob-deleted before landing.
       table.filter(pmod(col(idCol), lit(2)) === parity)
+        .coalesce(1)
         .write.mode("overwrite").parquet(staging.toString)
+      Option(fs.globStatus(
+          new org.apache.hadoop.fs.Path(landing, s"w$parity-*")))
+        .toSeq.flatten.foreach(st => fs.delete(st.getPath, false))
       Option(fs.globStatus(new org.apache.hadoop.fs.Path(staging, "part-*")))
         .toSeq.flatten.zipWithIndex.foreach { case (st, i) =>
           val dst = new org.apache.hadoop.fs.Path(landing, s"w$parity-$i.parquet")
-          fs.delete(dst, false)
           require(fs.rename(st.getPath, dst), s"wave rename failed: $dst")
         }
       fs.delete(staging, true)

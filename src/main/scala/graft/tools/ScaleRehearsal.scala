@@ -523,10 +523,13 @@ object ScaleRehearsal {
         tk <- entries.collectFirst { case (_, (t, _, s)) if t != "1x" => s }
         if t1 > 0
       } yield "ratio" -> JDouble(math.rint(tk / t1 * 100) / 100)
-      op -> JObject((tags ++ ratio.toSeq): _*)
+      // k lives PER OP (the "<k>x" tag name plus this field), never at the
+      // top level: a family-filtered run at a different k would otherwise
+      // mislabel every other op's ratios
+      op -> JObject((tags ++ ratio.toSeq :+ ("k" -> JInt(k))): _*)
     }
     val merged = JObject(
-      ("k" -> JInt(k)) +: ("sf" -> JString("sf0.1")) +:
+      ("sf" -> JString("sf0.1")) +:
         (existing - "k" - "sf" ++ updated).toSeq.sortBy(_._1): _*)
     java.nio.file.Files.writeString(path,
       JsonMethods.pretty(JsonMethods.render(merged)) + "\n")

@@ -241,8 +241,11 @@ object Smoke {
     println(s"== jsonl ingest: ${jrep.getLong(0)} valid, ${jrep.getLong(1)} corrupt (sampled)")
     // streamed-state tour (q257-q260 pillar): the lex index maintained as
     // two-wave epoch partials answers BM25 from state, batch-equal
+    // tag "lex" ON PURPOSE: identical content to the q258 state (same
+    // table, same parity split, same maintainer), so Smoke shares the
+    // marker-protected cache instead of building a duplicate copy
     val lexState = graft.streaming.Streams.ensureStreamedDocState(
-      spark, graft.Tables.documents(spark, sfDir), sfDir, "smoke-lex")(
+      spark, graft.Tables.documents(spark, sfDir), sfDir, "lex")(
       (sd, out, ckpt) =>
         graft.streaming.Streams.streamingLexIndex(sd, out, ckpt))
     val sEpochs = spark.read.parquet(lexState)
