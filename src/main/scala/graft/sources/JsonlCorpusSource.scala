@@ -109,28 +109,33 @@ object JsonlCorpusSource {
       s"${st.getLen}-${st.getModificationTime}"
     } catch { case _: Exception => "nostamp" }
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-fixture-" +
-      Integer.toHexString((sfDir + "|" + srcStamp + "|" + tag).hashCode)
+      (if (tag.nonEmpty) tag + "-" else "") +
+      graft.TmpCache.dirKey(sfDir + "|" + srcStamp + "|" + tag)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(dir).getFileSystem(hconf)
     val marker = new org.apache.hadoop.fs.Path(dir, "_FIXTURE_READY")
     if (fs.exists(marker)) return dir
-    val staging = new org.apache.hadoop.fs.Path(dir + "__staging")
-    fs.delete(staging, true)
-    documents.selectExpr(
-        s"""CASE WHEN doc_id % 97 = 0 THEN concat('CORRUPT ', $lineExpr)
-            ELSE $lineExpr END AS value""")
-      .write.mode("overwrite").text(staging.toString)
-    val dst = new org.apache.hadoop.fs.Path(dir)
-    fs.delete(dst, true)
-    fs.mkdirs(dst)
-    Option(fs.globStatus(new org.apache.hadoop.fs.Path(staging, "part-*")))
-      .toSeq.flatten.zipWithIndex.foreach { case (st, i) =>
-        require(fs.rename(st.getPath,
-          new org.apache.hadoop.fs.Path(dst, s"part-$i.jsonl")),
-          s"fixture rename failed: ${st.getPath}")
+    graft.TmpCache.withBuildLock(dir) {
+      if (!fs.exists(marker)) {
+        val staging = new org.apache.hadoop.fs.Path(dir + "__staging")
+        fs.delete(staging, true)
+        documents.selectExpr(
+            s"""CASE WHEN doc_id % 97 = 0 THEN concat('CORRUPT ', $lineExpr)
+                ELSE $lineExpr END AS value""")
+          .write.mode("overwrite").text(staging.toString)
+        val dst = new org.apache.hadoop.fs.Path(dir)
+        fs.delete(dst, true)
+        fs.mkdirs(dst)
+        Option(fs.globStatus(new org.apache.hadoop.fs.Path(staging, "part-*")))
+          .toSeq.flatten.zipWithIndex.foreach { case (st, i) =>
+            require(fs.rename(st.getPath,
+              new org.apache.hadoop.fs.Path(dst, s"part-$i.jsonl")),
+              s"fixture rename failed: ${st.getPath}")
+          }
+        fs.delete(staging, true)
+        fs.create(marker, true).close()
       }
-    fs.delete(staging, true)
-    fs.create(marker, true).close()
+    }
     dir
   }
 

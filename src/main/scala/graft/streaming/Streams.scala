@@ -145,28 +145,32 @@ object Streams {
     val w1 = JsonlCorpusSource.ensureFixture(
       spark, documents.filter(pmod(col("doc_id"), lit(2)) === 1), sfDir, "w1")
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-stream-" +
-      Integer.toHexString((w0 + "|" + w1 + "|" + StateFormatVersion).hashCode)
+      graft.TmpCache.dirKey(w0 + "|" + w1 + "|" + StateFormatVersion)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
     val out = s"$base/state"
     val marker = new org.apache.hadoop.fs.Path(base, "_STATE_READY")
     if (fs.exists(marker)) return out
-    val landing = new org.apache.hadoop.fs.Path(base, "landing")
-    fs.mkdirs(landing)
-    def landWave(waveDir: String, prefix: String): Unit =
-      Option(fs.globStatus(new org.apache.hadoop.fs.Path(waveDir, "*.jsonl")))
-        .toSeq.flatten.foreach { st =>
-          org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
-            new org.apache.hadoop.fs.Path(landing, s"$prefix-${st.getPath.getName}"),
-            false, true, hconf)
-        }
-    landWave(w0, "w0")
-    awaitBounded(streamingJsonlIngest(
-      spark, landing.toString, out, s"$base/ckpt", schema))
-    landWave(w1, "w1")
-    awaitBounded(streamingJsonlIngest(
-      spark, landing.toString, out, s"$base/ckpt", schema))
-    fs.create(marker, true).close()
+    graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        val landing = new org.apache.hadoop.fs.Path(base, "landing")
+        fs.mkdirs(landing)
+        def landWave(waveDir: String, prefix: String): Unit =
+          Option(fs.globStatus(new org.apache.hadoop.fs.Path(waveDir, "*.jsonl")))
+            .toSeq.flatten.foreach { st =>
+              org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs,
+                new org.apache.hadoop.fs.Path(landing, s"$prefix-${st.getPath.getName}"),
+                false, true, hconf)
+            }
+        landWave(w0, "w0")
+        awaitBounded(streamingJsonlIngest(
+          spark, landing.toString, out, s"$base/ckpt", schema))
+        landWave(w1, "w1")
+        awaitBounded(streamingJsonlIngest(
+          spark, landing.toString, out, s"$base/ckpt", schema))
+        fs.create(marker, true).close()
+      }
+    }
     out
   }
 
@@ -221,10 +225,11 @@ object Streams {
         .getFileStatus(sp)
       s"${st.getLen}-${st.getModificationTime}"
     } catch { case _: Exception => "nostamp" }
-    s"${System.getProperty("java.io.tmpdir")}/graft-docstream-" +
-      Integer.toHexString(
-        (sfDir + "|" + srcStamp + "|" + tag + "|" + StateFormatVersion)
-          .hashCode)
+    // tag segment kept in the name for human readability; uniqueness comes
+    // from the digest alone
+    s"${System.getProperty("java.io.tmpdir")}/graft-docstream-$tag-" +
+      graft.TmpCache.dirKey(
+        sfDir + "|" + srcStamp + "|" + tag + "|" + StateFormatVersion)
   }
 
   /** Delete a cached two-wave state (marker, checkpoint, landing, state) —
@@ -249,10 +254,12 @@ object Streams {
     val out = s"$base/state"
     val marker = new org.apache.hadoop.fs.Path(base, "_STATE_READY")
     if (fs.exists(marker)) return out
-    val landing = new org.apache.hadoop.fs.Path(base, "landing")
-    fs.mkdirs(landing)
-    val schema = table.schema
-    def landWave(parity: Int): Unit = {
+    graft.TmpCache.withBuildLock(base) {
+      if (fs.exists(marker)) return out
+      val landing = new org.apache.hadoop.fs.Path(base, "landing")
+      fs.mkdirs(landing)
+      val schema = table.schema
+      def landWave(parity: Int): Unit = {
       val staging = new org.apache.hadoop.fs.Path(base, s"__w$parity")
       fs.delete(staging, true)
       // ONE file per wave (coalesce(1)): the landing layout must be
@@ -278,15 +285,16 @@ object Streams {
         }
       fs.delete(staging, true)
     }
-    def wave(parity: Int): Unit = {
-      landWave(parity)
-      awaitBounded(start(
-        spark.readStream.schema(schema).parquet(landing.toString),
-        out, s"$base/ckpt"))
+      def wave(parity: Int): Unit = {
+        landWave(parity)
+        awaitBounded(start(
+          spark.readStream.schema(schema).parquet(landing.toString),
+          out, s"$base/ckpt"))
+      }
+      wave(0)
+      wave(1)
+      fs.create(marker, true).close()
     }
-    wave(0)
-    wave(1)
-    fs.create(marker, true).close()
     out
   }
 

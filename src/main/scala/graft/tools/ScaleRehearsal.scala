@@ -504,8 +504,20 @@ object ScaleRehearsal {
       if (java.nio.file.Files.exists(path))
         try JsonMethods.parse(java.nio.file.Files.readString(path)) match {
           case JObject(fields) => fields.toMap
-          case _ => Map.empty
-        } catch { case _: Exception => Map.empty }
+          case other =>
+            // a corrupt artifact silently discarding every previously
+            // merged family's timings is worse than a loud stop: warn, and
+            // keep going only because the file demonstrably parsed (it is
+            // just not an object)
+            System.err.println(
+              s"[rehearse] WARNING: $path parsed as ${other.getClass.getSimpleName}, not an object — starting fresh")
+            Map.empty
+        } catch {
+          case e: Exception =>
+            System.err.println(
+              s"[rehearse] WARNING: $path unreadable (${e.getMessage}) — prior per-family timings will be lost")
+            Map.empty
+        }
       else Map.empty
     val byOp = recorded.flatMap { case (name, (rows, sec)) =>
       name.split(" ", 2) match {
@@ -531,8 +543,14 @@ object ScaleRehearsal {
     val merged = JObject(
       ("sf" -> JString("sf0.1")) +:
         (existing - "k" - "sf" ++ updated).toSeq.sortBy(_._1): _*)
-    java.nio.file.Files.writeString(path,
+    // temp-then-ATOMIC_MOVE: a crash mid-write must never leave a torn
+    // artifact (which the reader above would then discard wholesale)
+    val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
+    java.nio.file.Files.writeString(tmp,
       JsonMethods.pretty(JsonMethods.render(merged)) + "\n")
+    java.nio.file.Files.move(tmp, path,
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
     println(s"REHEARSE artifact -> $path (${updated.size} ops updated)")
   }
 }
