@@ -1488,6 +1488,21 @@ object SparkEntry {
           graft.streaming.Streams.streamingScoredVectors(sv, out, ckpt))
       graft.streaming.Streams.aucStreamedAt(s, state)
     }),
+    // extension: ANN top-k answered FROM a PERSISTED index — the q259
+    // two-wave convention applied to the flagship pillar: detIvfIndex fit
+    // + save on the even-id wave, upsertIvfAt of the odd-id wave against
+    // the frozen persisted centroids, then loadIvfIndex + ivfProbe reading
+    // ONLY the saved files (no refit, no in-memory index reuse). Every
+    // stage is deterministic (detKMeans + exact f64-over-f32 probe math),
+    // so the whole lifecycle is hash-oracled, not rows-gated
+    "q261_ann_ivf_persisted" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedDetIvf(s, e, dir)
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Similarity.ivfProbe(Similarity.loadIvfIndex(s, path), q, 3, nProbe = 3)
+    }),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
     "q254_langid_confusion" -> ((s, dir) =>
@@ -5767,6 +5782,52 @@ FROM a""",
   r AS (SELECT query_id, vec_id,
       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
       score FROM sc)
+  SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3)"""),
+    // q261: the PERSISTED two-wave IVF lifecycle, stage for stage. The
+    // Lloyd chain fits on the even-id wave only (fitSrc = nv0), so a_fin
+    // IS the saved wave-0 assignment table; the save step rounds the f64
+    // centroids to f32 (c32 — CAST to FLOAT and back mirrors
+    // detIvfIndex's `.toFloat` exactly), upsertIvfAt assigns the odd wave
+    // against those frozen f32 centroids in exact f64 arithmetic
+    // (assignCells), and ivfProbe scores f32-rounded normalized queries
+    // against the f32 stored centroids (CosineSimilarity: dot/na/nb over
+    // float-widened doubles, zero-norm -> 0.0), probes the top-3 cells
+    // (cscore DESC, cell ASC), and re-ranks candidates with exact cosine
+    // over the RAW stored embeddings.
+    "q261_ann_ivf_persisted" -> detKmeansOracle(
+      fitSrc = "nv0",
+      extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
+      finalSelect = s"""SELECT * FROM (
+  WITH c32 AS (SELECT cell, list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c FROM cents3),
+  nv1 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 1),
+  d1u AS (SELECT n.vec_id, cc.cell,
+      list_sum(list_transform(range(1, 65), i -> (n.nv[i] - cc.c[i]) * (n.nv[i] - cc.c[i]))) AS d2
+    FROM nv1 n CROSS JOIN c32 cc),
+  a1u AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM d1u) WHERE rn = 1),
+  a_all AS (SELECT vec_id, cell FROM a_fin UNION ALL SELECT vec_id, cell FROM a1u),
+  q32 AS (SELECT vec_id AS query_id, list_transform(nv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS q FROM nv_q),
+  cs AS (SELECT q.query_id, cc.cell,
+      list_sum(list_transform(range(1, 65), i -> q.q[i] * cc.c[i])) AS dot,
+      list_sum(list_transform(range(1, 65), i -> q.q[i] * q.q[i])) AS na,
+      list_sum(list_transform(range(1, 65), i -> cc.c[i] * cc.c[i])) AS nb
+    FROM q32 q CROSS JOIN c32 cc),
+  csc AS (SELECT query_id, cell,
+      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cscore FROM cs),
+  probes AS (SELECT query_id, cell FROM (SELECT query_id, cell,
+      row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, cell ASC) AS pr FROM csc) WHERE pr <= 3),
+  cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN a_all a ON a.cell = p.cell),
+  s AS (SELECT c.query_id, c.vec_id,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS dot,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS na,
+      list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS nb
+    FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+                JOIN nv_q q ON c.query_id = q.vec_id),
+  sc AS (SELECT query_id, vec_id,
+      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS score FROM s),
+  r AS (SELECT query_id, vec_id,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
+      score FROM sc)
   SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3)"""))
 
   /** The product-quantization CTE chain (q76, mirrors Similarity.pqTopK
@@ -5929,20 +5990,26 @@ $pqRerankTail)""")
   /** The deterministic-KMeans CTE chain (shared by q68/q69): nv, cents0
     * (first-8-by-id init), 3x (assign, fixed-point-mean update), final
     * assignment `a_fin`; `nv_q` is the normalized query subset. The caller
-    * appends its own final SELECT over these CTEs. */
-  private def detKmeansOracle(finalSelect: String): String = {
+    * appends its own final SELECT over these CTEs.
+    *
+    * `fitSrc` (default the full normalized corpus `nv`) is the frame the
+    * Lloyd chain trains on AND `a_fin` assigns — q261 fits on the even-id
+    * wave only (`nv0`, injected via `extraCtes`) and upserts the odd wave
+    * against the frozen persisted centroids in its own final chain. */
+  private def detKmeansOracle(finalSelect: String, fitSrc: String = "nv",
+                              extraCtes: String = ""): String = {
     val iters = 3
     val d2 = (nvExpr: String, cExpr: String) =>
       s"list_sum(list_transform(range(1, 65), i -> ($nvExpr[i] - $cExpr[i]) * ($nvExpr[i] - $cExpr[i])))"
     val iterCtes = (1 to iters).map { t =>
       s"""  d$t AS (SELECT n.vec_id, cc.cell, ${d2("n.nv", "cc.c")} AS d2
-    FROM nv n CROSS JOIN cents${t - 1} cc),
+    FROM $fitSrc n CROSS JOIN cents${t - 1} cc),
   a$t AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM d$t) WHERE rn = 1),
   s$t AS (SELECT a.cell, di.i AS dim,
       sum(CAST(floor(n.nv[di.i] * 1048576.0 + 0.5) AS BIGINT)) AS sfx,
       count(*) AS cnt
-    FROM a$t a JOIN nv n USING (vec_id) CROSS JOIN range(1, 65) di(i)
+    FROM a$t a JOIN $fitSrc n USING (vec_id) CROSS JOIN range(1, 65) di(i)
     GROUP BY a.cell, di.i),
   cents$t AS (SELECT p.cell, list(
       CASE WHEN s.sfx IS NULL THEN p.c[di.i]
@@ -5960,11 +6027,11 @@ $pqRerankTail)""")
            ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS nv
     FROM nvz),
   nv_q AS (SELECT z.vec_id, z.embedding, n.nv FROM nvz z JOIN nv n USING (vec_id) WHERE z.vec_id < 5),
-  cents0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, nv AS c
-    FROM nv ORDER BY vec_id ASC LIMIT 8),
+${if (extraCtes.nonEmpty) s"  $extraCtes,\n" else ""}  cents0 AS (SELECT row_number() OVER (ORDER BY vec_id ASC) - 1 AS cell, nv AS c
+    FROM $fitSrc ORDER BY vec_id ASC LIMIT 8),
 $iterCtes,
   d_fin AS (SELECT n.vec_id, cc.cell, ${d2("n.nv", "cc.c")} AS d2
-    FROM nv n CROSS JOIN cents$iters cc),
+    FROM $fitSrc n CROSS JOIN cents$iters cc),
   a_fin AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM d_fin) WHERE rn = 1)
 $finalSelect"""

@@ -738,6 +738,54 @@ object Similarity {
       centroids)
   }
 
+  /** Build-once cache for the DECLARED persisted-ANN query (q261): the
+    * production index lifecycle, executed once per (sfDir, source stamp)
+    * and answered from the SAVED files forever after —
+    *
+    *   1. fit + [[IvfIndex.save]] on the FIRST wave (even vec_ids) via
+    *      [[detIvfIndex]] (deterministic Lloyd, so the whole chain is
+    *      hash-oracled, not just rows-gated);
+    *   2. [[upsertIvfAt]] the SECOND wave (odd vec_ids) against the frozen
+    *      persisted centroids — delta-cost maintenance, no refit;
+    *   3. readers answer via [[loadIvfIndex]] + [[ivfProbe]] only.
+    *
+    * Nothing is refit at query time — at 100 TB nobody re-clusters the
+    * corpus per query; the index is built as the corpus lands (wave 1),
+    * maintained incrementally (wave 2), and probed from storage (the q259
+    * two-wave-state convention applied to the ANN pillar). Same marker
+    * idempotence + build lock as the streamed-state caches; the cached
+    * index is keyed to the source parquet's (length, mtime) stamp so a
+    * regenerated testdata dir invalidates it. */
+  def ensurePersistedDetIvf(spark: org.apache.spark.sql.SparkSession,
+                            embeddings: DataFrame, sfDir: String,
+                            nLists: Int = 8, iters: Int = 3): String = {
+    val srcStamp = try {
+      val sp = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+      val st = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(sp)
+      s"${st.getLen}-${st.getModificationTime}"
+    } catch { case _: Exception => "nostamp" }
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-detivf-" +
+      graft.TmpCache.dirKey(s"$sfDir|$srcStamp|$nLists|$iters|v1")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index = s"$base/index"
+    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
+    if (fs.exists(marker)) return index
+    graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        // crash-convergent: save() statically overwrites the whole index
+        // dir, so any interrupted prefix of save→upsert re-runs cleanly
+        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+        detIvfIndex(w0, nLists, iters).save(index)
+        upsertIvfAt(spark, index, w1)
+        fs.create(marker, true).close()
+      }
+    }
+    index
+  }
+
   /** Fully-deterministic IVF top-k: `detKMeans` cells + the standard
     * nProbe probe, with the per-cell query scores computed against the
     * exact f64 centroids. Unlike `ivfTopK` (MLlib KMeans — rows-only +

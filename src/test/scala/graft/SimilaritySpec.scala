@@ -550,6 +550,34 @@ class SimilaritySpec extends AnyFunSuite {
     org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
   }
 
+  test("ensurePersistedDetIvf: two-wave persisted lifecycle equals the in-memory twin; build-once") {
+    val dir = Similarity.ensurePersistedDetIvf(spark, emb, TestSpark.sf0001)
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    // the saved index carries BOTH waves (fit wave + upserted wave)
+    assert(loaded.assignments.count() == emb.count())
+    assert(loaded.assignments.filter($"vec_id" % 2 === 1).count() ==
+      emb.filter($"vec_id" % 2 === 1).count())
+    // probe-from-storage equals the same lifecycle run in memory:
+    // detIvfIndex on the even wave (with centroids f32-rounded, as save()
+    // persists them) + upsertIvf of the odd wave
+    val w0 = emb.filter($"vec_id" % 2 === 0)
+    val w1 = emb.filter($"vec_id" % 2 === 1)
+    val mem = Similarity.upsertIvf(Similarity.detIvfIndex(w0, 8), w1)
+    val a = Similarity.ivfProbe(loaded, queries, 3, nProbe = 3)
+      .collect().map(_.toString).sorted
+    val b = Similarity.ivfProbe(mem, queries, 3, nProbe = 3)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b) && a.nonEmpty)
+    // build-once: a repeat ensure returns the same path and leaves the
+    // stored assignment files untouched (marker short-circuit)
+    val files = new java.io.File(s"$dir/assignments").listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet
+    assert(Similarity.ensurePersistedDetIvf(spark, emb, TestSpark.sf0001) == dir)
+    val after = new java.io.File(s"$dir/assignments").listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet
+    assert(after == files)
+  }
+
   test("pq index: partition-invariant bit-identical rebuilds; save/load roundtrip; self at rank 1") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/idx"
     val idx = Similarity.pqIndex(emb)
