@@ -1373,6 +1373,11 @@ object SparkEntry {
     // candidates vs the exhaustive shingle-join pair set at tau=0.5
     "q234_dedup_recall" -> ((s, dir) =>
       Dedup.dedupRecallAudit(docs(s, dir), 0.5)),
+    // extension: the 100 TB operating mode of q234 — both audit arms over
+    // a deterministic sha-keyed HALF of the corpus (sampleHex=8), so the
+    // exhaustive arm's pair space is bounded by the sample, not the corpus
+    "q262_dedup_recall_sampled" -> ((s, dir) =>
+      Dedup.dedupRecallAudit(docs(s, dir), 0.5, sampleHex = 8)),
     // extension: kNN confusion matrix — leave-one-out majority vote over
     // the q182 fixed-point neighbourhoods, per-class cells + row fracs;
     // query side capped at the default 4096-row hash-ordered sample
@@ -1762,8 +1767,8 @@ object SparkEntry {
     }.mkString
     head + stages + "\n" + finalSelect
   }
-  private val dkJaccard =
-    s"""WITH $dkTok, $dkShl, $dkShu,
+  private def dkJaccardFrom(tokCte: String): String =
+    s"""WITH $tokCte, $dkShl, $dkShu,
   counts AS (SELECT doc_id, count(*) AS n_sh FROM shu GROUP BY doc_id),
   pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
             FROM shu a JOIN shu b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
@@ -1772,6 +1777,46 @@ object SparkEntry {
             p.common / (ca.n_sh + cb.n_sh - p.common) AS jaccard
           FROM pairs p JOIN counts ca ON p.doc_a = ca.doc_id
                        JOIN counts cb ON p.doc_b = cb.doc_id)"""
+  private val dkJaccard = dkJaccardFrom(dkTok)
+
+  /** The q262 tok CTE: `dkTok` restricted to the deterministic sha-keyed
+    * half corpus — mirrors Dedup.dedupRecallAudit(sampleHex = 8). */
+  private val dkTokSampled = dkTok.stripSuffix(")") +
+    " WHERE substr(sha256('drs:' || CAST(doc_id AS VARCHAR)), 1, 1)" +
+    " IN ('0','1','2','3','4','5','6','7'))"
+
+  /** The dedup-recall audit SQL (q234/q262): exhaustive df-capped pair arm
+    * vs banded-MinHash arm, both thresholded at tau=0.5, folded to one
+    * (n_exact, n_lsh, n_common, recall, precision) row. `jaccardCtes`
+    * carries the tok→shingle→jaccard chain — the full corpus for q234,
+    * the sha-sampled half for q262. */
+  private def dedupRecallAuditOracle(jaccardCtes: String): String =
+    s"""$jaccardCtes,
+  keep AS (SELECT shingle FROM shu GROUP BY shingle HAVING count(*) <= 1000),
+  ecand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM shu a JOIN shu b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    WHERE a.shingle IN (SELECT shingle FROM keep)),
+  e AS (SELECT j.doc_a, j.doc_b FROM jac j
+    JOIN ecand USING (doc_a, doc_b) WHERE j.jaccard >= 0.5),
+  $dkSig,
+  bands AS (${(0 until 4).map(b =>
+      s"SELECT doc_id, $b AS band_idx, ${dkBandKey(b)} AS band_key FROM sig")
+      .mkString("\n    UNION ALL ")}),
+  lcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+    FROM bands x JOIN bands y ON x.band_idx = y.band_idx
+      AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
+  l AS (SELECT j.doc_a, j.doc_b FROM jac j
+    JOIN lcand USING (doc_a, doc_b) WHERE j.jaccard >= 0.5),
+  ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM e),
+  nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM l),
+  nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common
+    FROM e JOIN l USING (doc_a, doc_b))
+SELECT n_exact, n_lsh, n_common,
+  round(CASE WHEN n_exact = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE CAST(n_common AS DOUBLE) / n_exact END, 6) AS recall,
+  round(CASE WHEN n_lsh = 0 THEN CAST(NULL AS DOUBLE)
+    ELSE CAST(n_common AS DOUBLE) / n_lsh END, 6) AS "precision"
+FROM ne CROSS JOIN nl CROSS JOIN nc"""
 
   /** DuckDB: MinHash signature CTE (mirrors Dedup.minhashSig) — expects the
     * shingle table `shu` in scope. */
@@ -5106,33 +5151,11 @@ FROM b GROUP BY 1, 2 ORDER BY 1, 2""",
     // Dedup recall: both arms are the q22/q26 oracle constructions
     // verbatim (df-capped exact candidates; banded LSH candidates; the
     // shared jac verification), counts over their thresholded pair sets
-    "q234_dedup_recall" ->
-      s"""$dkJaccard,
-  keep AS (SELECT shingle FROM shu GROUP BY shingle HAVING count(*) <= 1000),
-  ecand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
-    FROM shu a JOIN shu b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
-    WHERE a.shingle IN (SELECT shingle FROM keep)),
-  e AS (SELECT j.doc_a, j.doc_b FROM jac j
-    JOIN ecand USING (doc_a, doc_b) WHERE j.jaccard >= 0.5),
-  $dkSig,
-  bands AS (${(0 until 4).map(b =>
-        s"SELECT doc_id, $b AS band_idx, ${dkBandKey(b)} AS band_key FROM sig")
-        .mkString("\n    UNION ALL ")}),
-  lcand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-    FROM bands x JOIN bands y ON x.band_idx = y.band_idx
-      AND x.band_key = y.band_key AND x.doc_id < y.doc_id),
-  l AS (SELECT j.doc_a, j.doc_b FROM jac j
-    JOIN lcand USING (doc_a, doc_b) WHERE j.jaccard >= 0.5),
-  ne AS (SELECT CAST(count(*) AS BIGINT) AS n_exact FROM e),
-  nl AS (SELECT CAST(count(*) AS BIGINT) AS n_lsh FROM l),
-  nc AS (SELECT CAST(count(*) AS BIGINT) AS n_common
-    FROM e JOIN l USING (doc_a, doc_b))
-SELECT n_exact, n_lsh, n_common,
-  round(CASE WHEN n_exact = 0 THEN CAST(NULL AS DOUBLE)
-    ELSE CAST(n_common AS DOUBLE) / n_exact END, 6) AS recall,
-  round(CASE WHEN n_lsh = 0 THEN CAST(NULL AS DOUBLE)
-    ELSE CAST(n_common AS DOUBLE) / n_lsh END, 6) AS "precision"
-FROM ne CROSS JOIN nl CROSS JOIN nc""",
+    "q234_dedup_recall" -> dedupRecallAuditOracle(dkJaccard),
+    // q262: the SAME audit over the sha-sampled half corpus (tok CTE
+    // filtered exactly as the engine's sampleHex=8 predicate)
+    "q262_dedup_recall_sampled" ->
+      dedupRecallAuditOracle(dkJaccardFrom(dkTokSampled)),
     // kNN confusion: same fixed-point neighbourhoods as q182, majority
     // vote tie-broken (votes desc, label asc), row-normalized cells
     "q235_knn_confusion" -> {

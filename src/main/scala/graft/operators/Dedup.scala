@@ -277,12 +277,32 @@ object Dedup {
     * band/row operating point tunes against it). Both arms are the
     * production operators themselves; the overlap is one pair-keyed semi
     * join of two already-thresholded pair sets, and the three 1-row
-    * counts broadcast into a single summary row. Exact at test scale;
-    * at 100 TB the exhaustive arm runs on a SAMPLE (the q29/q30/q34
-    * convention for exact audit arms). */
-  def dedupRecallAudit(docs: DataFrame, threshold: Double = 0.5): DataFrame = {
-    val exact = jaccardPairs(docs, threshold).select("doc_a", "doc_b")
-    val lsh = minhashPairs(docs, threshold).select("doc_a", "doc_b")
+    * counts broadcast into a single summary row.
+    *
+    * `sampleHex` makes the 100 TB operating mode real code, not a doc
+    * comment: the exhaustive arm's pair space is the one part of this
+    * audit that cannot run over a full production corpus, so BOTH arms
+    * restrict to the documents whose sha256("drs:" + doc_id) leading hex
+    * digit falls in the first `sampleHex` of "0123456789abcdef" — a
+    * deterministic, engine-independent ~sampleHex/16 sample (recall and
+    * precision are pair-set ratios, unbiased under a uniform doc sample
+    * of both arms; the oracle mirrors the same predicate in DuckDB).
+    * Default 16 admits everything — the plan (and q234's hash) is
+    * unchanged. */
+  def dedupRecallAudit(docs: DataFrame, threshold: Double = 0.5,
+                       sampleHex: Int = 16): DataFrame = {
+    require(sampleHex >= 1 && sampleHex <= 16,
+      s"sampleHex must be in [1, 16], got $sampleHex")
+    val base =
+      if (sampleHex >= 16) docs
+      else {
+        val allowed = "0123456789abcdef".take(sampleHex).map(_.toString)
+        docs.filter(substring(
+          sha2(concat(lit("drs:"), col("doc_id").cast("string")), 256),
+          1, 1).isin(allowed: _*))
+      }
+    val exact = jaccardPairs(base, threshold).select("doc_a", "doc_b")
+    val lsh = minhashPairs(base, threshold).select("doc_a", "doc_b")
     val ne = exact.agg(count(lit(1)).as("n_exact"))
     val nl = lsh.agg(count(lit(1)).as("n_lsh"))
     val nc = exact.join(lsh.hint("SHUFFLE_HASH"), Seq("doc_a", "doc_b"),

@@ -44,6 +44,11 @@ object ScaleRehearsal {
     // family-filtered runs), so scale-exponent regressions are diffable
     // round-over-round the way BENCH_DETAIL made per-query times diffable
     val recorded = collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
+    // Replicated k-leg caches are materialized BEFORE a family's timed
+    // loop: the first timed op would otherwise absorb the union + cache
+    // build (r14's REHEARSAL showed tpchQ6 -- a 1-row linear scan-agg --
+    // at an 11.5x wall ratio for exactly this reason).
+    def warm(dfs: DataFrame*): Unit = dfs.foreach(_.count())
     def time(name: String)(f: => Long): Unit = {
       val t0 = System.nanoTime()
       val n = f
@@ -153,7 +158,7 @@ object ScaleRehearsal {
       time(s"$tag dailyActive") {
         ea.dailyActiveUsers(ev).queryExecution.toRdd.count() }
     }
-    if (fam("events")) { runEv("1x", ev1); runEv(s"${k}x", evK) }
+    if (fam("events")) { warm(evK); runEv("1x", ev1); runEv(s"${k}x", evK) }
 
     // graph/layout operators replicate the part-supplier edge space with
     // shifted keys: k-fold more nodes AND edges, degree distribution kept —
@@ -174,7 +179,7 @@ object ScaleRehearsal {
         graft.operators.Layout.zZoneMap(li, "l_partkey", "l_suppkey", 21, 12)
           .queryExecution.toRdd.count() }
     }
-    if (fam("graph")) { runGraph("1x", li1); runGraph(s"${k}x", liK) }
+    if (fam("graph")) { warm(liK); runGraph("1x", li1); runGraph(s"${k}x", liK) }
 
     // search-surface operators over an ingested index: per-query work must
     // stay flat (shortlists / top-k are corpus-size-independent in OUTPUT),
@@ -215,7 +220,7 @@ object ScaleRehearsal {
           .queryExecution.toRdd.count() }
       index.unpersist()
     }
-    if (fam("search")) { runSearch("1x", docsSrc1); runSearch(s"${k}x", docsSrcK) }
+    if (fam("search")) { warm(docsSrcK); runSearch("1x", docsSrc1); runSearch(s"${k}x", docsSrcK) }
 
     // round-9 family: selection / sketch / PIT / PRF / mutual-kNN. Docs
     // replicate with lang kept (DSIR needs it); events reuse evK; the
@@ -261,7 +266,7 @@ object ScaleRehearsal {
           emb.filter(col("vec_id") % 2 === 1), 4)
           .queryExecution.toRdd.count() }
     }
-    if (fam("r9")) { runR9("1x", docsLang1, ev1, emb1); runR9(s"${k}x", docsLangK, evK, embK) }
+    if (fam("r9")) { warm(docsLangK, evK, embK); runR9("1x", docsLang1, ev1, emb1); runR9(s"${k}x", docsLangK, evK, embK) }
 
     // round-10 family: fingerprint/selection/event-band/eval/TPC-H-shape
     // operators. Docs replicate with lang kept (unimax buckets by lang);
@@ -302,7 +307,7 @@ object ScaleRehearsal {
         Similarity.embeddingCovariance(emb.select("embedding"))
           .queryExecution.toRdd.count() }
     }
-    if (fam("r10")) { runR10("1x", docsLang1, ev1, emb1); runR10(s"${k}x", docsLangK, evK, embK) }
+    if (fam("r10")) { warm(docsLangK, evK, embK); runR10("1x", docsLang1, ev1, emb1); runR10(s"${k}x", docsLangK, evK, embK) }
 
     // TPC-H shapes rehearse on replicated fact+dim key spaces (k-fold
     // orders AND parts AND suppliers — the real scale axis: dims grow with
@@ -344,7 +349,7 @@ object ScaleRehearsal {
         graft.operators.Sketches.cmsJoinSizeEstimate(li, ord,
           "l_orderkey", "o_orderkey").queryExecution.toRdd.count() }
     }
-    if (fam("tpch")) { runTpch("1x", liFull1, ord1, part1, supp1); runTpch(s"${k}x", liFullK, ordK, partK, suppK) }
+    if (fam("tpch")) { warm(liFullK, ordK, partK, suppK); runTpch("1x", liFull1, ord1, part1, supp1); runTpch(s"${k}x", liFullK, ordK, partK, suppK) }
 
     // round-10b family (q226-q237): event/eval/metadata operators. Events
     // reuse evK (8x events over an 8x-longer horizon); docs reuse the
@@ -391,12 +396,40 @@ object ScaleRehearsal {
         Dedup.duplicateCoverage(docs).queryExecution.toRdd.count() }
       time(s"$tag dedupRecall") {
         Dedup.dedupRecallAudit(docs, 0.5).queryExecution.toRdd.count() }
+      // the 100 TB operating mode: both audit arms over the deterministic
+      // sha-keyed 1/8 sample — the exhaustive pair space is bounded by the
+      // SAMPLE, so the growth ratio should collapse toward the banded arm's
+      time(s"$tag dedupRecallSampled") {
+        Dedup.dedupRecallAudit(docs, 0.5, sampleHex = 2)
+          .queryExecution.toRdd.count() }
       time(s"$tag knnConfusion") {
         Similarity.knnConfusion(lab).queryExecution.toRdd.count() }
     }
     if (fam("r10b")) {
+      warm(docsSrcFullK, evK, embK)
       runR10b("1x", docsSrcFull1, ev1, emb1)
       runR10b(s"${k}x", docsSrcFullK, evK, embK)
+    }
+
+    // lean dedup-only family for HIGH-k octaves (32x): just the banded
+    // pair generators + clustering + the sampled audit, so a 32x run
+    // confirms the pair-output-bound exponents without paying the full
+    // docs family (levPairs/jaccardPairs at 32x dup-dense are exhaustive
+    // BY DESIGN and would dominate the sweep)
+    def runDedup(tag: String, docs: DataFrame): Unit = {
+      time(s"$tag minhashPairs32") {
+        Dedup.minhashPairs(docs, 0.5).queryExecution.toRdd.count() }
+      time(s"$tag dupClusters32") {
+        Dedup.duplicateClusters(Dedup.minhashPairs(docs, 0.5))
+          .queryExecution.toRdd.count() }
+      time(s"$tag dedupRecallSampled32") {
+        Dedup.dedupRecallAudit(docs, 0.5, sampleHex = 2)
+          .queryExecution.toRdd.count() }
+    }
+    if (fam("dedup")) {
+      warm(docsK)
+      runDedup("1x", docs1)
+      runDedup(s"${k}x", docsK)
     }
 
     // round-11 family (q240-q243): the robust-stats trio is two range
@@ -415,7 +448,7 @@ object ScaleRehearsal {
         Similarity.dominantEigenProbe(emb.select("embedding"))
           .queryExecution.toRdd.count() }
     }
-    if (fam("r11")) { runR11("1x", ev1, emb1); runR11(s"${k}x", evK, embK) }
+    if (fam("r11")) { warm(evK, embK); runR11("1x", ev1, emb1); runR11(s"${k}x", evK, embK) }
 
     // round-11b family (q249-q254): the indexed TF-IDF is
     // postings-linear; the Q2/Q12/Q20 shapes are one pruned fact pass
@@ -448,6 +481,7 @@ object ScaleRehearsal {
     }
     if (fam("r11b")) {
       // full-column docs: MI/confusion need (source, lang), TF-IDF text
+      warm(docsSrcFullK, liFullK, ordK, partK, suppK)
       runR11b("1x", docsSrcFull1, liFull1, ord1, part1, supp1)
       runR11b(s"${k}x", docsSrcFullK, liFullK, ordK, partK, suppK)
     }
@@ -484,6 +518,7 @@ object ScaleRehearsal {
       val custK = (0 until k).map(i => cust1
           .withColumn("c_custkey", col("c_custkey") + lit(i * 1000000L)))
         .reduce(_ unionByName _).cache()
+      warm(liFullK, ordK, custK, partK, suppK)
       runR12b("1x", liFull1, ord1, cust1, part1, supp1)
       runR12b(s"${k}x", liFullK, ordK, custK, partK, suppK)
     }

@@ -482,4 +482,31 @@ class DedupSpec extends AnyFunSuite {
       .as[(Long, Long, Long, Option[Double], Option[Double])]
       .collect().toSeq == got)
   }
+
+  test("dedupRecallAudit sampleHex: sampled run equals the audit of the pre-filtered corpus; 16 is the identity") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    // sampleHex = 16 must be plan-identical to the unsampled default
+    // (q234's hash depends on it): no sampling filter is injected at all
+    assert(!Dedup.dedupRecallAudit(docs, 0.5, sampleHex = 16)
+      .queryExecution.optimizedPlan.toString.contains("drs:"))
+    assert(Dedup.dedupRecallAudit(docs, 0.5, sampleHex = 8)
+      .queryExecution.optimizedPlan.toString.contains("drs:"))
+    // the sampled audit IS the full audit over the deterministically
+    // sampled sub-corpus (both arms restricted identically)
+    val pred = substring(
+      sha2(concat(lit("drs:"), col("doc_id").cast("string")), 256), 1, 1)
+      .isin("0123456789abcdef".take(8).map(_.toString): _*)
+    val sampled = Dedup.dedupRecallAudit(docs, 0.5, sampleHex = 8)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect().toSeq
+    val manual = Dedup.dedupRecallAudit(docs.filter(pred), 0.5)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect().toSeq
+    assert(sampled == manual)
+    // the sample genuinely shrinks the exhaustive arm's input (~half), and
+    // the sampled pair sets are subsets of the full-corpus ones
+    val nSample = docs.filter(pred).count().toDouble / docs.count()
+    assert(nSample > 0.3 && nSample < 0.7, s"sample fraction $nSample")
+    val full = Dedup.dedupRecallAudit(docs, 0.5)
+      .as[(Long, Long, Long, Option[Double], Option[Double])].collect().head
+    assert(sampled.head._1 <= full._1 && sampled.head._2 <= full._2)
+  }
 }
