@@ -71,6 +71,24 @@ object SparkEntry {
   private def docs(s: SparkSession, dir: String) = Tables.documents(tune(s), dir)
   private def emb(s: SparkSession, dir: String) = Tables.embeddings(tune(s), dir)
 
+  /** The three SHARED two-wave streamed states behind the `*_stream`
+    * queries (build-once per (sfDir, source stamp, tag) — see
+    * [[graft.streaming.Streams.ensureStreamedDocState]]): one lexical
+    * index serving q258/q268, one term-count table serving q263-q265, one
+    * contingency-cell table serving q266/q267. Declaring several readers
+    * per state is the point — the maintained table is paid for once. */
+  private def lexStateOf(s: SparkSession, dir: String): String =
+    graft.streaming.Streams.ensureStreamedDocState(s, docs(s, dir), dir, "lex")(
+      (sd, out, ckpt) => graft.streaming.Streams.streamingLexIndex(sd, out, ckpt))
+  private def gtermStateOf(s: SparkSession, dir: String): String =
+    graft.streaming.Streams.ensureStreamedDocState(s, docs(s, dir), dir, "gterm")(
+      (sd, out, ckpt) =>
+        graft.streaming.Streams.streamingGroupTermCounts(sd, out, ckpt))
+  private def cellsStateOf(s: SparkSession, dir: String): String =
+    graft.streaming.Streams.ensureStreamedDocState(s, docs(s, dir), dir, "cells")(
+      (sd, out, ckpt) =>
+        graft.streaming.Streams.streamingCellCounts(sd, out, ckpt))
+
   /** The chunked+embedded index every search-family query runs against.
     * Deliberately NOT PlanCache-memoized: measured at sf0.1 (this round),
     * scanning the in-memory COLUMNAR cache of the 1024-float embedding
@@ -1461,14 +1479,9 @@ object SparkEntry {
     // doc-length partials landed by streamingLexIndex in its own run
     // against one checkpoint; bm25StreamedAt folds the multi-epoch state
     // and must reproduce q110's full-corpus scores exactly
-    "q258_bm25_stream" -> ((s, dir) => {
-      val state = graft.streaming.Streams.ensureStreamedDocState(
-        s, docs(s, dir), dir, "lex")(
-        (sd, out, ckpt) =>
-          graft.streaming.Streams.streamingLexIndex(sd, out, ckpt))
+    "q258_bm25_stream" -> ((s, dir) =>
       graft.streaming.Streams.bm25StreamedAt(
-        s, state, Seq("join", "hash", "customer"))
-    }),
+        s, lexStateOf(s, dir), Seq("join", "hash", "customer"))),
     // extension: near-dup pairs answered FROM the streamed MinHash band
     // index (same two-wave pattern; the bucket table is a pure per-doc
     // projection, so persisting it as the corpus lands IS the production
@@ -1508,6 +1521,32 @@ object SparkEntry {
           col("embedding").as("query_embedding"))
       Similarity.ivfProbe(Similarity.loadIvfIndex(s, path), q, 3, nProbe = 3)
     }),
+    // extension: the corpus-health trio answered FROM the streamed
+    // (g, token, c) term-count state — zipf slope, unigram entropy, and
+    // pairwise source JSD all fold from ONE maintained table ("gterm"):
+    // the many-readers-one-state production shape (the state build is
+    // paid once as the corpus lands; every health metric is a
+    // vocab-bounded fold, never a corpus re-tokenization)
+    "q263_zipf_stream" -> ((s, dir) =>
+      graft.streaming.Streams.zipfSlopeStreamedAt(s, gtermStateOf(s, dir))),
+    "q264_entropy_stream" -> ((s, dir) =>
+      graft.streaming.Streams.sourceEntropyStreamedAt(s, gtermStateOf(s, dir))),
+    "q265_jsd_stream" -> ((s, dir) =>
+      graft.streaming.Streams.jsdSourcesStreamedAt(s, gtermStateOf(s, dir))),
+    // extension: chi-square + MI answered FROM the streamed contingency
+    // cells ("cells" state, source x lang) — the additive |a|x|b|-bounded
+    // table serves BOTH independence tests with no raw-row access
+    "q266_chi2_stream" -> ((s, dir) =>
+      graft.streaming.Streams.chiSquareStreamedAt(s, cellsStateOf(s, dir))),
+    "q267_mi_stream" -> ((s, dir) =>
+      graft.streaming.Streams.mutualInformationStreamedAt(
+        s, cellsStateOf(s, dir))),
+    // extension: term burstiness from the SAME streamed lexical index as
+    // q258 — the fourth reader on one maintained state (BM25, TF-IDF,
+    // top-tokens, burstiness), proving the index amortizes across query
+    // surfaces, not just one scorer
+    "q268_burstiness_stream" -> ((s, dir) =>
+      graft.streaming.Streams.burstinessStreamedAt(s, lexStateOf(s, dir))),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
     "q254_langid_confusion" -> ((s, dir) =>
@@ -2053,7 +2092,34 @@ FROM tf CROSS JOIN stats"""
     * equivalent; their quality is gated by the recall assertions in
     * SimilaritySpec instead — and the deterministic q44/q45/q46 variants of
     * the same capabilities are fully hash-checked). */
-  def oracleSql: Map[String, String] = Map(
+  def oracleSql: Map[String, String] =
+    oracleSqlBase ++ oracleSqlStreamTwins
+
+  /** Streamed-state twins (q263-q268): each declared `*_stream` reader
+    * must reproduce its batch operator over the FULL corpus, so the
+    * oracle is the batch query's SQL — rebuilt from the base tables; the
+    * DuckDB side never sees the maintained state (the cold-cache Verify
+    * convention established by q257-q260). q266's chi-square-on-documents
+    * has no batch twin (q118 runs over events), so it carries its own
+    * SQL. */
+  private lazy val oracleSqlStreamTwins: Map[String, String] = Map(
+    "q263_zipf_stream" -> oracleSqlBase("q183_zipf"),
+    "q264_entropy_stream" -> oracleSqlBase("q198_entropy"),
+    "q265_jsd_stream" -> oracleSqlBase("q197_jsd_sources"),
+    "q266_chi2_stream" ->
+      """WITH c AS (SELECT source, lang, count(*) AS o FROM documents GROUP BY 1, 2),
+  r AS (SELECT source, sum(o) AS ra FROM c GROUP BY 1),
+  k AS (SELECT lang, sum(o) AS cb FROM c GROUP BY 1),
+  t AS (SELECT sum(o) AS n FROM c)
+SELECT c.source, c.lang, o,
+  round(CAST(ra AS DOUBLE) * cb / n, 6) AS expected,
+  round(pow(CAST(o AS DOUBLE) - CAST(ra AS DOUBLE) * cb / n, 2)
+    / (CAST(ra AS DOUBLE) * cb / n), 6) AS chi2_cell
+FROM c JOIN r USING (source) JOIN k USING (lang) CROSS JOIN t""",
+    "q267_mi_stream" -> oracleSqlBase("q253_mutual_info"),
+    "q268_burstiness_stream" -> oracleSqlBase("q184_burstiness"))
+
+  private lazy val oracleSqlBase: Map[String, String] = Map(
     "q01_chunk" ->
       s"WITH $dkChunks SELECT id, source, pdf_path, doc_id, chunk_idx, text FROM chunks",
     "q02_chunk_stats" ->
