@@ -1547,6 +1547,15 @@ object SparkEntry {
     // surfaces, not just one scorer
     "q268_burstiness_stream" -> ((s, dir) =>
       graft.streaming.Streams.burstinessStreamedAt(s, lexStateOf(s, dir))),
+    // extension: vocabulary heavy-hitters + TF-IDF from the SAME streamed
+    // lexical index — readers five and six on one maintained state; with
+    // q258/q268 this closes the full retrieval-and-vocab query surface
+    // over a single index built as the corpus landed
+    "q269_top_tokens_stream" -> ((s, dir) =>
+      graft.streaming.Streams.topTokensStreamedAt(s, lexStateOf(s, dir))),
+    "q270_tfidf_stream" -> ((s, dir) =>
+      graft.streaming.Streams.tfidfStreamedAt(s, lexStateOf(s, dir),
+        Seq("transfer", "credit", "university"))),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
     "q254_langid_confusion" -> ((s, dir) =>
@@ -2117,7 +2126,9 @@ SELECT c.source, c.lang, o,
     / (CAST(ra AS DOUBLE) * cb / n), 6) AS chi2_cell
 FROM c JOIN r USING (source) JOIN k USING (lang) CROSS JOIN t""",
     "q267_mi_stream" -> oracleSqlBase("q253_mutual_info"),
-    "q268_burstiness_stream" -> oracleSqlBase("q184_burstiness"))
+    "q268_burstiness_stream" -> oracleSqlBase("q184_burstiness"),
+    "q269_top_tokens_stream" -> oracleSqlBase("q72_top_tokens"),
+    "q270_tfidf_stream" -> oracleSqlBase("q249_tfidf_indexed"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q01_chunk" ->
