@@ -152,6 +152,12 @@ object PlanAudit {
     "q133_hard_negatives" -> (1, "labeled query batch"),
     "q143_triplets" -> (2, "query batch, one per (pos, neg) leg"),
     "q161_ann_recall" -> (1, "query batch (both audit arms are GroupedTopK-bounded)"),
+    // persisted-index probe: the loaded centroid table is nLists rows by
+    // index construction (detIvfIndex packages the driver-side centroid
+    // array — 8 rows here, never corpus-proportional); the probes frame
+    // is GroupedTopK-bounded at |queries| x nProbe and needs no entry
+    "q261_ann_ivf_persisted" -> (1,
+      "persisted centroid table, nLists rows by index construction"),
     "q225_matryoshka" -> (2, "query batch at two prefix dims"),
     // exact audit arms: the corpus IS the query side by contract (the
     // verifiable baseline; the production path runs the same tail over
