@@ -34,11 +34,18 @@ mkdir -p "$OUT" "$WT"
 build() { # build <ref> <tag> -> prints classes dir
   local ref=$1 tag=$2
   local dir="$WT/$tag"
+  # resolve the ref in the MAIN repo: inside a reused worktree, symbolic
+  # refs like HEAD would otherwise resolve to the worktree's own previous
+  # checkout (the r15 first-run footgun — leg B silently measured a stale
+  # tree)
+  local sha
+  sha=$(git -C "$REPO" rev-parse --verify "$ref^{commit}")
   if [ ! -d "$dir" ]; then
-    git -C "$REPO" worktree add --detach "$dir" "$ref" >&2
+    git -C "$REPO" worktree add --detach "$dir" "$sha" >&2
   else
-    git -C "$dir" checkout --detach "$ref" >&2
+    git -C "$dir" checkout --detach "$sha" >&2
   fi
+  git -C "$dir" rev-parse --short HEAD | sed "s/^/$tag measures /" >&2
   (cd "$dir" && sbt -batch compile >&2)
   echo "$dir/target/scala-2.13/classes"
 }
