@@ -88,6 +88,16 @@ object SparkEntry {
     graft.streaming.Streams.ensureStreamedDocState(s, docs(s, dir), dir, "cells")(
       (sd, out, ckpt) =>
         graft.streaming.Streams.streamingCellCounts(sd, out, ckpt))
+  /** Events-table form (q271-q275): two event_id-parity waves. */
+  private def eventsStateOf(s: SparkSession, dir: String, tag: String)(
+      start: (DataFrame, String, String) =>
+        org.apache.spark.sql.streaming.StreamingQuery): String =
+    graft.streaming.Streams.ensureStreamedTableState(
+      s, Tables.events(tune(s), dir), dir, tag,
+      idCol = "event_id", srcFile = "events.parquet")(start)
+  private def ksStateOf(s: SparkSession, dir: String): String =
+    eventsStateOf(s, dir, "kscnt")((ev, out, ckpt) =>
+      graft.streaming.Streams.streamingKsCounts(ev, out, ckpt))
 
   /** The chunked+embedded index every search-family query runs against.
     * Deliberately NOT PlanCache-memoized: measured at sf0.1 (this round),
@@ -1556,6 +1566,57 @@ object SparkEntry {
     "q270_tfidf_stream" -> ((s, dir) =>
       graft.streaming.Streams.tfidfStreamedAt(s, lexStateOf(s, dir),
         Seq("transfer", "credit", "university"))),
+    // extension: BOTH drift statistics (KS and PSI) answered FROM one
+    // streamed value-granular count state ("kscnt") — the state is
+    // deliberately not pre-banded so the single maintained table serves
+    // both monitors (the reason q271/q272 share a tag)
+    "q271_ks_drift_stream" -> ((s, dir) =>
+      graft.streaming.Streams.ksDriftAt(s, ksStateOf(s, dir))),
+    "q272_psi_stream" -> ((s, dir) =>
+      graft.streaming.Streams.psiDriftAt(s, ksStateOf(s, dir))),
+    // extension: Benford first-digit audit from streamed digit counts
+    "q273_benford_stream" -> ((s, dir) =>
+      graft.streaming.Streams.benfordAuditAt(s,
+        eventsStateOf(s, dir, "benford")((ev, out, ckpt) =>
+          graft.streaming.Streams.streamingBenfordDigits(ev, out, ckpt)))),
+    // extension: cohort LTV triangle from streamed (user, week) cells —
+    // signup week is MIN-mergeable across waves (a user's events split by
+    // event_id parity land in both), purchase cents additive, so the fold
+    // reproduces the batch triangle exactly
+    "q274_cohort_ltv_stream" -> ((s, dir) =>
+      graft.streaming.Streams.cohortLtvAt(s,
+        eventsStateOf(s, dir, "cohort")((ev, out, ckpt) =>
+          graft.streaming.Streams.streamingCohortCells(ev, out, ckpt)))),
+    // extension: RFM quartile segments re-derived from streamed per-user
+    // stats (last_ts max-mergeable, counts/cents additive)
+    "q275_rfm_stream" -> ((s, dir) =>
+      graft.streaming.Streams.rfmSegmentsAt(s,
+        eventsStateOf(s, dir, "rfm")((ev, out, ckpt) =>
+          graft.streaming.Streams.streamingRfmStats(ev, out, ckpt)))),
+    // extension: centroid drift from streamed fixed-point component sums
+    // (per-(label, half, dim) partials are additive)
+    "q276_centroid_drift_stream" -> ((s, dir) => {
+      val state = graft.streaming.Streams.ensureStreamedTableState(
+        s, emb(s, dir).select("vec_id", "embedding", "label"), dir,
+        "cdrift", idCol = "vec_id", srcFile = "embeddings.parquet")(
+        (sv, out, ckpt) =>
+          graft.streaming.Streams.streamingCentroidDrift(sv, out, ckpt))
+      graft.streaming.Streams.centroidDriftAt(s, state)
+    }),
+    // extension: DSIR selection from the streamed raw-pool feature state —
+    // the expensive half (tokenizing the raw pool) is maintained as the
+    // corpus lands; the selection re-derives from the folded histograms
+    // plus one scan of the (small) target corpus
+    "q277_dsir_stream" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val state = graft.streaming.Streams.ensureStreamedTableState(
+        s, d.filter(col("lang") =!= "en"), dir, "dsir",
+        idCol = "doc_id", srcFile = "documents.parquet")(
+        (sd, out, ckpt) =>
+          graft.streaming.Streams.streamingDsirFeatures(sd, out, ckpt))
+      graft.streaming.Streams.dsirSelectAt(s, state,
+        d.filter(col("lang") === "en"), 50, 256)
+    }),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
     "q254_langid_confusion" -> ((s, dir) =>
@@ -2128,7 +2189,14 @@ FROM c JOIN r USING (source) JOIN k USING (lang) CROSS JOIN t""",
     "q267_mi_stream" -> oracleSqlBase("q253_mutual_info"),
     "q268_burstiness_stream" -> oracleSqlBase("q184_burstiness"),
     "q269_top_tokens_stream" -> oracleSqlBase("q72_top_tokens"),
-    "q270_tfidf_stream" -> oracleSqlBase("q249_tfidf_indexed"))
+    "q270_tfidf_stream" -> oracleSqlBase("q249_tfidf_indexed"),
+    "q271_ks_drift_stream" -> oracleSqlBase("q188_ks_drift"),
+    "q272_psi_stream" -> oracleSqlBase("q237_psi_drift"),
+    "q273_benford_stream" -> oracleSqlBase("q215_benford"),
+    "q274_cohort_ltv_stream" -> oracleSqlBase("q227_cohort_ltv"),
+    "q275_rfm_stream" -> oracleSqlBase("q204_rfm"),
+    "q276_centroid_drift_stream" -> oracleSqlBase("q140_centroid_drift"),
+    "q277_dsir_stream" -> oracleSqlBase("q172_dsir"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q01_chunk" ->

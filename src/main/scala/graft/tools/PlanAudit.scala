@@ -204,7 +204,15 @@ object PlanAudit {
     "q237_psi_drift" -> (1, "per-type band counts, |types| x bands"),
     "q239_markov_stationary" -> (4, "state-keyed frames, |event_types|-bounded"),
     "q241_mad_outliers" -> (3, "per-type median/MAD frames, |types|-bounded"),
-    "q242_trimmed_mean" -> (1, "per-type trim bounds, |types|-bounded"))
+    "q242_trimmed_mean" -> (1, "per-type trim bounds, |types|-bounded"),
+    // streamed-state readers (q271-q277): the SAME bounded frames as
+    // their batch twins above, now read from the folded state parquet —
+    // the scan path changed, the frame bound did not
+    "q271_ks_drift_stream" -> (1, "per-type KS counts, |event_types|-bounded (q188's frame from state)"),
+    "q272_psi_stream" -> (1, "per-type band counts, |types| x bands (q237's frame from state)"),
+    "q273_benford_stream" -> (1, "(type, digit) grid, |types| x 9 (q215's frame from state)"),
+    "q274_cohort_ltv_stream" -> (1, "per-cohort-week frame, calendar-bounded (q227's frame from state)"),
+    "q277_dsir_stream" -> (2, "hash-bucketed feature tables, dims require()d <= 65536 (q172's frames, raw side from state)"))
 
   /** Flatten an executed plan INCLUDING adaptive stage bodies: after AQE,
     * materialized stages appear as leaf QueryStageExec wrappers whose
