@@ -98,6 +98,19 @@ object SparkEntry {
   private def ksStateOf(s: SparkSession, dir: String): String =
     eventsStateOf(s, dir, "kscnt")((ev, out, ckpt) =>
       graft.streaming.Streams.streamingKsCounts(ev, out, ckpt))
+  /** The kNN-audit candidate state (q278/q279): per-probe top-4 labeled
+    * neighbours maintained as k-bounded mergeable partials. Probes are
+    * the audits' own hash-ordered 4096 draw over the full collection —
+    * at every test SF that covers the collection, so the folded state
+    * answers BOTH batch audits byte-identically (the StreamingSpec
+    * parity contract). */
+  private def knnStateOf(s: SparkSession, dir: String): String = {
+    val e = emb(s, dir).select("vec_id", "embedding", "label")
+    graft.streaming.Streams.ensureStreamedTableState(
+      s, e, dir, "knn", idCol = "vec_id", srcFile = "embeddings.parquet")(
+      (sv, out, ckpt) => graft.streaming.Streams.streamingKnnAudit(
+        sv, Similarity.knnProbes(e, 4096), out, ckpt, k = 4))
+  }
 
   /** The chunked+embedded index every search-family query runs against.
     * Deliberately NOT PlanCache-memoized: measured at sf0.1 (this round),
@@ -1617,6 +1630,14 @@ object SparkEntry {
       graft.streaming.Streams.dsirSelectAt(s, state,
         d.filter(col("lang") === "en"), 50, 256)
     }),
+    // extension: the kNN-audit pair (confusion matrix + label-noise
+    // suspects) answered FROM one streamed candidate state ("knn") — the
+    // per-probe top-4 neighbour lists are k-bounded mergeable partials,
+    // so both audits fold from the same maintained table
+    "q278_knn_confusion_stream" -> ((s, dir) =>
+      graft.streaming.Streams.knnConfusionAt(s, knnStateOf(s, dir), k = 4)),
+    "q279_label_noise_stream" -> ((s, dir) =>
+      graft.streaming.Streams.knnLabelNoiseAt(s, knnStateOf(s, dir), k = 4)),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
     "q254_langid_confusion" -> ((s, dir) =>
@@ -2196,7 +2217,9 @@ FROM c JOIN r USING (source) JOIN k USING (lang) CROSS JOIN t""",
     "q274_cohort_ltv_stream" -> oracleSqlBase("q227_cohort_ltv"),
     "q275_rfm_stream" -> oracleSqlBase("q204_rfm"),
     "q276_centroid_drift_stream" -> oracleSqlBase("q140_centroid_drift"),
-    "q277_dsir_stream" -> oracleSqlBase("q172_dsir"))
+    "q277_dsir_stream" -> oracleSqlBase("q172_dsir"),
+    "q278_knn_confusion_stream" -> oracleSqlBase("q235_knn_confusion"),
+    "q279_label_noise_stream" -> oracleSqlBase("q182_label_noise"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q01_chunk" ->
