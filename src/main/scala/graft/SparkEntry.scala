@@ -1638,6 +1638,14 @@ object SparkEntry {
       graft.streaming.Streams.knnConfusionAt(s, knnStateOf(s, dir), k = 4)),
     "q279_label_noise_stream" -> ((s, dir) =>
       graft.streaming.Streams.knnLabelNoiseAt(s, knnStateOf(s, dir), k = 4)),
+    // extension: temperature-T=2 mixture weights from streamed per-language
+    // (n_docs, chars) counts — the rebalancing a continuously-ingesting
+    // multilingual pipeline runs without re-reading the corpus
+    "q280_temperature_mix_stream" -> ((s, dir) =>
+      graft.streaming.Streams.temperatureMixtureAt(s,
+        graft.streaming.Streams.ensureStreamedDocState(
+          s, docs(s, dir), dir, "langcnt")((sd, out, ckpt) =>
+            graft.streaming.Streams.streamingLangCounts(sd, out, ckpt)))),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
     "q254_langid_confusion" -> ((s, dir) =>
@@ -2219,7 +2227,8 @@ FROM c JOIN r USING (source) JOIN k USING (lang) CROSS JOIN t""",
     "q276_centroid_drift_stream" -> oracleSqlBase("q140_centroid_drift"),
     "q277_dsir_stream" -> oracleSqlBase("q172_dsir"),
     "q278_knn_confusion_stream" -> oracleSqlBase("q235_knn_confusion"),
-    "q279_label_noise_stream" -> oracleSqlBase("q182_label_noise"))
+    "q279_label_noise_stream" -> oracleSqlBase("q182_label_noise"),
+    "q280_temperature_mix_stream" -> oracleSqlBase("q200_temperature_mix"))
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q01_chunk" ->
