@@ -77,8 +77,18 @@ object SparkEntry {
     * index serving q258/q268, one term-count table serving q263-q265, one
     * contingency-cell table serving q266/q267. Declaring several readers
     * per state is the point — the maintained table is paid for once. */
+  /** The lex index is the engine's most-read maintained state (6 readers:
+    * q258/q268/q269/q270 plus both StreamingSpec scorers), so it carries
+    * the hardest lifecycle: FOUR doc_id-mod-4 waves with a
+    * `compactLexIndexAt` run between waves 2 and 3 — every reader
+    * therefore answers from a state whose dir holds a compacted epoch=-1
+    * partition NEXT TO two post-compaction epochs, proving in the
+    * driver's own environment (not just in a spec) that the fold is
+    * epoch-count-invariant and compaction-invariant mid-lifecycle. */
   private def lexStateOf(s: SparkSession, dir: String): String =
-    graft.streaming.Streams.ensureStreamedDocState(s, docs(s, dir), dir, "lex")(
+    graft.streaming.Streams.ensureStreamedDocState(s, docs(s, dir), dir, "lex",
+      waves = 4, compactAfterWave = 2,
+      compactor = graft.streaming.Streams.compactLexIndexAt)(
       (sd, out, ckpt) => graft.streaming.Streams.streamingLexIndex(sd, out, ckpt))
   private def gtermStateOf(s: SparkSession, dir: String): String =
     graft.streaming.Streams.ensureStreamedDocState(s, docs(s, dir), dir, "gterm")(
@@ -1817,9 +1827,15 @@ object SparkEntry {
       ${dkDot("c.emb", "q.qv")} / (sqrt(${dkDot("c.emb", "c.emb")}) * sqrt(${dkDot("q.qv", "q.qv")})) AS score
     FROM cvec c CROSS JOIN q WHERE length(c.text) > 0)"""
 
-  /** DuckDB: tokenized docs + shingle list/table (mirrors Dedup.shingles). */
-  private val dkTok =
-    "tok AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents)"
+  /** DuckDB: tokenized docs + shingle list/table (mirrors Dedup.shingles).
+    * `dkTokFrom(where)` builds the CTE with an optional row predicate —
+    * parameterized at the FROM/WHERE level rather than by string surgery
+    * on the finished CTE, so a future clause added to the base SELECT
+    * cannot silently corrupt the sampled variant. */
+  private def dkTokFrom(where: String = ""): String =
+    "tok AS (SELECT doc_id, text, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents" +
+      (if (where.isEmpty) "" else s" WHERE $where") + ")"
+  private val dkTok = dkTokFrom()
   private val dkShl =
     """shl AS (SELECT doc_id, CASE WHEN len(toks) >= 3
        THEN list_distinct(list_transform(range(0, len(toks)-2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]))
@@ -1919,9 +1935,9 @@ object SparkEntry {
 
   /** The q262 tok CTE: `dkTok` restricted to the deterministic sha-keyed
     * half corpus — mirrors Dedup.dedupRecallAudit(sampleHex = 8). */
-  private val dkTokSampled = dkTok.stripSuffix(")") +
-    " WHERE substr(sha256('drs:' || CAST(doc_id AS VARCHAR)), 1, 1)" +
-    " IN ('0','1','2','3','4','5','6','7'))"
+  private val dkTokSampled = dkTokFrom(
+    "substr(sha256('drs:' || CAST(doc_id AS VARCHAR)), 1, 1)" +
+      " IN ('0','1','2','3','4','5','6','7')")
 
   /** The dedup-recall audit SQL (q234/q262): exhaustive df-capped pair arm
     * vs banded-MinHash arm, both thresholded at tau=0.5, folded to one

@@ -756,17 +756,32 @@ object Similarity {
     * idempotence + build lock as the streamed-state caches; the cached
     * index is keyed to the source parquet's (length, mtime) stamp so a
     * regenerated testdata dir invalidates it. */
+  /** (length, mtime) stamp of the source embeddings parquet that keys every
+    * persisted-index cache dir. Stat failure is LOUD by design: a silent
+    * "nostamp" fallback would let an `_INDEX_READY` marker keep serving an
+    * index built from a since-regenerated dataset — the stamp is the only
+    * thing tying the cache to the source bytes, and the read path needs
+    * this file anyway, so failing here loses nothing. */
+  private def persistedIndexStamp(spark: org.apache.spark.sql.SparkSession,
+                                  sfDir: String): String = {
+    val sp = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
+    val st = try {
+      sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        .getFileStatus(sp)
+    } catch {
+      case e: Exception => throw new IllegalStateException(
+        s"cannot stat $sp to stamp the persisted index cache — " +
+          "refusing to risk serving a stale index", e)
+    }
+    s"${st.getLen}-${st.getModificationTime}"
+  }
+
   def ensurePersistedDetIvf(spark: org.apache.spark.sql.SparkSession,
                             embeddings: DataFrame, sfDir: String,
                             nLists: Int = 8, iters: Int = 3): String = {
-    val srcStamp = try {
-      val sp = new org.apache.hadoop.fs.Path(s"$sfDir/embeddings.parquet")
-      val st = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(sp)
-      s"${st.getLen}-${st.getModificationTime}"
-    } catch { case _: Exception => "nostamp" }
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-detivf-" +
-      graft.TmpCache.dirKey(s"$sfDir|$srcStamp|$nLists|$iters|v1")
+      graft.TmpCache.dirKey(
+        s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|v1")
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val index = s"$base/index"

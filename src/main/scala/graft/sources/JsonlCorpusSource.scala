@@ -102,12 +102,21 @@ object JsonlCorpusSource {
     // key the cached fixture by the SOURCE parquet's (length, mtime), not
     // just the path: a regenerated testdata dir must invalidate the cache,
     // or a stale fixture would silently diverge from the oracle's rebuild
-    val srcStamp = try {
+    // stat failure is LOUD (the streamedStateBase rule): a silent fallback
+    // stamp would let the `_FIXTURE_READY` marker keep serving a fixture
+    // built from a since-regenerated documents table
+    val srcStamp = {
       val sp = new org.apache.hadoop.fs.Path(s"$sfDir/documents.parquet")
-      val st = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(sp)
+      val st = try {
+        sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(sp)
+      } catch {
+        case e: Exception => throw new IllegalStateException(
+          s"cannot stat $sp to stamp the cached JSONL fixture — " +
+            "refusing to risk serving a stale fixture", e)
+      }
       s"${st.getLen}-${st.getModificationTime}"
-    } catch { case _: Exception => "nostamp" }
+    }
     val dir = s"${System.getProperty("java.io.tmpdir")}/graft-jsonl-fixture-" +
       (if (tag.nonEmpty) tag + "-" else "") +
       graft.TmpCache.dirKey(sfDir + "|" + srcStamp + "|" + tag)

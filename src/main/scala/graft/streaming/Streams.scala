@@ -198,10 +198,14 @@ object Streams {
     * and crash-convergence argument as the JSONL twin. `tag` keys the
     * cached state per maintainer. */
   def ensureStreamedDocState(spark: SparkSession, documents: DataFrame,
-                             sfDir: String, tag: String)(
+                             sfDir: String, tag: String, waves: Int = 2,
+                             compactAfterWave: Int = 0,
+                             compactor: (SparkSession, String) => Unit =
+                               (_, _) => ())(
       start: (DataFrame, String, String) => StreamingQuery): String =
     ensureStreamedTableState(spark, documents, sfDir, tag,
-      idCol = "doc_id", srcFile = "documents.parquet")(start)
+      idCol = "doc_id", srcFile = "documents.parquet", waves = waves,
+      compactAfterWave = compactAfterWave, compactor = compactor)(start)
 
   /** The table-generic form of [[ensureStreamedDocState]]: split ANY
     * fixture table by `idCol` parity into two waves and stream each
@@ -215,16 +219,27 @@ object Streams {
     * instead of the `_STATE_READY` marker silently serving state written
     * by the OLD code — an AnalysisException on a missing column at best,
     * a stale-semantics parity failure at worst. */
-  private val StateFormatVersion = "v2"
+  private val StateFormatVersion = "v3"
 
   private def streamedStateBase(spark: SparkSession, sfDir: String,
                                 tag: String, srcFile: String): String = {
-    val srcStamp = try {
+    // stat failure is LOUD by design: a silent "nostamp" fallback would
+    // let a `_STATE_READY` marker keep serving state built from a
+    // since-REGENERATED dataset (the stamp is the only thing tying the
+    // cache to the source bytes). The read path needs this file anyway,
+    // so failing here loses nothing and can never serve stale state.
+    val srcStamp = {
       val sp = new org.apache.hadoop.fs.Path(s"$sfDir/$srcFile")
-      val st = sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        .getFileStatus(sp)
+      val st = try {
+        sp.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .getFileStatus(sp)
+      } catch {
+        case e: Exception => throw new IllegalStateException(
+          s"cannot stat $sp to stamp the cached streamed state '$tag' — " +
+            "refusing to risk serving a stale cache", e)
+      }
       s"${st.getLen}-${st.getModificationTime}"
-    } catch { case _: Exception => "nostamp" }
+    }
     // tag segment kept in the name for human readability; uniqueness comes
     // from the digest alone
     s"${System.getProperty("java.io.tmpdir")}/graft-docstream-$tag-" +
@@ -237,63 +252,92 @@ object Streams {
     * fresh on every run rather than inherit a prior run's mutation. */
   private[graft] def dropStreamedTableState(spark: SparkSession,
                                             sfDir: String, tag: String,
-                                            srcFile: String): Unit = {
+                                            srcFile: String, waves: Int = 2,
+                                            compactAfterWave: Int = 0): Unit = {
     val base = new org.apache.hadoop.fs.Path(
-      streamedStateBase(spark, sfDir, tag, srcFile))
+      streamedStateBase(spark, sfDir,
+        s"$tag-w$waves-c$compactAfterWave", srcFile))
     base.getFileSystem(spark.sparkContext.hadoopConfiguration)
       .delete(base, true)
   }
 
+  /** `waves` splits the table by `pmod(idCol, waves)` into that many
+    * landing waves (one stream run each against one checkpoint).
+    * `compactAfterWave = n` (1-based, 0 = never) runs `compactor` on the
+    * state BETWEEN waves n and n+1 — the production maintenance shape: a
+    * long-lived state is compacted mid-lifecycle while ingestion is
+    * paused, and later waves land next to the compacted epoch=-1
+    * partition. Readers fold over both, so a reader over such a state
+    * proves the compactor preserves its fold — driver-checked, not just
+    * spec-asserted. */
   def ensureStreamedTableState(spark: SparkSession, table: DataFrame,
                                sfDir: String, tag: String, idCol: String,
-                               srcFile: String)(
+                               srcFile: String, waves: Int = 2,
+                               compactAfterWave: Int = 0,
+                               compactor: (SparkSession, String) => Unit =
+                                 (_, _) => ())(
       start: (DataFrame, String, String) => StreamingQuery): String = {
-    val base = streamedStateBase(spark, sfDir, tag, srcFile)
+    require(waves >= 2, s"need >= 2 waves for a multi-epoch state; got $waves")
+    require(compactAfterWave >= 0 && compactAfterWave < waves,
+      s"compactAfterWave must be 0 (never) or in [1, waves-1]; got $compactAfterWave/$waves")
+    val base = streamedStateBase(spark, sfDir,
+      s"$tag-w$waves-c$compactAfterWave", srcFile)
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = new org.apache.hadoop.fs.Path(base).getFileSystem(hconf)
     val out = s"$base/state"
     val marker = new org.apache.hadoop.fs.Path(base, "_STATE_READY")
     if (fs.exists(marker)) return out
     graft.TmpCache.withBuildLock(base) {
-      if (fs.exists(marker)) return out
-      val landing = new org.apache.hadoop.fs.Path(base, "landing")
-      fs.mkdirs(landing)
-      val schema = table.schema
-      def landWave(parity: Int): Unit = {
-      val staging = new org.apache.hadoop.fs.Path(base, s"__w$parity")
-      fs.delete(staging, true)
-      // ONE file per wave (coalesce(1)): the landing layout must be
-      // DETERMINISTIC across reruns for crash-convergence — the file
-      // source's checkpoint skips already-committed paths, so a rerun
-      // whose wave write produced a different part layout (e.g. after a
-      // shuffle-partitions change) would ingest a mix of old-committed
-      // and re-landed subsets. One deterministic path per wave means a
-      // committed path == a complete wave (partials are order-insensitive
-      // per-row projections/aggregates, so row order inside the file
-      // doesn't matter). Stale w<parity>-* from a prior layout are
-      // glob-deleted before landing.
-      table.filter(pmod(col(idCol), lit(2)) === parity)
-        .coalesce(1)
-        .write.mode("overwrite").parquet(staging.toString)
-      Option(fs.globStatus(
-          new org.apache.hadoop.fs.Path(landing, s"w$parity-*")))
-        .toSeq.flatten.foreach(st => fs.delete(st.getPath, false))
-      Option(fs.globStatus(new org.apache.hadoop.fs.Path(staging, "part-*")))
-        .toSeq.flatten.zipWithIndex.foreach { case (st, i) =>
-          val dst = new org.apache.hadoop.fs.Path(landing, s"w$parity-$i.parquet")
-          require(fs.rename(st.getPath, dst), s"wave rename failed: $dst")
+      // double-checked build guard (the ensureFixture/ensurePersistedDetIvf
+      // shape) — no non-local return, which would rely on
+      // NonLocalReturnControl unwinding through the lock's finally blocks
+      if (!fs.exists(marker)) {
+        val landing = new org.apache.hadoop.fs.Path(base, "landing")
+        fs.mkdirs(landing)
+        val schema = table.schema
+        def landWave(parity: Int): Unit = {
+          val staging = new org.apache.hadoop.fs.Path(base, s"__w$parity")
+          fs.delete(staging, true)
+          // ONE file per wave (coalesce(1)): the landing layout must be
+          // DETERMINISTIC across reruns for crash-convergence — the file
+          // source's checkpoint skips already-committed paths, so a rerun
+          // whose wave write produced a different part layout (e.g. after a
+          // shuffle-partitions change) would ingest a mix of old-committed
+          // and re-landed subsets. One deterministic path per wave means a
+          // committed path == a complete wave (partials are order-insensitive
+          // per-row projections/aggregates, so row order inside the file
+          // doesn't matter). Stale w<parity>-* from a prior layout are
+          // glob-deleted before landing.
+          table.filter(pmod(col(idCol), lit(waves)) === parity)
+            .coalesce(1)
+            .write.mode("overwrite").parquet(staging.toString)
+          Option(fs.globStatus(
+              new org.apache.hadoop.fs.Path(landing, s"w$parity-*")))
+            .toSeq.flatten.foreach(st => fs.delete(st.getPath, false))
+          Option(fs.globStatus(new org.apache.hadoop.fs.Path(staging, "part-*")))
+            .toSeq.flatten.zipWithIndex.foreach { case (st, i) =>
+              val dst = new org.apache.hadoop.fs.Path(landing, s"w$parity-$i.parquet")
+              require(fs.rename(st.getPath, dst), s"wave rename failed: $dst")
+            }
+          fs.delete(staging, true)
         }
-      fs.delete(staging, true)
-    }
-      def wave(parity: Int): Unit = {
-        landWave(parity)
-        awaitBounded(start(
-          spark.readStream.schema(schema).parquet(landing.toString),
-          out, s"$base/ckpt"))
+        def wave(parity: Int): Unit = {
+          landWave(parity)
+          awaitBounded(start(
+            spark.readStream.schema(schema).parquet(landing.toString),
+            out, s"$base/ckpt"))
+        }
+        (0 until waves).foreach { w =>
+          wave(w)
+          // mid-lifecycle compaction: the maintaining stream is STOPPED
+          // between waves (each wave is its own terminated AvailableNow
+          // run), which is exactly compactEpochs' contract. A rerun after
+          // a crash re-compacts the already-compacted state — the folds
+          // are idempotent — and the checkpoint skips committed waves.
+          if (w + 1 == compactAfterWave) compactor(spark, out)
+        }
+        fs.create(marker, true).close()
       }
-      wave(0)
-      wave(1)
-      fs.create(marker, true).close()
     }
     out
   }

@@ -570,13 +570,21 @@ class StreamingSpec extends AnyFunSuite {
     assert(Streams.ensureStreamedJsonlState(spark, docs, TestSpark.sf0001) == out)
   }
 
-  test("ensureStreamedDocState (q258): waved lex index holds >=2 epochs; streamed BM25 equals batch indexed BM25") {
+  test("ensureStreamedDocState (q258): 4-wave lex index compacted mid-lifecycle; streamed BM25 equals batch indexed BM25") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val terms = Seq("join", "hash", "customer")
+    // the production lifecycle the declared queries use (lexStateOf):
+    // four doc_id-mod-4 waves with compactLexIndexAt run between waves
+    // 2 and 3, so the state dir ends up holding the compacted epoch=-1
+    // partition NEXT TO the two post-compaction epochs
     val state = Streams.ensureStreamedDocState(
-      spark, docs, TestSpark.sf0001, "lex")(
+      spark, docs, TestSpark.sf0001, "lex", waves = 4, compactAfterWave = 2,
+      compactor = Streams.compactLexIndexAt)(
       (sd, out, ckpt) => Streams.streamingLexIndex(sd, out, ckpt))
-    assert(spark.read.parquet(state).select("epoch").distinct().count() >= 2)
+    val epochs = spark.read.parquet(state).select("epoch").distinct()
+      .as[Long].collect().toSet
+    assert(epochs.contains(-1L), s"no compacted partition in $epochs")
+    assert(epochs.count(_ >= 0L) >= 2, s"post-compaction epochs missing: $epochs")
     val ta = graft.operators.TextAnalysis
     val batch = ta.bm25Indexed(ta.postings(docs), ta.docLengths(docs), terms)
       .collect().map(_.toSeq).toSet
@@ -584,8 +592,35 @@ class StreamingSpec extends AnyFunSuite {
       .collect().map(_.toSeq).toSet == batch)
     // marker short-circuit: a second call must not re-stream
     assert(Streams.ensureStreamedDocState(
-      spark, docs, TestSpark.sf0001, "lex")((_, _, _) =>
+      spark, docs, TestSpark.sf0001, "lex", waves = 4, compactAfterWave = 2,
+      compactor = Streams.compactLexIndexAt)((_, _, _) =>
       fail("state already materialized — start must not be invoked")) == state)
+  }
+
+  test("streamedStateBase stamps loudly; a regenerated source gets a fresh state dir, never the stale cache") {
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    // un-stattable source: the ensure* call must FAIL, not fall back to a
+    // stampless key that a _STATE_READY marker could serve stale
+    intercept[IllegalStateException] {
+      Streams.ensureStreamedDocState(
+        spark, docs, "/nonexistent-graft-sfdir", "stampfail")(
+        (sd, out, ckpt) => Streams.streamingLexIndex(sd, out, ckpt))
+    }
+    // regenerated source: same path, new bytes -> new (len, mtime) stamp ->
+    // a DIFFERENT cache dir is built, so the old state cannot be served
+    val tmp = Files.createTempDirectory("graft-stamp-regen").toString
+    def regen(n: Int): Unit = docs.limit(n).coalesce(1)
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    regen(8)
+    def build() = Streams.ensureStreamedDocState(
+      spark, spark.read.parquet(s"$tmp/documents.parquet"), tmp, "stampregen")(
+      (sd, out, ckpt) => Streams.streamingLexIndex(sd, out, ckpt))
+    val first = build()
+    Thread.sleep(1100) // coarsest-filesystem mtime granularity is 1 s
+    regen(6)
+    val second = build()
+    assert(first != second,
+      "regenerated source served the stale cached state dir")
   }
 
   test("streamingMinhashBands (q259): pairs from the maintained band index equal batch minhashPairs; compaction preserves them") {

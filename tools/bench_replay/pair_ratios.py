@@ -34,7 +34,15 @@ if not legs:
 
 a_legs = [q for _, t, q, _, _ in legs if t == "A"]
 b_legs = [q for _, t, q, _, _ in legs if t == "B"]
+# a partial/aborted run must die with a diagnostic, not an uncaught
+# StatisticsError (empty median) or ZeroDivisionError (empty common set)
+if not a_legs or not b_legs:
+    sys.exit(f"need >=1 leg per tree; got {len(a_legs)} A / {len(b_legs)} B "
+             f"leg files in {out} — aborted run?")
 common = sorted(set.intersection(*(set(q) for q in a_legs + b_legs)))
+if not common:
+    sys.exit("no query names common to every leg — "
+             "legs measured disjoint query sets?")
 
 def med_total(qmaps, names):
     return statistics.median(sum(q[n] for n in names) for q in qmaps)

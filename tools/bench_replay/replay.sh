@@ -75,27 +75,38 @@ run_leg() { # run_leg <legIdx> <tag> <classesDir>
   tail -1 "$OUT/leg${leg}_${tag}.stdout" >&2
 }
 
-# balanced interleave: ABBA for the first half, BAAB for the second, so
-# neither tree systematically runs later in the session; fewer than 4 legs
-# falls back to plain alternation (a 2-leg run is a smoke test, not a
-# measurement)
+# balanced interleave built from 4-leg ABBA/BAAB blocks (alternating so
+# neither tree systematically runs later in the session); any remainder
+# falls back to plain AB alternation. Unlike a half-session flip, the
+# block construction stays A/B-balanced for EVERY even leg count (legs=6
+# used to emit 2 A vs 4 B with A pinned to the endpoints — exactly the
+# drift profile the pairing is meant to cancel).
 pattern() {
   local n=$1 i
-  for ((i = 0; i < n; i++)); do
-    if [ "$n" -lt 4 ]; then
-      if [ $((i % 2)) -eq 0 ]; then echo A; else echo B; fi
-      continue
-    fi
-    local q=$((i % 4))
-    local base
-    { [ $q -eq 0 ] || [ $q -eq 3 ]; } && base=A || base=B
-    if [ $((i * 2 / n)) -eq 0 ]; then
-      echo "$base"
-    else
-      if [ "$base" = A ]; then echo B; else echo A; fi
-    fi
+  local blocks=$((n / 4)) rem=$((n % 4))
+  for ((i = 0; i < blocks; i++)); do
+    if [ $((i % 2)) -eq 0 ]; then printf 'A\nB\nB\nA\n'; else printf 'B\nA\nA\nB\n'; fi
+  done
+  for ((i = 0; i < rem; i++)); do
+    if [ $((i % 2)) -eq 0 ]; then echo A; else echo B; fi
   done
 }
+
+# One UNTIMED warm-up leg per tree before the timed legs: the /tmp/graft-*
+# build-once caches (fixtures, streamed states, persisted indexes) are
+# shared across legs, so without a warm-up the FIRST timed leg absorbs
+# every build cost and skews its tree's median (worst at 4 legs, where
+# the median of 2 is the mean). Running one leg of EACH tree untimed also
+# covers the cross-tree caveat: cache keys carry StateFormatVersion but
+# not the code itself, so a B tree whose state-build logic changed WITHOUT
+# a version bump would otherwise silently benchmark against A-built state
+# — the warm-up makes each tree build (or adopt) its caches before any
+# timed measurement, and a version-bumped B builds its own.
+echo "warm-up legs (untimed)" >&2
+SPARK_GRAFT_BENCH_REPS=1 run_leg 0 A "$A_CP"
+mv "$OUT/leg0_A.json" "$OUT/warmup_A.json"
+SPARK_GRAFT_BENCH_REPS=1 run_leg 0 B "$B_CP"
+mv "$OUT/leg0_B.json" "$OUT/warmup_B.json"
 
 leg=1
 for tag in $(pattern "$LEGS"); do
