@@ -90,12 +90,20 @@ object SparkEntry {
       waves = 4, compactAfterWave = 2,
       compactor = graft.streaming.Streams.compactLexIndexAt)(
       (sd, out, ckpt) => graft.streaming.Streams.streamingLexIndex(sd, out, ckpt))
+  /** Three waves with `compactGroupTermCountsAt` between waves 2 and 3:
+    * the additive-count fold algebra driver-checked under mid-lifecycle
+    * compaction (the lex state covers the postings-union algebra, the knn
+    * state the k-bounded top-k merge). */
   private def gtermStateOf(s: SparkSession, dir: String): String =
-    graft.streaming.Streams.ensureStreamedDocState(s, docs(s, dir), dir, "gterm")(
+    graft.streaming.Streams.ensureStreamedDocState(s, docs(s, dir), dir,
+      "gterm", waves = 3, compactAfterWave = 2,
+      compactor = graft.streaming.Streams.compactGroupTermCountsAt)(
       (sd, out, ckpt) =>
         graft.streaming.Streams.streamingGroupTermCounts(sd, out, ckpt))
   private def cellsStateOf(s: SparkSession, dir: String): String =
-    graft.streaming.Streams.ensureStreamedDocState(s, docs(s, dir), dir, "cells")(
+    graft.streaming.Streams.ensureStreamedDocState(s, docs(s, dir), dir,
+      "cells", waves = 2, compactAfterWave = 1,
+      compactor = graft.streaming.Streams.compactCellCountsAt)(
       (sd, out, ckpt) =>
         graft.streaming.Streams.streamingCellCounts(sd, out, ckpt))
   /** Events-table form (q271-q275): two event_id-parity waves. */
@@ -106,8 +114,13 @@ object SparkEntry {
       s, Tables.events(tune(s), dir), dir, tag,
       idCol = "event_id", srcFile = "events.parquet")(start)
   private def ksStateOf(s: SparkSession, dir: String): String =
-    eventsStateOf(s, dir, "kscnt")((ev, out, ckpt) =>
-      graft.streaming.Streams.streamingKsCounts(ev, out, ckpt))
+    graft.streaming.Streams.ensureStreamedTableState(
+      s, Tables.events(tune(s), dir), dir, "kscnt",
+      idCol = "event_id", srcFile = "events.parquet", waves = 2,
+      compactAfterWave = 1,
+      compactor = graft.streaming.Streams.compactKsCountsAt)(
+      (ev, out, ckpt) =>
+        graft.streaming.Streams.streamingKsCounts(ev, out, ckpt))
   /** The kNN-audit candidate state (q278/q279): per-probe top-4 labeled
     * neighbours maintained as k-bounded mergeable partials. Probes are
     * the audits' own hash-ordered 4096 draw over the full collection —
@@ -116,8 +129,16 @@ object SparkEntry {
     * parity contract). */
   private def knnStateOf(s: SparkSession, dir: String): String = {
     val e = emb(s, dir).select("vec_id", "embedding", "label")
+    // three waves with compactKnnAuditAt between waves 2 and 3: the
+    // compactor's GroupedTopK genuinely MERGES two epochs of k-bounded
+    // candidate partials (not an identity fold), and wave 3 then lands
+    // next to the compacted partition — the KMV merge argument
+    // driver-checked by all three readers (q278/q279/q281)
     graft.streaming.Streams.ensureStreamedTableState(
-      s, e, dir, "knn", idCol = "vec_id", srcFile = "embeddings.parquet")(
+      s, e, dir, "knn", idCol = "vec_id", srcFile = "embeddings.parquet",
+      waves = 3, compactAfterWave = 2,
+      compactor = (sp, p) =>
+        graft.streaming.Streams.compactKnnAuditAt(sp, p, k = 4))(
       (sv, out, ckpt) => graft.streaming.Streams.streamingKnnAudit(
         sv, Similarity.knnProbes(e, 4096), out, ckpt, k = 4))
   }
@@ -1656,6 +1677,52 @@ object SparkEntry {
         graft.streaming.Streams.ensureStreamedDocState(
           s, docs(s, dir), dir, "langcnt")((sd, out, ckpt) =>
             graft.streaming.Streams.streamingLangCounts(sd, out, ckpt)))),
+    // extension: hubness (k-occurrence skew) from the SAME streamed +
+    // mid-lifecycle-COMPACTED kNN candidate state as q278/q279 — the
+    // third reader on one maintained audit state, and the first whose
+    // oracle checks the compacted top-k merge end-to-end (the knn state
+    // compacts two epochs of k-bounded partials between waves 2 and 3)
+    "q281_knn_hubness_stream" -> ((s, dir) =>
+      graft.streaming.Streams.knnHubnessAt(s, knnStateOf(s, dir), k = 4)),
+    // extension: ANN top-k from a PERSISTED IVF-PQ index — the q261
+    // lifecycle applied to the QUANTIZED index that actually serves at
+    // 100 TB: coarse centroids + PQ codebooks fit on wave 0 and saved;
+    // wave 1 assigned/encoded against the FROZEN saved artifacts (no
+    // codebook drift); the probe reads ONLY saved files (f32 centroid
+    // probe, ADC over stored codes, exact re-rank from stored
+    // embeddings). Deterministic end-to-end, so hash-oracled
+    "q282_ann_ivfpq_persisted" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedIvfPq(s, e, dir)
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Similarity.ivfPqProbe(
+        Similarity.loadIvfIndex(s, s"$path/coarse"),
+        Similarity.loadPqIndex(s, s"$path/pq"), q, 3,
+        nProbe = 3, shortlist = 64)
+    }),
+    // extension: streamed shingle novelty driver-checked — the
+    // order-DEPENDENT maintainer made oracle-expressible by the
+    // deterministic two-wave landing (parity split, one batch per wave):
+    // a doc's novelty is scored against exactly the docs whose wave
+    // arrived no later, so the DuckDB twin computes first-occurrence as
+    // min doc_id over waves <= the doc's own (wave = doc_id % 2)
+    "q283_novelty_stream" -> ((s, dir) => {
+      val out = graft.streaming.Streams.ensureStreamedDocState(
+        s, docs(s, dir), dir, "novelty")((sd, o, ckpt) =>
+          graft.streaming.Streams.streamingNovelty(sd, s"${o}__shingles", o, ckpt))
+      graft.streaming.Streams.noveltyAt(s, out)
+    }),
+    // extension: streamed block dedup driver-checked — same wave-ordered
+    // oracle convention; first block occurrence is the lexicographic
+    // (doc_id, idx) min over waves <= the doc's own
+    "q284_block_dedup_stream" -> ((s, dir) => {
+      val out = graft.streaming.Streams.ensureStreamedDocState(
+        s, docs(s, dir), dir, "blockdd")((sd, o, ckpt) =>
+          graft.streaming.Streams.streamingBlockDedup(sd, s"${o}__blocks", o, ckpt))
+      graft.streaming.Streams.blockDedupAt(s, out)
+    }),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
     "q254_langid_confusion" -> ((s, dir) =>
@@ -2244,7 +2311,71 @@ FROM c JOIN r USING (source) JOIN k USING (lang) CROSS JOIN t""",
     "q277_dsir_stream" -> oracleSqlBase("q172_dsir"),
     "q278_knn_confusion_stream" -> oracleSqlBase("q235_knn_confusion"),
     "q279_label_noise_stream" -> oracleSqlBase("q182_label_noise"),
-    "q280_temperature_mix_stream" -> oracleSqlBase("q200_temperature_mix"))
+    "q280_temperature_mix_stream" -> oracleSqlBase("q200_temperature_mix"),
+    // q281: the q235 candidate chain (same probes, same fixed-point top-4)
+    // folded to k-occurrence hubness — vid kept through tk where the
+    // confusion oracle drops it
+    "q281_knn_hubness_stream" -> {
+      val dot = (x: String, y: String) =>
+        s"list_sum(list_transform(range(1, 65), i -> CAST($x.embedding[i] AS DOUBLE)*CAST($y.embedding[i] AS DOUBLE)))"
+      s"""WITH v AS (SELECT vec_id, embedding, label FROM embeddings),
+  q0 AS (SELECT vec_id, embedding FROM v
+    ORDER BY sha256('knnq:' || CAST(vec_id AS VARCHAR)), vec_id LIMIT 4096),
+  s AS (SELECT q.vec_id AS qid, i.vec_id AS vid,
+      ${dot("q", "i")} AS dot, ${dot("q", "q")} AS na, ${dot("i", "i")} AS nb
+    FROM q0 q CROSS JOIN v i WHERE i.vec_id <> q.vec_id),
+  sc AS (SELECT qid, vid,
+      CAST(floor((CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot/(sqrt(na)*sqrt(nb)) END) * 1073741824.0 + 0.5) AS BIGINT) AS fx FROM s),
+  tk AS (SELECT * FROM (SELECT qid, vid,
+      row_number() OVER (PARTITION BY qid ORDER BY fx DESC, vid ASC) AS rn FROM sc) WHERE rn <= 4),
+  occ AS (SELECT vid AS vec_id, CAST(count(*) AS BIGINT) AS k_occ FROM tk GROUP BY 1),
+  t AS (SELECT CAST(count(*) AS BIGINT) AS n_slots FROM tk)
+SELECT vec_id, k_occ, round(CAST(k_occ AS DOUBLE) / n_slots, 6) AS slot_share
+FROM occ CROSS JOIN t ORDER BY k_occ DESC, vec_id LIMIT 20"""
+    },
+    // q283: the q181 novelty chain under WAVE-ORDERED first occurrence —
+    // the streamed landing is deterministic (wave = doc_id % 2, one batch
+    // per wave), so a doc is scored against exactly the docs whose wave
+    // arrived no later: evens see min-over-evens, odds see the global min
+    "q283_novelty_stream" ->
+      s"""WITH $dkTok, $dkShl, $dkShu,
+  f AS (SELECT shingle,
+      min(CASE WHEN doc_id % 2 = 0 THEN doc_id END) AS f0,
+      min(doc_id) AS f1 FROM shu GROUP BY 1),
+  nvl AS (SELECT s.doc_id, s.shingle,
+      CASE WHEN (s.doc_id % 2 = 0 AND f.f0 = s.doc_id)
+             OR (s.doc_id % 2 = 1 AND f.f1 = s.doc_id)
+           THEN 1 ELSE 0 END AS novel
+    FROM shu s JOIN f USING (shingle))
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_shingles,
+  CAST(sum(novel) AS BIGINT) AS n_novel,
+  round(CAST(sum(novel) AS DOUBLE) / count(*), 6) AS novelty
+FROM nvl GROUP BY 1""",
+    // q284: the q185 block-dedup chain under the same wave-ordered rule —
+    // first occurrence is the lexicographic (doc_id, idx) min over waves
+    // <= the doc's own (f2_0 for evens, the global f2_1 for odds)
+    "q284_block_dedup_stream" ->
+      """WITH tok AS (SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS toks FROM documents),
+  nb AS (SELECT doc_id, toks, CAST(ceil(len(toks) / 16.0) AS BIGINT) AS nblk FROM tok WHERE len(toks) > 0),
+  blkt AS (SELECT doc_id, i AS idx,
+      array_to_string(list_slice(toks, CAST(i * 16 + 1 AS BIGINT), CAST(i * 16 + 16 AS BIGINT)), ' ') AS blk
+    FROM (SELECT doc_id, toks, unnest(range(0, nblk)) AS i FROM nb)),
+  f1_0 AS (SELECT blk, min(doc_id) AS fdoc FROM blkt WHERE doc_id % 2 = 0 GROUP BY 1),
+  f2_0 AS (SELECT b.blk, b.fdoc, min(t.idx) AS fidx
+    FROM f1_0 b JOIN blkt t ON t.blk = b.blk AND t.doc_id = b.fdoc GROUP BY 1, 2),
+  f1_1 AS (SELECT blk, min(doc_id) AS fdoc FROM blkt GROUP BY 1),
+  f2_1 AS (SELECT b.blk, b.fdoc, min(t.idx) AS fidx
+    FROM f1_1 b JOIN blkt t ON t.blk = b.blk AND t.doc_id = b.fdoc GROUP BY 1, 2),
+  k AS (SELECT t.doc_id, t.idx, t.blk,
+      CASE WHEN t.doc_id % 2 = 0
+           THEN (f0.fdoc = t.doc_id AND f0.fidx = t.idx)
+           ELSE (f1.fdoc = t.doc_id AND f1.fidx = t.idx) END AS kept
+    FROM blkt t LEFT JOIN f2_0 f0 ON f0.blk = t.blk
+                JOIN f2_1 f1 ON f1.blk = t.blk)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_blocks,
+  CAST(sum(CASE WHEN kept THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+  sha256(coalesce(string_agg(CASE WHEN kept THEN blk END, ' ' ORDER BY idx), '')) AS clean_sha
+FROM k GROUP BY 1""")
 
   private lazy val oracleSqlBase: Map[String, String] = Map(
     "q01_chunk" ->
@@ -6044,7 +6175,44 @@ FROM a""",
   r AS (SELECT query_id, vec_id,
       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
       score FROM sc)
-  SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3)"""))
+  SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3)"""),
+    // q282: the PERSISTED IVF-PQ lifecycle, stage for stage — q261's
+    // two-wave coarse chain (Lloyd fit on the even wave, f32-rounded save,
+    // odd-wave upsert against the frozen f32 centroids, f32 probe)
+    // composed with the q76 PQ chain whose FIT SAMPLE is also bounded to
+    // the even wave (fitIds = nv0: codebooks fit on wave 0, FROZEN; the
+    // full-corpus encode against them equals wave-0 encode + wave-1
+    // upsertPqAt), ADC restricted to the probed cells of the merged
+    // assignment table, exact re-rank over the raw stored embeddings.
+    "q282_ann_ivfpq_persisted" -> detKmeansOracle(
+      fitSrc = "nv0",
+      extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
+      finalSelect = s"""SELECT * FROM (
+  WITH ${pqChainCtes("nv", "nv", fitIds = "nv0")},
+  c32 AS (SELECT cell, list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c FROM cents3),
+  nv1 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 1),
+  d1u AS (SELECT n.vec_id, cc.cell,
+      list_sum(list_transform(range(1, 65), i -> (n.nv[i] - cc.c[i]) * (n.nv[i] - cc.c[i]))) AS d2
+    FROM nv1 n CROSS JOIN c32 cc),
+  a1u AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM d1u) WHERE rn = 1),
+  a_all AS (SELECT vec_id, cell FROM a_fin UNION ALL SELECT vec_id, cell FROM a1u),
+  q32 AS (SELECT vec_id AS query_id, list_transform(nv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS q FROM nv_q),
+  pcs AS (SELECT q.query_id, cc.cell,
+      list_sum(list_transform(range(1, 65), i -> q.q[i] * cc.c[i])) AS dot,
+      list_sum(list_transform(range(1, 65), i -> q.q[i] * q.q[i])) AS na,
+      list_sum(list_transform(range(1, 65), i -> cc.c[i] * cc.c[i])) AS nb
+    FROM q32 q CROSS JOIN c32 cc),
+  pcsc AS (SELECT query_id, cell,
+      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cscore FROM pcs),
+  probes AS (SELECT query_id, cell FROM (SELECT query_id, cell,
+      row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, cell ASC) AS pr FROM pcsc) WHERE pr <= 3),
+  cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN a_all a ON a.cell = p.cell),
+  adc AS (SELECT x.query_id, x.vec_id,
+      list_sum(list_transform(range(1, ${PqM + 1}), s -> q.lt[s][c.codes[s] + 1])) AS adc
+    FROM cand x JOIN codes c ON x.vec_id = c.vec_id
+                JOIN qlt q ON x.query_id = q.query_id),
+$pqRerankTail)"""))
 
   /** The product-quantization CTE chain (q76, mirrors Similarity.pqTopK
     * defaults m=16 ksub=16 iters=2 shortlist=64): per-subspace deterministic
@@ -6069,8 +6237,12 @@ FROM a""",
   /** `src` is the table the codebooks model and encode (the normalized
     * corpus for plain PQ, the residual frame for IVFADC); `qsrc` is where
     * query subvectors come from — ALWAYS the raw normalized vectors (an
-    * ADC query is never residual-encoded). Both expose (vec_id, nv). */
-  private def pqChainCtes(src: String, qsrc: String): String = {
+    * ADC query is never residual-encoded). Both expose (vec_id, nv).
+    * `fitIds` bounds the hash-ordered Lloyd fit sample's id pool — the
+    * full corpus by default, the even-id wave for the persisted q282
+    * lifecycle (codebooks fit on wave 0, frozen for wave 1's encode). */
+  private def pqChainCtes(src: String, qsrc: String,
+                          fitIds: String = "nv"): String = {
     val m = PqM; val ksub = PqKsub; val iters = PqIters; val dsub = PqDsub
     val d2 = (nvE: String, cE: String) =>
       s"list_sum(list_transform(range(1, ${dsub + 1}), i -> ($nvE[i] - $cE[i]) * ($nvE[i] - $cE[i])))"
@@ -6111,7 +6283,7 @@ $iterCtes,
       .map(s => s"SELECT $s AS sub, vec_id, cell FROM af_$s").mkString(" UNION ALL ")
     val unionLt = (0 until m)
       .map(s => s"SELECT $s AS sub, query_id, cell, val FROM lt_$s").mkString(" UNION ALL ")
-    s"""  pqfit AS (SELECT vec_id FROM nv
+    s"""  pqfit AS (SELECT vec_id FROM $fitIds
     ORDER BY sha256(CAST(vec_id AS VARCHAR)) ASC, vec_id ASC LIMIT 4096),
 ${subChains.mkString(",\n")},
   af AS ($unionAf),

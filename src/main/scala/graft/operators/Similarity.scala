@@ -1383,6 +1383,113 @@ object Similarity {
       index.codebooks, index.dsub)
   }
 
+  /** [[upsertPq]] against a SAVED PQ index: load the frozen codebooks,
+    * encode the delta map-only against them, replace-by-id, and swap the
+    * codes table in place. The merged rows are staged to a temp dir first
+    * (the `upsertIvfAt` durability rule — the plan reads the same path it
+    * replaces, and a lost cache block would otherwise recompute lineage
+    * against partially-overwritten files mid-write). Codebooks are never
+    * touched: the production constraint is exactly that upserts ride the
+    * frozen books between periodic retrains. */
+  def upsertPqAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                 delta: DataFrame, embCol: String = "embedding"): Unit = {
+    val merged = upsertPq(loadPqIndex(spark, path), delta, embCol).codes
+    val tmp = s"$path/codes__staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(s"$path/codes")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Probe a SAVED IVF-PQ pair — the serving path of the persisted
+    * lifecycle (q282): coarse cells from the loaded f32 centroid table
+    * (the `ivfProbe` probe rule: f32-rounded normalized queries against
+    * f32 stored centroids, cosine, top-`nProbe` cells), ADC over the
+    * loaded codes of candidate cells only (lookup tables from the loaded
+    * f64 codebooks ride the query broadcast), exact-cosine re-rank of the
+    * `shortlist` using the embeddings STORED IN the coarse assignments —
+    * so the whole probe touches nothing but the saved files. Per-query
+    * cost ~ (corpus/nLists × nProbe) m-byte code rows + shortlist f32
+    * rows, the billion-scale serving shape. */
+  def ivfPqProbe(coarse: IvfIndex, pq: PqIndex, queries: DataFrame, k: Int,
+                 nProbe: Int = 3, shortlist: Int = 64): DataFrame = {
+    val nq = normalized(queries, "query_embedding")
+      .select(col("query_id"),
+        vector_to_array(col("nvec")).cast("array<float>").as("nvec_arr"))
+    val probes = graft.plans.GroupedTopK(
+        nq.crossJoin(broadcast(coarse.centroids))
+          .withColumn("cscore", cosine_similarity(col("nvec_arr"), col("centroid")))
+          .select(col("query_id"), col("cell"), col("cscore")),
+        Seq(col("query_id")), Seq(desc("cscore"), asc("cell")), nProbe)
+      .select(col("query_id"), col("cell"))
+    val cand = coarse.assignments.select("vec_id", "cell")
+      .join(broadcast(probes), Seq("cell"))
+      .select("query_id", "vec_id")
+    val qlt = pqLookupTables(pq, queries)
+    val short = graft.plans.GroupedTopK(
+        cand.hint("SHUFFLE_HASH").join(pq.codes, Seq("vec_id"))
+          .join(broadcast(qlt), Seq("query_id"))
+          .select(col("query_id"), col("vec_id"), adcExpr(pq.m).as("adc")),
+        Seq(col("query_id")), Seq(desc("adc"), asc("vec_id")), shortlist)
+      .select("query_id", "vec_id")
+    topKPerQuery(
+      broadcast(short)
+        .join(coarse.assignments.select("vec_id", "embedding"), Seq("vec_id"))
+        .join(broadcast(queries), Seq("query_id"))
+        .withColumn("score",
+          cosine_similarity(col("embedding"), col("query_embedding"))),
+      k)
+  }
+
+  /** Build-once cache for the DECLARED persisted IVF-PQ query (q282) —
+    * [[ensurePersistedDetIvf]]'s pattern applied to the QUANTIZED index,
+    * which is what actually serves at 100 TB (IVF prunes which vectors a
+    * query touches; PQ bounds the bytes per touched vector):
+    *
+    *   1. fit the coarse quantizer ([[detIvfIndex]]) AND the PQ codebooks
+    *      ([[pqIndex]]) on the FIRST wave (even vec_ids), save both;
+    *   2. maintain the SECOND wave (odd vec_ids) against the FROZEN saved
+    *      artifacts — [[upsertIvfAt]] assigns against the persisted f32
+    *      centroids, [[upsertPqAt]] encodes against the persisted
+    *      codebooks (no codebook drift: the real production constraint —
+    *      codes stay mutually comparable between periodic retrains);
+    *   3. readers answer via [[loadIvfIndex]] + [[loadPqIndex]] +
+    *      [[ivfPqProbe]] only — nothing refit at query time.
+    *
+    * Every stage is deterministic (detKMeans coarse cells, the
+    * hash-ordered PQ fit sample, fixed-point Lloyd means, sequential ADC
+    * folds), so the whole lifecycle is hash-oracled like q261, including
+    * the f32 rounding of the saved coarse centroids. Crash-convergent:
+    * save() statically overwrites both artifact dirs, so any interrupted
+    * prefix of save→upsert re-runs cleanly; same marker + build lock +
+    * loud source stamp as the det-IVF cache. */
+  def ensurePersistedIvfPq(spark: org.apache.spark.sql.SparkSession,
+                           embeddings: DataFrame, sfDir: String,
+                           nLists: Int = 8, kmIters: Int = 3, m: Int = 16,
+                           ksub: Int = 16, pqIters: Int = 2): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-" +
+      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
+        s"$nLists|$kmIters|$m|$ksub|$pqIters|v1")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index = s"$base/index"
+    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
+    if (fs.exists(marker)) return index
+    graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+        detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
+        pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
+        upsertIvfAt(spark, s"$index/coarse", w1)
+        upsertPqAt(spark, s"$index/pq", w1)
+        fs.create(marker, true).close()
+      }
+    }
+    index
+  }
+
   /** Deterministic random-projection dimensionality reduction (the
     * Johnson-Lindenstrauss shrink step before an expensive pair join or
     * index build): out[j] = dot(e, w_j) over hash-derived hyperplanes

@@ -158,6 +158,12 @@ object PlanAudit {
     // is GroupedTopK-bounded at |queries| x nProbe and needs no entry
     "q261_ann_ivf_persisted" -> (1,
       "persisted centroid table, nLists rows by index construction"),
+    // same centroid-table bound plus the q80 query-side pair (ADC lookup
+    // tables + re-rank query batch), all riding the |queries|/nLists
+    // bounds — the corpus side (assignments, codes) stays SHUFFLE_HASH/
+    // GroupedTopK-bounded
+    "q282_ann_ivfpq_persisted" -> (3,
+      "persisted centroid table (nLists rows) + query ADC lookup tables + query batch (re-rank)"),
     "q225_matryoshka" -> (2, "query batch at two prefix dims"),
     // exact audit arms: the corpus IS the query side by contract (the
     // verifiable baseline; the production path runs the same tail over

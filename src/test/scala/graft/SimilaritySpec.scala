@@ -578,6 +578,43 @@ class SimilaritySpec extends AnyFunSuite {
     assert(after == files)
   }
 
+  test("ensurePersistedIvfPq (q282): frozen-codebook two-wave lifecycle; probe from storage only; build-once") {
+    val dir = Similarity.ensurePersistedIvfPq(spark, emb, TestSpark.sf0001)
+    val coarse = Similarity.loadIvfIndex(spark, s"$dir/coarse")
+    val pq = Similarity.loadPqIndex(spark, s"$dir/pq")
+    // both saved artifacts carry BOTH waves (fit wave + upserted wave)...
+    assert(coarse.assignments.count() == emb.count())
+    assert(pq.codes.count() == emb.count())
+    // ...but the codebooks are the WAVE-0 fit, frozen: bit-identical to an
+    // in-memory fit on the even wave alone (no drift from the wave-1 upsert)
+    val w0 = emb.filter($"vec_id" % 2 === 0)
+    assert(pq.codes.select("codes").head().getSeq[Int](0).size == pq.m)
+    assert(pq.codebooks.map(_.map(_.toSeq)) ==
+      Similarity.pqIndex(w0).codebooks.map(_.map(_.toSeq)))
+    // the wave-1 codes equal a fresh encode against the frozen books
+    // (upsertPq's contract), so probing the persisted pair reproduces the
+    // same lifecycle run in memory against the LOADED coarse index
+    val w1 = emb.filter($"vec_id" % 2 === 1)
+    val memPq = Similarity.upsertPq(Similarity.pqIndex(w0), w1)
+    val a = Similarity.ivfPqProbe(coarse, pq, queries, 3)
+      .collect().map(_.toString).sorted
+    val b = Similarity.ivfPqProbe(coarse, memPq, queries, 3)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b) && a.nonEmpty)
+    // serving sanity on the stored-files-only path: each corpus-member
+    // query retrieves itself at rank 1 with cosine 1.0
+    val self = Similarity.ivfPqProbe(coarse, pq, queries, 3)
+      .filter($"rnk" === 1).select("query_id", "vec_id", "score")
+      .as[(Long, Long, Double)].collect()
+    assert(self.nonEmpty && self.forall(r => r._1 == r._2 && r._3 == 1.0))
+    // build-once: a repeat ensure returns the same path, codes untouched
+    val files = new java.io.File(s"$dir/pq/codes").listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet
+    assert(Similarity.ensurePersistedIvfPq(spark, emb, TestSpark.sf0001) == dir)
+    assert(new java.io.File(s"$dir/pq/codes").listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet == files)
+  }
+
   test("pq index: partition-invariant bit-identical rebuilds; save/load roundtrip; self at rank 1") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/idx"
     val idx = Similarity.pqIndex(emb)
