@@ -27,6 +27,22 @@ object Bench {
       SparkEntry.queries("q01_chunk")(spark, sfDir).count()
       SparkEntry.queries("q12_tpch_agg")(spark, sfDir).count()
     } catch { case _: Throwable => }
+    // Untimed state warmup: every state-backed query (streamed-state
+    // readers, persisted indexes, the JSONL fixture) runs once BEFORE the
+    // timed loop so its build-once ensure* work (stream runs, index fits,
+    // compactions) lands outside every timed rep — otherwise the first
+    // sweep's timings absorb the builds and, worse, a replay leg's
+    // builds bleed into the paired comparison as a uniform shift (the
+    // r15 replay measured ~4% of exactly this). Name-pattern keyed so new
+    // state-backed queries warm automatically. Repeat calls short-circuit
+    // on the cache markers, so the timed reps measure only the READ.
+    SparkEntry.queries.keys.toSeq.sorted
+      .filter(n => n.contains("_stream") || n.contains("_persisted") ||
+        n == "q256_jsonl_ingest")
+      .foreach { n =>
+        try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
+        catch { case _: Throwable => }
+      }
     // Three timed reps per query, keep the min: single-JVM local[n] timings
     // carry heavy run-to-run noise (GC/JIT/page-cache/co-load — r7 vs r8 ran
     // identical code and differed 1.8x in total), and the per-query min is

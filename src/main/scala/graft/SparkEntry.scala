@@ -86,10 +86,7 @@ object SparkEntry {
     * driver's own environment (not just in a spec) that the fold is
     * epoch-count-invariant and compaction-invariant mid-lifecycle. */
   private def lexStateOf(s: SparkSession, dir: String): String =
-    graft.streaming.Streams.ensureStreamedDocState(s, docs(s, dir), dir, "lex",
-      waves = 4, compactAfterWave = 2,
-      compactor = graft.streaming.Streams.compactLexIndexAt)(
-      (sd, out, ckpt) => graft.streaming.Streams.streamingLexIndex(sd, out, ckpt))
+    graft.streaming.Streams.ensureLexState(s, docs(s, dir), dir)
   /** Three waves with `compactGroupTermCountsAt` between waves 2 and 3:
     * the additive-count fold algebra driver-checked under mid-lifecycle
     * compaction (the lex state covers the postings-union algebra, the knn

@@ -197,6 +197,18 @@ object Streams {
     * which the DuckDB oracle rebuilds directly). Same marker idempotence
     * and crash-convergence argument as the JSONL twin. `tag` keys the
     * cached state per maintainer. */
+  /** The canonical lex-index state build shared by the declared queries
+    * (q258/q268/q269/q270), Smoke, and StreamingSpec — ONE definition so
+    * every caller lands on the same cache dir: four doc_id-mod-4 waves
+    * with [[compactLexIndexAt]] between waves 2 and 3 (the hardest
+    * driver-checked lifecycle: a compacted epoch=-1 partition next to two
+    * post-compaction epochs). */
+  def ensureLexState(spark: SparkSession, documents: DataFrame,
+                     sfDir: String): String =
+    ensureStreamedDocState(spark, documents, sfDir, "lex",
+      waves = 4, compactAfterWave = 2, compactor = compactLexIndexAt)(
+      (sd, out, ckpt) => streamingLexIndex(sd, out, ckpt))
+
   def ensureStreamedDocState(spark: SparkSession, documents: DataFrame,
                              sfDir: String, tag: String, waves: Int = 2,
                              compactAfterWave: Int = 0,

@@ -432,6 +432,52 @@ object ScaleRehearsal {
       runDedup(s"${k}x", docsK)
     }
 
+    // lean search family for HIGH-k octaves (32x), the runDedup convention
+    // (distinct op names so a 32x run never overwrites the 8x entries of
+    // the full search family): the three query-serving modes over an
+    // UNCACHED ingest — the q06 recompute-not-cache rule; a cached 1024-f32
+    // index column decompresses slower than the map-only re-embed — so the
+    // measured growth is the one linear scan+score pass, and per-query
+    // work beyond it (top-k, RRF fuse, MMR chain) must stay flat
+    def runSearch32(tag: String, docs: DataFrame): Unit = {
+      val index = graft.Engine.ingest(docs)
+      time(s"$tag searchMany32") {
+        graft.Engine.searchMany(index, qs, 5).queryExecution.toRdd.count() }
+      time(s"$tag hybridMany32") {
+        graft.Engine.hybridSearchMany(index, qs, 5).queryExecution.toRdd.count() }
+      time(s"$tag mmrMany32") {
+        graft.operators.Rerank.mmrRerankMany(index, qs, 5, 20)
+          .queryExecution.toRdd.count() }
+    }
+    if (fam("search32")) {
+      warm(docsSrcK)
+      runSearch32("1x", docsSrc1)
+      runSearch32(s"${k}x", docsSrcK)
+    }
+
+    // lean TPC-H family for HIGH-k octaves (32x): the scan-agg (Q6), a
+    // three-way variety rollup, and the Q21 multi-self-correlation — fact
+    // AND dims grown k-fold (the r12b axis). Joins on the SHUFFLE_HASH
+    // convention should track rows ~linearly; 32x is the octave that would
+    // expose any hidden super-linear shuffle the 8x run smoothed over
+    def runTpch32(tag: String, li: DataFrame, ord: DataFrame,
+                  part: DataFrame, supp: DataFrame): Unit = {
+      time(s"$tag tpchQ6_32") {
+        graft.operators.Joins.forecastRevenueChange(li)
+          .queryExecution.toRdd.count() }
+      time(s"$tag supplierVariety32") {
+        graft.operators.Joins.supplierVariety(li, part, supp)
+          .queryExecution.toRdd.count() }
+      time(s"$tag soleBlockers32") {
+        graft.operators.Joins.soleBlockerSuppliers(ord, li, supp)
+          .queryExecution.toRdd.count() }
+    }
+    if (fam("tpch32")) {
+      warm(liFullK, ordK, partK, suppK)
+      runTpch32("1x", liFull1, ord1, part1, supp1)
+      runTpch32(s"${k}x", liFullK, ordK, partK, suppK)
+    }
+
     // round-11 family (q240-q243): the robust-stats trio is two range
     // exchanges + tiny broadcasts each (row-linear, all-core); the
     // spectral probe is one moment fold (row-linear) + d²-bounded

@@ -240,14 +240,12 @@ object Smoke {
       graft.sources.JsonlCorpusSource.read(spark, jtmp.toString)).collect()(0)
     println(s"== jsonl ingest: ${jrep.getLong(0)} valid, ${jrep.getLong(1)} corrupt (sampled)")
     // streamed-state tour (q257-q260 pillar): the lex index maintained as
-    // two-wave epoch partials answers BM25 from state, batch-equal
-    // tag "lex" ON PURPOSE: identical content to the q258 state (same
-    // table, same parity split, same maintainer), so Smoke shares the
+    // waved epoch partials answers BM25 from state, batch-equal
+    // ensureLexState IS the q258 build (same table, same mod-4 split,
+    // same mid-lifecycle compactLexIndexAt), so Smoke shares the
     // marker-protected cache instead of building a duplicate copy
-    val lexState = graft.streaming.Streams.ensureStreamedDocState(
-      spark, graft.Tables.documents(spark, sfDir), sfDir, "lex")(
-      (sd, out, ckpt) =>
-        graft.streaming.Streams.streamingLexIndex(sd, out, ckpt))
+    val lexState = graft.streaming.Streams.ensureLexState(
+      spark, graft.Tables.documents(spark, sfDir), sfDir)
     val sEpochs = spark.read.parquet(lexState)
       .select("epoch").distinct().count()
     val sBm = graft.streaming.Streams.bm25StreamedAt(
