@@ -1720,6 +1720,42 @@ object SparkEntry {
           graft.streaming.Streams.streamingBlockDedup(sd, s"${o}__blocks", o, ckpt))
       graft.streaming.Streams.blockDedupAt(s, out)
     }),
+    // extension: CMS heavy hitters probed against the STREAMED d x w grid
+    // (additive counters, compacted mid-lifecycle) — must equal batch q167
+    // exactly; the exact-count audit arm stays a corpus scan BY DESIGN
+    // (it is the thing the maintained sketch replaces at 100 TB)
+    "q285_cms_topk_stream" -> ((s, dir) => {
+      val state = graft.streaming.Streams.ensureStreamedDocState(
+        s, docs(s, dir), dir, "cmsgrid", waves = 2, compactAfterWave = 1,
+        compactor = graft.streaming.Streams.compactCmsGridAt)(
+        (sd, out, ckpt) =>
+          graft.streaming.Streams.streamingCmsGrid(sd, out, ckpt))
+      graft.operators.Sketches.cmsProbe(
+        graft.streaming.Streams.cmsGridAt(s, state),
+        graft.operators.Sketches.tokenCounts(docs(s, dir)))
+    }),
+    // extension: Merkle manifest folded from the STREAMED leaf table — the
+    // upsert-style maintainer (bucket-partitioned, content-convergent
+    // leaves, no epoch bookkeeping) driver-checked against batch q168
+    "q286_merkle_stream" -> ((s, dir) => {
+      val state = graft.streaming.Streams.ensureStreamedDocState(
+        s, docs(s, dir), dir, "merkle")(
+        (sd, out, ckpt) =>
+          graft.streaming.Streams.streamingMerkleLeaves(sd, out, ckpt))
+      graft.streaming.Streams.merkleManifestAt(s, state)
+    }),
+    // extension: the ERASURE leg of the persisted-index lifecycle — q261's
+    // build+upsert followed by deleteIvfAt of every vec_id % 5 == 3
+    // (partition-pruned rewrite, frozen centroids — no refit), probed from
+    // the saved files; deleted ids must be unretrievable
+    "q287_ann_ivf_deleted" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedDetIvfDeleted(s, e, dir)
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Similarity.ivfProbe(Similarity.loadIvfIndex(s, path), q, 3, nProbe = 3)
+    }),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
     "q254_langid_confusion" -> ((s, dir) =>
@@ -2330,6 +2366,11 @@ FROM c JOIN r USING (source) JOIN k USING (lang) CROSS JOIN t""",
 SELECT vec_id, k_occ, round(CAST(k_occ AS DOUBLE) / n_slots, 6) AS slot_share
 FROM occ CROSS JOIN t ORDER BY k_occ DESC, vec_id LIMIT 20"""
     },
+    // q285/q286: the streamed CMS grid and Merkle leaf table fold to
+    // exactly the batch sketch/manifest (additive counters; content-
+    // convergent leaves), so the batch oracles apply verbatim
+    "q285_cms_topk_stream" -> oracleSqlBase("q167_cms_topk"),
+    "q286_merkle_stream" -> oracleSqlBase("q168_merkle"),
     // q283: the q181 novelty chain under WAVE-ORDERED first occurrence —
     // the streamed landing is deterministic (wave = doc_id % 2, one batch
     // per wave), so a doc is scored against exactly the docs whose wave
@@ -6141,38 +6182,15 @@ FROM a""",
     "q261_ann_ivf_persisted" -> detKmeansOracle(
       fitSrc = "nv0",
       extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
-      finalSelect = s"""SELECT * FROM (
-  WITH c32 AS (SELECT cell, list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c FROM cents3),
-  nv1 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 1),
-  d1u AS (SELECT n.vec_id, cc.cell,
-      list_sum(list_transform(range(1, 65), i -> (n.nv[i] - cc.c[i]) * (n.nv[i] - cc.c[i]))) AS d2
-    FROM nv1 n CROSS JOIN c32 cc),
-  a1u AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM d1u) WHERE rn = 1),
-  a_all AS (SELECT vec_id, cell FROM a_fin UNION ALL SELECT vec_id, cell FROM a1u),
-  q32 AS (SELECT vec_id AS query_id, list_transform(nv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS q FROM nv_q),
-  cs AS (SELECT q.query_id, cc.cell,
-      list_sum(list_transform(range(1, 65), i -> q.q[i] * cc.c[i])) AS dot,
-      list_sum(list_transform(range(1, 65), i -> q.q[i] * q.q[i])) AS na,
-      list_sum(list_transform(range(1, 65), i -> cc.c[i] * cc.c[i])) AS nb
-    FROM q32 q CROSS JOIN c32 cc),
-  csc AS (SELECT query_id, cell,
-      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cscore FROM cs),
-  probes AS (SELECT query_id, cell FROM (SELECT query_id, cell,
-      row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, cell ASC) AS pr FROM csc) WHERE pr <= 3),
-  cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN a_all a ON a.cell = p.cell),
-  s AS (SELECT c.query_id, c.vec_id,
-      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS dot,
-      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS na,
-      list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS nb
-    FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
-                JOIN nv_q q ON c.query_id = q.vec_id),
-  sc AS (SELECT query_id, vec_id,
-      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS score FROM s),
-  r AS (SELECT query_id, vec_id,
-      CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
-      score FROM sc)
-  SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3)"""),
+      finalSelect = persistedIvfProbeSql()),
+    // q287: the q261 lifecycle EXTENDED by the erasure leg — deleteIvfAt
+    // drops every vec_id % 5 == 3 from the saved assignment partitions
+    // (centroids frozen, no refit), so the serving table the probe reads
+    // is a_all minus the deleted ids
+    "q287_ann_ivf_deleted" -> detKmeansOracle(
+      fitSrc = "nv0",
+      extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
+      finalSelect = persistedIvfProbeSql(serveFilter = "vec_id % 5 <> 3")),
     // q282: the PERSISTED IVF-PQ lifecycle, stage for stage — q261's
     // two-wave coarse chain (Lloyd fit on the even wave, f32-rounded save,
     // odd-wave upsert against the frozen f32 centroids, f32 probe)
@@ -6210,6 +6228,52 @@ FROM a""",
     FROM cand x JOIN codes c ON x.vec_id = c.vec_id
                 JOIN qlt q ON x.query_id = q.query_id),
 $pqRerankTail)"""))
+
+  /** The persisted-IVF probe tail shared by q261/q287 (appended to the
+    * detKmeansOracle chain with fitSrc = nv0): f32-round the saved
+    * centroids (c32 — the `.toFloat` of IvfIndex.save), assign the odd
+    * wave against them in exact f64 (a1u — upsertIvfAt), union with the
+    * wave-0 assignments (a_all — the saved table), optionally restricted
+    * by `serveFilter` (q287's deleteIvfAt leg), then the ivfProbe chain:
+    * f32-rounded normalized queries against c32, top-3 cells
+    * (cscore DESC, cell ASC), exact cosine over the raw stored
+    * embeddings of candidate cells. */
+  private def persistedIvfProbeSql(serveFilter: String = ""): String = {
+    val serve = if (serveFilter.isEmpty) "a_all"
+      else s"(SELECT * FROM a_all WHERE $serveFilter)"
+    s"""SELECT * FROM (
+  WITH c32 AS (SELECT cell, list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c FROM cents3),
+  nv1 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 1),
+  d1u AS (SELECT n.vec_id, cc.cell,
+      list_sum(list_transform(range(1, 65), i -> (n.nv[i] - cc.c[i]) * (n.nv[i] - cc.c[i]))) AS d2
+    FROM nv1 n CROSS JOIN c32 cc),
+  a1u AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
+      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM d1u) WHERE rn = 1),
+  a_all AS (SELECT vec_id, cell FROM a_fin UNION ALL SELECT vec_id, cell FROM a1u),
+  q32 AS (SELECT vec_id AS query_id, list_transform(nv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS q FROM nv_q),
+  cs AS (SELECT q.query_id, cc.cell,
+      list_sum(list_transform(range(1, 65), i -> q.q[i] * cc.c[i])) AS dot,
+      list_sum(list_transform(range(1, 65), i -> q.q[i] * q.q[i])) AS na,
+      list_sum(list_transform(range(1, 65), i -> cc.c[i] * cc.c[i])) AS nb
+    FROM q32 q CROSS JOIN c32 cc),
+  csc AS (SELECT query_id, cell,
+      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cscore FROM cs),
+  probes AS (SELECT query_id, cell FROM (SELECT query_id, cell,
+      row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, cell ASC) AS pr FROM csc) WHERE pr <= 3),
+  cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN $serve a ON a.cell = p.cell),
+  s AS (SELECT c.query_id, c.vec_id,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS dot,
+      list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS na,
+      list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS nb
+    FROM cand c JOIN embeddings e ON c.vec_id = e.vec_id
+                JOIN nv_q q ON c.query_id = q.vec_id),
+  sc AS (SELECT query_id, vec_id,
+      CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS score FROM s),
+  r AS (SELECT query_id, vec_id,
+      CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
+      score FROM sc)
+  SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3)"""
+  }
 
   /** The product-quantization CTE chain (q76, mirrors Similarity.pqTopK
     * defaults m=16 ksub=16 iters=2 shortlist=64): per-subspace deterministic

@@ -567,6 +567,79 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  /** Delete-by-id maintenance on a SAVED IVF index — the erasure leg of
+    * the persisted lifecycle (build → upsert → DELETE → probe), the
+    * right-to-erasure path a production index must serve WITHOUT a refit
+    * or full rewrite: only the cell partitions the deleted ids live in
+    * are rewritten (partition-pruned read, staged copy — the
+    * `upsertIvfAt` durability rule), centroids stay frozen (deletes do
+    * not move cell geometry; a periodic retrain does). A touched cell
+    * whose every vector is deleted gets its partition REMOVED explicitly:
+    * dynamic partition overwrite only rewrites partitions present in the
+    * staged frame, so an emptied cell would otherwise keep serving its
+    * stale rows. */
+  def deleteIvfAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                  ids: DataFrame): Unit = {
+    val idx = loadIvfIndex(spark, path)
+    // bounded collect: cell domain is nLists by construction
+    val touched = idx.assignments
+      .join(broadcast(ids.select("vec_id")), Seq("vec_id"))
+      .select("cell").distinct().collect().map(_.getInt(0)).toSeq
+    if (touched.isEmpty) return
+    val kept = idx.assignments.filter(col("cell").isin(touched: _*))
+      .join(broadcast(ids.select("vec_id")), Seq("vec_id"), "left_anti")
+      .select("vec_id", "embedding", "cell")
+    val tmp = s"$path/assignments__staging"
+    kept.write.mode("overwrite").parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$path/assignments")
+    val survivors = staged.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    touched.filterNot(survivors).foreach { c =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        s"$path/assignments/cell=$c"), true)
+    }
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Build-once cache for the DECLARED deleted-index query (q287): the
+    * q261 two-wave lifecycle EXTENDED by the erasure leg — fit+save on
+    * the even wave, upsert the odd wave, then [[deleteIvfAt]] every
+    * `vec_id % 5 == 3` (a deterministic fifth of the corpus, both waves),
+    * probe from the saved files. Separate cache dir from the q261 index
+    * ON PURPOSE: deleting from the shared index would corrupt q261; the
+    * coarse fit is detKMeans-memoized, so the rebuild costs one
+    * assignment pass, not a second Lloyd run. */
+  def ensurePersistedDetIvfDeleted(spark: org.apache.spark.sql.SparkSession,
+                                   embeddings: DataFrame, sfDir: String,
+                                   nLists: Int = 8, iters: Int = 3): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-detivfdel-" +
+      graft.TmpCache.dirKey(
+        s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|v1")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index = s"$base/index"
+    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
+    if (fs.exists(marker)) return index
+    graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+        detIvfIndex(w0, nLists, iters).save(index)
+        upsertIvfAt(spark, index, w1)
+        deleteIvfAt(spark, index,
+          embeddings.filter(pmod(col("vec_id"), lit(5)) === 3)
+            .select("vec_id"))
+        fs.create(marker, true).close()
+      }
+    }
+    index
+  }
+
   /** Incremental int8-SQ maintenance: per-vector quantization means a delta
     * re-encodes independently — new codes for delta ids, replace-by-id
     * against the index. Exactly equals a full rebuild on the merged corpus

@@ -164,6 +164,13 @@ object PlanAudit {
     // GroupedTopK-bounded
     "q282_ann_ivfpq_persisted" -> (3,
       "persisted centroid table (nLists rows) + query ADC lookup tables + query batch (re-rank)"),
+    // the erasure-leg probe reads the same saved centroid table as q261
+    "q287_ann_ivf_deleted" -> (1,
+      "persisted centroid table, nLists rows by index construction"),
+    // the maintained CMS grid is the q222 frame read from state parquet:
+    // d*w <= 256k cells by require(), parameter-bounded at any SF
+    "q285_cms_topk_stream" -> (1,
+      "CMS grid from state, d*w <= 256k cells by require()"),
     "q225_matryoshka" -> (2, "query batch at two prefix dims"),
     // exact audit arms: the corpus IS the query side by contract (the
     // verifiable baseline; the production path runs the same tail over

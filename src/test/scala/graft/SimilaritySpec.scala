@@ -578,6 +578,45 @@ class SimilaritySpec extends AnyFunSuite {
     assert(after == files)
   }
 
+  test("deleteIvfAt (q287): erasure leg — deleted ids unretrievable, untouched cells unrewritten, emptied cells removed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfdel").toString + "/idx"
+    Similarity.detIvfIndex(emb, 8).save(dir)
+    val before = Similarity.loadIvfIndex(spark, dir)
+    val nBefore = before.assignments.count()
+    // pick one whole cell to ERASE (the emptied-partition edge: dynamic
+    // overwrite alone would leave its stale rows serving) plus a few ids
+    // from another cell (the partial-rewrite path)
+    val cells = before.assignments.select("cell", "vec_id").collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getLong(1)).sorted).toMap
+    val (wholeCell, wholeIds) = cells.head
+    val (otherCell, otherIds) = cells.find(_._1 != wholeCell).get
+    val untouched = cells.keys.filterNot(c => c == wholeCell || c == otherCell)
+    val untouchedStamp = untouched.map(c =>
+      c -> new java.io.File(s"$dir/assignments/cell=$c").listFiles()
+        .map(f => (f.getName, f.lastModified)).toSet).toMap
+    val toDelete = wholeIds ++ otherIds.take(2)
+    import spark.implicits._
+    Similarity.deleteIvfAt(spark, dir, toDelete.toSeq.toDF("vec_id"))
+    val after = Similarity.loadIvfIndex(spark, dir)
+    assert(after.assignments.count() == nBefore - toDelete.size)
+    // deleted ids are GONE from the stored table...
+    assert(after.assignments.join(toDelete.toSeq.toDF("vec_id"), Seq("vec_id"))
+      .count() == 0)
+    // ...the emptied cell's partition dir no longer exists...
+    assert(!new java.io.File(s"$dir/assignments/cell=$wholeCell").exists())
+    // ...untouched cell partitions were not rewritten (partition-pruned)...
+    untouchedStamp.foreach { case (c, stamp) =>
+      assert(new java.io.File(s"$dir/assignments/cell=$c").listFiles()
+        .map(f => (f.getName, f.lastModified)).toSet == stamp, s"cell $c rewritten")
+    }
+    // ...and a probe from storage never returns a deleted id
+    val hits = Similarity.ivfProbe(after, queries, 3, nProbe = 8)
+      .select("vec_id").as[Long].collect().toSet
+    assert(hits.nonEmpty && hits.intersect(toDelete.toSet).isEmpty)
+    org.apache.commons.io.FileUtils.deleteQuietly(
+      new java.io.File(dir).getParentFile)
+  }
+
   test("ensurePersistedIvfPq (q282): frozen-codebook two-wave lifecycle; probe from storage only; build-once") {
     val dir = Similarity.ensurePersistedIvfPq(spark, emb, TestSpark.sf0001)
     val coarse = Similarity.loadIvfIndex(spark, s"$dir/coarse")
