@@ -165,6 +165,13 @@ object Streams {
         landWave(w0, "w0")
         awaitBounded(streamingJsonlIngest(
           spark, landing.toString, out, s"$base/ckpt", schema))
+        // mid-lifecycle compaction between the waves (the
+        // ensureStreamedTableState convention): the q256/q257 readers then
+        // answer from a state whose dir holds the compacted epoch=-1
+        // partition next to wave 1's epoch — the JSONL family's
+        // compactor driver-checked, not just spec-asserted. Identity
+        // fold, so a crash-rerun re-compacting is a no-op.
+        compactJsonlIngestAt(spark, out)
         landWave(w1, "w1")
         awaitBounded(streamingJsonlIngest(
           spark, landing.toString, out, s"$base/ckpt", schema))

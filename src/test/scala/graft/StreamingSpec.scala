@@ -549,10 +549,14 @@ class StreamingSpec extends AnyFunSuite {
   test("ensureStreamedJsonlState (q257): two waves accumulate distinct epochs; state report equals the full-fixture batch report") {
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val out = Streams.ensureStreamedJsonlState(spark, docs, TestSpark.sf0001)
-    // the waves streamed as SEPARATE runs against one checkpoint, so the
-    // state must hold more than one epoch partition (the thing q256's
-    // batch path cannot exercise)
-    assert(spark.read.parquet(out).select("epoch").distinct().count() >= 2)
+    // the waves streamed as SEPARATE runs against one checkpoint with a
+    // compactJsonlIngestAt run BETWEEN them, so the state must hold the
+    // compacted epoch=-1 partition NEXT TO wave 1's epoch (the thing
+    // q256's batch path cannot exercise)
+    val jepochs = spark.read.parquet(out).select("epoch").distinct()
+      .as[Long].collect().toSet
+    assert(jepochs.contains(-1L), s"no compacted partition in $jepochs")
+    assert(jepochs.exists(_ >= 0L), s"post-compaction epoch missing: $jepochs")
     // and answer exactly the FULL fixture's batch report
     val full = graft.sources.JsonlCorpusSource.ensureFixture(
       spark, docs, TestSpark.sf0001)
