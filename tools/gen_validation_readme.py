@@ -46,11 +46,14 @@ def item(text):
 
 t = read("sbt_test.txt")
 if t:
-    succ = one(r"Tests: succeeded (\d+)", t, "sbt test pass count")
-    fail = one(r"failed (\d+)", t, "sbt test fail count")
+    # anchor on scalatest's one summary line — a bare "failed N" regex
+    # would match intentional-failure log noise from negative tests
+    m = re.search(r"Tests: succeeded (\d+), failed (\d+)", t)
+    if not m:
+        sys.exit("cannot extract scalatest summary line")
     suites = one(r"Suites: completed (\d+)", t, "suite count")
-    item(f"`sbt_test.txt` — full suite: {succ} succeeded / {fail} failed "
-         f"over {suites} suites.")
+    item(f"`sbt_test.txt` — full suite: {m.group(1)} succeeded / "
+         f"{m.group(2)} failed over {suites} suites.")
 
 for f, sf in (("planaudit_sf0001.txt", "sf0.001"),
               ("planaudit_sf001.txt", "sf0.01")):
