@@ -1744,6 +1744,43 @@ object SparkEntry {
           graft.streaming.Streams.streamingMerkleLeaves(sd, out, ckpt))
       graft.streaming.Streams.merkleManifestAt(s, state)
     }),
+    // extension: KMV audience-overlap from the STREAMED per-group k-min
+    // sketch (mergeable by k-min-of-distinct; compacted mid-lifecycle) —
+    // the overlap tail and the test-scale exact audit arm are q175's
+    // verbatim, so the batch oracle applies unchanged
+    "q288_kmv_overlap_stream" -> ((s, dir) => {
+      val state = graft.streaming.Streams.ensureStreamedTableState(
+        s, Tables.events(tune(s), dir), dir, "kmv",
+        idCol = "event_id", srcFile = "events.parquet", waves = 2,
+        compactAfterWave = 1,
+        compactor = (sp, p) =>
+          graft.streaming.Streams.compactKmvSketchAt(sp, p))(
+        (ev, out, ckpt) => graft.streaming.Streams.streamingKmvSketch(
+          ev, "event_type", "user_id", out, ckpt))
+      graft.operators.Sketches.kmvOverlapFromSketches(
+        graft.streaming.Streams.kmvSketchAt(s, state),
+        exactFrom =
+          Some((Tables.events(tune(s), dir), "event_type", "user_id")))
+    }),
+    // extension: DDSketch quantiles from the STREAMED (group, bucket, cnt)
+    // state (additive integer counts, compacted mid-lifecycle) — the
+    // quantile walk is q173's verbatim, so its oracle applies unchanged.
+    // With q288 this promotes the LAST two maintainers whose batch twins
+    // are deterministic; only the BPE vocab (anchored by q170/q171)
+    // answers through a different declared surface
+    "q289_ddsketch_stream" -> ((s, dir) => {
+      val state = graft.streaming.Streams.ensureStreamedTableState(
+        s, Tables.lineitem(tune(s), dir), dir, "ddbkt",
+        idCol = "l_orderkey", srcFile = "lineitem.parquet", waves = 2,
+        compactAfterWave = 1,
+        compactor = (sp, p) =>
+          graft.streaming.Streams.compactDdBucketsAt(sp, p, "l_returnflag"))(
+        (li, out, ckpt) => graft.streaming.Streams.streamingDdBuckets(
+          li, "l_returnflag", "l_extendedprice", out, ckpt))
+      graft.operators.Sketches.ddQuantilesFromBuckets(
+        graft.streaming.Streams.ddBucketsAt(s, state, "l_returnflag"),
+        "l_returnflag")
+    }),
     // extension: the ERASURE leg of the persisted-index lifecycle — q261's
     // build+upsert followed by deleteIvfAt of every vec_id % 5 == 3
     // (partition-pruned rewrite, frozen centroids — no refit), probed from
@@ -2371,6 +2408,11 @@ FROM occ CROSS JOIN t ORDER BY k_occ DESC, vec_id LIMIT 20"""
     // convergent leaves), so the batch oracles apply verbatim
     "q285_cms_topk_stream" -> oracleSqlBase("q167_cms_topk"),
     "q286_merkle_stream" -> oracleSqlBase("q168_merkle"),
+    // q288/q289: KMV k-min and DDSketch bucket states fold exactly to
+    // their batch sketches (k-min-of-distinct merge; additive counts), and
+    // the overlap/quantile tails are shared code — batch oracles verbatim
+    "q288_kmv_overlap_stream" -> oracleSqlBase("q175_kmv_overlap"),
+    "q289_ddsketch_stream" -> oracleSqlBase("q173_ddsketch"),
     // q283: the q181 novelty chain under WAVE-ORDERED first occurrence —
     // the streamed landing is deterministic (wave = doc_id % 2, one batch
     // per wave), so a doc is scored against exactly the docs whose wave

@@ -171,6 +171,9 @@ object PlanAudit {
     // d*w <= 256k cells by require(), parameter-bounded at any SF
     "q285_cms_topk_stream" -> (1,
       "CMS grid from state, d*w <= 256k cells by require()"),
+    // q175's bounded frames with the sketch side read from state parquet
+    "q288_kmv_overlap_stream" -> (4,
+      "per-group k-min sketches from state, k-bounded (q175's frames)"),
     "q225_matryoshka" -> (2, "query batch at two prefix dims"),
     // exact audit arms: the corpus IS the query side by contract (the
     // verifiable baseline; the production path runs the same tail over
