@@ -1781,6 +1781,18 @@ object SparkEntry {
         graft.streaming.Streams.ddBucketsAt(s, state, "l_returnflag"),
         "l_returnflag")
     }),
+    // extension: the persisted SQ8 lifecycle, completing the persisted
+    // index family (IVF q261, IVF-PQ q282, SQ8 here): encode + save the
+    // even wave, upsertSqAt the odd wave, probe via loadSqIndex ONLY —
+    // integer-dot cosine over the stored codes, no f32 access at all
+    "q290_ann_sq8_persisted" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedSq(s, e, dir)
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Similarity.sqProbe(Similarity.loadSqIndex(s, path), q, 3)
+    }),
     // extension: the ERASURE leg of the persisted-index lifecycle — q261's
     // build+upsert followed by deleteIvfAt of every vec_id % 5 == 3
     // (partition-pruned rewrite, frozen centroids — no refit), probed from
@@ -2413,6 +2425,10 @@ FROM occ CROSS JOIN t ORDER BY k_occ DESC, vec_id LIMIT 20"""
     // the overlap/quantile tails are shared code — batch oracles verbatim
     "q288_kmv_overlap_stream" -> oracleSqlBase("q175_kmv_overlap"),
     "q289_ddsketch_stream" -> oracleSqlBase("q173_ddsketch"),
+    // q290: per-vector quantization has no trained state, so the persisted
+    // two-wave index's codes equal a one-shot encode of the full corpus
+    // (upsertSq's contract) and the q46 oracle applies verbatim
+    "q290_ann_sq8_persisted" -> oracleSqlBase("q46_ann_sq8"),
     // q283: the q181 novelty chain under WAVE-ORDERED first occurrence —
     // the streamed landing is deterministic (wave = doc_id % 2, one batch
     // per wave), so a doc is scored against exactly the docs whose wave

@@ -648,6 +648,55 @@ object Similarity {
     sqIndex(delta).unionByName(
       index.join(delta.select("vec_id"), Seq("vec_id"), "left_anti"))
 
+  /** [[upsertSq]] against a SAVED int8 index — load, re-encode the delta
+    * (per-vector quantization: no trained state to freeze), replace by
+    * id, swap the codes table through a staged copy (the `upsertIvfAt`
+    * durability rule). */
+  def upsertSqAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                 delta: DataFrame): Unit = {
+    val merged = upsertSq(loadSqIndex(spark, path), delta)
+    // SIBLING staging dir: the overwrite target is `path` itself, so an
+    // in-dir staging copy would be deleted by the very overwrite that
+    // reads it
+    val tmp = s"$path.__staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Build-once cache for the DECLARED persisted-SQ8 query (q290) — the
+    * persisted lifecycle applied to the scalar-quantized index, completing
+    * the family (IVF q261, IVF-PQ q282, SQ8 here): encode + save the even
+    * wave, [[upsertSqAt]] the odd wave, probe via [[loadSqIndex]] +
+    * [[sqProbe]] ONLY — and the SQ probe is pure integer math over the
+    * 4x-smaller codes, so the serving path touches nothing but the saved
+    * files (no f32 re-rank arm to feed). Per-vector quantization means no
+    * trained artifact to freeze; what the persisted form proves is the
+    * maintenance contract — an upsert equals a fresh encode of the merged
+    * corpus — through storage. */
+  def ensurePersistedSq(spark: org.apache.spark.sql.SparkSession,
+                        embeddings: DataFrame, sfDir: String): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-sqidx-" +
+      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|v1")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index = s"$base/index"
+    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
+    if (fs.exists(marker)) return index
+    graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+        saveSqIndex(sqIndex(w0), index)
+        upsertSqAt(spark, index, w1)
+        fs.create(marker, true).close()
+      }
+    }
+    index
+  }
+
   /** Incremental binary-quantization maintenance: sign sketches are
     * per-vector too — same replace-by-id contract, exactly equal to a full
     * rebuild on the merged corpus. */

@@ -142,6 +142,8 @@ object PlanAudit {
     "q29_ann_lsh" -> (1, "query bucket table, |queries| x numTables rows"),
     "q44_ann_rp" -> (2, "query bucket table + query batch"),
     "q46_ann_sq8" -> (1, "quantized query batch"),
+    "q290_ann_sq8_persisted" -> (1,
+      "quantized query batch (q46's frame; corpus side reads saved codes)"),
     "q56_ann_bq" -> (2, "query sign-sketches + query batch (re-rank)"),
     "q67_ann_rp_sq8" -> (2, "query bucket table + quantized query batch"),
     "q76_ann_pq" -> (2, "query ADC lookup tables + query batch (re-rank)"),

@@ -578,6 +578,28 @@ class SimilaritySpec extends AnyFunSuite {
     assert(after == files)
   }
 
+  test("ensurePersistedSq (q290): two-wave persisted codes equal a one-shot full-corpus encode; build-once") {
+    val dir = Similarity.ensurePersistedSq(spark, emb, TestSpark.sf0001)
+    val loaded = Similarity.loadSqIndex(spark, dir)
+    // the upsert contract THROUGH storage: wave-0-save + wave-1-upsert
+    // codes equal a fresh one-shot encode of the full corpus
+    def codeMap(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Seq[Byte], Long)].collect()
+        .map(r => r._1 -> ((r._2, r._3))).toMap
+    val oneShot = codeMap(Similarity.sqIndex(emb))
+    assert(codeMap(loaded) == oneShot)
+    // probe from storage only (integer-dot cosine over stored codes)
+    val a = Similarity.sqProbe(loaded, queries, 3).collect().map(_.toString).sorted
+    val b = Similarity.sqTopK(emb, queries, 3).collect().map(_.toString).sorted
+    assert(a.sameElements(b) && a.nonEmpty)
+    // build-once: marker short-circuit leaves the stored files untouched
+    val files = new java.io.File(dir).listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet
+    assert(Similarity.ensurePersistedSq(spark, emb, TestSpark.sf0001) == dir)
+    assert(new java.io.File(dir).listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet == files)
+  }
+
   test("deleteIvfAt (q287): erasure leg — deleted ids unretrievable, untouched cells unrewritten, emptied cells removed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfdel").toString + "/idx"
     Similarity.detIvfIndex(emb, 8).save(dir)
