@@ -1793,6 +1793,19 @@ object SparkEntry {
           col("embedding").as("query_embedding"))
       Similarity.sqProbe(Similarity.loadSqIndex(s, path), q, 3)
     }),
+    // extension: the persisted BQ lifecycle — the last index type (IVF
+    // q261, IVF-PQ q282, SQ8 q290, BQ here): sketch + save the even wave,
+    // upsertBqAt the odd wave; the Hamming shortlist scans ONLY the stored
+    // 8-byte codes, the exact re-rank reads shortlist x queries embedding
+    // rows by id (BQ stores no vectors — that is its memory story)
+    "q291_ann_bq_persisted" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedBq(s, e, dir)
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Similarity.bqProbe(Similarity.loadBqIndex(s, path), e, q, 3)
+    }),
     // extension: the ERASURE leg of the persisted-index lifecycle — q261's
     // build+upsert followed by deleteIvfAt of every vec_id % 5 == 3
     // (partition-pruned rewrite, frozen centroids — no refit), probed from
@@ -2429,6 +2442,7 @@ FROM occ CROSS JOIN t ORDER BY k_occ DESC, vec_id LIMIT 20"""
     // two-wave index's codes equal a one-shot encode of the full corpus
     // (upsertSq's contract) and the q46 oracle applies verbatim
     "q290_ann_sq8_persisted" -> oracleSqlBase("q46_ann_sq8"),
+    "q291_ann_bq_persisted" -> oracleSqlBase("q56_ann_bq"),
     // q283: the q181 novelty chain under WAVE-ORDERED first occurrence —
     // the streamed landing is deterministic (wave = doc_id % 2, one batch
     // per wave), so a doc is scored against exactly the docs whose wave

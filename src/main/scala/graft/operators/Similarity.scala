@@ -1524,6 +1524,52 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  /** [[upsertBq]] against a SAVED binary-quantization index — the
+    * [[upsertSqAt]] contract for the sign-sketch codes (per-vector, no
+    * trained state; sibling staging dir). */
+  def upsertBqAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                 delta: DataFrame, numBits: Int = 63): Unit = {
+    val merged = upsertBq(loadBqIndex(spark, path), delta, numBits)
+    val tmp = s"$path.__staging"
+    merged.write.mode("overwrite").parquet(tmp)
+    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Build-once cache for the DECLARED persisted-BQ query (q291) — the
+    * last index type to get the persisted lifecycle (IVF q261, IVF-PQ
+    * q282, SQ8 q290, BQ here): sketch + save the even wave, [[upsertBqAt]]
+    * the odd wave, probe via [[loadBqIndex]] + [[bqProbe]]. The Hamming
+    * shortlist scan touches ONLY the stored 8-byte codes (32x less than
+    * f32); the exact re-rank then reads the shortlist's embeddings from
+    * the corpus table by id — shortlist x queries point-lookups, the one
+    * arm of this index that is corpus-resident by design (BQ stores no
+    * vectors; that is its entire memory story). */
+  def ensurePersistedBq(spark: org.apache.spark.sql.SparkSession,
+                        embeddings: DataFrame, sfDir: String,
+                        numBits: Int = 63): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-bqidx-" +
+      graft.TmpCache.dirKey(
+        s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$numBits|v1")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index = s"$base/index"
+    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
+    if (fs.exists(marker)) return index
+    graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+        saveBqIndex(bqIndex(w0, numBits), index)
+        upsertBqAt(spark, index, w1, numBits)
+        fs.create(marker, true).close()
+      }
+    }
+    index
+  }
+
   /** Probe a SAVED IVF-PQ pair — the serving path of the persisted
     * lifecycle (q282): coarse cells from the loaded f32 centroid table
     * (the `ivfProbe` probe rule: f32-rounded normalized queries against

@@ -144,6 +144,8 @@ object PlanAudit {
     "q46_ann_sq8" -> (1, "quantized query batch"),
     "q290_ann_sq8_persisted" -> (1,
       "quantized query batch (q46's frame; corpus side reads saved codes)"),
+    "q291_ann_bq_persisted" -> (2,
+      "query sign-sketches + query batch (q56's frames; code scan reads saved index)"),
     "q56_ann_bq" -> (2, "query sign-sketches + query batch (re-rank)"),
     "q67_ann_rp_sq8" -> (2, "query bucket table + quantized query batch"),
     "q76_ann_pq" -> (2, "query ADC lookup tables + query batch (re-rank)"),

@@ -600,6 +600,18 @@ class SimilaritySpec extends AnyFunSuite {
       .map(f => (f.getName, f.lastModified)).toSet == files)
   }
 
+  test("ensurePersistedBq (q291): two-wave persisted sign codes equal a one-shot encode; probe parity; build-once") {
+    val dir = Similarity.ensurePersistedBq(spark, emb, TestSpark.sf0001)
+    val loaded = Similarity.loadBqIndex(spark, dir)
+    val oneShot = Similarity.bqIndex(emb).as[(Long, Long)].collect().toMap
+    assert(loaded.as[(Long, Long)].collect().toMap == oneShot)
+    val a = Similarity.bqProbe(loaded, emb, queries, 3)
+      .collect().map(_.toString).sorted
+    val b = Similarity.bqTopK(emb, queries, 3).collect().map(_.toString).sorted
+    assert(a.sameElements(b) && a.nonEmpty)
+    assert(Similarity.ensurePersistedBq(spark, emb, TestSpark.sf0001) == dir)
+  }
+
   test("deleteIvfAt (q287): erasure leg — deleted ids unretrievable, untouched cells unrewritten, emptied cells removed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfdel").toString + "/idx"
     Similarity.detIvfIndex(emb, 8).save(dir)
