@@ -577,11 +577,21 @@ object Similarity {
     * whose every vector is deleted gets its partition REMOVED explicitly:
     * dynamic partition overwrite only rewrites partitions present in the
     * staged frame, so an emptied cell would otherwise keep serving its
-    * stale rows. */
+    * stale rows — and the removal runs BEFORE the overwrite so a crash
+    * between the two steps fails CLOSED (deleted ids already gone; a
+    * rerun restores the surviving rows from the staged copy's lineage —
+    * both orders converge on retry, but overwrite-first would leave the
+    * emptied partitions serving deleted ids until the retry happens, a
+    * silent right-to-erasure violation). A delete that would empty the
+    * ENTIRE index fails loudly instead: the next load would otherwise
+    * die on parquet schema inference over a part-less directory, far
+    * from the cause. */
   def deleteIvfAt(spark: org.apache.spark.sql.SparkSession, path: String,
                   ids: DataFrame): Unit = {
     val idx = loadIvfIndex(spark, path)
-    // bounded collect: cell domain is nLists by construction
+    // bounded collects: cell domain is nLists by construction
+    val allCells = idx.assignments.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
     val touched = idx.assignments
       .join(broadcast(ids.select("vec_id")), Seq("vec_id"))
       .select("cell").distinct().collect().map(_.getInt(0)).toSeq
@@ -592,17 +602,20 @@ object Similarity {
     val tmp = s"$path/assignments__staging"
     kept.write.mode("overwrite").parquet(tmp)
     val staged = spark.read.parquet(tmp)
-    staged.write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(s"$path/assignments")
     val survivors = staged.select("cell").distinct()
       .collect().map(_.getInt(0)).toSet
+    require(survivors.nonEmpty || (allCells -- touched).nonEmpty,
+      s"deleteIvfAt would empty the entire index at $path — refusing " +
+        "(drop the index directory instead if that is intended)")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     touched.filterNot(survivors).foreach { c =>
       fs.delete(new org.apache.hadoop.fs.Path(
         s"$path/assignments/cell=$c"), true)
     }
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(s"$path/assignments")
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
@@ -616,10 +629,15 @@ object Similarity {
     * assignment pass, not a second Lloyd run. */
   def ensurePersistedDetIvfDeleted(spark: org.apache.spark.sql.SparkSession,
                                    embeddings: DataFrame, sfDir: String,
-                                   nLists: Int = 8, iters: Int = 3): String = {
+                                   nLists: Int = 8, iters: Int = 3,
+                                   delMod: Int = 5, delRes: Int = 3): String = {
+    // every semantic parameter lives in the key material (the
+    // $nLists|$iters convention) — including the delete predicate, so a
+    // predicate change can never serve a stale deleted-set from cache
     val base = s"${System.getProperty("java.io.tmpdir")}/graft-detivfdel-" +
       graft.TmpCache.dirKey(
-        s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|v1")
+        s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|" +
+          s"del=mod${delMod}eq$delRes|v1")
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val index = s"$base/index"
@@ -632,7 +650,7 @@ object Similarity {
         detIvfIndex(w0, nLists, iters).save(index)
         upsertIvfAt(spark, index, w1)
         deleteIvfAt(spark, index,
-          embeddings.filter(pmod(col("vec_id"), lit(5)) === 3)
+          embeddings.filter(pmod(col("vec_id"), lit(delMod)) === delRes)
             .select("vec_id"))
         fs.create(marker, true).close()
       }

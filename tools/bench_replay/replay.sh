@@ -25,6 +25,13 @@ set -euo pipefail
 A_REF=${1:?usage: replay.sh <commitA> <commitB> [legs] [sfDir] [out]}
 B_REF=${2:?usage: replay.sh <commitA> <commitB> [legs] [sfDir] [out]}
 LEGS=${3:-8}
+# pattern() below is A/B-balanced only for even leg counts: an odd count
+# would hand one tree an extra timed leg via the plain-alternation
+# remainder — exactly the systematic bias the pairing exists to cancel.
+if [ $((LEGS % 2)) -ne 0 ]; then
+  echo "error: legs must be even (got $LEGS)" >&2
+  exit 1
+fi
 SFDIR=${4:-/root/testdata/sf0.1}
 OUT=${5:-tools/bench_replay/replay_out}
 REPO=$(git rev-parse --show-toplevel)
@@ -115,4 +122,24 @@ for tag in $(pattern "$LEGS"); do
 done
 
 python3 "$(dirname "$0")/pair_ratios.py" "$OUT" "$A_REF" "$B_REF"
+
+# Emit the artifact README FROM the artifacts (the gen_validation_readme
+# lesson: hand-written descriptions drift — r16's claimed the logs were
+# not committed while git carried them). The README lists exactly the
+# files present; which of them get committed is the committer's choice,
+# and the README makes no claim about it.
+{
+  echo "# Paired bench replay"
+  echo
+  echo "Command: replay.sh $A_REF $B_REF $LEGS $SFDIR $OUT"
+  echo "A = $A_REF ($(git -C "$REPO" rev-parse --short "$A_REF^{commit}"))"
+  echo "B = $B_REF ($(git -C "$REPO" rev-parse --short "$B_REF^{commit}"))"
+  echo "Pattern: ABBA/BAAB blocks, $LEGS timed legs + 1 untimed warm-up"
+  echo "leg per tree (warmup_{A,B}.json). Verdict: REPLAY.json"
+  echo "(paired median(B)/median(A) over the common queries, min-of-legs"
+  echo "per query per tree)."
+  echo
+  echo "Files in this directory when the run finished:"
+  ls "$OUT" | sed 's/^/- /'
+} > "$OUT/README.md"
 echo "done: $OUT/REPLAY.json" >&2
