@@ -769,6 +769,72 @@ object Engine {
         col("rnk_lex"), round(col("rrf"), 6).as("rrf"))
   }
 
+  /** Hybrid search served ENTIRELY from maintained artifacts — the
+    * composition a production deployment actually runs at 100 TB, where
+    * neither leg can afford a from-scratch build at query time:
+    *
+    *   - vector leg: [[graft.operators.Similarity.ivfPqProbe]] over a
+    *     PERSISTED IVF-PQ index (frozen coarse centroids + codebooks,
+    *     loaded from storage — the `ensurePersistedIvfPq` lifecycle);
+    *   - lexical leg: a caller-supplied scorer over a MAINTAINED inverted
+    *     index (the streamed, compacted lex state's `bm25Indexed` reader —
+    *     passed as a function so this serving façade does not depend on
+    *     the streaming module), one term set per query;
+    *   - fusion: the `hybridSearch` RRF tail — each leg ranks its top
+    *     `nLeg` independently (GroupedTopK shapes, so only
+    *     2 × nLeg × |queries| rows survive to the fusion), then
+    *     `rrf = 1/(kRrf + rnk_vec) + 1/(kRrf + rnk_lex)` with a missing
+    *     leg contributing 0.
+    *
+    * The two legs address one catalog: `vec_id` in the vector index and
+    * `doc_id` in the lexical index name the same document. Per-query cost
+    * is (corpus/nLists × nProbe) code rows + the query terms' postings —
+    * nothing is refit and the corpus never shuffles. Deterministic
+    * end-to-end (detKMeans cells, fixed-order ADC folds, integer-exact
+    * BM25 stats), so the whole serving path is hash-oracled.
+    * Output: (query_id, doc_id, rnk_vec, rnk_lex, rrf) top-k per query by
+    * (rrf desc, doc_id asc). */
+  def hybridServing(coarse: graft.operators.Similarity.IvfIndex,
+                    pq: graft.operators.Similarity.PqIndex,
+                    queries: DataFrame,
+                    termsByQuery: Seq[(Long, Seq[String])],
+                    lexLeg: Seq[String] => DataFrame,
+                    k: Int = 5, nLeg: Int = 10, kRrf: Int = 60,
+                    nProbe: Int = 3, shortlist: Int = 64): DataFrame = {
+    require(termsByQuery.nonEmpty, "need at least one (query_id, terms) set")
+    val vec = graft.operators.Similarity
+      .ivfPqProbe(coarse, pq, queries, nLeg, nProbe, shortlist)
+      .select(col("query_id"), col("vec_id").as("doc_id"),
+        col("rnk").cast("int").as("rnk_vec"),
+        lit(null).cast("int").as("rnk_lex"))
+    // one scored frame for all lexical legs, ranked per query through ONE
+    // GroupedTopK (never a per-leg global window); each leg's postings
+    // read is term-pruned by the reader before any row reaches the union
+    val lexScored = termsByQuery.map { case (qid, terms) =>
+      lexLeg(terms).filter(col("bm25") > 0)
+        .select(lit(qid).cast("long").as("query_id"), col("doc_id"),
+          col("bm25"))
+    }.reduce(_ unionByName _)
+    val lex = graft.plans.GroupedTopK(lexScored,
+        Seq(col("query_id")), Seq(desc("bm25"), asc("doc_id")), nLeg)
+      .select(col("query_id"), col("doc_id"),
+        lit(null).cast("int").as("rnk_vec"),
+        col("rank").cast("int").as("rnk_lex"))
+    // fuse by union + tiny groupBy, the hybridSearch rule: the only
+    // full-outer physical strategy is a sort-merge join, and both legs
+    // are already <= nLeg x |queries| rows
+    val fused = vec.unionByName(lex)
+      .groupBy("query_id", "doc_id")
+      .agg(min("rnk_vec").as("rnk_vec"), min("rnk_lex").as("rnk_lex"))
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(kRrf) + col("rnk_vec")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(kRrf) + col("rnk_lex")), lit(0.0)))
+    graft.plans.GroupedTopK(fused,
+        Seq(col("query_id")), Seq(desc("rrf"), asc("doc_id")), k)
+      .select(col("query_id"), col("doc_id"), col("rnk_vec"),
+        col("rnk_lex"), round(col("rrf"), 6).as("rrf"))
+  }
+
   /** GET /health equivalent (main.py:228-253): "healthy" with index stats
     * when the index table is readable, "degraded" with the error otherwise
     * (the reference's missing-index / stats-failure path). */

@@ -34,6 +34,17 @@ object SparkEntry {
     "spark window agg",
     "customer order batch")
 
+  /** q292's hybrid query batch: the vector side of query i is embedding
+    * vec_id = i (the q282 probe convention); the lexical side is this
+    * fixed per-query keyword set (all corpus-vocabulary terms). Shared by
+    * the Spark query and its oracle so the two stay in lockstep. */
+  private val ServingTerms: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("join", "hash"),
+    1L -> Seq("customer", "order"),
+    2L -> Seq("vector", "stream"),
+    3L -> Seq("window", "sort"),
+    4L -> Seq("scan", "filter"))
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     GraftFunctions.register(spark)
@@ -1817,6 +1828,29 @@ object SparkEntry {
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
       Similarity.ivfProbe(Similarity.loadIvfIndex(s, path), q, 3, nProbe = 3)
+    }),
+    // extension: the END-TO-END maintained-stack serving query — the one
+    // shape a real 100 TB deployment runs, composing everything the
+    // persisted/streamed lifecycles built: vector leg = ivfPqProbe over
+    // the PERSISTED IVF-PQ (frozen coarse centroids + codebooks, loaded
+    // from storage), lexical leg = bm25 over the STREAMED 4-wave compacted
+    // lex state (the bm25Indexed reader), fused with hybridSearch's RRF
+    // tail. Nothing is refit at query time; both artifacts answer from
+    // saved/state files only, and the whole path is deterministic, so the
+    // composition is hash-oracled stage for stage
+    "q292_hybrid_serving" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedIvfPq(s, e, dir)
+      val lex = lexStateOf(s, dir)
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Engine.hybridServing(
+        Similarity.loadIvfIndex(s, s"$path/coarse"),
+        Similarity.loadPqIndex(s, s"$path/pq"),
+        q, ServingTerms,
+        terms => graft.streaming.Streams.bm25StreamedAt(s, lex, terms),
+        k = 5, nLeg = 10)
     }),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
@@ -6275,7 +6309,61 @@ FROM a""",
       fitSrc = "nv0",
       extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
       finalSelect = s"""SELECT * FROM (
-  WITH ${pqChainCtes("nv", "nv", fitIds = "nv0")},
+  WITH $persistedIvfPqCtes,
+$pqRerankTail)"""),
+    // q292: the END-TO-END maintained-stack serving oracle — the q282
+    // persisted-IVF-PQ probe chain ranked to nLeg=10 as the vector leg,
+    // the q258 full-scan BM25 twin per query term set as the lexical leg
+    // (bm25Indexed over the streamed compacted lex state returns exactly
+    // the full-scan rows with >= 1 term hit — the StreamingSpec parity
+    // contract), fused with q51's RRF tail per query
+    "q292_hybrid_serving" -> detKmeansOracle(
+      fitSrc = "nv0",
+      extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
+      finalSelect = {
+        val lexCtes = ServingTerms.map { case (qid, terms) =>
+          val (dfCols, tfCols, score) = dkBm25Parts(terms)
+          val anyHit = terms.indices.map(i => s"tf_$i").mkString(" + ")
+          s"""  stats_$qid AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM t),
+  tf_$qid AS (SELECT doc_id, dl, $tfCols FROM t),
+  sc_$qid AS (SELECT doc_id, round($score, 6) AS bm25
+    FROM tf_$qid CROSS JOIN stats_$qid WHERE $anyHit > 0),
+  lx_$qid AS (SELECT doc_id, bm25 FROM sc_$qid WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10),
+  lr_$qid AS (SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+      CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rnk_lex FROM lx_$qid)"""
+        }.mkString(",\n")
+        val lexUnion = ServingTerms
+          .map { case (qid, _) => s"SELECT * FROM lr_$qid" }
+          .mkString(" UNION ALL ")
+        s"""SELECT * FROM (
+  WITH $persistedIvfPqCtes,
+$pqRerankCtes,
+  vecleg AS (SELECT query_id, vec_id AS doc_id, rnk AS rnk_vec FROM xr WHERE rnk <= 10),
+  $dkTok,
+  t AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+$lexCtes,
+  lexleg AS ($lexUnion),
+  legs AS (SELECT query_id, doc_id, rnk_vec, CAST(NULL AS INTEGER) AS rnk_lex FROM vecleg
+    UNION ALL SELECT query_id, doc_id, CAST(NULL AS INTEGER) AS rnk_vec, rnk_lex FROM lexleg),
+  fusedg AS (SELECT query_id, doc_id, min(rnk_vec) AS rnk_vec, min(rnk_lex) AS rnk_lex
+    FROM legs GROUP BY query_id, doc_id),
+  fr AS (SELECT query_id, doc_id, rnk_vec, rnk_lex,
+      coalesce(CAST(1.0 AS DOUBLE) / (60 + rnk_vec), 0.0)
+        + coalesce(CAST(1.0 AS DOUBLE) / (60 + rnk_lex), 0.0) AS rrf FROM fusedg),
+  frk AS (SELECT query_id, doc_id, rnk_vec, rnk_lex, rrf,
+      row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rr FROM fr)
+  SELECT query_id, doc_id, rnk_vec, rnk_lex, round(rrf, 6) AS rrf FROM frk WHERE rr <= 5)"""
+      }))
+
+  /** The persisted-IVF-PQ probe chain shared by q282 and q292's vector
+    * leg (appended to the detKmeansOracle chain with fitSrc = nv0): the
+    * q261 two-wave coarse chain (f32-rounded save, odd-wave upsert against
+    * the frozen f32 centroids, f32 probe) composed with the q76 PQ chain
+    * whose fit sample is bounded to the even wave, ending in `adc`
+    * (query_id, vec_id, adc) over the probed cells of the merged
+    * assignment table — callers append [[pqRerankCtes]]/[[pqRerankTail]]. */
+  private def persistedIvfPqCtes: String =
+    s"""${pqChainCtes("nv", "nv", fitIds = "nv0")},
   c32 AS (SELECT cell, list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c FROM cents3),
   nv1 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 1),
   d1u AS (SELECT n.vec_id, cc.cell,
@@ -6298,8 +6386,7 @@ FROM a""",
   adc AS (SELECT x.query_id, x.vec_id,
       list_sum(list_transform(range(1, ${PqM + 1}), s -> q.lt[s][c.codes[s] + 1])) AS adc
     FROM cand x JOIN codes c ON x.vec_id = c.vec_id
-                JOIN qlt q ON x.query_id = q.query_id),
-$pqRerankTail)"""))
+                JOIN qlt q ON x.query_id = q.query_id)"""
 
   /** The persisted-IVF probe tail shared by q261/q287 (appended to the
     * detKmeansOracle chain with fitSrc = nv0): f32-round the saved
@@ -6426,10 +6513,12 @@ ${subChains.mkString(",\n")},
   qlt AS (SELECT query_id, list(lrow ORDER BY sub) AS lt FROM qlt0 GROUP BY query_id)"""
   }
 
-  /** ADC shortlist + exact-cosine re-rank tail (shared by q76/q80): rank
-    * `adcsrc` (query_id, vec_id, adc) per query, keep the top `PqShortlist`,
-    * re-rank with exact cosine, emit top-3. */
-  private def pqRerankTail: String =
+  /** ADC shortlist + exact-cosine re-rank CTEs (shared by q76/q80/q282 and
+    * the q292 vector leg): rank `adc` (query_id, vec_id, adc) per query,
+    * keep the top `PqShortlist`, re-rank with exact cosine into `xr`
+    * (query_id, vec_id, rnk, score). Callers append their own final
+    * SELECT over `xr`. */
+  private def pqRerankCtes: String =
     s"""  short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
       row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) AS srn FROM adc) WHERE srn <= $PqShortlist),
   xs AS (SELECT sh.query_id, sh.vec_id,
@@ -6442,7 +6531,11 @@ ${subChains.mkString(",\n")},
       CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS score FROM xs),
   xr AS (SELECT query_id, vec_id,
       CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
-      score FROM xsc)
+      score FROM xsc)"""
+
+  /** [[pqRerankCtes]] closed with the top-3 probe SELECT (q76/q80/q282). */
+  private def pqRerankTail: String =
+    s"""$pqRerankCtes
 SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM xr WHERE rnk <= 3"""
 
   private def pqOracle: String =

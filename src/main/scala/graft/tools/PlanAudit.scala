@@ -168,6 +168,11 @@ object PlanAudit {
     // GroupedTopK-bounded
     "q282_ann_ivfpq_persisted" -> (3,
       "persisted centroid table (nLists rows) + query ADC lookup tables + query batch (re-rank)"),
+    // the serving composition's vector leg is exactly q282's probe (same
+    // three bounded frames); the lexical leg's stats/df rows are global
+    // aggregates (structurally bounded) over the term-pruned state read
+    "q292_hybrid_serving" -> (3,
+      "q282's probe frames: persisted centroid table (nLists rows) + query ADC lookup tables + query batch (re-rank)"),
     // the erasure-leg probe reads the same saved centroid table as q261
     "q287_ann_ivf_deleted" -> (1,
       "persisted centroid table, nLists rows by index construction"),

@@ -527,4 +527,58 @@ class EngineSpec extends AnyFunSuite {
     assert(!Engine.search(index, "q", 5).columns.contains("embedding"))
     assert(plan.nonEmpty)
   }
+
+  test("hybridServing: RRF fusion of a persisted-IVF-PQ probe and an injected lex leg equals a hand fusion") {
+    import graft.operators.{Similarity, TextAnalysis}
+    val emb = Tables.embeddings(spark, TestSpark.sf0001)
+      .select("vec_id", "embedding")
+    val docs = Tables.documents(spark, TestSpark.sf0001)
+    val dir = Similarity.ensurePersistedIvfPq(spark, emb, TestSpark.sf0001)
+    val coarse = Similarity.loadIvfIndex(spark, s"$dir/coarse")
+    val pq = Similarity.loadPqIndex(spark, s"$dir/pq")
+    val queries = emb.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"),
+        col("embedding").as("query_embedding"))
+    val termsBy = Seq(0L -> Seq("join", "hash"), 1L -> Seq("customer"))
+    val (k, nLeg, kRrf) = (4, 5, 60)
+    val got = Engine.hybridServing(coarse, pq, queries, termsBy,
+        ts => TextAnalysis.bm25(docs, ts), k = k, nLeg = nLeg)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1),
+        Option(r.get(2)).map(_.asInstanceOf[Int]),
+        Option(r.get(3)).map(_.asInstanceOf[Int]), r.getDouble(4)))
+    assert(got.nonEmpty)
+    // hand fusion from the two legs' own outputs
+    val vecRnk = Similarity.ivfPqProbe(coarse, pq, queries, nLeg)
+      .select("query_id", "vec_id", "rnk").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    val lexRnk = termsBy.flatMap { case (qid, ts) =>
+      TextAnalysis.bm25(docs, ts).filter(col("bm25") > 0)
+        .select("doc_id", "bm25").collect()
+        .map(r => (r.getLong(0), r.getDouble(1)))
+        .sortBy { case (id, s) => (-s, id) }.take(nLeg).zipWithIndex
+        .map { case ((id, _), i) => (qid, id) -> (i + 1) }
+    }.toMap
+    val expected = (vecRnk.keySet ++ lexRnk.keySet).toSeq.map { key =>
+      val rv = vecRnk.get(key); val rl = lexRnk.get(key)
+      val rrf = rv.map(r => 1.0 / (kRrf + r)).getOrElse(0.0) +
+        rl.map(r => 1.0 / (kRrf + r)).getOrElse(0.0)
+      (key._1, key._2, rv, rl, rrf)
+    }.groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (-r._5, r._2)).take(k)
+    }.map(r => (r._1, r._2, r._3, r._4,
+      BigDecimal(r._5).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+    assert(got.sorted.sameElements(expected.sorted),
+      s"fusion diverges: got=${got.toSeq.sorted} expected=${expected.sorted}")
+    // both legs contributed somewhere, and a missing leg reads as null
+    assert(got.exists(_._3.isEmpty) || got.exists(_._4.isEmpty))
+    assert(got.exists(r => r._3.nonEmpty && r._4.nonEmpty) ||
+      got.exists(_._3.nonEmpty))
+    // ranking path is GroupedTopK, never a global window
+    val plan = Engine.hybridServing(coarse, pq, queries, termsBy,
+      ts => TextAnalysis.bm25(docs, ts), k = k, nLeg = nLeg)
+      .queryExecution.optimizedPlan
+    assert(graft.tools.PlanAudit.globalWindowFindings(plan).isEmpty,
+      "hybridServing must not plan a SinglePartition window")
+  }
 }
