@@ -1829,6 +1829,43 @@ object SparkEntry {
           col("embedding").as("query_embedding"))
       Similarity.ivfProbe(Similarity.loadIvfIndex(s, path), q, 3, nProbe = 3)
     }),
+    // extension: the erasure leg for the QUANTIZED index family — q287's
+    // convention (build + upsert + delete vec_id % 5 == 3, probe from
+    // saved files only) applied to each persisted code table, so deleted
+    // ids are unretrievable from EVERY index type, not just the f32 IVF.
+    // SQ8: codes purged, probe is pure integer math over the survivors
+    "q293_ann_sq8_deleted" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedSqDeleted(s, e, dir)
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Similarity.sqProbe(Similarity.loadSqIndex(s, path), q, 3)
+    }),
+    // BQ: sign sketches purged; the Hamming shortlist scans only surviving
+    // codes, so a deleted id never reaches the corpus-side re-rank
+    "q294_ann_bq_deleted" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedBqDeleted(s, e, dir)
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Similarity.bqProbe(Similarity.loadBqIndex(s, path), e, q, 3)
+    }),
+    // IVF-PQ: BOTH saved artifacts purged — deleteIvfAt on the coarse
+    // assignments (candidates + re-rank store), deletePqAt on the codes;
+    // centroids/codebooks stay frozen (no per-vector data, no refit)
+    "q295_ann_ivfpq_deleted" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedIvfPqDeleted(s, e, dir)
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Similarity.ivfPqProbe(
+        Similarity.loadIvfIndex(s, s"$path/coarse"),
+        Similarity.loadPqIndex(s, s"$path/pq"), q, 3,
+        nProbe = 3, shortlist = 64)
+    }),
     // extension: the END-TO-END maintained-stack serving query — the one
     // shape a real 100 TB deployment runs, composing everything the
     // persisted/streamed lifecycles built: vector leg = ivfPqProbe over
@@ -2245,7 +2282,12 @@ SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
     * integer-dot cosine). Shared by q46 (build+probe) and q58 (incremental
     * upsert): per-vector codes make upsert EXACTLY equal a full rebuild, so
     * both queries must match this one full-corpus computation. */
-  private val sqTopKOracle: String = {
+  /** `serveFilter` restricts the CORPUS side of the scan (the stored
+    * codes) — the q293 erasure twin; queries stay unfiltered (probing
+    * with a deleted id's embedding is legal, it just can't be a hit). */
+  private def sqTopKOracle(serveFilter: String = ""): String = {
+    val serve = if (serveFilter.isEmpty) "ic"
+      else s"(SELECT * FROM ic WHERE $serveFilter)"
     val codes = (e: String) =>
       s"""list_transform($e, x -> CASE WHEN sc <= 0.0 OR isnan(sc) OR isinf(sc)
           THEN CAST(0 AS TINYINT)
@@ -2261,7 +2303,7 @@ SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
       ${idot("e.codes", "q.qcodes")} AS dot,
       ${idot("e.codes", "e.codes")} AS na,
       ${idot("q.qcodes", "q.qcodes")} AS nb
-    FROM ic e CROSS JOIN qc q),
+    FROM $serve e CROSS JOIN qc q),
   sc2 AS (SELECT query_id, vec_id,
       CASE WHEN na = 0 OR nb = 0 THEN 0.0
            ELSE dot / (sqrt(CAST(na AS DOUBLE)) * sqrt(CAST(nb AS DOUBLE))) END AS score FROM s),
@@ -2277,8 +2319,11 @@ SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
     * (hd asc, vec_id asc) tie order, exact cosine re-rank). The JVM decides
     * each bit with `dot >= 0.0` (false for NaN); DuckDB orders NaN above all
     * values, so NaN is guarded explicitly. Shared by q56 (build+probe) and
-    * q59 (incremental upsert — per-vector sketches make upsert == rebuild). */
-  private lazy val bqTopKOracle: String =
+    * q59 (incremental upsert — per-vector sketches make upsert == rebuild).
+    * `serveFilter` restricts the stored-code side (the q294 erasure twin). */
+  private def bqTopKOracle(serveFilter: String = ""): String = {
+    val serve = if (serveFilter.isEmpty) "codes"
+      else s"(SELECT * FROM codes WHERE $serveFilter)"
     s"""WITH ${dkRpWn(63)},
   dots AS (SELECT e.vec_id, w.t,
       list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * w.wv[i])) AS v
@@ -2291,7 +2336,7 @@ SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
   qc AS (SELECT vec_id AS query_id, code AS qcode FROM codes WHERE vec_id < 5),
   hd AS (SELECT q.query_id, c.vec_id,
       CAST(bit_count(xor(c.code, q.qcode)) AS INTEGER) AS hd
-    FROM codes c CROSS JOIN qc q),
+    FROM $serve c CROSS JOIN qc q),
   short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
       row_number() OVER (PARTITION BY query_id ORDER BY hd ASC, vec_id ASC) AS sr
     FROM hd) WHERE sr <= 256),
@@ -2308,6 +2353,7 @@ SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
     CAST(row_number() OVER (PARTITION BY query_id ORDER BY score DESC, vec_id ASC) AS INTEGER) AS rnk,
     score FROM sc)
 SELECT query_id, vec_id, rnk, round(score, 4) AS score FROM r WHERE rnk <= 3"""
+  }
 
   /** DuckDB: deterministic random-projection weights (mirrors
     * `RandProjBuckets.weights`): w[t][i] from sha256("rp:t:i") first 4
@@ -3043,8 +3089,11 @@ FROM documents""",
     // Mirrors Similarity.sqTopK: per-vector symmetric int8 quantization
     // (scale = max|v|/127, half-even rounding) + integer-dot cosine. Shared
     // by q58 (incremental upsert): per-vector codes make upsert == rebuild.
-    "q46_ann_sq8" -> sqTopKOracle,
-    "q58_sq8_upsert" -> sqTopKOracle,
+    "q46_ann_sq8" -> sqTopKOracle(),
+    "q58_sq8_upsert" -> sqTopKOracle(),
+    // the q290 lifecycle + erasure: per-vector quantization means the
+    // persisted/deleted index equals a fresh encode of the SURVIVORS
+    "q293_ann_sq8_deleted" -> sqTopKOracle("vec_id % 5 <> 3"),
     // Mirrors Similarity.rpNearDupPairs: self-join on shared (t, bk),
     // exact cosine verification at 0.3.
     "q45_rp_pairs" ->
@@ -3206,8 +3255,11 @@ GROUP BY t.doc_id""",
     // `dot >= 0.0` (false for NaN); DuckDB orders NaN above all values, so
     // NaN is guarded explicitly to keep the twins bit-identical. Shared by
     // q59 (incremental upsert): per-vector sketches make upsert == rebuild.
-    "q56_ann_bq" -> bqTopKOracle,
-    "q59_bq_upsert" -> bqTopKOracle,
+    "q56_ann_bq" -> bqTopKOracle(),
+    "q59_bq_upsert" -> bqTopKOracle(),
+    // the q291 lifecycle + erasure: the Hamming scan sees only surviving
+    // stored codes, so the shortlist (and hence the re-rank) excludes them
+    "q294_ann_bq_deleted" -> bqTopKOracle("vec_id % 5 <> 3"),
     // Mirrors Engine.hybridSearchMany: q32's vector-leg machinery, ONE
     // BM25 stats/tf pass over the union of every query's keywords, per-query
     // scores in each query's own term order (the f64 addition order both
@@ -6309,7 +6361,17 @@ FROM a""",
       fitSrc = "nv0",
       extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
       finalSelect = s"""SELECT * FROM (
-  WITH $persistedIvfPqCtes,
+  WITH ${persistedIvfPqCtes()},
+$pqRerankTail)"""),
+    // q295: the q282 lifecycle + the erasure leg on both saved artifacts —
+    // deleteIvfAt purges the ids from the coarse assignments (candidate +
+    // re-rank store) and deletePqAt from the codes, so the probe's serve
+    // table is the merged assignments minus the deleted ids
+    "q295_ann_ivfpq_deleted" -> detKmeansOracle(
+      fitSrc = "nv0",
+      extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
+      finalSelect = s"""SELECT * FROM (
+  WITH ${persistedIvfPqCtes(serveFilter = "vec_id % 5 <> 3")},
 $pqRerankTail)"""),
     // q292: the END-TO-END maintained-stack serving oracle — the q282
     // persisted-IVF-PQ probe chain ranked to nLeg=10 as the vector leg,
@@ -6336,7 +6398,7 @@ $pqRerankTail)"""),
           .map { case (qid, _) => s"SELECT * FROM lr_$qid" }
           .mkString(" UNION ALL ")
         s"""SELECT * FROM (
-  WITH $persistedIvfPqCtes,
+  WITH ${persistedIvfPqCtes()},
 $pqRerankCtes,
   vecleg AS (SELECT query_id, vec_id AS doc_id, rnk AS rnk_vec FROM xr WHERE rnk <= 10),
   $dkTok,
@@ -6361,8 +6423,14 @@ $lexCtes,
     * the frozen f32 centroids, f32 probe) composed with the q76 PQ chain
     * whose fit sample is bounded to the even wave, ending in `adc`
     * (query_id, vec_id, adc) over the probed cells of the merged
-    * assignment table — callers append [[pqRerankCtes]]/[[pqRerankTail]]. */
-  private def persistedIvfPqCtes: String =
+    * assignment table — callers append [[pqRerankCtes]]/[[pqRerankTail]].
+    * `serveFilter` restricts the merged assignment table the probe reads
+    * (q295's erasure twin: deleteIvfAt + deletePqAt leave only survivors
+    * as candidates; the oracle needs just the candidate cut, because the
+    * ADC and re-rank stages only ever touch candidate rows). */
+  private def persistedIvfPqCtes(serveFilter: String = ""): String = {
+    val serve = if (serveFilter.isEmpty) "a_all"
+      else s"(SELECT * FROM a_all WHERE $serveFilter)"
     s"""${pqChainCtes("nv", "nv", fitIds = "nv0")},
   c32 AS (SELECT cell, list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c FROM cents3),
   nv1 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 1),
@@ -6382,11 +6450,12 @@ $lexCtes,
       CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS cscore FROM pcs),
   probes AS (SELECT query_id, cell FROM (SELECT query_id, cell,
       row_number() OVER (PARTITION BY query_id ORDER BY cscore DESC, cell ASC) AS pr FROM pcsc) WHERE pr <= 3),
-  cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN a_all a ON a.cell = p.cell),
+  cand AS (SELECT p.query_id, a.vec_id FROM probes p JOIN $serve a ON a.cell = p.cell),
   adc AS (SELECT x.query_id, x.vec_id,
       list_sum(list_transform(range(1, ${PqM + 1}), s -> q.lt[s][c.codes[s] + 1])) AS adc
     FROM cand x JOIN codes c ON x.vec_id = c.vec_id
                 JOIN qlt q ON x.query_id = q.query_id)"""
+  }
 
   /** The persisted-IVF probe tail shared by q261/q287 (appended to the
     * detKmeansOracle chain with fitSrc = nv0): f32-round the saved

@@ -684,6 +684,56 @@ object Similarity {
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
+  /** Shared staged-rewrite DELETE for the flat persisted code tables (SQ8
+    * and BQ are one parquet dir of per-vector rows; PQ's codes subdir has
+    * the same shape): anti-join the ids out, stage to a SIBLING dir (an
+    * in-dir staging copy would be deleted by the very overwrite that
+    * reads it — the `upsertSqAt` rule), refuse a delete that would empty
+    * the index (the `deleteIvfAt` rule: a part-less dir fails the next
+    * load far from the cause), swap. Work ~ one pass over the codes —
+    * there is no partition pruning to exploit on a flat table; the
+    * IVF-family delete (`deleteIvfAt`) is the partition-pruned form. */
+  private def deleteFlatCodesAt(spark: org.apache.spark.sql.SparkSession,
+                                path: String, ids: DataFrame): Unit = {
+    val kept = spark.read.parquet(path)
+      .join(broadcast(ids.select("vec_id")), Seq("vec_id"), "left_anti")
+    val tmp = s"$path.__staging"
+    kept.write.mode("overwrite").parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    require(!staged.isEmpty,
+      s"delete would empty the entire index at $path — refusing " +
+        "(drop the index directory instead if that is intended)")
+    staged.write.mode("overwrite").parquet(path)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** Delete-by-id on a SAVED int8-SQ index — the erasure leg of the
+    * persisted SQ8 lifecycle (q293): per-vector codes mean erasure is one
+    * replace-table rewrite without the ids; deleted codes are REMOVED
+    * from storage (takedown/purge hits the serving index, not just the
+    * primary store), and a subsequent [[sqProbe]] can never return them. */
+  def deleteSqAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                 ids: DataFrame): Unit =
+    deleteFlatCodesAt(spark, path, ids)
+
+  /** Delete-by-id on a SAVED binary-quantization index — [[deleteSqAt]]'s
+    * contract for the sign-sketch codes (q294). */
+  def deleteBqAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                 ids: DataFrame): Unit =
+    deleteFlatCodesAt(spark, path, ids)
+
+  /** Delete-by-id on a SAVED PQ index: purge the ids' rows from the codes
+    * table; the trained codebooks are per-SUBSPACE statistics carrying no
+    * per-vector data, so they stay frozen (same reason upserts ride
+    * them). Pair with [[deleteIvfAt]] on the coarse index for the full
+    * IVF-PQ erasure (q295) — the coarse delete makes the ids
+    * unreachable, this one erases their stored codes. */
+  def deletePqAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                 ids: DataFrame): Unit =
+    deleteFlatCodesAt(spark, s"$path/codes", ids)
+
   /** Build-once cache for the DECLARED persisted-SQ8 query (q290) — the
     * persisted lifecycle applied to the scalar-quantized index, completing
     * the family (IVF q261, IVF-PQ q282, SQ8 here): encode + save the even
@@ -709,6 +759,39 @@ object Similarity {
         val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
         saveSqIndex(sqIndex(w0), index)
         upsertSqAt(spark, index, w1)
+        fs.create(marker, true).close()
+      }
+    }
+    index
+  }
+
+  /** Build-once cache for the DECLARED deleted-SQ8 query (q293): the q290
+    * lifecycle EXTENDED by the erasure leg — encode + save the even wave,
+    * [[upsertSqAt]] the odd wave, [[deleteSqAt]] every
+    * `vec_id % delMod == delRes`, probe via [[loadSqIndex]] + [[sqProbe]]
+    * only. Separate cache dir from q290's index (deleting from the shared
+    * one would corrupt it); the delete predicate lives in the key
+    * material like every other semantic parameter. */
+  def ensurePersistedSqDeleted(spark: org.apache.spark.sql.SparkSession,
+                               embeddings: DataFrame, sfDir: String,
+                               delMod: Int = 5, delRes: Int = 3): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-sqidxdel-" +
+      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
+        s"del=mod${delMod}eq$delRes|v1")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index = s"$base/index"
+    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
+    if (fs.exists(marker)) return index
+    graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+        saveSqIndex(sqIndex(w0), index)
+        upsertSqAt(spark, index, w1)
+        deleteSqAt(spark, index,
+          embeddings.filter(pmod(col("vec_id"), lit(delMod)) === delRes)
+            .select("vec_id"))
         fs.create(marker, true).close()
       }
     }
@@ -1588,6 +1671,40 @@ object Similarity {
     index
   }
 
+  /** Build-once cache for the DECLARED deleted-BQ query (q294): the q291
+    * lifecycle EXTENDED by the erasure leg — sketch + save the even wave,
+    * [[upsertBqAt]] the odd wave, [[deleteBqAt]] every
+    * `vec_id % delMod == delRes`, probe via [[loadBqIndex]] +
+    * [[bqProbe]]. The Hamming shortlist scans only the surviving stored
+    * codes, so a deleted id can never reach the re-rank (which is the arm
+    * that touches the corpus table — BQ stores no vectors). */
+  def ensurePersistedBqDeleted(spark: org.apache.spark.sql.SparkSession,
+                               embeddings: DataFrame, sfDir: String,
+                               numBits: Int = 63, delMod: Int = 5,
+                               delRes: Int = 3): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-bqidxdel-" +
+      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
+        s"$numBits|del=mod${delMod}eq$delRes|v1")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index = s"$base/index"
+    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
+    if (fs.exists(marker)) return index
+    graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+        saveBqIndex(bqIndex(w0, numBits), index)
+        upsertBqAt(spark, index, w1, numBits)
+        deleteBqAt(spark, index,
+          embeddings.filter(pmod(col("vec_id"), lit(delMod)) === delRes)
+            .select("vec_id"))
+        fs.create(marker, true).close()
+      }
+    }
+    index
+  }
+
   /** Probe a SAVED IVF-PQ pair — the serving path of the persisted
     * lifecycle (q282): coarse cells from the loaded f32 centroid table
     * (the `ivfProbe` probe rule: f32-rounded normalized queries against
@@ -1670,6 +1787,47 @@ object Similarity {
         pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
         upsertIvfAt(spark, s"$index/coarse", w1)
         upsertPqAt(spark, s"$index/pq", w1)
+        fs.create(marker, true).close()
+      }
+    }
+    index
+  }
+
+  /** Build-once cache for the DECLARED deleted-IVF-PQ query (q295): the
+    * q282 lifecycle EXTENDED by the erasure leg on BOTH saved artifacts —
+    * [[deleteIvfAt]] purges the ids from the coarse assignments
+    * (partition-pruned rewrite; makes them unreachable as probe
+    * candidates AND erases their stored f32 embeddings — the re-rank
+    * store), [[deletePqAt]] purges their quantized codes. Centroids and
+    * codebooks stay frozen: trained per-cell/per-subspace statistics
+    * carry no per-vector data, so a takedown never forces a refit. */
+  def ensurePersistedIvfPqDeleted(spark: org.apache.spark.sql.SparkSession,
+                                  embeddings: DataFrame, sfDir: String,
+                                  nLists: Int = 8, kmIters: Int = 3,
+                                  m: Int = 16, ksub: Int = 16,
+                                  pqIters: Int = 2, delMod: Int = 5,
+                                  delRes: Int = 3): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpqdel-" +
+      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
+        s"$nLists|$kmIters|$m|$ksub|$pqIters|del=mod${delMod}eq$delRes|v1")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index = s"$base/index"
+    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
+    if (fs.exists(marker)) return index
+    graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+        detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
+        pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
+        upsertIvfAt(spark, s"$index/coarse", w1)
+        upsertPqAt(spark, s"$index/pq", w1)
+        val del = embeddings
+          .filter(pmod(col("vec_id"), lit(delMod)) === delRes)
+          .select("vec_id")
+        deleteIvfAt(spark, s"$index/coarse", del)
+        deletePqAt(spark, s"$index/pq", del)
         fs.create(marker, true).close()
       }
     }

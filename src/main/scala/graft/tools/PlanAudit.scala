@@ -176,6 +176,13 @@ object PlanAudit {
     // the erasure-leg probe reads the same saved centroid table as q261
     "q287_ann_ivf_deleted" -> (1,
       "persisted centroid table, nLists rows by index construction"),
+    // the quantized erasure legs probe exactly like their persisted twins
+    "q293_ann_sq8_deleted" -> (1,
+      "quantized query batch (q290's frame; corpus side reads saved survivors)"),
+    "q294_ann_bq_deleted" -> (2,
+      "query sign-sketches + query batch (q291's frames; code scan reads saved survivors)"),
+    "q295_ann_ivfpq_deleted" -> (3,
+      "q282's probe frames over the post-delete saved artifacts"),
     // the maintained CMS grid is the q222 frame read from state parquet:
     // d*w <= 256k cells by require(), parameter-bounded at any SF
     "q285_cms_topk_stream" -> (1,

@@ -612,6 +612,53 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ensurePersistedBq(spark, emb, TestSpark.sf0001) == dir)
   }
 
+  test("deleteSqAt/deleteBqAt/deletePqAt (q293-q295): quantized erasure — codes physically purged, probes never return deleted ids, empty-index refused") {
+    import org.apache.commons.io.FileUtils
+    val toDelete = emb.filter($"vec_id" % 5 === 3).select("vec_id")
+    val delIds = toDelete.as[Long].collect().toSet
+    assert(delIds.nonEmpty)
+    // SQ8: purge, then the stored table equals a fresh encode of survivors
+    val sqDir = java.nio.file.Files.createTempDirectory("graft_sqdel").toString + "/idx"
+    Similarity.saveSqIndex(Similarity.sqIndex(emb), sqDir)
+    Similarity.deleteSqAt(spark, sqDir, toDelete)
+    val sqLoaded = Similarity.loadSqIndex(spark, sqDir)
+    assert(sqLoaded.filter($"vec_id".isin(delIds.toSeq: _*)).count() == 0)
+    val sqFresh = Similarity.sqIndex(emb.filter($"vec_id" % 5 =!= 3))
+    assert(sqLoaded.count() == sqFresh.count())
+    val sqHits = Similarity.sqProbe(sqLoaded, queries, 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(sqHits.nonEmpty && sqHits.intersect(delIds).isEmpty)
+    // a delete of EVERYTHING is refused, and the index stays loadable
+    intercept[IllegalArgumentException](
+      Similarity.deleteSqAt(spark, sqDir, emb.select("vec_id")))
+    assert(Similarity.loadSqIndex(spark, sqDir).count() == sqFresh.count())
+    FileUtils.deleteQuietly(new java.io.File(sqDir).getParentFile)
+    // BQ: purge, Hamming shortlist can only see survivors
+    val bqDir = java.nio.file.Files.createTempDirectory("graft_bqdel").toString + "/idx"
+    Similarity.saveBqIndex(Similarity.bqIndex(emb), bqDir)
+    Similarity.deleteBqAt(spark, bqDir, toDelete)
+    val bqLoaded = Similarity.loadBqIndex(spark, bqDir)
+    assert(bqLoaded.filter($"vec_id".isin(delIds.toSeq: _*)).count() == 0)
+    val bqHits = Similarity.bqProbe(bqLoaded, emb, queries, 3)
+      .select("vec_id").as[Long].collect().toSet
+    assert(bqHits.nonEmpty && bqHits.intersect(delIds).isEmpty)
+    FileUtils.deleteQuietly(new java.io.File(bqDir).getParentFile)
+    // PQ: codes purged, codebooks untouched (frozen trained state)
+    val pqDir = java.nio.file.Files.createTempDirectory("graft_pqdel").toString + "/idx"
+    val builtPq = Similarity.pqIndex(emb)
+    builtPq.save(pqDir)
+    val bookStamp = new java.io.File(s"$pqDir/codebooks").listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet
+    Similarity.deletePqAt(spark, pqDir, toDelete)
+    val pqLoaded = Similarity.loadPqIndex(spark, pqDir)
+    assert(pqLoaded.codes.filter($"vec_id".isin(delIds.toSeq: _*)).count() == 0)
+    assert(pqLoaded.codes.count() == emb.count() - delIds.size)
+    assert(new java.io.File(s"$pqDir/codebooks").listFiles()
+      .map(f => (f.getName, f.lastModified)).toSet == bookStamp,
+      "codebooks must not be rewritten by a codes delete")
+    FileUtils.deleteQuietly(new java.io.File(pqDir).getParentFile)
+  }
+
   test("deleteIvfAt (q287): erasure leg — deleted ids unretrievable, untouched cells unrewritten, emptied cells removed") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfdel").toString + "/idx"
     Similarity.detIvfIndex(emb, 8).save(dir)
