@@ -1889,6 +1889,31 @@ object SparkEntry {
         terms => graft.streaming.Streams.bm25StreamedAt(s, lex, terms),
         k = 5, nLeg = 10)
     }),
+    // extension: the persisted-IVF MAINTENANCE pair — the operational
+    // story the streamed states got in r16 (compactEpochs), now for the
+    // persisted index. q296: ivfCellStats over an index that has seen a
+    // fit + TWO upsert waves + compactIvfAt — the skew monitor an
+    // operator reads to decide when to retrain (n_vectors/share are
+    // hash-oracled; n_files/bytes are storage-layout, pinned in
+    // SimilaritySpec instead)
+    "q296_ivf_cell_stats" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedDetIvfMaintained(s, e, dir)
+      Similarity.ivfCellStats(s, path).select("cell", "n_vectors", "share")
+    }),
+    // q297: the probe over that same ≥3-wave + compacted index must
+    // hash-match q261's two-wave oracle verbatim — assignment is
+    // per-vector against the frozen saved centroids, so neither the split
+    // upsert history nor the file-layout rewrite may change anything an
+    // operator can observe
+    "q297_ann_ivf_maintained" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedDetIvfMaintained(s, e, dir)
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Similarity.ivfProbe(Similarity.loadIvfIndex(s, path), q, 3, nProbe = 3)
+    }),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
     "q254_langid_confusion" -> ((s, dir) =>
@@ -6349,6 +6374,25 @@ FROM a""",
       fitSrc = "nv0",
       extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
       finalSelect = persistedIvfProbeSql(serveFilter = "vec_id % 5 <> 3")),
+    // q296: per-cell counts/shares of the maintained index — its content
+    // equals q261's merged assignment table (a_all), whatever the upsert
+    // history or file layout
+    "q296_ivf_cell_stats" -> detKmeansOracle(
+      fitSrc = "nv0",
+      extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
+      finalSelect = s"""SELECT * FROM (
+  WITH $persistedIvfAssignCtes,
+  tot AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM a_all)
+  SELECT cell, count(*) AS n_vectors,
+    round(count(*) / any_value(t.n), 6) AS share
+  FROM a_all CROSS JOIN tot t GROUP BY cell)"""),
+    // q297: the ≥3-wave + compacted lifecycle must reproduce q261's
+    // two-wave oracle verbatim (same fit wave, same frozen centroids,
+    // per-vector assignment — history-invariant by construction)
+    "q297_ann_ivf_maintained" -> detKmeansOracle(
+      fitSrc = "nv0",
+      extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
+      finalSelect = persistedIvfProbeSql()),
     // q282: the PERSISTED IVF-PQ lifecycle, stage for stage — q261's
     // two-wave coarse chain (Lloyd fit on the even wave, f32-rounded save,
     // odd-wave upsert against the frozen f32 centroids, f32 probe)
@@ -6432,14 +6476,7 @@ $lexCtes,
     val serve = if (serveFilter.isEmpty) "a_all"
       else s"(SELECT * FROM a_all WHERE $serveFilter)"
     s"""${pqChainCtes("nv", "nv", fitIds = "nv0")},
-  c32 AS (SELECT cell, list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c FROM cents3),
-  nv1 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 1),
-  d1u AS (SELECT n.vec_id, cc.cell,
-      list_sum(list_transform(range(1, 65), i -> (n.nv[i] - cc.c[i]) * (n.nv[i] - cc.c[i]))) AS d2
-    FROM nv1 n CROSS JOIN c32 cc),
-  a1u AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
-      row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM d1u) WHERE rn = 1),
-  a_all AS (SELECT vec_id, cell FROM a_fin UNION ALL SELECT vec_id, cell FROM a1u),
+  $persistedIvfAssignCtes,
   q32 AS (SELECT vec_id AS query_id, list_transform(nv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS q FROM nv_q),
   pcs AS (SELECT q.query_id, cc.cell,
       list_sum(list_transform(range(1, 65), i -> q.q[i] * cc.c[i])) AS dot,
@@ -6466,18 +6503,27 @@ $lexCtes,
     * f32-rounded normalized queries against c32, top-3 cells
     * (cscore DESC, cell ASC), exact cosine over the raw stored
     * embeddings of candidate cells. */
-  private def persistedIvfProbeSql(serveFilter: String = ""): String = {
-    val serve = if (serveFilter.isEmpty) "a_all"
-      else s"(SELECT * FROM a_all WHERE $serveFilter)"
-    s"""SELECT * FROM (
-  WITH c32 AS (SELECT cell, list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c FROM cents3),
+  /** The merged-assignment construction shared by the persisted-IVF
+    * oracles (q261/q287/q296/q297): f32-round the saved centroids (c32 —
+    * the `.toFloat` of IvfIndex.save), assign the odd wave against them
+    * in exact f64 (a1u — upsertIvfAt), union with the wave-0 assignments
+    * into `a_all` — the saved table's content, however many upsert waves
+    * delivered it. */
+  private def persistedIvfAssignCtes: String =
+    s"""c32 AS (SELECT cell, list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c FROM cents3),
   nv1 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 1),
   d1u AS (SELECT n.vec_id, cc.cell,
       list_sum(list_transform(range(1, 65), i -> (n.nv[i] - cc.c[i]) * (n.nv[i] - cc.c[i]))) AS d2
     FROM nv1 n CROSS JOIN c32 cc),
   a1u AS (SELECT vec_id, cell FROM (SELECT vec_id, cell,
       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM d1u) WHERE rn = 1),
-  a_all AS (SELECT vec_id, cell FROM a_fin UNION ALL SELECT vec_id, cell FROM a1u),
+  a_all AS (SELECT vec_id, cell FROM a_fin UNION ALL SELECT vec_id, cell FROM a1u)"""
+
+  private def persistedIvfProbeSql(serveFilter: String = ""): String = {
+    val serve = if (serveFilter.isEmpty) "a_all"
+      else s"(SELECT * FROM a_all WHERE $serveFilter)"
+    s"""SELECT * FROM (
+  WITH $persistedIvfAssignCtes,
   q32 AS (SELECT vec_id AS query_id, list_transform(nv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS q FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,
       list_sum(list_transform(range(1, 65), i -> q.q[i] * cc.c[i])) AS dot,

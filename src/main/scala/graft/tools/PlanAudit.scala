@@ -176,6 +176,9 @@ object PlanAudit {
     // the erasure-leg probe reads the same saved centroid table as q261
     "q287_ann_ivf_deleted" -> (1,
       "persisted centroid table, nLists rows by index construction"),
+    // the maintained-lifecycle probe reads the same saved centroid table
+    "q297_ann_ivf_maintained" -> (1,
+      "persisted centroid table, nLists rows by index construction"),
     // the quantized erasure legs probe exactly like their persisted twins
     "q293_ann_sq8_deleted" -> (1,
       "quantized query batch (q290's frame; corpus side reads saved survivors)"),

@@ -612,6 +612,40 @@ class SimilaritySpec extends AnyFunSuite {
     assert(Similarity.ensurePersistedBq(spark, emb, TestSpark.sf0001) == dir)
   }
 
+  test("compactIvfAt + ivfCellStats (q296/q297): multi-upsert fragmentation observed, compaction to one file per cell, probes byte-identical") {
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfmnt").toString + "/idx"
+    // fit on the even wave, then two separate upsert waves — each appends
+    // its own file generation into the touched cell partitions
+    Similarity.detIvfIndex(emb.filter($"vec_id" % 2 === 0), 8).save(dir)
+    Similarity.upsertIvfAt(spark, dir, emb.filter($"vec_id" % 4 === 1))
+    Similarity.upsertIvfAt(spark, dir, emb.filter($"vec_id" % 4 === 3))
+    val before = Similarity.ivfCellStats(spark, dir).collect()
+    assert(before.nonEmpty)
+    // the monitor sees the fragmentation a compactor exists to fix
+    assert(before.exists(_.getAs[Int]("n_files") > 1),
+      "multi-wave upserts must leave multi-file cells for the monitor to report")
+    // shares sum to 1 and counts cover the corpus
+    assert(before.map(_.getAs[Long]("n_vectors")).sum == emb.count())
+    val probeBefore = Similarity.ivfProbe(
+      Similarity.loadIvfIndex(spark, dir), queries, 3, nProbe = 3)
+      .collect().map(_.toString).sorted
+    Similarity.compactIvfAt(spark, dir)
+    val after = Similarity.ivfCellStats(spark, dir).collect()
+    // one file per cell, content untouched (counts AND probe results)
+    assert(after.forall(_.getAs[Int]("n_files") == 1),
+      s"compaction must leave one file per cell: ${after.mkString(",")}")
+    assert(after.map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_vectors"))).toSeq.sorted ==
+      before.map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_vectors"))).toSeq.sorted)
+    val probeAfter = Similarity.ivfProbe(
+      Similarity.loadIvfIndex(spark, dir), queries, 3, nProbe = 3)
+      .collect().map(_.toString).sorted
+    assert(probeAfter.sameElements(probeBefore) && probeAfter.nonEmpty)
+    // the staging dir is gone (the durability rule cleans up after itself)
+    assert(!new java.io.File(s"$dir/assignments__staging").exists())
+    FileUtils.deleteQuietly(new java.io.File(dir).getParentFile)
+  }
+
   test("deleteSqAt/deleteBqAt/deletePqAt (q293-q295): quantized erasure — codes physically purged, probes never return deleted ids, empty-index refused") {
     import org.apache.commons.io.FileUtils
     val toDelete = emb.filter($"vec_id" % 5 === 3).select("vec_id")
