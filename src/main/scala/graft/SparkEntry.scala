@@ -114,13 +114,20 @@ object SparkEntry {
       compactor = graft.streaming.Streams.compactCellCountsAt)(
       (sd, out, ckpt) =>
         graft.streaming.Streams.streamingCellCounts(sd, out, ckpt))
-  /** Events-table form (q271-q275): two event_id-parity waves. */
-  private def eventsStateOf(s: SparkSession, dir: String, tag: String)(
+  /** Events-table form (q271-q275): THREE event_id-mod-3 waves with the
+    * state's own compactor run between waves 2 and 3 — the same
+    * multi-wave + mid-lifecycle-compaction convention as the doc states
+    * (lex 4-wave, gterm/knn 3-wave), so every event-table reader also
+    * answers over a state whose dir holds a compacted epoch=-1 partition
+    * next to a post-compaction epoch. */
+  private def eventsStateOf(s: SparkSession, dir: String, tag: String,
+      compactor: (SparkSession, String) => Unit)(
       start: (DataFrame, String, String) =>
         org.apache.spark.sql.streaming.StreamingQuery): String =
     graft.streaming.Streams.ensureStreamedTableState(
       s, Tables.events(tune(s), dir), dir, tag,
-      idCol = "event_id", srcFile = "events.parquet")(start)
+      idCol = "event_id", srcFile = "events.parquet",
+      waves = 3, compactAfterWave = 2, compactor = compactor)(start)
   private def ksStateOf(s: SparkSession, dir: String): String =
     graft.streaming.Streams.ensureStreamedTableState(
       s, Tables.events(tune(s), dir), dir, "kscnt",
@@ -1629,7 +1636,8 @@ object SparkEntry {
     // extension: Benford first-digit audit from streamed digit counts
     "q273_benford_stream" -> ((s, dir) =>
       graft.streaming.Streams.benfordAuditAt(s,
-        eventsStateOf(s, dir, "benford")((ev, out, ckpt) =>
+        eventsStateOf(s, dir, "benford",
+          graft.streaming.Streams.compactBenfordDigitsAt)((ev, out, ckpt) =>
           graft.streaming.Streams.streamingBenfordDigits(ev, out, ckpt)))),
     // extension: cohort LTV triangle from streamed (user, week) cells —
     // signup week is MIN-mergeable across waves (a user's events split by
@@ -1637,13 +1645,15 @@ object SparkEntry {
     // reproduces the batch triangle exactly
     "q274_cohort_ltv_stream" -> ((s, dir) =>
       graft.streaming.Streams.cohortLtvAt(s,
-        eventsStateOf(s, dir, "cohort")((ev, out, ckpt) =>
+        eventsStateOf(s, dir, "cohort",
+          graft.streaming.Streams.compactCohortCellsAt)((ev, out, ckpt) =>
           graft.streaming.Streams.streamingCohortCells(ev, out, ckpt)))),
     // extension: RFM quartile segments re-derived from streamed per-user
     // stats (last_ts max-mergeable, counts/cents additive)
     "q275_rfm_stream" -> ((s, dir) =>
       graft.streaming.Streams.rfmSegmentsAt(s,
-        eventsStateOf(s, dir, "rfm")((ev, out, ckpt) =>
+        eventsStateOf(s, dir, "rfm",
+          graft.streaming.Streams.compactRfmStatsAt)((ev, out, ckpt) =>
           graft.streaming.Streams.streamingRfmStats(ev, out, ckpt)))),
     // extension: centroid drift from streamed fixed-point component sums
     // (per-(label, half, dim) partials are additive)
