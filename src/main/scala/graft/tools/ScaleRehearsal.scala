@@ -568,7 +568,59 @@ object ScaleRehearsal {
       runR12b("1x", liFull1, ord1, cust1, part1, supp1)
       runR12b(s"${k}x", liFullK, ordK, custK, partK, suppK)
     }
-    writeArtifact(k, recorded.toSeq)
+    // approximate-path QUALITY at scale (the r16 ask: the wall-clock
+    // octaves prove the runtime exponent, but GATES.json measures recall
+    // only at the sf0.01 fixture) — re-measure the q29/q30/q34 gate
+    // metrics on sf0.1 (10x the gated fixture) and on the k-fold octave,
+    // writing the values into REHEARSAL.json beside the wall ratios.
+    // Octave replicas are ROTATED (cyclic element shift by replica index),
+    // never copied: an exact copy hashes into identical buckets/cells and
+    // would make scale recall trivially 1.0 — a rotated vector is a
+    // genuinely new point with the same norm and coordinate distribution.
+    val recordedGates = collection.mutable.LinkedHashMap.empty[String, Double]
+    def gateRun(tag: String, e: DataFrame): Unit = {
+      import spark.implicits._
+      val ec = e.cache(); ec.count()
+      val q = ec.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding")).cache()
+      def ids(df: DataFrame): Map[Long, Set[Long]] =
+        df.select("query_id", "vec_id").as[(Long, Long)].collect()
+          .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+      val exact = ids(Similarity.bruteForceTopK(ec, q, 3))
+      def recall(approx: Map[Long, Set[Long]]): Double = {
+        val per = exact.map { case (qid, ex) =>
+          approx.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size }
+        per.sum / per.size
+      }
+      time(s"$tag gateLshTopK") {
+        recordedGates(s"$tag gate_q29_recall_at_3") =
+          recall(ids(Similarity.lshTopK(ec, q, 3))); 5L }
+      time(s"$tag gateIvfTopK") {
+        recordedGates(s"$tag gate_q30_recall_at_3") =
+          recall(ids(Similarity.ivfTopK(ec, q, 3))); 5L }
+      time(s"$tag gatePairJaccard") {
+        val exactPairs = Similarity.cosinePairs(ec, 0.3)
+          .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+        val lshPairs = Similarity.lshNearDupPairs(ec, 0.3)
+          .select("vec_a", "vec_b").as[(Long, Long)].collect().toSet
+        recordedGates(s"$tag gate_q34_pair_set_jaccard") =
+          if (exactPairs.isEmpty && lshPairs.isEmpty) 1.0
+          else lshPairs.intersect(exactPairs).size.toDouble /
+            lshPairs.union(exactPairs).size
+        exactPairs.size.toLong }
+      q.unpersist(); ec.unpersist()
+    }
+    if (fam("recall")) {
+      val embRotK = (0 until k).map(i => emb1
+          .withColumn("vec_id", col("vec_id") + lit(i * 1000000L))
+          .withColumn("embedding", expr(
+            s"CAST(transform(sequence(0, 63), j -> embedding[(j + $i) % 64]) AS array<float>)")))
+        .reduce(_ unionByName _)
+      gateRun("1x", emb1)
+      gateRun(s"${k}x", embRotK)
+    }
+    writeArtifact(k, recorded.toSeq, recordedGates.toSeq)
     spark.stop()
   }
 
@@ -577,7 +629,8 @@ object ScaleRehearsal {
     * op as {"1x": {rows, sec}, "kx": {rows, sec}, "ratio": kx.sec/1x.sec}
     * so a per-family run (the 2nd-arg filter) refreshes only its own ops
     * and the growth exponent stays one `jq` away. */
-  private def writeArtifact(k: Int, recorded: Seq[(String, (Long, Double))]): Unit = {
+  private def writeArtifact(k: Int, recorded: Seq[(String, (Long, Double))],
+                            gates: Seq[(String, Double)] = Nil): Unit = {
     import org.json4s._
     import org.json4s.jackson.JsonMethods
     val path = java.nio.file.Paths.get(sys.props("user.dir"), "REHEARSAL.json")
@@ -621,9 +674,23 @@ object ScaleRehearsal {
       // mislabel every other op's ratios
       op -> JObject((tags ++ ratio.toSeq :+ ("k" -> JInt(k))): _*)
     }
+    // quality gates at scale: METRIC VALUES per tag (not wall seconds),
+    // keyed gate_q* so they sit beside the wall ratios in one artifact —
+    // {"1x": 0.93, "8x": 0.9, "k": 8, "threshold": 0.9} per gate
+    val gateObjs = gates.flatMap { case (name, v) =>
+      name.split(" ", 2) match {
+        case Array(tag, op) => Some(op -> (tag, v))
+        case _ => None
+      }
+    }.groupBy(_._1).map { case (op, entries) =>
+      val vals = entries.map { case (_, (tag, v)) =>
+        tag -> JDouble(math.rint(v * 10000) / 10000) }
+      op -> JObject((vals :+ ("k" -> JInt(k)) :+
+        ("threshold" -> JDouble(0.9))): _*)
+    }
     val merged = JObject(
       ("sf" -> JString("sf0.1")) +:
-        (existing - "k" - "sf" ++ updated).toSeq.sortBy(_._1): _*)
+        (existing - "k" - "sf" ++ updated ++ gateObjs).toSeq.sortBy(_._1): _*)
     // temp-then-ATOMIC_MOVE: a crash mid-write must never leave a torn
     // artifact (which the reader above would then discard wholesale)
     val tmp = path.resolveSibling(path.getFileName.toString + ".tmp")
