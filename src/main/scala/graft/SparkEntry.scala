@@ -98,6 +98,12 @@ object SparkEntry {
     * epoch-count-invariant and compaction-invariant mid-lifecycle. */
   private def lexStateOf(s: SparkSession, dir: String): String =
     graft.streaming.Streams.ensureLexState(s, docs(s, dir), dir)
+  /** The lex state's erasure lifecycle (q298/q299): its own 3-wave +
+    * compaction build, then every doc_id % 5 == 3 document's rows purged
+    * from the maintained index — see
+    * [[graft.streaming.Streams.ensureLexDeletedState]]. */
+  private def lexDeletedStateOf(s: SparkSession, dir: String): String =
+    graft.streaming.Streams.ensureLexDeletedState(s, docs(s, dir), dir)
   /** Three waves with `compactGroupTermCountsAt` between waves 2 and 3:
     * the additive-count fold algebra driver-checked under mid-lifecycle
     * compaction (the lex state covers the postings-union algebra, the knn
@@ -1898,6 +1904,54 @@ object SparkEntry {
         q, ServingTerms,
         terms => graft.streaming.Streams.bm25StreamedAt(s, lex, terms),
         k = 5, nLeg = 10)
+    }),
+    // extension: right-to-erasure for the LEXICAL maintained state —
+    // q287's takedown convention applied to the streamed lex index. The
+    // state keeps raw doc-keyed rows and derives every corpus statistic
+    // (df, N, avgdl) at read time, so deleteDocsAt's row filter IS the
+    // complete takedown: BM25 over the post-delete state must equal the
+    // full-scan oracle over the surviving corpus, including the shifted
+    // global statistics
+    "q298_bm25_lex_deleted" -> ((s, dir) =>
+      graft.streaming.Streams.bm25StreamedAt(
+        s, lexDeletedStateOf(s, dir), Seq("join", "hash", "customer"))),
+    // extension: the END-TO-END TAKEDOWN serving query — q292's
+    // maintained-stack composition with ids ≡ 3 (mod 5) purged from EVERY
+    // serving artifact: deleteIvfAt on the coarse assignments, deletePqAt
+    // on the quantized codes (q295's pair), deleteDocsAt on the lexical
+    // state (q298's leg). One takedown request, three maintained stores,
+    // and the fused serving answer must equal the batch hybrid over the
+    // surviving corpus — deleted ids unreachable through EITHER leg
+    "q299_hybrid_takedown" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedIvfPqDeleted(s, e, dir)
+      val lex = lexDeletedStateOf(s, dir)
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Engine.hybridServing(
+        Similarity.loadIvfIndex(s, s"$path/coarse"),
+        Similarity.loadPqIndex(s, s"$path/pq"),
+        q, ServingTerms,
+        terms => graft.streaming.Streams.bm25StreamedAt(s, lex, terms),
+        k = 5, nLeg = 10)
+    }),
+    // extension: the maintained-IVF-PQ lifecycle — q297's ≥3-wave +
+    // compaction convention on the QUANTIZED serving index (fit both
+    // trained artifacts on wave 0, two separate upsert waves against the
+    // frozen artifacts, compactIvfAt on the fragmented coarse cells; the
+    // codes table is replace-on-write, always one generation). The probe
+    // must hash-match q282's two-wave oracle verbatim
+    "q300_ann_ivfpq_maintained" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedIvfPqMaintained(s, e, dir)
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Similarity.ivfPqProbe(
+        Similarity.loadIvfIndex(s, s"$path/coarse"),
+        Similarity.loadPqIndex(s, s"$path/pq"), q, 3,
+        nProbe = 3, shortlist = 64)
     }),
     // extension: the persisted-IVF MAINTENANCE pair — the operational
     // story the streamed states got in r16 (compactEpochs), now for the

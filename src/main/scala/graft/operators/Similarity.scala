@@ -1937,6 +1937,51 @@ object Similarity {
     index
   }
 
+  /** Build-once cache for the DECLARED maintained-IVF-PQ query (q300):
+    * q282's lifecycle under the LONGER maintenance history q296/q297 gave
+    * the plain IVF — fit + save BOTH trained artifacts on the even wave
+    * (coarse centroids AND codebooks frozen there), then TWO separate
+    * upsert waves (vec_id % 4 == 1, then % 4 == 3) against the frozen
+    * artifacts, then [[compactIvfAt]] rewrites the fragmented coarse cell
+    * partitions to one file per cell. The PQ codes table needs no
+    * compaction leg BY CONSTRUCTION: [[upsertPqAt]] is replace-on-write
+    * (each upsert stages and rewrites the whole m-byte-code table — small
+    * enough that rewriting beats partition bookkeeping), so it is always
+    * one generation; only the cell-partitioned coarse store fragments.
+    * Because assignment and encoding are per-vector against frozen
+    * artifacts, the post-maintenance probe equals q282's two-wave index
+    * exactly — q300 reuses q282's hash oracle verbatim. */
+  def ensurePersistedIvfPqMaintained(spark: org.apache.spark.sql.SparkSession,
+                                     embeddings: DataFrame, sfDir: String,
+                                     nLists: Int = 8, kmIters: Int = 3,
+                                     m: Int = 16, ksub: Int = 16,
+                                     pqIters: Int = 2): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpqmnt-" +
+      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
+        s"$nLists|$kmIters|$m|$ksub|$pqIters|waves=4|compact|v1")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index = s"$base/index"
+    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
+    if (fs.exists(marker)) return index
+    graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val w1 = embeddings.filter(pmod(col("vec_id"), lit(4)) === 1)
+        val w3 = embeddings.filter(pmod(col("vec_id"), lit(4)) === 3)
+        detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
+        pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
+        upsertIvfAt(spark, s"$index/coarse", w1)
+        upsertPqAt(spark, s"$index/pq", w1)
+        upsertIvfAt(spark, s"$index/coarse", w3)
+        upsertPqAt(spark, s"$index/pq", w3)
+        compactIvfAt(spark, s"$index/coarse")
+        fs.create(marker, true).close()
+      }
+    }
+    index
+  }
+
   /** Deterministic random-projection dimensionality reduction (the
     * Johnson-Lindenstrauss shrink step before an expensive pair join or
     * index build): out[j] = dot(e, w_j) over hash-derived hyperplanes

@@ -216,6 +216,38 @@ object Streams {
       waves = 4, compactAfterWave = 2, compactor = compactLexIndexAt)(
       (sd, out, ckpt) => streamingLexIndex(sd, out, ckpt))
 
+  /** The lex state's ERASURE lifecycle (q298/q299): its own three-wave +
+    * mid-lifecycle-compaction build (a separate cache dir ON PURPOSE —
+    * deleting from the shared q258 state would corrupt its six readers),
+    * then [[deleteDocsAt]] purges every `doc_id % delMod == delRes`
+    * document's rows AFTER all waves landed — the takedown arriving on a
+    * long-lived maintained index, not folded into its build. The delete
+    * predicate lives in the cache tag (the `del=modNeqR` key-material
+    * convention) and the delete leg is marker-guarded separately from the
+    * wave build: a crash between them re-applies an idempotent filter on
+    * the next ensure. */
+  def ensureLexDeletedState(spark: SparkSession, documents: DataFrame,
+                            sfDir: String, delMod: Int = 5,
+                            delRes: Int = 3): String = {
+    val tag = s"lexdel-m${delMod}r$delRes"
+    val out = ensureStreamedDocState(spark, documents, sfDir, tag,
+      waves = 3, compactAfterWave = 2, compactor = compactLexIndexAt)(
+      (sd, o, ckpt) => streamingLexIndex(sd, o, ckpt))
+    val base = streamedStateBase(spark, sfDir, s"$tag-w3-c2",
+      "documents.parquet")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val marker = new org.apache.hadoop.fs.Path(base, "_DOCS_DELETED")
+    if (!fs.exists(marker)) graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        deleteDocsAt(spark, out,
+          pmod(col("doc_id"), lit(delMod)) === delRes)
+        fs.create(marker, true).close()
+      }
+    }
+    out
+  }
+
   def ensureStreamedDocState(spark: SparkSession, documents: DataFrame,
                              sfDir: String, tag: String, waves: Int = 2,
                              compactAfterWave: Int = 0,
@@ -877,7 +909,20 @@ object Streams {
     * next compaction call run [[healCompaction]], which completes the
     * interrupted rename before touching the state. */
   private def compactEpochs(spark: SparkSession, path: String)
-                           (fold: DataFrame => DataFrame): Unit = {
+                           (fold: DataFrame => DataFrame): Unit =
+    swapEpochState(spark, path)(st =>
+      fold(st).withColumn("epoch", lit(-1L)))
+
+  /** The staged-swap shared by [[compactEpochs]] and [[deleteDocsAt]]:
+    * rewrite the whole epoch tree of `path` as `make(currentState)`,
+    * staged to the sibling dir first (the plan reads the same path it
+    * replaces — the `upsertIvfAt` rule), then delete→rename. The swap
+    * window self-heals through [[healCompaction]] exactly as for
+    * compaction — every reader completes an interrupted rename before
+    * touching the state. `make`'s output must carry the `epoch` column
+    * (compaction stamps -1; a delete preserves the layout it read). */
+  private def swapEpochState(spark: SparkSession, path: String)
+                            (make: DataFrame => DataFrame): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     healCompaction(spark, path)
@@ -885,14 +930,38 @@ object Streams {
     // stale staging from a crash BEFORE the destination delete: the
     // destination is still complete, so the staged copy is garbage
     fs.delete(staging, true)
-    val compacted = fold(spark.read.parquet(path)).withColumn("epoch", lit(-1L))
-    compacted.write.mode("overwrite").partitionBy("epoch")
-      .parquet(staging.toString)
+    make(spark.read.parquet(path)).write.mode("overwrite")
+      .partitionBy("epoch").parquet(staging.toString)
     val dst = new org.apache.hadoop.fs.Path(path)
     fs.delete(dst, true)
     require(fs.rename(staging, dst),
       s"compaction rename failed: $staging -> $path")
   }
+
+  /** Right-to-erasure for a DOC-KEYED epoch state (the lex index's
+    * postings + doc-length rows, the MinHash band table — any maintained
+    * state whose every row belongs to exactly one `doc_id`): rewrite the
+    * epoch tree with the deleted documents' rows filtered out, epochs
+    * preserved. Because these states keep RAW per-doc rows and derive
+    * every corpus statistic at read time (df/N/avgdl fold from the rows —
+    * `bm25Indexed` recomputes them per query), a row filter IS the
+    * complete takedown: no aggregate fixup, no recompaction, and every
+    * reader over the post-delete state equals the batch operator over the
+    * surviving corpus. The streamed twin of [[graft.operators.Similarity
+    * .deleteIvfAt]], with the same fail-loud rule for a delete that would
+    * empty the state (a row-less parquet dir kills the next reader's
+    * schema inference far from the cause) and the same crash story:
+    * the staged-swap window self-heals via [[healCompaction]], and
+    * re-running the delete after a crash is an idempotent filter. */
+  def deleteDocsAt(spark: SparkSession, path: String,
+                   deletePred: org.apache.spark.sql.Column): Unit =
+    swapEpochState(spark, path) { st =>
+      val kept = st.filter(!deletePred)
+      require(!kept.isEmpty,
+        s"deleteDocsAt would empty the entire state at $path — refusing " +
+          "(drop the state directory instead if that is intended)")
+      kept
+    }
 
   /** Streaming BPE-vocabulary maintenance — the incremental form of
     * `Bpe.bpeMerges`' corpus scan. The expensive half of BPE training at
