@@ -6490,27 +6490,78 @@ $pqRerankTail)"""),
     "q292_hybrid_serving" -> detKmeansOracle(
       fitSrc = "nv0",
       extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
-      finalSelect = {
-        val lexCtes = ServingTerms.map { case (qid, terms) =>
-          val (dfCols, tfCols, score) = dkBm25Parts(terms)
-          val anyHit = terms.indices.map(i => s"tf_$i").mkString(" + ")
-          s"""  stats_$qid AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM t),
+      finalSelect = hybridServingSelect()),
+    // q298: right-to-erasure on the LEXICAL maintained state — the q258
+    // full-scan twin restricted to the surviving corpus. The state keeps
+    // raw doc-keyed rows and derives df/N/avgdl at read time, so the
+    // post-delete reader must equal the oracle over doc_id % 5 <> 3
+    // INCLUDING the shifted global statistics (n_docs, avgdl, every df)
+    "q298_bm25_lex_deleted" -> {
+      val terms = Seq("join", "hash", "customer")
+      val (dfCols, tfCols, score) = dkBm25Parts(terms)
+      s"""WITH $dkTok,
+  t AS (SELECT doc_id, toks, len(toks) AS dl FROM tok WHERE doc_id % 5 <> 3),
+  stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM t),
+  tf AS (SELECT doc_id, dl, $tfCols FROM t)
+SELECT doc_id, dl AS n_tokens,
+  ${terms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i").mkString(", ")},
+  round($score, 6) AS bm25
+FROM tf CROSS JOIN stats
+WHERE ${terms.indices.map(i => s"tf_$i").mkString(" + ")} > 0"""
+    },
+    // q299: the END-TO-END TAKEDOWN serving oracle — q292's composition
+    // over the surviving corpus only: the vector leg's serve table is the
+    // merged assignments minus the deleted ids (q295's cut) and the
+    // lexical leg's corpus statistics shift to the survivors (q298's cut);
+    // the fused top-k must contain no deleted id through EITHER leg
+    "q299_hybrid_takedown" -> detKmeansOracle(
+      fitSrc = "nv0",
+      extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
+      finalSelect = hybridServingSelect(
+        serveFilter = "vec_id % 5 <> 3", docFilter = "doc_id % 5 <> 3")),
+    // q300: history-invariance of the maintained IVF-PQ — the >=3-wave +
+    // compacted lifecycle must reproduce q282's two-wave oracle verbatim
+    // (both trained artifacts frozen on the same even wave; assignment
+    // and encoding are per-vector, so upsert count and file layout
+    // cannot change the probe)
+    "q300_ann_ivfpq_maintained" -> detKmeansOracle(
+      fitSrc = "nv0",
+      extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
+      finalSelect = s"""SELECT * FROM (
+  WITH ${persistedIvfPqCtes()},
+$pqRerankTail)"""))
+
+  /** The q292/q299 serving-composition SELECT (appended to the
+    * detKmeansOracle chain with fitSrc = nv0): the persisted-IVF-PQ probe
+    * chain ranked to nLeg=10 as the vector leg, the q258 full-scan BM25
+    * twin per ServingTerms entry as the lexical leg, fused with q51's RRF
+    * tail per query. `serveFilter` cuts the vector leg's merged assignment
+    * table and `docFilter` the lexical leg's corpus (q299's takedown
+    * twins: both legs see only the surviving ids, and the lexical
+    * statistics shift with the survivors). */
+  private def hybridServingSelect(serveFilter: String = "",
+                                  docFilter: String = ""): String = {
+    val tSrc = if (docFilter.isEmpty) "tok" else s"tok WHERE $docFilter"
+    val lexCtes = ServingTerms.map { case (qid, terms) =>
+      val (dfCols, tfCols, score) = dkBm25Parts(terms)
+      val anyHit = terms.indices.map(i => s"tf_$i").mkString(" + ")
+      s"""  stats_$qid AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM t),
   tf_$qid AS (SELECT doc_id, dl, $tfCols FROM t),
   sc_$qid AS (SELECT doc_id, round($score, 6) AS bm25
     FROM tf_$qid CROSS JOIN stats_$qid WHERE $anyHit > 0),
   lx_$qid AS (SELECT doc_id, bm25 FROM sc_$qid WHERE bm25 > 0 ORDER BY bm25 DESC, doc_id LIMIT 10),
   lr_$qid AS (SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rnk_lex FROM lx_$qid)"""
-        }.mkString(",\n")
-        val lexUnion = ServingTerms
-          .map { case (qid, _) => s"SELECT * FROM lr_$qid" }
-          .mkString(" UNION ALL ")
-        s"""SELECT * FROM (
-  WITH ${persistedIvfPqCtes()},
+    }.mkString(",\n")
+    val lexUnion = ServingTerms
+      .map { case (qid, _) => s"SELECT * FROM lr_$qid" }
+      .mkString(" UNION ALL ")
+    s"""SELECT * FROM (
+  WITH ${persistedIvfPqCtes(serveFilter)},
 $pqRerankCtes,
   vecleg AS (SELECT query_id, vec_id AS doc_id, rnk AS rnk_vec FROM xr WHERE rnk <= 10),
   $dkTok,
-  t AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+  t AS (SELECT doc_id, toks, len(toks) AS dl FROM $tSrc),
 $lexCtes,
   lexleg AS ($lexUnion),
   legs AS (SELECT query_id, doc_id, rnk_vec, CAST(NULL AS INTEGER) AS rnk_lex FROM vecleg
@@ -6523,7 +6574,7 @@ $lexCtes,
   frk AS (SELECT query_id, doc_id, rnk_vec, rnk_lex, rrf,
       row_number() OVER (PARTITION BY query_id ORDER BY rrf DESC, doc_id ASC) AS rr FROM fr)
   SELECT query_id, doc_id, rnk_vec, rnk_lex, round(rrf, 6) AS rrf FROM frk WHERE rr <= 5)"""
-      }))
+  }
 
   /** The persisted-IVF-PQ probe chain shared by q282 and q292's vector
     * leg (appended to the detKmeansOracle chain with fitSrc = nv0): the

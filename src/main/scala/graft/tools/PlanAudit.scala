@@ -186,6 +186,16 @@ object PlanAudit {
       "query sign-sketches + query batch (q291's frames; code scan reads saved survivors)"),
     "q295_ann_ivfpq_deleted" -> (3,
       "q282's probe frames over the post-delete saved artifacts"),
+    // the takedown composition probes exactly like q292 — q282's three
+    // bounded frames on the vector leg (read from the post-delete saved
+    // artifacts), lexical-leg stats structurally bounded as in q292
+    "q299_hybrid_takedown" -> (3,
+      "q292's probe frames over the post-takedown saved artifacts + deleted lex state"),
+    // the maintained (>=3-wave + compacted) IVF-PQ probes exactly like
+    // its two-wave twin — same three bounded frames, whatever the upsert
+    // history or file layout of the coarse cells
+    "q300_ann_ivfpq_maintained" -> (3,
+      "q282's probe frames over the compacted multi-wave saved artifacts"),
     // the maintained CMS grid is the q222 frame read from state parquet:
     // d*w <= 256k cells by require(), parameter-bounded at any SF
     "q285_cms_topk_stream" -> (1,

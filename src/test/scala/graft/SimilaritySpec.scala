@@ -769,6 +769,35 @@ class SimilaritySpec extends AnyFunSuite {
       .map(f => (f.getName, f.lastModified)).toSet == files)
   }
 
+  test("ensurePersistedIvfPqMaintained (q300): >=3-wave + compacted lifecycle is history-invariant and one file per coarse cell") {
+    val dir = Similarity.ensurePersistedIvfPqMaintained(spark, emb, TestSpark.sf0001)
+    val coarse = Similarity.loadIvfIndex(spark, s"$dir/coarse")
+    val pq = Similarity.loadPqIndex(spark, s"$dir/pq")
+    // all three waves landed in both artifacts
+    assert(coarse.assignments.count() == emb.count())
+    assert(pq.codes.count() == emb.count())
+    // compactIvfAt left exactly one data file per coarse cell partition
+    val cellDirs = new java.io.File(s"$dir/coarse/assignments").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+    assert(cellDirs.nonEmpty)
+    cellDirs.foreach { cd =>
+      val parts = cd.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(parts.length == 1,
+        s"${cd.getName} has ${parts.length} files after compaction")
+    }
+    // history-invariance: assignment and encoding are per-vector against
+    // the SAME frozen wave-0 artifacts, so the probe equals the two-wave
+    // q282 index row for row — upsert count and file layout cannot leak
+    val twoWave = Similarity.ensurePersistedIvfPq(spark, emb, TestSpark.sf0001)
+    val a = Similarity.ivfPqProbe(coarse, pq, queries, 3, nProbe = 3,
+      shortlist = 64).collect().map(_.toString).sorted
+    val b = Similarity.ivfPqProbe(
+      Similarity.loadIvfIndex(spark, s"$twoWave/coarse"),
+      Similarity.loadPqIndex(spark, s"$twoWave/pq"), queries, 3,
+      nProbe = 3, shortlist = 64).collect().map(_.toString).sorted
+    assert(a.sameElements(b) && a.nonEmpty)
+  }
+
   test("pq index: partition-invariant bit-identical rebuilds; save/load roundtrip; self at rank 1") {
     val dir = java.nio.file.Files.createTempDirectory("graft_pq").toString + "/idx"
     val idx = Similarity.pqIndex(emb)

@@ -816,6 +816,50 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("deleteDocsAt (q298): lex-state takedown shifts every corpus statistic; empty delete refused; epochs preserved") {
+    val tmp = Files.createTempDirectory("graft-lex-del").toString
+    val (landing, idxPath, ckpt) = (s"$tmp/landing", s"$tmp/lex", s"$tmp/ckpt")
+    val docs = Tables.documents(spark, TestSpark.sf0001).cache()
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingLexIndex(stream, idxPath, ckpt).awaitTermination(120000)
+    val epochsBefore = spark.read.parquet(idxPath)
+      .select("epoch").distinct().count()
+    assert(epochsBefore >= 2)
+    Streams.deleteDocsAt(spark, idxPath, pmod($"doc_id", lit(5)) === 3)
+    // layout preserved: the delete filters rows, it does not compact
+    assert(spark.read.parquet(idxPath).select("epoch").distinct().count()
+      == epochsBefore)
+    // every reader equals the batch operator over the SURVIVING corpus —
+    // the raw-row design means df/N/avgdl shift with the survivors, so
+    // this checks the global statistics, not just row presence
+    val survivors = docs.filter($"doc_id" % 5 =!= 3)
+    val nDel = docs.count() - survivors.count()
+    assert(nDel > 0)
+    val terms = Seq("join", "hash", "customer")
+    val ta = graft.operators.TextAnalysis
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val batch = rows(ta.bm25Indexed(
+      ta.postings(survivors), ta.docLengths(survivors), terms))
+    assert(rows(Streams.bm25StreamedAt(spark, idxPath, terms)) == batch
+      && batch.nonEmpty)
+    // the doc-length table (the N/avgdl source) dropped exactly the
+    // deleted docs
+    assert(Streams.lexDocLensAt(spark, idxPath).count() == survivors.count())
+    // no deleted doc is reachable through ANY reader
+    assert(Streams.tfidfStreamedAt(spark, idxPath,
+        Seq("transfer", "credit", "university"))
+      .filter(pmod($"doc_id", lit(5)) === 3).count() == 0)
+    // deleting everything is refused, and the state stays readable
+    intercept[IllegalArgumentException](
+      Streams.deleteDocsAt(spark, idxPath, lit(true)))
+    assert(rows(Streams.bm25StreamedAt(spark, idxPath, terms)) == batch)
+    docs.unpersist()
+  }
+
   test("epoch-partition retry: re-writing an epoch's partial leaves the fold unchanged") {
     // The exactly-once contract every epoch-partition twin relies on
     // (BPE vocab, CMS grid, DDSketch buckets, KMV sketch): a RETRIED batch
