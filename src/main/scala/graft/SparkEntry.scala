@@ -1978,6 +1978,23 @@ object SparkEntry {
           col("embedding").as("query_embedding"))
       Similarity.ivfProbe(Similarity.loadIvfIndex(s, path), q, 3, nProbe = 3)
     }),
+    // extension: the RETRAIN leg — the act q296's skew monitor exists to
+    // trigger, closing the maintenance loop (upsert → monitor → compact →
+    // RETRAIN): deterministic Lloyd refit over the complete stored corpus
+    // (every upsert since the frozen wave-0 fit reflected), both tables
+    // swapped as one generation, probed from the saved files. The refit
+    // is full-corpus deterministic, so the probe is hash-oracled against
+    // a from-scratch fit on everything — centroid geometry genuinely
+    // moved (wave-0-frozen vs full-corpus cells differ), and the oracle
+    // proves the swap landed the new geometry, not a stale generation
+    "q301_ann_ivf_retrained" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedDetIvfRetrained(s, e, dir)
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Similarity.ivfProbe(Similarity.loadIvfIndex(s, path), q, 3, nProbe = 3)
+    }),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
     "q254_langid_confusion" -> ((s, dir) =>
@@ -6457,6 +6474,14 @@ FROM a""",
       fitSrc = "nv0",
       extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
       finalSelect = persistedIvfProbeSql()),
+    // q301: the retrain leg — deterministic Lloyd refit over the FULL
+    // stored corpus (fitSrc = nv, not the wave-0 half), so the serve
+    // table is the from-scratch assignment a_fin and the probed centroids
+    // are the f32-rounded full-corpus fit. Proves the generation swap
+    // landed the moved geometry: this oracle differs from q261/q297's
+    // frozen-wave-0 one, and only a genuinely retrained index matches it
+    "q301_ann_ivf_retrained" -> detKmeansOracle(
+      finalSelect = persistedIvfProbeSql(serveSrc = "a_fin")),
     // q282: the PERSISTED IVF-PQ lifecycle, stage for stage — q261's
     // two-wave coarse chain (Lloyd fit on the even wave, f32-rounded save,
     // odd-wave upsert against the frozen f32 centroids, f32 probe)
@@ -6634,11 +6659,17 @@ $lexCtes,
       row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS rn FROM d1u) WHERE rn = 1),
   a_all AS (SELECT vec_id, cell FROM a_fin UNION ALL SELECT vec_id, cell FROM a1u)"""
 
-  private def persistedIvfProbeSql(serveFilter: String = ""): String = {
-    val serve = if (serveFilter.isEmpty) "a_all"
-      else s"(SELECT * FROM a_all WHERE $serveFilter)"
+  private def persistedIvfProbeSql(serveFilter: String = "",
+                                   serveSrc: String = "a_all"): String = {
+    val serve = if (serveFilter.isEmpty) serveSrc
+      else s"(SELECT * FROM $serveSrc WHERE $serveFilter)"
+    // a_all needs the two-wave merge CTEs; a retrained index (q301) serves
+    // the from-scratch full-corpus assignment a_fin directly and needs
+    // only the f32 rounding of the saved centroids
+    val assignCtes = if (serveSrc == "a_all") persistedIvfAssignCtes
+      else "c32 AS (SELECT cell, list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c FROM cents3)"
     s"""SELECT * FROM (
-  WITH $persistedIvfAssignCtes,
+  WITH $assignCtes,
   q32 AS (SELECT vec_id AS query_id, list_transform(nv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS q FROM nv_q),
   cs AS (SELECT q.query_id, cc.cell,
       list_sum(list_transform(range(1, 65), i -> q.q[i] * cc.c[i])) AS dot,

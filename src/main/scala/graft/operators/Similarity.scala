@@ -658,6 +658,88 @@ object Similarity {
     index
   }
 
+  /** Retrain the coarse quantizer of a SAVED IVF index in place — the
+    * maintenance leg [[ivfCellStats]] exists to trigger: upserts against
+    * frozen centroids slowly skew the cell population (a hot cell makes
+    * every probe that touches it scan its share of the corpus), and the
+    * fix is a scheduled refit, never a per-query one. Deterministic Lloyd
+    * ([[detKMeans]]) over the CURRENT stored vectors — so every upsert and
+    * delete since the last fit is reflected — then every vector reassigned
+    * and BOTH tables (assignments + centroids) swapped as one generation.
+    *
+    * Durability: the complete new generation lands under
+    * `__retrain_staging` and a `_STAGED_READY` marker is written BEFORE
+    * the swap touches the live tables, so a crash anywhere in the swap
+    * converges on the retried call — the staged copy is swapped
+    * table-by-table without recompute (an already-moved table is skipped)
+    * and the staging dir dropped only after both renames. Like
+    * [[deleteIvfAt]], a crashed call must be RETRIED to completion before
+    * the index is probed again: between the two renames the live dirs can
+    * hold mixed generations (new assignments under old centroids probes
+    * the wrong cells). The ensure* wrappers guarantee this via their
+    * `_INDEX_READY` marker; direct callers own the retry. */
+  def retrainIvfAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                   nLists: Int = 8, iters: Int = 3): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/__retrain_staging")
+    val ready = new org.apache.hadoop.fs.Path(staging, "_STAGED_READY")
+    if (!fs.exists(ready)) {
+      fs.delete(staging, true)
+      val stored = spark.read.parquet(s"$path/assignments")
+        .select("vec_id", "embedding")
+      val idx = detIvfIndex(stored, nLists, iters)
+      idx.assignments.write.mode("overwrite").partitionBy("cell")
+        .parquet(s"$staging/assignments")
+      idx.centroids.write.mode("overwrite").parquet(s"$staging/centroids")
+      fs.create(ready, true).close()
+    }
+    Seq("assignments", "centroids").foreach { t =>
+      val src = new org.apache.hadoop.fs.Path(s"$staging/$t")
+      if (fs.exists(src)) {
+        val dst = new org.apache.hadoop.fs.Path(s"$path/$t")
+        fs.delete(dst, true)
+        require(fs.rename(src, dst), s"retrain rename failed: $src -> $dst")
+      }
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Build-once cache for the DECLARED retrained-index query (q301): the
+    * full monitor→act maintenance loop on one index — fit + save on the
+    * even wave (q261's lifecycle), upsert the odd wave against the frozen
+    * centroids, then [[retrainIvfAt]] refits the coarse quantizer over
+    * the complete stored corpus and swaps the generation. Because the
+    * refit is deterministic Lloyd over ALL vec_ids, the post-retrain
+    * index equals a fresh [[detIvfIndex]] on the full corpus — which is
+    * what makes the probe hash-oracled (detKmeansOracle with
+    * fitSrc = nv), unlike the frozen-centroid lifecycles whose fit wave
+    * is the even half. */
+  def ensurePersistedDetIvfRetrained(spark: org.apache.spark.sql.SparkSession,
+                                     embeddings: DataFrame, sfDir: String,
+                                     nLists: Int = 8, iters: Int = 3): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-detivfrtr-" +
+      graft.TmpCache.dirKey(
+        s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|" +
+          "retrain|v1")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index = s"$base/index"
+    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
+    if (fs.exists(marker)) return index
+    graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+        detIvfIndex(w0, nLists, iters).save(index)
+        upsertIvfAt(spark, index, w1)
+        retrainIvfAt(spark, index, nLists, iters)
+        fs.create(marker, true).close()
+      }
+    }
+    index
+  }
+
   /** Per-cell health stats for a SAVED IVF index — the monitor an operator
     * reads to decide WHEN to act: `n_vectors`/`share` expose cell skew
     * (a hot cell makes every probe that touches it scan its share of the

@@ -179,6 +179,10 @@ object PlanAudit {
     // the maintained-lifecycle probe reads the same saved centroid table
     "q297_ann_ivf_maintained" -> (1,
       "persisted centroid table, nLists rows by index construction"),
+    // the post-retrain probe reads the swapped-in centroid table — still
+    // nLists rows by construction, whatever generation produced it
+    "q301_ann_ivf_retrained" -> (1,
+      "persisted centroid table, nLists rows by index construction"),
     // the quantized erasure legs probe exactly like their persisted twins
     "q293_ann_sq8_deleted" -> (1,
       "quantized query batch (q290's frame; corpus side reads saved survivors)"),

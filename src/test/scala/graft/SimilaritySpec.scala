@@ -769,6 +769,52 @@ class SimilaritySpec extends AnyFunSuite {
       .map(f => (f.getName, f.lastModified)).toSet == files)
   }
 
+  test("retrainIvfAt (q301): refit over the stored corpus swaps both tables; crash window converges from the staged generation") {
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfrtr").toString + "/idx"
+    // q261's lifecycle: wave-0 fit, wave-1 upsert against frozen centroids
+    val w0 = emb.filter($"vec_id" % 2 === 0)
+    Similarity.detIvfIndex(w0, 8).save(dir)
+    Similarity.upsertIvfAt(spark, dir, emb.filter($"vec_id" % 2 === 1))
+    val centsBefore = spark.read.parquet(s"$dir/centroids")
+      .collect().map(_.toString).sorted
+    Similarity.retrainIvfAt(spark, dir)
+    // the retrained generation equals a from-scratch deterministic fit on
+    // the FULL corpus — both the saved centroids and every assignment
+    val fresh = Similarity.detIvfIndex(emb, 8)
+    val centsAfter = spark.read.parquet(s"$dir/centroids")
+      .collect().map(_.toString).sorted
+    assert(centsAfter.sameElements(
+      fresh.centroids.collect().map(_.toString).sorted))
+    // geometry genuinely moved: the frozen wave-0 fit is not the
+    // full-corpus fit (otherwise this test proves nothing)
+    assert(!centsAfter.sameElements(centsBefore))
+    val loaded = Similarity.loadIvfIndex(spark, dir)
+    assert(loaded.assignments.select("vec_id", "cell").collect().map(_.toString).sorted
+      .sameElements(fresh.assignments.select("vec_id", "cell")
+        .collect().map(_.toString).sorted))
+    // no staging residue after a clean retrain
+    assert(!new java.io.File(s"$dir/__retrain_staging").exists())
+    // crash-window convergence: stage a complete generation with the
+    // ready marker, then simulate a crash AFTER the centroids delete but
+    // before its rename — the retried call must finish the swap from the
+    // staged copy (no recompute) and leave a consistent index
+    val staging = new java.io.File(s"$dir/__retrain_staging")
+    FileUtils.copyDirectory(new java.io.File(s"$dir/assignments"),
+      new java.io.File(s"$staging/assignments"))
+    FileUtils.copyDirectory(new java.io.File(s"$dir/centroids"),
+      new java.io.File(s"$staging/centroids"))
+    new java.io.File(staging, "_STAGED_READY").createNewFile()
+    FileUtils.deleteDirectory(new java.io.File(s"$dir/centroids"))
+    Similarity.retrainIvfAt(spark, dir)
+    assert(!staging.exists())
+    val healed = Similarity.loadIvfIndex(spark, dir)
+    assert(healed.centroids.collect().map(_.toString).sorted
+      .sameElements(centsAfter))
+    assert(healed.assignments.count() == emb.count())
+    FileUtils.deleteQuietly(new java.io.File(dir).getParentFile)
+  }
+
   test("ensurePersistedIvfPqMaintained (q300): >=3-wave + compacted lifecycle is history-invariant and one file per coarse cell") {
     val dir = Similarity.ensurePersistedIvfPqMaintained(spark, emb, TestSpark.sf0001)
     val coarse = Similarity.loadIvfIndex(spark, s"$dir/coarse")
