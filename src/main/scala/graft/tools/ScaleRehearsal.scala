@@ -16,7 +16,8 @@ object ScaleRehearsal {
   def main(args: Array[String]): Unit = {
     val k = if (args.nonEmpty) args(0).toInt else 8
     // optional 2nd arg: comma-separated family filter (docs, events,
-    // graph, search, r9, r10, tpch, r10b, r11, r11b, r12b) — run ONLY those
+    // graph, search, r9, r10, tpch, r10b, r11, r11b, r12b, dedup,
+    // search32, tpch32, serving32, gates) — run ONLY those
     // families so a new-family rehearsal doesn't pay the full ~25-minute
     // sweep
     val fams: Set[String] = if (args.length > 1)
@@ -476,6 +477,46 @@ object ScaleRehearsal {
       warm(liFullK, ordK, partK, suppK)
       runTpch32("1x", liFull1, ord1, part1, supp1)
       runTpch32(s"${k}x", liFullK, ordK, partK, suppK)
+    }
+
+    // serving family for HIGH-k octaves: the maintained-stack composition
+    // q292/q299 declare — ivfPqProbe (coarse probe + ADC over the probed
+    // cells + exact re-rank) and the full RRF-fused hybridServing. The
+    // index build sits OUTSIDE the timed ops (at 100 TB the index is
+    // prebuilt; the probe is the per-query serving path), and the lexical
+    // leg reads cached postings for the same reason. Expected growth:
+    // probed-cell candidate work scales with corpus/nLists (linear),
+    // per-query tails (top-k, fuse) flat — so wall should track corpus
+    // sublinearly, and per-query work must never go superlinear
+    def runServing32(tag: String, docs: DataFrame, e: DataFrame): Unit = {
+      val ta = graft.operators.TextAnalysis
+      val coarse = Similarity.detIvfIndex(e, 8)
+      val pq = Similarity.pqIndex(e)
+      coarse.assignments.cache().count()
+      pq.codes.cache().count()
+      val post = ta.postings(docs).cache()
+      val dl = ta.docLengths(docs).cache()
+      warm(post, dl)
+      val q = e.filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      val terms = Seq(0L -> Seq("join", "hash"), 1L -> Seq("customer", "order"),
+        2L -> Seq("vector", "stream"), 3L -> Seq("window", "sort"),
+        4L -> Seq("scan", "filter"))
+      time(s"$tag ivfPqProbe32") {
+        Similarity.ivfPqProbe(coarse, pq, q, 3, nProbe = 3, shortlist = 64)
+          .queryExecution.toRdd.count() }
+      time(s"$tag hybridServing32") {
+        graft.Engine.hybridServing(coarse, pq, q, terms,
+          ts => ta.bm25Indexed(post, dl, ts), k = 5, nLeg = 10)
+          .queryExecution.toRdd.count() }
+      coarse.assignments.unpersist(); pq.codes.unpersist()
+      post.unpersist(); dl.unpersist()
+    }
+    if (fam("serving32")) {
+      warm(docsK, embK)
+      runServing32("1x", docs1, emb1)
+      runServing32(s"${k}x", docsK, embK)
     }
 
     // round-11 family (q240-q243): the robust-stats trio is two range
