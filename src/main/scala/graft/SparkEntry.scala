@@ -104,6 +104,12 @@ object SparkEntry {
     * [[graft.streaming.Streams.ensureLexDeletedState]]. */
   private def lexDeletedStateOf(s: SparkSession, dir: String): String =
     graft.streaming.Streams.ensureLexDeletedState(s, docs(s, dir), dir)
+  /** The lex state's READMIT lifecycle (q302/q303): the q298 takedown
+    * build healed by re-ingesting the purged docs through the batch
+    * [[graft.streaming.Streams.upsertDocsAt]] — every reader must equal
+    * the never-deleted corpus. */
+  private def lexReadmittedStateOf(s: SparkSession, dir: String): String =
+    graft.streaming.Streams.ensureLexReadmittedState(s, docs(s, dir), dir)
   /** Three waves with `compactGroupTermCountsAt` between waves 2 and 3:
     * the additive-count fold algebra driver-checked under mid-lifecycle
     * compaction (the lex state covers the postings-union algebra, the knn
@@ -1926,6 +1932,35 @@ object SparkEntry {
       val e = emb(s, dir).select("vec_id", "embedding")
       val path = Similarity.ensurePersistedIvfPqDeleted(s, e, dir)
       val lex = lexDeletedStateOf(s, dir)
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Engine.hybridServing(
+        Similarity.loadIvfIndex(s, s"$path/coarse"),
+        Similarity.loadPqIndex(s, s"$path/pq"),
+        q, ServingTerms,
+        terms => graft.streaming.Streams.bm25StreamedAt(s, lex, terms),
+        k = 5, nLeg = 10)
+    }),
+    // extension: the READMIT leg of the lexical takedown — q298's
+    // lifecycle healed by re-ingesting the purged docs through the batch
+    // upsertDocsAt (the takedown-then-reingest flow). The state keeps raw
+    // doc-keyed rows, so delete + readmit is an identity on every reader:
+    // BM25 over the healed state must equal q258's NEVER-deleted
+    // full-corpus oracle verbatim, global statistics included
+    "q302_bm25_lex_readmitted" -> ((s, dir) =>
+      graft.streaming.Streams.bm25StreamedAt(
+        s, lexReadmittedStateOf(s, dir), Seq("join", "hash", "customer"))),
+    // extension: the END-TO-END READMIT serving query — q299's takedown
+    // healed in EVERY maintained store: the purged ids re-ingested through
+    // upsertIvfAt + upsertPqAt (frozen trained artifacts) and
+    // upsertDocsAt (lex state). One reingest request, three stores, and
+    // the fused serving answer must equal q292's never-deleted
+    // composition exactly — the takedown round-trips to identity
+    "q303_hybrid_readmit" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedIvfPqReadmitted(s, e, dir)
+      val lex = lexReadmittedStateOf(s, dir)
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
@@ -6544,6 +6579,29 @@ WHERE ${terms.indices.map(i => s"tf_$i").mkString(" + ")} > 0"""
       extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
       finalSelect = hybridServingSelect(
         serveFilter = "vec_id % 5 <> 3", docFilter = "doc_id % 5 <> 3")),
+    // q302: the readmit identity on the lexical state — q258's
+    // never-deleted full-corpus oracle VERBATIM: delete + re-ingest of the
+    // same docs must be unobservable to every reader
+    "q302_bm25_lex_readmitted" -> {
+      val terms = Seq("join", "hash", "customer")
+      val (dfCols, tfCols, score) = dkBm25Parts(terms)
+      s"""WITH $dkTok,
+  t AS (SELECT doc_id, toks, len(toks) AS dl FROM tok),
+  stats AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM t),
+  tf AS (SELECT doc_id, dl, $tfCols FROM t)
+SELECT doc_id, dl AS n_tokens,
+  ${terms.indices.map(i => s"CAST(tf_$i AS BIGINT) AS tf_$i").mkString(", ")},
+  round($score, 6) AS bm25
+FROM tf CROSS JOIN stats
+WHERE ${terms.indices.map(i => s"tf_$i").mkString(" + ")} > 0"""
+    },
+    // q303: the readmit identity on the FULL serving stack — q292's
+    // never-deleted composition verbatim: takedown + reingest across all
+    // three stores round-trips to the identity
+    "q303_hybrid_readmit" -> detKmeansOracle(
+      fitSrc = "nv0",
+      extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
+      finalSelect = hybridServingSelect()),
     // q300: history-invariance of the maintained IVF-PQ — the >=3-wave +
     // compacted lifecycle must reproduce q282's two-wave oracle verbatim
     // (both trained artifacts frozen on the same even wave; assignment

@@ -2019,6 +2019,48 @@ object Similarity {
     index
   }
 
+  /** Build-once cache for the DECLARED readmit query (q303's vector leg):
+    * the q295 takedown lifecycle followed by RE-INGEST of the purged ids
+    * through the standard upsert path ([[upsertIvfAt]] + [[upsertPqAt]]
+    * against the SAME frozen trained artifacts). Because assignment and
+    * encoding are per-vector against frozen state, delete + readmit is an
+    * IDENTITY on the index content — the probe hash-matches q282's
+    * never-deleted oracle verbatim, proving the takedown-then-reingest
+    * flow heals both saved artifacts exactly. */
+  def ensurePersistedIvfPqReadmitted(spark: org.apache.spark.sql.SparkSession,
+                                     embeddings: DataFrame, sfDir: String,
+                                     nLists: Int = 8, kmIters: Int = 3,
+                                     m: Int = 16, ksub: Int = 16,
+                                     pqIters: Int = 2, delMod: Int = 5,
+                                     delRes: Int = 3): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpqradm-" +
+      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
+        s"$nLists|$kmIters|$m|$ksub|$pqIters|readmit=mod${delMod}eq$delRes|v1")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index = s"$base/index"
+    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
+    if (fs.exists(marker)) return index
+    graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+        detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
+        pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
+        upsertIvfAt(spark, s"$index/coarse", w1)
+        upsertPqAt(spark, s"$index/pq", w1)
+        val del = embeddings
+          .filter(pmod(col("vec_id"), lit(delMod)) === delRes)
+        deleteIvfAt(spark, s"$index/coarse", del.select("vec_id"))
+        deletePqAt(spark, s"$index/pq", del.select("vec_id"))
+        upsertIvfAt(spark, s"$index/coarse", del)
+        upsertPqAt(spark, s"$index/pq", del)
+        fs.create(marker, true).close()
+      }
+    }
+    index
+  }
+
   /** Build-once cache for the DECLARED maintained-IVF-PQ query (q300):
     * q282's lifecycle under the LONGER maintenance history q296/q297 gave
     * the plain IVF — fit + save BOTH trained artifacts on the even wave

@@ -1525,18 +1525,89 @@ object Streams {
     * bit-exact (StreamingSpec). */
   def streamingLexIndex(docs: DataFrame, indexPath: String,
                         checkpointDir: String): StreamingQuery =
-    epochPartials(docs, indexPath, checkpointDir) { b =>
-      val ta = graft.operators.TextAnalysis
-      val p = ta.postings(b)
-        .withColumn("pbk", expr(ta.tokenBucketExpr("token")))
-        .select(lit("p").as("kind"), col("token"), col("doc_id"),
-          col("tf"), col("pbk"), lit(null).cast("long").as("dl"))
-      val d = ta.docLengths(b)
-        .select(lit("d").as("kind"), lit(null).cast("string").as("token"),
-          col("doc_id"), lit(null).cast("long").as("tf"),
-          lit(-1L).as("pbk"), col("dl").cast("long").as("dl"))
-      p.unionByName(d)
+    epochPartials(docs, indexPath, checkpointDir)(lexPartial)
+
+  /** The lex state's per-batch partial (postings + doc-length rows in one
+    * kind-tagged frame) — ONE definition shared by the streaming builder
+    * and the batch [[upsertDocsAt]], so an upserted doc's rows are
+    * byte-identical to the rows the stream would have produced. */
+  private def lexPartial(b: DataFrame): DataFrame = {
+    val ta = graft.operators.TextAnalysis
+    val p = ta.postings(b)
+      .withColumn("pbk", expr(ta.tokenBucketExpr("token")))
+      .select(lit("p").as("kind"), col("token"), col("doc_id"),
+        col("tf"), col("pbk"), lit(null).cast("long").as("dl"))
+    val d = ta.docLengths(b)
+      .select(lit("d").as("kind"), lit(null).cast("string").as("token"),
+        col("doc_id"), lit(null).cast("long").as("tf"),
+        lit(-1L).as("pbk"), col("dl").cast("long").as("dl"))
+    p.unionByName(d)
+  }
+
+  /** Replace-by-id upsert into the maintained lex state — the batch twin
+    * of one streamed ingest wave, and the heal half of the takedown pair
+    * ([[deleteDocsAt]] purges; this re-admits or replaces). Any existing
+    * rows of the incoming doc_ids are purged first via the same staged
+    * epoch-tree swap as a delete — SKIPPED entirely when none exist (the
+    * pure-append fast path: a readmit after a takedown, or genuinely new
+    * docs, costs ONE new epoch partition and never rewrites the state) —
+    * then the docs' partial rows land as a fresh epoch (max existing + 1,
+    * so a retry of a crashed append overwrites its own partition via the
+    * dynamic mode rather than double-counting). Because the state keeps
+    * raw doc-keyed rows and derives df/N/avgdl at read time, delete +
+    * readmit of the same docs is an IDENTITY on every reader — the
+    * contract q302/q303 hash-check against the never-deleted oracles. */
+  def upsertDocsAt(spark: SparkSession, path: String,
+                   docs: DataFrame): Unit = {
+    healCompaction(spark, path)
+    val ids = docs.select("doc_id").distinct()
+    val hasOld = !spark.read.parquet(path)
+      .join(broadcast(ids), Seq("doc_id"), "left_semi").isEmpty
+    if (hasOld) swapEpochState(spark, path)(st =>
+      st.join(broadcast(ids), Seq("doc_id"), "left_anti"))
+    // cast: partition-column inference may type epoch as INT (small
+    // values), and a compacted state's only partition is epoch=-1
+    val next = math.max(0L, spark.read.parquet(path)
+      .agg(max(col("epoch").cast("long"))).head().getLong(0) + 1L)
+    lexPartial(docs).withColumn("epoch", lit(next))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("epoch").parquet(path)
+  }
+
+  /** The lex state's READMIT lifecycle (q302/q303's lexical leg): the
+    * ensureLexDeletedState build (3 waves + mid-lifecycle compaction +
+    * [[deleteDocsAt]] of every doc_id % delMod == delRes), then the purged
+    * docs RE-INGESTED through [[upsertDocsAt]] — the takedown-then-
+    * reingest flow. The readmitted rows are batch-identical to the rows
+    * the stream originally produced (shared [[lexPartial]]), so every
+    * reader over the healed state equals the never-deleted corpus — the
+    * oracle is q258's full-corpus twin verbatim. */
+  def ensureLexReadmittedState(spark: SparkSession, documents: DataFrame,
+                               sfDir: String, delMod: Int = 5,
+                               delRes: Int = 3): String = {
+    val tag = s"lexreadmit-m${delMod}r$delRes"
+    val out = ensureStreamedDocState(spark, documents, sfDir, tag,
+      waves = 3, compactAfterWave = 2, compactor = compactLexIndexAt)(
+      (sd, o, ckpt) => streamingLexIndex(sd, o, ckpt))
+    val base = streamedStateBase(spark, sfDir, s"$tag-w3-c2",
+      "documents.parquet")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // one marker guards the delete+readmit PAIR: a crash between the two
+    // re-runs both on the next ensure (the delete is an idempotent filter
+    // and the readmit's purge-first makes the pair idempotent too)
+    val marker = new org.apache.hadoop.fs.Path(base, "_DOCS_READMITTED")
+    if (!fs.exists(marker)) graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        val pred = pmod(col("doc_id"), lit(delMod)) === delRes
+        deleteDocsAt(spark, out, pred)
+        upsertDocsAt(spark, out, documents.filter(pred))
+        fs.create(marker, true).close()
+      }
     }
+    out
+  }
 
   /** The maintained postings table (token, doc_id, tf, pbk). */
   def lexPostingsAt(spark: SparkSession, indexPath: String): DataFrame =

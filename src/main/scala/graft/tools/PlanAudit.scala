@@ -195,6 +195,10 @@ object PlanAudit {
     // artifacts), lexical-leg stats structurally bounded as in q292
     "q299_hybrid_takedown" -> (3,
       "q292's probe frames over the post-takedown saved artifacts + deleted lex state"),
+    // the readmit composition probes exactly like q292 over the healed
+    // artifacts — same three bounded frames
+    "q303_hybrid_readmit" -> (3,
+      "q292's probe frames over the readmitted saved artifacts + healed lex state"),
     // the maintained (>=3-wave + compacted) IVF-PQ probes exactly like
     // its two-wave twin — same three bounded frames, whatever the upsert
     // history or file layout of the coarse cells

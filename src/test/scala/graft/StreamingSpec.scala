@@ -860,6 +860,53 @@ class StreamingSpec extends AnyFunSuite {
     docs.unpersist()
   }
 
+  test("upsertDocsAt (q302): readmit-after-delete is an identity; replace-by-id purges old rows; pure append adds one epoch") {
+    val tmp = Files.createTempDirectory("graft-lex-upsert").toString
+    val (landing, idxPath, ckpt) = (s"$tmp/landing", s"$tmp/lex", s"$tmp/ckpt")
+    val docs = Tables.documents(spark, TestSpark.sf0001).cache()
+    docs.filter($"doc_id" % 2 === 0).coalesce(1).write.mode("append").parquet(landing)
+    docs.filter($"doc_id" % 2 === 1).coalesce(1).write.mode("append").parquet(landing)
+    val stream = spark.readStream.schema(Streams.documentsSchema)
+      .option("maxFilesPerTrigger", "1").parquet(landing)
+    Streams.streamingLexIndex(stream, idxPath, ckpt).awaitTermination(120000)
+    val terms = Seq("join", "hash", "customer")
+    val ta = graft.operators.TextAnalysis
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .as[(Long, Long, Long, Long, Long, Double)].collect().toSet
+    val full = rows(ta.bm25Indexed(
+      ta.postings(docs), ta.docLengths(docs), terms))
+    // takedown then reingest: every reader returns to the never-deleted
+    // answer, global statistics included
+    val pred = pmod($"doc_id", lit(5)) === 3
+    Streams.deleteDocsAt(spark, idxPath, pred)
+    assert(rows(Streams.bm25StreamedAt(spark, idxPath, terms)) != full)
+    Streams.upsertDocsAt(spark, idxPath, docs.filter(pred))
+    assert(rows(Streams.bm25StreamedAt(spark, idxPath, terms)) == full)
+    assert(Streams.lexDocLensAt(spark, idxPath).count() == docs.count())
+    // a pure append lands exactly one new epoch partition (no rewrite)
+    val epochsBefore = spark.read.parquet(idxPath)
+      .select("epoch").distinct().count()
+    // replace-by-id: upserting a CHANGED doc purges its old rows — the
+    // state must score the new text, not the union of old and new
+    val changedId = docs.filter(pred).select("doc_id").as[Long].head()
+    val changed = docs.filter($"doc_id" === changedId)
+      .withColumn("text", lit("join join join"))
+    Streams.upsertDocsAt(spark, idxPath, changed)
+    val scored = Streams.bm25StreamedAt(spark, idxPath, terms)
+      .filter($"doc_id" === changedId)
+      .as[(Long, Long, Long, Long, Long, Double)].collect()
+    assert(scored.length == 1 && scored.head._2 == 3L,
+      s"replaced doc must have dl=3 (the new text), got ${scored.toSeq}")
+    assert(scored.head._3 == 3L, "tf(join) of the replaced doc must be 3")
+    assert(Streams.lexDocLensAt(spark, idxPath).count() == docs.count())
+    // restoring the original doc heals back to the full-corpus answer
+    Streams.upsertDocsAt(spark, idxPath, docs.filter($"doc_id" === changedId))
+    assert(rows(Streams.bm25StreamedAt(spark, idxPath, terms)) == full)
+    assert(spark.read.parquet(idxPath).select("epoch").distinct().count()
+      >= epochsBefore)
+    docs.unpersist()
+  }
+
   test("epoch-partition retry: re-writing an epoch's partial leaves the fold unchanged") {
     // The exactly-once contract every epoch-partition twin relies on
     // (BPE vocab, CMS grid, DDSketch buckets, KMV sketch): a RETRIED batch
