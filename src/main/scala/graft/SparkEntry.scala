@@ -1988,6 +1988,24 @@ object SparkEntry {
         Similarity.loadPqIndex(s, s"$path/pq"), q, 3,
         nProbe = 3, shortlist = 64)
     }),
+    // extension: the RETRAIN leg for the QUANTIZED serving index — q301's
+    // convention on the IVF-PQ pair: both trained artifacts (coarse
+    // centroids AND codebooks) refit over the complete stored corpus —
+    // self-contained, the assignments table carries the vectors — every
+    // vector reassigned and re-encoded, all four tables swapped as one
+    // generation. Hash-oracled against a from-scratch full-corpus fit of
+    // both artifacts: only a genuinely retrained pair matches
+    "q304_ann_ivfpq_retrained" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedIvfPqRetrained(s, e, dir)
+      val q = emb(s, dir).filter(col("vec_id") < 5)
+        .select(col("vec_id").as("query_id"),
+          col("embedding").as("query_embedding"))
+      Similarity.ivfPqProbe(
+        Similarity.loadIvfIndex(s, s"$path/coarse"),
+        Similarity.loadPqIndex(s, s"$path/pq"), q, 3,
+        nProbe = 3, shortlist = 64)
+    }),
     // extension: the persisted-IVF MAINTENANCE pair — the operational
     // story the streamed states got in r16 (compactEpochs), now for the
     // persisted index. q296: ivfCellStats over an index that has seen a
@@ -6612,6 +6630,16 @@ WHERE ${terms.indices.map(i => s"tf_$i").mkString(" + ")} > 0"""
       extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
       finalSelect = s"""SELECT * FROM (
   WITH ${persistedIvfPqCtes()},
+$pqRerankTail)"""),
+    // q304: the retrained IVF-PQ — BOTH artifacts refit over the full
+    // stored corpus (fitSrc = nv for the coarse Lloyd, fitIds = nv for
+    // the codebook fit sample), so the serve table is the from-scratch
+    // assignment a_fin and the ADC codes are the full-corpus encode.
+    // Differs from q282/q300's frozen-wave-0 oracle: only a genuinely
+    // retrained generation matches
+    "q304_ann_ivfpq_retrained" -> detKmeansOracle(
+      finalSelect = s"""SELECT * FROM (
+  WITH ${persistedIvfPqCtes(serveSrc = "a_fin", fitIds = "nv")},
 $pqRerankTail)"""))
 
   /** The q292/q299 serving-composition SELECT (appended to the
@@ -6670,11 +6698,18 @@ $lexCtes,
     * (q295's erasure twin: deleteIvfAt + deletePqAt leave only survivors
     * as candidates; the oracle needs just the candidate cut, because the
     * ADC and re-rank stages only ever touch candidate rows). */
-  private def persistedIvfPqCtes(serveFilter: String = ""): String = {
-    val serve = if (serveFilter.isEmpty) "a_all"
-      else s"(SELECT * FROM a_all WHERE $serveFilter)"
-    s"""${pqChainCtes("nv", "nv", fitIds = "nv0")},
-  $persistedIvfAssignCtes,
+  private def persistedIvfPqCtes(serveFilter: String = "",
+                                 serveSrc: String = "a_all",
+                                 fitIds: String = "nv0"): String = {
+    val serve = if (serveFilter.isEmpty) serveSrc
+      else s"(SELECT * FROM $serveSrc WHERE $serveFilter)"
+    // a_all needs the two-wave merge CTEs; a retrained pair (q304) serves
+    // the from-scratch full-corpus assignment a_fin and needs only the
+    // f32 rounding of the saved centroids
+    val assignCtes = if (serveSrc == "a_all") persistedIvfAssignCtes
+      else "c32 AS (SELECT cell, list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c FROM cents3)"
+    s"""${pqChainCtes("nv", "nv", fitIds = fitIds)},
+  $assignCtes,
   q32 AS (SELECT vec_id AS query_id, list_transform(nv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS q FROM nv_q),
   pcs AS (SELECT q.query_id, cc.cell,
       list_sum(list_transform(range(1, 65), i -> q.q[i] * cc.c[i])) AS dot,

@@ -2019,6 +2019,79 @@ object Similarity {
     index
   }
 
+  /** Retrain BOTH trained artifacts of a SAVED IVF-PQ index in place —
+    * [[retrainIvfAt]]'s twin for the quantized serving index: coarse
+    * centroids AND codebooks refit over the CURRENT stored vectors (the
+    * coarse assignments table carries them, so the retrain is
+    * self-contained — no source-corpus access), every vector reassigned
+    * and re-encoded, and all four tables (coarse assignments/centroids,
+    * PQ codes/codebooks) swapped as one staged generation. Same crash
+    * story as [[retrainIvfAt]]: the complete generation lands under
+    * `__retrain_staging` with a `_STAGED_READY` marker before any live
+    * table is touched, a crashed swap converges on the retried call, and
+    * a crashed call must be retried to completion before probing. */
+  def retrainIvfPqAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                     nLists: Int = 8, kmIters: Int = 3, m: Int = 16,
+                     ksub: Int = 16, pqIters: Int = 2): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val staging = new org.apache.hadoop.fs.Path(s"$path/__retrain_staging")
+    val ready = new org.apache.hadoop.fs.Path(staging, "_STAGED_READY")
+    if (!fs.exists(ready)) {
+      fs.delete(staging, true)
+      val stored = spark.read.parquet(s"$path/coarse/assignments")
+        .select("vec_id", "embedding")
+      detIvfIndex(stored, nLists, kmIters).save(s"$staging/coarse")
+      pqIndex(stored, m, ksub, pqIters).save(s"$staging/pq")
+      fs.create(ready, true).close()
+    }
+    Seq("coarse/assignments", "coarse/centroids", "pq/codes",
+        "pq/codebooks").foreach { t =>
+      val src = new org.apache.hadoop.fs.Path(s"$staging/$t")
+      if (fs.exists(src)) {
+        val dst = new org.apache.hadoop.fs.Path(s"$path/$t")
+        fs.delete(dst, true)
+        require(fs.rename(src, dst), s"retrain rename failed: $src -> $dst")
+      }
+    }
+    fs.delete(staging, true)
+  }
+
+  /** Build-once cache for the DECLARED retrained-IVF-PQ query (q304):
+    * q282's lifecycle (fit both artifacts on the even wave, upsert the
+    * odd wave against them frozen) followed by [[retrainIvfPqAt]] — the
+    * scheduled refit the quantized serving index runs when
+    * [[ivfCellStats]] reports drift. Both refits are deterministic over
+    * the full stored corpus, so the post-retrain probe is hash-oracled
+    * against a from-scratch full-corpus fit of BOTH artifacts. */
+  def ensurePersistedIvfPqRetrained(spark: org.apache.spark.sql.SparkSession,
+                                    embeddings: DataFrame, sfDir: String,
+                                    nLists: Int = 8, kmIters: Int = 3,
+                                    m: Int = 16, ksub: Int = 16,
+                                    pqIters: Int = 2): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpqrtr-" +
+      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
+        s"$nLists|$kmIters|$m|$ksub|$pqIters|retrain|v1")
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index = s"$base/index"
+    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
+    if (fs.exists(marker)) return index
+    graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+        detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
+        pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
+        upsertIvfAt(spark, s"$index/coarse", w1)
+        upsertPqAt(spark, s"$index/pq", w1)
+        retrainIvfPqAt(spark, index, nLists, kmIters, m, ksub, pqIters)
+        fs.create(marker, true).close()
+      }
+    }
+    index
+  }
+
   /** Build-once cache for the DECLARED readmit query (q303's vector leg):
     * the q295 takedown lifecycle followed by RE-INGEST of the purged ids
     * through the standard upsert path ([[upsertIvfAt]] + [[upsertPqAt]]

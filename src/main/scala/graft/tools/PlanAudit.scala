@@ -183,6 +183,10 @@ object PlanAudit {
     // nLists rows by construction, whatever generation produced it
     "q301_ann_ivf_retrained" -> (1,
       "persisted centroid table, nLists rows by index construction"),
+    // the retrained IVF-PQ probes exactly like q282 over the swapped-in
+    // generation — same three bounded frames
+    "q304_ann_ivfpq_retrained" -> (3,
+      "q282's probe frames over the retrained saved artifacts"),
     // the quantized erasure legs probe exactly like their persisted twins
     "q293_ann_sq8_deleted" -> (1,
       "quantized query batch (q290's frame; corpus side reads saved survivors)"),

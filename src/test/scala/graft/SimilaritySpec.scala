@@ -815,6 +815,33 @@ class SimilaritySpec extends AnyFunSuite {
     FileUtils.deleteQuietly(new java.io.File(dir).getParentFile)
   }
 
+  test("retrainIvfPqAt (q304): both artifacts refit from the stored corpus; probe equals a from-scratch full-corpus pair") {
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqrtr").toString + "/idx"
+    val w0 = emb.filter($"vec_id" % 2 === 0)
+    Similarity.detIvfIndex(w0, 8).save(s"$dir/coarse")
+    Similarity.pqIndex(w0).save(s"$dir/pq")
+    Similarity.upsertIvfAt(spark, s"$dir/coarse", emb.filter($"vec_id" % 2 === 1))
+    Similarity.upsertPqAt(spark, s"$dir/pq", emb.filter($"vec_id" % 2 === 1))
+    Similarity.retrainIvfPqAt(spark, dir)
+    // the swapped-in generation equals a from-scratch fit of BOTH
+    // artifacts on the full corpus: codebooks bit-identical, probe
+    // row-identical
+    val freshPq = Similarity.pqIndex(emb)
+    val loadedPq = Similarity.loadPqIndex(spark, s"$dir/pq")
+    assert(loadedPq.codebooks.map(_.map(_.toSeq)) ==
+      freshPq.codebooks.map(_.map(_.toSeq)))
+    val got = Similarity.ivfPqProbe(
+      Similarity.loadIvfIndex(spark, s"$dir/coarse"), loadedPq,
+      queries, 3).collect().map(_.toString).sorted
+    val want = Similarity.ivfPqProbe(
+      Similarity.detIvfIndex(emb, 8), freshPq, queries, 3)
+      .collect().map(_.toString).sorted
+    assert(got.sameElements(want) && got.nonEmpty)
+    assert(!new java.io.File(s"$dir/__retrain_staging").exists())
+    FileUtils.deleteQuietly(new java.io.File(dir).getParentFile)
+  }
+
   test("ensurePersistedIvfPqMaintained (q300): >=3-wave + compacted lifecycle is history-invariant and one file per coarse cell") {
     val dir = Similarity.ensurePersistedIvfPqMaintained(spark, emb, TestSpark.sf0001)
     val coarse = Similarity.loadIvfIndex(spark, s"$dir/coarse")
