@@ -1921,6 +1921,20 @@ object SparkEntry {
     "q298_bm25_lex_deleted" -> ((s, dir) =>
       graft.streaming.Streams.bm25StreamedAt(
         s, lexDeletedStateOf(s, dir), Seq("join", "hash", "customer"))),
+    // extension: right-to-erasure for the DEDUP infrastructure — a
+    // takedown must also purge the persisted MinHash band index (the
+    // state a production dedup run starts from instead of re-shingling
+    // the corpus), or the deleted doc keeps surfacing in near-dup pairs.
+    // Band rows are per-doc projections, so deleteDocsAt's row filter is
+    // the complete takedown: pairs from the post-delete state must equal
+    // the batch pairs among the SURVIVING docs exactly
+    "q305_minhash_pairs_deleted" -> ((s, dir) => {
+      val state = graft.streaming.Streams.ensureDeletedDocState(
+        s, docs(s, dir), dir, "mhbanddel-m5r3", 5, 3)(
+        (sd, out, ckpt) =>
+          graft.streaming.Streams.streamingMinhashBands(sd, out, ckpt))
+      graft.streaming.Streams.minhashPairsStreamedAt(s, state, 0.5)
+    }),
     // extension: the END-TO-END TAKEDOWN serving query — q292's
     // maintained-stack composition with ids ≡ 3 (mod 5) purged from EVERY
     // serving artifact: deleteIvfAt on the coarse assignments, deletePqAt
@@ -6587,6 +6601,14 @@ SELECT doc_id, dl AS n_tokens,
 FROM tf CROSS JOIN stats
 WHERE ${terms.indices.map(i => s"tf_$i").mkString(" + ")} > 0"""
     },
+    // q305: band-state erasure — a pair's jaccard and band keys depend
+    // only on its two docs, so pairs over the surviving corpus equal the
+    // full-corpus pairs with both endpoints surviving: the batch q259
+    // oracle wrapped with the survivor cut on doc_a AND doc_b
+    "q305_minhash_pairs_deleted" ->
+      s"""SELECT * FROM (
+$dkMinhashPairsSql
+) WHERE doc_a % 5 <> 3 AND doc_b % 5 <> 3""",
     // q299: the END-TO-END TAKEDOWN serving oracle — q292's composition
     // over the surviving corpus only: the vector leg's serve table is the
     // merged assignments minus the deleted ids (q295's cut) and the

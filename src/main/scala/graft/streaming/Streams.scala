@@ -228,13 +228,33 @@ object Streams {
     * the next ensure. */
   def ensureLexDeletedState(spark: SparkSession, documents: DataFrame,
                             sfDir: String, delMod: Int = 5,
-                            delRes: Int = 3): String = {
-    val tag = s"lexdel-m${delMod}r$delRes"
-    val out = ensureStreamedDocState(spark, documents, sfDir, tag,
-      waves = 3, compactAfterWave = 2, compactor = compactLexIndexAt)(
+                            delRes: Int = 3): String =
+    ensureDeletedDocState(spark, documents, sfDir, s"lexdel-m${delMod}r$delRes",
+      delMod, delRes, waves = 3, compactAfterWave = 2,
+      compactor = compactLexIndexAt)(
       (sd, o, ckpt) => streamingLexIndex(sd, o, ckpt))
-    val base = streamedStateBase(spark, sfDir, s"$tag-w3-c2",
-      "documents.parquet")
+
+  /** The generic takedown wrapper behind [[ensureLexDeletedState]] and the
+    * band-state erasure (q305): build ANY doc-keyed streamed state under
+    * its own cache tag (a separate dir ON PURPOSE — deleting from a shared
+    * state would corrupt its other readers), then [[deleteDocsAt]] purges
+    * every `doc_id % delMod == delRes` document's rows AFTER all waves
+    * landed. The delete leg is marker-guarded separately from the wave
+    * build: a crash between them re-applies an idempotent filter on the
+    * next ensure. The caller's `tag` must carry the delete parameters
+    * (the `del=modNeqR` key-material convention). */
+  def ensureDeletedDocState(spark: SparkSession, documents: DataFrame,
+                            sfDir: String, tag: String, delMod: Int,
+                            delRes: Int, waves: Int = 2,
+                            compactAfterWave: Int = 0,
+                            compactor: (SparkSession, String) => Unit =
+                              (_, _) => ())(
+      start: (DataFrame, String, String) => StreamingQuery): String = {
+    val out = ensureStreamedDocState(spark, documents, sfDir, tag,
+      waves = waves, compactAfterWave = compactAfterWave,
+      compactor = compactor)(start)
+    val base = streamedStateBase(spark, sfDir,
+      s"$tag-w$waves-c$compactAfterWave", "documents.parquet")
     val fs = new org.apache.hadoop.fs.Path(base)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     val marker = new org.apache.hadoop.fs.Path(base, "_DOCS_DELETED")

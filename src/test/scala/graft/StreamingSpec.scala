@@ -647,6 +647,19 @@ class StreamingSpec extends AnyFunSuite {
     assert(spark.read.parquet(state).select("epoch").distinct().count() == 1)
     assert(Streams.minhashPairsStreamedAt(spark, state, 0.5)
       .collect().map(_.toSeq).toSet == batch)
+    // band-state takedown (q305): rows are per-doc projections, so the
+    // row filter is the complete erasure — pairs from the post-delete
+    // state equal batch pairs among the SURVIVING docs
+    Streams.deleteDocsAt(spark, state, pmod($"doc_id", lit(5)) === 3)
+    val survivorBatch = graft.operators.Dedup
+      .minhashPairs(docs.filter($"doc_id" % 5 =!= 3), 0.5)
+      .collect().map(_.toSeq).toSet
+    assert(Streams.minhashPairsStreamedAt(spark, state, 0.5)
+      .collect().map(_.toSeq).toSet == survivorBatch)
+    // the state is spec-private and now deleted-from: drop it so the next
+    // run's >=2-epoch assertion rebuilds from scratch
+    Streams.dropStreamedTableState(
+      spark, TestSpark.sf0001, "mhband-spec", "documents.parquet")
   }
 
   test("streamingScoredVectors via two waves (q260): AUC from the maintained state equals batch separabilityAuc") {
