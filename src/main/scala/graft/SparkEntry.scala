@@ -1908,7 +1908,7 @@ object SparkEntry {
         Similarity.loadIvfIndex(s, s"$path/coarse"),
         Similarity.loadPqIndex(s, s"$path/pq"),
         q, ServingTerms,
-        terms => graft.streaming.Streams.bm25StreamedAt(s, lex, terms),
+        graft.streaming.Streams.bm25StreamedLegsAt(s, lex, ServingTerms),
         k = 5, nLeg = 10)
     }),
     // extension: right-to-erasure for the LEXICAL maintained state —
@@ -1953,7 +1953,7 @@ object SparkEntry {
         Similarity.loadIvfIndex(s, s"$path/coarse"),
         Similarity.loadPqIndex(s, s"$path/pq"),
         q, ServingTerms,
-        terms => graft.streaming.Streams.bm25StreamedAt(s, lex, terms),
+        graft.streaming.Streams.bm25StreamedLegsAt(s, lex, ServingTerms),
         k = 5, nLeg = 10)
     }),
     // extension: the READMIT leg of the lexical takedown — q298's
@@ -1982,7 +1982,7 @@ object SparkEntry {
         Similarity.loadIvfIndex(s, s"$path/coarse"),
         Similarity.loadPqIndex(s, s"$path/pq"),
         q, ServingTerms,
-        terms => graft.streaming.Streams.bm25StreamedAt(s, lex, terms),
+        graft.streaming.Streams.bm25StreamedLegsAt(s, lex, ServingTerms),
         k = 5, nLeg = 10)
     }),
     // extension: the maintained-IVF-PQ lifecycle — q297's ≥3-wave +

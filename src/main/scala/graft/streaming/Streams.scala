@@ -983,6 +983,33 @@ object Streams {
       kept
     }
 
+  /** One SHARED state read for a batch of lexical legs — the serving
+    * composition (q292/q299/q303) runs one BM25 leg per query, and each
+    * [[bm25StreamedAt]] call re-scans the state parquet (postings +
+    * doc-lengths) per leg. This pre-filters the postings ONCE to the
+    * union of all legs' token buckets and memoizes both frames
+    * (PlanCache), so N legs cost one state materialization + N in-memory
+    * bucket cuts. Each leg's rows are byte-identical to
+    * [[bm25StreamedAt]]'s: the per-leg bucket filter over the memoized
+    * superset equals the direct term-pruned read, and the scorer is the
+    * same `bm25Indexed`. */
+  def bm25StreamedLegsAt(spark: SparkSession, indexPath: String,
+                         termsByQuery: Seq[(Long, Seq[String])],
+                         k1: Double = 1.2, b: Double = 0.75)
+      : Seq[String] => DataFrame = {
+    val ta = graft.operators.TextAnalysis
+    val allBuckets = termsByQuery.flatMap(_._2).map(ta.tokenBucket).distinct
+    val st = epochsAt(spark, indexPath)
+    val p = graft.operators.PlanCache.memo(
+      st.filter(col("kind") === "p" && col("pbk").isin(allBuckets: _*))
+        .select("token", "doc_id", "tf", "pbk"))
+    val d = graft.operators.PlanCache.memo(
+      st.filter(col("kind") === "d").select("doc_id", "dl"))
+    terms => ta.bm25Indexed(
+      p.filter(col("pbk").isin(terms.map(ta.tokenBucket).distinct: _*))
+        .select("token", "doc_id", "tf"), d, terms, k1, b)
+  }
+
   /** Streaming BPE-vocabulary maintenance — the incremental form of
     * `Bpe.bpeMerges`' corpus scan. The expensive half of BPE training at
     * scale is the single full-corpus pass that builds the (word, n)
