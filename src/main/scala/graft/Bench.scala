@@ -41,7 +41,7 @@ object Bench {
         n.contains("_deleted") || n.contains("_serving") ||
         n.contains("_maintained") || n.contains("_takedown") ||
         n.contains("_retrained") || n.contains("_readmit") ||
-        n == "q256_jsonl_ingest")
+        n.contains("_cell_stats") || n == "q256_jsonl_ingest")
       .foreach { n =>
         try SparkEntry.queries(n)(spark, sfDir).queryExecution.toRdd.count()
         catch { case _: Throwable => }

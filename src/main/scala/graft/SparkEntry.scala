@@ -38,7 +38,7 @@ object SparkEntry {
     * vec_id = i (the q282 probe convention); the lexical side is this
     * fixed per-query keyword set (all corpus-vocabulary terms). Shared by
     * the Spark query and its oracle so the two stay in lockstep. */
-  private val ServingTerms: Seq[(Long, Seq[String])] = Seq(
+  private[graft] val ServingTerms: Seq[(Long, Seq[String])] = Seq(
     0L -> Seq("join", "hash"),
     1L -> Seq("customer", "order"),
     2L -> Seq("vector", "stream"),

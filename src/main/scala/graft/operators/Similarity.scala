@@ -577,21 +577,21 @@ object Similarity {
     * whose every vector is deleted gets its partition REMOVED explicitly:
     * dynamic partition overwrite only rewrites partitions present in the
     * staged frame, so an emptied cell would otherwise keep serving its
-    * stale rows — and the removal runs BEFORE the overwrite so a crash
-    * between the two steps fails CLOSED (deleted ids already gone; a
-    * rerun restores the surviving rows from the staged copy's lineage —
-    * both orders converge on retry, but overwrite-first would leave the
-    * emptied partitions serving deleted ids until the retry happens, a
-    * silent right-to-erasure violation). A delete that would empty the
+    * stale rows — and the removal runs BEFORE the overwrite so the
+    * EMPTIED-cell window fails closed (a crash between the two steps has
+    * already dropped those cells; overwrite-first would leave them
+    * serving deleted ids until the retry). Partially-deleted cells do
+    * keep serving their deleted ids until the overwrite lands, so a
+    * crashed call must be RETRIED to completion — both step orders
+    * converge on the rerun; the ordering only narrows the window, it is
+    * not a full crash-atomicity guarantee. A delete that would empty the
     * ENTIRE index fails loudly instead: the next load would otherwise
     * die on parquet schema inference over a part-less directory, far
     * from the cause. */
   def deleteIvfAt(spark: org.apache.spark.sql.SparkSession, path: String,
                   ids: DataFrame): Unit = {
     val idx = loadIvfIndex(spark, path)
-    // bounded collects: cell domain is nLists by construction
-    val allCells = idx.assignments.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSet
+    // bounded collect: cell domain is nLists by construction
     val touched = idx.assignments
       .join(broadcast(ids.select("vec_id")), Seq("vec_id"))
       .select("cell").distinct().collect().map(_.getInt(0)).toSeq
@@ -604,7 +604,11 @@ object Similarity {
     val staged = spark.read.parquet(tmp)
     val survivors = staged.select("cell").distinct()
       .collect().map(_.getInt(0)).toSet
-    require(survivors.nonEmpty || (allCells -- touched).nonEmpty,
+    // the untouched-cells probe runs ONLY in the would-empty edge case —
+    // an unconditional full-table distinct here would tax every takedown
+    // with a corpus scan just to serve the refuse-empty guard
+    require(survivors.nonEmpty || !idx.assignments
+        .filter(!col("cell").isin(touched: _*)).limit(1).isEmpty,
       s"deleteIvfAt would empty the entire index at $path — refusing " +
         "(drop the index directory instead if that is intended)")
     val fs = org.apache.hadoop.fs.FileSystem.get(
@@ -617,6 +621,32 @@ object Similarity {
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("cell").parquet(s"$path/assignments")
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  }
+
+  /** The build-once scaffold shared by every persisted-index ensure*
+    * wrapper: key a tmp dir by the SEMANTIC parameters (the `$nLists|$iters`
+    * convention — every parameter that changes the index content must be in
+    * `key`), guard the build with the `_INDEX_READY` marker + build lock
+    * (double-checked, no non-local return inside the lock), and hand
+    * `build` the index dir. One definition so a marker-protocol fix lands
+    * everywhere at once. */
+  private def ensureIndexDir(spark: org.apache.spark.sql.SparkSession,
+                             prefix: String, key: String)
+                            (build: String => Unit): String = {
+    val base = s"${System.getProperty("java.io.tmpdir")}/graft-$prefix-" +
+      graft.TmpCache.dirKey(key)
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val index = s"$base/index"
+    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
+    if (fs.exists(marker)) return index
+    graft.TmpCache.withBuildLock(base) {
+      if (!fs.exists(marker)) {
+        build(index)
+        fs.create(marker, true).close()
+      }
+    }
+    index
   }
 
   /** Build-once cache for the DECLARED deleted-index query (q287): the
@@ -634,28 +664,16 @@ object Similarity {
     // every semantic parameter lives in the key material (the
     // $nLists|$iters convention) — including the delete predicate, so a
     // predicate change can never serve a stale deleted-set from cache
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-detivfdel-" +
-      graft.TmpCache.dirKey(
-        s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|" +
-          s"del=mod${delMod}eq$delRes|v1")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val index = s"$base/index"
-    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
-    if (fs.exists(marker)) return index
-    graft.TmpCache.withBuildLock(base) {
-      if (!fs.exists(marker)) {
-        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-        detIvfIndex(w0, nLists, iters).save(index)
-        upsertIvfAt(spark, index, w1)
-        deleteIvfAt(spark, index,
-          embeddings.filter(pmod(col("vec_id"), lit(delMod)) === delRes)
-            .select("vec_id"))
-        fs.create(marker, true).close()
-      }
+    ensureIndexDir(spark, "detivfdel", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|" +
+          s"del=mod${delMod}eq$delRes|v1") { index =>
+      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+      detIvfIndex(w0, nLists, iters).save(index)
+      upsertIvfAt(spark, index, w1)
+      deleteIvfAt(spark, index,
+        embeddings.filter(pmod(col("vec_id"), lit(delMod)) === delRes)
+          .select("vec_id"))
     }
-    index
   }
 
   /** Retrain the coarse quantizer of a SAVED IVF index in place — the
@@ -676,8 +694,12 @@ object Similarity {
     * [[deleteIvfAt]], a crashed call must be RETRIED to completion before
     * the index is probed again: between the two renames the live dirs can
     * hold mixed generations (new assignments under old centroids probes
-    * the wrong cells). The ensure* wrappers guarantee this via their
-    * `_INDEX_READY` marker; direct callers own the retry. */
+    * the wrong cells). The resume is only correct when the live tables
+    * are the generation the staging was fit from — a caller that REBUILDS
+    * the index from scratch after a crash instead of retrying must clear
+    * `__retrain_staging` first (the retrained ensure* wrappers do, via
+    * [[clearRetrainStaging]]), or the resume would swap the stale staged
+    * generation over the fresh tables. */
   def retrainIvfAt(spark: org.apache.spark.sql.SparkSession, path: String,
                    nLists: Int = 8, iters: Int = 3): Unit = {
     val fs = new org.apache.hadoop.fs.Path(path)
@@ -718,26 +740,30 @@ object Similarity {
   def ensurePersistedDetIvfRetrained(spark: org.apache.spark.sql.SparkSession,
                                      embeddings: DataFrame, sfDir: String,
                                      nLists: Int = 8, iters: Int = 3): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-detivfrtr-" +
-      graft.TmpCache.dirKey(
-        s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|" +
-          "retrain|v1")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val index = s"$base/index"
-    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
-    if (fs.exists(marker)) return index
-    graft.TmpCache.withBuildLock(base) {
-      if (!fs.exists(marker)) {
-        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-        detIvfIndex(w0, nLists, iters).save(index)
-        upsertIvfAt(spark, index, w1)
-        retrainIvfAt(spark, index, nLists, iters)
-        fs.create(marker, true).close()
-      }
+    ensureIndexDir(spark, "detivfrtr", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|" +
+          "retrain|v1") { index =>
+      // a crash inside a PREVIOUS build's retrain swap can leave a staged
+      // generation behind; this rebuild starts from scratch, so the stale
+      // staging must be cleared FIRST — otherwise retrainIvfAt would
+      // resume the old swap over the freshly rebuilt tables and cache a
+      // mixed-generation index under the _INDEX_READY marker
+      clearRetrainStaging(spark, index)
+      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+      detIvfIndex(w0, nLists, iters).save(index)
+      upsertIvfAt(spark, index, w1)
+      retrainIvfAt(spark, index, nLists, iters)
     }
-    index
+  }
+
+  /** Drop a stale `__retrain_staging` generation before a from-scratch
+    * rebuild — see the retrained ensure* wrappers: [[retrainIvfAt]]'s
+    * resume protocol is only correct when the LIVE tables are the same
+    * generation the staging was fit from, which a rebuild violates. */
+  private def clearRetrainStaging(spark: org.apache.spark.sql.SparkSession,
+                                  index: String): Unit = {
+    val st = new org.apache.hadoop.fs.Path(s"$index/__retrain_staging")
+    st.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(st, true)
   }
 
   /** Per-cell health stats for a SAVED IVF index — the monitor an operator
@@ -783,22 +809,40 @@ object Similarity {
     * — probe results stay byte-identical (SimilaritySpec pins it) — and
     * the centroids are not read at all. `repartition(cell)` puts each
     * cell's rows in exactly one task, so `partitionBy(cell)` emits one
-    * file per cell dir; the rewrite stages to a temp dir first (the
-    * `upsertIvfAt` durability rule) and statically overwrites — compaction
-    * touches every cell by definition, and the static overwrite also
-    * clears any stale partition a crashed earlier write left behind. */
+    * file per cell dir. Durability is delete→rename, never a static
+    * overwrite of the live table (an overwrite drops the destination at
+    * job start — a mid-job crash would lose the index with nothing to
+    * heal from): the compacted copy is fully staged first, and the swap
+    * window self-heals on the next call (live missing + complete staged
+    * copy → finish the rename). The whole-dir swap also clears any stale
+    * partition a crashed earlier write left behind. */
   def compactIvfAt(spark: org.apache.spark.sql.SparkSession,
                    path: String): Unit = {
-    val tmp = s"$path/assignments__staging"
-    spark.read.parquet(s"$path/assignments")
-      .write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp)
-      .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$path/assignments")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val live = new org.apache.hadoop.fs.Path(s"$path/assignments")
+    val tmp = new org.apache.hadoop.fs.Path(s"$path/assignments__compact")
+    // heal: a crash between the live delete and the rename below leaves
+    // the only complete copy (committer _SUCCESS present) in the staging
+    // dir — finish the interrupted swap instead of dying on the missing
+    // live table (the streamed states' healCompaction rule). The healed
+    // copy IS the compacted table, so the retried call is done.
+    if (!fs.exists(live) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
+      require(fs.rename(tmp, live),
+        s"compaction recovery rename failed: $tmp -> $live")
+      return
+    }
+    fs.delete(tmp, true) // stale partial staging from a pre-delete crash
+    spark.read.parquet(live.toString)
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
+    // delete -> rename, never a static overwrite of the live table: an
+    // overwrite drops the destination at job start, so a crash mid-job
+    // would lose the index with no staged copy to heal from
+    fs.delete(live, true)
+    require(fs.rename(tmp, live),
+      s"compaction rename failed: $tmp -> $live")
   }
 
   /** Build-once cache for the DECLARED maintained-IVF queries (q296/q297):
@@ -815,28 +859,16 @@ object Similarity {
   def ensurePersistedDetIvfMaintained(spark: org.apache.spark.sql.SparkSession,
                                       embeddings: DataFrame, sfDir: String,
                                       nLists: Int = 8, iters: Int = 3): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-detivfmnt-" +
-      graft.TmpCache.dirKey(
-        s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|" +
-          "waves=4|compact|v1")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val index = s"$base/index"
-    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
-    if (fs.exists(marker)) return index
-    graft.TmpCache.withBuildLock(base) {
-      if (!fs.exists(marker)) {
-        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val w1 = embeddings.filter(pmod(col("vec_id"), lit(4)) === 1)
-        val w3 = embeddings.filter(pmod(col("vec_id"), lit(4)) === 3)
-        detIvfIndex(w0, nLists, iters).save(index)
-        upsertIvfAt(spark, index, w1)
-        upsertIvfAt(spark, index, w3)
-        compactIvfAt(spark, index)
-        fs.create(marker, true).close()
-      }
+    ensureIndexDir(spark, "detivfmnt", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|" +
+          "waves=4|compact|v1") { index =>
+      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val w1 = embeddings.filter(pmod(col("vec_id"), lit(4)) === 1)
+      val w3 = embeddings.filter(pmod(col("vec_id"), lit(4)) === 3)
+      detIvfIndex(w0, nLists, iters).save(index)
+      upsertIvfAt(spark, index, w1)
+      upsertIvfAt(spark, index, w3)
+      compactIvfAt(spark, index)
     }
-    index
   }
 
   /** Incremental int8-SQ maintenance: per-vector quantization means a delta
@@ -876,18 +908,35 @@ object Similarity {
     * IVF-family delete (`deleteIvfAt`) is the partition-pruned form. */
   private def deleteFlatCodesAt(spark: org.apache.spark.sql.SparkSession,
                                 path: String, ids: DataFrame): Unit = {
-    val kept = spark.read.parquet(path)
-      .join(broadcast(ids.select("vec_id")), Seq("vec_id"), "left_anti")
-    val tmp = s"$path.__staging"
-    kept.write.mode("overwrite").parquet(tmp)
-    val staged = spark.read.parquet(tmp)
-    require(!staged.isEmpty,
-      s"delete would empty the entire index at $path — refusing " +
-        "(drop the index directory instead if that is intended)")
-    staged.write.mode("overwrite").parquet(path)
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    val live = new org.apache.hadoop.fs.Path(path)
+    val tmp = new org.apache.hadoop.fs.Path(s"$path.__staging")
+    // heal an interrupted swap first (live missing, complete staged copy
+    // present), then apply THIS delete on the healed table — the
+    // compactIvfAt durability rule: delete -> rename, never a static
+    // overwrite of the live table (an overwrite drops the destination at
+    // job start; a mid-job crash would lose the codes with no staged
+    // copy left to recover from)
+    if (!fs.exists(live) &&
+        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
+      require(fs.rename(tmp, live),
+        s"delete recovery rename failed: $tmp -> $live")
+    fs.delete(tmp, true) // stale partial staging from a pre-delete crash
+    val kept = spark.read.parquet(path)
+      .join(broadcast(ids.select("vec_id")), Seq("vec_id"), "left_anti")
+    kept.write.mode("overwrite").parquet(tmp.toString)
+    if (spark.read.parquet(tmp.toString).isEmpty) {
+      // drop the refused staging BEFORE throwing: an empty-but-committed
+      // staged copy must never be heal-renamed over a live table later
+      fs.delete(tmp, true)
+      throw new IllegalArgumentException(
+        s"delete would empty the entire index at $path — refusing " +
+          "(drop the index directory instead if that is intended)")
+    }
+    fs.delete(live, true)
+    require(fs.rename(tmp, live),
+      s"delete rename failed: $tmp -> $live")
   }
 
   /** Delete-by-id on a SAVED int8-SQ index — the erasure leg of the
@@ -927,23 +976,12 @@ object Similarity {
     * corpus — through storage. */
   def ensurePersistedSq(spark: org.apache.spark.sql.SparkSession,
                         embeddings: DataFrame, sfDir: String): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-sqidx-" +
-      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|v1")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val index = s"$base/index"
-    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
-    if (fs.exists(marker)) return index
-    graft.TmpCache.withBuildLock(base) {
-      if (!fs.exists(marker)) {
-        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-        saveSqIndex(sqIndex(w0), index)
-        upsertSqAt(spark, index, w1)
-        fs.create(marker, true).close()
-      }
+    ensureIndexDir(spark, "sqidx", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|v1") { index =>
+      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+      saveSqIndex(sqIndex(w0), index)
+      upsertSqAt(spark, index, w1)
     }
-    index
   }
 
   /** Build-once cache for the DECLARED deleted-SQ8 query (q293): the q290
@@ -956,27 +994,16 @@ object Similarity {
   def ensurePersistedSqDeleted(spark: org.apache.spark.sql.SparkSession,
                                embeddings: DataFrame, sfDir: String,
                                delMod: Int = 5, delRes: Int = 3): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-sqidxdel-" +
-      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
-        s"del=mod${delMod}eq$delRes|v1")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val index = s"$base/index"
-    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
-    if (fs.exists(marker)) return index
-    graft.TmpCache.withBuildLock(base) {
-      if (!fs.exists(marker)) {
-        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-        saveSqIndex(sqIndex(w0), index)
-        upsertSqAt(spark, index, w1)
-        deleteSqAt(spark, index,
-          embeddings.filter(pmod(col("vec_id"), lit(delMod)) === delRes)
-            .select("vec_id"))
-        fs.create(marker, true).close()
-      }
+    ensureIndexDir(spark, "sqidxdel", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
+        s"del=mod${delMod}eq$delRes|v1") { index =>
+      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+      saveSqIndex(sqIndex(w0), index)
+      upsertSqAt(spark, index, w1)
+      deleteSqAt(spark, index,
+        embeddings.filter(pmod(col("vec_id"), lit(delMod)) === delRes)
+          .select("vec_id"))
     }
-    index
   }
 
   /** Incremental binary-quantization maintenance: sign sketches are
@@ -1183,26 +1210,14 @@ object Similarity {
   def ensurePersistedDetIvf(spark: org.apache.spark.sql.SparkSession,
                             embeddings: DataFrame, sfDir: String,
                             nLists: Int = 8, iters: Int = 3): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-detivf-" +
-      graft.TmpCache.dirKey(
-        s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|v1")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val index = s"$base/index"
-    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
-    if (fs.exists(marker)) return index
-    graft.TmpCache.withBuildLock(base) {
-      if (!fs.exists(marker)) {
-        // crash-convergent: save() statically overwrites the whole index
-        // dir, so any interrupted prefix of save→upsert re-runs cleanly
-        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-        detIvfIndex(w0, nLists, iters).save(index)
-        upsertIvfAt(spark, index, w1)
-        fs.create(marker, true).close()
-      }
+    ensureIndexDir(spark, "detivf", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|v1") { index =>
+      // crash-convergent: save() statically overwrites the whole index
+      // dir, so any interrupted prefix of save→upsert re-runs cleanly
+      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+      detIvfIndex(w0, nLists, iters).save(index)
+      upsertIvfAt(spark, index, w1)
     }
-    index
   }
 
   /** Fully-deterministic IVF top-k: `detKMeans` cells + the standard
@@ -1836,24 +1851,12 @@ object Similarity {
   def ensurePersistedBq(spark: org.apache.spark.sql.SparkSession,
                         embeddings: DataFrame, sfDir: String,
                         numBits: Int = 63): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-bqidx-" +
-      graft.TmpCache.dirKey(
-        s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$numBits|v1")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val index = s"$base/index"
-    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
-    if (fs.exists(marker)) return index
-    graft.TmpCache.withBuildLock(base) {
-      if (!fs.exists(marker)) {
-        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-        saveBqIndex(bqIndex(w0, numBits), index)
-        upsertBqAt(spark, index, w1, numBits)
-        fs.create(marker, true).close()
-      }
+    ensureIndexDir(spark, "bqidx", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$numBits|v1") { index =>
+      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+      saveBqIndex(bqIndex(w0, numBits), index)
+      upsertBqAt(spark, index, w1, numBits)
     }
-    index
   }
 
   /** Build-once cache for the DECLARED deleted-BQ query (q294): the q291
@@ -1867,27 +1870,16 @@ object Similarity {
                                embeddings: DataFrame, sfDir: String,
                                numBits: Int = 63, delMod: Int = 5,
                                delRes: Int = 3): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-bqidxdel-" +
-      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
-        s"$numBits|del=mod${delMod}eq$delRes|v1")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val index = s"$base/index"
-    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
-    if (fs.exists(marker)) return index
-    graft.TmpCache.withBuildLock(base) {
-      if (!fs.exists(marker)) {
-        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-        saveBqIndex(bqIndex(w0, numBits), index)
-        upsertBqAt(spark, index, w1, numBits)
-        deleteBqAt(spark, index,
-          embeddings.filter(pmod(col("vec_id"), lit(delMod)) === delRes)
-            .select("vec_id"))
-        fs.create(marker, true).close()
-      }
+    ensureIndexDir(spark, "bqidxdel", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
+        s"$numBits|del=mod${delMod}eq$delRes|v1") { index =>
+      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+      saveBqIndex(bqIndex(w0, numBits), index)
+      upsertBqAt(spark, index, w1, numBits)
+      deleteBqAt(spark, index,
+        embeddings.filter(pmod(col("vec_id"), lit(delMod)) === delRes)
+          .select("vec_id"))
     }
-    index
   }
 
   /** Probe a SAVED IVF-PQ pair — the serving path of the persisted
@@ -1956,26 +1948,15 @@ object Similarity {
                            embeddings: DataFrame, sfDir: String,
                            nLists: Int = 8, kmIters: Int = 3, m: Int = 16,
                            ksub: Int = 16, pqIters: Int = 2): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpq-" +
-      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
-        s"$nLists|$kmIters|$m|$ksub|$pqIters|v1")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val index = s"$base/index"
-    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
-    if (fs.exists(marker)) return index
-    graft.TmpCache.withBuildLock(base) {
-      if (!fs.exists(marker)) {
-        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-        detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
-        pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
-        upsertIvfAt(spark, s"$index/coarse", w1)
-        upsertPqAt(spark, s"$index/pq", w1)
-        fs.create(marker, true).close()
-      }
+    ensureIndexDir(spark, "ivfpq", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
+        s"$nLists|$kmIters|$m|$ksub|$pqIters|v1") { index =>
+      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+      detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
+      pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
+      upsertIvfAt(spark, s"$index/coarse", w1)
+      upsertPqAt(spark, s"$index/pq", w1)
     }
-    index
   }
 
   /** Build-once cache for the DECLARED deleted-IVF-PQ query (q295): the
@@ -1992,31 +1973,20 @@ object Similarity {
                                   m: Int = 16, ksub: Int = 16,
                                   pqIters: Int = 2, delMod: Int = 5,
                                   delRes: Int = 3): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpqdel-" +
-      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
-        s"$nLists|$kmIters|$m|$ksub|$pqIters|del=mod${delMod}eq$delRes|v1")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val index = s"$base/index"
-    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
-    if (fs.exists(marker)) return index
-    graft.TmpCache.withBuildLock(base) {
-      if (!fs.exists(marker)) {
-        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-        detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
-        pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
-        upsertIvfAt(spark, s"$index/coarse", w1)
-        upsertPqAt(spark, s"$index/pq", w1)
-        val del = embeddings
-          .filter(pmod(col("vec_id"), lit(delMod)) === delRes)
-          .select("vec_id")
-        deleteIvfAt(spark, s"$index/coarse", del)
-        deletePqAt(spark, s"$index/pq", del)
-        fs.create(marker, true).close()
-      }
+    ensureIndexDir(spark, "ivfpqdel", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
+        s"$nLists|$kmIters|$m|$ksub|$pqIters|del=mod${delMod}eq$delRes|v1") { index =>
+      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+      detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
+      pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
+      upsertIvfAt(spark, s"$index/coarse", w1)
+      upsertPqAt(spark, s"$index/pq", w1)
+      val del = embeddings
+        .filter(pmod(col("vec_id"), lit(delMod)) === delRes)
+        .select("vec_id")
+      deleteIvfAt(spark, s"$index/coarse", del)
+      deletePqAt(spark, s"$index/pq", del)
     }
-    index
   }
 
   /** Retrain BOTH trained artifacts of a SAVED IVF-PQ index in place —
@@ -2069,27 +2039,19 @@ object Similarity {
                                     nLists: Int = 8, kmIters: Int = 3,
                                     m: Int = 16, ksub: Int = 16,
                                     pqIters: Int = 2): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpqrtr-" +
-      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
-        s"$nLists|$kmIters|$m|$ksub|$pqIters|retrain|v1")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val index = s"$base/index"
-    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
-    if (fs.exists(marker)) return index
-    graft.TmpCache.withBuildLock(base) {
-      if (!fs.exists(marker)) {
-        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-        detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
-        pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
-        upsertIvfAt(spark, s"$index/coarse", w1)
-        upsertPqAt(spark, s"$index/pq", w1)
-        retrainIvfPqAt(spark, index, nLists, kmIters, m, ksub, pqIters)
-        fs.create(marker, true).close()
-      }
+    ensureIndexDir(spark, "ivfpqrtr", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
+        s"$nLists|$kmIters|$m|$ksub|$pqIters|retrain|v1") { index =>
+      // clear any stale staged generation first — the detivfrtr rule: a
+      // resumed swap over freshly rebuilt tables would mix generations
+      clearRetrainStaging(spark, index)
+      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+      detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
+      pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
+      upsertIvfAt(spark, s"$index/coarse", w1)
+      upsertPqAt(spark, s"$index/pq", w1)
+      retrainIvfPqAt(spark, index, nLists, kmIters, m, ksub, pqIters)
     }
-    index
   }
 
   /** Build-once cache for the DECLARED readmit query (q303's vector leg):
@@ -2106,32 +2068,21 @@ object Similarity {
                                      m: Int = 16, ksub: Int = 16,
                                      pqIters: Int = 2, delMod: Int = 5,
                                      delRes: Int = 3): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpqradm-" +
-      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
-        s"$nLists|$kmIters|$m|$ksub|$pqIters|readmit=mod${delMod}eq$delRes|v1")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val index = s"$base/index"
-    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
-    if (fs.exists(marker)) return index
-    graft.TmpCache.withBuildLock(base) {
-      if (!fs.exists(marker)) {
-        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-        detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
-        pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
-        upsertIvfAt(spark, s"$index/coarse", w1)
-        upsertPqAt(spark, s"$index/pq", w1)
-        val del = embeddings
-          .filter(pmod(col("vec_id"), lit(delMod)) === delRes)
-        deleteIvfAt(spark, s"$index/coarse", del.select("vec_id"))
-        deletePqAt(spark, s"$index/pq", del.select("vec_id"))
-        upsertIvfAt(spark, s"$index/coarse", del)
-        upsertPqAt(spark, s"$index/pq", del)
-        fs.create(marker, true).close()
-      }
+    ensureIndexDir(spark, "ivfpqradm", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
+        s"$nLists|$kmIters|$m|$ksub|$pqIters|readmit=mod${delMod}eq$delRes|v1") { index =>
+      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
+      detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
+      pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
+      upsertIvfAt(spark, s"$index/coarse", w1)
+      upsertPqAt(spark, s"$index/pq", w1)
+      val del = embeddings
+        .filter(pmod(col("vec_id"), lit(delMod)) === delRes)
+      deleteIvfAt(spark, s"$index/coarse", del.select("vec_id"))
+      deletePqAt(spark, s"$index/pq", del.select("vec_id"))
+      upsertIvfAt(spark, s"$index/coarse", del)
+      upsertPqAt(spark, s"$index/pq", del)
     }
-    index
   }
 
   /** Build-once cache for the DECLARED maintained-IVF-PQ query (q300):
@@ -2153,30 +2104,19 @@ object Similarity {
                                      nLists: Int = 8, kmIters: Int = 3,
                                      m: Int = 16, ksub: Int = 16,
                                      pqIters: Int = 2): String = {
-    val base = s"${System.getProperty("java.io.tmpdir")}/graft-ivfpqmnt-" +
-      graft.TmpCache.dirKey(s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
-        s"$nLists|$kmIters|$m|$ksub|$pqIters|waves=4|compact|v1")
-    val fs = new org.apache.hadoop.fs.Path(base)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val index = s"$base/index"
-    val marker = new org.apache.hadoop.fs.Path(base, "_INDEX_READY")
-    if (fs.exists(marker)) return index
-    graft.TmpCache.withBuildLock(base) {
-      if (!fs.exists(marker)) {
-        val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-        val w1 = embeddings.filter(pmod(col("vec_id"), lit(4)) === 1)
-        val w3 = embeddings.filter(pmod(col("vec_id"), lit(4)) === 3)
-        detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
-        pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
-        upsertIvfAt(spark, s"$index/coarse", w1)
-        upsertPqAt(spark, s"$index/pq", w1)
-        upsertIvfAt(spark, s"$index/coarse", w3)
-        upsertPqAt(spark, s"$index/pq", w3)
-        compactIvfAt(spark, s"$index/coarse")
-        fs.create(marker, true).close()
-      }
+    ensureIndexDir(spark, "ivfpqmnt", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
+        s"$nLists|$kmIters|$m|$ksub|$pqIters|waves=4|compact|v1") { index =>
+      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+      val w1 = embeddings.filter(pmod(col("vec_id"), lit(4)) === 1)
+      val w3 = embeddings.filter(pmod(col("vec_id"), lit(4)) === 3)
+      detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
+      pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
+      upsertIvfAt(spark, s"$index/coarse", w1)
+      upsertPqAt(spark, s"$index/pq", w1)
+      upsertIvfAt(spark, s"$index/coarse", w3)
+      upsertPqAt(spark, s"$index/pq", w3)
+      compactIvfAt(spark, s"$index/coarse")
     }
-    index
   }
 
   /** Deterministic random-projection dimensionality reduction (the

@@ -1005,9 +1005,20 @@ object Streams {
         .select("token", "doc_id", "tf", "pbk"))
     val d = graft.operators.PlanCache.memo(
       st.filter(col("kind") === "d").select("doc_id", "dl"))
-    terms => ta.bm25Indexed(
-      p.filter(col("pbk").isin(terms.map(ta.tokenBucket).distinct: _*))
-        .select("token", "doc_id", "tf"), d, terms, k1, b)
+    val allB = allBuckets.toSet
+    terms => {
+      val tb = terms.map(ta.tokenBucket).distinct
+      // a leg outside the memoized superset would silently score against
+      // MISSING postings (bm25 drops to zero, fusion degrades to
+      // vector-only) — refuse instead
+      require(tb.forall(allB),
+        s"lexical leg terms $terms fall outside the bucket superset this " +
+          "reader was built from — build bm25StreamedLegsAt with the same " +
+          "termsByQuery the serving call uses")
+      ta.bm25Indexed(
+        p.filter(col("pbk").isin(tb: _*))
+          .select("token", "doc_id", "tf"), d, terms, k1, b)
+    }
   }
 
   /** Streaming BPE-vocabulary maintenance — the incremental form of

@@ -17,7 +17,7 @@ object ScaleRehearsal {
     val k = if (args.nonEmpty) args(0).toInt else 8
     // optional 2nd arg: comma-separated family filter (docs, events,
     // graph, search, r9, r10, tpch, r10b, r11, r11b, r12b, dedup,
-    // search32, tpch32, serving32, gates) — run ONLY those
+    // search32, tpch32, serving32, recall) — run ONLY those
     // families so a new-family rehearsal doesn't pay the full ~25-minute
     // sweep
     val fams: Set[String] = if (args.length > 1)
@@ -500,9 +500,9 @@ object ScaleRehearsal {
       val q = e.filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
-      val terms = Seq(0L -> Seq("join", "hash"), 1L -> Seq("customer", "order"),
-        2L -> Seq("vector", "stream"), 3L -> Seq("window", "sort"),
-        4L -> Seq("scan", "filter"))
+      // the DECLARED q292 term sets, referenced (not copied) so the
+      // rehearsal always measures the workload the query actually runs
+      val terms = graft.SparkEntry.ServingTerms
       time(s"$tag ivfPqProbe32") {
         Similarity.ivfPqProbe(coarse, pq, q, 3, nProbe = 3, shortlist = 64)
           .queryExecution.toRdd.count() }
