@@ -35,7 +35,10 @@ fi
 SFDIR=${4:-/root/testdata/sf0.1}
 OUT=${5:-tools/bench_replay/replay_out}
 REPO=$(git rev-parse --show-toplevel)
-WT=/tmp/graft-bench-replay
+# NOT under /tmp/graft-*: the cold-cache discipline ("rm -rf /tmp/graft-*"
+# before a driver-faithful Verify) would delete the checked-out worktrees
+# and leave git's registry pointing at missing dirs
+WT=/tmp/bench-replay-worktrees
 mkdir -p "$OUT" "$WT"
 
 build() { # build <ref> <tag> -> prints classes dir
@@ -48,6 +51,9 @@ build() { # build <ref> <tag> -> prints classes dir
   local sha
   sha=$(git -C "$REPO" rev-parse --verify "$ref^{commit}")
   if [ ! -d "$dir" ]; then
+    # clear any registry entry whose dir was deleted out from under git
+    # (e.g. a /tmp cleanup between runs) before re-adding the same path
+    git -C "$REPO" worktree prune >&2
     git -C "$REPO" worktree add --detach "$dir" "$sha" >&2
   else
     git -C "$dir" checkout --detach "$sha" >&2
