@@ -477,14 +477,7 @@ object Engine {
   def hybridSearch(index: DataFrame, query: String, k: Int = 5, nLeg: Int = 20,
                    kRrf: Int = 60, dim: Int = HashEmbed.DefaultDim): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    // keyword normalization: strip punctuation from each token ("credits!"
-    // becomes the keyword credits, not a dropped term), drop what's left
-    // empty, dedupe. A query with NO plain keyword (e.g. "!!!") degrades to
-    // the vector leg alone — the reference accepts any non-empty query
-    // (main.py:317-318) and serves it from the vector store, so hybrid must
-    // not be stricter than search.
-    val terms = query.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
-      .map(_.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty).distinct
+    val terms = keywordTerms(query)
     // ranking k already-limited rows: literal partition key as in searchRanked
     val w1 = Window.partitionBy(lit(1))
     val vec = search(index, query, nLeg, dim)
@@ -698,10 +691,7 @@ object Engine {
     require(queries.nonEmpty && queries.forall(_.trim.nonEmpty))
     // dedup for the same reason as searchMany: a repeated query string would
     // feed duplicated leg rows into the per-query rankers
-    val norm = queries.distinct.map { q =>
-      q -> q.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
-        .map(_.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty).distinct
-    }
+    val norm = queries.distinct.map(q => q -> keywordTerms(q))
     val allTerms = norm.flatMap(_._2).distinct
     val vec = searchMany(index, queries, nLeg, dim)
       .select(col("query"), col("id"), col("rank").as("rnk_vec"))
@@ -802,6 +792,14 @@ object Engine {
                     k: Int = 5, nLeg: Int = 10, kRrf: Int = 60,
                     nProbe: Int = 3, shortlist: Int = 64): DataFrame = {
     require(termsByQuery.nonEmpty, "need at least one (query_id, terms) set")
+    // the lexical side builds ONE union branch per query leg, so plan
+    // size is linear in the batch — fine at serving batch sizes, not for
+    // a bulk scoring job. Enforce the bound instead of documenting it:
+    // past it, split the batch (or use hybridSearchMany's grouped form).
+    require(termsByQuery.size <= MaxServingBatch,
+      s"hybridServing builds a per-query plan branch: batch of " +
+        s"${termsByQuery.size} exceeds MaxServingBatch=$MaxServingBatch — " +
+        "split the request into smaller batches")
     val vec = graft.operators.Similarity
       .ivfPqProbe(coarse, pq, queries, nLeg, nProbe, shortlist)
       .select(col("query_id"), col("vec_id").as("doc_id"),
@@ -834,6 +832,25 @@ object Engine {
       .select(col("query_id"), col("doc_id"), col("rnk_vec"),
         col("rnk_lex"), round(col("rrf"), 6).as("rrf"))
   }
+
+  /** The hybrid-search keyword normalization, shared by every text-in
+    * hybrid entry point (hybridSearch / hybridSearchMany / the q306
+    * text-in serving query and its oracle): lowercase, whitespace-split,
+    * strip punctuation from each token ("credits!" becomes the keyword
+    * credits, not a dropped term), drop what's left empty, dedupe. A
+    * query with NO plain keyword (e.g. "!!!") degrades to the vector leg
+    * alone — the reference accepts any non-empty query (main.py:317-318)
+    * and serves it from the vector store, so hybrid must not be stricter
+    * than search. */
+  def keywordTerms(query: String): Seq[String] =
+    query.toLowerCase(java.util.Locale.ROOT).split("\\s+").toSeq
+      .map(_.replaceAll("[^a-z0-9]", "")).filter(_.nonEmpty).distinct
+
+  /** Largest per-request query batch [[hybridServing]] accepts — its
+    * lexical legs are one plan branch per query (linear plan growth), so
+    * the bound keeps a mis-aimed bulk job from compiling a 10k-branch
+    * plan; serving batches are far below it. */
+  val MaxServingBatch = 64
 
   /** GET /health equivalent (main.py:228-253): "healthy" with index stats
     * when the index table is readable, "degraded" with the error otherwise

@@ -45,6 +45,30 @@ object SparkEntry {
     3L -> Seq("window", "sort"),
     4L -> Seq("scan", "filter"))
 
+  /** q306's TEXT-IN serving batch — the production request shape: a
+    * STRING per query, nothing hand-derived. The first two are the
+    * reference's own fixture queries (test_api.sh:40, test_api.sh:56);
+    * the rest cover the synthetic corpus vocabulary. BOTH legs derive
+    * from the string inside the query itself: the vector leg embeds it
+    * (`hash_embed(qtext, 64)` against the 64-dim persisted IVF-PQ) and
+    * the lexical leg normalizes it with [[Engine.keywordTerms]] — the
+    * oracle re-derives the embedding from the same string IN SQL
+    * (sha256 of the literal) and shares the SAME keywordTerms call at
+    * SQL-generation time, so neither side can drift. */
+  private[graft] val ServingTextQueries: Seq[String] = Seq(
+    "What are the articulation agreements for University of Florida?",
+    "transfer credits",
+    "customer order priority",
+    "hash join window sort",
+    "stream filter scan")
+
+  /** The per-query keyword sets q306 serves — DERIVED from
+    * [[ServingTextQueries]] via the shared normalizer, never hand-fixed. */
+  private[graft] def ServingTextTerms: Seq[(Long, Seq[String])] =
+    ServingTextQueries.zipWithIndex.map { case (q, i) =>
+      i.toLong -> Engine.keywordTerms(q)
+    }
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame = {
     GraftFunctions.register(spark)
@@ -120,9 +144,13 @@ object SparkEntry {
       compactor = graft.streaming.Streams.compactGroupTermCountsAt)(
       (sd, out, ckpt) =>
         graft.streaming.Streams.streamingGroupTermCounts(sd, out, ckpt))
+  /** Promoted to the uniform 3-wave + mid-lifecycle-compaction convention
+    * (lex is 4-wave; gterm/knn/events are 3-wave): wave 3 lands NEXT TO
+    * the compacted epoch=-1 partition, so both readers (q266/q267) fold
+    * a genuinely mixed compacted+live state. */
   private def cellsStateOf(s: SparkSession, dir: String): String =
     graft.streaming.Streams.ensureStreamedDocState(s, docs(s, dir), dir,
-      "cells", waves = 2, compactAfterWave = 1,
+      "cells", waves = 3, compactAfterWave = 2,
       compactor = graft.streaming.Streams.compactCellCountsAt)(
       (sd, out, ckpt) =>
         graft.streaming.Streams.streamingCellCounts(sd, out, ckpt))
@@ -140,11 +168,14 @@ object SparkEntry {
       s, Tables.events(tune(s), dir), dir, tag,
       idCol = "event_id", srcFile = "events.parquet",
       waves = 3, compactAfterWave = 2, compactor = compactor)(start)
+  /** Promoted to 3 waves + mid-lifecycle compaction like [[cellsStateOf]]
+    * — the last 2-wave state; its readers (q271/q272) now also answer
+    * over a compacted epoch=-1 partition beside a live epoch. */
   private def ksStateOf(s: SparkSession, dir: String): String =
     graft.streaming.Streams.ensureStreamedTableState(
       s, Tables.events(tune(s), dir), dir, "kscnt",
-      idCol = "event_id", srcFile = "events.parquet", waves = 2,
-      compactAfterWave = 1,
+      idCol = "event_id", srcFile = "events.parquet", waves = 3,
+      compactAfterWave = 2,
       compactor = graft.streaming.Streams.compactKsCountsAt)(
       (ev, out, ckpt) =>
         graft.streaming.Streams.streamingKsCounts(ev, out, ckpt))
@@ -1590,7 +1621,7 @@ object SparkEntry {
     // extension: ANN top-k answered FROM a PERSISTED index — the q259
     // two-wave convention applied to the flagship pillar: detIvfIndex fit
     // + save on the even-id wave, upsertIvfAt of the odd-id wave against
-    // the frozen persisted centroids, then loadIvfIndex + ivfProbe reading
+    // the frozen persisted centroids, then loadIvfAt (generation-pointer resolve) + ivfProbe reading
     // ONLY the saved files (no refit, no in-memory index reuse). Every
     // stage is deterministic (detKMeans + exact f64-over-f32 probe math),
     // so the whole lifecycle is hash-oracled, not rows-gated
@@ -1600,7 +1631,7 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
-      Similarity.ivfProbe(Similarity.loadIvfIndex(s, path), q, 3, nProbe = 3)
+      Similarity.ivfProbe(Similarity.loadIvfAt(s, path), q, 3, nProbe = 3)
     }),
     // extension: the corpus-health trio answered FROM the streamed
     // (g, token, c) term-count state — zipf slope, unigram entropy, and
@@ -1727,10 +1758,8 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
-      Similarity.ivfPqProbe(
-        Similarity.loadIvfIndex(s, s"$path/coarse"),
-        Similarity.loadPqIndex(s, s"$path/pq"), q, 3,
-        nProbe = 3, shortlist = 64)
+      val (coarse, pq) = Similarity.loadIvfPqAt(s, path)
+      Similarity.ivfPqProbe(coarse, pq, q, 3, nProbe = 3, shortlist = 64)
     }),
     // extension: streamed shingle novelty driver-checked — the
     // order-DEPENDENT maintainer made oracle-expressible by the
@@ -1849,7 +1878,7 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
-      Similarity.ivfProbe(Similarity.loadIvfIndex(s, path), q, 3, nProbe = 3)
+      Similarity.ivfProbe(Similarity.loadIvfAt(s, path), q, 3, nProbe = 3)
     }),
     // extension: the erasure leg for the QUANTIZED index family — q287's
     // convention (build + upsert + delete vec_id % 5 == 3, probe from
@@ -1883,10 +1912,8 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
-      Similarity.ivfPqProbe(
-        Similarity.loadIvfIndex(s, s"$path/coarse"),
-        Similarity.loadPqIndex(s, s"$path/pq"), q, 3,
-        nProbe = 3, shortlist = 64)
+      val (coarse, pq) = Similarity.loadIvfPqAt(s, path)
+      Similarity.ivfPqProbe(coarse, pq, q, 3, nProbe = 3, shortlist = 64)
     }),
     // extension: the END-TO-END maintained-stack serving query — the one
     // shape a real 100 TB deployment runs, composing everything the
@@ -1904,10 +1931,8 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
-      Engine.hybridServing(
-        Similarity.loadIvfIndex(s, s"$path/coarse"),
-        Similarity.loadPqIndex(s, s"$path/pq"),
-        q, ServingTerms,
+      val (coarse, pq) = Similarity.loadIvfPqAt(s, path)
+      Engine.hybridServing(coarse, pq, q, ServingTerms,
         graft.streaming.Streams.bm25StreamedLegsAt(s, lex, ServingTerms),
         k = 5, nLeg = 10)
     }),
@@ -1949,10 +1974,8 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
-      Engine.hybridServing(
-        Similarity.loadIvfIndex(s, s"$path/coarse"),
-        Similarity.loadPqIndex(s, s"$path/pq"),
-        q, ServingTerms,
+      val (coarse, pq) = Similarity.loadIvfPqAt(s, path)
+      Engine.hybridServing(coarse, pq, q, ServingTerms,
         graft.streaming.Streams.bm25StreamedLegsAt(s, lex, ServingTerms),
         k = 5, nLeg = 10)
     }),
@@ -1978,10 +2001,8 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
-      Engine.hybridServing(
-        Similarity.loadIvfIndex(s, s"$path/coarse"),
-        Similarity.loadPqIndex(s, s"$path/pq"),
-        q, ServingTerms,
+      val (coarse, pq) = Similarity.loadIvfPqAt(s, path)
+      Engine.hybridServing(coarse, pq, q, ServingTerms,
         graft.streaming.Streams.bm25StreamedLegsAt(s, lex, ServingTerms),
         k = 5, nLeg = 10)
     }),
@@ -1997,10 +2018,8 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
-      Similarity.ivfPqProbe(
-        Similarity.loadIvfIndex(s, s"$path/coarse"),
-        Similarity.loadPqIndex(s, s"$path/pq"), q, 3,
-        nProbe = 3, shortlist = 64)
+      val (coarse, pq) = Similarity.loadIvfPqAt(s, path)
+      Similarity.ivfPqProbe(coarse, pq, q, 3, nProbe = 3, shortlist = 64)
     }),
     // extension: the RETRAIN leg for the QUANTIZED serving index — q301's
     // convention on the IVF-PQ pair: both trained artifacts (coarse
@@ -2015,10 +2034,8 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
-      Similarity.ivfPqProbe(
-        Similarity.loadIvfIndex(s, s"$path/coarse"),
-        Similarity.loadPqIndex(s, s"$path/pq"), q, 3,
-        nProbe = 3, shortlist = 64)
+      val (coarse, pq) = Similarity.loadIvfPqAt(s, path)
+      Similarity.ivfPqProbe(coarse, pq, q, 3, nProbe = 3, shortlist = 64)
     }),
     // extension: the persisted-IVF MAINTENANCE pair — the operational
     // story the streamed states got in r16 (compactEpochs), now for the
@@ -2043,7 +2060,7 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
-      Similarity.ivfProbe(Similarity.loadIvfIndex(s, path), q, 3, nProbe = 3)
+      Similarity.ivfProbe(Similarity.loadIvfAt(s, path), q, 3, nProbe = 3)
     }),
     // extension: the RETRAIN leg — the act q296's skew monitor exists to
     // trigger, closing the maintenance loop (upsert → monitor → compact →
@@ -2060,7 +2077,77 @@ object SparkEntry {
       val q = emb(s, dir).filter(col("vec_id") < 5)
         .select(col("vec_id").as("query_id"),
           col("embedding").as("query_embedding"))
-      Similarity.ivfProbe(Similarity.loadIvfIndex(s, path), q, 3, nProbe = 3)
+      Similarity.ivfProbe(Similarity.loadIvfAt(s, path), q, 3, nProbe = 3)
+    }),
+    // extension: TEXT-IN hybrid serving — the production request shape
+    // over the SAME maintained artifacts as q292: each query arrives as a
+    // STRING; the vector leg hash-embeds it in-plan (hash_embed(qtext,
+    // 64) — the reference's own embedding, dimensioned to the persisted
+    // 64-dim IVF-PQ) and the lexical leg's keyword set is derived from
+    // the same string by Engine.keywordTerms. Nothing is hand-fixed and
+    // nothing is refit: both legs answer from the persisted IVF-PQ and
+    // the streamed compacted lex state. The oracle re-derives the
+    // embedding from the literal string in SQL (sha256 → byte cycle) and
+    // shares the same keywordTerms derivation, so the whole text→serve
+    // path is hash-checked
+    "q306_hybrid_serving_text" -> ((s, dir) => {
+      import graft.GraftFunctions.hash_embed
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedIvfPq(s, e, dir)
+      val lex = lexStateOf(s, dir)
+      val (coarse, pq) = Similarity.loadIvfPqAt(s, path)
+      import s.implicits._
+      val q = ServingTextQueries.zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+        .toDF("query_id", "qtext")
+        .select(col("query_id"),
+          hash_embed(col("qtext"), 64).as("query_embedding"))
+      Engine.hybridServing(coarse, pq, q, ServingTextTerms,
+        graft.streaming.Streams.bm25StreamedLegsAt(s, lex, ServingTextTerms),
+        k = 5, nLeg = 10)
+    }),
+    // extension: the CROSS-STORE TAKEDOWN AUDIT — the compliance report a
+    // real erasure pipeline ships after q299's one-request takedown: an
+    // fsck-style reader over every maintained store the request touched
+    // (coarse assignments, cell-partitioned PQ codes, lexical state,
+    // MinHash band state) counting deleted ids still present — all four
+    // must be 0 — plus the codes↔assignments layout invariant (every
+    // code row's (vec_id, cell) must appear in the coarse assignments,
+    // the contract that makes the IVFADC partition-pruned probe serve
+    // the same candidates as the assignments would). n_ids carries each
+    // store's surviving id count so the oracle also proves the stores
+    // were non-empty and complete, not vacuously clean
+    "q307_takedown_audit" -> ((s, dir) => {
+      val e = emb(s, dir).select("vec_id", "embedding")
+      val path = Similarity.ensurePersistedIvfPqDeleted(s, e, dir)
+      val g = Similarity.resolveIndexDir(s, path)
+      val lex = lexDeletedStateOf(s, dir)
+      val band = graft.streaming.Streams.ensureDeletedDocState(
+        s, docs(s, dir), dir, "mhbanddel-m5r3", 5, 3)(
+        (sd, out, ckpt) =>
+          graft.streaming.Streams.streamingMinhashBands(sd, out, ckpt))
+      def leaked(df: DataFrame, idCol: String, store: String) =
+        df.agg(
+            sum(when(pmod(col(idCol), lit(5)) === 3, 1L).otherwise(0L))
+              .as("n_leaked"),
+            countDistinct(col(idCol)).as("n_ids"))
+          .select(lit(store).as("store"), col("n_leaked"), col("n_ids"))
+      val assignments = s.read.parquet(s"$g/coarse/assignments")
+      val codes = s.read.parquet(s"$g/pq/codes")
+      val layoutBreaks = codes.select("vec_id", "cell")
+        .hint("SHUFFLE_HASH")
+        .join(assignments.select("vec_id", "cell"),
+          Seq("vec_id", "cell"), "left_anti")
+        .agg(count(lit(1)).as("n_leaked"))
+        .crossJoin(codes.agg(countDistinct(col("vec_id")).as("n_ids")))
+        .select(lit("codes_vs_assignments").as("store"),
+          col("n_leaked"), col("n_ids"))
+      leaked(assignments, "vec_id", "coarse_assignments")
+        .unionByName(leaked(codes, "vec_id", "pq_codes"))
+        .unionByName(leaked(s.read.parquet(lex), "doc_id", "lex_state"))
+        .unionByName(leaked(s.read.parquet(band), "doc_id", "band_state"))
+        .unionByName(layoutBreaks)
+        .orderBy("store")
     }),
     // extension: language-ID quality audit — q19's prediction confused
     // against the stored label; map-only scoring, |langs|²-bounded cells
@@ -6662,7 +6749,38 @@ $pqRerankTail)"""),
     "q304_ann_ivfpq_retrained" -> detKmeansOracle(
       finalSelect = s"""SELECT * FROM (
   WITH ${persistedIvfPqCtes(serveSrc = "a_fin", fitIds = "nv")},
-$pqRerankTail)"""))
+$pqRerankTail)"""),
+    // q306: the TEXT-IN serving oracle — q292's composition with the
+    // query side DERIVED from the literal fixture strings IN SQL: the
+    // embedding is sha256(qtext) cycled to 64 f32 values (the reference's
+    // hash-embed, main.py:139-147, dimensioned to the persisted index)
+    // and normalized exactly like the corpus side; the keyword sets come
+    // from the SAME Engine.keywordTerms call the Spark query makes. Both
+    // legs then run the q292 chains against the derived query frame
+    "q306_hybrid_serving_text" -> detKmeansOracle(
+      fitSrc = "nv0",
+      extraCtes = "nv0 AS (SELECT vec_id, nv FROM nv WHERE vec_id % 2 = 0)",
+      finalSelect = hybridServingSelect(
+        termsByQuery = ServingTextTerms, prefixCtes = textQueryCtes,
+        qnvSrc = "qnv", qEmbSrc = "qemb")),
+    // q307: the cross-store takedown audit — all leak counts are
+    // identically 0 (no deleted id may survive in ANY maintained store,
+    // and every code row's (vec_id, cell) must appear in the coarse
+    // assignments), while n_ids proves each store holds EXACTLY the
+    // surviving ids: both vector stores carry every surviving embedding,
+    // and both doc-keyed states carry every surviving document (the lex
+    // state keeps a doc-length row per doc even for zero-token text; the
+    // band state's shingle fallback gives every doc >= 1 shingle)
+    "q307_takedown_audit" ->
+      """WITH ne AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings WHERE vec_id % 5 <> 3),
+  nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents WHERE doc_id % 5 <> 3)
+SELECT * FROM (
+  SELECT 'band_state' AS store, CAST(0 AS BIGINT) AS n_leaked, n AS n_ids FROM nd
+  UNION ALL SELECT 'coarse_assignments', CAST(0 AS BIGINT), n FROM ne
+  UNION ALL SELECT 'codes_vs_assignments', CAST(0 AS BIGINT), n FROM ne
+  UNION ALL SELECT 'lex_state', CAST(0 AS BIGINT), n FROM nd
+  UNION ALL SELECT 'pq_codes', CAST(0 AS BIGINT), n FROM ne
+) ORDER BY store""")
 
   /** The q292/q299 serving-composition SELECT (appended to the
     * detKmeansOracle chain with fitSrc = nv0): the persisted-IVF-PQ probe
@@ -6672,10 +6790,41 @@ $pqRerankTail)"""))
     * table and `docFilter` the lexical leg's corpus (q299's takedown
     * twins: both legs see only the surviving ids, and the lexical
     * statistics shift with the survivors). */
+  /** The q306 query-side CTEs: the fixture strings as literal VALUES, the
+    * reference's hash-embedding DERIVED in SQL (sha256 of the literal,
+    * bytes cycled to 64 f32 values — main.py:139-147 at dim 64), then the
+    * same normalize chain the corpus side uses. Exposes
+    * `qemb(vec_id, embedding)` (the raw f32 query vectors — the re-rank
+    * side) and `qnv(vec_id, embedding, nv)` (the normalized f64 form the
+    * probe and lookup-table chains read). */
+  private def textQueryCtes: String = {
+    val vals = ServingTextQueries.zipWithIndex.map { case (q, i) =>
+      s"($i, '${q.replace("'", "''")}')"
+    }.mkString(", ")
+    s"""qstr(query_id, qtext) AS (VALUES $vals),
+  qh AS (SELECT query_id, sha256(qtext) AS hx FROM qstr),
+  qemb AS (SELECT CAST(query_id AS BIGINT) AS vec_id,
+      list_transform(range(0, 64), j -> CAST(CAST(${dkByte("hx", "j%32")} AS DOUBLE)/255.0*2.0-1.0 AS FLOAT)) AS embedding
+    FROM qh),
+  qnrm AS (SELECT vec_id, embedding,
+      sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm FROM qemb),
+  qnv AS (SELECT vec_id, embedding,
+      CASE WHEN nrm = 0.0 THEN list_transform(embedding, x -> CAST(x AS DOUBLE))
+           ELSE list_transform(embedding, x -> CAST(x AS DOUBLE) / nrm) END AS nv FROM qnrm)"""
+  }
+
   private def hybridServingSelect(serveFilter: String = "",
-                                  docFilter: String = ""): String = {
+                                  docFilter: String = "",
+                                  termsByQuery: Seq[(Long, Seq[String])] =
+                                    ServingTerms,
+                                  prefixCtes: String = "",
+                                  qnvSrc: String = "nv_q",
+                                  qEmbSrc: String = "embeddings"): String = {
     val tSrc = if (docFilter.isEmpty) "tok" else s"tok WHERE $docFilter"
-    val lexCtes = ServingTerms.map { case (qid, terms) =>
+    // a query whose terms all miss the corpus still needs its (empty)
+    // lex CTE chain; a query with NO terms at all contributes no chain
+    val withTerms = termsByQuery.filter(_._2.nonEmpty)
+    val lexCtes = withTerms.map { case (qid, terms) =>
       val (dfCols, tfCols, score) = dkBm25Parts(terms)
       val anyHit = terms.indices.map(i => s"tf_$i").mkString(" + ")
       s"""  stats_$qid AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs, avg(dl) AS avgdl, $dfCols FROM t),
@@ -6686,12 +6835,13 @@ $pqRerankTail)"""))
   lr_$qid AS (SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
       CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INTEGER) AS rnk_lex FROM lx_$qid)"""
     }.mkString(",\n")
-    val lexUnion = ServingTerms
+    val lexUnion = withTerms
       .map { case (qid, _) => s"SELECT * FROM lr_$qid" }
       .mkString(" UNION ALL ")
+    val prefix = if (prefixCtes.isEmpty) "" else s"$prefixCtes,\n  "
     s"""SELECT * FROM (
-  WITH ${persistedIvfPqCtes(serveFilter)},
-$pqRerankCtes,
+  WITH $prefix${persistedIvfPqCtes(serveFilter, qnvSrc = qnvSrc)},
+${pqRerankCtesFrom(qEmbSrc)},
   vecleg AS (SELECT query_id, vec_id AS doc_id, rnk AS rnk_vec FROM xr WHERE rnk <= 10),
   $dkTok,
   t AS (SELECT doc_id, toks, len(toks) AS dl FROM $tSrc),
@@ -6722,7 +6872,8 @@ $lexCtes,
     * ADC and re-rank stages only ever touch candidate rows). */
   private def persistedIvfPqCtes(serveFilter: String = "",
                                  serveSrc: String = "a_all",
-                                 fitIds: String = "nv0"): String = {
+                                 fitIds: String = "nv0",
+                                 qnvSrc: String = "nv_q"): String = {
     val serve = if (serveFilter.isEmpty) serveSrc
       else s"(SELECT * FROM $serveSrc WHERE $serveFilter)"
     // a_all needs the two-wave merge CTEs; a retrained pair (q304) serves
@@ -6730,9 +6881,9 @@ $lexCtes,
     // f32 rounding of the saved centroids
     val assignCtes = if (serveSrc == "a_all") persistedIvfAssignCtes
       else "c32 AS (SELECT cell, list_transform(c, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS c FROM cents3)"
-    s"""${pqChainCtes("nv", "nv", fitIds = fitIds)},
+    s"""${pqChainCtes("nv", qnvSrc, fitIds = fitIds)},
   $assignCtes,
-  q32 AS (SELECT vec_id AS query_id, list_transform(nv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS q FROM nv_q),
+  q32 AS (SELECT vec_id AS query_id, list_transform(nv, x -> CAST(CAST(x AS FLOAT) AS DOUBLE)) AS q FROM $qnvSrc),
   pcs AS (SELECT q.query_id, cc.cell,
       list_sum(list_transform(range(1, 65), i -> q.q[i] * cc.c[i])) AS dot,
       list_sum(list_transform(range(1, 65), i -> q.q[i] * q.q[i])) AS na,
@@ -6894,7 +7045,12 @@ ${subChains.mkString(",\n")},
     * keep the top `PqShortlist`, re-rank with exact cosine into `xr`
     * (query_id, vec_id, rnk, score). Callers append their own final
     * SELECT over `xr`. */
-  private def pqRerankCtes: String =
+  private def pqRerankCtes: String = pqRerankCtesFrom()
+
+  /** [[pqRerankCtes]] with the QUERY embedding source parameterized —
+    * the corpus `embeddings` table for the vec_id-keyed probes, the
+    * derived `qemb` CTE for q306's text queries. */
+  private def pqRerankCtesFrom(qEmbSrc: String = "embeddings"): String =
     s"""  short AS (SELECT query_id, vec_id FROM (SELECT query_id, vec_id,
       row_number() OVER (PARTITION BY query_id ORDER BY adc DESC, vec_id ASC) AS srn FROM adc) WHERE srn <= $PqShortlist),
   xs AS (SELECT sh.query_id, sh.vec_id,
@@ -6902,7 +7058,7 @@ ${subChains.mkString(",\n")},
       list_sum(list_transform(range(1, 65), i -> CAST(e.embedding[i] AS DOUBLE) * CAST(e.embedding[i] AS DOUBLE))) AS na,
       list_sum(list_transform(range(1, 65), i -> CAST(q.embedding[i] AS DOUBLE) * CAST(q.embedding[i] AS DOUBLE))) AS nb
     FROM short sh JOIN embeddings e ON sh.vec_id = e.vec_id
-                  JOIN embeddings q ON sh.query_id = q.vec_id),
+                  JOIN $qEmbSrc q ON sh.query_id = q.vec_id),
   xsc AS (SELECT query_id, vec_id,
       CASE WHEN na = 0 OR nb = 0 THEN 0.0 ELSE dot / (sqrt(na) * sqrt(nb)) END AS score FROM xs),
   xr AS (SELECT query_id, vec_id,

@@ -423,9 +423,14 @@ object Similarity {
     }
   }
 
-  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex =
-    IvfIndex(spark.read.parquet(s"$path/assignments"),
-      spark.read.parquet(s"$path/centroids"))
+  /** Generation-aware load (the `loadSqIndex` resolve rule): a `_GEN`
+    * pointer at `path` resolves to the serving generation; a plain saved
+    * index dir reads directly. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession, path: String): IvfIndex = {
+    val dir = resolveIndexDir(spark, path)
+    IvfIndex(spark.read.parquet(s"$dir/assignments"),
+      spark.read.parquet(s"$dir/centroids"))
+  }
 
   /** One-off IVF index build: KMeans-partition the corpus into `nLists`
     * cells on normalized vectors. The normalized corpus is cached for the
@@ -550,20 +555,48 @@ object Similarity {
                   delta: DataFrame): Unit = {
     val idx = loadIvfIndex(spark, path)
     val assigned = assignCells(delta, idx.centroids)
-    val oldCells = idx.assignments
-      .join(broadcast(delta.select("vec_id")), Seq("vec_id"))
+    upsertCellTable(spark, s"$path/assignments", idx.assignments,
+      assigned.select("vec_id", "embedding", "cell"),
+      delta.select("vec_id"), Seq("vec_id", "embedding"))
+  }
+
+  /** The touched-partitions-only upsert shared by the cell-partitioned
+    * persisted tables: rewrite ONLY the partitions the delta touches —
+    * its ids' NEW cells (where re-assigned rows land) AND their OLD cells
+    * (where the stale rows being replaced live); a delta whose updated
+    * embedding moves a vector to a different cell would otherwise leave
+    * the stale row in an unrewritten partition. A touched OLD cell whose
+    * every row was a moved delta id ends up empty — its partition is
+    * REMOVED explicitly (the [[deleteFromCellTable]] rule: dynamic
+    * overwrite only rewrites partitions present in the staged frame, so
+    * an emptied cell would otherwise keep serving the stale rows). */
+  private def upsertCellTable(spark: org.apache.spark.sql.SparkSession,
+                              tableDir: String, table: DataFrame,
+                              newRows: DataFrame, deltaIds: DataFrame,
+                              rowCols: Seq[String]): Unit = {
+    val oldCells = table
+      .join(broadcast(deltaIds), Seq("vec_id"))
       .select("cell")
-    val touched = assigned.select("cell").unionByName(oldCells).distinct()
-    val kept = idx.assignments.join(broadcast(touched), Seq("cell"))
-      .join(broadcast(delta.select("vec_id")), Seq("vec_id"), "left_anti")
-      .select("vec_id", "embedding", "cell")
-    val tmp = s"$path/assignments__staging"
-    assigned.unionByName(kept).write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite")
-      .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(s"$path/assignments")
+    val touched = newRows.select("cell").unionByName(oldCells).distinct()
+    val kept = table.join(broadcast(touched), Seq("cell"))
+      .join(broadcast(deltaIds), Seq("vec_id"), "left_anti")
+      .select((rowCols :+ "cell").map(col): _*)
+    val tmp = s"$tableDir.__staging"
+    newRows.select((rowCols :+ "cell").map(col): _*).unionByName(kept)
+      .write.mode("overwrite").parquet(tmp)
+    val staged = spark.read.parquet(tmp)
+    // bounded collects: cell domain is nLists by construction
+    val stagedCells = staged.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSet
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
+    touched.distinct().collect().map(_.getInt(0))
+      .filterNot(stagedCells).foreach { c =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/cell=$c"), true)
+      }
+    staged.write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("cell").parquet(tableDir)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
@@ -589,17 +622,35 @@ object Similarity {
     * die on parquet schema inference over a part-less directory, far
     * from the cause. */
   def deleteIvfAt(spark: org.apache.spark.sql.SparkSession, path: String,
-                  ids: DataFrame): Unit = {
-    val idx = loadIvfIndex(spark, path)
+                  ids: DataFrame): Unit =
+    deleteFromCellTable(spark, s"$path/assignments", ids,
+      Seq("vec_id", "embedding"))
+
+  /** The partition-pruned delete-by-id shared by every cell-partitioned
+    * persisted table (IVF coarse assignments, cell-partitioned PQ codes):
+    * only the cell partitions the deleted ids live in are read and
+    * rewritten (staged copy — the `upsertIvfAt` durability rule), an
+    * emptied touched cell gets its partition REMOVED explicitly (dynamic
+    * overwrite only rewrites partitions present in the staged frame), and
+    * the removal runs BEFORE the overwrite so the emptied-cell window
+    * fails closed. Partially-deleted cells keep serving their deleted ids
+    * until the overwrite lands, so a crashed call must be retried to
+    * completion — both step orders converge on the rerun. A delete that
+    * would empty the ENTIRE table fails loudly (a part-less dir fails the
+    * next load far from the cause). */
+  private def deleteFromCellTable(spark: org.apache.spark.sql.SparkSession,
+                                  tableDir: String, ids: DataFrame,
+                                  rowCols: Seq[String]): Unit = {
+    val table = spark.read.parquet(tableDir)
     // bounded collect: cell domain is nLists by construction
-    val touched = idx.assignments
+    val touched = table
       .join(broadcast(ids.select("vec_id")), Seq("vec_id"))
       .select("cell").distinct().collect().map(_.getInt(0)).toSeq
     if (touched.isEmpty) return
-    val kept = idx.assignments.filter(col("cell").isin(touched: _*))
+    val kept = table.filter(col("cell").isin(touched: _*))
       .join(broadcast(ids.select("vec_id")), Seq("vec_id"), "left_anti")
-      .select("vec_id", "embedding", "cell")
-    val tmp = s"$path/assignments__staging"
+      .select((rowCols :+ "cell").map(col): _*)
+    val tmp = s"$tableDir.__staging"
     kept.write.mode("overwrite").parquet(tmp)
     val staged = spark.read.parquet(tmp)
     val survivors = staged.select("cell").distinct()
@@ -607,19 +658,18 @@ object Similarity {
     // the untouched-cells probe runs ONLY in the would-empty edge case —
     // an unconditional full-table distinct here would tax every takedown
     // with a corpus scan just to serve the refuse-empty guard
-    require(survivors.nonEmpty || !idx.assignments
+    require(survivors.nonEmpty || !table
         .filter(!col("cell").isin(touched: _*)).limit(1).isEmpty,
-      s"deleteIvfAt would empty the entire index at $path — refusing " +
+      s"delete would empty the entire table at $tableDir — refusing " +
         "(drop the index directory instead if that is intended)")
     val fs = org.apache.hadoop.fs.FileSystem.get(
       spark.sparkContext.hadoopConfiguration)
     touched.filterNot(survivors).foreach { c =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        s"$path/assignments/cell=$c"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$tableDir/cell=$c"), true)
     }
     staged.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
-      .partitionBy("cell").parquet(s"$path/assignments")
+      .partitionBy("cell").parquet(tableDir)
     fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
   }
 
@@ -649,6 +699,122 @@ object Similarity {
     index
   }
 
+  // ------------------------------------- generation-pointer serving —
+
+  /** Zero-downtime generation serving for the persisted ANN index family
+    * (the `Engine.writeIndexVersioned` pattern applied to the IVF / IVF-PQ
+    * / SQ8 / BQ stores): the index ROOT holds numbered generation dirs
+    * (`gen=N/`) plus a tiny `_GEN` pointer file naming the serving one.
+    * Readers resolve the pointer once per query ([[resolveIndexDir]]) and
+    * read only that generation; STRUCTURAL rewrites (retrain, compact,
+    * the full-table SQ/BQ/flat rewrites) build the NEXT generation
+    * completely beside the serving one and then flip the pointer (staged
+    * `_GEN.tmp` + rename — atomic on HDFS/object stores with atomic
+    * rename), so a concurrent probe never sees a missing or
+    * mixed-generation table and a crashed build never touches the serving
+    * copy (the partial `gen=N+1` dir is cleared and rebuilt by the
+    * retry). Partition-pruned in-place mutations (`upsertIvfAt`,
+    * `deleteIvfAt`, the cell-partitioned PQ upsert/delete) stay in-place
+    * WITHIN the serving generation — rewriting only the touched cell
+    * partitions is exactly what a new generation would throw away.
+    * [[pruneGens]] keeps the previous generation around for in-flight
+    * readers (the `pruneIndexVersions` keep=2 rule) and drops older
+    * ones. */
+  def currentGen(spark: org.apache.spark.sql.SparkSession,
+                 root: String): Option[Int] = {
+    val p = new org.apache.hadoop.fs.Path(s"$root/_GEN")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) None
+    else {
+      val in = fs.open(p)
+      try Some(new String(in.readAllBytes(),
+        java.nio.charset.StandardCharsets.UTF_8).trim.toInt)
+      finally in.close()
+    }
+  }
+
+  /** The directory the index ROOT currently serves from: the `_GEN`
+    * generation dir when the pointer exists, the root itself for a legacy
+    * (pre-generation) layout — so loaders work over both. */
+  def resolveIndexDir(spark: org.apache.spark.sql.SparkSession,
+                      root: String): String =
+    currentGen(spark, root).map(n => s"$root/gen=$n").getOrElse(root)
+
+  /** Start building the NEXT generation: returns (number, dir) with any
+    * partial dir from a crashed earlier build cleared. The serving
+    * generation is never touched. */
+  private def beginGen(spark: org.apache.spark.sql.SparkSession,
+                       root: String): (Int, String) = {
+    val n = currentGen(spark, root).getOrElse(0) + 1
+    val dir = s"$root/gen=$n"
+    val p = new org.apache.hadoop.fs.Path(dir)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+    (n, dir)
+  }
+
+  /** Flip the `_GEN` pointer to a COMPLETELY built generation — staged
+    * tmp write + rename, the `Engine.writeIndexVersioned` flip. */
+  private def commitGen(spark: org.apache.spark.sql.SparkSession,
+                        root: String, n: Int): Unit = {
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(s"$root/_GEN.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+    val ptr = new org.apache.hadoop.fs.Path(s"$root/_GEN")
+    if (fs.exists(ptr)) fs.delete(ptr, false)
+    require(fs.rename(tmp, ptr), s"generation pointer flip failed at $root")
+  }
+
+  /** Drop all but the newest `keep` generations (the serving one plus one
+    * predecessor for in-flight readers, by default). */
+  def pruneGens(spark: org.apache.spark.sql.SparkSession, root: String,
+                keep: Int = 2): Seq[Int] = {
+    require(keep >= 1, "must keep at least the serving generation")
+    val rootP = new org.apache.hadoop.fs.Path(root)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(rootP)) return Nil
+    val gens = fs.listStatus(rootP).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith("gen="))
+      .map(_.getPath.getName.stripPrefix("gen=").toInt).sorted
+    val drop = gens.dropRight(keep)
+    drop.foreach(n =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$root/gen=$n"), true))
+    drop
+  }
+
+  /** Wipe an index root before a from-scratch ensure* build: the build
+    * body owns the dir exclusively (no `_INDEX_READY` marker yet, build
+    * lock held), and starting from a clean slate makes every retried
+    * build identical — no stale generation or pointer from a crashed
+    * earlier attempt can leak into the rebuilt index. */
+  private def resetIndexRoot(spark: org.apache.spark.sql.SparkSession,
+                             root: String): Unit = {
+    val p = new org.apache.hadoop.fs.Path(root)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
+  }
+
+  /** Copy a TINY parquet table (centroids, codebooks — nLists / m x ksub
+    * rows) into a new generation that leaves it unchanged. */
+  private def copyTinyParquet(spark: org.apache.spark.sql.SparkSession,
+                              src: String, dst: String): Unit =
+    spark.read.parquet(src).coalesce(1).write.mode("overwrite").parquet(dst)
+
+  /** Load the serving generation of a persisted det-IVF root. */
+  def loadIvfAt(spark: org.apache.spark.sql.SparkSession,
+                root: String): IvfIndex =
+    loadIvfIndex(spark, resolveIndexDir(spark, root))
+
+  /** Load the serving generation of a persisted IVF-PQ root (coarse
+    * quantizer + cell-partitioned codes resolved through ONE pointer, so
+    * the pair can never mix generations). */
+  def loadIvfPqAt(spark: org.apache.spark.sql.SparkSession,
+                  root: String): (IvfIndex, PqIndex) = {
+    val g = resolveIndexDir(spark, root)
+    (loadIvfIndex(spark, s"$g/coarse"), loadPqIndex(spark, s"$g/pq"))
+  }
+
   /** Build-once cache for the DECLARED deleted-index query (q287): the
     * q261 two-wave lifecycle EXTENDED by the erasure leg — fit+save on
     * the even wave, upsert the odd wave, then [[deleteIvfAt]] every
@@ -665,105 +831,75 @@ object Similarity {
     // $nLists|$iters convention) — including the delete predicate, so a
     // predicate change can never serve a stale deleted-set from cache
     ensureIndexDir(spark, "detivfdel", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|" +
-          s"del=mod${delMod}eq$delRes|v1") { index =>
+          s"del=mod${delMod}eq$delRes|v2") { index =>
+      resetIndexRoot(spark, index)
+      val (g1n, g1) = beginGen(spark, index)
       val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
       val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-      detIvfIndex(w0, nLists, iters).save(index)
-      upsertIvfAt(spark, index, w1)
-      deleteIvfAt(spark, index,
+      detIvfIndex(w0, nLists, iters).save(g1)
+      commitGen(spark, index, g1n)
+      upsertIvfAt(spark, g1, w1)
+      deleteIvfAt(spark, g1,
         embeddings.filter(pmod(col("vec_id"), lit(delMod)) === delRes)
           .select("vec_id"))
     }
   }
 
-  /** Retrain the coarse quantizer of a SAVED IVF index in place — the
-    * maintenance leg [[ivfCellStats]] exists to trigger: upserts against
-    * frozen centroids slowly skew the cell population (a hot cell makes
-    * every probe that touches it scan its share of the corpus), and the
-    * fix is a scheduled refit, never a per-query one. Deterministic Lloyd
-    * ([[detKMeans]]) over the CURRENT stored vectors — so every upsert and
-    * delete since the last fit is reflected — then every vector reassigned
-    * and BOTH tables (assignments + centroids) swapped as one generation.
-    *
-    * Durability: the complete new generation lands under
-    * `__retrain_staging` and a `_STAGED_READY` marker is written BEFORE
-    * the swap touches the live tables, so a crash anywhere in the swap
-    * converges on the retried call — the staged copy is swapped
-    * table-by-table without recompute (an already-moved table is skipped)
-    * and the staging dir dropped only after both renames. Like
-    * [[deleteIvfAt]], a crashed call must be RETRIED to completion before
-    * the index is probed again: between the two renames the live dirs can
-    * hold mixed generations (new assignments under old centroids probes
-    * the wrong cells). The resume is only correct when the live tables
-    * are the generation the staging was fit from — a caller that REBUILDS
-    * the index from scratch after a crash instead of retrying must clear
-    * `__retrain_staging` first (the retrained ensure* wrappers do, via
-    * [[clearRetrainStaging]]), or the resume would swap the stale staged
-    * generation over the fresh tables. */
-  def retrainIvfAt(spark: org.apache.spark.sql.SparkSession, path: String,
+  /** Retrain the coarse quantizer of a SAVED IVF index — the maintenance
+    * leg [[ivfCellStats]] exists to trigger: upserts against frozen
+    * centroids slowly skew the cell population (a hot cell makes every
+    * probe that touches it scan its share of the corpus), and the fix is
+    * a scheduled refit, never a per-query one. Deterministic Lloyd
+    * ([[detKMeans]]) over the CURRENT stored vectors — so every upsert
+    * and delete since the last fit is reflected — then every vector
+    * reassigned and BOTH tables written as the NEXT generation beside the
+    * serving one; the `_GEN` pointer flips only once the generation is
+    * complete. Zero-downtime by construction: a concurrent probe resolves
+    * either the old pointer (old tables, both of them) or the new one —
+    * never a missing table or a new-assignments/old-centroids mix — and a
+    * crash anywhere before the flip leaves the serving generation
+    * untouched (the partial `gen=N+1` is cleared and rebuilt by the
+    * retried call). */
+  def retrainIvfAt(spark: org.apache.spark.sql.SparkSession, root: String,
                    nLists: Int = 8, iters: Int = 3): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(s"$path/__retrain_staging")
-    val ready = new org.apache.hadoop.fs.Path(staging, "_STAGED_READY")
-    if (!fs.exists(ready)) {
-      fs.delete(staging, true)
-      val stored = spark.read.parquet(s"$path/assignments")
-        .select("vec_id", "embedding")
-      val idx = detIvfIndex(stored, nLists, iters)
-      idx.assignments.write.mode("overwrite").partitionBy("cell")
-        .parquet(s"$staging/assignments")
-      idx.centroids.write.mode("overwrite").parquet(s"$staging/centroids")
-      fs.create(ready, true).close()
-    }
-    Seq("assignments", "centroids").foreach { t =>
-      val src = new org.apache.hadoop.fs.Path(s"$staging/$t")
-      if (fs.exists(src)) {
-        val dst = new org.apache.hadoop.fs.Path(s"$path/$t")
-        fs.delete(dst, true)
-        require(fs.rename(src, dst), s"retrain rename failed: $src -> $dst")
-      }
-    }
-    fs.delete(staging, true)
+    val cur = resolveIndexDir(spark, root)
+    val (n, next) = beginGen(spark, root)
+    val stored = spark.read.parquet(s"$cur/assignments")
+      .select("vec_id", "embedding")
+    val idx = detIvfIndex(stored, nLists, iters)
+    idx.assignments.write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$next/assignments")
+    idx.centroids.write.mode("overwrite").parquet(s"$next/centroids")
+    commitGen(spark, root, n)
+    pruneGens(spark, root)
   }
 
   /** Build-once cache for the DECLARED retrained-index query (q301): the
     * full monitor→act maintenance loop on one index — fit + save on the
     * even wave (q261's lifecycle), upsert the odd wave against the frozen
     * centroids, then [[retrainIvfAt]] refits the coarse quantizer over
-    * the complete stored corpus and swaps the generation. Because the
-    * refit is deterministic Lloyd over ALL vec_ids, the post-retrain
+    * the complete stored corpus and flips to the new generation. Because
+    * the refit is deterministic Lloyd over ALL vec_ids, the post-retrain
     * index equals a fresh [[detIvfIndex]] on the full corpus — which is
     * what makes the probe hash-oracled (detKmeansOracle with
     * fitSrc = nv), unlike the frozen-centroid lifecycles whose fit wave
-    * is the even half. */
+    * is the even half. The initial reset wipes any partial state a
+    * crashed earlier build left (including a half-built next
+    * generation), so the retry is from-scratch clean. */
   def ensurePersistedDetIvfRetrained(spark: org.apache.spark.sql.SparkSession,
                                      embeddings: DataFrame, sfDir: String,
                                      nLists: Int = 8, iters: Int = 3): String = {
     ensureIndexDir(spark, "detivfrtr", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|" +
-          "retrain|v1") { index =>
-      // a crash inside a PREVIOUS build's retrain swap can leave a staged
-      // generation behind; this rebuild starts from scratch, so the stale
-      // staging must be cleared FIRST — otherwise retrainIvfAt would
-      // resume the old swap over the freshly rebuilt tables and cache a
-      // mixed-generation index under the _INDEX_READY marker
-      clearRetrainStaging(spark, index)
+          "retrain|v2") { index =>
+      resetIndexRoot(spark, index)
+      val (g1n, g1) = beginGen(spark, index)
       val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
       val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-      detIvfIndex(w0, nLists, iters).save(index)
-      upsertIvfAt(spark, index, w1)
+      detIvfIndex(w0, nLists, iters).save(g1)
+      commitGen(spark, index, g1n)
+      upsertIvfAt(spark, g1, w1)
       retrainIvfAt(spark, index, nLists, iters)
     }
-  }
-
-  /** Drop a stale `__retrain_staging` generation before a from-scratch
-    * rebuild — see the retrained ensure* wrappers: [[retrainIvfAt]]'s
-    * resume protocol is only correct when the LIVE tables are the same
-    * generation the staging was fit from, which a rebuild violates. */
-  private def clearRetrainStaging(spark: org.apache.spark.sql.SparkSession,
-                                  index: String): Unit = {
-    val st = new org.apache.hadoop.fs.Path(s"$index/__retrain_staging")
-    st.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(st, true)
   }
 
   /** Per-cell health stats for a SAVED IVF index — the monitor an operator
@@ -776,7 +912,8 @@ object Similarity {
     * + an nLists-bounded driver-side listing of the cell dirs; output
     * (cell, n_vectors, share, n_files, bytes) sorted by cell. */
   def ivfCellStats(spark: org.apache.spark.sql.SparkSession,
-                   path: String): DataFrame = {
+                   root: String): DataFrame = {
+    val path = resolveIndexDir(spark, root)
     val counts = loadIvfIndex(spark, path).assignments
       .groupBy("cell").agg(count(lit(1)).as("n_vectors"))
     val total = counts.agg(sum("n_vectors").cast("double").as("n_total"))
@@ -801,48 +938,53 @@ object Similarity {
       .orderBy("cell")
   }
 
-  /** Compact a SAVED IVF index in place: rewrite the multi-upsert cell
-    * partitions into ONE file per cell — the persisted-index twin of the
-    * streamed states' `compactEpochs` (every `upsertIvfAt` wave appends a
-    * file set into the cells it touches; reads stay correct but the
-    * per-probe open cost grows with upsert history). Content is untouched
-    * — probe results stay byte-identical (SimilaritySpec pins it) — and
-    * the centroids are not read at all. `repartition(cell)` puts each
-    * cell's rows in exactly one task, so `partitionBy(cell)` emits one
-    * file per cell dir. Durability is delete→rename, never a static
-    * overwrite of the live table (an overwrite drops the destination at
-    * job start — a mid-job crash would lose the index with nothing to
-    * heal from): the compacted copy is fully staged first, and the swap
-    * window self-heals on the next call (live missing + complete staged
-    * copy → finish the rename). The whole-dir swap also clears any stale
-    * partition a crashed earlier write left behind. */
+  /** Compact a SAVED IVF index: rewrite the multi-upsert cell partitions
+    * into ONE file per cell — the persisted-index twin of the streamed
+    * states' `compactEpochs` (every `upsertIvfAt` wave appends a file set
+    * into the cells it touches; reads stay correct but the per-probe open
+    * cost grows with upsert history). Content is untouched — probe
+    * results stay byte-identical (SimilaritySpec pins it).
+    * `repartition(cell)` puts each cell's rows in exactly one task, so
+    * `partitionBy(cell)` emits one file per cell dir. The compacted table
+    * lands as the NEXT generation (centroids, unchanged, are copied — a
+    * tiny nLists-row table) and the `_GEN` pointer flips once complete:
+    * no delete→rename swap window, no heal protocol — a concurrent probe
+    * reads the old generation until the flip, and a crash before the
+    * flip leaves the serving generation untouched. */
   def compactIvfAt(spark: org.apache.spark.sql.SparkSession,
-                   path: String): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(s"$path/assignments")
-    val tmp = new org.apache.hadoop.fs.Path(s"$path/assignments__compact")
-    // heal: a crash between the live delete and the rename below leaves
-    // the only complete copy (committer _SUCCESS present) in the staging
-    // dir — finish the interrupted swap instead of dying on the missing
-    // live table (the streamed states' healCompaction rule). The healed
-    // copy IS the compacted table, so the retried call is done.
-    if (!fs.exists(live) &&
-        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS"))) {
-      require(fs.rename(tmp, live),
-        s"compaction recovery rename failed: $tmp -> $live")
-      return
-    }
-    fs.delete(tmp, true) // stale partial staging from a pre-delete crash
-    spark.read.parquet(live.toString)
+                   root: String): Unit = {
+    val cur = resolveIndexDir(spark, root)
+    val (n, next) = beginGen(spark, root)
+    spark.read.parquet(s"$cur/assignments")
       .repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell").parquet(tmp.toString)
-    // delete -> rename, never a static overwrite of the live table: an
-    // overwrite drops the destination at job start, so a crash mid-job
-    // would lose the index with no staged copy to heal from
-    fs.delete(live, true)
-    require(fs.rename(tmp, live),
-      s"compaction rename failed: $tmp -> $live")
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$next/assignments")
+    copyTinyParquet(spark, s"$cur/centroids", s"$next/centroids")
+    commitGen(spark, root, n)
+    pruneGens(spark, root)
+  }
+
+  /** [[compactIvfAt]] for a persisted IVF-PQ root: BOTH fragmenting
+    * tables — the coarse cell partitions AND the cell-partitioned PQ
+    * codes — rewritten to one file per cell in ONE new generation (the
+    * tiny trained artifacts, centroids + codebooks, are copied), so the
+    * pair can never serve mixed compaction states. */
+  def compactIvfPqAt(spark: org.apache.spark.sql.SparkSession,
+                     root: String): Unit = {
+    val cur = resolveIndexDir(spark, root)
+    val (n, next) = beginGen(spark, root)
+    spark.read.parquet(s"$cur/coarse/assignments")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$next/coarse/assignments")
+    copyTinyParquet(spark, s"$cur/coarse/centroids", s"$next/coarse/centroids")
+    spark.read.parquet(s"$cur/pq/codes")
+      .repartition(col("cell"))
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$next/pq/codes")
+    copyTinyParquet(spark, s"$cur/pq/codebooks", s"$next/pq/codebooks")
+    commitGen(spark, root, n)
+    pruneGens(spark, root)
   }
 
   /** Build-once cache for the DECLARED maintained-IVF queries (q296/q297):
@@ -860,13 +1002,16 @@ object Similarity {
                                       embeddings: DataFrame, sfDir: String,
                                       nLists: Int = 8, iters: Int = 3): String = {
     ensureIndexDir(spark, "detivfmnt", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|" +
-          "waves=4|compact|v1") { index =>
+          "waves=4|compact|v2") { index =>
+      resetIndexRoot(spark, index)
+      val (g1n, g1) = beginGen(spark, index)
       val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
       val w1 = embeddings.filter(pmod(col("vec_id"), lit(4)) === 1)
       val w3 = embeddings.filter(pmod(col("vec_id"), lit(4)) === 3)
-      detIvfIndex(w0, nLists, iters).save(index)
-      upsertIvfAt(spark, index, w1)
-      upsertIvfAt(spark, index, w3)
+      detIvfIndex(w0, nLists, iters).save(g1)
+      commitGen(spark, index, g1n)
+      upsertIvfAt(spark, g1, w1)
+      upsertIvfAt(spark, g1, w3)
       compactIvfAt(spark, index)
     }
   }
@@ -879,90 +1024,74 @@ object Similarity {
     sqIndex(delta).unionByName(
       index.join(delta.select("vec_id"), Seq("vec_id"), "left_anti"))
 
-  /** [[upsertSq]] against a SAVED int8 index — load, re-encode the delta
-    * (per-vector quantization: no trained state to freeze), replace by
-    * id, swap the codes table through a staged copy (the `upsertIvfAt`
-    * durability rule). */
-  def upsertSqAt(spark: org.apache.spark.sql.SparkSession, path: String,
-                 delta: DataFrame): Unit = {
-    val merged = upsertSq(loadSqIndex(spark, path), delta)
-    // SIBLING staging dir: the overwrite target is `path` itself, so an
-    // in-dir staging copy would be deleted by the very overwrite that
-    // reads it
-    val tmp = s"$path.__staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
-  }
-
-  /** Shared staged-rewrite DELETE for the flat persisted code tables (SQ8
-    * and BQ are one parquet dir of per-vector rows; PQ's codes subdir has
-    * the same shape): anti-join the ids out, stage to a SIBLING dir (an
-    * in-dir staging copy would be deleted by the very overwrite that
-    * reads it — the `upsertSqAt` rule), refuse a delete that would empty
-    * the index (the `deleteIvfAt` rule: a part-less dir fails the next
-    * load far from the cause), swap. Work ~ one pass over the codes —
-    * there is no partition pruning to exploit on a flat table; the
-    * IVF-family delete (`deleteIvfAt`) is the partition-pruned form. */
-  private def deleteFlatCodesAt(spark: org.apache.spark.sql.SparkSession,
-                                path: String, ids: DataFrame): Unit = {
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    val live = new org.apache.hadoop.fs.Path(path)
-    val tmp = new org.apache.hadoop.fs.Path(s"$path.__staging")
-    // heal an interrupted swap first (live missing, complete staged copy
-    // present), then apply THIS delete on the healed table — the
-    // compactIvfAt durability rule: delete -> rename, never a static
-    // overwrite of the live table (an overwrite drops the destination at
-    // job start; a mid-job crash would lose the codes with no staged
-    // copy left to recover from)
-    if (!fs.exists(live) &&
-        fs.exists(new org.apache.hadoop.fs.Path(tmp, "_SUCCESS")))
-      require(fs.rename(tmp, live),
-        s"delete recovery rename failed: $tmp -> $live")
-    fs.delete(tmp, true) // stale partial staging from a pre-delete crash
-    val kept = spark.read.parquet(path)
-      .join(broadcast(ids.select("vec_id")), Seq("vec_id"), "left_anti")
-    kept.write.mode("overwrite").parquet(tmp.toString)
-    if (spark.read.parquet(tmp.toString).isEmpty) {
-      // drop the refused staging BEFORE throwing: an empty-but-committed
-      // staged copy must never be heal-renamed over a live table later
-      fs.delete(tmp, true)
+  /** Rewrite a FLAT persisted code table (SQ8/BQ: one parquet dir of
+    * per-vector rows) as the next GENERATION of its root: the rewritten
+    * table lands beside the serving one and the `_GEN` pointer flips once
+    * it is complete — no staged delete→rename swap, no reader-visible
+    * window, no heal protocol, and a crash before the flip leaves the
+    * serving table untouched. `refuseEmpty` guards the erasure path (the
+    * `deleteIvfAt` rule: an emptied index fails the next load far from
+    * the cause) — the refused generation dir is dropped and the pointer
+    * never moves. */
+  private def rewriteFlatCodesGen(spark: org.apache.spark.sql.SparkSession,
+                                  root: String, rows: DataFrame,
+                                  refuseEmpty: Boolean): Unit = {
+    val (n, next) = beginGen(spark, root)
+    rows.write.mode("overwrite").parquet(next)
+    if (refuseEmpty && spark.read.parquet(next).isEmpty) {
+      val p = new org.apache.hadoop.fs.Path(next)
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(p, true)
       throw new IllegalArgumentException(
-        s"delete would empty the entire index at $path — refusing " +
+        s"delete would empty the entire index at $root — refusing " +
           "(drop the index directory instead if that is intended)")
     }
-    fs.delete(live, true)
-    require(fs.rename(tmp, live),
-      s"delete rename failed: $tmp -> $live")
+    commitGen(spark, root, n)
+    pruneGens(spark, root)
   }
 
-  /** Delete-by-id on a SAVED int8-SQ index — the erasure leg of the
+  /** [[upsertSq]] against a SAVED int8 index root — load the serving
+    * generation, re-encode the delta (per-vector quantization: no trained
+    * state to freeze), replace by id, and commit the merged table as the
+    * next generation. */
+  def upsertSqAt(spark: org.apache.spark.sql.SparkSession, root: String,
+                 delta: DataFrame): Unit =
+    rewriteFlatCodesGen(spark, root,
+      upsertSq(loadSqIndex(spark, resolveIndexDir(spark, root)), delta),
+      refuseEmpty = false)
+
+  /** Delete-by-id on a SAVED int8-SQ index root — the erasure leg of the
     * persisted SQ8 lifecycle (q293): per-vector codes mean erasure is one
     * replace-table rewrite without the ids; deleted codes are REMOVED
     * from storage (takedown/purge hits the serving index, not just the
     * primary store), and a subsequent [[sqProbe]] can never return them. */
-  def deleteSqAt(spark: org.apache.spark.sql.SparkSession, path: String,
+  def deleteSqAt(spark: org.apache.spark.sql.SparkSession, root: String,
                  ids: DataFrame): Unit =
-    deleteFlatCodesAt(spark, path, ids)
+    rewriteFlatCodesGen(spark, root,
+      loadSqIndex(spark, resolveIndexDir(spark, root))
+        .join(broadcast(ids.select("vec_id")), Seq("vec_id"), "left_anti"),
+      refuseEmpty = true)
 
-  /** Delete-by-id on a SAVED binary-quantization index — [[deleteSqAt]]'s
-    * contract for the sign-sketch codes (q294). */
-  def deleteBqAt(spark: org.apache.spark.sql.SparkSession, path: String,
+  /** Delete-by-id on a SAVED binary-quantization index root —
+    * [[deleteSqAt]]'s contract for the sign-sketch codes (q294). */
+  def deleteBqAt(spark: org.apache.spark.sql.SparkSession, root: String,
                  ids: DataFrame): Unit =
-    deleteFlatCodesAt(spark, path, ids)
+    rewriteFlatCodesGen(spark, root,
+      loadBqIndex(spark, resolveIndexDir(spark, root))
+        .join(broadcast(ids.select("vec_id")), Seq("vec_id"), "left_anti"),
+      refuseEmpty = true)
 
-  /** Delete-by-id on a SAVED PQ index: purge the ids' rows from the codes
-    * table; the trained codebooks are per-SUBSPACE statistics carrying no
+  /** Delete-by-id on a SAVED cell-partitioned PQ index (the resolved
+    * `<gen>/pq` dir): purge the ids' rows from the codes table with the
+    * same partition-pruned rewrite as [[deleteIvfAt]] — only the cell
+    * partitions the deleted ids live in are read and rewritten. The
+    * trained codebooks are per-SUBSPACE statistics carrying no
     * per-vector data, so they stay frozen (same reason upserts ride
     * them). Pair with [[deleteIvfAt]] on the coarse index for the full
     * IVF-PQ erasure (q295) — the coarse delete makes the ids
-    * unreachable, this one erases their stored codes. */
+    * unreachable, this one erases their stored code bytes. */
   def deletePqAt(spark: org.apache.spark.sql.SparkSession, path: String,
                  ids: DataFrame): Unit =
-    deleteFlatCodesAt(spark, s"$path/codes", ids)
+    deleteFromCellTable(spark, s"$path/codes", ids, Seq("vec_id", "codes"))
 
   /** Build-once cache for the DECLARED persisted-SQ8 query (q290) — the
     * persisted lifecycle applied to the scalar-quantized index, completing
@@ -976,10 +1105,13 @@ object Similarity {
     * corpus — through storage. */
   def ensurePersistedSq(spark: org.apache.spark.sql.SparkSession,
                         embeddings: DataFrame, sfDir: String): String = {
-    ensureIndexDir(spark, "sqidx", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|v1") { index =>
+    ensureIndexDir(spark, "sqidx", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|v2") { index =>
+      resetIndexRoot(spark, index)
+      val (g1n, g1) = beginGen(spark, index)
       val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
       val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-      saveSqIndex(sqIndex(w0), index)
+      saveSqIndex(sqIndex(w0), g1)
+      commitGen(spark, index, g1n)
       upsertSqAt(spark, index, w1)
     }
   }
@@ -995,10 +1127,13 @@ object Similarity {
                                embeddings: DataFrame, sfDir: String,
                                delMod: Int = 5, delRes: Int = 3): String = {
     ensureIndexDir(spark, "sqidxdel", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
-        s"del=mod${delMod}eq$delRes|v1") { index =>
+        s"del=mod${delMod}eq$delRes|v2") { index =>
+      resetIndexRoot(spark, index)
+      val (g1n, g1) = beginGen(spark, index)
       val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
       val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-      saveSqIndex(sqIndex(w0), index)
+      saveSqIndex(sqIndex(w0), g1)
+      commitGen(spark, index, g1n)
       upsertSqAt(spark, index, w1)
       deleteSqAt(spark, index,
         embeddings.filter(pmod(col("vec_id"), lit(delMod)) === delRes)
@@ -1210,13 +1345,16 @@ object Similarity {
   def ensurePersistedDetIvf(spark: org.apache.spark.sql.SparkSession,
                             embeddings: DataFrame, sfDir: String,
                             nLists: Int = 8, iters: Int = 3): String = {
-    ensureIndexDir(spark, "detivf", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|v1") { index =>
-      // crash-convergent: save() statically overwrites the whole index
-      // dir, so any interrupted prefix of save→upsert re-runs cleanly
+    ensureIndexDir(spark, "detivf", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$nLists|$iters|v2") { index =>
+      // crash-convergent: the reset wipes any partial earlier attempt, so
+      // every retried build is identical from a clean slate
+      resetIndexRoot(spark, index)
+      val (g1n, g1) = beginGen(spark, index)
       val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
       val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-      detIvfIndex(w0, nLists, iters).save(index)
-      upsertIvfAt(spark, index, w1)
+      detIvfIndex(w0, nLists, iters).save(g1)
+      commitGen(spark, index, g1n)
+      upsertIvfAt(spark, g1, w1)
     }
   }
 
@@ -1328,8 +1466,12 @@ object Similarity {
   def saveSqIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").parquet(path)
 
+  /** Generation-aware load: resolves a `_GEN` pointer when `path` is an
+    * index ROOT (a raw read of a root would union every retained
+    * generation), and falls back to reading `path` directly for a plain
+    * table dir. */
   def loadSqIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(resolveIndexDir(spark, path))
 
   /** Top-k probe over a built (or loaded) int8 index: integer-dot cosine on
     * the codes — with symmetric per-vector scales the scales cancel, so
@@ -1371,8 +1513,9 @@ object Similarity {
   def saveBqIndex(index: DataFrame, path: String): Unit =
     index.write.mode("overwrite").parquet(path)
 
+  /** Generation-aware load — the [[loadSqIndex]] resolve rule. */
   def loadBqIndex(spark: org.apache.spark.sql.SparkSession, path: String): DataFrame =
-    spark.read.parquet(path)
+    spark.read.parquet(resolveIndexDir(spark, path))
 
   /** Top-k probe over a binary-quantization index: per query, shortlist the
     * `shortlist` Hamming-closest codes — the full corpus scan touches ONLY
@@ -1441,7 +1584,8 @@ object Similarity {
     }
   }
 
-  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, path: String): PqIndex = {
+  def loadPqIndex(spark: org.apache.spark.sql.SparkSession, pathIn: String): PqIndex = {
+    val path = resolveIndexDir(spark, pathIn)
     val rows = spark.read.parquet(s"$path/codebooks").collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).toArray))
     require(rows.nonEmpty, s"empty codebook table at $path/codebooks")
@@ -1806,38 +1950,63 @@ object Similarity {
       index.codebooks, index.dsub)
   }
 
-  /** [[upsertPq]] against a SAVED PQ index: load the frozen codebooks,
-    * encode the delta map-only against them, replace-by-id, and swap the
-    * codes table in place. The merged rows are staged to a temp dir first
-    * (the `upsertIvfAt` durability rule — the plan reads the same path it
-    * replaces, and a lost cache block would otherwise recompute lineage
-    * against partially-overwritten files mid-write). Codebooks are never
-    * touched: the production constraint is exactly that upserts ride the
-    * frozen books between periodic retrains. */
-  def upsertPqAt(spark: org.apache.spark.sql.SparkSession, path: String,
-                 delta: DataFrame, embCol: String = "embedding"): Unit = {
-    val merged = upsertPq(loadPqIndex(spark, path), delta, embCol).codes
-    val tmp = s"$path/codes__staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(s"$path/codes")
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  /** Persist a PQ index in the IVFADC layout: the codes table carries
+    * each vector's COARSE CELL (taken from the paired coarse assignments
+    * — the one source of truth for cell membership, so codes.cell and
+    * assignments.cell can never disagree) and is `partitionBy("cell")`,
+    * which is what makes the serving scan partition-prunable: a probe
+    * reads only the nProbe probed cells' code files instead of the whole
+    * table (`ivfPqProbe`), and deletes inherit `deleteIvfAt`'s
+    * partition-pruned rewrite. The tiny codebooks land beside them as
+    * before. */
+  def savePqCellPartitioned(pq: PqIndex, assignments: DataFrame,
+                            path: String): Unit = {
+    pq.codes
+      .hint("SHUFFLE_HASH")
+      .join(assignments.select("vec_id", "cell"), Seq("vec_id"))
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/codes")
+    val spark = pq.codes.sparkSession
+    import spark.implicits._
+    pq.codebooks.zipWithIndex.flatMap { case (cb, s) =>
+      cb.zipWithIndex.map { case (c, cell) => (s, cell, c.toSeq) }
+    }.toDF("sub", "cell", "centroid")
+      .coalesce(1).write.mode("overwrite").parquet(s"$path/codebooks")
   }
 
-  /** [[upsertBq]] against a SAVED binary-quantization index — the
-    * [[upsertSqAt]] contract for the sign-sketch codes (per-vector, no
-    * trained state; sibling staging dir). */
-  def upsertBqAt(spark: org.apache.spark.sql.SparkSession, path: String,
-                 delta: DataFrame, numBits: Int = 63): Unit = {
-    val merged = upsertBq(loadBqIndex(spark, path), delta, numBits)
-    val tmp = s"$path.__staging"
-    merged.write.mode("overwrite").parquet(tmp)
-    spark.read.parquet(tmp).write.mode("overwrite").parquet(path)
-    val fs = org.apache.hadoop.fs.FileSystem.get(
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+  /** [[upsertPq]] against a SAVED cell-partitioned PQ index (the resolved
+    * `<gen>/pq` dir): load the frozen codebooks, encode the delta
+    * map-only against them, take each delta id's coarse cell from the
+    * ALREADY-UPSERTED coarse assignments (call [[upsertIvfAt]] first —
+    * the assignments are the source of truth for cell membership), and
+    * rewrite ONLY the touched cell partitions (the [[upsertIvfAt]]
+    * touched-cells rule, old cells included). Codebooks are never
+    * touched: the production constraint is exactly that upserts ride the
+    * frozen books between periodic retrains. */
+  def upsertCellPqAt(spark: org.apache.spark.sql.SparkSession, path: String,
+                     coarseAssignments: DataFrame, delta: DataFrame,
+                     embCol: String = "embedding"): Unit = {
+    val pq = loadPqIndex(spark, path)
+    val nv = withNv(delta, embCol).select(col("vec_id"), col("__nv"))
+    val deltaCells = coarseAssignments.select("vec_id", "cell")
+      .join(broadcast(delta.select("vec_id")), Seq("vec_id"))
+    // delta-sized × delta-sized equi-join: SHUFFLE_HASH, not broadcast —
+    // an upsert wave can be any size, only its ids ride broadcasts
+    val newCodes = withSubCodes(nv, pq.codebooks, pq.dsub)
+      .select(col("vec_id"), expr(codesArrayExpr(pq.m)).as("codes"))
+      .hint("SHUFFLE_HASH").join(deltaCells, Seq("vec_id"))
+    upsertCellTable(spark, s"$path/codes", pq.codes,
+      newCodes.select("vec_id", "codes", "cell"),
+      delta.select("vec_id"), Seq("vec_id", "codes"))
   }
+
+  /** [[upsertBq]] against a SAVED binary-quantization index root — the
+    * [[upsertSqAt]] contract for the sign-sketch codes (per-vector, no
+    * trained state; next-generation rewrite + pointer flip). */
+  def upsertBqAt(spark: org.apache.spark.sql.SparkSession, root: String,
+                 delta: DataFrame, numBits: Int = 63): Unit =
+    rewriteFlatCodesGen(spark, root,
+      upsertBq(loadBqIndex(spark, resolveIndexDir(spark, root)), delta, numBits),
+      refuseEmpty = false)
 
   /** Build-once cache for the DECLARED persisted-BQ query (q291) — the
     * last index type to get the persisted lifecycle (IVF q261, IVF-PQ
@@ -1851,10 +2020,13 @@ object Similarity {
   def ensurePersistedBq(spark: org.apache.spark.sql.SparkSession,
                         embeddings: DataFrame, sfDir: String,
                         numBits: Int = 63): String = {
-    ensureIndexDir(spark, "bqidx", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$numBits|v1") { index =>
+    ensureIndexDir(spark, "bqidx", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|$numBits|v2") { index =>
+      resetIndexRoot(spark, index)
+      val (g1n, g1) = beginGen(spark, index)
       val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
       val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-      saveBqIndex(bqIndex(w0, numBits), index)
+      saveBqIndex(bqIndex(w0, numBits), g1)
+      commitGen(spark, index, g1n)
       upsertBqAt(spark, index, w1, numBits)
     }
   }
@@ -1871,10 +2043,13 @@ object Similarity {
                                numBits: Int = 63, delMod: Int = 5,
                                delRes: Int = 3): String = {
     ensureIndexDir(spark, "bqidxdel", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
-        s"$numBits|del=mod${delMod}eq$delRes|v1") { index =>
+        s"$numBits|del=mod${delMod}eq$delRes|v2") { index =>
+      resetIndexRoot(spark, index)
+      val (g1n, g1) = beginGen(spark, index)
       val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
       val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-      saveBqIndex(bqIndex(w0, numBits), index)
+      saveBqIndex(bqIndex(w0, numBits), g1)
+      commitGen(spark, index, g1n)
       upsertBqAt(spark, index, w1, numBits)
       deleteBqAt(spark, index,
         embeddings.filter(pmod(col("vec_id"), lit(delMod)) === delRes)
@@ -1889,9 +2064,23 @@ object Similarity {
     * loaded codes of candidate cells only (lookup tables from the loaded
     * f64 codebooks ride the query broadcast), exact-cosine re-rank of the
     * `shortlist` using the embeddings STORED IN the coarse assignments —
-    * so the whole probe touches nothing but the saved files. Per-query
-    * cost ~ (corpus/nLists × nProbe) m-byte code rows + shortlist f32
-    * rows, the billion-scale serving shape. */
+    * so the whole probe touches nothing but the saved files.
+    *
+    * When the codes table is CELL-PARTITIONED (the
+    * [[savePqCellPartitioned]] IVFADC layout — `codes.cell` equals the
+    * coarse assignment by construction), the probed cells are collected
+    * driver-side (a bounded |queries| × nProbe list, the `deleteIvfAt`
+    * bounded-collect convention) and pushed as a STATIC partition filter
+    * on BOTH big-table scans: the codes scan reads only the probed
+    * cells' code files (the candidates ARE the codes rows of those
+    * cells — no assignments-side join needed before ADC), and the
+    * re-rank reads only the probed cells' assignment partitions. Nothing
+    * corpus-sized shuffles: the ADC stage is a pruned scan × broadcast
+    * probe join, per-batch cost ~ (corpus/nLists × nProbe) m-byte code
+    * rows + shortlist f32 rows — the billion-scale IVFADC serving shape.
+    * A FLAT codes table (in-memory `pqIndex` output) takes the legacy
+    * shape: candidates from the assignments, SHUFFLE_HASH join against
+    * the full codes table. */
   def ivfPqProbe(coarse: IvfIndex, pq: PqIndex, queries: DataFrame, k: Int,
                  nProbe: Int = 3, shortlist: Int = 64): DataFrame = {
     val nq = normalized(queries, "query_embedding")
@@ -1903,19 +2092,40 @@ object Similarity {
           .select(col("query_id"), col("cell"), col("cscore")),
         Seq(col("query_id")), Seq(desc("cscore"), asc("cell")), nProbe)
       .select(col("query_id"), col("cell"))
-    val cand = coarse.assignments.select("vec_id", "cell")
-      .join(broadcast(probes), Seq("cell"))
-      .select("query_id", "vec_id")
     val qlt = pqLookupTables(pq, queries)
-    val short = graft.plans.GroupedTopK(
-        cand.hint("SHUFFLE_HASH").join(pq.codes, Seq("vec_id"))
-          .join(broadcast(qlt), Seq("query_id"))
-          .select(col("query_id"), col("vec_id"), adcExpr(pq.m).as("adc")),
-        Seq(col("query_id")), Seq(desc("adc"), asc("vec_id")), shortlist)
-      .select("query_id", "vec_id")
+    val (short, rerankStore) =
+      if (pq.codes.columns.contains("cell")) {
+        // bounded collect: |queries| x nProbe cells, the serving batch's
+        // probe set — what makes the partition filter STATIC (visible as
+        // PartitionFilters on the scan, no runtime pruning needed)
+        val cells = probes.select("cell").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        val s = graft.plans.GroupedTopK(
+            pq.codes.filter(col("cell").isin(cells: _*))
+              .join(broadcast(probes), Seq("cell"))
+              .join(broadcast(qlt), Seq("query_id"))
+              .select(col("query_id"), col("vec_id"), adcExpr(pq.m).as("adc")),
+            Seq(col("query_id")), Seq(desc("adc"), asc("vec_id")), shortlist)
+          .select("query_id", "vec_id")
+        // shortlisted ids live in probed cells by construction, so the
+        // same static filter prunes the re-rank's assignments scan too
+        (s, coarse.assignments.filter(col("cell").isin(cells: _*))
+          .select("vec_id", "embedding"))
+      } else {
+        val cand = coarse.assignments.select("vec_id", "cell")
+          .join(broadcast(probes), Seq("cell"))
+          .select("query_id", "vec_id")
+        val s = graft.plans.GroupedTopK(
+            cand.hint("SHUFFLE_HASH").join(pq.codes, Seq("vec_id"))
+              .join(broadcast(qlt), Seq("query_id"))
+              .select(col("query_id"), col("vec_id"), adcExpr(pq.m).as("adc")),
+            Seq(col("query_id")), Seq(desc("adc"), asc("vec_id")), shortlist)
+          .select("query_id", "vec_id")
+        (s, coarse.assignments.select("vec_id", "embedding"))
+      }
     topKPerQuery(
       broadcast(short)
-        .join(coarse.assignments.select("vec_id", "embedding"), Seq("vec_id"))
+        .join(rerankStore, Seq("vec_id"))
         .join(broadcast(queries), Seq("query_id"))
         .withColumn("score",
           cosine_similarity(col("embedding"), col("query_embedding"))),
@@ -1940,23 +2150,47 @@ object Similarity {
     * Every stage is deterministic (detKMeans coarse cells, the
     * hash-ordered PQ fit sample, fixed-point Lloyd means, sequential ADC
     * folds), so the whole lifecycle is hash-oracled like q261, including
-    * the f32 rounding of the saved coarse centroids. Crash-convergent:
-    * save() statically overwrites both artifact dirs, so any interrupted
-    * prefix of save→upsert re-runs cleanly; same marker + build lock +
-    * loud source stamp as the det-IVF cache. */
+    * the f32 rounding of the saved coarse centroids. The codes land
+    * CELL-PARTITIONED ([[savePqCellPartitioned]] — the IVFADC layout that
+    * makes the serving scan partition-pruned) in a `gen=1` dir behind the
+    * `_GEN` pointer; crash-convergent via the reset-then-rebuild rule;
+    * same marker + build lock + loud source stamp as the det-IVF cache. */
   def ensurePersistedIvfPq(spark: org.apache.spark.sql.SparkSession,
                            embeddings: DataFrame, sfDir: String,
                            nLists: Int = 8, kmIters: Int = 3, m: Int = 16,
                            ksub: Int = 16, pqIters: Int = 2): String = {
     ensureIndexDir(spark, "ivfpq", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
-        s"$nLists|$kmIters|$m|$ksub|$pqIters|v1") { index =>
-      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-      val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-      detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
-      pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
-      upsertIvfAt(spark, s"$index/coarse", w1)
-      upsertPqAt(spark, s"$index/pq", w1)
+        s"$nLists|$kmIters|$m|$ksub|$pqIters|v2") { index =>
+      buildIvfPqGen1(spark, index, embeddings,
+        Seq(embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)),
+        nLists, kmIters, m, ksub, pqIters)
     }
+  }
+
+  /** The shared gen=1 build for the persisted IVF-PQ lifecycles: reset
+    * the root, fit BOTH trained artifacts on the even wave, save them
+    * cell-partitioned under `gen=1`, flip the pointer, then upsert each
+    * given wave against the frozen artifacts IN ORDER (coarse first —
+    * the assignments are the source of truth the code rows take their
+    * cell from). Returns the gen=1 dir for follow-on maintenance legs. */
+  private def buildIvfPqGen1(spark: org.apache.spark.sql.SparkSession,
+                             index: String, embeddings: DataFrame,
+                             upsertWaves: Seq[DataFrame],
+                             nLists: Int, kmIters: Int, m: Int,
+                             ksub: Int, pqIters: Int): String = {
+    resetIndexRoot(spark, index)
+    val (g1n, g1) = beginGen(spark, index)
+    val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
+    detIvfIndex(w0, nLists, kmIters).save(s"$g1/coarse")
+    savePqCellPartitioned(pqIndex(w0, m, ksub, pqIters),
+      spark.read.parquet(s"$g1/coarse/assignments"), s"$g1/pq")
+    commitGen(spark, index, g1n)
+    upsertWaves.foreach { w =>
+      upsertIvfAt(spark, s"$g1/coarse", w)
+      upsertCellPqAt(spark, s"$g1/pq",
+        spark.read.parquet(s"$g1/coarse/assignments"), w)
+    }
+    g1
   }
 
   /** Build-once cache for the DECLARED deleted-IVF-PQ query (q295): the
@@ -1974,57 +2208,43 @@ object Similarity {
                                   pqIters: Int = 2, delMod: Int = 5,
                                   delRes: Int = 3): String = {
     ensureIndexDir(spark, "ivfpqdel", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
-        s"$nLists|$kmIters|$m|$ksub|$pqIters|del=mod${delMod}eq$delRes|v1") { index =>
-      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-      val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-      detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
-      pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
-      upsertIvfAt(spark, s"$index/coarse", w1)
-      upsertPqAt(spark, s"$index/pq", w1)
+        s"$nLists|$kmIters|$m|$ksub|$pqIters|del=mod${delMod}eq$delRes|v2") { index =>
+      val g1 = buildIvfPqGen1(spark, index, embeddings,
+        Seq(embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)),
+        nLists, kmIters, m, ksub, pqIters)
       val del = embeddings
         .filter(pmod(col("vec_id"), lit(delMod)) === delRes)
         .select("vec_id")
-      deleteIvfAt(spark, s"$index/coarse", del)
-      deletePqAt(spark, s"$index/pq", del)
+      deleteIvfAt(spark, s"$g1/coarse", del)
+      deletePqAt(spark, s"$g1/pq", del)
     }
   }
 
-  /** Retrain BOTH trained artifacts of a SAVED IVF-PQ index in place —
+  /** Retrain BOTH trained artifacts of a SAVED IVF-PQ index —
     * [[retrainIvfAt]]'s twin for the quantized serving index: coarse
     * centroids AND codebooks refit over the CURRENT stored vectors (the
     * coarse assignments table carries them, so the retrain is
     * self-contained — no source-corpus access), every vector reassigned
     * and re-encoded, and all four tables (coarse assignments/centroids,
-    * PQ codes/codebooks) swapped as one staged generation. Same crash
-    * story as [[retrainIvfAt]]: the complete generation lands under
-    * `__retrain_staging` with a `_STAGED_READY` marker before any live
-    * table is touched, a crashed swap converges on the retried call, and
-    * a crashed call must be retried to completion before probing. */
-  def retrainIvfPqAt(spark: org.apache.spark.sql.SparkSession, path: String,
+    * cell-partitioned PQ codes, codebooks) written as ONE next
+    * generation behind the `_GEN` pointer. The single pointer flip is
+    * what makes the four-table swap atomic for readers: a concurrent
+    * probe resolves either the complete old generation or the complete
+    * new one — the mixed new-assignments/old-codebooks window of a
+    * table-by-table swap cannot exist — and a crash before the flip
+    * leaves the serving generation untouched. */
+  def retrainIvfPqAt(spark: org.apache.spark.sql.SparkSession, root: String,
                      nLists: Int = 8, kmIters: Int = 3, m: Int = 16,
                      ksub: Int = 16, pqIters: Int = 2): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val staging = new org.apache.hadoop.fs.Path(s"$path/__retrain_staging")
-    val ready = new org.apache.hadoop.fs.Path(staging, "_STAGED_READY")
-    if (!fs.exists(ready)) {
-      fs.delete(staging, true)
-      val stored = spark.read.parquet(s"$path/coarse/assignments")
-        .select("vec_id", "embedding")
-      detIvfIndex(stored, nLists, kmIters).save(s"$staging/coarse")
-      pqIndex(stored, m, ksub, pqIters).save(s"$staging/pq")
-      fs.create(ready, true).close()
-    }
-    Seq("coarse/assignments", "coarse/centroids", "pq/codes",
-        "pq/codebooks").foreach { t =>
-      val src = new org.apache.hadoop.fs.Path(s"$staging/$t")
-      if (fs.exists(src)) {
-        val dst = new org.apache.hadoop.fs.Path(s"$path/$t")
-        fs.delete(dst, true)
-        require(fs.rename(src, dst), s"retrain rename failed: $src -> $dst")
-      }
-    }
-    fs.delete(staging, true)
+    val cur = resolveIndexDir(spark, root)
+    val (n, next) = beginGen(spark, root)
+    val stored = spark.read.parquet(s"$cur/coarse/assignments")
+      .select("vec_id", "embedding")
+    detIvfIndex(stored, nLists, kmIters).save(s"$next/coarse")
+    savePqCellPartitioned(pqIndex(stored, m, ksub, pqIters),
+      spark.read.parquet(s"$next/coarse/assignments"), s"$next/pq")
+    commitGen(spark, root, n)
+    pruneGens(spark, root)
   }
 
   /** Build-once cache for the DECLARED retrained-IVF-PQ query (q304):
@@ -2040,16 +2260,12 @@ object Similarity {
                                     m: Int = 16, ksub: Int = 16,
                                     pqIters: Int = 2): String = {
     ensureIndexDir(spark, "ivfpqrtr", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
-        s"$nLists|$kmIters|$m|$ksub|$pqIters|retrain|v1") { index =>
-      // clear any stale staged generation first — the detivfrtr rule: a
-      // resumed swap over freshly rebuilt tables would mix generations
-      clearRetrainStaging(spark, index)
-      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-      val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-      detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
-      pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
-      upsertIvfAt(spark, s"$index/coarse", w1)
-      upsertPqAt(spark, s"$index/pq", w1)
+        s"$nLists|$kmIters|$m|$ksub|$pqIters|retrain|v2") { index =>
+      // the initial reset (inside buildIvfPqGen1) wipes any partial next
+      // generation a crashed earlier build left, so the retry is clean
+      buildIvfPqGen1(spark, index, embeddings,
+        Seq(embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)),
+        nLists, kmIters, m, ksub, pqIters)
       retrainIvfPqAt(spark, index, nLists, kmIters, m, ksub, pqIters)
     }
   }
@@ -2061,7 +2277,16 @@ object Similarity {
     * encoding are per-vector against frozen state, delete + readmit is an
     * IDENTITY on the index content — the probe hash-matches q282's
     * never-deleted oracle verbatim, proving the takedown-then-reingest
-    * flow heals both saved artifacts exactly. */
+    * flow heals both saved artifacts exactly.
+    *
+    * Precision caveat to that identity: readmitted EVEN-wave ids are
+    * re-assigned by [[assignCells]] against the f32-ROUNDED saved
+    * centroids, while their original rows came from the f64 Lloyd
+    * assignment — the two agree unless a vector sits on a near-tie that
+    * flips under f32 rounding. The q303 oracle gates this empirically at
+    * every tested SF; a corpus engineered onto such a tie would break
+    * the byte-identity (not correctness — both assignments are valid
+    * nearest-centroid choices). */
   def ensurePersistedIvfPqReadmitted(spark: org.apache.spark.sql.SparkSession,
                                      embeddings: DataFrame, sfDir: String,
                                      nLists: Int = 8, kmIters: Int = 3,
@@ -2069,19 +2294,17 @@ object Similarity {
                                      pqIters: Int = 2, delMod: Int = 5,
                                      delRes: Int = 3): String = {
     ensureIndexDir(spark, "ivfpqradm", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
-        s"$nLists|$kmIters|$m|$ksub|$pqIters|readmit=mod${delMod}eq$delRes|v1") { index =>
-      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-      val w1 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)
-      detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
-      pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
-      upsertIvfAt(spark, s"$index/coarse", w1)
-      upsertPqAt(spark, s"$index/pq", w1)
+        s"$nLists|$kmIters|$m|$ksub|$pqIters|readmit=mod${delMod}eq$delRes|v2") { index =>
+      val g1 = buildIvfPqGen1(spark, index, embeddings,
+        Seq(embeddings.filter(pmod(col("vec_id"), lit(2)) === 1)),
+        nLists, kmIters, m, ksub, pqIters)
       val del = embeddings
         .filter(pmod(col("vec_id"), lit(delMod)) === delRes)
-      deleteIvfAt(spark, s"$index/coarse", del.select("vec_id"))
-      deletePqAt(spark, s"$index/pq", del.select("vec_id"))
-      upsertIvfAt(spark, s"$index/coarse", del)
-      upsertPqAt(spark, s"$index/pq", del)
+      deleteIvfAt(spark, s"$g1/coarse", del.select("vec_id"))
+      deletePqAt(spark, s"$g1/pq", del.select("vec_id"))
+      upsertIvfAt(spark, s"$g1/coarse", del)
+      upsertCellPqAt(spark, s"$g1/pq",
+        spark.read.parquet(s"$g1/coarse/assignments"), del)
     }
   }
 
@@ -2090,32 +2313,25 @@ object Similarity {
     * the plain IVF — fit + save BOTH trained artifacts on the even wave
     * (coarse centroids AND codebooks frozen there), then TWO separate
     * upsert waves (vec_id % 4 == 1, then % 4 == 3) against the frozen
-    * artifacts, then [[compactIvfAt]] rewrites the fragmented coarse cell
-    * partitions to one file per cell. The PQ codes table needs no
-    * compaction leg BY CONSTRUCTION: [[upsertPqAt]] is replace-on-write
-    * (each upsert stages and rewrites the whole m-byte-code table — small
-    * enough that rewriting beats partition bookkeeping), so it is always
-    * one generation; only the cell-partitioned coarse store fragments.
-    * Because assignment and encoding are per-vector against frozen
-    * artifacts, the post-maintenance probe equals q282's two-wave index
-    * exactly — q300 reuses q282's hash oracle verbatim. */
+    * artifacts, then [[compactIvfPqAt]] rewrites BOTH fragmented
+    * cell-partitioned tables — the coarse assignments AND the PQ codes
+    * (each upsert wave appends a file set into the cell partitions it
+    * touches on both stores) — to one file per cell, as one new
+    * generation. Because assignment and encoding are per-vector against
+    * frozen artifacts, the post-maintenance probe equals q282's two-wave
+    * index exactly — q300 reuses q282's hash oracle verbatim. */
   def ensurePersistedIvfPqMaintained(spark: org.apache.spark.sql.SparkSession,
                                      embeddings: DataFrame, sfDir: String,
                                      nLists: Int = 8, kmIters: Int = 3,
                                      m: Int = 16, ksub: Int = 16,
                                      pqIters: Int = 2): String = {
     ensureIndexDir(spark, "ivfpqmnt", s"$sfDir|${persistedIndexStamp(spark, sfDir)}|" +
-        s"$nLists|$kmIters|$m|$ksub|$pqIters|waves=4|compact|v1") { index =>
-      val w0 = embeddings.filter(pmod(col("vec_id"), lit(2)) === 0)
-      val w1 = embeddings.filter(pmod(col("vec_id"), lit(4)) === 1)
-      val w3 = embeddings.filter(pmod(col("vec_id"), lit(4)) === 3)
-      detIvfIndex(w0, nLists, kmIters).save(s"$index/coarse")
-      pqIndex(w0, m, ksub, pqIters).save(s"$index/pq")
-      upsertIvfAt(spark, s"$index/coarse", w1)
-      upsertPqAt(spark, s"$index/pq", w1)
-      upsertIvfAt(spark, s"$index/coarse", w3)
-      upsertPqAt(spark, s"$index/pq", w3)
-      compactIvfAt(spark, s"$index/coarse")
+        s"$nLists|$kmIters|$m|$ksub|$pqIters|waves=4|compact|v2") { index =>
+      buildIvfPqGen1(spark, index, embeddings,
+        Seq(embeddings.filter(pmod(col("vec_id"), lit(4)) === 1),
+          embeddings.filter(pmod(col("vec_id"), lit(4)) === 3)),
+        nLists, kmIters, m, ksub, pqIters)
+      compactIvfPqAt(spark, index)
     }
   }
 

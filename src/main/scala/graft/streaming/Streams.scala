@@ -1624,9 +1624,13 @@ object Streams {
     if (hasOld) swapEpochState(spark, path)(st =>
       st.join(broadcast(ids), Seq("doc_id"), "left_anti"))
     // cast: partition-column inference may type epoch as INT (small
-    // values), and a compacted state's only partition is epoch=-1
+    // values), and a compacted state's only partition is epoch=-1.
+    // coalesce: max(epoch) is NULL on an empty state (unreachable through
+    // the maintained lifecycles — deleteDocsAt refuses to empty a state —
+    // but a direct caller would otherwise die on a confusing NPE here)
     val next = math.max(0L, spark.read.parquet(path)
-      .agg(max(col("epoch").cast("long"))).head().getLong(0) + 1L)
+      .agg(coalesce(max(col("epoch").cast("long")), lit(-1L)))
+      .head().getLong(0) + 1L)
     lexPartial(docs).withColumn("epoch", lit(next))
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")

@@ -203,6 +203,11 @@ object PlanAudit {
     // artifacts — same three bounded frames
     "q303_hybrid_readmit" -> (3,
       "q292's probe frames over the readmitted saved artifacts + healed lex state"),
+    // the TEXT-IN serving composition probes exactly like q292; its query
+    // batch is a literal 5-string local relation (hash-embedded in-plan),
+    // so at most the same three bounded frames reach a broadcast
+    "q306_hybrid_serving_text" -> (3,
+      "q292's probe frames; query batch is a literal 5-string local relation"),
     // the maintained (>=3-wave + compacted) IVF-PQ probes exactly like
     // its two-wave twin — same three bounded frames, whatever the upsert
     // history or file layout of the coarse cells

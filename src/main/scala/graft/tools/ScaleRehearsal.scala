@@ -45,6 +45,10 @@ object ScaleRehearsal {
     // family-filtered runs), so scale-exponent regressions are diffable
     // round-over-round the way BENCH_DETAIL made per-query times diffable
     val recorded = collection.mutable.LinkedHashMap.empty[String, (Long, Double)]
+    // quality-gate metric values at scale (merged into REHEARSAL.json
+    // beside the wall ratios) — declared up here because both the recall
+    // family and the serving32 family record into it
+    val recordedGates = collection.mutable.LinkedHashMap.empty[String, Double]
     // Replicated k-leg caches are materialized BEFORE a family's timed
     // loop: the first timed op would otherwise absorb the union + cache
     // build (r14's REHEARSAL showed tpchQ6 -- a 1-row linear scan-agg --
@@ -510,6 +514,62 @@ object ScaleRehearsal {
         graft.Engine.hybridServing(coarse, pq, q, terms,
           ts => ta.bm25Indexed(post, dl, ts), k = 5, nLeg = 10)
           .queryExecution.toRdd.count() }
+      // the PERSISTED IVFADC layout (q282/q292's actual serving path):
+      // codes saved cell-partitioned, probe statically partition-pruned
+      // to the nProbe probed cells on BOTH the codes and the re-rank
+      // scans — the r18 layout change whose scale claim this leg
+      // measures (the flat-codes probe above is the legacy in-memory
+      // shape). Build sits outside the timed op, as with the other legs.
+      val idxDir = java.nio.file.Files
+        .createTempDirectory("graft-rehearse-ivfpq").toString
+      coarse.save(s"$idxDir/coarse")
+      Similarity.savePqCellPartitioned(pq,
+        spark.read.parquet(s"$idxDir/coarse/assignments"), s"$idxDir/pq")
+      val pc = Similarity.loadIvfIndex(spark, s"$idxDir/coarse")
+      val pp = Similarity.loadPqIndex(spark, s"$idxDir/pq")
+      time(s"$tag ivfPqProbePersisted32") {
+        Similarity.ivfPqProbe(pc, pp, q, 3, nProbe = 3, shortlist = 64)
+          .queryExecution.toRdd.count() }
+      // approximation QUALITY of the full serving composition at this
+      // scale (the r17 ask: a recall arm for hybridServing beside its
+      // wall ratio): the maintained-stack fused top-5 vs the SAME fusion
+      // with an EXACT vector leg (bruteForceTopK at nLeg) — overlap@5
+      // averaged over the batch, recorded beside the q29/q30/q34 gates
+      time(s"$tag gateHybridServing") {
+        import spark.implicits._
+        val lexLegFn = (ts: Seq[String]) => ta.bm25Indexed(post, dl, ts)
+        def topMap(df: DataFrame): Map[Long, Set[Long]] =
+          df.select("query_id", "doc_id").as[(Long, Long)].collect()
+            .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+        val approx = topMap(graft.Engine.hybridServing(
+          pc, pp, q, terms, lexLegFn, k = 5, nLeg = 10))
+        val vecEx = Similarity.bruteForceTopK(e, q, 10)
+          .select(col("query_id"), col("vec_id").as("doc_id"),
+            col("rnk").cast("int").as("rnk_vec"),
+            lit(null).cast("int").as("rnk_lex"))
+        val lexScored = terms.map { case (qid, ts) =>
+          lexLegFn(ts).filter(col("bm25") > 0)
+            .select(lit(qid).cast("long").as("query_id"), col("doc_id"),
+              col("bm25"))
+        }.reduce(_ unionByName _)
+        val lexEx = graft.plans.GroupedTopK(lexScored,
+            Seq(col("query_id")), Seq(desc("bm25"), asc("doc_id")), 10)
+          .select(col("query_id"), col("doc_id"),
+            lit(null).cast("int").as("rnk_vec"),
+            col("rank").cast("int").as("rnk_lex"))
+        val fusedEx = vecEx.unionByName(lexEx)
+          .groupBy("query_id", "doc_id")
+          .agg(min("rnk_vec").as("rnk_vec"), min("rnk_lex").as("rnk_lex"))
+          .withColumn("rrf",
+            coalesce(lit(1.0) / (lit(60) + col("rnk_vec")), lit(0.0)) +
+              coalesce(lit(1.0) / (lit(60) + col("rnk_lex")), lit(0.0)))
+        val exact = topMap(graft.plans.GroupedTopK(fusedEx,
+          Seq(col("query_id")), Seq(desc("rrf"), asc("doc_id")), 5))
+        val per = exact.map { case (qid, ex) =>
+          approx.getOrElse(qid, Set.empty).intersect(ex).size.toDouble / ex.size }
+        recordedGates(s"$tag gate_serving_overlap_at_5") = per.sum / per.size
+        per.size.toLong }
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(idxDir))
       coarse.assignments.unpersist(); pq.codes.unpersist()
       post.unpersist(); dl.unpersist()
     }
@@ -618,7 +678,6 @@ object ScaleRehearsal {
     // never copied: an exact copy hashes into identical buckets/cells and
     // would make scale recall trivially 1.0 — a rotated vector is a
     // genuinely new point with the same norm and coordinate distribution.
-    val recordedGates = collection.mutable.LinkedHashMap.empty[String, Double]
     def gateRun(tag: String, e: DataFrame): Unit = {
       import spark.implicits._
       val ec = e.cache(); ec.count()

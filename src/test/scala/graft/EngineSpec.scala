@@ -534,8 +534,7 @@ class EngineSpec extends AnyFunSuite {
       .select("vec_id", "embedding")
     val docs = Tables.documents(spark, TestSpark.sf0001)
     val dir = Similarity.ensurePersistedIvfPq(spark, emb, TestSpark.sf0001)
-    val coarse = Similarity.loadIvfIndex(spark, s"$dir/coarse")
-    val pq = Similarity.loadPqIndex(spark, s"$dir/pq")
+    val (coarse, pq) = Similarity.loadIvfPqAt(spark, dir)
     val queries = emb.filter(col("vec_id") < 2)
       .select(col("vec_id").as("query_id"),
         col("embedding").as("query_embedding"))
@@ -580,5 +579,14 @@ class EngineSpec extends AnyFunSuite {
       .queryExecution.optimizedPlan
     assert(graft.tools.PlanAudit.globalWindowFindings(plan).isEmpty,
       "hybridServing must not plan a SinglePartition window")
+    // plan size is linear in the batch (one lexical branch per query), so
+    // the bound is ENFORCED, not documented: an oversized batch is
+    // rejected before any plan is built
+    val oversized = (0 to Engine.MaxServingBatch)
+      .map(i => i.toLong -> Seq("join"))
+    val err = intercept[IllegalArgumentException](
+      Engine.hybridServing(coarse, pq, queries, oversized,
+        ts => TextAnalysis.bm25(docs, ts), k = k, nLeg = nLeg))
+    assert(err.getMessage.contains("MaxServingBatch"))
   }
 }

@@ -139,4 +139,17 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(p.linesIterator.exists(l => l.contains("Project") && l.contains("hash_embed")
       && l.trim.startsWith("*")), p)
   }
+
+  test("q282 probe: the IVFADC serving scans are statically partition-pruned to the probed cells") {
+    // the scale contract of the cell-partitioned codes layout: the PQ
+    // codes scan AND the re-rank's assignments scan each carry a STATIC
+    // PartitionFilters entry on cell (the probed-cells isin list), so a
+    // serving batch reads only nProbe cells' files from each store —
+    // never the whole codes table (the r17 scale-killer this layout
+    // replaces)
+    val p = planOf("q282_ann_ivfpq_persisted")
+    val pruned = "PartitionFilters: \\[cell#\\d+ IN".r.findAllIn(p).size
+    assert(pruned >= 2,
+      s"expected both the codes and assignments scans partition-pruned on cell, found $pruned:\n$p")
+  }
 }

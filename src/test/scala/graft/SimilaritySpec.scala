@@ -552,7 +552,8 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("ensurePersistedDetIvf: two-wave persisted lifecycle equals the in-memory twin; build-once") {
     val dir = Similarity.ensurePersistedDetIvf(spark, emb, TestSpark.sf0001)
-    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val g = Similarity.resolveIndexDir(spark, dir)
+    val loaded = Similarity.loadIvfAt(spark, dir)
     // the saved index carries BOTH waves (fit wave + upserted wave)
     assert(loaded.assignments.count() == emb.count())
     assert(loaded.assignments.filter($"vec_id" % 2 === 1).count() ==
@@ -570,17 +571,18 @@ class SimilaritySpec extends AnyFunSuite {
     assert(a.sameElements(b) && a.nonEmpty)
     // build-once: a repeat ensure returns the same path and leaves the
     // stored assignment files untouched (marker short-circuit)
-    val files = new java.io.File(s"$dir/assignments").listFiles()
+    val files = new java.io.File(s"$g/assignments").listFiles()
       .map(f => (f.getName, f.lastModified)).toSet
     assert(Similarity.ensurePersistedDetIvf(spark, emb, TestSpark.sf0001) == dir)
-    val after = new java.io.File(s"$dir/assignments").listFiles()
+    val after = new java.io.File(s"$g/assignments").listFiles()
       .map(f => (f.getName, f.lastModified)).toSet
     assert(after == files)
   }
 
   test("ensurePersistedSq (q290): two-wave persisted codes equal a one-shot full-corpus encode; build-once") {
     val dir = Similarity.ensurePersistedSq(spark, emb, TestSpark.sf0001)
-    val loaded = Similarity.loadSqIndex(spark, dir)
+    val g = Similarity.resolveIndexDir(spark, dir)
+    val loaded = Similarity.loadSqIndex(spark, g)
     // the upsert contract THROUGH storage: wave-0-save + wave-1-upsert
     // codes equal a fresh one-shot encode of the full corpus
     def codeMap(df: org.apache.spark.sql.DataFrame) =
@@ -593,16 +595,17 @@ class SimilaritySpec extends AnyFunSuite {
     val b = Similarity.sqTopK(emb, queries, 3).collect().map(_.toString).sorted
     assert(a.sameElements(b) && a.nonEmpty)
     // build-once: marker short-circuit leaves the stored files untouched
-    val files = new java.io.File(dir).listFiles()
+    val files = new java.io.File(g).listFiles()
       .map(f => (f.getName, f.lastModified)).toSet
     assert(Similarity.ensurePersistedSq(spark, emb, TestSpark.sf0001) == dir)
-    assert(new java.io.File(dir).listFiles()
+    assert(new java.io.File(g).listFiles()
       .map(f => (f.getName, f.lastModified)).toSet == files)
   }
 
   test("ensurePersistedBq (q291): two-wave persisted sign codes equal a one-shot encode; probe parity; build-once") {
     val dir = Similarity.ensurePersistedBq(spark, emb, TestSpark.sf0001)
-    val loaded = Similarity.loadBqIndex(spark, dir)
+    val loaded = Similarity.loadBqIndex(
+      spark, Similarity.resolveIndexDir(spark, dir))
     val oneShot = Similarity.bqIndex(emb).as[(Long, Long)].collect().toMap
     assert(loaded.as[(Long, Long)].collect().toMap == oneShot)
     val a = Similarity.bqProbe(loaded, emb, queries, 3)
@@ -628,8 +631,12 @@ class SimilaritySpec extends AnyFunSuite {
     // shares sum to 1 and counts cover the corpus
     assert(before.map(_.getAs[Long]("n_vectors")).sum == emb.count())
     val probeBefore = Similarity.ivfProbe(
-      Similarity.loadIvfIndex(spark, dir), queries, 3, nProbe = 3)
+      Similarity.loadIvfAt(spark, dir), queries, 3, nProbe = 3)
       .collect().map(_.toString).sorted
+    // a reader loaded BEFORE the compaction keeps serving: the compacted
+    // table lands as a NEW generation and the old files are retained
+    // (pruneGens keep=2), so this pre-flip plan stays readable mid-swap
+    val preFlip = Similarity.loadIvfAt(spark, dir)
     Similarity.compactIvfAt(spark, dir)
     val after = Similarity.ivfCellStats(spark, dir).collect()
     // one file per cell, content untouched (counts AND probe results)
@@ -638,11 +645,14 @@ class SimilaritySpec extends AnyFunSuite {
     assert(after.map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_vectors"))).toSeq.sorted ==
       before.map(r => (r.getAs[Int]("cell"), r.getAs[Long]("n_vectors"))).toSeq.sorted)
     val probeAfter = Similarity.ivfProbe(
-      Similarity.loadIvfIndex(spark, dir), queries, 3, nProbe = 3)
+      Similarity.loadIvfAt(spark, dir), queries, 3, nProbe = 3)
       .collect().map(_.toString).sorted
     assert(probeAfter.sameElements(probeBefore) && probeAfter.nonEmpty)
-    // the staging dir is gone (the durability rule cleans up after itself)
-    assert(!new java.io.File(s"$dir/assignments__staging").exists())
+    // the pointer flipped to a generation dir; the pre-flip reader's scan
+    // still answers (zero-downtime: no live table was deleted under it)
+    assert(Similarity.currentGen(spark, dir).nonEmpty)
+    assert(Similarity.ivfProbe(preFlip, queries, 3, nProbe = 3)
+      .collect().map(_.toString).sorted.sameElements(probeBefore))
     FileUtils.deleteQuietly(new java.io.File(dir).getParentFile)
   }
 
@@ -677,19 +687,37 @@ class SimilaritySpec extends AnyFunSuite {
       .select("vec_id").as[Long].collect().toSet
     assert(bqHits.nonEmpty && bqHits.intersect(delIds).isEmpty)
     FileUtils.deleteQuietly(new java.io.File(bqDir).getParentFile)
-    // PQ: codes purged, codebooks untouched (frozen trained state)
+    // PQ: codes purged from the CELL-PARTITIONED store (the IVFADC
+    // layout), codebooks untouched (frozen trained state), and the
+    // rewrite is partition-pruned — cells holding no deleted id keep
+    // their files byte-for-byte
     val pqDir = java.nio.file.Files.createTempDirectory("graft_pqdel").toString + "/idx"
-    val builtPq = Similarity.pqIndex(emb)
-    builtPq.save(pqDir)
+    val coarseForPq = Similarity.detIvfIndex(emb, 8)
+    Similarity.savePqCellPartitioned(
+      Similarity.pqIndex(emb), coarseForPq.assignments, pqDir)
     val bookStamp = new java.io.File(s"$pqDir/codebooks").listFiles()
       .map(f => (f.getName, f.lastModified)).toSet
+    val delCells = coarseForPq.assignments
+      .join(toDelete, Seq("vec_id")).select("cell")
+      .as[Int].collect().toSet
+    val untouchedCells = coarseForPq.assignments.select("cell").distinct()
+      .as[Int].collect().toSet -- delCells
+    val untouchedStamp = untouchedCells.map(c =>
+      c -> new java.io.File(s"$pqDir/codes/cell=$c").listFiles()
+        .map(f => (f.getName, f.lastModified)).toSet).toMap
     Similarity.deletePqAt(spark, pqDir, toDelete)
     val pqLoaded = Similarity.loadPqIndex(spark, pqDir)
+    assert(pqLoaded.codes.columns.contains("cell"))
     assert(pqLoaded.codes.filter($"vec_id".isin(delIds.toSeq: _*)).count() == 0)
     assert(pqLoaded.codes.count() == emb.count() - delIds.size)
     assert(new java.io.File(s"$pqDir/codebooks").listFiles()
       .map(f => (f.getName, f.lastModified)).toSet == bookStamp,
       "codebooks must not be rewritten by a codes delete")
+    untouchedStamp.foreach { case (c, stamp) =>
+      assert(new java.io.File(s"$pqDir/codes/cell=$c").listFiles()
+        .map(f => (f.getName, f.lastModified)).toSet == stamp,
+        s"codes cell $c rewritten by a delete that touched no id in it")
+    }
     FileUtils.deleteQuietly(new java.io.File(pqDir).getParentFile)
   }
 
@@ -734,8 +762,8 @@ class SimilaritySpec extends AnyFunSuite {
 
   test("ensurePersistedIvfPq (q282): frozen-codebook two-wave lifecycle; probe from storage only; build-once") {
     val dir = Similarity.ensurePersistedIvfPq(spark, emb, TestSpark.sf0001)
-    val coarse = Similarity.loadIvfIndex(spark, s"$dir/coarse")
-    val pq = Similarity.loadPqIndex(spark, s"$dir/pq")
+    val g = Similarity.resolveIndexDir(spark, dir)
+    val (coarse, pq) = Similarity.loadIvfPqAt(spark, dir)
     // both saved artifacts carry BOTH waves (fit wave + upserted wave)...
     assert(coarse.assignments.count() == emb.count())
     assert(pq.codes.count() == emb.count())
@@ -762,14 +790,14 @@ class SimilaritySpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect()
     assert(self.nonEmpty && self.forall(r => r._1 == r._2 && r._3 == 1.0))
     // build-once: a repeat ensure returns the same path, codes untouched
-    val files = new java.io.File(s"$dir/pq/codes").listFiles()
+    val files = new java.io.File(s"$g/pq/codes").listFiles()
       .map(f => (f.getName, f.lastModified)).toSet
     assert(Similarity.ensurePersistedIvfPq(spark, emb, TestSpark.sf0001) == dir)
-    assert(new java.io.File(s"$dir/pq/codes").listFiles()
+    assert(new java.io.File(s"$g/pq/codes").listFiles()
       .map(f => (f.getName, f.lastModified)).toSet == files)
   }
 
-  test("retrainIvfAt (q301): refit over the stored corpus swaps both tables; crash window converges from the staged generation") {
+  test("retrainIvfAt (q301): refit lands as a NEW generation; a concurrent reader keeps serving the old one across the flip") {
     import org.apache.commons.io.FileUtils
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfrtr").toString + "/idx"
     // q261's lifecycle: wave-0 fit, wave-1 upsert against frozen centroids
@@ -778,158 +806,210 @@ class SimilaritySpec extends AnyFunSuite {
     Similarity.upsertIvfAt(spark, dir, emb.filter($"vec_id" % 2 === 1))
     val centsBefore = spark.read.parquet(s"$dir/centroids")
       .collect().map(_.toString).sorted
+    // a PRE-RETRAIN reader: loads (and probes once) before the swap, then
+    // probes again WHILE the new generation is live — it must keep
+    // answering from its resolved (old) tables, which the swap never
+    // deletes (the legacy dir stays; gen swaps retain keep=2 gens)
+    val preFlip = Similarity.loadIvfAt(spark, dir)
+    val preProbe = Similarity.ivfProbe(preFlip, queries, 3, nProbe = 3)
+      .collect().map(_.toString).sorted
     Similarity.retrainIvfAt(spark, dir)
     // the retrained generation equals a from-scratch deterministic fit on
-    // the FULL corpus — both the saved centroids and every assignment
+    // the FULL corpus — both the saved centroids and every assignment —
+    // and readers reach it ONLY through the flipped _GEN pointer
     val fresh = Similarity.detIvfIndex(emb, 8)
-    val centsAfter = spark.read.parquet(s"$dir/centroids")
+    val g = Similarity.resolveIndexDir(spark, dir)
+    assert(g != dir && Similarity.currentGen(spark, dir).nonEmpty,
+      "retrain must land behind the generation pointer")
+    val centsAfter = spark.read.parquet(s"$g/centroids")
       .collect().map(_.toString).sorted
     assert(centsAfter.sameElements(
       fresh.centroids.collect().map(_.toString).sorted))
     // geometry genuinely moved: the frozen wave-0 fit is not the
     // full-corpus fit (otherwise this test proves nothing)
     assert(!centsAfter.sameElements(centsBefore))
-    val loaded = Similarity.loadIvfIndex(spark, dir)
+    val loaded = Similarity.loadIvfAt(spark, dir)
     assert(loaded.assignments.select("vec_id", "cell").collect().map(_.toString).sorted
       .sameElements(fresh.assignments.select("vec_id", "cell")
         .collect().map(_.toString).sorted))
-    // no staging residue after a clean retrain
-    assert(!new java.io.File(s"$dir/__retrain_staging").exists())
-    // crash-window convergence: stage a complete generation with the
-    // ready marker, then simulate a crash AFTER the centroids delete but
-    // before its rename — the retried call must finish the swap from the
-    // staged copy (no recompute) and leave a consistent index
-    val staging = new java.io.File(s"$dir/__retrain_staging")
-    FileUtils.copyDirectory(new java.io.File(s"$dir/assignments"),
-      new java.io.File(s"$staging/assignments"))
-    FileUtils.copyDirectory(new java.io.File(s"$dir/centroids"),
-      new java.io.File(s"$staging/centroids"))
-    new java.io.File(staging, "_STAGED_READY").createNewFile()
-    FileUtils.deleteDirectory(new java.io.File(s"$dir/centroids"))
+    // zero-downtime: the pre-flip reader still probes its old generation
+    assert(Similarity.ivfProbe(preFlip, queries, 3, nProbe = 3)
+      .collect().map(_.toString).sorted.sameElements(preProbe))
+    // crash-before-flip convergence: plant a PARTIAL next generation
+    // (what a crashed retrain leaves) — the retried call must clear it
+    // and rebuild, never serve it
+    val partial = s"$dir/gen=${Similarity.currentGen(spark, dir).get + 1}"
+    new java.io.File(s"$partial/assignments").mkdirs()
     Similarity.retrainIvfAt(spark, dir)
-    assert(!staging.exists())
-    val healed = Similarity.loadIvfIndex(spark, dir)
+    val healed = Similarity.loadIvfAt(spark, dir)
     assert(healed.centroids.collect().map(_.toString).sorted
       .sameElements(centsAfter))
     assert(healed.assignments.count() == emb.count())
     FileUtils.deleteQuietly(new java.io.File(dir).getParentFile)
   }
 
-  test("retrained ensure rebuild clears stale staging: a crashed swap's generation cannot resume over fresh tables") {
-    import org.apache.commons.io.FileUtils
+  test("retrained ensure rebuild resets the root: a crashed build's partial generation cannot leak into the rebuilt index") {
     val dir = Similarity.ensurePersistedDetIvfRetrained(spark, emb, TestSpark.sf0001)
     def probe() = Similarity.ivfProbe(
-      Similarity.loadIvfIndex(spark, dir), queries, 3, nProbe = 3)
+      Similarity.loadIvfAt(spark, dir), queries, 3, nProbe = 3)
       .collect().map(_.toString).sorted
     val want = probe()
-    // simulate the judge-found scenario: a PREVIOUS build crashed inside
-    // the retrain swap (staged generation + ready marker left behind) and
-    // the ensure retry rebuilds from scratch (_INDEX_READY missing). The
-    // planted staging carries WRONG centroids (the frozen wave-0 fit) —
-    // if the rebuild resumed it instead of clearing it, the probe would
-    // serve a mixed generation and differ from the oracle
-    val staging = new java.io.File(s"$dir/__retrain_staging")
+    // simulate a PREVIOUS build crashing mid-retrain: a partial next
+    // generation dir left beside the serving one, plus a stale pointer,
+    // with _INDEX_READY missing (the ensure retry rebuilds from scratch).
+    // The reset-then-rebuild rule must wipe all of it — if any planted
+    // state survived into the rebuilt index, the probe would differ
+    val staleGen = Similarity.currentGen(spark, dir).get + 1
     val w0 = emb.filter($"vec_id" % 2 === 0)
     Similarity.detIvfIndex(w0, 8).centroids.write.mode("overwrite")
-      .parquet(s"$staging/centroids")
-    FileUtils.copyDirectory(new java.io.File(s"$dir/assignments"),
-      new java.io.File(s"$staging/assignments"))
-    new java.io.File(staging, "_STAGED_READY").createNewFile()
+      .parquet(s"$dir/gen=$staleGen/centroids")
     val marker = new java.io.File(new java.io.File(dir).getParentFile,
       "_INDEX_READY")
     assert(marker.delete())
     assert(Similarity.ensurePersistedDetIvfRetrained(
       spark, emb, TestSpark.sf0001) == dir)
-    assert(!staging.exists(), "stale staging must be cleared by the rebuild")
+    assert(!new java.io.File(s"$dir/gen=$staleGen/centroids").exists()
+        || Similarity.currentGen(spark, dir).contains(staleGen),
+      "planted partial generation must not survive the reset")
     assert(probe().sameElements(want),
       "rebuilt index must equal the retrained generation, not a mix")
   }
 
-  test("compactIvfAt and deleteSqAt heal an interrupted delete->rename swap") {
+  test("generation deletes: refused empty delete leaves the pointer and serving table untouched; upserts/deletes flip generations") {
     import org.apache.commons.io.FileUtils
-    // compact: simulate a crash BETWEEN the live delete and the rename —
-    // live table gone, complete compacted copy in the staging dir
-    val dir = java.nio.file.Files.createTempDirectory("graft_cptheal").toString + "/idx"
-    Similarity.detIvfIndex(emb, 8).save(dir)
-    Similarity.upsertIvfAt(spark, dir, emb.filter($"vec_id" % 2 === 1))
-    val before = Similarity.loadIvfIndex(spark, dir).assignments
-      .select("vec_id", "cell").collect().map(_.toString).sorted
-    spark.read.parquet(s"$dir/assignments").repartition(col("cell"))
-      .write.mode("overwrite").partitionBy("cell")
-      .parquet(s"$dir/assignments__compact")
-    FileUtils.deleteDirectory(new java.io.File(s"$dir/assignments"))
-    Similarity.compactIvfAt(spark, dir)
-    assert(!new java.io.File(s"$dir/assignments__compact").exists())
-    assert(Similarity.loadIvfIndex(spark, dir).assignments
-      .select("vec_id", "cell").collect().map(_.toString).sorted
-      .sameElements(before), "healed compaction must preserve content")
-    FileUtils.deleteQuietly(new java.io.File(dir).getParentFile)
-    // flat codes: same window on the SQ path — heal, then apply the delete
-    val sqDir = java.nio.file.Files.createTempDirectory("graft_sqheal").toString + "/idx"
-    Similarity.saveSqIndex(Similarity.sqIndex(emb), sqDir)
-    val full = spark.read.parquet(sqDir)
-    full.write.mode("overwrite").parquet(s"$sqDir.__staging")
-    FileUtils.deleteDirectory(new java.io.File(sqDir))
+    val sqDir = java.nio.file.Files.createTempDirectory("graft_sqgen").toString + "/idx"
+    // gen-layout build through the public lifecycle ops
+    Similarity.saveSqIndex(Similarity.sqIndex(emb.filter($"vec_id" % 2 === 0)), sqDir)
+    Similarity.upsertSqAt(spark, sqDir, emb.filter($"vec_id" % 2 === 1))
+    // the upsert landed as a generation behind the pointer
+    val g1 = Similarity.currentGen(spark, sqDir)
+    assert(g1.nonEmpty, "flat upsert must flip to a generation layout")
+    val before = Similarity.loadSqIndex(
+      spark, Similarity.resolveIndexDir(spark, sqDir))
+    assert(before.count() == emb.count())
+    // a delete of EVERYTHING is refused — pointer unmoved, table intact
+    intercept[IllegalArgumentException](
+      Similarity.deleteSqAt(spark, sqDir, emb.select("vec_id")))
+    assert(Similarity.currentGen(spark, sqDir) == g1,
+      "refused delete must not move the generation pointer")
+    assert(Similarity.loadSqIndex(
+      spark, Similarity.resolveIndexDir(spark, sqDir)).count() == emb.count())
+    // a real delete flips to the next generation; survivors only
     val del = emb.filter($"vec_id" % 5 === 3).select("vec_id")
     Similarity.deleteSqAt(spark, sqDir, del)
-    val healed = Similarity.loadSqIndex(spark, sqDir)
+    assert(Similarity.currentGen(spark, sqDir).get > g1.get)
+    val healed = Similarity.loadSqIndex(
+      spark, Similarity.resolveIndexDir(spark, sqDir))
     assert(healed.count() == emb.count() - del.count())
     assert(healed.filter(pmod($"vec_id", lit(5)) === 3).count() == 0)
     FileUtils.deleteQuietly(new java.io.File(sqDir).getParentFile)
   }
 
-  test("retrainIvfPqAt (q304): both artifacts refit from the stored corpus; probe equals a from-scratch full-corpus pair") {
+  test("upsertCellPqAt: rewrites only the delta's cell partitions; codes stay consistent with the coarse assignments") {
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_pqcup").toString + "/idx"
+    val w0 = emb.filter($"vec_id" % 2 === 0)
+    Similarity.detIvfIndex(w0, 8).save(s"$dir/coarse")
+    Similarity.savePqCellPartitioned(Similarity.pqIndex(w0),
+      spark.read.parquet(s"$dir/coarse/assignments"), s"$dir/pq")
+    // a tiny 2-id delta; its cells come from the coarse assignment rule
+    val delta = emb.filter($"vec_id".isin(1L, 3L))
+    Similarity.upsertIvfAt(spark, s"$dir/coarse", delta)
+    val assigned = spark.read.parquet(s"$dir/coarse/assignments")
+    val touched = assigned.join(delta.select("vec_id"), Seq("vec_id"))
+      .select("cell").as[Int].collect().toSet
+    val untouched = assigned.select("cell").distinct()
+      .as[Int].collect().toSet -- touched
+    assert(untouched.nonEmpty, "fixture must leave untouched cells")
+    val stamp = untouched.map(c =>
+      c -> new java.io.File(s"$dir/pq/codes/cell=$c").listFiles()
+        .map(f => (f.getName, f.lastModified)).toSet).toMap
+    Similarity.upsertCellPqAt(spark, s"$dir/pq", assigned, delta)
+    stamp.foreach { case (c, st) =>
+      assert(new java.io.File(s"$dir/pq/codes/cell=$c").listFiles()
+        .map(f => (f.getName, f.lastModified)).toSet == st,
+        s"codes cell $c rewritten by an upsert that touched no id in it")
+    }
+    // layout invariant: every code row's cell equals its coarse cell, ids
+    // exactly cover the assignments (no dup, no stale row)
+    val pq = Similarity.loadPqIndex(spark, s"$dir/pq")
+    assert(pq.codes.count() == assigned.count())
+    assert(pq.codes.select("vec_id", "cell")
+      .except(assigned.select("vec_id", "cell")).count() == 0)
+    // probe parity: the cell-pruned serving path equals the flat-codes
+    // legacy path over the same logical index
+    val coarse = Similarity.loadIvfIndex(spark, s"$dir/coarse")
+    val flat = Similarity.PqIndex(
+      pq.codes.select("vec_id", "codes"), pq.codebooks, pq.dsub)
+    val a = Similarity.ivfPqProbe(coarse, pq, queries, 3)
+      .collect().map(_.toString).sorted
+    val b = Similarity.ivfPqProbe(coarse, flat, queries, 3)
+      .collect().map(_.toString).sorted
+    assert(a.sameElements(b) && a.nonEmpty)
+    FileUtils.deleteQuietly(new java.io.File(dir).getParentFile)
+  }
+
+  test("retrainIvfPqAt (q304): both artifacts refit from the stored corpus as ONE generation; probe equals a from-scratch full-corpus pair") {
     import org.apache.commons.io.FileUtils
     val dir = java.nio.file.Files.createTempDirectory("graft_ivfpqrtr").toString + "/idx"
     val w0 = emb.filter($"vec_id" % 2 === 0)
+    val w1 = emb.filter($"vec_id" % 2 === 1)
     Similarity.detIvfIndex(w0, 8).save(s"$dir/coarse")
-    Similarity.pqIndex(w0).save(s"$dir/pq")
-    Similarity.upsertIvfAt(spark, s"$dir/coarse", emb.filter($"vec_id" % 2 === 1))
-    Similarity.upsertPqAt(spark, s"$dir/pq", emb.filter($"vec_id" % 2 === 1))
+    Similarity.savePqCellPartitioned(Similarity.pqIndex(w0),
+      spark.read.parquet(s"$dir/coarse/assignments"), s"$dir/pq")
+    Similarity.upsertIvfAt(spark, s"$dir/coarse", w1)
+    Similarity.upsertCellPqAt(spark, s"$dir/pq",
+      spark.read.parquet(s"$dir/coarse/assignments"), w1)
     Similarity.retrainIvfPqAt(spark, dir)
-    // the swapped-in generation equals a from-scratch fit of BOTH
+    // the flipped-in generation equals a from-scratch fit of BOTH
     // artifacts on the full corpus: codebooks bit-identical, probe
-    // row-identical
+    // row-identical — and all four tables live behind ONE pointer flip
+    assert(Similarity.currentGen(spark, dir).nonEmpty)
     val freshPq = Similarity.pqIndex(emb)
-    val loadedPq = Similarity.loadPqIndex(spark, s"$dir/pq")
+    val (loadedCoarse, loadedPq) = Similarity.loadIvfPqAt(spark, dir)
     assert(loadedPq.codebooks.map(_.map(_.toSeq)) ==
       freshPq.codebooks.map(_.map(_.toSeq)))
-    val got = Similarity.ivfPqProbe(
-      Similarity.loadIvfIndex(spark, s"$dir/coarse"), loadedPq,
+    // the retrained codes are cell-partitioned against the NEW geometry:
+    // every code row's cell equals its coarse assignment
+    assert(loadedPq.codes.columns.contains("cell"))
+    assert(loadedPq.codes.select("vec_id", "cell")
+      .except(loadedCoarse.assignments.select("vec_id", "cell")).count() == 0)
+    val got = Similarity.ivfPqProbe(loadedCoarse, loadedPq,
       queries, 3).collect().map(_.toString).sorted
     val want = Similarity.ivfPqProbe(
       Similarity.detIvfIndex(emb, 8), freshPq, queries, 3)
       .collect().map(_.toString).sorted
     assert(got.sameElements(want) && got.nonEmpty)
-    assert(!new java.io.File(s"$dir/__retrain_staging").exists())
     FileUtils.deleteQuietly(new java.io.File(dir).getParentFile)
   }
 
   test("ensurePersistedIvfPqMaintained (q300): >=3-wave + compacted lifecycle is history-invariant and one file per coarse cell") {
     val dir = Similarity.ensurePersistedIvfPqMaintained(spark, emb, TestSpark.sf0001)
-    val coarse = Similarity.loadIvfIndex(spark, s"$dir/coarse")
-    val pq = Similarity.loadPqIndex(spark, s"$dir/pq")
+    val g = Similarity.resolveIndexDir(spark, dir)
+    val (coarse, pq) = Similarity.loadIvfPqAt(spark, dir)
     // all three waves landed in both artifacts
     assert(coarse.assignments.count() == emb.count())
     assert(pq.codes.count() == emb.count())
-    // compactIvfAt left exactly one data file per coarse cell partition
-    val cellDirs = new java.io.File(s"$dir/coarse/assignments").listFiles()
-      .filter(f => f.isDirectory && f.getName.startsWith("cell="))
-    assert(cellDirs.nonEmpty)
-    cellDirs.foreach { cd =>
-      val parts = cd.listFiles().filter(_.getName.endsWith(".parquet"))
-      assert(parts.length == 1,
-        s"${cd.getName} has ${parts.length} files after compaction")
+    // compactIvfPqAt left exactly one data file per cell partition in
+    // BOTH fragmenting tables (coarse assignments AND the cell codes)
+    Seq(s"$g/coarse/assignments", s"$g/pq/codes").foreach { table =>
+      val cellDirs = new java.io.File(table).listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.nonEmpty)
+      cellDirs.foreach { cd =>
+        val parts = cd.listFiles().filter(_.getName.endsWith(".parquet"))
+        assert(parts.length == 1,
+          s"$table/${cd.getName} has ${parts.length} files after compaction")
+      }
     }
     // history-invariance: assignment and encoding are per-vector against
     // the SAME frozen wave-0 artifacts, so the probe equals the two-wave
     // q282 index row for row — upsert count and file layout cannot leak
     val twoWave = Similarity.ensurePersistedIvfPq(spark, emb, TestSpark.sf0001)
+    val (c2, p2) = Similarity.loadIvfPqAt(spark, twoWave)
     val a = Similarity.ivfPqProbe(coarse, pq, queries, 3, nProbe = 3,
       shortlist = 64).collect().map(_.toString).sorted
-    val b = Similarity.ivfPqProbe(
-      Similarity.loadIvfIndex(spark, s"$twoWave/coarse"),
-      Similarity.loadPqIndex(spark, s"$twoWave/pq"), queries, 3,
+    val b = Similarity.ivfPqProbe(c2, p2, queries, 3,
       nProbe = 3, shortlist = 64).collect().map(_.toString).sorted
     assert(a.sameElements(b) && a.nonEmpty)
   }
