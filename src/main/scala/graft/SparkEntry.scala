@@ -2134,9 +2134,10 @@ object SparkEntry {
           .select(lit(store).as("store"), col("n_leaked"), col("n_ids"))
       val assignments = s.read.parquet(s"$g/coarse/assignments")
       val codes = s.read.parquet(s"$g/pq/codes")
+      // SHUFFLE_HASH on the assignments (build) side: both sides are
+      // corpus-sized, so the anti-join must never broadcast either
       val layoutBreaks = codes.select("vec_id", "cell")
-        .hint("SHUFFLE_HASH")
-        .join(assignments.select("vec_id", "cell"),
+        .join(assignments.select("vec_id", "cell").hint("SHUFFLE_HASH"),
           Seq("vec_id", "cell"), "left_anti")
         .agg(count(lit(1)).as("n_leaked"))
         .crossJoin(codes.agg(countDistinct(col("vec_id")).as("n_ids")))
