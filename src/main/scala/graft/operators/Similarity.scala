@@ -1398,7 +1398,14 @@ object Similarity {
 
   /** Probe an IVF index: broadcast-join queries against the centroid table,
     * keep each query's `nProbe` closest cells, exact cosine inside probed
-    * cells only. Per-query work ~ corpus/nLists * nProbe. */
+    * cells only. Per-query work ~ corpus/nLists * nProbe. The probed
+    * cells are additionally collected driver-side (bounded:
+    * |queries| × nProbe — the `deleteIvfAt` convention) and pushed as a
+    * STATIC filter on the assignments side, so a probe against a SAVED
+    * cell-partitioned index reads only the probed cells' partition files
+    * (PartitionFilters on the scan) — the join alone restricts rows, not
+    * which files are opened. Results are unchanged: the filter keeps a
+    * superset of what the probes join admits. */
   def ivfProbe(index: IvfIndex, queries: DataFrame, k: Int,
                nProbe: Int = 12): DataFrame = {
     val nq = normalized(queries, "query_embedding")
@@ -1410,8 +1417,11 @@ object Similarity {
           .select(col("query_id"), col("query_embedding"), col("cell"), col("cscore")),
         Seq(col("query_id")), Seq(desc("cscore"), asc("cell")), nProbe)
       .select(col("query_id"), col("query_embedding"), col("cell"))
+    val cells = probes.select("cell").distinct()
+      .collect().map(_.getInt(0)).toSeq
     topKPerQuery(
-      index.assignments.join(broadcast(probes), Seq("cell"))
+      index.assignments.filter(col("cell").isin(cells: _*))
+        .join(broadcast(probes), Seq("cell"))
         .withColumn("score", cosine_similarity(col("embedding"), col("query_embedding"))),
       k)
   }

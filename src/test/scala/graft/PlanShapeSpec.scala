@@ -152,4 +152,10 @@ class PlanShapeSpec extends AnyFunSuite {
     assert(pruned >= 2,
       s"expected both the codes and assignments scans partition-pruned on cell, found $pruned:\n$p")
   }
+
+  test("q261 probe: the persisted-IVF assignments scan is statically partition-pruned to the probed cells") {
+    val p = planOf("q261_ann_ivf_persisted")
+    assert("PartitionFilters: \\[cell#\\d+ IN".r.findFirstIn(p).isDefined,
+      s"expected the assignments scan partition-pruned on cell:\n$p")
+  }
 }
