@@ -141,8 +141,10 @@ object Engine {
     try out.write(next.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val ptr = new org.apache.hadoop.fs.Path(s"$root/_LATEST")
-    if (fs.exists(ptr)) fs.delete(ptr, false)
-    fs.rename(tmp, ptr)
+    // atomic REPLACE (no delete-then-rename window for concurrent readers)
+    org.apache.hadoop.fs.FileContext
+      .getFileContext(ptr.toUri, spark.sparkContext.hadoopConfiguration)
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
     next
   }
 

@@ -753,18 +753,23 @@ object Similarity {
   }
 
   /** Flip the `_GEN` pointer to a COMPLETELY built generation — staged
-    * tmp write + rename, the `Engine.writeIndexVersioned` flip. */
+    * tmp write + ATOMIC REPLACE rename (`FileContext` with
+    * `Options.Rename.OVERWRITE`, the POSIX/HDFS atomic-rename path): a
+    * delete-then-rename flip would leave a pointerless window in which a
+    * concurrent reader of a pure-generation root resolves to nothing.
+    * The zero-downtime spec probes in a loop WHILE a retrain flips this
+    * pointer. */
   private def commitGen(spark: org.apache.spark.sql.SparkSession,
                         root: String, n: Int): Unit = {
-    val fs = new org.apache.hadoop.fs.Path(root)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(conf)
     val tmp = new org.apache.hadoop.fs.Path(s"$root/_GEN.tmp")
     val out = fs.create(tmp, true)
     try out.write(n.toString.getBytes(java.nio.charset.StandardCharsets.UTF_8))
     finally out.close()
     val ptr = new org.apache.hadoop.fs.Path(s"$root/_GEN")
-    if (fs.exists(ptr)) fs.delete(ptr, false)
-    require(fs.rename(tmp, ptr), s"generation pointer flip failed at $root")
+    org.apache.hadoop.fs.FileContext.getFileContext(ptr.toUri, conf)
+      .rename(tmp, ptr, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Drop all but the newest `keep` generations (the serving one plus one

@@ -252,6 +252,20 @@ object Smoke {
       spark, lexState, Seq("join", "hash", "customer")).count()
     println(s"== streamed lex state: $sEpochs epochs, bm25-from-state rows $sBm")
 
+    // r18 tour: text-in hybrid serving over the maintained stack (fixture
+    // strings embedded + keyword-normalized in-plan; persisted IVF-PQ
+    // resolved through the generation pointer) and the cross-store
+    // takedown audit (per-store leak counts must all be 0)
+    val servedText = graft.SparkEntry
+      .queries("q306_hybrid_serving_text")(spark, sfDir)
+      .filter(col("query_id") === 1).collect()
+      .map(r => s"${r.getLong(1)}").mkString(",")
+    println(s"== text-in serving ('transfer credits' top docs): $servedText")
+    val takedownAudit = graft.SparkEntry
+      .queries("q307_takedown_audit")(spark, sfDir)
+      .collect().map(r => s"${r.getString(0)}=${r.getLong(1)}").mkString(" ")
+    println(s"== takedown audit (leaked ids per store): $takedownAudit")
+
     spark.stop()
   }
 }

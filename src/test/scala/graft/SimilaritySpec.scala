@@ -848,6 +848,51 @@ class SimilaritySpec extends AnyFunSuite {
     FileUtils.deleteQuietly(new java.io.File(dir).getParentFile)
   }
 
+  test("zero-downtime: probes running CONCURRENTLY with a retrain swap never fail and always see one complete generation") {
+    import org.apache.commons.io.FileUtils
+    val dir = java.nio.file.Files.createTempDirectory("graft_ivfzdt").toString + "/idx"
+    val w0 = emb.filter($"vec_id" % 2 === 0)
+    Similarity.detIvfIndex(w0, 8).save(dir)
+    Similarity.upsertIvfAt(spark, dir, emb.filter($"vec_id" % 2 === 1))
+    val oldProbe = Similarity.ivfProbe(Similarity.loadIvfAt(spark, dir),
+      queries, 3, nProbe = 3).collect().map(_.toString).sorted.toSeq
+    // the post-retrain answer, computed on a THROWAWAY COPY so the probe
+    // thread races the real swap, not a pre-run of it
+    val copy = java.nio.file.Files.createTempDirectory("graft_ivfzdtc").toString + "/idx"
+    FileUtils.copyDirectory(new java.io.File(dir), new java.io.File(copy))
+    Similarity.retrainIvfAt(spark, copy)
+    val newProbe = Similarity.ivfProbe(Similarity.loadIvfAt(spark, copy),
+      queries, 3, nProbe = 3).collect().map(_.toString).sorted.toSeq
+    assert(newProbe != oldProbe, "fixture must move geometry or the race proves nothing")
+    // probe in a loop on another thread WHILE the retrain runs against
+    // the live dir: every iteration must succeed and equal either the
+    // old or the new generation — never throw, never mix
+    val results = new java.util.concurrent.ConcurrentLinkedQueue[Seq[String]]()
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val prober = new Thread(() => {
+      while (!stop.get()) {
+        try results.add(Similarity.ivfProbe(Similarity.loadIvfAt(spark, dir),
+          queries, 3, nProbe = 3).collect().map(_.toString).sorted.toSeq)
+        catch { case t: Throwable => errors.add(t); stop.set(true) }
+      }
+    })
+    prober.start()
+    try Similarity.retrainIvfAt(spark, dir)
+    finally { stop.set(true); prober.join(60000) }
+    assert(errors.isEmpty, s"concurrent probe failed mid-swap: ${errors.peek()}")
+    assert(!results.isEmpty, "prober never completed an iteration")
+    results.forEach { r =>
+      assert(r == oldProbe || r == newProbe,
+        s"mid-swap probe saw a mixed generation:\n$r")
+    }
+    // after the swap, the live index answers the new generation
+    assert(Similarity.ivfProbe(Similarity.loadIvfAt(spark, dir),
+      queries, 3, nProbe = 3).collect().map(_.toString).sorted.toSeq == newProbe)
+    FileUtils.deleteQuietly(new java.io.File(dir).getParentFile)
+    FileUtils.deleteQuietly(new java.io.File(copy).getParentFile)
+  }
+
   test("retrained ensure rebuild resets the root: a crashed build's partial generation cannot leak into the rebuilt index") {
     val dir = Similarity.ensurePersistedDetIvfRetrained(spark, emb, TestSpark.sf0001)
     def probe() = Similarity.ivfProbe(
