@@ -1403,16 +1403,20 @@ object Similarity {
 
   /** Probe an IVF index: broadcast-join queries against the centroid table,
     * keep each query's `nProbe` closest cells, exact cosine inside probed
-    * cells only. Per-query work ~ corpus/nLists * nProbe. The probed
+    * cells only. Per-query work ~ corpus/nLists * nProbe. With
+    * `pruneScan` (the default — the persisted-probe path), the probed
     * cells are additionally collected driver-side (bounded:
     * |queries| × nProbe — the `deleteIvfAt` convention) and pushed as a
     * STATIC filter on the assignments side, so a probe against a SAVED
     * cell-partitioned index reads only the probed cells' partition files
     * (PartitionFilters on the scan) — the join alone restricts rows, not
-    * which files are opened. Results are unchanged: the filter keeps a
-    * superset of what the probes join admits. */
+    * which files are opened. Results are unchanged either way: the
+    * filter keeps a superset of what the probes join admits. `ivfTopK`
+    * passes `pruneScan = false` — its index is an in-memory build with
+    * nothing to partition-prune, and the collect would just add a
+    * driver round-trip per probe batch. */
   def ivfProbe(index: IvfIndex, queries: DataFrame, k: Int,
-               nProbe: Int = 12): DataFrame = {
+               nProbe: Int = 12, pruneScan: Boolean = true): DataFrame = {
     val nq = normalized(queries, "query_embedding")
       .select(col("query_id"), col("query_embedding"),
         vector_to_array(col("nvec")).cast("array<float>").as("nvec_arr"))
@@ -1422,11 +1426,14 @@ object Similarity {
           .select(col("query_id"), col("query_embedding"), col("cell"), col("cscore")),
         Seq(col("query_id")), Seq(desc("cscore"), asc("cell")), nProbe)
       .select(col("query_id"), col("query_embedding"), col("cell"))
-    val cells = probes.select("cell").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val serve =
+      if (pruneScan) {
+        val cells = probes.select("cell").distinct()
+          .collect().map(_.getInt(0)).toSeq
+        index.assignments.filter(col("cell").isin(cells: _*))
+      } else index.assignments
     topKPerQuery(
-      index.assignments.filter(col("cell").isin(cells: _*))
-        .join(broadcast(probes), Seq("cell"))
+      serve.join(broadcast(probes), Seq("cell"))
         .withColumn("score", cosine_similarity(col("embedding"), col("query_embedding"))),
       k)
   }
@@ -1436,7 +1443,7 @@ object Similarity {
     * with `ivfProbe` (per-batch query work ~ corpus/nLists * nProbe). */
   def ivfTopK(items: DataFrame, queries: DataFrame, k: Int,
               nLists: Int = 16, nProbe: Int = 13): DataFrame =
-    ivfProbe(ivfIndex(items, nLists), queries, k, nProbe)
+    ivfProbe(ivfIndex(items, nLists), queries, k, nProbe, pruneScan = false)
   // nProbe default is set from the recall@3 >= 0.9 gate measured at THREE
   // scales — the sf0.01 fixture (SimilaritySpec/GATES.json), sf0.1, and
   // the 8x rotated-replica octave (ScaleRehearsal's recall family,
